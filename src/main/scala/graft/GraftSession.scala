@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Tuned for the driver's local[32] harness but with settings that scale to a
+  * real cluster: AQE (coalescing + skew-join splitting) on, explicit shuffle
+  * parallelism, UTC session time, and a broadcast threshold sized so TPC-H
+  * ratio dimension tables (region/nation/supplier/part) always broadcast.
+  */
+object GraftSession {
+
+  /** Apply graft's standard configuration to any builder. */
+  def configure(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+
+  /** Local session for tests and ad-hoc runs. */
+  def local(appName: String = "graft", cores: Int = 4): SparkSession = {
+    val spark = configure(
+      SparkSession.builder().appName(appName).master(s"local[$cores]"),
+      shufflePartitions = cores
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §B relational/analytic core — the query surface the batch framework (§A)
+  * is built on, in TPC-H-like shapes so the bench is comparable.
+  *
+  * Correctness discipline (SURVEY §6): money math is done in exact DECIMAL
+  * and cast to double only at the end, so Spark and the DuckDB oracle are
+  * bit-identical regardless of aggregation order. At 100 TB this also means
+  * aggregation results don't drift between runs/partitionings.
+  */
+object CoreQueries {
+
+  /** double column holding 2-decimal money → exact decimal. */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  /** small 2-decimal rate (discount/tax in [0,1]) → exact decimal. */
+  private def rate(c: Column): Column = c.cast("decimal(4,2)")
+
+  private val one = lit(1).cast("decimal(3,2)")
+
+  /** q01: wide aggregation with exact sums (TPC-H Q1 shape). */
+  def q01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir).lineitem
+    l.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))) *
+          (one + rate(col("l_tax")))).cast("double").as("sum_charge"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec2(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(rate(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** q01 oracle (same decimal discipline, same aliases). */
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+      |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+}
