@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.batch.BatchFramework
 import graft.operators.CoreQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
@@ -12,12 +13,60 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q01_pricing_summary" -> CoreQueries.q01PricingSummary _
+    // §A batch framework
+    "b01_create_validate"  -> BatchFramework.b01CreateValidate _,
+    "b02_analyze_count"    -> BatchFramework.b02AnalyzeCount _,
+    "b03_process_outcomes" -> BatchFramework.b03ProcessOutcomes _,
+    "b04_error_agg"        -> BatchFramework.b04ErrorAgg _,
+    "b05_outcome_counts"   -> BatchFramework.b05OutcomeCounts _,
+    "b06_finalize_state"   -> BatchFramework.b06FinalizeState _,
+    "b07_get_batches_page" -> BatchFramework.b07GetBatchesPage _,
+    "b08_ignite_topn"      -> BatchFramework.b08IgniteTopN _,
+    "b09_delete_antijoin"  -> BatchFramework.b09DeleteAntijoin _,
+    "b10_upsert_entities"  -> BatchFramework.b10UpsertEntities _,
+    "b11_property_parse"   -> BatchFramework.b11PropertyParse _,
+    "b12_batch_report"     -> BatchFramework.b12BatchReport _,
+    // §B analytics core
+    "q01_pricing_summary"  -> CoreQueries.q01PricingSummary _,
+    "q03_topn_join"        -> CoreQueries.q03TopNJoin _,
+    "q05_multiway_join"    -> CoreQueries.q05MultiwayJoin _,
+    "q06_filter_agg"       -> CoreQueries.q06FilterAgg _,
+    "q10_join_agg_topn"    -> CoreQueries.q10JoinAggTopN _,
+    "w01_running_total"    -> CoreQueries.w01RunningTotal _,
+    "w02_rank_per_group"   -> CoreQueries.w02RankPerGroup _,
+    "r01_rollup"           -> CoreQueries.r01Rollup _,
+    "j01_semi_anti"        -> CoreQueries.j01SemiAnti _,
+    "e01_sessionize"       -> CoreQueries.e01Sessionize _,
+    "e02_event_windows"    -> CoreQueries.e02EventWindows _,
+    "e03_json_props"       -> CoreQueries.e03JsonProps _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
-    "q01_pricing_summary" -> CoreQueries.q01Sql
+    "b01_create_validate"  -> BatchFramework.b01Sql,
+    "b02_analyze_count"    -> BatchFramework.b02Sql,
+    "b03_process_outcomes" -> BatchFramework.b03Sql,
+    "b04_error_agg"        -> BatchFramework.b04Sql,
+    "b05_outcome_counts"   -> BatchFramework.b05Sql,
+    "b06_finalize_state"   -> BatchFramework.b06Sql,
+    "b07_get_batches_page" -> BatchFramework.b07Sql,
+    "b08_ignite_topn"      -> BatchFramework.b08Sql,
+    "b09_delete_antijoin"  -> BatchFramework.b09Sql,
+    "b10_upsert_entities"  -> BatchFramework.b10Sql,
+    "b11_property_parse"   -> BatchFramework.b11Sql,
+    "b12_batch_report"     -> BatchFramework.b12Sql,
+    "q01_pricing_summary"  -> CoreQueries.q01Sql,
+    "q03_topn_join"        -> CoreQueries.q03Sql,
+    "q05_multiway_join"    -> CoreQueries.q05Sql,
+    "q06_filter_agg"       -> CoreQueries.q06Sql,
+    "q10_join_agg_topn"    -> CoreQueries.q10Sql,
+    "w01_running_total"    -> CoreQueries.w01Sql,
+    "w02_rank_per_group"   -> CoreQueries.w02Sql,
+    "r01_rollup"           -> CoreQueries.r01Sql,
+    "j01_semi_anti"        -> CoreQueries.j01Sql,
+    "e01_sessionize"       -> CoreQueries.e01Sql,
+    "e02_event_windows"    -> CoreQueries.e02Sql,
+    "e03_json_props"       -> CoreQueries.e03Sql
   )
 }

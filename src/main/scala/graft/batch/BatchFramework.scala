@@ -1,0 +1,424 @@
+package graft.batch
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §A — the reference batch framework re-expressed as declarative DataFrame
+  * transforms (SURVEY.md §1/§2/§4).
+  *
+  * Mapping: `orders` rows are batch anchors (o_orderkey = batchID,
+  * o_orderdate = inceptionTime, o_orderstatus O/P/F = NOT_STARTED/
+  * IN_PROCESS/COMPLETE); `lineitem` rows are batch tasks (l_linenumber =
+  * taskNumber). Task lines are rebuilt in the reference's CSV shape
+  * (`ModelName,SerialNumber,AssetName`, AnalyzeBatch.groovy:88) with
+  * deterministic dirtiness so both of the reference's validation error
+  * classes occur (comma overflow / format mismatch, AnalyzeBatch.groovy:153-158).
+  *
+  * Scale notes: every op is ≤1 shuffle (groupBy/window on the batch key);
+  * task→anchor joins shuffle on the batch key both sides; `orders` is the
+  * small side and broadcast where the optimizer sees its size.
+  */
+object BatchFramework {
+
+  /** Reference task-line regex, anchored (AnalyzeBatch.groovy:88). */
+  private val TaskPattern = "^\\w{1,100},[\\w-]{1,200},[\\w-]{1,200}$"
+  private val MaxCommas = 2
+  /** MAXIMUM_TASK_COUNT (AnalyzeBatch.groovy:74). */
+  private val MaxTasks = 1000L
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Derived task lines: the CreateBatch upload reconstructed from lineitem. */
+  private[graft] def taskLines(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir).lineitem
+    l.select(
+      col("l_orderkey").as("batch_id"),
+      col("l_linenumber").as("task_number"),
+      concat(lit("M"), col("l_partkey")).as("model_name"),
+      concat(lit("SN-"), col("l_orderkey"), lit("-"), col("l_linenumber")).as("serial_number"),
+      when(col("l_quantity") >= 46, concat(lit("bad asset "), col("l_suppkey")))
+        .otherwise(concat(lit("A_"), col("l_suppkey"))).as("asset_name"),
+      col("l_returnflag"), col("l_linestatus"), col("l_quantity"), col("l_tax"),
+      col("l_shipdate")
+    ).withColumn(
+      "task_line",
+      concat(
+        concat_ws(",", col("model_name"), col("serial_number"), col("asset_name")),
+        when(col("l_tax") >= 0.075, lit(",x=1,y=2")).otherwise(lit(""))
+      )
+    )
+  }
+
+  /** Shared SQL prefix mirroring [[taskLines]] for the DuckDB oracle. */
+  private val TaskLinesSql: String =
+    """WITH task_lines AS (
+      |  SELECT l_orderkey AS batch_id, l_linenumber AS task_number,
+      |    'M' || l_partkey AS model_name,
+      |    'SN-' || l_orderkey || '-' || l_linenumber AS serial_number,
+      |    CASE WHEN l_quantity >= 46 THEN 'bad asset ' || l_suppkey
+      |         ELSE 'A_' || l_suppkey END AS asset_name,
+      |    l_returnflag, l_linestatus, l_quantity, l_tax, l_shipdate,
+      |    ('M' || l_partkey) || ',' || ('SN-' || l_orderkey || '-' || l_linenumber) || ',' ||
+      |      (CASE WHEN l_quantity >= 46 THEN 'bad asset ' || l_suppkey
+      |            ELSE 'A_' || l_suppkey END) ||
+      |      (CASE WHEN l_tax >= 0.075 THEN ',x=1,y=2' ELSE '' END) AS task_line
+      |  FROM lineitem
+      |)""".stripMargin
+
+  private def commaCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, ",", ""))
+
+  private def withValidation(df: DataFrame): DataFrame =
+    df.withColumn("comma_count", commaCount(col("task_line")))
+      .withColumn("matches_pattern", col("task_line").rlike(TaskPattern))
+      .withColumn("is_valid", col("comma_count") <= MaxCommas && col("matches_pattern"))
+      .withColumn(
+        "reason",
+        when(col("comma_count") > MaxCommas, lit("E1031_TOO_MANY_COMMAS"))
+          .when(!col("matches_pattern"), lit("E1031_BAD_FORMAT"))
+      )
+
+  private val ValidationSql: String =
+    s"""validated AS (
+       |  SELECT *,
+       |    length(task_line) - length(replace(task_line, ',', '')) AS comma_count,
+       |    regexp_matches(task_line, '$TaskPattern') AS matches_pattern,
+       |    (length(task_line) - length(replace(task_line, ',', '')) <= $MaxCommas)
+       |      AND regexp_matches(task_line, '$TaskPattern') AS is_valid,
+       |    CASE WHEN length(task_line) - length(replace(task_line, ',', '')) > $MaxCommas
+       |           THEN 'E1031_TOO_MANY_COMMAS'
+       |         WHEN NOT regexp_matches(task_line, '$TaskPattern')
+       |           THEN 'E1031_BAD_FORMAT' END AS reason
+       |  FROM task_lines
+       |)""".stripMargin
+
+  // ---------------------------------------------------------------- b01
+  /** CreateBatch + AnalyzeBatch per-task validation. */
+  def b01CreateValidate(spark: SparkSession, dir: String): DataFrame =
+    withValidation(taskLines(spark, dir))
+      .withColumn("comma_count", col("comma_count").cast("long"))
+      .select("batch_id", "task_number", "task_line", "comma_count", "is_valid", "reason")
+      .orderBy("batch_id", "task_number")
+
+  val b01Sql: String =
+    s"""$TaskLinesSql, $ValidationSql
+       |SELECT batch_id, task_number, task_line, comma_count, is_valid, reason
+       |FROM validated ORDER BY batch_id, task_number""".stripMargin
+
+  // ---------------------------------------------------------------- b02
+  /** AnalyzeBatch task counting + MAXIMUM_TASK_COUNT guard per batch. */
+  def b02AnalyzeCount(spark: SparkSession, dir: String): DataFrame =
+    taskLines(spark, dir)
+      .groupBy(col("batch_id"))
+      .agg(
+        count(lit(1)).as("task_count"),
+        count(when(col("task_line").rlike(TaskPattern), 1)).as("valid_count")
+      )
+      .withColumn("exceeds_max", col("task_count") > MaxTasks)
+      .orderBy("batch_id")
+
+  val b02Sql: String =
+    s"""$TaskLinesSql
+       |SELECT batch_id, count(*) AS task_count,
+       |  count(CASE WHEN regexp_matches(task_line, '$TaskPattern') THEN 1 END) AS valid_count,
+       |  count(*) > $MaxTasks AS exceeds_max
+       |FROM task_lines GROUP BY batch_id ORDER BY batch_id""".stripMargin
+
+  // ---------------------------------------------------------------- b03
+  /** ProcessBatch per-task outcome: a task errors if its line is invalid
+    * (AnalyzeBatch) or its asset creation fails (ProcessBatch.groovy:187-197,
+    * mapped to l_returnflag='R'). Both reasons can co-occur. */
+  private def outcomes(spark: SparkSession, dir: String): DataFrame =
+    withValidation(taskLines(spark, dir))
+      .withColumn(
+        "reasons",
+        array_compact(array(
+          col("reason"),
+          when(col("l_returnflag") === "R",
+            concat(lit("asset "), col("asset_name"), lit(" could not be created")))
+        ))
+      )
+      .withColumn("outcome", when(size(col("reasons")) > 0, lit("ERROR")).otherwise(lit("SUCCESS")))
+
+  private val OutcomesSql: String =
+    s"""$TaskLinesSql, $ValidationSql, outcomes AS (
+       |  SELECT *,
+       |    list_filter([reason,
+       |      CASE WHEN l_returnflag = 'R'
+       |           THEN 'asset ' || asset_name || ' could not be created' END],
+       |      x -> x IS NOT NULL) AS reasons,
+       |    CASE WHEN len(list_filter([reason,
+       |      CASE WHEN l_returnflag = 'R'
+       |           THEN 'asset ' || asset_name || ' could not be created' END],
+       |      x -> x IS NOT NULL)) > 0 THEN 'ERROR' ELSE 'SUCCESS' END AS outcome
+       |  FROM validated
+       |)""".stripMargin
+
+  def b03ProcessOutcomes(spark: SparkSession, dir: String): DataFrame =
+    outcomes(spark, dir)
+      .select(col("batch_id"), col("task_number"), col("outcome"),
+        array_join(col("reasons"), "|").as("reasons"))
+      .orderBy("batch_id", "task_number")
+
+  val b03Sql: String =
+    s"""$OutcomesSql
+       |SELECT batch_id, task_number, outcome,
+       |  coalesce(list_aggregate(reasons, 'string_agg', '|'), '') AS reasons
+       |FROM outcomes ORDER BY batch_id, task_number""".stripMargin
+
+  // ---------------------------------------------------------------- b04
+  /** GetBatchErrors: per-(batch, task) error grouping with ordered reasons. */
+  def b04ErrorAgg(spark: SparkSession, dir: String): DataFrame =
+    outcomes(spark, dir)
+      .filter(col("outcome") === "ERROR")
+      .select(col("batch_id"), col("task_number"),
+        explode(col("reasons")).as("reason_msg"))
+      .groupBy(col("batch_id"), col("task_number"))
+      .agg(
+        count(lit(1)).as("error_count"),
+        array_join(sort_array(collect_list(col("reason_msg"))), "|").as("reasons")
+      )
+      .orderBy("batch_id", "task_number")
+
+  val b04Sql: String =
+    s"""$OutcomesSql, exploded AS (
+       |  SELECT batch_id, task_number, unnest(reasons) AS reason_msg
+       |  FROM outcomes WHERE outcome = 'ERROR'
+       |)
+       |SELECT batch_id, task_number, count(*) AS error_count,
+       |  string_agg(reason_msg, '|' ORDER BY reason_msg) AS reasons
+       |FROM exploded GROUP BY batch_id, task_number
+       |ORDER BY batch_id, task_number""".stripMargin
+
+  // ---------------------------------------------------------------- b05
+  /** Per-batch success/error/completed counts (Success/ErrorAnchor agg). */
+  def b05OutcomeCounts(spark: SparkSession, dir: String): DataFrame =
+    outcomes(spark, dir)
+      .groupBy(col("batch_id"))
+      .agg(
+        count(lit(1)).as("size"),
+        count(when(col("outcome") === "SUCCESS", 1)).as("success_count"),
+        count(when(col("outcome") === "ERROR", 1)).as("error_count")
+      )
+      .withColumn("completed_count", col("success_count") + col("error_count"))
+      .orderBy("batch_id")
+
+  val b05Sql: String =
+    s"""$OutcomesSql
+       |SELECT batch_id, count(*) AS "size",
+       |  count(CASE WHEN outcome = 'SUCCESS' THEN 1 END) AS success_count,
+       |  count(CASE WHEN outcome = 'ERROR' THEN 1 END) AS error_count,
+       |  count(CASE WHEN outcome = 'SUCCESS' THEN 1 END)
+       |    + count(CASE WHEN outcome = 'ERROR' THEN 1 END) AS completed_count
+       |FROM outcomes GROUP BY batch_id ORDER BY batch_id""".stripMargin
+
+  // ---------------------------------------------------------------- b06
+  /** BatchFinalizer: completion detection + state transition + completionTime
+    * for IN_PROCESS anchors (BatchFinalizer.groovy:40-77). */
+  def b06FinalizeState(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir).orders.filter(col("o_orderstatus") === "P")
+    val counts = outcomes(spark, dir)
+      .groupBy(col("batch_id"))
+      .agg(
+        count(lit(1)).as("size"),
+        count(when(col("outcome") === "ERROR", 1)).as("error_count"),
+        max(unix_micros(col("l_shipdate").cast("timestamp"))).as("completion_time_us")
+      )
+    o.join(counts, o("o_orderkey") === counts("batch_id"))
+      .select(
+        col("batch_id"), col("size"), col("error_count"), col("completion_time_us"),
+        when(col("error_count") === 0, lit("COMPLETE"))
+          .otherwise(lit("COMPLETE_WITH_ERRORS")).as("final_state")
+      )
+      .orderBy("batch_id")
+  }
+
+  val b06Sql: String =
+    s"""$OutcomesSql, counts AS (
+       |  SELECT batch_id, count(*) AS "size",
+       |    count(CASE WHEN outcome = 'ERROR' THEN 1 END) AS error_count,
+       |    max(epoch_us(l_shipdate)) AS completion_time_us
+       |  FROM outcomes GROUP BY batch_id
+       |)
+       |SELECT batch_id, "size", error_count, completion_time_us,
+       |  CASE WHEN error_count = 0 THEN 'COMPLETE'
+       |       ELSE 'COMPLETE_WITH_ERRORS' END AS final_state
+       |FROM orders JOIN counts ON o_orderkey = batch_id
+       |WHERE o_orderstatus = 'P' ORDER BY batch_id""".stripMargin
+
+  // ---------------------------------------------------------------- anchors
+  /** Batch anchors from `orders` (GetBatches.groovy:200-214 field set). */
+  private def anchors(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders.select(
+      col("o_orderkey").as("batch_id"),
+      concat(lit("Batch "), col("o_orderkey")).as("name"),
+      unix_micros(col("o_orderdate").cast("timestamp")).as("inception_time_us"),
+      when(col("o_orderstatus") === "O", "NOT_STARTED")
+        .when(col("o_orderstatus") === "P", "IN_PROCESS")
+        .otherwise("COMPLETE").as("state"),
+      col("o_totalprice"), col("o_orderpriority")
+    )
+
+  private val AnchorsSql: String =
+    """WITH anchors AS (
+      |  SELECT o_orderkey AS batch_id, 'Batch ' || o_orderkey AS name,
+      |    epoch_us(o_orderdate) AS inception_time_us,
+      |    CASE o_orderstatus WHEN 'O' THEN 'NOT_STARTED'
+      |      WHEN 'P' THEN 'IN_PROCESS' ELSE 'COMPLETE' END AS state,
+      |    o_totalprice, o_orderpriority
+      |  FROM orders
+      |)""".stripMargin
+
+  // ---------------------------------------------------------------- b07
+  /** GetBatches: state filter + sort by id + page/pageSize + totalResults
+    * (GetBatches.groovy:146-195 `fauxPaginate`). Page 3 of size 25.
+    * totalResults travels as a broadcast single-row cross join — the
+    * scalable form of the reference's list-size lookup. */
+  def b07GetBatchesPage(spark: SparkSession, dir: String): DataFrame = {
+    val a = anchors(spark, dir).filter(col("state") === "NOT_STARTED")
+    val total = a.agg(count(lit(1)).as("total_results"))
+    a.crossJoin(broadcast(total))
+      .orderBy("batch_id")
+      .offset(50).limit(25)
+      .select("batch_id", "name", "inception_time_us", "state", "total_results")
+  }
+
+  val b07Sql: String =
+    s"""$AnchorsSql, filtered AS (SELECT * FROM anchors WHERE state = 'NOT_STARTED')
+       |SELECT batch_id, name, inception_time_us, state,
+       |  (SELECT count(*) FROM filtered) AS total_results
+       |FROM filtered ORDER BY batch_id LIMIT 25 OFFSET 50""".stripMargin
+
+  // ---------------------------------------------------------------- b08
+  /** BatchIgniter: NOT_STARTED anchors by inceptionTime asc, top
+    * igniterThreadPoolSize=10 (BatchIgniter.groovy:55-66); id tiebreak for
+    * determinism. */
+  def b08IgniteTopN(spark: SparkSession, dir: String): DataFrame =
+    anchors(spark, dir)
+      .filter(col("state") === "NOT_STARTED")
+      .orderBy(col("inception_time_us"), col("batch_id"))
+      .limit(10)
+      .select("batch_id", "name", "inception_time_us")
+
+  val b08Sql: String =
+    s"""$AnchorsSql
+       |SELECT batch_id, name, inception_time_us FROM anchors
+       |WHERE state = 'NOT_STARTED'
+       |ORDER BY inception_time_us, batch_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- b09
+  /** DeleteBatch cascade as anti-join: drop urgent-priority batches, report
+    * surviving batches' task counts (DeleteBatch.groovy semantics). */
+  def b09DeleteAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val deleted = t.orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val li = t.lineitem
+    li.join(deleted, li("l_orderkey") === deleted("o_orderkey"), "left_anti")
+      .groupBy(col("l_orderkey").as("batch_id"))
+      .agg(count(lit(1)).as("task_count"))
+      .orderBy("batch_id")
+  }
+
+  val b09Sql: String =
+    """SELECT l_orderkey AS batch_id, count(*) AS task_count
+      |FROM lineitem
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_orderkey = l_orderkey AND o_orderpriority = '1-URGENT')
+      |GROUP BY l_orderkey ORDER BY batch_id""".stripMargin
+
+  // ---------------------------------------------------------------- b10
+  /** ProcessBatch model upsert: first task wins per model, later tasks
+    * reuse it (ProcessBatch.groovy:145-156 createModel/findModel). */
+  def b10UpsertEntities(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("model_name"))
+    val wOrd = w.orderBy(col("batch_id"), col("task_number"))
+    taskLines(spark, dir)
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("n_refs", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("model_name"), col("batch_id").as("first_batch_id"),
+        col("task_number").as("first_task_number"), col("n_refs"))
+      .orderBy("model_name")
+  }
+
+  val b10Sql: String =
+    s"""$TaskLinesSql, ranked AS (
+       |  SELECT model_name, batch_id, task_number,
+       |    row_number() OVER (PARTITION BY model_name ORDER BY batch_id, task_number) AS rn,
+       |    count(*) OVER (PARTITION BY model_name) AS n_refs
+       |  FROM task_lines
+       |)
+       |SELECT model_name, batch_id AS first_batch_id,
+       |  task_number AS first_task_number, n_refs
+       |FROM ranked WHERE rn = 1 ORDER BY model_name""".stripMargin
+
+  // ---------------------------------------------------------------- b11
+  /** CreateBatch `k=v;k=v` property parsing → map → exploded rows
+    * (CreateBatch.groovy:24 upload contract). */
+  def b11PropertyParse(spark: SparkSession, dir: String): DataFrame =
+    taskLines(spark, dir)
+      .withColumn("props",
+        concat(lit("qty="), col("l_quantity").cast("int"),
+          lit(";rf="), col("l_returnflag"), lit(";ls="), col("l_linestatus")))
+      .select(col("batch_id"), col("task_number"),
+        explode(expr("str_to_map(props, ';', '=')")).as(Seq("prop_key", "prop_value")))
+      .orderBy("batch_id", "task_number", "prop_key")
+
+  val b11Sql: String =
+    s"""$TaskLinesSql, props AS (
+       |  SELECT batch_id, task_number,
+       |    'qty=' || CAST(CAST(l_quantity AS INT) AS VARCHAR) ||
+       |      ';rf=' || l_returnflag || ';ls=' || l_linestatus AS p
+       |  FROM task_lines
+       |), exploded AS (
+       |  SELECT batch_id, task_number, unnest(string_split(p, ';')) AS kv FROM props
+       |)
+       |SELECT batch_id, task_number,
+       |  string_split(kv, '=')[1] AS prop_key, string_split(kv, '=')[2] AS prop_value
+       |FROM exploded ORDER BY batch_id, task_number, prop_key""".stripMargin
+
+  // ---------------------------------------------------------------- b12
+  /** GetBatch single-batch detail report: anchor ⨝ counts (GetBatch.groovy
+    * contract: id/name/state/times/size + success/error counts). */
+  def b12BatchReport(spark: SparkSession, dir: String): DataFrame = {
+    val counts = outcomes(spark, dir)
+      .groupBy(col("batch_id").as("cnt_batch_id"))
+      .agg(
+        count(lit(1)).as("size"),
+        count(when(col("outcome") === "SUCCESS", 1)).as("success_count"),
+        count(when(col("outcome") === "ERROR", 1)).as("error_count")
+      )
+    anchors(spark, dir)
+      .join(counts, col("batch_id") === col("cnt_batch_id"), "left")
+      .select(
+        col("batch_id"), col("name"), col("state"), col("inception_time_us"),
+        coalesce(col("size"), lit(0L)).as("size"),
+        coalesce(col("success_count"), lit(0L)).as("success_count"),
+        coalesce(col("error_count"), lit(0L)).as("error_count")
+      )
+      .orderBy("batch_id")
+  }
+
+  val b12Sql: String =
+    s"""$OutcomesSql, counts AS (
+       |  SELECT batch_id AS cnt_batch_id, count(*) AS "size",
+       |    count(CASE WHEN outcome = 'SUCCESS' THEN 1 END) AS success_count,
+       |    count(CASE WHEN outcome = 'ERROR' THEN 1 END) AS error_count
+       |  FROM outcomes GROUP BY batch_id
+       |), anchors AS (
+       |  SELECT o_orderkey AS batch_id, 'Batch ' || o_orderkey AS name,
+       |    epoch_us(o_orderdate) AS inception_time_us,
+       |    CASE o_orderstatus WHEN 'O' THEN 'NOT_STARTED'
+       |      WHEN 'P' THEN 'IN_PROCESS' ELSE 'COMPLETE' END AS state
+       |  FROM orders
+       |)
+       |SELECT batch_id, name, state, inception_time_us,
+       |  coalesce("size", 0) AS "size",
+       |  coalesce(success_count, 0) AS success_count,
+       |  coalesce(error_count, 0) AS error_count
+       |FROM anchors LEFT JOIN counts ON batch_id = cnt_batch_id
+       |ORDER BY batch_id""".stripMargin
+}

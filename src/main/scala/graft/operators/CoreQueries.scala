@@ -56,4 +56,299 @@ object CoreQueries {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** q03: shipping-priority 3-way join + agg + top-N (Q3 shape).
+    * customer is the small side per-segment → broadcast; the orders⨝lineitem
+    * join shuffles on the order key only after both sides were filtered. */
+  def q03TopNJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    val c = t.customer.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = t.orders.filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = t.lineitem.filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_date_us"),
+        col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q03Sql: String =
+    """SELECT l_orderkey, epoch_us(o_orderdate) AS order_date_us,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** q05: 6-way star join, dims broadcast (Q5 shape). */
+  def q05MultiwayJoin(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val r = t.region.filter(col("r_name") === "ASIA")
+    val dims = broadcast(r.join(t.nation, col("r_regionkey") === col("n_regionkey"))
+      .select("n_nationkey", "n_name"))
+    val o = t.orders.filter(
+      col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val c = t.customer.select("c_custkey", "c_nationkey")
+    val s = t.supplier.select("s_suppkey", "s_nationkey")
+    // customer is NOT broadcast: at TPC-H ratios it is ~1/40 of lineitem —
+    // too big at 100 TB. It shuffles on custkey; AQE may still broadcast it
+    // at small SF.
+    t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(dims, col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q05Sql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** q06: selective filter + agg — predicate-pushdown showcase (Q6 shape). */
+  def q06FilterAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+      .agg(
+        sum(dec2(col("l_extendedprice")) * rate(col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  val q06Sql: String =
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin
+
+  /** q10: returned-item revenue per customer, top 20 (Q10 shape). */
+  def q10JoinAggTopN(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val o = t.orders.filter(
+      col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = t.lineitem.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    // nation broadcasts into customer; the customer⨝(l⨝o) join shuffles on
+    // custkey (customer is too big to broadcast at 100 TB).
+    val cn = t.customer.join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "c_name", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(cn, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q10Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND c_nationkey = n_nationkey AND l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** w01: per-customer running order-value total (window, 1 shuffle on
+    * customer key). */
+  def w01RunningTotal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("order_date_us"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_date_us"),
+        dec2(col("o_totalprice")).as("p"))
+      .withColumn("running_total", sum(col("p")).over(w).cast("double"))
+      .drop("p")
+      .orderBy("o_custkey", "order_date_us", "o_orderkey")
+  }
+
+  val w01Sql: String =
+    """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_date_us,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+      |FROM orders ORDER BY o_custkey, order_date_us, o_orderkey""".stripMargin
+
+  /** w02: top-3 parts per brand by retail price (rank-per-group window). */
+  def w02RankPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables(spark, dir).part
+      .withColumn("rank_in_brand", row_number().over(w).cast("long"))
+      .filter(col("rank_in_brand") <= 3)
+      .select("p_brand", "rank_in_brand", "p_partkey", "p_name", "p_retailprice")
+      .orderBy("p_brand", "rank_in_brand")
+  }
+
+  val w02Sql: String =
+    """SELECT p_brand, rank_in_brand, p_partkey, p_name, p_retailprice FROM (
+      |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+      |    row_number() OVER (PARTITION BY p_brand
+      |      ORDER BY p_retailprice DESC, p_partkey) AS rank_in_brand
+      |  FROM part) WHERE rank_in_brand <= 3
+      |ORDER BY p_brand, rank_in_brand""".stripMargin
+
+  /** r01: ROLLUP multi-level aggregation (partial-agg friendly). */
+  def r01Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).lineitem
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val r01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** j01: left-semi + left-anti joins (EXISTS / NOT EXISTS). */
+  def j01SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bigOrders = t.orders.filter(col("o_totalprice") > 150000).select("o_custkey")
+    val allOrders = t.orders.select("o_custkey")
+    val withBig = t.customer
+      .join(bigOrders, col("c_custkey") === bigOrders("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("HAS_BIG_ORDER").as("bucket"))
+    val noOrders = t.customer
+      .join(allOrders, col("c_custkey") === allOrders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("NO_ORDERS").as("bucket"))
+    withBig.unionAll(noOrders).orderBy("bucket", "c_custkey")
+  }
+
+  val j01Sql: String =
+    """SELECT c_custkey, 'HAS_BIG_ORDER' AS bucket FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+      |UNION ALL
+      |SELECT c_custkey, 'NO_ORDERS' AS bucket FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY bucket, c_custkey""".stripMargin
+
+  /** e01: gap-based sessionization (30-min) via lag + cumulative window —
+    * batch mirror of streaming.Sessionizer. Two window passes, both
+    * partitioned by user_id (one shuffle; user key is bounded-cardinality). */
+  def e01Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    // `ts` arrives as epoch-nanos LONG (see GraftSession nanosAsLong); µs
+    // floor-division matches DuckDB's ns→µs truncation.
+    Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        (col("prev_ts_us").isNull ||
+          col("ts_us") - col("prev_ts_us") > 1800L * 1000000L).cast("int"))
+      .withColumn("session_idx", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val e01Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), sessions AS (
+      |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |  FROM marked
+      |)
+      |SELECT user_id, session_idx, min(ts_us) AS session_start_us,
+      |  max(ts_us) AS session_end_us, count(*) AS n_events,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM sessions GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  /** e02: tumbling 1-hour event windows — batch mirror of the streaming
+    * watermark+window job. */
+  def e02EventWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(
+        (expr("ts div 1000") - pmod(expr("ts div 1000"), lit(3600L * 1000000L)))
+          .as("window_start_us"),
+        col("event_type"), col("user_id"), col("value"))
+      .groupBy(col("window_start_us"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .orderBy("window_start_us", "event_type")
+
+  val e02Sql: String =
+    """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+      |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** e03: JSON property extraction from the events `props` payload. */
+  def e03JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  val e03Sql: String =
+    """SELECT event_type,
+      |  count(k) AS n_with_k, CAST(sum(k) AS BIGINT) AS sum_k, max(k) AS max_k
+      |FROM (SELECT event_type,
+      |        CAST(json_extract_string(props, 'k') AS BIGINT) AS k
+      |      FROM events)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 }
