@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.batch.BatchFramework
-import graft.operators.CoreQueries
+import graft.operators.{CoreQueries, DedupOps, MultimodalOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -38,7 +38,20 @@ object SparkEntry {
     "j01_semi_anti"        -> CoreQueries.j01SemiAnti _,
     "e01_sessionize"       -> CoreQueries.e01Sessionize _,
     "e02_event_windows"    -> CoreQueries.e02EventWindows _,
-    "e03_json_props"       -> CoreQueries.e03JsonProps _
+    "e03_json_props"       -> CoreQueries.e03JsonProps _,
+    // §C LLM-pipeline operators
+    "d01_dedup_exact"      -> TextOps.d01DedupExact _,
+    "d02_dedup_jaccard"    -> DedupOps.d02DedupJaccard _,
+    "d03_dedup_minhash"    -> DedupOps.d03DedupMinhash _,
+    "d04_dedup_simhash"    -> DedupOps.d04DedupSimhash _,
+    "d05_dedup_embedding"  -> VectorOps.d05DedupEmbedding _,
+    "s01_ann_bruteforce"   -> VectorOps.s01AnnBruteforce _,
+    "s02_ann_lsh"          -> VectorOps.s02AnnLsh _,
+    "t01_lang_id"          -> TextOps.t01LangId _,
+    "t02_quality_score"    -> TextOps.t02QualityScore _,
+    "t03_token_count"      -> TextOps.t03TokenCount _,
+    "t04_fingerprint"      -> TextOps.t04Fingerprint _,
+    "m01_multimodal_meta"  -> MultimodalOps.m01MultimodalMeta _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -67,6 +80,16 @@ object SparkEntry {
     "j01_semi_anti"        -> CoreQueries.j01Sql,
     "e01_sessionize"       -> CoreQueries.e01Sql,
     "e02_event_windows"    -> CoreQueries.e02Sql,
-    "e03_json_props"       -> CoreQueries.e03Sql
+    "e03_json_props"       -> CoreQueries.e03Sql,
+    // §C — d03/d04/s02 are xxhash64-based: rows-only, no oracle entry
+    "d01_dedup_exact"      -> TextOps.d01Sql,
+    "d02_dedup_jaccard"    -> DedupOps.d02Sql,
+    "d05_dedup_embedding"  -> VectorOps.d05Sql,
+    "s01_ann_bruteforce"   -> VectorOps.s01Sql,
+    "t01_lang_id"          -> TextOps.t01Sql,
+    "t02_quality_score"    -> TextOps.t02Sql,
+    "t03_token_count"      -> TextOps.t03Sql,
+    "t04_fingerprint"      -> TextOps.t04Sql,
+    "m01_multimodal_meta"  -> MultimodalOps.m01Sql
   )
 }

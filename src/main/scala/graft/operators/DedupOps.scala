@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextOps.{normText, tokensOf}
+
+/** §C near-duplicate detection: n-gram Jaccard (exact, oracle-verified),
+  * MinHash+LSH banding and SimHash+pigeonhole blocking (xxhash64-based,
+  * rows-only vs the oracle).
+  *
+  * Scale design (SURVEY §5): the LSH paths shuffle only small signatures
+  * (band keys / 64-bit sigs), never document text; candidate joins are
+  * bucket-local. The exact-Jaccard op is the verification tool, blocked by
+  * language; at 100 TB it would only ever run on LSH candidates (as
+  * [[d03DedupMinhash]] does).
+  */
+object DedupOps {
+
+  /** Distinct word-3-gram shingles of a token array (codegen'd HOFs). */
+  def shingles(tk: Column): Column =
+    when(size(tk) < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(tk) - 3),
+        i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3)))))
+
+  /** DuckDB mirror of [[shingles]] (1-based list indexing). */
+  private val ShinglesSql =
+    "list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
+
+  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), shingles(tokensOf(col("text"))).as("sh"))
+
+  private val DocsShinglesSql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS tk
+       |  FROM documents
+       |), docs AS (
+       |  SELECT doc_id, lang, $ShinglesSql AS sh FROM toks
+       |)""".stripMargin
+
+  // ---------------------------------------------------------------- d02
+  /** d02: exact word-3-gram Jaccard ≥ 0.5 near-dup pairs on a deterministic
+    * 25% audit sample (doc_id % 4 = 0), blocked by language.
+    *
+    * Exact all-pairs Jaccard is quadratic — at 100 TB it only ever runs on
+    * an audit sample (here) or on LSH candidates ([[d03DedupMinhash]], the
+    * scale path). */
+  def d02DedupJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsWithShingles(spark, dir).filter(col("doc_id") % 4 === 0)
+    val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
+    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_union", size(col("sh_a")).cast("long") + size(col("sh_b")) - col("n_inter"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "lang", "n_inter", "n_union", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d02Sql: String =
+    s"""$DocsShinglesSql, sampled AS (
+       |  SELECT * FROM docs WHERE doc_id % 4 = 0
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
+       |  FROM sampled a JOIN sampled b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b, lang, n_inter, n_union,
+       |  round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+       |FROM pairs WHERE round(CAST(n_inter AS DOUBLE) / n_union, 6) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---------------------------------------------------------------- d03
+  private val NumBands = 8
+  private val RowsPerBand = 4
+  /** Skip LSH buckets bigger than this — degenerate keys, quadratic cost. */
+  private val MaxBucket = 64
+
+  /** All unordered id pairs of a sorted id array, as flat structs —
+    * the bucket-local pair generator (codegen'd HOFs, no join). */
+  def pairsOf(ids: Column): Column = {
+    val sorted = array_sort(ids)
+    flatten(transform(sequence(lit(0), size(sorted) - 2), i =>
+      transform(sequence(i + 1, size(sorted) - 1), j =>
+        struct(element_at(sorted, i + 1).as("a"), element_at(sorted, j + 1).as("b")))))
+  }
+
+  /** d03: MinHash+LSH candidate pairs, verified with exact Jaccard.
+    *
+    * Uses a bottom-k one-permutation sketch: one xxhash64 per shingle, one
+    * sort, and the 8 band keys are hashes of consecutive 4-element slices
+    * of the bottom-32 — Spark's higher-order functions are interpreted
+    * (not codegen'd), so one sort beats 32 re-hash scans by ~8×. Only
+    * (band, key, doc_id) shuffles (~8×16 bytes/doc, never text). Buckets
+    * collect their ids and emit pairs locally — no self-join, signatures
+    * computed exactly once. Candidate pairs then join shingle sets for the
+    * exact-Jaccard verify — the 100 TB dedup pipeline end to end.
+    * Rows-only (xxhash64 has no DuckDB equivalent). */
+  def d03DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = docsWithShingles(spark, dir).filter(size(col("sh")) > 0)
+    val sigs = d
+      .withColumn("bk32", slice(array_sort(transform(col("sh"), s => xxhash64(s))),
+        1, NumBands * RowsPerBand))
+      .select(col("doc_id"), explode(array((0 until NumBands).map { b =>
+        // try_element_at: short sketches (docs with <32 shingles) pad with
+        // MaxValue instead of throwing under ANSI mode
+        val elems = (0 until RowsPerBand).map(r =>
+          coalesce(try_element_at(col("bk32"), lit(b * RowsPerBand + r + 1)), lit(Long.MaxValue)))
+        struct(lit(b).as("band"), xxhash64(elems: _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // Buckets larger than MaxBucket are degenerate (low-information keys —
+    // here: a tiny shared vocabulary) and quadratic to expand; skip them.
+    // At 100 TB you'd recurse into them with more bands instead.
+    val candidates = sigs
+      .groupBy(col("band"), col("key"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val sh = d.select(col("doc_id"), col("sh"))
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")), 6))
+      .select("doc_a", "doc_b", "n_shared_bands", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- d04
+  private val SimhashBits = 64
+  private val Segments = 4
+
+  /** Per-bit set-counts of the distinct-token xxhash64s, one aggregate pass
+    * (HOFs are interpreted: one lambda invocation per token with 64 adds
+    * beats 64 filter scans ~10×). */
+  private def simhashCounts(tk: Column): Column = {
+    val hashes = transform(array_distinct(tk), t => xxhash64(t))
+    val zero = struct((0 until SimhashBits).map(j => lit(0L).as(s"c$j")) :+ lit(0L).as("n"): _*)
+    aggregate(hashes, zero, (acc, h) =>
+      struct((0 until SimhashBits).map(j =>
+        (acc.getField(s"c$j") + shiftright(h, j).bitwiseAND(1L)).as(s"c$j")) :+
+        (acc.getField("n") + 1L).as("n"): _*))
+  }
+
+  /** SimHash signature ('0'/'1' chars) from a counts struct column: bit j
+    * is set when more token hashes have bit j set than not. */
+  private def sigFromCounts(counts: Column): Column =
+    concat((0 until SimhashBits).map { j =>
+      when(counts.getField(s"c$j") * 2 > counts.getField("n"), "1").otherwise("0")
+    }: _*)
+
+  /** d04: SimHash near-dup candidates via 4×16-bit pigeonhole blocking
+    * (Hamming ≤ 3 guarantees ≥1 equal segment). Signatures are computed
+    * once per doc; segment buckets collect (id, sig) structs and emit
+    * candidate pairs locally (no self-join); Hamming runs on candidates
+    * only. Rows-only. */
+  def d04DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir).documents
+      .select(col("doc_id"), simhashCounts(tokensOf(col("text"))).as("counts"))
+      .select(col("doc_id"), sigFromCounts(col("counts")).as("sig"))
+    val segLen = SimhashBits / Segments
+    val buckets = d.select(
+        col("doc_id"), col("sig"),
+        explode(array((0 until Segments).map(s =>
+          struct(lit(s).as("seg"), col("sig").substr(s * segLen + 1, segLen).as("seg_val"))): _*)).as("sv"))
+      .groupBy(col("sv.seg").as("seg"), col("sv.seg_val").as("seg_val"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      // same degenerate-bucket cap as d03 — see MaxBucket
+      .filter(size(col("members")) > 1 && size(col("members")) <= MaxBucket)
+    val sorted = array_sort(col("members"))
+    val pairs = buckets
+      .select(explode(flatten(transform(sequence(lit(0), size(sorted) - 2), i =>
+        transform(sequence(i + 1, size(sorted) - 1), j =>
+          struct(
+            element_at(sorted, i + 1).getField("doc_id").as("doc_a"),
+            element_at(sorted, j + 1).getField("doc_id").as("doc_b"),
+            element_at(sorted, i + 1).getField("sig").as("sig_a"),
+            element_at(sorted, j + 1).getField("sig").as("sig_b")))))).as("p"))
+      .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
+      .distinct()
+    pairs
+      .withColumn("hamming",
+        size(filter(sequence(lit(1), lit(SimhashBits)),
+          i => col("sig_a").substr(i, lit(1)) =!= col("sig_b").substr(i, lit(1)))).cast("long"))
+      .withColumn("is_near_dup", col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming", "is_near_dup")
+      .orderBy("doc_a", "doc_b")
+  }
+}

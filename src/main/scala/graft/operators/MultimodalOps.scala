@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §C multimodal/binary column plumbing.
+  *
+  * Media payloads are opaque `binary` columns + typed metadata, exactly how
+  * a 100 TB image/audio corpus rides in parquet. The container has no image
+  * or audio codecs, so the decode step is a clearly-marked deterministic
+  * stub ([[FakeDecoder]]); everything Spark-side — schema, batching,
+  * partition-parallel decode via `mapPartitions`, metadata derivation — is
+  * real and tested.
+  */
+object MultimodalOps {
+
+  /** A media row: payload + derived metadata. */
+  final case class MediaRecord(doc_id: Long, payload: Array[Byte])
+  final case class DecodedMedia(doc_id: Long, byte_len: Long, format: String,
+      width: Int, height: Int, n_frames: Int)
+
+  /** STUB decoder — deterministic fake standing in for an image/audio codec
+    * (none exist in this container). Real deployments would swap in e.g. a
+    * JNI/FFI codec here; the Spark plumbing around it is unchanged. */
+  object FakeDecoder {
+    def decode(r: MediaRecord): DecodedMedia = {
+      val len = r.payload.length.toLong
+      DecodedMedia(
+        doc_id = r.doc_id,
+        byte_len = len,
+        format = (len % 3) match {
+          case 0 => "jpeg"
+          case 1 => "png"
+          case _ => "wav"
+        },
+        width = (len % 640).toInt,
+        height = ((len * 7) % 480).toInt,
+        n_frames = (len % 30).toInt)
+    }
+  }
+
+  /** Partition-parallel decode: one decoder instance per partition, rows
+    * streamed — the batch shape a real codec needs. */
+  def decodeAll(media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows => rows.map(FakeDecoder.decode) }
+  }
+
+  // ---------------------------------------------------------------- m01
+  /** m01: binary-column metadata extraction — byte length, sha2-256 content
+    * address, magic-byte sniff (first-4-bytes hex), and the deterministic
+    * stub decode expressed as columns (the oracle-checkable mirror of
+    * [[decodeAll]]). */
+  def m01MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), col("text"))
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("byte_len", octet_length(col("text")).cast("long"))
+      .withColumn("content_sha256", sha2(col("payload"), 256))
+      .withColumn("magic_hex", upper(hex(substring(col("payload"), 1, 4))))
+      .withColumn("format",
+        when(pmod(col("byte_len"), lit(3)) === 0, "jpeg")
+          .when(pmod(col("byte_len"), lit(3)) === 1, "png")
+          .otherwise("wav"))
+      .withColumn("width", pmod(col("byte_len"), lit(640)))
+      .withColumn("height", pmod(col("byte_len") * 7, lit(480)))
+      .withColumn("n_frames", pmod(col("byte_len"), lit(30)))
+      .select("doc_id", "byte_len", "content_sha256", "magic_hex", "format",
+        "width", "height", "n_frames")
+      .orderBy("doc_id")
+
+  val m01Sql: String =
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |  sha256(text) AS content_sha256,
+      |  upper(hex(substr(text, 1, 4))) AS magic_hex,
+      |  CASE CAST(octet_length(encode(text)) AS BIGINT) % 3
+      |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+      |  CAST(octet_length(encode(text)) AS BIGINT) % 640 AS width,
+      |  (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 480 AS height,
+      |  CAST(octet_length(encode(text)) AS BIGINT) % 30 AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,193 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §C text-analysis operators for the LLM-training-data pipeline: exact
+  * dedup, language ID, quality scoring, token counting, fingerprinting.
+  *
+  * All hot paths are `functions._` compositions / higher-order functions —
+  * codegen'd, no UDFs — so each op is a single scan + (for d01) one
+  * hash-keyed shuffle. At 100 TB each remains scan-dominant.
+  */
+object TextOps {
+
+  /** Whitespace-collapsed lowercase text — the canonical form every text op
+    * keys on. */
+  def normText(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+
+  private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+  def tokensOf(c: Column): Column = split(normText(c), " ")
+
+  private val TokensSql = s"string_split($NormSql, ' ')"
+
+  // ---------------------------------------------------------------- d01
+  /** Exact dedup: md5 over normalized text; canonical doc = min doc_id.
+    * At 100 TB only (hash, doc_id) pairs shuffle — never the text. */
+  def d01DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("dup_count"))
+      .orderBy("content_hash")
+
+  val d01Sql: String =
+    s"""SELECT md5($NormSql) AS content_hash,
+       |  min(doc_id) AS canonical_doc_id, count(*) AS dup_count
+       |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  // ---------------------------------------------------------------- t01
+  /** Stopword lists for the n-gram/stopword language-ID heuristic. */
+  private val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "a", "is", "that", "for", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "im", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "est", "dans", "pour")
+  )
+
+  private def stopCount(tokens: Column, words: Seq[String]): Column =
+    size(filter(tokens, t => array_contains(array(words.map(lit): _*), t))).cast("long")
+
+  private def stopCountSql(words: Seq[String]): String =
+    s"len(list_filter(tk, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
+
+  /** t01: language ID by stopword overlap ratio, deterministic tie order
+    * en > es > de > fr, 'und' when no stopword hits. */
+  def t01LangId(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), col("lang"), tokensOf(col("text")).as("tk"))
+      .withColumn("n_tok", size(col("tk")).cast("long"))
+    val scored = Stopwords.foldLeft(base) { case (df, (l, words)) =>
+      df.withColumn(s"s_$l", stopCount(col("tk"), words))
+    }
+    scored
+      .withColumn("pred_lang",
+        when(col("s_en") === 0 && col("s_es") === 0 && col("s_de") === 0 && col("s_fr") === 0, "und")
+          .when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+      .withColumn("best_score",
+        round(greatest(col("s_en"), col("s_es"), col("s_de"), col("s_fr"))
+          .cast("double") / col("n_tok"), 6))
+      .select("doc_id", "lang", "pred_lang", "best_score")
+      .orderBy("doc_id")
+  }
+
+  val t01Sql: String = {
+    val scores = Stopwords.map { case (l, w) => s"${stopCountSql(w)} AS s_$l" }.mkString(",\n    ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, $TokensSql AS tk FROM documents
+       |), scored AS (
+       |  SELECT doc_id, lang, len(tk) AS n_tok,
+       |    $scores
+       |  FROM toks
+       |)
+       |SELECT doc_id, lang,
+       |  CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+       |       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       |       WHEN s_de >= s_fr THEN 'de'
+       |       ELSE 'fr' END AS pred_lang,
+       |  round(CAST(greatest(s_en, s_es, s_de, s_fr) AS DOUBLE) / n_tok, 6) AS best_score
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t02
+  /** t02: quality scoring — length, punctuation ratio, stopword ratio,
+    * mean token length, and a weighted composite. */
+  def t02QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val allStop = Stopwords.flatMap(_._2).distinct
+    Tables(spark, dir).documents
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .withColumn("tk", split(col("norm"), " "))
+      .withColumn("n_chars", length(col("norm")).cast("long"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("punct_ratio",
+        round(length(regexp_replace(col("norm"), "[a-z0-9 ]", "")).cast("double") / col("n_chars"), 6))
+      .withColumn("stop_ratio", round(stopCount(col("tk"), allStop).cast("double") / col("n_tokens"), 6))
+      .withColumn("mean_token_len",
+        round(length(regexp_replace(col("norm"), " ", "")).cast("double") / col("n_tokens"), 6))
+      .withColumn("quality_score",
+        round(lit(0.4) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100.0), 6))
+      .select("doc_id", "n_chars", "n_tokens", "punct_ratio", "stop_ratio",
+        "mean_token_len", "quality_score")
+      .orderBy("doc_id")
+  }
+
+  val t02Sql: String = {
+    val allStop = Stopwords.flatMap(_._2).distinct
+    s"""WITH norm AS (
+       |  SELECT doc_id, $NormSql AS norm FROM documents
+       |), base AS (
+       |  SELECT doc_id, norm, string_split(norm, ' ') AS tk,
+       |    CAST(length(norm) AS BIGINT) AS n_chars
+       |  FROM norm
+       |), m AS (
+       |  SELECT doc_id, n_chars, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    round(CAST(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / n_chars, 6) AS punct_ratio,
+       |    round(CAST(${stopCountSql(allStop)} AS DOUBLE) / len(tk), 6) AS stop_ratio,
+       |    round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(tk), 6) AS mean_token_len
+       |  FROM base
+       |)
+       |SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, mean_token_len,
+       |  round(0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+       |    + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0), 6) AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t03
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  /** t03: token counting — whitespace tokens, BPE-ish regex tokens, and the
+    * chars-per-token ratio. */
+  def t03TokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .withColumn("ws_tokens", size(split(col("norm"), " ")).cast("long"))
+      .withColumn("bpe_tokens", size(regexp_extract_all(col("norm"), lit(BpePattern), lit(0))).cast("long"))
+      .withColumn("chars_per_ws_token",
+        round(length(col("norm")).cast("double") / col("ws_tokens"), 6))
+      .select("doc_id", "ws_tokens", "bpe_tokens", "chars_per_ws_token")
+      .orderBy("doc_id")
+
+  val t03Sql: String =
+    s"""WITH norm AS (SELECT doc_id, $NormSql AS norm FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(string_split(norm, ' ')) AS BIGINT) AS ws_tokens,
+       |  CAST(len(regexp_extract_all(norm, '$BpePattern')) AS BIGINT) AS bpe_tokens,
+       |  round(CAST(length(norm) AS DOUBLE) / len(string_split(norm, ' ')), 6) AS chars_per_ws_token
+       |FROM norm ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t04
+  /** Rolling polynomial hash over character codes, mod 2^31-1 — identical
+    * integer arithmetic in Spark and DuckDB (no overflow on either side). */
+  private val FpMod = 2147483647L
+
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .withColumn("fp_md5", md5(col("norm")))
+      .withColumn("fp_sha256", sha2(col("norm"), 256))
+      .withColumn("fp_poly",
+        aggregate(
+          transform(sequence(lit(1), length(col("norm"))),
+            i => ascii(col("norm").substr(i, lit(1))).cast("long")),
+          lit(0L),
+          (h, c) => (h * 131L + c) % FpMod))
+      .select("doc_id", "fp_md5", "fp_sha256", "fp_poly")
+      .orderBy("doc_id")
+
+  val t04Sql: String =
+    s"""WITH norm AS (SELECT doc_id, $NormSql AS norm FROM documents)
+       |SELECT doc_id, md5(norm) AS fp_md5, sha256(norm) AS fp_sha256,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length(norm) + 1),
+       |        i -> CAST(ascii(substr(norm, CAST(i AS INT), 1)) AS BIGINT))),
+       |    (h, c) -> (h * 131 + c) % $FpMod) AS fp_poly
+       |FROM norm ORDER BY doc_id""".stripMargin
+}

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §C embedding similarity: exact cosine near-dup pairs, brute-force ANN
+  * top-k, and random-hyperplane LSH-bucketed ANN.
+  *
+  * Cosine is a sequential left-fold over doubles (Spark `aggregate` HOF ⇄
+  * DuckDB `list_reduce`), so both engines add in the same order and the
+  * scores are bit-identical before the round(…, 6) applied to outputs.
+  */
+object VectorOps {
+
+  /** Sequential-fold sum of a double array — bit-compatible with DuckDB's
+    * list_reduce. */
+  private def seqSum(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  /** Exact cosine similarity of two float vectors, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = seqSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    dot / (norm(a) * norm(b))
+  }
+
+  /** L2 norm in double. Precompute this per vector before pairwise ops —
+    * HOF folds are interpreted, so norms must not be re-folded per pair. */
+  def norm(a: Column): Column =
+    sqrt(seqSum(transform(a, x => x.cast("double") * x.cast("double"))))
+
+  /** Cosine from a precomputed-norm pair: only the dot product folds. */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    seqSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))) / (normA * normB)
+
+  /** DuckDB mirror of [[cosine]] for columns `$a` and `$b`. */
+  private def cosineSql(a: String, b: String): String = {
+    def sum(expr: String) =
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $expr), (acc, x) -> acc + x)"
+    val dot = sum(s"list_transform(range(1, len($a) + 1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))")
+    val na = s"sqrt(${sum(s"list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+    val nb = s"sqrt(${sum(s"list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")})"
+    s"$dot / ($na * $nb)"
+  }
+
+  // ---------------------------------------------------------------- d05
+  /** d05: exact embedding-cosine near-dup pairs (≥ 0.40), blocked by label
+    * (the cluster id) — the verification-scale variant; at 100 TB only LSH
+    * buckets ([[s02AnnLsh]]) are brute-forced like this. */
+  def d05DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables(spark, dir).embeddings
+      .withColumn("nrm", norm(col("embedding")))
+    val a = v.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
+    val b = v.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim",
+        round(cosineWithNorms(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")), 6))
+      .filter(col("cos_sim") >= 0.40)
+      .select("vec_a", "vec_b", "label", "cos_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val d05Sql: String =
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+       |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_sim
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b, label, cos_sim FROM pairs
+       |WHERE cos_sim >= 0.40 ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------------------------------------- s01
+  /** s01: exact top-5 cosine neighbors for the query set (vec_id < 10) —
+    * the brute-force ANN baseline (cross join + per-query window). */
+  def s01AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables(spark, dir).embeddings
+      .withColumn("nrm", norm(col("embedding")))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    q.join(v, col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("query_id", "rank", "vec_id", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+
+  val s01Sql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id,
+       |    round(${cosineSql("q.embedding", "v.embedding")}, 6) AS cos_sim
+       |  FROM embeddings q JOIN embeddings v ON v.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, vec_id, cos_sim FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- s02
+  private val NumPlanes = 6
+
+  /** Deterministic pseudo-random hyperplanes (splitmix64 over (plane, dim)),
+    * materialized as array literals so Catalyst constant-folds them. */
+  private def plane(j: Int, dim: Int): Array[Double] = {
+    def splitmix64(seed: Long): Long = {
+      var z = seed + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(dim)(i => (splitmix64(j.toLong * 1024 + i) % 1000L) / 1000.0)
+  }
+
+  /** s02: random-hyperplane LSH ANN — 6 signed projections bucket the
+    * vectors (~2^6 buckets), then exact top-3 within the query's bucket.
+    * The scale path: shuffle keys are 1-byte-per-plane bucket ids; each
+    * bucket is brute-forced locally. Rows-only (approximate by design). */
+  def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = 64
+    def bucketOf(emb: Column): Column = concat((0 until NumPlanes).map { j =>
+      val w = plane(j, dim)
+      val dot = aggregate(
+        zip_with(emb, array(w.map(lit): _*), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, "1").otherwise("0")
+    }: _*)
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"),
+        norm(col("embedding")).as("nrm"))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    q.join(v, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "vec_id", "bucket", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
+}
