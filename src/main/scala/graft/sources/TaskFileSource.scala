@@ -1,0 +1,70 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.util.zip.ZipInputStream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §E — task-file ingestion matching the reference's upload formats
+  * (`artisan-starter-scripts/src/test/resources/file.{csv,txt,xml,zip}`;
+  * CreateBatch.groovy consumes the raw CSV upload body).
+  *
+  * Every reader yields the same shape — (source_file, line_number,
+  * task_line) — ready for [[graft.batch.BatchFramework]] validation.
+  * csv/text use Spark's distributed `text` source (splittable, scales to
+  * 100 TB of uploads); zip entries are not splittable so each archive is
+  * one task via `binaryFiles` + `mapPartitions` — the standard Spark
+  * pattern for non-splittable containers (many small archives parallelize
+  * across files, not within one).
+  */
+object TaskFileSource {
+
+  final case class RawTaskLine(source_file: String, line_number: Long, task_line: String)
+
+  /** Line-oriented ingestion (covers the reference's csv and txt uploads). */
+  def lines(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("source_file")).orderBy(monotonically_increasing_id())
+    spark.read.textFile(path).toDF("task_line")
+      .withColumn("source_file", input_file_name())
+      .withColumn("line_number", row_number().over(w).cast("long"))
+      .select("source_file", "line_number", "task_line")
+  }
+
+  /** Minimal XML element-text extraction (the reference's file.xml is
+    * `<Message>...</Message>`): one row per element occurrence. No external
+    * XML dep — a regexp over the raw text, which is all the reference's
+    * payload shape needs. */
+  def xmlElementText(spark: SparkSession, path: String, element: String): DataFrame =
+    spark.read.option("wholetext", "true").textFile(path).toDF("raw")
+      .withColumn("source_file", input_file_name())
+      .select(col("source_file"),
+        explode(expr(s"regexp_extract_all(raw, '<$element>(.*?)</$element>', 1)")).as("task_line"))
+      .withColumn("line_number",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source_file")).orderBy(col("task_line"))).cast("long"))
+      .select("source_file", "line_number", "task_line")
+
+  /** Zip ingestion: each archive's entries are decompressed partition-side
+    * and flattened to lines. */
+  def zipLines(spark: SparkSession, path: String): Dataset[RawTaskLine] = {
+    import spark.implicits._
+    spark.sparkContext.binaryFiles(path)
+      .flatMap { case (file, stream) =>
+        val zin = new ZipInputStream(new ByteArrayInputStream(stream.toArray()))
+        Iterator.continually(zin.getNextEntry)
+          .takeWhile(_ != null)
+          .filterNot(_.isDirectory)
+          .flatMap { entry =>
+            val content = new String(zin.readAllBytes(), "UTF-8")
+            content.split("\r?\n", -1).iterator.filter(_.nonEmpty)
+              .map(line => (s"$file!${entry.getName}", line))
+          }
+          .toList
+      }
+      .zipWithIndex()
+      .map { case ((src, line), idx) => RawTaskLine(src, idx + 1, line) }
+      .toDS()
+  }
+}

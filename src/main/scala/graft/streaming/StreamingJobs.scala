@@ -1,0 +1,124 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** §D — the reference's scheduled Igniter/Finalizer loop re-expressed as
+  * Structured Streaming (SURVEY.md §2.D).
+  *
+  * The reference polls on cron timers (InitializeBatchFramework.groovy:
+  * scheduleIgniter/scheduleFinalizer); Spark-first that's an incremental
+  * pipeline: event-time watermarks bound state, windowed aggregates replace
+  * poll-the-world scans, and per-key GroupState replaces the anchor-object
+  * read-modify-write cycle. State is per-key and bounded — no unbounded
+  * driver-side accumulation at 100 TB/day event rates.
+  */
+object StreamingJobs {
+
+  // ------------------------------------------------------------ windows
+  /** Streaming mirror of e02: tumbling 1-hour windows over a watermarked
+    * event stream. Works on any DataFrame with (ts: timestamp, event_type,
+    * user_id, value). */
+  def eventWindows(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("approx_users"), col("total_value"))
+
+  // ------------------------------------------------------------ sessions
+  final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  final case class Session(user_id: Long, session_start_us: Long, session_end_us: Long,
+      n_events: Long, total_value: Double)
+
+  /** Streaming mirror of e01: gap-based sessionization with
+    * flatMapGroupsWithState + event-time timeout. A session closes when a
+    * later event exceeds the gap, or when the watermark passes
+    * session_end + gap (event-time timeouts never leave a batch perpetually
+    * pending, unlike processing-time ones). */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.end, s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val tUs = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if tUs - s.end <= gapMs * 1000L =>
+                  cur = Some(SessionState(s.start, tUs, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.end, s.n, s.total)
+                  cur = Some(SessionState(tUs, tUs, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(tUs, tUs, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // end is µs; timeout must sit beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs + 1, s.end / 1000L + gapMs))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  // ------------------------------------------------------------ lifecycle
+  final case class TaskOutcome(batch_id: Long, task_number: Int, is_error: Boolean,
+      batch_size: Long, ts: Timestamp)
+  final case class BatchProgress(size: Long, successes: Long, errors: Long, lastUs: Long)
+  final case class BatchTransition(batch_id: Long, state: String, successes: Long,
+      errors: Long, completion_time_us: Long)
+
+  /** The Igniter/Finalizer loop as an incremental state machine: per-batch
+    * GroupState counts task outcomes as they stream in and emits the
+    * terminal transition (COMPLETE / COMPLETE_WITH_ERRORS) the moment
+    * successes+errors reach the batch size — the reference's
+    * `isBatchComplete` poll (BatchFinalizer.groovy:40-47) without the poll. */
+  def batchLifecycle(outcomes: Dataset[TaskOutcome]): Dataset[BatchTransition] = {
+    import outcomes.sparkSession.implicits._
+    outcomes
+      .groupByKey(_.batch_id)
+      .flatMapGroupsWithState[BatchProgress, BatchTransition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (batchId: Long, rows: Iterator[TaskOutcome], state: GroupState[BatchProgress]) =>
+          var p = state.getOption.getOrElse(BatchProgress(0L, 0L, 0L, 0L))
+          rows.foreach { o =>
+            p = BatchProgress(
+              size = math.max(p.size, o.batch_size),
+              successes = p.successes + (if (o.is_error) 0 else 1),
+              errors = p.errors + (if (o.is_error) 1 else 0),
+              lastUs = math.max(p.lastUs, o.ts.getTime * 1000L))
+          }
+          if (p.size > 0 && p.successes + p.errors >= p.size) {
+            state.remove()
+            val s = if (p.errors == 0) "COMPLETE" else "COMPLETE_WITH_ERRORS"
+            Iterator.single(BatchTransition(batchId, s, p.successes, p.errors, p.lastUs))
+          } else {
+            state.update(p)
+            Iterator.empty
+          }
+      }
+  }
+}

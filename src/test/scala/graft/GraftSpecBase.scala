@@ -1,0 +1,15 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites (one JVM-wide session keeps the
+  * suite under Spark-startup time). */
+object SharedSpark {
+  lazy val spark: SparkSession = GraftSession.local("graft-test", 4)
+}
+
+abstract class GraftSpecBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SharedSpark.spark
+  val sfDir = "/root/testdata/sf0.001"
+}

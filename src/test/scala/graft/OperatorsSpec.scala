@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, TextOps, VectorOps}
+
+class OperatorsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("shingles: n tokens yield ≤ n-2 distinct 3-grams; short docs yield none") {
+    val df = Seq("a b c d e", "a b", "x y z x y z x y z").toDF("text")
+      .select(DedupOps.shingles(TextOps.tokensOf(col("text"))).as("sh"))
+    val sizes = df.select(size(col("sh"))).as[Int].collect()
+    assert(sizes.toSeq === Seq(3, 0, 3)) // last: 7 3-grams, 3 distinct
+  }
+
+  test("cosine: self-similarity is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1f, 0f, 2f), Array(1f, 0f, 2f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f))
+    ).toDF("a", "b")
+    val got = df.select(round(VectorOps.cosine(col("a"), col("b")), 6)).as[Double].collect()
+    assert(got.toSeq === Seq(1.0, 0.0))
+  }
+
+  test("cosineWithNorms equals plain cosine bit-for-bit") {
+    val v = Tables(spark, sfDir).embeddings.limit(50)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+    val a = v.select(col("vec_id").as("ida"), col("embedding").as("ea"), col("nrm").as("na"))
+    val b = v.select(col("vec_id").as("idb"), col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, col("ida") < col("idb"))
+    val diff = pairs.select(
+      (VectorOps.cosine(col("ea"), col("eb")) -
+        VectorOps.cosineWithNorms(col("ea"), col("eb"), col("na"), col("nb"))).as("d"))
+      .filter(col("d") =!= 0.0)
+    assert(diff.count() === 0)
+  }
+
+  test("d01: dup_count sums to corpus size; canonical is group min") {
+    val df = operators.TextOps.d01DedupExact(spark, sfDir)
+    val total = df.agg(sum("dup_count")).head().getLong(0)
+    assert(total === Tables(spark, sfDir).documents.count())
+  }
+
+  test("d03: minhash candidates include the high-jaccard pairs found exactly") {
+    // every d02 (exact, sampled) pair with jaccard >= 0.8 whose ids survive
+    // the d03 pipeline should appear among minhash candidates
+    val exact = DedupOps.d02DedupJaccard(spark, sfDir)
+      .filter(col("jaccard") >= 0.8).select("doc_a", "doc_b")
+    val cand = DedupOps.d03DedupMinhash(spark, sfDir).select("doc_a", "doc_b")
+    val missed = exact.exceptAll(cand).count()
+    val totalHigh = exact.count()
+    // bottom-k banding is probabilistic; at j>=0.8 recall should be high
+    assert(totalHigh === 0 || missed * 5 <= totalHigh,
+      s"missed $missed of $totalHigh high-jaccard pairs")
+  }
+
+  test("t01: predictions restricted to known labels") {
+    val df = TextOps.t01LangId(spark, sfDir)
+    assert(df.filter(!col("pred_lang").isin("en", "es", "de", "fr", "und")).count() === 0)
+  }
+
+  test("t02: ratios live in [0,1]") {
+    val df = TextOps.t02QualityScore(spark, sfDir)
+    assert(df.filter(col("punct_ratio") < 0 || col("punct_ratio") > 1).count() === 0)
+    assert(df.filter(col("stop_ratio") < 0 || col("stop_ratio") > 1).count() === 0)
+    assert(df.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)
+  }
+
+  test("t04: fingerprints are deterministic across runs") {
+    val a = TextOps.t04Fingerprint(spark, sfDir).collect()
+    val b = TextOps.t04Fingerprint(spark, sfDir).collect()
+    assert(a.sameElements(b))
+  }
+
+  test("s01: each query yields exactly 5 ranked neighbors, no self") {
+    val df = VectorOps.s01AnnBruteforce(spark, sfDir)
+    val counts = df.groupBy("query_id").count()
+    assert(counts.filter(col("count") =!= 5).count() === 0)
+    assert(df.filter(col("query_id") === col("vec_id")).count() === 0)
+  }
+
+  test("s02: LSH top-k cosines are ≤ exact top-1 (approximation sanity)") {
+    val exactTop = VectorOps.s01AnnBruteforce(spark, sfDir)
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("cos_sim").as("best"))
+    val lsh = VectorOps.s02AnnLsh(spark, sfDir)
+      .groupBy("query_id").agg(max("cos_sim").as("lsh_best"))
+    val bad = lsh.join(exactTop, "query_id").filter(col("lsh_best") > col("best"))
+    assert(bad.count() === 0)
+  }
+}

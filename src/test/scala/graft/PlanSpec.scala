@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.CoreQueries
+
+/** Scale-plan assertions: the physical plans must show pushdown, pruning
+  * and broadcasts — the properties that keep these queries viable at
+  * 100 TB (SURVEY.md §5). */
+class PlanSpec extends GraftSpecBase {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q06: filters reach the parquet scan and only needed columns are read") {
+    val plan = planOf(CoreQueries.q06FilterAgg(spark, sfDir))
+    assert(plan.contains("PushedFilters: ["), "expected pushed filters in scan")
+    assert(plan.contains("l_shipdate"), "shipdate filter should be pushed")
+    assert(!plan.contains("l_orderkey"), "unneeded columns must be pruned from the scan")
+  }
+
+  test("q05: dimension joins broadcast, no cartesian") {
+    val plan = planOf(CoreQueries.q05MultiwayJoin(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"), "dims must broadcast")
+    assert(!plan.contains("CartesianProduct"), "no cartesian product allowed")
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val plan = planOf(CoreQueries.q01PricingSummary(spark, sfDir))
+    assert(plan.contains("HashAggregate"), "expected hash aggregation")
+    // partial + final pair means map-side combine happened
+    assert("HashAggregate".r.findAllIn(plan).size >= 2)
+  }
+
+  test("whole-stage codegen active on the scan-agg path") {
+    // AQE shows codegen nodes only in the final (executed) plan
+    val df = CoreQueries.q06FilterAgg(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in compact plan strings
+    assert(plan.contains("*(1)"), s"hot path must stay codegen'd:\n$plan")
+  }
+}

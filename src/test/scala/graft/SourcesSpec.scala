@@ -1,0 +1,59 @@
+package graft
+
+import java.io.{File, FileOutputStream}
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.sources.TaskFileSource
+
+class SourcesSpec extends GraftSpecBase {
+
+  private def tmpDir(): File = Files.createTempDirectory("graft-src").toFile
+
+  test("lines: csv/txt task files read with stable per-file line numbers") {
+    val dir = tmpDir()
+    Files.writeString(new File(dir, "file.csv").toPath,
+      "apple,red,round\npear,green,oblong\nbanana,yellow,polygonal")
+    val rows = TaskFileSource.lines(spark, dir.getAbsolutePath + "/file.csv").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[Long]("line_number")).sorted.sameElements(Array(1L, 2L, 3L)))
+    assert(rows.exists(_.getAs[String]("task_line") == "apple,red,round"))
+  }
+
+  test("xmlElementText: extracts element bodies (reference file.xml shape)") {
+    val dir = tmpDir()
+    Files.writeString(new File(dir, "file.xml").toPath,
+      "<Batch><Message>Hello_World!</Message><Message>Second</Message></Batch>")
+    val rows = TaskFileSource.xmlElementText(
+      spark, dir.getAbsolutePath + "/file.xml", "Message").collect()
+    assert(rows.map(_.getAs[String]("task_line")).toSet === Set("Hello_World!", "Second"))
+  }
+
+  test("zipLines: decompresses entries to task lines (reference file.zip shape)") {
+    val dir = tmpDir()
+    val zf = new File(dir, "file.zip")
+    val zos = new ZipOutputStream(new FileOutputStream(zf))
+    zos.putNextEntry(new ZipEntry("tasks.csv"))
+    zos.write("m1,sn-1,a1\nm2,sn-2,a2\n".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("more/extra.csv"))
+    zos.write("m3,sn-3,a3\n".getBytes("UTF-8"))
+    zos.closeEntry()
+    zos.close()
+    val rows = TaskFileSource.zipLines(spark, zf.getAbsolutePath).collect()
+    assert(rows.map(_.task_line).toSet === Set("m1,sn-1,a1", "m2,sn-2,a2", "m3,sn-3,a3"))
+    assert(rows.count(_.source_file.contains("more/extra.csv")) === 1)
+  }
+
+  test("multimodal decode plumbing: partition-parallel stub decode") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    val media = Seq(
+      MultimodalOps.MediaRecord(1L, "abcdef".getBytes("UTF-8")),
+      MultimodalOps.MediaRecord(2L, "0123456".getBytes("UTF-8"))
+    ).toDS().repartition(2)
+    val decoded = MultimodalOps.decodeAll(media).collect().sortBy(_.doc_id)
+    assert(decoded.map(_.byte_len).toSeq === Seq(6L, 7L))
+    assert(decoded.map(_.format).toSeq === Seq("jpeg", "png"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.{Event, TaskOutcome}
+
+class StreamingSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1704067200000L + minute * 60000L)
+
+  test("eventWindows: tumbling 1h counts match batch semantics") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val df = mem.toDF.toDF("ts", "event_type", "user_id", "value")
+    val q = StreamingJobs.eventWindows(df, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("win").outputMode(OutputMode.Update()).start()
+    mem.addData(
+      (ts(0), "click", 1L, 1.0), (ts(10), "click", 2L, 2.0),
+      (ts(70), "click", 1L, 4.0), (ts(5), "view", 1L, 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("win")
+      .select("window_start", "event_type", "n_events", "total_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(got === Set(
+      (ts(0), "click", 2L, 3.0),
+      (ts(60), "click", 1L, 4.0),
+      (ts(0), "view", 1L, 8.0)))
+  }
+
+  test("sessionize: gap splits sessions; totals accumulate") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = StreamingJobs.sessionize(mem.toDS(), gapMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Append()).start()
+    // two bursts for user 1 separated by > gap, one burst user 2
+    mem.addData(Event(1L, ts(0), 1.0), Event(1L, ts(5), 2.0),
+      Event(1L, ts(30), 4.0), Event(2L, ts(0), 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sess")
+      .select("user_id", "n_events", "total_value")
+      .as[(Long, Long, Double)].collect().toSet
+    // closed sessions only (append mode): user1's first burst closes on the
+    // gap-exceeding event; user2's singleton closes via event-time timeout
+    // (watermark = max_ts - 10 min passed its end + gap); user1's second
+    // burst is still pending
+    assert(got === Set((1L, 2L, 3.0), (2L, 1L, 8.0)))
+  }
+
+  test("batchLifecycle: terminal transition fires exactly at completion") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[TaskOutcome]
+    val q = StreamingJobs.batchLifecycle(mem.toDS())
+      .writeStream.format("memory").queryName("life").outputMode(OutputMode.Append()).start()
+    mem.addData(
+      TaskOutcome(100L, 1, is_error = false, batch_size = 3, ts(0)),
+      TaskOutcome(100L, 2, is_error = true, batch_size = 3, ts(1)))
+    q.processAllAvailable()
+    assert(spark.table("life").count() === 0, "incomplete batch must not emit")
+    mem.addData(TaskOutcome(100L, 3, is_error = false, batch_size = 3, ts(2)),
+      TaskOutcome(200L, 1, is_error = false, batch_size = 1, ts(3)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("life")
+      .select("batch_id", "state", "successes", "errors")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got === Set(
+      (100L, "COMPLETE_WITH_ERRORS", 2L, 1L),
+      (200L, "COMPLETE", 1L, 0L)))
+  }
+}
