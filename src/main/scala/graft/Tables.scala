@@ -21,6 +21,15 @@ final class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame     = t("events")
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+
+  /** Spread a small scan across all cores. The local testdata files are
+    * single-row-group parquet → one input split, which serializes the
+    * interpreted higher-order-function work (shingling, signatures) onto a
+    * single core. At 100 TB inputs arrive already split; this repartition
+    * exists to give the local bench the same parallelism a real layout has.
+    * Only worth the shuffle for HOF-heavy downstream compute. */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(spark.sparkContext.defaultParallelism)
 }
 
 object Tables {

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Native dot product of two float vectors, accumulated in double.
+  *
+  * Spark's higher-order functions (`zip_with` + `aggregate`) evaluate one
+  * interpreted lambda call per element; this expression generates a tight
+  * Java loop instead (~10× on 64-dim embeddings), keeping ANN/near-dup
+  * scoring inside whole-stage codegen. Accumulation order is ascending-
+  * index, identical to the sequential HOF fold and DuckDB's `list_reduce`,
+  * so results stay bit-identical with the oracle.
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def isFloatArray(t: DataType): Boolean = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects two array<float> arguments, got ${left.dataType} and ${right.dataType}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object FloatVecDot {
+  val info = new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot")
+
+  /** Idempotent per-session registration (works on any session, including
+    * the driver-owned Verify/Bench ones). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", (children: Seq[Expression]) => FloatVecDot(children(0), children(1)), "built-in")
+
+  /** `vec_dot(a, b)` as a Column (requires [[register]] on the session). */
+  def vecDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.call_function("vec_dot", a, b)
+}
+
+/** Extension installer: `spark.sql.extensions=graft.functions.GraftExtensions`
+  * registers graft's native expressions at session build — the deployment
+  * path for a shared cluster. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      FloatVecDot.info,
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+}

@@ -28,9 +28,11 @@ object DedupOps {
   private val ShinglesSql =
     "list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
 
-  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.spread(t.documents)
       .select(col("doc_id"), col("lang"), shingles(tokensOf(col("text"))).as("sh"))
+  }
 
   private val DocsShinglesSql =
     s"""WITH toks AS (
@@ -80,6 +82,17 @@ object DedupOps {
   /** Skip LSH buckets bigger than this — degenerate keys, quadratic cost. */
   private val MaxBucket = 64
 
+  /** Distinct word-3-gram shingles hashed straight to longs: one multi-arg
+    * xxhash64 per position — no 3-gram string is ever materialized, and
+    * dedupe/intersection run on longs. ~5× cheaper than [[shingles]]; used
+    * by the rows-only LSH ops (the oracle-checked [[d02DedupJaccard]] keeps
+    * string shingles for DuckDB parity). */
+  def shingleHashes(tk: Column): Column =
+    when(size(tk) < 3, array().cast("array<bigint>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(tk) - 3),
+        i => xxhash64(element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3)))))
+
   /** All unordered id pairs of a sorted id array, as flat structs —
     * the bucket-local pair generator (codegen'd HOFs, no join). */
   def pairsOf(ids: Column): Column = {
@@ -91,20 +104,28 @@ object DedupOps {
 
   /** d03: MinHash+LSH candidate pairs, verified with exact Jaccard.
     *
-    * Uses a bottom-k one-permutation sketch: one xxhash64 per shingle, one
-    * sort, and the 8 band keys are hashes of consecutive 4-element slices
-    * of the bottom-32 — Spark's higher-order functions are interpreted
-    * (not codegen'd), so one sort beats 32 re-hash scans by ~8×. Only
+    * Uses a bottom-k one-permutation sketch over [[shingleHashes]]: the 8
+    * band keys are hashes of consecutive 4-element slices of the sorted
+    * bottom-32 shingle hashes — Spark's higher-order functions are
+    * interpreted (not codegen'd), so one sort beats 32 re-hash scans. Only
     * (band, key, doc_id) shuffles (~8×16 bytes/doc, never text). Buckets
     * collect their ids and emit pairs locally — no self-join, signatures
     * computed exactly once. Candidate pairs then join shingle sets for the
     * exact-Jaccard verify — the 100 TB dedup pipeline end to end.
     * Rows-only (xxhash64 has no DuckDB equivalent). */
   def d03DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = docsWithShingles(spark, dir).filter(size(col("sh")) > 0)
+    val t = Tables(spark, dir)
+    // Cache BEFORE the size filter: Catalyst would push the filter through
+    // the projection, re-evaluating the whole interpreted shingle
+    // expression per row (~20× this stage). Caching the projection is the
+    // barrier; the filter then runs on materialized arrays. At 100 TB this
+    // cache is the persisted signature table every production dedup keeps.
+    val d = t.spread(t.documents)
+      .select(col("doc_id"), shingleHashes(tokensOf(col("text"))).as("sh"))
+      .cache()
+      .filter(size(col("sh")) > 0)
     val sigs = d
-      .withColumn("bk32", slice(array_sort(transform(col("sh"), s => xxhash64(s))),
-        1, NumBands * RowsPerBand))
+      .withColumn("bk32", slice(array_sort(col("sh")), 1, NumBands * RowsPerBand))
       .select(col("doc_id"), explode(array((0 until NumBands).map { b =>
         // try_element_at: short sketches (docs with <32 shingles) pad with
         // MaxValue instead of throwing under ANSI mode
@@ -123,7 +144,11 @@ object DedupOps {
       .select(explode(pairsOf(col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-    val sh = d.select(col("doc_id"), col("sh"))
+    // shuffle-hash: broadcasting the shingle side would rebuild the
+    // HOF-heavy shingle scan through a driver-side collect; hashing the
+    // (small) candidate pairs against a distributed shingle shuffle keeps
+    // the heavy compute parallel
+    val sh = d.select(col("doc_id"), col("sh")).hint("shuffle_hash")
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
@@ -150,12 +175,15 @@ object DedupOps {
         (acc.getField("n") + 1L).as("n"): _*))
   }
 
-  /** SimHash signature ('0'/'1' chars) from a counts struct column: bit j
-    * is set when more token hashes have bit j set than not. */
+  /** SimHash signature as one 64-bit long from a counts struct column: bit
+    * j is set when more token hashes have bit j set than not. A long sig
+    * makes segmenting a shift/mask and Hamming a single codegen'd
+    * `bit_count(a ^ b)` — no per-bit string work downstream. */
   private def sigFromCounts(counts: Column): Column =
-    concat((0 until SimhashBits).map { j =>
-      when(counts.getField(s"c$j") * 2 > counts.getField("n"), "1").otherwise("0")
-    }: _*)
+    (0 until SimhashBits).map { j =>
+      when(counts.getField(s"c$j") * 2 > counts.getField("n"),
+        lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
 
   /** d04: SimHash near-dup candidates via 4×16-bit pigeonhole blocking
     * (Hamming ≤ 3 guarantees ≥1 equal segment). Signatures are computed
@@ -163,14 +191,17 @@ object DedupOps {
     * candidate pairs locally (no self-join); Hamming runs on candidates
     * only. Rows-only. */
   def d04DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables(spark, dir).documents
+    val t = Tables(spark, dir)
+    val d = t.spread(t.documents)
       .select(col("doc_id"), simhashCounts(tokensOf(col("text"))).as("counts"))
       .select(col("doc_id"), sigFromCounts(col("counts")).as("sig"))
     val segLen = SimhashBits / Segments
     val buckets = d.select(
         col("doc_id"), col("sig"),
         explode(array((0 until Segments).map(s =>
-          struct(lit(s).as("seg"), col("sig").substr(s * segLen + 1, segLen).as("seg_val"))): _*)).as("sv"))
+          struct(lit(s).as("seg"),
+            shiftrightunsigned(col("sig"), s * segLen)
+              .bitwiseAND((1L << segLen) - 1).as("seg_val"))): _*)).as("sv"))
       .groupBy(col("sv.seg").as("seg"), col("sv.seg_val").as("seg_val"))
       .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
       // same degenerate-bucket cap as d03 — see MaxBucket
@@ -187,9 +218,7 @@ object DedupOps {
       .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
       .distinct()
     pairs
-      .withColumn("hamming",
-        size(filter(sequence(lit(1), lit(SimhashBits)),
-          i => col("sig_a").substr(i, lit(1)) =!= col("sig_b").substr(i, lit(1)))).cast("long"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .withColumn("is_near_dup", col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming", "is_near_dup")
       .orderBy("doc_a", "doc_b")

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.FloatVecDot
 
 /** §C embedding similarity: exact cosine near-dup pairs, brute-force ANN
   * top-k, and random-hyperplane LSH-bucketed ANN.
@@ -29,9 +30,12 @@ object VectorOps {
   def norm(a: Column): Column =
     sqrt(seqSum(transform(a, x => x.cast("double") * x.cast("double"))))
 
-  /** Cosine from a precomputed-norm pair: only the dot product folds. */
+  /** Cosine from a precomputed-norm pair: only the dot product remains
+    * per-pair, computed by the native codegen'd [[FloatVecDot]] (same
+    * ascending-index accumulation → bit-identical to the HOF fold and the
+    * DuckDB oracle). Callers must [[FloatVecDot.register]] the session. */
   def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
-    seqSum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double"))) / (normA * normB)
+    FloatVecDot.vecDot(a, b) / (normA * normB)
 
   /** DuckDB mirror of [[cosine]] for columns `$a` and `$b`. */
   private def cosineSql(a: String, b: String): String = {
@@ -48,6 +52,7 @@ object VectorOps {
     * (the cluster id) — the verification-scale variant; at 100 TB only LSH
     * buckets ([[s02AnnLsh]]) are brute-forced like this. */
   def d05DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    FloatVecDot.register(spark)
     val v = Tables(spark, dir).embeddings
       .withColumn("nrm", norm(col("embedding")))
     val a = v.select(col("vec_id").as("vec_a"), col("label"),
@@ -76,6 +81,7 @@ object VectorOps {
   /** s01: exact top-5 cosine neighbors for the query set (vec_id < 10) —
     * the brute-force ANN baseline (cross join + per-query window). */
   def s01AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
+    FloatVecDot.register(spark)
     import org.apache.spark.sql.expressions.Window
     val v = Tables(spark, dir).embeddings
       .withColumn("nrm", norm(col("embedding")))
@@ -126,6 +132,7 @@ object VectorOps {
     * The scale path: shuffle keys are 1-byte-per-plane bucket ids; each
     * bucket is brute-forced locally. Rows-only (approximate by design). */
   def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    FloatVecDot.register(spark)
     import org.apache.spark.sql.expressions.Window
     val dim = 64
     def bucketOf(emb: Column): Column = concat((0 until NumPlanes).map { j =>

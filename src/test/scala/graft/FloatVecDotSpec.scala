@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.FloatVecDot
+import graft.operators.VectorOps
+
+class FloatVecDotSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("vec_dot matches the interpreted HOF fold bit-for-bit on real embeddings") {
+    FloatVecDot.register(spark)
+    val v = Tables(spark, sfDir).embeddings.limit(100)
+    val a = v.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = v.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val pairs = a.join(b, col("ida") < col("idb"))
+    val hof = aggregate(zip_with(col("ea"), col("eb"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x)
+    val diffs = pairs.select((FloatVecDot.vecDot(col("ea"), col("eb")) - hof).as("d"))
+      .filter(col("d") =!= 0.0)
+    assert(diffs.count() === 0)
+  }
+
+  test("vec_dot basics: known values, null propagation") {
+    FloatVecDot.register(spark)
+    val df = Seq(
+      (Some(Array(1f, 2f, 3f)), Some(Array(4f, 5f, 6f))),
+      (None, Some(Array(1f, 1f)))
+    ).toDF("a", "b")
+    val got = df.select(FloatVecDot.vecDot(col("a"), col("b"))).collect()
+    assert(got(0).getDouble(0) === 32.0)
+    assert(got(1).isNullAt(0))
+  }
+
+  test("vec_dot rejects non-float-array inputs at analysis time") {
+    FloatVecDot.register(spark)
+    val df = Seq((1, 2)).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(FloatVecDot.vecDot(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("vec_dot") || e.getMessage.contains("DATATYPE"))
+  }
+}

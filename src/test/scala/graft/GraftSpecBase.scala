@@ -6,7 +6,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all suites (one JVM-wide session keeps the
   * suite under Spark-startup time). */
 object SharedSpark {
-  lazy val spark: SparkSession = GraftSession.local("graft-test", 4)
+  lazy val spark: SparkSession = {
+    val s = GraftSession.local("graft-test", 4)
+    graft.functions.FloatVecDot.register(s)
+    s
+  }
 }
 
 abstract class GraftSpecBase extends AnyFunSuite {
