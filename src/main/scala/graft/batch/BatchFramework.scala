@@ -30,9 +30,12 @@ object BatchFramework {
 
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
 
-  /** Derived task lines: the CreateBatch upload reconstructed from lineitem. */
+  /** Derived task lines: the CreateBatch upload reconstructed from lineitem.
+    * The scan is spread first: the local single-row-group file would
+    * otherwise run all regex validation on one core (Tables.spread). */
   private[graft] def taskLines(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables(spark, dir).lineitem
+    val t = Tables(spark, dir)
+    val l = t.spread(t.lineitem)
     l.select(
       col("l_orderkey").as("batch_id"),
       col("l_linenumber").as("task_number"),
@@ -284,6 +287,17 @@ object BatchFramework {
       .offset(50).limit(25)
       .select("batch_id", "name", "inception_time_us", "state", "total_results")
   }
+
+  /** Keyset (seek) pagination — the deep-page path at 100 TB (SURVEY §5):
+    * `WHERE id > lastSeenId ORDER BY id LIMIT pageSize` prunes instead of
+    * sorting-and-skipping the whole prefix like offset pagination does.
+    * Library API (not a driver query: the oracle's page is b07). */
+  def keysetPage(spark: SparkSession, dir: String, lastSeenId: Long, pageSize: Int): DataFrame =
+    anchors(spark, dir)
+      .filter(col("state") === "NOT_STARTED" && col("batch_id") > lastSeenId)
+      .orderBy("batch_id")
+      .limit(pageSize)
+      .select("batch_id", "name", "inception_time_us", "state")
 
   val b07Sql: String =
     s"""$AnchorsSql, filtered AS (SELECT * FROM anchors WHERE state = 'NOT_STARTED')

@@ -41,6 +41,16 @@ class BatchFrameworkSpec extends GraftSpecBase {
       rows.map(_.getAs[Long]("batch_id"))) || rows.nonEmpty)
   }
 
+  test("keyset pagination: consecutive pages tile the offset listing") {
+    val page1 = BatchFramework.keysetPage(spark, sfDir, lastSeenId = 0, pageSize = 30)
+      .collect().map(_.getAs[Long]("batch_id"))
+    assert(page1.length === 30)
+    val page2 = BatchFramework.keysetPage(spark, sfDir, page1.last, pageSize = 30)
+      .collect().map(_.getAs[Long]("batch_id"))
+    assert(page2.headOption.exists(_ > page1.last))
+    assert((page1 ++ page2).sorted.sameElements(page1 ++ page2), "pages must tile in id order")
+  }
+
   test("b08: ignition order is inceptionTime then id, max 10") {
     val rows = BatchFramework.b08IgniteTopN(spark, sfDir).collect()
     assert(rows.length <= 10)
