@@ -11,7 +11,10 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // toRdd.count() evaluates every output column; a DataFrame count()
+      // would let the optimizer prune the computed columns being measured
+      try { fn(spark, sfDir).queryExecution.toRdd.count() }
+      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

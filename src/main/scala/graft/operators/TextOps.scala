@@ -21,13 +21,20 @@ object TextOps {
 
   def tokensOf(c: Column): Column = split(normText(c), " ")
 
+  /** documents scan spread across cores (single-row-group local file —
+    * see Tables.spread). */
+  private def docs(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val t = Tables(spark, dir)
+    t.spread(t.documents)
+  }
+
   private val TokensSql = s"string_split($NormSql, ' ')"
 
   // ---------------------------------------------------------------- d01
   /** Exact dedup: md5 over normalized text; canonical doc = min doc_id.
     * At 100 TB only (hash, doc_id) pairs shuffle — never the text. */
   def d01DedupExact(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    docs(spark, dir)
       .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col("doc_id")).as("canonical_doc_id"), count(lit(1)).as("dup_count"))
@@ -56,7 +63,7 @@ object TextOps {
   /** t01: language ID by stopword overlap ratio, deterministic tie order
     * en > es > de > fr, 'und' when no stopword hits. */
   def t01LangId(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables(spark, dir).documents
+    val base = docs(spark, dir)
       .select(col("doc_id"), col("lang"), tokensOf(col("text")).as("tk"))
       .withColumn("n_tok", size(col("tk")).cast("long"))
     val scored = Stopwords.foldLeft(base) { case (df, (l, words)) =>
@@ -100,7 +107,7 @@ object TextOps {
     * mean token length, and a weighted composite. */
   def t02QualityScore(spark: SparkSession, dir: String): DataFrame = {
     val allStop = Stopwords.flatMap(_._2).distinct
-    Tables(spark, dir).documents
+    docs(spark, dir)
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .withColumn("tk", split(col("norm"), " "))
       .withColumn("n_chars", length(col("norm")).cast("long"))
@@ -145,7 +152,7 @@ object TextOps {
   /** t03: token counting — whitespace tokens, BPE-ish regex tokens, and the
     * chars-per-token ratio. */
   def t03TokenCount(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    docs(spark, dir)
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .withColumn("ws_tokens", size(split(col("norm"), " ")).cast("long"))
       .withColumn("bpe_tokens", size(regexp_extract_all(col("norm"), lit(BpePattern), lit(0))).cast("long"))
@@ -168,7 +175,7 @@ object TextOps {
   private val FpMod = 2147483647L
 
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    docs(spark, dir)
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .withColumn("fp_md5", md5(col("norm")))
       .withColumn("fp_sha256", sha2(col("norm"), 256))
