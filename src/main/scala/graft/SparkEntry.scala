@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.batch.BatchFramework
-import graft.operators.{CoreQueries, DedupOps, MultimodalOps, TextOps, VectorOps}
+import graft.operators.{CoreQueries, DedupOps, ExtendedQueries, MultimodalOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -39,6 +39,12 @@ object SparkEntry {
     "e01_sessionize"       -> CoreQueries.e01Sessionize _,
     "e02_event_windows"    -> CoreQueries.e02EventWindows _,
     "e03_json_props"       -> CoreQueries.e03JsonProps _,
+    // §B extended relational coverage
+    "q02_min_cost"         -> ExtendedQueries.q02MinCost _,
+    "q13_custdist"         -> ExtendedQueries.q13CustDist _,
+    "q16_supplier_cnt"     -> ExtendedQueries.q16SupplierCnt _,
+    "q18_large_orders"     -> ExtendedQueries.q18LargeOrders _,
+    "q22_idle_rich"        -> ExtendedQueries.q22IdleRich _,
     // §C LLM-pipeline operators
     "d01_dedup_exact"      -> TextOps.d01DedupExact _,
     "d02_dedup_jaccard"    -> DedupOps.d02DedupJaccard _,
@@ -81,6 +87,11 @@ object SparkEntry {
     "e01_sessionize"       -> CoreQueries.e01Sql,
     "e02_event_windows"    -> CoreQueries.e02Sql,
     "e03_json_props"       -> CoreQueries.e03Sql,
+    "q02_min_cost"         -> ExtendedQueries.q02Sql,
+    "q13_custdist"         -> ExtendedQueries.q13Sql,
+    "q16_supplier_cnt"     -> ExtendedQueries.q16Sql,
+    "q18_large_orders"     -> ExtendedQueries.q18Sql,
+    "q22_idle_rich"        -> ExtendedQueries.q22Sql,
     // §C — d03/d04/s02 are xxhash64-based: rows-only, no oracle entry
     "d01_dedup_exact"      -> TextOps.d01Sql,
     "d02_dedup_jaccard"    -> DedupOps.d02Sql,

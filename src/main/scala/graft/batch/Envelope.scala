@@ -1,0 +1,61 @@
+package graft.batch
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reference response-contract parity: every service returns
+  * `{"resultType": "success"|"error", "result": ...}` with listing
+  * responses adding `pageInfo` (GetBatches.groovy:37-76 contract,
+  * InitializeBatchFramework.groovy:44-58), and a stable error-code catalog.
+  *
+  * A reference client can consume graft results unchanged: these helpers
+  * render DataFrames into exactly those JSON shapes (distributed `to_json`,
+  * collect-free except the final single-envelope aggregation, which is one
+  * row per response by construction).
+  */
+object Envelope {
+
+  /** Reference error-code catalog (codes appear across all services). */
+  val FatalError = "0001"          // "Fatal execution exception..."
+  val MissingField = "1001"        // "Missing request field '...'"
+  val BatchNotFound = "1010"       // "Unable to find a Batch with ID..."
+  val TaskCountExceeded = "1030"   // "Number of tasks exceeds maximum..."
+  val InvalidTask = "1031"         // task format / comma violations
+
+  /** One error object: `{"id": code, "time": ms, "message": msg}`. */
+  def error(code: Column, timeMs: Column, message: Column): Column =
+    struct(code.as("id"), timeMs.as("time"), message.as("message"))
+
+  /** Wrap each row as a success envelope JSON string (row-level contract). */
+  def successJson(result: Column): Column =
+    to_json(struct(lit("success").as("resultType"), result.as("result")))
+
+  /** Wrap each row as an error envelope JSON string. */
+  def errorJson(errors: Column): Column =
+    to_json(struct(lit("error").as("resultType"), errors.as("result")))
+
+  /** GetBatches-shaped response: one row holding the full envelope with
+    * pageInfo + result array. `page` must already be the paginated rows
+    * (e.g. BatchFramework.b07GetBatchesPage / keysetPage output). */
+  def getBatchesResponse(page: DataFrame, pageNumber: Int, pageSize: Int,
+      totalResults: Long): DataFrame =
+    page
+      .agg(collect_list(struct(
+        col("batch_id").as("id"), col("name"),
+        col("inception_time_us").as("inceptionTime"), col("state"))).as("result"))
+      .select(to_json(struct(
+        lit("success").as("resultType"),
+        struct(lit(pageNumber).as("pageNumber"), lit(pageSize).as("pageSize"),
+          lit(totalResults).as("totalResults")).as("pageInfo"),
+        col("result"))).as("response"))
+
+  /** GetBatchErrors-shaped response rows: `{taskNumber, errorCount,
+    * reasons: [...]}` per task (GetBatchErrors.groovy:27-42), as JSON. */
+  def batchErrorsJson(errorAgg: DataFrame): DataFrame =
+    errorAgg.select(
+      col("batch_id"),
+      successJson(struct(
+        col("task_number").as("taskNumber"),
+        col("error_count").as("errorCount"),
+        split(col("reasons"), "\\|").as("reasons"))).as("response"))
+}

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §B extended relational coverage — the remaining classic OLAP shapes:
+  * outer-join histogram (Q13), distinct-count aggregation (Q16), HAVING +
+  * semi-join-back (Q18), scalar subquery + anti join (Q22), and a
+  * correlated-min rewrite (Q2). Adapted to the testdata star schema.
+  */
+object ExtendedQueries {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---------------------------------------------------------------- q13
+  /** q13: orders-per-customer histogram via left outer join + two-level
+    * aggregation. The outer join shuffles on custkey; the histogram
+    * aggregation is tiny. */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val perCust = t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  /** q16: distinct-supplier counts per (brand, type), one brand excluded —
+    * COUNT(DISTINCT) forces a two-phase aggregate; the join to part is a
+    * broadcast. */
+  def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val p = t.part.filter(col("p_brand") =!= "Brand#1").select("p_partkey", "p_brand", "p_type")
+    t.lineitem.select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1'
+      |GROUP BY p_brand, p_type
+      |ORDER BY supplier_cnt DESC, p_brand, p_type""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  /** q18: large orders — HAVING on a grouped sum, then join back to the
+    * order/customer detail (the semi-join-on-aggregate shape). */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec2(col("l_quantity"))).as("sum_qty_dec"))
+      .filter(col("sum_qty_dec") > 150)
+      .select(col("l_orderkey"), col("sum_qty_dec").cast("double").as("sum_qty"))
+    t.orders.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_date_us"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, o_orderkey, epoch_us(o_orderdate) AS order_date_us,
+      |  o_totalprice, CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150) big ON o_orderkey = l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  /** q22: customers above the global positive-balance average with no
+    * orders — scalar subquery (broadcast single row) + left-anti join. */
+  def q22IdleRich(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val avgBal = t.customer.filter(col("c_acctbal") > 0)
+      .agg((sum(dec2(col("c_acctbal"))).cast("double") / count(lit(1))).as("avg_bal"))
+    val o = t.orders.select("o_custkey")
+    t.customer
+      .crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  val q22Sql: String =
+    """SELECT c_nationkey, count(*) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+      |                   FROM customer WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  /** q02 shape: cheapest supplier per part — the correlated MIN subquery
+    * rewritten as an aggregate + equality join-back (Catalyst cannot
+    * decorrelate arbitrary subqueries; the rewrite is the scalable form). */
+  def q02MinCost(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.lineitem.select("l_partkey", "l_suppkey")
+    val s = broadcast(t.supplier.select("s_suppkey", "s_acctbal", "s_name"))
+    val partSupp = li.join(s, col("l_suppkey") === col("s_suppkey")).distinct()
+    val minBal = partSupp.groupBy(col("l_partkey").as("mb_partkey"))
+      .agg(min(col("s_acctbal")).as("min_bal"))
+    partSupp
+      .join(minBal, col("l_partkey") === col("mb_partkey") && col("s_acctbal") === col("min_bal"))
+      .groupBy(col("l_partkey"))
+      .agg(min(col("s_suppkey")).as("s_suppkey"), min(col("min_bal")).as("min_acctbal"))
+      .orderBy(col("l_partkey"))
+  }
+
+  val q02Sql: String =
+    """WITH partsupp AS (
+      |  SELECT DISTINCT l_partkey, l_suppkey, s_acctbal, s_name
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |), minbal AS (
+      |  SELECT l_partkey AS mb_partkey, min(s_acctbal) AS min_bal
+      |  FROM partsupp GROUP BY l_partkey
+      |)
+      |SELECT l_partkey, min(l_suppkey) AS s_suppkey, min(min_bal) AS min_acctbal
+      |FROM partsupp JOIN minbal
+      |  ON l_partkey = mb_partkey AND s_acctbal = min_bal
+      |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+}

@@ -1,0 +1,29 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted join for skewed keys (SURVEY §5).
+  *
+  * AQE's skew-join splitting handles most cases at runtime; salting is the
+  * explicit form for pathological producers (one key = 30% of a 100 TB
+  * fact table): the fact side gets a deterministic salt in [0, buckets),
+  * the dimension side is replicated `buckets` times, and the join key
+  * becomes (key, salt) — splitting each hot key across `buckets` tasks.
+  */
+object SkewJoin {
+
+  /** Equi-join `facts ⋈ dim` on `key`, salted into `buckets` sub-keys.
+    * `saltFrom` are fact columns hashed into the deterministic salt (pick
+    * high-cardinality ones so a hot key spreads evenly). Result equals the
+    * plain inner join, with `buckets`× replication of `dim` as the cost. */
+  def saltedJoin(facts: DataFrame, dim: DataFrame, key: String,
+      saltFrom: Seq[String], buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val salted = facts.withColumn("__salt",
+      pmod(xxhash64(saltFrom.map(col): _*), lit(buckets.toLong)))
+    val replicated = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+}

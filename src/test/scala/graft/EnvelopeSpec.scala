@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.batch.{BatchFramework, Envelope}
+import graft.operators.SkewJoin
+
+class EnvelopeSpec extends GraftSpecBase {
+
+  test("getBatchesResponse renders the reference GetBatches JSON contract") {
+    val page = BatchFramework.b07GetBatchesPage(spark, sfDir)
+    val total = page.head().getAs[Long]("total_results")
+    val json = Envelope.getBatchesResponse(page, pageNumber = 3, pageSize = 25, total)
+      .head().getAs[String]("response")
+    // shape assertions against the reference contract (GetBatches.groovy:37-60)
+    assert(json.contains(""""resultType":"success""""))
+    assert(json.contains(""""pageInfo":{"pageNumber":3,"pageSize":25,"totalResults":""" + total))
+    assert(json.contains(""""result":[{"id":"""))
+    assert(json.contains(""""state":"NOT_STARTED""""))
+  }
+
+  test("batchErrorsJson renders per-task errors with reasons array") {
+    val errs = BatchFramework.b04ErrorAgg(spark, sfDir).limit(5)
+    val rows = Envelope.batchErrorsJson(errs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[String]("response")
+      assert(j.contains(""""taskNumber":""") && j.contains(""""errorCount":""") &&
+        j.contains(""""reasons":["""))
+    }
+  }
+
+  test("saltedJoin equals the plain join") {
+    val t = Tables(spark, sfDir)
+    val facts = t.lineitem.select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    val dim = t.orders.select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    val plain = facts.join(dim, Seq("l_orderkey"))
+    val salted = SkewJoin.saltedJoin(facts, dim, "l_orderkey",
+      saltFrom = Seq("l_partkey", "l_linenumber"), buckets = 8)
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+}
