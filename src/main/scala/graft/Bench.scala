@@ -9,6 +9,10 @@ object Bench {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // untimed warmup: JIT + codegen + parquet-footer caches, so the first
+    // timed query doesn't absorb session startup
+    try SparkEntry.entry(spark).queryExecution.toRdd.count()
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // toRdd.count() evaluates every output column; a DataFrame count()

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over near-duplicate pair edges — the step that
+  * turns pairwise dedup output ([[DedupOps]]) into canonical-document
+  * clusters ("keep min doc_id per component").
+  *
+  * Algorithm: iterative minimum-label propagation (the standard
+  * large-graph formulation — HashToMin style). Each round every node
+  * adopts the minimum label in its closed neighborhood; rounds ≈ graph
+  * diameter (near-dup clusters are shallow, so a handful). Each round is
+  * one join + one aggregation, all shuffles on the node key; labels are
+  * (long, long) pairs only — never payloads. A fixpoint check
+  * (`changed == 0`) terminates early.
+  */
+object Components {
+
+  /** @param edges two long columns naming undirected edges
+    * @return (node, component) where component = min node id reachable */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIterations: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    // symmetrize + self-loops so isolated endpoints keep their own label
+    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var iter = 0
+    var converged = false
+    while (iter < maxIterations && !converged) {
+      // per node: min(own label, neighbors' labels)
+      val neighborLabels = sym
+        .join(labels.withColumnRenamed("node", "dst"), "dst")
+        .select(col("src").as("node"), col("label"))
+      val next = labels.unionAll(neighborLabels)
+        .groupBy("node")
+        .agg(min("label").as("new_label"))
+      val joined = labels.join(next, "node").cache()
+      val changed = joined.filter(col("label") =!= col("new_label")).count()
+      labels = joined.select(col("node"), col("new_label").as("label")).cache()
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Full dedup pipeline: near-dup edges → components → canonical doc per
+    * cluster (min id) + cluster size. */
+  def canonicalize(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("node")).as("canonical_doc"))
+      .select(col("canonical_doc"), col("component"), col("cluster_size"))
+      .orderBy("canonical_doc")
+}

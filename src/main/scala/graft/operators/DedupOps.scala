@@ -163,27 +163,28 @@ object DedupOps {
   private val SimhashBits = 64
   private val Segments = 4
 
-  /** Per-bit set-counts of the distinct-token xxhash64s, one aggregate pass
-    * (HOFs are interpreted: one lambda invocation per token with 64 adds
-    * beats 64 filter scans ~10×). */
-  private def simhashCounts(tk: Column): Column = {
-    val hashes = transform(array_distinct(tk), t => xxhash64(t))
-    val zero = struct((0 until SimhashBits).map(j => lit(0L).as(s"c$j")) :+ lit(0L).as("n"): _*)
-    aggregate(hashes, zero, (acc, h) =>
-      struct((0 until SimhashBits).map(j =>
-        (acc.getField(s"c$j") + shiftright(h, j).bitwiseAND(1L)).as(s"c$j")) :+
-        (acc.getField("n") + 1L).as("n"): _*))
+  /** SimHash signatures for all docs as one 64-bit long each: bit j is set
+    * when more distinct-token hashes have bit j set than not.
+    *
+    * Shaped for whole-stage codegen end to end: explode distinct tokens →
+    * codegen'd xxhash64 → one hash-aggregate with 64 `sum((h>>j)&1)`
+    * columns → assemble the long. No higher-order functions anywhere in
+    * the hot path (HOFs are interpreted and were the dominant cost). The
+    * shuffle carries (doc_id, 65 longs) partial aggregates — map-side
+    * combined. */
+  private def simhashSigs(docs: DataFrame): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), explode(array_distinct(tokensOf(col("text")))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val counts = hashed.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n"),
+      (0 until SimhashBits).map(j =>
+        sum(shiftright(col("h"), j).bitwiseAND(1L)).as(s"c$j")): _*)
+    counts.select(col("doc_id"),
+      (0 until SimhashBits).map { j =>
+        when(col(s"c$j") * 2 > col("n"), lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_)).as("sig"))
   }
-
-  /** SimHash signature as one 64-bit long from a counts struct column: bit
-    * j is set when more token hashes have bit j set than not. A long sig
-    * makes segmenting a shift/mask and Hamming a single codegen'd
-    * `bit_count(a ^ b)` — no per-bit string work downstream. */
-  private def sigFromCounts(counts: Column): Column =
-    (0 until SimhashBits).map { j =>
-      when(counts.getField(s"c$j") * 2 > counts.getField("n"),
-        lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
 
   /** d04: SimHash near-dup candidates via 4×16-bit pigeonhole blocking
     * (Hamming ≤ 3 guarantees ≥1 equal segment). Signatures are computed
@@ -192,9 +193,7 @@ object DedupOps {
     * only. Rows-only. */
   def d04DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val d = t.spread(t.documents)
-      .select(col("doc_id"), simhashCounts(tokensOf(col("text"))).as("counts"))
-      .select(col("doc_id"), sigFromCounts(col("counts")).as("sig"))
+    val d = simhashSigs(t.spread(t.documents))
     val segLen = SimhashBits / Segments
     val buckets = d.select(
         col("doc_id"), col("sig"),

@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Components, DedupOps}
+
+class ComponentsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("connectedComponents labels a known graph correctly") {
+    // components: {1,2,3,4}, {10,11}, {20,21,22} (chain)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("a", "b")
+    val got = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("canonicalize reports min-id canonical and cluster sizes") {
+    val edges = Seq((5L, 9L), (9L, 7L), (100L, 101L)).toDF("a", "b")
+    val got = Components.canonicalize(edges, "a", "b")
+      .select("canonical_doc", "cluster_size").as[(Long, Long)].collect().toSet
+    assert(got === Set((5L, 3L), (100L, 2L)))
+  }
+
+  test("end-to-end: minhash candidate pairs cluster into canonical docs") {
+    val pairs = DedupOps.d03DedupMinhash(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+    if (pairs.count() > 0) {
+      val clusters = Components.canonicalize(pairs, "doc_a", "doc_b")
+      assert(clusters.count() > 0)
+      // canonical doc must be the smallest id in its cluster
+      assert(clusters.filter(col("canonical_doc") =!= col("component")).count() === 0)
+    }
+  }
+}
