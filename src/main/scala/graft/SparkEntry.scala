@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.batch.BatchFramework
-import graft.operators.{CoreQueries, DedupOps, ExtendedQueries, MultimodalOps, TextOps, VectorOps}
+import graft.operators.{AsOfJoin, CoreQueries, DedupOps, ExtendedQueries, MultimodalOps, TextOps, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -39,6 +39,7 @@ object SparkEntry {
     "e01_sessionize"       -> CoreQueries.e01Sessionize _,
     "e02_event_windows"    -> CoreQueries.e02EventWindows _,
     "e03_json_props"       -> CoreQueries.e03JsonProps _,
+    "e04_asof_join"        -> AsOfJoin.e04AsofJoin _,
     // §B extended relational coverage
     "q02_min_cost"         -> ExtendedQueries.q02MinCost _,
     "q13_custdist"         -> ExtendedQueries.q13CustDist _,
@@ -87,6 +88,7 @@ object SparkEntry {
     "e01_sessionize"       -> CoreQueries.e01Sql,
     "e02_event_windows"    -> CoreQueries.e02Sql,
     "e03_json_props"       -> CoreQueries.e03Sql,
+    "e04_asof_join"        -> AsOfJoin.e04Sql,
     "q02_min_cost"         -> ExtendedQueries.q02Sql,
     "q13_custdist"         -> ExtendedQueries.q13Sql,
     "q16_supplier_cnt"     -> ExtendedQueries.q16Sql,

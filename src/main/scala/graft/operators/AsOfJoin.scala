@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** As-of (point-in-time) join — an operator Spark's built-ins lack,
+  * composed from a union + one window pass instead of a custom physical
+  * operator (SURVEY §2.F preference order: compose when semantics allow).
+  *
+  * For each left row, attach the latest right row of the same key whose
+  * time ≤ the left time. The naive formulation is a range join (quadratic
+  * in Spark — BroadcastNestedLoop); this composition is one shuffle on the
+  * key and a single ordered pass: union the tagged sides, sort within key
+  * by (time, side) with right-before-left on ties (inclusive semantics),
+  * and carry the last seen right value forward with
+  * `last_value(..., ignoreNulls)`. Scales as sort-within-partition — the
+  * same cost shape DuckDB's native ASOF JOIN has.
+  */
+object AsOfJoin {
+
+  /** @param left/right both must contain `key`; times are long columns
+    * @param rightValue single right column to attach (null if no match)
+    * @return left rows + `asof_<rightValue>` column; inner semantics =
+    *         caller filters the null matches */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, rightValue: String): DataFrame = {
+    val lCols = left.columns
+    val tagged = left
+      .withColumn("__ts", col(leftTime)).withColumn("__isR", lit(0))
+      .withColumn("__rv", lit(null).cast(right.schema(rightValue).dataType))
+      .select(col(key).as("__k") +: col("__ts") +: col("__isR") +: col("__rv") +:
+        lCols.map(c => col(c).as(s"l_$c")): _*)
+      .unionByName(
+        right
+          .withColumn("__ts", col(rightTime)).withColumn("__isR", lit(1))
+          .withColumn("__rv", col(rightValue))
+          .select(col(key).as("__k") +: col("__ts") +: col("__isR") +: col("__rv") +:
+            lCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"l_$c")): _*))
+    // right rows sort before left rows on equal timestamps → inclusive ≤
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__isR").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("__asof", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__isR") === 0)
+      .select(lCols.map(c => col(s"l_$c").as(c)) :+ col("__asof").as(s"asof_$rightValue"): _*)
+  }
+
+  // ---------------------------------------------------------------- e04
+  /** e04: for each purchase event, the user's most recent signup at or
+    * before it (inner as-of semantics). Oracle: DuckDB's native ASOF JOIN. */
+  def e04AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), expr("ts div 1000").as("ts_us"),
+        col("event_type"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts_us")
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts_us").as("signup_ts"))
+    asOf(purchases, signups, key = "user_id",
+      leftTime = "ts_us", rightTime = "signup_ts", rightValue = "signup_ts")
+      .filter(col("asof_signup_ts").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("asof_signup_ts").as("signup_ts_us"),
+        (col("ts_us") - col("asof_signup_ts")).as("gap_us"))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val e04Sql: String =
+    """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us
+      |           FROM events WHERE event_type = 'purchase'),
+      |     s AS (SELECT user_id, epoch_us(ts) AS sts
+      |           FROM events WHERE event_type = 'signup')
+      |SELECT p.user_id, p.event_id, p.ts_us, s.sts AS signup_ts_us,
+      |       p.ts_us - s.sts AS gap_us
+      |FROM p ASOF JOIN s ON p.user_id = s.user_id AND s.sts <= p.ts_us
+      |ORDER BY p.user_id, p.ts_us, p.event_id""".stripMargin
+}

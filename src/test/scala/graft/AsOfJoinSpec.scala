@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("asOf attaches the latest right value at or before the left time") {
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 150L, "c"))
+      .toDF("u", "ts", "id")
+    val right = Seq((1L, 90L), (1L, 150L), (2L, 400L)).toDF("u", "rts")
+    val got = AsOfJoin.asOf(left, right, "u", "ts", "rts", "rts")
+      .orderBy("u", "ts")
+      .select("u", "ts", "id", "asof_rts")
+      .as[(Long, Long, String, Option[Long])].collect().toSeq
+    assert(got === Seq(
+      (1L, 100L, "a", Some(90L)),
+      (1L, 200L, "b", Some(150L)),
+      (2L, 150L, "c", None))) // right time 400 is after the left row
+  }
+
+  test("asOf inclusive tie: equal timestamps match") {
+    val left = Seq((1L, 100L)).toDF("u", "ts")
+    val right = Seq((1L, 100L)).toDF("u", "rts")
+    val got = AsOfJoin.asOf(left, right, "u", "ts", "rts", "rts").collect()
+    assert(got.head.getAs[Long]("asof_rts") === 100L)
+  }
+
+  test("e04: every purchase's signup precedes it; gap is non-negative") {
+    val df = AsOfJoin.e04AsofJoin(spark, sfDir)
+    assert(df.count() > 0)
+    assert(df.filter(col("gap_us") < 0).count() === 0)
+    assert(df.filter(col("signup_ts_us") > col("ts_us")).count() === 0)
+  }
+}
