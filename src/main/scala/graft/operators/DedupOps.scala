@@ -114,26 +114,30 @@ object DedupOps {
     * exact-Jaccard verify — the 100 TB dedup pipeline end to end.
     * Rows-only (xxhash64 has no DuckDB equivalent). */
   def d03DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
-    // Cache BEFORE the size filter: Catalyst would push the filter through
-    // the projection, re-evaluating the whole interpreted shingle
-    // expression per row (~20× this stage). Caching the projection is the
-    // barrier; the filter then runs on materialized arrays. At 100 TB this
-    // cache is the persisted signature table every production dedup keeps.
-    val d = t.spread(t.documents)
-      .select(col("doc_id"), shingleHashes(tokensOf(col("text"))).as("sh"))
-      .cache()
-      .filter(size(col("sh")) > 0)
-    val sigs = d
-      .withColumn("bk32", slice(array_sort(col("sh")), 1, NumBands * RowsPerBand))
-      .select(col("doc_id"), explode(array((0 until NumBands).map { b =>
-        // try_element_at: short sketches (docs with <32 shingles) pad with
-        // MaxValue instead of throwing under ANSI mode
-        val elems = (0 until RowsPerBand).map(r =>
-          coalesce(try_element_at(col("bk32"), lit(b * RowsPerBand + r + 1)), lit(Long.MaxValue)))
-        struct(lit(b).as("band"), xxhash64(elems: _*).as("key"))
-      }: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    // Shingle hashes as ROWS, not arrays: posexplode + lead windows keep
+    // the whole pipeline in whole-stage codegen (array HOFs are
+    // interpreted). One skinny (doc_id, h) row per distinct shingle.
+    val toks = t.spread(t.documents)
+      .select(col("doc_id"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh = toks
+      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
+      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("tok"), col("t1"), col("t2")).as("h"))
+      .distinct()
+    // bottom-k one-permutation sketch: ranks 1..32 by hash, 4 ranks per
+    // band; the band key hashes the band's sorted minima
+    val wH = Window.partitionBy(col("doc_id")).orderBy(col("h"))
+    val sigs = sh
+      .withColumn("rn", row_number().over(wH))
+      .filter(col("rn") <= NumBands * RowsPerBand)
+      .withColumn("band", ((col("rn") - 1) / RowsPerBand).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"))
+      .select(col("doc_id"), col("band"), xxhash64(col("band"), col("hs")).as("key"))
     // Buckets larger than MaxBucket are degenerate (low-information keys —
     // here: a tiny shared vocabulary) and quadratic to expand; skip them.
     // At 100 TB you'd recurse into them with more bands instead.
@@ -144,17 +148,22 @@ object DedupOps {
       .select(explode(pairsOf(col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-    // shuffle-hash: broadcasting the shingle side would rebuild the
-    // HOF-heavy shingle scan through a driver-side collect; hashing the
-    // (small) candidate pairs against a distributed shingle shuffle keeps
-    // the heavy compute parallel
-    val sh = d.select(col("doc_id"), col("sh")).hint("shuffle_hash")
-    candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+    // exact-Jaccard verify, relationally: |A∩B| = count of equal hashes
+    // joined through the candidate pair; |A∪B| from per-doc counts.
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b2"), col("h").as("h_b")),
+        col("doc_b") === col("doc_b2") && col("h") === col("h_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    candidates.as("c")
+      .join(inter.select(col("doc_a"), col("doc_b"), col("n_inter")), Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .withColumn("jaccard", round(col("n_inter").cast("double") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")), 6))
+        (col("n_a") + col("n_b") - col("n_inter")), 6))
       .select("doc_a", "doc_b", "n_shared_bands", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
