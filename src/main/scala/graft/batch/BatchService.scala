@@ -1,0 +1,80 @@
+package graft.batch
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model._
+
+/** The reference's public service surface, one method per Scripto service,
+  * over typed Datasets — a reference client maps 1:1 onto these:
+  *
+  * | Reference service | Here |
+  * | --- | --- |
+  * | InitializeBatchFramework | SparkSession + extensions registration (GraftSession / GraftExtensions); the domain model is [[graft.model]] |
+  * | CreateBatch | [[createBatch]] (ingest + validate) |
+  * | AnalyzeBatch | [[analyzeBatch]] |
+  * | ProcessBatch | [[processBatch]] |
+  * | BatchIgniter | [[igniteNext]] (batch) / streaming.StreamingJobs.batchLifecycle (continuous) |
+  * | BatchFinalizer | [[finalizeBatches]] |
+  * | GetBatch | [[getBatch]] |
+  * | GetBatches | [[getBatches]] |
+  * | GetBatchErrors | [[getBatchErrors]] |
+  * | DeleteBatch | [[deleteBatch]] |
+  *
+  * Every method is a pure Dataset transform — no driver-side loops, no
+  * state outside the data; the cluster-scale behavior is the plan.
+  */
+final class BatchService(spark: SparkSession, dir: String) {
+  import spark.implicits._
+
+  /** CreateBatch: raw task lines → validated [[Task]]s (invalid lines carry
+    * an empty property map and surface via [[analyzeBatch]]). */
+  def createBatch(raw: DataFrame): Dataset[Task] =
+    raw.select(
+      col("batch_id"), col("task_number").cast("int").as("task_number"),
+      split(col("task_line"), ",").getItem(0).as("model_name"),
+      split(col("task_line"), ",").getItem(1).as("serial_number"),
+      split(col("task_line"), ",").getItem(2).as("asset_name"),
+      // str_to_map('') yields {""→null}, not an empty map — branch explicitly
+      expr("""CASE WHEN coalesce(nullif(try_element_at(split(task_line, ','), 4), ''), '') = ''
+             THEN map() ELSE str_to_map(try_element_at(split(task_line, ','), 4), ';', '=') END""")
+        .as("properties"))
+      .as[Task]
+
+  /** AnalyzeBatch: per-task validity (b01) + per-batch counts (b02). */
+  def analyzeBatch(): DataFrame = BatchFramework.b02AnalyzeCount(spark, dir)
+
+  /** ProcessBatch: per-task outcomes (b03). */
+  def processBatch(): Dataset[TaskOutcome] =
+    BatchFramework.b03ProcessOutcomes(spark, dir)
+      .select(col("batch_id"), col("task_number").cast("int").as("task_number"),
+        col("outcome"),
+        when(col("reasons") === "", typedLit(Seq.empty[String]))
+          .otherwise(split(col("reasons"), "\\|")).as("reasons"))
+      .as[TaskOutcome]
+
+  /** BatchIgniter: next NOT_STARTED batches by inception time (b08). */
+  def igniteNext(): DataFrame = BatchFramework.b08IgniteTopN(spark, dir)
+
+  /** BatchFinalizer: completion detection + terminal states (b06). */
+  def finalizeBatches(): DataFrame = BatchFramework.b06FinalizeState(spark, dir)
+
+  /** GetBatch: single-batch detail (b12 filtered). */
+  def getBatch(batchId: Long): DataFrame =
+    BatchFramework.b12BatchReport(spark, dir).filter(col("batch_id") === batchId)
+
+  /** GetBatches: paginated listing (b07 shape / keyset for deep pages). */
+  def getBatches(): DataFrame = BatchFramework.b07GetBatchesPage(spark, dir)
+  def getBatchesAfter(lastSeenId: Long, pageSize: Int): DataFrame =
+    BatchFramework.keysetPage(spark, dir, lastSeenId, pageSize)
+
+  /** GetBatchErrors: per-task error aggregation for one batch (b04). */
+  def getBatchErrors(batchId: Long): Dataset[BatchError] =
+    BatchFramework.b04ErrorAgg(spark, dir)
+      .filter(col("batch_id") === batchId)
+      .select(col("batch_id"), col("task_number").cast("int").as("task_number"),
+        col("error_count"), split(col("reasons"), "\\|").as("reasons"))
+      .as[BatchError]
+
+  /** DeleteBatch cascade: surviving task counts after deletion (b09). */
+  def deleteBatch(): DataFrame = BatchFramework.b09DeleteAntijoin(spark, dir)
+}

@@ -1,0 +1,48 @@
+package graft.model
+
+/** Typed domain model — the `connexion.batch.*` ExtendedObject types
+  * (InitializeBatchFramework.groovy:222-287) as case classes with Spark
+  * Encoders. Where the reference stores properties as stringly-typed
+  * ExtendedObject Property rows, graft rows are columnar and schema-checked.
+  */
+
+/** connexion.batch.Anchor (InitializeBatchFramework.groovy:222-260). */
+final case class BatchAnchor(
+    batch_id: Long,
+    name: String,
+    state: String,            // NOT_STARTED | IN_PROCESS | COMPLETE | COMPLETE_WITH_ERRORS
+    inception_time_us: Long,
+    completion_time_us: Option[Long],
+    size: Long,
+    notify_email: String)
+
+object BatchState {
+  val NotStarted = "NOT_STARTED"
+  val InProcess = "IN_PROCESS"
+  val Complete = "COMPLETE"
+  val CompleteWithErrors = "COMPLETE_WITH_ERRORS"
+}
+
+/** One task line of a batch upload (CreateBatch.groovy:24 contract). */
+final case class Task(
+    batch_id: Long,
+    task_number: Int,
+    model_name: String,
+    serial_number: String,
+    asset_name: String,
+    properties: Map[String, String])
+
+/** connexion.batch.SuccessAnchor / ErrorAnchor outcome row
+  * (ProcessBatch.groovy:113-143). */
+final case class TaskOutcome(
+    batch_id: Long,
+    task_number: Int,
+    outcome: String,          // SUCCESS | ERROR
+    reasons: Seq[String])
+
+/** GetBatchErrors result element (GetBatchErrors.groovy:27-42). */
+final case class BatchError(
+    batch_id: Long,
+    task_number: Int,
+    error_count: Long,
+    reasons: Seq[String])

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.batch.BatchService
+import graft.model.BatchState
+
+class BatchServiceSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  lazy val svc = new BatchService(spark, sfDir)
+
+  test("createBatch parses task lines into typed Tasks with property maps") {
+    val raw = Seq(
+      (1L, 1L, "M1,SN-1,A1,qty=3;rf=N"),
+      (1L, 2L, "M2,SN-2,A2")
+    ).toDF("batch_id", "task_number", "task_line")
+    val tasks = svc.createBatch(raw).collect().sortBy(_.task_number)
+    assert(tasks(0).model_name === "M1" && tasks(0).properties === Map("qty" -> "3", "rf" -> "N"))
+    assert(tasks(1).serial_number === "SN-2" && tasks(1).properties === Map.empty)
+  }
+
+  test("processBatch yields typed outcomes; reasons empty iff SUCCESS") {
+    val out = svc.processBatch()
+    assert(out.filter(o => o.outcome == "SUCCESS" && o.reasons.nonEmpty).count() === 0)
+    assert(out.filter(o => o.outcome == "ERROR" && o.reasons.isEmpty).count() === 0)
+  }
+
+  test("getBatch returns the single requested batch with coherent counts") {
+    val any = svc.getBatches().head().getAs[Long]("batch_id")
+    val row = svc.getBatch(any).collect()
+    assert(row.length === 1)
+    val r = row.head
+    assert(r.getAs[Long]("success_count") + r.getAs[Long]("error_count") === r.getAs[Long]("size"))
+  }
+
+  test("getBatchErrors returns typed errors for a batch that has them") {
+    val anyErr = graft.batch.BatchFramework.b04ErrorAgg(spark, sfDir)
+      .head().getAs[Long]("batch_id")
+    val errs = svc.getBatchErrors(anyErr).collect()
+    assert(errs.nonEmpty)
+    assert(errs.forall(e => e.error_count === e.reasons.length.toLong))
+  }
+
+  test("finalizeBatches emits only terminal states") {
+    val states = svc.finalizeBatches().select("final_state").distinct()
+      .as[String].collect().toSet
+    assert(states.subsetOf(Set(BatchState.Complete, BatchState.CompleteWithErrors)))
+  }
+}
