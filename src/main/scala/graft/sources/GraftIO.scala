@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Output-layout helpers (SURVEY §2.E / §5).
+  *
+  * At 100 TB the write layout IS the read plan: partition columns give
+  * partition pruning on every downstream scan, in-partition sorting gives
+  * parquet min/max row-group skipping, and a target file count per
+  * partition avoids both the tiny-file problem and unsplittable giants.
+  */
+object GraftIO {
+
+  /** Partitioned, sorted, size-controlled parquet write.
+    *
+    * @param partitionCols  directory-partition columns (prunable)
+    * @param sortCols       sort within files → parquet zone-map skipping
+    * @param filesPerPartition  target parquet files per partition value
+    */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      sortCols: Seq[String] = Nil, filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.col
+    val repartitioned = df.repartition(
+      filesPerPartition * math.max(1, partitionCols.length),
+      partitionCols.map(col): _*)
+    val sorted =
+      if (sortCols.nonEmpty)
+        repartitioned.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      else repartitioned
+    sorted.write
+      .partitionBy(partitionCols: _*)
+      .mode("overwrite")
+      .parquet(path)
+  }
+}

@@ -45,6 +45,21 @@ class SourcesSpec extends GraftSpecBase {
     assert(rows.count(_.source_file.contains("more/extra.csv")) === 1)
   }
 
+  test("writePartitioned: pruned partitioned layout, sorted within files") {
+    import graft.sources.GraftIO
+    val out = tmpDir().getAbsolutePath + "/docs"
+    val docs = Tables(spark, sfDir).documents
+    GraftIO.writePartitioned(docs, out, partitionCols = Seq("lang"), sortCols = Seq("doc_id"))
+    val back = spark.read.parquet(out)
+    assert(back.count() === docs.count())
+    // partition pruning visible in the scan
+    val scan = back.filter(org.apache.spark.sql.functions.col("lang") === "en")
+    assert(scan.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(scan.count() > 0)
+    // layout is hive-style partition dirs
+    assert(new File(out).listFiles().exists(_.getName.startsWith("lang=")))
+  }
+
   test("multimodal decode plumbing: partition-parallel stub decode") {
     import spark.implicits._
     import graft.operators.MultimodalOps
