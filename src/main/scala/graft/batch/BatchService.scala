@@ -34,9 +34,14 @@ final class BatchService(spark: SparkSession, dir: String) {
       split(col("task_line"), ",").getItem(0).as("model_name"),
       split(col("task_line"), ",").getItem(1).as("serial_number"),
       split(col("task_line"), ",").getItem(2).as("asset_name"),
-      // str_to_map('') yields {""→null}, not an empty map — branch explicitly
-      expr("""CASE WHEN coalesce(nullif(try_element_at(split(task_line, ','), 4), ''), '') = ''
-             THEN map() ELSE str_to_map(try_element_at(split(task_line, ','), 4), ';', '=') END""")
+      // Properties parse ONLY for well-formed 4-field lines: overflow lines
+      // (>4 fields, the E1031 comma class) keep an empty map rather than
+      // silently swallowing the extra fields as fake properties.
+      // (str_to_map('') would yield {""→null}, hence the explicit branch.)
+      expr("""CASE WHEN size(split(task_line, ',')) = 4
+                    AND nullif(try_element_at(split(task_line, ','), 4), '') IS NOT NULL
+             THEN str_to_map(try_element_at(split(task_line, ','), 4), ';', '=')
+             ELSE map() END""")
         .as("properties"))
       .as[Task]
 

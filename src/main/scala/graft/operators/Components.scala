@@ -29,6 +29,7 @@ object Components {
       .cache()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+    var prev: Option[org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]] = None
     var iter = 0
     var converged = false
     while (iter < maxIterations && !converged) {
@@ -41,10 +42,20 @@ object Components {
         .agg(min("label").as("new_label"))
       val joined = labels.join(next, "node").cache()
       val changed = joined.filter(col("label") =!= col("new_label")).count()
-      labels = joined.select(col("node"), col("new_label").as("label")).cache()
+      val newLabels = joined.select(col("node"), col("new_label").as("label")).cache()
+      newLabels.count() // materialize before dropping the previous generation
+      prev.foreach(_.unpersist())
+      joined.unpersist()
+      prev = Some(newLabels)
+      labels = newLabels
       converged = changed == 0
       iter += 1
     }
+    sym.unpersist()
+    // silent partial propagation would split true clusters — fail loudly
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIterations iterations " +
+        "(graph diameter too large) — raise maxIterations")
     labels.select(col("node"), col("label").as("component"))
   }
 

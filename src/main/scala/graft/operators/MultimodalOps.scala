@@ -58,7 +58,10 @@ object MultimodalOps {
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .withColumn("byte_len", octet_length(col("text")).cast("long"))
       .withColumn("content_sha256", sha2(col("payload"), 256))
-      .withColumn("magic_hex", upper(hex(substring(col("payload"), 1, 4))))
+      // slice 4 CHARACTERS then encode (not 4 payload bytes): the DuckDB
+      // oracle's substr() is character-based, and a multi-byte first char
+      // would otherwise diverge
+      .withColumn("magic_hex", upper(hex(encode(substring(col("text"), 1, 4), "UTF-8"))))
       .withColumn("format",
         when(pmod(col("byte_len"), lit(3)) === 0, "jpeg")
           .when(pmod(col("byte_len"), lit(3)) === 1, "png")

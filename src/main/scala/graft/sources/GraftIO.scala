@@ -19,15 +19,21 @@ object GraftIO {
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
       sortCols: Seq[String] = Nil, filesPerPartition: Int = 1): Unit = {
-    import org.apache.spark.sql.functions.col
-    val repartitioned = df.repartition(
-      filesPerPartition * math.max(1, partitionCols.length),
-      partitionCols.map(col): _*)
+    import org.apache.spark.sql.functions._
+    // Hash-repartitioning on the partition columns alone would put each
+    // partition value into ONE task (one file, serial write); a salt column
+    // derived from the row content splits each value across up to
+    // filesPerPartition tasks. Salt from sortCols when given (keeps sort
+    // runs together), else from all columns.
+    val saltSrc = (if (sortCols.nonEmpty) sortCols else df.columns.toSeq).map(col)
+    val salted = df.withColumn("__file_salt",
+      pmod(xxhash64(saltSrc: _*), lit(filesPerPartition.toLong)))
+    val repartitioned = salted.repartition((partitionCols :+ "__file_salt").map(col): _*)
     val sorted =
       if (sortCols.nonEmpty)
         repartitioned.sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       else repartitioned
-    sorted.write
+    sorted.drop("__file_salt").write
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
       .parquet(path)

@@ -39,15 +39,17 @@ object TaskFileSource {
   def xmlElementText(spark: SparkSession, path: String, element: String): DataFrame =
     spark.read.option("wholetext", "true").textFile(path).toDF("raw")
       .withColumn("source_file", input_file_name())
+      // posexplode numbers by document occurrence order (deterministic even
+      // for duplicate element bodies)
       .select(col("source_file"),
-        explode(expr(s"regexp_extract_all(raw, '<$element>(.*?)</$element>', 1)")).as("task_line"))
-      .withColumn("line_number",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source_file")).orderBy(col("task_line"))).cast("long"))
+        posexplode(expr(s"regexp_extract_all(raw, '<$element>(.*?)</$element>', 1)"))
+          .as(Seq("pos", "task_line")))
+      .withColumn("line_number", (col("pos") + 1).cast("long"))
       .select("source_file", "line_number", "task_line")
 
   /** Zip ingestion: each archive's entries are decompressed partition-side
-    * and flattened to lines. */
+    * and flattened to lines, numbered per entry (the same
+    * (source_file, line_number) identity the other readers produce). */
   def zipLines(spark: SparkSession, path: String): Dataset[RawTaskLine] = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(path)
@@ -58,13 +60,13 @@ object TaskFileSource {
           .filterNot(_.isDirectory)
           .flatMap { entry =>
             val content = new String(zin.readAllBytes(), "UTF-8")
-            content.split("\r?\n", -1).iterator.filter(_.nonEmpty)
-              .map(line => (s"$file!${entry.getName}", line))
+            content.split("\r?\n", -1).iterator.filter(_.nonEmpty).zipWithIndex
+              .map { case (line, i) =>
+                RawTaskLine(s"$file!${entry.getName}", i + 1L, line)
+              }
           }
           .toList
       }
-      .zipWithIndex()
-      .map { case ((src, line), idx) => RawTaskLine(src, idx + 1, line) }
       .toDS()
   }
 }

@@ -65,7 +65,10 @@ object StreamingJobs {
               val tUs = e.ts.getTime * 1000L
               cur match {
                 case Some(s) if tUs - s.end <= gapMs * 1000L =>
-                  cur = Some(SessionState(s.start, tUs, s.n + 1, s.total + e.value))
+                  // late in-gap events must never move the session end (or
+                  // start) backward — min/max, not overwrite
+                  cur = Some(SessionState(math.min(s.start, tUs), math.max(s.end, tUs),
+                    s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed ::= Session(userId, s.start, s.end, s.n, s.total)
                   cur = Some(SessionState(tUs, tUs, 1L, e.value))
@@ -87,7 +90,8 @@ object StreamingJobs {
   // ------------------------------------------------------------ lifecycle
   final case class TaskOutcome(batch_id: Long, task_number: Int, is_error: Boolean,
       batch_size: Long, ts: Timestamp)
-  final case class BatchProgress(size: Long, successes: Long, errors: Long, lastUs: Long)
+  final case class BatchProgress(size: Long, successes: Long, errors: Long, lastUs: Long,
+      done: Boolean)
   final case class BatchTransition(batch_id: Long, state: String, successes: Long,
       errors: Long, completion_time_us: Long)
 
@@ -95,29 +99,49 @@ object StreamingJobs {
     * GroupState counts task outcomes as they stream in and emits the
     * terminal transition (COMPLETE / COMPLETE_WITH_ERRORS) the moment
     * successes+errors reach the batch size — the reference's
-    * `isBatchComplete` poll (BatchFinalizer.groovy:40-47) without the poll. */
-  def batchLifecycle(outcomes: Dataset[TaskOutcome]): Dataset[BatchTransition] = {
+    * `isBatchComplete` poll (BatchFinalizer.groovy:40-47) without the poll.
+    *
+    * After the terminal emission the state stays as a `done` tombstone
+    * until the watermark passes it (event-time timeout): an at-least-once
+    * source redelivering a late outcome neither re-emits the transition
+    * nor resurrects an unbounded zombie state. */
+  def batchLifecycle(outcomes: Dataset[TaskOutcome],
+      watermarkDelay: String = "10 minutes"): Dataset[BatchTransition] = {
     import outcomes.sparkSession.implicits._
     outcomes
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.batch_id)
       .flatMapGroupsWithState[BatchProgress, BatchTransition](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (batchId: Long, rows: Iterator[TaskOutcome], state: GroupState[BatchProgress]) =>
-          var p = state.getOption.getOrElse(BatchProgress(0L, 0L, 0L, 0L))
-          rows.foreach { o =>
-            p = BatchProgress(
-              size = math.max(p.size, o.batch_size),
-              successes = p.successes + (if (o.is_error) 0 else 1),
-              errors = p.errors + (if (o.is_error) 1 else 0),
-              lastUs = math.max(p.lastUs, o.ts.getTime * 1000L))
-          }
-          if (p.size > 0 && p.successes + p.errors >= p.size) {
+          if (state.hasTimedOut) {
             state.remove()
-            val s = if (p.errors == 0) "COMPLETE" else "COMPLETE_WITH_ERRORS"
-            Iterator.single(BatchTransition(batchId, s, p.successes, p.errors, p.lastUs))
-          } else {
-            state.update(p)
             Iterator.empty
+          } else {
+            var p = state.getOption.getOrElse(BatchProgress(0L, 0L, 0L, 0L, done = false))
+            if (p.done) {
+              // tombstone: swallow late duplicates, keep eviction armed
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+              Iterator.empty
+            } else {
+              rows.foreach { o =>
+                p = BatchProgress(
+                  size = math.max(p.size, o.batch_size),
+                  successes = p.successes + (if (o.is_error) 0 else 1),
+                  errors = p.errors + (if (o.is_error) 1 else 0),
+                  lastUs = math.max(p.lastUs, o.ts.getTime * 1000L),
+                  done = false)
+              }
+              if (p.size > 0 && p.successes + p.errors >= p.size) {
+                state.update(p.copy(done = true))
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+                val s = if (p.errors == 0) "COMPLETE" else "COMPLETE_WITH_ERRORS"
+                Iterator.single(BatchTransition(batchId, s, p.successes, p.errors, p.lastUs))
+              } else {
+                state.update(p)
+                Iterator.empty
+              }
+            }
           }
       }
   }
