@@ -58,6 +58,7 @@ object SparkEntry {
     "t02_quality_score"    -> TextOps.t02QualityScore _,
     "t03_token_count"      -> TextOps.t03TokenCount _,
     "t04_fingerprint"      -> TextOps.t04Fingerprint _,
+    "c01_corpus_ngrams"    -> TextOps.c01CorpusNgrams _,
     "m01_multimodal_meta"  -> MultimodalOps.m01MultimodalMeta _
   )
 
@@ -103,6 +104,7 @@ object SparkEntry {
     "t02_quality_score"    -> TextOps.t02Sql,
     "t03_token_count"      -> TextOps.t03Sql,
     "t04_fingerprint"      -> TextOps.t04Sql,
+    "c01_corpus_ngrams"    -> TextOps.c01Sql,
     "m01_multimodal_meta"  -> MultimodalOps.m01Sql
   )
 }

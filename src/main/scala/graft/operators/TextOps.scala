@@ -188,6 +188,38 @@ object TextOps {
       .select("doc_id", "fp_md5", "fp_sha256", "fp_poly")
       .orderBy("doc_id")
 
+  // ---------------------------------------------------------------- c01
+  /** c01: corpus-level n-gram statistics — top word bigrams by document
+    * frequency and total count. Pure explode + two-level aggregation
+    * (map-side combined); at 100 TB the bigram key space is the shuffle,
+    * never the documents. */
+  def c01CorpusNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val bigrams = docs(spark, dir)
+      .select(col("doc_id"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+    bigrams
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("total_count"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("total_count").desc, col("bigram"))
+      .limit(50)
+  }
+
+  val c01Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $TokensSql AS tk FROM documents
+       |), bigrams AS (
+       |  SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bigram
+       |  FROM toks, unnest(range(1, len(tk))) AS u(i)
+       |)
+       |SELECT bigram, count(*) AS total_count,
+       |  count(DISTINCT doc_id) AS doc_freq
+       |FROM bigrams GROUP BY bigram
+       |ORDER BY total_count DESC, bigram LIMIT 50""".stripMargin
+
   val t04Sql: String =
     s"""WITH norm AS (SELECT doc_id, $NormSql AS norm FROM documents)
        |SELECT doc_id, md5(norm) AS fp_md5, sha256(norm) AS fp_sha256,

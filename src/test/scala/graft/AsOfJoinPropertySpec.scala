@@ -1,0 +1,31 @@
+package graft
+
+import scala.util.Random
+import graft.operators.AsOfJoin
+
+/** Randomized property test (seeded, deterministic): the distributed
+  * as-of join must agree with an in-memory reference implementation. */
+class AsOfJoinPropertySpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("asOf agrees with the in-memory reference on 30 random inputs") {
+    val rnd = new Random(42)
+    (1 to 30).foreach { trial =>
+      val left = List.fill(rnd.nextInt(26))((rnd.nextInt(4) + 1L, rnd.nextInt(51).toLong))
+      val right = List.fill(rnd.nextInt(26))((rnd.nextInt(4) + 1L, rnd.nextInt(51).toLong))
+      // unique left identity so rows can be matched up
+      val l = left.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+      val got =
+        if (l.isEmpty) Map.empty[Long, Option[Long]]
+        else AsOfJoin.asOf(
+          l.toDF("k", "ts", "row_id"), right.toDF("k", "rts"),
+          key = "k", leftTime = "ts", rightTime = "rts", rightValue = "rts")
+          .select("row_id", "asof_rts")
+          .as[(Long, Option[Long])].collect().toMap
+      val expected = l.map { case (k, t, i) =>
+        i -> right.filter(r => r._1 == k && r._2 <= t).map(_._2).maxOption
+      }.toMap
+      assert(got === expected, s"trial $trial: left=$left right=$right")
+    }
+  }
+}
