@@ -50,12 +50,35 @@ object DedupOps {
     * an audit sample (here) or on LSH candidates ([[d03DedupMinhash]], the
     * scale path). */
   def d02DedupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    val d = docsWithShingles(spark, dir).filter(col("doc_id") % 4 === 0)
-    val a = d.select(col("doc_id").as("doc_a"), col("lang"), col("sh").as("sh_a"))
-    val b = d.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("sh").as("sh_b"))
-    a.join(b, col("lang") === col("lang_b") && col("doc_a") < col("doc_b"))
-      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("n_union", size(col("sh_a")).cast("long") + size(col("sh_b")) - col("n_inter"))
+    import org.apache.spark.sql.expressions.Window
+    // Row-relational form (same values as the arrays-and-intersect
+    // formulation the DuckDB oracle uses): distinct (doc, shingle) rows,
+    // intersection sizes via a shingle-equality join — only pairs that
+    // actually share a shingle are ever materialized, and nothing is an
+    // interpreted array HOF. Safe because shingle document-frequency is
+    // bounded (max 9 here); a hub-shingle corpus would need a df cap.
+    val t = Tables(spark, dir)
+    val toks = t.spread(t.documents).filter(col("doc_id") % 4 === 0)
+      .select(col("doc_id"), col("lang"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val rows = toks
+      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
+      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+      .distinct()
+    val counts = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = rows.as("a").join(rows.as("b"),
+        col("a.lang") === col("b.lang") && col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.lang").as("lang"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 6))
       .filter(col("jaccard") >= 0.5)
       .select("doc_a", "doc_b", "lang", "n_inter", "n_union", "jaccard")
