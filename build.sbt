@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver greps sbt stdout for Bench's one-line JSON result; sbt's
+// default LoggedOutput prefixes forked stdout with "[info] " which breaks
+// that parse. Pass forked stdout/stderr through raw and drop the
+// "[success] Total time" trailer so the JSON line stays clean.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
