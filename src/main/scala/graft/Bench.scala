@@ -13,13 +13,22 @@ object Bench {
     // timed query doesn't absorb session startup
     try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd.count() evaluates every output column; a DataFrame count()
-      // would let the optimizer prune the computed columns being measured
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // SPARK_GRAFT_ONLY=q01,b04 restricts to named queries and
+    // SPARK_GRAFT_REPEAT=3 reports the per-query minimum — both for local
+    // profiling iterations; the driver sets neither.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        // toRdd.count() evaluates every output column; a DataFrame count()
+        // would let the optimizer prune the computed columns being measured
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -35,7 +35,11 @@ object BatchFramework {
     * otherwise run all regex validation on one core (Tables.spread). */
   private[graft] def taskLines(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val l = t.spread(t.lineitem)
+    // narrow to the 9 needed columns BEFORE the spread shuffle: the scan is
+    // one task (single-row-group file), so shuffle-write width is its cost
+    val l = t.spread(t.lineitem.select(
+      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
     l.select(
       col("l_orderkey").as("batch_id"),
       col("l_linenumber").as("task_number"),
@@ -172,12 +176,22 @@ object BatchFramework {
        |FROM outcomes ORDER BY batch_id, task_number""".stripMargin
 
   // ---------------------------------------------------------------- b04
-  /** GetBatchErrors: per-(batch, task) error grouping with ordered reasons. */
+  /** GetBatchErrors: per-(batch, task) error grouping with ordered reasons.
+    *
+    * No `outcome = ERROR` pre-filter: explode emits exactly the non-null
+    * reasons, so the filter is redundant — and as a derived predicate it
+    * would be pushed into the (single-task) scan stage, re-evaluating the
+    * validation regexes serially. The null filter sits ABOVE the generate,
+    * where the reason expressions were evaluated once, in parallel. */
   def b04ErrorAgg(spark: SparkSession, dir: String): DataFrame =
-    outcomes(spark, dir)
-      .filter(col("outcome") === "ERROR")
+    withValidation(taskLines(spark, dir))
       .select(col("batch_id"), col("task_number"),
-        explode(col("reasons")).as("reason_msg"))
+        explode(array(
+          col("reason"),
+          when(col("l_returnflag") === "R",
+            concat(lit("asset "), col("asset_name"), lit(" could not be created")))
+        )).as("reason_msg"))
+      .filter(col("reason_msg").isNotNull)
       .groupBy(col("batch_id"), col("task_number"))
       .agg(
         count(lit(1)).as("error_count"),

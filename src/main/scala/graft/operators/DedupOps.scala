@@ -116,13 +116,16 @@ object DedupOps {
         sequence(lit(0), size(tk) - 3),
         i => xxhash64(element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3)))))
 
-  /** All unordered id pairs of a sorted id array, as flat structs —
-    * the bucket-local pair generator (codegen'd HOFs, no join). */
-  def pairsOf(ids: Column): Column = {
-    val sorted = array_sort(ids)
-    flatten(transform(sequence(lit(0), size(sorted) - 2), i =>
-      transform(sequence(i + 1, size(sorted) - 1), j =>
-        struct(element_at(sorted, i + 1).as("a"), element_at(sorted, j + 1).as("b")))))
+  /** Keep only rows whose (bucket-key) group has size in (1, maxBucket]:
+    * the degenerate-bucket cap, as one window count over the same key the
+    * pair join shuffles on — no extra join, no array materialization.
+    * Oversized buckets are low-information keys and quadratic to expand;
+    * at 100 TB you'd recurse into them with more bands instead. */
+  private def capBuckets(df: DataFrame, maxBucket: Int, keys: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("_n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .filter(col("_n") > 1 && col("_n") <= maxBucket)
+      .drop("_n")
   }
 
   /** d03: MinHash+LSH candidate pairs, verified with exact Jaccard.
@@ -161,15 +164,17 @@ object DedupOps {
       .groupBy(col("doc_id"), col("band"))
       .agg(sort_array(collect_list(col("h"))).as("hs"))
       .select(col("doc_id"), col("band"), xxhash64(col("band"), col("hs")).as("key"))
-    // Buckets larger than MaxBucket are degenerate (low-information keys —
-    // here: a tiny shared vocabulary) and quadratic to expand; skip them.
-    // At 100 TB you'd recurse into them with more bands instead.
-    val candidates = sigs
-      .groupBy(col("band"), col("key"))
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) > 1 && size(col("ids")) <= MaxBucket)
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+    // Bucket-local pair emission as a self-equi-join on the bucket key:
+    // fully whole-stage-codegen (the earlier array-HOF pair expansion was
+    // interpreted and re-evaluated array_sort per referenced element, ~5 s
+    // at sf0.1 → ~0.3 s). Both sides shuffle on (band, key) — the window
+    // cap already partitioned by it, so AQE reuses the exchange.
+    val capped = capBuckets(sigs, MaxBucket, col("band"), col("key"))
+    val candidates = capped.as("x")
+      .join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
     // exact-Jaccard verify, relationally: |A∩B| = count of equal hashes
     // joined through the candidate pair; |A∪B| from per-doc counts.
@@ -220,33 +225,28 @@ object DedupOps {
 
   /** d04: SimHash near-dup candidates via 4×16-bit pigeonhole blocking
     * (Hamming ≤ 3 guarantees ≥1 equal segment). Signatures are computed
-    * once per doc; segment buckets collect (id, sig) structs and emit
-    * candidate pairs locally (no self-join); Hamming runs on candidates
-    * only. Rows-only. */
+    * once per doc; candidate pairs come from a codegen'd self-equi-join on
+    * (segment, segment-value), deduped across segments; Hamming runs on
+    * candidates only. Rows-only. */
   def d04DedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val d = simhashSigs(t.spread(t.documents))
     val segLen = SimhashBits / Segments
-    val buckets = d.select(
+    val segRows = d.select(
         col("doc_id"), col("sig"),
         explode(array((0 until Segments).map(s =>
           struct(lit(s).as("seg"),
             shiftrightunsigned(col("sig"), s * segLen)
               .bitwiseAND((1L << segLen) - 1).as("seg_val"))): _*)).as("sv"))
-      .groupBy(col("sv.seg").as("seg"), col("sv.seg_val").as("seg_val"))
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
-      // same degenerate-bucket cap as d03 — see MaxBucket
-      .filter(size(col("members")) > 1 && size(col("members")) <= MaxBucket)
-    val sorted = array_sort(col("members"))
-    val pairs = buckets
-      .select(explode(flatten(transform(sequence(lit(0), size(sorted) - 2), i =>
-        transform(sequence(i + 1, size(sorted) - 1), j =>
-          struct(
-            element_at(sorted, i + 1).getField("doc_id").as("doc_a"),
-            element_at(sorted, j + 1).getField("doc_id").as("doc_b"),
-            element_at(sorted, i + 1).getField("sig").as("sig_a"),
-            element_at(sorted, j + 1).getField("sig").as("sig_b")))))).as("p"))
-      .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
+      .select(col("doc_id"), col("sig"), col("sv.seg").as("seg"), col("sv.seg_val").as("seg_val"))
+    // same degenerate-bucket cap as d03 — see MaxBucket
+    val capped = capBuckets(segRows, MaxBucket, col("seg"), col("seg_val"))
+    val pairs = capped.as("x")
+      .join(capped.as("y"),
+        col("x.seg") === col("y.seg") && col("x.seg_val") === col("y.seg_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
       .distinct()
     pairs
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
