@@ -9,10 +9,25 @@ object Bench {
       shufflePartitions = cpus.toInt
     ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warmup: JIT + codegen + parquet-footer caches, so the first
-    // timed query doesn't absorb session startup
+    // Untimed warmup: JIT + generated-code compilation + parquet-footer
+    // caches, so timed queries measure steady-state throughput, not JVM
+    // startup. Warm each query's code paths on the SMALLEST scale factor
+    // available (different data files — no page/data-cache contamination of
+    // the timed sf), falling back to the flagship query alone.
+    val warmDir = {
+      val small = "/root/testdata/sf0.001"
+      if (sys.env.contains("SPARK_GRAFT_NO_WARMUP")) None
+      else if (new java.io.File(small).isDirectory && small != sfDir) Some(small)
+      else None
+    }
     try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
+    warmDir.foreach { wd =>
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, wd).queryExecution.toRdd.count()
+        catch { case _: Throwable => () }
+      }
+    }
     // SPARK_GRAFT_ONLY=q01,b04 restricts to named queries and
     // SPARK_GRAFT_REPEAT=3 reports the per-query minimum — both for local
     // profiling iterations; the driver sets neither.

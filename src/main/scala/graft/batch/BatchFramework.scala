@@ -30,6 +30,10 @@ object BatchFramework {
 
   private def dec2(c: Column): Column = c.cast("decimal(18,2)")
 
+  private val NarrowTaskCols = Seq(
+    "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+    "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")
+
   /** Derived task lines: the CreateBatch upload reconstructed from lineitem.
     * The scan is spread first: the local single-row-group file would
     * otherwise run all regex validation on one core (Tables.spread). */
@@ -37,9 +41,23 @@ object BatchFramework {
     val t = Tables(spark, dir)
     // narrow to the 9 needed columns BEFORE the spread shuffle: the scan is
     // one task (single-row-group file), so shuffle-write width is its cost
-    val l = t.spread(t.lineitem.select(
-      "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
-      "l_tax", "l_returnflag", "l_linestatus", "l_shipdate"))
+    derive(t.spread(t.lineitem.select(NarrowTaskCols.head, NarrowTaskCols.tail: _*)))
+  }
+
+  /** [[taskLines]] with rows already globally ordered by (batch_id,
+    * task_number): the sort runs on the NARROW scan columns (so the range
+    * partitioner's sampling pass re-executes only the cheap scan) and the
+    * derived/regex columns are computed after it — order-preserving, in
+    * parallel, exactly once. Row-level queries whose output order is
+    * (batch_id, task_number) use this and need no final sort; the range
+    * exchange doubles as the spread. */
+  private[graft] def taskLinesSorted(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    derive(t.lineitem.select(NarrowTaskCols.head, NarrowTaskCols.tail: _*)
+      .orderBy("l_orderkey", "l_linenumber"))
+  }
+
+  private def derive(l: DataFrame): DataFrame = {
     l.select(
       col("l_orderkey").as("batch_id"),
       col("l_linenumber").as("task_number"),
@@ -102,12 +120,12 @@ object BatchFramework {
        |)""".stripMargin
 
   // ---------------------------------------------------------------- b01
-  /** CreateBatch + AnalyzeBatch per-task validation. */
+  /** CreateBatch + AnalyzeBatch per-task validation. Sorted-first: see
+    * [[taskLinesSorted]] — output order comes from the narrow early sort. */
   def b01CreateValidate(spark: SparkSession, dir: String): DataFrame =
-    withValidation(taskLines(spark, dir))
+    withValidation(taskLinesSorted(spark, dir))
       .withColumn("comma_count", col("comma_count").cast("long"))
       .select("batch_id", "task_number", "task_line", "comma_count", "is_valid", "reason")
-      .orderBy("batch_id", "task_number")
 
   val b01Sql: String =
     s"""$TaskLinesSql, $ValidationSql
@@ -137,17 +155,21 @@ object BatchFramework {
   /** ProcessBatch per-task outcome: a task errors if its line is invalid
     * (AnalyzeBatch) or its asset creation fails (ProcessBatch.groovy:187-197,
     * mapped to l_returnflag='R'). Both reasons can co-occur. */
+  private def withOutcome(validated: DataFrame): DataFrame =
+    validated
+      .withColumn("asset_reason",
+        when(col("l_returnflag") === "R",
+          concat(lit("asset "), col("asset_name"), lit(" could not be created"))))
+      .withColumn("outcome",
+        when(col("reason").isNotNull || col("asset_reason").isNotNull, lit("ERROR"))
+          .otherwise(lit("SUCCESS")))
+
+  /** Per-task outcome over the spread (unsorted) task lines — the shared
+    * input of the aggregating queries b05/b06/b12. No array is built: the
+    * two possible reasons stay scalar columns (`reason`, `asset_reason`)
+    * and `outcome` is a cheap null test. */
   private def outcomes(spark: SparkSession, dir: String): DataFrame =
-    withValidation(taskLines(spark, dir))
-      .withColumn(
-        "reasons",
-        array_compact(array(
-          col("reason"),
-          when(col("l_returnflag") === "R",
-            concat(lit("asset "), col("asset_name"), lit(" could not be created")))
-        ))
-      )
-      .withColumn("outcome", when(size(col("reasons")) > 0, lit("ERROR")).otherwise(lit("SUCCESS")))
+    withOutcome(withValidation(taskLines(spark, dir)))
 
   private val OutcomesSql: String =
     s"""$TaskLinesSql, $ValidationSql, outcomes AS (
@@ -163,11 +185,12 @@ object BatchFramework {
        |  FROM validated
        |)""".stripMargin
 
+  /** Sorted-first like b01; `concat_ws` skips nulls, so it equals the
+    * reference's joined non-null reason list ("" when the task succeeded). */
   def b03ProcessOutcomes(spark: SparkSession, dir: String): DataFrame =
-    outcomes(spark, dir)
+    withOutcome(withValidation(taskLinesSorted(spark, dir)))
       .select(col("batch_id"), col("task_number"), col("outcome"),
-        array_join(col("reasons"), "|").as("reasons"))
-      .orderBy("batch_id", "task_number")
+        concat_ws("|", col("reason"), col("asset_reason")).as("reasons"))
 
   val b03Sql: String =
     s"""$OutcomesSql
@@ -385,15 +408,19 @@ object BatchFramework {
 
   // ---------------------------------------------------------------- b11
   /** CreateBatch `k=v;k=v` property parsing → map → exploded rows
-    * (CreateBatch.groovy:24 upload contract). */
+    * (CreateBatch.groovy:24 upload contract). Sorted-first on the narrow
+    * scan; exploding `sort_array(map_entries(...))` emits each task's
+    * properties already in key order, so the 3×-larger exploded output
+    * never needs a sort of its own. */
   def b11PropertyParse(spark: SparkSession, dir: String): DataFrame =
-    taskLines(spark, dir)
+    taskLinesSorted(spark, dir)
       .withColumn("props",
         concat(lit("qty="), col("l_quantity").cast("int"),
           lit(";rf="), col("l_returnflag"), lit(";ls="), col("l_linestatus")))
       .select(col("batch_id"), col("task_number"),
-        explode(expr("str_to_map(props, ';', '=')")).as(Seq("prop_key", "prop_value")))
-      .orderBy("batch_id", "task_number", "prop_key")
+        explode(sort_array(map_entries(expr("str_to_map(props, ';', '=')")))).as("p"))
+      .select(col("batch_id"), col("task_number"),
+        col("p.key").as("prop_key"), col("p.value").as("prop_value"))
 
   val b11Sql: String =
     s"""$TaskLinesSql, props AS (

@@ -148,6 +148,11 @@ object DedupOps {
     val toks = t.spread(t.documents)
       .select(col("doc_id"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // Recomputed by each of its four consumers (signature ranks, per-doc
+    // counts, both intersection sides): at this width the pipeline is
+    // cheaper to re-run than to round-trip through the columnar cache.
+    // At 100 TB the shingle relation would instead be materialized once,
+    // written bucketed by doc_id, before the multi-pass verify.
     val sh = toks
       .withColumn("t1", lead(col("tok"), 1).over(wDoc))
       .withColumn("t2", lead(col("tok"), 2).over(wDoc))
@@ -178,16 +183,18 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared_bands"))
     // exact-Jaccard verify, relationally: |A∩B| = count of equal hashes
     // joined through the candidate pair; |A∪B| from per-doc counts.
+    // n_shared_bands rides through the intersection aggregate (max of a
+    // per-pair constant), so `candidates` is consumed exactly once — a pair
+    // sharing a band shares that band's 4 minima, so n_inter ≥ 4 and no
+    // candidate is lost to the inner joins.
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b2"), col("h").as("h_b")),
         col("doc_b") === col("doc_b2") && col("h") === col("h_b"))
       .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    candidates.as("c")
-      .join(inter.select(col("doc_a"), col("doc_b"), col("n_inter")), Seq("doc_a", "doc_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
+      .agg(count(lit(1)).as("n_inter"), max(col("n_shared_bands")).as("n_shared_bands"))
+    inter
       .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
       .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
       .withColumn("jaccard", round(col("n_inter").cast("double") /
