@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.batch.BatchFramework
-import graft.operators.{AsOfJoin, CoreQueries, DedupOps, ExtendedQueries, MultimodalOps, TextOps, VectorOps}
+import graft.operators.{AsOfJoin, CoreQueries, DedupOps, ExtendedQueries, MultimodalOps, TextOps, TpchQueries, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -46,6 +46,19 @@ object SparkEntry {
     "q16_supplier_cnt"     -> ExtendedQueries.q16SupplierCnt _,
     "q18_large_orders"     -> ExtendedQueries.q18LargeOrders _,
     "q22_idle_rich"        -> ExtendedQueries.q22IdleRich _,
+    // §B TPC-H completion
+    "q04_order_priority"   -> TpchQueries.q04OrderPriority _,
+    "q07_volume_shipping"  -> TpchQueries.q07VolumeShipping _,
+    "q08_market_share"     -> TpchQueries.q08MarketShare _,
+    "q09_product_profit"   -> TpchQueries.q09ProductProfit _,
+    "q11_important_parts"  -> TpchQueries.q11ImportantParts _,
+    "q12_shipmode"         -> TpchQueries.q12ShipmodePriority _,
+    "q14_promo_effect"     -> TpchQueries.q14PromoEffect _,
+    "q15_top_supplier"     -> TpchQueries.q15TopSupplier _,
+    "q17_small_qty"        -> TpchQueries.q17SmallQtyRevenue _,
+    "q19_disjunctive"      -> TpchQueries.q19DisjunctivePredicates _,
+    "q20_promo_suppliers"  -> TpchQueries.q20PromotionSuppliers _,
+    "q21_waiting_suppliers" -> TpchQueries.q21WaitingSuppliers _,
     // §C LLM-pipeline operators
     "d01_dedup_exact"      -> TextOps.d01DedupExact _,
     "d02_dedup_jaccard"    -> DedupOps.d02DedupJaccard _,
@@ -95,6 +108,18 @@ object SparkEntry {
     "q16_supplier_cnt"     -> ExtendedQueries.q16Sql,
     "q18_large_orders"     -> ExtendedQueries.q18Sql,
     "q22_idle_rich"        -> ExtendedQueries.q22Sql,
+    "q04_order_priority"   -> TpchQueries.q04Sql,
+    "q07_volume_shipping"  -> TpchQueries.q07Sql,
+    "q08_market_share"     -> TpchQueries.q08Sql,
+    "q09_product_profit"   -> TpchQueries.q09Sql,
+    "q11_important_parts"  -> TpchQueries.q11Sql,
+    "q12_shipmode"         -> TpchQueries.q12Sql,
+    "q14_promo_effect"     -> TpchQueries.q14Sql,
+    "q15_top_supplier"     -> TpchQueries.q15Sql,
+    "q17_small_qty"        -> TpchQueries.q17Sql,
+    "q19_disjunctive"      -> TpchQueries.q19Sql,
+    "q20_promo_suppliers"  -> TpchQueries.q20Sql,
+    "q21_waiting_suppliers" -> TpchQueries.q21Sql,
     // §C — d03/d04/s02 are xxhash64-based: rows-only, no oracle entry
     "d01_dedup_exact"      -> TextOps.d01Sql,
     "d02_dedup_jaccard"    -> DedupOps.d02Sql,

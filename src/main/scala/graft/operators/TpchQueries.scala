@@ -1,0 +1,448 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §B completion: the remaining TPC-H query shapes (Q4, Q7, Q8, Q9, Q11,
+  * Q12, Q14, Q15, Q17, Q19, Q20, Q21), adapted to the reduced testdata
+  * schema (no partsupp, no commit/receipt dates, no ship mode/container) —
+  * the operator SHAPES are preserved: EXISTS aggregation, nation-pair
+  * volume, market share, profit roll-up, value-concentration threshold,
+  * derived-dimension priority counts, promo ratio, view+argmax, correlated
+  * average (decorrelated), disjunctive predicate pushdown, nested
+  * semi-join with HAVING, and double-correlated EXISTS/NOT EXISTS
+  * (decorrelated to per-group distinct counts).
+  *
+  * Correctness discipline is SURVEY §6: money stays DECIMAL until the final
+  * cast; threshold comparisons are restructured to integer/decimal-exact
+  * forms (never a double boundary); ratios are rounded to 6 places in both
+  * engines.
+  */
+object TpchQueries {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+  private def rate(c: Column): Column = c.cast("decimal(4,2)")
+  private val one = lit(1).cast("decimal(3,2)")
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  private def discPrice(ep: Column, d: Column): Column =
+    dec2(ep) * (one - rate(d))
+
+  private val DiscPriceSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+
+  // ---------------------------------------------------------------- q04
+  /** Q4 shape: EXISTS semi-join + count by priority. Late orders become
+    * orders with ≥1 returned line (no commit/receipt dates in the schema). */
+  def q04OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val o = t.orders.filter(
+      col("o_orderdate") >= ts("1997-01-01") && col("o_orderdate") < ts("1997-04-01"))
+    val flagged = t.lineitem.filter(col("l_returnflag") === "R").select("l_orderkey")
+    o.join(flagged, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  /** Q7 shape: volume shipping between two nations by year. Both nation
+    * lookups broadcast; the orders⨝lineitem join shuffles on the order key. */
+  def q07VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val n1 = t.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = t.nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    val s = t.supplier.select("s_suppkey", "s_nationkey")
+    val c = t.customer.select("c_custkey", "c_nationkey")
+    val l = t.lineitem.filter(
+      col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    l.join(t.orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(
+        (col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_8") ||
+          (col("supp_nation") === "NATION_8" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q07Sql: String =
+    s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  CAST(sum($DiscPriceSql) AS DOUBLE) AS revenue
+       |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+       |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+       |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+       |  AND c_nationkey = n2.n_nationkey
+       |  AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+       |    OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  /** Q8 shape: national market share — NATION_3's fraction of ECONOMY-part
+    * volume sold into AMERICA, by order year. The ratio is a conditional
+    * decimal sum over a total decimal sum, divided in double and rounded. */
+  def q08MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val amNations = t.nation
+      .join(broadcast(t.region.filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNation = t.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val p = t.part.filter(col("p_type") === "ECONOMY").select("p_partkey")
+    val o = t.orders.filter(
+      col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val vol = discPrice(col("l_extendedprice"), col("l_discount"))
+    t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(t.customer.select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(amNations), col("c_nationkey") === col("c_nk"), "left_semi")
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0).cast("decimal(18,2)")))
+          .cast("double") /
+          sum(vol).cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q08Sql: String =
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  round(
+       |    CAST(sum(CASE WHEN n2.n_name = 'NATION_3' THEN $DiscPriceSql
+       |                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       |    / CAST(sum($DiscPriceSql) AS DOUBLE), 6) AS mkt_share
+       |FROM lineitem, part, orders, customer, nation n1, region, supplier, nation n2
+       |WHERE l_partkey = p_partkey AND p_type = 'ECONOMY'
+       |  AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+       |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+       |  AND r_name = 'AMERICA'
+       |  AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  /** Q9 shape: product-type profit by supplier nation and year. With no
+    * partsupp, supply cost is the part's retail price × quantity. Both
+    * products are cast to DECIMAL(30,4) before subtracting so Spark and
+    * DuckDB agree on the exact intermediate type. */
+  def q09ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val p = t.part.filter(col("p_name").contains("widget")).select("p_partkey", "p_retailprice")
+    val amount =
+      discPrice(col("l_extendedprice"), col("l_discount")).cast("decimal(30,4)") -
+        (dec2(col("p_retailprice")) * dec2(col("l_quantity"))).cast("decimal(30,4)")
+    t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(t.orders.select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q09Sql: String =
+    s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  CAST(sum(
+       |    CAST($DiscPriceSql AS DECIMAL(30,4))
+       |    - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(30,4))
+       |  ) AS DOUBLE) AS sum_profit
+       |FROM lineitem, part, orders, supplier, nation
+       |WHERE l_partkey = p_partkey AND l_orderkey = o_orderkey
+       |  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+       |  AND p_name LIKE '%widget%'
+       |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  // ---------------------------------------------------------------- q11
+  /** Q11 shape: value concentration — parts (supplied from NATION_5) whose
+    * lineitem value exceeds 1/3000 of the filtered total. The threshold
+    * compare is decimal-exact: 3000·v > total, never a double boundary.
+    * The total travels as a broadcast single-row cross join. */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val natSupp = t.supplier
+      .join(broadcast(t.nation.filter(col("n_name") === "NATION_3")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey")
+    val vals = t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("decimal(24,4)").as("v"))
+    val total = vals.agg(sum(col("v")).cast("decimal(34,4)").as("total"))
+    vals.crossJoin(broadcast(total))
+      .filter(col("v") * lit(3000) > col("total"))
+      .select(col("l_partkey"), col("v").cast("double").as("part_value"))
+      .orderBy(col("part_value").desc, col("l_partkey"))
+  }
+
+  val q11Sql: String =
+    s"""WITH vals AS (
+       |  SELECT l_partkey, CAST(sum($DiscPriceSql) AS DECIMAL(24,4)) AS v
+       |  FROM lineitem
+       |  WHERE EXISTS (SELECT 1 FROM supplier, nation
+       |    WHERE s_suppkey = l_suppkey AND s_nationkey = n_nationkey
+       |      AND n_name = 'NATION_3')
+       |  GROUP BY l_partkey
+       |)
+       |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+       |FROM vals
+       |WHERE v * 3000 > (SELECT CAST(sum(v) AS DECIMAL(34,4)) FROM vals)
+       |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  /** Q12 shape: priority counting by a (derived) ship-mode dimension — the
+    * schema has no l_shipmode, so mode is derived deterministically from
+    * the supplier key in both engines. */
+  def q12ShipmodePriority(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val l = t.lineitem.filter(
+      col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .select(col("l_orderkey"),
+        element_at(lit(Array("MAIL", "RAIL", "SHIP")), pmod(col("l_suppkey"), lit(3)).cast("int") + 1)
+          .as("ship_mode"))
+    l.join(t.orders.select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("ship_mode"))
+      .agg(
+        count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("high_line_count"),
+        count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("low_line_count"))
+      .orderBy("ship_mode")
+  }
+
+  val q12Sql: String =
+    """SELECT (['MAIL', 'RAIL', 'SHIP'])[(l_suppkey % 3) + 1] AS ship_mode,
+      |  count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END) AS high_line_count,
+      |  count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  /** Q14 shape: promo revenue ratio over one month (conditional sum /
+    * total sum, double division, rounded). */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val vol = discPrice(col("l_extendedprice"), col("l_discount"))
+    t.lineitem.filter(
+        col("l_shipdate") >= ts("1997-03-01") && col("l_shipdate") < ts("1997-04-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .join(broadcast(t.part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        lit(100.0) *
+          sum(when(col("p_type") === "PROMO", vol).otherwise(lit(0).cast("decimal(18,2)")))
+            .cast("double") /
+          sum(vol).cast("double"), 6).as("promo_revenue"))
+  }
+
+  val q14Sql: String =
+    s"""SELECT round(100.0 *
+       |  CAST(sum(CASE WHEN p_type = 'PROMO' THEN $DiscPriceSql
+       |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+       |  / CAST(sum($DiscPriceSql) AS DOUBLE), 6) AS promo_revenue
+       |FROM lineitem, part
+       |WHERE l_partkey = p_partkey
+       |  AND l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  /** Q15 shape: revenue view + argmax via exact-decimal max equality (the
+    * max travels as a broadcast scalar). */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val revenue = t.lineitem.filter(
+        col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1997-04-01"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast("decimal(30,4)").as("total_revenue"))
+    val maxRev = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+    t.supplier.select("s_suppkey", "s_name")
+      .join(revenue, col("s_suppkey") === col("supplier_no"))
+      .crossJoin(broadcast(maxRev))
+      .filter(col("total_revenue") === col("max_revenue"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_revenue").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15Sql: String =
+    s"""WITH revenue AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    CAST(sum($DiscPriceSql) AS DECIMAL(30,4)) AS total_revenue
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+       |  GROUP BY l_suppkey
+       |)
+       |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+       |FROM supplier, revenue
+       |WHERE s_suppkey = supplier_no
+       |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+       |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  /** Q17 shape: small-quantity-order revenue — the correlated per-part
+    * average decorrelated into an aggregate joined back. Quantities are
+    * integral, so the 20%-of-average predicate is the integer-exact
+    * 5·cnt·qty < sum_qty. */
+  def q17SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val p = t.part.filter(col("p_brand") === "Brand#12" && col("p_size") <= 25)
+      .select("p_partkey")
+    val l = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+    val stats = l.groupBy(col("l_partkey").as("agg_partkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty"))
+    l.join(stats, col("l_partkey") === col("agg_partkey"))
+      .filter(col("l_quantity").cast("long") * lit(5L) * col("cnt") < col("sum_qty"))
+      .agg((sum(dec2(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """WITH fl AS (
+      |  SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+      |  WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey
+      |                AND p_brand = 'Brand#12' AND p_size <= 25)
+      |), stats AS (
+      |  SELECT l_partkey AS agg_partkey, count(*) AS cnt,
+      |    sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+      |  FROM fl GROUP BY l_partkey
+      |)
+      |SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM fl, stats
+      |WHERE l_partkey = agg_partkey
+      |  AND CAST(l_quantity AS BIGINT) * 5 * cnt < sum_qty""".stripMargin
+
+  // ---------------------------------------------------------------- q19
+  /** Q19 shape: disjunction of conjunctive brand/size/quantity clauses —
+    * the join predicate Catalyst splits into a pushable part-filter and a
+    * post-join residual. */
+  def q19DisjunctivePredicates(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val p = t.part.select("p_partkey", "p_brand", "p_size")
+    val joined = t.lineitem
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    joined.filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#21" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+      .agg(
+        sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val q19Sql: String =
+    s"""SELECT CAST(sum($DiscPriceSql) AS DOUBLE) AS revenue, count(*) AS n_rows
+       |FROM lineitem, part
+       |WHERE p_partkey = l_partkey AND (
+       |  (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+       |  OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+       |  OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  /** Q20 shape: nested semi-join — suppliers who shipped more than 50 units
+    * of some bolt part in 1997 (aggregate-HAVING inside an IN). */
+  def q20PromotionSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val bolts = t.part.filter(col("p_name").contains("bolt")).select("p_partkey")
+    val heavy = t.lineitem.filter(
+        col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
+      .join(broadcast(bolts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("qty"))
+      .filter(col("qty") > 50)
+      .select("l_suppkey")
+    t.supplier.select("s_suppkey", "s_name")
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .orderBy("s_suppkey")
+  }
+
+  val q20Sql: String =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |    AND EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey
+      |                AND p_name LIKE '%bolt%')
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING sum(CAST(l_quantity AS BIGINT)) > 50)
+      |ORDER BY s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  /** Q21 shape: suppliers-who-kept-waiting — the double-correlated
+    * EXISTS / NOT EXISTS decorrelated into one per-order aggregate:
+    * (EXISTS other supplier) ⟺ distinct suppliers ≥ 2, and (NOT EXISTS
+    * other flagged supplier) ⟺ distinct flagged suppliers = 1 when the
+    * current line is flagged. One extra shuffle replaces two correlated
+    * self-joins over the fact table. */
+  def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val orderStats = t.lineitem
+      .groupBy(col("l_orderkey").as("agg_orderkey"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_supp_flagged"))
+    val fOrders = t.orders.filter(col("o_orderstatus") === "F").select("o_orderkey")
+    t.lineitem.filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .join(orderStats, col("l_orderkey") === col("agg_orderkey"))
+      .filter(col("n_supp") >= 2 && col("n_supp_flagged") === 1)
+      .join(broadcast(t.supplier.select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val q21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+}

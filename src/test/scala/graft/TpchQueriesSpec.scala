@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.TpchQueries
+
+/** The TPC-H-completion shapes (SURVEY §2.B): result sanity on sf0.001 plus
+  * the plan properties that keep each shape viable at 100 TB. DuckDB
+  * hash-exactness is covered by the Verify/oracle gate; these specs pin the
+  * semantics and the physical plans. */
+class TpchQueriesSpec extends GraftSpecBase {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q04: semi-join (no row multiplication), counts by priority") {
+    val rows = TpchQueries.q04OrderPriority(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 5, "one row per priority at most")
+    val plan = TpchQueries.q04OrderPriority(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "EXISTS must plan as a semi join")
+  }
+
+  test("q07: both nation-pair directions present, years bounded") {
+    val rows = TpchQueries.q07VolumeShipping(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.forall { case (_, _, y) => y == 1996L || y == 1997L })
+    assert(rows.nonEmpty)
+    val pairs = rows.map { case (s, c, _) => (s, c) }.toSet
+    assert(pairs.subsetOf(Set(("NATION_3", "NATION_8"), ("NATION_8", "NATION_3"))))
+  }
+
+  test("q08: market share is a fraction in [0, 1]") {
+    val rows = TpchQueries.q08MarketShare(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("q09: groups are (nation, year); dims broadcast") {
+    val df = TpchQueries.q09ProductProfit(spark, sfDir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"), "part/supplier/nation must broadcast")
+    val rows = df.collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).distinct.length == rows.length)
+  }
+
+  test("q11: value-concentration output is non-empty, positive, and sorted") {
+    val all = TpchQueries.q11ImportantParts(spark, sfDir).collect()
+    assert(all.nonEmpty)
+    val vals = all.map(_.getDouble(1))
+    assert(vals.forall(_ > 0))
+    assert(vals.sameElements(vals.sortBy(-_)), "sorted by part_value desc")
+  }
+
+  test("q12: derived ship modes partition all matched lines") {
+    val rows = TpchQueries.q12ShipmodePriority(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("MAIL", "RAIL", "SHIP")))
+    rows.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(2) >= 0))
+  }
+
+  test("q14: promo ratio is a percentage in [0, 100]") {
+    val v = TpchQueries.q14PromoEffect(spark, sfDir).collect()(0).getDouble(0)
+    assert(v >= 0.0 && v <= 100.0)
+  }
+
+  test("q15: exactly the argmax suppliers of the revenue view") {
+    val rows = TpchQueries.q15TopSupplier(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2)).toSet
+    assert(revs.size == 1, "all returned suppliers share the max revenue")
+  }
+
+  test("q17: single-row scalar output") {
+    val rows = TpchQueries.q17SmallQtyRevenue(spark, sfDir).collect()
+    assert(rows.length == 1)
+  }
+
+  test("q19: disjunctive predicate stays a single broadcast join, no cartesian") {
+    val plan = planOf(TpchQueries.q19DisjunctivePredicates(spark, sfDir))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q20: returned suppliers actually shipped >50 units of a bolt part") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sfDir)
+    val got = TpchQueries.q20PromotionSuppliers(spark, sfDir).collect().map(_.getLong(0)).toSet
+    val expected = t.lineitem
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t.part.filter(col("p_name").contains("bolt")).select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+      .filter(col("q") > 50)
+      .select("l_suppkey").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("q21: decorrelated form agrees with a literal EXISTS/NOT-EXISTS evaluation") {
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sfDir)
+    val li = t.lineitem.select("l_orderkey", "l_suppkey", "l_returnflag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val fOrders = t.orders.filter(col("o_orderstatus") === "F")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val byOrder = li.groupBy(_._1)
+    val supplierNames = t.supplier.select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = li.filter { case (ok, sk, rf) =>
+      rf == "R" && fOrders.contains(ok) &&
+        byOrder(ok).exists(o => o._2 != sk) &&
+        !byOrder(ok).exists(o => o._2 != sk && o._3 == "R")
+    }.groupBy(l => supplierNames(l._2)).view.mapValues(_.length.toLong).toMap
+    val got = TpchQueries.q21WaitingSuppliers(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
+}
