@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.batch.BatchFramework
-import graft.operators.{AsOfJoin, CoreQueries, DedupOps, ExtendedQueries, MultimodalOps, TextOps, TpchQueries, VectorOps}
+import graft.operators.{AnalyticOps, AsOfJoin, CoreQueries, DedupOps, ExtendedQueries, MultimodalOps, TextOps, TpchQueries, VectorOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory. */
 object SparkEntry {
@@ -59,6 +59,14 @@ object SparkEntry {
     "q19_disjunctive"      -> TpchQueries.q19DisjunctivePredicates _,
     "q20_promo_suppliers"  -> TpchQueries.q20PromotionSuppliers _,
     "q21_waiting_suppliers" -> TpchQueries.q21WaitingSuppliers _,
+    // §B analytic widening
+    "a01_cube_agg"         -> AnalyticOps.a01CubeAgg _,
+    "a02_pivot"            -> AnalyticOps.a02Pivot _,
+    "a03_percentiles"      -> AnalyticOps.a03Percentiles _,
+    "a04_setops"           -> AnalyticOps.a04SetOps _,
+    "a05_range_join"       -> AnalyticOps.a05RangeJoin _,
+    "a06_approx_distinct"  -> AnalyticOps.a06ApproxDistinct _,
+    "a07_range_window"     -> AnalyticOps.a07RangeWindow _,
     // §C LLM-pipeline operators
     "d01_dedup_exact"      -> TextOps.d01DedupExact _,
     "d02_dedup_jaccard"    -> DedupOps.d02DedupJaccard _,
@@ -72,6 +80,7 @@ object SparkEntry {
     "t03_token_count"      -> TextOps.t03TokenCount _,
     "t04_fingerprint"      -> TextOps.t04Fingerprint _,
     "c01_corpus_ngrams"    -> TextOps.c01CorpusNgrams _,
+    "c02_tfidf"            -> TextOps.c02TfIdf _,
     "m01_multimodal_meta"  -> MultimodalOps.m01MultimodalMeta _
   )
 
@@ -120,6 +129,13 @@ object SparkEntry {
     "q19_disjunctive"      -> TpchQueries.q19Sql,
     "q20_promo_suppliers"  -> TpchQueries.q20Sql,
     "q21_waiting_suppliers" -> TpchQueries.q21Sql,
+    // a06 is HLL-sketch-based: rows-only, no oracle entry
+    "a01_cube_agg"         -> AnalyticOps.a01Sql,
+    "a02_pivot"            -> AnalyticOps.a02Sql,
+    "a03_percentiles"      -> AnalyticOps.a03Sql,
+    "a04_setops"           -> AnalyticOps.a04Sql,
+    "a05_range_join"       -> AnalyticOps.a05Sql,
+    "a07_range_window"     -> AnalyticOps.a07Sql,
     // §C — d03/d04/s02 are xxhash64-based: rows-only, no oracle entry
     "d01_dedup_exact"      -> TextOps.d01Sql,
     "d02_dedup_jaccard"    -> DedupOps.d02Sql,
@@ -130,6 +146,7 @@ object SparkEntry {
     "t03_token_count"      -> TextOps.t03Sql,
     "t04_fingerprint"      -> TextOps.t04Sql,
     "c01_corpus_ngrams"    -> TextOps.c01Sql,
+    "c02_tfidf"            -> TextOps.c02Sql,
     "m01_multimodal_meta"  -> MultimodalOps.m01Sql
   )
 }

@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** §B widening: the analytic shapes beyond plain TPC-H — CUBE grouping,
+  * pivot, exact percentiles, set operations, bucketed range join, and
+  * interval (RANGE-frame) windows. Each keeps SURVEY §6 oracle discipline;
+  * the range join demonstrates the bucketed-equi-join rewrite that keeps
+  * time-proximity joins shuffle-bounded at 100 TB.
+  */
+object AnalyticOps {
+
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  // ---------------------------------------------------------------- a01
+  /** CUBE aggregation over (priority, status) with portable grouping flags
+    * (isnull-derived, not grouping_id — bit conventions differ by engine). */
+  def a01CubeAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(dec2(col("o_totalprice"))).cast("double").as("total_value"))
+      .withColumn("is_priority_total", col("o_orderpriority").isNull.cast("int"))
+      .withColumn("is_status_total", col("o_orderstatus").isNull.cast("int"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  val a01Sql: String =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  CAST(o_orderpriority IS NULL AS INT) AS is_priority_total,
+      |  CAST(o_orderstatus IS NULL AS INT) AS is_status_total
+      |FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+      |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- a02
+  /** Pivot: order counts per priority (rows) × status (columns). The
+    * column set is declared, so the plan is one aggregate — no second
+    * distinct-values pass, which is the 100 TB form of pivot. */
+  def a02Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("O", "P", "F"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("O", "P", "F"))
+      .withColumnsRenamed(Map("O" -> "n_open", "P" -> "n_in_process", "F" -> "n_complete"))
+      .orderBy("o_orderpriority")
+
+  val a02Sql: String =
+    """SELECT o_orderpriority,
+      |  count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+      |  count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_in_process,
+      |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_complete
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- a03
+  /** Exact interpolated percentiles (median / p90) of order value per
+    * status: one sort-based aggregate per group, rounded to 6 places in
+    * both engines to absorb last-ulp interpolation differences. */
+  def a03Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50_value"),
+        round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90_value"),
+        round(min(col("o_totalprice")), 6).as("min_value"),
+        round(max(col("o_totalprice")), 6).as("max_value"))
+      .orderBy("o_orderstatus")
+
+  val a03Sql: String =
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  round(quantile_cont(o_totalprice, 0.5), 6) AS p50_value,
+      |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90_value,
+      |  round(min(o_totalprice), 6) AS min_value,
+      |  round(max(o_totalprice), 6) AS max_value
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- a04
+  /** Set operations: INTERSECT (big spenders who also bought recently) and
+    * EXCEPT (big spenders who did not) — both distinct-set semantics, each
+    * one hash-partitioned distinct. */
+  def a04SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val big = t.orders.filter(col("o_totalprice") > 150000).select("o_custkey")
+    val recent = t.orders.filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    val both = big.intersect(recent)
+      .select(col("o_custkey"), lit("BIG_AND_RECENT").as("bucket"))
+    val onlyBig = big.except(recent)
+      .select(col("o_custkey"), lit("BIG_NOT_RECENT").as("bucket"))
+    both.unionAll(onlyBig).orderBy("bucket", "o_custkey")
+  }
+
+  val a04Sql: String =
+    """WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000),
+      |recent AS (SELECT o_custkey FROM orders
+      |           WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |SELECT o_custkey, 'BIG_AND_RECENT' AS bucket FROM (SELECT * FROM big INTERSECT SELECT * FROM recent)
+      |UNION ALL
+      |SELECT o_custkey, 'BIG_NOT_RECENT' AS bucket FROM (SELECT * FROM big EXCEPT SELECT * FROM recent)
+      |ORDER BY bucket, o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- a05
+  /** Bucketed range join: for each error event, count same-user events in
+    * the preceding 5 minutes. The time-proximity predicate becomes an
+    * equi-join on (user, 5-minute bucket) — errors probe their own and the
+    * previous bucket — plus a residual range filter: shuffle is bounded by
+    * bucket fan-out (2×), never a per-user cross product. At 100 TB this is
+    * the only viable plan for a time-window join off the streaming path. */
+  def a05RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val BucketUs = 300L * 1000000L
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+    val probes = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("p_user"), col("event_id").as("error_event_id"),
+        col("ts_us").as("p_ts"))
+      .withColumn("bucket", explode(array(
+        (col("p_ts") / BucketUs).cast("long"),
+        (col("p_ts") / BucketUs).cast("long") - 1)))
+    val build = ev.select(col("user_id").as("b_user"), col("event_id").as("b_event"),
+        col("ts_us").as("b_ts"))
+      .withColumn("bucket", (col("b_ts") / BucketUs).cast("long"))
+    probes.join(build,
+        col("p_user") === col("b_user") && probes("bucket") === build("bucket") &&
+          col("b_ts") >= col("p_ts") - BucketUs && col("b_ts") < col("p_ts"))
+      .groupBy(col("p_user").as("user_id"), col("error_event_id"))
+      .agg(count(lit(1)).as("n_preceding"))
+      .orderBy("user_id", "error_event_id")
+  }
+
+  val a05Sql: String =
+    """SELECT e.user_id, e.event_id AS error_event_id, count(*) AS n_preceding
+      |FROM events e JOIN events b
+      |  ON b.user_id = e.user_id
+      | AND epoch_us(b.ts) >= epoch_us(e.ts) - 300 * 1000000
+      | AND epoch_us(b.ts) < epoch_us(e.ts)
+      |WHERE e.event_type = 'error'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- a06
+  /** approx_count_distinct (HyperLogLog++) per event type next to the exact
+    * count — the sketch path for 100 TB cardinalities. Rows-only: HLL
+    * estimates are implementation-specific (the spec asserts <5% error). */
+  def a06ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy("event_type")
+
+  // ---------------------------------------------------------------- a07
+  /** Interval-frame window: per-customer trailing-30-day order value
+    * (RANGE frame over event time, not row counts). One shuffle on the
+    * customer key; frame bounds are in microseconds. */
+  def a07RangeWindow(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val DayUs = 86400L * 1000000L
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("order_date_us"))
+      .rangeBetween(-30L * DayUs, 0L)
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("order_date_us"),
+        dec2(col("o_totalprice")).as("p"))
+      .withColumn("trailing_30d_value", sum(col("p")).over(w).cast("double"))
+      .drop("p")
+      .orderBy("o_custkey", "order_date_us", "o_orderkey")
+  }
+
+  val a07Sql: String =
+    """SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS order_date_us,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+      |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS trailing_30d_value
+      |FROM orders
+      |ORDER BY o_custkey, order_date_us, o_orderkey""".stripMargin
+}

@@ -229,4 +229,48 @@ object TextOps {
        |        i -> CAST(ascii(substr(norm, CAST(i AS INT), 1)) AS BIGINT))),
        |    (h, c) -> (h * 131 + c) % $FpMod) AS fp_poly
        |FROM norm ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- c02
+  /** c02: tf-idf top-5 terms per document. tf and df are exact counts; the
+    * score is rounded to 6 places BEFORE ranking so both engines rank the
+    * same values (ties broken by term). Corpus size travels as a broadcast
+    * scalar. At 100 TB the shuffles carry (doc, term) and (term) keys only —
+    * text never moves after the scan. */
+  def c02TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs(spark, dir)
+      .select(col("doc_id"), explode(tokensOf(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs(spark, dir).agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("doc_id", "rank", "term", "tf", "df", "score")
+      .orderBy("doc_id", "rank")
+  }
+
+  val c02Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $TokensSql AS tk FROM documents
+       |), tf AS (
+       |  SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks) GROUP BY 1, 2
+       |), dfreq AS (
+       |  SELECT term AS d_term, count(*) AS df FROM tf GROUP BY 1
+       |), scored AS (
+       |  SELECT doc_id, term, tf, df,
+       |    round(tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df), 6) AS score
+       |  FROM tf JOIN dfreq ON term = d_term
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS rank FROM scored
+       |)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+       |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+       |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
 }

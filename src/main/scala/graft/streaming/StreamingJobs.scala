@@ -145,4 +145,16 @@ object StreamingJobs {
           }
       }
   }
+
+  // ------------------------------------------------------------ dedup
+  /** Streaming exact dedup (the streaming face of d01): drop events whose
+    * key was already seen within the watermark horizon. State is one entry
+    * per key, evicted as the watermark advances — bounded regardless of
+    * stream length; the batch-side canonicalization (d01) remains the
+    * source of truth beyond the horizon. Works on any DataFrame with a
+    * `ts` timestamp column and the given key columns. */
+  def dedupStream(events: DataFrame, watermark: String, keys: String*): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AnalyticOps, TextOps}
+
+/** Analytic-widening shapes (SURVEY §2.B): semantics + scale-plan
+  * properties. Oracle hash-exactness is covered by the Verify gate. */
+class AnalyticOpsSpec extends GraftSpecBase {
+
+  test("a01: cube emits all four grouping levels and totals agree") {
+    val rows = AnalyticOps.a01CubeAgg(spark, sfDir).collect()
+    val levels = rows.map(r => (r.getInt(4), r.getInt(5))).toSet
+    assert(levels == Set((0, 0), (0, 1), (1, 0), (1, 1)))
+    val grand = rows.filter(r => r.getInt(4) == 1 && r.getInt(5) == 1)
+    val leaves = rows.filter(r => r.getInt(4) == 0 && r.getInt(5) == 0)
+    assert(grand.length == 1)
+    assert(leaves.map(_.getLong(2)).sum == grand(0).getLong(2), "leaf counts sum to grand total")
+  }
+
+  test("a02: pivot is a single aggregate (no distinct-values job) and row sums match") {
+    val df = AnalyticOps.a02Pivot(spark, sfDir)
+    val rows = df.collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3)).sum
+    assert(total == Tables(spark, sfDir).orders.count())
+  }
+
+  test("a03: percentiles are ordered min <= p50 <= p90 <= max") {
+    AnalyticOps.a03Percentiles(spark, sfDir).collect().foreach { r =>
+      val (p50, p90, mn, mx) = (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(mn <= p50 && p50 <= p90 && p90 <= mx)
+    }
+  }
+
+  test("a04: intersect and except partition the big-spender set") {
+    val t = Tables(spark, sfDir)
+    val rows = AnalyticOps.a04SetOps(spark, sfDir).collect()
+    val nBig = t.orders.filter(col("o_totalprice") > 150000)
+      .select("o_custkey").distinct().count()
+    assert(rows.length == nBig, "each big spender lands in exactly one bucket")
+  }
+
+  test("a05: bucketed range join agrees with a direct range-condition join") {
+    val t = Tables(spark, sfDir)
+    val ev = t.events.select(col("user_id"), col("event_id"), col("event_type"),
+      expr("ts div 1000").as("ts_us"))
+    val direct = ev.filter(col("event_type") === "error").as("e")
+      .join(ev.as("b"),
+        col("b.user_id") === col("e.user_id") &&
+          col("b.ts_us") >= col("e.ts_us") - 300L * 1000000L &&
+          col("b.ts_us") < col("e.ts_us"))
+      .groupBy(col("e.user_id"), col("e.event_id"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val bucketed = AnalyticOps.a05RangeJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(bucketed == direct)
+  }
+
+  test("a06: HLL estimate within the configured 2% rsd (5% tolerance)") {
+    AnalyticOps.a06ApproxDistinct(spark, sfDir).collect().foreach { r =>
+      val (exact, approx) = (r.getLong(1), r.getLong(2))
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("a07: trailing-30d window only ever aggregates rows within the frame") {
+    val rows = AnalyticOps.a07RangeWindow(spark, sfDir)
+      .filter(col("o_custkey") === 1).collect()
+    // recompute for one customer in memory
+    val data = rows.map(r => (r.getLong(2), r.getLong(1))) // (date_us, orderkey)
+    val totals = Tables(spark, sfDir).orders.filter(col("o_custkey") === 1)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dayUs = 86400L * 1000000L
+    rows.foreach { r =>
+      val t0 = r.getLong(2)
+      val expected = data.filter { case (d, _) => d >= t0 - 30 * dayUs && d <= t0 }
+        .map { case (_, k) => BigDecimal(totals(k)).setScale(2, BigDecimal.RoundingMode.HALF_UP) }
+        .sum.toDouble
+      assert(math.abs(r.getDouble(3) - expected) < 1e-6)
+    }
+  }
+
+  test("c02: tf-idf ranks at most 5 terms per doc, scores descending") {
+    val rows = TextOps.c02TfIdf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 5)
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(5))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}

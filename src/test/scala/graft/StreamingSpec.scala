@@ -73,4 +73,20 @@ class StreamingSpec extends GraftSpecBase {
       (100L, "COMPLETE_WITH_ERRORS", 2L, 1L),
       (200L, "COMPLETE", 1L, 0L)))
   }
+
+  test("dedupStream: duplicate keys within the watermark horizon are dropped") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val df = mem.toDF.toDF("ts", "event_id", "payload")
+    val q = StreamingJobs.dedupStream(df, "10 minutes", "event_id")
+      .writeStream.format("memory").queryName("dedup").outputMode(OutputMode.Append()).start()
+    mem.addData((ts(0), 1L, "a"), (ts(1), 2L, "b"), (ts(2), 1L, "a-dup"))
+    q.processAllAvailable()
+    mem.addData((ts(3), 2L, "b-dup"), (ts(4), 3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup").as[(Timestamp, Long, String)].collect()
+    assert(got.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L), s"got ${got.toSeq}")
+    assert(got.map(_._3).toSet == Set("a", "b", "c"), "first occurrence wins")
+  }
 }
