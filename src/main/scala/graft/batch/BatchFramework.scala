@@ -57,6 +57,18 @@ object BatchFramework {
       .orderBy("l_orderkey", "l_linenumber"))
   }
 
+  /** [[taskLines]] hash-partitioned on the batch key: the spread shuffle IS
+    * the aggregation partitioning — Spark tracks the batch_id alias through
+    * the projection, so a following groupBy(batch_id) adds no exchange.
+    * Used by the per-batch aggregating queries (b02/b05/b06/b12). Batch
+    * sizes are bounded (≤ MaxTasks), so keying the spread is skew-safe;
+    * a genuinely skewed key would fall back to [[taskLines]] + AQE. */
+  private[graft] def taskLinesByBatch(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    derive(t.lineitem.select(NarrowTaskCols.head, NarrowTaskCols.tail: _*)
+      .repartition(col("l_orderkey")))
+  }
+
   private def derive(l: DataFrame): DataFrame = {
     l.select(
       col("l_orderkey").as("batch_id"),
@@ -135,7 +147,7 @@ object BatchFramework {
   // ---------------------------------------------------------------- b02
   /** AnalyzeBatch task counting + MAXIMUM_TASK_COUNT guard per batch. */
   def b02AnalyzeCount(spark: SparkSession, dir: String): DataFrame =
-    taskLines(spark, dir)
+    taskLinesByBatch(spark, dir)
       .groupBy(col("batch_id"))
       .agg(
         count(lit(1)).as("task_count"),
@@ -169,7 +181,7 @@ object BatchFramework {
     * two possible reasons stay scalar columns (`reason`, `asset_reason`)
     * and `outcome` is a cheap null test. */
   private def outcomes(spark: SparkSession, dir: String): DataFrame =
-    withOutcome(withValidation(taskLines(spark, dir)))
+    withOutcome(withValidation(taskLinesByBatch(spark, dir)))
 
   private val OutcomesSql: String =
     s"""$TaskLinesSql, $ValidationSql, outcomes AS (
@@ -207,7 +219,7 @@ object BatchFramework {
     * validation regexes serially. The null filter sits ABOVE the generate,
     * where the reason expressions were evaluated once, in parallel. */
   def b04ErrorAgg(spark: SparkSession, dir: String): DataFrame =
-    withValidation(taskLines(spark, dir))
+    withValidation(taskLinesByBatch(spark, dir))
       .select(col("batch_id"), col("task_number"),
         explode(array(
           col("reason"),
