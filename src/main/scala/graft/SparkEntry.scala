@@ -75,13 +75,15 @@ object SparkEntry {
     "d05_dedup_embedding"  -> VectorOps.d05DedupEmbedding _,
     "s01_ann_bruteforce"   -> VectorOps.s01AnnBruteforce _,
     "s02_ann_lsh"          -> VectorOps.s02AnnLsh _,
+    "s03_ann_ivf"          -> VectorOps.s03AnnIvf _,
     "t01_lang_id"          -> TextOps.t01LangId _,
     "t02_quality_score"    -> TextOps.t02QualityScore _,
     "t03_token_count"      -> TextOps.t03TokenCount _,
     "t04_fingerprint"      -> TextOps.t04Fingerprint _,
     "c01_corpus_ngrams"    -> TextOps.c01CorpusNgrams _,
     "c02_tfidf"            -> TextOps.c02TfIdf _,
-    "m01_multimodal_meta"  -> MultimodalOps.m01MultimodalMeta _
+    "m01_multimodal_meta"  -> MultimodalOps.m01MultimodalMeta _,
+    "m02_multimodal_features" -> MultimodalOps.m02MultimodalFeatures _
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -147,6 +149,7 @@ object SparkEntry {
     "t04_fingerprint"      -> TextOps.t04Sql,
     "c01_corpus_ngrams"    -> TextOps.c01Sql,
     "c02_tfidf"            -> TextOps.c02Sql,
-    "m01_multimodal_meta"  -> MultimodalOps.m01Sql
+    "m01_multimodal_meta"  -> MultimodalOps.m01Sql,
+    "m02_multimodal_features" -> MultimodalOps.m02Sql
   )
 }

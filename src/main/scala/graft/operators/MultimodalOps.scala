@@ -84,4 +84,77 @@ object MultimodalOps {
       |  (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 480 AS height,
       |  CAST(octet_length(encode(text)) AS BIGINT) % 30 AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- m02
+  /** One extracted feature row per media payload. */
+  final case class MediaFeatures(doc_id: Long, format: String, n_frames_sampled: Int,
+      feature: Array[Float], feature_norm: Double)
+
+  /** STUB feature extractor — resize + frame-sample + embed stand-in (no
+    * codecs in this container). Deterministic arithmetic on the payload
+    * length seeds an 8-dim feature; the left-fold norm matches the oracle's
+    * list_reduce order exactly. A real deployment swaps the body for a
+    * codec + model call; the partition-parallel batching is unchanged. */
+  object FakeFeatureExtractor {
+    val Dim = 8
+    def extract(r: MediaRecord): MediaFeatures = {
+      val len = r.payload.length.toLong
+      val fmt = (len % 3) match {
+        case 0 => "jpeg"
+        case 1 => "png"
+        case _ => "wav"
+      }
+      // "frame-sample": every 5th fake frame, at least one
+      val frames = ((len % 30) / 5 + 1).toInt
+      val feat = Array.tabulate(Dim)(i => (((len * (i + 1)) % 97L).toFloat / 97.0f))
+      val norm = math.sqrt(feat.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble))
+      MediaFeatures(r.doc_id, fmt, frames, feat, norm)
+    }
+  }
+
+  /** Partition-parallel feature extraction: decoder + extractor instantiated
+    * once per partition, rows streamed through — the batch shape a real
+    * model-inference step needs (cf. mapInPandas batches in PySpark). */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows => rows.map(FakeFeatureExtractor.extract) }
+  }
+
+  /** m02: the multimodal feature pipeline end to end — text→binary payloads
+    * through the typed `mapPartitions` extractor ([[extractFeatures]]), then
+    * a relational summary over the extracted features. The oracle mirrors
+    * the stub's arithmetic in SQL, proving the JVM pipeline and the
+    * declarative form agree bit-for-bit. */
+  def m02MultimodalFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    extractFeatures(media).toDF()
+      .select(col("doc_id"), col("format"),
+        col("n_frames_sampled").cast("long").as("n_frames_sampled"),
+        round(col("feature_norm"), 6).as("feature_norm"),
+        round(element_at(col("feature"), 1).cast("double"), 6).as("f0"),
+        round(element_at(col("feature"), 8).cast("double"), 6).as("f7"))
+      .orderBy("doc_id")
+  }
+
+  val m02Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents
+      |), feat AS (
+      |  SELECT doc_id,
+      |    CASE len % 3 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+      |    (len % 30) // 5 + 1 AS n_frames_sampled,
+      |    list_transform(range(1, 9),
+      |      i -> CAST(CAST((len * i) % 97 AS FLOAT) / CAST(97 AS FLOAT) AS FLOAT)) AS f
+      |  FROM base
+      |)
+      |SELECT doc_id, format, CAST(n_frames_sampled AS BIGINT) AS n_frames_sampled,
+      |  round(sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+      |    list_transform(f, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+      |    (acc, x) -> acc + x)), 6) AS feature_norm,
+      |  round(CAST(f[1] AS DOUBLE), 6) AS f0,
+      |  round(CAST(f[8] AS DOUBLE), 6) AS f7
+      |FROM feat ORDER BY doc_id""".stripMargin
 }

@@ -159,4 +159,59 @@ object VectorOps {
       .select("query_id", "rank", "vec_id", "bucket", "cos_sim")
       .orderBy("query_id", "rank")
   }
+
+  // ---------------------------------------------------------------- s03
+  private val IvfLists = 16
+  private val IvfProbes = 2
+
+  /** s03: IVF (inverted-file) ANN — the second scale path beside LSH.
+    * A coarse quantizer of [[IvfLists]] centroids (deterministically sampled
+    * from the corpus: the lowest vec_ids — at 100 TB this would be k-means
+    * over a sample, same plumbing) partitions vectors into lists; each
+    * query probes its [[IvfProbes]] nearest lists and brute-forces only
+    * those. Shuffle carries (list_id, vec) — the corpus is scanned once to
+    * assign, once per probe set to score; nothing is ever all-pairs.
+    * Rows-only (approximate by design; the spec checks the scoring
+    * invariants against the exact baseline). */
+  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    FloatVecDot.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val centroids = broadcast(v.filter(col("vec_id") < IvfLists)
+      .select(col("vec_id").as("list_id"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm")))
+    // assignment: nearest centroid by cosine (deterministic id tiebreak)
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("list_id"))
+    val assigned = v.crossJoin(centroids)
+      .withColumn("c_sim",
+        cosineWithNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+      .withColumn("c_rank", row_number().over(wAssign))
+      .filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
+    // queries probe their top-IvfProbes lists
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("list_id"))
+    val probes = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+      .crossJoin(centroids)
+      .withColumn("c_sim",
+        cosineWithNorms(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
+      .withColumn("c_rank", row_number().over(wProbe))
+      .filter(col("c_rank") <= IvfProbes)
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("list_id"))
+    // exact top-3 within the probed lists
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    probes.join(assigned, "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 3)
+      .select("query_id", "rank", "vec_id", "list_id", "cos_sim")
+      .orderBy("query_id", "rank")
+  }
 }

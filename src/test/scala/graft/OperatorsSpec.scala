@@ -88,4 +88,38 @@ class OperatorsSpec extends GraftSpecBase {
     val bad = lsh.join(exactTop, "query_id").filter(col("lsh_best") > col("best"))
     assert(bad.count() === 0)
   }
+
+  test("s03: IVF results stay within probed lists, no self, scores <= exact best") {
+    import org.apache.spark.sql.functions._
+    val ivf = graft.operators.VectorOps.s03AnnIvf(spark, sfDir)
+    val rows = ivf.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.forall(_.getLong(2) != q), "no self-match")
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(4))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "ranked desc")
+    }
+    // approximation sanity: IVF best <= exact best per query
+    val exactTop = graft.operators.VectorOps.s01AnnBruteforce(spark, sfDir)
+      .filter(col("rank") === 1).select(col("query_id"), col("cos_sim").as("best"))
+    val best = ivf.groupBy("query_id").agg(max("cos_sim").as("ivf_best"))
+    assert(best.join(exactTop, "query_id").filter(col("ivf_best") > col("best")).count() === 0)
+  }
+
+  test("m02: typed mapPartitions feature pipeline matches the declarative mirror") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.MultimodalOps
+    val viaPipeline = MultimodalOps.m02MultimodalFeatures(spark, sfDir).collect()
+    assert(viaPipeline.nonEmpty)
+    // recompute one row's stub arithmetic by hand
+    val r = viaPipeline.head
+    val len = Tables(spark, sfDir).documents.filter(col("doc_id") === r.getLong(0))
+      .select(octet_length(col("text"))).collect()(0).getInt(0).toLong
+    val feat = Array.tabulate(8)(i => (((len * (i + 1)) % 97L).toFloat / 97.0f))
+    val norm = math.sqrt(feat.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+    assert(r.getDouble(3) == BigDecimal(norm).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble ||
+      math.abs(r.getDouble(3) - norm) < 1e-6)
+    assert(r.getLong(2) == (len % 30) / 5 + 1)
+  }
 }
