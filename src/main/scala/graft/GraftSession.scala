@@ -25,6 +25,9 @@ object GraftSession {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // managed-table warehouse (bucketed layouts) out of the source tree
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props.getOrElse("java.io.tmpdir", "/tmp")}/graft-warehouse")
 
   /** Local session for tests and ad-hoc runs. */
   def local(appName: String = "graft", cores: Int = 4): SparkSession = {

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Output-layout helpers (SURVEY §2.E / §5).
   *
@@ -38,4 +38,25 @@ object GraftIO {
       .mode("overwrite")
       .parquet(path)
   }
+
+  /** Bucketed, sorted managed-table write: the co-located-join layout.
+    *
+    * Two tables bucketed by the same key into the same bucket count join
+    * WITHOUT a shuffle — at 100 TB that turns every recurring
+    * fact-to-fact join on the bucket key into a map-side zip of
+    * pre-shuffled files. (Bucket metadata lives in the catalog, so this
+    * writes a managed table, not a bare path.)
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Read a bucketed table back (scan exposes the bucketing to the
+    * planner, which drops exchanges for joins/aggs on the bucket key). */
+  def readBucketed(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
 }

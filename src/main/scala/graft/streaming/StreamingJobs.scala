@@ -157,4 +157,30 @@ object StreamingJobs {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  // ------------------------------------------------------------ enrich
+  /** Stream-stream interval join (streaming mirror of the batch a05 range
+    * join): error events enriched with the same user's events from the
+    * preceding 5 minutes. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so the state store retains each
+    * side only within the watermark + interval horizon — bounded state at
+    * any stream rate. Inputs need (user_id, event_id, event_type,
+    * ts: timestamp). */
+  def errorContextJoin(errors: DataFrame, context: DataFrame,
+      watermark: String = "10 minutes"): DataFrame = {
+    val e = errors
+      .select(col("user_id").as("e_user"), col("event_id").as("error_event_id"),
+        col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    val c = context
+      .select(col("user_id").as("c_user"), col("event_id").as("ctx_event_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    e.join(c,
+      col("e_user") === col("c_user") &&
+        col("c_ts") >= col("e_ts") - expr("INTERVAL 5 MINUTES") &&
+        col("c_ts") < col("e_ts"))
+      .select(col("e_user").as("user_id"), col("error_event_id"),
+        col("ctx_event_id"), col("e_ts"), col("c_ts"))
+  }
 }

@@ -71,4 +71,23 @@ class SourcesSpec extends GraftSpecBase {
     assert(decoded.map(_.byte_len).toSeq === Seq(6L, 7L))
     assert(decoded.map(_.format).toSeq === Seq("jpeg", "png"))
   }
+
+  test("bucketed tables join without a shuffle (co-located join)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val facts = (1L to 1000L).map(i => (i % 50, i, i * 2.0)).toDF("k", "id", "v")
+    val dims = (0L until 50L).map(i => (i, s"name_$i")).toDF("k", "name")
+    graft.sources.GraftIO.writeBucketed(facts, "graft_test_facts", "k", 8, Seq("k"))
+    graft.sources.GraftIO.writeBucketed(dims, "graft_test_dims", "k", 8, Seq("k"))
+    val f = graft.sources.GraftIO.readBucketed(spark, "graft_test_facts")
+    val d = graft.sources.GraftIO.readBucketed(spark, "graft_test_dims")
+    // force shuffle-join planning so the bucket layout is what saves us
+    val joined = f.hint("merge").join(d, "k")
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() === 1000)
+    spark.sql("DROP TABLE IF EXISTS graft_test_facts")
+    spark.sql("DROP TABLE IF EXISTS graft_test_dims")
+  }
 }

@@ -89,4 +89,23 @@ class StreamingSpec extends GraftSpecBase {
     assert(got.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L), s"got ${got.toSeq}")
     assert(got.map(_._3).toSet == Set("a", "b", "c"), "first occurrence wins")
   }
+
+  test("errorContextJoin: interval join pairs errors with preceding context only") {
+    implicit val sc = spark.sqlContext
+    val errs = MemoryStream[(Timestamp, Long, Long)]
+    val ctx = MemoryStream[(Timestamp, Long, Long)]
+    val errDf = errs.toDF.toDF("ts", "user_id", "event_id")
+    val ctxDf = ctx.toDF.toDF("ts", "user_id", "event_id")
+    val q = StreamingJobs.errorContextJoin(errDf, ctxDf, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("ectx").outputMode(OutputMode.Append()).start()
+    // error at minute 10; context at minutes 6..9 (in), 10 (excluded: not strictly before... it IS excluded because c_ts < e_ts), 4 (out of window)
+    ctx.addData((ts(6), 1L, 100L), (ts(9), 1L, 101L), (ts(10), 1L, 102L), (ts(4), 1L, 103L),
+      (ts(8), 2L, 200L))
+    errs.addData((ts(10), 1L, 900L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ectx").select("error_event_id", "ctx_event_id")
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((900L, 100L), (900L, 101L)), s"got $got")
+  }
 }
