@@ -1,0 +1,126 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded distinct bottom-k buffer over longs.
+  *
+  * Holds the k smallest DISTINCT values seen. k is sketch-sized (≤ a few
+  * dozen), so membership and max-eviction are linear scans — simpler and,
+  * at this size, faster than a heap + hash set, and the buffer is a flat
+  * primitive array (cheap to serialize for partial-aggregate shuffles). */
+final class BottomKBuffer(val k: Int) {
+  val values = new Array[Long](k)
+  var size = 0
+
+  def insert(v: Long): Unit = {
+    var maxIdx = 0
+    var i = 0
+    while (i < size) {
+      if (values(i) == v) return // distinct semantics
+      if (values(i) > values(maxIdx)) maxIdx = i
+      i += 1
+    }
+    if (size < k) {
+      values(size) = v
+      size += 1
+    } else if (v < values(maxIdx)) {
+      values(maxIdx) = v
+    }
+  }
+
+  def sortedValues: Array[Long] = java.util.Arrays.copyOf(values, size).sorted
+}
+
+/** `bottom_k_distinct(h, k)`: the k smallest distinct long values per group,
+  * ascending — the bottom-k one-permutation MinHash sketch as ONE
+  * partial-aggregating pass (map-side combined, no distinct shuffle, no
+  * per-group window sort). The shuffle carries ≤ k longs per group. */
+case class BottomKDistinct(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BottomKBuffer] with UnaryLike[Expression] {
+
+  require(k > 0 && k <= 1024, s"bottom_k_distinct: k must be in (0, 1024], got $k")
+
+  override def prettyName: String = "bottom_k_distinct"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): BottomKBuffer = new BottomKBuffer(k)
+
+  override def update(buffer: BottomKBuffer, input: InternalRow): BottomKBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.insert(v.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: BottomKBuffer, other: BottomKBuffer): BottomKBuffer = {
+    var i = 0
+    while (i < other.size) {
+      buffer.insert(other.values(i))
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: BottomKBuffer): Any =
+    new GenericArrayData(buffer.sortedValues)
+
+  override def serialize(buffer: BottomKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buffer.size)
+    bb.putInt(buffer.size)
+    var i = 0
+    while (i < buffer.size) { bb.putLong(buffer.values(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): BottomKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new BottomKBuffer(k)
+    var i = 0
+    while (i < n) { buf.insert(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BottomKDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BottomKDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BottomKDistinct =
+    copy(child = newChild)
+}
+
+object BottomKDistinct {
+  val info = new ExpressionInfo(classOf[BottomKDistinct].getName, "bottom_k_distinct")
+
+  private def build(children: Seq[Expression]): Expression = {
+    val k = children(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"bottom_k_distinct: k must be an integer literal, got $other")
+    }
+    BottomKDistinct(children.head, k)
+  }
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bottom_k_distinct", build, "built-in")
+
+  /** `bottom_k_distinct(c, k)` as a Column (requires [[register]]). */
+  def bottomKDistinct(c: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "bottom_k_distinct", c, org.apache.spark.sql.functions.lit(k))
+}

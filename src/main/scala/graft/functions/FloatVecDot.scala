@@ -84,9 +84,19 @@ object FloatVecDot {
   * registers graft's native expressions at session build — the deployment
   * path for a shared cluster. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("vec_dot"),
       FloatVecDot.info,
       (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+    e.injectFunction((
+      FunctionIdentifier("bottom_k_distinct"),
+      BottomKDistinct.info,
+      (children: Seq[Expression]) => children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
+          BottomKDistinct(children.head, k)
+        case other => throw new IllegalArgumentException(
+          s"bottom_k_distinct: k must be an integer literal, got $other")
+      }))
+  }
 }

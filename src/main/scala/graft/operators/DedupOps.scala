@@ -141,33 +141,38 @@ object DedupOps {
     * Rows-only (xxhash64 has no DuckDB equivalent). */
   def d03DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.BottomKDistinct.register(spark)
     val t = Tables(spark, dir)
     // Shingle hashes as ROWS, not arrays: posexplode + lead windows keep
     // the whole pipeline in whole-stage codegen (array HOFs are
-    // interpreted). One skinny (doc_id, h) row per distinct shingle.
+    // interpreted). One skinny (doc_id, h) row per shingle position.
     val toks = t.spread(t.documents)
       .select(col("doc_id"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // Recomputed by each of its four consumers (signature ranks, per-doc
-    // counts, both intersection sides): at this width the pipeline is
-    // cheaper to re-run than to round-trip through the columnar cache.
-    // At 100 TB the shingle relation would instead be materialized once,
-    // written bucketed by doc_id, before the multi-pass verify.
-    val sh = toks
+    val shRaw = toks
       .withColumn("t1", lead(col("tok"), 1).over(wDoc))
       .withColumn("t2", lead(col("tok"), 2).over(wDoc))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"), xxhash64(col("tok"), col("t1"), col("t2")).as("h"))
-      .distinct()
-    // bottom-k one-permutation sketch: ranks 1..32 by hash, 4 ranks per
-    // band; the band key hashes the band's sorted minima
-    val wH = Window.partitionBy(col("doc_id")).orderBy(col("h"))
-    val sigs = sh
-      .withColumn("rn", row_number().over(wH))
-      .filter(col("rn") <= NumBands * RowsPerBand)
-      .withColumn("band", ((col("rn") - 1) / RowsPerBand).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(sort_array(collect_list(col("h"))).as("hs"))
+    // Distinct shingle relation for the exact-Jaccard verify. Recomputed by
+    // each consumer (per-doc counts, both intersection sides): at this
+    // width the pipeline is cheaper to re-run than to round-trip through
+    // the columnar cache. At 100 TB the shingle relation would instead be
+    // materialized once, written bucketed by doc_id, before the verify.
+    val sh = shRaw.distinct()
+    // Bottom-k one-permutation sketch via the native bounded aggregate
+    // (graft.functions.BottomKDistinct): ONE partial-aggregating pass —
+    // dedupe happens inside the k-slot buffer map-side, the shuffle carries
+    // ≤ 32 longs per doc, and no per-group window sort exists at all. The
+    // sorted sketch is sliced into 4-hash bands; the band key hashes the
+    // band's minima (identical key derivation to the windowed form).
+    val sigs = shRaw
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.BottomKDistinct.bottomKDistinct(col("h"), NumBands * RowsPerBand).as("bot"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+          b => slice(col("bot"), b * RowsPerBand + 1, lit(RowsPerBand)))).as(Seq("band", "hs")))
+      .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("band"), xxhash64(col("band"), col("hs")).as("key"))
     // Bucket-local pair emission as a self-equi-join on the bucket key:
     // fully whole-stage-codegen (the earlier array-HOF pair expansion was
