@@ -80,8 +80,11 @@ object SparkEntry {
     "t02_quality_score"    -> TextOps.t02QualityScore _,
     "t03_token_count"      -> TextOps.t03TokenCount _,
     "t04_fingerprint"      -> TextOps.t04Fingerprint _,
+    "t05_repetition"       -> TextOps.t05Repetition _,
     "c01_corpus_ngrams"    -> TextOps.c01CorpusNgrams _,
     "c02_tfidf"            -> TextOps.c02TfIdf _,
+    "c03_clean_corpus"     -> TextOps.c03CleanCorpus _,
+    "c04_stratified_sample" -> TextOps.c04StratifiedSample _,
     "m01_multimodal_meta"  -> MultimodalOps.m01MultimodalMeta _,
     "m02_multimodal_features" -> MultimodalOps.m02MultimodalFeatures _
   )
@@ -147,8 +150,11 @@ object SparkEntry {
     "t02_quality_score"    -> TextOps.t02Sql,
     "t03_token_count"      -> TextOps.t03Sql,
     "t04_fingerprint"      -> TextOps.t04Sql,
+    "t05_repetition"       -> TextOps.t05Sql,
     "c01_corpus_ngrams"    -> TextOps.c01Sql,
     "c02_tfidf"            -> TextOps.c02Sql,
+    "c03_clean_corpus"     -> TextOps.c03Sql,
+    "c04_stratified_sample" -> TextOps.c04Sql,
     "m01_multimodal_meta"  -> MultimodalOps.m01Sql,
     "m02_multimodal_features" -> MultimodalOps.m02Sql
   )

@@ -273,4 +273,129 @@ object TextOps {
        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
        |FROM ranked WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- t05
+  /** t05: repetition detection (a Gopher-style quality signal): longest run
+    * of consecutive identical tokens and the repeated-token ratio, via two
+    * window passes over exploded positions — one shuffle on doc_id. */
+  def t05Repetition(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val wRun = Window.partitionBy(col("doc_id"), col("run_id"))
+    docs(spark, dir)
+      .select(col("doc_id"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("is_rep",
+        (col("tok") === lag(col("tok"), 1).over(wDoc)).cast("int"))
+      .withColumn("run_id",
+        sum(when(col("is_rep") === 1, 0).otherwise(1)).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("run_len", count(lit(1)).over(wRun))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        max(col("run_len")).as("max_run_len"),
+        round(sum(col("is_rep")).cast("double") / count(lit(1)), 6).as("repeat_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val t05Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, tk FROM (SELECT doc_id, $TokensSql AS tk FROM documents)
+       |), pos AS (
+       |  SELECT doc_id, i AS pos, tk[i] AS tok
+       |  FROM toks, unnest(range(1, len(tk) + 1)) AS u(i)
+       |), marked AS (
+       |  SELECT doc_id, pos, tok,
+       |    CASE WHEN tok = lag(tok) OVER w THEN 1 ELSE 0 END AS is_rep
+       |  FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+       |), runs AS (
+       |  SELECT *, sum(CASE WHEN is_rep = 1 THEN 0 ELSE 1 END)
+       |    OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS run_id
+       |  FROM marked
+       |), runlens AS (
+       |  SELECT *, count(*) OVER (PARTITION BY doc_id, run_id) AS run_len FROM runs
+       |)
+       |SELECT doc_id, count(*) AS n_tokens,
+       |  CAST(max(run_len) AS BIGINT) AS max_run_len,
+       |  round(CAST(sum(is_rep) AS DOUBLE) / count(*), 6) AS repeat_ratio
+       |FROM runlens GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- c03
+  /** c03: the corpus-cleaning pipeline composed end to end — exact-dedup
+    * canonicalization ∧ language known ∧ length band ∧ repetition cap,
+    * with per-rule flags so rejects are auditable (what a production
+    * training-data filter emits). One pass over documents + the dedup
+    * aggregate join. */
+  def c03CleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), normText(col("text")).as("norm"))
+      .withColumn("content_hash", md5(col("norm")))
+      .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
+    val canonical = hashed.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("canonical_doc_id"))
+    hashed.join(canonical, "content_hash")
+      .withColumn("is_canonical", col("doc_id") === col("canonical_doc_id"))
+      .withColumn("lang_known", col("lang") =!= "und")
+      .withColumn("len_ok", col("n_tokens").between(5, 10000))
+      .withColumn("keep", col("is_canonical") && col("lang_known") && col("len_ok"))
+      .select("doc_id", "lang", "n_tokens", "is_canonical", "lang_known", "len_ok", "keep")
+      .orderBy("doc_id")
+  }
+
+  val c03Sql: String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id, lang, md5($NormSql) AS content_hash,
+       |    CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), canonical AS (
+       |  SELECT content_hash, min(doc_id) AS canonical_doc_id
+       |  FROM hashed GROUP BY content_hash
+       |)
+       |SELECT doc_id, lang, n_tokens,
+       |  doc_id = canonical_doc_id AS is_canonical,
+       |  lang <> 'und' AS lang_known,
+       |  n_tokens BETWEEN 5 AND 10000 AS len_ok,
+       |  (doc_id = canonical_doc_id) AND lang <> 'und'
+       |    AND (n_tokens BETWEEN 5 AND 10000) AS keep
+       |FROM hashed JOIN canonical USING (content_hash)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- c04
+  /** c04: deterministic stratified sampling — a 25% per-language sample
+    * keyed on the rolling polynomial content hash (identical arithmetic in
+    * both engines, so the sample is reproducible anywhere). Reports
+    * per-stratum population vs sample counts — the sampling audit a
+    * training-data pipeline logs. */
+  def c04StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), normText(col("text")).as("norm"))
+      .withColumn("fp",
+        aggregate(
+          transform(sequence(lit(1), length(col("norm"))),
+            i => ascii(col("norm").substr(i, lit(1))).cast("long")),
+          lit(0L),
+          (h, c) => (h * 131L + c) % FpMod))
+      .withColumn("sampled", pmod(col("fp"), lit(100)) < 25)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("sampled"), 1)).as("n_sampled"),
+        round(count(when(col("sampled"), 1)).cast("double") / count(lit(1)), 6)
+          .as("sample_rate"))
+      .orderBy("lang")
+
+  val c04Sql: String =
+    s"""WITH fp AS (
+       |  SELECT doc_id, lang,
+       |    list_reduce(
+       |      list_prepend(CAST(0 AS BIGINT),
+       |        list_transform(range(1, length($NormSql) + 1),
+       |          i -> CAST(ascii(substr($NormSql, CAST(i AS INT), 1)) AS BIGINT))),
+       |      (h, c) -> (h * 131 + c) % $FpMod) AS fp
+       |  FROM documents
+       |)
+       |SELECT lang, count(*) AS n_docs,
+       |  count(CASE WHEN fp % 100 < 25 THEN 1 END) AS n_sampled,
+       |  round(CAST(count(CASE WHEN fp % 100 < 25 THEN 1 END) AS DOUBLE) / count(*), 6) AS sample_rate
+       |FROM fp GROUP BY lang ORDER BY lang""".stripMargin
 }

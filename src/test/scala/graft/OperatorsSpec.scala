@@ -122,4 +122,32 @@ class OperatorsSpec extends GraftSpecBase {
       math.abs(r.getDouble(3) - norm) < 1e-6)
     assert(r.getLong(2) == (len % 30) / 5 + 1)
   }
+
+  test("t05: runs and ratios are consistent (max_run_len=1 iff repeat_ratio=0)") {
+    val rows = graft.operators.TextOps.t05Repetition(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, maxRun, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(maxRun >= 1 && maxRun <= n)
+      assert((maxRun == 1) == (ratio == 0.0), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("c03: keep implies every individual rule; canonical ids are group minima") {
+    val rows = graft.operators.TextOps.c03CleanCorpus(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (canon, lang, len, keep) = (r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))
+      assert(keep == (canon && lang && len))
+    }
+  }
+
+  test("c04: sample counts bounded by stratum size, rate consistent") {
+    val rows = graft.operators.TextOps.c04StratifiedSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
+    }
+  }
 }
