@@ -44,7 +44,7 @@ object DedupOps {
 
   // ---------------------------------------------------------------- d02
   /** d02: exact word-3-gram Jaccard ≥ 0.5 near-dup pairs on a deterministic
-    * 25% audit sample (doc_id % 4 = 0), blocked by language.
+    * 50% audit sample (doc_id % 2 = 0), blocked by language.
     *
     * Exact all-pairs Jaccard is quadratic — at 100 TB it only ever runs on
     * an audit sample (here) or on LSH candidates ([[d03DedupMinhash]], the
@@ -58,7 +58,7 @@ object DedupOps {
     // interpreted array HOF. Safe because shingle document-frequency is
     // bounded (max 9 here); a hub-shingle corpus would need a df cap.
     val t = Tables(spark, dir)
-    val toks = t.spread(t.documents).filter(col("doc_id") % 4 === 0)
+    val toks = t.spread(t.documents).filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("lang"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val rows = toks
@@ -87,7 +87,7 @@ object DedupOps {
 
   val d02Sql: String =
     s"""$DocsShinglesSql, sampled AS (
-       |  SELECT * FROM docs WHERE doc_id % 4 = 0
+       |  SELECT * FROM docs WHERE doc_id % 2 = 0
        |), pairs AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
        |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
