@@ -15,7 +15,12 @@ run / fork := true
 // default LoggedOutput prefixes forked stdout with "[info] " which breaks
 // that parse. Pass forked stdout/stderr through raw and drop the
 // "[success] Total time" trailer so the JSON line stays clean.
-run / outputStrategy := Some(StdoutOutput)
+// NOTE: must be UNSCOPED — the driver invokes `runMain`, whose forkOptions
+// delegate to the task-axis-free `outputStrategy`, not `run / outputStrategy`
+// (round-1 bench came out "[info]"-prefixed and unparseable because of this).
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
