@@ -488,4 +488,45 @@ object BatchFramework {
        |  coalesce(error_count, 0) AS error_count
        |FROM anchors LEFT JOIN counts ON batch_id = cnt_batch_id
        |ORDER BY batch_id""".stripMargin
+
+  // ---------------------------------------------------------------- b13
+  /** b13: identifier scrubbing (PII-style redaction) over the task upload —
+    * what a training-data or log-retention pipeline runs before sharing the
+    * reference's CSV payloads. Serial numbers (`SN-<batch>-<line>`) are
+    * masked first, then any residual digit run; the per-batch audit reports
+    * how many of each were scrubbed plus a deterministic sample line. The
+    * per-line scrub is two codegen'd regexes in one scan; the audit is one
+    * shuffle on the (already-partitioned) batch key. */
+  private val SerialPattern = "SN-[0-9]+-[0-9]+"
+
+  def b13ScrubIds(spark: SparkSession, dir: String): DataFrame = {
+    val masked = regexp_replace(col("task_line"), SerialPattern, "<SN>")
+    taskLinesByBatch(spark, dir)
+      .withColumn("scrubbed", regexp_replace(masked, "[0-9]+", "<NUM>"))
+      .withColumn("n_serials", regexp_count(col("task_line"), lit(SerialPattern)).cast("long"))
+      .withColumn("n_numbers", regexp_count(masked, lit("[0-9]+")).cast("long"))
+      .groupBy(col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("n_serials")).as("n_serials"),
+        sum(col("n_numbers")).as("n_numbers"),
+        min(col("scrubbed")).as("sample_scrubbed"))
+      .orderBy("batch_id")
+  }
+
+  val b13Sql: String =
+    s"""$TaskLinesSql, scrub AS (
+       |  SELECT batch_id,
+       |    regexp_replace(regexp_replace(task_line, '$SerialPattern', '<SN>', 'g'),
+       |      '[0-9]+', '<NUM>', 'g') AS scrubbed,
+       |    len(regexp_extract_all(task_line, '$SerialPattern')) AS n_serials,
+       |    len(regexp_extract_all(
+       |      regexp_replace(task_line, '$SerialPattern', '<SN>', 'g'), '[0-9]+')) AS n_numbers
+       |  FROM task_lines
+       |)
+       |SELECT batch_id, count(*) AS n_lines,
+       |  CAST(sum(n_serials) AS BIGINT) AS n_serials,
+       |  CAST(sum(n_numbers) AS BIGINT) AS n_numbers,
+       |  min(scrubbed) AS sample_scrubbed
+       |FROM scrub GROUP BY batch_id ORDER BY batch_id""".stripMargin
 }

@@ -1,19 +1,25 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Connected components over near-duplicate pair edges — the step that
   * turns pairwise dedup output ([[DedupOps]]) into canonical-document
   * clusters ("keep min doc_id per component").
   *
-  * Algorithm: iterative minimum-label propagation (the standard
-  * large-graph formulation — HashToMin style). Each round every node
-  * adopts the minimum label in its closed neighborhood; rounds ≈ graph
-  * diameter (near-dup clusters are shallow, so a handful). Each round is
-  * one join + one aggregation, all shuffles on the node key; labels are
-  * (long, long) pairs only — never payloads. A fixpoint check
-  * (`changed == 0`) terminates early.
+  * Algorithm: iterative minimum-label propagation (HashToMin style) with
+  * pointer jumping. Each round every node adopts the minimum label in its
+  * closed neighborhood (one join + one aggregation, shuffles on the node
+  * key), then labels are short-circuited through themselves
+  * (`label := label(label)`, one self-join) — the Shiloach–Vishkin hook +
+  * jump. The jump compresses label chains geometrically, so rounds are
+  * O(log n) even on path graphs, where plain propagation needs
+  * O(diameter) rounds — the difference between 7 and 5000 shuffles on a
+  * 100 TB edge list with stringy components. Labels are (long, long)
+  * pairs only — never payloads. A fixpoint check (`changed == 0`)
+  * terminates early.
   */
 object Components {
 
@@ -22,32 +28,55 @@ object Components {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIterations: Int = 20): DataFrame = {
     val spark = edges.sparkSession
+    // Union constraint rewriting trips over plans that reference a
+    // checkpointed generation from two branches (key-not-found on the
+    // shared attribute) — constraint propagation is an optimizer filter-
+    // inference aid with nothing to infer on (long, long) label frames,
+    // so turn it off for the iteration and restore after.
+    val ConstraintConf = "spark.sql.constraintPropagation.enabled"
+    val prevConstraint = spark.conf.getOption(ConstraintConf)
+    spark.conf.set(ConstraintConf, "false")
+    try {
     // symmetrize + self-loops so isolated endpoints keep their own label
     val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .unionAll(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
       .distinct()
       .cache()
+    // localCheckpoint per generation: the jump self-join references the
+    // hooked labels twice, so without lineage truncation the logical plan
+    // doubles every round (exponential analysis cost). Checkpointing
+    // materializes each generation's (long, long) labels and restarts the
+    // plan from them — on a real cluster this is the standard iterative-
+    // algorithm discipline (reliable checkpoint dir instead of local).
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    var prev: Option[org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]] = None
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIterations && !converged) {
-      // per node: min(own label, neighbors' labels)
-      val neighborLabels = sym
+      // hook: per node, min(own label, neighbors' labels). The union's
+      // second branch re-aliases every column: both branches derive from
+      // the same checkpointed generation, and Union constraint rewriting
+      // chokes on literally-shared attribute ids across branches.
+      val hooked = sym
         .join(labels.withColumnRenamed("node", "dst"), "dst")
         .select(col("src").as("node"), col("label"))
-      val next = labels.unionAll(neighborLabels)
+        .unionAll(labels.select(col("node").as("node"), col("label").as("label")))
         .groupBy("node")
         .agg(min("label").as("new_label"))
-      val joined = labels.join(next, "node").cache()
-      val changed = joined.filter(col("label") =!= col("new_label")).count()
-      val newLabels = joined.select(col("node"), col("new_label").as("label")).cache()
-      newLabels.count() // materialize before dropping the previous generation
-      prev.foreach(_.unpersist())
-      joined.unpersist()
-      prev = Some(newLabels)
-      labels = newLabels
+      // jump: label := label(label). Every label is itself a node id, so
+      // the self-join resolves one indirection; chains halve every round.
+      val next = hooked.as("a")
+        .join(
+          hooked.select(col("node").as("j_node"), col("new_label").as("j_label")),
+          col("a.new_label") === col("j_node"), "left")
+        .select(col("a.node").as("node"),
+          coalesce(col("j_label"), col("a.new_label")).as("label"))
+        .localCheckpoint()
+      val changed = labels.withColumnRenamed("label", "old_label")
+        .join(next, "node")
+        .filter(col("old_label") =!= col("label")).count()
+      labels = next
       converged = changed == 0
       iter += 1
     }
@@ -57,6 +86,12 @@ object Components {
       s"connectedComponents did not converge in $maxIterations iterations " +
         "(graph diameter too large) — raise maxIterations")
     labels.select(col("node"), col("label").as("component"))
+    } finally {
+      prevConstraint match {
+        case Some(v) => spark.conf.set(ConstraintConf, v)
+        case None    => spark.conf.unset(ConstraintConf)
+      }
+    }
   }
 
   /** Full dedup pipeline: near-dup edges → components → canonical doc per
@@ -67,4 +102,56 @@ object Components {
       .agg(count(lit(1)).as("cluster_size"), min(col("node")).as("canonical_doc"))
       .select(col("canonical_doc"), col("component"), col("cluster_size"))
       .orderBy("canonical_doc")
+
+  // ---------------------------------------------------------------- g01
+  /** g01: connected components as a driver-checked query. Edges are
+    * deterministic relations over `documents` — a path through consecutive
+    * doc ids within each doc_id%64 bucket (long chains, so multi-round
+    * hook+jump convergence is actually exercised) plus fingerprint-gated
+    * bridge edges to the next doc id (~10% of docs, merging chains). The
+    * DuckDB oracle rebuilds the identical graph and clusters it with a
+    * recursive transitive-closure CTE — an exact end-to-end check of the
+    * distributed algorithm against a declarative one. */
+  def g01Components(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val d = t.spread(t.documents)
+      .select(col("doc_id"),
+        TextOps.polyFp(TextOps.normText(col("text"))).as("fp"))
+    val w = Window.partitionBy(pmod(col("doc_id"), lit(64))).orderBy("doc_id")
+    val chain = d
+      .withColumn("prev", lag(col("doc_id"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("a"), col("doc_id").as("b"))
+    val bridges = d.filter(pmod(col("fp"), lit(10)) === 0)
+      .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      .join(d.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+    canonicalize(chain.unionAll(bridges.select(col("a"), col("b"))), "a", "b")
+  }
+
+  val g01Sql: String =
+    s"""WITH RECURSIVE chain AS (
+       |  SELECT lag(doc_id) OVER (PARTITION BY doc_id % 64 ORDER BY doc_id) AS a,
+       |    doc_id AS b
+       |  FROM documents QUALIFY a IS NOT NULL
+       |), fp AS (
+       |  SELECT doc_id,
+       |    ${TextOps.polyFpSql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")} AS fp
+       |  FROM documents
+       |), bridges AS (
+       |  SELECT doc_id AS a, doc_id + 1 AS b FROM fp
+       |  WHERE fp % 10 = 0 AND doc_id + 1 IN (SELECT doc_id FROM documents)
+       |), edges AS (
+       |  SELECT a, b FROM chain UNION ALL SELECT a, b FROM bridges
+       |), sym AS (
+       |  SELECT a AS src, b AS dst FROM edges UNION SELECT b AS src, a AS dst FROM edges
+       |), reach AS (
+       |  SELECT src AS node, src AS label FROM sym
+       |  UNION
+       |  SELECT s.src AS node, r.label FROM sym s JOIN reach r ON s.dst = r.node
+       |), comp AS (
+       |  SELECT node, min(label) AS component FROM reach GROUP BY node
+       |)
+       |SELECT min(node) AS canonical_doc, component,
+       |  CAST(count(*) AS BIGINT) AS cluster_size
+       |FROM comp GROUP BY component ORDER BY canonical_doc""".stripMargin
 }

@@ -174,17 +174,28 @@ object TextOps {
     * integer arithmetic in Spark and DuckDB (no overflow on either side). */
   private val FpMod = 2147483647L
 
+  /** The polynomial content fingerprint as a reusable Column (t04, c04, g01). */
+  def polyFp(c: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(c)),
+        i => ascii(c.substr(i, lit(1))).cast("long")),
+      lit(0L),
+      (h, ch) => (h * 131L + ch) % FpMod)
+
+  /** DuckDB equivalent of [[polyFp]] over a SQL string expression. */
+  def polyFpSql(e: String): String =
+    s"""list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, length($e) + 1),
+       |        i -> CAST(ascii(substr($e, CAST(i AS INT), 1)) AS BIGINT))),
+       |    (h, c) -> (h * 131 + c) % $FpMod)""".stripMargin
+
   def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .withColumn("fp_md5", md5(col("norm")))
       .withColumn("fp_sha256", sha2(col("norm"), 256))
-      .withColumn("fp_poly",
-        aggregate(
-          transform(sequence(lit(1), length(col("norm"))),
-            i => ascii(col("norm").substr(i, lit(1))).cast("long")),
-          lit(0L),
-          (h, c) => (h * 131L + c) % FpMod))
+      .withColumn("fp_poly", polyFp(col("norm")))
       .select("doc_id", "fp_md5", "fp_sha256", "fp_poly")
       .orderBy("doc_id")
 
@@ -223,11 +234,7 @@ object TextOps {
   val t04Sql: String =
     s"""WITH norm AS (SELECT doc_id, $NormSql AS norm FROM documents)
        |SELECT doc_id, md5(norm) AS fp_md5, sha256(norm) AS fp_sha256,
-       |  list_reduce(
-       |    list_prepend(CAST(0 AS BIGINT),
-       |      list_transform(range(1, length(norm) + 1),
-       |        i -> CAST(ascii(substr(norm, CAST(i AS INT), 1)) AS BIGINT))),
-       |    (h, c) -> (h * 131 + c) % $FpMod) AS fp_poly
+       |  ${polyFpSql("norm")} AS fp_poly
        |FROM norm ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- c02
@@ -369,12 +376,7 @@ object TextOps {
   def c04StratifiedSample(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(col("doc_id"), col("lang"), normText(col("text")).as("norm"))
-      .withColumn("fp",
-        aggregate(
-          transform(sequence(lit(1), length(col("norm"))),
-            i => ascii(col("norm").substr(i, lit(1))).cast("long")),
-          lit(0L),
-          (h, c) => (h * 131L + c) % FpMod))
+      .withColumn("fp", polyFp(col("norm")))
       .withColumn("sampled", pmod(col("fp"), lit(100)) < 25)
       .groupBy(col("lang"))
       .agg(
@@ -386,16 +388,47 @@ object TextOps {
 
   val c04Sql: String =
     s"""WITH fp AS (
-       |  SELECT doc_id, lang,
-       |    list_reduce(
-       |      list_prepend(CAST(0 AS BIGINT),
-       |        list_transform(range(1, length($NormSql) + 1),
-       |          i -> CAST(ascii(substr($NormSql, CAST(i AS INT), 1)) AS BIGINT))),
-       |      (h, c) -> (h * 131 + c) % $FpMod) AS fp
+       |  SELECT doc_id, lang, ${polyFpSql(NormSql)} AS fp
        |  FROM documents
        |)
        |SELECT lang, count(*) AS n_docs,
        |  count(CASE WHEN fp % 100 < 25 THEN 1 END) AS n_sampled,
        |  round(CAST(count(CASE WHEN fp % 100 < 25 THEN 1 END) AS DOUBLE) / count(*), 6) AS sample_rate
        |FROM fp GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- t07
+  /** t07: token-level Shannon entropy per document — the lexical-diversity
+    * quality signal (low entropy = templated/repetitive text, a standard
+    * pretraining filter next to t02/t05). H = log2(n) − Σ c·log2(c) / n
+    * over per-token counts, so the exact integer counts aggregate
+    * distributively (map-side combined) and the float log work happens
+    * once per distinct (doc, token) — never per token instance. Rounded
+    * to 6 places in both engines. */
+  def t07TokenEntropy(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(tokensOf(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("distinct_tokens"),
+        sum(col("c").cast("double") * log(2.0, col("c"))).as("sum_clog"))
+      .select(col("doc_id"), col("n_tokens"), col("distinct_tokens"),
+        round(log(2.0, col("n_tokens")) - col("sum_clog") / col("n_tokens"), 6)
+          .as("entropy"))
+      .orderBy("doc_id")
+
+  val t07Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($TokensSql) AS tok FROM documents
+       |), cnt AS (
+       |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+       |)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  count(*) AS distinct_tokens,
+       |  round(log2(CAST(sum(c) AS DOUBLE))
+       |    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+       |      / CAST(sum(c) AS DOUBLE), 6) AS entropy
+       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -23,6 +23,40 @@ class ComponentsSpec extends GraftSpecBase {
     assert(got === Set((5L, 3L), (100L, 2L)))
   }
 
+  test("pointer jumping converges on a 200-node path in O(log n) rounds") {
+    // plain 1-hop min propagation would need ~200 rounds here; hook+jump
+    // must finish well inside 15
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = Components.connectedComponents(edges, "a", "b", maxIterations = 15)
+      .as[(Long, Long)].collect()
+    assert(got.length === 200)
+    assert(got.forall(_._2 === 0L))
+  }
+
+  test("g01 matches a driver-side union-find over the same edge relation") {
+    import graft.operators.TextOps
+    // rebuild g01's deterministic edge set in plain Scala
+    val ids = Tables(spark, sfDir).documents
+      .select(col("doc_id"), TextOps.polyFp(TextOps.normText(col("text"))).as("fp"))
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val idSet = ids.map(_._1).toSet
+    val chains = ids.map(_._1).groupBy(_ % 64).values
+      .flatMap(b => b.sorted.toSeq.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+    val bridges = ids.collect { case (id, fp) if fp % 10 == 0 && idSet(id + 1) => (id, id + 1) }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    (chains ++ bridges).foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expected = parent.keys.map(n => (n, find(n))).groupBy(_._2).map { case (_, ns) =>
+      val members = ns.map(_._1).toSeq
+      (members.min, members.size.toLong)
+    }.toSet
+    val got = Components.g01Components(spark, sfDir)
+      .select(col("canonical_doc"), col("cluster_size")).as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(Components.g01Components(spark, sfDir)
+      .filter(col("canonical_doc") =!= col("component")).count() === 0)
+  }
+
   test("end-to-end: minhash candidate pairs cluster into canonical docs") {
     val pairs = DedupOps.d03DedupMinhash(spark, sfDir)
       .filter(col("jaccard") >= 0.5)
