@@ -1,0 +1,17 @@
+package graft
+
+/** Dev tool: print the formatted plan of one SparkEntry query.
+  * Usage: sbt "runMain graft.Explain <queryName> [sfDir]" */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val spark = GraftSession.local("explain", 8)
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.explain("formatted")
+    df.queryExecution.toRdd.count()
+    // AQE-final executed plan after a real run
+    println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0))
+    spark.stop()
+  }
+}

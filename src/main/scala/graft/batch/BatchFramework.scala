@@ -217,7 +217,11 @@ object BatchFramework {
     * reasons, so the filter is redundant — and as a derived predicate it
     * would be pushed into the (single-task) scan stage, re-evaluating the
     * validation regexes serially. The null filter sits ABOVE the generate,
-    * where the reason expressions were evaluated once, in parallel. */
+    * where the reason expressions were evaluated once, in parallel.
+    * (A scalar array formulation — build/sort/join the ≤2-element reason
+    * array per row, no explode or hash agg — was benchmarked slower here:
+    * the size()>0 filter either pushes into the single-split scan or, when
+    * barriered, re-executes under the final sort's range sampling.) */
   def b04ErrorAgg(spark: SparkSession, dir: String): DataFrame =
     withValidation(taskLinesByBatch(spark, dir))
       .select(col("batch_id"), col("task_number"),
