@@ -351,4 +351,56 @@ object CoreQueries {
       |        CAST(json_extract_string(props, 'k') AS BIGINT) AS k
       |      FROM events)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- e05
+  /** e05: time-series gap filling + forward fill — the densification step
+    * before any per-entity daily feature table. Per user: aggregate to
+    * (user, day), generate the full day spine (`sequence` + explode),
+    * left-join activity onto it, fill counts with zero and carry the last
+    * active day's dominant event type forward (`last` ignoreNulls over an
+    * ordered window). All shuffles key on user_id / (user_id, day); the
+    * spine explode is bounded by the date span, never event volume. */
+  def e05GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val daily = Tables(spark, dir).events
+      .select(col("user_id"), expr(s"(ts div 1000) div $dayUs").as("day"),
+        col("event_type"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(dec2(col("value"))).cast("double").as("active_total"),
+        max(col("event_type")).as("day_type"))
+    val spine = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n_events"),
+        coalesce(col("active_total"), lit(0.0)).as("day_total"),
+        last(col("day_type"), ignoreNulls = true).over(w).as("carried_type"),
+        col("n").isNull.as("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
+  val e05Sql: String =
+    """WITH daily AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, count(*) AS n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS active_total,
+      |    max(event_type) AS day_type
+      |  FROM events GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT user_id, unnest(range(min(day), max(day) + 1)) AS day
+      |  FROM daily GROUP BY user_id
+      |)
+      |SELECT s.user_id, s.day,
+      |  CAST(coalesce(n, 0) AS BIGINT) AS n_events,
+      |  coalesce(active_total, 0.0) AS day_total,
+      |  last_value(day_type IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried_type,
+      |  n IS NULL AS is_gap
+      |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+      |ORDER BY s.user_id, s.day""".stripMargin
 }

@@ -150,4 +150,41 @@ class OperatorsSpec extends GraftSpecBase {
       assert(math.abs(r.getDouble(3) - r.getLong(2).toDouble / r.getLong(1)) < 1e-6)
     }
   }
+
+  test("e05: day spine is contiguous per user; gaps are zeroed and carried") {
+    val rows = graft.operators.CoreQueries.e05GapFill(spark, sfDir)
+      .collect().groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, days) =>
+      val ds = days.map(_.getLong(1)).sorted
+      assert(ds.last - ds.head + 1 === ds.length, "contiguous day spine")
+      days.foreach { r =>
+        if (r.getBoolean(5)) { // is_gap
+          assert(r.getLong(2) === 0L && r.getDouble(3) === 0.0)
+          assert(!r.isNullAt(4), "carried_type forward-filled into gaps")
+        } else assert(r.getLong(2) > 0L)
+      }
+    }
+  }
+
+  test("t07: entropy bounded by log2(distinct); uniform docs hit the bound") {
+    val rows = graft.operators.TextOps.t07TokenEntropy(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, d, h) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(h >= -1e-6 && h <= math.log(d.toDouble) / math.log(2) + 1e-6)
+      if (d == n) assert(math.abs(h - math.log(n.toDouble) / math.log(2)) < 1e-5)
+    }
+  }
+
+  test("b13: every serial is scrubbed and no digits survive in samples") {
+    val rows = graft.batch.BatchFramework.b13ScrubIds(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) === r.getLong(1), "one serial per task line")
+      val sample = r.getString(4)
+      assert(!sample.exists(_.isDigit), s"digits survived: $sample")
+      assert(sample.contains("<SN>"))
+    }
+  }
 }
