@@ -7,9 +7,13 @@ object Explain {
     val name = args(0)
     val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val spark = GraftSession.local("explain", 8)
+    var t0 = System.nanoTime()
     val df = SparkEntry.queries(name)(spark, dir)
+    println(s"[explain] construct: ${(System.nanoTime() - t0) / 1e9} s")
     df.explain("formatted")
+    t0 = System.nanoTime()
     df.queryExecution.toRdd.count()
+    println(s"[explain] evaluate: ${(System.nanoTime() - t0) / 1e9} s")
     // AQE-final executed plan after a real run
     println(df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0))
     spark.stop()

@@ -23,9 +23,9 @@ class ComponentsSpec extends GraftSpecBase {
     assert(got === Set((5L, 3L), (100L, 2L)))
   }
 
-  test("pointer jumping converges on a 200-node path in O(log n) rounds") {
-    // plain 1-hop min propagation would need ~200 rounds here; hook+jump
-    // must finish well inside 15
+  test("star contraction converges on a 200-node path in O(log n) rounds") {
+    // plain 1-hop min propagation would need ~200 rounds here; alternating
+    // large/small-star contraction must finish well inside 15 (measured 9)
     val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
     val got = Components.connectedComponents(edges, "a", "b", maxIterations = 15)
       .as[(Long, Long)].collect()
@@ -34,15 +34,13 @@ class ComponentsSpec extends GraftSpecBase {
   }
 
   test("g01 matches a driver-side union-find over the same edge relation") {
-    import graft.operators.TextOps
     // rebuild g01's deterministic edge set in plain Scala
     val ids = Tables(spark, sfDir).documents
-      .select(col("doc_id"), TextOps.polyFp(TextOps.normText(col("text"))).as("fp"))
-      .as[(Long, Long)].collect().sortBy(_._1)
-    val idSet = ids.map(_._1).toSet
-    val chains = ids.map(_._1).groupBy(_ % 64).values
+      .select(col("doc_id")).as[Long].collect().sorted
+    val idSet = ids.toSet
+    val chains = ids.groupBy(_ % 64).values
       .flatMap(b => b.sorted.toSeq.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
-    val bridges = ids.collect { case (id, fp) if fp % 10 == 0 && idSet(id + 1) => (id, id + 1) }
+    val bridges = ids.collect { case id if (id * 2654435761L) % 10 == 0 && idSet(id + 1) => (id, id + 1) }
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
     (chains ++ bridges).foreach { case (a, b) => parent(find(a)) = find(b) }
