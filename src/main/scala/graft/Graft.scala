@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The "switch to graft" entry point for SQL users.
+  *
+  * [[bind]] registers every warehouse table as a temp view and installs
+  * graft's native functions (`vec_dot`, `bottom_k_distinct`), after which
+  * any ANSI SQL — including every oracle query in [[SparkEntry.oracleSql]]'s
+  * dialect-portable subset — runs through `spark.sql` on the same data the
+  * typed operators read. A reference user's ad-hoc queries keep working;
+  * the typed APIs ([[batch.BatchService]], [[operators]]) are the
+  * programmatic surface over the same plans.
+  */
+object Graft {
+
+  /** The warehouse tables graft binds (TESTDATA.md schema). */
+  val TableNames: Seq[String] = Seq("region", "nation", "customer",
+    "supplier", "part", "orders", "lineitem", "events", "documents",
+    "embeddings")
+
+  /** Bind `dir`'s parquet tables as temp views + register native
+    * functions. Idempotent; cheap (views are lazy plans). */
+  def bind(spark: SparkSession, dir: String): Unit = {
+    val t = Tables(spark, dir)
+    TableNames.foreach { n =>
+      t.byName(n).createOrReplaceTempView(n)
+    }
+    functions.FloatVecDot.register(spark)
+    functions.BottomKDistinct.register(spark)
+  }
+
+  /** One-shot: bind and run a SQL statement. */
+  def sql(spark: SparkSession, dir: String, query: String): DataFrame = {
+    bind(spark, dir)
+    spark.sql(query)
+  }
+}

@@ -11,6 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Lookup by table name (Graft.bind, ad-hoc tools). */
+  def byName(name: String): DataFrame = t(name)
+
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
   def customer: DataFrame   = t("customer")

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GraftSqlSpec extends GraftSpecBase {
+
+  test("bind exposes every table as a queryable view") {
+    Graft.bind(spark, sfDir)
+    Graft.TableNames.foreach { n =>
+      assert(spark.sql(s"SELECT * FROM $n LIMIT 1").columns.nonEmpty, n)
+    }
+  }
+
+  test("plain SQL over bound views matches the typed operator result") {
+    Graft.bind(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    val viaApi = Tables(spark, sfDir).lineitem
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(viaSql.toSeq === viaApi.toSeq)
+  }
+
+  test("native functions are callable from SQL after bind") {
+    val rows = Graft.sql(spark, sfDir,
+      """SELECT vec_id, round(vec_dot(embedding, embedding), 6) AS self_dot
+        |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin).collect()
+    assert(rows.length === 5)
+    rows.foreach(r => assert(r.getDouble(1) > 0.0)) // ‖v‖² > 0
+  }
+}
