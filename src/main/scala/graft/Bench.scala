@@ -34,10 +34,27 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the LAST 2000 chars of stdout and scans them
+    // for one parseable JSON line (BENCH_r01/r02 both came back parsed:null
+    // because the full-precision 67-query line overflowed that window). So:
+    // full-precision per-query map goes to stderr for profiling; stdout gets
+    // ONE compact line — 2-decimal seconds, slowest-first, capped so the
+    // whole line stays well under the window no matter how many queries run.
+    def fmt(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    results.toSeq.sortBy(-_._2).foreach { case (k, v) =>
+      System.err.println(f"[bench] $k%-24s $v%9.3f s")
+    }
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val bySlowest = results.toSeq.sortBy(-_._2).map { case (k, v) => s"\"$k\":${fmt(v)}" }
+    val budget = 1600 // chars available for the queries map
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    for (e <- bySlowest if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    val omitted = bySlowest.length - kept.length
+    val qs = kept.mkString("{", ",", "}")
+    val omitNote = if (omitted > 0) s""","omitted_fast_queries":$omitted""" else ""
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$omitNote,"sf":"$sfName"}""")
     spark.stop()
   }
 }
