@@ -61,32 +61,90 @@ object Components {
     out.distinct(part.numPartitions)
   }
 
+  /** Local completion (Kiveris SoCC'14 §6.2 "finish small"): once the
+    * contracted edge set fits one task, a single-partition union-find
+    * (union-by-min + path compression) replaces the remaining O(log n)
+    * distributed rounds — each of which costs full stage launches for
+    * ever-shrinking data. Emits the same converged star representation
+    * (component-min → member) the round loop produces. */
+  private def localStars(e: RDD[(Long, Long)]): RDD[(Long, Long)] =
+    e.coalesce(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (c != r) { val n = parent.getOrElse(c, c); parent(c) = r; c = n }
+        r
+      }
+      val nodes = scala.collection.mutable.ArrayBuffer.empty[Long]
+      it.foreach { case (a, b) =>
+        nodes += a; nodes += b
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      nodes.distinct.iterator.flatMap { n =>
+        val r = find(n)
+        if (r != n) Iterator((r, n)) else Iterator.empty
+      }
+    }
+
   /** @param edges two long columns naming undirected edges
+    * @param localEdgeThreshold edge sets at or under this size finish with
+    *   the single-task union-find ([[localStars]]); -1 reads
+    *   GRAFT_CC_LOCAL_EDGES (default 2 M). Specs pass 0 to force the
+    *   distributed rounds.
     * @return (node, component) where component = min node id reachable */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-      maxIterations: Int = 20): DataFrame = {
+      maxIterations: Int = 20, localEdgeThreshold: Long = -1L): DataFrame = {
     val tEnter = System.nanoTime()
     val spark = edges.sparkSession
     import spark.implicits._
-    val part = new HashPartitioner(spark.sparkContext.defaultParallelism)
     // canonical undirected edge set: (min, max), self-loops dropped
-    var e = edges
+    val e0 = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("a"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
       .as[(Long, Long)].rdd
-      .distinct(part.numPartitions)
+      .distinct(spark.sparkContext.defaultParallelism)
       .persist()
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
     if (debug) System.err.println(
       s"[cc] rdd setup: ${(System.nanoTime() - tEnter) / 1e9} s")
     var t0 = System.nanoTime()
-    var cnt = e.count()
+    var cnt = e0.count()
+    // Size the loop's partitioner to the EDGE COUNT, not the cluster: the
+    // ~10-round fixpoint launches every stage once per round, so on a small
+    // contracted edge set 32-way partitioning is pure task-launch overhead
+    // (measured 0.65 s/round for 5 k edges; 0.1 s at 2 partitions). Large
+    // edge sets still get full parallelism — ~100 k edges per partition.
+    val part = new HashPartitioner(math.max(2, math.min(
+      spark.sparkContext.defaultParallelism, (cnt / 100000L).toInt + 1)))
+    // Edge sets at or under this size skip straight to the single-task
+    // union-find — past it, per-round stage-launch overhead exceeds the
+    // local solve. ~2 M (long,long) edges ≈ 64 MB in one task.
+    val localThreshold =
+      if (localEdgeThreshold >= 0) localEdgeThreshold
+      else sys.env.get("GRAFT_CC_LOCAL_EDGES").map(_.toLong).getOrElse(2000000L)
+    var e =
+      if (cnt <= localThreshold ||
+          part.numPartitions == spark.sparkContext.defaultParallelism) e0
+      else { val r = e0.partitionBy(part).persist(); r.count(); e0.unpersist(blocking = false); r }
     if (debug) System.err.println(
-      s"[cc] edge build: ${(System.nanoTime() - t0) / 1e9} s, $cnt edges")
+      s"[cc] edge build: ${(System.nanoTime() - t0) / 1e9} s, $cnt edges, ${part.numPartitions} partitions")
     var iter = 0
     var converged = cnt == 0
     while (iter < maxIterations && !converged) {
+      if (cnt <= localThreshold) {
+        t0 = System.nanoTime()
+        val loc = localStars(e).persist()
+        cnt = loc.count()
+        e.unpersist(blocking = false)
+        e = loc
+        converged = true
+        if (debug) System.err.println(
+          s"[cc] local union-find after $iter rounds: ${(System.nanoTime() - t0) / 1e9} s, $cnt star edges")
+      } else {
       t0 = System.nanoTime()
       val next = starRound(starRound(e, part, largeStar = true), part,
         largeStar = false).persist()
@@ -101,6 +159,7 @@ object Components {
       iter += 1
       if (debug) System.err.println(
         s"[cc] round $iter: ${(System.nanoTime() - t0) / 1e9} s, $cnt edges, converged=$converged")
+      }
     }
     // silent partial contraction would split true clusters — fail loudly
     if (!converged) throw new IllegalStateException(

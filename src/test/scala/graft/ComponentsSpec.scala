@@ -27,10 +27,26 @@ class ComponentsSpec extends GraftSpecBase {
     // plain 1-hop min propagation would need ~200 rounds here; alternating
     // large/small-star contraction must finish well inside 15 (measured 9)
     val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
-    val got = Components.connectedComponents(edges, "a", "b", maxIterations = 15)
+    // localEdgeThreshold = 0 forces the distributed star rounds — the
+    // default would finish this tiny graph with the local union-find
+    val got = Components.connectedComponents(edges, "a", "b", maxIterations = 15,
+        localEdgeThreshold = 0L)
       .as[(Long, Long)].collect()
     assert(got.length === 200)
     assert(got.forall(_._2 === 0L))
+  }
+
+  test("local union-find completion equals the distributed fixpoint") {
+    val edges = (0L until 500L).flatMap { i =>
+      Seq((i * 3, i * 3 + 1), (i * 3 + 1, i * 3 + 2)) ++
+        (if (i % 7 == 0 && i > 0) Seq((i * 3 - 1, i * 3)) else Nil)
+    }.toDF("a", "b")
+    val local = Components.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Components.connectedComponents(edges, "a", "b",
+        localEdgeThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local === dist)
   }
 
   test("g01 matches a driver-side union-find over the same edge relation") {
