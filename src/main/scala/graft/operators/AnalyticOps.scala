@@ -179,4 +179,33 @@ object AnalyticOps {
       |    AS trailing_30d_value
       |FROM orders
       |ORDER BY o_custkey, order_date_us, o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- a08
+  /** a08: GROUPING SETS — the explicit-subset cousin of CUBE (a01) /
+    * ROLLUP (r01): detail by (priority, status), a priority-only margin,
+    * and the grand total, skipping the status-only margin a CUBE would
+    * also pay for. One expand + one aggregate in Spark — the 100 TB win
+    * over unioning three separate aggregations is that the scan runs
+    * once. Grouping flags stay isnull-derived (portable across engines,
+    * same as a01). */
+  def a08GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir).orders.createOrReplaceTempView("orders_a08")
+    spark.sql(
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |  CAST(o_orderpriority IS NULL AS INT) AS is_priority_total,
+        |  CAST(o_orderstatus IS NULL AS INT) AS is_status_total
+        |FROM orders_a08
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  val a08Sql: String =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |  CAST(o_orderpriority IS NULL AS INT) AS is_priority_total,
+      |  CAST(o_orderstatus IS NULL AS INT) AS is_status_total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
 }

@@ -403,4 +403,80 @@ object CoreQueries {
       |  n IS NULL AS is_gap
       |FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
       |ORDER BY s.user_id, s.day""".stripMargin
+
+  // ---------------------------------------------------------------- e06
+  /** e06: ordered funnel analysis — users who signed up, then clicked
+    * after signing up, then purchased after that click. Each stage is one
+    * selective filter + per-user min aggregate joined to the previous
+    * stage's frontier; every shuffle keys on user_id, and each stage's
+    * frontier only shrinks, so the joins get cheaper as the funnel
+    * deepens. The standard product-analytics shape at any scale. */
+  def e06Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage("1_signup", s1)
+      .unionAll(stage("2_click_after_signup", s2))
+      .unionAll(stage("3_purchase_after_click", s3))
+      .orderBy("stage")
+  }
+
+  val e06Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id
+      |), s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id
+      |)
+      |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+      |UNION ALL SELECT '2_click_after_signup', count(*) FROM s2
+      |UNION ALL SELECT '3_purchase_after_click', count(*) FROM s3
+      |ORDER BY stage""".stripMargin
+
+  // ---------------------------------------------------------------- e07
+  /** e07: cohort retention — users grouped by first-activity week, distinct
+    * actives per (cohort, weeks-since-cohort). Two user-keyed shuffles
+    * (first-activity aggregate, then the distinct-count aggregate); the
+    * cohort week rides as epoch micros so both engines emit identical
+    * column types (SURVEY §6 timestamp discipline). */
+  def e07Retention(spark: SparkSession, dir: String): DataFrame = {
+    // events.ts arrives as nanosecond longs — convert to real timestamps
+    // (µs precision) for the calendar arithmetic
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), expr("timestamp_micros(ts div 1000)").as("ts"))
+    val coh = ev.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    ev.join(coh, "user_id")
+      .select(unix_micros(col("cohort_week")).as("cohort_week_us"),
+        floor(datediff(to_date(col("ts")), to_date(col("cohort_week"))) / 7)
+          .as("week_offset"),
+        col("user_id"))
+      .groupBy(col("cohort_week_us"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week_us", "week_offset")
+  }
+
+  val e07Sql: String =
+    """WITH coh AS (
+      |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT epoch_us(cohort_week) AS cohort_week_us,
+      |  date_diff('day', CAST(cohort_week AS DATE), CAST(e.ts AS DATE)) // 7 AS week_offset,
+      |  count(DISTINCT e.user_id) AS n_users
+      |FROM events e JOIN coh USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 }

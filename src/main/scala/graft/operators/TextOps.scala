@@ -431,4 +431,151 @@ object TextOps {
        |    - sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
        |      / CAST(sum(c) AS DOUBLE), 6) AS entropy
        |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- c05
+  /** Context-window size for [[c05PackSequences]]. */
+  private val PackCap = 512L
+
+  /** c05: sequence packing for LLM pretraining — the concat-and-chunk
+    * layout (documents concatenated in a deterministic order, split into
+    * fixed `PackCap`-token context windows; documents may span a chunk
+    * boundary). Per doc: its token offset interval and the chunk ids it
+    * lands in — everything a packed-batch writer needs. One window cumsum
+    * per language partition; at 100 TB the order key would be
+    * (lang, shard, doc_id) so each shard packs independently and no
+    * partition sees unbounded data. */
+  def c05PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(tokensOf(col("text"))).cast("long").as("n_tok"))
+      .withColumn("end_off", sum(col("n_tok")).over(w))
+      .withColumn("start_off", col("end_off") - col("n_tok"))
+      .withColumn("chunk_first", floor(col("start_off") / PackCap))
+      .withColumn("chunk_last", floor((col("end_off") - 1) / PackCap))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
+      .select("doc_id", "lang", "n_tok", "start_off", "chunk_first",
+        "chunk_last", "n_chunks")
+      .orderBy("lang", "doc_id")
+  }
+
+  val c05Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, CAST(len($TokensSql) AS BIGINT) AS n_tok
+       |  FROM documents
+       |), offs AS (
+       |  SELECT doc_id, lang, n_tok,
+       |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+       |  FROM toks
+       |)
+       |SELECT doc_id, lang, n_tok, end_off - n_tok AS start_off,
+       |  (end_off - n_tok) // $PackCap AS chunk_first,
+       |  (end_off - 1) // $PackCap AS chunk_last,
+       |  (end_off - 1) // $PackCap - (end_off - n_tok) // $PackCap + 1 AS n_chunks
+       |FROM offs ORDER BY lang, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- c06
+  /** Deterministic pseudo-benchmark: every 97th doc id is "eval". */
+  private val EvalMod = 97
+
+  /** c06: benchmark decontamination — flag training documents sharing any
+    * word-4-gram with the eval set. N-grams are built as rows (posexplode +
+    * lead windows, whole-stage codegen — never interpreted array HOFs);
+    * the distinct eval-gram set is tiny by construction, so Spark
+    * broadcasts it and the training side never shuffles its grams. At
+    * 100 TB this is the canonical decontamination join: eval n-grams
+    * broadcast, one scan over training text. */
+  def c06Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val grams = toks
+      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
+      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
+      .withColumn("t3", lead(col("tok"), 3).over(wDoc))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3")).as("g"))
+    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
+      .select(col("g")).distinct()
+    val trainGrams = grams.filter(col("doc_id") % EvalMod =!= 0).distinct()
+    val matched = trainGrams.join(broadcast(evalGrams), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    docs(spark, dir).filter(col("doc_id") % EvalMod =!= 0)
+      .select(col("doc_id"))
+      .join(matched, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_shared_4grams"),
+        (coalesce(col("n"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  val c06Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $TokensSql AS tk FROM documents
+       |), grams AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g
+       |  FROM toks
+       |), eval_g AS (
+       |  SELECT DISTINCT g FROM grams WHERE doc_id % $EvalMod = 0
+       |), train_g AS (
+       |  SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % $EvalMod <> 0
+       |), m AS (
+       |  SELECT doc_id, count(*) AS n FROM train_g JOIN eval_g USING (g)
+       |  GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(coalesce(m.n, 0) AS BIGINT) AS n_shared_4grams,
+       |  coalesce(m.n, 0) > 0 AS contaminated
+       |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+       |WHERE d.doc_id % $EvalMod <> 0 ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t06
+  /** t06: readability statistics (Flesch reading-ease form) — sentence
+    * count, word count, vowel-group syllable approximation, and the
+    * composite score. Pure regexp/length arithmetic over the normalized
+    * text: one scan, fully codegen, identical expressions both engines
+    * (round-6 on every ratio). */
+  def t06Readability(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .withColumn("n_sentences",
+        greatest(size(filter(split(col("norm"), "[.!?]+"),
+          s => length(trim(s)) > 0)), lit(1)).cast("long"))
+      .withColumn("n_words", size(split(col("norm"), " ")).cast("long"))
+      .withColumn("n_syllables",
+        size(expr("regexp_extract_all(norm, '[aeiouy]+', 0)")).cast("long"))
+      .withColumn("words_per_sentence",
+        round(col("n_words").cast("double") / col("n_sentences"), 6))
+      .withColumn("syllables_per_word",
+        round(col("n_syllables").cast("double") / col("n_words"), 6))
+      .withColumn("flesch",
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+          - lit(84.6) * (col("n_syllables").cast("double") / col("n_words")), 6))
+      .select("doc_id", "n_sentences", "n_words", "n_syllables",
+        "words_per_sentence", "syllables_per_word", "flesch")
+      .orderBy("doc_id")
+
+  val t06Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $NormSql AS norm FROM documents
+       |), stats AS (
+       |  SELECT doc_id,
+       |    CAST(greatest(len(list_filter(regexp_split_to_array(norm, '[.!?]+'),
+       |      s -> len(trim(s)) > 0)), 1) AS BIGINT) AS n_sentences,
+       |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+       |    CAST(len(regexp_extract_all(norm, '[aeiouy]+', 0)) AS BIGINT) AS n_syllables
+       |  FROM base
+       |)
+       |SELECT doc_id, n_sentences, n_words, n_syllables,
+       |  round(CAST(n_words AS DOUBLE) / n_sentences, 6) AS words_per_sentence,
+       |  round(CAST(n_syllables AS DOUBLE) / n_words, 6) AS syllables_per_word,
+       |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+       |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch
+       |FROM stats ORDER BY doc_id""".stripMargin
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AnalyticOps, CoreQueries, TextOps}
+
+/** Invariant specs for the round-3 widening: sequence packing,
+  * decontamination, readability, funnel, retention, grouping sets.
+  * Exact-value checks live in the DuckDB oracle (SparkEntry.oracleSql);
+  * these assert the structural properties the oracle can't express. */
+class Round3OpsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("c05: packed offsets tile each language stream contiguously from 0") {
+    val r = TextOps.c05PackSequences(spark, sfDir)
+      .select($"lang", $"doc_id", $"start_off", $"n_tok", $"chunk_first", $"chunk_last", $"n_chunks")
+      .collect()
+      .groupBy(_.getString(0))
+    assert(r.nonEmpty)
+    r.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.head.getLong(2) === 0L) // first doc starts at offset 0
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(2) === a.getLong(2) + a.getLong(3)) // contiguous
+        case _ =>
+      }
+      rows.foreach { x =>
+        assert(x.getLong(6) === x.getLong(5) - x.getLong(4) + 1)
+        assert(x.getLong(6) >= 1)
+      }
+    }
+  }
+
+  test("c06: eval docs are excluded and contamination implies shared grams") {
+    val r = TextOps.c06Decontaminate(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      assert(x.getLong(0) % 97 != 0L)
+      assert(x.getLong(1) >= 0L)
+      assert(x.getBoolean(2) === (x.getLong(1) > 0L))
+    }
+  }
+
+  test("t06: readability stats are internally consistent") {
+    val r = TextOps.t06Readability(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (nSent, nWords, nSyll) = (x.getLong(1), x.getLong(2), x.getLong(3))
+      assert(nSent >= 1 && nWords >= 1)
+      assert(math.abs(x.getDouble(4) - nWords.toDouble / nSent) < 1e-5)
+      assert(math.abs(x.getDouble(6) -
+        (206.835 - 1.015 * nWords.toDouble / nSent - 84.6 * nSyll.toDouble / nWords)) < 1e-5)
+    }
+  }
+
+  test("e06: funnel stage counts are monotone non-increasing") {
+    val r = CoreQueries.e06Funnel(spark, sfDir)
+      .orderBy("stage").select("n_users").as[Long].collect()
+    assert(r.length === 3)
+    assert(r(0) >= r(1) && r(1) >= r(2))
+    assert(r(0) > 0)
+  }
+
+  test("e07: retention offsets are bounded by the event-time span") {
+    val r = CoreQueries.e07Retention(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    // events span one month -> offsets 0..5 at most
+    r.foreach { x => assert(x.getLong(1) >= 0L && x.getLong(1) <= 5L) }
+    // week-0 actives per cohort must be the cohort's largest bucket count
+    r.groupBy(_.getLong(0)).values.foreach { g =>
+      val byOff = g.map(x => x.getLong(1) -> x.getLong(2)).toMap
+      assert(byOff.contains(0L))
+      assert(byOff(0L) === byOff.values.max)
+    }
+  }
+
+  test("a08: grouping-sets rows agree with the CUBE on shared sets") {
+    val gs = AnalyticOps.a08GroupingSets(spark, sfDir).collect()
+    val cube = AnalyticOps.a01CubeAgg(spark, sfDir).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1))) -> r.getLong(2)).toMap
+    assert(gs.nonEmpty)
+    gs.foreach { r =>
+      val key = (Option(r.getString(0)), Option(r.getString(1)))
+      // no status-only margin may appear; every emitted set exists in the cube
+      assert(!(key._1.isEmpty && key._2.nonEmpty))
+      assert(cube(key) === r.getLong(2))
+    }
+  }
+}
