@@ -479,4 +479,66 @@ object CoreQueries {
       |  count(DISTINCT e.user_id) AS n_users
       |FROM events e JOIN coh USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- e08
+  /** e08: anomaly flagging — events whose value sits ≥ 3 population
+    * standard deviations from their event-type mean. Per-type stats are a
+    * tiny aggregate (one row per type) broadcast back over the scan, so
+    * the event stream is read once and never shuffles on a skewed key.
+    * z is rounded to 6 before the threshold in BOTH engines so the flag
+    * can't flip on last-ulp variance differences. */
+  def e08Anomaly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val stats = ev.groupBy(col("event_type"))
+      .agg(avg(col("value")).as("mu"), stddev_pop(col("value")).as("sigma"))
+    ev.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
+      .filter(abs(col("z")) >= 3.0)
+      .select("event_id", "user_id", "event_type", "value", "z")
+      .orderBy("event_id")
+  }
+
+  val e08Sql: String =
+    """WITH stats AS (
+      |  SELECT event_type, avg(value) AS mu, stddev_pop(value) AS sigma
+      |  FROM events GROUP BY event_type
+      |)
+      |SELECT event_id, user_id, e.event_type, value,
+      |  round((value - mu) / sigma, 6) AS z
+      |FROM events e JOIN stats USING (event_type)
+      |WHERE abs(round((value - mu) / sigma, 6)) >= 3.0
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- w03
+  /** w03: first/last-order analysis per customer via order-preserving
+    * aggregates (min_by/max_by on a composite (day, orderkey) key) — the
+    * aggregate form of FIRST_VALUE/LAST_VALUE that needs no window sort at
+    * all: one map-side-combined aggregate instead of a per-customer
+    * ordered window, the shape that matters when one customer has millions
+    * of rows. */
+  def w03FirstLast(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .select(col("o_custkey"), col("o_totalprice"),
+        (unix_micros(col("o_orderdate").cast("timestamp")) / 86400000000L)
+          .cast("long").*(lit(10000000L)).+(col("o_orderkey")).as("k"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        min_by(col("o_totalprice"), col("k")).as("first_value"),
+        max_by(col("o_totalprice"), col("k")).as("last_value"))
+      .withColumn("delta", round(col("last_value") - col("first_value"), 6))
+      .orderBy("o_custkey")
+
+  val w03Sql: String =
+    """WITH keyed AS (
+      |  SELECT o_custkey, o_totalprice,
+      |    epoch_us(o_orderdate) // 86400000000 * 10000000 + o_orderkey AS k
+      |  FROM orders
+      |)
+      |SELECT o_custkey, count(*) AS n_orders,
+      |  arg_min(o_totalprice, k) AS first_value,
+      |  arg_max(o_totalprice, k) AS last_value,
+      |  round(arg_max(o_totalprice, k) - arg_min(o_totalprice, k), 6) AS delta
+      |FROM keyed GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 }

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics beyond connected components ([[Components]]): triangle
+  * counting / clustering coefficient over a deterministic document graph.
+  *
+  * The triangle join uses canonically ordered edges (a < b < c), the
+  * standard distributed formulation (Suri & Vassilvitskii, WWW'11): every
+  * wedge is generated exactly once and closed by one hash join against the
+  * edge set. At 100 TB the refinement is degree ordering — orient each edge
+  * toward the higher-degree endpoint so no vertex generates more than
+  * O(sqrt(m)) wedges; id order stands in for degree order here since the
+  * generated graph has bounded degree (≤ 6).
+  */
+object GraphOps {
+
+  /** Deterministic bounded-degree test graph over the document id space:
+    * edges (a, a+s) for s ∈ {1,2,3}, kept when (a·K + s) mod 3 ≠ 0
+    * (Knuth multiplicative hash K) and both endpoints exist. Pure id
+    * arithmetic — the scan prunes to one column. */
+  private def edges(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables(spark, dir).documents.select(col("doc_id"))
+    ids
+      .select(col("doc_id").as("a"),
+        explode(array(lit(1L), lit(2L), lit(3L))).as("s"))
+      .filter(pmod(col("a") * 2654435761L + col("s"), lit(3L)) =!= 0)
+      .select(col("a"), (col("a") + col("s")).as("b"))
+      .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+      .select("a", "b")
+  }
+
+  private val EdgesSql =
+    """edges AS (
+      |  SELECT d.doc_id AS a, d.doc_id + t.s AS b
+      |  FROM documents d, (SELECT unnest([1, 2, 3]) AS s) t
+      |  WHERE (d.doc_id * 2654435761 + t.s) % 3 <> 0
+      |    AND d.doc_id + t.s IN (SELECT doc_id FROM documents)
+      |)""".stripMargin
+
+  /** g02: triangle count + wedge count + closure rate. Wedges a→b→c are
+    * enumerated once from the ordered edge set and closed against it with
+    * one more equi-join; only (long, long) pairs ever shuffle. */
+  def g02Triangles(spark: SparkSession, dir: String): DataFrame = {
+    val e = edges(spark, dir)
+    val wedges = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
+    val triangles = wedges.as("w").join(e.as("z"),
+      col("w.a") === col("z.a") && col("w.c") === col("z.b"), "left_semi")
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    val nW = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nT = triangles.agg(count(lit(1)).as("n_triangles"))
+    nE.crossJoin(nW).crossJoin(nT)
+      .withColumn("closure_rate",
+        round(col("n_triangles").cast("double") / col("n_wedges"), 6))
+  }
+
+  val g02Sql: String =
+    s"""WITH $EdgesSql, wedges AS (
+       |  SELECT x.a, x.b, y.b AS c FROM edges x JOIN edges y ON x.b = y.a
+       |), tri AS (
+       |  SELECT w.a, w.b, w.c FROM wedges w
+       |  WHERE EXISTS (SELECT 1 FROM edges z WHERE z.a = w.a AND z.b = w.c)
+       |)
+       |SELECT (SELECT count(*) FROM edges) AS n_edges,
+       |  (SELECT count(*) FROM wedges) AS n_wedges,
+       |  (SELECT count(*) FROM tri) AS n_triangles,
+       |  round(CAST((SELECT count(*) FROM tri) AS DOUBLE)
+       |    / (SELECT count(*) FROM wedges), 6) AS closure_rate""".stripMargin
+}

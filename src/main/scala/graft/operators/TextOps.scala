@@ -534,6 +534,44 @@ object TextOps {
        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
        |WHERE d.doc_id % $EvalMod <> 0 ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- c07
+  /** c07: domain-mixture reweighting — the per-source sampling weights that
+    * rebalance a crawled corpus toward a target mixture (uniform across
+    * sources here; a DoReMi-style learned vector plugs in the same way).
+    * One aggregate over (source) plus a broadcast scalar total; the weight
+    * column is what a downstream sampler multiplies into per-doc keep
+    * probabilities. */
+  def c07DomainMix(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(tokensOf(col("text")))).as("n_tokens"))
+    val totals = bySource.agg(
+      sum(col("n_docs")).as("total_docs"),
+      count(lit(1)).as("n_sources"))
+    bySource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("total_docs"), 6).as("actual_frac"),
+        round(lit(1.0) / col("n_sources"), 6).as("target_frac"),
+        round((lit(1.0) / col("n_sources"))
+          / (col("n_docs").cast("double") / col("total_docs")), 6).as("weight"))
+      .orderBy("source")
+  }
+
+  val c07Sql: String =
+    s"""WITH by_source AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len($TokensSql)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), totals AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs, count(*) AS n_sources
+       |  FROM by_source
+       |)
+       |SELECT source, n_docs, n_tokens,
+       |  round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS actual_frac,
+       |  round(1.0 / n_sources, 6) AS target_frac,
+       |  round((1.0 / n_sources) / (CAST(n_docs AS DOUBLE) / total_docs), 6) AS weight
+       |FROM by_source, totals ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- t06
   /** t06: readability statistics (Flesch reading-ease form) — sentence
     * count, word count, vowel-group syllable approximation, and the

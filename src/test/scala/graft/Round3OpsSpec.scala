@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AnalyticOps, CoreQueries, TextOps}
+import graft.operators.{AnalyticOps, CoreQueries, GraphOps, TextOps}
 
 /** Invariant specs for the round-3 widening: sequence packing,
   * decontamination, readability, funnel, retention, grouping sets.
@@ -72,6 +72,40 @@ class Round3OpsSpec extends GraftSpecBase {
       assert(byOff.contains(0L))
       assert(byOff(0L) === byOff.values.max)
     }
+  }
+
+  test("g02: triangle census is internally consistent") {
+    val r = GraphOps.g02Triangles(spark, sfDir).collect().head
+    val (nE, nW, nT) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nE > 0 && nW > 0)
+    assert(nT <= nW) // every closed wedge is a wedge
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+  }
+
+  test("c07: mixture fractions sum to 1 and weights invert the skew") {
+    val r = TextOps.c07DomainMix(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(math.abs(r.map(_.getDouble(3)).sum - 1.0) < 1e-3)
+    r.foreach { x =>
+      // weight * actual ≈ target (round-6 tolerance)
+      assert(math.abs(x.getDouble(5) * x.getDouble(3) - x.getDouble(4)) < 1e-4)
+    }
+  }
+
+  test("e08: every flagged event is at least 3 sigma out") {
+    val r = CoreQueries.e08Anomaly(spark, sfDir).collect()
+    r.foreach { x => assert(math.abs(x.getDouble(4)) >= 3.0) }
+  }
+
+  test("w03: first/last values come from the customer's own orders") {
+    val w = CoreQueries.w03FirstLast(spark, sfDir)
+    val bounds = Tables(spark, sfDir).orders
+      .groupBy(col("o_custkey"))
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+    val bad = w.join(bounds, "o_custkey")
+      .filter(col("first_value") < col("lo") || col("first_value") > col("hi") ||
+        col("last_value") < col("lo") || col("last_value") > col("hi"))
+    assert(bad.count() === 0)
   }
 
   test("a08: grouping-sets rows agree with the CUBE on shared sets") {
