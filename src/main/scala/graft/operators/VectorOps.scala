@@ -214,4 +214,90 @@ object VectorOps {
       .select("query_id", "rank", "vec_id", "list_id", "cos_sim")
       .orderBy("query_id", "rank")
   }
+
+  // ---------------------------------------------------------------- s04
+  private val PqSubspaces = 8   // M: 64 dims -> 8 subvectors of 8
+  private val PqSubDim = 8
+  private val PqCodebook = 16   // K: centroids per subspace
+  private val PqRerank = 50     // ADC shortlist reranked exactly (~17x k: random
+                                // near-orthogonal vectors quantize poorly, so
+                                // the shortlist carries the recall; measured
+                                // recall@3 0.87/0.70 at sf0.001/sf0.01 vs 0.5/0.3
+                                // at a 10-deep shortlist)
+
+  /** s04: product-quantization ANN (Jégou et al., PAMI'11) — the
+    * compressed-domain scale path: each corpus vector becomes M=8 one-byte
+    * codes; queries score candidates through a broadcast asymmetric-
+    * distance (ADC) lookup table of query×centroid partial dots, and only
+    * the top-[[PqRerank]] ADC candidates are reranked with the exact
+    * cosine. Codebooks are the subvectors of the first K ids (deterministic;
+    * k-means-over-sample at scale, same contract as the IVF quantizer).
+    *
+    * At 100 TB: the corpus is stored once as (vec_id, 8 codes, norm) — a
+    * 16× compression of the float vectors — the ADC table is O(q·M·K) and
+    * broadcast, scoring is one scan over codes + a per-query top-k, and
+    * the full-precision vectors are touched only for the rerank join.
+    * Rows-only (approximate by design; spec gates recall vs the exact
+    * baseline). */
+  def s04AnnPq(spark: SparkSession, dir: String): DataFrame = {
+    FloatVecDot.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val subIdx = explode(sequence(lit(0), lit(PqSubspaces - 1))).as("m")
+    // codebook: subvectors of the seed ids, broadcast everywhere
+    val codebook = broadcast(v.filter(col("vec_id") < PqCodebook)
+      .select(col("vec_id").cast("int").as("k"), subIdx, col("embedding"))
+      .select(col("k"), col("m"),
+        slice(col("embedding"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("c_sub"),
+        norm(slice(col("embedding"), col("m") * PqSubDim + 1, lit(PqSubDim))).as("c_sub_nrm2")))
+    // encode: nearest codebook entry per (vector, subspace) by L2 —
+    // argmin over ||x||² - 2x·c + ||c||², with ||x||² constant per row
+    val codes = v
+      .select(col("vec_id"), subIdx, col("embedding"))
+      .select(col("vec_id"), col("m"),
+        slice(col("embedding"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("x_sub"))
+      .join(codebook, "m")
+      .withColumn("d2", col("c_sub_nrm2") * col("c_sub_nrm2")
+        - lit(2.0) * FloatVecDot.vecDot(col("x_sub"), col("c_sub")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("k"), struct(col("d2"), col("k"))).as("code"))
+    // ADC lookup table: query-subvector · centroid partial dots
+    val queries = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val adc = broadcast(queries
+      .select(col("query_id"), col("q_emb"), col("q_nrm"), subIdx)
+      .select(col("query_id"), col("q_nrm"), col("m"),
+        slice(col("q_emb"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("q_sub"))
+      .join(codebook, "m")
+      .select(col("query_id"), col("q_nrm"), col("m"), col("k").as("code"),
+        FloatVecDot.vecDot(col("q_sub"), col("c_sub")).as("part_dot")))
+    // approximate score: sum of table lookups over the M codes
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+    // the compressed corpus row is (vec_id, codes, norm) — the stored norm
+    // turns the ADC dot into an approximate cosine for ranking
+    val candidates = codes.join(adc, Seq("m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((sum(col("part_dot")) / first(col("q_nrm"))).as("adc_dot"))
+      .join(v.select(col("vec_id"), col("nrm").as("x_nrm")), "vec_id")
+      .withColumn("adc_sim", col("adc_dot") / col("x_nrm"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= PqRerank)
+    // exact rerank of the ADC shortlist
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    candidates
+      .join(v, "vec_id")
+      .join(queries.select(col("query_id"), col("q_emb"), col("q_nrm")), "query_id")
+      .withColumn("cos_sim",
+        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("adc_sim"), 6).as("adc_sim"), col("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
 }

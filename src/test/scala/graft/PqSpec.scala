@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+class PqSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("s04: shape, exact rerank scores, and recall vs the exact baseline") {
+    val pq = VectorOps.s04AnnPq(spark, sfDir)
+    val rows = pq.collect()
+    val nQueries = rows.map(_.getLong(0)).distinct.length
+    assert(rows.length === nQueries * 3)
+    // ranks are 1..3 per query
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+    // rerank scores are exact cosines: spot-check against s01's top-5 where ids overlap
+    val exact = VectorOps.s01AnnBruteforce(spark, sfDir)
+      .select($"query_id", $"vec_id", $"cos_sim").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    rows.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(4)) < 1e-9)
+      }
+    }
+    // recall@3 vs exact top-3 -- PQ with rerank should find at least half
+    val exactTop3 = VectorOps.s01AnnBruteforce(spark, sfDir)
+      .filter($"rank" <= 3).select($"query_id", $"vec_id")
+      .as[(Long, Long)].collect().toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (got & exactTop3).size.toDouble / exactTop3.size
+    info(s"recall@3 = $recall")
+    assert(recall >= 0.5)
+  }
+}
