@@ -183,4 +183,19 @@ object StreamingJobs {
       .select(col("e_user").as("user_id"), col("error_event_id"),
         col("ctx_event_id"), col("e_ts"), col("c_ts"))
   }
+
+  // ------------------------------------------------------------ anomaly
+  /** Streaming anomaly flagging (the streaming face of e08): a stream-
+    * static join against the batch-computed per-type stats, broadcast to
+    * every task — completely stateless, so it scales with stream rate
+    * alone. The stats side is the batch engine's output (periodically
+    * refreshed in production); z is rounded to 6 exactly like e08 so
+    * batch and stream agree on the flag for the same event. Inputs:
+    * streaming (event_id, user_id, event_type, value, ts), static
+    * (event_type, mu, sigma). */
+  def anomalyStream(events: DataFrame, stats: DataFrame): DataFrame =
+    events.join(broadcast(stats), "event_type")
+      .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
+      .filter(abs(col("z")) >= 3.0)
+      .select("event_id", "user_id", "event_type", "value", "z", "ts")
 }

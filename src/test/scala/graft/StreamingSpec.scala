@@ -108,4 +108,25 @@ class StreamingSpec extends GraftSpecBase {
       .as[(Long, Long)].collect().toSet
     assert(got === Set((900L, 100L), (900L, 101L)), s"got $got")
   }
+
+  test("anomalyStream: stream-static stats join flags 3-sigma events") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double, Timestamp)]
+    val events = mem.toDF.toDF("event_id", "user_id", "event_type", "value", "ts")
+    val stats = Seq(("click", 10.0, 2.0), ("view", 0.0, 1.0))
+      .toDF("event_type", "mu", "sigma")
+    val q = StreamingJobs.anomalyStream(events, stats)
+      .writeStream.format("memory").queryName("anom").outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, 1L, "click", 11.0, ts(0)),  // z = 0.5 -> pass
+      (2L, 1L, "click", 17.0, ts(1)),  // z = 3.5 -> flag
+      (3L, 2L, "view", -4.0, ts(2)),   // z = -4  -> flag
+      (4L, 2L, "view", 2.9, ts(3)))    // z = 2.9 -> pass
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("anom").select("event_id", "z")
+      .as[(Long, Double)].collect().toSet
+    assert(got === Set((2L, 3.5), (3L, -4.0)))
+  }
+
 }
