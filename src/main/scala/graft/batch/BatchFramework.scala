@@ -398,18 +398,20 @@ object BatchFramework {
 
   // ---------------------------------------------------------------- b10
   /** ProcessBatch model upsert: first task wins per model, later tasks
-    * reuse it (ProcessBatch.groovy:145-156 createModel/findModel). */
-  def b10UpsertEntities(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("model_name"))
-    val wOrd = w.orderBy(col("batch_id"), col("task_number"))
+    * reuse it (ProcessBatch.groovy:145-156 createModel/findModel).
+    * First-wins is a lexicographic min over (batch, task) — expressed as a
+    * map-side-combined aggregate on a struct rather than a row_number
+    * window, so no per-model sort exists and a model referenced by
+    * millions of tasks costs one partial min per partition. */
+  def b10UpsertEntities(spark: SparkSession, dir: String): DataFrame =
     taskLines(spark, dir)
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("n_refs", count(lit(1)).over(w))
-      .filter(col("rn") === 1)
-      .select(col("model_name"), col("batch_id").as("first_batch_id"),
-        col("task_number").as("first_task_number"), col("n_refs"))
+      .groupBy(col("model_name"))
+      .agg(
+        min(struct(col("batch_id"), col("task_number"))).as("first"),
+        count(lit(1)).as("n_refs"))
+      .select(col("model_name"), col("first.batch_id").as("first_batch_id"),
+        col("first.task_number").as("first_task_number"), col("n_refs"))
       .orderBy("model_name")
-  }
 
   val b10Sql: String =
     s"""$TaskLinesSql, ranked AS (

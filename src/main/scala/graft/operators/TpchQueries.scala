@@ -413,11 +413,16 @@ object TpchQueries {
     * self-joins over the fact table. */
   def q21WaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
+    // two-level aggregate instead of a double countDistinct: the distinct
+    // (order, supplier) base is computed once (one hash aggregate), then
+    // both per-order counts reduce from it — no Expand doubling the input
     val orderStats = t.lineitem
-      .groupBy(col("l_orderkey").as("agg_orderkey"))
+      .groupBy(col("l_orderkey").as("agg_orderkey"), col("l_suppkey"))
+      .agg(max(col("l_returnflag") === "R").as("flagged"))
+      .groupBy(col("agg_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_supp_flagged"))
+        count(lit(1)).as("n_supp"),
+        count(when(col("flagged"), 1)).as("n_supp_flagged"))
     val fOrders = t.orders.filter(col("o_orderstatus") === "F").select("o_orderkey")
     t.lineitem.filter(col("l_returnflag") === "R")
       .select("l_orderkey", "l_suppkey")
