@@ -358,6 +358,20 @@ object BatchFramework {
        |  (SELECT count(*) FROM filtered) AS total_results
        |FROM filtered ORDER BY batch_id LIMIT 25 OFFSET 50""".stripMargin
 
+  /** b14: the scale-path page — [[keysetPage]] as a driver-checked query
+    * (after id 1000, one 25-row page). Unlike b07's offset page, the
+    * filter reaches the scan (`PushedFilters: GreaterThan(batch_id,...)`)
+    * and a global top-k replaces sort-everything-skip-prefix: the deep
+    * page costs the same as the first one. */
+  def b14KeysetPage(spark: SparkSession, dir: String): DataFrame =
+    keysetPage(spark, dir, lastSeenId = 1000L, pageSize = 25)
+
+  val b14Sql: String =
+    s"""$AnchorsSql
+       |SELECT batch_id, name, inception_time_us, state
+       |FROM anchors WHERE state = 'NOT_STARTED' AND batch_id > 1000
+       |ORDER BY batch_id LIMIT 25""".stripMargin
+
   // ---------------------------------------------------------------- b08
   /** BatchIgniter: NOT_STARTED anchors by inceptionTime asc, top
     * igniterThreadPoolSize=10 (BatchIgniter.groovy:55-66); id tiebreak for

@@ -180,6 +180,22 @@ object AnalyticOps {
       |FROM orders
       |ORDER BY o_custkey, order_date_us, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- a09
+  /** a09: approximate percentiles via the KLL/Greenwald-Khanna-style
+    * `approx_percentile` sketch (accuracy 10000) next to HLL distinct
+    * (a06) — the sketch pair every 100 TB profiler runs: mergeable
+    * partial state, one pass, no sort. Rows-only (sketch internals are
+    * engine-specific); the spec gates each estimate against the exact
+    * interpolated percentiles (a03) at ≤1% relative error. */
+  def a09ApproxQuantile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).orders
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        expr("approx_percentile(o_totalprice, 0.5, 10000)").as("approx_p50"),
+        expr("approx_percentile(o_totalprice, 0.9, 10000)").as("approx_p90"))
+      .orderBy("o_orderstatus")
+
   // ---------------------------------------------------------------- a08
   /** a08: GROUPING SETS — the explicit-subset cousin of CUBE (a01) /
     * ROLLUP (r01): detail by (priority, status), a priority-only margin,

@@ -108,6 +108,33 @@ class Round3OpsSpec extends GraftSpecBase {
     assert(bad.count() === 0)
   }
 
+  test("a09: sketch percentiles land within 1% of the exact ones") {
+    val approx = AnalyticOps.a09ApproxQuantile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val exact = AnalyticOps.a03Percentiles(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(p50 - exact(k)._1) / exact(k)._1 <= 0.01)
+      assert(math.abs(p90 - exact(k)._2) / exact(k)._2 <= 0.01)
+    }
+  }
+
+  test("b14: keyset page prunes at the scan and returns the contiguous page") {
+    val page = graft.batch.BatchFramework.b14KeysetPage(spark, sfDir)
+    val rows = page.collect()
+    assert(rows.length <= 25)
+    assert(rows.forall(_.getLong(0) > 1000L))
+    // ids are the first 25 qualifying ids after the key — contiguous page
+    val all = Tables(spark, sfDir).orders
+      .filter(col("o_orderstatus") === "O" && col("o_orderkey") > 1000)
+      .select(col("o_orderkey")).as[Long].collect().sorted.take(25)
+    assert(rows.map(_.getLong(0)).toSeq === all.toSeq)
+    // the keyset predicate must reach the parquet scan
+    val plan = page.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(o_orderkey,1000)"))
+  }
+
   test("a08: grouping-sets rows agree with the CUBE on shared sets") {
     val gs = AnalyticOps.a08GroupingSets(spark, sfDir).collect()
     val cube = AnalyticOps.a01CubeAgg(spark, sfDir).collect()
