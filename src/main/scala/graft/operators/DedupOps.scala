@@ -208,6 +208,20 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  // ---------------------------------------------------------------- d06
+  /** d06: the dedup pipeline end to end — MinHash/LSH candidates (d03),
+    * exact-Jaccard confirmation (≥ 0.5), connected components over the
+    * surviving pairs ([[Components.canonicalize]]), one row per duplicate
+    * CLUSTER with its canonical (min-id) document. This is the operator a
+    * 100 TB corpus actually runs: everything upstream shuffles signatures
+    * and ids only, and the final contraction is O(log² n) rounds + local
+    * union-find completion. Rows-only (xxhash64 upstream); the spec checks
+    * cluster structure against a driver-side union-find. */
+  def d06DedupCanonicalize(spark: SparkSession, dir: String): DataFrame =
+    Components.canonicalize(
+      d03DedupMinhash(spark, dir).filter(col("jaccard") >= 0.5),
+      "doc_a", "doc_b")
+
   // ---------------------------------------------------------------- d04
   private val SimhashBits = 64
   private val Segments = 4
