@@ -47,9 +47,18 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val bySlowest = results.toSeq.sortBy(-_._2).map { case (k, v) => s"\"$k\":${fmt(v)}" }
     val budget = 1600 // chars available for the queries map
+    // prefix truncation, not a filter: stop at the FIRST entry that no
+    // longer fits, so the kept set is exactly the slowest-N and
+    // omitted_fast_queries means what it says
     val kept = scala.collection.mutable.ArrayBuffer.empty[String]
     var used = 0
-    for (e <- bySlowest if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    val it = bySlowest.iterator
+    var full = false
+    while (it.hasNext && !full) {
+      val e = it.next()
+      if (used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+      else full = true
+    }
     val omitted = bySlowest.length - kept.length
     val qs = kept.mkString("{", ",", "}")
     val omitNote = if (omitted > 0) s""","omitted_fast_queries":$omitted""" else ""

@@ -520,8 +520,11 @@ object CoreQueries {
   def w03FirstLast(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).orders
       .select(col("o_custkey"), col("o_totalprice"),
+        // day * 1e10 + orderkey: keys stay distinct for orderkeys < 1e10
+        // (TPC-H sf ~1600) and epoch days < 9e8 — no cross-day collision
+        // at any realistic scale
         (unix_micros(col("o_orderdate").cast("timestamp")) / 86400000000L)
-          .cast("long").*(lit(10000000L)).+(col("o_orderkey")).as("k"))
+          .cast("long").*(lit(10000000000L)).+(col("o_orderkey")).as("k"))
       .groupBy(col("o_custkey"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -533,7 +536,7 @@ object CoreQueries {
   val w03Sql: String =
     """WITH keyed AS (
       |  SELECT o_custkey, o_totalprice,
-      |    epoch_us(o_orderdate) // 86400000000 * 10000000 + o_orderkey AS k
+      |    epoch_us(o_orderdate) // 86400000000 * 10000000000 + o_orderkey AS k
       |  FROM orders
       |)
       |SELECT o_custkey, count(*) AS n_orders,

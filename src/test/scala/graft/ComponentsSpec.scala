@@ -81,4 +81,21 @@ class ComponentsSpec extends GraftSpecBase {
       assert(clusters.filter(col("canonical_doc") =!= col("component")).count() === 0)
     }
   }
+
+  test("d06 clusters equal a driver-side union-find over the confirmed pairs") {
+    val pairEdges = DedupOps.d03DedupMinhash(spark, sfDir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+    assert(pairEdges.nonEmpty)
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    pairEdges.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val expected = parent.keys.map(n => (n, find(n))).groupBy(_._2).map { case (_, ns) =>
+      val members = ns.map(_._1).toSeq
+      (members.min, members.size.toLong)
+    }.toSet
+    val got = DedupOps.d06DedupCanonicalize(spark, sfDir)
+      .select(col("canonical_doc"), col("cluster_size")).as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
 }
