@@ -28,6 +28,7 @@ object Graft {
     }
     functions.FloatVecDot.register(spark)
     functions.BottomKDistinct.register(spark)
+    functions.PolyFingerprint.register(spark)
   }
 
   /** One-shot: bind and run a SQL statement. */

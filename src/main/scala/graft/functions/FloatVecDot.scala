@@ -90,6 +90,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FloatVecDot.info,
       (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
     e.injectFunction((
+      FunctionIdentifier("poly_fp"),
+      PolyFingerprint.info,
+      (children: Seq[Expression]) => PolyFingerprint(children.head)))
+    e.injectFunction((
       FunctionIdentifier("bottom_k_distinct"),
       BottomKDistinct.info,
       (children: Seq[Expression]) => children(1) match {

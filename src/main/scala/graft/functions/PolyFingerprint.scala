@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native rolling polynomial hash over a string's code points:
+  * `h = (h * 131 + codepoint) % (2^31 - 1)`, ascending order.
+  *
+  * Replaces the interpreted HOF form (`aggregate(transform(sequence(1,
+  * length(s)), i -> ascii(substr(s, i, 1))), ...)`), which pays one
+  * interpreted lambda call per character AND is quadratic — each
+  * `substr(i, 1)` walks the UTF-8 bytes from the start. This expression is
+  * one linear pass inside whole-stage codegen. Arithmetic and iteration
+  * order are identical to the HOF fold and DuckDB's `list_reduce` mirror
+  * (TextOps.polyFpSql), so all three produce the same value — the property
+  * that makes the c04 sample reproducible on any engine.
+  */
+case class PolyFingerprint(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_fp"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"poly_fp expects a string argument, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 131L + cp) % 2147483647L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val s = ctx.freshName("s")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
+      s"""
+         |java.lang.String $s = $a.toString();
+         |long $h = 0L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $h = ($h * 131L + (long) $cp) % 2147483647L;
+         |  $i += java.lang.Character.charCount($cp);
+         |}
+         |${ev.value} = $h;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyFingerprint {
+  val info = new ExpressionInfo(classOf[PolyFingerprint].getName, "poly_fp")
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_fp", (children: Seq[Expression]) => PolyFingerprint(children.head), "built-in")
+
+  /** `poly_fp(s)` as a Column (requires [[register]] on the session). */
+  def polyFp(s: Column): Column =
+    org.apache.spark.sql.functions.call_function("poly_fp", s)
+}

@@ -174,8 +174,16 @@ object TextOps {
     * integer arithmetic in Spark and DuckDB (no overflow on either side). */
   private val FpMod = 2147483647L
 
-  /** The polynomial content fingerprint as a reusable Column (t04, c04, g01). */
-  def polyFp(c: Column): Column =
+  /** The polynomial content fingerprint as a reusable Column (t04, c04):
+    * the native codegen expression (one linear pass). Callers register it
+    * per session; [[polyFpHof]] is the pure-`functions._` reference form
+    * the parity spec checks it against. */
+  def polyFp(c: Column): Column = graft.functions.PolyFingerprint.polyFp(c)
+
+  /** Reference HOF formulation of [[polyFp]] — interpreted and quadratic
+    * (each substr walks from the string start); kept for the native-
+    * expression parity spec and as the dependency-free fallback. */
+  def polyFpHof(c: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(c)),
         i => ascii(c.substr(i, lit(1))).cast("long")),
@@ -190,7 +198,8 @@ object TextOps {
        |        i -> CAST(ascii(substr($e, CAST(i AS INT), 1)) AS BIGINT))),
        |    (h, c) -> (h * 131 + c) % $FpMod)""".stripMargin
 
-  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame =
+  def t04Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
     docs(spark, dir)
       .select(col("doc_id"), normText(col("text")).as("norm"))
       .withColumn("fp_md5", md5(col("norm")))
@@ -198,6 +207,7 @@ object TextOps {
       .withColumn("fp_poly", polyFp(col("norm")))
       .select("doc_id", "fp_md5", "fp_sha256", "fp_poly")
       .orderBy("doc_id")
+  }
 
   // ---------------------------------------------------------------- c01
   /** c01: corpus-level n-gram statistics — top word bigrams by document
@@ -373,7 +383,8 @@ object TextOps {
     * both engines, so the sample is reproducible anywhere). Reports
     * per-stratum population vs sample counts — the sampling audit a
     * training-data pipeline logs. */
-  def c04StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+  def c04StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
     docs(spark, dir)
       .select(col("doc_id"), col("lang"), normText(col("text")).as("norm"))
       .withColumn("fp", polyFp(col("norm")))
@@ -385,6 +396,7 @@ object TextOps {
         round(count(when(col("sampled"), 1)).cast("double") / count(lit(1)), 6)
           .as("sample_rate"))
       .orderBy("lang")
+  }
 
   val c04Sql: String =
     s"""WITH fp AS (

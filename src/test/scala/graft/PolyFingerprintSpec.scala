@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.PolyFingerprint
+import graft.operators.TextOps
+
+class PolyFingerprintSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("native poly_fp equals the HOF fold on corpus text and edge cases") {
+    PolyFingerprint.register(spark)
+    val edge = Seq("", "a", "abc", "  spaced  out  ", "Ünïcödé ü", "0123456789",
+      "x" * 500).toDF("s")
+    val corpus = Tables(spark, sfDir).documents
+      .select(TextOps.normText(col("text")).as("s"))
+    val both = edge.unionAll(corpus)
+      .select(PolyFingerprint.polyFp(col("s")).as("native"),
+        TextOps.polyFpHof(col("s")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() === 0)
+    assert(both.filter(col("native").isNull =!= col("hof").isNull).count() === 0)
+  }
+
+  test("poly_fp output is non-negative and bounded by the modulus") {
+    PolyFingerprint.register(spark)
+    val fp = Tables(spark, sfDir).documents
+      .select(PolyFingerprint.polyFp(col("text")).as("fp"))
+    assert(fp.filter(col("fp") < 0 || col("fp") >= 2147483647L).count() === 0)
+  }
+}
