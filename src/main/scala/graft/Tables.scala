@@ -28,11 +28,17 @@ final class Tables(spark: SparkSession, dir: String) {
   /** Spread a small scan across all cores. The local testdata files are
     * single-row-group parquet → one input split, which serializes the
     * interpreted higher-order-function work (shingling, signatures) onto a
-    * single core. At 100 TB inputs arrive already split; this repartition
-    * exists to give the local bench the same parallelism a real layout has.
-    * Only worth the shuffle for HOF-heavy downstream compute. */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(spark.sparkContext.defaultParallelism)
+    * single core. This repartition exists to give the local bench the same
+    * parallelism a real layout has — and it is GATED on the scan actually
+    * being under-split: a 100 TB input already arrives with more splits
+    * than cores, and blindly repartitioning it would shuffle the full
+    * payload (text included) before the first filter. Only worth the
+    * shuffle for HOF-heavy downstream compute on under-split inputs. */
+  def spread(df: DataFrame): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 }
 
 object Tables {

@@ -58,7 +58,8 @@ object CoreQueries {
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
   /** q03: shipping-priority 3-way join + agg + top-N (Q3 shape).
-    * customer is the small side per-segment → broadcast; the orders⨝lineitem
+    * customer shuffles on custkey — it scales with data volume, so no
+    * broadcast HINT (AQE broadcasts it at small SF where it fits); the orders⨝lineitem
     * join shuffles on the order key only after both sides were filtered. */
   def q03TopNJoin(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -68,7 +69,7 @@ object CoreQueries {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val l = t.lineitem.filter(col("l_shipdate") > cutoff)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    broadcast(c).join(o, col("c_custkey") === col("o_custkey"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"))
       .agg(sum(dec2(col("l_extendedprice")) * (one - rate(col("l_discount"))))
@@ -109,7 +110,7 @@ object CoreQueries {
     t.lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s),
+      .join(s,
         col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(dims, col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
@@ -520,11 +521,13 @@ object CoreQueries {
   def w03FirstLast(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).orders
       .select(col("o_custkey"), col("o_totalprice"),
-        // day * 1e10 + orderkey: keys stay distinct for orderkeys < 1e10
-        // (TPC-H sf ~1600) and epoch days < 9e8 — no cross-day collision
-        // at any realistic scale
-        (unix_micros(col("o_orderdate").cast("timestamp")) / 86400000000L)
-          .cast("long").*(lit(10000000000L)).+(col("o_orderkey")).as("k"))
+        // composite key in 128-bit decimal: day * 1e15 + orderkey. A 64-bit
+        // packed long collides once orderkeys reach the multiplier (sf≈1,667
+        // at 1e10 — silently wrong first/last at target scale); DECIMAL(38,0)
+        // ⇄ DuckDB HUGEINT keeps the key exact for orderkeys < 1e15 (sf~1e8)
+        ((unix_micros(col("o_orderdate").cast("timestamp")) / 86400000000L)
+          .cast("long").cast("decimal(38,0)") * lit(1000000000000000L)
+          + col("o_orderkey")).as("k"))
       .groupBy(col("o_custkey"))
       .agg(
         count(lit(1)).as("n_orders"),
@@ -536,7 +539,8 @@ object CoreQueries {
   val w03Sql: String =
     """WITH keyed AS (
       |  SELECT o_custkey, o_totalprice,
-      |    epoch_us(o_orderdate) // 86400000000 * 10000000000 + o_orderkey AS k
+      |    CAST(epoch_us(o_orderdate) // 86400000000 AS HUGEINT)
+      |      * 1000000000000000 + o_orderkey AS k
       |  FROM orders
       |)
       |SELECT o_custkey, count(*) AS n_orders,

@@ -37,13 +37,14 @@ object ExtendedQueries {
 
   // ---------------------------------------------------------------- q16
   /** q16: distinct-supplier counts per (brand, type), one brand excluded —
-    * COUNT(DISTINCT) forces a two-phase aggregate; the join to part is a
-    * broadcast. */
+    * COUNT(DISTINCT) forces a two-phase aggregate. part scales with data
+    * volume (200k×sf), so it carries no broadcast hint — AQE broadcasts it
+    * while it fits, shuffles it at 100 TB. */
   def q16SupplierCnt(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val p = t.part.filter(col("p_brand") =!= "Brand#1").select("p_partkey", "p_brand", "p_type")
     t.lineitem.select("l_partkey", "l_suppkey")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"), col("p_type"))
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"))
@@ -119,7 +120,7 @@ object ExtendedQueries {
   def q02MinCost(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val li = t.lineitem.select("l_partkey", "l_suppkey")
-    val s = broadcast(t.supplier.select("s_suppkey", "s_acctbal", "s_name"))
+    val s = t.supplier.select("s_suppkey", "s_acctbal", "s_name")
     val partSupp = li.join(s, col("l_suppkey") === col("s_suppkey")).distinct()
     val minBal = partSupp.groupBy(col("l_partkey").as("mb_partkey"))
       .agg(min(col("s_acctbal")).as("min_bal"))

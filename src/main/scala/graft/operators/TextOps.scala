@@ -448,22 +448,39 @@ object TextOps {
   /** Context-window size for [[c05PackSequences]]. */
   private val PackCap = 512L
 
+  /** Doc-ids per packing shard: bounds every window partition below. */
+  private val PackShardSpan = 100000L
+
   /** c05: sequence packing for LLM pretraining — the concat-and-chunk
     * layout (documents concatenated in a deterministic order, split into
     * fixed `PackCap`-token context windows; documents may span a chunk
     * boundary). Per doc: its token offset interval and the chunk ids it
-    * lands in — everything a packed-batch writer needs. One window cumsum
-    * per language partition; at 100 TB the order key would be
-    * (lang, shard, doc_id) so each shard packs independently and no
-    * partition sees unbounded data. */
+    * lands in — everything a packed-batch writer needs.
+    *
+    * The global per-language cumsum is a TWO-LEVEL prefix sum: a local
+    * cumsum inside each (lang, shard) window (shard = doc_id div
+    * [[PackShardSpan]], so every partition is bounded regardless of corpus
+    * size), plus a per-shard base offset from a window over the tiny
+    * (lang, shard) totals relation. A lang-only window would funnel a
+    * whole language — tens of TB at target scale — through one task. */
   def c05PackSequences(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(spark, dir)
+    val toks = docs(spark, dir)
       .select(col("doc_id"), col("lang"),
-        size(tokensOf(col("text"))).cast("long").as("n_tok"))
-      .withColumn("end_off", sum(col("n_tok")).over(w))
+        size(tokensOf(col("text"))).cast("long").as("n_tok"),
+        floor(col("doc_id") / PackShardSpan).as("shard"))
+    val wLocal = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = toks.withColumn("local_end", sum(col("n_tok")).over(wLocal))
+    // one row per (lang, shard): cumulative token total of all PRIOR shards
+    val wShard = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = toks.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tok")).as("shard_tok"))
+      .withColumn("base", coalesce(sum(col("shard_tok")).over(wShard), lit(0L)))
+      .select("lang", "shard", "base")
+    local.join(bases, Seq("lang", "shard"))
+      .withColumn("end_off", col("base") + col("local_end"))
       .withColumn("start_off", col("end_off") - col("n_tok"))
       .withColumn("chunk_first", floor(col("start_off") / PackCap))
       .withColumn("chunk_last", floor((col("end_off") - 1) / PackCap))
@@ -496,10 +513,12 @@ object TextOps {
   /** c06: benchmark decontamination — flag training documents sharing any
     * word-4-gram with the eval set. N-grams are built as rows (posexplode +
     * lead windows, whole-stage codegen — never interpreted array HOFs);
-    * the distinct eval-gram set is tiny by construction, so Spark
-    * broadcasts it and the training side never shuffles its grams. At
-    * 100 TB this is the canonical decontamination join: eval n-grams
-    * broadcast, one scan over training text. */
+    * a real eval benchmark is FIXED SIZE, so its gram set broadcasts and
+    * the training side never shuffles its grams. The synthetic eval set
+    * here grows with the corpus (1/97 of ids), so there is deliberately no
+    * broadcast hint — AQE broadcasts while the set fits and falls back to
+    * a shuffle join beyond that, instead of dying on the 8 GB broadcast
+    * cap. Production would pin the bounded benchmark set broadcast. */
   def c06Decontaminate(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs(spark, dir)
@@ -515,7 +534,7 @@ object TextOps {
     val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
       .select(col("g")).distinct()
     val trainGrams = grams.filter(col("doc_id") % EvalMod =!= 0).distinct()
-    val matched = trainGrams.join(broadcast(evalGrams), "g")
+    val matched = trainGrams.join(evalGrams, "g")
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     docs(spark, dir).filter(col("doc_id") % EvalMod =!= 0)
       .select(col("doc_id"))

@@ -69,7 +69,7 @@ object TpchQueries {
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
     l.join(t.orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))
-      .join(broadcast(s), col("l_suppkey") === col("s_suppkey"))
+      .join(s, col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
       .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
       .filter(
@@ -113,11 +113,11 @@ object TpchQueries {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val vol = discPrice(col("l_extendedprice"), col("l_discount"))
     t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(t.customer.select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(amNations), col("c_nationkey") === col("c_nk"), "left_semi")
-      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+      .join(t.supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
       .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
@@ -157,9 +157,9 @@ object TpchQueries {
         (dec2(col("p_retailprice")) * dec2(col("l_quantity"))).cast("decimal(30,4)")
     t.lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
         "l_extendedprice", "l_discount", "l_quantity")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
       .join(t.orders.select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+      .join(t.supplier.select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t.nation.select("n_nationkey", "n_name")),
         col("s_nationkey") === col("n_nationkey"))
@@ -192,7 +192,7 @@ object TpchQueries {
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
     val vals = t.lineitem.select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
-      .join(broadcast(natSupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(natSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy(col("l_partkey"))
       .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
         .cast("decimal(24,4)").as("v"))
@@ -256,7 +256,7 @@ object TpchQueries {
     t.lineitem.filter(
         col("l_shipdate") >= ts("1997-03-01") && col("l_shipdate") < ts("1997-04-01"))
       .select("l_partkey", "l_extendedprice", "l_discount")
-      .join(broadcast(t.part.select("p_partkey", "p_type")),
+      .join(t.part.select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .agg(round(
         lit(100.0) *
@@ -320,7 +320,7 @@ object TpchQueries {
     val p = t.part.filter(col("p_brand") === "Brand#12" && col("p_size") <= 25)
       .select("p_partkey")
     val l = t.lineitem.select("l_partkey", "l_quantity", "l_extendedprice")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(p, col("l_partkey") === col("p_partkey"), "left_semi")
     val stats = l.groupBy(col("l_partkey").as("agg_partkey"))
       .agg(count(lit(1)).as("cnt"), sum(col("l_quantity").cast("long")).as("sum_qty"))
     l.join(stats, col("l_partkey") === col("agg_partkey"))
@@ -352,7 +352,7 @@ object TpchQueries {
     val p = t.part.select("p_partkey", "p_brand", "p_size")
     val joined = t.lineitem
       .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(p, col("l_partkey") === col("p_partkey"))
     joined.filter(
         (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
           col("l_quantity").between(1, 11)) ||
@@ -382,7 +382,7 @@ object TpchQueries {
     val bolts = t.part.filter(col("p_name").contains("bolt")).select("p_partkey")
     val heavy = t.lineitem.filter(
         col("l_shipdate") >= ts("1997-01-01") && col("l_shipdate") < ts("1998-01-01"))
-      .join(broadcast(bolts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .join(bolts, col("l_partkey") === col("p_partkey"), "left_semi")
       .groupBy(col("l_suppkey"), col("l_partkey"))
       .agg(sum(col("l_quantity").cast("long")).as("qty"))
       .filter(col("qty") > 50)
@@ -429,7 +429,7 @@ object TpchQueries {
       .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
       .join(orderStats, col("l_orderkey") === col("agg_orderkey"))
       .filter(col("n_supp") >= 2 && col("n_supp_flagged") === 1)
-      .join(broadcast(t.supplier.select("s_suppkey", "s_name")),
+      .join(t.supplier.select("s_suppkey", "s_name"),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.io.ByteArrayInputStream
 import java.util.zip.ZipInputStream
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -22,13 +21,27 @@ object TaskFileSource {
 
   final case class RawTaskLine(source_file: String, line_number: Long, task_line: String)
 
-  /** Line-oriented ingestion (covers the reference's csv and txt uploads). */
+  /** Line-oriented ingestion (covers the reference's csv and txt uploads).
+    *
+    * Line numbers come from a distributed two-phase index (RDD
+    * `zipWithIndex`: per-partition counts, then prefix offsets) rebased to
+    * each file's first line — NOT from a per-file window, which would sort
+    * every line of one upload in a single task (a 100 GB CSV = one
+    * reducer). The text source orders partitions by (file, block offset),
+    * so the global index is monotone within each file and the rebase is
+    * one tiny aggregate + join. */
   def lines(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("source_file")).orderBy(monotonically_increasing_id())
-    spark.read.textFile(path).toDF("task_line")
+    import spark.implicits._
+    val indexed = spark.read.textFile(path).toDF("task_line")
       .withColumn("source_file", input_file_name())
-      .withColumn("line_number", row_number().over(w).cast("long"))
+      .as[(String, String)].rdd
+      .zipWithIndex
+      .map { case ((line, file), i) => (file, i, line) }
+      .toDF("source_file", "gidx", "task_line")
+    val starts = indexed.groupBy(col("source_file"))
+      .agg(min(col("gidx")).as("file_start"))
+    indexed.join(starts, "source_file")
+      .withColumn("line_number", (col("gidx") - col("file_start") + 1).cast("long"))
       .select("source_file", "line_number", "task_line")
   }
 
@@ -49,23 +62,45 @@ object TaskFileSource {
 
   /** Zip ingestion: each archive's entries are decompressed partition-side
     * and flattened to lines, numbered per entry (the same
-    * (source_file, line_number) identity the other readers produce). */
+    * (source_file, line_number) identity the other readers produce).
+    *
+    * Fully streaming: the ZipInputStream reads the PortableDataStream
+    * directly (no whole-archive byte array — which would also hit the 2 GB
+    * JVM array cap) and lines are emitted through a lazy per-entry
+    * BufferedReader, so memory is bounded by one line + decoder buffers
+    * regardless of archive size. The stream closes when the iterator
+    * drains. */
   def zipLines(spark: SparkSession, path: String): Dataset[RawTaskLine] = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(path)
       .flatMap { case (file, stream) =>
-        val zin = new ZipInputStream(new ByteArrayInputStream(stream.toArray()))
-        Iterator.continually(zin.getNextEntry)
+        val zin = new ZipInputStream(stream.open())
+        val inner = Iterator.continually(zin.getNextEntry)
           .takeWhile(_ != null)
           .filterNot(_.isDirectory)
           .flatMap { entry =>
-            val content = new String(zin.readAllBytes(), "UTF-8")
-            content.split("\r?\n", -1).iterator.filter(_.nonEmpty).zipWithIndex
-              .map { case (line, i) =>
-                RawTaskLine(s"$file!${entry.getName}", i + 1L, line)
+            // ZipInputStream.read stops at the entry boundary, so the
+            // reader drains exactly one entry; do not close it (that
+            // would close the shared zin)
+            val reader = new java.io.BufferedReader(
+              new java.io.InputStreamReader(zin, "UTF-8"))
+            var lineNo = 0L
+            Iterator.continually(reader.readLine())
+              .takeWhile(_ != null)
+              .filter(_.nonEmpty)
+              .map { line =>
+                lineNo += 1
+                RawTaskLine(s"$file!${entry.getName}", lineNo, line)
               }
           }
-          .toList
+        new Iterator[RawTaskLine] {
+          override def hasNext: Boolean = {
+            val h = inner.hasNext
+            if (!h) zin.close()
+            h
+          }
+          override def next(): RawTaskLine = inner.next()
+        }
       }
       .toDS()
   }

@@ -43,7 +43,16 @@ object StreamingJobs {
     * flatMapGroupsWithState + event-time timeout. A session closes when a
     * later event exceeds the gap, or when the watermark passes
     * session_end + gap (event-time timeouts never leave a batch perpetually
-    * pending, unlike processing-time ones). */
+    * pending, unlike processing-time ones).
+    *
+    * Memory contract: the persisted STATE is one small record per user,
+    * but each trigger buffers and sorts ONE USER'S events from THAT
+    * micro-batch before folding them — memory is bounded by per-key
+    * per-trigger burst size, not by stream length. A hot key delivering
+    * millions of events in a single trigger needs a shorter trigger
+    * interval (or rate limiting upstream); that knob, not this operator,
+    * is the defense — the sort is unavoidable because intra-batch arrival
+    * order is not event-time order. */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
