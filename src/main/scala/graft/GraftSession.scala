@@ -6,8 +6,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Tuned for the driver's local[32] harness but with settings that scale to a
   * real cluster: AQE (coalescing + skew-join splitting) on, explicit shuffle
-  * parallelism, UTC session time, and a broadcast threshold sized so TPC-H
-  * ratio dimension tables (region/nation/supplier/part) always broadcast.
+  * parallelism, UTC session time, and a 64 MB auto-broadcast threshold.
+  * Only schema-bounded relations (region/nation, scalar aggregates,
+  * codebooks) carry explicit broadcast hints in the operators; tables that
+  * grow with data volume (supplier/part/customer) are left to AQE, which
+  * broadcasts them below the threshold and shuffle-joins them beyond it.
   */
 object GraftSession {
 
