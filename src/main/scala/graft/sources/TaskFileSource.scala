@@ -23,26 +23,56 @@ object TaskFileSource {
 
   /** Line-oriented ingestion (covers the reference's csv and txt uploads).
     *
-    * Line numbers come from a distributed two-phase index (RDD
-    * `zipWithIndex`: per-partition counts, then prefix offsets) rebased to
-    * each file's first line — NOT from a per-file window, which would sort
-    * every line of one upload in a single task (a 100 GB CSV = one
-    * reducer). The text source orders partitions by (file, block offset),
-    * so the global index is monotone within each file and the rebase is
-    * one tiny aggregate + join. */
+    * Line numbers come from a true per-file two-phase index — the same
+    * count-then-offset scheme `zipWithIndex` uses, but keyed by
+    * (partition, file) so it is immune to split packing order:
+    *
+    *   phase 1: one pass counts rows per (partitionId, source_file);
+    *   driver:  per file, prefix-sum those counts in partition-index order
+    *            (metadata-sized — one entry per file-split, not per row);
+    *   phase 2: line_number = broadcast start(partition, file) + the row's
+    *            local index within its file inside the partition.
+    *
+    * Why not `gidx - min(gidx)` over a global zipWithIndex: Spark packs
+    * file splits into partitions sorted by length descending, so a large
+    * file's remainder split can land AFTER other files' splits — the
+    * file's global-index range then has gaps and a min-rebase inflates its
+    * later line numbers. Per-file monotonicity ACROSS partition index does
+    * hold (equal-size splits keep offset order under the stable sort and
+    * a file's remainder is its last chunk), which is exactly what the
+    * per-file prefix sum needs. And not a per-file window, which would
+    * sort every line of one upload in a single task (a 100 GB CSV = one
+    * reducer). */
   def lines(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val indexed = spark.read.textFile(path).toDF("task_line")
+    val rows = spark.read.textFile(path).toDF("task_line")
       .withColumn("source_file", input_file_name())
       .as[(String, String)].rdd
-      .zipWithIndex
-      .map { case ((line, file), i) => (file, i, line) }
-      .toDF("source_file", "gidx", "task_line")
-    val starts = indexed.groupBy(col("source_file"))
-      .agg(min(col("gidx")).as("file_start"))
-    indexed.join(starts, "source_file")
-      .withColumn("line_number", (col("gidx") - col("file_start") + 1).cast("long"))
-      .select("source_file", "line_number", "task_line")
+    // phase 1: rows per (partition, file) — O(#splits) driver data, the
+    // same class of metadata collect zipWithIndex performs internally
+    val counts = rows.mapPartitionsWithIndex { (pid, it) =>
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (_, f) => m.update(f, m.getOrElse(f, 0L) + 1L) }
+      Iterator.single((pid, m.toVector))
+    }.collect()
+    val fileStarts = scala.collection.mutable.HashMap.empty[(Int, String), Long]
+    val running = scala.collection.mutable.HashMap.empty[String, Long]
+    counts.sortBy(_._1).foreach { case (pid, files) =>
+      files.foreach { case (f, c) =>
+        val s = running.getOrElse(f, 0L)
+        fileStarts((pid, f)) = s
+        running(f) = s + c
+      }
+    }
+    val bcStarts = spark.sparkContext.broadcast(fileStarts.toMap)
+    rows.mapPartitionsWithIndex { (pid, it) =>
+      val local = scala.collection.mutable.HashMap.empty[String, Long]
+      it.map { case (line, f) =>
+        val idx = local.getOrElse(f, 0L)
+        local(f) = idx + 1L
+        (f, bcStarts.value((pid, f)) + idx + 1L, line)
+      }
+    }.toDF("source_file", "line_number", "task_line")
   }
 
   /** Minimal XML element-text extraction (the reference's file.xml is
@@ -69,12 +99,16 @@ object TaskFileSource {
     * JVM array cap) and lines are emitted through a lazy per-entry
     * BufferedReader, so memory is bounded by one line + decoder buffers
     * regardless of archive size. The stream closes when the iterator
-    * drains. */
+    * drains, and a task-completion listener closes it even when the task
+    * stops consuming early (limit, take, downstream failure) — without it
+    * the file handle would leak until GC. */
   def zipLines(spark: SparkSession, path: String): Dataset[RawTaskLine] = {
     import spark.implicits._
     spark.sparkContext.binaryFiles(path)
       .flatMap { case (file, stream) =>
         val zin = new ZipInputStream(stream.open())
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => zin.close()))
         val inner = Iterator.continually(zin.getNextEntry)
           .takeWhile(_ != null)
           .filterNot(_.isDirectory)

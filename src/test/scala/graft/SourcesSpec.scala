@@ -20,6 +20,47 @@ class SourcesSpec extends GraftSpecBase {
     assert(rows.exists(_.getAs[String]("task_line") == "apple,red,round"))
   }
 
+  test("lines: numbers stay correct when a big file's splits interleave with other files") {
+    // Force the split-packing order that broke the min-rebase scheme:
+    // a file larger than maxPartitionBytes is cut into splits sorted by
+    // length descending, so its small remainder split lands AFTER the
+    // other file's split — the big file's rows no longer occupy a
+    // contiguous global-index range.
+    val dir = tmpDir()
+    // big.csv = 300×16B = 4799B → nine 512B splits + a 191B remainder;
+    // small.csv (359B) sits between remainder and full-split size, so the
+    // length-descending sort places big's remainder AFTER small's split.
+    val bigLines = (1 to 300).map(i => f"big-line-$i%06d")
+    Files.writeString(new File(dir, "big.csv").toPath, bigLines.mkString("\n"))
+    val smallLines = (1 to 20).map(i => f"small-line-$i%06d")
+    Files.writeString(new File(dir, "small.csv").toPath, smallLines.mkString("\n"))
+    val prevMax = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    val prevCost = spark.conf.get("spark.sql.files.openCostInBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "512")
+      spark.conf.set("spark.sql.files.openCostInBytes", "0")
+      // Guard against this test going vacuous: confirm the packing really
+      // interleaves — big.csv's global-index range must contain a gap
+      // (small.csv rows inside it), which is what broke the min-rebase.
+      val gidx = spark.read.textFile(dir.getAbsolutePath)
+        .withColumn("source_file", org.apache.spark.sql.functions.input_file_name())
+        .select("source_file").rdd.map(_.getString(0)).zipWithIndex.collect()
+      val bigIdx = gidx.filter(_._1.contains("big.csv")).map(_._2)
+      assert(bigIdx.max - bigIdx.min + 1 > bigIdx.length,
+        "expected big.csv's split range to be non-contiguous; tune sizes")
+      val rows = TaskFileSource.lines(spark, dir.getAbsolutePath).collect()
+      assert(rows.length === 320)
+      rows.foreach { r =>
+        val expected = r.getAs[String]("task_line").split("-").last.toLong
+        assert(r.getAs[Long]("line_number") === expected,
+          s"${r.getAs[String]("source_file")}: ${r.getAs[String]("task_line")}")
+      }
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      spark.conf.set("spark.sql.files.openCostInBytes", prevCost)
+    }
+  }
+
   test("xmlElementText: extracts element bodies (reference file.xml shape)") {
     val dir = tmpDir()
     Files.writeString(new File(dir, "file.xml").toPath,
