@@ -1,0 +1,18 @@
+package graft
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.local("plan-check", 8)
+    for (q <- Seq("d02_dedup_jaccard", "d03_dedup_minhash", "c01_corpus_ngrams", "c06_decontaminate")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val t0 = System.nanoTime()
+      df.collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      val windows = "\\bWindow\\b".r.findAllIn(p).size
+      val realEx = "(?<!Reused)Exchange ".r.findAllIn(p).size
+      val reused = "ReusedExchange".r.findAllIn(p).size
+      println(f"PLANCHECK $q%-22s windows=$windows realExchanges=$realEx reused=$reused time=$sec%.2fs")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,192 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native n-gram construction over a token array — ONE linear pass inside
+  * whole-stage codegen, emitting the per-position n-gram array in place.
+  *
+  * This replaces the two formulations the text/dedup operators were forced
+  * to choose between:
+  *   - array HOFs (`transform(sequence(...), ...)`) — no shuffle, but
+  *     interpreted (one lambda call per position, dominated hot paths);
+  *   - posexplode + `lead` windows — codegen'd, but the window shuffles
+  *     ONE ROW PER TOKEN OCCURRENCE (a corpus-sized exchange at 100 TB,
+  *     before any aggregation).
+  * A native expression is both: codegen'd AND shuffle-free. Consumers
+  * `explode` the result, which is a narrow (no-exchange) operator.
+  *
+  * Same pattern as [[PolyFingerprint]]; see SURVEY.md §F.
+  */
+
+/** `ngram_hashes(tokens, n)`: xxhash64 of each word n-gram, as
+  * `array<bigint>` of length `size - n + 1` (empty when the array is
+  * shorter than n).
+  *
+  * Hash parity: bit-identical to the multi-argument
+  * `xxhash64(tok_i, ..., tok_{i+n-1})` — seed 42, each token chained as
+  * the next hash's seed, null tokens leaving the state unchanged — so
+  * swapping the row formulation for this expression changes NO values
+  * (MinHash signatures, LSH band keys, c06 gram keys all carry over). */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1 && n <= 64, s"ngram_hashes: n must be in [1, 64], got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_hashes expects array<string>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val num = math.max(0, arr.numElements() - (n - 1))
+    val out = new Array[Long](num)
+    var i = 0
+    while (i < num) {
+      var h = 42L
+      var j = 0
+      while (j < n) {
+        if (!arr.isNullAt(i + j)) h = XXH64.hashUTF8String(arr.getUTF8String(i + j), h)
+        j += 1
+      }
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val gad = classOf[GenericArrayData].getName
+      val num = ctx.freshName("num")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      s"""
+         |int $num = $a.numElements() - ${n - 1};
+         |if ($num < 0) $num = 0;
+         |long[] $out = new long[$num];
+         |for (int $i = 0; $i < $num; $i++) {
+         |  long $h = 42L;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    if (!$a.isNullAt($i + $j)) {
+         |      $h = $xxh.hashUTF8String($a.getUTF8String($i + $j), $h);
+         |    }
+         |  }
+         |  $out[$i] = $h;
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** `ngram_join(tokens, n)`: each word n-gram as a space-joined string,
+  * `array<string>` of length `size - n + 1` — for operators whose OUTPUT
+  * is the n-gram text itself (c01's top bigrams). Null tokens are skipped
+  * within a gram, matching `concat_ws(" ", ...)`. */
+case class NgramJoin(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1 && n <= 64, s"ngram_join: n must be in [1, 64], got $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_join"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"ngram_join expects array<string>, got $other")
+  }
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val num = math.max(0, arr.numElements() - (n - 1))
+    val out = new Array[UTF8String](num)
+    val buf = new Array[UTF8String](n)
+    var i = 0
+    while (i < num) {
+      var j = 0
+      while (j < n) {
+        buf(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      out(i) = UTF8String.concatWs(sep, buf: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val utf8 = classOf[UTF8String].getName
+      val gad = classOf[GenericArrayData].getName
+      val sepRef = ctx.addReferenceObj("ngramSep", sep, utf8)
+      val num = ctx.freshName("num")
+      val out = ctx.freshName("out")
+      val buf = ctx.freshName("buf")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int $num = $a.numElements() - ${n - 1};
+         |if ($num < 0) $num = 0;
+         |$utf8[] $out = new $utf8[$num];
+         |$utf8[] $buf = new $utf8[$n];
+         |for (int $i = 0; $i < $num; $i++) {
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $buf[$j] = $a.isNullAt($i + $j) ? null : $a.getUTF8String($i + $j);
+         |  }
+         |  $out[$i] = $utf8.concatWs($sepRef, $buf);
+         |}
+         |${ev.value} = new $gad($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Ngrams {
+  val hashesInfo = new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes")
+  val joinInfo = new ExpressionInfo(classOf[NgramJoin].getName, "ngram_join")
+
+  private def intLit(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: n must be an integer literal, got $other")
+  }
+
+  /** Idempotent per-session registration of both expressions. */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_hashes",
+      cs => NgramHashes(cs.head, intLit(cs(1), "ngram_hashes")), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_join",
+      cs => NgramJoin(cs.head, intLit(cs(1), "ngram_join")), "built-in")
+  }
+
+  /** `ngram_hashes(tokens, n)` as a Column (requires [[register]]). */
+  def ngramHashes(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "ngram_hashes", tokens, org.apache.spark.sql.functions.lit(n))
+
+  /** `ngram_join(tokens, n)` as a Column (requires [[register]]). */
+  def ngramJoin(tokens: Column, n: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "ngram_join", tokens, org.apache.spark.sql.functions.lit(n))
+}

@@ -17,22 +17,12 @@ import graft.operators.TextOps.{normText, tokensOf}
   */
 object DedupOps {
 
-  /** Distinct word-3-gram shingles of a token array (codegen'd HOFs). */
-  def shingles(tk: Column): Column =
-    when(size(tk) < 3, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(tk) - 3),
-        i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3)))))
-
-  /** DuckDB mirror of [[shingles]] (1-based list indexing). */
+  /** DuckDB-side distinct word-3-gram shingles of a token array (the
+    * oracle keeps STRING shingles; the Spark side runs on
+    * [[graft.functions.NgramHashes]] longs — identical counts, since
+    * hashing preserves distinctness up to xxhash64 collisions). */
   private val ShinglesSql =
     "list_distinct(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))"
-
-  private def docsWithShingles(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    t.spread(t.documents)
-      .select(col("doc_id"), col("lang"), shingles(tokensOf(col("text"))).as("sh"))
-  }
 
   private val DocsShinglesSql =
     s"""WITH toks AS (
@@ -50,23 +40,20 @@ object DedupOps {
     * an audit sample (here) or on LSH candidates ([[d03DedupMinhash]], the
     * scale path). */
   def d02DedupJaccard(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // Row-relational form (same values as the arrays-and-intersect
-    // formulation the DuckDB oracle uses): distinct (doc, shingle) rows,
-    // intersection sizes via a shingle-equality join — only pairs that
-    // actually share a shingle are ever materialized, and nothing is an
-    // interpreted array HOF. Safe because shingle document-frequency is
-    // bounded (max 9 here); a hub-shingle corpus would need a df cap.
+    // Row-relational form (same counts as the arrays-and-intersect
+    // formulation the DuckDB oracle uses): distinct (doc, shingle-hash)
+    // rows, intersection sizes via a hash-equality join — only pairs that
+    // actually share a shingle are ever materialized. Shingles are
+    // NgramHashes longs (native codegen, no per-token window exchange, no
+    // interpreted HOF); jaccard counts are identical to the oracle's
+    // string shingles up to xxhash64 collisions. Safe because shingle
+    // document-frequency is bounded (max 9 here); a hub-shingle corpus
+    // would need a df cap.
+    graft.functions.Ngrams.register(spark)
     val t = Tables(spark, dir)
-    val toks = t.spread(t.documents).filter(col("doc_id") % 2 === 0)
-      .select(col("doc_id"), col("lang"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val rows = toks
-      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
-      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
-      .filter(col("t2").isNotNull)
+    val rows = t.spread(t.documents).filter(col("doc_id") % 2 === 0)
       .select(col("doc_id"), col("lang"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
+        explode(graft.functions.Ngrams.ngramHashes(tokensOf(col("text")), 3)).as("sh"))
       .distinct()
     val counts = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = rows.as("a").join(rows.as("b"),
@@ -105,17 +92,6 @@ object DedupOps {
   /** Skip LSH buckets bigger than this — degenerate keys, quadratic cost. */
   private val MaxBucket = 64
 
-  /** Distinct word-3-gram shingles hashed straight to longs: one multi-arg
-    * xxhash64 per position — no 3-gram string is ever materialized, and
-    * dedupe/intersection run on longs. ~5× cheaper than [[shingles]]; used
-    * by the rows-only LSH ops (the oracle-checked [[d02DedupJaccard]] keeps
-    * string shingles for DuckDB parity). */
-  def shingleHashes(tk: Column): Column =
-    when(size(tk) < 3, array().cast("array<bigint>"))
-      .otherwise(array_distinct(transform(
-        sequence(lit(0), size(tk) - 3),
-        i => xxhash64(element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3)))))
-
   /** Keep only rows whose (bucket-key) group has size in (1, maxBucket]:
     * the degenerate-bucket cap, as one window count over the same key the
     * pair join shuffles on — no extra join, no array materialization.
@@ -130,30 +106,26 @@ object DedupOps {
 
   /** d03: MinHash+LSH candidate pairs, verified with exact Jaccard.
     *
-    * Uses a bottom-k one-permutation sketch over [[shingleHashes]]: the 8
-    * band keys are hashes of consecutive 4-element slices of the sorted
-    * bottom-32 shingle hashes — Spark's higher-order functions are
-    * interpreted (not codegen'd), so one sort beats 32 re-hash scans. Only
-    * (band, key, doc_id) shuffles (~8×16 bytes/doc, never text). Buckets
-    * collect their ids and emit pairs locally — no self-join, signatures
-    * computed exactly once. Candidate pairs then join shingle sets for the
-    * exact-Jaccard verify — the 100 TB dedup pipeline end to end.
-    * Rows-only (xxhash64 has no DuckDB equivalent). */
+    * Uses a bottom-k one-permutation sketch over native
+    * [[graft.functions.NgramHashes]] shingle hashes: the 8 band keys are
+    * hashes of consecutive 4-element slices of the sorted bottom-32
+    * shingle hashes. Only (band, key, doc_id) shuffles (~8×16 bytes/doc,
+    * never text). Buckets collect their ids and emit pairs locally — no
+    * self-join, signatures computed exactly once. Candidate pairs then
+    * join shingle sets for the exact-Jaccard verify — the 100 TB dedup
+    * pipeline end to end. Rows-only (xxhash64 has no DuckDB equivalent). */
   def d03DedupMinhash(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.BottomKDistinct.register(spark)
+    graft.functions.Ngrams.register(spark)
     val t = Tables(spark, dir)
-    // Shingle hashes as ROWS, not arrays: posexplode + lead windows keep
-    // the whole pipeline in whole-stage codegen (array HOFs are
-    // interpreted). One skinny (doc_id, h) row per shingle position.
-    val toks = t.spread(t.documents)
-      .select(col("doc_id"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val shRaw = toks
-      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
-      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"), xxhash64(col("tok"), col("t1"), col("t2")).as("h"))
+    // Shingle hashes straight from the token array in one codegen pass —
+    // explode is a narrow operator, so no per-token exchange exists
+    // anywhere in this pipeline (the old posexplode + lead-window build
+    // shuffled one row per token occurrence). Values are bit-identical to
+    // the multi-arg xxhash64 row formulation (NgramsSpec).
+    val shRaw = t.spread(t.documents)
+      .select(col("doc_id"),
+        explode(graft.functions.Ngrams.ngramHashes(tokensOf(col("text")), 3)).as("h"))
     // Distinct shingle relation for the exact-Jaccard verify. Recomputed by
     // each consumer (per-doc counts, both intersection sides): at this
     // width the pipeline is cheaper to re-run than to round-trip through

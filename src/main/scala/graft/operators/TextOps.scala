@@ -211,16 +211,16 @@ object TextOps {
 
   // ---------------------------------------------------------------- c01
   /** c01: corpus-level n-gram statistics — top word bigrams by document
-    * frequency and total count. Pure explode + two-level aggregation
-    * (map-side combined); at 100 TB the bigram key space is the shuffle,
-    * never the documents. */
+    * frequency and total count. Bigrams come from the native
+    * [[graft.functions.NgramJoin]] expression (one codegen pass, explode
+    * is narrow — the old posexplode + lead window shuffled one row per
+    * token occurrence); then two-level aggregation (map-side combined).
+    * At 100 TB the bigram key space is the shuffle, never the documents. */
   def c01CorpusNgrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
     val bigrams = docs(spark, dir)
-      .select(col("doc_id"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("nxt", lead(col("tok"), 1).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .filter(col("nxt").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+      .select(col("doc_id"),
+        explode(graft.functions.Ngrams.ngramJoin(tokensOf(col("text")), 2)).as("bigram"))
     bigrams
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("total_count"),
@@ -511,26 +511,23 @@ object TextOps {
   private val EvalMod = 97
 
   /** c06: benchmark decontamination — flag training documents sharing any
-    * word-4-gram with the eval set. N-grams are built as rows (posexplode +
-    * lead windows, whole-stage codegen — never interpreted array HOFs);
-    * a real eval benchmark is FIXED SIZE, so its gram set broadcasts and
-    * the training side never shuffles its grams. The synthetic eval set
-    * here grows with the corpus (1/97 of ids), so there is deliberately no
-    * broadcast hint — AQE broadcasts while the set fits and falls back to
-    * a shuffle join beyond that, instead of dying on the 8 GB broadcast
-    * cap. Production would pin the bounded benchmark set broadcast. */
+    * word-4-gram with the eval set. Grams are native
+    * [[graft.functions.NgramHashes]] LONGS end to end: the gram build is
+    * one codegen pass + a narrow explode (no per-token window exchange),
+    * and the distinct/join shuffles carry 8-byte keys, never 4-gram
+    * strings. Gram counts equal the oracle's string grams up to xxhash64
+    * collisions. A real eval benchmark is FIXED SIZE, so its gram set
+    * broadcasts and the training side never shuffles its grams. The
+    * synthetic eval set here grows with the corpus (1/97 of ids), so
+    * there is deliberately no broadcast hint — AQE broadcasts while the
+    * set fits and falls back to a shuffle join beyond that, instead of
+    * dying on the 8 GB broadcast cap. Production would pin the bounded
+    * benchmark set broadcast. */
   def c06Decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val toks = docs(spark, dir)
-      .select(col("doc_id"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
-    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val grams = toks
-      .withColumn("t1", lead(col("tok"), 1).over(wDoc))
-      .withColumn("t2", lead(col("tok"), 2).over(wDoc))
-      .withColumn("t3", lead(col("tok"), 3).over(wDoc))
-      .filter(col("t3").isNotNull)
+    graft.functions.Ngrams.register(spark)
+    val grams = docs(spark, dir)
       .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3")).as("g"))
+        explode(graft.functions.Ngrams.ngramHashes(tokensOf(col("text")), 4)).as("g"))
     val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
       .select(col("g")).distinct()
     val trainGrams = grams.filter(col("doc_id") % EvalMod =!= 0).distinct()

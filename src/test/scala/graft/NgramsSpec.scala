@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Ngrams
+import graft.operators.TextOps
+
+/** Parity of the native n-gram expressions vs the row formulation they
+  * replace (posexplode + lead windows + multi-arg xxhash64 / concat_ws):
+  * same positions, same values, bit-identical hashes. */
+class NgramsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def corpusToks = Tables(spark, sfDir).documents
+    .select(col("doc_id"), TextOps.tokensOf(col("text")).as("tk"))
+
+  // negative ids so the window-based comparison never merges an edge doc
+  // with a corpus doc of the same id
+  private def edgeToks = Seq(
+    (-1L, Seq("a", "b", "c", "d")),
+    (-2L, Seq("a", "b")),          // shorter than a 3-gram
+    (-3L, Seq("a")),
+    (-4L, Seq.empty[String]),
+    (-5L, Seq("ü", "ünïcödé", "x", "ü")),
+    (-6L, Seq("repeat", "repeat", "repeat"))
+  ).toDF("doc_id", "tk")
+
+  test("ngram_hashes matches multi-arg xxhash64 over lead windows (n=3, n=4)") {
+    Ngrams.register(spark)
+    for (n <- Seq(3, 4)) {
+      val df = edgeToks.unionAll(corpusToks)
+      val native = df.select(col("doc_id"),
+          posexplode(Ngrams.ngramHashes(col("tk"), n)).as(Seq("pos", "h")))
+      val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val base = df.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "t0")))
+      val withLeads = (1 until n).foldLeft(base) { (acc, j) =>
+        acc.withColumn(s"t$j", lead(col("t0"), j).over(wDoc))
+      }
+      val rows = withLeads
+        .filter(col(s"t${n - 1}").isNotNull)
+        .select(col("doc_id"), col("pos"),
+          xxhash64((0 until n).map(j => col(s"t$j")): _*).as("h"))
+      assert(native.count() === rows.count(), s"n=$n count")
+      assert(native.except(rows).count() === 0, s"n=$n native-only rows")
+      assert(rows.except(native).count() === 0, s"n=$n row-only rows")
+    }
+  }
+
+  test("ngram_join matches concat_ws over lead windows (n=2)") {
+    Ngrams.register(spark)
+    val df = edgeToks.unionAll(corpusToks)
+    val native = df.select(col("doc_id"),
+      posexplode(Ngrams.ngramJoin(col("tk"), 2)).as(Seq("pos", "g")))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val rows = df.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+      .withColumn("nxt", lead(col("tok"), 1).over(wDoc))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), col("pos"), concat_ws(" ", col("tok"), col("nxt")).as("g"))
+    assert(native.count() === rows.count())
+    assert(native.except(rows).count() === 0)
+    assert(rows.except(native).count() === 0)
+  }
+
+  test("null tokens: hashes skip nulls like xxhash64; join skips like concat_ws") {
+    Ngrams.register(spark)
+    val df = Seq((1L, Seq("a", null, "c"))).toDF("doc_id", "tk")
+    val got = df.select(
+      Ngrams.ngramHashes(col("tk"), 2).as("hs"),
+      Ngrams.ngramJoin(col("tk"), 2).as("gs"),
+      array(xxhash64(lit("a"), lit(null).cast("string")),
+        xxhash64(lit(null).cast("string"), lit("c"))).as("expect_hs"),
+      array(concat_ws(" ", lit("a"), lit(null).cast("string")),
+        concat_ws(" ", lit(null).cast("string"), lit("c"))).as("expect_gs")
+    ).head()
+    assert(got.getSeq[Long](0) === got.getSeq[Long](2))
+    assert(got.getSeq[String](1) === got.getSeq[String](3))
+  }
+
+  test("null array input yields null, not empty") {
+    Ngrams.register(spark)
+    val df = Seq(Tuple1(Option.empty[Seq[String]])).toDF("tk")
+    val r = df.select(Ngrams.ngramHashes(col("tk"), 3).as("hs"),
+      Ngrams.ngramJoin(col("tk"), 3).as("gs")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+}

@@ -6,9 +6,11 @@ import graft.operators.{DedupOps, TextOps, VectorOps}
 class OperatorsSpec extends GraftSpecBase {
   import spark.implicits._
 
-  test("shingles: n tokens yield ≤ n-2 distinct 3-grams; short docs yield none") {
+  test("shingle hashes: n tokens yield ≤ n-2 distinct 3-grams; short docs yield none") {
+    graft.functions.Ngrams.register(spark)
     val df = Seq("a b c d e", "a b", "x y z x y z x y z").toDF("text")
-      .select(DedupOps.shingles(TextOps.tokensOf(col("text"))).as("sh"))
+      .select(array_distinct(
+        graft.functions.Ngrams.ngramHashes(TextOps.tokensOf(col("text")), 3)).as("sh"))
     val sizes = df.select(size(col("sh"))).as[Int].collect()
     assert(sizes.toSeq === Seq(3, 0, 3)) // last: 7 3-grams, 3 distinct
   }
