@@ -1,9 +1,17 @@
 package graft
+
+/** Dev diagnostic: window/exchange counts + wall time for the queries whose
+  * plan shape matters most. Data dir comes from args (defaults to the
+  * smallest local sf); extra args select specific queries. */
 object PlanCheck {
   def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val qs = if (args.length > 1) args.drop(1).toSeq
+      else Seq("d02_dedup_jaccard", "d03_dedup_minhash", "c01_corpus_ngrams",
+        "c06_decontaminate", "s01_ann_bruteforce", "s03_ann_ivf", "s04_ann_pq")
     val spark = GraftSession.local("plan-check", 8)
-    for (q <- Seq("d02_dedup_jaccard", "d03_dedup_minhash", "c01_corpus_ngrams", "c06_decontaminate")) {
-      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+    for (q <- qs) {
+      val df = SparkEntry.queries(q)(spark, dir)
       val t0 = System.nanoTime()
       df.collect()
       val sec = (System.nanoTime() - t0) / 1e9

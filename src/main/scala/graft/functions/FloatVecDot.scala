@@ -102,5 +102,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"bottom_k_distinct: k must be an integer literal, got $other")
       }))
+    e.injectFunction((
+      FunctionIdentifier("ngram_hashes"), Ngrams.hashesInfo, Ngrams.buildHashes _))
+    e.injectFunction((
+      FunctionIdentifier("ngram_join"), Ngrams.joinInfo, Ngrams.buildJoin _))
   }
 }

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -164,20 +164,36 @@ object Ngrams {
   val hashesInfo = new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes")
   val joinInfo = new ExpressionInfo(classOf[NgramJoin].getName, "ngram_join")
 
-  private def intLit(e: Expression, fn: String): Int = e match {
-    case Literal(v: Int, IntegerType) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn: n must be an integer literal, got $other")
+  /** `n` from any foldable integral expression (`3`, `1+2`, `CAST(3 AS
+    * BIGINT)` all work), constant-folded at registration time. Mismatches
+    * raise AnalysisException naming the function, like a built-in would. */
+  private def intArg(e: Expression, fn: String): Int = {
+    def fail(what: String): Nothing = throw new org.apache.spark.sql.AnalysisException(
+      "INTERNAL_ERROR",
+      Map("message" -> s"$fn: n must be a foldable integer expression, got $what"))
+    if (!e.foldable) fail(e.sql)
+    e.eval() match {
+      case v: Int => v
+      case v: Long if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
+      case v: Short => v.toInt
+      case v: Byte => v.toInt
+      case null => fail("NULL")
+      case other => fail(s"${e.sql} (${other.getClass.getSimpleName})")
+    }
   }
+
+  /** Builders shared by [[register]] and [[GraftExtensions]]. */
+  private[functions] def buildHashes(cs: Seq[Expression]): Expression =
+    NgramHashes(cs.head, intArg(cs(1), "ngram_hashes"))
+  private[functions] def buildJoin(cs: Seq[Expression]): Expression =
+    NgramJoin(cs.head, intArg(cs(1), "ngram_join"))
 
   /** Idempotent per-session registration of both expressions. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ngram_hashes",
-      cs => NgramHashes(cs.head, intLit(cs(1), "ngram_hashes")), "built-in")
+      "ngram_hashes", buildHashes, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "ngram_join",
-      cs => NgramJoin(cs.head, intLit(cs(1), "ngram_join")), "built-in")
+      "ngram_join", buildJoin, "built-in")
   }
 
   /** `ngram_hashes(tokens, n)` as a Column (requires [[register]]). */

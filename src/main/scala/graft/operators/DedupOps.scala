@@ -110,8 +110,10 @@ object DedupOps {
     * [[graft.functions.NgramHashes]] shingle hashes: the 8 band keys are
     * hashes of consecutive 4-element slices of the sorted bottom-32
     * shingle hashes. Only (band, key, doc_id) shuffles (~8×16 bytes/doc,
-    * never text). Buckets collect their ids and emit pairs locally — no
-    * self-join, signatures computed exactly once. Candidate pairs then
+    * never text). Pairs come from a bucket-local self-equi-join on the
+    * capped (band, key) — whole-stage codegen, both sides reusing the cap
+    * window's exchange; signatures are computed exactly once upstream of
+    * the join's common subtree. Candidate pairs then
     * join shingle sets for the exact-Jaccard verify — the 100 TB dedup
     * pipeline end to end. Rows-only (xxhash64 has no DuckDB equivalent). */
   def d03DedupMinhash(spark: SparkSession, dir: String): DataFrame = {

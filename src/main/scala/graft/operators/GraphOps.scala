@@ -20,13 +20,21 @@ object GraphOps {
   /** Deterministic bounded-degree test graph over the document id space:
     * edges (a, a+s) for s ∈ {1,2,3}, kept when (a·K + s) mod 3 ≠ 0
     * (Knuth multiplicative hash K) and both endpoints exist. Pure id
-    * arithmetic — the scan prunes to one column. */
+    * arithmetic — the scan prunes to one column.
+    *
+    * The keep-predicate reduces `a` mod 3 BEFORE multiplying by K: by
+    * modular arithmetic the result is identical to `(a·K + s) mod 3` at
+    * every id, but `(a mod 3)·K` can never overflow a 64-bit long, whereas
+    * the naive product silently wraps in Spark for a ≳ 3.47e9 while the
+    * DuckDB mirror (checked BIGINT) raises — the engines would diverge
+    * exactly where overflow begins. Same long-wrap class as the w03
+    * composite key (round 3). */
   private def edges(spark: SparkSession, dir: String): DataFrame = {
     val ids = Tables(spark, dir).documents.select(col("doc_id"))
     ids
       .select(col("doc_id").as("a"),
         explode(array(lit(1L), lit(2L), lit(3L))).as("s"))
-      .filter(pmod(col("a") * 2654435761L + col("s"), lit(3L)) =!= 0)
+      .filter(pmod(pmod(col("a"), lit(3L)) * 2654435761L + col("s"), lit(3L)) =!= 0)
       .select(col("a"), (col("a") + col("s")).as("b"))
       .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
       .select("a", "b")
@@ -36,7 +44,7 @@ object GraphOps {
     """edges AS (
       |  SELECT d.doc_id AS a, d.doc_id + t.s AS b
       |  FROM documents d, (SELECT unnest([1, 2, 3]) AS s) t
-      |  WHERE (d.doc_id * 2654435761 + t.s) % 3 <> 0
+      |  WHERE ((d.doc_id % 3) * 2654435761 + t.s) % 3 <> 0
       |    AND d.doc_id + t.s IN (SELECT doc_id FROM documents)
       |)""".stripMargin
 

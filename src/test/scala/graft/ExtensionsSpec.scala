@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+import graft.functions.GraftExtensions
+
+/** The cluster-deployment registration path: `spark.sql.extensions=
+  * graft.functions.GraftExtensions` must expose every graft native function
+  * to plain SQL. The spec drives the SAME injection hook the session builder
+  * uses (SparkSessionExtensions.registerFunctions) against the shared
+  * session's registry, then resolves each function from SQL text. */
+class ExtensionsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("GraftExtensions injects all native functions, resolvable from SQL") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftExtensionsTestAccess.register(
+      ext, spark.sessionState.functionRegistry)
+
+    val row = Seq(("a b c d", Array(1f, 2f), Array(3f, 4f)))
+      .toDF("s", "va", "vb")
+      .selectExpr(
+        "vec_dot(va, vb) AS dot",
+        "poly_fp(s) AS fp",
+        "ngram_hashes(split(s, ' '), 2) AS nh",
+        "ngram_join(split(s, ' '), 2) AS nj")
+      .collect()(0)
+    assert(row.getAs[Double]("dot") === 11.0)
+    assert(row.getAs[Seq[Long]]("nh").length === 3)
+    assert(row.getAs[Seq[String]]("nj") === Seq("a b", "b c", "c d"))
+
+    val agg = Seq(5L, 3L, 9L, 3L, 1L).toDF("h")
+      .selectExpr("bottom_k_distinct(h, 3) AS bot").collect()(0)
+    assert(agg.getAs[Seq[Long]]("bot") === Seq(1L, 3L, 5L))
+  }
+
+  test("ngram_hashes accepts any foldable integral n (1+2, bigint literal)") {
+    graft.functions.Ngrams.register(spark)
+    val df = Seq(("a b c d")).toDF("s")
+    val byFold = df.selectExpr("ngram_hashes(split(s, ' '), 1+2) AS h").collect()(0)
+    val byLong = df.selectExpr("ngram_hashes(split(s, ' '), CAST(3 AS BIGINT)) AS h").collect()(0)
+    val byLit = df.selectExpr("ngram_hashes(split(s, ' '), 3) AS h").collect()(0)
+    assert(byFold.getSeq[Long](0).toList === byLit.getSeq[Long](0).toList)
+    assert(byLong.getSeq[Long](0).toList === byLit.getSeq[Long](0).toList)
+    val err = intercept[Exception] {
+      df.selectExpr("ngram_join(split(s, ' '), s)").collect()
+    }
+    assert(err.getMessage.contains("ngram_join"))
+  }
+}

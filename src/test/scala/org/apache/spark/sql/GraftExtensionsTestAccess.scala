@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+
+/** Test-only shim: `SparkSessionExtensions.registerFunctions` is
+  * private[sql]; graft's ExtensionsSpec needs it to drive the exact
+  * injection path the session builder runs for
+  * `spark.sql.extensions=graft.functions.GraftExtensions`. */
+object GraftExtensionsTestAccess {
+  def register(ext: SparkSessionExtensions, registry: FunctionRegistry): Unit =
+    ext.registerFunctions(registry)
+}
