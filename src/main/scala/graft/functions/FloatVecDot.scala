@@ -106,5 +106,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ngram_hashes"), Ngrams.hashesInfo, Ngrams.buildHashes _))
     e.injectFunction((
       FunctionIdentifier("ngram_join"), Ngrams.joinInfo, Ngrams.buildJoin _))
+    e.injectFunction((
+      FunctionIdentifier("top_k_by_score"), TopKByScore.info, TopKByScore.build _))
   }
 }

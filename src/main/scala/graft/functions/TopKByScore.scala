@@ -1,0 +1,188 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.TernaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded top-k buffer over (score: double, id: long, tag: long) entries,
+  * ordered by (score desc, id asc); `tag` is opaque cargo (e.g. the IVF
+  * list an ANN candidate came from) and never participates in ordering.
+  *
+  * k is result-sized (≤ a few dozen for ANN top-k), so insert and
+  * worst-eviction are linear scans over flat primitive arrays — cheap to
+  * serialize for partial-aggregate shuffles, no heap/boxing. */
+final class TopKBuffer(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  val tags = new Array[Long](k)
+  var size = 0
+
+  /** (s1, i1) ranks strictly ahead of (s2, i2). Plain double compare: ANN
+    * scores are real cosines (never NaN); the id tiebreak totalizes. */
+  @inline private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  def insert(s: Double, id: Long, tag: Long): Unit = {
+    if (size < k) {
+      scores(size) = s
+      ids(size) = id
+      tags(size) = tag
+      size += 1
+    } else {
+      var worst = 0
+      var i = 1
+      while (i < size) {
+        if (beats(scores(worst), ids(worst), scores(i), ids(i))) worst = i
+        i += 1
+      }
+      if (beats(s, id, scores(worst), ids(worst))) {
+        scores(worst) = s
+        ids(worst) = id
+        tags(worst) = tag
+      }
+    }
+  }
+
+  /** Entry indices in rank order (score desc, id asc). */
+  def rankOrder: Array[Int] = {
+    val idx = Array.tabulate(size)(identity)
+    idx.sortInPlace()(Ordering.fromLessThan[Int] { (a, b) =>
+      beats(scores(a), ids(a), scores(b), ids(b))
+    })
+    idx
+  }
+}
+
+/** `top_k_by_score(score, id, tag, k)`: the k best (score, id) entries per
+  * group as `array<struct<score double, id bigint, tag bigint>>` in rank
+  * order (score desc, id asc) — top-k as ONE partial-aggregating pass.
+  *
+  * This is the scale-safe replacement for the
+  * `row_number().over(Window.partitionBy(query))` top-k idiom: the window
+  * funnels every scored candidate of a query through one reducer and sorts
+  * them all; this aggregate keeps a k-slot buffer per group on the map
+  * side, so the shuffle carries ≤ k entries per group per partition and
+  * nothing is ever globally sorted. Consumers `posexplode` the array;
+  * rank = position + 1. `tag` carries one long of per-candidate cargo
+  * through the aggregate (pass 0 when unused) — cargo rides in its own
+  * slot rather than bit-packed into the id, which collides at scale. */
+case class TopKByScore(
+    first: Expression,
+    second: Expression,
+    third: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] with TernaryLike[Expression] {
+
+  require(k > 0 && k <= 1024, s"top_k_by_score: k must be in (0, 1024], got $k")
+
+  def score: Expression = first
+  def id: Expression = second
+  def tag: Expression = third
+
+  override def prettyName: String = "top_k_by_score"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("id", LongType, nullable = false),
+      StructField("tag", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      val t = tag.eval(input)
+      buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long],
+        if (t == null) 0L else t.asInstanceOf[Long])
+    }
+    buffer
+  }
+
+  override def merge(buffer: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    var i = 0
+    while (i < other.size) {
+      buffer.insert(other.scores(i), other.ids(i), other.tags(i))
+      i += 1
+    }
+    buffer
+  }
+
+  override def eval(buffer: TopKBuffer): Any =
+    new GenericArrayData(buffer.rankOrder.map { i =>
+      new GenericInternalRow(Array[Any](buffer.scores(i), buffer.ids(i), buffer.tags(i)))
+    })
+
+  override def serialize(buffer: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 24 * buffer.size)
+    bb.putInt(buffer.size)
+    var i = 0
+    while (i < buffer.size) {
+      bb.putDouble(buffer.scores(i))
+      bb.putLong(buffer.ids(i))
+      bb.putLong(buffer.tags(i))
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKBuffer(k)
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble
+      val id = bb.getLong
+      val t = bb.getLong
+      buf.insert(s, id, t)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): TopKByScore =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object TopKByScore {
+  val info = new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score")
+
+  private[functions] def build(children: Seq[Expression]): Expression = {
+    val k = children(3) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"top_k_by_score: k must be an integer literal, got $other")
+    }
+    TopKByScore(children(0), children(1), children(2), k)
+  }
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "top_k_by_score", build, "built-in")
+
+  /** `top_k_by_score(score, id, tag, k)` as a Column (requires [[register]]). */
+  def topK(score: Column, id: Column, tag: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "top_k_by_score", score, id, tag, org.apache.spark.sql.functions.lit(k))
+
+  /** Tag-less form: `tag` is 0 for every entry. */
+  def topK(score: Column, id: Column, k: Int): Column =
+    topK(score, id, org.apache.spark.sql.functions.lit(0L), k)
+}

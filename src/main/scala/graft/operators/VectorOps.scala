@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, TopKByScore}
 
 /** §C embedding similarity: exact cosine near-dup pairs, brute-force ANN
   * top-k, and random-hyperplane LSH-bucketed ANN.
@@ -77,24 +77,48 @@ object VectorOps {
        |SELECT vec_a, vec_b, label, cos_sim FROM pairs
        |WHERE cos_sim >= 0.40 ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---------------------------------------------------------------- topk
+  /** Per-group top-k via the native [[TopKByScore]] aggregate: ONE
+    * partial-aggregating pass — each map task keeps a k-slot buffer per
+    * group, so the shuffle carries ≤ k (score, id, tag) entries per group
+    * per partition and no reducer ever sorts a group's full candidate set.
+    * This replaces the `row_number().over(partitionBy(query))` idiom used
+    * through round 4, which funneled ALL scored candidates of a query
+    * through one reducer (10 queries = 10 reducers sorting the corpus).
+    * Emits (groupCols*, rank, id, score, tag) in rank order (score desc,
+    * id asc — the window's exact ordering, so results are identical). */
+  private def topKPerGroup(scored: DataFrame, k: Int, score: Column, id: Column,
+      tag: Column, groupCols: Column*): DataFrame =
+    scored
+      .groupBy(groupCols: _*)
+      .agg(TopKByScore.topK(score, id, tag, k).as("top"))
+      .select(groupCols :+ posexplode(col("top")).as(Seq("pos", "t")): _*)
+      .withColumn("rank", (col("pos") + 1).cast("long"))
+      .withColumn("id", col("t.id"))
+      .withColumn("score", col("t.score"))
+      .withColumn("tag", col("t.tag"))
+      .drop("pos", "t")
+
   // ---------------------------------------------------------------- s01
   /** s01: exact top-5 cosine neighbors for the query set (vec_id < 10) —
-    * the brute-force ANN baseline (cross join + per-query window). */
+    * the brute-force ANN baseline. Scoring is a broadcast nested-loop join
+    * (queries are the bounded side); the top-k itself is the native
+    * [[TopKByScore]] aggregate, so at any corpus size the post-scan
+    * shuffle is ≤ k entries per query per partition — no per-query
+    * single-reducer sort anywhere. */
   def s01AnnBruteforce(spark: SparkSession, dir: String): DataFrame = {
     FloatVecDot.register(spark)
-    import org.apache.spark.sql.expressions.Window
+    TopKByScore.register(spark)
     val v = Tables(spark, dir).embeddings
       .withColumn("nrm", norm(col("embedding")))
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    q.join(v, col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim",
-        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 5)
-      .select("query_id", "rank", "vec_id", "cos_sim")
+    val scored = q.join(v, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6)
+          .as("cos_sim"))
+    topKPerGroup(scored, 5, col("cos_sim"), col("vec_id"), lit(0L), col("query_id"))
+      .select(col("query_id"), col("rank"), col("id").as("vec_id"), col("score").as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -130,10 +154,13 @@ object VectorOps {
   /** s02: random-hyperplane LSH ANN — 6 signed projections bucket the
     * vectors (~2^6 buckets), then exact top-3 within the query's bucket.
     * The scale path: shuffle keys are 1-byte-per-plane bucket ids; each
-    * bucket is brute-forced locally. Rows-only (approximate by design). */
+    * bucket is brute-forced locally and the per-query top-3 is the native
+    * [[TopKByScore]] aggregate (map-side k-slot buffers — no per-query
+    * window sort even when a bucket is huge). Rows-only (approximate by
+    * design). */
   def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     FloatVecDot.register(spark)
-    import org.apache.spark.sql.expressions.Window
+    TopKByScore.register(spark)
     val dim = 64
     def bucketOf(emb: Column): Column = concat((0 until NumPlanes).map { j =>
       val w = plane(j, dim)
@@ -148,15 +175,15 @@ object VectorOps {
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("bucket"), col("nrm").as("q_nrm"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    q.join(v, Seq("bucket"))
+    val scored = q.join(v, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim",
-        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 3)
-      .select("query_id", "rank", "vec_id", "bucket", "cos_sim")
+      .select(col("query_id"), col("bucket"), col("vec_id"),
+        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6)
+          .as("cos_sim"))
+    topKPerGroup(scored, 3, col("cos_sim"), col("vec_id"), lit(0L),
+        col("query_id"), col("bucket"))
+      .select(col("query_id"), col("rank"), col("id").as("vec_id"),
+        col("bucket"), col("score").as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -164,54 +191,67 @@ object VectorOps {
   private val IvfLists = 16
   private val IvfProbes = 2
 
-  /** s03: IVF (inverted-file) ANN — the second scale path beside LSH.
-    * A coarse quantizer of [[IvfLists]] centroids (deterministically sampled
-    * from the corpus: the lowest vec_ids — at 100 TB this would be k-means
-    * over a sample, same plumbing) partitions vectors into lists; each
-    * query probes its [[IvfProbes]] nearest lists and brute-forces only
-    * those. Shuffle carries (list_id, vec) — the corpus is scanned once to
-    * assign, once per probe set to score; nothing is ever all-pairs.
-    * Rows-only (approximate by design; the spec checks the scoring
-    * invariants against the exact baseline). */
-  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
-    FloatVecDot.register(spark)
-    import org.apache.spark.sql.expressions.Window
-    val v = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val centroids = broadcast(v.filter(col("vec_id") < IvfLists)
-      .select(col("vec_id").as("list_id"), col("embedding").as("c_emb"),
-        col("nrm").as("c_nrm")))
-    // assignment: nearest centroid by cosine (deterministic id tiebreak)
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("list_id"))
-    val assigned = v.crossJoin(centroids)
+  /** Nearest-centroid assignment: corpus × broadcast centroids scored by
+    * cosine, argmax per vector as a `min_by` aggregate on the ordering key
+    * (−c_sim, list_id) — the s04-encoder pattern. Map-side combined: one
+    * (embedding, nrm, list_id) struct per vector reaches the exchange, vs
+    * the round-3/4 `row_number().over(partitionBy(vec_id))` window that
+    * shuffled all [[IvfLists]] full-vector copies of the corpus to pick a
+    * minimum. No Window touches the corpus anywhere in s03 now. */
+  private def assignToLists(v: DataFrame, centroids: DataFrame): DataFrame =
+    v.crossJoin(centroids)
       .withColumn("c_sim",
         cosineWithNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
-      .withColumn("c_rank", row_number().over(wAssign))
-      .filter(col("c_rank") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("list_id"))
-    // queries probe their top-IvfProbes lists
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(col("c_sim").desc, col("list_id"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(
+        struct(col("embedding"), col("nrm"), col("list_id")),
+        struct((-col("c_sim")).as("neg_sim"), col("list_id"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.nrm").as("nrm"), col("best.list_id").as("list_id"))
+
+  /** s03: IVF (inverted-file) ANN — the second scale path beside LSH.
+    * A coarse quantizer of [[IvfLists]] centroids (k-means-refined over a
+    * deterministic corpus sample, [[Codebooks.ivfCentroids]]) partitions
+    * vectors into lists; each query probes its [[IvfProbes]] nearest lists
+    * and brute-forces only those. Every per-group argmax/top-k is an
+    * aggregate (min_by assignment, [[TopKByScore]] probe selection and
+    * final top-3 with the candidate's list riding the tag slot) — zero
+    * Window operators, so no stage ever funnels a query's candidates or a
+    * vector's centroid copies through one reducer. Shuffles carry one row
+    * per vector (assignment) or ≤ k entries per query per partition
+    * (top-k); nothing is ever all-pairs. Rows-only (approximate by
+    * design; the spec checks the scoring invariants against the exact
+    * baseline). */
+  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    FloatVecDot.register(spark)
+    TopKByScore.register(spark)
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val centroids = Codebooks.ivfCentroids(v, IvfLists)
+    val assigned = assignToLists(v, centroids)
+    // queries probe their top-IvfProbes lists (query set × 16 centroids —
+    // same aggregate shape; q_emb/q_nrm ride along via first())
     val probes = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
       .crossJoin(centroids)
       .withColumn("c_sim",
         cosineWithNorms(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
-      .withColumn("c_rank", row_number().over(wProbe))
-      .filter(col("c_rank") <= IvfProbes)
-      .select(col("query_id"), col("q_emb"), col("q_nrm"), col("list_id"))
-    // exact top-3 within the probed lists
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    probes.join(assigned, "list_id")
+      .groupBy(col("query_id"))
+      .agg(TopKByScore.topK(col("c_sim"), col("list_id"), IvfProbes).as("probe"),
+        first(col("q_emb")).as("q_emb"), first(col("q_nrm")).as("q_nrm"))
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        explode(col("probe.id")).as("list_id"))
+    // exact top-3 within the probed lists; list_id rides the tag slot
+    val scored = probes.join(assigned, "list_id")
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cos_sim",
-        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6))
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= 3)
-      .select("query_id", "rank", "vec_id", "list_id", "cos_sim")
+      .select(col("query_id"), col("vec_id"), col("list_id"),
+        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6)
+          .as("cos_sim"))
+    topKPerGroup(scored, 3, col("cos_sim"), col("vec_id"), col("list_id"),
+        col("query_id"))
+      .select(col("query_id"), col("rank"), col("id").as("vec_id"),
+        col("tag").as("list_id"), col("score").as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -230,8 +270,11 @@ object VectorOps {
     * codes; queries score candidates through a broadcast asymmetric-
     * distance (ADC) lookup table of query×centroid partial dots, and only
     * the top-[[PqRerank]] ADC candidates are reranked with the exact
-    * cosine. Codebooks are the subvectors of the first K ids (deterministic;
-    * k-means-over-sample at scale, same contract as the IVF quantizer).
+    * cosine. Sub-codebooks are k-means-trained over a deterministic corpus
+    * sample ([[Codebooks.pqCodebooks]]), same contract as the IVF
+    * quantizer. The ADC shortlist is a [[TopKByScore]] aggregate — the
+    * one per-query top-k that sees the whole corpus, so it must not be a
+    * window; the final top-3 after exact rerank also aggregates.
     *
     * At 100 TB: the corpus is stored once as (vec_id, 8 codes, norm) — a
     * 16× compression of the float vectors — the ADC table is O(q·M·K) and
@@ -241,16 +284,12 @@ object VectorOps {
     * baseline). */
   def s04AnnPq(spark: SparkSession, dir: String): DataFrame = {
     FloatVecDot.register(spark)
-    import org.apache.spark.sql.expressions.Window
+    TopKByScore.register(spark)
     val v = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val subIdx = explode(sequence(lit(0), lit(PqSubspaces - 1))).as("m")
-    // codebook: subvectors of the seed ids, broadcast everywhere
-    val codebook = broadcast(v.filter(col("vec_id") < PqCodebook)
-      .select(col("vec_id").cast("int").as("k"), subIdx, col("embedding"))
-      .select(col("k"), col("m"),
-        slice(col("embedding"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("c_sub"),
-        norm(slice(col("embedding"), col("m") * PqSubDim + 1, lit(PqSubDim))).as("c_sub_nrm2")))
+    // codebook: k-means over a deterministic sample, broadcast everywhere
+    val codebook = Codebooks.pqCodebooks(v, PqSubspaces, PqSubDim, PqCodebook)
     // encode: nearest codebook entry per (vector, subspace) by L2 —
     // argmin over ||x||² - 2x·c + ||c||², with ||x||² constant per row
     val codes = v
@@ -273,31 +312,37 @@ object VectorOps {
       .join(codebook, "m")
       .select(col("query_id"), col("q_nrm"), col("m"), col("k").as("code"),
         FloatVecDot.vecDot(col("q_sub"), col("c_sub")).as("part_dot")))
-    // approximate score: sum of table lookups over the M codes
-    val wAdc = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_sim").desc, col("vec_id"))
-    // the compressed corpus row is (vec_id, codes, norm) — the stored norm
-    // turns the ADC dot into an approximate cosine for ranking
-    val candidates = codes.join(adc, Seq("m", "code"))
+    // approximate score: sum of table lookups over the M codes. The ADC
+    // shortlist is the corpus-wide per-query top-k — a TopKByScore
+    // aggregate, never a window (a window here would sort every scored
+    // corpus row in one reducer per query). The compressed corpus row is
+    // (vec_id, codes, norm) — the stored norm turns the ADC dot into an
+    // approximate cosine for ranking.
+    val scoredAdc = codes.join(adc, Seq("m", "code"))
       .groupBy(col("query_id"), col("vec_id"))
       .agg((sum(col("part_dot")) / first(col("q_nrm"))).as("adc_dot"))
       .join(v.select(col("vec_id"), col("nrm").as("x_nrm")), "vec_id")
-      .withColumn("adc_sim", col("adc_dot") / col("x_nrm"))
+      .select(col("query_id"), col("vec_id"),
+        (col("adc_dot") / col("x_nrm")).as("adc_sim"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc_rank", row_number().over(wAdc))
-      .filter(col("adc_rank") <= PqRerank)
-    // exact rerank of the ADC shortlist
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    candidates
+    val shortlist = topKPerGroup(scoredAdc, PqRerank,
+        col("adc_sim"), col("vec_id"), lit(0L), col("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"), col("score").as("adc_sim"))
+    // exact rerank of the (≤ PqRerank per query) shortlist: score, then the
+    // final top-3 through the same aggregate — adc_sim rides the tag slot
+    // as round-6 micro-units (exact: both round(x,6) and units/1e6 are the
+    // correctly-rounded double of the same decimal)
+    val reranked = shortlist
       .join(v, "vec_id")
       .join(queries.select(col("query_id"), col("q_emb"), col("q_nrm")), "query_id")
-      .withColumn("cos_sim",
-        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6))
-      .withColumn("rank", row_number().over(wTop).cast("long"))
-      .filter(col("rank") <= 3)
-      .select(col("query_id"), col("rank"), col("vec_id"),
-        round(col("adc_sim"), 6).as("adc_sim"), col("cos_sim"))
+      .select(col("query_id"), col("vec_id"),
+        round(col("adc_sim"), 6).as("adc_sim"),
+        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6)
+          .as("cos_sim"))
+    topKPerGroup(reranked, 3, col("cos_sim"), col("vec_id"),
+        round(col("adc_sim") * 1e6).cast("long"), col("query_id"))
+      .select(col("query_id"), col("rank"), col("id").as("vec_id"),
+        (col("tag") / 1e6).as("adc_sim"), col("score").as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 }

@@ -33,6 +33,11 @@ class ExtensionsSpec extends GraftSpecBase {
     val agg = Seq(5L, 3L, 9L, 3L, 1L).toDF("h")
       .selectExpr("bottom_k_distinct(h, 3) AS bot").collect()(0)
     assert(agg.getAs[Seq[Long]]("bot") === Seq(1L, 3L, 5L))
+
+    val topk = Seq((1L, 0.5, 7L), (2L, 0.9, 8L)).toDF("i", "s", "t")
+      .selectExpr("top_k_by_score(s, i, t, 1) AS top").collect()(0)
+    val best = topk.getSeq[org.apache.spark.sql.Row](0).head
+    assert(best.getDouble(0) === 0.9 && best.getLong(1) === 2L && best.getLong(2) === 8L)
   }
 
   test("ngram_hashes accepts any foldable integral n (1+2, bigint literal)") {

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.TopKByScore
+
+/** top_k_by_score must equal the row_number-window top-k it replaces —
+  * including the (score desc, id asc) tie order — across partial/merge
+  * paths (forced by repartitioning the input many ways). */
+class TopKByScoreSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  TopKByScore.register(spark)
+
+  private def referenceTopK(df: org.apache.spark.sql.DataFrame, k: Int) = {
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("i"))
+    df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("g", "rank", "i", "s", "t")
+  }
+
+  private def aggTopK(df: org.apache.spark.sql.DataFrame, k: Int) =
+    df.groupBy(col("g"))
+      .agg(TopKByScore.topK(col("s"), col("i"), col("t"), k).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.id").as("i"), col("e.score").as("s"), col("e.tag").as("t"))
+
+  test("matches the window top-k exactly, ties broken by id, tags carried") {
+    // deterministic data with many score ties and duplicate scores per group
+    val rows = for {
+      g <- 0 until 7
+      i <- 0 until 200
+    } yield (g.toLong, i.toLong, ((i * 31 + g * 17) % 13).toDouble / 4.0, i.toLong * 10 + g)
+    for (parts <- Seq(1, 3, 32)) {
+      val df = rows.toDF("g", "i", "s", "t").repartition(parts)
+      for (k <- Seq(1, 5, 64)) {
+        val exp = referenceTopK(df, k).collect().map(_.toSeq).toSet
+        val got = aggTopK(df, k).collect().map(_.toSeq).toSet
+        assert(got === exp, s"parts=$parts k=$k")
+      }
+    }
+  }
+
+  test("groups smaller than k emit all rows; empty input emits none") {
+    val df = Seq((1L, 10L, 0.5, 0L), (1L, 11L, 0.7, 1L)).toDF("g", "i", "s", "t")
+    val got = aggTopK(df, 5).orderBy("rank").collect()
+    assert(got.length === 2)
+    assert(got(0).getLong(2) === 11L && got(0).getDouble(3) === 0.7 && got(0).getLong(4) === 1L)
+    assert(aggTopK(df.filter(col("g") < 0), 3).count() === 0)
+  }
+
+  test("SQL registration form works") {
+    TopKByScore.register(spark)
+    val out = Seq((1L, 1L, 2.0, 0L), (1L, 2L, 3.0, 0L)).toDF("g", "i", "s", "t")
+      .createOrReplaceTempView("tks_in")
+    val r = spark.sql(
+      "SELECT top_k_by_score(s, i, t, 1) AS top FROM tks_in GROUP BY g").collect()(0)
+    assert(r.getSeq[org.apache.spark.sql.Row](0).head.getDouble(0) === 3.0)
+  }
+}
