@@ -69,6 +69,12 @@ object BatchFramework {
       .repartition(col("l_orderkey")))
   }
 
+  /** Dirty lines carry the reference contract's FULL field layout
+    * (CreateBatch.groovy:20): `...,k=v;k=v,AssetGroup` — the 4th field is
+    * the ';'-separated property string, the 5th the asset group. These
+    * lines still trip the reference's 3-field validation regex (both error
+    * classes occur, as before), while round-tripping properties AND group
+    * through `BatchService.createBatch`. */
   private def derive(l: DataFrame): DataFrame = {
     l.select(
       col("l_orderkey").as("batch_id"),
@@ -78,12 +84,15 @@ object BatchFramework {
       when(col("l_quantity") >= 46, concat(lit("bad asset "), col("l_suppkey")))
         .otherwise(concat(lit("A_"), col("l_suppkey"))).as("asset_name"),
       col("l_returnflag"), col("l_linestatus"), col("l_quantity"), col("l_tax"),
-      col("l_shipdate")
+      col("l_shipdate"),
+      when(col("l_tax") >= 0.075, concat(lit("G"), pmod(col("l_suppkey"), lit(4))))
+        .as("asset_group")
     ).withColumn(
       "task_line",
       concat(
         concat_ws(",", col("model_name"), col("serial_number"), col("asset_name")),
-        when(col("l_tax") >= 0.075, lit(",x=1,y=2")).otherwise(lit(""))
+        when(col("asset_group").isNotNull,
+          concat(lit(",x=1;y=2,"), col("asset_group"))).otherwise(lit(""))
       )
     )
   }
@@ -97,10 +106,12 @@ object BatchFramework {
       |    CASE WHEN l_quantity >= 46 THEN 'bad asset ' || l_suppkey
       |         ELSE 'A_' || l_suppkey END AS asset_name,
       |    l_returnflag, l_linestatus, l_quantity, l_tax, l_shipdate,
+      |    CASE WHEN l_tax >= 0.075 THEN 'G' || (l_suppkey % 4) END AS asset_group,
       |    ('M' || l_partkey) || ',' || ('SN-' || l_orderkey || '-' || l_linenumber) || ',' ||
       |      (CASE WHEN l_quantity >= 46 THEN 'bad asset ' || l_suppkey
       |            ELSE 'A_' || l_suppkey END) ||
-      |      (CASE WHEN l_tax >= 0.075 THEN ',x=1,y=2' ELSE '' END) AS task_line
+      |      (CASE WHEN l_tax >= 0.075
+      |            THEN ',x=1;y=2,G' || (l_suppkey % 4) ELSE '' END) AS task_line
       |  FROM lineitem
       |)""".stripMargin
 
@@ -133,15 +144,24 @@ object BatchFramework {
 
   // ---------------------------------------------------------------- b01
   /** CreateBatch + AnalyzeBatch per-task validation. Sorted-first: see
-    * [[taskLinesSorted]] — output order comes from the narrow early sort. */
+    * [[taskLinesSorted]] — output order comes from the narrow early sort.
+    * `asset_group` is parsed back OUT of the rebuilt line (field 5 of the
+    * CreateBatch.groovy:20 contract), proving the 5-field layout
+    * round-trips rather than echoing the derived column. */
   def b01CreateValidate(spark: SparkSession, dir: String): DataFrame =
     withValidation(taskLinesSorted(spark, dir))
       .withColumn("comma_count", col("comma_count").cast("long"))
-      .select("batch_id", "task_number", "task_line", "comma_count", "is_valid", "reason")
+      .withColumn("parsed_group",
+        expr("""CASE WHEN size(split(task_line, ',')) = 5
+               THEN nullif(element_at(split(task_line, ','), 5), '') END"""))
+      .select("batch_id", "task_number", "task_line", "comma_count", "is_valid",
+        "reason", "parsed_group")
 
   val b01Sql: String =
     s"""$TaskLinesSql, $ValidationSql
-       |SELECT batch_id, task_number, task_line, comma_count, is_valid, reason
+       |SELECT batch_id, task_number, task_line, comma_count, is_valid, reason,
+       |  CASE WHEN len(string_split(task_line, ',')) = 5
+       |       THEN nullif(string_split(task_line, ',')[5], '') END AS parsed_group
        |FROM validated ORDER BY batch_id, task_number""".stripMargin
 
   // ---------------------------------------------------------------- b02
@@ -448,7 +468,9 @@ object BatchFramework {
     taskLinesSorted(spark, dir)
       .withColumn("props",
         concat(lit("qty="), col("l_quantity").cast("int"),
-          lit(";rf="), col("l_returnflag"), lit(";ls="), col("l_linestatus")))
+          lit(";rf="), col("l_returnflag"), lit(";ls="), col("l_linestatus"),
+          when(col("asset_group").isNotNull,
+            concat(lit(";grp="), col("asset_group"))).otherwise(lit(""))))
       .select(col("batch_id"), col("task_number"),
         explode(sort_array(map_entries(expr("str_to_map(props, ';', '=')")))).as("p"))
       .select(col("batch_id"), col("task_number"),
@@ -458,7 +480,9 @@ object BatchFramework {
     s"""$TaskLinesSql, props AS (
        |  SELECT batch_id, task_number,
        |    'qty=' || CAST(CAST(l_quantity AS INT) AS VARCHAR) ||
-       |      ';rf=' || l_returnflag || ';ls=' || l_linestatus AS p
+       |      ';rf=' || l_returnflag || ';ls=' || l_linestatus ||
+       |      (CASE WHEN asset_group IS NOT NULL
+       |            THEN ';grp=' || asset_group ELSE '' END) AS p
        |  FROM task_lines
        |), exploded AS (
        |  SELECT batch_id, task_number, unnest(string_split(p, ';')) AS kv FROM props

@@ -27,22 +27,28 @@ final class BatchService(spark: SparkSession, dir: String) {
   import spark.implicits._
 
   /** CreateBatch: raw task lines → validated [[Task]]s (invalid lines carry
-    * an empty property map and surface via [[analyzeBatch]]). */
+    * an empty property map and surface via [[analyzeBatch]]).
+    *
+    * Field layout per the reference contract (CreateBatch.groovy:20):
+    * 3 fields = bare task; 4 fields = + `k=v;k=v` properties; 5 fields =
+    * + asset group. Overflow lines (>5 fields, the E1031 comma class) keep
+    * an empty map and no group rather than silently swallowing the extra
+    * fields as fake properties. (str_to_map('') would yield {""→null},
+    * hence the explicit branches.) */
   def createBatch(raw: DataFrame): Dataset[Task] =
     raw.select(
       col("batch_id"), col("task_number").cast("int").as("task_number"),
       split(col("task_line"), ",").getItem(0).as("model_name"),
       split(col("task_line"), ",").getItem(1).as("serial_number"),
       split(col("task_line"), ",").getItem(2).as("asset_name"),
-      // Properties parse ONLY for well-formed 4-field lines: overflow lines
-      // (>4 fields, the E1031 comma class) keep an empty map rather than
-      // silently swallowing the extra fields as fake properties.
-      // (str_to_map('') would yield {""→null}, hence the explicit branch.)
-      expr("""CASE WHEN size(split(task_line, ',')) = 4
+      expr("""CASE WHEN size(split(task_line, ',')) IN (4, 5)
                     AND nullif(try_element_at(split(task_line, ','), 4), '') IS NOT NULL
              THEN str_to_map(try_element_at(split(task_line, ','), 4), ';', '=')
              ELSE map() END""")
-        .as("properties"))
+        .as("properties"),
+      expr("""CASE WHEN size(split(task_line, ',')) = 5
+             THEN nullif(try_element_at(split(task_line, ','), 5), '') END""")
+        .as("asset_group"))
       .as[Task]
 
   /** AnalyzeBatch: per-task validity (b01) + per-batch counts (b02). */

@@ -23,14 +23,18 @@ object BatchState {
   val CompleteWithErrors = "COMPLETE_WITH_ERRORS"
 }
 
-/** One task line of a batch upload (CreateBatch.groovy:24 contract). */
+/** One task line of a batch upload (CreateBatch.groovy:20 contract:
+  * `ModelName,SerialNumber,AssetName,Prop1=V1;...;PropN=VN,AssetGroup` —
+  * the 4th field is the ';'-separated property string, the optional 5th
+  * the asset group). */
 final case class Task(
     batch_id: Long,
     task_number: Int,
     model_name: String,
     serial_number: String,
     asset_name: String,
-    properties: Map[String, String])
+    properties: Map[String, String],
+    asset_group: Option[String])
 
 /** connexion.batch.SuccessAnchor / ErrorAnchor outcome row
   * (ProcessBatch.groovy:113-143). */

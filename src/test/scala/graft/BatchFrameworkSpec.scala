@@ -72,14 +72,20 @@ class BatchFrameworkSpec extends GraftSpecBase {
     assert(totalRefs === Tables(spark, sfDir).lineitem.count())
   }
 
-  test("b11: every task line explodes to exactly 3 properties") {
+  test("b11: 3 base properties per line, +grp for lines carrying a group") {
     // (batch_id, task_number) is NOT unique in the fixture (duplicated line
-    // numbers), so assert per-line multiplicity: 3 props per lineitem row
-    // and 3 distinct keys per task group.
+    // numbers), so assert per-line multiplicity: 3 base props per lineitem
+    // row plus one grp entry per grouped (l_tax ≥ 0.075) line, and 3-or-4
+    // distinct keys per task group.
     val df = BatchFramework.b11PropertyParse(spark, sfDir)
-    assert(df.count() === Tables(spark, sfDir).lineitem.count() * 3)
+    val li = Tables(spark, sfDir).lineitem
+    val grouped = li.filter(col("l_tax") >= 0.075).count()
+    assert(df.count() === li.count() * 3 + grouped)
+    assert(df.filter(col("prop_key") === "grp").count() === grouped)
+    assert(df.filter(col("prop_key") === "grp")
+      .filter(!col("prop_value").rlike("^G[0-3]$")).count() === 0)
     val keysPerTask = df.groupBy("batch_id", "task_number")
       .agg(countDistinct("prop_key").as("k"))
-    assert(keysPerTask.filter(col("k") =!= 3).count() === 0)
+    assert(keysPerTask.filter(col("k") < 3 || col("k") > 4).count() === 0)
   }
 }

@@ -12,11 +12,21 @@ class BatchServiceSpec extends GraftSpecBase {
   test("createBatch parses task lines into typed Tasks with property maps") {
     val raw = Seq(
       (1L, 1L, "M1,SN-1,A1,qty=3;rf=N"),
-      (1L, 2L, "M2,SN-2,A2")
+      (1L, 2L, "M2,SN-2,A2"),
+      // the reference's full 5-field contract (CreateBatch.groovy:20):
+      // props AND asset group must both round-trip
+      (1L, 3L, "M3,SN-3,A3,qty=1;rf=R,GroupA"),
+      // overflow line (>5 fields, E1031 comma class): nothing parsed
+      (1L, 4L, "M4,SN-4,A4,a=1,GroupB,extra")
     ).toDF("batch_id", "task_number", "task_line")
     val tasks = svc.createBatch(raw).collect().sortBy(_.task_number)
     assert(tasks(0).model_name === "M1" && tasks(0).properties === Map("qty" -> "3", "rf" -> "N"))
+    assert(tasks(0).asset_group === None)
     assert(tasks(1).serial_number === "SN-2" && tasks(1).properties === Map.empty)
+    assert(tasks(1).asset_group === None)
+    assert(tasks(2).properties === Map("qty" -> "1", "rf" -> "R"))
+    assert(tasks(2).asset_group === Some("GroupA"))
+    assert(tasks(3).properties === Map.empty && tasks(3).asset_group === None)
   }
 
   test("processBatch yields typed outcomes; reasons empty iff SUCCESS") {
