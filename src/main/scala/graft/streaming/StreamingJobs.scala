@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
 /** §D — the reference's scheduled Igniter/Finalizer loop re-expressed as
   * Structured Streaming (SURVEY.md §2.D).
@@ -154,6 +154,54 @@ object StreamingJobs {
           }
       }
   }
+
+  // ------------------------------------------------------------ notify
+  /** The reference finalizer's completion email rendered as data
+    * (BatchFinalizer.groovy:68,164: subject "Batch Completed", message
+    * "Batch '<name>' has completed with (<n>) errors." to the anchor's
+    * notifyEmail): one row per terminal transition, joined to the static
+    * anchor metadata, with the Envelope-shaped JSON payload alongside the
+    * typed columns. Pure transform — unit-testable in batch, reused by the
+    * streaming sink below. No broadcast hint: the transition side is
+    * trigger-bounded, not schema-bounded; the optimizer sees its size. */
+  def renderNotifications(transitions: Dataset[BatchTransition],
+      anchors: DataFrame, fromAddress: String = "noreply@graft.invalid"): DataFrame = {
+    val name = coalesce(col("name"), concat(lit("Batch "), col("batch_id")))
+    transitions.toDF()
+      .join(anchors.select(col("batch_id"), col("name"), col("notify_email")),
+        Seq("batch_id"), "left")
+      .select(
+        col("batch_id"),
+        lit(fromAddress).as("email_from"),
+        coalesce(col("notify_email"), lit("")).as("email_to"),
+        lit("Batch Completed").as("subject"),
+        concat(lit("Batch '"), name, lit("' has completed with ("),
+          col("errors"), lit(") errors.")).as("message"),
+        col("state"), col("successes"), col("errors"), col("completion_time_us"),
+        graft.batch.Envelope.successJson(struct(
+          col("batch_id").as("id"), name.as("name"), col("state"),
+          col("errors").as("errorCount"),
+          col("completion_time_us").as("completionTime"))).as("payload"))
+  }
+
+  /** The Igniter/Finalizer loop's completion side-effect
+    * (BatchFinalizer.groovy:68,164) closed over [[batchLifecycle]]: a
+    * `foreachBatch` sink that renders each micro-batch of terminal
+    * transitions into notification rows and hands them to `send` (a mail
+    * gateway, a notification topic, an audit table — any per-batch
+    * writer). Exactly-once per transition: [[batchLifecycle]]'s tombstone
+    * state never re-emits a transition for late-duplicate outcomes, and
+    * `send` receives each transition in exactly one micro-batch (foreachBatch
+    * replays a batch only on failure before its commit — idempotent senders
+    * key on (batch_id, state)). Caller starts the returned writer. */
+  def notifyOnCompletion(transitions: Dataset[BatchTransition], anchors: DataFrame,
+      send: DataFrame => Unit,
+      fromAddress: String = "noreply@graft.invalid"): DataStreamWriter[BatchTransition] =
+    transitions.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[BatchTransition], _: Long) =>
+        send(renderNotifications(batch, anchors, fromAddress))
+      }
 
   // ------------------------------------------------------------ dedup
   /** Streaming exact dedup (the streaming face of d01): drop events whose

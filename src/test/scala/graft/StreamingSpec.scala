@@ -74,6 +74,46 @@ class StreamingSpec extends GraftSpecBase {
       (200L, "COMPLETE", 1L, 0L)))
   }
 
+  test("notifyOnCompletion: exactly one notification per terminal transition") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[TaskOutcome]
+    val anchors = Seq((100L, "Batch 100", "ops@example.com"))
+      .toDF("batch_id", "name", "notify_email")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    val q = StreamingJobs.notifyOnCompletion(
+        StreamingJobs.batchLifecycle(mem.toDS()), anchors,
+        df => seen.synchronized { seen ++= df.collect() })
+      .start()
+    try {
+      mem.addData(
+        TaskOutcome(100L, 1, is_error = true, batch_size = 2, ts(0)),
+        TaskOutcome(200L, 1, is_error = false, batch_size = 2, ts(0)))
+      q.processAllAvailable()
+      assert(seen.isEmpty, "incomplete batches must not notify")
+      mem.addData(TaskOutcome(100L, 2, is_error = false, batch_size = 2, ts(1)))
+      q.processAllAvailable()
+      // late duplicate outcome for the completed batch: tombstoned, no re-notify
+      mem.addData(TaskOutcome(100L, 2, is_error = false, batch_size = 2, ts(1)))
+      q.processAllAvailable()
+      assert(seen.length === 1, s"one terminal transition -> one notification, got $seen")
+      val n = seen.head
+      assert(n.getAs[String]("email_to") === "ops@example.com")
+      assert(n.getAs[String]("subject") === "Batch Completed")
+      assert(n.getAs[String]("message") === "Batch 'Batch 100' has completed with (1) errors.")
+      assert(n.getAs[String]("state") === "COMPLETE_WITH_ERRORS")
+      assert(n.getAs[String]("payload").contains("\"resultType\":\"success\""))
+      assert(n.getAs[String]("payload").contains("\"errorCount\":1"))
+      // batch 200 completes; its anchor is unknown -> name falls back, email empty
+      mem.addData(TaskOutcome(200L, 2, is_error = false, batch_size = 2, ts(2)))
+      q.processAllAvailable()
+      assert(seen.length === 2)
+      val m = seen.last
+      assert(m.getAs[Long]("batch_id") === 200L)
+      assert(m.getAs[String]("message") === "Batch 'Batch 200' has completed with (0) errors.")
+      assert(m.getAs[String]("email_to") === "")
+    } finally q.stop()
+  }
+
   test("dedupStream: duplicate keys within the watermark horizon are dropped") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String)]
