@@ -23,54 +23,58 @@ object TaskFileSource {
 
   /** Line-oriented ingestion (covers the reference's csv and txt uploads).
     *
-    * Line numbers come from a true per-file two-phase index — the same
-    * count-then-offset scheme `zipWithIndex` uses, but keyed by
-    * (partition, file) so it is immune to split packing order:
+    * Line numbers come from a true per-split two-phase index — the same
+    * count-then-offset scheme `zipWithIndex` uses, but keyed by the split's
+    * own byte offset (`input_file_block_start`), so it is independent of
+    * how Spark packs file splits into partitions:
     *
-    *   phase 1: one pass counts rows per (partitionId, source_file);
-    *   driver:  per file, prefix-sum those counts in partition-index order
-    *            (metadata-sized — one entry per file-split, not per row);
-    *   phase 2: line_number = broadcast start(partition, file) + the row's
-    *            local index within its file inside the partition.
+    *   phase 1: one pass counts rows per (partitionId, file, split-offset)
+    *            — metadata-sized, one entry per file split, not per row;
+    *   driver:  per file, prefix-sum split counts in BYTE-OFFSET order —
+    *            the file's own geometry, not partition-index order, so a
+    *            future change to FilePartition packing cannot corrupt the
+    *            numbering;
+    *   phase 2: line_number = broadcast start(partition, file, offset) +
+    *            the row's local index within its split.
     *
-    * Why not `gidx - min(gidx)` over a global zipWithIndex: Spark packs
-    * file splits into partitions sorted by length descending, so a large
-    * file's remainder split can land AFTER other files' splits — the
-    * file's global-index range then has gaps and a min-rebase inflates its
-    * later line numbers. Per-file monotonicity ACROSS partition index does
-    * hold (equal-size splits keep offset order under the stable sort and
-    * a file's remainder is its last chunk), which is exactly what the
-    * per-file prefix sum needs. And not a per-file window, which would
-    * sort every line of one upload in a single task (a 100 GB CSV = one
-    * reducer). */
+    * This is exact because Hadoop's line reader assigns every physical
+    * line to exactly one split, and all lines owned by the split at byte
+    * offset b sort strictly after those of the same file's smaller-offset
+    * splits. Why not `gidx - min(gidx)` over a global zipWithIndex: split
+    * packing interleaves files, so a file's global-index range has gaps.
+    * And not a per-file window, which would sort every line of one upload
+    * in a single task (a 100 GB CSV = one reducer). */
   def lines(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val rows = spark.read.textFile(path).toDF("task_line")
       .withColumn("source_file", input_file_name())
-      .as[(String, String)].rdd
-    // phase 1: rows per (partition, file) — O(#splits) driver data, the
-    // same class of metadata collect zipWithIndex performs internally
+      .withColumn("split_start", input_file_block_start())
+      .as[(String, String, Long)].rdd
+    // phase 1: rows per (partition, file, split) — O(#splits) driver data,
+    // the same class of metadata collect zipWithIndex performs internally
     val counts = rows.mapPartitionsWithIndex { (pid, it) =>
-      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-      it.foreach { case (_, f) => m.update(f, m.getOrElse(f, 0L) + 1L) }
+      val m = scala.collection.mutable.LinkedHashMap.empty[(String, Long), Long]
+      it.foreach { case (_, f, b) => m.update((f, b), m.getOrElse((f, b), 0L) + 1L) }
       Iterator.single((pid, m.toVector))
     }.collect()
-    val fileStarts = scala.collection.mutable.HashMap.empty[(Int, String), Long]
-    val running = scala.collection.mutable.HashMap.empty[String, Long]
-    counts.sortBy(_._1).foreach { case (pid, files) =>
-      files.foreach { case (f, c) =>
-        val s = running.getOrElse(f, 0L)
-        fileStarts((pid, f)) = s
-        running(f) = s + c
+    val splitStarts = scala.collection.mutable.HashMap.empty[(Int, String, Long), Long]
+    counts
+      .flatMap { case (pid, splits) => splits.map { case ((f, b), c) => (f, b, pid, c) } }
+      .groupBy(_._1)
+      .foreach { case (_, splits) =>
+        var running = 0L
+        splits.sortBy { case (_, b, pid, _) => (b, pid) }.foreach { case (f, b, pid, c) =>
+          splitStarts((pid, f, b)) = running
+          running += c
+        }
       }
-    }
-    val bcStarts = spark.sparkContext.broadcast(fileStarts.toMap)
+    val bcStarts = spark.sparkContext.broadcast(splitStarts.toMap)
     rows.mapPartitionsWithIndex { (pid, it) =>
-      val local = scala.collection.mutable.HashMap.empty[String, Long]
-      it.map { case (line, f) =>
-        val idx = local.getOrElse(f, 0L)
-        local(f) = idx + 1L
-        (f, bcStarts.value((pid, f)) + idx + 1L, line)
+      val local = scala.collection.mutable.HashMap.empty[(String, Long), Long]
+      it.map { case (line, f, b) =>
+        val idx = local.getOrElse((f, b), 0L)
+        local((f, b)) = idx + 1L
+        (f, bcStarts.value((pid, f, b)) + idx + 1L, line)
       }
     }.toDF("source_file", "line_number", "task_line")
   }
