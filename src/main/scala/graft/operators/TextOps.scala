@@ -644,4 +644,109 @@ object TextOps {
        |  round(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch
        |FROM stats ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t08
+  /** t08: unigram language-model scoring — the perplexity-style quality
+    * filter (CCNet-style pipelines score each document under a corpus LM
+    * and drop the tails; a real KenLM sits exactly where this unigram
+    * model does). Model = corpus token frequencies; per doc the mean
+    * negative log-likelihood nll = ln(N) − Σ c·ln(cf) / n, perplexity =
+    * exp(nll). Structured like t07: exact integer counts aggregate
+    * distributively (map-side combined) and the float log work happens
+    * once per distinct (doc, token), never per token instance. The
+    * vocabulary relation is corpus-bounded (≪ corpus size): AQE
+    * broadcasts it while it fits, and the (doc,token)⋈vocab probe is a
+    * token-keyed hash join otherwise — hot stopword keys are absorbed by
+    * the map-side combine upstream, not the join. */
+  def t08UnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val docTok = docs(spark, dir)
+      .select(col("doc_id"), explode(tokensOf(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = docTok.groupBy(col("tok")).agg(sum(col("c")).as("cf"))
+    val total = vocab.agg(sum(col("cf")).as("n_corpus"))
+    docTok.join(vocab, "tok")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c").cast("double") * log(col("cf").cast("double"))).as("sum_clog"))
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), col("n_tokens"),
+        round(log(col("n_corpus").cast("double"))
+          - col("sum_clog") / col("n_tokens"), 6).as("nll"))
+      .orderBy("doc_id")
+  }
+
+  val t08Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($TokensSql) AS tok FROM documents
+       |), dt AS (
+       |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+       |), vocab AS (
+       |  SELECT tok, CAST(sum(c) AS BIGINT) AS cf FROM dt GROUP BY tok
+       |), total AS (
+       |  SELECT CAST(sum(cf) AS BIGINT) AS n_corpus FROM vocab
+       |)
+       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |  round(ln(CAST(n_corpus AS DOUBLE))
+       |    - sum(CAST(c AS DOUBLE) * ln(CAST(cf AS DOUBLE)))
+       |      / CAST(sum(c) AS BIGINT), 6) AS nll
+       |FROM dt JOIN vocab USING (tok), total
+       |GROUP BY doc_id, n_corpus ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d07
+  /** Incoming-batch selector for [[d07IncrementalDedup]]: every
+    * `IncomingMod`-th document plays the newly-crawled batch. */
+  private val IncomingMod = 5
+
+  /** d07: incremental dedup — the continual-ingestion path a standing
+    * 100 TB corpus actually runs: a small incoming batch is deduped
+    * against the corpus index AND within itself, instead of re-deduping
+    * the world. The index is the (content_hash, canonical id) relation
+    * d01 maintains — at scale a bucketed table keyed on the 16-byte hash,
+    * so both probes are hash-only joins (text never shuffles) and the
+    * batch side (≪ corpus) broadcasts under AQE. Statuses: `known_dup`
+    * (hash already indexed, dup_of = index canonical), `batch_dup` (first
+    * seen earlier in this batch, dup_of = batch-first id), `new`. */
+  def d07IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = docs(spark, dir)
+      .select(col("doc_id"), md5(normText(col("text"))).as("content_hash"))
+    val incoming = hashed.filter(col("doc_id") % IncomingMod === IncomingMod - 1)
+    val index = hashed.filter(col("doc_id") % IncomingMod =!= IncomingMod - 1)
+      .groupBy(col("content_hash")).agg(min(col("doc_id")).as("index_canon"))
+    val batchMin = incoming
+      .groupBy(col("content_hash")).agg(min(col("doc_id")).as("batch_canon"))
+    incoming
+      .join(index, Seq("content_hash"), "left")
+      .join(batchMin, "content_hash")
+      .select(col("doc_id"),
+        when(col("index_canon").isNotNull, lit("known_dup"))
+          .when(col("batch_canon") < col("doc_id"), lit("batch_dup"))
+          .otherwise(lit("new")).as("status"),
+        when(col("index_canon").isNotNull, col("index_canon"))
+          .when(col("batch_canon") < col("doc_id"), col("batch_canon"))
+          .as("dup_of"))
+      .orderBy("doc_id")
+  }
+
+  val d07Sql: String =
+    s"""WITH hashed AS (
+       |  SELECT doc_id, md5($NormSql) AS content_hash FROM documents
+       |), incoming AS (
+       |  SELECT * FROM hashed WHERE doc_id % $IncomingMod = ${IncomingMod - 1}
+       |), idx AS (
+       |  SELECT content_hash, min(doc_id) AS index_canon FROM hashed
+       |  WHERE doc_id % $IncomingMod <> ${IncomingMod - 1} GROUP BY 1
+       |), batch_min AS (
+       |  SELECT content_hash, min(doc_id) AS batch_canon FROM incoming GROUP BY 1
+       |)
+       |SELECT i.doc_id,
+       |  CASE WHEN x.index_canon IS NOT NULL THEN 'known_dup'
+       |       WHEN b.batch_canon < i.doc_id THEN 'batch_dup'
+       |       ELSE 'new' END AS status,
+       |  CASE WHEN x.index_canon IS NOT NULL THEN x.index_canon
+       |       WHEN b.batch_canon < i.doc_id THEN b.batch_canon END AS dup_of
+       |FROM incoming i
+       |LEFT JOIN idx x USING (content_hash)
+       |JOIN batch_min b USING (content_hash)
+       |ORDER BY i.doc_id""".stripMargin
 }

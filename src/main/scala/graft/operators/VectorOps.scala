@@ -345,4 +345,77 @@ object VectorOps {
         (col("tag") / 1e6).as("adc_sim"), col("score").as("cos_sim"))
       .orderBy("query_id", "rank")
   }
+
+  // ---------------------------------------------------------------- s05
+  /** s05: per-label centroids + prototypicality — the SemDeDup/SSL-style
+    * curation signal: each vector's cosine to its cluster (label)
+    * centroid, plus an outlier flag for vectors far below the label's
+    * mean similarity (drop / re-cluster candidates).
+    *
+    * Centroid build is ONE distributive aggregate over (label, dim):
+    * map-side combined, so each partition contributes n_labels×64 partial
+    * sums — full vectors never shuffle — then re-assembled in dim order
+    * into a schema-bounded relation (n_labels rows) that broadcasts back.
+    *
+    * Cross-row float addition is order-dependent and engines even cast
+    * float→decimal differently (shortest-string vs binary value), so every
+    * cross-row sum here is an EXACT integer sum: elements quantize to a
+    * 1e-7 grid (round-half-away-from-zero agrees across engines, and the
+    * ≤5e-8 per-element quantization is immaterial for a curation signal),
+    * and the label mean aggregates the round-6 sims as 1e-6 micro-units.
+    * With identical centroids the per-vector cosine is one sequential
+    * fold — bit-identical — and the outlier threshold compares round-6
+    * values on both sides (e08's engine-stability discipline). */
+  def s05EmbedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val Q = 1e7
+    val v = Tables(spark, dir).embeddings
+    val centroids = v
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(round(col("x").cast("double") * Q).cast("long")).as("qs"),
+        count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("qs"), col("n")))),
+        e => e("qs").cast("double") / (e("n").cast("double") * Q)).as("centroid"))
+    // sims is consumed twice (rows + per-label mean): the upstream is one
+    // scan + a tiny broadcast, cheaper to recompute than to cache
+    val sims = v.join(broadcast(centroids), "label")
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("centroid")), 6).as("centroid_sim"))
+    val labelAvg = sims.groupBy(col("label"))
+      .agg(round(sum(round(col("centroid_sim") * 1e6).cast("long")).cast("double")
+        / (count(lit(1)).cast("double") * 1e6), 6).as("label_avg_sim"))
+    sims.join(broadcast(labelAvg), "label")
+      .select(col("vec_id"), col("label"), col("centroid_sim"), col("label_avg_sim"),
+        (col("centroid_sim") < col("label_avg_sim") - 0.1).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
+  val s05Sql: String =
+    s"""WITH ex AS (
+       |  SELECT label,
+       |    unnest(generate_series(1, len(embedding))) AS dim,
+       |    unnest(embedding) AS x
+       |  FROM embeddings
+       |), cents AS (
+       |  SELECT label, dim,
+       |    CAST(sum(CAST(round(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS DOUBLE)
+       |      / (count(*) * 10000000.0) AS cx
+       |  FROM ex GROUP BY 1, 2
+       |), centroid_t AS (
+       |  SELECT label, list(cx ORDER BY dim) AS centroid FROM cents GROUP BY label
+       |), sims AS (
+       |  SELECT vec_id, e.label,
+       |    round(${cosineSql("embedding", "centroid")}, 6) AS centroid_sim
+       |  FROM embeddings e JOIN centroid_t c ON e.label = c.label
+       |), label_avg AS (
+       |  SELECT label,
+       |    round(CAST(sum(CAST(round(centroid_sim * 1000000.0) AS BIGINT)) AS DOUBLE)
+       |      / (count(*) * 1000000.0), 6) AS label_avg_sim
+       |  FROM sims GROUP BY label
+       |)
+       |SELECT vec_id, label, centroid_sim, label_avg_sim,
+       |  centroid_sim < label_avg_sim - 0.1 AS is_outlier
+       |FROM sims JOIN label_avg USING (label)
+       |ORDER BY vec_id""".stripMargin
 }

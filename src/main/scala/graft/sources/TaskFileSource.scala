@@ -79,6 +79,26 @@ object TaskFileSource {
     }.toDF("source_file", "line_number", "task_line")
   }
 
+  /** JSONL ingestion — the de-facto LLM corpus interchange format (one
+    * JSON object per line). Spark's distributed json source is splittable
+    * like text, so a 100 TB load parallelizes within files. PERMISSIVE
+    * parsing with corrupt-record capture: one malformed line never fails
+    * the load — it lands whole in `corrupt_record` for a quarantine sink,
+    * with every schema field null. The schema is required, not inferred:
+    * inference is a second full pass over the corpus. */
+  def jsonl(spark: SparkSession, path: String,
+            schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("corrupt_record")) schema
+      else schema.add("corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "corrupt_record")
+      .json(path)
+      .withColumn("source_file", input_file_name())
+  }
+
   /** Minimal XML element-text extraction (the reference's file.xml is
     * `<Message>...</Message>`): one row per element occurrence. No external
     * XML dep — a regexp over the raw text, which is all the reference's

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{TextOps, VectorOps}
+
+/** Structural/semantic checks for the round-5 operators (their exact
+  * values are gated by the DuckDB oracle; these pin the semantics the
+  * oracle can't express as invariants). */
+class Round5OpsSpec extends GraftSpecBase {
+
+  test("t08: unigram-LM nll is finite and rare-token docs score higher") {
+    val out = TextOps.t08UnigramLm(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val nlls = out.map(r => r.getAs[Double]("nll"))
+    assert(nlls.forall(v => !v.isNaN && !v.isInfinite && v >= 0.0))
+    // nll is bounded by the least-likely single token: ln(N) - ln(min cf)
+    // ≤ ln(N); and a doc of only corpus-frequent tokens must sit below
+    // the corpus-wide max
+    assert(nlls.max > nlls.min, "constant nll across docs — scoring is vacuous")
+  }
+
+  test("d07: statuses partition the incoming batch; dup_of is consistent") {
+    val out = TextOps.d07IncrementalDedup(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % 5 == 4, "only incoming docs may appear")
+      r.getAs[String]("status") match {
+        case "new" => assert(r.isNullAt(r.fieldIndex("dup_of")))
+        case "batch_dup" =>
+          val d = r.getAs[Long]("dup_of")
+          assert(d < id && d % 5 == 4, "batch dup must point at an earlier incoming doc")
+        case "known_dup" =>
+          val d = r.getAs[Long]("dup_of")
+          assert(d % 5 != 4, "known dup must point into the standing index")
+        case other => fail(s"unknown status $other")
+      }
+    }
+    // exactly one row per incoming document
+    val nIncoming = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 5 === 4).count()
+    assert(out.length.toLong === nIncoming)
+  }
+
+  test("s05: centroid similarity is bounded and outlier flag matches the threshold") {
+    val out = VectorOps.s05EmbedCentroids(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val sim = r.getAs[Double]("centroid_sim")
+      val avg = r.getAs[Double]("label_avg_sim")
+      assert(sim >= -1.000001 && sim <= 1.000001)
+      assert(r.getAs[Boolean]("is_outlier") === (sim < avg - 0.1))
+    }
+    // every label's mean similarity should be positive: vectors were
+    // clustered by label, so they lean toward their own centroid
+    assert(out.map(_.getAs[Double]("label_avg_sim")).forall(_ > 0.0))
+  }
+
+  test("s05: centroid build shuffles partial sums, not vectors (no window, grouped agg)") {
+    val plan = VectorOps.s05EmbedCentroids(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "s05 must not use window functions")
+  }
+}

@@ -70,6 +70,32 @@ class SourcesSpec extends GraftSpecBase {
     assert(rows.map(_.getAs[String]("task_line")).toSet === Set("Hello_World!", "Second"))
   }
 
+  test("jsonl: parses well-formed lines, quarantines corrupt ones") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir()
+    Files.writeString(new File(dir, "docs.jsonl").toPath,
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}
+        |{"doc_id": 2, "text": "hola mundo", "lang": "es"}
+        |{"doc_id": 3, "text": "broken
+        |{"doc_id": 4, "text": "intact", "lang": "de"}""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val rows = TaskFileSource.jsonl(spark, dir.getAbsolutePath + "/docs.jsonl", schema)
+      .collect()
+    assert(rows.length === 4)
+    val good = rows.filter(_.isNullAt(rows.head.fieldIndex("corrupt_record")))
+    assert(good.map(_.getAs[Long]("doc_id")).sorted.sameElements(Array(1L, 2L, 4L)))
+    assert(good.find(_.getAs[Long]("doc_id") == 2L)
+      .exists(_.getAs[String]("text") == "hola mundo"))
+    val bad = rows.filter(!_.isNullAt(rows.head.fieldIndex("corrupt_record")))
+    assert(bad.length === 1)
+    assert(bad.head.getAs[String]("corrupt_record").contains("broken"))
+    assert(bad.head.isNullAt(bad.head.fieldIndex("doc_id")),
+      "schema fields must be null on a corrupt line")
+    assert(rows.forall(_.getAs[String]("source_file").contains("docs.jsonl")))
+  }
+
   test("zipLines: decompresses entries to task lines (reference file.zip shape)") {
     val dir = tmpDir()
     val zf = new File(dir, "file.zip")
