@@ -227,7 +227,7 @@ object VectorOps {
     TopKByScore.register(spark)
     val v = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val centroids = Codebooks.ivfCentroids(v, IvfLists)
+    val centroids = Codebooks.ivfCentroids(v, dir, IvfLists)
     val assigned = assignToLists(v, centroids)
     // queries probe their top-IvfProbes lists (query set × 16 centroids —
     // same aggregate shape; q_emb/q_nrm ride along via first())
@@ -289,7 +289,7 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
     val subIdx = explode(sequence(lit(0), lit(PqSubspaces - 1))).as("m")
     // codebook: k-means over a deterministic sample, broadcast everywhere
-    val codebook = Codebooks.pqCodebooks(v, PqSubspaces, PqSubDim, PqCodebook)
+    val codebook = Codebooks.pqCodebooks(v, dir, PqSubspaces, PqSubDim, PqCodebook)
     // encode: nearest codebook entry per (vector, subspace) by L2 —
     // argmin over ||x||² - 2x·c + ||c||², with ||x||² constant per row
     val codes = v
