@@ -77,4 +77,88 @@ object GraphOps {
        |  (SELECT count(*) FROM tri) AS n_triangles,
        |  round(CAST((SELECT count(*) FROM tri) AS DOUBLE)
        |    / (SELECT count(*) FROM wedges), 6) AS closure_rate""".stripMargin
+
+  // ---------------------------------------------------------------- g03
+  /** Fixed-point scale for [[g03Pagerank]]: ranks live in 1e-12 units. */
+  private val PrScale = 1000000000000L
+  private val PrIters = 5
+
+  /** g03: PageRank (damping 0.85, [[PrIters]] fixed iterations, uniform
+    * dangling-mass redistribution) over the same directed document graph
+    * as g02 — the link-quality signal web-corpus pipelines rank domains
+    * and pages by before sampling.
+    *
+    * All rank arithmetic is FIXED-POINT: ranks are 1e-12-unit longs and
+    * every division is integer division, so there is no cross-row float
+    * sum anywhere — distributed summation order cannot perturb a single
+    * unit, and the DuckDB mirror (the same five unrolled iterations as
+    * chained CTEs) is bit-identical by construction. All intermediates
+    * fit a long: total mass ≤ 1e12, ×85 ≪ 2⁶³.
+    *
+    * Shape per iteration: contributions shuffle on the destination id
+    * (one (long, long) pair per edge), out-degrees are computed once,
+    * and n / dangling mass are scalar aggregates broadcast back — the
+    * same bounded-broadcast discipline as e08/c07. Each generation is
+    * localCheckpoint'ed to cut lineage (Components' discipline); at
+    * cluster scale the rank relation would persist bucketed on doc_id so
+    * every iteration's join is co-partitioned. */
+  def g03Pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val ids = Tables(spark, dir).documents.select(col("doc_id"))
+    val e = edges(spark, dir)
+    val outdeg = e.groupBy(col("a")).agg(count(lit(1)).as("od"))
+    val nRel = ids.agg(count(lit(1)).as("n"))
+    var pr = ids.crossJoin(broadcast(nRel))
+      .select(col("doc_id"), expr(s"${PrScale}L div n").as("pr"))
+      .localCheckpoint()
+    for (_ <- 0 until PrIters) {
+      val contribs = e.join(pr.withColumnRenamed("doc_id", "a"), "a")
+        .join(outdeg, "a")
+        .select(col("b").as("doc_id"), expr("pr div od").as("cb"))
+        .groupBy(col("doc_id")).agg(sum(col("cb")).as("c"))
+      val dang = pr.join(outdeg.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dm"))
+      pr = pr.select(col("doc_id"))
+        .join(contribs, Seq("doc_id"), "left")
+        .crossJoin(broadcast(nRel)).crossJoin(broadcast(dang))
+        .select(col("doc_id"),
+          (expr(s"((15 * ${PrScale}L) div 100) div n")
+            + expr("(85 * coalesce(c, 0L)) div 100")
+            + expr("((85 * dm) div 100) div n")).as("pr"))
+        .localCheckpoint()
+    }
+    pr.select(col("doc_id"), col("pr").as("pr_units"),
+        round(col("pr").cast("double") / PrScale, 9).as("pr_score"))
+      .orderBy("doc_id")
+  }
+
+  val g03Sql: String = {
+    val S = PrScale.toString
+    val iters = (0 until PrIters).map { k =>
+      s"""contrib$k AS (
+         |  SELECT e.b AS doc_id, CAST(sum(p.pr // o.od) AS BIGINT) AS c
+         |  FROM edges e JOIN pr$k p ON e.a = p.doc_id JOIN outdeg o ON o.a = e.a
+         |  GROUP BY e.b
+         |), dang$k AS (
+         |  SELECT CAST(coalesce(sum(p.pr), 0) AS BIGINT) AS dm
+         |  FROM pr$k p LEFT JOIN outdeg o ON o.a = p.doc_id WHERE o.a IS NULL
+         |), pr${k + 1} AS (
+         |  SELECT i.doc_id,
+         |    CAST(((15 * $S) // 100) // n.n
+         |      + (85 * coalesce(c.c, 0)) // 100
+         |      + ((85 * d.dm) // 100) // n.n AS BIGINT) AS pr
+         |  FROM ids i
+         |  LEFT JOIN contrib$k c ON c.doc_id = i.doc_id
+         |  CROSS JOIN nn n CROSS JOIN dang$k d
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ids AS (SELECT doc_id FROM documents), $EdgesSql,
+       |outdeg AS (SELECT a, count(*) AS od FROM edges GROUP BY a),
+       |nn AS (SELECT count(*) AS n FROM ids),
+       |pr0 AS (SELECT i.doc_id, CAST($S // n.n AS BIGINT) AS pr
+       |        FROM ids i CROSS JOIN nn n),
+       |$iters
+       |SELECT doc_id, pr AS pr_units,
+       |  round(CAST(pr AS DOUBLE) / $S, 9) AS pr_score
+       |FROM pr$PrIters ORDER BY doc_id""".stripMargin
+  }
 }

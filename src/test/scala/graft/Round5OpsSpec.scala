@@ -56,6 +56,18 @@ class Round5OpsSpec extends GraftSpecBase {
     assert(out.map(_.getAs[Double]("label_avg_sim")).forall(_ > 0.0))
   }
 
+  test("g03: pagerank mass is conserved up to floor loss; ranks differentiate") {
+    val out = graft.operators.GraphOps.g03Pagerank(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val units = out.map(_.getAs[Long]("pr_units"))
+    assert(units.forall(_ > 0))
+    val total = units.sum
+    // every term floors, so mass only leaks downward — never inflates
+    assert(total <= 1000000000000L)
+    assert(total > 950000000000L, s"unexpected mass loss: $total")
+    assert(units.distinct.length > 1, "constant ranks — iteration is vacuous")
+  }
+
   test("s05: centroid build shuffles partial sums, not vectors (no window, grouped agg)") {
     val plan = VectorOps.s05EmbedCentroids(spark, sfDir)
       .queryExecution.executedPlan.toString
