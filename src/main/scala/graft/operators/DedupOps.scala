@@ -86,6 +86,67 @@ object DedupOps {
        |FROM pairs WHERE round(CAST(n_inter AS DOUBLE) / n_union, 6) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------------------- c08
+  /** c08: quality-aware canonicalization — of every near-dup cluster keep
+    * the HIGHEST-QUALITY member, not the lowest id: the keep decision a
+    * real curation pipeline makes (a formatting-mangled variant loses to
+    * its clean twin). Clusters come from the exact-Jaccard pairs (d02,
+    * the oracled audit sample), membership from the distributed
+    * connected-components contraction ([[Components]]), quality from the
+    * t02 composite. Keeper = max by (quality_score, then lowest doc_id) —
+    * quality_score is round-6, so the comparison is engine-exact. The
+    * oracle rebuilds the clusters with g01's recursive
+    * transitive-closure CTE over the same pairs.
+    *
+    * Scale shape: pairs and membership are (long, long) relations, the
+    * quality join is doc-keyed, and the keeper argmax is one map-side
+    * combined max_by — nothing here touches text after the d02 stage. */
+  def c08KeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d02DedupJaccard(spark, dir).select("doc_a", "doc_b")
+    val members = Components.connectedComponents(pairs, "doc_a", "doc_b")
+    val quality = TextOps.t02QualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_score"))
+    members
+      .join(quality, members("node") === quality("doc_id"))
+      .groupBy(col("component"))
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        min(col("node")).as("cluster_id"),
+        max_by(struct(col("quality_score").as("q"), (-col("node")).as("neg")),
+          struct(col("quality_score"), -col("node"))).as("best"))
+      .select(col("cluster_id"), col("cluster_size"),
+        (-col("best.neg")).as("kept_doc"), col("best.q").as("kept_quality"))
+      .orderBy("cluster_id")
+  }
+
+  val c08Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM ($d02Sql)
+       |), sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src AS node, src AS label FROM sym
+       |  UNION
+       |  SELECT s.src AS node, r.label FROM sym s JOIN reach r ON s.dst = r.node
+       |), comp AS (
+       |  SELECT node, min(label) AS component FROM reach GROUP BY node
+       |), q AS (
+       |  SELECT doc_id, quality_score FROM (${TextOps.t02Sql})
+       |), comp_q AS (
+       |  SELECT c.component, c.node, q.quality_score
+       |  FROM comp c JOIN q ON q.doc_id = c.node
+       |), agg AS (
+       |  SELECT component, CAST(count(*) AS BIGINT) AS cluster_size,
+       |    min(node) AS cluster_id, max(quality_score) AS kept_quality
+       |  FROM comp_q GROUP BY component
+       |)
+       |SELECT a.cluster_id, a.cluster_size,
+       |  (SELECT min(x.node) FROM comp_q x
+       |   WHERE x.component = a.component AND x.quality_score = a.kept_quality) AS kept_doc,
+       |  a.kept_quality
+       |FROM agg a ORDER BY a.cluster_id""".stripMargin
+
   // ---------------------------------------------------------------- d03
   private val NumBands = 8
   private val RowsPerBand = 4

@@ -56,6 +56,21 @@ class Round5OpsSpec extends GraftSpecBase {
     assert(out.map(_.getAs[Double]("label_avg_sim")).forall(_ > 0.0))
   }
 
+  test("c08: keeper is a cluster member with the cluster's max quality") {
+    val out = graft.operators.DedupOps.c08KeepBest(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val quality = TextOps.t02QualityScore(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") >= 2, "singletons are not clusters")
+      assert(quality(r.getAs[Long]("kept_doc")) === r.getAs[Double]("kept_quality"))
+      assert(r.getAs[Long]("kept_doc") >= r.getAs[Long]("cluster_id"))
+    }
+    // the op is non-vacuous on this corpus: at least one keeper is NOT the
+    // min-id doc (quality overrode the id tie-break)
+    assert(out.exists(r => r.getAs[Long]("kept_doc") != r.getAs[Long]("cluster_id")))
+  }
+
   test("g03: pagerank mass is conserved up to floor loss; ranks differentiate") {
     val out = graft.operators.GraphOps.g03Pagerank(spark, sfDir).collect()
     assert(out.nonEmpty)
