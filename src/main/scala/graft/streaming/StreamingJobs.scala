@@ -255,4 +255,41 @@ object StreamingJobs {
       .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
       .filter(abs(col("z")) >= 3.0)
       .select("event_id", "user_id", "event_type", "value", "z", "ts")
+
+  // ------------------------------------------------------------ ingest
+  /** Streaming corpus ingestion — the streaming face of c03's cleaning
+    * pipeline: normalize → quality gate (t02's signals) → watermark-
+    * bounded exact dedup. Input rows need (doc_id, text, ts).
+    *
+    * Rejected rows are NOT discarded: they flow to the output tagged
+    * `quarantined` with a reject_reason, because a crawl pipeline audits
+    * its drops. Accepted rows are the horizon-first copy of their content
+    * hash (`dropDuplicatesWithinWatermark` — one state entry per hash,
+    * evicted as the watermark advances; later copies inside the horizon
+    * are dropped, and the batch-side d01/d07 canonicalization remains the
+    * source of truth beyond it). Everything else is stateless, so the job
+    * scales with stream rate alone. */
+  def corpusIngest(docs: DataFrame, watermark: String = "1 hour",
+      minTokens: Int = 5, maxPunct: Double = 0.3): DataFrame = {
+    val flagged = docs
+      .withWatermark("ts", watermark)
+      .withColumn("norm", graft.operators.TextOps.normText(col("text")))
+      .withColumn("content_hash", md5(col("norm")))
+      .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
+      .withColumn("punct_ratio",
+        round(length(regexp_replace(col("norm"), "[a-z0-9 ]", "")).cast("double")
+          / greatest(length(col("norm")).cast("double"), lit(1.0)), 6))
+      .withColumn("reject_reason",
+        when(col("n_tokens") < minTokens, "too_short")
+          .when(col("punct_ratio") > maxPunct, "too_punct"))
+    val out = Seq("doc_id", "ts", "content_hash", "n_tokens", "punct_ratio")
+    val accepted = flagged.filter(col("reject_reason").isNull)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(out.map(col) :+ lit("accepted").as("status")
+        :+ lit(null).cast("string").as("reject_reason"): _*)
+    val quarantined = flagged.filter(col("reject_reason").isNotNull)
+      .select(out.map(col) :+ lit("quarantined").as("status")
+        :+ col("reject_reason"): _*)
+    accepted.unionByName(quarantined)
+  }
 }

@@ -169,4 +169,28 @@ class StreamingSpec extends GraftSpecBase {
     assert(got === Set((2L, 3.5), (3L, -4.0)))
   }
 
+  test("corpusIngest: quality gate quarantines, dedup keeps the first copy") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF.toDF("doc_id", "text", "ts")
+    val q = StreamingJobs.corpusIngest(docs, watermark = "1 hour", minTokens = 3)
+      .writeStream.format("memory").queryName("ingest").outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, "the quick brown fox jumps", ts(0)),
+      (2L, "the quick brown fox jumps", ts(1)),   // exact dup of 1 -> dropped
+      (3L, "too short", ts(2)),                   // < 3 tokens -> quarantined
+      (4L, "!!! ??? ***  %%% &&& $$$", ts(3)),    // punct-heavy -> quarantined
+      (5L, "an entirely different document here", ts(4)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ingest")
+      .select("doc_id", "status", "reject_reason")
+      .as[(Long, String, Option[String])].collect().toSet
+    assert(got === Set(
+      (1L, "accepted", None),
+      (3L, "quarantined", Some("too_short")),
+      (4L, "quarantined", Some("too_punct")),
+      (5L, "accepted", None)))
+  }
+
 }
