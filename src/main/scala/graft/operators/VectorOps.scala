@@ -346,6 +346,67 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- s06
+  /** s06: kNN label prediction — the semi-supervised labeling/curation
+    * downstream of the ANN family: each held-out vector (vec_id < 50, the
+    * bounded query batch) takes the majority label of its 5 nearest
+    * labeled neighbors; ties break to the smaller label. Scoring is the
+    * s01 broadcast shape; the top-k is the native [[TopKByScore]]
+    * aggregate with the NEIGHBOR LABEL riding the tag slot, so the vote
+    * needs no join-back to the corpus; the vote itself is one
+    * max_by(count, -label) aggregate. At scale the query batch stays the
+    * broadcast side and everything after the scan aggregates map-side. */
+  def s06KnnClassify(spark: SparkSession, dir: String): DataFrame = {
+    FloatVecDot.register(spark)
+    TopKByScore.register(spark)
+    val v = Tables(spark, dir).embeddings
+      .withColumn("nrm", norm(col("embedding")))
+    val q = v.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("label").as("true_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val train = v.filter(col("vec_id") >= 50)
+    val scored = q.join(train, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("true_label"), col("vec_id"), col("label"),
+        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6)
+          .as("cos_sim"))
+    val neighbors = topKPerGroup(scored, 5, col("cos_sim"), col("vec_id"),
+      col("label").cast("long"), col("query_id"), col("true_label"))
+    neighbors
+      .groupBy(col("query_id"), col("true_label"), col("tag").as("label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .groupBy(col("query_id"), col("true_label"))
+      .agg(max_by(struct(col("n_votes"), (-col("label")).as("neg")),
+        struct(col("n_votes"), -col("label"))).as("best"))
+      .select(col("query_id").as("vec_id"), col("true_label"),
+        (-col("best.neg")).cast("int").as("pred_label"), col("best.n_votes").as("n_votes"),
+        (col("true_label") === (-col("best.neg")).cast("int")).as("correct"))
+      .orderBy("vec_id")
+  }
+
+  val s06Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, label AS true_label, embedding
+       |  FROM embeddings WHERE vec_id < 50
+       |), scored AS (
+       |  SELECT q.query_id, q.true_label, v.vec_id, v.label,
+       |    round(${cosineSql("q.embedding", "v.embedding")}, 6) AS cos_sim
+       |  FROM q JOIN embeddings v ON v.vec_id >= 50 AND v.vec_id <> q.query_id
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rnk
+       |  FROM scored
+       |), votes AS (
+       |  SELECT query_id, true_label, label, count(*) AS n_votes
+       |  FROM ranked WHERE rnk <= 5 GROUP BY 1, 2, 3
+       |), winner AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY n_votes DESC, label ASC) AS w
+       |  FROM votes
+       |)
+       |SELECT query_id AS vec_id, true_label, label AS pred_label,
+       |  CAST(n_votes AS BIGINT) AS n_votes, true_label = label AS correct
+       |FROM winner WHERE w = 1 ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- s05
   /** s05: per-label centroids + prototypicality — the SemDeDup/SSL-style
     * curation signal: each vector's cosine to its cluster (label)

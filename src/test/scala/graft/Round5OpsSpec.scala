@@ -83,6 +83,20 @@ class Round5OpsSpec extends GraftSpecBase {
     assert(units.distinct.length > 1, "constant ranks — iteration is vacuous")
   }
 
+  test("s06: prediction is a neighbor label; votes bounded by k") {
+    val out = VectorOps.s06KnnClassify(spark, sfDir).collect()
+    assert(out.length === 50)
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    out.foreach { r =>
+      assert(labels.contains(r.getAs[Int]("pred_label")))
+      val v = r.getAs[Long]("n_votes")
+      assert(v >= 1 && v <= 5)
+      assert(r.getAs[Boolean]("correct") ===
+        (r.getAs[Int]("true_label") == r.getAs[Int]("pred_label")))
+    }
+  }
+
   test("s05: centroid build shuffles partial sums, not vectors (no window, grouped agg)") {
     val plan = VectorOps.s05EmbedCentroids(spark, sfDir)
       .queryExecution.executedPlan.toString
