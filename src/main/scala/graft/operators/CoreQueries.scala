@@ -548,4 +548,49 @@ object CoreQueries {
       |  arg_max(o_totalprice, k) AS last_value,
       |  round(arg_max(o_totalprice, k) - arg_min(o_totalprice, k), 6) AS delta
       |FROM keyed GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- e09
+  /** e09: event-type transition matrix (first-order Markov estimate) —
+    * the next-action analysis product funnels are tuned by. Per-user
+    * lag-ordered bigrams (ONE window, partitioned by user_id — e01's
+    * bounded-per-user shuffle contract), then corpus-wide (from, to)
+    * counts and row-normalized probabilities: the matrix relation is
+    * schema-bounded (|event types|²), so the normalizing join is a
+    * broadcast regardless of corpus size. Tie order (ts, event_id)
+    * matches e01; p = round-6 of an exact integer ratio — engine-stable. */
+  def e09MarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val bigrams = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"),
+        expr("ts div 1000").as("ts_us"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+    val counts = bigrams
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    counts.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  val e09Sql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS next_type
+      |  FROM events
+      |), big AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM big GROUP BY 1
+      |)
+      |SELECT b.from_type, b.to_type, b.n,
+      |  round(CAST(b.n AS DOUBLE) / t.n_from, 6) AS p
+      |FROM big b JOIN tot t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
 }
