@@ -593,4 +593,49 @@ object CoreQueries {
       |  round(CAST(b.n AS DOUBLE) / t.n_from, 6) AS p
       |FROM big b JOIN tot t USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
+
+  // ---------------------------------------------------------------- e10
+  /** e10: conversion-latency distribution — seconds from a user's first
+    * signup to their first subsequent purchase, summarized as exact
+    * interpolated percentiles (a03's discipline, round-6 both engines).
+    * Same frontier aggregates as e06 — user-keyed min() joins, no window —
+    * then ONE global percentile aggregate over the per-user scalar delays
+    * (one row per converted user reaches it, not one per event). Delays
+    * are integer microseconds divided by 1e6 once, so the percentile input
+    * is bit-identical across engines before interpolation. */
+  def e10ConvertTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+      .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t1"))
+    val delays = ev.filter(col("event_type") === "purchase").join(s1, "user_id")
+      .filter(col("ts_us") > col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ts_us")).as("tp"))
+      .select(((col("tp") - col("t1")) / lit(1000000.0)).as("delay_s"))
+    delays.agg(
+        count(lit(1)).as("n_converted"),
+        round(expr("percentile(delay_s, 0.5)"), 6).as("p50_s"),
+        round(expr("percentile(delay_s, 0.9)"), 6).as("p90_s"),
+        round(min(col("delay_s")), 6).as("min_s"),
+        round(max(col("delay_s")), 6).as("max_s"))
+  }
+
+  val e10Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id
+      |), conv AS (
+      |  SELECT e.user_id, s1.t1, min(epoch_us(e.ts)) AS tp
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+      |  GROUP BY e.user_id, s1.t1
+      |), delays AS (
+      |  SELECT (tp - t1) / 1000000.0 AS delay_s FROM conv
+      |)
+      |SELECT count(*) AS n_converted,
+      |  round(quantile_cont(delay_s, 0.5), 6) AS p50_s,
+      |  round(quantile_cont(delay_s, 0.9), 6) AS p90_s,
+      |  round(min(delay_s), 6) AS min_s,
+      |  round(max(delay_s), 6) AS max_s
+      |FROM delays""".stripMargin
 }
