@@ -97,6 +97,24 @@ class Round5OpsSpec extends GraftSpecBase {
     }
   }
 
+  test("e09: transition rows normalize to 1 per from_type") {
+    val out = graft.operators.CoreQueries.e09MarkovTransitions(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("from_type")).foreach { case (ft, rows) =>
+      val pSum = rows.map(_.getAs[Double]("p")).sum
+      assert(math.abs(pSum - 1.0) < 1e-4, s"$ft rows sum to $pSum")
+    }
+  }
+
+  test("e10: percentiles are ordered and bounded by min/max") {
+    val r = graft.operators.CoreQueries.e10ConvertTime(spark, sfDir).collect().head
+    assert(r.getAs[Long]("n_converted") > 0)
+    val (mn, p50, p90, mx) = (r.getAs[Double]("min_s"), r.getAs[Double]("p50_s"),
+      r.getAs[Double]("p90_s"), r.getAs[Double]("max_s"))
+    assert(mn <= p50 && p50 <= p90 && p90 <= mx)
+    assert(mn > 0.0, "a purchase strictly after signup implies positive delay")
+  }
+
   test("s05: centroid build shuffles partial sums, not vectors (no window, grouped agg)") {
     val plan = VectorOps.s05EmbedCentroids(spark, sfDir)
       .queryExecution.executedPlan.toString
