@@ -26,7 +26,7 @@ object AsOfJoin {
     *         caller filters the null matches */
   def asOf(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, rightValue: String): DataFrame = {
-    val lCols = left.columns
+    val lCols = left.columns.toSeq
     val tagged = left
       .withColumn("__ts", col(leftTime)).withColumn("__isR", lit(0))
       .withColumn("__rv", lit(null).cast(right.schema(rightValue).dataType))

@@ -165,7 +165,7 @@ object VectorOps {
     def bucketOf(emb: Column): Column = concat((0 until NumPlanes).map { j =>
       val w = plane(j, dim)
       val dot = aggregate(
-        zip_with(emb, array(w.map(lit): _*), (x, p) => x.cast("double") * p),
+        zip_with(emb, array(w.toSeq.map(lit): _*), (x, p) => x.cast("double") * p),
         lit(0.0), (acc, x) => acc + x)
       when(dot > 0, "1").otherwise("0")
     }: _*)

@@ -89,7 +89,7 @@ object StreamingJobs {
               state.update(s)
               // end is µs; timeout must sit beyond the current watermark
               state.setTimeoutTimestamp(
-                math.max(state.getCurrentWatermarkMs + 1, s.end / 1000L + gapMs))
+                math.max(state.getCurrentWatermarkMs() + 1, s.end / 1000L + gapMs))
             }
             closed.reverseIterator
           }
@@ -130,7 +130,7 @@ object StreamingJobs {
             var p = state.getOption.getOrElse(BatchProgress(0L, 0L, 0L, 0L, done = false))
             if (p.done) {
               // tombstone: swallow late duplicates, keep eviction armed
-              state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+              state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
               Iterator.empty
             } else {
               rows.foreach { o =>
@@ -143,7 +143,7 @@ object StreamingJobs {
               }
               if (p.size > 0 && p.successes + p.errors >= p.size) {
                 state.update(p.copy(done = true))
-                state.setTimeoutTimestamp(state.getCurrentWatermarkMs + 1)
+                state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
                 val s = if (p.errors == 0) "COMPLETE" else "COMPLETE_WITH_ERRORS"
                 Iterator.single(BatchTransition(batchId, s, p.successes, p.errors, p.lastUs))
               } else {
