@@ -166,19 +166,22 @@ object Ngrams {
 
   /** `n` from any foldable integral expression (`3`, `1+2`, `CAST(3 AS
     * BIGINT)` all work), constant-folded at registration time. Mismatches
-    * raise AnalysisException naming the function, like a built-in would. */
+    * raise AnalysisException under the user-facing parameter error
+    * conditions naming the function, like a built-in would. */
   private def intArg(e: Expression, fn: String): Int = {
-    def fail(what: String): Nothing = throw new org.apache.spark.sql.AnalysisException(
-      "INTERNAL_ERROR",
-      Map("message" -> s"$fn: n must be a foldable integer expression, got $what"))
-    if (!e.foldable) fail(e.sql)
+    def badValue(what: String): Nothing = throw new org.apache.spark.sql.AnalysisException(
+      "INVALID_PARAMETER_VALUE.INTEGER",
+      Map("parameter" -> "`n`", "functionName" -> s"`$fn`", "invalidValue" -> what))
+    if (!e.foldable) throw new org.apache.spark.sql.AnalysisException(
+      "NON_FOLDABLE_ARGUMENT",
+      Map("funcName" -> s"`$fn`", "paramName" -> "`n`", "paramType" -> "\"INT\""))
     e.eval() match {
       case v: Int => v
       case v: Long if v >= Int.MinValue && v <= Int.MaxValue => v.toInt
       case v: Short => v.toInt
       case v: Byte => v.toInt
-      case null => fail("NULL")
-      case other => fail(s"${e.sql} (${other.getClass.getSimpleName})")
+      case null => badValue("NULL")
+      case other => badValue(s"${e.sql} (${other.getClass.getSimpleName})")
     }
   }
 

@@ -4,6 +4,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, Literal}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.TernaryLike
@@ -83,6 +84,30 @@ case class TopKByScore(
 
   require(k > 0 && k <= 1024, s"top_k_by_score: k must be in (0, 1024], got $k")
 
+  /** Non-numeric (or decimal) inputs fail at analysis time instead of
+    * throwing ClassCastException per-row mid-stage in [[update]];
+    * narrower numerics (float scores, int ids) are widened there. */
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def integral(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def fractional(dt: DataType): Boolean = dt match {
+      case FloatType | DoubleType => true
+      case _ => false
+    }
+    if (!fractional(score.dataType) && !integral(score.dataType))
+      TypeCheckResult.TypeCheckFailure(s"$prettyName: score must be a non-decimal " +
+        s"numeric type, got ${score.dataType.catalogString}")
+    else if (!integral(id.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: id must be an integral type, got ${id.dataType.catalogString}")
+    else if (!integral(tag.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName: tag must be an integral type, got ${tag.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
   def score: Expression = first
   def id: Expression = second
   def tag: Expression = third
@@ -103,8 +128,8 @@ case class TopKByScore(
     val i = id.eval(input)
     if (s != null && i != null) {
       val t = tag.eval(input)
-      buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long],
-        if (t == null) 0L else t.asInstanceOf[Long])
+      buffer.insert(s.asInstanceOf[Number].doubleValue(), i.asInstanceOf[Number].longValue(),
+        if (t == null) 0L else t.asInstanceOf[Number].longValue())
     }
     buffer
   }

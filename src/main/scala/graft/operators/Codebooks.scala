@@ -30,25 +30,44 @@ object Codebooks {
     * codebook would live in a table beside the encoded corpus). Caching
     * the localCheckpoint'ed result reproduces that lifecycle in-process:
     * repeated s03/s04 invocations pay encode+search, not re-training.
-    * Entries are k-row checkpointed DataFrames — memory-negligible. */
+    * Entries are k-row checkpointed DataFrames — memory-negligible.
+    * Entries whose SparkContext has stopped are evicted on the next
+    * access (a long-lived JVM cycling sessions must not pin dead plans);
+    * [[clearTrained]] drops everything explicitly. */
   private val trained = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-  private def once(df: DataFrame, key: Seq[Any])(build: => DataFrame): DataFrame =
+  /** Drop every cached codebook (e.g. between embedded test suites). */
+  def clearTrained(): Unit = trained.clear()
+
+  private def once(df: DataFrame, key: Seq[Any])(build: => DataFrame): DataFrame = {
+    trained.filterInPlace((_, cached) => !cached.sparkSession.sparkContext.isStopped)
     trained.getOrElseUpdate(
       (df.sparkSession.hashCode +: key).mkString(":"), build)
+  }
 
   /** Element-wise mean of `vecCol` arrays per `keys` group, cast back to
     * float. Explodes one row per (sample row, dimension) — bounded by the
-    * sample contract — and reassembles in dimension order. */
-  private def meanVectors(df: DataFrame, vecCol: String, keys: Seq[String]): DataFrame =
+    * sample contract — and reassembles in dimension order.
+    *
+    * The cross-row mean is an EXACT integer sum (SURVEY §6): elements
+    * quantize to a 1e-7 grid and the longs add, so trained centroids are
+    * bit-stable run-to-run regardless of shuffle-block merge order — the
+    * "deterministic trainer" contract would otherwise silently depend on
+    * float addition order. */
+  private def meanVectors(df: DataFrame, vecCol: String, keys: Seq[String]): DataFrame = {
+    val Q = 1e7
     df.select(keys.map(col) :+ posexplode(col(vecCol)).as(Seq("d", "x")): _*)
       .groupBy((keys :+ "d").map(col): _*)
-      .agg(avg(col("x")).as("mx"))
+      .agg(sum(round(col("x").cast("double") * Q).cast("long")).as("qs"),
+        count(lit(1)).as("n"))
       .groupBy(keys.map(col): _*)
-      .agg(collect_list(struct(col("d"), col("mx"))).as("dm"))
+      .agg(collect_list(struct(col("d"), col("qs"), col("n"))).as("dm"))
       .withColumn(vecCol,
-        transform(array_sort(col("dm")), e => e.getField("mx").cast("float")))
+        transform(array_sort(col("dm")),
+          e => (e.getField("qs").cast("double")
+            / (e.getField("n").cast("double") * Q)).cast("float")))
       .drop("dm")
+  }
 
   /** IVF coarse quantizer: k cosine-space centroids as
     * (list_id, c_emb, c_nrm), k-means-refined from the lowest-id seeds.

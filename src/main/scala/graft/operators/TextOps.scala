@@ -653,26 +653,36 @@ object TextOps {
     * negative log-likelihood nll = ln(N) − Σ c·ln(cf) / n, perplexity =
     * exp(nll). Structured like t07: exact integer counts aggregate
     * distributively (map-side combined) and the float log work happens
-    * once per distinct (doc, token), never per token instance. The
+    * once per distinct VOCAB entry, never per token instance. The
     * vocabulary relation is corpus-bounded (≪ corpus size): AQE
     * broadcasts it while it fits, and the (doc,token)⋈vocab probe is a
     * token-keyed hash join otherwise — hot stopword keys are absorbed by
-    * the map-side combine upstream, not the join. */
+    * the map-side combine upstream, not the join.
+    *
+    * Float-sum parity (SURVEY §6): Σ c·ln(cf) is a cross-row sum, so the
+    * doubles are never added — each vocab entry's ln(cf) quantizes once
+    * to a 1e-7 grid (q_log, a long) and the per-doc sum is the exact
+    * integer Σ c·q_log. nll then needs ONE float op: the final division
+    * (IEEE-correctly-rounded, engine-identical) of the exact integer
+    * numerator q_ln(N)·n − Σ c·q_log by n·1e7. */
   def t08UnigramLm(spark: SparkSession, dir: String): DataFrame = {
+    val Q = 1e7
     val docTok = docs(spark, dir)
       .select(col("doc_id"), explode(tokensOf(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("c"))
     val vocab = docTok.groupBy(col("tok")).agg(sum(col("c")).as("cf"))
-    val total = vocab.agg(sum(col("cf")).as("n_corpus"))
+      .withColumn("q_log", round(log(col("cf").cast("double")) * Q).cast("long"))
+    val total = vocab.agg(
+      round(log(sum(col("cf")).cast("double")) * Q).cast("long").as("q_log_corpus"))
     docTok.join(vocab, "tok")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
-        sum(col("c").cast("double") * log(col("cf").cast("double"))).as("sum_clog"))
+        sum(col("c") * col("q_log")).as("q_clog"))
       .crossJoin(broadcast(total))
       .select(col("doc_id"), col("n_tokens"),
-        round(log(col("n_corpus").cast("double"))
-          - col("sum_clog") / col("n_tokens"), 6).as("nll"))
+        round((col("q_log_corpus") * col("n_tokens") - col("q_clog")).cast("double")
+          / (col("n_tokens").cast("double") * Q), 6).as("nll"))
       .orderBy("doc_id")
   }
 
@@ -682,16 +692,19 @@ object TextOps {
        |), dt AS (
        |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
        |), vocab AS (
-       |  SELECT tok, CAST(sum(c) AS BIGINT) AS cf FROM dt GROUP BY tok
+       |  SELECT tok, CAST(sum(c) AS BIGINT) AS cf,
+       |    CAST(round(ln(CAST(CAST(sum(c) AS BIGINT) AS DOUBLE)) * 10000000.0) AS BIGINT) AS q_log
+       |  FROM dt GROUP BY tok
        |), total AS (
-       |  SELECT CAST(sum(cf) AS BIGINT) AS n_corpus FROM vocab
+       |  SELECT CAST(round(ln(CAST(CAST(sum(cf) AS BIGINT) AS DOUBLE)) * 10000000.0) AS BIGINT)
+       |    AS q_log_corpus
+       |  FROM vocab
        |)
        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-       |  round(ln(CAST(n_corpus AS DOUBLE))
-       |    - sum(CAST(c AS DOUBLE) * ln(CAST(cf AS DOUBLE)))
-       |      / CAST(sum(c) AS BIGINT), 6) AS nll
+       |  round(CAST(q_log_corpus * CAST(sum(c) AS BIGINT) - CAST(sum(c * q_log) AS BIGINT) AS DOUBLE)
+       |    / (CAST(sum(c) AS BIGINT) * 10000000.0), 6) AS nll
        |FROM dt JOIN vocab USING (tok), total
-       |GROUP BY doc_id, n_corpus ORDER BY doc_id""".stripMargin
+       |GROUP BY doc_id, q_log_corpus ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d07
   /** Incoming-batch selector for [[d07IncrementalDedup]]: every
