@@ -662,9 +662,12 @@ object TextOps {
     * Float-sum parity (SURVEY §6): Σ c·ln(cf) is a cross-row sum, so the
     * doubles are never added — each vocab entry's ln(cf) quantizes once
     * to a 1e-7 grid (q_log, a long) and the per-doc sum is the exact
-    * integer Σ c·q_log. nll then needs ONE float op: the final division
-    * (IEEE-correctly-rounded, engine-identical) of the exact integer
-    * numerator q_ln(N)·n − Σ c·q_log by n·1e7. */
+    * integer Σ c·q_log. The round-6 nll is then produced entirely in
+    * INTEGER space — (num + 5n) div (10n) half-away-rounds the exact
+    * rational num/(n·10⁷) to 1e-6 units (num ≥ 0: cf ≤ N and round∘ln is
+    * monotone, so q_ln(N)·n ≥ Σ c·q_log) — because `round(x, 6)` on a
+    * value that IS an exact decimal half is engine-divergent: Spark
+    * rounds the double's shortest decimal string, DuckDB the binary. */
   def t08UnigramLm(spark: SparkSession, dir: String): DataFrame = {
     val Q = 1e7
     val docTok = docs(spark, dir)
@@ -680,9 +683,10 @@ object TextOps {
       .agg(sum(col("c")).as("n_tokens"),
         sum(col("c") * col("q_log")).as("q_clog"))
       .crossJoin(broadcast(total))
+      .withColumn("num", col("q_log_corpus") * col("n_tokens") - col("q_clog"))
+      .withColumn("nll_micro", expr("(num + 5 * n_tokens) div (10 * n_tokens)"))
       .select(col("doc_id"), col("n_tokens"),
-        round((col("q_log_corpus") * col("n_tokens") - col("q_clog")).cast("double")
-          / (col("n_tokens").cast("double") * Q), 6).as("nll"))
+        (col("nll_micro").cast("double") / 1e6).as("nll"))
       .orderBy("doc_id")
   }
 
@@ -699,12 +703,15 @@ object TextOps {
        |  SELECT CAST(round(ln(CAST(CAST(sum(cf) AS BIGINT) AS DOUBLE)) * 10000000.0) AS BIGINT)
        |    AS q_log_corpus
        |  FROM vocab
+       |), agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    q_log_corpus * CAST(sum(c) AS BIGINT) - CAST(sum(c * q_log) AS BIGINT) AS num
+       |  FROM dt JOIN vocab USING (tok), total
+       |  GROUP BY doc_id, q_log_corpus
        |)
-       |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-       |  round(CAST(q_log_corpus * CAST(sum(c) AS BIGINT) - CAST(sum(c * q_log) AS BIGINT) AS DOUBLE)
-       |    / (CAST(sum(c) AS BIGINT) * 10000000.0), 6) AS nll
-       |FROM dt JOIN vocab USING (tok), total
-       |GROUP BY doc_id, q_log_corpus ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, n_tokens,
+       |  CAST((num + 5 * n_tokens) // (10 * n_tokens) AS DOUBLE) / 1000000.0 AS nll
+       |FROM agg ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d07
   /** Incoming-batch selector for [[d07IncrementalDedup]]: every
@@ -762,4 +769,232 @@ object TextOps {
        |LEFT JOIN idx x USING (content_hash)
        |JOIN batch_min b USING (content_hash)
        |ORDER BY i.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- c09
+  /** Duplicated-span window length (tokens) for [[c09DupSpans]]. */
+  private val SpanN = 8
+
+  /** c09: duplicated-span statistics — the exact-substring dedup signal
+    * (Lee et al. '22, "Deduplicating Training Data Makes Language Models
+    * Better"; RefinedWeb trims or drops documents on exactly this): an
+    * 8-token window occurring in ≥2 documents is a duplicated span, and
+    * per document the fraction of token positions covered by ANY such
+    * span is the removal signal.
+    *
+    * Gram identity is md5 of the joined words (engine-identical — the
+    * oracle contract; at 100 TB the 8-byte NgramHashes longs replace the
+    * 16-byte strings exactly as c06 does). The corpus-wide census
+    * shuffles (hash, doc_id) pairs only — never text — and coverage is
+    * the distinct-count of each duplicated gram's ≤8 exploded positions:
+    * no interval walk, no window, fan-out bounded by 8× the DUPLICATED
+    * grams (rare by construction), not the corpus. */
+  def c09DupSpans(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    val grams = docs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.Ngrams.ngramJoin(tokensOf(col("text")), SpanN))
+          .as(Seq("p", "gram")))
+      .select(col("doc_id"), col("p"), md5(col("gram")).as("gk"))
+    val dupKeys = grams.groupBy(col("gk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gk")
+    val covered = grams.join(dupKeys, "gk")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + SpanN - 1)).as("pos"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("pos")).as("covered_tokens"))
+    docs(spark, dir)
+      .select(col("doc_id"), size(tokensOf(col("text"))).cast("long").as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        round(coalesce(col("covered_tokens"), lit(0L)).cast("double")
+          / col("n_tokens"), 6).as("dup_coverage"))
+      .orderBy("doc_id")
+  }
+
+  val c09Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $TokensSql AS tk FROM documents
+       |), g AS (
+       |  SELECT doc_id, s.p AS p, s.gk AS gk FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - ${SpanN - 2}),
+       |      i -> struct_pack(p := i - 1,
+       |        gk := md5(array_to_string(tk[i:i+${SpanN - 1}], ' '))))) AS s
+       |    FROM toks)
+       |), dup AS (
+       |  SELECT gk FROM g GROUP BY gk HAVING count(DISTINCT doc_id) >= 2
+       |), cov AS (
+       |  SELECT doc_id, count(DISTINCT pos) AS covered FROM (
+       |    SELECT doc_id, unnest(range(p, p + $SpanN)) AS pos
+       |    FROM g JOIN dup USING (gk)
+       |  ) GROUP BY doc_id
+       |)
+       |SELECT d.doc_id, CAST(len($TokensSql) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
+       |  round(CAST(coalesce(covered, 0) AS DOUBLE)
+       |    / CAST(len($TokensSql) AS BIGINT), 6) AS dup_coverage
+       |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t09
+  /** Vocabulary budget (entries) for [[t09VocabCoverage]]. */
+  private val VocabSize = 24
+
+  /** t09: vocabulary coverage / tokenizer-fertility statistics — the
+    * signals that pick a tokenizer for a corpus (and flag documents a
+    * fixed vocabulary serves badly): per document, the out-of-vocabulary
+    * token rate against a corpus-derived vocabulary (the [[VocabSize]]
+    * most frequent tokens — the BPE vocab-budget analogy; ties broken by
+    * token text so the cut is deterministic) and mean characters per
+    * token (the fertility proxy: chars/token ≈ bytes a subword tokenizer
+    * must explain per emitted token).
+    *
+    * Same shape as t08: exact integer counts aggregate distributively,
+    * the vocabulary relation is corpus-bounded (its top-V is a bounded
+    * sort-limit — TakeOrdered, never a full sort — then broadcast while
+    * small, token-keyed hash join at scale), and each ratio is ONE final
+    * correctly-rounded division of exact integers. */
+  def t09VocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docTok = docs(spark, dir)
+      .select(col("doc_id"), explode(tokensOf(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val vocab = docTok.groupBy(col("tok")).agg(sum(col("c")).as("cf"))
+      .orderBy(col("cf").desc, col("tok").asc).limit(VocabSize).select("tok")
+    val per = docTok.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * length(col("tok"))).as("token_chars"))
+    val oov = docTok.join(vocab, Seq("tok"), "left_anti")
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("oov"))
+    per.join(oov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("oov"), lit(0L)).as("oov_tokens"),
+        round(coalesce(col("oov"), lit(0L)).cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"),
+        round(col("token_chars").cast("double") / col("n_tokens"), 6)
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  val t09Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($TokensSql) AS tok FROM documents
+       |), dt AS (
+       |  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2
+       |), vocab AS (
+       |  SELECT tok FROM (
+       |    SELECT tok, CAST(sum(c) AS BIGINT) AS cf FROM dt GROUP BY tok
+       |    ORDER BY cf DESC, tok ASC LIMIT $VocabSize)
+       |), per AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    CAST(sum(c * length(tok)) AS BIGINT) AS token_chars
+       |  FROM dt GROUP BY doc_id
+       |), oov AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS oov FROM dt
+       |  WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_tokens,
+       |  CAST(coalesce(oov, 0) AS BIGINT) AS oov_tokens,
+       |  round(CAST(coalesce(oov, 0) AS DOUBLE) / n_tokens, 6) AS oov_rate,
+       |  round(CAST(token_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
+       |FROM per LEFT JOIN oov USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- c10
+  /** Feature-hash bucket count for [[c10DsirWeights]]. */
+  private val DsirBuckets = 1024
+
+  /** Target-domain sources for [[c10DsirWeights]] (stand-in for "the
+    * high-quality domain" — Wikipedia/books in a real run). */
+  private val DsirTargetSources = Seq("src0", "src1", "src2", "src3")
+
+  /** c10: DSIR importance weights (Xie et al. '23, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how target-like its hashed-bigram feature distribution
+    * is — log p_target(doc)/p_raw(doc) under bag-of-hashed-bigrams
+    * unigram models with Laplace smoothing. Downstream, raw docs are
+    * resampled ∝ exp(weight); the per-gram mean is the length-normalized
+    * form.
+    *
+    * The feature table is SCHEMA-bounded ([[DsirBuckets]] rows) so it
+    * broadcasts; raw grams carry only an 8-byte bucket id into the join.
+    * Bucketing uses the rolling polynomial hash (engine-identical — the
+    * oracle contract); the per-bucket log-ratio quantizes once to a 1e-7
+    * grid (t08's discipline), so every cross-row sum is an exact integer
+    * sum — and both round-6 outputs are produced by half-away rounding
+    * in INTEGER space (t08's `div` discipline: q_sum ends in 5 ⇒
+    * q_sum/10⁷ IS an exact decimal half, where `round(x, 6)` diverges
+    * between engines — this bit 2 docs in 400 at sf0.01). */
+  def c10DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    graft.functions.PolyFingerprint.register(spark)
+    val Q = 1e7
+    def qln(c: Column): Column = round(log(c.cast("double")) * Q).cast("long")
+    val isTarget = col("source").isInCollection(DsirTargetSources)
+    val grams = docs(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.Ngrams.ngramJoin(tokensOf(col("text")), 2)).as("gram"))
+      .select(col("doc_id"), col("source"),
+        pmod(polyFp(col("gram")), lit(DsirBuckets)).as("b"))
+    val byBucket = grams.groupBy(col("b")).agg(
+      sum(when(isTarget, 1L).otherwise(0L)).as("ct"),
+      sum(when(isTarget, 0L).otherwise(1L)).as("cr"))
+    val totals = byBucket.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val table = byBucket.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (qln(col("ct") + 1) - qln(col("tt") + DsirBuckets)
+          - qln(col("cr") + 1) + qln(col("tr") + DsirBuckets)).as("q_ratio"))
+    grams.filter(!isTarget)
+      .join(broadcast(table), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("q_ratio")).as("q_sum"))
+      .withColumn("micro_sum", expr(
+        "CASE WHEN q_sum >= 0 THEN (q_sum + 5) div 10" +
+          " ELSE -((-q_sum + 5) div 10) END"))
+      .withColumn("micro_avg", expr(
+        "CASE WHEN q_sum >= 0 THEN (q_sum + 5 * n_grams) div (10 * n_grams)" +
+          " ELSE -((-q_sum + 5 * n_grams) div (10 * n_grams)) END"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("micro_sum").cast("double") / 1e6).as("log_ratio_sum"),
+        (col("micro_avg").cast("double") / 1e6).as("avg_log_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val c10Sql: String = {
+    val targets = DsirTargetSources.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, source, $TokensSql AS tk FROM documents
+       |), grams AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+       |  FROM toks
+       |), bkt AS (
+       |  SELECT doc_id, source, (${polyFpSql("gram")}) % $DsirBuckets AS b FROM grams
+       |), by_bucket AS (
+       |  SELECT b,
+       |    CAST(sum(CASE WHEN source IN ($targets) THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN source IN ($targets) THEN 0 ELSE 1 END) AS BIGINT) AS cr
+       |  FROM bkt GROUP BY b
+       |), tot AS (
+       |  SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM by_bucket
+       |), tbl AS (
+       |  SELECT b,
+       |    CAST(round(ln(CAST(ct + 1 AS DOUBLE)) * 10000000.0) AS BIGINT)
+       |    - CAST(round(ln(CAST(tt + $DsirBuckets AS DOUBLE)) * 10000000.0) AS BIGINT)
+       |    - CAST(round(ln(CAST(cr + 1 AS DOUBLE)) * 10000000.0) AS BIGINT)
+       |    + CAST(round(ln(CAST(tr + $DsirBuckets AS DOUBLE)) * 10000000.0) AS BIGINT) AS q_ratio
+       |  FROM by_bucket, tot
+       |), agg AS (
+       |  SELECT doc_id, count(*) AS n_grams, CAST(sum(q_ratio) AS BIGINT) AS q_sum
+       |  FROM bkt JOIN tbl USING (b)
+       |  WHERE source NOT IN ($targets)
+       |  GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_grams,
+       |  CAST(CASE WHEN q_sum >= 0 THEN (q_sum + 5) // 10
+       |       ELSE -((-q_sum + 5) // 10) END AS DOUBLE) / 1000000.0 AS log_ratio_sum,
+       |  CAST(CASE WHEN q_sum >= 0 THEN (q_sum + 5 * n_grams) // (10 * n_grams)
+       |       ELSE -((-q_sum + 5 * n_grams) // (10 * n_grams)) END AS DOUBLE)
+       |    / 1000000.0 AS avg_log_ratio
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
 }

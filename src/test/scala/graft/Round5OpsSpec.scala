@@ -120,4 +120,54 @@ class Round5OpsSpec extends GraftSpecBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "s05 must not use window functions")
   }
+
+  test("c09: coverage bounded; exact duplicates are fully covered") {
+    val out = TextOps.c09DupSpans(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val cov = r.getAs[Long]("covered_tokens")
+      assert(cov >= 0 && cov <= n, s"covered $cov outside [0, $n]")
+      val frac = r.getAs[Double]("dup_coverage")
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // a duplicated span lives in ≥2 documents by definition, so covered
+    // docs come in groups — and the signal must differentiate the corpus
+    val covered = out.filter(_.getAs[Long]("covered_tokens") > 0)
+    assert(covered.length >= 2, "a duplicated span must cover at least two docs")
+    assert(covered.length < out.length, "every doc covered — signal is vacuous")
+  }
+
+  test("t09: oov rate bounded; vocab floor actually splits the corpus") {
+    val out = TextOps.t09VocabCoverage(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val oov = r.getAs[Long]("oov_tokens")
+      assert(oov >= 0 && oov <= n)
+      assert(r.getAs[Double]("oov_rate") >= 0.0 && r.getAs[Double]("oov_rate") <= 1.0)
+      assert(r.getAs[Double]("chars_per_token") > 0.0)
+    }
+    // non-vacuous: some docs carry OOV tokens, none is entirely OOV
+    assert(out.exists(_.getAs[Long]("oov_tokens") > 0))
+    assert(out.forall(r => r.getAs[Long]("oov_tokens") < r.getAs[Long]("n_tokens")))
+  }
+
+  test("c10: weights cover exactly the raw docs and differentiate them") {
+    val out = TextOps.c10DsirWeights(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val rawIds = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(!col("source").isin("src0", "src1", "src2", "src3"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === rawIds)
+    out.foreach { r =>
+      val sum = r.getAs[Double]("log_ratio_sum")
+      val avg = r.getAs[Double]("avg_log_ratio")
+      val n = r.getAs[Long]("n_grams")
+      assert(n > 0)
+      assert(math.abs(avg - sum / n) < 1e-5, "avg inconsistent with sum/n")
+    }
+    assert(out.map(_.getAs[Double]("avg_log_ratio")).distinct.length > 1,
+      "constant importance weights — scoring is vacuous")
+  }
 }
