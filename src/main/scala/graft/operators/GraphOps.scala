@@ -131,6 +131,95 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- g04
+  /** Fixed-point scale for [[g04Hits]]: scores live in 1e-9 units. The
+    * scale is 1e9 (not g03's 1e12) because each normalization multiplies
+    * a raw sum (≤ 3·scale) by the scale before the integer division —
+    * 3·10⁹·10⁹ fits a long where 3·10¹²·10¹² would wrap. */
+  private val HitsScale = 1000000000L
+  private val HitsIters = 3
+
+  /** g04: HITS hubs & authorities (Kleinberg '99, [[HitsIters]] fixed
+    * iterations, L1 normalization) over the same directed document graph
+    * as g02/g03 — the complementary link-quality signal: authorities are
+    * the pages good hubs point at, hubs the pages that point at good
+    * authorities (g03's PageRank scores global endorsement instead).
+    *
+    * g03's fixed-point discipline throughout: scores are 1e-9-unit longs,
+    * every division is integer division (Spark `div` ⇄ DuckDB `//`,
+    * positive operands), so no cross-row float sum exists anywhere and
+    * the unrolled-CTE oracle is bit-identical by construction. Each
+    * half-step is one edge join + a destination-keyed sum — (long, long)
+    * pairs on the wire — with the L1 total a broadcast scalar; the final
+    * /1e9 cannot round-diverge: the exact value has ≤9 decimals, so
+    * `round(x, 9)` never meets a half-boundary. */
+  def g04Hits(spark: SparkSession, dir: String): DataFrame = {
+    val S = HitsScale
+    val ids = Tables(spark, dir).documents.select(col("doc_id"))
+    val e = edges(spark, dir)
+    val nRel = ids.agg(count(lit(1)).as("n"))
+    var hub = ids.crossJoin(broadcast(nRel))
+      .select(col("doc_id"), expr(s"${S}L div n").as("h"))
+      .localCheckpoint()
+    var auth: DataFrame = null
+    for (_ <- 0 until HitsIters) {
+      val aRaw = e.join(hub.withColumnRenamed("doc_id", "a"), "a")
+        .groupBy(col("b").as("doc_id")).agg(sum(col("h")).as("ar"))
+      val aTot = aRaw.agg(sum(col("ar")).as("ta"))
+      auth = ids.join(aRaw, Seq("doc_id"), "left")
+        .crossJoin(broadcast(aTot))
+        .select(col("doc_id"), expr(s"(coalesce(ar, 0L) * ${S}L) div ta").as("au"))
+        .localCheckpoint()
+      val hRaw = e.join(auth.withColumnRenamed("doc_id", "b"), "b")
+        .groupBy(col("a").as("doc_id")).agg(sum(col("au")).as("hr"))
+      val hTot = hRaw.agg(sum(col("hr")).as("th"))
+      hub = ids.join(hRaw, Seq("doc_id"), "left")
+        .crossJoin(broadcast(hTot))
+        .select(col("doc_id"), expr(s"(coalesce(hr, 0L) * ${S}L) div th").as("h"))
+        .localCheckpoint()
+    }
+    hub.join(auth, "doc_id")
+      .select(col("doc_id"), col("h").as("hub_units"), col("au").as("auth_units"),
+        round(col("h").cast("double") / S, 9).as("hub_score"),
+        round(col("au").cast("double") / S, 9).as("auth_score"))
+      .orderBy("doc_id")
+  }
+
+  val g04Sql: String = {
+    val S = HitsScale.toString
+    val iters = (0 until HitsIters).map { k =>
+      s"""ar$k AS (
+         |  SELECT e.b AS doc_id, CAST(sum(p.h) AS BIGINT) AS ar
+         |  FROM edges e JOIN h$k p ON e.a = p.doc_id GROUP BY e.b
+         |), at$k AS (
+         |  SELECT CAST(sum(ar) AS BIGINT) AS ta FROM ar$k
+         |), a${k + 1} AS (
+         |  SELECT i.doc_id,
+         |    CAST((coalesce(r.ar, 0) * $S) // t.ta AS BIGINT) AS au
+         |  FROM ids i LEFT JOIN ar$k r USING (doc_id) CROSS JOIN at$k t
+         |), hr$k AS (
+         |  SELECT e.a AS doc_id, CAST(sum(q.au) AS BIGINT) AS hr
+         |  FROM edges e JOIN a${k + 1} q ON e.b = q.doc_id GROUP BY e.a
+         |), ht$k AS (
+         |  SELECT CAST(sum(hr) AS BIGINT) AS th FROM hr$k
+         |), h${k + 1} AS (
+         |  SELECT i.doc_id,
+         |    CAST((coalesce(r.hr, 0) * $S) // t.th AS BIGINT) AS h
+         |  FROM ids i LEFT JOIN hr$k r USING (doc_id) CROSS JOIN ht$k t
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH ids AS (SELECT doc_id FROM documents), $EdgesSql,
+       |nn AS (SELECT count(*) AS n FROM ids),
+       |h0 AS (SELECT i.doc_id, CAST($S // n.n AS BIGINT) AS h
+       |       FROM ids i CROSS JOIN nn n),
+       |$iters
+       |SELECT h.doc_id, h.h AS hub_units, a.au AS auth_units,
+       |  round(CAST(h.h AS DOUBLE) / $S, 9) AS hub_score,
+       |  round(CAST(a.au AS DOUBLE) / $S, 9) AS auth_score
+       |FROM h$HitsIters h JOIN a$HitsIters a USING (doc_id)
+       |ORDER BY h.doc_id""".stripMargin
+  }
+
   val g03Sql: String = {
     val S = PrScale.toString
     val iters = (0 until PrIters).map { k =>

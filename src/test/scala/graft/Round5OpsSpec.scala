@@ -153,6 +153,20 @@ class Round5OpsSpec extends GraftSpecBase {
     assert(out.forall(r => r.getAs[Long]("oov_tokens") < r.getAs[Long]("n_tokens")))
   }
 
+  test("g04: hub/auth mass conserved up to floor loss; scores differentiate") {
+    val out = graft.operators.GraphOps.g04Hits(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val hubs = out.map(_.getAs[Long]("hub_units"))
+    val auths = out.map(_.getAs[Long]("auth_units"))
+    assert(hubs.forall(_ >= 0) && auths.forall(_ >= 0))
+    // every normalization floors, so L1 mass only leaks downward — by at
+    // most one unit per node per division
+    assert(hubs.sum <= 1000000000L && hubs.sum > 1000000000L - 3L * out.length)
+    assert(auths.sum <= 1000000000L && auths.sum > 1000000000L - 3L * out.length)
+    assert(hubs.distinct.length > 1 && auths.distinct.length > 1,
+      "constant scores — iteration is vacuous")
+  }
+
   test("c10: weights cover exactly the raw docs and differentiate them") {
     val out = TextOps.c10DsirWeights(spark, sfDir).collect()
     assert(out.nonEmpty)
