@@ -108,5 +108,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("ngram_join"), Ngrams.joinInfo, Ngrams.buildJoin _))
     e.injectFunction((
       FunctionIdentifier("top_k_by_score"), TopKByScore.info, TopKByScore.build _))
+    e.injectFunction((
+      FunctionIdentifier("heavy_hitters"), MisraGries.info, MisraGries.build _))
   }
 }

@@ -1,0 +1,163 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Misra–Gries frequent-items summary over long keys: at most `k`
+  * (key, count) counters with the classic decrement-on-overflow update and
+  * the mergeable-summaries combine (Agarwal et al., PODS'12: add counts,
+  * then subtract the (k+1)-th largest and drop non-positive).
+  *
+  * Guarantees (N = stream length): every item with true frequency > N/(k+1)
+  * is present, and each kept count underestimates by at most N/(k+1) —
+  * regardless of partition/merge order. Counts themselves are merge-order-
+  * DEPENDENT, so consumers use the summary to find candidates and re-count
+  * exactly (the [[graft.operators.TextOps.c11HeavyHitters]] pattern), not
+  * as a frequency oracle. */
+final class MGBuffer(val k: Int) {
+  val map = new scala.collection.mutable.LongMap[Long](math.min(k * 2, 64))
+
+  def insert(key: Long): Unit = {
+    val cur = map.getOrElse(key, 0L)
+    if (cur != 0L) map.update(key, cur + 1)
+    else if (map.size < k) map.update(key, 1L)
+    else {
+      // decrement every counter; drop the ones that hit zero — amortized
+      // O(1) per row (each decrement pass cancels k prior increments).
+      // Snapshot first: LongMap iteration + structural mutation is unsafe.
+      val snap = map.toArray
+      var i = 0
+      while (i < snap.length) {
+        val (kk, v) = snap(i)
+        if (v == 1L) map.remove(kk) else map.update(kk, v - 1)
+        i += 1
+      }
+    }
+  }
+
+  def mergeFrom(other: MGBuffer): Unit = {
+    other.map.foreach { case (kk, v) =>
+      map.update(kk, map.getOrElse(kk, 0L) + v)
+    }
+    if (map.size > k) {
+      // subtract the (k+1)-th largest count from everything, drop ≤ 0
+      val snap = map.toArray
+      val counts = snap.map(_._2)
+      java.util.Arrays.sort(counts)
+      val d = counts(counts.length - (k + 1))
+      var i = 0
+      while (i < snap.length) {
+        val (kk, v) = snap(i)
+        if (v <= d) map.remove(kk) else map.update(kk, v - d)
+        i += 1
+      }
+    }
+  }
+
+  /** Entries as (key, count) ordered (count desc, key asc). */
+  def sortedEntries: Array[(Long, Long)] =
+    map.toArray.sortBy { case (key, cnt) => (-cnt, key) }
+}
+
+/** `heavy_hitters(key, k)`: a Misra–Gries summary of the group's long keys
+  * as `array<struct<key bigint, count bigint>>` in (count desc, key asc)
+  * order — candidate frequent items in ONE partial-aggregating pass with a
+  * hard k-counter memory bound. The map side keeps k counters per
+  * partition and the shuffle carries ≤ k (long, long) pairs per group —
+  * the scale path for "what dominates this 100 TB column" where an exact
+  * global (value → count) aggregation would shuffle every distinct value. */
+case class MisraGries(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MGBuffer] with UnaryLike[Expression] {
+
+  require(k > 0 && k <= 4096, s"heavy_hitters: k must be in (0, 4096], got $k")
+
+  override def prettyName: String = "heavy_hitters"
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("key", LongType, nullable = false),
+      StructField("count", LongType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: key must be an integral type, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): MGBuffer = new MGBuffer(k)
+
+  override def update(buffer: MGBuffer, input: InternalRow): MGBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.insert(v.asInstanceOf[Number].longValue())
+    buffer
+  }
+
+  override def merge(buffer: MGBuffer, other: MGBuffer): MGBuffer = {
+    buffer.mergeFrom(other)
+    buffer
+  }
+
+  override def eval(buffer: MGBuffer): Any =
+    new GenericArrayData(buffer.sortedEntries.map { case (key, cnt) =>
+      new GenericInternalRow(Array[Any](key, cnt))
+    })
+
+  override def serialize(buffer: MGBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buffer.map.size)
+    bb.putInt(buffer.map.size)
+    buffer.map.foreach { case (kk, v) => bb.putLong(kk); bb.putLong(v) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): MGBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new MGBuffer(k)
+    var i = 0
+    while (i < n) { buf.map.update(bb.getLong, bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGries =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGries =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): MisraGries =
+    copy(child = newChild)
+}
+
+object MisraGries {
+  val info = new ExpressionInfo(classOf[MisraGries].getName, "heavy_hitters")
+
+  private[functions] def build(children: Seq[Expression]): Expression = {
+    val k = children(1) match {
+      case Literal(v: Int, IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"heavy_hitters: k must be an integer literal, got $other")
+    }
+    MisraGries(children.head, k)
+  }
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "heavy_hitters", build, "built-in")
+
+  /** `heavy_hitters(key, k)` as a Column (requires [[register]]). */
+  def heavyHitters(key: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_function(
+      "heavy_hitters", key, org.apache.spark.sql.functions.lit(k))
+}

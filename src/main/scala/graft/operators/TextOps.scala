@@ -959,6 +959,59 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- c11
+  /** Frequency threshold denominator for [[c11HeavyHitters]]: report
+    * tokens with count·[[HhPhi]] ≥ N (φ = 1/64 heavy hitters). */
+  private val HhPhi = 64
+
+  /** Misra–Gries counter budget — 2·[[HhPhi]] counters halve the sketch's
+    * undercount bound (N/129 < N/64), so no true φ-heavy hitter can be
+    * evicted. */
+  private val HhK = 2 * HhPhi
+
+  /** c11: corpus heavy hitters — the dominant tokens of a column, found
+    * with a bounded-memory sketch: a Misra–Gries summary
+    * ([[graft.functions.MisraGries]], native TypedImperativeAggregate)
+    * nominates ≤ [[HhK]] candidate keys in one pass, and ONE exact count
+    * restricted to those candidates reports every token with frequency
+    * ≥ N/[[HhPhi]]. The MG guarantee (undercount ≤ N/(k+1) < N/φ
+    * regardless of merge order) makes the candidate set a superset of
+    * the true heavy hitters, so the REPORTED rows are exact and
+    * deterministic — the sketch only prunes.
+    *
+    * At 100 TB: the exact path (c01's shape) shuffles every distinct
+    * value; this shuffles ≤ k (long, long) counters per partition plus
+    * the candidate-restricted counts. The candidate probe is a broadcast
+    * semi-join on an 8-byte hash, so non-candidate rows die at the scan. */
+  def c11HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.MisraGries.register(spark)
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), explode(tokensOf(col("text"))).as("tok"))
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val cand = toks
+      .select(xxhash64(col("tok")).as("hk"))
+      .agg(graft.functions.MisraGries.heavyHitters(col("hk"), HhK).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.key").as("hk"))
+    toks.select(col("tok"), xxhash64(col("tok")).as("hk"))
+      .join(broadcast(cand), "hk")
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") * HhPhi >= col("n_total"))
+      .select(col("tok"), col("cnt"))
+      .orderBy(col("cnt").desc, col("tok"))
+  }
+
+  val c11Sql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest($TokensSql) AS tok FROM documents
+       |), tot AS (SELECT count(*) AS n_total FROM toks)
+       |SELECT tok, count(*) AS cnt
+       |FROM toks, tot
+       |GROUP BY tok, n_total
+       |HAVING count(*) * $HhPhi >= n_total
+       |ORDER BY cnt DESC, tok""".stripMargin
+
   val c10Sql: String = {
     val targets = DsirTargetSources.map(s => s"'$s'").mkString(", ")
     s"""WITH toks AS (

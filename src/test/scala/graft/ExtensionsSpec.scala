@@ -38,6 +38,11 @@ class ExtensionsSpec extends GraftSpecBase {
       .selectExpr("top_k_by_score(s, i, t, 1) AS top").collect()(0)
     val best = topk.getSeq[org.apache.spark.sql.Row](0).head
     assert(best.getDouble(0) === 0.9 && best.getLong(1) === 2L && best.getLong(2) === 8L)
+
+    val hh = Seq(7L, 7L, 7L, 9L).toDF("v")
+      .selectExpr("heavy_hitters(v, 2) AS hh").collect()(0)
+    val top = hh.getSeq[org.apache.spark.sql.Row](0).head
+    assert(top.getLong(0) === 7L && top.getLong(1) === 3L)
   }
 
   test("ngram_hashes accepts any foldable integral n (1+2, bigint literal)") {

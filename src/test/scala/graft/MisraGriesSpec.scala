@@ -1,0 +1,89 @@
+package graft
+
+import scala.util.Random
+import org.apache.spark.sql.functions._
+import graft.functions.{MGBuffer, MisraGries}
+
+/** The Misra–Gries summary must honor its frequency guarantees on every
+  * input and partitioning: each item with true count > N/(k+1) is present,
+  * and every kept count underestimates by at most N/(k+1). The exact
+  * counts are merge-order-dependent BY DESIGN — the guarantees are not. */
+class MisraGriesSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def exactCounts(data: Seq[Long]): Map[Long, Long] =
+    data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("guarantees hold over random skewed inputs, across partial/merge paths") {
+    MisraGries.register(spark)
+    val rnd = new Random(11)
+    (1 to 10).foreach { trial =>
+      val n = rnd.nextInt(2000) + 200
+      val k = rnd.nextInt(12) + 4
+      // zipf-ish skew: small ids dominate, heavy tail of rare ids
+      val data = Seq.fill(n)(
+        if (rnd.nextInt(3) > 0) rnd.nextInt(4).toLong else rnd.nextInt(500).toLong)
+      val got = data.map(v => (1L, v)).toDF("g", "v")
+        .repartition(7)
+        .groupBy(col("g"))
+        .agg(MisraGries.heavyHitters(col("v"), k).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.key"), col("e.count"))
+        .as[(Long, Long)].collect().toMap
+      assert(got.size <= k, s"trial $trial: summary exceeded $k counters")
+      val exact = exactCounts(data)
+      val bound = n.toDouble / (k + 1)
+      exact.foreach { case (key, cnt) =>
+        if (cnt > bound)
+          assert(got.contains(key), s"trial $trial: item $key (count $cnt > $bound) evicted")
+      }
+      got.foreach { case (key, est) =>
+        val cnt = exact(key)
+        assert(est <= cnt, s"trial $trial: overestimate for $key")
+        assert(cnt - est <= bound + 1e-9, s"trial $trial: undercount beyond bound for $key")
+      }
+    }
+  }
+
+  test("small-cardinality input is summarized exactly") {
+    // fewer distinct keys than counters: no eviction path ever fires, so
+    // the sketch IS the exact histogram whatever the partitioning
+    MisraGries.register(spark)
+    val data = (1L to 900L).map(i => (1L, i % 9))
+    val got = data.toDF("g", "v")
+      .repartition(13)
+      .groupBy(col("g"))
+      .agg(MisraGries.heavyHitters(col("v"), 32).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.key"), col("e.count"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == (0L to 8L).map(_ -> 100L).toMap)
+  }
+
+  test("buffer merge matches the mergeable-summaries semantics") {
+    // hand-driven buffers: merge must add counts then renormalize to k
+    val a = new MGBuffer(2)
+    Seq(1L, 1L, 1L, 2L, 2L).foreach(a.insert)
+    val b = new MGBuffer(2)
+    Seq(3L, 3L, 3L, 3L, 2L).foreach(b.insert)
+    a.mergeFrom(b)
+    val m = a.map.toMap
+    assert(m.size <= 2)
+    // 3 (count 4) survives any merge order; its count stays positive
+    assert(m.contains(3L) && m(3L) >= 1L)
+  }
+
+  test("c11 reports exactly the φ-heavy tokens with exact counts") {
+    val out = graft.operators.TextOps.c11HeavyHitters(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // recompute the ground truth directly
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(regexp_replace(lower(trim(col("text"))), "\\s+", " "), " "))
+        .as("tok"))
+    val n = toks.count()
+    val truth = toks.groupBy("tok").count()
+      .filter(col("count") * 64 >= n)
+      .as[(String, Long)].collect().toMap
+    assert(out.map(r => r.getString(0) -> r.getLong(1)).toMap == truth)
+  }
+}
