@@ -139,6 +139,60 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- m03
+  /** m03: media dedup + storage-reclaim report — the keep-one-copy
+    * decision a multimodal corpus runs over its binary columns: payloads
+    * with the same perceptual fingerprint collapse to the min-doc_id
+    * canonical copy, and the per-format report says how many media rows
+    * are duplicates and how many bytes deleting them reclaims.
+    *
+    * The fingerprint here is the stub decoder's (format, width, height,
+    * n_frames) tuple — the deterministic stand-in for a pHash/chromaprint
+    * (no codecs in this container; m01's stub discipline). The shape is
+    * the 100 TB one regardless of fingerprint: payloads never shuffle —
+    * only the fingerprint tuple and byte length do — and both aggregation
+    * levels are map-side combined. */
+  def m03MediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    val meta = Tables(spark, dir).documents
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("byte_len"))
+      .withColumn("format",
+        when(pmod(col("byte_len"), lit(3)) === 0, "jpeg")
+          .when(pmod(col("byte_len"), lit(3)) === 1, "png")
+          .otherwise("wav"))
+      .withColumn("width", pmod(col("byte_len"), lit(640)))
+      .withColumn("height", pmod(col("byte_len") * 7, lit(480)))
+      .withColumn("n_frames", pmod(col("byte_len"), lit(30)))
+    meta.groupBy(col("format"), col("width"), col("height"), col("n_frames"))
+      .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("bytes"),
+        min_by(col("byte_len"), col("doc_id")).as("canon_len"))
+      .groupBy(col("format"))
+      .agg(count(lit(1)).as("n_fingerprints"), sum(col("n")).as("n_media"),
+        (sum(col("n")) - count(lit(1))).as("n_dup_media"),
+        sum(col("bytes") - col("canon_len")).as("reclaimable_bytes"))
+      .orderBy("format")
+  }
+
+  val m03Sql: String =
+    """WITH meta AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+      |    CASE CAST(octet_length(encode(text)) AS BIGINT) % 3
+      |      WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' ELSE 'wav' END AS format,
+      |    CAST(octet_length(encode(text)) AS BIGINT) % 640 AS width,
+      |    (CAST(octet_length(encode(text)) AS BIGINT) * 7) % 480 AS height,
+      |    CAST(octet_length(encode(text)) AS BIGINT) % 30 AS n_frames
+      |  FROM documents
+      |), fp AS (
+      |  SELECT format, width, height, n_frames,
+      |    count(*) AS n, CAST(sum(byte_len) AS BIGINT) AS bytes,
+      |    arg_min(byte_len, doc_id) AS canon_len
+      |  FROM meta GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT format, count(*) AS n_fingerprints,
+      |  CAST(sum(n) AS BIGINT) AS n_media,
+      |  CAST(sum(n) - count(*) AS BIGINT) AS n_dup_media,
+      |  CAST(sum(bytes - canon_len) AS BIGINT) AS reclaimable_bytes
+      |FROM fp GROUP BY format ORDER BY format""".stripMargin
+
   val m02Sql: String =
     """WITH base AS (
       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents

@@ -167,6 +167,24 @@ class Round5OpsSpec extends GraftSpecBase {
       "constant scores — iteration is vacuous")
   }
 
+  test("m03: dedup accounting is internally consistent per format") {
+    val out = graft.operators.MultimodalOps.m03MediaDedup(spark, sfDir).collect()
+    assert(out.length === 3, "one row per stub format")
+    out.foreach { r =>
+      val media = r.getAs[Long]("n_media")
+      val fps = r.getAs[Long]("n_fingerprints")
+      val dups = r.getAs[Long]("n_dup_media")
+      assert(fps >= 1 && fps <= media)
+      assert(dups === media - fps)
+      assert(r.getAs[Long]("reclaimable_bytes") >= dups,
+        "every duplicate reclaims at least one byte")
+    }
+    val total = out.map(_.getAs[Long]("n_media")).sum
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(total === nDocs, "formats partition the corpus")
+    assert(out.exists(_.getAs[Long]("n_dup_media") > 0), "no dups — report is vacuous")
+  }
+
   test("c10: weights cover exactly the raw docs and differentiate them") {
     val out = TextOps.c10DsirWeights(spark, sfDir).collect()
     assert(out.nonEmpty)
