@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -105,13 +105,9 @@ case class BottomKDistinct(
 object BottomKDistinct {
   val info = new ExpressionInfo(classOf[BottomKDistinct].getName, "bottom_k_distinct")
 
-  private def build(children: Seq[Expression]): Expression = {
-    val k = children(1) match {
-      case Literal(v: Int, IntegerType) => v
-      case other => throw new IllegalArgumentException(
-        s"bottom_k_distinct: k must be an integer literal, got $other")
-    }
-    BottomKDistinct(children.head, k)
+  private[functions] def build(children: Seq[Expression]): Expression = {
+    Ngrams.requireArity(children, 2, "bottom_k_distinct")
+    BottomKDistinct(children.head, Ngrams.intArg(children(1), "bottom_k_distinct"))
   }
 
   /** Idempotent per-session registration. */

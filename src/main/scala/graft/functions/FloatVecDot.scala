@@ -96,12 +96,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("bottom_k_distinct"),
       BottomKDistinct.info,
-      (children: Seq[Expression]) => children(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(k: Int, _) =>
-          BottomKDistinct(children.head, k)
-        case other => throw new IllegalArgumentException(
-          s"bottom_k_distinct: k must be an integer literal, got $other")
-      }))
+      BottomKDistinct.build _))
     e.injectFunction((
       FunctionIdentifier("ngram_hashes"), Ngrams.hashesInfo, Ngrams.buildHashes _))
     e.injectFunction((

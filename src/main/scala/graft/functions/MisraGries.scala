@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -143,12 +143,8 @@ object MisraGries {
   val info = new ExpressionInfo(classOf[MisraGries].getName, "heavy_hitters")
 
   private[functions] def build(children: Seq[Expression]): Expression = {
-    val k = children(1) match {
-      case Literal(v: Int, IntegerType) => v
-      case other => throw new IllegalArgumentException(
-        s"heavy_hitters: k must be an integer literal, got $other")
-    }
-    MisraGries(children.head, k)
+    Ngrams.requireArity(children, 2, "heavy_hitters")
+    MisraGries(children.head, Ngrams.intArg(children(1), "heavy_hitters"))
   }
 
   /** Idempotent per-session registration. */

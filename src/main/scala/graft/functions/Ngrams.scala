@@ -167,8 +167,9 @@ object Ngrams {
   /** `n` from any foldable integral expression (`3`, `1+2`, `CAST(3 AS
     * BIGINT)` all work), constant-folded at registration time. Mismatches
     * raise AnalysisException under the user-facing parameter error
-    * conditions naming the function, like a built-in would. */
-  private def intArg(e: Expression, fn: String): Int = {
+    * conditions naming the function, like a built-in would. Shared by
+    * every graft native-function builder that takes a constant int. */
+  private[functions] def intArg(e: Expression, fn: String): Int = {
     def badValue(what: String): Nothing = throw new org.apache.spark.sql.AnalysisException(
       "INVALID_PARAMETER_VALUE.INTEGER",
       Map("parameter" -> "`n`", "functionName" -> s"`$fn`", "invalidValue" -> what))
@@ -185,11 +186,25 @@ object Ngrams {
     }
   }
 
+  /** Arity guard shared by every graft native-function builder: raises
+    * the standard wrong-arg-count AnalysisException instead of letting
+    * `children(i)` die with IndexOutOfBoundsException. */
+  private[functions] def requireArity(cs: Seq[Expression], n: Int, fn: String): Unit =
+    if (cs.length != n) throw new org.apache.spark.sql.AnalysisException(
+      "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      Map("functionName" -> s"`$fn`", "expectedNum" -> n.toString,
+        "actualNum" -> cs.length.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+
   /** Builders shared by [[register]] and [[GraftExtensions]]. */
-  private[functions] def buildHashes(cs: Seq[Expression]): Expression =
+  private[functions] def buildHashes(cs: Seq[Expression]): Expression = {
+    requireArity(cs, 2, "ngram_hashes")
     NgramHashes(cs.head, intArg(cs(1), "ngram_hashes"))
-  private[functions] def buildJoin(cs: Seq[Expression]): Expression =
+  }
+  private[functions] def buildJoin(cs: Seq[Expression]): Expression = {
+    requireArity(cs, 2, "ngram_join")
     NgramJoin(cs.head, intArg(cs(1), "ngram_join"))
+  }
 
   /** Idempotent per-session registration of both expressions. */
   def register(spark: SparkSession): Unit = {

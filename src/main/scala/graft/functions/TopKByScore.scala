@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.TernaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -189,12 +189,9 @@ object TopKByScore {
   val info = new ExpressionInfo(classOf[TopKByScore].getName, "top_k_by_score")
 
   private[functions] def build(children: Seq[Expression]): Expression = {
-    val k = children(3) match {
-      case Literal(v: Int, IntegerType) => v
-      case other => throw new IllegalArgumentException(
-        s"top_k_by_score: k must be an integer literal, got $other")
-    }
-    TopKByScore(children(0), children(1), children(2), k)
+    Ngrams.requireArity(children, 4, "top_k_by_score")
+    TopKByScore(children(0), children(1), children(2),
+      Ngrams.intArg(children(3), "top_k_by_score"))
   }
 
   /** Idempotent per-session registration. */

@@ -802,13 +802,16 @@ object TextOps {
       .select(col("doc_id"), explode(sequence(col("p"), col("p") + SpanN - 1)).as("pos"))
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("pos")).as("covered_tokens"))
+    // coverage rounds 6 in INTEGER space (§6(d)): covered/n CAN be an
+    // exact decimal half (e.g. 1/640), where the engines' round() diverge
     docs(spark, dir)
       .select(col("doc_id"), size(tokensOf(col("text"))).cast("long").as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
-        round(coalesce(col("covered_tokens"), lit(0L)).cast("double")
-          / col("n_tokens"), 6).as("dup_coverage"))
+      .withColumn("covered_tokens", coalesce(col("covered_tokens"), lit(0L)))
+      .withColumn("cov_micro",
+        expr("(2 * covered_tokens * 1000000 + n_tokens) div (2 * n_tokens)"))
+      .select(col("doc_id"), col("n_tokens"), col("covered_tokens"),
+        (col("cov_micro").cast("double") / 1e6).as("dup_coverage"))
       .orderBy("doc_id")
   }
 
@@ -829,12 +832,15 @@ object TextOps {
        |    FROM g JOIN dup USING (gk)
        |  ) GROUP BY doc_id
        |)
-       |SELECT d.doc_id, CAST(len($TokensSql) AS BIGINT) AS n_tokens,
-       |  CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens,
-       |  round(CAST(coalesce(covered, 0) AS DOUBLE)
-       |    / CAST(len($TokensSql) AS BIGINT), 6) AS dup_coverage
-       |FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+       |, joined AS (
+       |  SELECT d.doc_id, CAST(len($TokensSql) AS BIGINT) AS n_tokens,
+       |    CAST(coalesce(covered, 0) AS BIGINT) AS covered_tokens
+       |  FROM documents d LEFT JOIN cov ON d.doc_id = cov.doc_id
+       |)
+       |SELECT doc_id, n_tokens, covered_tokens,
+       |  CAST((2 * covered_tokens * 1000000 + n_tokens) // (2 * n_tokens) AS DOUBLE)
+       |    / 1000000.0 AS dup_coverage
+       |FROM joined ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t09
   /** Vocabulary budget (entries) for [[t09VocabCoverage]]. */
@@ -861,18 +867,23 @@ object TextOps {
       .agg(count(lit(1)).as("c"))
     val vocab = docTok.groupBy(col("tok")).agg(sum(col("c")).as("cf"))
       .orderBy(col("cf").desc, col("tok").asc).limit(VocabSize).select("tok")
-    val per = docTok.groupBy(col("doc_id"))
+    // ONE conditional aggregation after the broadcast vocab probe yields
+    // totals, chars, and OOV together — no second aggregation, no rejoin;
+    // ratios round-6 in INTEGER space (§6(d): (2a·10⁶ + n) div (2n) is
+    // half-away to micro-units, immune to the exact-decimal-half
+    // divergence between the engines' round())
+    docTok.join(broadcast(vocab.withColumn("in_v", lit(1))), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"),
-        sum(col("c") * length(col("tok"))).as("token_chars"))
-    val oov = docTok.join(vocab, Seq("tok"), "left_anti")
-      .groupBy(col("doc_id")).agg(sum(col("c")).as("oov"))
-    per.join(oov, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("oov"), lit(0L)).as("oov_tokens"),
-        round(coalesce(col("oov"), lit(0L)).cast("double") / col("n_tokens"), 6)
-          .as("oov_rate"),
-        round(col("token_chars").cast("double") / col("n_tokens"), 6)
-          .as("chars_per_token"))
+        sum(col("c") * length(col("tok"))).as("token_chars"),
+        sum(when(col("in_v").isNull, col("c")).otherwise(0L)).as("oov_tokens"))
+      .withColumn("oov_micro",
+        expr("(2 * oov_tokens * 1000000 + n_tokens) div (2 * n_tokens)"))
+      .withColumn("cpt_micro",
+        expr("(2 * token_chars * 1000000 + n_tokens) div (2 * n_tokens)"))
+      .select(col("doc_id"), col("n_tokens"), col("oov_tokens"),
+        (col("oov_micro").cast("double") / 1e6).as("oov_rate"),
+        (col("cpt_micro").cast("double") / 1e6).as("chars_per_token"))
       .orderBy("doc_id")
   }
 
@@ -887,17 +898,17 @@ object TextOps {
        |    ORDER BY cf DESC, tok ASC LIMIT $VocabSize)
        |), per AS (
        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
-       |    CAST(sum(c * length(tok)) AS BIGINT) AS token_chars
-       |  FROM dt GROUP BY doc_id
-       |), oov AS (
-       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS oov FROM dt
-       |  WHERE tok NOT IN (SELECT tok FROM vocab) GROUP BY doc_id
+       |    CAST(sum(c * length(dt.tok)) AS BIGINT) AS token_chars,
+       |    CAST(sum(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) AS BIGINT) AS oov_tokens
+       |  FROM dt LEFT JOIN vocab v ON dt.tok = v.tok
+       |  GROUP BY doc_id
        |)
-       |SELECT doc_id, n_tokens,
-       |  CAST(coalesce(oov, 0) AS BIGINT) AS oov_tokens,
-       |  round(CAST(coalesce(oov, 0) AS DOUBLE) / n_tokens, 6) AS oov_rate,
-       |  round(CAST(token_chars AS DOUBLE) / n_tokens, 6) AS chars_per_token
-       |FROM per LEFT JOIN oov USING (doc_id) ORDER BY doc_id""".stripMargin
+       |SELECT doc_id, n_tokens, oov_tokens,
+       |  CAST((2 * oov_tokens * 1000000 + n_tokens) // (2 * n_tokens) AS DOUBLE)
+       |    / 1000000.0 AS oov_rate,
+       |  CAST((2 * token_chars * 1000000 + n_tokens) // (2 * n_tokens) AS DOUBLE)
+       |    / 1000000.0 AS chars_per_token
+       |FROM per ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- c10
   /** Feature-hash bucket count for [[c10DsirWeights]]. */
@@ -987,16 +998,17 @@ object TextOps {
     graft.functions.MisraGries.register(spark)
     val toks = docs(spark, dir)
       .select(col("doc_id"), explode(tokensOf(col("text"))).as("tok"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
+    // N and the sketch ride the SAME aggregation — one corpus pass
+    // nominates candidates, one candidate-restricted pass recounts
     val cand = toks
       .select(xxhash64(col("tok")).as("hk"))
-      .agg(graft.functions.MisraGries.heavyHitters(col("hk"), HhK).as("hh"))
-      .select(explode(col("hh")).as("e"))
-      .select(col("e.key").as("hk"))
+      .agg(count(lit(1)).as("n_total"),
+        graft.functions.MisraGries.heavyHitters(col("hk"), HhK).as("hh"))
+      .select(col("n_total"), explode(col("hh")).as("e"))
+      .select(col("n_total"), col("e.key").as("hk"))
     toks.select(col("tok"), xxhash64(col("tok")).as("hk"))
       .join(broadcast(cand), "hk")
-      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+      .groupBy(col("tok"), col("n_total")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") * HhPhi >= col("n_total"))
       .select(col("tok"), col("cnt"))
       .orderBy(col("cnt").desc, col("tok"))
