@@ -292,4 +292,33 @@ object StreamingJobs {
         :+ col("reject_reason"): _*)
     accepted.unionByName(quarantined)
   }
+
+  // ------------------------------------------------------------ dominant keys
+  /** Streaming face of c11's heavy-hitter sketch: per tumbling-window
+    * dominant keys via the native Misra–Gries aggregate
+    * ([[graft.functions.MisraGries]]). Input rows need (ts: timestamp,
+    * key: long).
+    *
+    * The state per window is ≤ k (long, long) counters REGARDLESS of key
+    * cardinality — an exact per-(window, key) count's state grows with
+    * distinct keys, which at crawl rates is the stream's whole key space.
+    * Downstream either consumes the candidates directly (trending-now
+    * surfaces) or re-counts them exactly in batch (c11's prune + recount
+    * pattern). `n_total` rides the same aggregation, so the MG guarantee
+    * — every key with frequency > n_total/(k+1) is present — is checkable
+    * per row. */
+  def heavyKeysStream(events: DataFrame, k: Int = 64,
+      watermark: String = "2 hours"): DataFrame = {
+    graft.functions.MisraGries.register(events.sparkSession)
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_total"),
+        graft.functions.MisraGries.heavyHitters(col("key"), k).as("hh"))
+      .select(col("w.start").as("window_start"), col("n_total"),
+        posexplode(col("hh")).as(Seq("pos", "e")))
+      .select(col("window_start"), col("n_total"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("e.key").as("key"), col("e.count").as("est_count"))
+  }
 }

@@ -193,4 +193,26 @@ class StreamingSpec extends GraftSpecBase {
       (5L, "accepted", None)))
   }
 
+  test("heavyKeysStream: per-window sketch is exact below the counter budget") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = mem.toDF.toDF("ts", "key")
+    val q = StreamingJobs.heavyKeysStream(df, k = 8, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("hot").outputMode(OutputMode.Update()).start()
+    // window 0: key 7 dominates; window 1: key 9 dominates
+    mem.addData(
+      (ts(0), 7L), (ts(1), 7L), (ts(2), 7L), (ts(3), 5L),
+      (ts(60), 9L), (ts(61), 9L), (ts(62), 3L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("hot")
+      .select("window_start", "n_total", "rank", "key", "est_count")
+      .as[(Timestamp, Long, Long, Long, Long)].collect().toSet
+    // fewer distinct keys than counters -> the summary IS the exact
+    // per-window histogram, rank-ordered (count desc, key asc)
+    assert(got === Set(
+      (ts(0), 4L, 1L, 7L, 3L), (ts(0), 4L, 2L, 5L, 1L),
+      (ts(60), 3L, 1L, 9L, 2L), (ts(60), 3L, 2L, 3L, 1L)))
+  }
+
 }
