@@ -47,13 +47,25 @@ object MultimodalOps {
     media.mapPartitions { rows => rows.map(FakeDecoder.decode) }
   }
 
+  /** The stub decoder's metadata tuple as columns over `byte_len` — the
+    * oracle-checkable mirror of [[FakeDecoder]], shared by m01 (metadata
+    * extraction) and m03 (perceptual fingerprint). */
+  private def stubDecodeCols(df: DataFrame): DataFrame = df
+    .withColumn("format",
+      when(pmod(col("byte_len"), lit(3)) === 0, "jpeg")
+        .when(pmod(col("byte_len"), lit(3)) === 1, "png")
+        .otherwise("wav"))
+    .withColumn("width", pmod(col("byte_len"), lit(640)))
+    .withColumn("height", pmod(col("byte_len") * 7, lit(480)))
+    .withColumn("n_frames", pmod(col("byte_len"), lit(30)))
+
   // ---------------------------------------------------------------- m01
   /** m01: binary-column metadata extraction — byte length, sha2-256 content
     * address, magic-byte sniff (first-4-bytes hex), and the deterministic
     * stub decode expressed as columns (the oracle-checkable mirror of
     * [[decodeAll]]). */
   def m01MultimodalMeta(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).documents
+    stubDecodeCols(Tables(spark, dir).documents
       .select(col("doc_id"), col("text"))
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .withColumn("byte_len", octet_length(col("text")).cast("long"))
@@ -61,14 +73,7 @@ object MultimodalOps {
       // slice 4 CHARACTERS then encode (not 4 payload bytes): the DuckDB
       // oracle's substr() is character-based, and a multi-byte first char
       // would otherwise diverge
-      .withColumn("magic_hex", upper(hex(encode(substring(col("text"), 1, 4), "UTF-8"))))
-      .withColumn("format",
-        when(pmod(col("byte_len"), lit(3)) === 0, "jpeg")
-          .when(pmod(col("byte_len"), lit(3)) === 1, "png")
-          .otherwise("wav"))
-      .withColumn("width", pmod(col("byte_len"), lit(640)))
-      .withColumn("height", pmod(col("byte_len") * 7, lit(480)))
-      .withColumn("n_frames", pmod(col("byte_len"), lit(30)))
+      .withColumn("magic_hex", upper(hex(encode(substring(col("text"), 1, 4), "UTF-8")))))
       .select("doc_id", "byte_len", "content_sha256", "magic_hex", "format",
         "width", "height", "n_frames")
       .orderBy("doc_id")
@@ -153,15 +158,8 @@ object MultimodalOps {
     * only the fingerprint tuple and byte length do — and both aggregation
     * levels are map-side combined. */
   def m03MediaDedup(spark: SparkSession, dir: String): DataFrame = {
-    val meta = Tables(spark, dir).documents
-      .select(col("doc_id"), octet_length(col("text")).cast("long").as("byte_len"))
-      .withColumn("format",
-        when(pmod(col("byte_len"), lit(3)) === 0, "jpeg")
-          .when(pmod(col("byte_len"), lit(3)) === 1, "png")
-          .otherwise("wav"))
-      .withColumn("width", pmod(col("byte_len"), lit(640)))
-      .withColumn("height", pmod(col("byte_len") * 7, lit(480)))
-      .withColumn("n_frames", pmod(col("byte_len"), lit(30)))
+    val meta = stubDecodeCols(Tables(spark, dir).documents
+      .select(col("doc_id"), octet_length(col("text")).cast("long").as("byte_len")))
     meta.groupBy(col("format"), col("width"), col("height"), col("n_frames"))
       .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("bytes"),
         min_by(col("byte_len"), col("doc_id")).as("canon_len"))

@@ -770,6 +770,13 @@ object TextOps {
        |JOIN batch_min b USING (content_hash)
        |ORDER BY i.doc_id""".stripMargin
 
+  /** §6(d) half-away round of the exact ratio `a`/`n` to 1e-6 micro-units,
+    * entirely in integer space (both operands non-negative longs) — the
+    * engine-safe form of `round(a/n, 6)`, whose exact-decimal-half inputs
+    * the two engines round differently. */
+  private def ratioMicro(a: String, n: String): Column =
+    expr(s"(2 * $a * 1000000 + $n) div (2 * $n)")
+
   // ---------------------------------------------------------------- c09
   /** Duplicated-span window length (tokens) for [[c09DupSpans]]. */
   private val SpanN = 8
@@ -808,8 +815,7 @@ object TextOps {
       .select(col("doc_id"), size(tokensOf(col("text"))).cast("long").as("n_tokens"))
       .join(covered, Seq("doc_id"), "left")
       .withColumn("covered_tokens", coalesce(col("covered_tokens"), lit(0L)))
-      .withColumn("cov_micro",
-        expr("(2 * covered_tokens * 1000000 + n_tokens) div (2 * n_tokens)"))
+      .withColumn("cov_micro", ratioMicro("covered_tokens", "n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("covered_tokens"),
         (col("cov_micro").cast("double") / 1e6).as("dup_coverage"))
       .orderBy("doc_id")
@@ -877,10 +883,8 @@ object TextOps {
       .agg(sum(col("c")).as("n_tokens"),
         sum(col("c") * length(col("tok"))).as("token_chars"),
         sum(when(col("in_v").isNull, col("c")).otherwise(0L)).as("oov_tokens"))
-      .withColumn("oov_micro",
-        expr("(2 * oov_tokens * 1000000 + n_tokens) div (2 * n_tokens)"))
-      .withColumn("cpt_micro",
-        expr("(2 * token_chars * 1000000 + n_tokens) div (2 * n_tokens)"))
+      .withColumn("oov_micro", ratioMicro("oov_tokens", "n_tokens"))
+      .withColumn("cpt_micro", ratioMicro("token_chars", "n_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("oov_tokens"),
         (col("oov_micro").cast("double") / 1e6).as("oov_rate"),
         (col("cpt_micro").cast("double") / 1e6).as("chars_per_token"))
