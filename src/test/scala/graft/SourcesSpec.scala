@@ -61,6 +61,24 @@ class SourcesSpec extends GraftSpecBase {
     }
   }
 
+  test("lines: gzip-compressed uploads decompress transparently (crawl .gz shape)") {
+    // Hadoop's codec layer makes spark.read.text decompress *.gz — the
+    // CommonCrawl WET delivery format — with one (non-splittable) split
+    // per archive, so the per-file two-phase numbering degenerates to the
+    // single-split case and stays exact; many archives parallelize across
+    // files, the standard shape for compressed crawl shards.
+    val dir = tmpDir()
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(new File(dir, "upload.csv.gz")))
+    gz.write("m1,s1,a1\nm2,s2,a2\nm3,s3,a3".getBytes("UTF-8"))
+    gz.close()
+    val rows = TaskFileSource.lines(spark, dir.getAbsolutePath + "/upload.csv.gz")
+      .orderBy("line_number").collect()
+    assert(rows.map(_.getAs[String]("task_line")).toSeq ===
+      Seq("m1,s1,a1", "m2,s2,a2", "m3,s3,a3"))
+    assert(rows.map(_.getAs[Long]("line_number")).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("xmlElementText: extracts element bodies (reference file.xml shape)") {
     val dir = tmpDir()
     Files.writeString(new File(dir, "file.xml").toPath,
