@@ -333,6 +333,43 @@ object CoreQueries {
       |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- e11
+  /** e11: SLIDING-window event aggregation — e02's tumbling windows see
+    * each event once; sliding 1-hour windows every 15 minutes (Spark's
+    * native `window(ts, "1 hour", "15 minutes")`) assign each event to
+    * exactly 4 overlapping windows, the smoothing dashboards and rate
+    * monitors actually plot. Spark materializes the window replication
+    * scan-side (a 4× row fan-out of (window, type, user, value) tuples,
+    * never of payloads); the oracle mirrors the assignment arithmetic
+    * with an explicit k ∈ [0, 4) explode. Decimal-exact value sums; the
+    * event timestamps are µs-grained so window edges are exact in both
+    * engines. */
+  def e11SlidingWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .select(timestamp_micros(expr("ts div 1000")).as("tsx"),
+        col("event_type"), col("user_id"), col("value"))
+      .groupBy(window(col("tsx"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(dec2(col("value"))).cast("double").as("total_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"), col("event_type"),
+        col("n_events"), col("n_users"), col("total_value"))
+      .orderBy("window_start_us", "event_type")
+
+  val e11Sql: String =
+    """WITH e AS (
+      |  SELECT epoch_us(ts) AS us, event_type, user_id, value FROM events
+      |), w AS (
+      |  SELECT (us - us % 900000000) - k.k * 900000000 AS window_start_us,
+      |    event_type, user_id, value
+      |  FROM e, (SELECT unnest(range(0, 4)) AS k) k
+      |)
+      |SELECT window_start_us, event_type, count(*) AS n_events,
+      |  count(DISTINCT user_id) AS n_users,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** e03: JSON property extraction from the events `props` payload. */
   def e03JsonProps(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events

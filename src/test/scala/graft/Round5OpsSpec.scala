@@ -167,6 +167,17 @@ class Round5OpsSpec extends GraftSpecBase {
       "constant scores — iteration is vacuous")
   }
 
+  test("e11: every event lands in exactly 4 grid-aligned sliding windows") {
+    val out = graft.operators.CoreQueries.e11SlidingWindows(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getAs[Long]("n_events")).sum
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    assert(total === 4L * nEvents, "1h windows sliding by 15m must 4x-replicate")
+    out.foreach(r =>
+      assert(r.getAs[Long]("window_start_us") % 900000000L === 0L,
+        "window starts must align to the 15-minute grid"))
+  }
+
   test("m03: dedup accounting is internally consistent per format") {
     val out = graft.operators.MultimodalOps.m03MediaDedup(spark, sfDir).collect()
     assert(out.length === 3, "one row per stub format")
