@@ -69,11 +69,16 @@ case class FloatVecDot(left: Expression, right: Expression)
 object FloatVecDot {
   val info = new ExpressionInfo(classOf[FloatVecDot].getName, "vec_dot")
 
+  private[functions] def build(children: Seq[Expression]): Expression = {
+    Ngrams.requireArity(children, 2, "vec_dot")
+    FloatVecDot(children(0), children(1))
+  }
+
   /** Idempotent per-session registration (works on any session, including
     * the driver-owned Verify/Bench ones). */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", (children: Seq[Expression]) => FloatVecDot(children(0), children(1)), "built-in")
+      "vec_dot", build, "built-in")
 
   /** `vec_dot(a, b)` as a Column (requires [[register]] on the session). */
   def vecDot(a: Column, b: Column): Column =
@@ -86,13 +91,9 @@ object FloatVecDot {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
-      FunctionIdentifier("vec_dot"),
-      FloatVecDot.info,
-      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+      FunctionIdentifier("vec_dot"), FloatVecDot.info, FloatVecDot.build _))
     e.injectFunction((
-      FunctionIdentifier("poly_fp"),
-      PolyFingerprint.info,
-      (children: Seq[Expression]) => PolyFingerprint(children.head)))
+      FunctionIdentifier("poly_fp"), PolyFingerprint.info, PolyFingerprint.build _))
     e.injectFunction((
       FunctionIdentifier("bottom_k_distinct"),
       BottomKDistinct.info,

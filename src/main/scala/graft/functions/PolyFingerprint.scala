@@ -67,10 +67,15 @@ case class PolyFingerprint(child: Expression) extends UnaryExpression {
 object PolyFingerprint {
   val info = new ExpressionInfo(classOf[PolyFingerprint].getName, "poly_fp")
 
+  private[functions] def build(children: Seq[Expression]): Expression = {
+    Ngrams.requireArity(children, 1, "poly_fp")
+    PolyFingerprint(children.head)
+  }
+
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "poly_fp", (children: Seq[Expression]) => PolyFingerprint(children.head), "built-in")
+      "poly_fp", build, "built-in")
 
   /** `poly_fp(s)` as a Column (requires [[register]] on the session). */
   def polyFp(s: Column): Column =

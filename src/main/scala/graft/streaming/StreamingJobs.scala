@@ -311,6 +311,10 @@ object StreamingJobs {
       watermark: String = "2 hours"): DataFrame = {
     graft.functions.MisraGries.register(events.sparkSession)
     events
+      // null keys are excluded up front so n_total counts exactly the
+      // rows the sketch saw — otherwise the MG bound N/(k+1) would be
+      // stated against an N the summary never observed
+      .filter(col("key").isNotNull)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("n_total"),
