@@ -126,8 +126,11 @@ object GraphOps {
             + expr("((85 * dm) div 100) div n")).as("pr"))
         .localCheckpoint()
     }
+    // pr_score rounds 9 in INTEGER space (SURVEY §6(d)): pr is exact
+    // 1e-12 units, so pr ending in 500 puts pr/1e12 on an exact decimal
+    // half at the 9th digit — where the engines' round() diverge
     pr.select(col("doc_id"), col("pr").as("pr_units"),
-        round(col("pr").cast("double") / PrScale, 9).as("pr_score"))
+        (expr("(pr + 500) div 1000").cast("double") / 1e9).as("pr_score"))
       .orderBy("doc_id")
   }
 
@@ -247,7 +250,7 @@ object GraphOps {
        |        FROM ids i CROSS JOIN nn n),
        |$iters
        |SELECT doc_id, pr AS pr_units,
-       |  round(CAST(pr AS DOUBLE) / $S, 9) AS pr_score
+       |  CAST((pr + 500) // 1000 AS DOUBLE) / 1000000000.0 AS pr_score
        |FROM pr$PrIters ORDER BY doc_id""".stripMargin
   }
 }

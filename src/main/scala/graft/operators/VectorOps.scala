@@ -443,9 +443,16 @@ object VectorOps {
     val sims = v.join(broadcast(centroids), "label")
       .select(col("vec_id"), col("label"),
         round(cosine(col("embedding"), col("centroid")), 6).as("centroid_sim"))
+    // the label mean is an exact rational (micro-unit sum / count), so its
+    // round-6 happens in INTEGER space (SURVEY §6(d)); cosines can be
+    // negative, hence the signed half-away form
     val labelAvg = sims.groupBy(col("label"))
-      .agg(round(sum(round(col("centroid_sim") * 1e6).cast("long")).cast("double")
-        / (count(lit(1)).cast("double") * 1e6), 6).as("label_avg_sim"))
+      .agg(sum(round(col("centroid_sim") * 1e6).cast("long")).as("qs"),
+        count(lit(1)).as("n"))
+      .withColumn("avg_micro", expr(
+        "CASE WHEN qs >= 0 THEN (2 * qs + n) div (2 * n)" +
+          " ELSE -((-2 * qs + n) div (2 * n)) END"))
+      .select(col("label"), (col("avg_micro").cast("double") / 1e6).as("label_avg_sim"))
     sims.join(broadcast(labelAvg), "label")
       .select(col("vec_id"), col("label"), col("centroid_sim"), col("label_avg_sim"),
         (col("centroid_sim") < col("label_avg_sim") - 0.1).as("is_outlier"))
@@ -469,11 +476,17 @@ object VectorOps {
        |  SELECT vec_id, e.label,
        |    round(${cosineSql("embedding", "centroid")}, 6) AS centroid_sim
        |  FROM embeddings e JOIN centroid_t c ON e.label = c.label
+       |), label_acc AS (
+       |  SELECT label,
+       |    CAST(sum(CAST(round(centroid_sim * 1000000.0) AS BIGINT)) AS BIGINT) AS qs,
+       |    count(*) AS n
+       |  FROM sims GROUP BY label
        |), label_avg AS (
        |  SELECT label,
-       |    round(CAST(sum(CAST(round(centroid_sim * 1000000.0) AS BIGINT)) AS DOUBLE)
-       |      / (count(*) * 1000000.0), 6) AS label_avg_sim
-       |  FROM sims GROUP BY label
+       |    CAST(CASE WHEN qs >= 0 THEN (2 * qs + n) // (2 * n)
+       |         ELSE -((-2 * qs + n) // (2 * n)) END AS DOUBLE)
+       |      / 1000000.0 AS label_avg_sim
+       |  FROM label_acc
        |)
        |SELECT vec_id, label, centroid_sim, label_avg_sim,
        |  centroid_sim < label_avg_sim - 0.1 AS is_outlier
