@@ -167,6 +167,38 @@ class Round5OpsSpec extends GraftSpecBase {
       "constant scores — iteration is vacuous")
   }
 
+  test("g04: distributed fixed-point HITS equals an independent local run") {
+    // re-derive hub/authority units with plain driver-side Scala over the
+    // collected edge set — fixed-point integer arithmetic is deterministic,
+    // so the distributed result must match BIT-EXACTLY (this guards against
+    // the query and its unrolled-CTE oracle sharing a misconception)
+    val S = 1000000000L
+    val out = graft.operators.GraphOps.g04Hits(spark, sfDir).collect()
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val idSet = ids.toSet
+    val edges = for {
+      a <- ids; s <- 1L to 3L
+      if ((a % 3) * 2654435761L + s) % 3 != 0 && idSet.contains(a + s)
+    } yield (a, a + s)
+    var hub = ids.map(_ -> S / ids.length).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 0 until 3) {
+      val ar = edges.groupBy(_._2).map { case (b, es) => b -> es.map(e => hub(e._1)).sum }
+      val ta = ar.values.sum
+      auth = ids.map(i => i -> ar.getOrElse(i, 0L) * S / ta).toMap
+      val hr = edges.groupBy(_._1).map { case (a, es) => a -> es.map(e => auth(e._2)).sum }
+      val th = hr.values.sum
+      hub = ids.map(i => i -> hr.getOrElse(i, 0L) * S / th).toMap
+    }
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("hub_units") === hub(id), s"hub mismatch at $id")
+      assert(r.getAs[Long]("auth_units") === auth(id), s"auth mismatch at $id")
+    }
+    assert(out.length === ids.length)
+  }
+
   test("e11: every event lands in exactly 4 grid-aligned sliding windows") {
     val out = graft.operators.CoreQueries.e11SlidingWindows(spark, sfDir).collect()
     assert(out.nonEmpty)
