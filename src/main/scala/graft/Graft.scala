@@ -5,12 +5,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** The "switch to graft" entry point for SQL users.
   *
   * [[bind]] registers every warehouse table as a temp view and installs
-  * graft's native functions (`vec_dot`, `bottom_k_distinct`), after which
-  * any ANSI SQL — including every oracle query in [[SparkEntry.oracleSql]]'s
-  * dialect-portable subset — runs through `spark.sql` on the same data the
-  * typed operators read. A reference user's ad-hoc queries keep working;
-  * the typed APIs ([[batch.BatchService]], [[operators]]) are the
-  * programmatic surface over the same plans.
+  * ALL of graft's native functions (the same set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` injects), after
+  * which any ANSI SQL — including every oracle query in
+  * [[SparkEntry.oracleSql]]'s dialect-portable subset — runs through
+  * `spark.sql` on the same data the typed operators read. A reference
+  * user's ad-hoc queries keep working; the typed APIs
+  * ([[batch.BatchService]], [[operators]]) are the programmatic surface
+  * over the same plans.
   */
 object Graft {
 
@@ -29,6 +31,9 @@ object Graft {
     functions.FloatVecDot.register(spark)
     functions.BottomKDistinct.register(spark)
     functions.PolyFingerprint.register(spark)
+    functions.Ngrams.register(spark)
+    functions.TopKByScore.register(spark)
+    functions.MisraGries.register(spark)
   }
 
   /** One-shot: bind and run a SQL statement. */

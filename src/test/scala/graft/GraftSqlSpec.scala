@@ -32,4 +32,23 @@ class GraftSqlSpec extends GraftSpecBase {
     assert(rows.length === 5)
     rows.foreach(r => assert(r.getDouble(1) > 0.0)) // ‖v‖² > 0
   }
+
+  test("bind installs the full native function set (extensions parity)") {
+    Graft.bind(spark, sfDir)
+    // one call through each registered function proves resolution + arity
+    val r = spark.sql(
+      """SELECT
+        |  size(ngram_hashes(array('a','b','c'), 2)) AS nh,
+        |  ngram_join(array('a','b'), 2)[0] AS nj,
+        |  poly_fp('abc') AS fp,
+        |  bottom_k_distinct(x, 2) AS bot,
+        |  top_k_by_score(CAST(x AS DOUBLE), x, 0L, 1)[0].id AS top,
+        |  heavy_hitters(x, 4)[0].key AS hot
+        |FROM (SELECT explode(array(3L, 1L, 3L)) AS x)""".stripMargin).collect()(0)
+    assert(r.getAs[Int]("nh") === 2)
+    assert(r.getAs[String]("nj") === "a b")
+    assert(r.getAs[Seq[Long]]("bot") === Seq(1L, 3L))
+    assert(r.getAs[Long]("top") === 3L)
+    assert(r.getAs[Long]("hot") === 3L)
+  }
 }
