@@ -167,6 +167,35 @@ class Round5OpsSpec extends GraftSpecBase {
       "constant scores — iteration is vacuous")
   }
 
+  test("g03: distributed fixed-point PageRank equals an independent local run") {
+    val S = 1000000000000L
+    val out = graft.operators.GraphOps.g03Pagerank(spark, sfDir).collect()
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val idSet = ids.toSet
+    val edges = for {
+      a <- ids; s <- 1L to 3L
+      if ((a % 3) * 2654435761L + s) % 3 != 0 && idSet.contains(a + s)
+    } yield (a, a + s)
+    val n = ids.length
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = ids.map(_ -> S / n).toMap
+    for (_ <- 0 until 5) {
+      val contribs = edges.groupBy(_._2)
+        .map { case (b, es) => b -> es.map(e => pr(e._1) / outdeg(e._1)).sum }
+      val dang = ids.filterNot(outdeg.contains).map(pr).sum
+      pr = ids.map(i => i ->
+        ((15L * S / 100) / n
+          + 85L * contribs.getOrElse(i, 0L) / 100
+          + (85L * dang / 100) / n)).toMap
+    }
+    out.foreach { r =>
+      assert(r.getAs[Long]("pr_units") === pr(r.getAs[Long]("doc_id")),
+        s"pr mismatch at ${r.getAs[Long]("doc_id")}")
+    }
+    assert(out.length === n)
+  }
+
   test("g04: distributed fixed-point HITS equals an independent local run") {
     // re-derive hub/authority units with plain driver-side Scala over the
     // collected edge set — fixed-point integer arithmetic is deterministic,
