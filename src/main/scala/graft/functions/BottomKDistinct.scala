@@ -107,7 +107,7 @@ object BottomKDistinct {
 
   private[functions] def build(children: Seq[Expression]): Expression = {
     Ngrams.requireArity(children, 2, "bottom_k_distinct")
-    BottomKDistinct(children.head, Ngrams.intArg(children(1), "bottom_k_distinct"))
+    BottomKDistinct(children.head, Ngrams.intArg(children(1), "bottom_k_distinct", "k"))
   }
 
   /** Idempotent per-session registration. */

@@ -144,7 +144,7 @@ object MisraGries {
 
   private[functions] def build(children: Seq[Expression]): Expression = {
     Ngrams.requireArity(children, 2, "heavy_hitters")
-    MisraGries(children.head, Ngrams.intArg(children(1), "heavy_hitters"))
+    MisraGries(children.head, Ngrams.intArg(children(1), "heavy_hitters", "k"))
   }
 
   /** Idempotent per-session registration. */

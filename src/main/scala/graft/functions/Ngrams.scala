@@ -168,14 +168,16 @@ object Ngrams {
     * BIGINT)` all work), constant-folded at registration time. Mismatches
     * raise AnalysisException under the user-facing parameter error
     * conditions naming the function, like a built-in would. Shared by
-    * every graft native-function builder that takes a constant int. */
-  private[functions] def intArg(e: Expression, fn: String): Int = {
+    * every graft native-function builder that takes a constant int;
+    * `paramName` is the user-facing parameter the error names (`n` for
+    * the n-gram builders, `k` for the top-k/sketch aggregates). */
+  private[functions] def intArg(e: Expression, fn: String, paramName: String = "n"): Int = {
     def badValue(what: String): Nothing = throw new org.apache.spark.sql.AnalysisException(
       "INVALID_PARAMETER_VALUE.INTEGER",
-      Map("parameter" -> "`n`", "functionName" -> s"`$fn`", "invalidValue" -> what))
+      Map("parameter" -> s"`$paramName`", "functionName" -> s"`$fn`", "invalidValue" -> what))
     if (!e.foldable) throw new org.apache.spark.sql.AnalysisException(
       "NON_FOLDABLE_ARGUMENT",
-      Map("funcName" -> s"`$fn`", "paramName" -> "`n`", "paramType" -> "\"INT\""))
+      Map("funcName" -> s"`$fn`", "paramName" -> s"`$paramName`", "paramType" -> "\"INT\""))
     e.eval() match {
       case v: Int => v
       case v: Long if v >= Int.MinValue && v <= Int.MaxValue => v.toInt

@@ -191,7 +191,7 @@ object TopKByScore {
   private[functions] def build(children: Seq[Expression]): Expression = {
     Ngrams.requireArity(children, 4, "top_k_by_score")
     TopKByScore(children(0), children(1), children(2),
-      Ngrams.intArg(children(3), "top_k_by_score"))
+      Ngrams.intArg(children(3), "top_k_by_score", "k"))
   }
 
   /** Idempotent per-session registration. */

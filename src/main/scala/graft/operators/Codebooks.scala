@@ -34,15 +34,44 @@ object Codebooks {
     * Entries whose SparkContext has stopped are evicted on the next
     * access (a long-lived JVM cycling sessions must not pin dead plans);
     * [[clearTrained]] drops everything explicitly. */
-  private val trained = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val trained = scala.collection.concurrent.TrieMap.empty[String, Memo]
+
+  /** Once-only holder: `putIfAbsent` publishes the memo atomically, and the
+    * double-checked `get` guarantees the (expensive) k-means training body
+    * runs at most once even when two sessions' first calls race —
+    * `TrieMap.getOrElseUpdate`'s by-name value offered no such guarantee
+    * (both callers could train, last-write-wins). */
+  private final class Memo(build: () => DataFrame) {
+    @volatile private var cached: DataFrame = _
+    def get: DataFrame = {
+      if (cached == null) synchronized { if (cached == null) cached = build() }
+      cached
+    }
+    /** True only once trained AND its context has stopped — an untrained
+      * memo is never evicted out from under a concurrent first caller. */
+    def stopped: Boolean = {
+      val c = cached
+      c != null && c.sparkSession.sparkContext.isStopped
+    }
+  }
 
   /** Drop every cached codebook (e.g. between embedded test suites). */
   def clearTrained(): Unit = trained.clear()
 
+  /** Stable unique id per live session: a weak identity map to a counter —
+    * unlike hashCode, two sessions can never share an id, and a GC'd
+    * session's id is never reissued (the counter only advances). */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+  private val nextSessionId = new java.util.concurrent.atomic.AtomicLong(0L)
+  private def sessionKey(s: org.apache.spark.sql.SparkSession): String =
+    sessionIds.computeIfAbsent(s, _ => "s" + nextSessionId.incrementAndGet())
+
   private def once(df: DataFrame, key: Seq[Any])(build: => DataFrame): DataFrame = {
-    trained.filterInPlace((_, cached) => !cached.sparkSession.sparkContext.isStopped)
-    trained.getOrElseUpdate(
-      (df.sparkSession.hashCode +: key).mkString(":"), build)
+    trained.filterInPlace((_, memo) => !memo.stopped)
+    val k = (sessionKey(df.sparkSession) +: key).mkString(":")
+    val memo = new Memo(() => build)
+    trained.putIfAbsent(k, memo).getOrElse(memo).get
   }
 
   /** Element-wise mean of `vecCol` arrays per `keys` group, cast back to

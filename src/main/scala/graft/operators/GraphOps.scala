@@ -166,16 +166,20 @@ object GraphOps {
       .localCheckpoint()
     var auth: DataFrame = null
     for (_ <- 0 until HitsIters) {
+      // The L1 totals are guarded: on an empty edge relation sum() is NULL
+      // (and all raw scores are 0), so dividing by coalesce(nullif(t, 0), 1)
+      // yields defined all-zero scores instead of silently NULLing every
+      // row. With any edge present the guard is the identity (t > 0).
       val aRaw = e.join(hub.withColumnRenamed("doc_id", "a"), "a")
         .groupBy(col("b").as("doc_id")).agg(sum(col("h")).as("ar"))
-      val aTot = aRaw.agg(sum(col("ar")).as("ta"))
+      val aTot = aRaw.agg(coalesce(nullif(sum(col("ar")), lit(0L)), lit(1L)).as("ta"))
       auth = ids.join(aRaw, Seq("doc_id"), "left")
         .crossJoin(broadcast(aTot))
         .select(col("doc_id"), expr(s"(coalesce(ar, 0L) * ${S}L) div ta").as("au"))
         .localCheckpoint()
       val hRaw = e.join(auth.withColumnRenamed("doc_id", "b"), "b")
         .groupBy(col("a").as("doc_id")).agg(sum(col("au")).as("hr"))
-      val hTot = hRaw.agg(sum(col("hr")).as("th"))
+      val hTot = hRaw.agg(coalesce(nullif(sum(col("hr")), lit(0L)), lit(1L)).as("th"))
       hub = ids.join(hRaw, Seq("doc_id"), "left")
         .crossJoin(broadcast(hTot))
         .select(col("doc_id"), expr(s"(coalesce(hr, 0L) * ${S}L) div th").as("h"))
@@ -195,7 +199,7 @@ object GraphOps {
          |  SELECT e.b AS doc_id, CAST(sum(p.h) AS BIGINT) AS ar
          |  FROM edges e JOIN h$k p ON e.a = p.doc_id GROUP BY e.b
          |), at$k AS (
-         |  SELECT CAST(sum(ar) AS BIGINT) AS ta FROM ar$k
+         |  SELECT CAST(coalesce(nullif(sum(ar), 0), 1) AS BIGINT) AS ta FROM ar$k
          |), a${k + 1} AS (
          |  SELECT i.doc_id,
          |    CAST((coalesce(r.ar, 0) * $S) // t.ta AS BIGINT) AS au
@@ -204,7 +208,7 @@ object GraphOps {
          |  SELECT e.a AS doc_id, CAST(sum(q.au) AS BIGINT) AS hr
          |  FROM edges e JOIN a${k + 1} q ON e.b = q.doc_id GROUP BY e.a
          |), ht$k AS (
-         |  SELECT CAST(sum(hr) AS BIGINT) AS th FROM hr$k
+         |  SELECT CAST(coalesce(nullif(sum(hr), 0), 1) AS BIGINT) AS th FROM hr$k
          |), h${k + 1} AS (
          |  SELECT i.doc_id,
          |    CAST((coalesce(r.hr, 0) * $S) // t.th AS BIGINT) AS h

@@ -48,22 +48,76 @@ object VectorOps {
   }
 
   // ---------------------------------------------------------------- d05
-  /** d05: exact embedding-cosine near-dup pairs (≥ 0.40), blocked by label
-    * (the cluster id) — the verification-scale variant; at 100 TB only LSH
-    * buckets ([[s02AnnLsh]]) are brute-forced like this. */
-  def d05DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
-    FloatVecDot.register(spark)
-    val v = Tables(spark, dir).embeddings
+  /** Blocks at most this many vectors are brute-forced all-pairs; bigger
+    * label blocks are sub-bucketed by hyperplane sign bits first. 256 keeps
+    * the worst per-block pair expansion ≤ ~32k pairs. */
+  private val D05MaxBlock = 256
+  private val D05MaxPlanes = 16
+
+  /** Exact cosine near-dup pairs (≥ `threshold`) within label blocks, with
+    * the d03 capBuckets discipline applied to the block SIZE: any label
+    * whose block exceeds `maxBlock` is sub-bucketed by a hyperplane
+    * sign-bit prefix (the s02 projections) of length
+    * ceil(log2(blockSize / maxBlock)), so the EXPECTED sub-block size is
+    * ≤ maxBlock and the per-block pair expansion stays bounded no matter
+    * how hot one label runs at 100×. Within an oversized block the result
+    * becomes approximate (near-identical vectors agree on sign bits with
+    * high probability, but a pair can straddle a plane) — the same
+    * recall-for-boundedness trade d03's bucket cap and s02 already make,
+    * and [[embeddingBlockAudit]] reports exactly which labels it applied
+    * to. Labels at or under the cap are untouched: prefix length 0, one
+    * block, bit-identical to the uncapped all-pairs formulation.
+    *
+    * Block sizes come from a map-side-combined groupBy joined back on the
+    * label (AQE broadcasts the one-row-per-label relation when small) —
+    * NOT a window, which would itself funnel the hot label's full rows
+    * through a single reducer to count them. */
+  private[graft] def embeddingNearDupPairs(v0: DataFrame, threshold: Double,
+      maxBlock: Int): DataFrame = {
+    val sizes = v0.groupBy(col("label")).agg(count(lit(1)).as("_bn"))
+    val planesLen = least(lit(D05MaxPlanes),
+      ceil(log(2.0, col("_bn").cast("double") / maxBlock)).cast("int"))
+    val keyed = v0.join(sizes, "label")
       .withColumn("nrm", norm(col("embedding")))
-    val a = v.select(col("vec_id").as("vec_a"), col("label"),
+      // `when` evaluates lazily per row: vectors in capped-size labels
+      // never pay for the 16 projection folds
+      .withColumn("blk",
+        when(col("_bn") <= maxBlock, lit(""))
+          .otherwise(signBits(col("embedding"), D05MaxPlanes, 64)
+            .substr(lit(1), planesLen)))
+      .select("vec_id", "label", "blk", "embedding", "nrm")
+    val a = keyed.select(col("vec_id").as("vec_a"), col("label"), col("blk"),
       col("embedding").as("emb_a"), col("nrm").as("nrm_a"))
-    val b = v.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
-      col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
-    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+    val b = keyed.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("blk").as("blk_b"), col("embedding").as("emb_b"), col("nrm").as("nrm_b"))
+    a.join(b, col("label") === col("label_b") && col("blk") === col("blk_b") &&
+        col("vec_a") < col("vec_b"))
       .withColumn("cos_sim",
         round(cosineWithNorms(col("emb_a"), col("emb_b"), col("nrm_a"), col("nrm_b")), 6))
-      .filter(col("cos_sim") >= 0.40)
+      .filter(col("cos_sim") >= threshold)
       .select("vec_a", "vec_b", "label", "cos_sim")
+  }
+
+  /** Audit of capped d05 blocks: one row per label whose block exceeded
+    * `maxBlock` — (label, block_size, n_planes). Empty on a corpus with no
+    * oversized label (the driver testdata), so capping is observable
+    * rather than silent. */
+  private[graft] def embeddingBlockAudit(v0: DataFrame,
+      maxBlock: Int = D05MaxBlock): DataFrame =
+    v0.groupBy(col("label")).agg(count(lit(1)).as("block_size"))
+      .filter(col("block_size") > maxBlock)
+      .withColumn("n_planes", least(lit(D05MaxPlanes),
+        ceil(log(2.0, col("block_size").cast("double") / maxBlock)).cast("int")))
+
+  /** d05: exact embedding-cosine near-dup pairs (≥ 0.40), blocked by label
+    * (the cluster id) — with oversized label blocks sub-bucketed by
+    * [[embeddingNearDupPairs]]'s sign-bit cap, so no label can go
+    * quadratic. The testdata corpus has no label block over
+    * [[D05MaxBlock]], so the output (and the DuckDB oracle, which models
+    * the uncapped form) is unchanged. */
+  def d05DedupEmbedding(spark: SparkSession, dir: String): DataFrame = {
+    FloatVecDot.register(spark)
+    embeddingNearDupPairs(Tables(spark, dir).embeddings, 0.40, D05MaxBlock)
       .orderBy("vec_a", "vec_b")
   }
 
@@ -151,6 +205,17 @@ object VectorOps {
     Array.tabulate(dim)(i => (splitmix64(j.toLong * 1024 + i) % 1000L) / 1000.0)
   }
 
+  /** Sign-bit string of `numPlanes` deterministic hyperplane projections —
+    * the s02 bucket key, shared with d05's oversized-block sub-bucketing. */
+  private def signBits(emb: Column, numPlanes: Int, dim: Int): Column =
+    concat((0 until numPlanes).map { j =>
+      val w = plane(j, dim)
+      val dot = aggregate(
+        zip_with(emb, array(w.toSeq.map(lit): _*), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, x) => acc + x)
+      when(dot > 0, "1").otherwise("0")
+    }: _*)
+
   /** s02: random-hyperplane LSH ANN — 6 signed projections bucket the
     * vectors (~2^6 buckets), then exact top-3 within the query's bucket.
     * The scale path: shuffle keys are 1-byte-per-plane bucket ids; each
@@ -162,15 +227,9 @@ object VectorOps {
     FloatVecDot.register(spark)
     TopKByScore.register(spark)
     val dim = 64
-    def bucketOf(emb: Column): Column = concat((0 until NumPlanes).map { j =>
-      val w = plane(j, dim)
-      val dot = aggregate(
-        zip_with(emb, array(w.toSeq.map(lit): _*), (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot > 0, "1").otherwise("0")
-    }: _*)
     val v = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding"), bucketOf(col("embedding")).as("bucket"),
+      .select(col("vec_id"), col("embedding"),
+        signBits(col("embedding"), NumPlanes, dim).as("bucket"),
         norm(col("embedding")).as("nrm"))
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),

@@ -89,8 +89,16 @@ object TaskFileSource {
   def jsonl(spark: SparkSession, path: String,
             schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val withCorrupt =
-      if (schema.fieldNames.contains("corrupt_record")) schema
-      else schema.add("corrupt_record", org.apache.spark.sql.types.StringType)
+      if (schema.fieldNames.contains("corrupt_record")) {
+        // A caller-supplied corrupt_record must be a string: PERMISSIVE
+        // parsing writes the raw malformed line into it, and a non-string
+        // field fails deep inside the reader with an opaque error.
+        val f = schema("corrupt_record")
+        require(f.dataType == org.apache.spark.sql.types.StringType,
+          s"jsonl: corrupt_record column must be STRING (the raw malformed " +
+            s"line is captured there), got ${f.dataType.sql}")
+        schema
+      } else schema.add("corrupt_record", org.apache.spark.sql.types.StringType)
     spark.read
       .schema(withCorrupt)
       .option("mode", "PERMISSIVE")

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+/** Round-6 scale-hardening specs: the d05 label-block cap (the last
+  * unbounded all-pairs path in the dedup family, VERDICT r5 item 1). */
+class Round6OpsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private val Dim = 64
+
+  /** Deterministic pseudo-random unit-cube vector (splitmix64 per (seed,
+    * dim) cell, same generator family as s02's planes but a different
+    * stream — seeds are offset so test vectors don't align with planes). */
+  private def synthVec(seed: Long): Array[Float] = Array.tabulate(Dim) { d =>
+    var z = (seed * 131 + d + 7777) + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    ((((z % 2000L) + 2000L) % 2000L - 1000L) / 1000.0).toFloat
+  }
+
+  /** 600 random vectors in one deliberately hot label + 5 exact duplicates
+    * of its first vectors + 20 in a cold label. */
+  private lazy val hotCorpus: DataFrame = {
+    val hot = (0L until 600L).map(i => (i, "hot", synthVec(i)))
+    val dups = (0L until 5L).map(i => (10000L + i, "hot", synthVec(i)))
+    val cold = (2000L until 2020L).map(i => (i, "cold", synthVec(i)))
+    (hot ++ dups ++ cold).toDF("vec_id", "label", "embedding")
+  }
+
+  test("d05 cap: no cap engaged -> exact all-pairs per label") {
+    graft.functions.FloatVecDot.register(spark)
+    val n = VectorOps.embeddingNearDupPairs(hotCorpus, -1.0, Int.MaxValue).count()
+    val expected = 605L * 604L / 2 + 20L * 19L / 2
+    assert(n == expected)
+  }
+
+  test("d05 cap bounds a hot label's pair expansion and stays label-local") {
+    graft.functions.FloatVecDot.register(spark)
+    val pairs = VectorOps.embeddingNearDupPairs(hotCorpus, -1.0, 50)
+    val n = pairs.count()
+    val allPairs = 605L * 604L / 2 + 20L * 19L / 2
+    // 605 hot vectors split over 2^4 sign buckets: expected ~38/bucket,
+    // ~11k pairs. Anything under a third of all-pairs proves the cap bit;
+    // the margin absorbs plane-split imbalance.
+    assert(n > 0 && n < allPairs / 3, s"capped pair count $n vs all-pairs $allPairs")
+    // the cold label (20 <= 50) is NOT sub-bucketed: all 190 pairs survive
+    val coldIds = (2000L until 2020L).toSet
+    val coldN = pairs.filter(col("label") === "cold").count()
+    assert(coldN == 190L)
+    assert(pairs.filter(col("vec_a").isin(coldIds.toSeq: _*) =!=
+      col("vec_b").isin(coldIds.toSeq: _*)).count() == 0L)
+  }
+
+  test("d05 cap: exact duplicates always share a sign-bit sub-bucket") {
+    graft.functions.FloatVecDot.register(spark)
+    val dups = VectorOps.embeddingNearDupPairs(hotCorpus, 0.999999, 50)
+      .filter(col("vec_b") >= 10000L && col("vec_a") === col("vec_b") - 10000L)
+    assert(dups.count() == 5L)
+  }
+
+  test("d05 cap audit reports the hot label and nothing else") {
+    val audit = VectorOps.embeddingBlockAudit(hotCorpus, 50).collect()
+    assert(audit.length == 1)
+    val row = audit.head
+    assert(row.getAs[String]("label") == "hot")
+    assert(row.getAs[Long]("block_size") == 605L)
+    // ceil(log2(605 / 50)) = ceil(3.597) = 4 planes
+    assert(row.getAs[Int]("n_planes") == 4)
+  }
+
+  test("d05 cap leaves the driver corpus unchanged (no oversized label)") {
+    graft.functions.FloatVecDot.register(spark)
+    val v = Tables(spark, sfDir).embeddings
+    assert(VectorOps.embeddingBlockAudit(v).count() == 0L)
+    val capped = VectorOps.d05DedupEmbedding(spark, sfDir).collect().toSeq
+    val uncapped = VectorOps.embeddingNearDupPairs(v, 0.40, Int.MaxValue)
+      .orderBy("vec_a", "vec_b").collect().toSeq
+    assert(capped == uncapped)
+  }
+}
