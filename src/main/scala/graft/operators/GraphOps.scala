@@ -7,13 +7,15 @@ import graft.Tables
 /** Graph analytics beyond connected components ([[Components]]): triangle
   * counting / clustering coefficient over a deterministic document graph.
   *
-  * The triangle join uses canonically ordered edges (a < b < c), the
-  * standard distributed formulation (Suri & Vassilvitskii, WWW'11): every
-  * wedge is generated exactly once and closed by one hash join against the
-  * edge set. At 100 TB the refinement is degree ordering — orient each edge
-  * toward the higher-degree endpoint so no vertex generates more than
-  * O(sqrt(m)) wedges; id order stands in for degree order here since the
-  * generated graph has bounded degree (≤ 6).
+  * The triangle join uses DEGREE-ORDERED edges (Suri & Vassilvitskii,
+  * WWW'11): each edge is oriented toward its higher-degree endpoint (id
+  * tiebreak), wedges are the out-neighbor pairs of the low-degree center,
+  * and one semi-join against the oriented edge set closes them. Each
+  * triangle is generated exactly once, and no vertex — however hot —
+  * generates more than O(√m) wedges per out-neighbor, so a skewed hub
+  * cannot funnel C(deg, 2) pairs through a single join key (the round-5
+  * id-ordered form could; GraphOpsSpec's skewed-star test pins the
+  * difference).
   */
 object GraphOps {
 
@@ -48,35 +50,90 @@ object GraphOps {
       |    AND d.doc_id + t.s IN (SELECT doc_id FROM documents)
       |)""".stripMargin
 
-  /** g02: triangle count + wedge count + closure rate. Wedges a→b→c are
-    * enumerated once from the ordered edge set and closed against it with
-    * one more equi-join; only (long, long) pairs ever shuffle. */
-  def g02Triangles(spark: SparkSession, dir: String): DataFrame = {
-    val e = edges(spark, dir)
-    val wedges = e.as("x").join(e.as("y"), col("x.b") === col("y.a"))
-      .select(col("x.a").as("a"), col("x.b").as("b"), col("y.b").as("c"))
-    val triangles = wedges.as("w").join(e.as("z"),
-      col("w.a") === col("z.a") && col("w.c") === col("z.b"), "left_semi")
+  /** Undirected degree relation (v, d) of an (a, b) edge list — one
+    * map-side-combined groupBy over (long) vertex ids. */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("d"))
+
+  /** Orient each undirected edge toward its higher-(degree, id) endpoint
+    * (Suri & Vassilvitskii, WWW'11): (u, v, dv) with (d(u), u) < (d(v), v)
+    * lexicographically. Ids are distinct so the order is total. Every
+    * vertex's out-degree in the oriented graph is O(√m) — a degree-D hub
+    * keeps at most the neighbors of degree ≥ D, and only √(2m) vertices
+    * can have degree ≥ √(2m) — which is what bounds the wedge fan-out
+    * below regardless of skew. */
+  private[graft] def orientByDegree(e: DataFrame): DataFrame = {
+    val deg = degrees(e)
+    val low = struct(col("da"), col("a")) < struct(col("db"), col("b"))
+    e.join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+      .select(
+        when(low, col("a")).otherwise(col("b")).as("u"),
+        when(low, col("b")).otherwise(col("a")).as("v"),
+        when(low, col("db")).otherwise(col("da")).as("dv"))
+  }
+
+  /** Wedges of the degree-oriented graph: unordered out-neighbor pairs
+    * (u, v1, v2) with (dv1, v1) < (dv2, v2), enumerated from the
+    * low-degree center — each generates C(outdeg(u), 2) ≤ O(m) pairs
+    * total, never C(deg(hub), 2) through one hot key. Every triangle
+    * yields exactly one such wedge (centered at its (deg, id)-min vertex)
+    * whose closing edge {v1, v2} is, by transitivity of the total order,
+    * oriented v1 → v2 — so one semi-join closes it. */
+  private[graft] def degreeOrderedWedges(oriented: DataFrame): DataFrame =
+    oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") &&
+          struct(col("x.dv"), col("x.v")) < struct(col("y.dv"), col("y.v")))
+      .select(col("x.u").as("u"), col("x.v").as("v1"), col("y.v").as("v2"))
+
+  /** Triangle census of a generic (a, b) edge list: edge count, undirected
+    * wedge count Σ_v C(d(v), 2) (straight from the degree relation — no
+    * join), triangle count via the degree-ordered enumeration, and the
+    * global transitivity 3·T / W. */
+  private[graft] def triangleStats(e: DataFrame): DataFrame = {
+    val o = orientByDegree(e)
+    val triangles = degreeOrderedWedges(o).as("w").join(o.as("z"),
+      col("w.v1") === col("z.u") && col("w.v2") === col("z.v"), "left_semi")
     val nE = e.agg(count(lit(1)).as("n_edges"))
-    val nW = wedges.agg(count(lit(1)).as("n_wedges"))
+    val nW = degrees(e).agg(sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
     val nT = triangles.agg(count(lit(1)).as("n_triangles"))
     nE.crossJoin(nW).crossJoin(nT)
       .withColumn("closure_rate",
-        round(col("n_triangles").cast("double") / col("n_wedges"), 6))
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6))
   }
 
+  /** g02: triangle count + wedge count + global transitivity (3T/W over
+    * the undirected wedge count Σ C(d, 2)). Triangles are counted through
+    * [[orientByDegree]] + [[degreeOrderedWedges]] — the O(m^1.5)
+    * skew-proof formulation; round 5's id-ordered 2-path enumeration let
+    * one low-id hub generate C(deg, 2) wedges through a single key.
+    * Only (long, long) pairs ever shuffle. */
+  def g02Triangles(spark: SparkSession, dir: String): DataFrame =
+    triangleStats(edges(spark, dir))
+
   val g02Sql: String =
-    s"""WITH $EdgesSql, wedges AS (
-       |  SELECT x.a, x.b, y.b AS c FROM edges x JOIN edges y ON x.b = y.a
+    s"""WITH $EdgesSql, deg AS (
+       |  SELECT v, count(*) AS d FROM (
+       |    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges
+       |  ) GROUP BY v
+       |), oriented AS (
+       |  SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+       |    CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v,
+       |    CASE WHEN (da.d, e.a) < (db.d, e.b) THEN db.d ELSE da.d END AS dv
+       |  FROM edges e JOIN deg da ON da.v = e.a JOIN deg db ON db.v = e.b
+       |), wedges AS (
+       |  SELECT x.u, x.v AS v1, y.v AS v2 FROM oriented x JOIN oriented y
+       |    ON x.u = y.u AND (x.dv, x.v) < (y.dv, y.v)
        |), tri AS (
-       |  SELECT w.a, w.b, w.c FROM wedges w
-       |  WHERE EXISTS (SELECT 1 FROM edges z WHERE z.a = w.a AND z.b = w.c)
+       |  SELECT w.u, w.v1, w.v2 FROM wedges w
+       |  WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.u = w.v1 AND o.v = w.v2)
        |)
        |SELECT (SELECT count(*) FROM edges) AS n_edges,
-       |  (SELECT count(*) FROM wedges) AS n_wedges,
+       |  (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
        |  (SELECT count(*) FROM tri) AS n_triangles,
-       |  round(CAST((SELECT count(*) FROM tri) AS DOUBLE)
-       |    / (SELECT count(*) FROM wedges), 6) AS closure_rate""".stripMargin
+       |  round(3.0 * (SELECT count(*) FROM tri)
+       |    / (SELECT sum((d * (d - 1)) // 2) FROM deg), 6) AS closure_rate""".stripMargin
 
   // ---------------------------------------------------------------- g03
   /** Fixed-point scale for [[g03Pagerank]]: ranks live in 1e-12 units. */

@@ -72,6 +72,45 @@ class Round6OpsSpec extends GraftSpecBase {
     assert(row.getAs[Int]("n_planes") == 4)
   }
 
+  // ------------------------------------------------------------- g02
+  // Degree-ordered triangle counting: the skewed-hub cases that break
+  // id-ordered wedge generation.
+
+  test("g02: a skewed hub generates zero degree-ordered wedges") {
+    // 100 spokes -> hub <- 100 spokes: the id-ordered 2-path enumeration
+    // funnels 100×100 wedges through the hub's key; degree ordering points
+    // every edge INTO the hub (spoke degree 1 < hub degree 200), leaving
+    // each spoke out-degree 1 — no wedge at all, and indeed no triangle.
+    val hub = 500L
+    val inE = (1L to 100L).map(i => (i, hub))
+    val outE = (501L to 600L).map(j => (hub, j))
+    val e = (inE ++ outE).toDF("a", "b")
+    val oriented = graft.operators.GraphOps.orientByDegree(e)
+    assert(oriented.filter(col("v") =!= hub).count() == 0L)
+    assert(graft.operators.GraphOps.degreeOrderedWedges(oriented).count() == 0L)
+    val stats = graft.operators.GraphOps.triangleStats(e).collect().head
+    assert(stats.getAs[Long]("n_triangles") == 0L)
+  }
+
+  test("g02: wheel graph — exact census, bounded per-center fan-out") {
+    // Hub 0 + 12-cycle 1..12: 24 edges, 12 triangles, wedges
+    // C(12,2) + 12·C(3,2) = 102, transitivity 36/102.
+    val spokes = (1L to 12L).map(i => (0L, i))
+    val cycle = (1L to 11L).map(i => (i, i + 1)) :+ ((12L, 1L))
+    val e = (spokes ++ cycle).toDF("a", "b")
+    val r = graft.operators.GraphOps.triangleStats(e).collect().head
+    assert(r.getAs[Long]("n_edges") == 24L)
+    assert(r.getAs[Long]("n_wedges") == 102L)
+    assert(r.getAs[Long]("n_triangles") == 12L)
+    assert(r.getAs[Double]("closure_rate") == math.rint(3.0 * 12 / 102 * 1e6) / 1e6)
+    // wedges come only from degree-3 rim vertices: fan-out ≤ C(3,2) = 3
+    // per center even though the hub has degree 12
+    val wedges = graft.operators.GraphOps.degreeOrderedWedges(
+      graft.operators.GraphOps.orientByDegree(e))
+    val maxFan = wedges.groupBy("u").count().agg(max("count")).as[Long].collect().head
+    assert(maxFan <= 3L)
+  }
+
   test("d05 cap leaves the driver corpus unchanged (no oversized label)") {
     graft.functions.FloatVecDot.register(spark)
     val v = Tables(spark, sfDir).embeddings
