@@ -191,6 +191,68 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------ g03 bucketed
+  /** g03's cluster form: the rank relation persists BUCKETED on doc_id
+    * between generations (SURVEY §5's promised layout), and the edge and
+    * out-degree relations are bucketed on the source id once up front —
+    * so every iteration's rank-edge join and the dangling-mass anti-join
+    * are zero-exchange zips of pre-shuffled files, and the ONLY exchange
+    * per iteration is the irreducible one: contributions aggregating to
+    * their destination vertex. The in-memory g03 pays 3 exchanges per
+    * iteration for the same step (both join inputs + the aggregation);
+    * PlanSpec pins the 3 → 1 difference, and the arithmetic is the same
+    * fixed-point integer math, so the result is bit-identical to
+    * [[g03Pagerank]] and shares its DuckDB oracle.
+    *
+    * The rank-edge join carries a merge hint: on a laptop-sized corpus the
+    * planner would broadcast the rank side and hide the layout's benefit;
+    * on the cluster this join is exactly the sort-merge zip the hint
+    * forces. */
+  def g03PagerankBucketed(spark: SparkSession, dir: String,
+      nBuckets: Int = 8, prefix: String = "graft_g03b"): DataFrame = {
+    import graft.sources.GraftIO
+    val ids = Tables(spark, dir).documents.select(col("doc_id"))
+    GraftIO.writeBucketed(edges(spark, dir), s"${prefix}_edges", "a", nBuckets, Seq("a"))
+    val eB = GraftIO.readBucketed(spark, s"${prefix}_edges")
+    GraftIO.writeBucketed(eB.groupBy(col("a")).agg(count(lit(1)).as("od")),
+      s"${prefix}_outdeg", "a", nBuckets, Seq("a"))
+    val odB = GraftIO.readBucketed(spark, s"${prefix}_outdeg")
+    val nRel = ids.agg(count(lit(1)).as("n"))
+    var prTable = s"${prefix}_pr_0"
+    GraftIO.writeBucketed(
+      ids.crossJoin(broadcast(nRel))
+        .select(col("doc_id"), expr(s"${PrScale}L div n").as("pr")),
+      prTable, "doc_id", nBuckets, Seq("doc_id"))
+    for (i <- 0 until PrIters) {
+      val pr = GraftIO.readBucketed(spark, prTable)
+      val contribs = bucketedContribs(eB, odB, pr)
+      val dang = pr.join(odB.withColumnRenamed("a", "doc_id"), Seq("doc_id"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0L)).as("dm"))
+      val next = pr.select(col("doc_id"))
+        .join(contribs, Seq("doc_id"), "left")
+        .crossJoin(broadcast(nRel)).crossJoin(broadcast(dang))
+        .select(col("doc_id"),
+          (expr(s"((15 * ${PrScale}L) div 100) div n")
+            + expr("(85 * coalesce(c, 0L)) div 100")
+            + expr("((85 * dm) div 100) div n")).as("pr"))
+      prTable = s"${prefix}_pr_${i + 1}"
+      GraftIO.writeBucketed(next, prTable, "doc_id", nBuckets, Seq("doc_id"))
+    }
+    GraftIO.readBucketed(spark, prTable)
+      .select(col("doc_id"), col("pr").as("pr_units"),
+        (expr("(pr + 500) div 1000").cast("double") / 1e9).as("pr_score"))
+      .orderBy("doc_id")
+  }
+
+  /** One iteration's contribution relation from bucketed inputs — the
+    * rank-edge join this layout exists for. Exposed for the plan spec. */
+  private[graft] def bucketedContribs(eB: DataFrame, odB: DataFrame,
+      pr: DataFrame): DataFrame =
+    eB.hint("merge").join(odB, "a")
+      .hint("merge").join(pr.withColumnRenamed("doc_id", "a"), "a")
+      .select(col("b").as("doc_id"), expr("pr div od").as("cb"))
+      .groupBy(col("doc_id")).agg(sum(col("cb")).as("c"))
+
   // ---------------------------------------------------------------- g04
   /** Fixed-point scale for [[g04Hits]]: scores live in 1e-9 units. The
     * scale is 1e9 (not g03's 1e12) because each normalization multiplies

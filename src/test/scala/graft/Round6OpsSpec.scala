@@ -111,6 +111,44 @@ class Round6OpsSpec extends GraftSpecBase {
     assert(maxFan <= 3L)
   }
 
+  // ------------------------------------------------------------- g05
+  test("g05: bucketed pagerank is bit-identical to the in-memory iteration") {
+    val bucketed = graft.operators.GraphOps.g03PagerankBucketed(spark, sfDir)
+      .collect().toSeq
+    val inMemory = graft.operators.GraphOps.g03Pagerank(spark, sfDir)
+      .collect().toSeq
+    assert(bucketed == inMemory)
+    assert(bucketed.nonEmpty)
+  }
+
+  test("g05: the rank-edge iteration join is exchange-free on bucketed tables") {
+    // tables were written by the parity test run above (same prefix)
+    val eB = graft.sources.GraftIO.readBucketed(spark, "graft_g03b_edges")
+    val odB = graft.sources.GraftIO.readBucketed(spark, "graft_g03b_outdeg")
+    val prB = graft.sources.GraftIO.readBucketed(spark, "graft_g03b_pr_0")
+    def realExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "(?<!Reused)Exchange ".r
+        .findAllIn(df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)).size
+    }
+    val bucketed = realExchanges(
+      graft.operators.GraphOps.bucketedContribs(eB, odB, prB))
+    // same relations through plain (unbucketed) parquet: every join input
+    // must shuffle on the key before the merge join
+    val tmp = java.nio.file.Files.createTempDirectory("g03b_plain").toString
+    eB.write.mode("overwrite").parquet(s"$tmp/e")
+    odB.write.mode("overwrite").parquet(s"$tmp/od")
+    prB.write.mode("overwrite").parquet(s"$tmp/pr")
+    val plain = realExchanges(graft.operators.GraphOps.bucketedContribs(
+      spark.read.parquet(s"$tmp/e"), spark.read.parquet(s"$tmp/od"),
+      spark.read.parquet(s"$tmp/pr")))
+    assert(bucketed == 1, s"bucketed iteration must only shuffle the aggregation, got $bucketed")
+    assert(plain >= 3, s"unbucketed baseline should shuffle every join input, got $plain")
+    (Seq("edges", "outdeg") ++ (0 to 5).map("pr_" + _))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_g03b_$t"))
+  }
+
   test("d05 cap leaves the driver corpus unchanged (no oversized label)") {
     graft.functions.FloatVecDot.register(spark)
     val v = Tables(spark, sfDir).embeddings
