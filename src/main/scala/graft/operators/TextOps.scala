@@ -600,6 +600,68 @@ object TextOps {
        |  round((1.0 / n_sources) / (CAST(n_docs AS DOUBLE) / total_docs), 6) AS weight
        |FROM by_source, totals ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- c13
+  /** Per-source raw target weight for [[c13DomainMixWeighted]]'s driver
+    * query: a deterministic non-uniform vector derived from the source
+    * name (values 1..7), standing in for a learned DoReMi vector — the
+    * point is that c07's uniform target is one instantiation of the
+    * mixture algebra, not a special case. */
+  private def nameWeight(source: Column): Column =
+    (length(source) * 3 + ascii(substring(source, 1, 1))) % 7 + 1
+
+  /** Domain-mixture reweighting against an ARBITRARY target mixture:
+    * `targetRaw` is any per-source expression; target fractions
+    * renormalize over the sources present, so the vector need not sum
+    * to 1. [[c07DomainMix]] is this algebra with a constant target. Same
+    * scale shape: one map-side-combined groupBy over (source) plus one
+    * broadcast scalar-totals relation. The raw weights are small exact
+    * integers in double, so the t_tot cross-row sum is order-immune. */
+  def domainMixTarget(spark: SparkSession, dir: String, targetRaw: Column): DataFrame = {
+    val bySource = docs(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(size(tokensOf(col("text")))).as("n_tokens"))
+      .withColumn("t_raw", targetRaw.cast("double"))
+    val totals = bySource.agg(
+      sum(col("n_docs")).as("total_docs"), sum(col("t_raw")).as("t_tot"))
+    bySource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("total_docs"), 6).as("actual_frac"),
+        round(col("t_raw") / col("t_tot"), 6).as("target_frac"),
+        round((col("t_raw") / col("t_tot"))
+          / (col("n_docs").cast("double") / col("total_docs")), 6).as("weight"))
+      .orderBy("source")
+  }
+
+  /** Map overload: a learned (source → raw weight) vector; sources absent
+    * from the map get raw weight 0 — excluded from the target mix but
+    * still reported with their actual fraction. */
+  def domainMixTarget(spark: SparkSession, dir: String,
+      target: Map[String, Double]): DataFrame =
+    domainMixTarget(spark, dir,
+      coalesce(element_at(typedLit(target), col("source")), lit(0.0)))
+
+  /** c13: the domain mixture under a non-uniform deterministic target
+    * vector ([[nameWeight]]) — the driver-checked proof that a learned
+    * mixture plugs into c07's algebra unchanged. */
+  def c13DomainMixWeighted(spark: SparkSession, dir: String): DataFrame =
+    domainMixTarget(spark, dir, nameWeight(col("source")))
+
+  val c13Sql: String =
+    s"""WITH by_source AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len($TokensSql)) AS BIGINT) AS n_tokens,
+       |    CAST((length(source) * 3 + ascii(left(source, 1))) % 7 + 1 AS DOUBLE) AS t_raw
+       |  FROM documents GROUP BY source
+       |), totals AS (
+       |  SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs, sum(t_raw) AS t_tot
+       |  FROM by_source
+       |)
+       |SELECT source, n_docs, n_tokens,
+       |  round(CAST(n_docs AS DOUBLE) / total_docs, 6) AS actual_frac,
+       |  round(t_raw / t_tot, 6) AS target_frac,
+       |  round((t_raw / t_tot) / (CAST(n_docs AS DOUBLE) / total_docs), 6) AS weight
+       |FROM by_source, totals ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- t06
   /** t06: readability statistics (Flesch reading-ease form) — sentence
     * count, word count, vowel-group syllable approximation, and the
@@ -847,6 +909,83 @@ object TextOps {
        |  CAST((2 * covered_tokens * 1000000 + n_tokens) // (2 * n_tokens) AS DOUBLE)
        |    / 1000000.0 AS dup_coverage
        |FROM joined ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- c12
+  /** c12: exact-substring span REMOVAL — the transform c09's coverage
+    * signal feeds (Lee et al. '22: drop every cross-document duplicated
+    * span, keep the rest of the document): each document's normalized
+    * token stream is reconstructed with every position covered by a
+    * duplicated [[SpanN]]-token window removed.
+    *
+    * Shape: the gram census and covered-position relation are exactly
+    * c09's — (hash, doc_id) pairs on the wire, position fan-out bounded
+    * by 8× the DUPLICATED grams only. Kept tokens are one anti-join of
+    * (doc_id, pos, token) against covered (doc_id, pos) longs, and each
+    * document reassembles with ONE bounded collect_list sorted by
+    * position (array_sort over (pos, tok) structs — no window, no
+    * cross-document state). Text crosses the wire once: into the per-doc
+    * reassembly aggregate, already filtered. */
+  def c12DedupSpansTrim(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
+    val grams = docs(spark, dir)
+      .select(col("doc_id"),
+        posexplode(graft.functions.Ngrams.ngramJoin(tokensOf(col("text")), SpanN))
+          .as(Seq("p", "gram")))
+      .select(col("doc_id"), col("p"), md5(col("gram")).as("gk"))
+    val dupKeys = grams.groupBy(col("gk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gk")
+    // no distinct: duplicate covered positions don't change the anti-join
+    val covered = grams.join(dupKeys, "gk")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + SpanN - 1)).as("pos"))
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_tokens"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          e => e.getField("tok")), " ").as("trimmed_text"))
+    docs(spark, dir)
+      .select(col("doc_id"), size(tokensOf(col("text"))).cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("trimmed_text"), lit("")).as("trimmed_text"))
+      .orderBy("doc_id")
+  }
+
+  val c12Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $TokensSql AS tk FROM documents
+       |), pt AS (
+       |  SELECT doc_id, s.pos AS pos, s.tok AS tok FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+       |      i -> struct_pack(pos := i - 1, tok := tk[CAST(i AS INT)]))) AS s
+       |    FROM toks)
+       |), g AS (
+       |  SELECT doc_id, s.p AS p, s.gk AS gk FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - ${SpanN - 2}),
+       |      i -> struct_pack(p := i - 1,
+       |        gk := md5(array_to_string(tk[i:i+${SpanN - 1}], ' '))))) AS s
+       |    FROM toks)
+       |), dup AS (
+       |  SELECT gk FROM g GROUP BY gk HAVING count(DISTINCT doc_id) >= 2
+       |), cov AS (
+       |  SELECT DISTINCT doc_id, pos FROM (
+       |    SELECT doc_id, unnest(range(p, p + $SpanN)) AS pos
+       |    FROM g JOIN dup USING (gk))
+       |), kept AS (
+       |  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+       |    string_agg(t.tok, ' ' ORDER BY t.pos) AS trimmed_text
+       |  FROM pt t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+       |  WHERE c.doc_id IS NULL
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT d.doc_id, CAST(len($TokensSql) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       |  coalesce(k.trimmed_text, '') AS trimmed_text
+       |FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t09
   /** Vocabulary budget (entries) for [[t09VocabCoverage]]. */

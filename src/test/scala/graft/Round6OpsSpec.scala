@@ -149,6 +149,48 @@ class Round6OpsSpec extends GraftSpecBase {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_g03b_$t"))
   }
 
+  // ------------------------------------------------------------- c12
+  test("c12: trimmed token count complements c09's coverage exactly") {
+    val trim = graft.operators.TextOps.c12DedupSpansTrim(spark, sfDir)
+      .select("doc_id", "n_tokens", "kept_tokens")
+    val cov = graft.operators.TextOps.c09DupSpans(spark, sfDir)
+      .select(col("doc_id"), col("covered_tokens"))
+    val joined = trim.join(cov, "doc_id")
+      .filter(col("kept_tokens") =!= col("n_tokens") - col("covered_tokens"))
+    assert(joined.count() == 0L)
+    // and the reassembled text really has kept_tokens whitespace tokens
+    val bad = graft.operators.TextOps.c12DedupSpansTrim(spark, sfDir)
+      .filter(col("kept_tokens") > 0 &&
+        size(split(col("trimmed_text"), " ")) =!= col("kept_tokens"))
+    assert(bad.count() == 0L)
+  }
+
+  // ------------------------------------------------------------- c13
+  test("c13: non-uniform target fractions renormalize and invert the skew") {
+    val r = graft.operators.TextOps.c13DomainMixWeighted(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    assert(math.abs(r.map(_.getAs[Double]("target_frac")).sum - 1.0) < 1e-3)
+    assert(math.abs(r.map(_.getAs[Double]("actual_frac")).sum - 1.0) < 1e-3)
+    // the vector really is non-uniform on this corpus
+    assert(r.map(_.getAs[Double]("target_frac")).distinct.length > 1)
+    r.foreach { x =>
+      assert(math.abs(x.getAs[Double]("weight") * x.getAs[Double]("actual_frac")
+        - x.getAs[Double]("target_frac")) < 1e-4)
+    }
+  }
+
+  test("c13: a learned map vector plugs in and zeroes unlisted sources") {
+    val sources = graft.operators.TextOps.c13DomainMixWeighted(spark, sfDir)
+      .select("source").as[String].collect().sorted.toSeq
+    val keep = sources.take(2)
+    val target = Map(keep.head -> 3.0, keep(1) -> 1.0)
+    val r = graft.operators.TextOps.domainMixTarget(spark, sfDir, target).collect()
+    val byS = r.map(x => x.getAs[String]("source") -> x.getAs[Double]("target_frac")).toMap
+    assert(math.abs(byS(keep.head) - 0.75) < 1e-6)
+    assert(math.abs(byS(keep(1)) - 0.25) < 1e-6)
+    sources.drop(2).foreach(s => assert(byS(s) == 0.0))
+  }
+
   test("d05 cap leaves the driver corpus unchanged (no oversized label)") {
     graft.functions.FloatVecDot.register(spark)
     val v = Tables(spark, sfDir).embeddings
