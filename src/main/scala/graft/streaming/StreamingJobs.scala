@@ -96,6 +96,66 @@ object StreamingJobs {
       }
   }
 
+  // ------------------------------------------------------------ funnel
+  final case class FunnelEvent(user_id: Long, event_type: String, ts: Timestamp)
+  final case class FunnelState(stage: Int, frontier_us: Long, last_us: Long)
+  final case class StageAdvance(user_id: Long, stage: String, reached_us: Long)
+
+  /** Streaming face of e06's ordered funnel: one frontier record per user
+    * in GroupState, advanced as qualifying events stream in, emitting a
+    * [[StageAdvance]] row the moment a user first reaches each stage —
+    * the incremental form of e06's min-aggregate chain (processing a
+    * user's events in event-time order, the first event of the next
+    * stage's type strictly after the frontier IS that stage's min
+    * qualifying timestamp, so frontiers agree with the batch operator on
+    * an in-watermark event set; Round6StreamingSpec pins the parity).
+    *
+    * State contract: exactly one (stage, frontier, last-seen) record per
+    * active user — never an event buffer. Events inside a trigger are
+    * sorted per user (the sessionize memory contract: bounded by per-key
+    * per-trigger burst, not stream length). A user who completes the
+    * funnel keeps a tombstone state until the idle TTL passes so
+    * redelivered or later events cannot restart the funnel and double-
+    * emit; idle users are evicted by event-time timeout at
+    * last-seen + [[idleTtlMs]], which is what bounds total state — the
+    * funnel-window analysis ("converted within N days") this mirrors has
+    * the same horizon. */
+  def funnelStream(events: Dataset[FunnelEvent],
+      stages: Seq[String] = Seq("signup", "click", "purchase"),
+      idleTtlMs: Long = 7L * 24 * 3600 * 1000L,
+      watermarkDelay: String = "10 minutes"): Dataset[StageAdvance] = {
+    import events.sparkSession.implicits._
+    require(stages.nonEmpty, "funnelStream: stages must be non-empty")
+    val stageNames = stages.zipWithIndex.map { case (s, i) => s"${i + 1}_$s" }
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageAdvance](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue, 0L))
+            val out = List.newBuilder[StageAdvance]
+            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
+              val tUs = e.ts.getTime * 1000L
+              if (s.stage < stages.length && e.event_type == stages(s.stage) &&
+                  (s.stage == 0 || tUs > s.frontier_us)) {
+                s = FunnelState(s.stage + 1, tUs, s.last_us)
+                out += StageAdvance(userId, stageNames(s.stage - 1), tUs)
+              }
+              s = s.copy(last_us = math.max(s.last_us, tUs))
+            }
+            state.update(s)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, s.last_us / 1000L + idleTtlMs))
+            out.result().iterator
+          }
+      }
+  }
+
   // ------------------------------------------------------------ lifecycle
   final case class TaskOutcome(batch_id: Long, task_number: Int, is_error: Boolean,
       batch_size: Long, ts: Timestamp)

@@ -1,0 +1,105 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.{FunnelEvent, StageAdvance}
+
+/** Round-6 streaming specs: the e06 funnel's streaming face. */
+class Round6StreamingSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1704067200000L + minute * 60000L)
+
+  test("funnelStream: frontier parity with the batch funnel on the shared event set") {
+    implicit val sc = spark.sqlContext
+    // the driver events table, truncated to ms (the stream fold's
+    // precision), as one in-order trigger
+    val rows = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_millis(ts div 1000000)").as("ts"))
+      .as[(Long, String, Timestamp)].collect().toSeq
+      .map { case (u, e, t) => FunnelEvent(u, e, t) }
+    val mem = MemoryStream[FunnelEvent]
+    val q = StreamingJobs.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    // independent driver-side reference: e06's min-aggregate chain over
+    // the same ms-truncated rows
+    val byUser = rows.groupBy(_.user_id)
+    def minAfter(evs: Seq[FunnelEvent], typ: String, after: Long): Option[Long] = {
+      val c = evs.filter(e => e.event_type == typ && e.ts.getTime > after).map(_.ts.getTime)
+      if (c.isEmpty) None else Some(c.min)
+    }
+    val ref = byUser.map { case (u, evs) =>
+      val t1 = evs.filter(_.event_type == "signup").map(_.ts.getTime)
+        .reduceOption(_ min _)
+      val t2 = t1.flatMap(minAfter(evs, "click", _))
+      val t3 = t2.flatMap(minAfter(evs, "purchase", _))
+      u -> (t1, t2, t3)
+    }
+    val got = spark.table("funnel").as[StageAdvance].collect()
+      .groupBy(_.stage).view.mapValues(_.map(a => a.user_id -> a.reached_us).toMap).toMap
+    def expect(stage: String, pick: ((Option[Long], Option[Long], Option[Long])) => Option[Long]) = {
+      val want = ref.collect { case (u, t) if pick(t).isDefined => u -> pick(t).get * 1000L }
+      assert(got.getOrElse(stage, Map.empty) == want.toMap, s"stage $stage mismatch")
+    }
+    expect("1_signup", _._1)
+    expect("2_click", _._2)
+    expect("3_purchase", _._3)
+    assert(ref.count(_._2._1.isDefined) > 0, "corpus must exercise the funnel")
+  }
+
+  test("funnelStream: redelivery never double-emits; completion is terminal") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = StreamingJobs.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("funnel2")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(FunnelEvent(1L, "signup", ts(0)), FunnelEvent(1L, "click", ts(5)))
+    q.processAllAvailable()
+    assert(spark.table("funnel2").count() == 2L)
+    // redeliver the first two, add the purchase: only stage 3 may emit
+    mem.addData(FunnelEvent(1L, "signup", ts(0)), FunnelEvent(1L, "click", ts(5)),
+      FunnelEvent(1L, "purchase", ts(6)))
+    q.processAllAvailable()
+    assert(spark.table("funnel2").count() == 3L)
+    // completed user: a later signup must not restart the funnel
+    mem.addData(FunnelEvent(1L, "signup", ts(7)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel2").as[StageAdvance].collect().toSet
+    assert(rows == Set(
+      StageAdvance(1L, "1_signup", ts(0).getTime * 1000L),
+      StageAdvance(1L, "2_click", ts(5).getTime * 1000L),
+      StageAdvance(1L, "3_purchase", ts(6).getTime * 1000L)))
+  }
+
+  test("funnelStream: stage order is enforced strictly after the frontier") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = StreamingJobs.funnelStream(mem.toDS())
+      .writeStream.format("memory").queryName("funnel3")
+      .outputMode(OutputMode.Append()).start()
+    // user 2: click BEFORE signup and a click AT the signup instant —
+    // neither advances; the later click does
+    mem.addData(
+      FunnelEvent(2L, "click", ts(0)), FunnelEvent(2L, "signup", ts(1)),
+      FunnelEvent(2L, "click", ts(1)), FunnelEvent(2L, "click", ts(2)),
+      // user 3 purchases without clicking: stuck at stage 1
+      FunnelEvent(3L, "signup", ts(0)), FunnelEvent(3L, "purchase", ts(4)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("funnel3").as[StageAdvance].collect().toSet
+    assert(rows == Set(
+      StageAdvance(2L, "1_signup", ts(1).getTime * 1000L),
+      StageAdvance(2L, "2_click", ts(2).getTime * 1000L),
+      StageAdvance(3L, "1_signup", ts(0).getTime * 1000L)))
+  }
+}
