@@ -10,13 +10,13 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     val only: Set[String] = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the standard session config (notably: the managed-table warehouse
+    // lives under /tmp, NOT ./spark-warehouse — g05's bucketed tables must
+    // not land in the source tree)
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -49,6 +49,17 @@ object GraftIO {
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    // The catalog is in-memory per JVM but table locations persist on disk:
+    // a previous run's orphan directory blocks saveAsTable (overwrite only
+    // replaces tables the CURRENT catalog knows). Drop both explicitly so
+    // the write is idempotent across sessions.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
