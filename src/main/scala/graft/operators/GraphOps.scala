@@ -63,8 +63,10 @@ object GraphOps {
     * keeps at most the neighbors of degree ≥ D, and only √(2m) vertices
     * can have degree ≥ √(2m) — which is what bounds the wedge fan-out
     * below regardless of skew. */
-  private[graft] def orientByDegree(e: DataFrame): DataFrame = {
-    val deg = degrees(e)
+  private[graft] def orientByDegree(e: DataFrame): DataFrame =
+    orientByDegree(e, degrees(e))
+
+  private def orientByDegree(e: DataFrame, deg: DataFrame): DataFrame = {
     val low = struct(col("da"), col("a")) < struct(col("db"), col("b"))
     e.join(deg.select(col("v").as("a"), col("d").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
@@ -91,12 +93,21 @@ object GraphOps {
     * wedge count Σ_v C(d(v), 2) (straight from the degree relation — no
     * join), triangle count via the degree-ordered enumeration, and the
     * global transitivity 3·T / W. */
-  private[graft] def triangleStats(e: DataFrame): DataFrame = {
-    val o = orientByDegree(e)
+  private[graft] def triangleStats(e0: DataFrame): DataFrame = {
+    // Each shared relation is materialized ONCE (localCheckpoint, the
+    // Components/g03 discipline): the census has three consumers of the
+    // edge relation (edge count, degrees, orientation) and two of the
+    // oriented relation (wedge self-join sides + the closure probe) —
+    // without the cut, every scalar re-derives the whole upstream
+    // pipeline. On a cluster these are (long, long) relations persisted
+    // or bucketed, same shape.
+    val e = e0.localCheckpoint()
+    val deg = degrees(e).localCheckpoint()
+    val o = orientByDegree(e, deg).localCheckpoint()
     val triangles = degreeOrderedWedges(o).as("w").join(o.as("z"),
       col("w.v1") === col("z.u") && col("w.v2") === col("z.v"), "left_semi")
     val nE = e.agg(count(lit(1)).as("n_edges"))
-    val nW = degrees(e).agg(sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    val nW = deg.agg(sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
     val nT = triangles.agg(count(lit(1)).as("n_triangles"))
     nE.crossJoin(nW).crossJoin(nT)
       .withColumn("closure_rate",
