@@ -218,7 +218,15 @@ object GraphOps {
     * The rank-edge join carries a merge hint: on a laptop-sized corpus the
     * planner would broadcast the rank side and hide the layout's benefit;
     * on the cluster this join is exactly the sort-merge zip the hint
-    * forces. */
+    * forces.
+    *
+    * The same layout serves [[g04Hits]] with one extension: HITS
+    * alternates its join key (source for the hub half-step, destination
+    * for the authority half-step), so the edge relation is stored TWICE,
+    * bucketed each way — the both-orientations layout adjacency data
+    * warehouses standardly keep. Not materialized here: g05 already pins
+    * the exchange arithmetic, and the second copy adds storage, not a new
+    * plan shape. */
   def g03PagerankBucketed(spark: SparkSession, dir: String,
       nBuckets: Int = 8, prefix: String = "graft_g03b"): DataFrame = {
     import graft.sources.GraftIO

@@ -923,8 +923,10 @@ object TextOps {
     * (doc_id, pos, token) against covered (doc_id, pos) longs, and each
     * document reassembles with ONE bounded collect_list sorted by
     * position (array_sort over (pos, tok) structs — no window, no
-    * cross-document state). Text crosses the wire once: into the per-doc
-    * reassembly aggregate, already filtered. */
+    * cross-document state). Token rows (one word each) cross the wire
+    * twice — into the anti-join and into the reassembly — which is the
+    * price of emitting rewritten TEXT rather than c09's counts; both
+    * shuffles are doc-keyed and codegen, and nothing is ever all-pairs. */
   def c12DedupSpansTrim(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Ngrams.register(spark)
     val toks = docs(spark, dir)
