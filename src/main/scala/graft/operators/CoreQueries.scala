@@ -675,4 +675,70 @@ object CoreQueries {
       |  round(min(delay_s), 6) AS min_s,
       |  round(max(delay_s), 6) AS max_s
       |FROM delays""".stripMargin
+
+  // ---------------------------------------------------------------- e12
+  /** Path length cap for [[e12SessionPaths]]: a journey key is the
+    * session's first 8 event types — bounded regardless of session
+    * length, the standard truncation journey analytics applies so path
+    * keys cannot grow with the data. */
+  private val PathLen = 8
+
+  /** e12: top user-journey paths — e01's sessions rendered as ordered
+    * event-type paths (`view>click>purchase`), counted corpus-wide: the
+    * "common journeys" surface product analytics builds on top of
+    * sessionization.
+    *
+    * Shape: one user-keyed window pass assigns e01's session ids (user_id
+    * is a bounded key; same shuffle e01 pays), one bounded per-session
+    * collect_list builds the truncated path (≤ [[PathLen]] types, sorted
+    * by (ts, event_id) — deterministic under ties), and the corpus-wide
+    * census is a map-side-combined count + distinct-users aggregate on
+    * the bounded path key. Top-15 by (n_sessions desc, path) — a bounded
+    * sort-limit (TakeOrdered), never a full sort. */
+  def e12SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val paths = Tables(spark, dir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        (col("prev_ts_us").isNull ||
+          col("ts_us") - col("prev_ts_us") > 1800L * 1000000L).cast("int"))
+      .withColumn("session_idx", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(array_join(
+        transform(
+          slice(array_sort(collect_list(
+            struct(col("ts_us"), col("event_id"), col("event_type")))), 1, PathLen),
+          e => e.getField("event_type")), ">").as("path"))
+    paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(15)
+  }
+
+  val e12Sql: String =
+    """WITH marked AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+      |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+      |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000
+      |      THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |), sessions AS (
+      |  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+      |  FROM marked
+      |), paths AS (
+      |  SELECT user_id, session_idx,
+      |    array_to_string(list_slice(
+      |      list(event_type ORDER BY ts_us, event_id), 1, 8), '>') AS path
+      |  FROM sessions GROUP BY user_id, session_idx
+      |)
+      |SELECT path, count(*) AS n_sessions,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin
 }

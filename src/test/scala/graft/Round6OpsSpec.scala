@@ -191,6 +191,24 @@ class Round6OpsSpec extends GraftSpecBase {
     sources.drop(2).foreach(s => assert(byS(s) == 0.0))
   }
 
+  // ------------------------------------------------------------- e12
+  test("e12: top journey paths are consistent with the session census") {
+    val r = graft.operators.CoreQueries.e12SessionPaths(spark, sfDir).collect()
+    assert(r.nonEmpty && r.length <= 15)
+    // counts ordered desc, users never exceed sessions, paths well-formed
+    val counts = r.map(_.getAs[Long]("n_sessions"))
+    assert(counts.sameElements(counts.sorted.reverse))
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_users") <= x.getAs[Long]("n_sessions"))
+      val segs = x.getAs[String]("path").split(">")
+      assert(segs.nonEmpty && segs.length <= 8 && segs.forall(_.nonEmpty))
+    }
+    // the paths partition e01's sessions: no path count can exceed the
+    // total session count
+    val e01Sessions = graft.operators.CoreQueries.e01Sessionize(spark, sfDir).count()
+    assert(r.head.getAs[Long]("n_sessions") <= e01Sessions)
+  }
+
   test("d05 cap leaves the driver corpus unchanged (no oversized label)") {
     graft.functions.FloatVecDot.register(spark)
     val v = Tables(spark, sfDir).embeddings
