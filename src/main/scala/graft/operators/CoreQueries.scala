@@ -741,4 +741,84 @@ object CoreQueries {
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
       |FROM paths GROUP BY path
       |ORDER BY n_sessions DESC, path LIMIT 15""".stripMargin
+
+  // ---------------------------------------------------------------- e13
+  private val RfmQs = Seq(2, 4, 6, 8) // quintile cut points ×10
+
+  /** e13: RFM segmentation — the recency/frequency/monetary scoring
+    * retention teams run over an event stream. Per user: recency (whole
+    * days since last event vs the corpus frontier, integer-exact),
+    * frequency (event count), monetary (decimal-exact value sum). Each
+    * metric scores 1–5 against its corpus quintile thresholds; the output
+    * is the segment census with its decimal-exact monetary total.
+    *
+    * The classic formulation is `ntile(5) OVER (ORDER BY metric)` — a
+    * GLOBAL window that funnels every user through one reducer to be
+    * ranked. Here the thresholds are ONE scalar percentile aggregate
+    * (exact interpolated quintiles, round-6 — a03's discipline),
+    * broadcast back, and each user scores by comparing against four
+    * constants: a user-keyed aggregate plus a broadcast, no global sort
+    * at any scale. Monetary stays decimal through the segment sum (§6:
+    * never a cross-row float sum). */
+  def e13RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables(spark, dir).events
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(col("ts_us")).as("last_us"),
+        count(lit(1)).cast("double").as("frequency"),
+        sum(dec2(col("value"))).as("monetary_dec"))
+      .withColumn("monetary", col("monetary_dec").cast("double"))
+    val frontier = perUser.agg(max(col("last_us")).as("mx"))
+    val withR = perUser.crossJoin(broadcast(frontier))
+      .withColumn("recency_days",
+        expr("(mx - last_us) div 86400000000").cast("double"))
+    val thCols = for (m <- Seq("recency_days", "frequency", "monetary"); q <- RfmQs)
+      yield round(expr(s"percentile($m, 0.$q)"), 6).as(s"${m}_q$q")
+    val th = withR.agg(thCols.head, thCols.tail: _*)
+    // bigger-is-better metrics score 1 + (#thresholds strictly exceeded);
+    // recency inverts (smaller = more recent = higher score)
+    def above(m: String): Column = (lit(1) + RfmQs.map(q =>
+      when(col(m) > col(s"${m}_q$q"), 1).otherwise(0)).reduce(_ + _)).cast("long")
+    def below(m: String): Column = (lit(1) + RfmQs.map(q =>
+      when(col(m) < col(s"${m}_q$q"), 1).otherwise(0)).reduce(_ + _)).cast("long")
+    withR.crossJoin(broadcast(th))
+      .select(below("recency_days").as("r_score"), above("frequency").as("f_score"),
+        above("monetary").as("m_score"), col("monetary_dec"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary_dec")).cast("double").as("total_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  val e13Sql: String = {
+    val th = (for (m <- Seq("recency_days", "frequency", "monetary"); q <- Seq(2, 4, 6, 8))
+      yield s"round(quantile_cont($m, 0.$q), 6) AS ${m}_q$q").mkString(",\n    ")
+    def above(m: String) = Seq(2, 4, 6, 8)
+      .map(q => s"CASE WHEN $m > ${m}_q$q THEN 1 ELSE 0 END").mkString(" + ")
+    def below(m: String) = Seq(2, 4, 6, 8)
+      .map(q => s"CASE WHEN $m < ${m}_q$q THEN 1 ELSE 0 END").mkString(" + ")
+    s"""WITH per_user AS (
+       |  SELECT user_id, max(epoch_us(ts)) AS last_us,
+       |    CAST(count(*) AS DOUBLE) AS frequency,
+       |    sum(CAST(value AS DECIMAL(18,2))) AS monetary_dec,
+       |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+       |  FROM events GROUP BY user_id
+       |), fr AS (SELECT max(last_us) AS mx FROM per_user
+       |), wr AS (
+       |  SELECT p.*, CAST((f.mx - p.last_us) // 86400000000 AS DOUBLE) AS recency_days
+       |  FROM per_user p CROSS JOIN fr f
+       |), th AS (
+       |  SELECT
+       |    $th
+       |  FROM wr
+       |)
+       |SELECT
+       |  CAST(1 + ${below("recency_days")} AS BIGINT) AS r_score,
+       |  CAST(1 + ${above("frequency")} AS BIGINT) AS f_score,
+       |  CAST(1 + ${above("monetary")} AS BIGINT) AS m_score,
+       |  count(*) AS n_users,
+       |  CAST(sum(monetary_dec) AS DOUBLE) AS total_monetary
+       |FROM wr CROSS JOIN th
+       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
 }

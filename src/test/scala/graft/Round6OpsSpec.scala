@@ -209,6 +209,29 @@ class Round6OpsSpec extends GraftSpecBase {
     assert(r.head.getAs[Long]("n_sessions") <= e01Sessions)
   }
 
+  // ------------------------------------------------------------- e13
+  test("e13: RFM segments partition the user base with 1..5 scores") {
+    val r = graft.operators.CoreQueries.e13RfmSegments(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = x.getAs[Long](c)
+        assert(v >= 1L && v <= 5L, s"$c=$v out of range")
+      }
+      assert(x.getAs[Long]("n_users") > 0L)
+    }
+    // segments partition the users exactly
+    val totalUsers = Tables(spark, sfDir).events
+      .select("user_id").distinct().count()
+    assert(r.map(_.getAs[Long]("n_users")).sum == totalUsers)
+    // quintile scoring really spreads on the continuous axes (recency is
+    // day-granular and legitimately collapses at sf0.001, where every
+    // user's last event falls in the corpus's final day)
+    Seq("f_score", "m_score").foreach { c =>
+      assert(r.map(_.getAs[Long](c)).distinct.length >= 3, s"$c degenerate")
+    }
+  }
+
   test("d05 cap leaves the driver corpus unchanged (no oversized label)") {
     graft.functions.FloatVecDot.register(spark)
     val v = Tables(spark, sfDir).embeddings
