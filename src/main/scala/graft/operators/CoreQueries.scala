@@ -761,6 +761,9 @@ object CoreQueries {
     * at any scale. Monetary stays decimal through the segment sum (§6:
     * never a cross-row float sum). */
   def e13RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    // the per-user metric relation has three consumers (frontier,
+    // thresholds, scoring) — materialize it once (the g02/g03 lineage
+    // discipline; it is exactly the relation any RFM pipeline persists)
     val perUser = Tables(spark, dir).events
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("value"))
       .groupBy(col("user_id"))
@@ -768,10 +771,12 @@ object CoreQueries {
         count(lit(1)).cast("double").as("frequency"),
         sum(dec2(col("value"))).as("monetary_dec"))
       .withColumn("monetary", col("monetary_dec").cast("double"))
+      .localCheckpoint()
     val frontier = perUser.agg(max(col("last_us")).as("mx"))
     val withR = perUser.crossJoin(broadcast(frontier))
       .withColumn("recency_days",
         expr("(mx - last_us) div 86400000000").cast("double"))
+      .localCheckpoint()
     val thCols = for (m <- Seq("recency_days", "frequency", "monetary"); q <- RfmQs)
       yield round(expr(s"percentile($m, 0.$q)"), 6).as(s"${m}_q$q")
     val th = withR.agg(thCols.head, thCols.tail: _*)
