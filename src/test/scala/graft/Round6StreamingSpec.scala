@@ -81,6 +81,31 @@ class Round6StreamingSpec extends GraftSpecBase {
       StageAdvance(1L, "3_purchase", ts(6).getTime * 1000L)))
   }
 
+  test("funnelStream: idle state evicts at the TTL; the user restarts fresh") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    // tiny TTL so the watermark can pass last-seen + TTL inside the test
+    val q = StreamingJobs.funnelStream(mem.toDS(), idleTtlMs = 60 * 1000L,
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("funnel4")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(FunnelEvent(5L, "signup", ts(0)))
+    q.processAllAvailable()
+    // another user's much later event advances the watermark far past
+    // user 5's last-seen + TTL -> the event-time timeout evicts user 5
+    mem.addData(FunnelEvent(6L, "signup", ts(120)))
+    q.processAllAvailable()
+    // user 5 returns after the horizon: a FRESH funnel (stage 1 re-emits —
+    // the documented restart-after-eviction approximation; the batch
+    // operator over full history remains the source of truth)
+    mem.addData(FunnelEvent(5L, "signup", ts(125)))
+    q.processAllAvailable()
+    q.stop()
+    val user5 = spark.table("funnel4").as[StageAdvance].collect()
+      .filter(_.user_id == 5L).map(_.reached_us).sorted.toSeq
+    assert(user5 == Seq(ts(0).getTime * 1000L, ts(125).getTime * 1000L))
+  }
+
   test("funnelStream: stage order is enforced strictly after the frontier") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[FunnelEvent]
