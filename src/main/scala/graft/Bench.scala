@@ -77,7 +77,10 @@ object Bench {
       catch { case _: Throwable =>
         java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
       }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"repeat":$repeat,"load_avg":${fmt(loadAvg)},"queries":$qs$omitNote,"sf":"$sfName"}""")
+    // the MXBean fallback returns -1.0 on platforms without load support —
+    // omit the stamp rather than print a misleading negative
+    val loadNote = if (loadAvg >= 0) s""","load_avg":${fmt(loadAvg)}""" else ""
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"repeat":$repeat$loadNote,"queries":$qs$omitNote,"sf":"$sfName"}""")
     spark.stop()
   }
 }

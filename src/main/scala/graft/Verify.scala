@@ -28,6 +28,23 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // A capped d05 run silently diverges from the uncapped DuckDB oracle
+    // (the cap only engages when a label block exceeds the bound) — surface
+    // the block audit so a capped run is distinguishable from a real
+    // regression. Empty on the driver corpora.
+    if (only.isEmpty || only("d05_dedup_embedding")) {
+      try {
+        val oversized = graft.operators.VectorOps
+          .embeddingBlockAudit(Tables(spark, sfDir).embeddings).collect()
+        if (oversized.nonEmpty)
+          System.err.println("[verify] d05 block cap ENGAGED for labels " +
+            oversized.map(r => s"${r.get(0)}(block=${r.get(1)})").mkString(", ") +
+            " — d05 is capped/approximate here while the oracle models uncapped" +
+            " all-pairs; a d05 hash mismatch on this corpus is the cap, not a regression")
+      } catch { case e: Throwable =>
+        System.err.println(s"[verify] d05 block audit failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

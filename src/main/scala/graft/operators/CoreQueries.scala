@@ -689,29 +689,47 @@ object CoreQueries {
     * sessionization.
     *
     * Shape: one user-keyed window pass assigns e01's session ids (user_id
-    * is a bounded key; same shuffle e01 pays), one bounded per-session
-    * collect_list builds the truncated path (≤ [[PathLen]] types, sorted
-    * by (ts, event_id) — deterministic under ties), and the corpus-wide
-    * census is a map-side-combined count + distinct-users aggregate on
-    * the bounded path key. Top-15 by (n_sessions desc, path) — a bounded
-    * sort-limit (TakeOrdered), never a full sort. */
+    * is a bounded key; same shuffle e01 pays), the truncated path comes
+    * from a BOUNDED first-k aggregate ([[graft.functions.TopKByScore]]
+    * with a negated timestamp score, so rank order is (ts_us, event_id)
+    * ascending): each aggregation buffer and each partial-aggregate
+    * shuffle record carries ≤ [[PathLen]] entries per session NO MATTER
+    * how long the session runs — a never-idling bot user is one session
+    * of unbounded length, and round 6's collect_list buffered all of it
+    * before slicing (the one buffer in the repo that grew with a single
+    * group's row count). The event type rides the aggregate's tag slot
+    * as its xxhash64 code and is decoded through one broadcast (code →
+    * type) map built from the bounded distinct-type relation. The
+    * corpus-wide census is a map-side-combined count + distinct-users
+    * aggregate on the bounded path key. Top-15 by (n_sessions desc,
+    * path) — a bounded sort-limit (TakeOrdered), never a full sort. */
   def e12SessionPaths(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.TopKByScore.register(spark)
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-    val paths = Tables(spark, dir).events
+    val events = Tables(spark, dir).events
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("ts div 1000").as("ts_us"))
+    // bounded decode dimension: the event-type vocabulary is fixed and
+    // small, so the (xxhash64 code → type) map is one broadcast row
+    val typeMap = events.select(col("event_type")).distinct()
+      .agg(map_from_entries(collect_list(struct(
+        xxhash64(col("event_type")).as("k"), col("event_type").as("v")))).as("type_map"))
+    val paths = events
       .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("is_new",
         (col("prev_ts_us").isNull ||
           col("ts_us") - col("prev_ts_us") > 1800L * 1000000L).cast("int"))
       .withColumn("session_idx", sum(col("is_new")).over(byUser))
       .groupBy(col("user_id"), col("session_idx"))
-      .agg(array_join(
-        transform(
-          slice(array_sort(collect_list(
-            struct(col("ts_us"), col("event_id"), col("event_type")))), 1, PathLen),
-          e => e.getField("event_type")), ">").as("path"))
+      // score desc on -ts_us = ts_us asc, ties by id asc — exactly the
+      // (ts_us, event_id) ascending order the round-6 full sort produced
+      .agg(graft.functions.TopKByScore.topK(-col("ts_us"), col("event_id"),
+        xxhash64(col("event_type")), PathLen).as("first_k"))
+      .crossJoin(broadcast(typeMap))
+      .select(col("user_id"),
+        array_join(transform(col("first_k"),
+          e => element_at(col("type_map"), e.getField("tag"))), ">").as("path"))
     paths.groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"),
         countDistinct(col("user_id")).as("n_users"))
@@ -759,8 +777,37 @@ object CoreQueries {
     * broadcast back, and each user scores by comparing against four
     * constants: a user-keyed aggregate plus a broadcast, no global sort
     * at any scale. Monetary stays decimal through the segment sum (§6:
-    * never a cross-row float sum). */
-  def e13RfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    * never a cross-row float sum).
+    *
+    * The THRESHOLD SOURCE is parameterized (the c13 discipline,
+    * [[e13RfmSegmentsWith]]): exact `percentile` is the driver/oracle
+    * instantiation, bit-exact against DuckDB, but its final merge holds
+    * a (value → count) map over ALL distinct metric values in one
+    * reducer buffer — monetary is near-distinct-per-user, so at billions
+    * of users that is a single-node memory bottleneck wearing an
+    * aggregate's clothes. `exactThresholds = false` swaps in the
+    * mergeable bounded-memory `approx_percentile` sketch (a09's
+    * machinery, accuracy 10⁴ — buffer bounded regardless of
+    * cardinality): the 100 TB instantiation. Round7OpsSpec gates the
+    * segment drift between the two sources. */
+  def e13RfmSegments(spark: SparkSession, dir: String): DataFrame =
+    e13RfmSegmentsWith(spark, dir, exactThresholds = true)
+
+  /** [[e13RfmSegments]] with an explicit threshold source — see there. */
+  private[graft] def e13RfmSegmentsWith(spark: SparkSession, dir: String,
+      exactThresholds: Boolean): DataFrame =
+    rfmUserScores(spark, dir, exactThresholds)
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("monetary_dec")).cast("double").as("total_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+
+  /** Per-user (r, f, m) scores + exact decimal monetary — the scoring
+    * relation [[e13RfmSegmentsWith]] censuses; exposed separately so the
+    * drift spec can compare per-user assignments across threshold
+    * sources. */
+  private[graft] def rfmUserScores(spark: SparkSession, dir: String,
+      exactThresholds: Boolean): DataFrame = {
     // the per-user metric relation has three consumers (frontier,
     // thresholds, scoring) — materialize it once (the g02/g03 lineage
     // discipline; it is exactly the relation any RFM pipeline persists)
@@ -778,7 +825,8 @@ object CoreQueries {
         expr("(mx - last_us) div 86400000000").cast("double"))
       .localCheckpoint()
     val thCols = for (m <- Seq("recency_days", "frequency", "monetary"); q <- RfmQs)
-      yield round(expr(s"percentile($m, 0.$q)"), 6).as(s"${m}_q$q")
+      yield (if (exactThresholds) round(expr(s"percentile($m, 0.$q)"), 6)
+             else round(expr(s"approx_percentile($m, 0.$q, 10000)"), 6)).as(s"${m}_q$q")
     val th = withR.agg(thCols.head, thCols.tail: _*)
     // bigger-is-better metrics score 1 + (#thresholds strictly exceeded);
     // recency inverts (smaller = more recent = higher score)
@@ -787,12 +835,9 @@ object CoreQueries {
     def below(m: String): Column = (lit(1) + RfmQs.map(q =>
       when(col(m) < col(s"${m}_q$q"), 1).otherwise(0)).reduce(_ + _)).cast("long")
     withR.crossJoin(broadcast(th))
-      .select(below("recency_days").as("r_score"), above("frequency").as("f_score"),
-        above("monetary").as("m_score"), col("monetary_dec"))
-      .groupBy(col("r_score"), col("f_score"), col("m_score"))
-      .agg(count(lit(1)).as("n_users"),
-        sum(col("monetary_dec")).cast("double").as("total_monetary"))
-      .orderBy("r_score", "f_score", "m_score")
+      .select(col("user_id"), below("recency_days").as("r_score"),
+        above("frequency").as("f_score"), above("monetary").as("m_score"),
+        col("monetary_dec"))
   }
 
   val e13Sql: String = {

@@ -46,20 +46,34 @@ object GraftIO {
     * fact-to-fact join on the bucket key into a map-side zip of
     * pre-shuffled files. (Bucket metadata lives in the catalog, so this
     * writes a managed table, not a bare path.)
+    *
+    * SINGLE-WRITER per table name: the drop-then-write below is not safe
+    * against two sessions writing the same name concurrently (one can
+    * delete the other's in-progress directory). Callers that may run
+    * concurrently must derive a per-run table prefix; the fixed-prefix
+    * g05/g06 defaults assume the driver's one-at-a-time execution.
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     // The catalog is in-memory per JVM but table locations persist on disk:
     // a previous run's orphan directory blocks saveAsTable (overwrite only
-    // replaces tables the CURRENT catalog knows). Drop both explicitly so
-    // the write is idempotent across sessions.
+    // replaces tables the CURRENT catalog knows). Resolve the location from
+    // the catalog entry when the table exists (it may not sit at the
+    // default path), THEN drop both, so the write is idempotent across
+    // sessions.
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
+    val locUri =
+      if (catalog.tableExists(ident)) catalog.getTableMetadata(ident).location
+      else catalog.defaultTablePath(ident)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    val fs0 = spark.sparkContext.hadoopConfiguration
+    for (p <- Seq(new org.apache.hadoop.fs.Path(locUri),
+        new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident)))) {
+      val fs = p.getFileSystem(fs0)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

@@ -119,13 +119,17 @@ class Round6OpsSpec extends GraftSpecBase {
       .collect().toSeq
     assert(bucketed == inMemory)
     assert(bucketed.nonEmpty)
+    (Seq("edges", "outdeg") ++ (0 to 5).map("pr_" + _))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_g03b_$t"))
   }
 
   test("g05: the rank-edge iteration join is exchange-free on bucketed tables") {
-    // tables were written by the parity test run above (same prefix)
-    val eB = graft.sources.GraftIO.readBucketed(spark, "graft_g03b_edges")
-    val odB = graft.sources.GraftIO.readBucketed(spark, "graft_g03b_outdeg")
-    val prB = graft.sources.GraftIO.readBucketed(spark, "graft_g03b_pr_0")
+    // writes its OWN bucketed tables (distinct prefix) so the test passes
+    // in isolation / under any suite ordering — ADVICE r6
+    graft.operators.GraphOps.g03PagerankBucketed(spark, sfDir, prefix = "graft_g05t")
+    val eB = graft.sources.GraftIO.readBucketed(spark, "graft_g05t_edges")
+    val odB = graft.sources.GraftIO.readBucketed(spark, "graft_g05t_outdeg")
+    val prB = graft.sources.GraftIO.readBucketed(spark, "graft_g05t_pr_0")
     def realExchanges(df: org.apache.spark.sql.DataFrame): Int = {
       df.collect()
       "(?<!Reused)Exchange ".r
@@ -146,7 +150,7 @@ class Round6OpsSpec extends GraftSpecBase {
     assert(bucketed == 1, s"bucketed iteration must only shuffle the aggregation, got $bucketed")
     assert(plain >= 3, s"unbucketed baseline should shuffle every join input, got $plain")
     (Seq("edges", "outdeg") ++ (0 to 5).map("pr_" + _))
-      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_g03b_$t"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_g05t_$t"))
   }
 
   // ------------------------------------------------------------- c12

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CoreQueries
+
+/** Round-7 scale-hardening specs: the e12 bounded path buffer and the e13
+  * sketch-threshold path (VERDICT r6 items 1–2). */
+class Round7OpsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- e12
+  test("e12: bounded first-k aggregate matches the round-6 full-sort formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    // the round-6 collect_list formulation, inlined as the reference
+    val paths = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("ts div 1000").as("ts_us"))
+      .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        (col("prev_ts_us").isNull ||
+          col("ts_us") - col("prev_ts_us") > 1800L * 1000000L).cast("int"))
+      .withColumn("session_idx", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(array_join(
+        transform(
+          slice(array_sort(collect_list(
+            struct(col("ts_us"), col("event_id"), col("event_type")))), 1, 8),
+          e => e.getField("event_type")), ">").as("path"))
+    val ref = paths.groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(15)
+      .collect().toSeq
+    val got = CoreQueries.e12SessionPaths(spark, sfDir).collect().toSeq
+    assert(got == ref)
+    assert(got.nonEmpty)
+  }
+
+  test("e12: the path buffer is bounded at k entries under a 50k-event session") {
+    // one user, one session (events 1s apart — never idles), 50k events:
+    // the round-6 collect_list buffered all 50k structs per group; the
+    // first-k buffer (and therefore every partial-aggregate shuffle
+    // record) carries ≤ 8 entries — asserted directly on the buffer the
+    // aggregate shuffles, the BottomKDistinctSpec discipline
+    val buf = new graft.functions.TopKBuffer(8)
+    (0 until 50000).foreach { i =>
+      buf.insert(-(1000000L + i * 1000000L).toDouble, i.toLong, i.toLong % 5)
+    }
+    assert(buf.size == 8)
+    // the wire record is the serialized buffer: 4 + 24·size bytes, never
+    // a function of the 50k inserts
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val agg = graft.functions.TopKByScore(Literal(0.0), Literal(0L), Literal(0L), 8)
+    assert(agg.serialize(buf).length == 4 + 24 * 8)
+    // rank order is the 8 EARLIEST events in arrival-time order
+    val ranked = buf.rankOrder.map(buf.ids(_)).toSeq
+    assert(ranked == (0L until 8L))
+  }
+
+  test("e12: a 50k-event single-session user still yields a 8-type path") {
+    val base = 1704067200000000L // µs
+    val bot = (0 until 50000).map { i =>
+      // ts is stored in NANOSECONDS, matching the driver events table as
+      // the session reads it (`ts div 1000` → µs); events 1 s apart so the
+      // 30-min gap never splits the session
+      (1L, i.toLong, if (i % 3 == 0) "view" else "click", (base + i * 1000000L) * 1000L)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("e12bot").toString
+    bot.toDF("user_id", "event_id", "event_type", "ts")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        lit(1.0).as("value"), lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = CoreQueries.e12SessionPaths(spark, tmp).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("n_sessions") == 1L)
+    val segs = r.head.getAs[String]("path").split(">")
+    assert(segs.length == 8)
+    // first 8 events by time: indices 0..7 -> types view,click,click,view,...
+    val want = (0 until 8).map(i => if (i % 3 == 0) "view" else "click")
+    assert(segs.toSeq == want)
+  }
+
+  // ------------------------------------------------------------- e13
+  test("e13: sketch thresholds drift no user segments on the driver corpus") {
+    val exact = CoreQueries.rfmUserScores(spark, sfDir, exactThresholds = true)
+      .select(col("user_id"), col("r_score"), col("f_score"), col("m_score"))
+    val approx = CoreQueries.rfmUserScores(spark, sfDir, exactThresholds = false)
+      .select(col("user_id"), col("r_score").as("r2"), col("f_score").as("f2"),
+        col("m_score").as("m2"))
+    val joined = exact.join(approx, "user_id").localCheckpoint()
+    val total = joined.count()
+    val drifted = joined.filter(col("r_score") =!= col("r2") ||
+      col("f_score") =!= col("f2") || col("m_score") =!= col("m2")).count()
+    assert(total > 0)
+    // a09's gate discipline: ≤1% of users may change segment under the
+    // bounded-memory threshold sketch (accuracy 1e4 is exact at this sf,
+    // so expect 0 — the margin absorbs sketch boundary ties at larger sf)
+    assert(drifted.toDouble / total <= 0.01, s"$drifted of $total users drifted")
+  }
+
+  test("e13: the sketch-threshold instantiation still partitions the user base") {
+    val r = CoreQueries.e13RfmSegmentsWith(spark, sfDir, exactThresholds = false).collect()
+    assert(r.nonEmpty)
+    val totalUsers = Tables(spark, sfDir).events.select("user_id").distinct().count()
+    assert(r.map(_.getAs[Long]("n_users")).sum == totalUsers)
+    r.foreach { x =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = x.getAs[Long](c)
+        assert(v >= 1L && v <= 5L)
+      }
+    }
+  }
+}
