@@ -19,13 +19,19 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
 object StreamingJobs {
 
   // ------------------------------------------------------------ windows
-  /** Streaming mirror of e02: tumbling 1-hour windows over a watermarked
-    * event stream. Works on any DataFrame with (ts: timestamp, event_type,
-    * user_id, value). */
-  def eventWindows(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+  /** Streaming mirror of e02 (tumbling) and e11 (sliding): windowed
+    * aggregation over a watermarked event stream. `slide` defaults to the
+    * window size — a tumbling window; a smaller slide gives e11's
+    * overlapping windows (each event lands in size/slide windows — the
+    * same scan-side row fan-out as the batch operator, state bounded by
+    * the watermark horizon × window count either way). Works on any
+    * DataFrame with (ts: timestamp, event_type, user_id, value). */
+  def eventWindows(events: DataFrame, watermark: String = "2 hours",
+      size: String = "1 hour", slide: String = null): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .groupBy(window(col("ts"), size, Option(slide).getOrElse(size)).as("w"),
+        col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
         approx_count_distinct(col("user_id")).as("approx_users"),
@@ -98,59 +104,111 @@ object StreamingJobs {
 
   // ------------------------------------------------------------ funnel
   final case class FunnelEvent(user_id: Long, event_type: String, ts: Timestamp)
-  final case class FunnelState(stage: Int, frontier_us: Long, last_us: Long)
+  final case class PendingEvent(ts_us: Long, event_type: String)
+  final case class FunnelState(stage: Int, frontier_us: Long, last_us: Long,
+      pending: Seq[PendingEvent])
   final case class StageAdvance(user_id: Long, stage: String, reached_us: Long)
 
   /** Streaming face of e06's ordered funnel: one frontier record per user
     * in GroupState, advanced as qualifying events stream in, emitting a
-    * [[StageAdvance]] row the moment a user first reaches each stage —
-    * the incremental form of e06's min-aggregate chain (processing a
-    * user's events in event-time order, the first event of the next
-    * stage's type strictly after the frontier IS that stage's min
-    * qualifying timestamp, so frontiers agree with the batch operator on
-    * an in-watermark event set; Round6StreamingSpec pins the parity).
+    * [[StageAdvance]] row when a user first reaches each stage — the
+    * incremental form of e06's min-aggregate chain (folding a user's
+    * events in event-time order, the first event of the next stage's
+    * type strictly after the frontier IS that stage's min qualifying
+    * timestamp).
     *
-    * State contract: exactly one (stage, frontier, last-seen) record per
-    * active user — never an event buffer. Events inside a trigger are
-    * sorted per user (the sessionize memory contract: bounded by per-key
-    * per-trigger burst, not stream length). A user who completes the
-    * funnel keeps a tombstone state until the idle TTL passes so
-    * redelivered or later events cannot restart the funnel and double-
-    * emit; idle users are evicted by event-time timeout at
-    * last-seen + [[idleTtlMs]], which is what bounds total state — the
-    * funnel-window analysis ("converted within N days") this mirrors has
-    * the same horizon. */
+    * Two emission modes, trading latency against cross-trigger
+    * out-of-order tolerance:
+    *
+    *  - `emitOnWatermark = false` (default): stage advances emit EAGERLY
+    *    in the trigger that observes them. Frontiers agree with the batch
+    *    operator only when each user's events arrive in event-time order
+    *    ACROSS triggers (within a trigger they are sorted): an
+    *    in-watermark click@t3 arriving after click@t5 already advanced
+    *    the stage cannot retract the emitted frontier in Append mode.
+    *    State is one small record per user, never an event buffer.
+    *  - `emitOnWatermark = true`: stage-relevant events buffer in state
+    *    until the watermark passes them, then fold in event-time order —
+    *    at that point no earlier-timestamped event can still arrive, so
+    *    frontiers agree with the batch operator for ANY in-watermark
+    *    arrival order, at the cost of watermark-delay emission latency
+    *    and a per-user buffer bounded by the watermark horizon (the same
+    *    bound every watermarked streaming aggregate carries; only events
+    *    whose type appears in `stages` are buffered).
+    *
+    * Round6StreamingSpec pins the eager contract, Round7StreamingSpec
+    * the gated one. In both modes a user who completes the funnel keeps
+    * a tombstone state until the idle TTL passes so redelivered or later
+    * events cannot restart the funnel and double-emit; idle users are
+    * evicted by event-time timeout at last-seen + [[idleTtlMs]], which
+    * is what bounds total state by ACTIVE users — the funnel-window
+    * analysis ("converted within N days") this mirrors has the same
+    * horizon. */
   def funnelStream(events: Dataset[FunnelEvent],
       stages: Seq[String] = Seq("signup", "click", "purchase"),
       idleTtlMs: Long = 7L * 24 * 3600 * 1000L,
-      watermarkDelay: String = "10 minutes"): Dataset[StageAdvance] = {
+      watermarkDelay: String = "10 minutes",
+      emitOnWatermark: Boolean = false): Dataset[StageAdvance] = {
     import events.sparkSession.implicits._
     require(stages.nonEmpty, "funnelStream: stages must be non-empty")
     val stageNames = stages.zipWithIndex.map { case (s, i) => s"${i + 1}_$s" }
+    val stageSet = stages.toSet
     events
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, StageAdvance](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue, 0L))
-            val out = List.newBuilder[StageAdvance]
-            rows.toSeq.sortBy(e => (e.ts.getTime, e.event_type)).foreach { e =>
-              val tUs = e.ts.getTime * 1000L
-              if (s.stage < stages.length && e.event_type == stages(s.stage) &&
-                  (s.stage == 0 || tUs > s.frontier_us)) {
-                s = FunnelState(s.stage + 1, tUs, s.last_us)
-                out += StageAdvance(userId, stageNames(s.stage - 1), tUs)
-              }
-              s = s.copy(last_us = math.max(s.last_us, tUs))
+          val wmMs = state.getCurrentWatermarkMs()
+          var s = state.getOption.getOrElse(FunnelState(0, Long.MinValue, 0L, Nil))
+          val out = List.newBuilder[StageAdvance]
+          // fold events (already in event-time order) through the frontier
+          def fold(evs: Seq[PendingEvent]): Unit = evs.foreach { e =>
+            if (s.stage < stages.length && e.event_type == stages(s.stage) &&
+                (s.stage == 0 || e.ts_us > s.frontier_us)) {
+              s = s.copy(stage = s.stage + 1, frontier_us = e.ts_us)
+              out += StageAdvance(userId, stageNames(s.stage - 1), e.ts_us)
             }
-            state.update(s)
-            state.setTimeoutTimestamp(
-              math.max(state.getCurrentWatermarkMs() + 1, s.last_us / 1000L + idleTtlMs))
+          }
+          if (!emitOnWatermark) {
+            if (state.hasTimedOut) {
+              state.remove()
+              Iterator.empty
+            } else {
+              val incoming = rows.toSeq
+                .map(e => PendingEvent(e.ts.getTime * 1000L, e.event_type))
+                .sortBy(e => (e.ts_us, e.event_type))
+              fold(incoming)
+              if (incoming.nonEmpty)
+                s = s.copy(last_us = math.max(s.last_us, incoming.map(_.ts_us).max))
+              state.update(s)
+              state.setTimeoutTimestamp(
+                math.max(wmMs + 1, s.last_us / 1000L + idleTtlMs))
+              out.result().iterator
+            }
+          } else {
+            // watermark-gated: buffer stage-relevant events, fold only the
+            // ones the watermark has passed (nothing earlier can arrive)
+            val incoming = rows.toSeq
+            if (incoming.nonEmpty)
+              s = s.copy(last_us = math.max(s.last_us,
+                incoming.map(_.ts.getTime * 1000L).max))
+            val all = s.pending ++ incoming
+              .filter(e => stageSet(e.event_type))
+              .map(e => PendingEvent(e.ts.getTime * 1000L, e.event_type))
+            val (ready, rest) = all.partition(_.ts_us / 1000L <= wmMs)
+            fold(ready.sortBy(e => (e.ts_us, e.event_type)))
+            s = s.copy(pending = rest)
+            val ttlDeadlineMs = s.last_us / 1000L + idleTtlMs
+            if (rest.isEmpty && state.hasTimedOut && wmMs >= ttlDeadlineMs) {
+              state.remove() // idle past the TTL with nothing buffered
+            } else {
+              state.update(s)
+              // wake at the earlier of next pending clearance / TTL expiry
+              val nextMs = rest.map(_.ts_us / 1000L)
+                .foldLeft(ttlDeadlineMs)(math.min)
+              state.setTimeoutTimestamp(math.max(wmMs + 1, nextMs))
+            }
             out.result().iterator
           }
       }

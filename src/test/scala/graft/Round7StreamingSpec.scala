@@ -1,0 +1,150 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.StreamingJobs
+import graft.streaming.StreamingJobs.{FunnelEvent, StageAdvance}
+
+/** Round-7 streaming specs: funnelStream's watermark-gated emission mode
+  * (ADVICE r6 medium — cross-trigger out-of-order correctness), the
+  * state-size bound under churn (VERDICT r6 item 7), and e11's streaming
+  * face (sliding eventWindows). */
+class Round7StreamingSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1704067200000L + minute * 60000L)
+
+  test("funnelStream gated: cross-trigger out-of-order event wins the frontier") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = StreamingJobs.funnelStream(mem.toDS(), emitOnWatermark = true)
+      .writeStream.format("memory").queryName("fgate")
+      .outputMode(OutputMode.Append()).start()
+    // click@t5 arrives a TRIGGER BEFORE click@t3 — both in-watermark. The
+    // eager mode would have advanced the frontier to t5 and could not
+    // retract; gated emission folds in event-time order once the
+    // watermark passes, so t3 is the emitted stage-2 frontier.
+    mem.addData(FunnelEvent(1L, "signup", ts(0)))
+    q.processAllAvailable()
+    mem.addData(FunnelEvent(1L, "click", ts(5)))
+    q.processAllAvailable()
+    mem.addData(FunnelEvent(1L, "click", ts(3)))
+    q.processAllAvailable()
+    assert(spark.table("fgate").count() == 0L, "nothing may emit before the watermark")
+    // watermark push: another user's far-future non-stage event
+    mem.addData(FunnelEvent(99L, "view", ts(60)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fgate").as[StageAdvance].collect().toSet
+    assert(rows == Set(
+      StageAdvance(1L, "1_signup", ts(0).getTime * 1000L),
+      StageAdvance(1L, "2_click", ts(3).getTime * 1000L)))
+  }
+
+  test("funnelStream gated: batch parity under arbitrary arrival order") {
+    implicit val sc = spark.sqlContext
+    val rows = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_type"),
+        expr("timestamp_millis(ts div 1000000)").as("ts"))
+      .as[(Long, String, Timestamp)].collect().toSeq
+      .map { case (u, e, t) => FunnelEvent(u, e, t) }
+    val maxMs = rows.map(_.ts.getTime).max
+    val mem = MemoryStream[FunnelEvent]
+    // the corpus spans weeks: a watermark delay covering the whole span
+    // keeps newest-first delivery IN-watermark (out-of-order, not late —
+    // late events are dropped by the watermark contract in any mode)
+    val q = StreamingJobs.funnelStream(mem.toDS(), emitOnWatermark = true,
+        watermarkDelay = "720 hours")
+      .writeStream.format("memory").queryName("fgate2")
+      .outputMode(OutputMode.Append()).start()
+    // deliver NEWEST-FIRST across two triggers — the adversarial order for
+    // the eager mode — then push the watermark past everything
+    val (late, early) = rows.sortBy(-_.ts.getTime).splitAt(rows.length / 2)
+    mem.addData(late)
+    q.processAllAvailable()
+    mem.addData(early)
+    q.processAllAvailable()
+    mem.addData(FunnelEvent(-1L, "view",
+      new Timestamp(maxMs + 2L * 720 * 3600 * 1000L)))
+    q.processAllAvailable()
+    q.stop()
+    // driver-side reference: e06's min-aggregate chain
+    val byUser = rows.groupBy(_.user_id)
+    def minAfter(evs: Seq[FunnelEvent], typ: String, after: Long): Option[Long] = {
+      val c = evs.filter(e => e.event_type == typ && e.ts.getTime > after).map(_.ts.getTime)
+      if (c.isEmpty) None else Some(c.min)
+    }
+    val ref = byUser.map { case (u, evs) =>
+      val t1 = evs.filter(_.event_type == "signup").map(_.ts.getTime).reduceOption(_ min _)
+      val t2 = t1.flatMap(minAfter(evs, "click", _))
+      val t3 = t2.flatMap(minAfter(evs, "purchase", _))
+      u -> (t1, t2, t3)
+    }
+    val got = spark.table("fgate2").as[StageAdvance].collect()
+      .groupBy(_.stage).view.mapValues(_.map(a => a.user_id -> a.reached_us).toMap).toMap
+    def expect(stage: String, pick: ((Option[Long], Option[Long], Option[Long])) => Option[Long]) = {
+      val want = ref.collect { case (u, t) if pick(t).isDefined => u -> pick(t).get * 1000L }
+      assert(got.getOrElse(stage, Map.empty) == want.toMap, s"stage $stage mismatch")
+    }
+    expect("1_signup", _._1)
+    expect("2_click", _._2)
+    expect("3_purchase", _._3)
+    assert(ref.count(_._2._1.isDefined) > 0, "corpus must exercise the funnel")
+  }
+
+  test("eventWindows sliding: parity with batch e11 on the shared events table") {
+    implicit val sc = spark.sqlContext
+    val rows = Tables(spark, sfDir).events
+      .select(expr("timestamp_micros(ts div 1000)").as("ts"), col("event_type"),
+        col("user_id"), col("value"))
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+    val mem = MemoryStream[(Timestamp, String, Long, Double)]
+    val df = mem.toDF.toDF("ts", "event_type", "user_id", "value")
+    val q = StreamingJobs.eventWindows(df, watermark = "0 seconds",
+        size = "1 hour", slide = "15 minutes")
+      .writeStream.format("memory").queryName("slide")
+      .outputMode(OutputMode.Update()).start()
+    mem.addData(rows) // one trigger: each (window, type) updates exactly once
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("slide")
+      .select(unix_micros(col("window_start")).as("window_start_us"),
+        col("event_type"), col("n_events"), col("total_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    // batch contract: e11's exact sliding windows (n_users is exact there
+    // and a sketch here — compare the deterministic columns)
+    val want = graft.operators.CoreQueries.e11SlidingWindows(spark, sfDir)
+      .select(col("window_start_us"), col("event_type"), col("n_events"),
+        col("total_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(got == want)
+    assert(want.nonEmpty)
+  }
+
+  test("funnelStream: state stays bounded by ACTIVE users under churn") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val q = StreamingJobs.funnelStream(mem.toDS(), idleTtlMs = 60 * 1000L,
+        watermarkDelay = "1 minute")
+      .writeStream.format("memory").queryName("fstate")
+      .outputMode(OutputMode.Append()).start()
+    // 50 users sign up, then go idle forever
+    mem.addData((1L to 50L).map(u => FunnelEvent(u, "signup", ts(0))))
+    q.processAllAvailable()
+    val before = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(before == 50L, s"expected 50 state rows, got $before")
+    // one late user advances the watermark far past the 50 users'
+    // last-seen + TTL; their event-time timeouts evict the state
+    mem.addData(FunnelEvent(999L, "signup", ts(120)))
+    q.processAllAvailable()
+    mem.addData(FunnelEvent(999L, "click", ts(121)))
+    q.processAllAvailable()
+    q.stop()
+    val after = q.lastProgress.stateOperators.head.numRowsTotal
+    assert(after <= 2L,
+      s"state must be bounded by active users after the TTL horizon, got $after")
+  }
+}
