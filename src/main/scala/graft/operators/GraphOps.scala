@@ -224,9 +224,8 @@ object GraphOps {
     * alternates its join key (source for the hub half-step, destination
     * for the authority half-step), so the edge relation is stored TWICE,
     * bucketed each way — the both-orientations layout adjacency data
-    * warehouses standardly keep. Not materialized here: g05 already pins
-    * the exchange arithmetic, and the second copy adds storage, not a new
-    * plan shape. */
+    * warehouses standardly keep. Materialized as of round 7:
+    * [[g04HitsBucketed]] (g06). */
   def g03PagerankBucketed(spark: SparkSession, dir: String,
       nBuckets: Int = 8, prefix: String = "graft_g03b"): DataFrame = {
     import graft.sources.GraftIO
@@ -329,6 +328,79 @@ object GraphOps {
         round(col("au").cast("double") / S, 9).as("auth_score"))
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------------------------ g06 (g04 bucketed)
+  /** g06: g04's cluster form — the both-orientations adjacency layout
+    * g05's scaladoc promised. The edge relation is stored TWICE, bucketed
+    * on the source id (for the authority half-step's join) and on the
+    * destination id (for the hub half-step's), with the id spine and each
+    * generation's score relation bucketed on doc_id — so every
+    * half-step's edge–score join is a zero-exchange zip of pre-shuffled
+    * files and the ONLY exchange per half-step is the irreducible one:
+    * raw scores aggregating to the opposite endpoint. The in-memory g04
+    * pays 2 extra join-input shuffles per half-step for the same plan;
+    * Round7OpsSpec pins the difference. Same fixed-point integer
+    * arithmetic as [[g04Hits]] (order-independent long sums, integer
+    * division), so the result is bit-identical and shares its
+    * unrolled-CTE oracle.
+    *
+    * The merge hints mirror g05's: on a laptop corpus the planner would
+    * broadcast the score side and hide the layout; on the cluster these
+    * joins are exactly the sort-merge zips the hint forces. */
+  def g04HitsBucketed(spark: SparkSession, dir: String,
+      nBuckets: Int = 8, prefix: String = "graft_g04b"): DataFrame = {
+    import graft.sources.GraftIO
+    val S = HitsScale
+    val ids = Tables(spark, dir).documents.select(col("doc_id"))
+    val e = edges(spark, dir).localCheckpoint() // one computation, two layouts
+    GraftIO.writeBucketed(e, s"${prefix}_esrc", "a", nBuckets, Seq("a"))
+    GraftIO.writeBucketed(e, s"${prefix}_edst", "b", nBuckets, Seq("b"))
+    GraftIO.writeBucketed(ids, s"${prefix}_ids", "doc_id", nBuckets, Seq("doc_id"))
+    val eSrc = GraftIO.readBucketed(spark, s"${prefix}_esrc")
+    val eDst = GraftIO.readBucketed(spark, s"${prefix}_edst")
+    val idsB = GraftIO.readBucketed(spark, s"${prefix}_ids")
+    val nRel = idsB.agg(count(lit(1)).as("n"))
+    var hubT = s"${prefix}_h_0"
+    GraftIO.writeBucketed(
+      idsB.crossJoin(broadcast(nRel))
+        .select(col("doc_id"), expr(s"${S}L div n").as("h")),
+      hubT, "doc_id", nBuckets, Seq("doc_id"))
+    var authT: String = null
+    for (i <- 0 until HitsIters) {
+      // L1-total guards: identical to g04 (see there)
+      val hub = GraftIO.readBucketed(spark, hubT)
+      val aRaw = bucketedHalfStep(eSrc, hub, "a", "b", "h", "ar")
+      val aTot = aRaw.agg(coalesce(nullif(sum(col("ar")), lit(0L)), lit(1L)).as("ta"))
+      authT = s"${prefix}_a_${i + 1}"
+      GraftIO.writeBucketed(
+        idsB.join(aRaw, Seq("doc_id"), "left").crossJoin(broadcast(aTot))
+          .select(col("doc_id"), expr(s"(coalesce(ar, 0L) * ${S}L) div ta").as("au")),
+        authT, "doc_id", nBuckets, Seq("doc_id"))
+      val auth = GraftIO.readBucketed(spark, authT)
+      val hRaw = bucketedHalfStep(eDst, auth, "b", "a", "au", "hr")
+      val hTot = hRaw.agg(coalesce(nullif(sum(col("hr")), lit(0L)), lit(1L)).as("th"))
+      hubT = s"${prefix}_h_${i + 1}"
+      GraftIO.writeBucketed(
+        idsB.join(hRaw, Seq("doc_id"), "left").crossJoin(broadcast(hTot))
+          .select(col("doc_id"), expr(s"(coalesce(hr, 0L) * ${S}L) div th").as("h")),
+        hubT, "doc_id", nBuckets, Seq("doc_id"))
+    }
+    GraftIO.readBucketed(spark, hubT).hint("merge")
+      .join(GraftIO.readBucketed(spark, authT), "doc_id")
+      .select(col("doc_id"), col("h").as("hub_units"), col("au").as("auth_units"),
+        round(col("h").cast("double") / S, 9).as("hub_score"),
+        round(col("au").cast("double") / S, 9).as("auth_score"))
+      .orderBy("doc_id")
+  }
+
+  /** One half-step's raw-score relation from bucketed inputs — the
+    * edge–score zip the g06 layout exists for, aggregating to the
+    * opposite endpoint (the half-step's only real exchange). Exposed for
+    * the plan spec. */
+  private[graft] def bucketedHalfStep(eB: DataFrame, score: DataFrame,
+      joinKey: String, outKey: String, scoreCol: String, outCol: String): DataFrame =
+    eB.hint("merge").join(score.withColumnRenamed("doc_id", joinKey), joinKey)
+      .groupBy(col(outKey).as("doc_id")).agg(sum(col(scoreCol)).as(outCol))
 
   val g04Sql: String = {
     val S = HitsScale.toString

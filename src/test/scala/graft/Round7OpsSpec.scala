@@ -82,6 +82,49 @@ class Round7OpsSpec extends GraftSpecBase {
     assert(segs.toSeq == want)
   }
 
+  // ------------------------------------------------------------- g06
+  test("g06: bucketed HITS is bit-identical to the in-memory iteration") {
+    val bucketed = graft.operators.GraphOps.g04HitsBucketed(spark, sfDir)
+      .collect().toSeq
+    val inMemory = graft.operators.GraphOps.g04Hits(spark, sfDir)
+      .collect().toSeq
+    assert(bucketed == inMemory)
+    assert(bucketed.nonEmpty)
+    (Seq("esrc", "edst", "ids") ++ (0 to 3).map("h_" + _) ++ (1 to 3).map("a_" + _))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_g04b_$t"))
+  }
+
+  test("g06: each half-step's edge-score join is exchange-free on bucketed tables") {
+    // writes its OWN bucketed tables (isolation discipline, ADVICE r6)
+    graft.operators.GraphOps.g04HitsBucketed(spark, sfDir, prefix = "graft_g06t")
+    val eSrc = graft.sources.GraftIO.readBucketed(spark, "graft_g06t_esrc")
+    val eDst = graft.sources.GraftIO.readBucketed(spark, "graft_g06t_edst")
+    val h0 = graft.sources.GraftIO.readBucketed(spark, "graft_g06t_h_0")
+    val a1 = graft.sources.GraftIO.readBucketed(spark, "graft_g06t_a_1")
+    def realExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "(?<!Reused)Exchange ".r
+        .findAllIn(df.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)).size
+    }
+    val authStep = realExchanges(
+      graft.operators.GraphOps.bucketedHalfStep(eSrc, h0, "a", "b", "h", "ar"))
+    val hubStep = realExchanges(
+      graft.operators.GraphOps.bucketedHalfStep(eDst, a1, "b", "a", "au", "hr"))
+    // unbucketed baseline: both join inputs must shuffle before the zip
+    val tmp = java.nio.file.Files.createTempDirectory("g06_plain").toString
+    eSrc.write.mode("overwrite").parquet(s"$tmp/e")
+    h0.write.mode("overwrite").parquet(s"$tmp/h")
+    val plain = realExchanges(graft.operators.GraphOps.bucketedHalfStep(
+      spark.read.parquet(s"$tmp/e"), spark.read.parquet(s"$tmp/h"),
+      "a", "b", "h", "ar"))
+    assert(authStep == 1, s"authority half-step must only shuffle the aggregation, got $authStep")
+    assert(hubStep == 1, s"hub half-step must only shuffle the aggregation, got $hubStep")
+    assert(plain >= 3, s"unbucketed baseline should shuffle every join input, got $plain")
+    (Seq("esrc", "edst", "ids") ++ (0 to 3).map("h_" + _) ++ (1 to 3).map("a_" + _))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS graft_g06t_$t"))
+  }
+
   // ------------------------------------------------------------- e13
   test("e13: sketch thresholds drift no user segments on the driver corpus") {
     val exact = CoreQueries.rfmUserScores(spark, sfDir, exactThresholds = true)
