@@ -165,6 +165,57 @@ object DedupOps {
       .drop("_n")
   }
 
+  /** Raw (doc_id, shingle-hash) rows: shingle hashes straight from the
+    * token array in one codegen pass — explode is a narrow operator, so
+    * no per-token exchange exists anywhere downstream (the old
+    * posexplode + lead-window build shuffled one row per token
+    * occurrence). Values are bit-identical to the multi-arg xxhash64 row
+    * formulation (NgramsSpec). */
+  private[graft] def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(graft.functions.Ngrams.ngramHashes(tokensOf(col("text")), 3)).as("h"))
+
+  /** Bottom-k one-permutation band signatures (doc_id, band, key) of a
+    * (doc_id, h) shingle relation, via the native bounded aggregate
+    * ([[graft.functions.BottomKDistinct]]): ONE partial-aggregating pass
+    * — dedupe happens inside the k-slot buffer map-side, the shuffle
+    * carries ≤ 32 longs per doc, and no per-group window sort exists at
+    * all. The sorted sketch is sliced into [[RowsPerBand]]-hash bands;
+    * the band key hashes the band's minima. d03's sketch, reused as
+    * d08's standing-index schema. */
+  private[graft] def bandSigs(shRaw: DataFrame): DataFrame =
+    shRaw
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.BottomKDistinct.bottomKDistinct(col("h"), NumBands * RowsPerBand).as("bot"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
+          b => slice(col("bot"), b * RowsPerBand + 1, lit(RowsPerBand)))).as(Seq("band", "hs")))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("band"), xxhash64(col("band"), col("hs")).as("key"))
+
+  /** Exact-Jaccard verify of candidate (doc_a, doc_b) pairs against the
+    * distinct (doc_id, h) shingle relation: |A∩B| = count of equal
+    * hashes joined through the candidate pair, |A∪B| from per-doc
+    * counts. `carry` columns ride through the intersection aggregate
+    * (max of a per-pair constant), so `candidates` is consumed exactly
+    * once — an LSH candidate pair shares at least its band's minima, so
+    * n_inter ≥ 1 and no candidate is lost to the inner joins. */
+  private[graft] def jaccardVerify(candidates: DataFrame, sh: DataFrame,
+      carry: Seq[String]): DataFrame = {
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b2"), col("h").as("h_b")),
+        col("doc_b") === col("doc_b2") && col("h") === col("h_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"), carry.map(c => max(col(c)).as(c)): _*)
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")), 6))
+  }
+
   /** d03: MinHash+LSH candidate pairs, verified with exact Jaccard.
     *
     * Uses a bottom-k one-permutation sketch over native
@@ -181,34 +232,14 @@ object DedupOps {
     graft.functions.BottomKDistinct.register(spark)
     graft.functions.Ngrams.register(spark)
     val t = Tables(spark, dir)
-    // Shingle hashes straight from the token array in one codegen pass —
-    // explode is a narrow operator, so no per-token exchange exists
-    // anywhere in this pipeline (the old posexplode + lead-window build
-    // shuffled one row per token occurrence). Values are bit-identical to
-    // the multi-arg xxhash64 row formulation (NgramsSpec).
-    val shRaw = t.spread(t.documents)
-      .select(col("doc_id"),
-        explode(graft.functions.Ngrams.ngramHashes(tokensOf(col("text")), 3)).as("h"))
+    val shRaw = shingleRows(t.spread(t.documents))
     // Distinct shingle relation for the exact-Jaccard verify. Recomputed by
     // each consumer (per-doc counts, both intersection sides): at this
     // width the pipeline is cheaper to re-run than to round-trip through
     // the columnar cache. At 100 TB the shingle relation would instead be
     // materialized once, written bucketed by doc_id, before the verify.
     val sh = shRaw.distinct()
-    // Bottom-k one-permutation sketch via the native bounded aggregate
-    // (graft.functions.BottomKDistinct): ONE partial-aggregating pass —
-    // dedupe happens inside the k-slot buffer map-side, the shuffle carries
-    // ≤ 32 longs per doc, and no per-group window sort exists at all. The
-    // sorted sketch is sliced into 4-hash bands; the band key hashes the
-    // band's minima (identical key derivation to the windowed form).
-    val sigs = shRaw
-      .groupBy(col("doc_id"))
-      .agg(graft.functions.BottomKDistinct.bottomKDistinct(col("h"), NumBands * RowsPerBand).as("bot"))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
-          b => slice(col("bot"), b * RowsPerBand + 1, lit(RowsPerBand)))).as(Seq("band", "hs")))
-      .filter(size(col("hs")) > 0)
-      .select(col("doc_id"), col("band"), xxhash64(col("band"), col("hs")).as("key"))
+    val sigs = bandSigs(shRaw)
     // Bucket-local pair emission as a self-equi-join on the bucket key:
     // fully whole-stage-codegen (the earlier array-HOF pair expansion was
     // interpreted and re-evaluated array_sort per referenced element, ~5 s
@@ -221,24 +252,8 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_bands"))
-    // exact-Jaccard verify, relationally: |A∩B| = count of equal hashes
-    // joined through the candidate pair; |A∪B| from per-doc counts.
-    // n_shared_bands rides through the intersection aggregate (max of a
-    // per-pair constant), so `candidates` is consumed exactly once — a pair
-    // sharing a band shares that band's 4 minima, so n_inter ≥ 4 and no
-    // candidate is lost to the inner joins.
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("h")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b2"), col("h").as("h_b")),
-        col("doc_b") === col("doc_b2") && col("h") === col("h_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"), max(col("n_shared_bands")).as("n_shared_bands"))
-    inter
-      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .withColumn("jaccard", round(col("n_inter").cast("double") /
-        (col("n_a") + col("n_b") - col("n_inter")), 6))
+    // a d03 pair shares a whole band (4 minima), so n_inter ≥ 4 here
+    jaccardVerify(candidates, sh, Seq("n_shared_bands"))
       .select("doc_a", "doc_b", "n_shared_bands", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
@@ -256,6 +271,102 @@ object DedupOps {
     Components.canonicalize(
       d03DedupMinhash(spark, dir).filter(col("jaccard") >= 0.5),
       "doc_a", "doc_b")
+
+  // ---------------------------------------------------------------- d08
+  /** Incoming-batch selector (d07's discipline): every 5th document plays
+    * the newly-crawled batch, the rest the standing corpus. */
+  private val D08IncomingMod = 5
+
+  /** Keep rows whose (bucket-key) group has size ≤ maxBucket — the
+    * one-sided variant of [[capBuckets]] for probe relations: singleton
+    * buckets stay (ONE standing-index doc is a valid probe target; the
+    * pair-join cap drops them because a pair needs two docs on the SAME
+    * side), only oversized degenerate keys are dropped. */
+  private def capBucketsAtMost(df: DataFrame, maxBucket: Int, keys: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("_n", count(lit(1)).over(Window.partitionBy(keys: _*)))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
+  }
+
+  /** d08: incremental NEAR-dup detection — d07's analog for the LSH
+    * family, and the shape a continually-ingesting 100 TB corpus actually
+    * runs: the incoming batch's band signatures probe a PERSISTED band
+    * index (the corpus-side (doc_id, band, key) relation written bucketed
+    * on the band key — [[graft.sources.GraftIO.writeBucketed]]) instead
+    * of re-LSH-ing the world, plus d03's self-join within the batch.
+    * Candidates from both probes are verified with exact Jaccard (≥ 0.5)
+    * before any doc is called a near-dup. Statuses per incoming doc:
+    * `known_neardup` (a verified index partner exists; neardup_of = min
+    * such doc), `batch_neardup` (first near-dup seen earlier in this
+    * batch), `new`.
+    *
+    * Scale shape: the index build is one-time per corpus generation
+    * (amortized across every future batch — re-written here only because
+    * the driver runs queries standalone); the probe join reads the index
+    * bucketed on its join key, so the only probe-time shuffle ships the
+    * BATCH side's ~8×16-byte signatures, ≪ corpus. Bucket caps apply to
+    * each side alone — the standing index cannot know future batches —
+    * so a key crossing the cap only when the sides are combined is still
+    * probed; index-side degenerate keys are dropped at index-build time
+    * (at 100 TB you'd recurse into them with more bands, as in d03).
+    * Rows-only vs the oracle (xxhash64); Round7DedupSpec proves
+    * batch-probe ∪ index statuses ≡ a from-scratch full-corpus rebuild on
+    * the same split. */
+  def d08IncrementalNeardup(spark: SparkSession, dir: String): DataFrame =
+    incrementalNeardup(spark, dir, MaxBucket, "graft_d08_bands")
+
+  private[graft] def incrementalNeardup(spark: SparkSession, dir: String,
+      maxBucket: Int, indexTable: String): DataFrame = {
+    graft.functions.BottomKDistinct.register(spark)
+    graft.functions.Ngrams.register(spark)
+    val t = Tables(spark, dir)
+    val docs = t.spread(t.documents)
+    val isIncoming = col("doc_id") % D08IncomingMod === D08IncomingMod - 1
+    val shRaw = shingleRows(docs)
+    val sh = shRaw.distinct()
+    val sigs = bandSigs(shRaw)
+    graft.sources.GraftIO.writeBucketed(
+      capBucketsAtMost(sigs.filter(!isIncoming), maxBucket, col("band"), col("key")),
+      indexTable, "key", 8, Seq("key"))
+    val index = graft.sources.GraftIO.readBucketed(spark, indexTable)
+    val batch = capBucketsAtMost(sigs.filter(isIncoming), maxBucket,
+      col("band"), col("key"))
+    // probe: incoming doc (doc_a) × standing-index doc (doc_b)
+    val probePairs = batch.as("x")
+      .join(index.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit("index").as("src"))
+    // within-batch: later doc (doc_a) × earlier batch doc (doc_b) — d03's
+    // self-equi-join on the capped bucket key
+    val batchPairs = batch.as("x")
+      .join(batch.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("y.doc_id").as("doc_a"), col("x.doc_id").as("doc_b"),
+        lit("batch").as("src"))
+    // partner sets are disjoint (index docs vs batch docs), so src
+    // survives the verify's max() carry unmixed
+    val cands = probePairs.unionByName(batchPairs).distinct()
+    val verified = jaccardVerify(cands, sh, Seq("src"))
+      .filter(col("jaccard") >= 0.5)
+    val best = verified.groupBy(col("doc_a").as("doc_id"))
+      .agg(
+        min(when(col("src") === "index", col("doc_b"))).as("index_partner"),
+        min(when(col("src") === "batch", col("doc_b"))).as("batch_partner"),
+        max(col("jaccard")).as("best_jaccard"))
+    docs.filter(isIncoming).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("index_partner").isNotNull, lit("known_neardup"))
+          .when(col("batch_partner").isNotNull, lit("batch_neardup"))
+          .otherwise(lit("new")).as("status"),
+        when(col("index_partner").isNotNull, col("index_partner"))
+          .otherwise(col("batch_partner")).as("neardup_of"),
+        col("best_jaccard"))
+      .orderBy("doc_id")
+  }
 
   // ---------------------------------------------------------------- d04
   private val SimhashBits = 64

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+
+/** Round-7 dedup specs: d08's standing-index incremental near-dup probe
+  * (VERDICT r6 item 3) — batch-probe ∪ index statuses must match a
+  * from-scratch full-corpus rebuild on the same split (the ComponentsSpec
+  * local-vs-distributed pattern). */
+class Round7DedupSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Expected statuses derived driver-side from a full-rebuild pair set. */
+  private def expectedStatuses(allDocs: Seq[Long],
+      pairs: Set[(Long, Long)]): Map[Long, (String, Option[Long])] = {
+    def incoming(d: Long) = d % 5 == 4
+    allDocs.filter(incoming).map { d =>
+      val partners = pairs.collect {
+        case (a, b) if a == d => b
+        case (a, b) if b == d => a
+      }
+      val idx = partners.filter(!incoming(_))
+      val earlier = partners.filter(p => incoming(p) && p < d)
+      val v =
+        if (idx.nonEmpty) ("known_neardup", Some(idx.min))
+        else if (earlier.nonEmpty) ("batch_neardup", Some(earlier.min))
+        else ("new", None)
+      d -> v
+    }.toMap
+  }
+
+  /** Full-corpus rebuild (caps inactive): every band-sharing pair with
+    * verified exact Jaccard ≥ 0.5 — the from-scratch reference. */
+  private def rebuildPairs(dir: String): Set[(Long, Long)] = {
+    graft.functions.BottomKDistinct.register(spark)
+    graft.functions.Ngrams.register(spark)
+    val t = Tables(spark, dir)
+    val docs = t.spread(t.documents)
+    val shRaw = DedupOps.shingleRows(docs)
+    val sigs = DedupOps.bandSigs(shRaw)
+    val pairs = sigs.as("x").join(sigs.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        lit("all").as("src"))
+      .distinct()
+    DedupOps.jaccardVerify(pairs, shRaw.distinct(), Seq("src"))
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+  }
+
+  private def checkEquivalence(dir: String, table: String): Unit = {
+    val got = DedupOps.incrementalNeardup(spark, dir, Int.MaxValue, table)
+      .select("doc_id", "status", "neardup_of").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    val allDocs = Tables(spark, dir).documents
+      .select("doc_id").as[Long].collect().toSeq
+    val want = expectedStatuses(allDocs, rebuildPairs(dir))
+    assert(got.keySet == want.keySet, "every incoming doc gets a status row")
+    val diff = want.collect { case (d, w) if got(d) != w => (d, got(d), w) }
+    assert(diff.isEmpty, s"probe/rebuild divergence: ${diff.take(5)}")
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+  }
+
+  test("d08: probe ≡ rebuild on a synthetic corpus exercising every status") {
+    val base = "the quick brown fox jumps over the lazy dog and then runs far away home tonight"
+    def vary(seed: Int) = base + s" variant $seed token${seed}a token${seed}b token${seed}c"
+    // doc 4 (incoming) NEAR-dups index doc 1 (one differing trailing
+    // token — exercises the sub-1.0 jaccard verify); docs 9 and 14
+    // (incoming) duplicate each other with no index partner (exact, so
+    // band agreement is deterministic — a near-miss pair's band overlap
+    // depends on where the differing shingle hashes sort); doc 19
+    // (incoming) is unique; index docs 0, 2 are unrelated noise
+    val docs = Seq(
+      (0L, "completely unrelated content about oceanic weather patterns and storm systems forming"),
+      (1L, base + " shared tail one"),
+      (2L, "another unrelated index document listing garden tools and their maintenance schedules"),
+      (4L, base + " shared tail two"),
+      (9L, vary(7) + " alpha"),
+      (14L, vary(7) + " alpha"),
+      (19L, "a wholly distinct incoming document about medieval castle construction techniques here")
+    )
+    val tmp = java.nio.file.Files.createTempDirectory("d08syn").toString
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("syn").as("source"), length(col("text")).as("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    checkEquivalence(tmp, "graft_d08syn")
+    // and the statuses really span the space on this corpus
+    val statuses = DedupOps.incrementalNeardup(spark, tmp, Int.MaxValue, "graft_d08syn2")
+      .select("doc_id", "status", "neardup_of").collect()
+      .map(r => r.getLong(0) -> (r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(statuses(4L) == (("known_neardup", Some(1L))))
+    assert(statuses(9L) == (("new", None))) // batch-first doc, no index partner
+    assert(statuses(14L) == (("batch_neardup", Some(9L))))
+    assert(statuses(19L) == (("new", None)))
+    spark.sql("DROP TABLE IF EXISTS graft_d08syn2")
+  }
+
+  test("d08: probe ≡ rebuild on the driver corpus split") {
+    checkEquivalence(sfDir, "graft_d08t")
+  }
+
+  test("d08: the driver entry runs capped and stays internally consistent") {
+    val r = DedupOps.d08IncrementalNeardup(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val status = x.getAs[String]("status")
+      val partnerNull = x.isNullAt(x.fieldIndex("neardup_of"))
+      assert(Set("known_neardup", "batch_neardup", "new")(status))
+      assert(partnerNull == (status == "new"), s"partner/status mismatch: $x")
+      if (status == "batch_neardup")
+        assert(x.getAs[Long]("neardup_of") < x.getAs[Long]("doc_id"))
+    }
+    // every incoming doc is accounted for exactly once
+    val incomingCount = Tables(spark, sfDir).documents
+      .filter(col("doc_id") % 5 === 4).count()
+    assert(r.length.toLong == incomingCount)
+    spark.sql("DROP TABLE IF EXISTS graft_d08_bands")
+  }
+}
