@@ -15,11 +15,17 @@ object PlanCheck {
       val t0 = System.nanoTime()
       df.collect()
       val sec = (System.nanoTime() - t0) / 1e9
-      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+      // subquery-inclusive, AQE-empty-collapse-aware text (PlanAudit
+      // .auditText): toString alone misses subquery bodies, and a final
+      // plan AQE collapsed to EmptyRelation counts the initial plan —
+      // q22's round-6 blind spot
+      val (p, collapsed) = PlanAudit.auditText(df.queryExecution.executedPlan)
       val windows = "\\bWindow\\b".r.findAllIn(p).size
       val realEx = "(?<!Reused)Exchange ".r.findAllIn(p).size
       val reused = "ReusedExchange".r.findAllIn(p).size
-      println(f"PLANCHECK $q%-22s windows=$windows realExchanges=$realEx reused=$reused time=$sec%.2fs")
+      val tag = if (collapsed) " aqe-empty(initial-plan counts)" else ""
+      println(f"PLANCHECK $q%-22s windows=$windows realExchanges=$realEx reused=$reused time=$sec%.2fs$tag")
+      if (sys.env.contains("GRAFT_PLAN_DUMP")) println(p)
     }
     spark.stop()
   }
