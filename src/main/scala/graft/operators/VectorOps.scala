@@ -324,6 +324,34 @@ object VectorOps {
                                 // recall@3 0.87/0.70 at sf0.001/sf0.01 vs 0.5/0.3
                                 // at a 10-deep shortlist)
 
+  /** PQ encode: nearest sub-codebook entry per (vector, subspace) by L2 —
+    * argmin over ||c||² − 2x·c (||x||² constant per row), min_by aggregate
+    * (no window). Emits (vec_id, m, code) — M one-byte codes per vector,
+    * the 16×-compressed corpus representation s04 and s07 store. */
+  private def pqEncode(v: DataFrame, codebook: DataFrame): DataFrame =
+    v.select(col("vec_id"), explode(sequence(lit(0), lit(PqSubspaces - 1))).as("m"),
+        col("embedding"))
+      .select(col("vec_id"), col("m"),
+        slice(col("embedding"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("x_sub"))
+      .join(codebook, "m")
+      .withColumn("d2", col("c_sub_nrm2") * col("c_sub_nrm2")
+        - lit(2.0) * FloatVecDot.vecDot(col("x_sub"), col("c_sub")))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min_by(col("k"), struct(col("d2"), col("k"))).as("code"))
+
+  /** Broadcast asymmetric-distance (ADC) lookup table for a query set:
+    * (query_id, q_nrm, m, code, part_dot) — query-subvector · centroid
+    * partial dots, O(queries · M · K) rows. */
+  private def pqAdcTable(queries: DataFrame, codebook: DataFrame): DataFrame =
+    broadcast(queries
+      .select(col("query_id"), col("q_emb"), col("q_nrm"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("m"))
+      .select(col("query_id"), col("q_nrm"), col("m"),
+        slice(col("q_emb"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("q_sub"))
+      .join(codebook, "m")
+      .select(col("query_id"), col("q_nrm"), col("m"), col("k").as("code"),
+        FloatVecDot.vecDot(col("q_sub"), col("c_sub")).as("part_dot")))
+
   /** s04: product-quantization ANN (Jégou et al., PAMI'11) — the
     * compressed-domain scale path: each corpus vector becomes M=8 one-byte
     * codes; queries score candidates through a broadcast asymmetric-
@@ -346,31 +374,13 @@ object VectorOps {
     TopKByScore.register(spark)
     val v = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val subIdx = explode(sequence(lit(0), lit(PqSubspaces - 1))).as("m")
     // codebook: k-means over a deterministic sample, broadcast everywhere
     val codebook = Codebooks.pqCodebooks(v, dir, PqSubspaces, PqSubDim, PqCodebook)
-    // encode: nearest codebook entry per (vector, subspace) by L2 —
-    // argmin over ||x||² - 2x·c + ||c||², with ||x||² constant per row
-    val codes = v
-      .select(col("vec_id"), subIdx, col("embedding"))
-      .select(col("vec_id"), col("m"),
-        slice(col("embedding"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("x_sub"))
-      .join(codebook, "m")
-      .withColumn("d2", col("c_sub_nrm2") * col("c_sub_nrm2")
-        - lit(2.0) * FloatVecDot.vecDot(col("x_sub"), col("c_sub")))
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min_by(col("k"), struct(col("d2"), col("k"))).as("code"))
-    // ADC lookup table: query-subvector · centroid partial dots
+    val codes = pqEncode(v, codebook)
     val queries = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val adc = broadcast(queries
-      .select(col("query_id"), col("q_emb"), col("q_nrm"), subIdx)
-      .select(col("query_id"), col("q_nrm"), col("m"),
-        slice(col("q_emb"), col("m") * PqSubDim + 1, lit(PqSubDim)).as("q_sub"))
-      .join(codebook, "m")
-      .select(col("query_id"), col("q_nrm"), col("m"), col("k").as("code"),
-        FloatVecDot.vecDot(col("q_sub"), col("c_sub")).as("part_dot")))
+    val adc = pqAdcTable(queries, codebook)
     // approximate score: sum of table lookups over the M codes. The ADC
     // shortlist is the corpus-wide per-query top-k — a TopKByScore
     // aggregate, never a window (a window here would sort every scored
@@ -402,6 +412,83 @@ object VectorOps {
         round(col("adc_sim") * 1e6).cast("long"), col("query_id"))
       .select(col("query_id"), col("rank"), col("id").as("vec_id"),
         (col("tag") / 1e6).as("adc_sim"), col("score").as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---------------------------------------------------------------- s07
+  /** s07: IVF+PQ ANN — the two scale mechanisms composed, the canonical
+    * billion-vector configuration (Jégou et al., PAMI'11 §V; FAISS
+    * IVFx,PQy): the IVF coarse quantizer prunes the SEARCH (each query
+    * scores only its nprobe probed lists — nprobe/nlists of the corpus),
+    * PQ compresses the STORAGE (each candidate is scored from M one-byte
+    * codes through the broadcast ADC table, never its float vector), and
+    * only the per-query shortlist is reranked with the exact cosine.
+    * Codes quantize the raw vectors against the shared s04 sub-codebooks
+    * (the no-residual IVFPQ variant — one codebook for all lists instead
+    * of per-list residual codebooks, trading a little quantization error
+    * for a 16× smaller training problem and cross-list code reuse).
+    *
+    * What a 100 TB deployment stores is exactly the relation built here:
+    * (list_id, vec_id, codes, norm) bucketed by list_id — the inverted
+    * file. A query then touches: the broadcast centroid table (nlists
+    * rows), nprobe buckets of compressed codes, the broadcast ADC table,
+    * and [[PqRerank]] full vectors per query for the rerank. Every
+    * per-query selection ([[TopKByScore]] probe choice, ADC shortlist,
+    * final top-3) is a bounded k-slot aggregate — zero Window operators,
+    * nothing all-pairs, and the only corpus-sized shuffles are the
+    * assignment and encode passes that build the index ONCE. Rows-only
+    * (approximate by design; spec gates recall vs the exact baseline and
+    * pins candidates to probed lists). */
+  def s07AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    FloatVecDot.register(spark)
+    TopKByScore.register(spark)
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val centroids = Codebooks.ivfCentroids(v, dir, IvfLists)
+    val codebook = Codebooks.pqCodebooks(v, dir, PqSubspaces, PqSubDim, PqCodebook)
+    // the inverted file: coarse assignment + PQ codes + stored norm
+    val assigned = assignToLists(v, centroids)
+      .select(col("vec_id"), col("list_id"), col("nrm"))
+    val codes = pqEncode(v, codebook)
+    val queries = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val adc = pqAdcTable(queries, codebook)
+    // probe selection: each query's IvfProbes nearest lists (s03's shape)
+    val probes = queries
+      .crossJoin(centroids)
+      .withColumn("c_sim",
+        cosineWithNorms(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore.topK(col("c_sim"), col("list_id"), IvfProbes).as("probe"))
+      .select(col("query_id"), explode(col("probe.id")).as("list_id"))
+    // compressed-domain scoring of ONLY the probed lists' candidates: the
+    // ADC dot is the sum of M table lookups; stored norms turn it into an
+    // approximate cosine for ranking
+    val scoredAdc = probes
+      .join(assigned, "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(codes, "vec_id")
+      .join(adc, Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((sum(col("part_dot")) / (first(col("q_nrm")) * first(col("nrm"))))
+          .as("adc_sim"),
+        first(col("list_id")).as("list_id"))
+    val shortlist = topKPerGroup(scoredAdc, PqRerank,
+        col("adc_sim"), col("vec_id"), col("list_id"), col("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"), col("tag").as("list_id"))
+    // exact rerank of the ≤ PqRerank shortlist; the candidate's list rides
+    // the tag slot through the final top-3
+    val reranked = shortlist
+      .join(v, "vec_id")
+      .join(queries, "query_id")
+      .select(col("query_id"), col("vec_id"), col("list_id"),
+        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6)
+          .as("cos_sim"))
+    topKPerGroup(reranked, 3, col("cos_sim"), col("vec_id"),
+        col("list_id"), col("query_id"))
+      .select(col("query_id"), col("rank"), col("id").as("vec_id"),
+        col("tag").as("list_id"), col("score").as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 

@@ -33,4 +33,71 @@ class PqSpec extends GraftSpecBase {
     info(s"recall@3 = $recall")
     assert(recall >= 0.5)
   }
+
+  test("s07: shape, exact rerank scores, recall, and candidates confined to probed lists") {
+    val ivfpq = VectorOps.s07AnnIvfPq(spark, sfDir)
+    val rows = ivfpq.collect()
+    val nQueries = rows.map(_.getLong(0)).distinct.length
+    assert(nQueries === 10)
+    assert(rows.length === nQueries * 3)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L))
+      // rank order follows exact cosine desc
+      assert(g.sortBy(_.getLong(1)).map(_.getDouble(4)).toSeq
+        === g.map(_.getDouble(4)).sorted.reverse.toSeq)
+    }
+    // rerank scores are exact cosines: spot-check against s01's top-5 overlap
+    val exact = VectorOps.s01AnnBruteforce(spark, sfDir)
+      .select($"query_id", $"vec_id", $"cos_sim").as[(Long, Long, Double)].collect()
+      .map { case (q, v, c) => (q, v) -> c }.toMap
+    rows.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(4)) < 1e-9)
+      }
+    }
+    // recall@3 vs exact: IVF pruning (nprobe 2/16) stacked on PQ scoring
+    // loses neighbors that live outside the probed lists; the gate mirrors
+    // s03's pruning loss, not s04's full-corpus-ADC one
+    val exactTop3 = VectorOps.s01AnnBruteforce(spark, sfDir)
+      .filter($"rank" <= 3).select($"query_id", $"vec_id")
+      .as[(Long, Long)].collect().toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (got & exactTop3).size.toDouble / exactTop3.size
+    info(s"s07 recall@3 = $recall")
+    assert(recall >= 0.3)
+
+    // INDEPENDENT probed-list pin (recomputed from the public codebook API,
+    // not s07's internals): each result's vector must be assigned to one of
+    // its query's 2 nearest centroid lists
+    import org.apache.spark.sql.functions.{col, struct, min_by}
+    graft.functions.FloatVecDot.register(spark)
+    val v = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"), VectorOps.norm(col("embedding")).as("nrm"))
+    val cents = graft.operators.Codebooks.ivfCentroids(v, sfDir, 16)
+    val simToCentroid = v.crossJoin(cents)
+      .select(col("vec_id"), col("list_id"),
+        VectorOps.cosineWithNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm"))
+          .as("c_sim"))
+    val assignment = simToCentroid
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("list_id"), struct((-col("c_sim")).as("n"), col("list_id"))).as("list_id"))
+      .as[(Long, Long)].collect().toMap
+    val queryProbes = simToCentroid.filter(col("vec_id") < 10)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+      .map { case (q, ls) =>
+        q -> ls.sortBy(t => (-t._3, t._2)).take(2).map(_._2).toSet
+      }
+    rows.foreach { r =>
+      val (q, vId, listId) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(assignment(vId) === listId, s"reported list must be the assignment for vec $vId")
+      assert(queryProbes(q).contains(listId), s"vec $vId of query $q outside probed lists")
+    }
+
+    // scale shape: no Window operator anywhere (all top-k are aggregates)
+    val df = VectorOps.s07AnnIvfPq(spark, sfDir)
+    df.collect()
+    val plan = PlanAudit.fullPlanText(df.queryExecution.executedPlan)
+    assert(!"\\bWindow\\b".r.findFirstIn(plan).isDefined, "s07 must not use Window execs")
+  }
 }
