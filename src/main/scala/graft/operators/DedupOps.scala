@@ -193,6 +193,44 @@ object DedupOps {
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("band"), xxhash64(col("band"), col("hs")).as("key"))
 
+  /** Row-local bottom-k sketch of ONE document's text — the streaming
+    * form of [[shingleRows]] + the [[bandSigs]] aggregate: the bottom
+    * NumBands×RowsPerBand distinct shingle hashes as narrow array
+    * expressions over the row's own token array (array_distinct +
+    * ascending array_sort ≡ [[graft.functions.BottomKDistinct]]'s
+    * k-slot buffer), so a streaming pipeline computes it with no
+    * aggregation, state, or shuffle. Bit-parity with the aggregate path
+    * is spec-pinned (Round7NeardupStreamSpec). */
+  private[graft] def inlineSketch(text: Column): Column =
+    slice(array_sort(array_distinct(
+      graft.functions.Ngrams.ngramHashes(tokensOf(text), 3))),
+      1, NumBands * RowsPerBand)
+
+  /** LSH band keys of a row-local [[inlineSketch]]: array of
+    * (band, key) structs, one per non-empty RowsPerBand-slice, with the
+    * same xxhash64(band, minima) key as [[bandSigs]]. */
+  private[graft] def bandKeys(sketch: Column): Column = {
+    val raw = transform(sequence(lit(0), lit(NumBands - 1)), b => {
+      val hs = slice(sketch, b * RowsPerBand + 1, lit(RowsPerBand))
+      struct(b.as("band"), xxhash64(b, hs).as("key"), size(hs).as("sz"))
+    })
+    transform(filter(raw, e => e.getField("sz") > 0),
+      e => struct(e.getField("band").as("band"), e.getField("key").as("key")))
+  }
+
+  /** Bottom-k Jaccard ESTIMATE from two [[inlineSketch]]es (Broder's
+    * bottom-k estimator): |Y ∩ sk(A) ∩ sk(B)| / |Y| where Y is the
+    * bottom-k of the union — row-local array arithmetic, no shingle
+    * join. Identical docs estimate exactly 1.0; disjoint docs 0.0. The
+    * estimator's variance (~1/√k) is why the batch path ([[jaccardVerify]])
+    * stays the source of truth for borderline pairs. */
+  private[graft] def estJaccard(a: Column, b: Column): Column = {
+    val k = NumBands * RowsPerBand
+    val unionBot = slice(array_sort(array_distinct(concat(a, b))), 1, k)
+    round(size(array_intersect(array_intersect(unionBot, a), b)).cast("double")
+      / greatest(size(unionBot), lit(1)).cast("double"), 6)
+  }
+
   /** Exact-Jaccard verify of candidate (doc_a, doc_b) pairs against the
     * distinct (doc_id, h) shingle relation: |A∩B| = count of equal
     * hashes joined through the candidate pair, |A∪B| from per-doc

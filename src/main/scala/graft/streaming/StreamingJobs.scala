@@ -411,6 +411,71 @@ object StreamingJobs {
     accepted.unionByName(quarantined)
   }
 
+  // ------------------------------------------------------------ near-dup probe
+  /** Streaming face of d08's standing-index probe — the continual-ingestion
+    * NEAR-dup gate: each incoming document computes its MinHash bottom-k
+    * sketch and LSH band keys ROW-LOCALLY
+    * ([[graft.operators.DedupOps.inlineSketch]]/`bandKeys` — narrow array
+    * expressions, no aggregation or shuffle on the stream side, spec-pinned
+    * bit-identical to the batch aggregate path), probes the persisted band
+    * index via a stream-static left join, and scores each candidate partner
+    * with the bottom-k ESTIMATED Jaccard from the two sketches — no shingle
+    * join at probe time at all. Output: one row per incoming doc with
+    * status `known_neardup` (some index partner estimates ≥ threshold;
+    * neardup_of = min such partner) or `new`.
+    *
+    * Inputs: `docs` streaming (doc_id, text, ts); `bandIndex` static
+    * (doc_id, band, key) — d08's standing index, bucketed on the band key;
+    * `sketches` static (doc_id, sketch: array<long>) — the corpus-side
+    * [[graft.operators.DedupOps.inlineSketch]] relation, maintained beside
+    * the band index (both are per-corpus-generation artifacts; static
+    * sides are re-scanned each micro-batch, so a rebuilt index is picked
+    * up without restarting the query).
+    *
+    * Honest contract vs batch d08: the estimator (variance ~1/√k) can
+    * disagree with exact Jaccard on borderline pairs — this stream is the
+    * low-latency GATE; the batch path (exact verify, within-batch pairs,
+    * canonicalization) remains the source of truth, exactly as
+    * dedupStream defers to d01. Within-horizon exact duplicates are
+    * [[corpusIngest]]'s job. State: only the final per-doc aggregation
+    * (bounded by the watermark horizon); the probe join itself is
+    * stateless (stream-static joins keep no state store). A degenerate
+    * band key fans one stream row out to the index bucket's docs — capped
+    * at index-BUILD time (d08's capBucketsAtMost), so the fan-out is
+    * bounded by construction, not by this job. */
+  def neardupProbeStream(docs: DataFrame, bandIndex: DataFrame, sketches: DataFrame,
+      threshold: Double = 0.5, watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.DedupOps
+    val probes = docs
+      .withWatermark("ts", watermark)
+      .withColumn("sketch", DedupOps.inlineSketch(col("text")))
+      // explode_outer keeps band-less (empty/tiny) docs: they emit `new`
+      .select(col("doc_id"), col("ts"), col("sketch"),
+        explode_outer(DedupOps.bandKeys(col("sketch"))).as("bk"))
+      .select(col("doc_id"), col("ts"), col("sketch"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val matched = probes
+      .join(bandIndex.select(col("band"), col("key"), col("doc_id").as("partner_id")),
+        Seq("band", "key"), "left_outer")
+      .join(sketches.select(col("doc_id").as("partner_id"), col("sketch").as("p_sketch")),
+        Seq("partner_id"), "left_outer")
+      .withColumn("est_j",
+        when(col("partner_id").isNotNull,
+          DedupOps.estJaccard(col("sketch"), col("p_sketch"))))
+      .withColumn("hit", col("partner_id").isNotNull && col("est_j") >= threshold)
+    // per-doc best partner: min/max fold over the (band × partner) match
+    // rows — band multiplicity collapses inside the aggregate, emitted
+    // once the watermark passes the doc's event time
+    matched
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(min(when(col("hit"), col("partner_id"))).as("neardup_of"),
+        max(when(col("hit"), col("est_j"))).as("est_jaccard"))
+      .select(col("doc_id"), col("ts"),
+        when(col("neardup_of").isNotNull, lit("known_neardup"))
+          .otherwise(lit("new")).as("status"),
+        col("neardup_of"), col("est_jaccard"))
+  }
+
   // ------------------------------------------------------------ dominant keys
   /** Streaming face of c11's heavy-hitter sketch: per tumbling-window
     * dominant keys via the native Misra–Gries aggregate

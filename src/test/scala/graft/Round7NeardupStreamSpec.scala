@@ -1,0 +1,143 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.operators.DedupOps
+import graft.streaming.StreamingJobs
+
+/** Round-7 near-dup streaming specs: the row-local sketch/band-key path
+  * must be bit-identical to the batch aggregate path (that's what makes
+  * the stream side shuffle-free), and neardupProbeStream's statuses must
+  * agree with batch d08's standing-index probe wherever the bottom-k
+  * estimator is exact (est_jaccard = 1.0 ⇒ identical sketches). */
+class Round7NeardupStreamSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp = new Timestamp(1704067200000L + minute * 60000L)
+
+  test("inline sketch + band keys are bit-identical to the bandSigs aggregate path") {
+    graft.functions.BottomKDistinct.register(spark)
+    graft.functions.Ngrams.register(spark)
+    val t = Tables(spark, sfDir)
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val inline = docs
+      .select(col("doc_id"),
+        explode(DedupOps.bandKeys(DedupOps.inlineSketch(col("text")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .as[(Long, Int, Long)].collect().toSet
+    val agg = DedupOps.bandSigs(DedupOps.shingleRows(docs))
+      .as[(Long, Int, Long)].collect().toSet
+    assert(inline == agg)
+    assert(inline.nonEmpty)
+  }
+
+  test("estJaccard: 1.0 on identical docs, 0.0 on disjoint, symmetric") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "completely different words about spark shuffles and exchanges here"
+    val df = Seq((a, a), (a, b), (b, a)).toDF("x", "y")
+      .select(DedupOps.estJaccard(
+        DedupOps.inlineSketch(col("x")), DedupOps.inlineSketch(col("y"))).as("j"))
+      .as[Double].collect()
+    assert(df(0) === 1.0)
+    assert(df(1) === 0.0)
+    assert(df(2) === 0.0)
+  }
+
+  test("neardupProbeStream: exact copy flags known_neardup, fresh doc flags new") {
+    implicit val sc = spark.sqlContext
+    val corpusText =
+      "the quick brown fox jumps over the lazy dog again and again and again"
+    val corpus = Seq(
+      (100L, corpusText),
+      (101L, "an unrelated standing document about watermarks state and triggers")
+    ).toDF("doc_id", "text")
+    val bandIndex = corpus
+      .select(col("doc_id"),
+        explode(DedupOps.bandKeys(DedupOps.inlineSketch(col("text")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val sketches = corpus.select(col("doc_id"),
+      DedupOps.inlineSketch(col("text")).as("sketch"))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF.toDF("doc_id", "text", "ts")
+    val q = StreamingJobs.neardupProbeStream(docs, bandIndex, sketches,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("ndp")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(
+      (1L, corpusText, ts(0)), // exact copy of standing doc 100
+      (2L, "totally novel text that matches no standing document at all ever", ts(0)))
+    q.processAllAvailable()
+    // watermark push: a sentinel far in the future releases the aggregation
+    mem.addData((999L, "sentinel watermark push document with enough words", ts(120)))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ndp")
+      .select(col("doc_id"), col("status"), col("neardup_of"), col("est_jaccard"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toMap
+    assert(rows(1L) === (("known_neardup", Some(100L), Some(1.0))))
+    assert(rows(2L) === (("new", None, None)))
+  }
+
+  test("neardupProbeStream: agreement with batch d08 where the estimator is exact") {
+    implicit val sc = spark.sqlContext
+    graft.functions.BottomKDistinct.register(spark)
+    graft.functions.Ngrams.register(spark)
+    val t = Tables(spark, sfDir)
+    // d08's split: doc_id % 5 == 4 plays the incoming batch, rest the corpus
+    val corpus = t.documents.filter(col("doc_id") % 5 =!= 4)
+    val incoming = t.documents.filter(col("doc_id") % 5 === 4)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+    val bandIndex = corpus
+      .select(col("doc_id"),
+        explode(DedupOps.bandKeys(DedupOps.inlineSketch(col("text")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val sketches = corpus.select(col("doc_id"),
+      DedupOps.inlineSketch(col("text")).as("sketch"))
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val docs = mem.toDF.toDF("doc_id", "text", "ts")
+    val q = StreamingJobs.neardupProbeStream(docs, bandIndex, sketches,
+        watermark = "1 minute")
+      .writeStream.format("memory").queryName("ndp2")
+      .outputMode(OutputMode.Append()).start()
+    mem.addData(incoming.map { case (id, text) => (id, text, ts(0)) })
+    q.processAllAvailable()
+    mem.addData((-1L, "sentinel watermark push document with enough words", ts(120)))
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("ndp2")
+      .select(col("doc_id"), col("status"), col("est_jaccard"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    val batch = graft.operators.DedupOps.d08IncrementalNeardup(spark, sfDir)
+      .select(col("doc_id"), col("status"), col("best_jaccard"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
+    // every incoming doc emitted exactly once (the sentinel stays pending —
+    // nothing pushes the watermark past it)
+    assert(stream.size === batch.size)
+    assert(incoming.forall { case (id, _) => stream.contains(id) })
+    // where the stream estimator says EXACT duplicate (est 1.0 ⇒ identical
+    // sketches ⇒ exact jaccard of the shingle sets the sketch covers is
+    // 1.0 from the index side too), batch must agree it's a known near-dup
+    val exactHits = stream.collect {
+      case (id, ("known_neardup", Some(j))) if j == 1.0 && id >= 0 => id
+    }
+    exactHits.foreach { id =>
+      assert(batch(id)._1 === "known_neardup", s"doc $id: stream exact-dup but batch says ${batch(id)._1}")
+    }
+    // and where batch found an EXACT index partner, the stream must too
+    val batchExact = batch.collect {
+      case (id, ("known_neardup", Some(j))) if j == 1.0 => id
+    }
+    batchExact.foreach { id =>
+      assert(stream(id)._1 === "known_neardup", s"doc $id: batch exact-dup but stream says ${stream(id)._1}")
+    }
+    assert(batchExact.nonEmpty || exactHits.nonEmpty,
+      "corpus must exercise at least one exact-duplicate probe")
+  }
+}
