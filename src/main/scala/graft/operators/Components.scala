@@ -184,19 +184,14 @@ object Components {
       .orderBy("canonical_doc")
 
   // ---------------------------------------------------------------- g01
-  /** g01: connected components as a driver-checked query. Edges are
-    * deterministic relations over the `documents` id space — a path
-    * through consecutive doc ids within each doc_id%64 bucket (long
-    * chains, so multi-round contraction is actually exercised) plus
-    * bridge edges to the next doc id gated on a Knuth multiplicative
-    * hash of the id (~10% of docs, merging chains). Pure id arithmetic:
-    * the scan prunes to one column and the edge build is free. The
-    * DuckDB oracle rebuilds the identical graph and clusters it with a
-    * recursive transitive-closure CTE — an exact end-to-end check of the
-    * distributed algorithm against a declarative one. */
-  def g01Components(spark: SparkSession, dir: String): DataFrame = {
-    val t = Tables(spark, dir)
-    val d = t.documents.select(col("doc_id"))
+  /** The deterministic document graph g01/g07 run on: a path through
+    * consecutive doc ids within each doc_id%64 bucket (long chains, so
+    * multi-round contraction is actually exercised) plus bridge edges to
+    * the next doc id gated on a Knuth multiplicative hash of the id
+    * (~10% of docs, merging chains). Pure id arithmetic: the scan prunes
+    * to one column and the edge build is free. */
+  private[graft] def docGraphEdges(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("doc_id"))
     val w = Window.partitionBy(pmod(col("doc_id"), lit(64))).orderBy("doc_id")
     val chain = d
       .withColumn("prev", lag(col("doc_id"), 1).over(w))
@@ -205,7 +200,77 @@ object Components {
     val bridges = d.filter(pmod(col("doc_id") * 2654435761L, lit(10)) === 0)
       .select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
       .join(d.select(col("doc_id").as("b")), Seq("b"), "left_semi")
-    canonicalize(chain.unionAll(bridges.select(col("a"), col("b"))), "a", "b")
+    chain.unionAll(bridges.select(col("a"), col("b")))
+  }
+
+  /** g01: connected components as a driver-checked query over
+    * [[docGraphEdges]]. The DuckDB oracle rebuilds the identical graph
+    * and clusters it with a recursive transitive-closure CTE — an exact
+    * end-to-end check of the distributed algorithm against a declarative
+    * one. */
+  def g01Components(spark: SparkSession, dir: String): DataFrame =
+    canonicalize(docGraphEdges(Tables(spark, dir).documents), "a", "b")
+
+  // ---------------------------------------------------------------- g07
+  /** Merge a batch of NEW edges into a standing (node, component)
+    * assignment WITHOUT re-contracting the standing graph — incremental
+    * connected components, the g01 analog of d07/d08's
+    * standing-index probes.
+    *
+    * Because [[connectedComponents]] labels every component by its MIN
+    * node id, min-of-mins makes the merge exact: each new edge's
+    * endpoints map to their standing labels (an endpoint the standing
+    * assignment has never seen keeps its own id), the contraction
+    * fixpoint then runs on the LABEL graph — bounded by the batch's edge
+    * count, not the corpus — and the resulting remap (old label → merged
+    * min label) is applied back with one join. The corpus-sized standing
+    * relation is touched exactly twice: the endpoint-label lookup (the
+    * batch side is trigger-bounded, so it broadcasts) and the remap
+    * application (the remap relation is bounded by the labels the batch
+    * touched, so it broadcasts too). At 100 TB the standing assignment
+    * lives bucketed on node and neither probe shuffles it. Bit-identical
+    * to a full recompute of the union graph — spec-pinned, and g07
+    * shares g01's recursive-CTE oracle. */
+  private[graft] def mergeIncremental(standing: DataFrame, newEdges: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val e = newEdges
+      .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+    val labeled = e
+      .join(standing.select(col("node").as("a"), col("component").as("la")),
+        Seq("a"), "left")
+      .join(standing.select(col("node").as("b"), col("component").as("lb")),
+        Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("la"),
+        coalesce(col("lb"), col("b")).as("lb"))
+    val labelEdges = labeled.filter(col("la") =!= col("lb"))
+    val remap = connectedComponents(labelEdges, "la", "lb")
+      .select(col("node").as("component"), col("component").as("merged"))
+    // node universe of the union graph: standing nodes + unseen endpoints
+    val newNodes = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node"))).distinct()
+      .join(standing.select("node"), Seq("node"), "left_anti")
+      .select(col("node"), col("node").as("component"))
+    standing.select("node", "component").unionByName(newNodes)
+      .join(remap, Seq("component"), "left")
+      .select(col("node"), coalesce(col("merged"), col("component")).as("component"))
+  }
+
+  /** g07: incremental components as a driver-checked query — the
+    * [[docGraphEdges]] graph split deterministically into a standing 80%
+    * (contracted once, playing the persisted assignment) and a 20%
+    * incoming batch merged by [[mergeIncremental]]. Output is the g01
+    * relation exactly (same canonicalize shape, same oracle): the split
+    * must not be observable in the result. */
+  def g07ComponentsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val edges = docGraphEdges(Tables(spark, dir).documents)
+    val isNew = pmod(xxhash64(col("a"), col("b")), lit(5)) === 0
+    val standing = connectedComponents(edges.filter(!isNew), "a", "b")
+    mergeIncremental(standing, edges.filter(isNew), "a", "b")
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("node")).as("canonical_doc"))
+      .select(col("canonical_doc"), col("component"), col("cluster_size"))
+      .orderBy("canonical_doc")
   }
 
   val g01Sql: String =

@@ -155,4 +155,36 @@ class Round7OpsSpec extends GraftSpecBase {
       }
     }
   }
+
+  // ------------------------------------------------------------- g07
+  test("g07: incremental merge is bit-identical to the full g01 recompute") {
+    val full = graft.operators.Components.g01Components(spark, sfDir).collect().toSeq
+    val incr = graft.operators.Components.g07ComponentsIncremental(spark, sfDir)
+      .collect().toSeq
+    assert(incr === full)
+    assert(full.nonEmpty)
+  }
+
+  test("g07: merge handles cluster unions, unseen vertices, and untouched clusters") {
+    import graft.operators.Components
+    // standing graph: three clusters {1,2}, {3,4}, {10,11}
+    val standingEdges = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val standing = Components.connectedComponents(standingEdges, "a", "b",
+      localEdgeThreshold = 0)
+    // batch: merge {1,2}+{3,4} via 2-3, attach unseen 5-6 as a new cluster,
+    // and an edge between two unseen vertices of which one bridges to 11
+    val batch = Seq((2L, 3L), (5L, 6L), (12L, 11L)).toDF("a", "b")
+    val merged = Components.mergeIncremental(standing, batch, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, // merged cluster keeps global min
+      5L -> 5L, 6L -> 5L,                     // brand-new cluster
+      10L -> 10L, 11L -> 10L, 12L -> 10L)     // unseen vertex joins standing cluster
+    assert(merged === expected)
+    // cross-check: identical to a full recompute of the union graph
+    val union = Components.connectedComponents(
+      standingEdges.unionAll(batch), "a", "b", localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(merged === union)
+  }
 }
