@@ -212,27 +212,25 @@ object Components {
     canonicalize(docGraphEdges(Tables(spark, dir).documents), "a", "b")
 
   // ---------------------------------------------------------------- g07
-  /** Merge a batch of NEW edges into a standing (node, component)
-    * assignment WITHOUT re-contracting the standing graph — incremental
-    * connected components, the g01 analog of d07/d08's
-    * standing-index probes.
+  /** The shared machinery behind [[mergeIncremental]]/[[mergeDelta]]:
+    * given the standing (node, component) assignment and a batch of new
+    * edges, produce (remap, newNodes) — the old-label → merged-min-label
+    * relation and the endpoints the standing assignment has never seen
+    * (each initially its own component).
     *
     * Because [[connectedComponents]] labels every component by its MIN
     * node id, min-of-mins makes the merge exact: each new edge's
-    * endpoints map to their standing labels (an endpoint the standing
-    * assignment has never seen keeps its own id), the contraction
-    * fixpoint then runs on the LABEL graph — bounded by the batch's edge
-    * count, not the corpus — and the resulting remap (old label → merged
-    * min label) is applied back with one join. The corpus-sized standing
-    * relation is touched exactly twice: the endpoint-label lookup (the
-    * batch side is trigger-bounded, so it broadcasts) and the remap
-    * application (the remap relation is bounded by the labels the batch
-    * touched, so it broadcasts too). At 100 TB the standing assignment
-    * lives bucketed on node and neither probe shuffles it. Bit-identical
-    * to a full recompute of the union graph — spec-pinned, and g07
-    * shares g01's recursive-CTE oracle. */
-  private[graft] def mergeIncremental(standing: DataFrame, newEdges: DataFrame,
-      aCol: String, bCol: String): DataFrame = {
+    * endpoints map to their standing labels (unseen endpoints keep their
+    * own id), and the contraction fixpoint then runs on the LABEL graph
+    * — bounded by the batch's edge count, not the corpus. Scale shape:
+    * the two standing-relation probes here (endpoint-label lookup,
+    * unseen-endpoint anti-join) keep the batch side on the OUTER side of
+    * the join, so broadcast-hash can't build from it (LeftOuter/LeftAnti
+    * only build right) — instead the standing relation lives bucketed on
+    * node and only the trigger-bounded batch side shuffles to that
+    * bucketing; the corpus scans in place. */
+  private def mergePieces(standing: DataFrame, newEdges: DataFrame,
+      aCol: String, bCol: String): (DataFrame, DataFrame) = {
     val e = newEdges
       .select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
@@ -246,14 +244,48 @@ object Components {
     val labelEdges = labeled.filter(col("la") =!= col("lb"))
     val remap = connectedComponents(labelEdges, "la", "lb")
       .select(col("node").as("component"), col("component").as("merged"))
-    // node universe of the union graph: standing nodes + unseen endpoints
+    // unseen endpoints of the union graph, each its own component
     val newNodes = e.select(col("a").as("node"))
       .unionAll(e.select(col("b").as("node"))).distinct()
       .join(standing.select("node"), Seq("node"), "left_anti")
       .select(col("node"), col("node").as("component"))
-    standing.select("node", "component").unionByName(newNodes)
-      .join(remap, Seq("component"), "left")
+    (remap, newNodes)
+  }
+
+  /** ONLY the assignment rows a batch of new edges changes: standing
+    * nodes whose component label was merged away, plus unseen endpoints
+    * (already remapped). This is [[mergeIncremental]] minus the
+    * unchanged corpus — the streaming store appends exactly this, so
+    * per-trigger write volume is bounded by the batch's impact (the
+    * clusters it touches), never the corpus. Both joins here build from
+    * the remap side (inner/left with the bounded relation on the right),
+    * so the standing scan never shuffles. */
+  private[graft] def mergeDelta(standing: DataFrame, newEdges: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val (remap, newNodes) = mergePieces(standing, newEdges, aCol, bCol)
+    val changed = standing.select("node", "component")
+      .join(broadcast(remap), Seq("component"))
+      .filter(col("merged") =!= col("component"))
+      .select(col("node"), col("merged").as("component"))
+    val fresh = newNodes
+      .join(broadcast(remap), Seq("component"), "left")
       .select(col("node"), coalesce(col("merged"), col("component")).as("component"))
+    changed.unionByName(fresh)
+  }
+
+  /** Merge a batch of NEW edges into a standing (node, component)
+    * assignment WITHOUT re-contracting the standing graph — incremental
+    * connected components, the g01 analog of d07/d08's standing-index
+    * probes. The full merged assignment = the rows [[mergeDelta]]
+    * changes + the standing rows it doesn't (a broadcast anti-join on
+    * the bounded delta). Bit-identical to a full recompute of the union
+    * graph — spec-pinned, and g07 shares g01's recursive-CTE oracle. */
+  private[graft] def mergeIncremental(standing: DataFrame, newEdges: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val delta = mergeDelta(standing, newEdges, aCol, bCol)
+    standing.select("node", "component")
+      .join(broadcast(delta.select("node")), Seq("node"), "left_anti")
+      .unionByName(delta)
   }
 
   /** g07: incremental components as a driver-checked query — the
@@ -271,6 +303,97 @@ object Components {
       .agg(count(lit(1)).as("cluster_size"), min(col("node")).as("canonical_doc"))
       .select(col("canonical_doc"), col("component"), col("cluster_size"))
       .orderBy("canonical_doc")
+  }
+
+  // ------------------------------------- standing-assignment store
+  // The persisted substrate [[mergeIncremental]] runs against across
+  // micro-batches (streaming face: StreamingJobs.componentsStream) — a
+  // merge-on-read layout in the lakehouse style:
+  //   <prefix>_base   (node, component) bucketed+sorted on node — the
+  //                   corpus-sized assignment, rewritten only by
+  //                   [[assignmentCompact]];
+  //   <prefix>_delta  (node, component) partitioned by gen — one
+  //                   partition per micro-batch, holding ONLY the rows
+  //                   that batch changed ([[mergeDelta]]), so per-trigger
+  //                   write volume tracks batch impact, never corpus
+  //                   size. Appends are idempotent under foreachBatch's
+  //                   at-least-once replay WITHOUT overwrite tricks: a
+  //                   replayed batch recomputes its delta against a
+  //                   standing view that already contains its own rows,
+  //                   so every endpoint already carries its merged label
+  //                   and the recomputed delta is EMPTY (spec-pinned).
+  // Read side ([[assignmentCurrent]]): last-writer-wins per node inside
+  // the bounded delta set (max_by over gen), then one broadcast
+  // left-join + anti-join against the bucketed base — the corpus never
+  // shuffles on read either. Compaction cadence is the contract that
+  // keeps deltas broadcast-sized; SINGLE-WRITER per prefix, like
+  // GraftIO.writeBucketed.
+
+  /** Seed (or re-seed) the standing store from a full assignment (e.g. a
+    * one-time [[connectedComponents]] run), clearing any deltas. */
+  def assignmentBootstrap(assign: DataFrame, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    graft.sources.GraftIO.writeBucketed(assign.select("node", "component"),
+      s"${prefix}_base", "node", nBuckets, Seq("node"))
+    graft.sources.GraftIO.dropManaged(assign.sparkSession, s"${prefix}_delta")
+  }
+
+  /** The current (node, component) assignment: base overlaid with the
+    * latest delta per node. Missing tables read as empty, so a stream
+    * can start cold against an un-bootstrapped prefix. */
+  def assignmentCurrent(spark: SparkSession, prefix: String): DataFrame = {
+    val emptyAssign = spark.range(0)
+      .select(col("id").as("node"), col("id").as("component"))
+    val base =
+      if (spark.catalog.tableExists(s"${prefix}_base"))
+        spark.table(s"${prefix}_base").select("node", "component")
+      else emptyAssign
+    if (!spark.catalog.tableExists(s"${prefix}_delta")) base
+    else {
+      val latest = spark.table(s"${prefix}_delta")
+        .groupBy("node")
+        .agg(max_by(col("component"), col("gen")).as("latest_component"))
+      val overlaid = base
+        .join(broadcast(latest), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("latest_component"), col("component")).as("component"))
+      val fresh = latest
+        .join(base.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), col("latest_component").as("component"))
+      overlaid.unionByName(fresh)
+    }
+  }
+
+  /** One micro-batch of the incremental merge: compute [[mergeDelta]]
+    * against the current assignment and append it as the `gen` delta
+    * partition. Materializes the (batch-bounded) delta BEFORE writing —
+    * the write target is also one of the read inputs. */
+  def assignmentMergeBatch(batchEdges: DataFrame, prefix: String,
+      gen: Long): Unit = {
+    val spark = batchEdges.sparkSession
+    val deltaTable = s"${prefix}_delta"
+    val standing = assignmentCurrent(spark, prefix)
+    val delta = mergeDelta(standing, batchEdges, "a", "b")
+      .select(col("node"), col("component"), lit(gen).as("gen"))
+      .localCheckpoint()
+    if (!spark.catalog.tableExists(deltaTable))
+      delta.write.partitionBy("gen").format("parquet").saveAsTable(deltaTable)
+    else
+      delta.write.mode("append").insertInto(deltaTable)
+  }
+
+  /** Fold accumulated deltas back into the bucketed base — ONE full
+    * rewrite (write-to-next + catalog rename, never a second copy), then
+    * the delta table is cleared. Run on a cadence that keeps the delta
+    * set broadcast-sized; between compactions reads stay merge-on-read. */
+  def assignmentCompact(spark: SparkSession, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    val next = s"${prefix}_base_next"
+    graft.sources.GraftIO.writeBucketed(
+      assignmentCurrent(spark, prefix), next, "node", nBuckets, Seq("node"))
+    graft.sources.GraftIO.dropManaged(spark, s"${prefix}_base")
+    graft.sources.GraftIO.dropManaged(spark, s"${prefix}_delta")
+    spark.sql(s"ALTER TABLE `$next` RENAME TO `${prefix}_base`")
   }
 
   val g01Sql: String =

@@ -56,12 +56,21 @@ object GraftIO {
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
       nBuckets: Int, sortCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
-    // The catalog is in-memory per JVM but table locations persist on disk:
-    // a previous run's orphan directory blocks saveAsTable (overwrite only
-    // replaces tables the CURRENT catalog knows). Resolve the location from
-    // the catalog entry when the table exists (it may not sit at the
-    // default path), THEN drop both, so the write is idempotent across
-    // sessions.
+    dropManaged(spark, table)
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Drop a managed table AND its on-disk directory. The catalog is
+    * in-memory per JVM but table locations persist on disk: a previous
+    * run's orphan directory blocks saveAsTable (overwrite only replaces
+    * tables the CURRENT catalog knows). Resolve the location from the
+    * catalog entry when the table exists (it may not sit at the default
+    * path), THEN drop both, so managed-table writes are idempotent
+    * across sessions. */
+  def dropManaged(spark: SparkSession, table: String): Unit = {
     val catalog = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(table)
     val locUri =
@@ -74,10 +83,6 @@ object GraftIO {
       val fs = p.getFileSystem(fs0)
       if (fs.exists(p)) fs.delete(p, true)
     }
-    val w = df.write.mode("overwrite").format("parquet")
-      .bucketBy(nBuckets, bucketCol)
-    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
-      .saveAsTable(table)
   }
 
   /** Read a bucketed table back (scan exposes the bucketing to the

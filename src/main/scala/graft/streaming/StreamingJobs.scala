@@ -476,6 +476,36 @@ object StreamingJobs {
         col("neardup_of"), col("est_jaccard"))
   }
 
+  // ------------------------------------------------------ incremental components
+  /** Streaming face of g07: each micro-batch of (a, b) edges merges into
+    * the standing component assignment kept in
+    * [[graft.operators.Components]]' merge-on-read store (bucketed base
+    * + per-gen delta partitions) — continuous graph clustering for a
+    * continuously-ingesting dedup pipeline, completing the standing-index
+    * trilogy (d07 exact, d08/neardupProbeStream near-dup, this for the
+    * canonical-cluster step).
+    *
+    * foreachBatch, not a stateful operator, and deliberately so: the
+    * state here is the CORPUS-sized assignment, which belongs in a
+    * bucketed table the whole pipeline can read, not in a state store
+    * keyed by... nothing (component merges are cross-key by nature, the
+    * one shape flatMapGroupsWithState cannot express). The batch id is
+    * the delta generation, and replay-on-failure is idempotent by
+    * construction: a replayed batch recomputes its delta against a
+    * standing view that already holds its rows, so it appends nothing
+    * (spec-pinned). Per-trigger cost: the label-graph fixpoint (bounded by
+    * the batch) + one delta-partition write (bounded by the batch's
+    * impact); the corpus-sized base is only ever rewritten by
+    * [[graft.operators.Components.assignmentCompact]] on the caller's
+    * cadence. */
+  def componentsStream(edges: DataFrame, tablePrefix: String = "graft_ccs")
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    edges.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.Components.assignmentMergeBatch(batch, tablePrefix, id)
+      }
+
   // ------------------------------------------------------------ dominant keys
   /** Streaming face of c11's heavy-hitter sketch: per tumbling-window
     * dominant keys via the native Misra–Gries aggregate

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Components
+import graft.streaming.StreamingJobs
+
+/** Round-7 incremental-components streaming specs: the merge-on-read
+  * standing-assignment store must converge to the full-graph recompute
+  * regardless of how edges are sliced into micro-batches, per-gen delta
+  * volume must track batch impact (a replayed/no-op batch writes zero
+  * rows), and compaction must fold deltas into the bucketed base without
+  * changing the assignment. Each test owns its table prefix so it passes
+  * under a lone test filter. */
+class Round7ComponentsStreamSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def fullAssignment(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
+      localEdgeThreshold = 0).as[(Long, Long)].collect().toMap
+
+  private def storeAssignment(prefix: String): Map[Long, Long] =
+    Components.assignmentCurrent(spark, prefix)
+      .as[(Long, Long)].collect().toMap
+
+  private def dropStore(prefix: String): Unit =
+    for (t <- Seq("_base", "_delta", "_base_next"))
+      graft.sources.GraftIO.dropManaged(spark, prefix + t)
+
+  test("componentsStream: micro-batched edges converge to the full recompute; " +
+      "a replayed batch writes an empty delta; compaction preserves the result") {
+    implicit val sc = spark.sqlContext
+    val prefix = "graft_ccs_a"
+    dropStore(prefix)
+    val edges = Components.docGraphEdges(
+        Tables(spark, sfDir).documents.select("doc_id"))
+      .as[(Long, Long)].collect().toSeq
+    val batches = edges.zipWithIndex.groupMap(_._2 % 3)(_._1)
+    val ckpt = java.nio.file.Files.createTempDirectory("ccs_a").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingJobs.componentsStream(mem.toDF.toDF("a", "b"), prefix)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      for (i <- 0 to 2) {
+        mem.addData(batches(i))
+        q.processAllAvailable()
+      }
+      assert(storeAssignment(prefix) === fullAssignment(edges))
+      // gen 3: replay batch 0 — every edge already merged, so the delta
+      // partition for that generation must be EMPTY (per-trigger write
+      // volume tracks batch impact, not corpus size)
+      mem.addData(batches(0))
+      q.processAllAvailable()
+      val gen3 = spark.table(s"${prefix}_delta").filter(col("gen") === 3L).count()
+      assert(gen3 === 0L)
+    } finally q.stop()
+    // compaction folds deltas into the bucketed base, result unchanged
+    val before = storeAssignment(prefix)
+    Components.assignmentCompact(spark, prefix)
+    assert(!spark.catalog.tableExists(s"${prefix}_delta"))
+    assert(storeAssignment(prefix) === before)
+    // and the compacted base keeps serving merges: a bridge between the
+    // two lowest component roots must union their clusters
+    val roots = before.values.toSeq.distinct.sorted.take(2)
+    Components.assignmentMergeBatch(Seq((roots(0), roots(1))).toDF("a", "b"),
+      prefix, gen = 100L)
+    val after = storeAssignment(prefix)
+    assert(after === fullAssignment(edges :+ (roots(0), roots(1))))
+    dropStore(prefix)
+  }
+
+  test("componentsStream: bootstrap from a standing assignment, stream the rest") {
+    implicit val sc = spark.sqlContext
+    val prefix = "graft_ccs_b"
+    dropStore(prefix)
+    // g07's split, evaluated engine-side so it matches the operator
+    // exactly: hash-selected ~20% plays the incoming stream
+    val tagged = Components.docGraphEdges(
+        Tables(spark, sfDir).documents.select("doc_id"))
+      .withColumn("n", pmod(xxhash64(col("a"), col("b")), lit(5)) === 0)
+      .as[(Long, Long, Boolean)].collect()
+    val edges = tagged.map(t => (t._1, t._2)).toSeq
+    val inc = tagged.filter(_._3).map(t => (t._1, t._2)).toSeq
+    val stand = tagged.filterNot(_._3).map(t => (t._1, t._2)).toSeq
+    Components.assignmentBootstrap(
+      Components.connectedComponents(stand.toDF("a", "b"), "a", "b",
+        localEdgeThreshold = 0), prefix)
+    val ckpt = java.nio.file.Files.createTempDirectory("ccs_b").toString
+    val mem = MemoryStream[(Long, Long)]
+    val q = StreamingJobs.componentsStream(mem.toDF.toDF("a", "b"), prefix)
+      .option("checkpointLocation", ckpt).start()
+    try {
+      val halves = inc.zipWithIndex.groupMap(_._2 % 2)(_._1)
+      for (i <- 0 to 1) {
+        mem.addData(halves(i))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(storeAssignment(prefix) === fullAssignment(edges))
+    dropStore(prefix)
+  }
+}
