@@ -330,23 +330,33 @@ object Components {
   // GraftIO.writeBucketed.
 
   /** Seed (or re-seed) the standing store from a full assignment (e.g. a
-    * one-time [[connectedComponents]] run), clearing any deltas. */
+    * one-time [[connectedComponents]] run), clearing any deltas and any
+    * leftover compaction intermediates. */
   def assignmentBootstrap(assign: DataFrame, prefix: String,
       nBuckets: Int = 8): Unit = {
     graft.sources.GraftIO.writeBucketed(assign.select("node", "component"),
       s"${prefix}_base", "node", nBuckets, Seq("node"))
-    graft.sources.GraftIO.dropManaged(assign.sparkSession, s"${prefix}_delta")
+    for (t <- Seq("_delta", "_base_next", "_base_old"))
+      graft.sources.GraftIO.dropManaged(assign.sparkSession, prefix + t)
   }
 
   /** The current (node, component) assignment: base overlaid with the
     * latest delta per node. Missing tables read as empty, so a stream
-    * can start cold against an un-bootstrapped prefix. */
+    * can start cold against an un-bootstrapped prefix — EXCEPT in
+    * [[assignmentCompact]]'s mid-swap crash window (`_base` renamed away,
+    * `_base_next` not yet renamed into place): there the complete
+    * `_next` image is authoritative and is read in place of the base
+    * rather than silently treating the store as empty. Overlaying the
+    * deltas `_next` already folded is idempotent (same component per
+    * node), so the fallback needs no special delta handling. */
   def assignmentCurrent(spark: SparkSession, prefix: String): DataFrame = {
     val emptyAssign = spark.range(0)
       .select(col("id").as("node"), col("id").as("component"))
     val base =
       if (spark.catalog.tableExists(s"${prefix}_base"))
         spark.table(s"${prefix}_base").select("node", "component")
+      else if (spark.catalog.tableExists(s"${prefix}_base_next"))
+        spark.table(s"${prefix}_base_next").select("node", "component")
       else emptyAssign
     if (!spark.catalog.tableExists(s"${prefix}_delta")) base
     else {
@@ -378,22 +388,53 @@ object Components {
       .localCheckpoint()
     if (!spark.catalog.tableExists(deltaTable))
       delta.write.partitionBy("gen").format("parquet").saveAsTable(deltaTable)
-    else
+    else {
+      // gen is the delta's last-writer-wins arbiter (assignmentCurrent's
+      // max_by): an append BELOW the standing max would let stale rows
+      // shadow newer ones. Equality is allowed — it is exactly the
+      // foreachBatch same-query retry, whose recomputed delta is empty.
+      val maxGen = spark.table(deltaTable).agg(max(col("gen"))).head.get(0)
+      require(maxGen == null || gen >= maxGen.asInstanceOf[Long],
+        s"non-monotone delta generation $gen ≤ standing max $maxGen for " +
+          s"'$prefix' — a new stream over an existing store must anchor its " +
+          "gens above the standing max (componentsStream does) or compact first")
       delta.write.mode("append").insertInto(deltaTable)
+    }
   }
 
   /** Fold accumulated deltas back into the bucketed base — ONE full
     * rewrite (write-to-next + catalog rename, never a second copy), then
-    * the delta table is cleared. Run on a cadence that keeps the delta
-    * set broadcast-sized; between compactions reads stay merge-on-read. */
+    * the delta table is cleared. The swap is ordered so the store is
+    * NEVER without a complete base image (r7 ADVICE: dropping base+delta
+    * before the rename left a crash window where [[assignmentCurrent]]
+    * silently read an empty store): write `_next`, rename `_base` aside
+    * to `_old`, rename `_next` into place, THEN drop `_old` and
+    * `_delta`. Every crash window leaves either `_base`(+`_delta`)
+    * intact or a complete `_next` (which [[assignmentCurrent]] falls
+    * back to); re-running compact heals whichever it finds. Run on a
+    * cadence that keeps the delta set broadcast-sized; between
+    * compactions reads stay merge-on-read. SINGLE-WRITER per prefix. */
   def assignmentCompact(spark: SparkSession, prefix: String,
       nBuckets: Int = 8): Unit = {
+    val base = s"${prefix}_base"
     val next = s"${prefix}_base_next"
+    val old = s"${prefix}_base_old"
+    // heal a crashed predecessor: a `_next` with no `_base` means its swap
+    // began (so `_next` is complete and its folded deltas are obsolete) —
+    // finish it. Any other leftover `_next`/`_old` is stale: drop.
+    if (!spark.catalog.tableExists(base) && spark.catalog.tableExists(next)) {
+      spark.sql(s"ALTER TABLE `$next` RENAME TO `$base`")
+      graft.sources.GraftIO.dropManaged(spark, s"${prefix}_delta")
+    }
+    graft.sources.GraftIO.dropManaged(spark, next)
+    graft.sources.GraftIO.dropManaged(spark, old)
     graft.sources.GraftIO.writeBucketed(
       assignmentCurrent(spark, prefix), next, "node", nBuckets, Seq("node"))
-    graft.sources.GraftIO.dropManaged(spark, s"${prefix}_base")
+    if (spark.catalog.tableExists(base))
+      spark.sql(s"ALTER TABLE `$base` RENAME TO `$old`")
+    spark.sql(s"ALTER TABLE `$next` RENAME TO `$base`")
+    graft.sources.GraftIO.dropManaged(spark, old)
     graft.sources.GraftIO.dropManaged(spark, s"${prefix}_delta")
-    spark.sql(s"ALTER TABLE `$next` RENAME TO `${prefix}_base`")
   }
 
   val g01Sql: String =

@@ -393,7 +393,13 @@ object DedupOps {
       .agg(
         min(when(col("src") === "index", col("doc_b"))).as("index_partner"),
         min(when(col("src") === "batch", col("doc_b"))).as("batch_partner"),
-        max(col("jaccard")).as("best_jaccard"))
+        // the reported jaccard describes the CHOSEN partner (min index
+        // partner, else min batch partner) — r7 ADVICE: a plain max()
+        // over all verified partners could describe a different doc
+        // than neardup_of names
+        min_by(col("jaccard"),
+          struct(when(col("src") === "index", 0).otherwise(1).as("pri"),
+            col("doc_b").as("d"))).as("neardup_jaccard"))
     docs.filter(isIncoming).select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -402,7 +408,7 @@ object DedupOps {
           .otherwise(lit("new")).as("status"),
         when(col("index_partner").isNotNull, col("index_partner"))
           .otherwise(col("batch_partner")).as("neardup_of"),
-        col("best_jaccard"))
+        col("neardup_jaccard"))
       .orderBy("doc_id")
   }
 

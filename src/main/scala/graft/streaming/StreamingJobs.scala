@@ -463,13 +463,17 @@ object StreamingJobs {
         when(col("partner_id").isNotNull,
           DedupOps.estJaccard(col("sketch"), col("p_sketch"))))
       .withColumn("hit", col("partner_id").isNotNull && col("est_j") >= threshold)
-    // per-doc best partner: min/max fold over the (band × partner) match
-    // rows — band multiplicity collapses inside the aggregate, emitted
-    // once the watermark passes the doc's event time
+    // per-doc chosen partner: min/min_by fold over the (band × partner)
+    // match rows — band multiplicity collapses inside the aggregate,
+    // emitted once the watermark passes the doc's event time.
+    // est_jaccard describes neardup_of's partner specifically (min_by on
+    // the same ordering that picks it), not the best over all partners
+    // (r7 ADVICE: the two could name different docs)
     matched
       .groupBy(col("doc_id"), col("ts"))
       .agg(min(when(col("hit"), col("partner_id"))).as("neardup_of"),
-        max(when(col("hit"), col("est_j"))).as("est_jaccard"))
+        min_by(when(col("hit"), col("est_j")),
+          when(col("hit"), col("partner_id"))).as("est_jaccard"))
       .select(col("doc_id"), col("ts"),
         when(col("neardup_of").isNotNull, lit("known_neardup"))
           .otherwise(lit("new")).as("status"),
@@ -489,22 +493,38 @@ object StreamingJobs {
     * state here is the CORPUS-sized assignment, which belongs in a
     * bucketed table the whole pipeline can read, not in a state store
     * keyed by... nothing (component merges are cross-key by nature, the
-    * one shape flatMapGroupsWithState cannot express). The batch id is
-    * the delta generation, and replay-on-failure is idempotent by
-    * construction: a replayed batch recomputes its delta against a
-    * standing view that already holds its rows, so it appends nothing
-    * (spec-pinned). Per-trigger cost: the label-graph fixpoint (bounded by
-    * the batch) + one delta-partition write (bounded by the batch's
-    * impact); the corpus-sized base is only ever rewritten by
+    * one shape flatMapGroupsWithState cannot express). The delta
+    * generation is the batch id ANCHORED above the store's standing max
+    * gen, resolved once at query start: batch ids restart at 0 under a
+    * fresh checkpoint, and reusing low gens against an existing store
+    * would let assignmentCurrent's last-writer-wins max_by prefer STALE
+    * high-gen deltas over this query's writes (r7 ADVICE);
+    * assignmentMergeBatch asserts the resulting monotonicity.
+    * Replay-on-failure is idempotent by construction: a replayed batch
+    * recomputes its delta against a standing view that already holds its
+    * rows, so it appends nothing (spec-pinned). Per-trigger cost: the
+    * label-graph fixpoint (bounded by the batch) + one delta-partition
+    * write (bounded by the batch's impact); the corpus-sized base is
+    * only ever rewritten by
     * [[graft.operators.Components.assignmentCompact]] on the caller's
     * cadence. */
   def componentsStream(edges: DataFrame, tablePrefix: String = "graft_ccs")
-      : DataStreamWriter[org.apache.spark.sql.Row] =
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = edges.sparkSession
+    val genBase: Long =
+      if (!spark.catalog.tableExists(s"${tablePrefix}_delta")) 0L
+      else spark.table(s"${tablePrefix}_delta").agg(max(col("gen"))).head.get(0)
+        match {
+          case null => 0L
+          case g => g.asInstanceOf[Long] + 1L
+        }
     edges.writeStream
       .outputMode(OutputMode.Update())
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.operators.Components.assignmentMergeBatch(batch, tablePrefix, id)
+        graft.operators.Components.assignmentMergeBatch(batch, tablePrefix,
+          genBase + id)
       }
+  }
 
   // ------------------------------------------------------------ dominant keys
   /** Streaming face of c11's heavy-hitter sketch: per tumbling-window

@@ -114,7 +114,7 @@ class Round7NeardupStreamSpec extends GraftSpecBase {
       .collect().map(r => r.getLong(0) ->
         (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
     val batch = graft.operators.DedupOps.d08IncrementalNeardup(spark, sfDir)
-      .select(col("doc_id"), col("status"), col("best_jaccard"))
+      .select(col("doc_id"), col("status"), col("neardup_jaccard"))
       .collect().map(r => r.getLong(0) ->
         (r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Double]))).toMap
     // every incoming doc emitted exactly once (the sentinel stays pending —

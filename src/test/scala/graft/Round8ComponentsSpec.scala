@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.Components
+import graft.streaming.StreamingJobs
+
+/** Round-8 standing-assignment-store specs (r7 ADVICE): compaction's
+  * rename-ordered swap must leave the store readable through every crash
+  * window (the r7 drop-then-rename left a window with neither base nor
+  * delta), delta generations must be append-monotone, and a NEW stream
+  * over a fresh checkpoint against an existing store must anchor its gens
+  * above the standing max so last-writer-wins can't prefer stale rows. */
+class Round8ComponentsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def fullAssignment(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
+      localEdgeThreshold = 0).as[(Long, Long)].collect().toMap
+
+  private def storeAssignment(prefix: String): Map[Long, Long] =
+    Components.assignmentCurrent(spark, prefix)
+      .as[(Long, Long)].collect().toMap
+
+  private def dropStore(prefix: String): Unit =
+    for (t <- Seq("_base", "_delta", "_base_next", "_base_old"))
+      graft.sources.GraftIO.dropManaged(spark, prefix + t)
+
+  test("assignmentCompact mid-swap crash window: current falls back to the " +
+      "complete _next image; re-running compact heals the store") {
+    val prefix = "graft_ccs_r8a"
+    dropStore(prefix)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    Components.assignmentBootstrap(
+      Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        localEdgeThreshold = 0), prefix)
+    Components.assignmentMergeBatch(Seq((3L, 10L)).toDF("a", "b"), prefix, 0L)
+    val want = fullAssignment(edges :+ (3L, 10L))
+    assert(storeAssignment(prefix) === want)
+    // simulate the crash window: compact wrote a complete `_next` and
+    // renamed `_base` away, then died before renaming `_next` into place
+    graft.sources.GraftIO.writeBucketed(
+      Components.assignmentCurrent(spark, prefix),
+      s"${prefix}_base_next", "node", 8, Seq("node"))
+    graft.sources.GraftIO.dropManaged(spark, s"${prefix}_base")
+    assert(!spark.catalog.tableExists(s"${prefix}_base"))
+    // the store is NOT silently empty: `_next` is authoritative
+    assert(storeAssignment(prefix) === want)
+    // a re-run compact finishes the swap and clears the intermediates
+    Components.assignmentCompact(spark, prefix)
+    assert(spark.catalog.tableExists(s"${prefix}_base"))
+    assert(!spark.catalog.tableExists(s"${prefix}_base_next"))
+    assert(!spark.catalog.tableExists(s"${prefix}_base_old"))
+    assert(!spark.catalog.tableExists(s"${prefix}_delta"))
+    assert(storeAssignment(prefix) === want)
+    // and the healed store keeps serving merges
+    Components.assignmentMergeBatch(Seq((11L, 20L)).toDF("a", "b"), prefix, 5L)
+    assert(storeAssignment(prefix) ===
+      fullAssignment(edges ++ Seq((3L, 10L), (11L, 20L))))
+    dropStore(prefix)
+  }
+
+  test("assignmentMergeBatch rejects a non-monotone delta generation") {
+    val prefix = "graft_ccs_r8b"
+    dropStore(prefix)
+    Components.assignmentBootstrap(
+      Components.connectedComponents(Seq((1L, 2L)).toDF("a", "b"), "a", "b",
+        localEdgeThreshold = 0), prefix)
+    Components.assignmentMergeBatch(Seq((2L, 3L)).toDF("a", "b"), prefix, 7L)
+    val e = intercept[IllegalArgumentException] {
+      Components.assignmentMergeBatch(Seq((3L, 4L)).toDF("a", "b"), prefix, 6L)
+    }
+    assert(e.getMessage.contains("non-monotone"))
+    // equality (the foreachBatch same-query retry) is allowed
+    Components.assignmentMergeBatch(Seq((2L, 3L)).toDF("a", "b"), prefix, 7L)
+    assert(storeAssignment(prefix) === fullAssignment(Seq((1L, 2L), (2L, 3L))))
+    dropStore(prefix)
+  }
+
+  test("componentsStream: a new query with a FRESH checkpoint anchors gens " +
+      "above the standing max — stale deltas can't win last-writer-wins") {
+    implicit val sc = spark.sqlContext
+    val prefix = "graft_ccs_r8c"
+    dropStore(prefix)
+    val first = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val ck1 = java.nio.file.Files.createTempDirectory("ccs_r8c1").toString
+    val mem1 = MemoryStream[(Long, Long)]
+    val q1 = StreamingJobs.componentsStream(mem1.toDF.toDF("a", "b"), prefix)
+      .option("checkpointLocation", ck1).start()
+    try {
+      mem1.addData(first.take(2)); q1.processAllAvailable()
+      mem1.addData(first.drop(2)); q1.processAllAvailable()
+    } finally q1.stop()
+    val maxGen1 = spark.table(s"${prefix}_delta")
+      .agg(max(col("gen"))).head.getLong(0)
+    assert(storeAssignment(prefix) === fullAssignment(first))
+    // second query, FRESH checkpoint (batch ids restart at 0), same store.
+    // Its batches MERGE previously-separate clusters — exactly the rows a
+    // stale-gen writer would shadow.
+    val second = Seq((3L, 10L), (11L, 20L))
+    val ck2 = java.nio.file.Files.createTempDirectory("ccs_r8c2").toString
+    val mem2 = MemoryStream[(Long, Long)]
+    val q2 = StreamingJobs.componentsStream(mem2.toDF.toDF("a", "b"), prefix)
+      .option("checkpointLocation", ck2).start()
+    try {
+      mem2.addData(second.take(1)); q2.processAllAvailable()
+      mem2.addData(second.drop(1)); q2.processAllAvailable()
+    } finally q2.stop()
+    val gens2 = spark.table(s"${prefix}_delta")
+      .select("gen").distinct().as[Long].collect().toSet
+    assert(gens2.exists(_ > maxGen1), s"new query reused gens ≤ $maxGen1: $gens2")
+    assert(storeAssignment(prefix) === fullAssignment(first ++ second))
+    dropStore(prefix)
+  }
+}
