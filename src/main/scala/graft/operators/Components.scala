@@ -404,38 +404,21 @@ object Components {
 
   /** Fold accumulated deltas back into the bucketed base — ONE full
     * rewrite (write-to-next + catalog rename, never a second copy), then
-    * the delta table is cleared. The swap is ordered so the store is
-    * NEVER without a complete base image (r7 ADVICE: dropping base+delta
-    * before the rename left a crash window where [[assignmentCurrent]]
-    * silently read an empty store): write `_next`, rename `_base` aside
-    * to `_old`, rename `_next` into place, THEN drop `_old` and
-    * `_delta`. Every crash window leaves either `_base`(+`_delta`)
-    * intact or a complete `_next` (which [[assignmentCurrent]] falls
-    * back to); re-running compact heals whichever it finds. Run on a
-    * cadence that keeps the delta set broadcast-sized; between
-    * compactions reads stay merge-on-read. SINGLE-WRITER per prefix. */
+    * the delta table is cleared. The rename-ordered swap
+    * ([[graft.sources.GraftIO.compactSwap]], shared with the near-dup
+    * band-index store) keeps the store readable through every crash
+    * window (r7 ADVICE: dropping base+delta before the rename left a
+    * window where [[assignmentCurrent]] silently read an empty store);
+    * re-running compact heals whatever a crash left. Run on a cadence
+    * that keeps the delta set broadcast-sized; between compactions reads
+    * stay merge-on-read. SINGLE-WRITER per prefix. */
   def assignmentCompact(spark: SparkSession, prefix: String,
-      nBuckets: Int = 8): Unit = {
-    val base = s"${prefix}_base"
-    val next = s"${prefix}_base_next"
-    val old = s"${prefix}_base_old"
-    // heal a crashed predecessor: a `_next` with no `_base` means its swap
-    // began (so `_next` is complete and its folded deltas are obsolete) —
-    // finish it. Any other leftover `_next`/`_old` is stale: drop.
-    if (!spark.catalog.tableExists(base) && spark.catalog.tableExists(next)) {
-      spark.sql(s"ALTER TABLE `$next` RENAME TO `$base`")
-      graft.sources.GraftIO.dropManaged(spark, s"${prefix}_delta")
+      nBuckets: Int = 8): Unit =
+    graft.sources.GraftIO.compactSwap(spark, s"${prefix}_base",
+        Seq(s"${prefix}_delta")) { next =>
+      graft.sources.GraftIO.writeBucketed(
+        assignmentCurrent(spark, prefix), next, "node", nBuckets, Seq("node"))
     }
-    graft.sources.GraftIO.dropManaged(spark, next)
-    graft.sources.GraftIO.dropManaged(spark, old)
-    graft.sources.GraftIO.writeBucketed(
-      assignmentCurrent(spark, prefix), next, "node", nBuckets, Seq("node"))
-    if (spark.catalog.tableExists(base))
-      spark.sql(s"ALTER TABLE `$base` RENAME TO `$old`")
-    spark.sql(s"ALTER TABLE `$next` RENAME TO `$base`")
-    graft.sources.GraftIO.dropManaged(spark, old)
-    graft.sources.GraftIO.dropManaged(spark, s"${prefix}_delta")
-  }
 
   val g01Sql: String =
     s"""WITH RECURSIVE chain AS (

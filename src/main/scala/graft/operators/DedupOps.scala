@@ -310,6 +310,197 @@ object DedupOps {
       d03DedupMinhash(spark, dir).filter(col("jaccard") >= 0.5),
       "doc_a", "doc_b")
 
+  // ------------------------------------- standing band-index store
+  // The persisted substrate d08 / neardupProbeStream probe, WITH the
+  // maintenance lifecycle that makes incremental near-dup self-sustaining
+  // batch over batch (r7 VERDICT: without it the index never learns the
+  // batch it just probed). Mirrors [[Components]]' merge-on-read
+  // assignment store:
+  //   <prefix>_bands_base   (doc_id, band, key) bucketed+sorted on key —
+  //                         probe joins read it with zero index-side
+  //                         shuffle; rewritten only by
+  //                         [[neardupIndexCompact]];
+  //   <prefix>_bands_delta  same columns, partitioned by gen — one
+  //                         partition per appended batch;
+  //   <prefix>_sk_base      (doc_id, sketch) bucketed on doc_id — the
+  //                         corpus-side bottom-k sketches the STREAMING
+  //                         probe scores against (the batch probe
+  //                         re-verifies with exact shingles instead);
+  //   <prefix>_sk_delta     partitioned by gen.
+  // Unlike the assignment store there is no last-writer-wins: a
+  // document's sketch is immutable, so the current view is a plain
+  // base ∪ delta union and a replayed append is idempotent via per-gen
+  // dynamic partition overwrite (same batch ⇒ same rows ⇒ same
+  // partition). Delta tables exist (empty) from bootstrap on, so a
+  // streaming query's captured static-side plan covers future appends.
+  //
+  // The degenerate-bucket cap is applied over the COMBINED relation at
+  // read time ([[neardupIndexBands]]), NOT at write time: the cap is
+  // monotone under appends (a key over the cap can only stay over), so
+  // capping either side alone diverges from a from-scratch rebuild —
+  // a batch-capped append would keep base rows of a key the union
+  // judges oversized, and a base-capped bootstrap would let a later
+  // batch resurrect a key the full corpus already disqualified. Storing
+  // raw costs nothing extra (the index is always ≤ NumBands rows/doc;
+  // the cap only ever bounded JOIN fan-out, which the read-time filter
+  // bounds identically). At 100 TB the oversized-key relation (tiny —
+  // degenerate keys only) would be materialized at compact time rather
+  // than re-aggregated per probe.
+
+  /** Row-local (doc_id, sketch) relation of a (doc_id, text) corpus —
+    * narrow, no shuffle ([[inlineSketch]], bit-parity with the
+    * aggregate path per Round7NeardupStreamSpec). */
+  private[graft] def sketchRelation(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), inlineSketch(col("text")).as("sketch"))
+
+  /** (doc_id, band, key) band rows of a sketch relation. */
+  private[graft] def bandRows(sketches: DataFrame): DataFrame =
+    sketches.select(col("doc_id"), explode(bandKeys(col("sketch"))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+
+  private def baseOrNext(spark: SparkSession, base: String): DataFrame =
+    if (spark.catalog.tableExists(base)) spark.table(base)
+    else if (spark.catalog.tableExists(s"${base}_next")) spark.table(s"${base}_next")
+    else spark.emptyDataFrame
+
+  /** Create a gen-partitioned delta table holding zero rows: appends
+    * land as partitions of an already-known table, so static-side scans
+    * captured by a running stream see them on the next trigger. */
+  private def createEmptyDelta(spark: SparkSession, table: String,
+      like: DataFrame): Unit = {
+    graft.sources.GraftIO.dropManaged(spark, table)
+    like.where(lit(false)).withColumn("gen", lit(0L))
+      .write.partitionBy("gen").format("parquet").saveAsTable(table)
+  }
+
+  private def writeDelta(df: DataFrame, table: String): Unit =
+    if (!df.sparkSession.catalog.tableExists(table))
+      df.write.partitionBy("gen").format("parquet").saveAsTable(table)
+    else df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").insertInto(table)
+
+  /** Seed (or re-seed) the standing near-dup index from a corpus of
+    * (doc_id, text) rows, clearing deltas and any crashed-compaction
+    * intermediates. One-time per corpus generation. */
+  def neardupIndexBootstrap(docs: DataFrame, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    graft.functions.Ngrams.register(spark)
+    val sk = sketchRelation(docs)
+    for (t <- Seq("_bands_base_next", "_bands_base_old", "_sk_base_next",
+        "_sk_base_old"))
+      graft.sources.GraftIO.dropManaged(spark, prefix + t)
+    graft.sources.GraftIO.writeBucketed(bandRows(sk),
+      s"${prefix}_bands_base", "key", nBuckets, Seq("key"))
+    graft.sources.GraftIO.writeBucketed(sk,
+      s"${prefix}_sk_base", "doc_id", nBuckets, Seq("doc_id"))
+    createEmptyDelta(spark, s"${prefix}_bands_delta",
+      spark.table(s"${prefix}_bands_base"))
+    createEmptyDelta(spark, s"${prefix}_sk_delta",
+      spark.table(s"${prefix}_sk_base"))
+  }
+
+  /** Append one batch's signatures to the standing index — the step that
+    * makes the next batch see THIS batch's docs as `known_neardup`.
+    * Gen is the batch's identity: appends must be gen-monotone (mirroring
+    * [[Components.assignmentMergeBatch]]; a streaming caller anchors its
+    * batch ids above the standing max), and a same-gen replay OVERWRITES
+    * its own partition — the foreachBatch at-least-once retry recomputes
+    * identical rows, so the append is idempotent. Doc ids are
+    * append-once across gens (a doc's sketch is immutable). */
+  def neardupIndexAppend(batchDocs: DataFrame, prefix: String,
+      gen: Long): Unit = {
+    val spark = batchDocs.sparkSession
+    graft.functions.Ngrams.register(spark)
+    val bandsDelta = s"${prefix}_bands_delta"
+    if (spark.catalog.tableExists(bandsDelta)) {
+      val maxGen = spark.table(bandsDelta).agg(max(col("gen"))).head.get(0)
+      require(maxGen == null || gen >= maxGen.asInstanceOf[Long],
+        s"non-monotone index generation $gen < standing max $maxGen for " +
+          s"'$prefix' — a new stream over an existing store must anchor its " +
+          "gens above the standing max or compact first")
+    }
+    val sk = sketchRelation(batchDocs)
+    writeDelta(sk.withColumn("gen", lit(gen))
+      .select("doc_id", "sketch", "gen"), s"${prefix}_sk_delta")
+    writeDelta(bandRows(sk).withColumn("gen", lit(gen))
+      .select("doc_id", "band", "key", "gen"), bandsDelta)
+  }
+
+  /** The current capped band index: base ∪ delta minus oversized keys.
+    * The per-key counts aggregate partition-locally on the bucketed base
+    * (grouping keys ⊇ the bucket key, so no exchange) and shuffle only
+    * the batch-bounded delta; only degenerate keys survive the > cap
+    * filter, so the exclusion join broadcasts. */
+  def neardupIndexBands(spark: SparkSession, prefix: String,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val base = baseOrNext(spark, s"${prefix}_bands_base")
+    val deltaT = s"${prefix}_bands_delta"
+    val all =
+      if (!spark.catalog.tableExists(deltaT)) base
+      else base.unionByName(
+        spark.table(deltaT).select("doc_id", "band", "key"))
+    val nb = base.groupBy(col("band"), col("key")).agg(count(lit(1)).as("nb"))
+    val oversized =
+      if (!spark.catalog.tableExists(deltaT))
+        nb.filter(col("nb") > maxBucket).select("band", "key")
+      else {
+        val nd = spark.table(deltaT).groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("nd"))
+        nb.join(nd, Seq("band", "key"), "full_outer")
+          .filter(coalesce(col("nb"), lit(0L)) + coalesce(col("nd"), lit(0L))
+            > maxBucket)
+          .select("band", "key")
+      }
+    all.join(broadcast(oversized), Seq("band", "key"), "left_anti")
+  }
+
+  /** The current (doc_id, sketch) relation: base ∪ delta. */
+  def neardupIndexSketches(spark: SparkSession, prefix: String): DataFrame = {
+    val base = baseOrNext(spark, s"${prefix}_sk_base")
+    val deltaT = s"${prefix}_sk_delta"
+    if (!spark.catalog.tableExists(deltaT)) base
+    else base.unionByName(spark.table(deltaT).select("doc_id", "sketch"))
+  }
+
+  /** Fold accumulated deltas back into the bucketed bases — two
+    * [[graft.sources.GraftIO.compactSwap]]s (bands, then sketches), each
+    * crash-safe alone; a crash between them leaves one table compacted
+    * and the other merge-on-read, both still serving the exact current
+    * view. Empty deltas are recreated so running streams' captured scans
+    * stay valid. SINGLE-WRITER per prefix. */
+  def neardupIndexCompact(spark: SparkSession, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    graft.sources.GraftIO.compactSwap(spark, s"${prefix}_bands_base",
+        Seq(s"${prefix}_bands_delta")) { next =>
+      // raw union, cap stays read-time: compacting away oversized keys
+      // would forget their counts and let a later batch resurrect them
+      val base = baseOrNext(spark, s"${prefix}_bands_base")
+      val deltaT = s"${prefix}_bands_delta"
+      val all =
+        if (!spark.catalog.tableExists(deltaT)) base
+        else base.unionByName(spark.table(deltaT).select("doc_id", "band", "key"))
+      graft.sources.GraftIO.writeBucketed(all, next, "key", nBuckets, Seq("key"))
+    }
+    createEmptyDelta(spark, s"${prefix}_bands_delta",
+      spark.table(s"${prefix}_bands_base"))
+    graft.sources.GraftIO.compactSwap(spark, s"${prefix}_sk_base",
+        Seq(s"${prefix}_sk_delta")) { next =>
+      graft.sources.GraftIO.writeBucketed(
+        neardupIndexSketches(spark, prefix), next, "doc_id", nBuckets,
+        Seq("doc_id"))
+    }
+    createEmptyDelta(spark, s"${prefix}_sk_delta",
+      spark.table(s"${prefix}_sk_base"))
+  }
+
+  /** Drop every table of a store prefix (specs / teardown). */
+  def neardupIndexDrop(spark: SparkSession, prefix: String): Unit =
+    for (t <- Seq("_bands_base", "_bands_delta", "_bands_base_next",
+        "_bands_base_old", "_sk_base", "_sk_delta", "_sk_base_next",
+        "_sk_base_old"))
+      graft.sources.GraftIO.dropManaged(spark, prefix + t)
+
   // ---------------------------------------------------------------- d08
   /** Incoming-batch selector (d07's discipline): every 5th document plays
     * the newly-crawled batch, the rest the standing corpus. */
@@ -329,47 +520,62 @@ object DedupOps {
 
   /** d08: incremental NEAR-dup detection — d07's analog for the LSH
     * family, and the shape a continually-ingesting 100 TB corpus actually
-    * runs: the incoming batch's band signatures probe a PERSISTED band
-    * index (the corpus-side (doc_id, band, key) relation written bucketed
-    * on the band key — [[graft.sources.GraftIO.writeBucketed]]) instead
-    * of re-LSH-ing the world, plus d03's self-join within the batch.
-    * Candidates from both probes are verified with exact Jaccard (≥ 0.5)
-    * before any doc is called a near-dup. Statuses per incoming doc:
-    * `known_neardup` (a verified index partner exists; neardup_of = min
-    * such doc), `batch_neardup` (first near-dup seen earlier in this
-    * batch), `new`.
-    *
-    * Scale shape: the index build is one-time per corpus generation
-    * (amortized across every future batch — re-written here only because
-    * the driver runs queries standalone); the probe join reads the index
-    * bucketed on its join key, so the only probe-time shuffle ships the
-    * BATCH side's ~8×16-byte signatures, ≪ corpus. Bucket caps apply to
-    * each side alone — the standing index cannot know future batches —
-    * so a key crossing the cap only when the sides are combined is still
-    * probed; index-side degenerate keys are dropped at index-build time
-    * (at 100 TB you'd recurse into them with more bands, as in d03).
+    * runs: the incoming batch's band signatures probe the PERSISTED
+    * standing band-index store ([[neardupIndexBootstrap]] /
+    * [[neardupIndexAppend]] / [[neardupIndexCompact]] — the full
+    * maintenance lifecycle, r8) instead of re-LSH-ing the world, plus
+    * d03's self-join within the batch; see [[neardupProbe]] for the
+    * probe semantics and scale shape. After probing, a real pipeline
+    * appends the batch ([[neardupIndexAppend]]) so the NEXT batch sees
+    * these docs as `known_neardup` — Round8DedupSpec pins
+    * probe-after-append ≡ from-scratch rebuild over the union corpus.
     * Rows-only vs the oracle (xxhash64); Round7DedupSpec proves
     * batch-probe ∪ index statuses ≡ a from-scratch full-corpus rebuild on
     * the same split. */
   def d08IncrementalNeardup(spark: SparkSession, dir: String): DataFrame =
-    incrementalNeardup(spark, dir, MaxBucket, "graft_d08_bands")
+    incrementalNeardup(spark, dir, MaxBucket, "graft_d08")
 
   private[graft] def incrementalNeardup(spark: SparkSession, dir: String,
-      maxBucket: Int, indexTable: String): DataFrame = {
-    graft.functions.BottomKDistinct.register(spark)
-    graft.functions.Ngrams.register(spark)
+      maxBucket: Int, indexPrefix: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.spread(t.documents)
     val isIncoming = col("doc_id") % D08IncomingMod === D08IncomingMod - 1
-    val shRaw = shingleRows(docs)
-    val sh = shRaw.distinct()
-    val sigs = bandSigs(shRaw)
-    graft.sources.GraftIO.writeBucketed(
-      capBucketsAtMost(sigs.filter(!isIncoming), maxBucket, col("band"), col("key")),
-      indexTable, "key", 8, Seq("key"))
-    val index = graft.sources.GraftIO.readBucketed(spark, indexTable)
-    val batch = capBucketsAtMost(sigs.filter(isIncoming), maxBucket,
-      col("band"), col("key"))
+    // stand up the store for the corpus side — one-time per corpus
+    // generation in a real deployment, amortized across every future
+    // batch; rebuilt here only because the driver runs queries standalone
+    neardupIndexBootstrap(docs.filter(!isIncoming), indexPrefix)
+    neardupProbe(docs.filter(isIncoming), docs.filter(!isIncoming),
+      indexPrefix, maxBucket)
+  }
+
+  /** Probe a batch of (doc_id, text) docs against the standing band
+    * index: candidates from (a) band-key agreement with the index
+    * ([[neardupIndexBands]] — the probe join reads the index bucketed on
+    * its join key, so the only probe-time shuffle ships the BATCH side's
+    * signatures, ≪ corpus) and (b) d03's self-equi-join within the
+    * batch; both verified with exact Jaccard (≥ 0.5) before any doc is
+    * called a near-dup. Statuses per batch doc: `known_neardup` (a
+    * verified index partner exists; neardup_of = min such doc),
+    * `batch_neardup` (first near-dup seen earlier in this batch), `new`.
+    *
+    * Bucket caps apply per side over the index's COMBINED base ∪ delta
+    * view and the batch alone — the standing index cannot know future
+    * batches, so a key crossing the cap only when index and batch
+    * combine is still probed.
+    *
+    * @param verifyDocs (doc_id, text) covering every doc the index can
+    *   name — the exact-Jaccard verify joins shingles of both sides (at
+    *   100 TB this is the documents table itself, scanned only for
+    *   candidate doc ids). */
+  private[graft] def neardupProbe(batchDocs: DataFrame, verifyDocs: DataFrame,
+      indexPrefix: String, maxBucket: Int = MaxBucket): DataFrame = {
+    val spark = batchDocs.sparkSession
+    graft.functions.Ngrams.register(spark)
+    val sh = shingleRows(verifyDocs.select("doc_id", "text")
+      .unionByName(batchDocs.select("doc_id", "text"))).distinct()
+    val index = neardupIndexBands(spark, indexPrefix, maxBucket)
+    val batch = capBucketsAtMost(bandRows(sketchRelation(batchDocs)),
+      maxBucket, col("band"), col("key"))
     // probe: incoming doc (doc_a) × standing-index doc (doc_b)
     val probePairs = batch.as("x")
       .join(index.as("y"),
@@ -400,7 +606,7 @@ object DedupOps {
         min_by(col("jaccard"),
           struct(when(col("src") === "index", 0).otherwise(1).as("pri"),
             col("doc_b").as("d"))).as("neardup_jaccard"))
-    docs.filter(isIncoming).select(col("doc_id"))
+    batchDocs.select(col("doc_id"))
       .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("index_partner").isNotNull, lit("known_neardup"))

@@ -63,6 +63,37 @@ object GraftIO {
       .saveAsTable(table)
   }
 
+  /** Crash-safe compact swap for a merge-on-read store (base + delta
+    * tables): write a complete `<base>_next` image, rename `base` aside
+    * to `<base>_old`, rename `_next` into place, THEN drop `_old` and
+    * the delta tables. The ordering guarantees the store is NEVER
+    * without a complete base image: every crash window leaves either
+    * `base` (+ deltas) intact or a complete `_next`, which readers fall
+    * back to and which a re-run here heals (a `_next` with no `base`
+    * means its swap began, so `_next` is authoritative and its folded
+    * deltas are obsolete). SINGLE-WRITER per base name, like
+    * [[writeBucketed]].
+    *
+    * @param writeNext writes the compacted image to the table name it is
+    *   given; it runs while `base` and the deltas are still readable. */
+  def compactSwap(spark: SparkSession, base: String,
+      dropAfter: Seq[String])(writeNext: String => Unit): Unit = {
+    val next = s"${base}_next"
+    val old = s"${base}_old"
+    if (!spark.catalog.tableExists(base) && spark.catalog.tableExists(next)) {
+      spark.sql(s"ALTER TABLE `$next` RENAME TO `$base`")
+      dropAfter.foreach(dropManaged(spark, _))
+    }
+    dropManaged(spark, next)
+    dropManaged(spark, old)
+    writeNext(next)
+    if (spark.catalog.tableExists(base))
+      spark.sql(s"ALTER TABLE `$base` RENAME TO `$old`")
+    spark.sql(s"ALTER TABLE `$next` RENAME TO `$base`")
+    dropManaged(spark, old)
+    dropAfter.foreach(dropManaged(spark, _))
+  }
+
   /** Drop a managed table AND its on-disk directory. The catalog is
     * in-memory per JVM but table locations persist on disk: a previous
     * run's orphan directory blocks saveAsTable (overwrite only replaces

@@ -480,6 +480,23 @@ object StreamingJobs {
         col("neardup_of"), col("est_jaccard"))
   }
 
+  /** [[neardupProbeStream]] wired to the standing band-index store
+    * ([[graft.operators.DedupOps.neardupIndexBootstrap]] lifecycle):
+    * static sides are the store's merge-on-read current views,
+    * re-executed per micro-batch, so a [[graft.operators.DedupOps
+    * .neardupIndexAppend]] lands in the NEXT trigger without restarting
+    * the query — the delta tables exist (empty) from bootstrap on,
+    * so the captured static-side plan already covers future appends.
+    * Round8DedupSpec pins the mid-stream-append behavior. */
+  def neardupProbeStreamFromStore(docs: DataFrame, prefix: String,
+      threshold: Double = 0.5, watermark: String = "1 hour"): DataFrame = {
+    val spark = docs.sparkSession
+    neardupProbeStream(docs,
+      graft.operators.DedupOps.neardupIndexBands(spark, prefix),
+      graft.operators.DedupOps.neardupIndexSketches(spark, prefix),
+      threshold, watermark)
+  }
+
   // ------------------------------------------------------ incremental components
   /** Streaming face of g07: each micro-batch of (a, b) edges merges into
     * the standing component assignment kept in

@@ -60,7 +60,7 @@ class Round7DedupSpec extends GraftSpecBase {
     assert(got.keySet == want.keySet, "every incoming doc gets a status row")
     val diff = want.collect { case (d, w) if got(d) != w => (d, got(d), w) }
     assert(diff.isEmpty, s"probe/rebuild divergence: ${diff.take(5)}")
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    DedupOps.neardupIndexDrop(spark, table)
   }
 
   test("d08: probe ≡ rebuild on a synthetic corpus exercising every status") {
@@ -96,7 +96,7 @@ class Round7DedupSpec extends GraftSpecBase {
     assert(statuses(9L) == (("new", None))) // batch-first doc, no index partner
     assert(statuses(14L) == (("batch_neardup", Some(9L))))
     assert(statuses(19L) == (("new", None)))
-    spark.sql("DROP TABLE IF EXISTS graft_d08syn2")
+    DedupOps.neardupIndexDrop(spark, "graft_d08syn2")
   }
 
   test("d08: probe ≡ rebuild on the driver corpus split") {
@@ -118,6 +118,6 @@ class Round7DedupSpec extends GraftSpecBase {
     val incomingCount = Tables(spark, sfDir).documents
       .filter(col("doc_id") % 5 === 4).count()
     assert(r.length.toLong == incomingCount)
-    spark.sql("DROP TABLE IF EXISTS graft_d08_bands")
+    DedupOps.neardupIndexDrop(spark, "graft_d08")
   }
 }
