@@ -247,6 +247,12 @@ object VectorOps {
   }
 
   // ---------------------------------------------------------------- s03
+  /** Driver-default IVF geometry. DEMO-SCALE (sf0.1 ≈ 5 k vectors): real
+    * IVF sizes nlists ≈ √N — thousands of lists for a billion vectors —
+    * so [[annIvf]]/[[annIvfPq]] take the geometry as parameters and the
+    * recall-vs-nprobe trade is spec-pinned at nlists = 64
+    * (Round8VectorSpec): recall is bought with nprobe (which lists you
+    * probe), never with scan width (how much of the corpus you read). */
   private val IvfLists = 16
   private val IvfProbes = 2
 
@@ -281,14 +287,21 @@ object VectorOps {
     * (top-k); nothing is ever all-pairs. Rows-only (approximate by
     * design; the spec checks the scoring invariants against the exact
     * baseline). */
-  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+  def s03AnnIvf(spark: SparkSession, dir: String): DataFrame =
+    annIvf(spark, dir, IvfLists, IvfProbes)
+
+  /** Parameterized IVF search core (geometry knobs surfaced per the r7
+    * VERDICT): `nLists` coarse lists (size ≈ √N in a real deployment),
+    * `nProbes` probed per query. */
+  private[graft] def annIvf(spark: SparkSession, dir: String,
+      nLists: Int, nProbes: Int): DataFrame = {
     FloatVecDot.register(spark)
     TopKByScore.register(spark)
     val v = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val centroids = Codebooks.ivfCentroids(v, dir, IvfLists)
+    val centroids = Codebooks.ivfCentroids(v, dir, nLists)
     val assigned = assignToLists(v, centroids)
-    // queries probe their top-IvfProbes lists (query set × 16 centroids —
+    // queries probe their top-nProbes lists (query set × nLists centroids —
     // same aggregate shape; q_emb/q_nrm ride along via first())
     val probes = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -297,7 +310,7 @@ object VectorOps {
       .withColumn("c_sim",
         cosineWithNorms(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
       .groupBy(col("query_id"))
-      .agg(TopKByScore.topK(col("c_sim"), col("list_id"), IvfProbes).as("probe"),
+      .agg(TopKByScore.topK(col("c_sim"), col("list_id"), nProbes).as("probe"),
         first(col("q_emb")).as("q_emb"), first(col("q_nrm")).as("q_nrm"))
       .select(col("query_id"), col("q_emb"), col("q_nrm"),
         explode(col("probe.id")).as("list_id"))
@@ -439,45 +452,98 @@ object VectorOps {
     * assignment and encode passes that build the index ONCE. Rows-only
     * (approximate by design; spec gates recall vs the exact baseline and
     * pins candidates to probed lists). */
-  def s07AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  def s07AnnIvfPq(spark: SparkSession, dir: String): DataFrame =
+    annIvfPq(spark, dir, IvfLists, IvfProbes, PqRerank, residual = false)
+
+  /** s08: RESIDUAL IVFPQ — the canonical configuration (Jégou PAMI'11 §V;
+    * FAISS IVFx,PQy): PQ encodes the residual r = v − centroid(list(v))
+    * instead of the raw vector. Residuals concentrate near the origin of
+    * each coarse cell, so the same 8×16-entry codebook budget spends its
+    * resolution on the part of the vector the coarse quantizer did NOT
+    * explain — materially better quantization at identical storage
+    * (still M one-byte codes + a norm per vector). Scoring adds one
+    * broadcast term: q·v ≈ q·c_list + q·r̂, with q·c_list a
+    * (queries × nlists)-row broadcast relation and q·r̂ the usual ADC
+    * sum. Recall-gated ≥ the no-residual s07 on the same corpus
+    * (Round8VectorSpec); rows-only. */
+  def s08AnnIvfPqResidual(spark: SparkSession, dir: String): DataFrame =
+    annIvfPq(spark, dir, IvfLists, IvfProbes, PqRerank, residual = true)
+
+  /** Parameterized IVF+PQ search core: `nLists`/`nProbes` coarse
+    * geometry (nlists ≈ √N in a real deployment — the driver's 16 is
+    * demo-scale), `rerank` ADC-shortlist depth, `residual` selects
+    * residual encoding ([[s08AnnIvfPqResidual]]) vs shared raw-vector
+    * codebooks ([[s07AnnIvfPq]] — 16× smaller training problem,
+    * cross-list code reuse). */
+  private[graft] def annIvfPq(spark: SparkSession, dir: String, nLists: Int,
+      nProbes: Int, rerank: Int, residual: Boolean): DataFrame = {
     FloatVecDot.register(spark)
     TopKByScore.register(spark)
     val v = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val centroids = Codebooks.ivfCentroids(v, dir, IvfLists)
-    val codebook = Codebooks.pqCodebooks(v, dir, PqSubspaces, PqSubDim, PqCodebook)
+    val centroids = Codebooks.ivfCentroids(v, dir, nLists)
     // the inverted file: coarse assignment + PQ codes + stored norm
-    val assigned = assignToLists(v, centroids)
-      .select(col("vec_id"), col("list_id"), col("nrm"))
-    val codes = pqEncode(v, codebook)
+    val assignedFull = assignToLists(v, centroids)
+    val assigned = assignedFull.select(col("vec_id"), col("list_id"), col("nrm"))
     val queries = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"))
-    val adc = pqAdcTable(queries, codebook)
-    // probe selection: each query's IvfProbes nearest lists (s03's shape)
+    val (codes, adc, qcDot) =
+      if (!residual) {
+        val codebook = Codebooks.pqCodebooks(v, dir, PqSubspaces, PqSubDim, PqCodebook)
+        (pqEncode(v, codebook), pqAdcTable(queries, codebook), None)
+      } else {
+        // residual relation: r = v − centroid(list(v)), float like v.
+        // Trained/encoded per coarse geometry (the cache key carries
+        // nLists — residuals change when the cells do).
+        val res = assignedFull.join(centroids, "list_id")
+          .select(col("vec_id"),
+            zip_with(col("embedding"), col("c_emb"),
+              (x, c) => (x.cast("double") - c.cast("double")).cast("float"))
+              .as("embedding"))
+        val codebook = Codebooks.pqCodebooks(res, s"$dir#res$nLists",
+          PqSubspaces, PqSubDim, PqCodebook)
+        // the coarse term of q·v ≈ q·c_list + q·r̂: (queries × nlists)
+        // rows, broadcast
+        val qc = broadcast(queries.crossJoin(centroids)
+          .select(col("query_id"), col("list_id"),
+            FloatVecDot.vecDot(col("q_emb"), col("c_emb")).as("qc_dot")))
+        (pqEncode(res, codebook), pqAdcTable(queries, codebook), Some(qc))
+      }
+    // probe selection: each query's nProbes nearest lists (s03's shape)
     val probes = queries
       .crossJoin(centroids)
       .withColumn("c_sim",
         cosineWithNorms(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
       .groupBy(col("query_id"))
-      .agg(TopKByScore.topK(col("c_sim"), col("list_id"), IvfProbes).as("probe"))
+      .agg(TopKByScore.topK(col("c_sim"), col("list_id"), nProbes).as("probe"))
       .select(col("query_id"), explode(col("probe.id")).as("list_id"))
     // compressed-domain scoring of ONLY the probed lists' candidates: the
-    // ADC dot is the sum of M table lookups; stored norms turn it into an
-    // approximate cosine for ranking
-    val scoredAdc = probes
+    // ADC dot is the sum of M table lookups (+ the broadcast coarse term
+    // under residual encoding); stored norms turn it into an approximate
+    // cosine for ranking
+    val aggScore = probes
       .join(assigned, "list_id")
       .filter(col("vec_id") =!= col("query_id"))
       .join(codes, "vec_id")
       .join(adc, Seq("query_id", "m", "code"))
       .groupBy(col("query_id"), col("vec_id"))
-      .agg((sum(col("part_dot")) / (first(col("q_nrm")) * first(col("nrm"))))
-          .as("adc_sim"),
+      .agg(sum(col("part_dot")).as("pd"),
+        (first(col("q_nrm")) * first(col("nrm"))).as("den"),
         first(col("list_id")).as("list_id"))
-    val shortlist = topKPerGroup(scoredAdc, PqRerank,
+    val scoredAdc = qcDot match {
+      case None => aggScore
+        .select(col("query_id"), col("vec_id"),
+          (col("pd") / col("den")).as("adc_sim"), col("list_id"))
+      case Some(qc) => aggScore
+        .join(qc, Seq("query_id", "list_id"))
+        .select(col("query_id"), col("vec_id"),
+          ((col("qc_dot") + col("pd")) / col("den")).as("adc_sim"), col("list_id"))
+    }
+    val shortlist = topKPerGroup(scoredAdc, rerank,
         col("adc_sim"), col("vec_id"), col("list_id"), col("query_id"))
       .select(col("query_id"), col("id").as("vec_id"), col("tag").as("list_id"))
-    // exact rerank of the ≤ PqRerank shortlist; the candidate's list rides
+    // exact rerank of the ≤ rerank shortlist; the candidate's list rides
     // the tag slot through the final top-3
     val reranked = shortlist
       .join(v, "vec_id")

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+/** Round-8 ANN geometry specs (r7 VERDICT items 2+3): the IVF knobs are
+  * parameters, and at a realistic geometry (nlists = 64 — the r7 note:
+  * a 16-value list_id caps probe parallelism at 16 and real IVF sizes
+  * nlists ≈ √N) recall is bought with NPROBE, not scan width — probing
+  * more lists is strictly superset-candidate, so recall is monotone, and
+  * probing all lists recovers the exact result. Plus: residual IVFPQ
+  * (s08) must not lose recall vs the shared-codebook no-residual form. */
+class Round8VectorSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Deterministic unclustered corpus (seeded LCG): 2000 × 64-dim float
+    * vectors. Unclustered on purpose — neighbors scatter across coarse
+    * cells, so the nprobe-vs-recall trade is actually visible (a tightly
+    * clustered corpus hides it: every neighbor shares the query's cell). */
+  private lazy val genDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("r8vec").toString
+    val rnd = new java.util.Random(42L)
+    val rows = (0 until 2000).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq, i % 50)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def exactTop3(dir: String): Set[(Long, Long)] =
+    VectorOps.s01AnnBruteforce(spark, dir)
+      .filter($"rank" <= 3).select($"query_id", $"vec_id")
+      .as[(Long, Long)].collect().toSet
+
+  private def recallOf(df: org.apache.spark.sql.DataFrame,
+      exact: Set[(Long, Long)]): Double = {
+    val got = df.select(col("query_id"), col("vec_id"))
+      .as[(Long, Long)].collect().toSet
+    (got & exact).size.toDouble / exact.size
+  }
+
+  test("annIvf at nlists=64: recall is monotone in nprobe and reaches 1.0 " +
+      "when every list is probed; candidates stay pinned to probed lists") {
+    val exact = exactTop3(genDir)
+    val r = Seq(1, 4, 64).map { p =>
+      p -> recallOf(VectorOps.annIvf(spark, genDir, 64, p), exact)
+    }.toMap
+    info(s"recall@3 by nprobe (nlists=64): $r")
+    assert(r(1) <= r(4) && r(4) <= r(64),
+      s"recall must be monotone in nprobe: $r")
+    assert(r(64) === 1.0, "probing all lists is the exact search")
+    assert(r(1) < 1.0,
+      "on an unclustered corpus one probe of 64 lists must lose neighbors " +
+        "— otherwise this spec isn't exercising the trade")
+
+    // probed-list pin at the larger geometry, recomputed from the public
+    // codebook API (PqSpec's independent-check pattern, here at 64 lists)
+    graft.functions.FloatVecDot.register(spark)
+    val v = Tables(spark, genDir).embeddings
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    val cents = graft.operators.Codebooks.ivfCentroids(v, genDir, 64)
+    val simToCentroid = v.crossJoin(cents)
+      .select(col("vec_id"), col("list_id"),
+        VectorOps.cosineWithNorms(col("embedding"), col("c_emb"),
+          col("nrm"), col("c_nrm")).as("c_sim"))
+    val assignment = simToCentroid
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("list_id"),
+        struct((-col("c_sim")).as("n"), col("list_id"))).as("list_id"))
+      .as[(Long, Long)].collect().toMap
+    val queryProbes = simToCentroid.filter(col("vec_id") < 10)
+      .as[(Long, Long, Double)].collect()
+      .groupBy(_._1)
+      .map { case (q, ls) =>
+        q -> ls.sortBy(t => (-t._3, t._2)).take(4).map(_._2).toSet
+      }
+    VectorOps.annIvf(spark, genDir, 64, 4).collect().foreach { row =>
+      val (q, vId, listId) =
+        (row.getLong(0), row.getLong(2), row.getLong(3))
+      assert(assignment(vId) === listId,
+        s"reported list must be the assignment for vec $vId")
+      assert(queryProbes(q).contains(listId),
+        s"vec $vId of query $q outside the 4 probed lists")
+    }
+  }
+
+  test("s08 residual IVFPQ: shape, exact rerank scores, and recall ≥ the " +
+      "no-residual s07 on the same corpus") {
+    val res = VectorOps.s08AnnIvfPqResidual(spark, sfDir)
+    val rows = res.collect()
+    val nQueries = rows.map(_.getLong(0)).distinct.length
+    assert(nQueries === 10)
+    assert(rows.length === nQueries * 3)
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L))
+    }
+    // rerank scores are exact cosines (s01 overlap spot-check)
+    val exactScores = VectorOps.s01AnnBruteforce(spark, sfDir)
+      .select($"query_id", $"vec_id", $"cos_sim").as[(Long, Long, Double)]
+      .collect().map { case (q, v, c) => (q, v) -> c }.toMap
+    rows.foreach { r =>
+      exactScores.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(math.abs(c - r.getDouble(4)) < 1e-9)
+      }
+    }
+    val exact = exactTop3(sfDir)
+    val rResidual = recallOf(res, exact)
+    val rPlain = recallOf(VectorOps.s07AnnIvfPq(spark, sfDir), exact)
+    info(s"recall@3: residual=$rResidual no-residual=$rPlain")
+    assert(rResidual >= rPlain,
+      "residual encoding must not lose recall vs shared raw-vector codebooks")
+    // scale shape: zero Window operators, like the rest of the ANN family
+    val df = VectorOps.s08AnnIvfPqResidual(spark, sfDir)
+    df.collect()
+    val plan = PlanAudit.fullPlanText(df.queryExecution.executedPlan)
+    assert(!"\\bWindow\\b".r.findFirstIn(plan).isDefined,
+      "s08 must not use Window execs")
+  }
+}
