@@ -1,0 +1,119 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.operators.MultimodalOps
+import graft.operators.MultimodalOps.{DecodedMedia, MediaRecord}
+
+/** Round-8 multimodal specs (r7 VERDICT item 4): the decode step is REAL
+  * for JRE-decodable containers — actual 2×2/3×1 PNG/JPEG/GIF/BMP bytes
+  * synthesized in-memory go through the SAME typed `mapPartitions`
+  * pipeline the driver query runs, and the decoded width/height/format
+  * come from the pixels, not the stub arithmetic. Non-image payloads
+  * (the driver corpus shape) still take the deterministic stub, so the
+  * driver entries are unchanged. */
+class Round8MultimodalSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Encode a solid-color image in the given container format. */
+  private def imageBytes(fmt: String, w: Int, h: Int,
+      rgb: Array[Int]): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(y * w + x))
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, out), s"no JRE writer for $fmt")
+    out.toByteArray
+  }
+
+  private val red = 0xff0000
+  private val white = 0xffffff
+  private val black = 0x000000
+
+  test("decodeAll: real PNG/JPEG/GIF/BMP bytes decode to pixel dimensions " +
+      "through the typed pipeline; non-image payloads take the stub") {
+    val textPayload = "just a plain text document payload".getBytes("UTF-8")
+    val media = Seq(
+      MediaRecord(1L, imageBytes("png", 2, 2, Array(red, red, red, red))),
+      MediaRecord(2L, imageBytes("jpg", 3, 1, Array(white, white, white))),
+      MediaRecord(3L, imageBytes("gif", 2, 3, Array.fill(6)(black))),
+      MediaRecord(4L, imageBytes("bmp", 4, 2, Array.fill(8)(white))),
+      MediaRecord(5L, textPayload)
+    ).toDS()
+    val got = MultimodalOps.decodeAll(media).collect()
+      .map(d => d.doc_id -> d).toMap
+    assert(got(1L).format === "png" && got(1L).width === 2 && got(1L).height === 2)
+    assert(got(2L).format === "jpeg" && got(2L).width === 3 && got(2L).height === 1)
+    assert(got(3L).format === "gif" && got(3L).width === 2 && got(3L).height === 3)
+    assert(got(4L).format === "bmp" && got(4L).width === 4 && got(4L).height === 2)
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(got(id).n_frames === 1)
+      assert(got(id).byte_len > 0L)
+    }
+    // the non-image payload is the stub's row, bit-exact
+    val want = MultimodalOps.FakeDecoder.decode(MediaRecord(5L, textPayload))
+    assert(got(5L) === want)
+    assert(got(5L).width === (textPayload.length % 640))
+  }
+
+  test("extractFeatures: pixel statistics of a solid-red 2×2 PNG are exact; " +
+      "quadrant luminance separates a half-white image; stub fallback intact") {
+    val textPayload = "another plain text payload for the stub path".getBytes("UTF-8")
+    val media = Seq(
+      MediaRecord(1L, imageBytes("png", 2, 2, Array(red, red, red, red))),
+      // top row white, bottom row black: quadrants 0,1 bright / 2,3 dark
+      MediaRecord(2L, imageBytes("png", 2, 2, Array(white, white, black, black))),
+      MediaRecord(3L, textPayload)
+    ).toDS()
+    val got = MultimodalOps.extractFeatures(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    val redF = got(1L)
+    assert(redF.format === "png" && redF.n_frames_sampled === 1)
+    // solid red: mean R = 1, G = B = 0; every quadrant's luminance = 0.299
+    assert(math.abs(redF.feature(0) - 1.0f) < 1e-6)
+    assert(redF.feature(1) === 0.0f && redF.feature(2) === 0.0f)
+    (3 to 6).foreach(i => assert(math.abs(redF.feature(i) - 0.299f) < 1e-3))
+    assert(math.abs(redF.feature(7) - 0.5f) < 1e-6) // square: w/(w+h)
+    assert(math.abs(redF.feature_norm -
+      math.sqrt(redF.feature.foldLeft(0.0)((a, x) => a + x.toDouble * x))) < 1e-12)
+    val half = got(2L)
+    assert(math.abs(half.feature(3) - 1.0f) < 1e-6) // top-left: white
+    assert(math.abs(half.feature(4) - 1.0f) < 1e-6) // top-right: white
+    assert(half.feature(5) === 0.0f && half.feature(6) === 0.0f) // bottom: black
+    // stub fallback bit-exact
+    val want = MultimodalOps.FakeFeatureExtractor.extract(MediaRecord(3L, textPayload))
+    assert(got(3L).feature.toSeq === want.feature.toSeq)
+    assert(got(3L).feature_norm === want.feature_norm)
+    assert(got(3L).format === want.format)
+  }
+
+  test("a sniffed magic prefix on a corrupt body falls back to the stub " +
+      "instead of failing the partition") {
+    // PNG magic followed by garbage: ImageIO.read returns null
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
+    val got = MultimodalOps.decodeAll(Seq(MediaRecord(9L, corrupt)).toDS()).head()
+    assert(got === MultimodalOps.FakeDecoder.decode(MediaRecord(9L, corrupt)))
+  }
+
+  test("driver entries are unchanged: text-synthesized payloads never sniff " +
+      "as images, so m01's column mirror still matches decodeAll exactly") {
+    val docs = Tables(spark, sfDir).documents
+    import org.apache.spark.sql.functions._
+    val media = docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    assert(media.collect().forall(r => MultimodalOps.sniffImage(r.payload).isEmpty))
+    val decoded = MultimodalOps.decodeAll(media).collect()
+      .map(d => d.doc_id -> d).toMap
+    MultimodalOps.m01MultimodalMeta(spark, sfDir).collect().foreach { r =>
+      val d: DecodedMedia = decoded(r.getAs[Long]("doc_id"))
+      assert(d.byte_len === r.getAs[Long]("byte_len"))
+      assert(d.format === r.getAs[String]("format"))
+      assert(d.width.toLong === r.getAs[Long]("width"))
+      assert(d.height.toLong === r.getAs[Long]("height"))
+      assert(d.n_frames.toLong === r.getAs[Long]("n_frames"))
+    }
+  }
+}
