@@ -340,10 +340,27 @@ object Components {
       graft.sources.GraftIO.dropManaged(assign.sparkSession, prefix + t)
   }
 
+  /** Re-mount the store's tables from their surviving warehouse
+    * directories after a process restart (the cold-start step of the
+    * lakehouse claim: data outlives the in-memory session catalog;
+    * [[graft.sources.GraftIO.attachBucketed]] documents the contract).
+    * Covers the compaction intermediates too, so a store crashed
+    * mid-swap heals the same way after a restart. Round8ColdRestartSpec
+    * drives a full stop → catalog death → attach → resume-from-checkpoint
+    * cycle. */
+  def assignmentAttach(spark: SparkSession, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    for (t <- Seq("_base", "_base_next", "_base_old"))
+      graft.sources.GraftIO.attachBucketed(spark, prefix + t,
+        "node BIGINT, component BIGINT", "node", nBuckets)
+    graft.sources.GraftIO.attachPartitioned(spark, s"${prefix}_delta",
+      "node BIGINT, component BIGINT, gen BIGINT", "gen")
+  }
+
   /** The current (node, component) assignment: base overlaid with the
     * latest delta per node. Missing tables read as empty, so a stream
     * can start cold against an un-bootstrapped prefix — EXCEPT in
-    * [[assignmentCompact]]'s mid-swap crash window (`_base` renamed away,
+    * [[assignmentCompact]]'s mid-swap crash window (`_base` dropped,
     * `_base_next` not yet renamed into place): there the complete
     * `_next` image is authoritative and is read in place of the base
     * rather than silently treating the store as empty. Overlaying the

@@ -494,6 +494,24 @@ object DedupOps {
       spark.table(s"${prefix}_sk_base"))
   }
 
+  /** Re-mount the store's tables from their surviving warehouse
+    * directories after a process restart ([[Components.assignmentAttach]]'s
+    * analog for the band index — same in-memory-catalog contract,
+    * documented at [[graft.sources.GraftIO.attachBucketed]]). */
+  def neardupIndexAttach(spark: SparkSession, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    for (t <- Seq("_bands_base", "_bands_base_next", "_bands_base_old"))
+      graft.sources.GraftIO.attachBucketed(spark, prefix + t,
+        "doc_id BIGINT, band INT, key BIGINT", "key", nBuckets)
+    for (t <- Seq("_sk_base", "_sk_base_next", "_sk_base_old"))
+      graft.sources.GraftIO.attachBucketed(spark, prefix + t,
+        "doc_id BIGINT, sketch ARRAY<BIGINT>", "doc_id", nBuckets)
+    graft.sources.GraftIO.attachPartitioned(spark, s"${prefix}_bands_delta",
+      "doc_id BIGINT, band INT, key BIGINT, gen BIGINT", "gen")
+    graft.sources.GraftIO.attachPartitioned(spark, s"${prefix}_sk_delta",
+      "doc_id BIGINT, sketch ARRAY<BIGINT>, gen BIGINT", "gen")
+  }
+
   /** Drop every table of a store prefix (specs / teardown). */
   def neardupIndexDrop(spark: SparkSession, prefix: String): Unit =
     for (t <- Seq("_bands_base", "_bands_delta", "_bands_base_next",

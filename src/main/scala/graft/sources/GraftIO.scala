@@ -64,14 +64,18 @@ object GraftIO {
   }
 
   /** Crash-safe compact swap for a merge-on-read store (base + delta
-    * tables): write a complete `<base>_next` image, rename `base` aside
-    * to `<base>_old`, rename `_next` into place, THEN drop `_old` and
-    * the delta tables. The ordering guarantees the store is NEVER
-    * without a complete base image: every crash window leaves either
-    * `base` (+ deltas) intact or a complete `_next`, which readers fall
-    * back to and which a re-run here heals (a `_next` with no `base`
-    * means its swap began, so `_next` is authoritative and its folded
-    * deltas are obsolete). SINGLE-WRITER per base name, like
+    * tables): write a complete `<base>_next` image, drop `base`, rename
+    * `_next` into place, THEN drop the delta tables. Every crash window
+    * leaves a complete image readable: either `base` (+ deltas) is
+    * intact, or `_next` exists and is complete — readers fall back to
+    * it (overlaying deltas `_next` already folded is idempotent), and a
+    * re-run here heals it (a `_next` with no `base` means its swap
+    * began, so `_next` is authoritative and its folded deltas are
+    * obsolete). Dropping `base` before the rename (rather than renaming
+    * it aside) also keeps the swap correct when `base` was re-mounted
+    * as an EXTERNAL table ([[attachBucketed]]): a rename-aside would
+    * leave the old data occupying the default location the managed
+    * `_next` must move into. SINGLE-WRITER per base name, like
     * [[writeBucketed]].
     *
     * @param writeNext writes the compacted image to the table name it is
@@ -81,16 +85,15 @@ object GraftIO {
     val next = s"${base}_next"
     val old = s"${base}_old"
     if (!spark.catalog.tableExists(base) && spark.catalog.tableExists(next)) {
+      dropManaged(spark, base) // clear any orphaned directory; `_next` is authoritative
       spark.sql(s"ALTER TABLE `$next` RENAME TO `$base`")
       dropAfter.foreach(dropManaged(spark, _))
     }
     dropManaged(spark, next)
-    dropManaged(spark, old)
+    dropManaged(spark, old) // pre-r8 leftovers only; the swap no longer creates it
     writeNext(next)
-    if (spark.catalog.tableExists(base))
-      spark.sql(s"ALTER TABLE `$base` RENAME TO `$old`")
+    dropManaged(spark, base)
     spark.sql(s"ALTER TABLE `$next` RENAME TO `$base`")
-    dropManaged(spark, old)
     dropAfter.foreach(dropManaged(spark, _))
   }
 
@@ -120,4 +123,45 @@ object GraftIO {
     * planner, which drops exchanges for joins/aggs on the bucket key). */
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** The on-disk location a managed table of this name lives (or lived)
+    * at — where [[attachBucketed]]/[[attachPartitioned]] re-mount from. */
+  private def defaultLocation(spark: SparkSession, table: String) =
+    spark.sessionState.catalog.defaultTablePath(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+
+  private def dirExists(spark: SparkSession, table: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(defaultLocation(spark, table))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Re-register a bucketed table from its surviving warehouse directory
+    * after a process restart. The default session catalog is in-memory —
+    * table DATA persists across JVMs but metadata doesn't — so a
+    * restarted local deployment re-mounts its stores explicitly (a
+    * Hive/Glue-backed catalog gets this for free; the warehouse
+    * directory is the durable artifact either way). The bucket spec is
+    * re-declared so re-attached reads keep their zero-exchange joins.
+    * No-op when the catalog already knows the table or no directory
+    * survives. */
+  def attachBucketed(spark: SparkSession, table: String, schemaDdl: String,
+      bucketCol: String, nBuckets: Int): Unit =
+    if (!spark.catalog.tableExists(table) && dirExists(spark, table))
+      spark.sql(
+        s"""CREATE TABLE `$table` ($schemaDdl) USING parquet
+           |CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`)
+           |INTO $nBuckets BUCKETS
+           |LOCATION '${defaultLocation(spark, table)}'""".stripMargin)
+
+  /** [[attachBucketed]] for a partition-column table: re-mounts, then
+    * recovers the surviving partition directories into the catalog. */
+  def attachPartitioned(spark: SparkSession, table: String, schemaDdl: String,
+      partitionCol: String): Unit =
+    if (!spark.catalog.tableExists(table) && dirExists(spark, table)) {
+      spark.sql(
+        s"""CREATE TABLE `$table` ($schemaDdl) USING parquet
+           |PARTITIONED BY (`$partitionCol`)
+           |LOCATION '${defaultLocation(spark, table)}'""".stripMargin)
+      spark.sql(s"MSCK REPAIR TABLE `$table`")
+    }
 }

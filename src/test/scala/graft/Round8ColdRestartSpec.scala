@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.{Components, DedupOps}
+import graft.streaming.StreamingJobs
+
+/** Round-8 cold-restart specs (r7 VERDICT item 6): the lakehouse claim
+  * across process death. The default session catalog is in-memory — a
+  * restarted JVM keeps the warehouse DIRECTORIES and the stream
+  * CHECKPOINT but loses every table registration — so the spec simulates
+  * exactly that (catalog entries dropped with their data moved aside and
+  * restored, a fresh session state), re-mounts via the r8 attach API,
+  * resumes the SAME streaming checkpoint, feeds more edges, and pins
+  * convergence to the full recompute. */
+class Round8ColdRestartSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Drop a table's catalog entry WITHOUT deleting its data — what
+    * process death does to an in-memory catalog. (A plain DROP TABLE
+    * purges managed data, so the directory is renamed aside first and
+    * restored after.) */
+  private def simulateCatalogLoss(tables: Seq[String]): Unit = {
+    val cat = spark.sessionState.catalog
+    for (t <- tables) {
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(t)
+      if (cat.tableExists(ident)) {
+        val loc = new Path(cat.getTableMetadata(ident).location)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val aside = new Path(loc.getParent, loc.getName + "__death_aside")
+        fs.delete(aside, true)
+        val hadDir = fs.exists(loc)
+        if (hadDir) fs.rename(loc, aside)
+        spark.sql(s"DROP TABLE `$t`")
+        if (hadDir) {
+          fs.delete(loc, true)
+          fs.rename(aside, loc)
+        }
+      }
+    }
+  }
+
+  private def memStream(s: SparkSession): MemoryStream[(Long, Long)] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    MemoryStream[(Long, Long)]
+  }
+
+  private def fullAssignment(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("a", "b"), "a", "b",
+      localEdgeThreshold = 0).as[(Long, Long)].collect().toMap
+
+  private def storeAssignment(s: SparkSession, prefix: String): Map[Long, Long] =
+    Components.assignmentCurrent(s, prefix)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def dropStore(prefix: String): Unit =
+    for (t <- Seq("_base", "_delta", "_base_next", "_base_old"))
+      graft.sources.GraftIO.dropManaged(spark, prefix + t)
+
+  test("componentsStream survives process death: catalog loss + attach + " +
+      "resume from the SAME checkpoint converges to the full recompute") {
+    val prefix = "graft_ccs_r8cold"
+    dropStore(prefix)
+    val ck = java.nio.file.Files.createTempDirectory("ccs_cold").toString
+    val g1 = Seq((1L, 2L), (2L, 3L))
+    val g2 = Seq((10L, 11L), (3L, 10L))
+    val mem1 = memStream(spark)
+    val q1 = StreamingJobs.componentsStream(mem1.toDF.toDF("a", "b"), prefix)
+      .option("checkpointLocation", ck).start()
+    try {
+      mem1.addData(g1); q1.processAllAvailable()
+      mem1.addData(g2); q1.processAllAvailable()
+    } finally q1.stop()
+    assert(storeAssignment(spark, prefix) === fullAssignment(g1 ++ g2))
+
+    // process death: every store table's registration vanishes; the
+    // warehouse directories and the checkpoint survive
+    simulateCatalogLoss(Seq(s"${prefix}_base", s"${prefix}_delta",
+      s"${prefix}_base_next", s"${prefix}_base_old"))
+    val spark2: SparkSession = spark.newSession()
+    assert(!spark2.catalog.tableExists(s"${prefix}_base"))
+    assert(!spark2.catalog.tableExists(s"${prefix}_delta"))
+    // un-attached, the store reads as empty — attach is the cold-start step
+    assert(Components.assignmentCurrent(spark2, prefix).isEmpty)
+    Components.assignmentAttach(spark2, prefix)
+    assert(storeAssignment(spark2, prefix) === fullAssignment(g1 ++ g2))
+
+    // resume the SAME checkpoint from the new session: the replayed
+    // micro-batch appends nothing (idempotence), anchored gens keep
+    // last-writer-wins sound, and new edges keep merging
+    val mem2 = memStream(spark2)
+    mem2.addData(g1)
+    mem2.addData(g2) // same offset grouping as run 1, so the log resolves
+    val g3 = Seq((11L, 20L))
+    val q2 = StreamingJobs.componentsStream(mem2.toDF.toDF("a", "b"), prefix)
+      .option("checkpointLocation", ck).start()
+    try {
+      q2.processAllAvailable()
+      mem2.addData(g3)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(storeAssignment(spark2, prefix) === fullAssignment(g1 ++ g2 ++ g3))
+    dropStore(prefix)
+  }
+
+  private val corpusRows = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and then runs far away home tonight"))
+  private val batchARows = Seq(
+    (101L, "a wholly novel document about medieval castle construction techniques and their restoration"))
+  private val probeRows = Seq(
+    (201L, "a wholly novel document about medieval castle construction techniques and their restoration"))
+
+  private def docsDF(s: SparkSession, rows: Seq[(Long, String)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("the band-index store survives process death: attach re-mounts " +
+      "bands + sketches and a probe sees every appended batch") {
+    val p = "graft_ndx_r8cold"
+    DedupOps.neardupIndexDrop(spark, p)
+    DedupOps.neardupIndexBootstrap(docsDF(spark, corpusRows), p)
+    DedupOps.neardupIndexAppend(docsDF(spark, batchARows), p, 0L)
+    def statuses(s: SparkSession): Set[(Long, String, Long)] =
+      DedupOps.neardupProbe(docsDF(s, probeRows),
+          docsDF(s, corpusRows ++ batchARows), p)
+        .select("doc_id", "status", "neardup_of")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val want = statuses(spark)
+    assert(want === Set((201L, "known_neardup", 101L)))
+
+    simulateCatalogLoss(Seq(s"${p}_bands_base", s"${p}_bands_delta",
+      s"${p}_sk_base", s"${p}_sk_delta"))
+    val spark2 = spark.newSession()
+    assert(!spark2.catalog.tableExists(s"${p}_bands_base"))
+    DedupOps.neardupIndexAttach(spark2, p)
+    assert(statuses(spark2) === want)
+    // the re-attached store keeps its full lifecycle: compact, then probe
+    DedupOps.neardupIndexCompact(spark2, p)
+    assert(statuses(spark2) === want)
+    DedupOps.neardupIndexDrop(spark2, p)
+  }
+}
