@@ -703,7 +703,20 @@ object CoreQueries {
     * corpus-wide census is a map-side-combined count + distinct-users
     * aggregate on the bounded path key. Top-15 by (n_sessions desc,
     * path) — a bounded sort-limit (TakeOrdered), never a full sort. */
-  def e12SessionPaths(spark: SparkSession, dir: String): DataFrame = {
+  def e12SessionPaths(spark: SparkSession, dir: String): DataFrame =
+    e12SessionPathsWith(spark, dir, E12MaxTypes)
+
+  /** Hard ceiling on the event-type vocabulary the broadcast decode map
+    * may hold. The bounded-vocabulary contract is what makes the one-row
+    * broadcast map sound; r7 VERDICT note 3: nothing GUARDED it, so a
+    * high-cardinality type column (a bug upstream, or someone pointing
+    * e12 at a URL column) would silently build a giant broadcast map.
+    * Now the map expression itself raises past the ceiling — fail fast,
+    * at the one place the contract can first be observed. */
+  private val E12MaxTypes = 1024
+
+  private[graft] def e12SessionPathsWith(spark: SparkSession, dir: String,
+      maxTypes: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.TopKByScore.register(spark)
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
@@ -711,10 +724,19 @@ object CoreQueries {
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("ts div 1000").as("ts_us"))
     // bounded decode dimension: the event-type vocabulary is fixed and
-    // small, so the (xxhash64 code → type) map is one broadcast row
+    // small, so the (xxhash64 code → type) map is one broadcast row —
+    // guarded by [[E12MaxTypes]] INSIDE the map expression (not a
+    // separate assert column, which column pruning could drop)
     val typeMap = events.select(col("event_type")).distinct()
-      .agg(map_from_entries(collect_list(struct(
-        xxhash64(col("event_type")).as("k"), col("event_type").as("v")))).as("type_map"))
+      .agg(collect_list(struct(
+        xxhash64(col("event_type")).as("k"), col("event_type").as("v"))).as("es"))
+      .select(
+        when(size(col("es")) <= maxTypes, map_from_entries(col("es")))
+          .otherwise(raise_error(concat(
+            lit(s"e12 event-type vocabulary exceeds the bounded-broadcast contract ($maxTypes): "),
+            size(col("es")).cast("string"),
+            lit(" distinct types — decode via a join instead"))))
+          .as("type_map"))
     val paths = events
       .withColumn("prev_ts_us", lag(col("ts_us"), 1).over(byUser))
       .withColumn("is_new",

@@ -1,0 +1,33 @@
+package graft
+
+import graft.operators.CoreQueries
+
+/** Round-8 operator guards (r7 VERDICT note 3): e12's broadcast type-
+  * decode map rides a bounded-vocabulary contract — the guard must fail
+  * fast when a high-cardinality type column would otherwise silently
+  * build a giant broadcast map. */
+class Round8OpsSpec extends GraftSpecBase {
+
+  test("e12's type-map guard: under the ceiling the query is unchanged; " +
+      "over it the map expression raises instead of broadcasting") {
+    // driver corpus: a handful of types — far under the ceiling, and the
+    // guarded path must equal the default entry exactly
+    val normal = CoreQueries.e12SessionPaths(spark, sfDir).collect()
+    assert(normal.nonEmpty)
+    val guarded = CoreQueries.e12SessionPathsWith(spark, sfDir,
+      maxTypes = 1024).collect()
+    assert(normal.toSeq === guarded.toSeq)
+    // same corpus, ceiling forced below its real vocabulary: fail fast
+    val nTypes = Tables(spark, sfDir).events
+      .select("event_type").distinct().count()
+    assert(nTypes > 1, "corpus must have a vocabulary to exercise the guard")
+    // raise_error surfaces as SparkRuntimeException (USER_RAISED_EXCEPTION),
+    // sometimes wrapped — match on the message, not the wrapper type
+    val e = intercept[Exception] {
+      CoreQueries.e12SessionPathsWith(spark, sfDir,
+        maxTypes = (nTypes - 1).toInt).collect()
+    }
+    assert(e.getMessage.contains("bounded-broadcast contract"),
+      s"unexpected failure: ${e.getMessage}")
+  }
+}
