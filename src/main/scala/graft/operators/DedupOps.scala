@@ -359,25 +359,12 @@ object DedupOps {
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
 
   private def baseOrNext(spark: SparkSession, base: String): DataFrame =
-    if (spark.catalog.tableExists(base)) spark.table(base)
-    else if (spark.catalog.tableExists(s"${base}_next")) spark.table(s"${base}_next")
-    else spark.emptyDataFrame
-
-  /** Create a gen-partitioned delta table holding zero rows: appends
-    * land as partitions of an already-known table, so static-side scans
-    * captured by a running stream see them on the next trigger. */
+    graft.sources.GraftIO.baseOrNext(spark, base)
   private def createEmptyDelta(spark: SparkSession, table: String,
-      like: DataFrame): Unit = {
-    graft.sources.GraftIO.dropManaged(spark, table)
-    like.where(lit(false)).withColumn("gen", lit(0L))
-      .write.partitionBy("gen").format("parquet").saveAsTable(table)
-  }
-
+      like: DataFrame): Unit =
+    graft.sources.GraftIO.createEmptyDelta(spark, table, like)
   private def writeDelta(df: DataFrame, table: String): Unit =
-    if (!df.sparkSession.catalog.tableExists(table))
-      df.write.partitionBy("gen").format("parquet").saveAsTable(table)
-    else df.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic").insertInto(table)
+    graft.sources.GraftIO.writeDelta(df, table)
 
   /** Seed (or re-seed) the standing near-dup index from a corpus of
     * (doc_id, text) rows, clearing deltas and any crashed-compaction
@@ -413,13 +400,11 @@ object DedupOps {
     val spark = batchDocs.sparkSession
     graft.functions.Ngrams.register(spark)
     val bandsDelta = s"${prefix}_bands_delta"
-    if (spark.catalog.tableExists(bandsDelta)) {
-      val maxGen = spark.table(bandsDelta).agg(max(col("gen"))).head.get(0)
-      require(maxGen == null || gen >= maxGen.asInstanceOf[Long],
-        s"non-monotone index generation $gen < standing max $maxGen for " +
+    for (mg <- graft.sources.GraftIO.maxGen(spark, bandsDelta))
+      require(gen >= mg,
+        s"non-monotone index generation $gen < standing max $mg for " +
           s"'$prefix' — a new stream over an existing store must anchor its " +
           "gens above the standing max or compact first")
-    }
     val sk = sketchRelation(batchDocs)
     writeDelta(sk.withColumn("gen", lit(gen))
       .select("doc_id", "sketch", "gen"), s"${prefix}_sk_delta")

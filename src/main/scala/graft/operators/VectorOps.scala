@@ -558,6 +558,197 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  // ------------------------------------- standing ANN index store
+  // The s07 inverted file PERSISTED, with the maintenance lifecycle that
+  // makes ANN incremental batch over batch — completing the r8
+  // standing-store story across all four families (d07 exact dedup,
+  // d08/neardupProbeStream near-dup, componentsStream clusters, this).
+  // Per prefix:
+  //   <p>_cent      (list_id, c_emb, c_nrm) — the coarse quantizer,
+  //                 trained ONCE at bootstrap; k rows, broadcast on read
+  //   <p>_pq        (m, k, c_sub, c_sub_nrm2) — shared PQ sub-codebooks
+  //                 (the s07 no-residual variant; s08 documents the
+  //                 residual trade)
+  //   <p>_ivf_base  (vec_id, list_id, nrm, m, code) bucketed on list_id —
+  //                 the inverted file: M one-byte codes + a norm per
+  //                 vector, 16× compressed; probe joins read it with
+  //                 zero index-side shuffle
+  //   <p>_ivf_delta same + gen — one partition per appended batch
+  // Appends encode against the STANDING quantizers (no retrain): that is
+  // the real lifecycle — codebooks are per-corpus-generation artifacts,
+  // and recall on drifting data degrades until the next re-bootstrap
+  // (re-quantizing the corpus), exactly as in a production IVF
+  // deployment. Same store plumbing as the dedup stores (GraftIO:
+  // gen-monotone appends, per-gen dynamic-overwrite replay idempotence,
+  // compactSwap crash safety, attach-after-restart).
+
+  /** Train quantizers, encode the corpus, persist everything. `corpusKey`
+    * keys the Codebooks training cache (pass the data dir). */
+  def annIndexBootstrap(v0: DataFrame, prefix: String, corpusKey: String,
+      nLists: Int = IvfLists, nBuckets: Int = 8): Unit = {
+    val spark = v0.sparkSession
+    FloatVecDot.register(spark)
+    TopKByScore.register(spark)
+    val v = v0.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val centroids = Codebooks.ivfCentroids(v, s"$corpusKey#$prefix", nLists)
+    val codebook = Codebooks.pqCodebooks(v, s"$corpusKey#$prefix",
+      PqSubspaces, PqSubDim, PqCodebook)
+    for (t <- Seq("_ivf_base_next", "_ivf_base_old"))
+      graft.sources.GraftIO.dropManaged(spark, prefix + t)
+    for ((t, df) <- Seq("_cent" -> centroids, "_pq" -> codebook)) {
+      graft.sources.GraftIO.dropManaged(spark, prefix + t)
+      df.write.format("parquet").saveAsTable(prefix + t)
+    }
+    graft.sources.GraftIO.writeBucketed(
+      encodeRows(v, spark.table(s"${prefix}_cent"), spark.table(s"${prefix}_pq")),
+      s"${prefix}_ivf_base", "list_id", nBuckets, Seq("list_id"))
+    graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_ivf_delta",
+      spark.table(s"${prefix}_ivf_base"))
+  }
+
+  /** (vec_id, list_id, nrm, m, code) rows of `v` under the given
+    * quantizers — the inverted file's row layout (M rows per vector). */
+  private def encodeRows(v: DataFrame, centroids: DataFrame,
+      codebook: DataFrame): DataFrame =
+    assignToLists(v, broadcast(centroids))
+      .select(col("vec_id"), col("list_id"), col("nrm"), col("embedding"))
+      .join(pqEncode(v, broadcast(codebook)), Seq("vec_id"))
+      .select(col("vec_id"), col("list_id"), col("nrm"), col("m"), col("code"))
+
+  /** Encode one batch against the STANDING quantizers and append it —
+    * the next probe sees these vectors without re-quantizing the corpus.
+    * Gen-monotone; same-gen replay overwrites its own partition. */
+  def annIndexAppend(newV: DataFrame, prefix: String, gen: Long): Unit = {
+    val spark = newV.sparkSession
+    FloatVecDot.register(spark)
+    val deltaT = s"${prefix}_ivf_delta"
+    for (mg <- graft.sources.GraftIO.maxGen(spark, deltaT))
+      require(gen >= mg,
+        s"non-monotone index generation $gen < standing max $mg for '$prefix'")
+    val v = newV.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    graft.sources.GraftIO.writeDelta(
+      encodeRows(v, spark.table(s"${prefix}_cent"), spark.table(s"${prefix}_pq"))
+        .withColumn("gen", lit(gen))
+        .select("vec_id", "list_id", "nrm", "m", "code", "gen"),
+      deltaT)
+  }
+
+  /** The current inverted file: base ∪ delta. */
+  def annIndexRows(spark: SparkSession, prefix: String): DataFrame = {
+    val base = graft.sources.GraftIO.baseOrNext(spark, s"${prefix}_ivf_base")
+      .select("vec_id", "list_id", "nrm", "m", "code")
+    val deltaT = s"${prefix}_ivf_delta"
+    if (!spark.catalog.tableExists(deltaT)) base
+    else base.unionByName(
+      spark.table(deltaT).select("vec_id", "list_id", "nrm", "m", "code"))
+  }
+
+  /** Probe the standing index: s07's search pipeline against the
+    * persisted artifacts — coarse probe selection over the broadcast
+    * centroid table, ADC scoring of ONLY the probed lists' codes through
+    * the broadcast lookup table, exact rerank of the shortlist against
+    * `vectorSource` (at 100 TB: the embeddings table itself, joined by
+    * vec_id for ≤ rerank rows per query). All top-k are bounded
+    * aggregates; the index side never shuffles (bucketed on list_id). */
+  def annIndexProbe(queries0: DataFrame, vectorSource: DataFrame,
+      prefix: String, nProbes: Int = IvfProbes, rerank: Int = PqRerank,
+      k: Int = 3): DataFrame = {
+    val spark = queries0.sparkSession
+    FloatVecDot.register(spark)
+    TopKByScore.register(spark)
+    val centroids = broadcast(spark.table(s"${prefix}_cent"))
+    val codebook = broadcast(spark.table(s"${prefix}_pq"))
+    val queries = queries0.select(col("query_id"), col("q_emb"),
+      norm(col("q_emb")).as("q_nrm"))
+    val adc = pqAdcTable(queries, codebook)
+    val probes = queries
+      .crossJoin(centroids)
+      .withColumn("c_sim",
+        cosineWithNorms(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
+      .groupBy(col("query_id"))
+      .agg(TopKByScore.topK(col("c_sim"), col("list_id"), nProbes).as("probe"))
+      .select(col("query_id"), explode(col("probe.id")).as("list_id"))
+    val scoredAdc = probes
+      .join(annIndexRows(spark, prefix), "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(adc, Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((sum(col("part_dot")) / (first(col("q_nrm")) * first(col("nrm"))))
+          .as("adc_sim"),
+        first(col("list_id")).as("list_id"))
+    val shortlist = topKPerGroup(scoredAdc, rerank,
+        col("adc_sim"), col("vec_id"), col("list_id"), col("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"), col("tag").as("list_id"))
+    val reranked = shortlist
+      .join(vectorSource.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm")), "vec_id")
+      .join(queries, "query_id")
+      .select(col("query_id"), col("vec_id"), col("list_id"),
+        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6)
+          .as("cos_sim"))
+    topKPerGroup(reranked, k, col("cos_sim"), col("vec_id"),
+        col("list_id"), col("query_id"))
+      .select(col("query_id"), col("rank"), col("id").as("vec_id"),
+        col("tag").as("list_id"), col("score").as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Fold deltas into the bucketed inverted file (crash-safe, like the
+    * dedup stores); quantizer tables never change between bootstraps. */
+  def annIndexCompact(spark: SparkSession, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    graft.sources.GraftIO.compactSwap(spark, s"${prefix}_ivf_base",
+        Seq(s"${prefix}_ivf_delta")) { next =>
+      graft.sources.GraftIO.writeBucketed(annIndexRows(spark, prefix),
+        next, "list_id", nBuckets, Seq("list_id"))
+    }
+    graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_ivf_delta",
+      spark.table(s"${prefix}_ivf_base"))
+  }
+
+  /** Re-mount after a process restart ([[graft.sources.GraftIO
+    * .attachBucketed]]'s contract). */
+  def annIndexAttach(spark: SparkSession, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    graft.sources.GraftIO.attachPlain(spark, s"${prefix}_cent",
+      "list_id BIGINT, c_emb ARRAY<FLOAT>, c_nrm DOUBLE")
+    graft.sources.GraftIO.attachPlain(spark, s"${prefix}_pq",
+      "m INT, k INT, c_sub ARRAY<FLOAT>, c_sub_nrm2 DOUBLE")
+    for (t <- Seq("_ivf_base", "_ivf_base_next", "_ivf_base_old"))
+      graft.sources.GraftIO.attachBucketed(spark, prefix + t,
+        "vec_id BIGINT, list_id BIGINT, nrm DOUBLE, m INT, code INT",
+        "list_id", nBuckets)
+    graft.sources.GraftIO.attachPartitioned(spark, s"${prefix}_ivf_delta",
+      "vec_id BIGINT, list_id BIGINT, nrm DOUBLE, m INT, code INT, gen BIGINT",
+      "gen")
+  }
+
+  /** Drop every table of a store prefix (specs / teardown). */
+  def annIndexDrop(spark: SparkSession, prefix: String): Unit =
+    for (t <- Seq("_cent", "_pq", "_ivf_base", "_ivf_delta",
+        "_ivf_base_next", "_ivf_base_old"))
+      graft.sources.GraftIO.dropManaged(spark, prefix + t)
+
+  /** s09: ANN over the STANDING index — the driver face of the store
+    * lifecycle: the corpus side (d07/d08's vec_id%5 split discipline)
+    * bootstraps the inverted file, the incoming batch is APPENDED
+    * (encoded against the standing quantizers, no retrain), and the
+    * query set probes the merged index — appended vectors are reachable
+    * without re-quantizing the corpus (spec-pinned, Round8AnnStoreSpec).
+    * Rows-only (approximate by design, like the rest of the family). */
+  def s09AnnIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val isIncoming = col("vec_id") % 5 === 4
+    annIndexBootstrap(emb.filter(!isIncoming), "graft_s09", dir)
+    annIndexAppend(emb.filter(isIncoming), "graft_s09", 0L)
+    annIndexProbe(
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      emb, "graft_s09")
+  }
+
   // ---------------------------------------------------------------- s06
   /** s06: kNN label prediction — the semi-supervised labeling/curation
     * downstream of the ANN family: each held-out vector (vec_id < 50, the

@@ -124,6 +124,43 @@ object GraftIO {
   def readBucketed(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Base table of a merge-on-read store, falling back to a complete
+    * `_next` image inside a compaction's crash window ([[compactSwap]]). */
+  def baseOrNext(spark: SparkSession, base: String): DataFrame =
+    if (spark.catalog.tableExists(base)) spark.table(base)
+    else if (spark.catalog.tableExists(s"${base}_next")) spark.table(s"${base}_next")
+    else spark.emptyDataFrame
+
+  /** Create a gen-partitioned delta table holding zero rows: appends
+    * land as partitions of an already-known table, so static-side scans
+    * captured by a running stream see them on the next trigger. */
+  def createEmptyDelta(spark: SparkSession, table: String,
+      like: DataFrame): Unit = {
+    import org.apache.spark.sql.functions.lit
+    dropManaged(spark, table)
+    like.where(lit(false)).withColumn("gen", lit(0L))
+      .write.partitionBy("gen").format("parquet").saveAsTable(table)
+  }
+
+  /** Append one gen partition to a delta table, idempotently: a same-gen
+    * replay OVERWRITES its own partition (dynamic partition overwrite),
+    * so at-least-once callers (foreachBatch) recompute identical rows
+    * into the same place. `df` must carry `gen` as its LAST column. */
+  def writeDelta(df: DataFrame, table: String): Unit =
+    if (!df.sparkSession.catalog.tableExists(table))
+      df.write.partitionBy("gen").format("parquet").saveAsTable(table)
+    else df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").insertInto(table)
+
+  /** Standing max gen of a delta table (None when absent/empty) — the
+    * monotone-append guard's reference point. */
+  def maxGen(spark: SparkSession, table: String): Option[Long] =
+    if (!spark.catalog.tableExists(table)) None
+    else Option(spark.table(table)
+      .agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.col("gen"))).head.get(0))
+      .map(_.asInstanceOf[Long])
+
   /** The on-disk location a managed table of this name lives (or lived)
     * at — where [[attachBucketed]]/[[attachPartitioned]] re-mount from. */
   private def defaultLocation(spark: SparkSession, table: String) =
@@ -152,6 +189,13 @@ object GraftIO {
            |CLUSTERED BY (`$bucketCol`) SORTED BY (`$bucketCol`)
            |INTO $nBuckets BUCKETS
            |LOCATION '${defaultLocation(spark, table)}'""".stripMargin)
+
+  /** [[attachBucketed]] for an unbucketed, unpartitioned table (small
+    * dimension artifacts: centroid/codebook tables). */
+  def attachPlain(spark: SparkSession, table: String, schemaDdl: String): Unit =
+    if (!spark.catalog.tableExists(table) && dirExists(spark, table))
+      spark.sql(s"""CREATE TABLE `$table` ($schemaDdl) USING parquet
+                   |LOCATION '${defaultLocation(spark, table)}'""".stripMargin)
 
   /** [[attachBucketed]] for a partition-column table: re-mounts, then
     * recovers the surviving partition directories into the catalog. */

@@ -497,6 +497,95 @@ object StreamingJobs {
       threshold, watermark)
   }
 
+  // ------------------------------------------------------------ ANN probe
+  /** Streaming face of the standing ANN index (s09's store,
+    * [[graft.operators.VectorOps.annIndexBootstrap]] lifecycle): a
+    * stream of (query_id, q_emb, ts) vectors probes the persisted
+    * inverted file with ADC-ranked top-k per query — the low-latency
+    * retrieval gate over a continuously-growing vector corpus.
+    *
+    * Design mirrors neardupProbeStream's split of constants vs content:
+    * the QUANTIZERS (nlists centroid vectors, M×K PQ sub-codebooks) are
+    * per-corpus-generation constants, so they are snapshotted into plan
+    * LITERALS at query definition — probe-list selection and the
+    * per-candidate ADC sum are then fully row-local expressions (no
+    * stream-side aggregation before the final top-k, no broadcast
+    * exchange per trigger). The INDEX CONTENT is the live part: the
+    * stream-static join re-scans the store's base ∪ delta view each
+    * micro-batch, so an [[graft.operators.VectorOps.annIndexAppend]]
+    * lands on the next trigger without a restart (spec-pinned). A
+    * re-bootstrap (new quantizers) requires restarting the query —
+    * exactly the semantics of a production IVF deployment, where the
+    * codebooks version the index.
+    *
+    * No exact rerank on the stream: that needs the full-vector table
+    * (the batch probe's job, s09); emitted hits carry the ADC-estimated
+    * cosine, k per query, released by the watermark. State: only the
+    * final bounded TopKByScore aggregation (≤ k entries per query per
+    * partition — heavyKeysStream's MisraGries precedent for native
+    * aggregates in streaming state). Queries matching an empty index
+    * emit nothing (inner stream-static join). */
+  def annProbeStream(queries: DataFrame, prefix: String, k: Int = 3,
+      nProbes: Int = 2, watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.VectorOps
+    import graft.functions.{FloatVecDot, TopKByScore}
+    val spark = queries.sparkSession
+    FloatVecDot.register(spark)
+    TopKByScore.register(spark)
+    val subDim = 8
+    // quantizer snapshots → literals
+    val cents = spark.table(s"${prefix}_cent")
+      .select("list_id", "c_emb", "c_nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    val cb: Seq[Seq[Seq[Float]]] = {
+      val raw = spark.table(s"${prefix}_pq").select("m", "k", "c_sub").collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2))).toMap
+      val ms = raw.keys.map(_._1).max + 1
+      val ks = raw.keys.map(_._2).max + 1
+      Seq.tabulate(ms)(m => Seq.tabulate(ks)(j => raw((m, j))))
+    }
+    val cbLit = typedlit(cb)
+    // row-local probe selection: nProbes best lists by centroid cosine,
+    // ordered (sim desc, list asc) — TopKByScore's exact ordering
+    val simStructs = array(cents.map { case (listId, cEmb, cNrm) =>
+      struct(
+        (-(FloatVecDot.vecDot(col("q_emb"), typedlit(cEmb))
+          / (col("q_nrm") * lit(cNrm)))).as("neg_sim"),
+        lit(listId).as("list_id"))
+    }.toSeq: _*)
+    val probeLists = transform(slice(array_sort(simStructs), 1, nProbes),
+      e => e.getField("list_id"))
+    val probes = queries
+      .withWatermark("ts", watermark)
+      .withColumn("q_nrm", VectorOps.norm(col("q_emb")))
+      .select(col("query_id"), col("ts"), col("q_emb"), col("q_nrm"),
+        explode(probeLists).as("list_id"))
+    // static side: the current inverted file, codes grouped per vector
+    // (one static-plan aggregation, re-executed per trigger)
+    val index = VectorOps.annIndexRows(spark, prefix)
+      .groupBy(col("vec_id"), col("list_id"), col("nrm"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        e => e.getField("code")).as("codes"))
+    // row-local ADC: sum over subspaces of q_sub · codebook[m][code]
+    val adcDot = (0 until cb.length).map { m =>
+      FloatVecDot.vecDot(
+        slice(col("q_emb"), m * subDim + 1, subDim),
+        element_at(element_at(cbLit, m + 1), element_at(col("codes"), m + 1) + 1))
+    }.reduce(_ + _)
+    probes
+      .join(index, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_sim", adcDot / (col("q_nrm") * col("nrm")))
+      .groupBy(col("query_id"), col("ts"))
+      .agg(TopKByScore.topK(col("adc_sim"), col("vec_id"), col("list_id"), k)
+        .as("top"))
+      .select(col("query_id"), col("ts"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), col("ts"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("vec_id"), col("t.tag").as("list_id"),
+        round(col("t.score"), 6).as("adc_sim"))
+  }
+
   // ------------------------------------------------------ incremental components
   /** Streaming face of g07: each micro-batch of (a, b) edges merges into
     * the standing component assignment kept in

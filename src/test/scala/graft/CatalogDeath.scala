@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Test helper: drop tables' catalog entries WITHOUT deleting their data
+  * — what process death does to an in-memory catalog (warehouse
+  * directories survive, registrations don't). A plain DROP TABLE purges
+  * managed data, so each directory is renamed aside first and restored
+  * after. Shared by the round-8 cold-restart specs. */
+object CatalogDeath {
+  def simulate(spark: SparkSession, tables: Seq[String]): Unit = {
+    val cat = spark.sessionState.catalog
+    for (t <- tables) {
+      val ident = org.apache.spark.sql.catalyst.TableIdentifier(t)
+      if (cat.tableExists(ident)) {
+        val loc = new Path(cat.getTableMetadata(ident).location)
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val aside = new Path(loc.getParent, loc.getName + "__death_aside")
+        fs.delete(aside, true)
+        val hadDir = fs.exists(loc)
+        if (hadDir) fs.rename(loc, aside)
+        spark.sql(s"DROP TABLE `$t`")
+        if (hadDir) {
+          fs.delete(loc, true)
+          fs.rename(aside, loc)
+        }
+      }
+    }
+  }
+}

@@ -1,0 +1,175 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+/** Round-8 standing-ANN-index specs: the inverted file persists and
+  * LEARNS — a batch appended against the standing quantizers is
+  * reachable by the very next probe without re-quantizing the corpus —
+  * with the same store disciplines as the dedup stores: gen-monotone
+  * replay-idempotent appends, compaction invariance, and survival of
+  * process death via attach. */
+class Round8AnnStoreSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Deterministic corpus (seeded LCG), one query vector re-used as the
+    * appended batch's exact duplicate. */
+  private lazy val corpusRows: Seq[(Long, Seq[Float])] = {
+    val rnd = new java.util.Random(7L)
+    (0 until 600).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq)
+    }
+  }
+  private def queryEmb: Seq[Float] = corpusRows(5)._2
+
+  private def corpusDF(s: SparkSession): DataFrame = {
+    import s.implicits._
+    corpusRows.toDF("vec_id", "embedding")
+  }
+  private def batchDF(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq((900L, queryEmb)).toDF("vec_id", "embedding")
+  }
+
+  /** Probe with every DataFrame built from `s` — the table-relation
+    * cache is per session, so the session that compacted must be the
+    * one that reads. */
+  private def probe(s: SparkSession, prefix: String): Array[Row] = {
+    import s.implicits._
+    VectorOps.annIndexProbe(
+      Seq((5L, queryEmb)).toDF("query_id", "q_emb"),
+      corpusDF(s).unionByName(batchDF(s)), prefix).collect()
+  }
+
+  test("append-after-bootstrap makes the batch reachable: an appended " +
+      "exact duplicate becomes the top hit; replay and compaction are " +
+      "invariant; non-monotone gens are rejected") {
+    val p = "graft_ann_r8a"
+    VectorOps.annIndexDrop(spark, p)
+    val dir = java.nio.file.Files.createTempDirectory("annstore").toString
+    VectorOps.annIndexBootstrap(corpusDF(spark), p, dir)
+    val before = probe(spark, p)
+    assert(before.nonEmpty)
+    assert(!before.exists(_.getLong(2) == 900L),
+      "vector 900 must be unreachable before its batch is appended")
+    VectorOps.annIndexAppend(batchDF(spark), p, gen = 3L)
+    val after = probe(spark, p)
+    val top = after.filter(_.getLong(1) == 1L).head
+    assert(top.getLong(2) === 900L,
+      s"appended exact duplicate must be the top hit, got $top")
+    assert(top.getDouble(4) === 1.0)
+    // the appended vector sits in the list the standing quantizer assigns
+    // it to — recomputed independently from the persisted centroid table
+    val cents = spark.table(s"${p}_cent")
+    val assignedList = batchDF(spark)
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("list_id"),
+        VectorOps.cosineWithNorms(col("embedding"), col("c_emb"),
+          col("nrm"), col("c_nrm")).as("c_sim"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("list_id"),
+        struct((-col("c_sim")).as("n"), col("list_id"))).as("list_id"))
+      .head.getLong(1)
+    assert(top.getLong(3) === assignedList)
+    // replay idempotence: same gen, same rows, no growth
+    val nDelta = spark.table(s"${p}_ivf_delta").count()
+    VectorOps.annIndexAppend(batchDF(spark), p, gen = 3L)
+    assert(spark.table(s"${p}_ivf_delta").count() === nDelta)
+    // non-monotone gen rejected while the standing delta holds gen 3
+    val e = intercept[IllegalArgumentException] {
+      VectorOps.annIndexAppend(batchDF(spark), p, gen = 2L)
+    }
+    assert(e.getMessage.contains("non-monotone"))
+    // compaction folds the delta without changing any probe result
+    VectorOps.annIndexCompact(spark, p)
+    assert(spark.table(s"${p}_ivf_delta").isEmpty)
+    assert(probe(spark, p).toSeq === after.toSeq)
+    VectorOps.annIndexDrop(spark, p)
+  }
+
+  test("the ANN store survives process death: attach re-mounts quantizer " +
+      "tables + inverted file and the probe is unchanged") {
+    val p = "graft_ann_r8b"
+    VectorOps.annIndexDrop(spark, p)
+    val dir = java.nio.file.Files.createTempDirectory("annstore2").toString
+    VectorOps.annIndexBootstrap(corpusDF(spark), p, dir)
+    VectorOps.annIndexAppend(batchDF(spark), p, 0L)
+    val want = probe(spark, p).toSeq
+    CatalogDeath.simulate(spark, Seq(s"${p}_cent", s"${p}_pq",
+      s"${p}_ivf_base", s"${p}_ivf_delta"))
+    val spark2: SparkSession = spark.newSession()
+    assert(!spark2.catalog.tableExists(s"${p}_ivf_base"))
+    VectorOps.annIndexAttach(spark2, p)
+    assert(spark2.catalog.tableExists(s"${p}_cent"))
+    assert(probe(spark2, p).toSeq === want)
+    // the re-attached store keeps its lifecycle: compact then probe —
+    // reads stay on spark2 (table-relation caches are per session)
+    VectorOps.annIndexCompact(spark2, p)
+    assert(probe(spark2, p).toSeq === want)
+    VectorOps.annIndexDrop(spark2, p)
+  }
+
+  test("annProbeStream: probes the standing index row-locally; a " +
+      "mid-stream append is visible on the next trigger") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val p = "graft_ann_r8s"
+    VectorOps.annIndexDrop(spark, p)
+    val dir = java.nio.file.Files.createTempDirectory("annstream").toString
+    VectorOps.annIndexBootstrap(corpusDF(spark), p, dir)
+    def ts(minute: Int) = new java.sql.Timestamp(1704067200000L + minute * 60000L)
+    val mem = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val q = graft.streaming.StreamingJobs.annProbeStream(
+        mem.toDF.toDF("query_id", "q_emb", "ts"), p, watermark = "1 minute")
+      .writeStream.format("memory").queryName("annps")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((5L, queryEmb, ts(0)))
+      q.processAllAvailable()
+      // the store learns vector 900 (= the query embedding) mid-stream
+      VectorOps.annIndexAppend(batchDF(spark), p, 0L)
+      mem.addData((5L, queryEmb, ts(1)))
+      q.processAllAvailable()
+      mem.addData((999L, corpusRows(17)._2, ts(120))) // watermark push
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("annps").collect()
+      .map(r => (r.getTimestamp(1), r.getLong(2), r.getLong(3), r.getDouble(5)))
+    val first = rows.filter(_._1 == ts(0))
+    val second = rows.filter(_._1 == ts(1))
+    assert(first.nonEmpty && second.nonEmpty)
+    assert(!first.exists(_._3 == 900L),
+      "vector 900 must be invisible before its append")
+    val top2 = second.filter(_._2 == 1L).head
+    assert(top2._3 === 900L,
+      s"appended exact duplicate must top the ADC ranking, got $top2")
+    assert(top2._4 > 0.5, s"exact dup's ADC similarity should be high: $top2")
+    VectorOps.annIndexDrop(spark, p)
+  }
+
+  test("s09 driver entry: shape, determinism, and the split's incoming " +
+      "vectors reachable through the standing index") {
+    val r1 = VectorOps.s09AnnIndexed(spark, sfDir).collect()
+    val nQueries = r1.map(_.getLong(0)).distinct.length
+    assert(nQueries === 10)
+    assert(r1.length === nQueries * 3)
+    r1.groupBy(_.getLong(0)).values.foreach { g =>
+      assert(g.map(_.getLong(1)).sorted.toSeq === Seq(1L, 2L, 3L))
+      // rank order follows exact cosine desc
+      assert(g.sortBy(_.getLong(1)).map(_.getDouble(4)).toSeq
+        === g.map(_.getDouble(4)).sorted.reverse.toSeq)
+    }
+    // deterministic across runs
+    val r2 = VectorOps.s09AnnIndexed(spark, sfDir).collect()
+    assert(r1.toSeq === r2.toSeq)
+    // incoming (appended) vectors are reachable: at least one result
+    // comes from the vec_id % 5 == 4 side the bootstrap never saw
+    assert(r1.exists(_.getLong(2) % 5 == 4),
+      "no appended vector in any top-3 — the store didn't learn the batch")
+    VectorOps.annIndexDrop(spark, "graft_s09")
+  }
+}

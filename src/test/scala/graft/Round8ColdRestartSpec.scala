@@ -17,29 +17,8 @@ import graft.streaming.StreamingJobs
 class Round8ColdRestartSpec extends GraftSpecBase {
   import spark.implicits._
 
-  /** Drop a table's catalog entry WITHOUT deleting its data — what
-    * process death does to an in-memory catalog. (A plain DROP TABLE
-    * purges managed data, so the directory is renamed aside first and
-    * restored after.) */
-  private def simulateCatalogLoss(tables: Seq[String]): Unit = {
-    val cat = spark.sessionState.catalog
-    for (t <- tables) {
-      val ident = org.apache.spark.sql.catalyst.TableIdentifier(t)
-      if (cat.tableExists(ident)) {
-        val loc = new Path(cat.getTableMetadata(ident).location)
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val aside = new Path(loc.getParent, loc.getName + "__death_aside")
-        fs.delete(aside, true)
-        val hadDir = fs.exists(loc)
-        if (hadDir) fs.rename(loc, aside)
-        spark.sql(s"DROP TABLE `$t`")
-        if (hadDir) {
-          fs.delete(loc, true)
-          fs.rename(aside, loc)
-        }
-      }
-    }
-  }
+  private def simulateCatalogLoss(tables: Seq[String]): Unit =
+    CatalogDeath.simulate(spark, tables)
 
   private def memStream(s: SparkSession): MemoryStream[(Long, Long)] = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
