@@ -145,12 +145,29 @@ object GraftIO {
   /** Append one gen partition to a delta table, idempotently: a same-gen
     * replay OVERWRITES its own partition (dynamic partition overwrite),
     * so at-least-once callers (foreachBatch) recompute identical rows
-    * into the same place. `df` must carry `gen` as its LAST column. */
-  def writeDelta(df: DataFrame, table: String): Unit =
-    if (!df.sparkSession.catalog.tableExists(table))
+    * into the same place. `df` must carry `gen` as its LAST column.
+    *
+    * The overwrite mode is set via SESSION conf for the duration of the
+    * write: the per-writer `option("partitionOverwriteMode", ...)` is
+    * NOT honored on this insertInto path, and under the default STATIC
+    * mode the second distinct gen silently wiped every earlier
+    * partition — caught by Round8IngestSpec's two-batch probe (one
+    * appended gen alone, or a same-gen replay, never trips it). */
+  def writeDelta(df: DataFrame, table: String): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table))
       df.write.partitionBy("gen").format("parquet").saveAsTable(table)
-    else df.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic").insertInto(table)
+    else {
+      val key = "spark.sql.sources.partitionOverwriteMode"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "dynamic")
+      try df.write.mode("overwrite").insertInto(table)
+      finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 
   /** Standing max gen of a delta table (None when absent/empty) — the
     * monotone-append guard's reference point. */

@@ -497,6 +497,49 @@ object StreamingJobs {
       threshold, watermark)
   }
 
+  // ------------------------------------------------------ store ingestion
+  /** Streaming INGESTION face of the standing band-index store
+    * ([[componentsStream]]'s foreachBatch pattern applied to d08's
+    * store): each micro-batch of (doc_id, text) rows appends its
+    * signatures ([[graft.operators.DedupOps.neardupIndexAppend]]), so
+    * the index continuously learns the crawl while
+    * [[neardupProbeStreamFromStore]] (a second query over the same
+    * store) gates against it. Delta generations are anchored above the
+    * store's standing max at query start (batch ids restart at 0 under
+    * a fresh checkpoint); an at-least-once replay of the last batch
+    * overwrites its own gen partition — idempotent by the store's
+    * dynamic-partition-overwrite discipline. Doc ids are append-once
+    * across batches (the store contract). */
+  def neardupIndexIngest(docs: DataFrame, prefix: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = docs.sparkSession
+    val genBase = graft.sources.GraftIO
+      .maxGen(spark, s"${prefix}_bands_delta").map(_ + 1L).getOrElse(0L)
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.DedupOps.neardupIndexAppend(batch, prefix, genBase + id)
+      }
+  }
+
+  /** [[neardupIndexIngest]]'s analog for the standing ANN index: each
+    * micro-batch of (vec_id, embedding) rows is encoded against the
+    * STANDING quantizers and appended
+    * ([[graft.operators.VectorOps.annIndexAppend]]) — [[annProbeStream]]
+    * sees the vectors on its next trigger. Same gen anchoring and
+    * replay idempotence. */
+  def annIndexIngest(vectors: DataFrame, prefix: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = vectors.sparkSession
+    val genBase = graft.sources.GraftIO
+      .maxGen(spark, s"${prefix}_ivf_delta").map(_ + 1L).getOrElse(0L)
+    vectors.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.VectorOps.annIndexAppend(batch, prefix, genBase + id)
+      }
+  }
+
   // ------------------------------------------------------------ ANN probe
   /** Streaming face of the standing ANN index (s09's store,
     * [[graft.operators.VectorOps.annIndexBootstrap]] lifecycle): a

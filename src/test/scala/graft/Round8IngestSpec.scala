@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, VectorOps}
+import graft.streaming.StreamingJobs
+
+/** Round-8 store-ingestion specs: the standing indexes LEARN FROM A
+  * STREAM — componentsStream's foreachBatch pattern applied to the
+  * band index and the ANN inverted file. Each batch's append must be
+  * visible to the next probe, and a second query over a fresh
+  * checkpoint must anchor its generations above the standing max. */
+class Round8IngestSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def memDocs(s: SparkSession): MemoryStream[(Long, String)] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    MemoryStream[(Long, String)]
+  }
+
+  test("neardupIndexIngest: streamed batches land in the standing band " +
+      "index; a fresh-checkpoint restart anchors gens above the max") {
+    val p = "graft_ndx_r8i"
+    DedupOps.neardupIndexDrop(spark, p)
+    val corpus = Seq((1L,
+      "the quick brown fox jumps over the lazy dog and then runs far away home tonight"))
+      .toDF("doc_id", "text")
+    DedupOps.neardupIndexBootstrap(corpus, p)
+    val novelA =
+      "a wholly novel document about medieval castle construction techniques and their restoration"
+    val novelB =
+      "an unrelated treatise cataloguing alpine lichen species and their seasonal habitats"
+    val mem1 = memDocs(spark)
+    val ck1 = java.nio.file.Files.createTempDirectory("ndxi1").toString
+    val q1 = StreamingJobs.neardupIndexIngest(
+        mem1.toDF.toDF("doc_id", "text"), p)
+      .option("checkpointLocation", ck1).start()
+    try {
+      mem1.addData((101L, novelA)); q1.processAllAvailable()
+      mem1.addData((102L, novelB)); q1.processAllAvailable()
+    } finally q1.stop()
+    def status(probeId: Long, text: String): (String, Long) = {
+      val all = (Seq((1L, corpus.head.getString(1)), (101L, novelA),
+        (102L, novelB))).toDF("doc_id", "text")
+      val r = DedupOps.neardupProbe(Seq((probeId, text)).toDF("doc_id", "text"),
+        all, p).head()
+      (r.getString(1), r.getLong(2))
+    }
+    assert(status(201L, novelA) === (("known_neardup", 101L)))
+    assert(status(202L, novelB) === (("known_neardup", 102L)))
+    val maxGen1 = graft.sources.GraftIO.maxGen(spark, s"${p}_bands_delta").get
+    // second query, FRESH checkpoint: batch ids restart at 0, gens must not
+    val mem2 = memDocs(spark)
+    val ck2 = java.nio.file.Files.createTempDirectory("ndxi2").toString
+    val q2 = StreamingJobs.neardupIndexIngest(
+        mem2.toDF.toDF("doc_id", "text"), p)
+      .option("checkpointLocation", ck2).start()
+    try {
+      mem2.addData((103L,
+        "yet another distinct document describing barometric instrument calibration procedures"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val gens = spark.table(s"${p}_bands_delta")
+      .select("gen").distinct().as[Long].collect().toSet
+    assert(gens.exists(_ > maxGen1), s"fresh checkpoint reused gens ≤ $maxGen1: $gens")
+    DedupOps.neardupIndexDrop(spark, p)
+  }
+
+  test("annIndexIngest: streamed vectors are encoded against the standing " +
+      "quantizers and reachable by the next probe") {
+    val p = "graft_ann_r8i"
+    VectorOps.annIndexDrop(spark, p)
+    val rnd = new java.util.Random(11L)
+    val corpusRows = (0 until 300).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("anni").toString
+    VectorOps.annIndexBootstrap(corpusRows.toDF("vec_id", "embedding"), p, dir)
+    val queryEmb = corpusRows(7)._2
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val ck = java.nio.file.Files.createTempDirectory("anni_ck").toString
+    val q = StreamingJobs.annIndexIngest(
+        mem.toDF.toDF("vec_id", "embedding"), p)
+      .option("checkpointLocation", ck).start()
+    try {
+      mem.addData((900L, queryEmb)) // exact duplicate of query 7's vector
+      q.processAllAvailable()
+    } finally q.stop()
+    val top = VectorOps.annIndexProbe(
+        Seq((7L, queryEmb)).toDF("query_id", "q_emb"),
+        (corpusRows :+ (900L, queryEmb)).toDF("vec_id", "embedding"), p)
+      .filter(col("rank") === 1).head()
+    assert(top.getLong(2) === 900L,
+      s"streamed vector must top the probe, got $top")
+    assert(top.getDouble(4) === 1.0)
+    VectorOps.annIndexDrop(spark, p)
+  }
+}
