@@ -567,7 +567,13 @@ object StreamingJobs {
     * final bounded TopKByScore aggregation (≤ k entries per query per
     * partition — heavyKeysStream's MisraGries precedent for native
     * aggregates in streaming state). Queries matching an empty index
-    * emit nothing (inner stream-static join). */
+    * emit nothing (inner stream-static join).
+    *
+    * Bound: literal probe selection costs O(nlists) expression nodes —
+    * right for coarse geometries up to a few hundred lists; at
+    * nlists ≈ thousands the selection becomes a stream-static join
+    * against the centroid table instead (still stateless, one broadcast
+    * per trigger). */
   def annProbeStream(queries: DataFrame, prefix: String, k: Int = 3,
       nProbes: Int = 2, watermark: String = "1 hour"): DataFrame = {
     import graft.operators.VectorOps
@@ -575,7 +581,6 @@ object StreamingJobs {
     val spark = queries.sparkSession
     FloatVecDot.register(spark)
     TopKByScore.register(spark)
-    val subDim = 8
     // quantizer snapshots → literals
     val cents = spark.table(s"${prefix}_cent")
       .select("list_id", "c_emb", "c_nrm").collect()
@@ -587,6 +592,7 @@ object StreamingJobs {
       val ks = raw.keys.map(_._2).max + 1
       Seq.tabulate(ms)(m => Seq.tabulate(ks)(j => raw((m, j))))
     }
+    val subDim = cb.head.head.length
     val cbLit = typedlit(cb)
     // row-local probe selection: nProbes best lists by centroid cosine,
     // ordered (sim desc, list asc) — TopKByScore's exact ordering
