@@ -90,6 +90,37 @@ class Round8AnnStoreSpec extends GraftSpecBase {
     VectorOps.annIndexDrop(spark, p)
   }
 
+  test("two standing delta generations ≡ one combined append (the " +
+      "writeDelta multi-gen regression class)") {
+    val p1 = "graft_ann_r8m1"
+    val p2 = "graft_ann_r8m2"
+    VectorOps.annIndexDrop(spark, p1)
+    VectorOps.annIndexDrop(spark, p2)
+    val dir = java.nio.file.Files.createTempDirectory("annmg").toString
+    val extra = {
+      val rnd = new java.util.Random(23L)
+      Seq((901L, queryEmb),
+        (902L, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq))
+    }
+    VectorOps.annIndexBootstrap(corpusDF(spark), p1, dir)
+    VectorOps.annIndexAppend(Seq(extra.head).toDF("vec_id", "embedding"), p1, 0L)
+    VectorOps.annIndexAppend(Seq(extra(1)).toDF("vec_id", "embedding"), p1, 1L)
+    VectorOps.annIndexBootstrap(corpusDF(spark), p2, dir)
+    VectorOps.annIndexAppend(extra.toDF("vec_id", "embedding"), p2, 0L)
+    def probeAll(prefix: String) = {
+      VectorOps.annIndexProbe(
+        Seq((5L, queryEmb)).toDF("query_id", "q_emb"),
+        corpusDF(spark).unionByName(extra.toDF("vec_id", "embedding")), prefix)
+        .collect().toSeq
+    }
+    val two = probeAll(p1)
+    assert(two === probeAll(p2))
+    // both appended gens are live: 901 (gen 0, the exact dup) tops
+    assert(two.filter(_.getLong(1) == 1L).head.getLong(2) === 901L)
+    VectorOps.annIndexDrop(spark, p1)
+    VectorOps.annIndexDrop(spark, p2)
+  }
+
   test("the ANN store survives process death: attach re-mounts quantizer " +
       "tables + inverted file and the probe is unchanged") {
     val p = "graft_ann_r8b"

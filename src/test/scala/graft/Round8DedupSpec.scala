@@ -94,6 +94,33 @@ class Round8DedupSpec extends GraftSpecBase {
     DedupOps.neardupIndexDrop(spark, ref)
   }
 
+  test("probe with TWO standing delta generations ≡ from-scratch rebuild " +
+      "over the full union (the writeDelta multi-gen regression class)") {
+    val inc = "graft_ndx_r8m"
+    val ref = "graft_ndx_r8mref"
+    DedupOps.neardupIndexDrop(spark, inc)
+    DedupOps.neardupIndexDrop(spark, ref)
+    DedupOps.neardupIndexBootstrap(corpusDocs, inc)
+    DedupOps.neardupIndexAppend(batchA, inc, gen = 0L)
+    DedupOps.neardupIndexAppend(batchB, inc, gen = 1L)
+    val verifyAll = corpusDocs.unionByName(batchA).unionByName(batchB)
+    val probeDocs = Seq(
+      (301L, base + " shared tail one"), // = corpus doc 1 (base image)
+      (302L, "a wholly novel document about medieval castle construction techniques and their restoration"), // = A's 101 (gen 0)
+      (303L, "batch b unique filler text cataloguing alpine lichen species and their habitats") // = B's 202 (gen 1)
+    ).toDF("doc_id", "text")
+    val got = DedupOps.neardupProbe(probeDocs, verifyAll, inc)
+    DedupOps.neardupIndexBootstrap(verifyAll, ref)
+    val want = DedupOps.neardupProbe(probeDocs, verifyAll, ref)
+    assert(rows(got) === rows(want))
+    val s = statusMap(got)
+    assert(s(301L)._1 === "known_neardup")
+    assert(s(302L) === (("known_neardup", Some(101L))), "gen-0 doc visible")
+    assert(s(303L) === (("known_neardup", Some(202L))), "gen-1 doc visible")
+    DedupOps.neardupIndexDrop(spark, inc)
+    DedupOps.neardupIndexDrop(spark, ref)
+  }
+
   test("append is idempotent under same-gen replay and rejects a " +
       "non-monotone generation") {
     val p = "graft_ndx_r8b"
