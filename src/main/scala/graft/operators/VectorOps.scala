@@ -862,6 +862,67 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- d09
+  /** SemDeDup pruning decisions (Abbas et al., arXiv:2303.09540): cluster
+    * the embedding space with the IVF coarse quantizer, then within each
+    * cluster remove every vector that has a LOWER-id cluster-mate at
+    * cosine ≥ `threshold` — the released SemDeDup implementation's
+    * fixed-order greedy (one representative per near-duplicate
+    * neighborhood survives; which one is deterministic, not
+    * similarity-ranked). Returns one row per vector:
+    * (vec_id, list_id, removed).
+    *
+    * The scale shape is the paper's own: clustering exists precisely so
+    * the quadratic pair step runs within clusters, never corpus-wide. On
+    * top of that, [[embeddingNearDupPairs]]'s sign-bit cap bounds any
+    * single oversized cluster (expected sub-block ≤ `maxBlock`), so no
+    * cluster can go quadratic no matter how the quantizer skews — the
+    * same recall-for-boundedness trade d03/d05 already make. Pairs carry
+    * only (vec_a, vec_b, sim); embeddings shuffle once for assignment
+    * and once per bounded block, never all-pairs. The quantizer is the
+    * cached/persisted [[Codebooks.ivfCentroids]] codebook (train once,
+    * sample-bounded), so repeated curation runs pay assignment + bounded
+    * pairs only. */
+  private[graft] def semDedup(v0: DataFrame, corpusKey: String, nClusters: Int,
+      threshold: Double, maxBlock: Int = D05MaxBlock): DataFrame = {
+    val v = v0.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val centroids = Codebooks.ivfCentroids(v, corpusKey, nClusters)
+    val assigned = assignToLists(v, centroids)
+    val pairs = embeddingNearDupPairs(
+      assigned.select(col("vec_id"), col("list_id").as("label"), col("embedding")),
+      threshold, maxBlock)
+    // removed(j) ⇔ ∃ i < j in j's cluster with sim ≥ t: exactly the
+    // distinct vec_b side of the (vec_a < vec_b) pair relation
+    val removed = pairs.select(col("vec_b").as("vec_id")).distinct()
+      .withColumn("removed", lit(true))
+    assigned.select("vec_id", "list_id")
+      .join(removed, Seq("vec_id"), "left")
+      .withColumn("removed", coalesce(col("removed"), lit(false)))
+  }
+
+  /** d09: SemDeDup over the embeddings corpus — per-cluster retention
+    * report (members / removed / kept). Rows-only: the cluster
+    * assignment comes from the k-means quantizer, which no SQL oracle
+    * reproduces; Round8SemDedupSpec pins the removal rule against a
+    * driver-side brute-force reference, determinism, and threshold
+    * monotonicity. */
+  def d09SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    FloatVecDot.register(spark)
+    semDedup(Tables(spark, dir).embeddings, dir, IvfLists, SemDedupThreshold)
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("removed"), 0L).otherwise(1L)).as("n_kept"))
+      .orderBy("list_id")
+  }
+
+  /** Driver-default SemDeDup cosine threshold. The paper sweeps ~0.95+ on
+    * real model embeddings; the synthetic testdata embeddings are more
+    * dispersed, so the default sits where the corpus actually has
+    * semantic near-duplicates to act on. */
+  private val SemDedupThreshold = 0.80
+
   val s05Sql: String =
     s"""WITH ex AS (
        |  SELECT label,

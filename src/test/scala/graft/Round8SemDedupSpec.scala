@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.FloatVecDot
+import graft.operators.{Codebooks, VectorOps}
+
+/** SemDeDup (d09) specs: the removal rule against a driver-side
+  * brute-force reference, determinism, and threshold monotonicity.
+  * The cluster assignment itself is the spec'd-elsewhere IVF quantizer
+  * ([[Codebooks.ivfCentroids]] + min_by argmin); here it is taken as
+  * given (read off the result) and the PRUNING DECISION on top of it is
+  * what's verified: removed(j) ⇔ ∃ i < j in j's cluster with
+  * round6(cos(i,j)) ≥ t. */
+class Round8SemDedupSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Two well-separated directions with per-id jitter: ids 0..19 hug
+    * axis-0, ids 20..39 hug axis-1; ids 10/11/12 are near-identical
+    * (jitter ≪ threshold gap) so the greedy keeps 10 and removes 11/12. */
+  private def corpus(): Seq[(Long, Array[Float])] =
+    (0L until 40L).map { id =>
+      val base = if (id < 20) Array(10f, 0f, 0f, 0f) else Array(0f, 10f, 0f, 0f)
+      val jitter =
+        if (id == 11L || id == 12L) 0.001f * (id - 10) // ~identical to 10
+        else 0.15f * ((id % 7) + 1)
+      val v = base.clone()
+      v(2) = jitter
+      v(3) = 0.05f * (id % 5)
+      (id, v)
+    }
+
+  private def runSemDedup(key: String, threshold: Double) = {
+    FloatVecDot.register(spark)
+    val v = corpus().toDF("vec_id", "embedding")
+    VectorOps.semDedup(v, key, nClusters = 2, threshold = threshold)
+      .select("vec_id", "list_id", "removed")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+  }
+
+  test("removal set equals the brute-force greedy reference within each " +
+      "cluster, near-identical group keeps exactly its min id") {
+    val got = runSemDedup("semdedup-spec-ref", threshold = 0.999)
+    assert(got.length === 40)
+    val emb = corpus().toMap
+    val byId = got.map(r => r._1 -> r._2).toMap
+    // brute-force reference over the SAME assignment the result reports
+    val expectRemoved = got.map(_._1).filter { j =>
+      got.map(_._1).exists(i => i < j && byId(i) == byId(j) &&
+        round6(cosine(emb(i), emb(j))) >= 0.999)
+    }.toSet
+    assert(got.filter(_._3).map(_._1).toSet === expectRemoved)
+    // the engineered near-identical group: 10 kept, 11/12 removed
+    assert(expectRemoved.contains(11L) && expectRemoved.contains(12L))
+    assert(!expectRemoved.contains(10L))
+    // 10/11/12 share a cluster (they are near-identical vectors)
+    assert(byId(10L) === byId(11L) && byId(11L) === byId(12L))
+  }
+
+  test("deterministic: two invocations produce identical decisions") {
+    val a = runSemDedup("semdedup-spec-det", threshold = 0.999)
+    val b = runSemDedup("semdedup-spec-det", threshold = 0.999)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("threshold monotonicity: raising the threshold only shrinks the " +
+      "removed set") {
+    val loose = runSemDedup("semdedup-spec-mono", threshold = 0.99)
+      .filter(_._3).map(_._1).toSet
+    val tight = runSemDedup("semdedup-spec-mono", threshold = 0.9999)
+      .filter(_._3).map(_._1).toSet
+    assert(tight.subsetOf(loose))
+    assert(loose.nonEmpty)
+  }
+
+  test("driver entry: per-cluster report accounts for every vector and " +
+      "removes a nonzero, minority share on the testdata corpus") {
+    Codebooks.clearTrained()
+    val rep = VectorOps.d09SemDedup(spark, sfDir).collect()
+    val total = Tables(spark, sfDir).embeddings.count()
+    assert(rep.map(_.getAs[Long]("n_members")).sum === total)
+    rep.foreach { r =>
+      assert(r.getAs[Long]("n_members") ===
+        r.getAs[Long]("n_removed") + r.getAs[Long]("n_kept"))
+    }
+    val removed = rep.map(_.getAs[Long]("n_removed")).sum
+    assert(removed > 0L, "threshold should bite on the testdata corpus")
+    assert(removed < total / 2, "dedup must not remove a majority")
+  }
+}
