@@ -23,8 +23,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.files.maxPartitionBytes", (128L * 1024 * 1024).toString)
-      // events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read as epoch-nanos LONG and convert in queries.
+      // Some testdata generations store events.ts as TIMESTAMP(NANOS),
+      // which Spark's vectorized reader rejects; read those as epoch-nanos
+      // LONG. Tables.events normalizes whatever arrives (nanos LONG or
+      // micros TIMESTAMP_NTZ) to the canonical epoch-nanos LONG.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")

@@ -11,8 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Lookup by table name (Graft.bind, ad-hoc tools). */
-  def byName(name: String): DataFrame = t(name)
+  /** Lookup by table name (Graft.bind, ad-hoc tools); routes through the
+    * normalizing accessors so `events.ts` is canonical here too. */
+  def byName(name: String): DataFrame =
+    if (name == "events") events else t(name)
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -21,7 +23,24 @@ final class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  def events: DataFrame     = t("events")
+
+  /** Events with `ts` normalized to the engine's canonical epoch-nanos
+    * LONG. Testdata generations have shipped `ts` both as
+    * TIMESTAMP(NANOS) (read as LONG under `nanosAsLong`) and as
+    * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ); every consumer speaks
+    * `ts div 1000` micros, so the physical type is absorbed HERE and
+    * nowhere else. The session runs UTC, so the NTZ→instant cast is
+    * identity and `unix_micros` agrees with the DuckDB oracle's
+    * `epoch_us(ts)`. */
+  def events: DataFrame = {
+    val df = t("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ =>
+        import org.apache.spark.sql.functions.{col, lit, unix_micros}
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 

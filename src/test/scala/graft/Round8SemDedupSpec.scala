@@ -31,17 +31,20 @@ class Round8SemDedupSpec extends GraftSpecBase {
     BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** Two well-separated directions with per-id jitter: ids 0..19 hug
-    * axis-0, ids 20..39 hug axis-1; ids 10/11/12 are near-identical
-    * (jitter ≪ threshold gap) so the greedy keeps 10 and removes 11/12. */
+    * axis-0, ids 20..39 hug axis-1. Ids 10/11/12 sit on their own ray
+    * (dim2 = 3.0 ± 0.002, ≥0.18 rad from every other vector, so nothing
+    * earlier reaches cos 0.999 against them) and are mutually
+    * near-identical, so the greedy keeps 10 and removes 11/12. */
   private def corpus(): Seq[(Long, Array[Float])] =
     (0L until 40L).map { id =>
       val base = if (id < 20) Array(10f, 0f, 0f, 0f) else Array(0f, 10f, 0f, 0f)
+      val special = id >= 10L && id <= 12L
       val jitter =
-        if (id == 11L || id == 12L) 0.001f * (id - 10) // ~identical to 10
+        if (special) 3.0f + 0.001f * (id - 10)
         else 0.15f * ((id % 7) + 1)
       val v = base.clone()
       v(2) = jitter
-      v(3) = 0.05f * (id % 5)
+      v(3) = if (special) 0f else 0.05f * (id % 5)
       (id, v)
     }
 
