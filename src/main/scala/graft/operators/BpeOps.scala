@@ -1,0 +1,155 @@
+package graft.operators
+
+import java.util.regex.{Matcher, Pattern}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Byte-pair-encoding tokenizer training and encoding, Spark-first
+  * (Sennrich et al. ACL'16, "Neural Machine Translation of Rare Words
+  * with Subword Units" — the word-frequency-dictionary formulation the
+  * reference implementation trains on).
+  *
+  * Scale shape: the CORPUS is touched exactly once — a word-count
+  * aggregation whose map-side combine ships only (word, count) pairs,
+  * never text. Every merge iteration then runs on the DISTINCT-WORD
+  * dictionary (bounded: ~10⁷–10⁸ rows at 100 TB vs ~10¹¹ document rows),
+  * as one map-side-combined pair-count aggregation + one TakeOrdered
+  * top-1 + one codegen'd `regexp_replace` rewrite — no shuffle of the
+  * dict between iterations (it stays partitioned by its word hash), no
+  * driver-side data beyond the single best pair per round.
+  * `localCheckpoint` every few rounds caps plan lineage exactly as
+  * [[Components]] does for its contraction generations. Encoding joins
+  * the trained dictionary back to per-document word counts on the word
+  * key — again counts move, text never does.
+  */
+object BpeOps {
+
+  /** End-of-word marker symbol (the classic `</w>`): lets merges learn
+    * word-final units ("ing</w>") distinct from word-internal ones. */
+  private[graft] val EowSym = "</w>"
+
+  /** Words longer than this are excluded from TRAINING (pathological
+    * tokens — base64 blobs, URLs — would dominate per-word rewrite cost);
+    * at encode time they take the OOV path (chars + 1 symbols). */
+  private[graft] val MaxWordLen = 64
+
+  /** Cut plan lineage every this many merge rounds. */
+  private val CheckpointEvery = 8
+
+  /** Driver-default merge budget / support floor for t10/t11. */
+  private[graft] val BpeMergesDefault = 24
+  private[graft] val BpeMinCount = 4L
+
+  /** One learned merge: rank-ordered, `merged` = `left + right`. */
+  final case class BpeMerge(rank: Int, left: String, right: String,
+      merged: String, pair_count: Long)
+
+  /** Distinct-word dictionary of a corpus: (word, syms, cnt) where
+    * `syms` is the word's space-joined symbol sequence — initially its
+    * characters plus [[EowSym]] — and `cnt` its corpus frequency. */
+  private[graft] def wordDict(docs: DataFrame): DataFrame =
+    docs.select(explode(TextOps.tokensOf(col("text"))).as("word"))
+      .filter(length(col("word")).between(1, MaxWordLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms",
+        concat_ws(" ", concat(array_remove(split(col("word"), ""), ""),
+          array(lit(EowSym)))))
+
+  /** Corpus-weighted adjacent-pair counts of a dictionary: (l, r, c). */
+  private[graft] def pairCounts(dict: DataFrame): DataFrame =
+    dict
+      .withColumn("toks", split(col("syms"), " "))
+      .select(explode(expr(
+        """zip_with(slice(toks, 1, size(toks) - 1),
+          |         slice(toks, 2, size(toks) - 1),
+          |         (l, r) -> struct(l, r))""".stripMargin)).as("p"),
+        col("cnt"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("c"))
+
+  /** Greedy left-to-right application of one merge to the space-joined
+    * symbol string — `regexp_replace` scans left to right and resumes
+    * AFTER each replacement, which is exactly the reference greedy
+    * ("a a a" + (a,a) → "aa a"). Fully whole-stage-codegen. */
+  private[graft] def applyMerge(syms: org.apache.spark.sql.Column,
+      l: String, r: String): org.apache.spark.sql.Column = {
+    val pat = "(?<=^| )" + Pattern.quote(l) + " " + Pattern.quote(r) + "(?=$| )"
+    regexp_replace(syms, lit(pat), lit(Matcher.quoteReplacement(l + r)))
+  }
+
+  /** Learn up to `k` merges over `docs`, stopping early when the best
+    * pair's corpus support drops below `minCount`. Ties break
+    * deterministically: count desc, then (left, right) ascending.
+    * Returns the merge sequence and the final dictionary (the trained
+    * tokenizer artifact: word → its symbol segmentation). */
+  private[graft] def bpeTrain(docs: DataFrame, k: Int,
+      minCount: Long): (Seq[BpeMerge], DataFrame) = {
+    var dict = wordDict(docs).localCheckpoint()
+    val merges = Seq.newBuilder[BpeMerge]
+    var rank = 0
+    var done = false
+    while (rank < k && !done) {
+      val top = pairCounts(dict)
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      top.headOption match {
+        case Some(row) if row.getLong(2) >= minCount =>
+          val (l, r, c) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += BpeMerge(rank, l, r, l + r, c)
+          dict = dict.withColumn("syms", applyMerge(col("syms"), l, r))
+          rank += 1
+          if (rank % CheckpointEvery == 0) dict = dict.localCheckpoint()
+        case _ => done = true
+      }
+    }
+    (merges.result(), dict.localCheckpoint())
+  }
+
+  /** t10: the learned merge table — (rank, left, right, merged,
+    * pair_count), rank-ordered. Rows-only: the merge sequence is an
+    * iterative corpus argmax no SQL oracle reproduces; Round8BpeSpec
+    * pins it against a driver-side reference BPE (exact sequence
+    * equality), support monotonicity, and determinism. */
+  def t10BpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val (merges, _) = bpeTrain(t.spread(t.documents), BpeMergesDefault, BpeMinCount)
+    import spark.implicits._
+    merges.toDF().orderBy("rank")
+  }
+
+  /** Per-document BPE encoding via the trained dictionary: join each
+    * document's word counts against word → symbol count; OOV words
+    * (over [[MaxWordLen]] — nothing else can miss when encoding the
+    * training corpus) fall back to chars + 1. */
+  private[graft] def bpeEncode(docs: DataFrame, dict: DataFrame): DataFrame = {
+    val wordSyms = dict.select(col("word"),
+      size(split(col("syms"), " ")).as("word_syms"))
+    docs.select(col("doc_id"), explode(TextOps.tokensOf(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("wc"))
+      .join(wordSyms, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wc")).as("n_words"),
+        sum(col("wc") * length(col("word"))).as("n_chars"),
+        sum(col("wc") * coalesce(col("word_syms"),
+          length(col("word")) + lit(1))).as("n_bpe_tokens"))
+      .withColumn("compression",
+        when(col("n_bpe_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)))
+  }
+
+  /** t11: encode the corpus with the merges learned on it — per-doc
+    * (n_words, n_chars, n_bpe_tokens, compression). Rows-only; the spec
+    * pins symbol-count bounds, more-merges monotonicity, and exact
+    * agreement with the reference encoder. */
+  def t11BpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.spread(t.documents)
+    val (_, dict) = bpeTrain(docs, BpeMergesDefault, BpeMinCount)
+    bpeEncode(docs, dict).orderBy("doc_id")
+  }
+}

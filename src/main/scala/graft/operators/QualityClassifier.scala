@@ -1,0 +1,216 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** A fastText-style document-quality classifier, hand-rolled Spark-first
+  * (the Codebooks discipline: no MLlib, the training loop is plain
+  * aggregations): logistic regression over hashed-bigram term
+  * frequencies, trained by full-batch gradient descent on a
+  * deterministic hash split and applied corpus-wide in one scan.
+  *
+  * This is the trainable complement to c10's DSIR importance weights —
+  * where c10 scores documents under two fixed unigram LMs, t12 LEARNS a
+  * discriminative boundary for an arbitrary binary document label (in
+  * production: "looks like Wikipedia/books", spam, toxicity — any
+  * per-doc boolean). The driver label is a blocklist-marker
+  * distillation — y = "document mentions the flagged term" (5% of the
+  * corpus) — because that is a label the SYNTHETIC corpus genuinely
+  * encodes in its text: its `lang`/`source` columns are metadata noise
+  * (every language draws from the identical 31-word pool), so no
+  * text-trained model can recover them, while marker presence is the
+  * linearly-separable case a real blocklist-distillation classifier
+  * trains on.
+  *
+  * Scale shape: featurization is one corpus pass — grams hash to
+  * [[Buckets]] buckets ([[TextOps.polyFp]], c10's exact featurizer), so
+  * only (doc_id, bucket, count) shuffles and the per-doc sparse vector
+  * is schema-bounded (≤ [[Buckets]] entries, sorted so folds are
+  * order-deterministic). Each training iteration broadcasts the weight
+  * vector as a plan literal (8 KB), computes per-doc residuals
+  * row-locally, and reduces a ≤[[Buckets]]-row gradient via integer
+  * sums on a 1e-9 grid — bit-deterministic under any partitioning or
+  * merge order (§6's quantize-then-sum discipline applied to training).
+  * The train split is a hash predicate (no sampled-data movement); at
+  * 100 TB you'd compose c04's hash-rate sample to cap the training set,
+  * and the corpus pays one extra scan total for scoring. */
+object QualityClassifier {
+
+  private[graft] val Buckets = 1024
+  private[graft] val TrainIters = 60
+  /** Adagrad step on the mean balanced gradient: per-coordinate
+    * adaptation gives a rare-but-decisive gram (one blocklist term in
+    * 5% of docs) the same effective first-step size as a corpus-wide
+    * one — plain GD at any single rate either diverges on the common
+    * coordinates or never moves the rare ones. 0.3 keeps early steps
+    * inside the stable region (1.0 measurably spiked the loss 16×
+    * before settling, and the spike freezes Adagrad's denominators). */
+  private[graft] val LearnRate = 0.3
+  /** Strong enough that memorizing the FEW positive rows (a rare label
+    * has ~N·p̂ of them — they, not N, bound the capacity a convex model
+    * can spend on quirks) costs more than it pays, so only grams
+    * CONSISTENTLY correlated with the label keep weight. At 3e-3 the
+    * train loss reached ~0.03 while held-out positives scored at the
+    * bias; at 0.03 the marker carries the margin. */
+  private[graft] val L2 = 0.03
+  /** pmod(xxhash64(doc_id), 4): 0..2 train, 3 held out. */
+  private[graft] val SplitMod = 4
+  private val Grid = 1e9
+
+  final case class Model(bias: Double, weights: Array[Double],
+      loss: Seq[Double])
+
+  /** Per-doc sparse hashed word+bigram features —
+    * (doc_id, y, split, feats: array<struct<b, tf>> sorted by bucket);
+    * docs with no gram are absent (scored at the bias by callers).
+    *
+    * Default form is BINARIZED presence (x_b = 1), Wang & Manning
+    * ACL'12's robust choice: count magnitudes are multinomial noise
+    * that scales with document length and drowns a rare one-occurrence
+    * signal (measured here: √count features cost ~half the held-out
+    * recall of the blocklist marker on long documents — the count noise
+    * of ~30 co-occurring words out-masses the marker's 1.0);
+    * `binary = false` gives sublinear √count coordinates when relative
+    * frequency genuinely matters. */
+  private[graft] def features(docs: DataFrame, label: Column,
+      orders: Seq[Int] = Seq(1, 2), binary: Boolean = true): DataFrame = {
+    // fastText's feature set: words and word-n-grams in one hashed
+    // space. `orders` is CAPACITY CONTROL, not plumbing: hashed n-gram
+    // count must stay well under the training-row count or a convex
+    // model memorizes docs through their gram SETS instead of learning
+    // the label (observed: train loss → 0.03 while held-out positives
+    // scored at the bias). Pick orders so |gram types| ≪ N_train.
+    val toks = TextOps.tokensOf(col("text"))
+    val grams = docs
+      .select(col("doc_id"), label.cast("double").as("y"),
+        explode(concat(orders.map(n =>
+          graft.functions.Ngrams.ngramJoin(toks, n)): _*)).as("gram"))
+      .select(col("doc_id"), col("y"),
+        pmod(TextOps.polyFp(col("gram")), lit(Buckets)).cast("int").as("b"))
+    grams.groupBy(col("doc_id"), col("y"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("y"))
+      .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("raw"))
+      .select(col("doc_id"), col("y"),
+        pmod(xxhash64(col("doc_id")), lit(SplitMod)).as("split"),
+        expr(if (binary) "transform(raw, f -> struct(f.b AS b, 1.0D AS tf))"
+          else "transform(raw, f -> struct(f.b AS b, sqrt(CAST(f.c AS DOUBLE)) AS tf))")
+          .as("feats"))
+  }
+
+  /** Row-local margin z = bias + w·x over the sorted sparse vector. */
+  private def margin(m: Model): Column =
+    lit(m.bias) + aggregate(col("feats"), lit(0.0),
+      (acc, f) => acc +
+        element_at(typedLit(m.weights), f.getField("b") + lit(1)) *
+          f.getField("tf"))
+
+  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** Full-batch GD on the CLASS-BALANCED logloss (each class carries
+    * half the objective mass, so a 5%-positive blocklist label still
+    * pulls gradients — the standard re-weighting for rare-positive
+    * quality labels). Every cross-row reduction is an integer sum of
+    * 1e-9-quantized row terms, so the weight sequence is bit-identical
+    * across runs, partitionings, and AQE plans. */
+  private[graft] def train(featRows: DataFrame, iters: Int = TrainIters,
+      lr: Double = LearnRate, l2: Double = L2): Model = {
+    val trainSet = featRows.filter(col("split") < SplitMod - 1)
+      .select("y", "feats").cache()
+    val n = trainSet.count().toDouble
+    val nPos = trainSet.filter(col("y") === 1.0).count().toDouble
+    require(nPos > 0 && nPos < n, "training split needs both classes")
+    val (wPos, wNeg) = (n / (2.0 * nPos), n / (2.0 * (n - nPos)))
+    var m = Model(0.0, Array.fill(Buckets)(0.0), Vector.empty)
+    val gsq = Array.fill(Buckets + 1)(0.0) // Adagrad accumulators; last = bias
+    val q = (c: Column) => round(c * Grid).cast("long")
+    for (_ <- 0 until iters) {
+      val p = sigmoid(margin(m))
+      val pc = greatest(lit(1e-12), least(lit(1.0 - 1e-12), p))
+      val cw = when(col("y") === 1.0, lit(wPos)).otherwise(lit(wNeg))
+      // one aggregation job per round: per-bucket gradient terms plus
+      // two sentinel buckets (-1: bias gradient, -2: logloss)
+      val rows = trainSet
+        .select(col("feats"), (cw * (p - col("y"))).as("r"),
+          q(-cw * (col("y") * log(pc) + (lit(1.0) - col("y")) * log(lit(1.0) - pc)))
+            .as("ql"))
+      val terms = concat(
+        transform(col("feats"), f => struct(f.getField("b").as("b"),
+          q(col("r") * f.getField("tf")).as("v"))),
+        array(struct(lit(-1).as("b"), q(col("r")).as("v")),
+          struct(lit(-2).as("b"), col("ql").as("v"))))
+      val sums = rows.select(explode(terms).as("e"))
+        .groupBy(col("e.b").as("b")).agg(sum(col("e.v")).as("v"))
+        .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+      val w = m.weights.clone()
+      for (b <- 0 until Buckets) {
+        val g = sums.getOrElse(b, 0L) / Grid / n + l2 * w(b)
+        gsq(b) += g * g
+        if (gsq(b) > 0) w(b) -= lr * g / math.sqrt(gsq(b))
+      }
+      val gb = sums(-1) / Grid / n
+      gsq(Buckets) += gb * gb
+      val biasStep = if (gsq(Buckets) > 0) lr * gb / math.sqrt(gsq(Buckets)) else 0.0
+      m = Model(m.bias - biasStep, w, m.loss :+ sums(-2) / Grid / n)
+    }
+    trainSet.unpersist()
+    m
+  }
+
+  /** Score every doc against its TRUE label (bias-only margin for docs
+    * with no bigram features). `carry` names doc columns to pass
+    * through for reporting. */
+  private[graft] def score(docs: DataFrame, label: Column,
+      featRows: DataFrame, m: Model, carry: Seq[String] = Nil): DataFrame =
+    docs.select(col("doc_id") +: label.as("label") +: carry.map(col): _*)
+      .join(featRows.select(col("doc_id"), col("feats")), Seq("doc_id"), "left")
+      .withColumn("z", when(col("feats").isNotNull, margin(m))
+        .otherwise(lit(m.bias)))
+      .select(col("doc_id") +: carry.map(col) :+ col("label") :+
+        pmod(xxhash64(col("doc_id")), lit(SplitMod)).as("split") :+
+        round(sigmoid(col("z")), 6).as("score") :+
+        (col("z") >= 0).as("predicted"): _*)
+
+  /** t12: train on the 75% hash split, score the full corpus —
+    * (doc_id, lang, label, split, score, predicted). Rows-only (the
+    * model is an iterative optimum no SQL oracle reproduces);
+    * Round8ClassifierSpec pins bit-determinism, loss descent, held-out
+    * accuracy over the majority baseline on the driver corpus, and
+    * exact recovery on a separable engineered corpus. */
+  /** Fully ROW-LOCAL margin over a text column — no featurization
+    * shuffle: hash the grams, sort the distinct buckets (ascending, the
+    * same order [[features]]' sort_array fixes), fold the broadcast
+    * weights. Bit-identical to scoring through [[features]] + [[score]]
+    * for binarized presence, which makes it the STREAMING face of the
+    * classifier: a stateless per-row expression (see
+    * `StreamingJobs.qualityScoreStream`). */
+  private[graft] def marginRowLocal(text: Column, m: Model,
+      orders: Seq[Int] = Seq(1, 2)): Column = {
+    val toks = TextOps.tokensOf(text)
+    val grams = concat(orders.map(n =>
+      graft.functions.Ngrams.ngramJoin(toks, n)): _*)
+    val buckets = array_sort(array_distinct(transform(grams,
+      g => pmod(TextOps.polyFp(g), lit(Buckets)).cast("int"))))
+    lit(m.bias) + aggregate(buckets, lit(0.0),
+      (acc, b) => acc + element_at(typedLit(m.weights), b + lit(1)) * lit(1.0))
+  }
+
+  /** The flagged blocklist term of the driver label. */
+  private[graft] val MarkerTerm = "dup"
+
+  def t12QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    graft.functions.PolyFingerprint.register(spark)
+    val t = Tables(spark, dir)
+    val docs = t.spread(t.documents)
+    val label = array_contains(TextOps.tokensOf(col("text")), MarkerTerm)
+    // unigram-only: the synthetic corpus has a 31-word vocabulary, so
+    // word features are the right capacity for its 375 training rows;
+    // (1, 2) is the production default (see features' capacity note)
+    val feats = features(docs, label, orders = Seq(1))
+    val m = train(feats)
+    score(docs, label, feats, m, carry = Seq("lang")).orderBy("doc_id")
+  }
+}

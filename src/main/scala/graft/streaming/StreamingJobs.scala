@@ -374,6 +374,29 @@ object StreamingJobs {
       .filter(abs(col("z")) >= 3.0)
       .select("event_id", "user_id", "event_type", "value", "z", "ts")
 
+  // ------------------------------------------------------- quality gate
+  /** Streaming face of t12's trained quality classifier: score incoming
+    * documents with a batch-trained model, completely STATELESS — the
+    * weights snapshot into plan literals (they are per-training-run
+    * constants, the annProbeStream constants-vs-content split) and the
+    * margin is one row-local expression (hash grams → distinct sorted
+    * buckets → fold the weights; no featurization shuffle, nothing joins).
+    * Bit-identical to the batch `score` path for the same text —
+    * spec-pinned — so the gate admits exactly the set the batch
+    * classifier would. Input rows need (doc_id, text); model retraining
+    * is a query restart, the same refresh contract as anomalyStream's
+    * stats side. */
+  def qualityScoreStream(docs: DataFrame,
+      model: graft.operators.QualityClassifier.Model,
+      orders: Seq[Int] = Seq(1, 2)): DataFrame = {
+    val z = graft.operators.QualityClassifier.marginRowLocal(
+      col("text"), model, orders)
+    docs.withColumn("z", z)
+      .select(col("doc_id"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"),
+        (col("z") >= 0).as("predicted"))
+  }
+
   // ------------------------------------------------------------ ingest
   /** Streaming corpus ingestion — the streaming face of c03's cleaning
     * pipeline: normalize → quality gate (t02's signals) → watermark-

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.BpeOps
+
+/** BPE (t10/t11) specs: the distributed trainer against a driver-side
+  * reference implementation of Sennrich-greedy BPE (exact merge-sequence
+  * equality and exact per-word segmentations), support monotonicity,
+  * determinism, and encode bounds. The spec corpus is ASCII so Spark's
+  * binary string ordering and Scala's lexicographic ordering agree on
+  * tie-breaks. */
+class Round8BpeSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // ------------------------------------------------ reference trainer
+  private def refApply(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** (merges, final word → symbols) with graft's exact tie-break:
+    * count desc, then (l, r) ascending. */
+  private def refBpe(wordCounts: Map[String, Long], k: Int, minCount: Long)
+      : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+    var dict: Map[String, (Vector[String], Long)] = wordCounts.map {
+      case (w, c) => w -> ((w.map(_.toString).toVector :+ BpeOps.EowSym), c)
+    }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < k && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((_, (syms, c)) <- dict; Seq(a, b) <- syms.sliding(2))
+        pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+      val best = pc.toSeq.sortBy { case ((l, r), c) => (-c, l, r) }.headOption
+      best match {
+        case Some(((l, r), c)) if c >= minCount =>
+          merges += ((l, r, c))
+          dict = dict.map { case (w, (s, cc)) => w -> (refApply(s, l, r), cc) }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    (merges.result(), dict.map { case (w, (s, _)) => w -> s })
+  }
+
+  /** Repetitive ASCII corpus with engineered subword structure. */
+  private val corpus: Seq[(Long, String)] = Seq(
+    "the lowest land lower than the low lands",
+    "newer words are newest when the new word lands",
+    "lower and lower the newest land lowers",
+    "the widest wide width widens the wide lands",
+    "new words land lower in the lowest wide land",
+    "wider and widest the newer words widen"
+  ).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+
+  private def corpusDf = corpus.toDF("doc_id", "text")
+
+  private def refWordCounts: Map[String, Long] =
+    corpus.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+
+  test("merge sequence equals the reference trainer exactly, including " +
+      "tie-breaks and the min-support stop") {
+    val (got, gotDict) = BpeOps.bpeTrain(corpusDf, k = 30, minCount = 2L)
+    val (want, wantDict) = refBpe(refWordCounts, k = 30, minCount = 2L)
+    assert(got.map(m => (m.left, m.right, m.pair_count)) === want)
+    assert(got.map(_.rank) === got.indices.toSeq)
+    assert(got.forall(m => m.merged == m.left + m.right))
+    // the trained artifact agrees word-for-word
+    val gotSegs = gotDict.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").toVector).toMap
+    assert(gotSegs === wantDict)
+    // engineered structure actually learned: some multi-char unit exists
+    assert(got.exists(_.merged.length > 3))
+  }
+
+  test("best-pair support is non-increasing across ranks") {
+    val (merges, _) = BpeOps.bpeTrain(corpusDf, k = 30, minCount = 2L)
+    assert(merges.size > 5)
+    val counts = merges.map(_.pair_count)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("deterministic: two trainings produce the identical sequence") {
+    val (a, _) = BpeOps.bpeTrain(corpusDf, k = 12, minCount = 2L)
+    val (b, _) = BpeOps.bpeTrain(corpusDf, k = 12, minCount = 2L)
+    assert(a === b)
+  }
+
+  test("encode: exact agreement with the reference segmentations; more " +
+      "merges never increase the token count") {
+    val (_, dict8) = BpeOps.bpeTrain(corpusDf, k = 8, minCount = 2L)
+    val (_, dict20) = BpeOps.bpeTrain(corpusDf, k = 20, minCount = 2L)
+    val (_, refDict) = refBpe(refWordCounts, k = 8, minCount = 2L)
+    val enc8 = BpeOps.bpeEncode(corpusDf, dict8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_bpe_tokens"))).toMap
+    for ((id, text) <- corpus) {
+      val words = text.split(" ").toSeq
+      val expTokens = words.map(w => refDict(w).size.toLong).sum
+      val (nw, nc, nt) = enc8(id)
+      assert(nw === words.size.toLong)
+      assert(nc === words.map(_.length.toLong).sum)
+      assert(nt === expTokens, s"doc $id")
+      // bounds: one token per word at least; chars+1 per word at most
+      assert(nt >= nw && nt <= nc + nw)
+    }
+    val tok8 = enc8.values.map(_._3).sum
+    val tok20 = BpeOps.bpeEncode(corpusDf, dict20).collect()
+      .map(_.getAs[Long]("n_bpe_tokens")).sum
+    assert(tok20 <= tok8)
+    assert(tok8 < enc8.values.map { case (nw, nc, _) => nc + nw }.sum,
+      "8 merges must compress below the char baseline")
+  }
+
+  test("driver entries: t10 learns ranked merges and t11 covers every " +
+      "document on the testdata corpus") {
+    val merges = graft.operators.BpeOps.t10BpeTrain(spark, sfDir).collect()
+    assert(merges.nonEmpty)
+    assert(merges.map(_.getAs[Int]("rank")).toSeq === merges.indices.toSeq)
+    assert(merges.forall(_.getAs[Long]("pair_count") >= BpeOps.BpeMinCount))
+    val enc = BpeOps.t11BpeEncode(spark, sfDir)
+    val nDocs = Tables(spark, sfDir).documents
+      .filter(length(trim(col("text"))) > 0).count()
+    assert(enc.count() === nDocs)
+    val bad = enc.filter(col("n_bpe_tokens") > col("n_chars") + col("n_words") ||
+      col("n_bpe_tokens") < col("n_words")).count()
+    assert(bad === 0L)
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QualityClassifier
+
+/** t12 specs: the hand-rolled logistic classifier's training descent,
+  * bit-determinism (the 1e-9 integer-grid gradient discipline), exact
+  * recovery on a vocabulary-separable corpus, and held-out accuracy
+  * over the majority baseline on the driver corpus. */
+class Round8ClassifierSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def registered() = {
+    graft.functions.Ngrams.register(spark)
+    graft.functions.PolyFingerprint.register(spark)
+  }
+
+  /** Vocabulary-disjoint two-class corpus: positives speak only
+    * quality-words, negatives only junk-words. 48 docs, enough that
+    * every hash split is populated. */
+  private def separable(): org.apache.spark.sql.DataFrame = {
+    val good = Seq("clear prose reads well", "well reads clear prose",
+      "prose clear well reads")
+    val bad = Seq("zz spam junk blob", "blob junk spam zz",
+      "junk zz blob spam")
+    (0 until 48).map { i =>
+      val texts = if (i % 2 == 0) good else bad
+      (i.toLong, texts(i % 3), i % 2 == 0)
+    }.toDF("doc_id", "text", "is_good")
+  }
+
+  test("separable corpus: training recovers the boundary — held-out " +
+      "accuracy 1.0 and loss strictly descends overall") {
+    registered()
+    val docs = separable()
+    val feats = QualityClassifier.features(docs, col("is_good"))
+    val m = QualityClassifier.train(feats)
+    assert(m.loss.head > m.loss.last)
+    assert(m.loss.last < 0.2, s"final loss ${m.loss.last}")
+    val scored = QualityClassifier.score(docs, col("is_good"), feats, m)
+      .filter(col("split") === QualityClassifier.SplitMod - 1)
+    val n = scored.count()
+    assert(n > 0)
+    assert(scored.filter(col("predicted") === col("label")).count() === n)
+  }
+
+  test("bit-deterministic: two trainings yield identical weights, bias " +
+      "and loss trajectory") {
+    registered()
+    val feats = QualityClassifier.features(separable(), col("is_good"))
+    val a = QualityClassifier.train(feats, iters = 12)
+    val b = QualityClassifier.train(feats, iters = 12)
+    assert(a.bias === b.bias)
+    assert(a.weights.toSeq === b.weights.toSeq)
+    assert(a.loss === b.loss)
+  }
+
+  test("feature vectors are bucket-sorted, bounded, binarized presence") {
+    registered()
+    val feats = QualityClassifier.features(separable(), col("is_good"))
+    val rows = feats.select("feats").collect()
+    for (r <- rows) {
+      val fs = r.getSeq[org.apache.spark.sql.Row](0)
+        .map(f => (f.getInt(0), f.getDouble(1)))
+      assert(fs.size <= QualityClassifier.Buckets)
+      assert(fs.map(_._1) === fs.map(_._1).sorted)
+      // binarized presence: every live coordinate is exactly 1
+      assert(fs.forall { case (b, tf) =>
+        b >= 0 && b < QualityClassifier.Buckets && tf == 1.0 })
+    }
+  }
+
+  test("qualityScoreStream: a real stream scores bit-identically to the " +
+      "batch path") {
+    registered()
+    val docs = separable()
+    val feats = QualityClassifier.features(docs, col("is_good"))
+    val m = QualityClassifier.train(feats, iters = 12)
+    val batch = QualityClassifier.score(docs, col("is_good"), feats, m)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("score"), r.getAs[Boolean]("predicted"))).toMap
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs
+      .qualityScoreStream(mem.toDF.toDF("doc_id", "text"), m)
+      .writeStream.format("memory").queryName("qgate_r8").outputMode("append")
+      .start()
+    try {
+      mem.addData(docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("qgate_r8").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("score"), r.getAs[Boolean]("predicted"))).toMap
+    assert(streamed === batch)
+  }
+
+  test("driver entry: scores every document, probabilities in [0,1], " +
+      "predictions consistent with the 0.5 boundary, and held-out " +
+      "balanced accuracy clears 0.75") {
+    val out = QualityClassifier.t12QualityClassifier(spark, sfDir).cache()
+    val total = Tables(spark, sfDir).documents.count()
+    assert(out.count() === total)
+    assert(out.filter(col("score") < 0 || col("score") > 1).count() === 0L)
+    assert(out.filter(abs(col("score") - 0.5) > 1e-6 &&
+      (col("score") > 0.5) =!= col("predicted")).count() === 0L,
+      "predicted must match score vs 0.5 away from the boundary")
+    // the classifier trains the class-BALANCED loss (the 5%-positive
+    // blocklist label), so the gate is balanced accuracy — the metric a
+    // majority predictor scores exactly 0.5 on
+    val held = out.filter(col("split") === QualityClassifier.SplitMod - 1)
+    val tpr = held.filter(col("label") && col("predicted")).count().toDouble /
+      held.filter(col("label")).count()
+    val tnr = held.filter(!col("label") && !col("predicted")).count().toDouble /
+      held.filter(!col("label")).count()
+    val balanced = (tpr + tnr) / 2
+    assert(balanced >= 0.75,
+      s"held-out balanced accuracy $balanced (tpr=$tpr tnr=$tnr) must " +
+        "clear 0.75; majority scores 0.5")
+    out.unpersist()
+  }
+}
