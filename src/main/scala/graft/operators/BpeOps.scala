@@ -47,6 +47,20 @@ object BpeOps {
   final case class BpeMerge(rank: Int, left: String, right: String,
       merged: String, pair_count: Long)
 
+  /** Session cache of trained tokenizers keyed by (corpus, k, minCount) —
+    * Codebooks' train-once lifecycle: a tokenizer is a per-corpus
+    * artifact, so t10 and t11 (and repeated invocations) share one
+    * training run; the dict is localCheckpoint'ed, valid for the session. */
+  private val trainedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), (Seq[BpeMerge], DataFrame)]
+
+  private[graft] def clearTrained(): Unit = trainedCache.clear()
+
+  private[graft] def bpeTrainCached(docs: => DataFrame, corpusKey: String,
+      k: Int, minCount: Long): (Seq[BpeMerge], DataFrame) =
+    trainedCache.getOrElseUpdate((corpusKey, k, minCount),
+      bpeTrain(docs, k, minCount))
+
   /** Distinct-word dictionary of a corpus: (word, syms, cnt) where
     * `syms` is the word's space-joined symbol sequence — initially its
     * characters plus [[EowSym]] — and `cnt` its corpus frequency. */
@@ -115,7 +129,8 @@ object BpeOps {
     * equality), support monotonicity, and determinism. */
   def t10BpeTrain(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val (merges, _) = bpeTrain(t.spread(t.documents), BpeMergesDefault, BpeMinCount)
+    val (merges, _) = bpeTrainCached(t.spread(t.documents), dir,
+      BpeMergesDefault, BpeMinCount)
     import spark.implicits._
     merges.toDF().orderBy("rank")
   }
@@ -149,7 +164,7 @@ object BpeOps {
   def t11BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.spread(t.documents)
-    val (_, dict) = bpeTrain(docs, BpeMergesDefault, BpeMinCount)
+    val (_, dict) = bpeTrainCached(docs, dir, BpeMergesDefault, BpeMinCount)
     bpeEncode(docs, dict).orderBy("doc_id")
   }
 }

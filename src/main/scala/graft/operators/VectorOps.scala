@@ -731,6 +731,110 @@ object VectorOps {
         "_ivf_base_next", "_ivf_base_old"))
       graft.sources.GraftIO.dropManaged(spark, prefix + t)
 
+  /** Incremental SemDeDup gate — d09's analog of d07/d08, completing the
+    * incremental trilogy across the three dedup modalities (exact hash /
+    * MinHash near-dup / embedding semantic), and it rides the SAME
+    * standing ANN store s09 searches: an incoming batch is judged
+    * against the standing corpus without rescanning it.
+    *
+    * Semantics mirror d09's fixed-order greedy EXACTLY: batch vector j
+    * is a duplicate iff some LOWER-id vector i in j's cluster reaches
+    * round-6 cosine ≥ t, where i ranges over the standing corpus (probe
+    * leg: the inverted file's membership, bucketed on list_id — the
+    * index side never shuffles; candidates re-arm with raw embeddings
+    * from `vectorSource` for EXACT verification, pruned to the batch's
+    * probed lists first) and over the batch itself (within leg:
+    * [[embeddingNearDupPairs]]). Statuses: `known_semdup` (standing
+    * partner; semdup_of = min such id) / `batch_semdup` (earlier batch
+    * partner) / `new`; semdup_sim is the CHOSEN partner's cosine (d08's
+    * min_by convention). Equivalence to [[semDedupWith]] over
+    * standing ∪ batch under the standing centroids is spec-pinned
+    * (Round8SemDedupSpec) for under-cap lists; an oversized standing
+    * list sub-buckets BOTH probe sides by the d05 hyperplane sign-bit
+    * prefix, so no hot list can go quadratic at 100 TB — the same
+    * bounded-recall trade d05/d08 make, applied to the probe join. */
+  private[graft] def semDedupProbe(batchV0: DataFrame, vectorSource: DataFrame,
+      prefix: String, threshold: Double, maxBlock: Int = D05MaxBlock): DataFrame = {
+    val spark = batchV0.sparkSession
+    FloatVecDot.register(spark)
+    val cent = broadcast(spark.table(s"${prefix}_cent"))
+    val batch = assignToLists(batchV0.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm")), cent)
+    val batchLists = batch.select("list_id").distinct()
+    // standing membership (vec_id, list_id) — M code rows per vector →
+    // distinct — pruned to the batch's lists, then re-armed with raw
+    // embeddings (only probed lists' vectors ever shuffle)
+    val standing = annIndexRows(spark, prefix).select("vec_id", "list_id")
+      .distinct()
+      .join(broadcast(batchLists), "list_id")
+      .join(vectorSource.select(col("vec_id"), col("embedding").as("s_emb")),
+        "vec_id")
+      .withColumn("s_nrm", norm(col("s_emb")))
+    val sizes = standing.groupBy(col("list_id")).agg(count(lit(1)).as("_sn"))
+    val planesLen = least(lit(D05MaxPlanes),
+      ceil(log(2.0, col("_sn").cast("double") / maxBlock)).cast("int"))
+    def blkOf(emb: Column): Column =
+      when(col("_sn") <= maxBlock, lit(""))
+        .otherwise(signBits(emb, D05MaxPlanes, 64).substr(lit(1), planesLen))
+    val sKeyed = standing.join(broadcast(sizes), "list_id")
+      .withColumn("blk", blkOf(col("s_emb")))
+    val bKeyed = batch.join(broadcast(sizes), Seq("list_id"), "left")
+      .na.fill(0L, Seq("_sn"))
+      .withColumn("blk", blkOf(col("embedding")))
+    val probe = bKeyed.as("b")
+      .join(sKeyed.as("s"),
+        col("s.list_id") === col("b.list_id") && col("s.blk") === col("b.blk") &&
+          col("s.vec_id") < col("b.vec_id"))
+      .withColumn("sim", round(cosineWithNorms(col("b.embedding"), col("s_emb"),
+        col("b.nrm"), col("s_nrm")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("b.vec_id").as("vec_id"), col("s.vec_id").as("partner"),
+        col("sim"), lit("index").as("src"))
+    val within = embeddingNearDupPairs(
+        batch.select(col("vec_id"), col("list_id").as("label"), col("embedding")),
+        threshold, maxBlock)
+      .select(col("vec_b").as("vec_id"), col("vec_a").as("partner"),
+        col("cos_sim").as("sim"), lit("batch").as("src"))
+    // partner sets are disjoint (standing ids vs batch ids)
+    val best = probe.unionByName(within)
+      .groupBy(col("vec_id"))
+      .agg(
+        min(when(col("src") === "index", col("partner"))).as("index_partner"),
+        min(when(col("src") === "batch", col("partner"))).as("batch_partner"),
+        min_by(col("sim"),
+          struct(when(col("src") === "index", 0).otherwise(1).as("pri"),
+            col("partner").as("p"))).as("semdup_sim"))
+    batch.select("vec_id", "list_id")
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        when(col("index_partner").isNotNull, lit("known_semdup"))
+          .when(col("batch_partner").isNotNull, lit("batch_semdup"))
+          .otherwise(lit("new")).as("status"),
+        when(col("index_partner").isNotNull, col("index_partner"))
+          .otherwise(col("batch_partner")).as("semdup_of"),
+        col("semdup_sim"))
+  }
+
+  /** d10: incremental semantic dedup over the standing ANN store — the
+    * driver face: the corpus side (vec_id%5 split, d07/d08's discipline)
+    * bootstraps the shared s09-style store, the incoming fifth is judged
+    * against it + itself. Bootstrap is rebuilt here only because driver
+    * queries run standalone; production pays assignment + bounded
+    * probes per batch, and `annIndexAppend` makes the judged batch the
+    * next batch's standing corpus (lifecycle spec-pinned). Rows-only
+    * (k-means clustering; Round8SemDedupSpec pins gate ≡ full SemDeDup
+    * on the union under the standing quantizer). */
+  def d10IncrementalSemdedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val isIncoming = col("vec_id") % lit(5) === lit(4)
+    val standingV = emb.filter(!isIncoming)
+    val prefix = "graft_d10"
+    annIndexDrop(spark, prefix)
+    annIndexBootstrap(standingV, prefix, s"$dir#d10")
+    semDedupProbe(emb.filter(isIncoming), standingV, prefix, SemDedupThreshold)
+      .orderBy("vec_id")
+  }
+
   /** s09: ANN over the STANDING index — the driver face of the store
     * lifecycle: the corpus side (d07/d08's vec_id%5 split discipline)
     * bootstraps the inverted file, the incoming batch is APPENDED
@@ -888,6 +992,17 @@ object VectorOps {
     val v = v0.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     val centroids = Codebooks.ivfCentroids(v, corpusKey, nClusters)
+    semDedupWith(v0, centroids, threshold, maxBlock)
+  }
+
+  /** [[semDedup]] under a GIVEN coarse quantizer — the form the
+    * incremental gate ([[semDedupProbe]]) is equivalence-tested against:
+    * cluster assignment must come from the same standing centroids on
+    * both paths or the comparison is meaningless. */
+  private[graft] def semDedupWith(v0: DataFrame, centroids: DataFrame,
+      threshold: Double, maxBlock: Int = D05MaxBlock): DataFrame = {
+    val v = v0.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
     val assigned = assignToLists(v, centroids)
     val pairs = embeddingNearDupPairs(
       assigned.select(col("vec_id"), col("list_id").as("label"), col("embedding")),

@@ -93,6 +93,72 @@ class Round8SemDedupSpec extends GraftSpecBase {
     assert(loose.nonEmpty)
   }
 
+  test("d10 gate ≡ full SemDeDup over standing ∪ batch under the standing " +
+      "quantizer, decision- and cluster-exact") {
+    val prefix = "graft_d10spec"
+    VectorOps.annIndexDrop(spark, prefix)
+    Codebooks.clearTrained()
+    val emb = Tables(spark, sfDir).embeddings
+    val isIncoming = col("vec_id") % 5 === 4
+    val standing = emb.filter(!isIncoming)
+    VectorOps.annIndexBootstrap(standing, prefix, s"$sfDir#d10spec")
+    val gate = VectorOps.semDedupProbe(emb.filter(isIncoming), standing,
+        prefix, threshold = 0.35).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val ref = VectorOps.semDedupWith(emb, spark.table(s"${prefix}_cent"),
+        threshold = 0.35).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val batchIds = emb.filter(isIncoming).select("vec_id").collect().map(_.getLong(0))
+    assert(batchIds.nonEmpty && gate.keySet === batchIds.toSet)
+    for (id <- batchIds) {
+      assert(gate(id)._1 === ref(id)._1, s"cluster of $id")
+      assert((gate(id)._2 != "new") === ref(id)._2, s"decision of $id")
+    }
+    // the gate must actually fire on this corpus, in both legs or not —
+    // at least SOME duplicate must be found for the spec to mean anything
+    assert(gate.values.exists(_._2 != "new"))
+    VectorOps.annIndexDrop(spark, prefix)
+  }
+
+  test("d10 lifecycle: an appended batch IS the next batch's standing " +
+      "corpus — engineered copies flip known/batch/new exactly") {
+    val prefix = "graft_d10life"
+    VectorOps.annIndexDrop(spark, prefix)
+    Codebooks.clearTrained()
+    val rnd = new scala.util.Random(77)
+    def vec(): Seq[Float] = Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq
+    def near(v: Seq[Float]): Seq[Float] =
+      v.map(x => x + 0.01f * (rnd.nextFloat() - 0.5f))
+    val corpus = (0L until 200L).map(i => (i, vec()))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    VectorOps.annIndexBootstrap(corpusDf, prefix, "d10life")
+    // batch A: one near-copy of corpus id 5, one fresh direction
+    val fresh1 = vec()
+    val batchA = Seq((1000L, near(corpus(5)._2)), (1001L, fresh1))
+    val gateA = VectorOps.semDedupProbe(batchA.toDF("vec_id", "embedding"),
+        corpusDf, prefix, threshold = 0.8).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), Option(r.get(3)))).toMap
+    assert(gateA(1000L)._1 === "known_semdup" && gateA(1000L)._2 === Some(5L))
+    assert(gateA(1001L)._1 === "new")
+    VectorOps.annIndexAppend(batchA.toDF("vec_id", "embedding"), prefix, gen = 0L)
+    // batch B probes corpus ∪ A: near-copies of BOTH A vectors are now
+    // known (the fresh direction was unknowable before the append), a
+    // fresh pair inside B splits into new + batch_semdup
+    val fresh2 = vec()
+    val batchB = Seq((2000L, near(batchA(0)._2)), (2001L, near(fresh1)),
+      (2002L, fresh2), (2003L, near(fresh2)))
+    val sourceAll = (corpus ++ batchA).toDF("vec_id", "embedding")
+    val gateB = VectorOps.semDedupProbe(batchB.toDF("vec_id", "embedding"),
+        sourceAll, prefix, threshold = 0.8).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), Option(r.get(3)))).toMap
+    assert(gateB(2000L)._1 === "known_semdup")
+    assert(gateB(2001L)._1 === "known_semdup" && gateB(2001L)._2 === Some(1001L),
+      "the appended fresh direction must be visible to the next batch")
+    assert(gateB(2002L)._1 === "new")
+    assert(gateB(2003L)._1 === "batch_semdup" && gateB(2003L)._2 === Some(2002L))
+    VectorOps.annIndexDrop(spark, prefix)
+  }
+
   test("driver entry: per-cluster report accounts for every vector and " +
       "removes a nonzero, minority share on the testdata corpus") {
     Codebooks.clearTrained()
