@@ -135,10 +135,34 @@ object BpeOps {
     merges.toDF().orderBy("rank")
   }
 
-  /** Per-document BPE encoding via the trained dictionary: join each
-    * document's word counts against word → symbol count; OOV words
-    * (over [[MaxWordLen]] — nothing else can miss when encoding the
-    * training corpus) fall back to chars + 1. */
+  /** Apply a trained merge sequence to ANY corpus' word dictionary —
+    * how BPE encodes words UNSEEN in training: the same greedy rewrites
+    * in rank order over the target dict (k codegen `regexp_replace`
+    * passes over the bounded dict; the corpus itself is untouched).
+    * Applied to the training corpus' own dict this reproduces the
+    * trained segmentations bit-for-bit (same initial symbols, same
+    * rewrites, same order — spec-pinned). */
+  private[graft] def applyMerges(dict: DataFrame,
+      merges: Seq[BpeMerge]): DataFrame =
+    merges.zipWithIndex.foldLeft(dict) { case (d, (m, i)) =>
+      val dd = d.withColumn("syms", applyMerge(col("syms"), m.left, m.right))
+      if ((i + 1) % CheckpointEvery == 0) dd.localCheckpoint() else dd
+    }
+
+  /** Encode a corpus under a trained merge sequence: segment ITS OWN
+    * word dict with [[applyMerges]] (unseen words get real BPE
+    * segmentations, not a fallback), then count through the dict join.
+    * This is the tokenizer-as-artifact path: ship `merges`, encode
+    * anything. */
+  private[graft] def bpeEncodeWithMerges(docs: DataFrame,
+      merges: Seq[BpeMerge]): DataFrame =
+    bpeEncode(docs, applyMerges(wordDict(docs), merges))
+
+  /** Per-document BPE encoding via a segmented dictionary: join each
+    * document's word counts against word → symbol count; words absent
+    * from the dict (over [[MaxWordLen]] — nothing else can miss, since
+    * [[bpeEncodeWithMerges]] segments the target corpus' own dict)
+    * fall back to chars + 1. */
   private[graft] def bpeEncode(docs: DataFrame, dict: DataFrame): DataFrame = {
     val wordSyms = dict.select(col("word"),
       size(split(col("syms"), " ")).as("word_syms"))

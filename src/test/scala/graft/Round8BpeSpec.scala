@@ -122,6 +122,40 @@ class Round8BpeSpec extends GraftSpecBase {
       "8 merges must compress below the char baseline")
   }
 
+  test("applyMerges encodes UNSEEN words with real BPE segmentations — " +
+      "reference-exact on a disjoint corpus — and reproduces the trained " +
+      "dict bit-for-bit on the training corpus") {
+    val (merges, trainedDict) = BpeOps.bpeTrain(corpusDf, k = 20, minCount = 2L)
+    // training corpus: re-applying the merge list to a fresh dict must
+    // reproduce the trained segmentations exactly
+    val reapplied = BpeOps.applyMerges(BpeOps.wordDict(corpusDf), merges)
+      .select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val trained = trainedDict.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(reapplied === trained)
+    // a corpus with words NEVER seen in training ("lowland widens
+    // newlywed"): segment via the merge list, check against the
+    // reference greedy applied to those words
+    val unseen = Seq((100L, "lowland newlywed widens lowland"),
+      (101L, "newlywed rewinds")).toDF("doc_id", "text")
+    val enc = BpeOps.bpeEncodeWithMerges(unseen, merges).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens")).toMap
+    def refSegment(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector :+ BpeOps.EowSym) {
+        (syms, m) => refApply(syms, m.left, m.right)
+      }
+    assert(enc(100L) ===
+      2L * refSegment("lowland").size + refSegment("newlywed").size +
+        refSegment("widens").size)
+    assert(enc(101L) ===
+      refSegment("newlywed").size.toLong + refSegment("rewinds").size)
+    // the merges must actually bite on unseen words (shared subwords
+    // like "low"/"wid"/"new" were learned from the training corpus)
+    assert(refSegment("lowland").size < "lowland".length + 1,
+      "an unseen word sharing learned subwords must compress")
+  }
+
   test("driver entries: t10 learns ranked merges and t11 covers every " +
       "document on the testdata corpus") {
     val merges = graft.operators.BpeOps.t10BpeTrain(spark, sfDir).collect()
