@@ -397,6 +397,37 @@ object StreamingJobs {
         (col("z") >= 0).as("predicted"))
   }
 
+  // --------------------------------------------------------- tokenizer
+  /** Streaming face of t11's BPE encoding — token-count incoming
+    * documents against a trained tokenizer's segmented dictionary (the
+    * persisted artifact `BpeOps.applyMerges` produces): the dict rides a
+    * stream-static left join (stateless; a re-segmented dict lands on
+    * the running query's next trigger, the standing-store refresh
+    * contract), per-word-occurrence rows never carry text beyond the
+    * word itself, and the per-document rollup is a watermark-bounded
+    * event-time aggregation — state per in-flight document only, evicted
+    * as the watermark passes. OOV words (over the training length cap)
+    * count chars+1, exactly the batch rule. Input rows need
+    * (doc_id, text, ts). */
+  def bpeCountStream(docs: DataFrame, dict: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    val wordSyms = dict.select(col("word"),
+      size(split(col("syms"), " ")).as("word_syms"))
+    docs.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"),
+        explode(graft.operators.TextOps.tokensOf(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .join(wordSyms, Seq("word"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word"))).as("n_chars"),
+        sum(coalesce(col("word_syms"), length(col("word")) + lit(1)))
+          .as("n_bpe_tokens"))
+      .withColumn("compression",
+        when(col("n_bpe_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_bpe_tokens"), 6)))
+  }
+
   // ------------------------------------------------------------ ingest
   /** Streaming corpus ingestion — the streaming face of c03's cleaning
     * pipeline: normalize → quality gate (t02's signals) → watermark-

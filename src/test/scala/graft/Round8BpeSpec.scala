@@ -156,6 +156,41 @@ class Round8BpeSpec extends GraftSpecBase {
       "an unseen word sharing learned subwords must compress")
   }
 
+  test("bpeCountStream: a real stream counts tokens identically to the " +
+      "batch encoder, including an unseen (OOV-capped) word") {
+    val (merges, dict) = BpeOps.bpeTrain(corpusDf, k = 20, minCount = 2L)
+    val streamDocs = corpus :+ (50L, "lowland " + "x" * 80) // unseen + over-cap
+    val streamDf = streamDocs.toDF("doc_id", "text")
+    // batch truth: segment the STREAM corpus' own dict under the merges
+    val batch = BpeOps.bpeEncodeWithMerges(streamDf, merges).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_bpe_tokens"))).toMap
+    val streamDict = BpeOps.applyMerges(BpeOps.wordDict(streamDf), merges)
+      .localCheckpoint()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = graft.streaming.StreamingJobs
+      .bpeCountStream(mem.toDF.toDF("doc_id", "ts", "text"), streamDict)
+      .writeStream.format("memory").queryName("bpe_r8").outputMode("append")
+      .start()
+    try {
+      mem.addData(streamDocs.map { case (id, text) =>
+        (id, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), text) }: _*)
+      // advance the watermark past the docs so the aggregation emits
+      mem.addData((999L, java.sql.Timestamp.valueOf("2026-01-01 13:00:00"), "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("bpe_r8").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_bpe_tokens"))).toMap
+    assert(streamed === batch.filter(_._1 != 999L),
+      "every emitted doc must match the batch encoder exactly")
+    assert(streamed.contains(50L), "the OOV/over-cap doc must be counted")
+  }
+
   test("driver entries: t10 learns ranked merges and t11 covers every " +
       "document on the testdata corpus") {
     val merges = graft.operators.BpeOps.t10BpeTrain(spark, sfDir).collect()

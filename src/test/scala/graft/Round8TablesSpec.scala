@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Pins Tables.events' physical-type absorption: driver testdata
+  * generations have shipped events.ts as TIMESTAMP(NANOS) (read as
+  * epoch-nanos LONG under nanosAsLong) and as TIMESTAMP(MICROS) (read
+  * as TIMESTAMP_NTZ) — every consumer speaks `ts div 1000`, so the
+  * accessor must present canonical epoch-nanos LONG for BOTH. The
+  * regeneration between r8 sessions flipped the type and broke 16
+  * specs; this is the regression pin. */
+class Round8TablesSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private val micros = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+
+  private def writeEvents(dir: String, tsCol: org.apache.spark.sql.Column): Unit =
+    Seq((1L, 7L, "click", 0.5, "{}"))
+      .toDF("event_id", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), tsCol.as("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+  test("a LONG ts generation passes through; a TIMESTAMP ts generation " +
+      "normalizes to the same epoch-nanos — one canonical schema") {
+    val longDir = java.nio.file.Files.createTempDirectory("ev_long").toString
+    val ntzDir = java.nio.file.Files.createTempDirectory("ev_ntz").toString
+    writeEvents(longDir, lit(micros * 1000L))
+    writeEvents(ntzDir, timestamp_micros(lit(micros)).cast("timestamp_ntz"))
+    val fromLong = Tables(spark, longDir).events
+    val fromNtz = Tables(spark, ntzDir).events
+    for (df <- Seq(fromLong, fromNtz)) {
+      assert(df.schema("ts").dataType ===
+        org.apache.spark.sql.types.LongType)
+      assert(df.select("ts").head().getLong(0) === micros * 1000L)
+      // the column order every consumer positions on
+      assert(df.columns.toSeq ===
+        Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    }
+    // the canonical form is what `ts div 1000` consumers expect
+    assert(fromNtz.select(expr("ts div 1000")).head().getLong(0) === micros)
+  }
+}
