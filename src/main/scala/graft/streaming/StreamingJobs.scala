@@ -397,6 +397,66 @@ object StreamingJobs {
         (col("z") >= 0).as("predicted"))
   }
 
+  // ------------------------------------------------- semantic-dup gate
+  /** Streaming face of d10's incremental SemDeDup — completing the
+    * streaming dedup trilogy (dedupStream exact / neardupProbeStream
+    * MinHash / this, embedding semantic): incoming vectors are judged
+    * against the standing ANN store's corpus, continually. Cluster
+    * assignment is fully ROW-LOCAL — the coarse centroids are
+    * per-corpus-generation constants, so they snapshot into plan
+    * literals with annProbeStream's exact argmin ordering (neg-sim,
+    * list asc = the batch min_by tie-break); the store's MEMBERSHIP is
+    * the live side (stream-static left join re-scans base ∪ delta per
+    * trigger, so an `annIndexAppend` lands without a restart), re-armed
+    * with raw embeddings from `vectorSource` for EXACT round-6 cosine
+    * verification. Only LOWER-id standing partners count (d09's greedy
+    * order); the per-vector rollup is watermark-bounded. Statuses:
+    * known_semdup (semdup_of = min verified partner, semdup_sim = that
+    * partner's cosine) / new. Within-batch pairs are deliberately NOT
+    * judged here — batch d10 owns them, exactly neardupProbeStream's
+    * division of labor. Input rows need (vec_id, embedding, ts). */
+  def semdedupProbeStream(vecs: DataFrame, prefix: String,
+      vectorSource: DataFrame, threshold: Double,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.VectorOps
+    import graft.functions.FloatVecDot
+    val spark = vecs.sparkSession
+    FloatVecDot.register(spark)
+    val cents = spark.table(s"${prefix}_cent")
+      .select("list_id", "c_emb", "c_nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    val simStructs = array(cents.map { case (listId, cEmb, cNrm) =>
+      struct(
+        (-(FloatVecDot.vecDot(col("embedding"), typedlit(cEmb))
+          / (col("nrm") * lit(cNrm)))).as("neg_sim"),
+        lit(listId).as("list_id"))
+    }.toSeq: _*)
+    val assigned = vecs
+      .withWatermark("ts", watermark)
+      .withColumn("nrm", VectorOps.norm(col("embedding")))
+      .withColumn("list_id",
+        element_at(array_sort(simStructs), 1).getField("list_id"))
+    val standing = VectorOps.annIndexRows(spark, prefix)
+      .select("vec_id", "list_id").distinct()
+      .join(vectorSource.select(col("vec_id"), col("embedding").as("s_emb")),
+        "vec_id")
+      .select(col("vec_id").as("partner"), col("list_id"), col("s_emb"),
+        VectorOps.norm(col("s_emb")).as("s_nrm"))
+    assigned.join(standing, Seq("list_id"), "left")
+      .withColumn("sim",
+        when(col("partner").isNotNull && col("partner") < col("vec_id"),
+          round(VectorOps.cosineWithNorms(col("embedding"), col("s_emb"),
+            col("nrm"), col("s_nrm")), 6)))
+      .withColumn("hit_p", when(col("sim") >= threshold, col("partner")))
+      .groupBy(col("vec_id"), col("ts"), col("list_id"))
+      .agg(min(col("hit_p")).as("semdup_of"),
+        min_by(col("sim"), col("hit_p")).as("semdup_sim"))
+      .select(col("vec_id"), col("ts"), col("list_id"),
+        when(col("semdup_of").isNotNull, lit("known_semdup"))
+          .otherwise(lit("new")).as("status"),
+        col("semdup_of"), col("semdup_sim"))
+  }
+
   // --------------------------------------------------------- tokenizer
   /** Streaming face of t11's BPE encoding — token-count incoming
     * documents against a trained tokenizer's segmented dictionary (the

@@ -159,6 +159,57 @@ class Round8SemDedupSpec extends GraftSpecBase {
     VectorOps.annIndexDrop(spark, prefix)
   }
 
+  test("semdedupProbeStream: a real stream gates against the standing " +
+      "store; a mid-stream append is visible on the next trigger " +
+      "without a restart") {
+    val prefix = "graft_d10stream"
+    VectorOps.annIndexDrop(spark, prefix)
+    Codebooks.clearTrained()
+    val rnd = new scala.util.Random(99)
+    def vec(): Seq[Float] = Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq
+    def near(v: Seq[Float]): Seq[Float] =
+      v.map(x => x + 0.01f * (rnd.nextFloat() - 0.5f))
+    val corpus = (0L until 200L).map(i => (i, vec()))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    VectorOps.annIndexBootstrap(corpusDf, prefix, "d10stream")
+    val fresh = vec()
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val flushTs = java.sql.Timestamp.valueOf("2026-01-01 13:00:00")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    // vectorSource covers corpus ∪ the to-be-appended batch (at scale:
+    // the embeddings table both writers land in)
+    val source = (corpus ++ Seq((1000L, fresh))).toDF("vec_id", "embedding")
+    val q = graft.streaming.StreamingJobs.semdedupProbeStream(
+        mem.toDF.toDF("vec_id", "embedding", "ts"), prefix, source,
+        threshold = 0.8)
+      .writeStream.format("memory").queryName("sdgate_r8").outputMode("append")
+      .start()
+    try {
+      // trigger 1: a known near-copy and a genuinely fresh direction
+      mem.addData((2000L, near(corpus(5)._2), ts), (2001L, near(fresh), ts))
+      q.processAllAvailable()
+      // the fresh direction's original is appended MID-STREAM
+      VectorOps.annIndexAppend(Seq((1000L, fresh)).toDF("vec_id", "embedding"),
+        prefix, gen = 0L)
+      // trigger 2: the same fresh direction again + watermark flush
+      mem.addData((3000L, near(fresh), ts))
+      mem.addData((9999L, vec(), flushTs))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sdgate_r8").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[String]("status"), Option(r.get(4)))).toMap
+    assert(out(2000L)._1 === "known_semdup" && out(2000L)._2 === Some(5L))
+    assert(out(2001L)._1 === "new",
+      "before the append the fresh direction is unknowable")
+    assert(out(3000L)._1 === "known_semdup" && out(3000L)._2 === Some(1000L),
+      "the append must land on the next trigger without a restart")
+    VectorOps.annIndexDrop(spark, prefix)
+  }
+
   test("driver entry: per-cluster report accounts for every vector and " +
       "removes a nonzero, minority share on the testdata corpus") {
     Codebooks.clearTrained()
