@@ -122,6 +122,29 @@ object BpeOps {
     (merges.result(), dict.localCheckpoint())
   }
 
+  // ------------------------------------------- merge table as artifact
+  /** Persist a trained merge list as a managed table — the tokenizer is
+    * a lakehouse artifact like every trained thing here (quantizer
+    * tables, standing stores): ship the table, encode anywhere. */
+  def mergesSave(spark: SparkSession, merges: Seq[BpeMerge],
+      table: String): Unit = {
+    import spark.implicits._
+    graft.sources.GraftIO.dropManaged(spark, table)
+    merges.toDF().write.format("parquet").saveAsTable(table)
+  }
+
+  /** Load a merge list (rank-ordered, ready for [[applyMerges]]). */
+  def mergesLoad(spark: SparkSession, table: String): Seq[BpeMerge] = {
+    import spark.implicits._
+    spark.table(table).as[BpeMerge].collect().sortBy(_.rank).toSeq
+  }
+
+  /** Re-mount after process death (the stores' attach contract: the
+    * warehouse directory survives, the catalog entry doesn't). */
+  def mergesAttach(spark: SparkSession, table: String): Unit =
+    graft.sources.GraftIO.attachPlain(spark, table,
+      "rank INT, `left` STRING, `right` STRING, merged STRING, pair_count BIGINT")
+
   /** t10: the learned merge table — (rank, left, right, merged,
     * pair_count), rank-ordered. Rows-only: the merge sequence is an
     * iterative corpus argmax no SQL oracle reproduces; Round8BpeSpec

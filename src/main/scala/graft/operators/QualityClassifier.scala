@@ -197,6 +197,30 @@ object QualityClassifier {
     * Round8ClassifierSpec pins bit-determinism, loss descent, held-out
     * accuracy over the majority baseline on the driver corpus, and
     * exact recovery on a separable engineered corpus. */
+  // ------------------------------------------------ model as artifact
+  /** Persist a trained model as a one-row managed table — the filter is
+    * a lakehouse artifact (BpeOps.mergesSave's contract): train in one
+    * session, score or stream-gate in any other. The loss trajectory
+    * rides along for audit. */
+  def modelSave(spark: SparkSession, m: Model, table: String): Unit = {
+    import spark.implicits._
+    graft.sources.GraftIO.dropManaged(spark, table)
+    Seq((m.bias, m.weights.toSeq, m.loss))
+      .toDF("bias", "weights", "loss")
+      .write.format("parquet").saveAsTable(table)
+  }
+
+  /** Load a persisted model. */
+  def modelLoad(spark: SparkSession, table: String): Model = {
+    val r = spark.table(table).select("bias", "weights", "loss").head()
+    Model(r.getDouble(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2))
+  }
+
+  /** Re-mount after process death (the stores' attach contract). */
+  def modelAttach(spark: SparkSession, table: String): Unit =
+    graft.sources.GraftIO.attachPlain(spark, table,
+      "bias DOUBLE, weights ARRAY<DOUBLE>, loss ARRAY<DOUBLE>")
+
   /** Fully ROW-LOCAL margin over a text column — no featurization
     * shuffle: hash the grams, sort the distinct buckets (ascending, the
     * same order [[features]]' sort_array fixes), fold the broadcast

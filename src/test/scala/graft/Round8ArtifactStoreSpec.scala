@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{BpeOps, QualityClassifier}
+
+/** The trained-artifact persistence contract: BPE merge tables and
+  * classifier models survive process death like the standing stores do
+  * (warehouse directory survives, catalog entry doesn't → attach +
+  * load in a fresh session state), and what's loaded behaves
+  * BIT-IDENTICALLY to what was trained. */
+class Round8ArtifactStoreSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick quick fox jumps the fence"),
+    (1L, "the slow slow fox naps by the fence"),
+    (2L, "quick foxes jump fences the quick way"),
+    (3L, "slow naps suit the slow fox fine")
+  ).toDF("doc_id", "text")
+
+  test("BPE merges: save → catalog death → attach → load is the identical " +
+      "tokenizer (same segmentations on a fresh corpus)") {
+    val table = "graft_r8_merges"
+    val (merges, _) = BpeOps.bpeTrain(docs, k = 10, minCount = 2L)
+    assert(merges.nonEmpty)
+    BpeOps.mergesSave(spark, merges, table)
+    CatalogDeath.simulate(spark, Seq(table))
+    assert(!spark.catalog.tableExists(table))
+    BpeOps.mergesAttach(spark, table)
+    val loaded = BpeOps.mergesLoad(spark, table)
+    assert(loaded === merges)
+    val unseen = Seq((9L, "quickest foxes")).toDF("doc_id", "text")
+    val a = BpeOps.bpeEncodeWithMerges(unseen, merges).collect().toSeq
+    val b = BpeOps.bpeEncodeWithMerges(unseen, loaded).collect().toSeq
+    assert(a === b)
+    graft.sources.GraftIO.dropManaged(spark, table)
+  }
+
+  test("classifier model: save → catalog death → attach → load scores " +
+      "bit-identically") {
+    graft.functions.Ngrams.register(spark)
+    graft.functions.PolyFingerprint.register(spark)
+    val table = "graft_r8_model"
+    val label = col("text").contains("slow")
+    val feats = QualityClassifier.features(docs, label)
+    val m = QualityClassifier.train(feats, iters = 8)
+    QualityClassifier.modelSave(spark, m, table)
+    CatalogDeath.simulate(spark, Seq(table))
+    QualityClassifier.modelAttach(spark, table)
+    val loaded = QualityClassifier.modelLoad(spark, table)
+    assert(loaded.bias === m.bias)
+    assert(loaded.weights.toSeq === m.weights.toSeq)
+    assert(loaded.loss === m.loss)
+    val a = QualityClassifier.score(docs, label, feats, m).collect().toSeq
+    val b = QualityClassifier.score(docs, label, feats, loaded).collect().toSeq
+    assert(a === b)
+    graft.sources.GraftIO.dropManaged(spark, table)
+  }
+}
