@@ -63,8 +63,12 @@ object QualityClassifier {
   private[graft] val SplitMod = 4
   private val Grid = 1e9
 
+  /** A trained model carries its featurization `orders` — scoring with
+    * different gram orders than training hashes foreign grams into
+    * trained weight slots and silently corrupts scores, so the orders
+    * are part of the artifact, not a caller convention. */
   final case class Model(bias: Double, weights: Array[Double],
-      loss: Seq[Double])
+      loss: Seq[Double], orders: Seq[Int] = Seq(1, 2))
 
   /** Per-doc sparse hashed word+bigram features —
     * (doc_id, y, split, feats: array<struct<b, tf>> sorted by bucket);
@@ -120,7 +124,8 @@ object QualityClassifier {
     * 1e-9-quantized row terms, so the weight sequence is bit-identical
     * across runs, partitionings, and AQE plans. */
   private[graft] def train(featRows: DataFrame, iters: Int = TrainIters,
-      lr: Double = LearnRate, l2: Double = L2): Model = {
+      lr: Double = LearnRate, l2: Double = L2,
+      orders: Seq[Int] = Seq(1, 2)): Model = {
     val spark = featRows.sparkSession
     // the cached split is row-bounded; size partitions to the data, not
     // the session default — per-iteration jobs otherwise pay one task
@@ -128,10 +133,16 @@ object QualityClassifier {
     val trainSet = featRows.filter(col("split") < SplitMod - 1)
       .select("y", "feats").coalesce(4).cache()
     val n = trainSet.count().toDouble
+    // the 1e-9-grid integer sums hold |Σ| < 2^63 only while
+    // cw·|term|·n stays well under it; past ~1e8 rows compose c04's
+    // hash-rate sample to cap the split — fail fast, never wrap
+    require(n <= 1e8,
+      s"training split has ${n.toLong} rows; cap it (c04 hash-rate " +
+        "sample) below 1e8 so the quantized gradient sums cannot overflow")
     val nPos = trainSet.filter(col("y") === 1.0).count().toDouble
     require(nPos > 0 && nPos < n, "training split needs both classes")
     val (wPos, wNeg) = (n / (2.0 * nPos), n / (2.0 * (n - nPos)))
-    var m = Model(0.0, Array.fill(Buckets)(0.0), Vector.empty)
+    var m = Model(0.0, Array.fill(Buckets)(0.0), Vector.empty, orders)
     val gsq = Array.fill(Buckets + 1)(0.0) // Adagrad accumulators; last = bias
     val q = (c: Column) => round(c * Grid).cast("long")
     import spark.implicits._
@@ -171,7 +182,8 @@ object QualityClassifier {
       val gb = sums(-1) / Grid / n
       gsq(Buckets) += gb * gb
       val biasStep = if (gsq(Buckets) > 0) lr * gb / math.sqrt(gsq(Buckets)) else 0.0
-      m = Model(m.bias - biasStep, w, m.loss :+ sums(-2) / Grid / n)
+      m = m.copy(bias = m.bias - biasStep, weights = w,
+        loss = m.loss :+ sums(-2) / Grid / n)
     }
     trainSet.unpersist()
     m
@@ -205,21 +217,22 @@ object QualityClassifier {
   def modelSave(spark: SparkSession, m: Model, table: String): Unit = {
     import spark.implicits._
     graft.sources.GraftIO.dropManaged(spark, table)
-    Seq((m.bias, m.weights.toSeq, m.loss))
-      .toDF("bias", "weights", "loss")
+    Seq((m.bias, m.weights.toSeq, m.loss, m.orders))
+      .toDF("bias", "weights", "loss", "orders")
       .write.format("parquet").saveAsTable(table)
   }
 
   /** Load a persisted model. */
   def modelLoad(spark: SparkSession, table: String): Model = {
-    val r = spark.table(table).select("bias", "weights", "loss").head()
-    Model(r.getDouble(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2))
+    val r = spark.table(table).select("bias", "weights", "loss", "orders").head()
+    Model(r.getDouble(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2),
+      r.getSeq[Int](3))
   }
 
   /** Re-mount after process death (the stores' attach contract). */
   def modelAttach(spark: SparkSession, table: String): Unit =
     graft.sources.GraftIO.attachPlain(spark, table,
-      "bias DOUBLE, weights ARRAY<DOUBLE>, loss ARRAY<DOUBLE>")
+      "bias DOUBLE, weights ARRAY<DOUBLE>, loss ARRAY<DOUBLE>, orders ARRAY<INT>")
 
   /** Fully ROW-LOCAL margin over a text column — no featurization
     * shuffle: hash the grams, sort the distinct buckets (ascending, the
@@ -228,10 +241,9 @@ object QualityClassifier {
     * for binarized presence, which makes it the STREAMING face of the
     * classifier: a stateless per-row expression (see
     * `StreamingJobs.qualityScoreStream`). */
-  private[graft] def marginRowLocal(text: Column, m: Model,
-      orders: Seq[Int] = Seq(1, 2)): Column = {
+  private[graft] def marginRowLocal(text: Column, m: Model): Column = {
     val toks = TextOps.tokensOf(text)
-    val grams = concat(orders.map(n =>
+    val grams = concat(m.orders.map(n =>
       graft.functions.Ngrams.ngramJoin(toks, n)): _*)
     val buckets = array_sort(array_distinct(transform(grams,
       g => pmod(TextOps.polyFp(g), lit(Buckets)).cast("int"))))
@@ -253,8 +265,8 @@ object QualityClassifier {
   private[graft] def clearTrained(): Unit = modelCache.clear()
 
   private[graft] def trainCached(featRows: => DataFrame,
-      corpusKey: String): Model =
-    modelCache.getOrElseUpdate(corpusKey, train(featRows))
+      corpusKey: String, orders: Seq[Int] = Seq(1, 2)): Model =
+    modelCache.getOrElseUpdate(corpusKey, train(featRows, orders = orders))
 
   def t12QualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Ngrams.register(spark)
@@ -266,7 +278,7 @@ object QualityClassifier {
     // word features are the right capacity for its 375 training rows;
     // (1, 2) is the production default (see features' capacity note)
     val feats = features(docs, label, orders = Seq(1))
-    val m = trainCached(feats, s"$dir#t12")
+    val m = trainCached(feats, s"$dir#t12", orders = Seq(1))
     score(docs, label, feats, m, carry = Seq("lang")).orderBy("doc_id")
   }
 }

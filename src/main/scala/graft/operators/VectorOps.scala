@@ -51,8 +51,25 @@ object VectorOps {
   /** Blocks at most this many vectors are brute-forced all-pairs; bigger
     * label blocks are sub-bucketed by hyperplane sign bits first. 256 keeps
     * the worst per-block pair expansion ≤ ~32k pairs. */
-  private val D05MaxBlock = 256
+  private[graft] val D05MaxBlock = 256
   private val D05MaxPlanes = 16
+
+  /** Sign-bit prefix length for a block of `sn` members capped at
+    * `maxBlock` — d05's sub-bucketing geometry, shared by every capped
+    * pair/probe leg (batch and streaming) so the block key can never
+    * drift between them. */
+  private[graft] def capPlanesLen(sn: Column, maxBlock: Int): Column =
+    least(lit(D05MaxPlanes),
+      ceil(log(2.0, sn.cast("double") / maxBlock)).cast("int"))
+
+  /** The d05 cap block key: "" for an under-cap block (exact, no
+    * subdivision), else the hyperplane sign-bit prefix sized by
+    * [[capPlanesLen]]. `when` evaluates lazily per row — under-cap rows
+    * never pay the projection folds. */
+  private[graft] def capBlk(emb: Column, sn: Column, maxBlock: Int): Column =
+    when(sn <= maxBlock, lit(""))
+      .otherwise(signBits(emb, D05MaxPlanes, 64)
+        .substr(lit(1), capPlanesLen(sn, maxBlock)))
 
   /** Exact cosine near-dup pairs (≥ `threshold`) within label blocks, with
     * the d03 capBuckets discipline applied to the block SIZE: any label
@@ -731,6 +748,30 @@ object VectorOps {
         "_ivf_base_next", "_ivf_base_old"))
       graft.sources.GraftIO.dropManaged(spark, prefix + t)
 
+  /** The standing store's coarse-probe selection as ONE row-local
+    * column: centroids snapshot into plan literals (they are
+    * per-corpus-generation constants) and the top-`nProbes` lists come
+    * from sorting (neg_sim, list_id) structs — EXACTLY `assignToLists`'
+    * min_by tie-break, so literal-side assignment (streaming, probes)
+    * and relational assignment (batch) can never disagree. Returns an
+    * array of list_ids, best first; `element_at(_, 1)` is the argmin
+    * assignment. Shared by annProbeStream and semdedupProbeStream —
+    * one definition, one ordering. */
+  private[graft] def centroidProbeLit(spark: SparkSession, prefix: String,
+      emb: Column, nrm: Column, nProbes: Int): Column = {
+    val cents = spark.table(s"${prefix}_cent")
+      .select("list_id", "c_emb", "c_nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
+    val simStructs = array(cents.map { case (listId, cEmb, cNrm) =>
+      struct(
+        (-(FloatVecDot.vecDot(emb, typedlit(cEmb)) / (nrm * lit(cNrm))))
+          .as("neg_sim"),
+        lit(listId).as("list_id"))
+    }.toSeq: _*)
+    transform(slice(array_sort(simStructs), 1, nProbes),
+      e => e.getField("list_id"))
+  }
+
   /** Incremental SemDeDup gate — d09's analog of d07/d08, completing the
     * incremental trilogy across the three dedup modalities (exact hash /
     * MinHash near-dup / embedding semantic), and it rides the SAME
@@ -761,26 +802,23 @@ object VectorOps {
     val batch = assignToLists(batchV0.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm")), cent)
     val batchLists = batch.select("list_id").distinct()
-    // standing membership (vec_id, list_id) — M code rows per vector →
-    // distinct — pruned to the batch's lists, then re-armed with raw
-    // embeddings (only probed lists' vectors ever shuffle)
-    val standing = annIndexRows(spark, prefix).select("vec_id", "list_id")
-      .distinct()
+    // standing membership (vec_id, list_id, nrm) — M code rows per
+    // vector → distinct; the stored nrm rides along (persisted at encode
+    // time precisely so it is never re-folded) — pruned to the batch's
+    // lists, then re-armed with raw embeddings (only probed lists'
+    // vectors ever shuffle)
+    val standing = annIndexRows(spark, prefix)
+      .select("vec_id", "list_id", "nrm").distinct()
       .join(broadcast(batchLists), "list_id")
       .join(vectorSource.select(col("vec_id"), col("embedding").as("s_emb")),
         "vec_id")
-      .withColumn("s_nrm", norm(col("s_emb")))
+      .withColumnRenamed("nrm", "s_nrm")
     val sizes = standing.groupBy(col("list_id")).agg(count(lit(1)).as("_sn"))
-    val planesLen = least(lit(D05MaxPlanes),
-      ceil(log(2.0, col("_sn").cast("double") / maxBlock)).cast("int"))
-    def blkOf(emb: Column): Column =
-      when(col("_sn") <= maxBlock, lit(""))
-        .otherwise(signBits(emb, D05MaxPlanes, 64).substr(lit(1), planesLen))
     val sKeyed = standing.join(broadcast(sizes), "list_id")
-      .withColumn("blk", blkOf(col("s_emb")))
+      .withColumn("blk", capBlk(col("s_emb"), col("_sn"), maxBlock))
     val bKeyed = batch.join(broadcast(sizes), Seq("list_id"), "left")
       .na.fill(0L, Seq("_sn"))
-      .withColumn("blk", blkOf(col("embedding")))
+      .withColumn("blk", capBlk(col("embedding"), col("_sn"), maxBlock))
     val probe = bKeyed.as("b")
       .join(sKeyed.as("s"),
         col("s.list_id") === col("b.list_id") && col("s.blk") === col("b.blk") &&

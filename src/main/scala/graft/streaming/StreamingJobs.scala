@@ -387,10 +387,19 @@ object StreamingJobs {
     * is a query restart, the same refresh contract as anomalyStream's
     * stats side. */
   def qualityScoreStream(docs: DataFrame,
-      model: graft.operators.QualityClassifier.Model,
-      orders: Seq[Int] = Seq(1, 2)): DataFrame = {
-    val z = graft.operators.QualityClassifier.marginRowLocal(
-      col("text"), model, orders)
+      model: graft.operators.QualityClassifier.Model): DataFrame = {
+    val spark = docs.sparkSession
+    // the margin resolves ngram_join/poly_fp by name — register here so
+    // a fresh session (modelLoad + stream) needs no caller-side setup
+    graft.functions.Ngrams.register(spark)
+    graft.functions.PolyFingerprint.register(spark)
+    // gram orders come from the MODEL (part of the artifact — foreign
+    // orders would hash unseen grams into trained weight slots); a
+    // null-text row scores at the bias, exactly the batch rule for a
+    // featureless doc
+    val z = when(col("text").isNotNull,
+      graft.operators.QualityClassifier.marginRowLocal(col("text"), model))
+      .otherwise(lit(model.bias))
     docs.withColumn("z", z)
       .select(col("doc_id"),
         round(lit(1.0) / (lit(1.0) + exp(-col("z"))), 6).as("score"),
@@ -410,39 +419,49 @@ object StreamingJobs {
     * trigger, so an `annIndexAppend` lands without a restart), re-armed
     * with raw embeddings from `vectorSource` for EXACT round-6 cosine
     * verification. Only LOWER-id standing partners count (d09's greedy
-    * order); the per-vector rollup is watermark-bounded. Statuses:
+    * order); the per-vector rollup is watermark-bounded, and the batch
+    * gate's d05 sign-bit cap bounds hot standing lists per trigger —
+    * both probe sides share `VectorOps.capBlk`, so the block key can
+    * never drift between batch and stream. Statuses:
     * known_semdup (semdup_of = min verified partner, semdup_sim = that
     * partner's cosine) / new. Within-batch pairs are deliberately NOT
     * judged here — batch d10 owns them, exactly neardupProbeStream's
     * division of labor. Input rows need (vec_id, embedding, ts). */
   def semdedupProbeStream(vecs: DataFrame, prefix: String,
       vectorSource: DataFrame, threshold: Double,
-      watermark: String = "1 hour"): DataFrame = {
+      watermark: String = "1 hour",
+      maxBlock: Int = graft.operators.VectorOps.D05MaxBlock): DataFrame = {
     import graft.operators.VectorOps
     import graft.functions.FloatVecDot
     val spark = vecs.sparkSession
     FloatVecDot.register(spark)
-    val cents = spark.table(s"${prefix}_cent")
-      .select("list_id", "c_emb", "c_nrm").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
-    val simStructs = array(cents.map { case (listId, cEmb, cNrm) =>
-      struct(
-        (-(FloatVecDot.vecDot(col("embedding"), typedlit(cEmb))
-          / (col("nrm") * lit(cNrm)))).as("neg_sim"),
-        lit(listId).as("list_id"))
-    }.toSeq: _*)
-    val assigned = vecs
+    val assigned0 = vecs
       .withWatermark("ts", watermark)
       .withColumn("nrm", VectorOps.norm(col("embedding")))
-      .withColumn("list_id",
-        element_at(array_sort(simStructs), 1).getField("list_id"))
+    val assigned = assigned0.withColumn("list_id",
+      element_at(VectorOps.centroidProbeLit(spark, prefix,
+        col("embedding"), col("nrm"), 1), 1))
+    // standing membership with its STORED norm (persisted at encode time
+    // precisely so it is never re-folded)
     val standing = VectorOps.annIndexRows(spark, prefix)
-      .select("vec_id", "list_id").distinct()
+      .select("vec_id", "list_id", "nrm").distinct()
       .join(vectorSource.select(col("vec_id"), col("embedding").as("s_emb")),
         "vec_id")
       .select(col("vec_id").as("partner"), col("list_id"), col("s_emb"),
-        VectorOps.norm(col("s_emb")).as("s_nrm"))
-    assigned.join(standing, Seq("list_id"), "left")
+        col("nrm").as("s_nrm"))
+    // the batch gate's d05 hot-list cap, same geometry: oversized
+    // standing lists sub-bucket BOTH sides by the sign-bit prefix, so a
+    // degenerate list costs each incoming vector an expected ≤ maxBlock
+    // verifications per trigger instead of the whole list
+    val sizes = standing.groupBy(col("list_id")).agg(count(lit(1)).as("_sn"))
+    val sKeyed = standing.join(sizes, "list_id")
+      .withColumn("blk", VectorOps.capBlk(col("s_emb"), col("_sn"), maxBlock))
+      .drop("_sn")
+    val bKeyed = assigned.join(broadcast(sizes), Seq("list_id"), "left")
+      .na.fill(0L, Seq("_sn"))
+      .withColumn("blk", VectorOps.capBlk(col("embedding"), col("_sn"), maxBlock))
+      .drop("_sn")
+    bKeyed.join(sKeyed, Seq("list_id", "blk"), "left")
       .withColumn("sim",
         when(col("partner").isNotNull && col("partner") < col("vec_id"),
           round(VectorOps.cosineWithNorms(col("embedding"), col("s_emb"),
@@ -696,9 +715,6 @@ object StreamingJobs {
     FloatVecDot.register(spark)
     TopKByScore.register(spark)
     // quantizer snapshots → literals
-    val cents = spark.table(s"${prefix}_cent")
-      .select("list_id", "c_emb", "c_nrm").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getDouble(2)))
     val cb: Seq[Seq[Seq[Float]]] = {
       val raw = spark.table(s"${prefix}_pq").select("m", "k", "c_sub").collect()
         .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2))).toMap
@@ -709,15 +725,10 @@ object StreamingJobs {
     val subDim = cb.head.head.length
     val cbLit = typedlit(cb)
     // row-local probe selection: nProbes best lists by centroid cosine,
-    // ordered (sim desc, list asc) — TopKByScore's exact ordering
-    val simStructs = array(cents.map { case (listId, cEmb, cNrm) =>
-      struct(
-        (-(FloatVecDot.vecDot(col("q_emb"), typedlit(cEmb))
-          / (col("q_nrm") * lit(cNrm)))).as("neg_sim"),
-        lit(listId).as("list_id"))
-    }.toSeq: _*)
-    val probeLists = transform(slice(array_sort(simStructs), 1, nProbes),
-      e => e.getField("list_id"))
+    // ordered (sim desc, list asc) — TopKByScore's exact ordering,
+    // shared with semdedupProbeStream via VectorOps.centroidProbeLit
+    val probeLists = VectorOps.centroidProbeLit(spark, prefix,
+      col("q_emb"), col("q_nrm"), nProbes)
     val probes = queries
       .withWatermark("ts", watermark)
       .withColumn("q_nrm", VectorOps.norm(col("q_emb")))

@@ -52,6 +52,9 @@ class Round8ArtifactStoreSpec extends GraftSpecBase {
     assert(loaded.bias === m.bias)
     assert(loaded.weights.toSeq === m.weights.toSeq)
     assert(loaded.loss === m.loss)
+    // the featurization orders are part of the artifact — scoring with
+    // foreign orders hashes unseen grams into trained weight slots
+    assert(loaded.orders === m.orders)
     val a = QualityClassifier.score(docs, label, feats, m).collect().toSeq
     val b = QualityClassifier.score(docs, label, feats, loaded).collect().toSeq
     assert(a === b)

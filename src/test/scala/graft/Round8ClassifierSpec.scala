@@ -72,9 +72,13 @@ class Round8ClassifierSpec extends GraftSpecBase {
   }
 
   test("qualityScoreStream: a real stream scores bit-identically to the " +
-      "batch path") {
+      "batch path, null text included") {
     registered()
+    // a null-text row: absent from features, batch-scored at the bias —
+    // the stream must do the same
     val docs = separable()
+      .unionByName(Seq((999L, null.asInstanceOf[String], false))
+        .toDF("doc_id", "text", "is_good"))
     val feats = QualityClassifier.features(docs, col("is_good"))
     val m = QualityClassifier.train(feats, iters = 12)
     val batch = QualityClassifier.score(docs, col("is_good"), feats, m)

@@ -5,13 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.functions.FloatVecDot
 import graft.operators.{Codebooks, VectorOps}
 
-/** SemDeDup (d09) specs: the removal rule against a driver-side
-  * brute-force reference, determinism, and threshold monotonicity.
-  * The cluster assignment itself is the spec'd-elsewhere IVF quantizer
-  * ([[Codebooks.ivfCentroids]] + min_by argmin); here it is taken as
-  * given (read off the result) and the PRUNING DECISION on top of it is
-  * what's verified: removed(j) ⇔ ∃ i < j in j's cluster with
-  * round6(cos(i,j)) ≥ t. */
+/** SemDeDup specs — d09 (batch), d10 (incremental gate over the
+  * standing ANN store) and semdedupProbeStream (its streaming face):
+  * the removal rule against a driver-side brute-force reference,
+  * determinism, threshold monotonicity, gate ≡ full-recompute
+  * equivalence under the standing quantizer, the append lifecycle, and
+  * mid-stream append visibility. The cluster assignment itself is the
+  * spec'd-elsewhere IVF quantizer ([[Codebooks.ivfCentroids]] + min_by
+  * argmin); the PRUNING DECISION on top of it is what's verified:
+  * removed(j) ⇔ ∃ i < j in j's cluster with round6(cos(i,j)) ≥ t. */
 class Round8SemDedupSpec extends GraftSpecBase {
   import spark.implicits._
 
