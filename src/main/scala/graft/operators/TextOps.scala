@@ -775,6 +775,109 @@ object TextOps {
        |  CAST((num + 5 * n_tokens) // (10 * n_tokens) AS DOUBLE) / 1000000.0 AS nll
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t13
+  /** Jelinek-Mercer interpolation weight on the bigram term; the
+    * remaining mass backs off to the Laplace-smoothed unigram. */
+  private val T13Lambda = 0.9
+
+  /** t13: INTERPOLATED BIGRAM language-model scoring — t08's unigram
+    * perplexity filter upgraded to the model class CCNet-style gates
+    * actually run (KenLM is an interpolated n-gram model; this is its
+    * order-2 form): p(w₂|w₁) = λ·c₁₂/c₁ + (1−λ)·(c₂+1)/(N+V), per-doc
+    * mean negative log-likelihood over its bigrams. Local word order
+    * now matters — scrambled text that fools a unigram filter scores
+    * poorly here.
+    *
+    * Same scale/parity shape as t08: all counts aggregate exactly
+    * (map-side combined; only hashed-gram/token keys shuffle), the
+    * float log work happens ONCE per distinct corpus BIGRAM (the
+    * model relation, ≪ corpus), quantized to the 1e-7 grid, and each
+    * doc's score is an exact integer Σ c·q_log finished by half-away
+    * integer division — bit-identical across engines, partitionings and
+    * merge orders. The interpolation is evaluated with one fixed
+    * association order mirrored exactly in the oracle SQL, because
+    * cross-engine double parity is associativity-sensitive. Scoring the
+    * training corpus means no unseen bigram path (every doc bigram has
+    * c₁₂ ≥ 1); the smoothing still governs rare-bigram mass. */
+  def t13BigramLm(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    bigramLm(docs(spark, dir)).orderBy("doc_id")
+  }
+
+  /** [[t13BigramLm]]'s core over any (doc_id, text) relation — spec'd
+    * for the property that separates it from t08: within-document word
+    * order moves the score (unigram scoring is permutation-invariant by
+    * construction; this is not). */
+  private[graft] def bigramLm(d: DataFrame): DataFrame = {
+    val Q = 1e7
+    val docBi = d
+      .select(col("doc_id"), explode(
+        graft.functions.Ngrams.ngramJoin(tokensOf(col("text")), 2)).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val uni = d.select(explode(tokensOf(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    val totals = uni.agg(sum(col("cf")).as("n_corpus"),
+      count(lit(1)).as("v"))
+    val model = docBi.groupBy(col("bg")).agg(sum(col("c")).as("c12"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("tok").as("w1"), col("cf").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cf").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("p",
+        lit(T13Lambda) * (col("c12").cast("double") / col("c1").cast("double")) +
+          lit(1.0 - T13Lambda) * ((col("c2").cast("double") + lit(1.0)) /
+            (col("n_corpus").cast("double") + col("v").cast("double"))))
+      .withColumn("q_log", round(log(col("p")) * Q).cast("long"))
+      .select("bg", "q_log")
+    docBi.join(model, "bg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        (-sum(col("c") * col("q_log"))).as("num"))
+      .withColumn("nll_micro",
+        expr("(num + 5 * n_bigrams) div (10 * n_bigrams)"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("nll_micro").cast("double") / 1e6).as("nll"))
+  }
+
+  val t13Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $TokensSql AS tk FROM documents
+       |), uni AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cf
+       |  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok
+       |), totals AS (
+       |  SELECT CAST(sum(cf) AS BIGINT) AS n_corpus,
+       |    CAST(count(*) AS BIGINT) AS v FROM uni
+       |), db AS (
+       |  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
+       |    FROM toks, unnest(range(1, len(tk))) AS u(i))
+       |  GROUP BY doc_id, bg
+       |), model AS (
+       |  SELECT bg,
+       |    CAST(round(ln(
+       |      ${T13Lambda} * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) +
+       |      ${1.0 - T13Lambda} * ((CAST(c2 AS DOUBLE) + 1.0) /
+       |        (CAST(n_corpus AS DOUBLE) + CAST(v AS DOUBLE)))
+       |    ) * 10000000.0) AS BIGINT) AS q_log
+       |  FROM (
+       |    SELECT bg, CAST(sum(c) AS BIGINT) AS c12,
+       |      string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+       |    FROM db GROUP BY bg
+       |  ) b
+       |  JOIN (SELECT tok AS w1, cf AS c1 FROM uni) u1 USING (w1)
+       |  JOIN (SELECT tok AS w2, cf AS c2 FROM uni) u2 USING (w2), totals
+       |), agg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |    -CAST(sum(c * q_log) AS BIGINT) AS num
+       |  FROM db JOIN model USING (bg) GROUP BY doc_id
+       |)
+       |SELECT doc_id, n_bigrams,
+       |  CAST((num + 5 * n_bigrams) // (10 * n_bigrams) AS DOUBLE) / 1000000.0 AS nll
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- d07
   /** Incoming-batch selector for [[d07IncrementalDedup]]: every
     * `IncomingMod`-th document plays the newly-crawled batch. */

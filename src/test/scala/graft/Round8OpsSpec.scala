@@ -30,4 +30,35 @@ class Round8OpsSpec extends GraftSpecBase {
     assert(e.getMessage.contains("bounded-broadcast contract"),
       s"unexpected failure: ${e.getMessage}")
   }
+
+  test("t13: the bigram LM is sensitive to within-document word order " +
+      "where any unigram model is permutation-invariant by construction") {
+    import spark.implicits._
+    graft.functions.Ngrams.register(spark)
+    // natural docs share strong local structure ("of the", "in the");
+    // scrambling one doc keeps its unigram profile but breaks its
+    // bigrams, so its t13 score must move
+    val natural = Seq(
+      (0L, "the cat sat on the mat in the sun"),
+      (1L, "the dog sat on the mat in the shade"),
+      (2L, "a cat and a dog sat in the sun"))
+    val scrambled = natural.map { case (id, t) =>
+      if (id == 0L) {
+        val w = t.split(" ")
+        // deterministic derangement: reverse
+        (id, w.reverse.mkString(" "))
+      } else (id, t)
+    }
+    def nll(rows: Seq[(Long, String)]): Map[Long, Double] =
+      graft.operators.TextOps.bigramLm(rows.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getAs[Double]("nll")).toMap
+    val a = nll(natural)
+    val b = nll(scrambled)
+    assert(a(0L) !== b(0L),
+      "reversing a document's words must change its bigram-LM score")
+    // untouched docs shift only through the shared corpus model —
+    // their BIGRAM MULTISET is unchanged; doc 0's own score moves by
+    // its own bigrams too. Sanity: scores are positive NLLs.
+    assert(a.values.forall(_ > 0) && b.values.forall(_ > 0))
+  }
 }
