@@ -746,7 +746,7 @@ object TextOps {
         sum(col("c") * col("q_log")).as("q_clog"))
       .crossJoin(broadcast(total))
       .withColumn("num", col("q_log_corpus") * col("n_tokens") - col("q_clog"))
-      .withColumn("nll_micro", expr("(num + 5 * n_tokens) div (10 * n_tokens)"))
+      .withColumn("nll_micro", qMicro("num", "n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         (col("nll_micro").cast("double") / 1e6).as("nll"))
       .orderBy("doc_id")
@@ -772,10 +772,19 @@ object TextOps {
        |  GROUP BY doc_id, q_log_corpus
        |)
        |SELECT doc_id, n_tokens,
-       |  CAST((num + 5 * n_tokens) // (10 * n_tokens) AS DOUBLE) / 1000000.0 AS nll
+       |  ${qMicroSql("num", "n_tokens")} AS nll
        |FROM agg ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t13
+  /** Half-away rounding of the exact rational num/(n·10⁷) to 1e-6 units,
+    * entirely in integer space (num ≥ 0) — the LM-scoring finish shared
+    * by t08 and t13, ONE definition per engine so the parity-critical
+    * rounding discipline cannot drift between ops. */
+  private def qMicro(num: String, n: String): Column =
+    expr(s"($num + 5 * $n) div (10 * $n)")
+  private def qMicroSql(num: String, n: String): String =
+    s"CAST(($num + 5 * $n) // (10 * $n) AS DOUBLE) / 1000000.0"
+
   /** Jelinek-Mercer interpolation weight on the bigram term; the
     * remaining mass backs off to the Laplace-smoothed unigram. */
   private val T13Lambda = 0.9
@@ -831,14 +840,20 @@ object TextOps {
             (col("n_corpus").cast("double") + col("v").cast("double"))))
       .withColumn("q_log", round(log(col("p")) * Q).cast("long"))
       .select("bg", "q_log")
-    docBi.join(model, "bg")
+    val perDoc = docBi.join(model, "bg")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
         (-sum(col("c") * col("q_log"))).as("num"))
-      .withColumn("nll_micro",
-        expr("(num + 5 * n_bigrams) div (10 * n_bigrams)"))
+      .withColumn("nll_micro", qMicro("num", "n_bigrams"))
       .select(col("doc_id"), col("n_bigrams"),
         (col("nll_micro").cast("double") / 1e6).as("nll"))
+    // every document gets a row — a short doc (< 2 tokens) has no
+    // bigrams to score, so n_bigrams = 0 and nll is NULL rather than
+    // the doc silently vanishing from a gate's join
+    d.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("nll"))
   }
 
   val t13Sql: String =
@@ -874,9 +889,10 @@ object TextOps {
        |    -CAST(sum(c * q_log) AS BIGINT) AS num
        |  FROM db JOIN model USING (bg) GROUP BY doc_id
        |)
-       |SELECT doc_id, n_bigrams,
-       |  CAST((num + 5 * n_bigrams) // (10 * n_bigrams) AS DOUBLE) / 1000000.0 AS nll
-       |FROM agg ORDER BY doc_id""".stripMargin
+       |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+       |  ${qMicroSql("num", "n_bigrams")} AS nll
+       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d07
   /** Incoming-batch selector for [[d07IncrementalDedup]]: every

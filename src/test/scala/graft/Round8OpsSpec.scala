@@ -60,5 +60,14 @@ class Round8OpsSpec extends GraftSpecBase {
     // their BIGRAM MULTISET is unchanged; doc 0's own score moves by
     // its own bigrams too. Sanity: scores are positive NLLs.
     assert(a.values.forall(_ > 0) && b.values.forall(_ > 0))
+    // short docs are COVERED, not dropped: no bigrams → n_bigrams 0,
+    // nll null — a gate joining scores never sees a missing row
+    val short = graft.operators.TextOps.bigramLm(
+        (natural ++ Seq((7L, "solo"), (8L, ""))).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_bigrams"), Option(r.get(2)))).toMap
+    assert(short.keySet === Set(0L, 1L, 2L, 7L, 8L))
+    assert(short(7L) === ((0L, None)) && short(8L) === ((0L, None)))
+    assert(short(0L)._1 > 0 && short(0L)._2.isDefined)
   }
 }
