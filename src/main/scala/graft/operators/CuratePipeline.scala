@@ -1,0 +1,368 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextOps.{normText, qMicroSql}
+
+/** p01: the curation stages composed into ONE end-to-end pipeline — what a
+  * user of this engine actually runs over a crawl. Every stage exists as its
+  * own oracled operator; this entry exercises them TOGETHER, with c03's
+  * per-rule audit-flag discipline carried end to end (one row per input
+  * document, a boolean per stage, `keep` = their conjunction), the analog of
+  * the reference's composed CreateBatch→Analyze→Process→Finalize lifecycle
+  * (`ProcessBatch.groovy:113-156` feeding `BatchFinalizer.groovy:40-77`).
+  *
+  * Stages, in pipeline order:
+  *   1. exact dedup (d01): canonical doc = min id per md5(normalized text);
+  *   2. near-dup canonicalize (d02→g01→c08): exact word-3-gram Jaccard ≥ 0.5
+  *      pairs among stage-1 survivors (shared-shingle pair emission — only
+  *      pairs that share a shingle materialize), connected components,
+  *      keep the HIGHEST-t02-quality member (lowest id on ties);
+  *   3. quality gate (t02): length band + composite-score threshold;
+  *   4. LM gate (t13): interpolated-bigram mean NLL threshold (corpus-trained
+  *      model; short docs with no bigrams fail closed);
+  *   5. decontaminate (c06): drop docs sharing any word-4-gram with the
+  *      deterministic eval split (eval docs themselves never ship);
+  *   6. domain mix (c13): per-source sampling weight over the KEPT corpus
+  *      under the deterministic non-uniform target vector;
+  *   7. pack (c05): concat-and-chunk token offsets/context-window ids over
+  *      the kept corpus (per-language, two-level prefix sum).
+  *
+  * Composition discipline: the corpus is scanned ONCE. The normalized
+  * narrow projection (doc_id, lang, source, norm) is materialized via
+  * `localCheckpoint` and every stage derives from it, so the composed plan
+  * contains ZERO parquet re-scans (spec-pinned by Round9PipelineSpec; at
+  * cluster scale the same one-materialization is a stage table written once
+  * and read by every stage — the point is the 100 TB text is not re-read
+  * per stage). Downstream of the checkpoint only metadata relations
+  * shuffle: (hash, id) pairs, shingle/gram longs, (doc, flag) rows — the
+  * text column stays inside the checkpoint partitions.
+  *
+  * Thresholds are policy, surfaced as parameters (defaults = the driver
+  * query); the oracle mirrors the defaults. At 100 TB the stage-2 pair
+  * source swaps to d03's LSH candidates (identical downstream algebra, then
+  * rows-only like d06) — exact shared-shingle emission is the ORACLED form
+  * and is itself bounded by shingle document-frequency, not corpus size.
+  */
+object CuratePipeline {
+
+  /** Composite t02 score gate (stage 3); corpus scores span ~0.33-0.65. */
+  private[operators] val QualityMin = 0.35
+  /** Token-count band gate (stage 3) — c03's length discipline. */
+  private[operators] val LenMin = 5L
+  private[operators] val LenMax = 10000L
+  /** t13 mean-NLL ceiling (stage 4); corpus NLLs span ~3.28-3.67. */
+  private[operators] val NllMax = 3.5
+  /** Stage-2 near-dup confirmation threshold (d02's). */
+  private val JaccardMin = 0.5
+  private val PackCap = 512L
+  private val PackShardSpan = 100000L
+
+  def p01Curate(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    p01Over(spark, t.spread(t.documents))
+  }
+
+  /** The pipeline over any (doc_id, lang, source, text) relation —
+    * threshold-parameterized so specs can isolate one gate at a time. */
+  private[graft] def p01Over(spark: SparkSession, documents: DataFrame,
+      qualityMin: Double = QualityMin, nllMax: Double = NllMax): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+
+    // the ONE corpus materialization every stage reads (see scaladoc)
+    val base = documents
+      .select(col("doc_id"), col("lang"), col("source"),
+        normText(col("text")).as("norm"))
+      .localCheckpoint()
+    val toks = base.withColumn("tk", split(col("norm"), " "))
+
+    // ---- stage 1: exact dedup (d01) --------------------------------
+    val hashed = base.select(col("doc_id"), md5(col("norm")).as("ch"))
+    val canon = hashed.groupBy(col("ch")).agg(min(col("doc_id")).as("exact_canon"))
+    val s1 = hashed.join(canon, "ch")
+      .select(col("doc_id"), (col("doc_id") === col("exact_canon")).as("exact_canonical"))
+
+    // ---- t02 metrics (keeper choice in stage 2 + the stage-3 gate) --
+    val allStop = TextOps.Stopwords.flatMap(_._2).distinct
+    val quality = toks
+      .withColumn("n_chars", length(col("norm")).cast("long"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("punct_ratio", round(
+        length(regexp_replace(col("norm"), "[a-z0-9 ]", "")).cast("double") / col("n_chars"), 6))
+      .withColumn("stop_ratio", round(
+        TextOps.stopCount(col("tk"), allStop).cast("double") / col("n_tokens"), 6))
+      .withColumn("quality_score", round(
+        lit(0.4) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio"))
+          + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100.0), 6))
+      .select("doc_id", "n_tokens", "quality_score")
+
+    // ---- stage 2: near-dup keep-best among stage-1 survivors --------
+    // shared-shingle pair emission (d02's relational form): only pairs
+    // sharing a shingle hash materialize, bounded by shingle doc-freq
+    val surv = toks.join(s1.filter(col("exact_canonical")).select("doc_id"), "doc_id")
+    val sh = surv.select(col("doc_id"), col("lang"),
+        explode(graft.functions.Ngrams.ngramHashes(col("tk"), 3)).as("sh"))
+      .distinct()
+    val shCounts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.lang") === col("b.lang") && col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pairs = inter
+      .join(shCounts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(shCounts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")), 6) >= JaccardMin)
+      .select("doc_a", "doc_b")
+    val members = Components.connectedComponents(pairs, "doc_a", "doc_b")
+    val keepers = members
+      .join(quality.select(col("doc_id"), col("quality_score")),
+        members("node") === col("doc_id"))
+      .groupBy(col("component"))
+      .agg(max_by(col("node"), struct(col("quality_score"), -col("node"))).as("kept_doc"))
+    val keeperFlag = members.join(keepers, "component")
+      .select(col("node").as("doc_id"), (col("node") === col("kept_doc")).as("is_keeper"))
+
+    // ---- stage 4: t13 interpolated-bigram NLL (corpus model) --------
+    val lm = TextOps.bigramLm(base.select(col("doc_id"), col("norm").as("text")))
+      .select(col("doc_id"), col("nll"))
+
+    // ---- stage 5: c06 decontamination vs the eval split -------------
+    val grams = toks.select(col("doc_id"),
+      explode(graft.functions.Ngrams.ngramHashes(col("tk"), 4)).as("g"))
+    val evalG = grams.filter(col("doc_id") % TextOps.EvalMod === 0)
+      .select(col("g")).distinct()
+    val contam = grams.filter(col("doc_id") % TextOps.EvalMod =!= 0).distinct()
+      .join(evalG, "g").select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(true))
+
+    // ---- flags (c03's audit discipline, one row per input doc) ------
+    val flags = base.select(col("doc_id"), col("lang"), col("source"))
+      .join(s1, "doc_id")
+      .join(quality, "doc_id")
+      .join(keeperFlag, Seq("doc_id"), "left")
+      .join(lm, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("is_eval", col("doc_id") % TextOps.EvalMod === 0)
+      .withColumn("neardup_kept",
+        col("exact_canonical") && coalesce(col("is_keeper"), lit(true)))
+      .withColumn("quality_ok",
+        col("n_tokens").between(LenMin, LenMax) && col("quality_score") >= qualityMin)
+      .withColumn("lm_ok", col("nll").isNotNull && col("nll") <= nllMax)
+      .withColumn("decontam_ok",
+        !col("is_eval") && !coalesce(col("contaminated"), lit(false)))
+      .withColumn("keep",
+        col("exact_canonical") && col("neardup_kept") && col("quality_ok") &&
+          col("lm_ok") && col("decontam_ok"))
+
+    // ---- stage 6: c13 domain-mix weights over the KEPT corpus -------
+    val kept = flags.filter(col("keep"))
+    val bySource = kept.groupBy(col("source")).agg(count(lit(1)).as("sn"))
+      .withColumn("t_raw", TextOps.nameWeight(col("source")).cast("double"))
+    val totals = bySource.agg(
+      sum(col("sn")).as("total_docs"), sum(col("t_raw")).as("t_tot"))
+    val weights = bySource.crossJoin(broadcast(totals))
+      .select(col("source"), round((col("t_raw") / col("t_tot"))
+        / (col("sn").cast("double") / col("total_docs")), 6).as("mix_weight"))
+
+    // ---- stage 7: c05 packing over the KEPT corpus ------------------
+    val ktoks = kept.select(col("doc_id"), col("lang"), col("n_tokens").as("n_tok"),
+      floor(col("doc_id") / PackShardSpan).as("shard"))
+    val wLocal = Window.partitionBy(col("lang"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ktoks.withColumn("local_end", sum(col("n_tok")).over(wLocal))
+    val wShard = Window.partitionBy(col("lang")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = ktoks.groupBy(col("lang"), col("shard"))
+      .agg(sum(col("n_tok")).as("shard_tok"))
+      .withColumn("base", coalesce(sum(col("shard_tok")).over(wShard), lit(0L)))
+      .select("lang", "shard", "base")
+    val packed = local.join(bases, Seq("lang", "shard"))
+      .withColumn("end_off", col("base") + col("local_end"))
+      .withColumn("start_off", col("end_off") - col("n_tok"))
+      .withColumn("chunk_first", floor(col("start_off") / PackCap))
+      .withColumn("chunk_last", floor((col("end_off") - 1) / PackCap))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
+      .select("doc_id", "start_off", "chunk_first", "chunk_last", "n_chunks")
+
+    flags
+      .join(weights, Seq("source"), "left")
+      .join(packed, Seq("doc_id"), "left")
+      .withColumn("mix_weight", when(col("keep"), col("mix_weight")))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
+        col("exact_canonical"), col("neardup_kept"), col("quality_ok"), col("lm_ok"),
+        col("decontam_ok"), col("is_eval"), col("keep"),
+        col("quality_score"), col("nll"), col("mix_weight"),
+        col("start_off"), col("chunk_first"), col("chunk_last"), col("n_chunks"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-stage audit counts of a p01 result — the one-row summary a
+    * production run logs (how many docs each stage dropped). */
+  private[graft] def p01Audit(result: DataFrame): DataFrame =
+    result.agg(
+      count(lit(1)).as("n_docs"),
+      count(when(!col("exact_canonical"), 1)).as("dropped_exact"),
+      count(when(col("exact_canonical") && !col("neardup_kept"), 1)).as("dropped_neardup"),
+      count(when(!col("quality_ok"), 1)).as("failed_quality"),
+      count(when(!col("lm_ok"), 1)).as("failed_lm"),
+      count(when(!col("decontam_ok") && !col("is_eval"), 1)).as("contaminated"),
+      count(when(col("is_eval"), 1)).as("eval_docs"),
+      count(when(col("keep"), 1)).as("kept"))
+
+  import graft.operators.TextOps.{NormSql, stopCountSql, T13Lambda}
+
+  val p01Sql: String = {
+    val allStop = TextOps.Stopwords.flatMap(_._2).distinct
+    s"""WITH RECURSIVE norm AS (
+       |  SELECT doc_id, lang, source, $NormSql AS norm FROM documents
+       |), toks AS (
+       |  SELECT doc_id, lang, source, norm, string_split(norm, ' ') AS tk FROM norm
+       |), hashed AS (
+       |  SELECT doc_id, md5(norm) AS ch FROM norm
+       |), canon AS (
+       |  SELECT ch, min(doc_id) AS exact_canon FROM hashed GROUP BY ch
+       |), s1 AS (
+       |  SELECT doc_id, doc_id = exact_canon AS exact_canonical
+       |  FROM hashed JOIN canon USING (ch)
+       |), qual AS (
+       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    round(0.4 * round(CAST(${stopCountSql(allStop)} AS DOUBLE) / len(tk), 6)
+       |      + 0.3 * (1.0 - round(CAST(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |          / length(norm), 6))
+       |      + 0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 100.0), 6) AS quality_score
+       |  FROM toks
+       |), surv AS (
+       |  SELECT t.* FROM toks t JOIN s1 USING (doc_id) WHERE exact_canonical
+       |), shing AS (
+       |  SELECT DISTINCT doc_id, lang, md5(tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS sh
+       |  FROM surv, unnest(range(1, len(tk) - 1)) AS u(i)
+       |), shc AS (
+       |  SELECT doc_id, count(*) AS n FROM shing GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM shing a JOIN shing b
+       |    ON a.lang = b.lang AND a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT doc_a, doc_b FROM inter
+       |  JOIN shc ca ON ca.doc_id = doc_a JOIN shc cb ON cb.doc_id = doc_b
+       |  WHERE round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) >= $JaccardMin
+       |), sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src AS node, src AS label FROM sym
+       |  UNION SELECT s.src AS node, r.label FROM sym s JOIN reach r ON s.dst = r.node
+       |), comp AS (
+       |  SELECT node, min(label) AS component FROM reach GROUP BY node
+       |), comp_q AS (
+       |  SELECT c.component, c.node, q.quality_score
+       |  FROM comp c JOIN qual q ON q.doc_id = c.node
+       |), kbest AS (
+       |  SELECT component, max(quality_score) AS mq FROM comp_q GROUP BY component
+       |), keepers AS (
+       |  SELECT b.component, min(x.node) AS kept_doc
+       |  FROM kbest b JOIN comp_q x
+       |    ON x.component = b.component AND x.quality_score = b.mq
+       |  GROUP BY b.component
+       |), kflag AS (
+       |  SELECT c.node AS doc_id, c.node = k.kept_doc AS is_keeper
+       |  FROM comp c JOIN keepers k USING (component)
+       |), uni AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS cf
+       |  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok
+       |), lmtot AS (
+       |  SELECT CAST(sum(cf) AS BIGINT) AS n_corpus,
+       |    CAST(count(*) AS BIGINT) AS v FROM uni
+       |), db AS (
+       |  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
+       |    FROM toks, unnest(range(1, len(tk))) AS u(i))
+       |  GROUP BY doc_id, bg
+       |), model AS (
+       |  SELECT bg,
+       |    CAST(round(ln(
+       |      ${T13Lambda} * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) +
+       |      ${1.0 - T13Lambda} * ((CAST(c2 AS DOUBLE) + 1.0) /
+       |        (CAST(n_corpus AS DOUBLE) + CAST(v AS DOUBLE)))
+       |    ) * 10000000.0) AS BIGINT) AS q_log
+       |  FROM (
+       |    SELECT bg, CAST(sum(c) AS BIGINT) AS c12,
+       |      string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+       |    FROM db GROUP BY bg
+       |  ) b
+       |  JOIN (SELECT tok AS w1, cf AS c1 FROM uni) u1 USING (w1)
+       |  JOIN (SELECT tok AS w2, cf AS c2 FROM uni) u2 USING (w2), lmtot
+       |), lmagg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |    -CAST(sum(c * q_log) AS BIGINT) AS num
+       |  FROM db JOIN model USING (bg) GROUP BY doc_id
+       |), lmnll AS (
+       |  SELECT doc_id, ${qMicroSql("num", "n_bigrams")} AS nll FROM lmagg
+       |), grams AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g
+       |  FROM toks
+       |), eval_g AS (
+       |  SELECT DISTINCT g FROM grams WHERE doc_id % ${TextOps.EvalMod} = 0
+       |), contam AS (
+       |  SELECT DISTINCT doc_id FROM (SELECT DISTINCT doc_id, g FROM grams
+       |    WHERE doc_id % ${TextOps.EvalMod} <> 0) t JOIN eval_g USING (g)
+       |), flags AS (
+       |  SELECT n.doc_id, n.lang, n.source, q.n_tokens,
+       |    s1.exact_canonical,
+       |    s1.exact_canonical AND coalesce(kf.is_keeper, TRUE) AS neardup_kept,
+       |    (q.n_tokens BETWEEN $LenMin AND $LenMax)
+       |      AND q.quality_score >= $QualityMin AS quality_ok,
+       |    lm.nll IS NOT NULL AND lm.nll <= $NllMax AS lm_ok,
+       |    (n.doc_id % ${TextOps.EvalMod} <> 0) AND ct.doc_id IS NULL AS decontam_ok,
+       |    n.doc_id % ${TextOps.EvalMod} = 0 AS is_eval,
+       |    q.quality_score, lm.nll
+       |  FROM norm n JOIN s1 USING (doc_id) JOIN qual q USING (doc_id)
+       |  LEFT JOIN kflag kf ON kf.doc_id = n.doc_id
+       |  LEFT JOIN lmnll lm ON lm.doc_id = n.doc_id
+       |  LEFT JOIN contam ct ON ct.doc_id = n.doc_id
+       |), flags2 AS (
+       |  SELECT *, exact_canonical AND neardup_kept AND quality_ok
+       |    AND lm_ok AND decontam_ok AS keep
+       |  FROM flags
+       |), kept AS (
+       |  SELECT * FROM flags2 WHERE keep
+       |), by_source AS (
+       |  SELECT source, count(*) AS sn,
+       |    CAST((length(source) * 3 + ascii(left(source, 1))) % 7 + 1 AS DOUBLE) AS t_raw
+       |  FROM kept GROUP BY source
+       |), mtot AS (
+       |  SELECT CAST(sum(sn) AS BIGINT) AS total_docs, sum(t_raw) AS t_tot FROM by_source
+       |), weights AS (
+       |  SELECT source, round((t_raw / t_tot)
+       |    / (CAST(sn AS DOUBLE) / total_docs), 6) AS mix_weight
+       |  FROM by_source, mtot
+       |), pk AS (
+       |  SELECT doc_id, n_tokens AS n_tok,
+       |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+       |  FROM kept
+       |), packed AS (
+       |  SELECT doc_id, end_off - n_tok AS start_off,
+       |    (end_off - n_tok) // $PackCap AS chunk_first,
+       |    (end_off - 1) // $PackCap AS chunk_last,
+       |    (end_off - 1) // $PackCap - (end_off - n_tok) // $PackCap + 1 AS n_chunks
+       |  FROM pk
+       |)
+       |SELECT f.doc_id, f.lang, f.source, f.n_tokens,
+       |  f.exact_canonical, f.neardup_kept, f.quality_ok, f.lm_ok,
+       |  f.decontam_ok, f.is_eval, f.keep,
+       |  f.quality_score, f.nll,
+       |  CASE WHEN f.keep THEN w.mix_weight END AS mix_weight,
+       |  p.start_off, p.chunk_first, p.chunk_last, p.n_chunks
+       |FROM flags2 f
+       |LEFT JOIN weights w ON w.source = f.source
+       |LEFT JOIN packed p ON p.doc_id = f.doc_id
+       |ORDER BY f.doc_id""".stripMargin
+  }
+}

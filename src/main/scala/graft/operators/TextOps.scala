@@ -17,7 +17,7 @@ object TextOps {
     * keys on. */
   def normText(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
 
-  private val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+  private[operators] val NormSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 
   def tokensOf(c: Column): Column = split(normText(c), " ")
 
@@ -28,7 +28,7 @@ object TextOps {
     t.spread(t.documents)
   }
 
-  private val TokensSql = s"string_split($NormSql, ' ')"
+  private[operators] val TokensSql = s"string_split($NormSql, ' ')"
 
   // ---------------------------------------------------------------- d01
   /** Exact dedup: md5 over normalized text; canonical doc = min doc_id.
@@ -47,17 +47,17 @@ object TextOps {
 
   // ---------------------------------------------------------------- t01
   /** Stopword lists for the n-gram/stopword language-ID heuristic. */
-  private val Stopwords: Seq[(String, Seq[String])] = Seq(
+  private[operators] val Stopwords: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "a", "is", "that", "for", "it"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por"),
     "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "im", "ein"),
     "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "est", "dans", "pour")
   )
 
-  private def stopCount(tokens: Column, words: Seq[String]): Column =
+  private[operators] def stopCount(tokens: Column, words: Seq[String]): Column =
     size(filter(tokens, t => array_contains(array(words.map(lit): _*), t))).cast("long")
 
-  private def stopCountSql(words: Seq[String]): String =
+  private[operators] def stopCountSql(words: Seq[String]): String =
     s"len(list_filter(tk, t -> list_contains([${words.map(w => s"'$w'").mkString(",")}], t)))"
 
   /** t01: language ID by stopword overlap ratio, deterministic tie order
@@ -508,7 +508,7 @@ object TextOps {
 
   // ---------------------------------------------------------------- c06
   /** Deterministic pseudo-benchmark: every 97th doc id is "eval". */
-  private val EvalMod = 97
+  private[operators] val EvalMod = 97
 
   /** c06: benchmark decontamination — flag training documents sharing any
     * word-4-gram with the eval set. Grams are native
@@ -606,7 +606,7 @@ object TextOps {
     * name (values 1..7), standing in for a learned DoReMi vector — the
     * point is that c07's uniform target is one instantiation of the
     * mixture algebra, not a special case. */
-  private def nameWeight(source: Column): Column =
+  private[operators] def nameWeight(source: Column): Column =
     (length(source) * 3 + ascii(substring(source, 1, 1))) % 7 + 1
 
   /** Domain-mixture reweighting against an ARBITRARY target mixture:
@@ -780,14 +780,14 @@ object TextOps {
     * entirely in integer space (num ≥ 0) — the LM-scoring finish shared
     * by t08 and t13, ONE definition per engine so the parity-critical
     * rounding discipline cannot drift between ops. */
-  private def qMicro(num: String, n: String): Column =
+  private[operators] def qMicro(num: String, n: String): Column =
     expr(s"($num + 5 * $n) div (10 * $n)")
-  private def qMicroSql(num: String, n: String): String =
+  private[operators] def qMicroSql(num: String, n: String): String =
     s"CAST(($num + 5 * $n) // (10 * $n) AS DOUBLE) / 1000000.0"
 
   /** Jelinek-Mercer interpolation weight on the bigram term; the
     * remaining mass backs off to the Laplace-smoothed unigram. */
-  private val T13Lambda = 0.9
+  private[operators] val T13Lambda = 0.9
 
   /** t13: INTERPOLATED BIGRAM language-model scoring — t08's unigram
     * perplexity filter upgraded to the model class CCNet-style gates

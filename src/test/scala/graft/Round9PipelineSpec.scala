@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CuratePipeline
+
+/** p01 end-to-end curation pipeline specs: per-stage flag semantics on an
+  * engineered corpus (every drop reason represented), the fail-closed LM
+  * gate, the no-rescan composition discipline (the composed plan contains
+  * ZERO parquet scans — the corpus is materialized once), and audit/flag
+  * consistency on the driver corpus. */
+class Round9PipelineSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** One doc per drop reason (lang all "en" so stage-2 blocking is live):
+    *  0 eval split member (0 % 97 = 0)
+    *  1 exact-dup canonical of {1,2}; clean keeper
+    *  2 exact dup of 1 → dropped at stage 1
+    *  3 near-dup of 4, LOWER t02 quality → dropped at stage 2
+    *  4 near-dup keeper (higher quality than 3)
+    *  5 shares a 4-gram with eval doc 0 → contaminated
+    *  6 punctuation soup → fails the quality gate
+    *  7 single token → fails length gate AND the LM gate fails closed
+    *  8 clean keeper, second doc of source alpha */
+  private def corpus() = Seq(
+    (0L, "en", "alpha", "zebra quantum flux portal nexus omega silver token"),
+    (1L, "en", "alpha", "the cat and the dog of the house is warm"),
+    (2L, "en", "alpha", "the cat and the dog of the house is warm"),
+    (3L, "en", "beta",  "red green blue yellow purple orange pink brown gray black white cyan"),
+    (4L, "en", "beta",  "red green blue yellow purple orange pink brown gray black white cyan the and"),
+    (5L, "en", "beta",  "my friend said zebra quantum flux portal yesterday evening okay"),
+    (6L, "en", "beta",  "!! ?? ;; :: ## @@ %% ^^ && **"),
+    (7L, "en", "alpha", "hello"),
+    (8L, "en", "alpha", "a bird in that hand is for worth two bush")
+  ).toDF("doc_id", "lang", "source", "text")
+
+  private def run(nllMax: Double = 100.0) =
+    CuratePipeline.p01Over(spark, corpus(), nllMax = nllMax)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+
+  test("p01: every stage's drop reason lands on the engineered doc") {
+    val rows = run()
+    def flag(id: Long, name: String): Boolean = {
+      val r = rows(id)
+      r.getBoolean(r.fieldIndex(name))
+    }
+    // stage 1: exact dedup — min id canonical
+    assert(flag(1, "exact_canonical") && !flag(2, "exact_canonical"))
+    assert(!flag(2, "keep"))
+    // stage 2: near-dup cluster {3,4} keeps the higher-quality 4
+    assert(!flag(3, "neardup_kept") && flag(4, "neardup_kept"))
+    assert(!flag(3, "keep") && flag(4, "keep"))
+    // singletons pass stage 2 by default
+    assert(flag(1, "neardup_kept") && flag(8, "neardup_kept"))
+    // stage 3: quality gate — punctuation soup fails, keepers pass
+    assert(!flag(6, "quality_ok") && flag(1, "quality_ok") && flag(4, "quality_ok"))
+    // stage 3+4: single-token doc fails the length band AND the LM gate
+    // fails CLOSED (no bigrams → null nll → not ok)
+    assert(!flag(7, "quality_ok") && !flag(7, "lm_ok"))
+    assert(rows(7).isNullAt(rows(7).fieldIndex("nll")))
+    // stage 5: eval member never ships; the 4-gram sharer is contaminated
+    assert(flag(0, "is_eval") && !flag(0, "decontam_ok") && !flag(0, "keep"))
+    assert(!flag(5, "decontam_ok") && !flag(5, "keep"))
+    assert(flag(1, "decontam_ok") && flag(8, "decontam_ok"))
+    // final kept set is exactly the two clean keepers + the near-dup winner
+    assert(rows.filter(_._2.getBoolean(rows(1L).fieldIndex("keep"))).keySet == Set(1L, 4L, 8L))
+  }
+
+  test("p01: mix weights and pack offsets cover exactly the kept corpus") {
+    val rows = run()
+    def d(id: Long, name: String): Double = {
+      val r = rows(id); r.getDouble(r.fieldIndex(name))
+    }
+    def l(id: Long, name: String): Long = {
+      val r = rows(id); r.getLong(r.fieldIndex(name))
+    }
+    // kept: 1,8 (alpha), 4 (beta); nameWeight(alpha)=1, nameWeight(beta)=6
+    // alpha: (1/7)/(2/3), beta: (6/7)/(1/3) — round-6
+    assert(d(1, "mix_weight") == 0.214286 && d(8, "mix_weight") == 0.214286)
+    assert(d(4, "mix_weight") == 2.571429)
+    // pack: en kept docs by id: 1 (10 tok), 4 (14 tok), 8 (10 tok)
+    assert(l(1, "start_off") == 0 && l(4, "start_off") == 10 && l(8, "start_off") == 24)
+    assert(l(1, "chunk_first") == 0 && l(8, "n_chunks") == 1)
+    // dropped docs carry no pack/mix columns (null), kept docs all do
+    for ((id, r) <- rows) {
+      val kept = r.getBoolean(r.fieldIndex("keep"))
+      assert(r.isNullAt(r.fieldIndex("start_off")) == !kept, s"doc $id")
+      assert(r.isNullAt(r.fieldIndex("mix_weight")) == !kept, s"doc $id")
+    }
+  }
+
+  test("p01: LM gate threshold is live — an impossible ceiling keeps nothing") {
+    val rows = run(nllMax = -1.0)
+    assert(rows.values.forall(r => !r.getBoolean(r.fieldIndex("keep"))))
+    assert(rows.values.forall(r => r.isNullAt(r.fieldIndex("start_off"))))
+  }
+
+  test("p01: composed plan re-scans NO parquet — the corpus is read once") {
+    val df = CuratePipeline.p01Curate(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // every stage must derive from the one localCheckpoint materialization;
+    // a FileScan in the composed plan means a stage re-reads the corpus
+    assert(!plan.contains("FileScan"), "composed p01 plan re-scans parquet:\n" +
+      plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+  }
+
+  test("p01: flag algebra and audit counts are consistent on the driver corpus") {
+    val res = CuratePipeline.p01Curate(spark, sfDir)
+    val rows = res.collect()
+    assert(rows.length == 500)
+    for (r <- rows) {
+      def b(n: String) = r.getBoolean(r.fieldIndex(n))
+      assert(b("keep") == (b("exact_canonical") && b("neardup_kept") &&
+        b("quality_ok") && b("lm_ok") && b("decontam_ok")))
+      assert(r.isNullAt(r.fieldIndex("start_off")) == !b("keep"))
+    }
+    val audit = CuratePipeline.p01Audit(res).collect()(0)
+    assert(audit.getLong(audit.fieldIndex("n_docs")) == 500)
+    assert(audit.getLong(audit.fieldIndex("kept")) ==
+      rows.count(r => r.getBoolean(r.fieldIndex("keep"))))
+    // the pipeline must actually gate on this corpus, not pass everything
+    assert(audit.getLong(audit.fieldIndex("kept")) < 500)
+    assert(audit.getLong(audit.fieldIndex("kept")) > 0)
+  }
+}
