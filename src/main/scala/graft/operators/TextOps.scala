@@ -1326,4 +1326,93 @@ object TextOps {
        |    / 1000000.0 AS avg_log_ratio
        |FROM agg ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- c14
+  /** Pseudo-line width (tokens) for [[c14DedupLines]]' driver query: the
+    * synthetic corpus has no newlines, so aligned [[LineTokens]]-token
+    * chunks of the normalized text stand in for physical lines (a real
+    * crawl passes `split(text, "\n")` — the splitter is a parameter). */
+  private val LineTokens = 10
+  /** Drop lines shared by at least this many distinct documents. */
+  private[graft] val LineMinDocs = 2
+
+  /** Aligned n-token pseudo-lines of a token array (the newline-free
+    * corpus' line surrogate): ceil(len/n) chunks, last one short. */
+  private[graft] def chunkLines(tk: Column, n: Int): Column =
+    transform(
+      sequence(lit(0), ((size(tk) + lit(n - 1)) / lit(n)).cast("int") - 1),
+      i => array_join(slice(tk, i * n + 1, lit(n)), " "))
+
+  /** Line-level dedup over any (doc_id, lines ARRAY<STRING>) relation —
+    * the CCNet preprocessing step (Wenzek et al. '20 dedupe CommonCrawl
+    * per normalized LINE before any document-level pass; boilerplate —
+    * nav bars, cookie banners, footers — repeats across pages while the
+    * articles differ, so document-level dedup never sees it): hash every
+    * line, census line hashes corpus-wide, drop each line occurring in
+    * ≥ `minDocs` DISTINCT documents (within-doc repeats alone survive),
+    * reassemble each document from its kept lines in position order.
+    *
+    * Scale shape (c12's span machinery one granularity up): the census
+    * and the drop decision shuffle (16-byte hash, doc_id, pos) rows only;
+    * line TEXT crosses the wire exactly once, into the bounded per-doc
+    * ordered reassembly (array_sort over (pos, line) structs — no window,
+    * no cross-document state). The census aggregate map-side combines;
+    * a boilerplate line appearing in 10⁹ docs is one census row, and the
+    * anti-join against the (rare by construction) dup-hash set is
+    * broadcastable. */
+  private[graft] def dedupLines(withLines: DataFrame, minDocs: Int,
+      sep: String): DataFrame = {
+    val pos = withLines
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    val dup = pos.groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs).select("lh")
+    val kept = pos.join(dup, Seq("lh"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("kept_lines"),
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          e => e.getField("line")), sep).as("cleaned_text"))
+    withLines.select(col("doc_id"), size(col("lines")).cast("long").as("n_lines"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("kept_lines"), lit(0L)).as("kept_lines"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
+
+  /** c14: corpus-wide line-level dedup — lines duplicated across
+    * ≥ [[LineMinDocs]] documents removed, documents reassembled. Driver
+    * lines are aligned [[LineTokens]]-token chunks ([[chunkLines]]);
+    * hashes are md5, so the entry is ORACLED (engine-identical). */
+  def c14DedupLines(spark: SparkSession, dir: String): DataFrame =
+    dedupLines(
+      docs(spark, dir).select(col("doc_id"),
+        chunkLines(tokensOf(col("text")), LineTokens).as("lines")),
+      LineMinDocs, " ")
+      .orderBy("doc_id")
+
+  val c14Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $TokensSql AS tk FROM documents
+       |), lines_ AS (
+       |  SELECT doc_id, s.pos AS pos, s.line AS line FROM (
+       |    SELECT doc_id, unnest(list_transform(range(0, (len(tk) + ${LineTokens - 1}) // $LineTokens),
+       |      i -> struct_pack(pos := i,
+       |        line := array_to_string(tk[(i*$LineTokens+1):(i*$LineTokens+$LineTokens)], ' ')))) AS s
+       |    FROM toks)
+       |), dup AS (
+       |  SELECT md5(line) AS lh FROM lines_
+       |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= $LineMinDocs
+       |), kept AS (
+       |  SELECT l.doc_id, CAST(count(*) AS BIGINT) AS kept_lines,
+       |    string_agg(l.line, ' ' ORDER BY l.pos) AS cleaned_text
+       |  FROM lines_ l LEFT JOIN dup d ON md5(l.line) = d.lh
+       |  WHERE d.lh IS NULL GROUP BY l.doc_id
+       |)
+       |SELECT t.doc_id,
+       |  CAST((len(tk) + ${LineTokens - 1}) // $LineTokens AS BIGINT) AS n_lines,
+       |  CAST(coalesce(k.kept_lines, 0) AS BIGINT) AS kept_lines,
+       |  coalesce(k.cleaned_text, '') AS cleaned_text
+       |FROM toks t LEFT JOIN kept k USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
 }

