@@ -245,29 +245,111 @@ object MultimodalOps {
   }
 
   // ---------------------------------------------------------------- m03
-  /** m03: media dedup + storage-reclaim report — the keep-one-copy
-    * decision a multimodal corpus runs over its binary columns: payloads
-    * with the same perceptual fingerprint collapse to the min-doc_id
-    * canonical copy, and the per-format report says how many media rows
-    * are duplicates and how many bytes deleting them reclaims.
-    *
-    * The fingerprint here is the stub decoder's (format, width, height,
-    * n_frames) tuple — the deterministic stand-in for a pHash/chromaprint
-    * (no codecs in this container; m01's stub discipline). The shape is
-    * the 100 TB one regardless of fingerprint: payloads never shuffle —
-    * only the fingerprint tuple and byte length do — and both aggregation
-    * levels are map-side combined. */
-  def m03MediaDedup(spark: SparkSession, dir: String): DataFrame = {
-    val meta = stubDecodeCols(Tables(spark, dir).documents
-      .select(col("doc_id"), octet_length(col("text")).cast("long").as("byte_len")))
-    meta.groupBy(col("format"), col("width"), col("height"), col("n_frames"))
+  /** 8×8 mean-luminance average hash (aHash) over a decoded raster — the
+    * perceptual identity that survives re-encoding: the same pixels
+    * containerized as PNG vs BMP (or JPEG at two quality levels, for any
+    * raster whose 8×8 block means sit away from the global mean) hash
+    * identically, which is exactly the collision media dedup exists to
+    * catch. Deterministic integer arithmetic throughout: pixels bucket
+    * into an 8×8 grid by area (y·8/h, x·8/w), each cell sums the exact
+    * 1000× ITU-R 601 luminance, and bit c is set when cell c's integer
+    * mean ≥ the global integer mean (empty cells of a <8-px dimension
+    * stay 0). */
+  private[graft] def aHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sum = Array.fill(64)(0L); val cnt = Array.fill(64)(0L)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val cx = (x.toLong * 8 / w).toInt
+        val rgb = img.getRGB(x, y)
+        val lum = 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+        val c = cy * 8 + cx
+        sum(c) += lum; cnt(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var total = 0L; var n = 0L
+    var i = 0
+    while (i < 64) { total += sum(i); n += cnt(i); i += 1 }
+    val globalMean = total / n
+    var bits = 0L
+    i = 0
+    while (i < 64) {
+      if (cnt(i) > 0 && sum(i) / cnt(i) >= globalMean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** One fingerprint row per payload: `real` = the payload decoded and
+    * `fp` is its [[aHash]]; otherwise `fp` packs the stub decode tuple
+    * (bijective, so stub grouping is unchanged). Identity is (real, fp) —
+    * the container format deliberately is NOT part of it. */
+  final case class MediaFingerprint(doc_id: Long, byte_len: Long,
+      format: String, real: Boolean, fp: Long)
+
+  private def stubFp(d: DecodedMedia): Long = {
+    val fmtCode = d.format match { case "jpeg" => 0L; case "png" => 1L; case _ => 2L }
+    ((fmtCode * 640 + d.width) * 480 + d.height) * 30 + d.n_frames
+  }
+
+  /** Partition-parallel perceptual fingerprinting (the [[decodeAll]]
+    * batch shape): REAL aHash for JRE-decodable images, the stub pack
+    * otherwise. */
+  def fingerprintAll(media: Dataset[MediaRecord]): Dataset[MediaFingerprint] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        sniffImage(r.payload)
+          .flatMap(fmt => readImage(r.payload).map(img =>
+            MediaFingerprint(r.doc_id, r.payload.length.toLong, fmt,
+              real = true, aHash(img))))
+          .getOrElse {
+            val d = FakeDecoder.decode(r)
+            MediaFingerprint(r.doc_id, d.byte_len, d.format, real = false, stubFp(d))
+          }
+      }
+    }
+  }
+
+  /** The m03 report over any media relation: payloads with the same
+    * perceptual fingerprint collapse to the min-doc_id canonical copy;
+    * per-format (the CANONICAL copy's format — a BMP re-encode of a PNG
+    * is a duplicate of the PNG, not its own identity) duplicate counts
+    * and reclaimable bytes. Payloads never shuffle — only (fp, byte_len)
+    * rows — and both aggregation levels map-side combine. */
+  def mediaDedupOver(media: Dataset[MediaRecord]): DataFrame =
+    fingerprintAll(media).toDF()
+      .groupBy(col("real"), col("fp"))
       .agg(count(lit(1)).as("n"), sum(col("byte_len")).as("bytes"),
-        min_by(col("byte_len"), col("doc_id")).as("canon_len"))
+        min_by(col("byte_len"), col("doc_id")).as("canon_len"),
+        min_by(col("format"), col("doc_id")).as("format"))
       .groupBy(col("format"))
       .agg(count(lit(1)).as("n_fingerprints"), sum(col("n")).as("n_media"),
         (sum(col("n")) - count(lit(1))).as("n_dup_media"),
         sum(col("bytes") - col("canon_len")).as("reclaimable_bytes"))
       .orderBy("format")
+
+  /** m03: media dedup + storage-reclaim report — the keep-one-copy
+    * decision a multimodal corpus runs over its binary columns, through
+    * [[mediaDedupOver]]'s typed fingerprint pipeline. As of r9 the
+    * fingerprint is a REAL 8×8 luminance [[aHash]] whenever the payload
+    * decodes (Round9MultimodalSpec: the same raster re-encoded PNG vs BMP
+    * collapses to one canonical copy through this exact entry); the
+    * text-synthesized driver payloads carry no image magic, so they take
+    * the stub pack — bijective with the old (format, width, height,
+    * n_frames) tuple — and the oracle mirrors that arithmetic. */
+  def m03MediaDedup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    mediaDedupOver(media)
   }
 
   val m03Sql: String =

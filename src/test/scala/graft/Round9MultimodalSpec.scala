@@ -1,0 +1,101 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.operators.MultimodalOps
+import graft.operators.MultimodalOps.MediaRecord
+
+/** Round-9 m03 upgrade (r8 VERDICT note 1): the perceptual fingerprint is
+  * a REAL 8×8 luminance aHash whenever the payload decodes, so two
+  * re-encodings of the SAME image — different container, different bytes,
+  * different sha — collapse to one canonical copy through the exact
+  * driver pipeline. The container format is deliberately not part of the
+  * dedup identity; the report attributes each group to its canonical
+  * copy's format. */
+class Round9MultimodalSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def imageBytes(fmt: String, w: Int, h: Int,
+      rgb: Array[Int]): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(y * w + x))
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, out), s"no JRE writer for $fmt")
+    out.toByteArray
+  }
+
+  private def jpegBytes(w: Int, h: Int, rgb: Array[Int],
+      quality: Float): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(y * w + x))
+    val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val out = new ByteArrayOutputStream()
+    writer.setOutput(ImageIO.createImageOutputStream(out))
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.dispose()
+    out.toByteArray
+  }
+
+  /** 16×16, left half black / right half white — block means sit far from
+    * the global mean, so the aHash is codec-artifact-proof. */
+  private val halves: Array[Int] =
+    Array.tabulate(256)(i => if (i % 16 < 8) 0x000000 else 0xffffff)
+  private val invHalves: Array[Int] =
+    Array.tabulate(256)(i => if (i % 16 < 8) 0xffffff else 0x000000)
+
+  test("m03: the same raster re-encoded PNG vs BMP is ONE canonical copy") {
+    val png = imageBytes("png", 16, 16, halves)
+    val bmp = imageBytes("bmp", 16, 16, halves)
+    val other = imageBytes("png", 16, 16, invHalves)
+    val text = "a plain text payload for the stub path".getBytes("UTF-8")
+    assert(!java.util.Arrays.equals(png, bmp)) // different bytes, same image
+    val media = Seq(
+      MediaRecord(1L, png), MediaRecord(2L, bmp),
+      MediaRecord(3L, other), MediaRecord(4L, text)).toDS()
+
+    val fps = MultimodalOps.fingerprintAll(media).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(fps(1L).real && fps(2L).real && fps(3L).real && !fps(4L).real)
+    assert(fps(1L).fp == fps(2L).fp, "re-encoded raster must share the aHash")
+    assert(fps(1L).fp != fps(3L).fp, "a different raster must not collide")
+    assert(fps(1L).format == "png" && fps(2L).format == "bmp")
+
+    // through the EXACT driver pipeline: the pair collapses under the
+    // canonical copy's format (doc 1, png); the bmp re-encode is the
+    // duplicate and its full byte length is the reclaim
+    val report = MultimodalOps.mediaDedupOver(media).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val pngRow = report("png")
+    assert(pngRow.getLong(1) == 2L) // fingerprints: halves + invHalves
+    assert(pngRow.getLong(2) == 3L) // media rows: png, bmp, other
+    assert(pngRow.getLong(3) == 1L) // exactly the bmp re-encode is a dup
+    assert(pngRow.getLong(4) == bmp.length.toLong)
+    assert(!report.contains("bmp"), "the bmp copy must not be its own identity")
+  }
+
+  test("m03: JPEG at two quality levels hashes identically (aHash robustness)") {
+    val hi = jpegBytes(16, 16, halves, 0.9f)
+    val lo = jpegBytes(16, 16, halves, 0.5f)
+    assert(!java.util.Arrays.equals(hi, lo))
+    val fps = MultimodalOps.fingerprintAll(
+      Seq(MediaRecord(1L, hi), MediaRecord(2L, lo)).toDS()).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(fps(1L).real && fps(2L).real)
+    assert(fps(1L).fp == fps(2L).fp,
+      "quality-recompressed JPEG must keep the perceptual identity")
+  }
+
+  test("m03 driver entry: stub path unchanged on the text-payload corpus") {
+    val rows = MultimodalOps.m03MediaDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("jpeg", "png", "wav")))
+    // stub fingerprints biject with the old decode tuple: totals add up
+    assert(rows.map(_.getLong(2)).sum == 500L)
+  }
+}
