@@ -62,4 +62,22 @@ final class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Cheap content fingerprint of a DataFrame's input files (paths +
+    * sizes + mtimes): folded into session train-once cache keys (BPE
+    * merges, classifier models) so a corpus REGENERATED in place mid-
+    * session — a known driver behavior — retrains instead of silently
+    * serving artifacts of the previous generation. Non-local schemes
+    * fall back to path names (still distinguishes different corpora;
+    * in-place remote rewrites would need a real listing API). */
+  def corpusFingerprint(df: DataFrame): String = {
+    val sig = df.inputFiles.sorted.map { f =>
+      scala.util.Try {
+        val p = new java.io.File(new java.net.URI(f))
+        s"$f:${p.length}:${p.lastModified}"
+      }.getOrElse(f)
+    }.mkString("|")
+    java.lang.Long.toHexString(
+      sig.foldLeft(1125899906842597L)((h, c) => 31 * h + c))
+  }
 }

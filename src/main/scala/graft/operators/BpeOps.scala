@@ -50,7 +50,10 @@ object BpeOps {
   /** Session cache of trained tokenizers keyed by (corpus, k, minCount) —
     * Codebooks' train-once lifecycle: a tokenizer is a per-corpus
     * artifact, so t10 and t11 (and repeated invocations) share one
-    * training run; the dict is localCheckpoint'ed, valid for the session. */
+    * training run; the dict is localCheckpoint'ed, valid for the session.
+    * The corpus key carries [[graft.Tables.corpusFingerprint]] (file
+    * sizes/mtimes), so testdata regenerated in place mid-session retrains
+    * instead of serving the previous generation's tokenizer. */
   private val trainedCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Long), (Seq[BpeMerge], DataFrame)]
 
@@ -94,14 +97,44 @@ object BpeOps {
     regexp_replace(syms, lit(pat), lit(Matcher.quoteReplacement(l + r)))
   }
 
+  /** Training-dict ceiling: every merge round re-aggregates the whole
+    * dict, so a production vocabulary (32k-100k merges) over an unbounded
+    * dict is ~2k sequential Spark jobs PER 1k MERGES — stage-launch-
+    * dominated hours. Standard practice (and this engine's contract,
+    * enforced below) is to train on a deterministic SAMPLE whose dict
+    * fits the ceiling: BPE merge statistics are corpus-frequency ratios,
+    * stable under c04-style content-hash sampling (the same reasoning as
+    * t12's 1e8 training-row `require` and the Codebooks sample). Encode
+    * is unaffected — [[applyMerges]] segments any corpus' own dict. */
+  private[graft] val MaxDictRows = 10000000L
+
+  /** c04's deterministic content-hash sample as the TRAINING reducer:
+    * keep documents whose polynomial fingerprint lands in `pct` of 100
+    * buckets — reproducible on any engine/partitioning, so the trained
+    * merge sequence is an artifact of (corpus content, pct), nothing
+    * else. */
+  private[graft] def trainSample(docs: DataFrame, pct: Int): DataFrame = {
+    graft.functions.PolyFingerprint.register(docs.sparkSession)
+    docs.filter(pmod(TextOps.polyFp(TextOps.normText(col("text"))),
+      lit(100)) < pct)
+  }
+
   /** Learn up to `k` merges over `docs`, stopping early when the best
     * pair's corpus support drops below `minCount`. Ties break
     * deterministically: count desc, then (left, right) ascending.
     * Returns the merge sequence and the final dictionary (the trained
-    * tokenizer artifact: word → its symbol segmentation). */
-  private[graft] def bpeTrain(docs: DataFrame, k: Int,
-      minCount: Long): (Seq[BpeMerge], DataFrame) = {
+    * tokenizer artifact: word → its symbol segmentation). Fails fast
+    * when the dict exceeds `maxDictRows` — train on [[trainSample]]
+    * instead (see [[MaxDictRows]]). */
+  private[graft] def bpeTrain(docs: DataFrame, k: Int, minCount: Long,
+      maxDictRows: Long = MaxDictRows): (Seq[BpeMerge], DataFrame) = {
     var dict = wordDict(docs).localCheckpoint()
+    val dictRows = dict.count()
+    require(dictRows <= maxDictRows,
+      s"BPE training dict has $dictRows distinct words (ceiling $maxDictRows): " +
+        "each merge round re-aggregates the dict, so train on a deterministic " +
+        "sample (BpeOps.trainSample, the c04 discipline) and encode the full " +
+        "corpus with the learned merges (applyMerges)")
     val merges = Seq.newBuilder[BpeMerge]
     var rank = 0
     var done = false
@@ -152,7 +185,9 @@ object BpeOps {
     * equality), support monotonicity, and determinism. */
   def t10BpeTrain(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
-    val (merges, _) = bpeTrainCached(t.spread(t.documents), dir,
+    val docs = t.spread(t.documents)
+    val (merges, _) = bpeTrainCached(docs,
+      dir + "#" + Tables.corpusFingerprint(t.documents),
       BpeMergesDefault, BpeMinCount)
     import spark.implicits._
     merges.toDF().orderBy("rank")
@@ -211,7 +246,9 @@ object BpeOps {
   def t11BpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.spread(t.documents)
-    val (_, dict) = bpeTrainCached(docs, dir, BpeMergesDefault, BpeMinCount)
+    val (_, dict) = bpeTrainCached(docs,
+      dir + "#" + Tables.corpusFingerprint(t.documents),
+      BpeMergesDefault, BpeMinCount)
     bpeEncode(docs, dict).orderBy("doc_id")
   }
 }

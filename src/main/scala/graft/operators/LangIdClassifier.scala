@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** t14: a TRAINABLE language-ID classifier — the production gate t01's
+  * stopword heuristic stands in for is a fastText-style supervised model
+  * (Joulin et al. '16; the CCNet/CC-Net-style pipelines gate on exactly
+  * such a model): one-vs-rest logistic regression over hashed CHARACTER
+  * n-gram features, reusing t12's bit-deterministic trainer end to end
+  * (class-balanced loss, integer-grid gradients, hash split — one
+  * trainer, two gates).
+  *
+  * Char n-grams (orders 2-3, space chars included — the word-boundary
+  * signal) are the right featurization for language ID: scripts and
+  * orthography live at the character level, and the hashed space keeps
+  * the model schema-bounded ([[QualityClassifier.Buckets]] weights per
+  * class) whatever the corpus vocabulary.
+  *
+  * Driver label: the t01 heuristic's own prediction (teacher-student
+  * distillation). The synthetic corpus' `lang` COLUMN is vocabulary-
+  * identical noise — no text-trained model can recover it (documented at
+  * [[QualityClassifier]]'s driver-label note) — while the heuristic's
+  * label IS text-derived, so distilling it is the honest trainable task
+  * this corpus supports; a real deployment trains the same object on
+  * labeled data (Round9LangIdSpec does exactly that on an engineered
+  * separable multilingual corpus and gates held-out macro-accuracy).
+  *
+  * Scale shape: featurization is one corpus pass shuffling only
+  * (doc_id, bucket, count); each class' training iteration is t12's one
+  * bounded aggregation; scoring evaluates every class margin row-locally
+  * over ONE shared feature relation (no per-class corpus scan). Models
+  * follow the artifact contract (save/load/attach via
+  * [[QualityClassifier.modelSave]] per class — spec-pinned). */
+object LangIdClassifier {
+
+  /** Char-gram orders: bigrams + trigrams over the normalized text's
+    * character stream (spaces included — word-boundary grams). */
+  private[graft] val CharOrders = Seq(2, 3)
+
+  /** Fewer rounds than t12's 30: 5 classes train serially and the
+    * char-gram problem separates earlier (loss plateaus by ~12 on both
+    * the driver and engineered corpora). */
+  private[graft] val OvrIters = 12
+
+  private def charToks(text: Column): Column =
+    split(TextOps.normText(text), "")
+
+  /** t12's feature shape over CHARACTER n-grams, carrying the STRING
+    * class label so one relation feeds every one-vs-rest binarization:
+    * (doc_id, label_str, split, feats sorted by bucket). */
+  private[graft] def charFeatures(docs: DataFrame, labelStr: Column): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), labelStr.as("label_str"),
+        explode(concat(CharOrders.map(n =>
+          graft.functions.Ngrams.ngramJoin(charToks(col("text")), n)): _*)).as("gram"))
+      .select(col("doc_id"), col("label_str"),
+        pmod(TextOps.polyFp(col("gram")), lit(QualityClassifier.Buckets))
+          .cast("int").as("b"))
+    grams.groupBy(col("doc_id"), col("label_str"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("label_str"))
+      .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("raw"))
+      .select(col("doc_id"), col("label_str"),
+        pmod(xxhash64(col("doc_id")), lit(QualityClassifier.SplitMod)).as("split"),
+        expr("transform(raw, f -> struct(f.b AS b, 1.0D AS tf))").as("feats"))
+  }
+
+  /** One-vs-rest training: one t12 model per class present in the train
+    * split with both polarities (a class covering every row, or none,
+    * cannot train a discriminator and is skipped). Returns class →
+    * model, deterministically ordered. */
+  private[graft] def trainOvr(featRows: DataFrame,
+      iters: Int = OvrIters): Seq[(String, QualityClassifier.Model)] = {
+    val trainSplit = featRows
+      .filter(col("split") < QualityClassifier.SplitMod - 1)
+    val classCounts = trainSplit.groupBy(col("label_str"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val nTrain = classCounts.map(_._2).sum
+    classCounts.collect {
+      case (c, n) if n > 0 && n < nTrain =>
+        c -> QualityClassifier.train(
+          featRows.withColumn("y", (col("label_str") === lit(c)).cast("double")),
+          iters = iters, orders = CharOrders)
+    }.toSeq
+  }
+
+  /** Argmax scoring over ONE shared feature relation: every class margin
+    * is a row-local fold of its broadcast weight literals; prediction =
+    * highest margin, ties to the lexicographically first class (array_sort
+    * over (neg_margin, class) structs — engine-deterministic). */
+  private[graft] def scoreOvr(docs: DataFrame, labelStr: Column,
+      featRows: DataFrame,
+      models: Seq[(String, QualityClassifier.Model)]): DataFrame = {
+    val zStructs = array(models.map { case (c, m) =>
+      val z = lit(m.bias) + aggregate(col("feats"), lit(0.0),
+        (acc, f) => acc +
+          element_at(typedLit(m.weights.toSeq), f.getField("b") + lit(1)) *
+            f.getField("tf"))
+      struct((-z).as("neg_z"), lit(c).as("cls"))
+    }: _*)
+    docs.select(col("doc_id"), labelStr.as("label"))
+      .join(featRows.select(col("doc_id"), col("feats")), Seq("doc_id"), "left")
+      .withColumn("best",
+        when(col("feats").isNotNull, element_at(array_sort(zStructs), 1)))
+      .select(col("doc_id"), col("label"),
+        pmod(xxhash64(col("doc_id")), lit(QualityClassifier.SplitMod)).as("split"),
+        coalesce(col("best.cls"), lit(models.head._1)).as("pred_lang"),
+        round(-col("best.neg_z"), 6).as("margin"))
+      .withColumn("agree", col("pred_lang") === col("label"))
+  }
+
+  /** Session cache (corpus-fingerprinted, like BpeOps/t12). */
+  private val ovrCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, QualityClassifier.Model)]]
+
+  private[graft] def clearTrained(): Unit = ovrCache.clear()
+
+  /** t14: distill t01's heuristic label into the trainable classifier and
+    * score every document — (doc_id, label = heuristic lang, split,
+    * pred_lang, margin, agree). Rows-only (iteratively trained). */
+  def t14LangidClassifier(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    graft.functions.PolyFingerprint.register(spark)
+    val t = Tables(spark, dir)
+    val docs = t.spread(t.documents)
+    val heur = TextOps.t01LangId(spark, dir)
+      .select(col("doc_id"), col("pred_lang").as("heur_lang"))
+    val labeled = docs.select(col("doc_id"), col("text")).join(heur, "doc_id")
+    val feats = charFeatures(labeled, col("heur_lang"))
+    val models = ovrCache.getOrElseUpdate(
+      s"$dir#${Tables.corpusFingerprint(t.documents)}#t14",
+      trainOvr(feats))
+    scoreOvr(labeled, col("heur_lang"), feats, models).orderBy("doc_id")
+  }
+}

@@ -66,9 +66,14 @@ object QualityClassifier {
   /** A trained model carries its featurization `orders` — scoring with
     * different gram orders than training hashes foreign grams into
     * trained weight slots and silently corrupts scores, so the orders
-    * are part of the artifact, not a caller convention. */
+    * are part of the artifact, not a caller convention — and its
+    * `binary` flag for the same reason: a model trained on √count
+    * features scored through the binarized row-local margin (or vice
+    * versa) silently breaks the batch ≡ stream bit-identity contract,
+    * so [[marginRowLocal]] refuses a non-binary model. */
   final case class Model(bias: Double, weights: Array[Double],
-      loss: Seq[Double], orders: Seq[Int] = Seq(1, 2))
+      loss: Seq[Double], orders: Seq[Int] = Seq(1, 2),
+      binary: Boolean = true)
 
   /** Per-doc sparse hashed word+bigram features —
     * (doc_id, y, split, feats: array<struct<b, tf>> sorted by bucket);
@@ -125,7 +130,7 @@ object QualityClassifier {
     * across runs, partitionings, and AQE plans. */
   private[graft] def train(featRows: DataFrame, iters: Int = TrainIters,
       lr: Double = LearnRate, l2: Double = L2,
-      orders: Seq[Int] = Seq(1, 2)): Model = {
+      orders: Seq[Int] = Seq(1, 2), binary: Boolean = true): Model = {
     val spark = featRows.sparkSession
     // the cached split is row-bounded; size partitions to the data, not
     // the session default — per-iteration jobs otherwise pay one task
@@ -142,7 +147,7 @@ object QualityClassifier {
     val nPos = trainSet.filter(col("y") === 1.0).count().toDouble
     require(nPos > 0 && nPos < n, "training split needs both classes")
     val (wPos, wNeg) = (n / (2.0 * nPos), n / (2.0 * (n - nPos)))
-    var m = Model(0.0, Array.fill(Buckets)(0.0), Vector.empty, orders)
+    var m = Model(0.0, Array.fill(Buckets)(0.0), Vector.empty, orders, binary)
     val gsq = Array.fill(Buckets + 1)(0.0) // Adagrad accumulators; last = bias
     val q = (c: Column) => round(c * Grid).cast("long")
     import spark.implicits._
@@ -217,22 +222,24 @@ object QualityClassifier {
   def modelSave(spark: SparkSession, m: Model, table: String): Unit = {
     import spark.implicits._
     graft.sources.GraftIO.dropManaged(spark, table)
-    Seq((m.bias, m.weights.toSeq, m.loss, m.orders))
-      .toDF("bias", "weights", "loss", "orders")
+    Seq((m.bias, m.weights.toSeq, m.loss, m.orders, m.binary))
+      .toDF("bias", "weights", "loss", "orders", "binary")
       .write.format("parquet").saveAsTable(table)
   }
 
   /** Load a persisted model. */
   def modelLoad(spark: SparkSession, table: String): Model = {
-    val r = spark.table(table).select("bias", "weights", "loss", "orders").head()
+    val r = spark.table(table)
+      .select("bias", "weights", "loss", "orders", "binary").head()
     Model(r.getDouble(0), r.getSeq[Double](1).toArray, r.getSeq[Double](2),
-      r.getSeq[Int](3))
+      r.getSeq[Int](3), r.getBoolean(4))
   }
 
   /** Re-mount after process death (the stores' attach contract). */
   def modelAttach(spark: SparkSession, table: String): Unit =
     graft.sources.GraftIO.attachPlain(spark, table,
-      "bias DOUBLE, weights ARRAY<DOUBLE>, loss ARRAY<DOUBLE>, orders ARRAY<INT>")
+      "bias DOUBLE, weights ARRAY<DOUBLE>, loss ARRAY<DOUBLE>, " +
+        "orders ARRAY<INT>, binary BOOLEAN")
 
   /** Fully ROW-LOCAL margin over a text column — no featurization
     * shuffle: hash the grams, sort the distinct buckets (ascending, the
@@ -242,6 +249,12 @@ object QualityClassifier {
     * classifier: a stateless per-row expression (see
     * `StreamingJobs.qualityScoreStream`). */
   private[graft] def marginRowLocal(text: Column, m: Model): Column = {
+    // binarized-presence fold: only valid for a binary-featurized model —
+    // √count features need per-bucket counts, not distinct buckets, and
+    // scoring them here would silently break batch ≡ stream bit-identity
+    require(m.binary,
+      "marginRowLocal requires a binary-featurized model (Model.binary); " +
+        "a sqrt-count model must score through features() + score()")
     val toks = TextOps.tokensOf(text)
     val grams = concat(m.orders.map(n =>
       graft.functions.Ngrams.ngramJoin(toks, n)): _*)
@@ -253,6 +266,37 @@ object QualityClassifier {
 
   /** The flagged blocklist term of the driver label. */
   private[graft] val MarkerTerm = "dup"
+
+  /** Resolve the driver label's marker against the ACTUAL corpus:
+    * [[MarkerTerm]] when it splits the corpus (some but not all docs),
+    * otherwise the vocabulary token whose document frequency is closest
+    * to 5% (the blocklist-rate shape; ties by token text). A regenerated
+    * corpus whose word pool dropped the hard-coded term then degrades to
+    * an equivalent label with a visible diagnostic instead of failing
+    * train()'s both-classes require. */
+  private[graft] def chooseMarker(docs: DataFrame): String = {
+    val n = docs.count()
+    val nPos = docs
+      .filter(array_contains(TextOps.tokensOf(col("text")), MarkerTerm)).count()
+    if (nPos > 0 && nPos < n) MarkerTerm
+    else {
+      val alt = docs
+        .select(col("doc_id"),
+          explode(array_distinct(TextOps.tokensOf(col("text")))).as("tok"))
+        .groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 0 && col("nd") < n)
+        .orderBy(abs(col("nd") - lit(n * 0.05)).asc, col("tok").asc)
+        .limit(1).collect()
+      require(alt.nonEmpty,
+        s"t12 label: no token splits the corpus (marker '$MarkerTerm' " +
+          s"hit $nPos of $n docs and no alternative exists)")
+      val tok = alt(0).getString(0)
+      System.err.println(s"[t12] marker '$MarkerTerm' hits $nPos of $n docs " +
+        s"in this corpus generation; distilling '$tok' " +
+        s"(doc-freq ${alt(0).getLong(1)}) instead")
+      tok
+    }
+  }
 
   /** Session cache of trained models keyed by corpus — the
     * train-once-score-many lifecycle every trained artifact here follows
@@ -273,12 +317,18 @@ object QualityClassifier {
     graft.functions.PolyFingerprint.register(spark)
     val t = Tables(spark, dir)
     val docs = t.spread(t.documents)
-    val label = array_contains(TextOps.tokensOf(col("text")), MarkerTerm)
+    val marker = chooseMarker(docs)
+    val label = array_contains(TextOps.tokensOf(col("text")), marker)
     // unigram-only: the synthetic corpus has a 31-word vocabulary, so
     // word features are the right capacity for its 375 training rows;
-    // (1, 2) is the production default (see features' capacity note)
+    // (1, 2) is the production default (see features' capacity note).
+    // The cache key carries the corpus fingerprint (Tables), so an
+    // in-place testdata regeneration retrains instead of serving the
+    // previous generation's model.
     val feats = features(docs, label, orders = Seq(1))
-    val m = trainCached(feats, s"$dir#t12", orders = Seq(1))
+    val m = trainCached(feats,
+      s"$dir#${Tables.corpusFingerprint(t.documents)}#t12#$marker",
+      orders = Seq(1))
     score(docs, label, feats, m, carry = Seq("lang")).orderBy("doc_id")
   }
 }

@@ -53,6 +53,11 @@ object VectorOps {
     * the worst per-block pair expansion ≤ ~32k pairs. */
   private[graft] val D05MaxBlock = 256
   private val D05MaxPlanes = 16
+  /** Hyperplane projection-basis seed dimension — ONE definition for
+    * every signBits call site (capBlk, the d05 pair legs, s02's buckets),
+    * so batch and streaming block keys can never drift by a different
+    * projection basis. Matches the testdata embedding dim. */
+  private[graft] val SignSeedDim = 64
 
   /** Sign-bit prefix length for a block of `sn` members capped at
     * `maxBlock` — d05's sub-bucketing geometry, shared by every capped
@@ -68,7 +73,7 @@ object VectorOps {
     * never pay the projection folds. */
   private[graft] def capBlk(emb: Column, sn: Column, maxBlock: Int): Column =
     when(sn <= maxBlock, lit(""))
-      .otherwise(signBits(emb, D05MaxPlanes, 64)
+      .otherwise(signBits(emb, D05MaxPlanes, SignSeedDim)
         .substr(lit(1), capPlanesLen(sn, maxBlock)))
 
   /** Exact cosine near-dup pairs (≥ `threshold`) within label blocks, with
@@ -90,8 +95,12 @@ object VectorOps {
     * NOT a window, which would itself funnel the hot label's full rows
     * through a single reducer to count them. */
   private[graft] def embeddingNearDupPairs(v0: DataFrame, threshold: Double,
-      maxBlock: Int): DataFrame = {
-    val sizes = v0.groupBy(col("label")).agg(count(lit(1)).as("_bn"))
+      maxBlock: Int, sizesOverride: Option[DataFrame] = None): DataFrame = {
+    // block sizes default to this relation's own label counts; the
+    // incremental gate overrides them with standing ∪ batch counts so its
+    // prefix lengths match the full recompute's (see semDedupProbe)
+    val sizes = sizesOverride.getOrElse(
+      v0.groupBy(col("label")).agg(count(lit(1)).as("_bn")))
     val planesLen = least(lit(D05MaxPlanes),
       ceil(log(2.0, col("_bn").cast("double") / maxBlock)).cast("int"))
     val keyed = v0.join(sizes, "label")
@@ -100,7 +109,7 @@ object VectorOps {
       // never pay for the 16 projection folds
       .withColumn("blk",
         when(col("_bn") <= maxBlock, lit(""))
-          .otherwise(signBits(col("embedding"), D05MaxPlanes, 64)
+          .otherwise(signBits(col("embedding"), D05MaxPlanes, SignSeedDim)
             .substr(lit(1), planesLen)))
       .select("vec_id", "label", "blk", "embedding", "nrm")
     val a = keyed.select(col("vec_id").as("vec_a"), col("label"), col("blk"),
@@ -243,10 +252,9 @@ object VectorOps {
   def s02AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     FloatVecDot.register(spark)
     TopKByScore.register(spark)
-    val dim = 64
     val v = Tables(spark, dir).embeddings
       .select(col("vec_id"), col("embedding"),
-        signBits(col("embedding"), NumPlanes, dim).as("bucket"),
+        signBits(col("embedding"), NumPlanes, SignSeedDim).as("bucket"),
         norm(col("embedding")).as("nrm"))
     val q = v.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
@@ -813,11 +821,21 @@ object VectorOps {
       .join(vectorSource.select(col("vec_id"), col("embedding").as("s_emb")),
         "vec_id")
       .withColumnRenamed("nrm", "s_nrm")
-    val sizes = standing.groupBy(col("list_id")).agg(count(lit(1)).as("_sn"))
+    // block sizes are the UNION (standing + batch) count per list — the
+    // size semDedupWith over standing ∪ batch would see — so the sign-bit
+    // prefix length of an over-cap list matches the full recompute on
+    // every leg and gate ≡ full equivalence holds for hot lists too
+    // (previously the probe leg sized from the standing count alone and
+    // the within leg from the batch count alone; decisions could diverge
+    // exactly when a list ran hot)
+    val sizes = standing.groupBy(col("list_id")).agg(count(lit(1)).as("_cn"))
+      .join(batch.groupBy(col("list_id")).agg(count(lit(1)).as("_dn")),
+        Seq("list_id"), "full_outer")
+      .select(col("list_id"), (coalesce(col("_cn"), lit(0L))
+        + coalesce(col("_dn"), lit(0L))).as("_sn"))
     val sKeyed = standing.join(broadcast(sizes), "list_id")
       .withColumn("blk", capBlk(col("s_emb"), col("_sn"), maxBlock))
-    val bKeyed = batch.join(broadcast(sizes), Seq("list_id"), "left")
-      .na.fill(0L, Seq("_sn"))
+    val bKeyed = batch.join(broadcast(sizes), "list_id")
       .withColumn("blk", capBlk(col("embedding"), col("_sn"), maxBlock))
     val probe = bKeyed.as("b")
       .join(sKeyed.as("s"),
@@ -830,7 +848,9 @@ object VectorOps {
         col("sim"), lit("index").as("src"))
     val within = embeddingNearDupPairs(
         batch.select(col("vec_id"), col("list_id").as("label"), col("embedding")),
-        threshold, maxBlock)
+        threshold, maxBlock,
+        sizesOverride = Some(sizes.select(col("list_id").as("label"),
+          col("_sn").as("_bn"))))
       .select(col("vec_b").as("vec_id"), col("vec_a").as("partner"),
         col("cos_sim").as("sim"), lit("batch").as("src"))
     // partner sets are disjoint (standing ids vs batch ids)

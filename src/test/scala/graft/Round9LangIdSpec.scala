@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{LangIdClassifier, QualityClassifier}
+
+/** t14 trainable language-ID specs: exact recovery on an engineered
+  * separable multilingual corpus (held-out macro-accuracy gate — the
+  * supervised task a real deployment trains), determinism, the artifact
+  * save/load contract shared with t12, and the driver distillation
+  * entry's sanity. */
+class Round9LangIdSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Three "languages" with disjoint character inventories — separable
+    * by char n-grams by construction. 48 docs each, deterministic. */
+  private def corpus() = {
+    val vocab = Map(
+      "aa" -> Seq("aba", "bab", "abba", "baab", "abab"),
+      "cc" -> Seq("cdc", "dcd", "cddc", "dccd", "cdcd"),
+      "ee" -> Seq("efe", "fef", "effe", "feef", "efef"))
+    val rows = for {
+      (lang, words) <- vocab.toSeq
+      i <- 0 until 48
+    } yield {
+      val text = (0 until 12).map(j => words((i * 7 + j * 3) % words.length))
+        .mkString(" ")
+      (lang.hashCode.toLong * 1000 + i, lang, text)
+    }
+    rows.toDF("doc_id", "true_lang", "text")
+  }
+
+  private def trained() = {
+    graft.functions.Ngrams.register(spark)
+    graft.functions.PolyFingerprint.register(spark)
+    val docs = corpus()
+    val feats = LangIdClassifier.charFeatures(docs, col("true_lang"))
+    (docs, feats, LangIdClassifier.trainOvr(feats))
+  }
+
+  test("t14: held-out macro-accuracy 1.0 on the separable engineered corpus") {
+    val (docs, feats, models) = trained()
+    assert(models.map(_._1) == Seq("aa", "cc", "ee"))
+    val scored = LangIdClassifier.scoreOvr(docs, col("true_lang"), feats, models)
+    val held = scored.filter(col("split") === QualityClassifier.SplitMod - 1)
+    val perClass = held.groupBy(col("label"))
+      .agg(avg(col("agree").cast("double")).as("acc")).collect()
+    assert(perClass.length == 3)
+    perClass.foreach(r =>
+      assert(r.getDouble(1) == 1.0, s"held-out accuracy for ${r.getString(0)}"))
+  }
+
+  test("t14: training is deterministic (per-class weights bit-identical)") {
+    val (_, feats, m1) = trained()
+    val m2 = LangIdClassifier.trainOvr(feats)
+    assert(m1.map(_._1) == m2.map(_._1))
+    for (((_, a), (_, b)) <- m1.zip(m2)) {
+      assert(a.bias == b.bias)
+      assert(a.weights.toSeq == b.weights.toSeq)
+      assert(a.loss == b.loss)
+    }
+  }
+
+  test("t14: per-class models follow the artifact save/load contract") {
+    val (docs, feats, models) = trained()
+    val reloaded = models.map { case (c, m) =>
+      val table = s"graft_t14_$c"
+      QualityClassifier.modelSave(spark, m, table)
+      val r = c -> QualityClassifier.modelLoad(spark, table)
+      graft.sources.GraftIO.dropManaged(spark, table)
+      r
+    }
+    val a = LangIdClassifier.scoreOvr(docs, col("true_lang"), feats, models)
+      .select("doc_id", "pred_lang", "margin").collect().map(_.toSeq).toSet
+    val b = LangIdClassifier.scoreOvr(docs, col("true_lang"), feats, reloaded)
+      .select("doc_id", "pred_lang", "margin").collect().map(_.toSeq).toSet
+    assert(a == b, "persisted models must score bit-identically")
+  }
+
+  test("t14 driver entry: distills the heuristic label with clear majority " +
+      "agreement and covers every document") {
+    val out = LangIdClassifier.t14LangidClassifier(spark, sfDir).collect()
+    assert(out.length == 500)
+    val agree = out.count(r => r.getBoolean(r.fieldIndex("agree")))
+    // the teacher is text-derived, so the student must beat the majority
+    // class by a wide margin; exact agreement is not required (12 rounds,
+    // hashed 1024-bucket capacity)
+    assert(agree >= 350, s"only $agree of 500 agree with the heuristic")
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.TextOps
+import graft.operators.{BpeOps, Codebooks, TextOps, VectorOps}
 
 /** Round-9 operator specs: c14 line-level dedup semantics (cross-document
   * drop, within-document survival, position-ordered reassembly, the
@@ -52,5 +52,65 @@ class Round9OpsSpec extends GraftSpecBase {
     // kept pseudo-line survives intact and in order
     val probe = out.filter(r => r.getLong(2) == r.getLong(1)).head
     assert(probe.getString(3).nonEmpty)
+  }
+
+  test("d10 gate ≡ full SemDeDup with the block cap ENGAGED: over-cap " +
+      "lists size their sign-bit prefixes from the union count") {
+    // maxBlock = 4 forces nearly every list over the cap, so the
+    // capBlk sub-bucketing is live on both the probe leg and the
+    // within-batch leg; union-count sizing makes the prefix lengths match
+    // the full recompute's, so equivalence must hold EXACTLY even here
+    // (before r9 the probe leg sized from the standing count alone — this
+    // is the regression the r8 advice called invisible)
+    val prefix = "graft_d10cap"
+    VectorOps.annIndexDrop(spark, prefix)
+    Codebooks.clearTrained()
+    val emb = Tables(spark, sfDir).embeddings
+    val isIncoming = col("vec_id") % 5 === 4
+    val standing = emb.filter(!isIncoming)
+    VectorOps.annIndexBootstrap(standing, prefix, s"$sfDir#d10cap")
+    val gate = VectorOps.semDedupProbe(emb.filter(isIncoming), standing,
+        prefix, threshold = 0.35, maxBlock = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val ref = VectorOps.semDedupWith(emb, spark.table(s"${prefix}_cent"),
+        threshold = 0.35, maxBlock = 4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val batchIds = emb.filter(isIncoming).select("vec_id").collect().map(_.getLong(0))
+    assert(batchIds.nonEmpty && gate.keySet === batchIds.toSet)
+    for (id <- batchIds) {
+      assert(gate(id)._1 === ref(id)._1, s"cluster of $id")
+      assert((gate(id)._2 != "new") === ref(id)._2, s"decision of $id")
+    }
+    VectorOps.annIndexDrop(spark, prefix)
+  }
+
+  test("t10 sampling story: a 50% deterministic sample trains a valid, " +
+      "deterministic merge sequence and the FULL corpus encodes under it") {
+    val docs = Tables(spark, sfDir).documents
+    val sample = BpeOps.trainSample(docs, 50)
+    val nS = sample.count(); val n = docs.count()
+    assert(nS > 0 && nS < n, s"sample $nS of $n must be a proper subset")
+    val (m1, _) = BpeOps.bpeTrain(sample, 12, 2L)
+    val (m2, _) = BpeOps.bpeTrain(sample, 12, 2L)
+    assert(m1 == m2, "sample training must be deterministic")
+    assert(m1.nonEmpty)
+    assert(m1.map(_.rank) == m1.indices, "ranks must be sequential")
+    assert(m1.forall(_.pair_count >= 2L), "every merge must clear min support")
+    // tokenizer-as-artifact: the sample-trained merges segment the FULL
+    // corpus' own dict — every doc covered, token counts within bounds
+    val enc = BpeOps.bpeEncodeWithMerges(docs, m1).collect()
+    assert(enc.length == n)
+    assert(enc.forall { r =>
+      val toks = r.getLong(r.fieldIndex("n_bpe_tokens"))
+      toks >= r.getLong(r.fieldIndex("n_words")) &&
+        toks <= r.getLong(r.fieldIndex("n_chars")) + r.getLong(r.fieldIndex("n_words"))
+    })
+  }
+
+  test("bpeTrain fails fast past the dict ceiling, pointing at trainSample") {
+    val ex = intercept[IllegalArgumentException] {
+      BpeOps.bpeTrain(Tables(spark, sfDir).documents, 4, 2L, maxDictRows = 5L)
+    }
+    assert(ex.getMessage.contains("trainSample"))
   }
 }
