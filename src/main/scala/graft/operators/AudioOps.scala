@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.MultimodalOps.MediaRecord
+
+/** §C multimodal: REAL audio decode for the one container a bare JRE can
+  * parse without any codec library — RIFF/WAVE PCM. The round-8 image work
+  * (`MultimodalOps.ImageIoDecoder`) established the pattern: sniff magic
+  * bytes cheaply, decode for real when the container is parseable,
+  * deterministic stub otherwise, identical Spark plumbing on both paths.
+  * This applies it to audio: [[WavDecoder]] walks the RIFF chunk list and
+  * computes exact integer signal statistics (sum-of-squares RMS, channel-0
+  * zero crossings, peak) over 8/16-bit PCM frames; non-WAV payloads (the
+  * driver corpus's text-synthesized bytes included) take [[FakeAudio]],
+  * whose arithmetic the DuckDB oracle mirrors column for column.
+  *
+  * Reference analog: the upload payloads the batch framework ingests are
+  * opaque typed blobs (`CreateBatch.groovy:63-88` stores them unparsed);
+  * a training-data pipeline must look INSIDE the blob, and this is the
+  * audio face of that step.
+  */
+object AudioOps {
+
+  /** One signal-statistics row per payload. `real` = the payload parsed
+    * as PCM WAV and the stats are measured; otherwise they are the
+    * deterministic stub over `byte_len`. */
+  final case class AudioFeatures(doc_id: Long, byte_len: Long, real: Boolean,
+      sample_rate: Int, n_channels: Int, bits: Int, n_frames: Long,
+      duration_ms: Long, rms: Double, zero_crossings: Long, peak: Int)
+
+  /** Magic sniff: RIFF container declaring a WAVE form. ≤ 12 leading
+    * bytes, so the parser only runs on rows that can possibly be WAVs. */
+  private[graft] def sniffWav(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == 'F' && p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  private def le16(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+  private def le32(p: Array[Byte], o: Int): Int =
+    (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+      ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+
+  /** REAL RIFF/WAVE PCM parse — pure JRE, no codec library. Walks the
+    * chunk list (word-aligned sizes, unknown chunks skipped — a LIST or
+    * fact chunk before fmt/data is legal WAV), accepts PCM (format 1) at
+    * 8 or 16 bits, and measures the signal with exact integer sums so the
+    * stats are bit-stable: RMS = sqrt(Σ s²/N)/full-scale over all channel
+    * samples, zero crossings counted on channel 0 (sign transitions,
+    * zeros transparent), peak = max |s|. A sniffed-but-corrupt payload
+    * (bad chunk size, truncated data, non-PCM format) returns None and
+    * falls through to the stub — never fails the partition. */
+  object WavDecoder {
+    def decode(r: MediaRecord): Option[AudioFeatures] = {
+      val p = r.payload
+      if (!sniffWav(p)) None
+      else scala.util.Try {
+        var off = 12
+        var fmt: Option[(Int, Int, Int, Int, Int)] = None
+        var data: Option[(Int, Int)] = None
+        while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+          val id = new String(p, off, 4, "US-ASCII")
+          val sz = le32(p, off + 4)
+          require(sz >= 0 && off + 8 + sz <= p.length, "chunk overruns payload")
+          if (id == "fmt ") {
+            require(sz >= 16, "fmt chunk too short")
+            fmt = Some((le16(p, off + 8), le16(p, off + 10), le32(p, off + 12),
+              le16(p, off + 20), le16(p, off + 22)))
+          } else if (id == "data") data = Some((off + 8, sz))
+          off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+        }
+        for {
+          (audioFormat, ch, rate, blockAlign, bits) <- fmt
+          (doff, dlen) <- data
+          if audioFormat == 1 && (bits == 8 || bits == 16) && ch >= 1 &&
+            rate > 0 && blockAlign == ch * (bits / 8)
+        } yield {
+          val nFrames = dlen / blockAlign
+          def sample(f: Int, c: Int): Int =
+            if (bits == 16) le16(p, doff + f * blockAlign + c * 2).toShort.toInt
+            else (p(doff + f * blockAlign + c) & 0xff) - 128
+          var sumSq = 0L; var peak = 0; var zc = 0L; var prevSign = 0
+          var f = 0
+          while (f < nFrames) {
+            var c = 0
+            while (c < ch) {
+              val s = sample(f, c)
+              sumSq += s.toLong * s
+              val a = math.abs(s); if (a > peak) peak = a
+              c += 1
+            }
+            val s0 = sample(f, 0)
+            val sign = if (s0 > 0) 1 else if (s0 < 0) -1 else 0
+            if (sign != 0) {
+              if (prevSign != 0 && sign != prevSign) zc += 1
+              prevSign = sign
+            }
+            f += 1
+          }
+          val fullScale = if (bits == 16) 32768.0 else 128.0
+          val rms =
+            if (nFrames == 0) 0.0
+            else math.sqrt(sumSq.toDouble / (nFrames.toLong * ch)) / fullScale
+          AudioFeatures(r.doc_id, p.length.toLong, real = true, rate, ch, bits,
+            nFrames, nFrames * 1000L / rate, rms, zc, peak)
+        }
+      }.toOption.flatten
+    }
+  }
+
+  /** STUB signal stats for codec-less payloads — deterministic arithmetic
+    * on the byte length, mirrored by [[m04Sql]] exactly (the m01/m02
+    * oracle discipline: the JVM pipeline and the declarative form must
+    * agree bit-for-bit on the stub path). */
+  object FakeAudio {
+    def extract(r: MediaRecord): AudioFeatures = {
+      val len = r.payload.length.toLong
+      val rate = 8000 + (len % 3).toInt * 4000
+      val frames = len % 1000
+      AudioFeatures(r.doc_id, len, real = false,
+        sample_rate = rate,
+        n_channels = (len % 2).toInt + 1,
+        bits = 16,
+        n_frames = frames,
+        duration_ms = frames * 1000L / rate,
+        rms = (len % 97).toDouble / 97.0,
+        zero_crossings = len % 50,
+        peak = (len % 32768).toInt)
+    }
+  }
+
+  /** Partition-parallel audio feature extraction — the
+    * `MultimodalOps.decodeAll` batch shape: parser instantiated per
+    * partition, rows streamed, payloads never shuffled. */
+  def audioFeaturesAll(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => WavDecoder.decode(r).getOrElse(FakeAudio.extract(r)))
+    }
+  }
+
+  /** m04: the audio feature pipeline over the corpus's binary payloads.
+    * The driver corpus's payloads are text-synthesized (no RIFF magic), so
+    * the driver entry exercises the stub path end to end and the oracle
+    * checks every column; Round9AudioSpec drives REAL in-memory PCM WAVs
+    * (mono 16-bit, stereo 8-bit, chunk-skipping, corrupt-fallback) through
+    * this exact typed pipeline. */
+  def m04AudioFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    audioFeaturesAll(media).toDF()
+      .select(col("doc_id"), col("byte_len"), col("real").as("is_real"),
+        col("sample_rate").cast("long").as("sample_rate"),
+        col("n_channels").cast("long").as("n_channels"),
+        col("bits").cast("long").as("bits"),
+        col("n_frames"), col("duration_ms"),
+        round(col("rms"), 6).as("rms"),
+        col("zero_crossings"), col("peak").cast("long").as("peak"))
+      .orderBy("doc_id")
+  }
+
+  val m04Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len
+      |  FROM documents
+      |)
+      |SELECT doc_id, len AS byte_len, FALSE AS is_real,
+      |  8000 + (len % 3) * 4000 AS sample_rate,
+      |  (len % 2) + 1 AS n_channels,
+      |  CAST(16 AS BIGINT) AS bits,
+      |  len % 1000 AS n_frames,
+      |  ((len % 1000) * 1000) // (8000 + (len % 3) * 4000) AS duration_ms,
+      |  round(CAST(len % 97 AS DOUBLE) / 97.0, 6) AS rms,
+      |  len % 50 AS zero_crossings,
+      |  len % 32768 AS peak
+      |FROM base ORDER BY doc_id""".stripMargin
+}

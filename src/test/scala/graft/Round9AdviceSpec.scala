@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QualityClassifier
+import graft.operators.QualityClassifier.Model
+
+/** Pins the round-8 advice fixes that landed as code:
+  *  - Model carries its `binary` featurization flag through the persisted
+  *    artifact, and the row-local (streaming) margin REFUSES a sqrt-count
+  *    model instead of silently scoring it with binarized presence;
+  *  - Tables.corpusFingerprint changes when the corpus files are
+  *    rewritten in place (the train-once cache key ingredient), and is
+  *    stable when they are not;
+  *  - t12's driver label degrades to a doc-frequency-matched vocabulary
+  *    token when the hard-coded marker no longer splits the corpus.
+  */
+class Round9AdviceSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def registered() = {
+    graft.functions.Ngrams.register(spark)
+    graft.functions.PolyFingerprint.register(spark)
+  }
+
+  test("Model.binary round-trips through modelSave/modelLoad, and " +
+      "marginRowLocal refuses a sqrt-count model") {
+    registered()
+    val sqrtModel = Model(0.25,
+      Array.tabulate(QualityClassifier.Buckets)(i => i * 1e-3),
+      Vector(0.7, 0.6), Seq(1, 2), binary = false)
+    QualityClassifier.modelSave(spark, sqrtModel, "r9_sqrt_model")
+    val back = QualityClassifier.modelLoad(spark, "r9_sqrt_model")
+    assert(!back.binary)
+    assert(back.bias === sqrtModel.bias)
+    assert(back.weights.toSeq === sqrtModel.weights.toSeq)
+    val ex = intercept[IllegalArgumentException] {
+      QualityClassifier.marginRowLocal(col("text"), back)
+    }
+    assert(ex.getMessage.contains("binary-featurized"))
+    // the binarized default still round-trips as binary and is accepted
+    val binModel = sqrtModel.copy(binary = true)
+    QualityClassifier.modelSave(spark, binModel, "r9_bin_model")
+    assert(QualityClassifier.modelLoad(spark, "r9_bin_model").binary)
+    QualityClassifier.marginRowLocal(col("text"), binModel) // must not throw
+    graft.sources.GraftIO.dropManaged(spark, "r9_sqrt_model")
+    graft.sources.GraftIO.dropManaged(spark, "r9_bin_model")
+  }
+
+  test("corpusFingerprint: stable across re-reads, changed by an " +
+      "in-place rewrite of the corpus files") {
+    val dir = java.nio.file.Files.createTempDirectory("r9fp").toString
+    Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val fp1 = Tables.corpusFingerprint(spark.read.parquet(dir))
+    val fp1again = Tables.corpusFingerprint(spark.read.parquet(dir))
+    assert(fp1 === fp1again)
+    // regenerate IN PLACE with different content (different file size,
+    // so the fingerprint must move even within mtime granularity)
+    Seq((1L, "alpha"), (2L, "beta"), (3L, "a third much longer document"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val fp2 = Tables.corpusFingerprint(spark.read.parquet(dir))
+    assert(fp1 !== fp2,
+      "in-place corpus regeneration must change the fingerprint " +
+        "(train-once caches would otherwise serve the stale generation)")
+  }
+
+  test("chooseMarker: keeps the hard-coded marker when it splits the " +
+      "corpus, falls back to a ~5%-doc-freq token when it does not") {
+    registered()
+    // marker present in some-but-not-all docs -> kept verbatim
+    val withMarker = Seq(
+      (1L, "clean prose dup here"), (2L, "clean prose only"),
+      (3L, "more clean text")).toDF("doc_id", "text")
+    assert(QualityClassifier.chooseMarker(withMarker) ===
+      QualityClassifier.MarkerTerm)
+    // marker absent everywhere -> the fallback picks a token that
+    // SPLITS the corpus, closest to 5% doc frequency (here: the token
+    // appearing in 1 of 20 docs = 5%, not the all-docs token)
+    val noMarker = (1L to 20L).map { i =>
+      val rare = if (i == 7L) " rareword" else ""
+      (i, s"common filler text$rare")
+    }.toDF("doc_id", "text")
+    val alt = QualityClassifier.chooseMarker(noMarker)
+    assert(alt === "rareword")
+    // degenerate corpus (no splitting token at all) fails with the
+    // diagnostic, not train()'s opaque both-classes require
+    val uniform = (1L to 4L).map(i => (i, "same words every doc"))
+      .toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      QualityClassifier.chooseMarker(uniform)
+    }
+    assert(ex.getMessage.contains("no token splits the corpus"))
+  }
+}

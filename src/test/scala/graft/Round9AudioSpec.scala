@@ -1,0 +1,109 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AudioOps
+import graft.operators.MultimodalOps.MediaRecord
+
+/** m04 specs: REAL RIFF/WAVE PCM parse through the exact typed pipeline —
+  * exact signal statistics for engineered mono-16-bit and stereo-8-bit
+  * waves, chunk-list walking past a LIST chunk, corrupt-payload fallback
+  * to the stub, and the driver entry's stub path on the text corpus. */
+class Round9AudioSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Build a PCM WAV in memory. `samples(f)(c)` = frame f, channel c,
+    * integer sample values in the target bit depth's range. `pre` inserts
+    * extra chunks between WAVE and fmt (chunk-skip coverage). */
+  private def wav(samples: Array[Array[Int]], rate: Int, bits: Int,
+      pre: Array[Byte] = Array.empty): Array[Byte] = {
+    val ch = if (samples.isEmpty) 1 else samples(0).length
+    val ba = ch * (bits / 8)
+    val data = new ByteArrayOutputStream()
+    samples.foreach(_.foreach { s =>
+      if (bits == 16) { data.write(s & 0xff); data.write((s >> 8) & 0xff) }
+      else data.write((s + 128) & 0xff)
+    })
+    val d = data.toByteArray
+    val out = new ByteArrayOutputStream()
+    def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("RIFF".getBytes); w32(4 + pre.length + 24 + 8 + d.length)
+    out.write("WAVE".getBytes)
+    out.write(pre)
+    out.write("fmt ".getBytes); w32(16)
+    w16(1); w16(ch); w32(rate); w32(rate * ba); w16(ba); w16(bits)
+    out.write("data".getBytes); w32(d.length); out.write(d)
+    out.toByteArray
+  }
+
+  private def one(payload: Array[Byte]): AudioOps.AudioFeatures =
+    AudioOps.audioFeaturesAll(
+      Seq(MediaRecord(1L, payload)).toDS()).collect().head
+
+  test("m04: mono 16-bit alternating square wave — every stat exact") {
+    val samples = Array.tabulate(800)(i => Array(if (i % 2 == 0) 1000 else -1000))
+    val f = one(wav(samples, rate = 8000, bits = 16))
+    assert(f.real); assert(f.sample_rate === 8000)
+    assert(f.n_channels === 1); assert(f.bits === 16)
+    assert(f.n_frames === 800L); assert(f.duration_ms === 100L)
+    assert(f.peak === 1000)
+    assert(f.zero_crossings === 799L) // sign flips between every frame
+    assert(f.rms === 1000.0 / 32768.0) // all samples ±1000: RMS exact
+  }
+
+  test("m04: stereo 8-bit — per-channel interleave, channel-0 crossings") {
+    // ch0: +50, -50, +50, -50  (3 crossings); ch1: constant 100 (peak)
+    val samples = Array.tabulate(4)(i => Array(if (i % 2 == 0) 50 else -50, 100))
+    val f = one(wav(samples, rate = 4000, bits = 8))
+    assert(f.real); assert(f.n_channels === 2); assert(f.bits === 8)
+    assert(f.n_frames === 4L); assert(f.duration_ms === 1L)
+    assert(f.peak === 100)
+    assert(f.zero_crossings === 3L)
+    // Σs² = 4·50² + 4·100² = 50000 over 8 samples → rms = sqrt(6250)/128
+    assert(f.rms === math.sqrt(50000.0 / 8.0) / 128.0)
+  }
+
+  test("m04: unknown chunks before fmt are skipped (legal RIFF layout)") {
+    val pre = {
+      val b = new ByteArrayOutputStream()
+      b.write("LIST".getBytes); b.write(Array[Byte](6, 0, 0, 0))
+      b.write("INFOab".getBytes); b.toByteArray
+    }
+    val f = one(wav(Array(Array(12), Array(-12)), rate = 1000, bits = 16,
+      pre = pre))
+    assert(f.real); assert(f.n_frames === 2L); assert(f.peak === 12)
+  }
+
+  test("m04: sniffed-but-corrupt payloads fall through to the stub") {
+    // RIFF/WAVE magic with a chunk size overrunning the payload
+    val corrupt = "RIFFxxxxWAVEfmt ".getBytes("US-ASCII") ++
+      Array[Byte](-1, -1, -1, -1)
+    val f1 = one(corrupt)
+    assert(!f1.real)
+    assert(f1 === AudioOps.FakeAudio.extract(MediaRecord(1L, corrupt)))
+    // float-PCM (format 3) is recognized-but-unsupported → stub, not crash
+    val floatWav = {
+      val ok = wav(Array(Array(1)), rate = 1000, bits = 16)
+      ok(20) = 3; ok // audioFormat field → 3 (IEEE float)
+    }
+    assert(!one(floatWav).real)
+  }
+
+  test("m04 driver entry: stub path on the text corpus, columns mirror " +
+      "the oracle arithmetic") {
+    val df = AudioOps.m04AudioFeatures(spark, sfDir)
+    assert(df.count() > 0)
+    assert(df.filter(col("is_real")).count() === 0)
+    val r = df.orderBy("doc_id").head()
+    val len = r.getAs[Long]("byte_len")
+    assert(r.getAs[Long]("sample_rate") === 8000 + (len % 3) * 4000)
+    assert(r.getAs[Long]("n_frames") === len % 1000)
+    assert(r.getAs[Long]("duration_ms") ===
+      (len % 1000) * 1000 / (8000 + (len % 3) * 4000))
+    assert(r.getAs[Long]("peak") === len % 32768)
+  }
+}
