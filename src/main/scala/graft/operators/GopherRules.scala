@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** t15: the Gopher rule-based document filter (Rae et al. 2021,
+  * "Scaling Language Models: ... Gopher", Table A1) — the standard
+  * hand-rules pass a production curation pipeline runs BEFORE any trained
+  * quality model (t12) or LM gate (t08/t13): cheap, interpretable,
+  * per-document, and entirely row-local, so the whole filter is one
+  * codegen'd projection — no shuffle, no state, trivially streamable.
+  *
+  * Rules (document drops unless ALL hold):
+  *   1. 50 ≤ word count ≤ 100,000
+  *   2. 3 ≤ mean word length ≤ 10
+  *   3. symbol-to-word ratio ('#' and '...') ≤ 0.1
+  *   4. ≤ 90% of lines start with a bullet ('-' / '*')
+  *   5. ≤ 30% of lines end with '...'
+  *   6. ≥ 80% of words contain an alphabetic character
+  *   7. ≥ 2 of the 8 required stop words appear
+  *
+  * The line-level rules take the lines as a COLUMN, so the same engine
+  * runs real newline-split lines (Round9GopherSpec) and the driver
+  * corpus's aligned pseudo-lines (the c14 discipline — the synthetic
+  * texts are single-line). Every ratio is rounded on the same 1e-6 grid
+  * the thresholds compare against, mirrored exactly by the DuckDB oracle.
+  *
+  * Reference analog: `AnalyzeBatch.groovy:88-97` gates rows on per-row
+  * validity rules before processing; this is that gate at corpus scale.
+  */
+object GopherRules {
+  val MinWords = 50L
+  val MaxWords = 100000L
+  val MinMeanWordLen = 3.0
+  val MaxMeanWordLen = 10.0
+  val MaxSymbolRatio = 0.1
+  val MaxBulletFrac = 0.9
+  val MaxEllipsisFrac = 0.3
+  val MinAlphaFrac = 0.8
+  val MinReqStops = 2L
+
+  /** Gopher's required-stop-word list (Table A1). */
+  val ReqStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Per-document rule metrics + the composite pass flag, over any
+    * (doc_id, text) relation and a lines-array column. One projection:
+    * every metric is a higher-order-function fold over the token/line
+    * arrays — nothing leaves the row until the final orderBy. */
+  def gopherStatsOver(docsDf: DataFrame, linesCol: Column): DataFrame = {
+    val out = docsDf
+      .select(col("doc_id"), col("text"), linesCol.as("lines"))
+      .withColumn("norm", TextOps.normText(col("text")))
+      .withColumn("tk", split(col("norm"), " "))
+      .withColumn("n_words", size(col("tk")).cast("long"))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("mean_word_len",
+        round(length(regexp_replace(col("norm"), " ", "")).cast("double")
+          / col("n_words"), 6))
+      .withColumn("n_symbols",
+        (length(col("text")) - length(expr("replace(text, '#', '')"))
+          + (length(col("text")) - length(expr("replace(text, '...', '')")))
+            / lit(3)).cast("long"))
+      .withColumn("symbol_ratio",
+        round(col("n_symbols").cast("double") / col("n_words"), 6))
+      .withColumn("bullet_line_frac",
+        round(size(filter(col("lines"),
+          l => substring(ltrim(l), 1, 1).isin("-", "*"))).cast("double")
+          / col("n_lines"), 6))
+      .withColumn("ellipsis_line_frac",
+        round(size(filter(col("lines"),
+          l => rtrim(l).endsWith("..."))).cast("double") / col("n_lines"), 6))
+      .withColumn("alpha_word_frac",
+        round(size(filter(col("tk"), w => w.rlike("[a-z]"))).cast("double")
+          / col("n_words"), 6))
+      .withColumn("n_req_stops",
+        ReqStops.map(s => array_contains(col("tk"), s).cast("int"))
+          .reduce(_ + _).cast("long"))
+    out.withColumn("gopher_pass",
+      col("n_words").between(MinWords, MaxWords) &&
+        col("mean_word_len").between(MinMeanWordLen, MaxMeanWordLen) &&
+        (col("symbol_ratio") <= MaxSymbolRatio) &&
+        (col("bullet_line_frac") <= MaxBulletFrac) &&
+        (col("ellipsis_line_frac") <= MaxEllipsisFrac) &&
+        (col("alpha_word_frac") >= MinAlphaFrac) &&
+        (col("n_req_stops") >= MinReqStops))
+      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
+        "n_req_stops", "gopher_pass")
+  }
+
+  /** t15 driver entry: the rules over the corpus, lines = the c14 aligned
+    * pseudo-lines (the synthetic texts carry no newlines). */
+  def t15GopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherStatsOver(
+      Tables(spark, dir).documents.select(col("doc_id"), col("text")),
+      TextOps.chunkLines(TextOps.tokensOf(col("text")), TextOps.LineTokens))
+      .orderBy("doc_id")
+
+  val t15Sql: String = {
+    import TextOps.{LineTokens, TokensSql}
+    val stops = ReqStops
+      .map(s => s"CAST(list_contains(tk, '$s') AS INT)").mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT doc_id, text, $TokensSql AS tk,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |  FROM documents
+       |), lined AS (
+       |  SELECT doc_id, text, tk, norm,
+       |    list_transform(range(0, (len(tk) + ${LineTokens - 1}) // $LineTokens),
+       |      i -> array_to_string(tk[(i*$LineTokens+1):(i*$LineTokens+$LineTokens)], ' ')) AS lines
+       |  FROM base
+       |), m AS (
+       |  SELECT doc_id,
+       |    CAST(len(tk) AS BIGINT) AS n_words,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(tk), 6) AS mean_word_len,
+       |    CAST(length(text) - length(replace(text, '#', ''))
+       |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
+       |    CAST(len(list_filter(lines, l -> substr(ltrim(l), 1, 1) = '-' OR substr(ltrim(l), 1, 1) = '*')) AS BIGINT) AS n_bullet,
+       |    CAST(len(list_filter(lines, l -> ends_with(rtrim(l), '...'))) AS BIGINT) AS n_ell,
+       |    CAST(len(list_filter(tk, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST($stops AS BIGINT) AS n_req_stops
+       |  FROM lined
+       |), r AS (
+       |  SELECT doc_id, n_words, mean_word_len,
+       |    round(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbol_ratio,
+       |    round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_line_frac,
+       |    round(CAST(n_ell AS DOUBLE) / n_lines, 6) AS ellipsis_line_frac,
+       |    round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_word_frac,
+       |    n_req_stops
+       |  FROM m
+       |)
+       |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+       |  ellipsis_line_frac, alpha_word_frac, n_req_stops,
+       |  (n_words BETWEEN $MinWords AND $MaxWords
+       |    AND mean_word_len BETWEEN $MinMeanWordLen AND $MaxMeanWordLen
+       |    AND symbol_ratio <= $MaxSymbolRatio
+       |    AND bullet_line_frac <= $MaxBulletFrac
+       |    AND ellipsis_line_frac <= $MaxEllipsisFrac
+       |    AND alpha_word_frac >= $MinAlphaFrac
+       |    AND n_req_stops >= $MinReqStops) AS gopher_pass
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1332,7 +1332,7 @@ object TextOps {
     * synthetic corpus has no newlines, so aligned [[LineTokens]]-token
     * chunks of the normalized text stand in for physical lines (a real
     * crawl passes `split(text, "\n")` — the splitter is a parameter). */
-  private val LineTokens = 10
+  private[operators] val LineTokens = 10
   /** Drop lines shared by at least this many distinct documents. */
   private[graft] val LineMinDocs = 2
 

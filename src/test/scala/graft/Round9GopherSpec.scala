@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.GopherRules
+
+/** t15 specs: each Gopher rule exercised with engineered REAL newline
+  * lines (the driver entry runs pseudo-lines; the engine is shared), and
+  * the composite gate's conjunction semantics. */
+class Round9GopherSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Run the rules over (doc_id, text) with real newline-split lines. */
+  private def stats(docs: Seq[(Long, String)]) =
+    GopherRules.gopherStatsOver(docs.toDF("doc_id", "text"),
+      split(col("text"), "\n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+  /** A 60-word natural paragraph that passes every rule. */
+  private val goodText =
+    ("the quick brown fox jumps over the lazy dog and then runs back to " +
+      "the barn with great speed because it wants to have dinner before " +
+      "the sun goes down that evening while other animals watch from the " +
+      "fence and wonder what all of the fuss could possibly be about " +
+      "tonight").trim
+
+  test("t15: a natural 50+-word paragraph passes; a short doc fails on " +
+      "word count alone") {
+    val m = stats(Seq((1L, goodText), (2L, "too short to pass")))
+    assert(m(1L).getAs[Boolean]("gopher_pass"))
+    assert(m(1L).getAs[Long]("n_words") >= 50L)
+    assert(m(1L).getAs[Long]("n_req_stops") >= 2L)
+    assert(!m(2L).getAs[Boolean]("gopher_pass"))
+    assert(m(2L).getAs[Long]("n_words") === 4L)
+  }
+
+  test("t15: bullet-line fraction counts '-'/'*' starts over real lines") {
+    val bulleted = "- item one\n- item two\n* item three\nplain closing line"
+    val m = stats(Seq((1L, bulleted)))
+    assert(m(1L).getAs[Double]("bullet_line_frac") === 0.75)
+    // a 90%+ bulleted doc fails rule 4 even when padded past 50 words
+    val allBullets = (1 to 10).map(i => s"- the item number $i listed").mkString("\n")
+    val m2 = stats(Seq((2L, allBullets)))
+    assert(m2(2L).getAs[Double]("bullet_line_frac") === 1.0)
+    assert(!m2(2L).getAs[Boolean]("gopher_pass"))
+  }
+
+  test("t15: ellipsis line endings and symbol ratio count exactly") {
+    val t = "first line trails off...\nsecond line is fine\nthird also ends..."
+    val m = stats(Seq((1L, t)))
+    assert(m(1L).getAs[Double]("ellipsis_line_frac") === round2(2.0 / 3.0))
+    // symbol count: two '...' = 2 symbols over 11 words
+    assert(m(1L).getAs[Double]("symbol_ratio") === round2(2.0 / 11.0))
+    val hashy = "tag1 # tag2 # tag3 # done"
+    val m2 = stats(Seq((2L, hashy)))
+    assert(m2(2L).getAs[Double]("symbol_ratio") === round2(3.0 / 7.0))
+  }
+
+  test("t15: alpha-word fraction catches numeric junk") {
+    val numeric = "1 2 3 4 5 6 7 8 9 10 alpha"
+    val m = stats(Seq((1L, numeric)))
+    assert(m(1L).getAs[Double]("alpha_word_frac") === round2(1.0 / 11.0))
+  }
+
+  test("t15: each failing rule alone flips the composite gate") {
+    // good text but saturated with '#' symbols -> symbol_ratio > 0.1
+    val symbolHeavy = goodText + " " + ("# " * 10).trim
+    // good text with mean word length pushed past 10
+    val longWords = (1 to 55).map(_ => "extraordinarily").mkString(" ")
+    val m = stats(Seq((1L, symbolHeavy), (2L, longWords)))
+    assert(!m(1L).getAs[Boolean]("gopher_pass"))
+    assert(m(1L).getAs[Double]("symbol_ratio") > GopherRules.MaxSymbolRatio)
+    assert(!m(2L).getAs[Boolean]("gopher_pass"))
+    assert(m(2L).getAs[Double]("mean_word_len") > GopherRules.MaxMeanWordLen)
+  }
+
+  test("t15 driver entry: pseudo-line path runs over the corpus; no " +
+      "bullets/ellipses in the synthetic text, stop-word rule live") {
+    val df = GopherRules.t15GopherRules(spark, sfDir)
+    val n = df.count()
+    assert(n > 0)
+    assert(df.filter(col("bullet_line_frac") =!= 0.0).count() === 0)
+    assert(df.filter(col("ellipsis_line_frac") =!= 0.0).count() === 0)
+    assert(df.filter(col("alpha_word_frac") === 1.0).count() === n)
+  }
+
+  private def round2(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+}
