@@ -113,6 +113,41 @@ object LangIdClassifier {
       .withColumn("agree", col("pred_lang") === col("label"))
   }
 
+  /** Fully ROW-LOCAL argmax scoring — the STREAMING face (see
+    * `StreamingJobs.langIdStream`): char-gram buckets are distinct-sorted
+    * per row and each class margin is a fold over the broadcast weight
+    * literals, the exact shape (same distinct set, same ascending bucket
+    * order, same addition sequence) as [[charFeatures]] + [[scoreOvr]]
+    * for binarized features — so stream and batch predictions are
+    * bit-identical (the marginRowLocal ≡ features+score argument, per
+    * class). Degenerate rows (null text, texts shorter than the smallest
+    * gram order) mirror the batch left-join: prediction falls to the
+    * first class, margin null. Returns a struct (pred_lang, margin). */
+  private[graft] def langIdRowLocal(text: Column,
+      models: Seq[(String, QualityClassifier.Model)]): Column = {
+    require(models.nonEmpty, "langIdRowLocal needs at least one class model")
+    models.foreach { case (c, m) =>
+      require(m.binary, s"class '$c': langIdRowLocal requires binarized " +
+        "models (Model.binary) — sqrt-count models must score via scoreOvr")
+    }
+    val toks = charToks(text)
+    val grams = concat(CharOrders.map(n =>
+      graft.functions.Ngrams.ngramJoin(toks, n)): _*)
+    val buckets = array_sort(array_distinct(transform(grams,
+      g => pmod(TextOps.polyFp(g), lit(QualityClassifier.Buckets)).cast("int"))))
+    val zStructs = array(models.map { case (c, m) =>
+      val z = lit(m.bias) + aggregate(buckets, lit(0.0),
+        (acc, b) => acc +
+          element_at(typedLit(m.weights.toSeq), b + lit(1)) * lit(1.0))
+      struct((-z).as("neg_z"), lit(c).as("cls"))
+    }: _*)
+    val best = when(text.isNotNull && size(grams) > 0,
+      element_at(array_sort(zStructs), 1))
+    struct(
+      coalesce(best.getField("cls"), lit(models.head._1)).as("pred_lang"),
+      round(-best.getField("neg_z"), 6).as("margin"))
+  }
+
   /** Session cache (corpus-fingerprinted, like BpeOps/t12). */
   private val ovrCache = scala.collection.concurrent.TrieMap
     .empty[String, Seq[(String, QualityClassifier.Model)]]

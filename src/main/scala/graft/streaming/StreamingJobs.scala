@@ -838,4 +838,36 @@ object StreamingJobs {
         (col("pos") + 1).cast("long").as("rank"),
         col("e.key").as("key"), col("e.count").as("est_count"))
   }
+
+  // --------------------------------------------------- language-ID gate
+  /** Streaming face of t14's language-ID classifier — the same division
+    * as qualityScoreStream: models are per-corpus-generation artifacts
+    * (trained batch-side, loaded via the artifact contract), scoring is a
+    * stateless ROW-LOCAL argmax (`LangIdClassifier.langIdRowLocal`), so
+    * the stream carries no state and every prediction+margin is
+    * bit-identical to batch `scoreOvr` (spec-pinned, null/short texts
+    * included). Input rows need (doc_id, text). */
+  def langIdStream(docs: DataFrame,
+      models: Seq[(String, graft.operators.QualityClassifier.Model)]): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.Ngrams.register(spark)
+    graft.functions.PolyFingerprint.register(spark)
+    val best = graft.operators.LangIdClassifier
+      .langIdRowLocal(col("text"), models)
+    docs.withColumn("_b", best)
+      .select(col("doc_id"), col("_b.pred_lang").as("pred_lang"),
+        col("_b.margin").as("margin"))
+  }
+
+  // ----------------------------------------------------- Gopher gate
+  /** Streaming face of t15's Gopher rule filter: the rules are one
+    * row-local codegen'd projection (no shuffle, no state), so the gate
+    * streams as-is — lines are the text's real newline splits, and a
+    * null text fails closed (`gopher_pass` false, metrics null) rather
+    * than propagating null through the gate the way corpusIngest's
+    * quarantine handles malformed rows. Metrics ride along for audit. */
+  def gopherGateStream(docs: DataFrame): DataFrame =
+    graft.operators.GopherRules
+      .gopherStatsOver(docs, split(col("text"), "\n"))
+      .withColumn("gopher_pass", coalesce(col("gopher_pass"), lit(false)))
 }

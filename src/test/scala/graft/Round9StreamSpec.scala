@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.{GopherRules, LangIdClassifier}
+
+/** Round-9 streaming faces: t14's language-ID gate and t15's Gopher rule
+  * gate — both stateless row-local projections, spec-pinned bit-identical
+  * to their batch forms on a real MemoryStream, degenerate rows included. */
+class Round9StreamSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def registered() = {
+    graft.functions.Ngrams.register(spark)
+    graft.functions.PolyFingerprint.register(spark)
+  }
+
+  /** The Round9LangIdSpec separable corpus, plus degenerate rows. */
+  private def corpus() = {
+    val vocab = Map(
+      "aa" -> Seq("aba", "bab", "abba", "baab", "abab"),
+      "cc" -> Seq("cdc", "dcd", "cddc", "dccd", "cdcd"),
+      "ee" -> Seq("efe", "fef", "effe", "feef", "efef"))
+    val rows = for {
+      (lang, words) <- vocab.toSeq
+      i <- 0 until 48
+    } yield {
+      val text = (0 until 12).map(j => words((i * 7 + j * 3) % words.length))
+        .mkString(" ")
+      (lang.hashCode.toLong * 1000 + i, lang, text)
+    }
+    rows.toDF("doc_id", "true_lang", "text")
+  }
+
+  test("langIdStream: a real stream predicts bit-identically to batch " +
+      "scoreOvr — null and sub-gram-length texts included") {
+    registered()
+    val base = corpus()
+    val models = LangIdClassifier.trainOvr(
+      LangIdClassifier.charFeatures(base, col("true_lang")))
+    assert(models.map(_._1) == Seq("aa", "cc", "ee"))
+    // degenerate rows: null text, and a text shorter than the smallest
+    // char-gram order (no grams -> batch left-join misses it)
+    val docs = base.unionByName(
+      Seq((9999L, "zz", null.asInstanceOf[String]), (9998L, "zz", "a"))
+        .toDF("doc_id", "true_lang", "text"))
+    val batch = LangIdClassifier.scoreOvr(docs, col("true_lang"),
+      LangIdClassifier.charFeatures(docs, col("true_lang")), models)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred_lang"), Option(r.getAs[java.lang.Double]("margin"))))
+      .toMap
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs
+      .langIdStream(mem.toDF.toDF("doc_id", "text"), models)
+      .writeStream.format("memory").queryName("langid_r9").outputMode("append")
+      .start()
+    try {
+      mem.addData(docs.collect().map(r => (r.getLong(0), r.getString(2))).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("langid_r9").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("pred_lang"), Option(r.getAs[java.lang.Double]("margin"))))
+      .toMap
+    assert(streamed.size === batch.size)
+    assert(streamed === batch)
+    // the degenerate rows took the documented fallback
+    assert(streamed(9999L)._1 === "aa"); assert(streamed(9999L)._2.isEmpty)
+    assert(streamed(9998L)._1 === "aa"); assert(streamed(9998L)._2.isEmpty)
+  }
+
+  test("gopherGateStream: metrics and gate bit-identical to the batch " +
+      "rules; null text fails closed") {
+    registered()
+    val texts = Seq(
+      (1L, "- item one\n- item two\n* item three\nplain closing line"),
+      (2L, "first line trails off...\nsecond line is fine\nthird ends..."),
+      (3L, (1 to 60).map(_ => "the").mkString(" ")),
+      (4L, "short"))
+    val docs = texts.toDF("doc_id", "text")
+    val batch = GopherRules.gopherStatsOver(docs, split(col("text"), "\n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs
+      .gopherGateStream(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_r9").outputMode("append")
+      .start()
+    try {
+      mem.addData(texts: _*)
+      mem.addData((99L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("gopher_r9").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    texts.foreach { case (id, _) => assert(streamed(id) === batch(id)) }
+    // null text: metrics null, gate fails CLOSED
+    val nullRow = spark.table("gopher_r9").filter(col("doc_id") === 99L).head()
+    assert(nullRow.getAs[Boolean]("gopher_pass") === false)
+    assert(nullRow.isNullAt(nullRow.fieldIndex("n_words")))
+  }
+}
