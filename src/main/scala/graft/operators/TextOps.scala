@@ -856,8 +856,11 @@ object TextOps {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("nll"))
   }
 
-  val t13Sql: String =
-    s"""WITH toks AS (
+  /** t13's model + per-doc scoring as a reusable CTE chain (ends at
+    * `scored`: doc_id, n_bigrams, nll) — shared verbatim by [[t13Sql]]
+    * and [[t16Sql]] so the two oracles cannot drift. */
+  private[operators] lazy val T13CoreCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, $TokensSql AS tk FROM documents
        |), uni AS (
        |  SELECT tok, CAST(count(*) AS BIGINT) AS cf
@@ -888,11 +891,58 @@ object TextOps {
        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
        |    -CAST(sum(c * q_log) AS BIGINT) AS num
        |  FROM db JOIN model USING (bg) GROUP BY doc_id
-       |)
-       |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
-       |  ${qMicroSql("num", "n_bigrams")} AS nll
-       |FROM documents d LEFT JOIN agg USING (doc_id)
+       |), scored AS (
+       |  SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+       |    ${qMicroSql("num", "n_bigrams")} AS nll
+       |  FROM documents d LEFT JOIN agg USING (doc_id)
+       |)""".stripMargin
+
+  val t13Sql: String =
+    s"""WITH $T13CoreCtes
+       |SELECT doc_id, n_bigrams, nll FROM scored
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t16
+  /** t16: CCNet perplexity buckets (Wenzek et al. '20): CCNet splits each
+    * language's corpus into head/middle/tail TERTILES of LM perplexity and
+    * keeps the low-perplexity ends as training data — the canonical
+    * downstream consumer of t13's score. Thresholds are the corpus-wide
+    * exact 1/3 and 2/3 interpolated percentiles of nll (ONE aggregate over
+    * (doc_id, nll) rows — no global sort; `percentile` ≡ DuckDB
+    * `quantile_cont`, the a03-proven mapping), rounded on nll's own 1e-6
+    * grid before the comparison so both engines gate on identical values;
+    * un-scoreable docs (< 2 tokens, nll null) land in an explicit
+    * 'unscored' bucket instead of vanishing. At 100 TB the exact
+    * percentile pair is the one non-mergeable step — the documented scale
+    * path swaps in a09's mergeable KLL/GK sketch thresholds, identically
+    * shaped (a03's same caveat). */
+  def t16CcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    val scored = bigramLm(docs(spark, dir))
+    val thr = scored.filter(col("nll").isNotNull)
+      .agg(round(expr("percentile(nll, 1.0/3)"), 6).as("t1"),
+        round(expr("percentile(nll, 2.0/3)"), 6).as("t2"))
+    scored.crossJoin(broadcast(thr))
+      .select(col("doc_id"), col("n_bigrams"), col("nll"),
+        when(col("nll").isNull, lit("unscored"))
+          .when(col("nll") <= col("t1"), lit("head"))
+          .when(col("nll") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  val t16Sql: String =
+    s"""WITH $T13CoreCtes, thr AS (
+       |  SELECT round(quantile_cont(nll, 1.0/3), 6) AS t1,
+       |    round(quantile_cont(nll, 2.0/3), 6) AS t2
+       |  FROM scored WHERE nll IS NOT NULL
+       |)
+       |SELECT doc_id, n_bigrams, nll,
+       |  CASE WHEN nll IS NULL THEN 'unscored'
+       |    WHEN nll <= t1 THEN 'head'
+       |    WHEN nll <= t2 THEN 'middle'
+       |    ELSE 'tail' END AS ppl_bucket
+       |FROM scored, thr ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d07
   /** Incoming-batch selector for [[d07IncrementalDedup]]: every

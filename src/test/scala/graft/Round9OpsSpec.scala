@@ -113,4 +113,27 @@ class Round9OpsSpec extends GraftSpecBase {
     }
     assert(ex.getMessage.contains("trainSample"))
   }
+
+  test("t16: tertile buckets are balanced, ordered by nll, and short " +
+      "docs land in 'unscored'") {
+    val df = TextOps.t16CcnetBuckets(spark, sfDir).cache()
+    val n = df.filter(col("ppl_bucket") =!= "unscored").count()
+    val byBucket = df.groupBy(col("ppl_bucket"))
+      .agg(count(lit(1)).as("n"), avg(col("nll")).as("mean_nll"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // interpolated-percentile tertiles: each within one of n/3
+    Seq("head", "middle", "tail").foreach { b =>
+      assert(math.abs(byBucket(b)._1 - n / 3.0) <= 1.0, s"$b size ${byBucket(b)._1}")
+    }
+    // the buckets order by construction: head scores strictly best
+    assert(byBucket("head")._2 < byBucket("middle")._2)
+    assert(byBucket("middle")._2 < byBucket("tail")._2)
+    // every scored doc's nll respects its bucket boundary against head's max
+    val headMax = df.filter(col("ppl_bucket") === "head").agg(max("nll")).head().getDouble(0)
+    assert(df.filter(col("ppl_bucket") === "tail" && col("nll") <= headMax).count() === 0)
+    // n_bigrams = 0 <=> unscored
+    assert(df.filter((col("n_bigrams") === 0) =!= (col("ppl_bucket") === "unscored"))
+      .count() === 0)
+    df.unpersist()
+  }
 }
