@@ -41,7 +41,13 @@ import graft.operators.TextOps.{normText, qMicroSql}
   * text column stays inside the checkpoint partitions.
   *
   * Thresholds are policy, surfaced as parameters (defaults = the driver
-  * query); the oracle mirrors the defaults. At 100 TB the stage-2 pair
+  * query); the oracle mirrors the defaults. A production run puts t15's
+  * Gopher rule pass BEFORE stage 3 (rules are the cheap row-local
+  * pre-filter the trained/LM gates assume) — it is not composed here
+  * because the synthetic corpus's ~20-word docs sit below Gopher's
+  * 50-word floor, so the stage would be either dead (thresholds honest)
+  * or unrepresentative (thresholds bent); t15 + gopherGateStream are the
+  * standalone faces. At 100 TB the stage-2 pair
   * source swaps to d03's LSH candidates (identical downstream algebra, then
   * rows-only like d06) — exact shared-shingle emission is the ORACLED form
   * and is itself bounded by shingle document-frequency, not corpus size.

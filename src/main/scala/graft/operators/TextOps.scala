@@ -662,6 +662,90 @@ object TextOps {
        |  round((t_raw / t_tot) / (CAST(n_docs AS DOUBLE) / total_docs), 6) AS weight
        |FROM by_source, totals ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- c16
+  /** Budget numerator/denominator: the driver query samples to 30% of the
+    * corpus' tokens (a deterministic stand-in for "give me a 2T-token
+    * training set"). */
+  private val BudgetNum = 3L
+  private val BudgetDen = 10L
+
+  /** c16: TOKEN-BUDGET sampling under a domain-mix target — the step that
+    * turns c13's mixture WEIGHTS into an actual shipped corpus (the
+    * Dolma/RedPajama-style "sample each source to its share of an N-token
+    * budget"): per-source desired tokens = budget × target_frac (c13's
+    * nameWeight vector), per-source acceptance rate = min(1, desired /
+    * source_tokens), and each document accepts iff its content
+    * fingerprint lands under the rate on a 1e6 grid (c04's deterministic
+    * hash-rate discipline — resample-stable, no RNG). EVERY quantity is
+    * 64-bit integer arithmetic (budget = tokens·3 div 10, desired =
+    * budget·t_raw div t_tot, rate_ppm = desired·1e6 div src_tokens), so
+    * the acceptance decision is bit-identical across engines and runs —
+    * no float threshold to drift. Oversubscribed sources cap at rate 1
+    * (they cannot mint tokens); the realized budget tracks the ask within
+    * per-source hash-granularity (spec-gated).
+    *
+    * Scale shape: one corpus scan; the only aggregates are a per-source
+    * token sum (map-side combined, |sources| rows) and two scalar totals;
+    * rates broadcast back — text never shuffles. rate_ppm stays exact
+    * while desired·1e6 < 2^63, i.e. budgets to ~9×10¹² tokens per source;
+    * past that, widen the grid to 1e4 (same algebra). */
+  /** [[c16TokenBudget]]'s core over any (doc_id, source, text) relation
+    * with an arbitrary budget fraction and per-source raw target. */
+  private[graft] def tokenBudgetOver(documents: DataFrame, budgetNum: Long,
+      budgetDen: Long, targetRaw: Column): DataFrame = {
+    val d = documents
+      .select(col("doc_id"), col("source"), normText(col("text")).as("norm"))
+      .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
+      .withColumn("fp", polyFp(col("norm")))
+    val bySource = d.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("t_raw", targetRaw.cast("long"))
+    val totals = d.agg(sum(col("n_tokens")).as("total_tokens"))
+    val tTot = bySource.agg(sum(col("t_raw")).as("t_tot"))
+    val rates = bySource.crossJoin(broadcast(totals)).crossJoin(broadcast(tTot))
+      .withColumn("budget", expr(s"total_tokens * $budgetNum div $budgetDen"))
+      .withColumn("desired", expr("budget * t_raw div t_tot"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L), expr("desired * 1000000 div src_tokens")))
+      .select("source", "src_tokens", "rate_ppm")
+    d.join(broadcast(rates), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("src_tokens"), col("rate_ppm"),
+        (pmod(col("fp"), lit(1000000L)) < col("rate_ppm")).as("accepted"))
+  }
+
+  def c16TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    tokenBudgetOver(docs(spark, dir), BudgetNum, BudgetDen,
+      nameWeight(col("source"))).orderBy("doc_id")
+  }
+
+  val c16Sql: String =
+    s"""WITH d2 AS (
+       |  SELECT doc_id, source,
+       |    CAST(len($TokensSql) AS BIGINT) AS n_tokens,
+       |    ${polyFpSql(NormSql)} AS fp
+       |  FROM documents
+       |), src AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+       |    CAST((length(source) * 3 + ascii(left(source, 1))) % 7 + 1 AS BIGINT) AS t_raw
+       |  FROM d2 GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM d2
+       |), tt AS (
+       |  SELECT CAST(sum(t_raw) AS BIGINT) AS t_tot FROM src
+       |), rates AS (
+       |  SELECT source, src_tokens,
+       |    CAST(least(1000000,
+       |      ((total_tokens * $BudgetNum // $BudgetDen) * t_raw // t_tot)
+       |        * 1000000 // src_tokens) AS BIGINT) AS rate_ppm
+       |  FROM src, tot, tt
+       |)
+       |SELECT doc_id, source, n_tokens, src_tokens, rate_ppm,
+       |  (fp % 1000000) < rate_ppm AS accepted
+       |FROM d2 JOIN rates USING (source)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t06
   /** t06: readability statistics (Flesch reading-ease form) — sentence
     * count, word count, vowel-group syllable approximation, and the

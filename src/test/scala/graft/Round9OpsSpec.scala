@@ -114,6 +114,35 @@ class Round9OpsSpec extends GraftSpecBase {
     assert(ex.getMessage.contains("trainSample"))
   }
 
+  test("c16: integer rate algebra exact — oversubscribed source caps at " +
+      "1.0, undersubscribed rate = desired*1e6 div src_tokens") {
+    graft.functions.PolyFingerprint.register(spark)
+    // source "a": 10 docs x 10 tokens = 100; source "b": 10 docs x 30 = 300.
+    // budget = 400/2 = 200; targets a=3, b=1 -> desired a=150 (oversub,
+    // rate 1.0), b=50 -> rate = 50*1e6 div 300 = 166666 ppm.
+    val docs = ((1 to 10).map(i => (i.toLong, "a",
+        (1 to 10).map(j => s"w${i}x$j").mkString(" "))) ++
+      (1 to 10).map(i => (100L + i, "b",
+        (1 to 30).map(j => s"v${i}y$j").mkString(" "))))
+      .toDF("doc_id", "source", "text")
+    val target = when(col("source") === "a", 3L).otherwise(1L)
+    val out = TextOps.tokenBudgetOver(docs, 1L, 2L, target).cache()
+    val rates = out.select("source", "rate_ppm", "src_tokens").distinct()
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rates("a") === (1000000L, 100L))
+    assert(rates("b") === (166666L, 300L))
+    // the capped source ships everything; acceptance is EXACTLY the
+    // fp % 1e6 < rate rule (recomputed independently from the text)
+    assert(out.filter(col("source") === "a" && !col("accepted")).count() === 0)
+    val withFp = out.join(
+      docs.select(col("doc_id"),
+        pmod(TextOps.polyFp(TextOps.normText(col("text"))), lit(1000000L))
+          .as("fp_mod")), "doc_id")
+    assert(withFp.filter(col("accepted") =!= (col("fp_mod") < col("rate_ppm")))
+      .count() === 0)
+    out.unpersist()
+  }
+
   test("t16: tertile buckets are balanced, ordered by nll, and short " +
       "docs land in 'unscored'") {
     val df = TextOps.t16CcnetBuckets(spark, sfDir).cache()
