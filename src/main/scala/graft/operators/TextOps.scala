@@ -746,6 +746,103 @@ object TextOps {
        |FROM d2 JOIN rates USING (source)
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- c17
+  /** c17 budget: 2× the corpus' tokens — big enough that high-weight
+    * sources need MULTIPLE epochs under [[nameWeight]]'s skewed target. */
+  private val UpsampleNum = 2L
+  private val UpsampleDen = 1L
+
+  /** c17: EPOCH UPSAMPLING to the token budget — the other half of c16.
+    * c16 caps oversubscribed sources at rate 1 (a source cannot mint
+    * tokens within one pass); real mixes (Llama/Dolma "epochs over
+    * Wikipedia/books") instead REPEAT under-represented sources: each doc
+    * ships `full = desired div src_tokens` whole epochs, plus one more
+    * iff its content fingerprint lands under the fractional remainder
+    * rate `rem_ppm = (desired mod src_tokens) · 1e6 div src_tokens` —
+    * c04/c16's deterministic hash-rate discipline applied to the partial
+    * epoch, so the emitted token count tracks `desired` within hash
+    * granularity per source, with NO RNG and no float thresholds (every
+    * quantity is 64-bit integer `div`/`mod`). Sources whose desired falls
+    * BELOW their size get full=0 and a fractional pass only — c17
+    * therefore generalizes c16: downsampling and upsampling are the same
+    * algebra, the cap is just `full=0`.
+    *
+    * Output: one row per SHIPPED COPY, `(doc_id, source, n_tokens,
+    * copies, epoch)`, epoch ∈ [1, copies]; docs with copies=0 vanish.
+    * Scale shape: identical to c16 — one corpus scan, a |sources|-row
+    * aggregate + two scalar totals broadcast back; the explode emits
+    * metadata rows only (text never rides the epoch rows — a shipped
+    * corpus materializes text once per copy at WRITE time, which is the
+    * irreducible cost of upsampling, not a shuffle of this plan). */
+  private[graft] def upsampleEpochsOver(documents: DataFrame,
+      budgetNum: Long, budgetDen: Long, targetRaw: Column): DataFrame = {
+    val d = documents
+      .select(col("doc_id"), col("source"), normText(col("text")).as("norm"))
+      .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
+      .withColumn("fp", polyFp(col("norm")))
+    val bySource = d.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("t_raw", targetRaw.cast("long"))
+    val totals = d.agg(sum(col("n_tokens")).as("total_tokens"))
+    val tTot = bySource.agg(sum(col("t_raw")).as("t_tot"))
+    val rates = bySource.crossJoin(broadcast(totals)).crossJoin(broadcast(tTot))
+      .withColumn("desired",
+        expr(s"(total_tokens * $budgetNum div $budgetDen) * t_raw div t_tot"))
+      .withColumn("full_epochs", expr("desired div src_tokens"))
+      .withColumn("rem_ppm",
+        expr("(desired - (desired div src_tokens) * src_tokens) " +
+          "* 1000000 div src_tokens"))
+      .select("source", "full_epochs", "rem_ppm")
+    d.join(broadcast(rates), "source")
+      .withColumn("copies",
+        col("full_epochs") +
+          when(pmod(col("fp"), lit(1000000L)) < col("rem_ppm"), 1L).otherwise(0L))
+      .filter(col("copies") >= 1L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("copies"),
+        explode(expr("sequence(1L, copies)")).as("epoch"))
+  }
+
+  def c17UpsampleEpochs(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    upsampleEpochsOver(docs(spark, dir), UpsampleNum, UpsampleDen,
+      nameWeight(col("source"))).orderBy("doc_id", "epoch")
+  }
+
+  val c17Sql: String =
+    s"""WITH d2 AS (
+       |  SELECT doc_id, source,
+       |    CAST(len($TokensSql) AS BIGINT) AS n_tokens,
+       |    ${polyFpSql(NormSql)} AS fp
+       |  FROM documents
+       |), src AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+       |    CAST((length(source) * 3 + ascii(left(source, 1))) % 7 + 1 AS BIGINT) AS t_raw
+       |  FROM d2 GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM d2
+       |), tt AS (
+       |  SELECT CAST(sum(t_raw) AS BIGINT) AS t_tot FROM src
+       |), rates AS (
+       |  SELECT source,
+       |    CAST(dsr // src_tokens AS BIGINT) AS full_epochs,
+       |    CAST((dsr - (dsr // src_tokens) * src_tokens) * 1000000 // src_tokens
+       |      AS BIGINT) AS rem_ppm
+       |  FROM (
+       |    SELECT source, src_tokens,
+       |      (total_tokens * $UpsampleNum // $UpsampleDen) * t_raw // t_tot AS dsr
+       |    FROM src, tot, tt
+       |  )
+       |), copies AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    full_epochs + CASE WHEN (fp % 1000000) < rem_ppm THEN 1 ELSE 0 END
+       |      AS copies
+       |  FROM d2 JOIN rates USING (source)
+       |)
+       |SELECT doc_id, source, n_tokens, copies,
+       |  unnest(range(1, copies + 1)) AS epoch
+       |FROM copies WHERE copies >= 1
+       |ORDER BY doc_id, epoch""".stripMargin
+
   // ---------------------------------------------------------------- t06
   /** t06: readability statistics (Flesch reading-ease form) — sentence
     * count, word count, vowel-group syllable approximation, and the
@@ -1027,6 +1124,82 @@ object TextOps {
        |    WHEN nll <= t2 THEN 'middle'
        |    ELSE 'tail' END AS ppl_bucket
        |FROM scored, thr ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t17
+  /** PII patterns. Deliberately confined to regex constructs with
+    * IDENTICAL semantics in Java regex (Spark) and RE2 (DuckDB): character
+    * classes, bounded quantifiers, `\d`, `\b` — no lookaround, no
+    * backrefs, no Unicode classes (Java's `\d` is ASCII-only by default,
+    * matching RE2). Patterns run over [[normText]], hence lowercase. */
+  private[graft] val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[graft] val Ipv4Pat =
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val LongNumPat = "\\d{6,}"
+
+  /** t17: PII detection + redaction — the scrub pass every shipped
+    * training corpus runs (emails, IPv4 addresses, long digit runs —
+    * phone/account-shaped; the C4/Dolma scrub categories a regex can
+    * carry). Counts are measured INDEPENDENTLY on the normalized text;
+    * redaction is SEQUENTIAL (email → ip → number, so `<email>`/`<ip>`
+    * placeholders never re-match the digit rule) — both engines mirror
+    * the same order, and the redacted text ships as an md5 so no text
+    * crosses the driver. One row-local codegen'd projection: no shuffle,
+    * no state — the same stream-as-is shape as t15 (piiScrubStream
+    * carries it). The synthetic driver corpus is digit-free, so the
+    * driver entry pins the zero-match identity path (redacted ≡ norm);
+    * Round9BudgetPiiSpec drives engineered emails/IPs/numbers — including
+    * adjacent-PII and boundary cases — through this exact function. */
+  /** The sequential redaction column t17 and its streaming face share. */
+  private[graft] def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailPat, "<email>"),
+        Ipv4Pat, "<ip>"),
+      LongNumPat, "<num>")
+
+  private[graft] def piiRedactOver(documents: DataFrame): DataFrame = {
+    val redacted = redactPii(col("norm"))
+    documents
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("norm"), lit(EmailPat), lit(0))).cast("long"))
+      .withColumn("n_ipv4",
+        size(regexp_extract_all(col("norm"), lit(Ipv4Pat), lit(0))).cast("long"))
+      .withColumn("n_longnum",
+        size(regexp_extract_all(col("norm"), lit(LongNumPat), lit(0))).cast("long"))
+      .withColumn("pii_total",
+        col("n_emails") + col("n_ipv4") + col("n_longnum"))
+      .withColumn("redacted_len", length(redacted).cast("long"))
+      .withColumn("redacted_hash", md5(redacted))
+      .select("doc_id", "n_emails", "n_ipv4", "n_longnum", "pii_total",
+        "redacted_len", "redacted_hash")
+  }
+
+  def t17PiiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedactOver(docs(spark, dir)).orderBy("doc_id")
+
+  val t17Sql: String =
+    s"""WITH base AS (
+       |  SELECT doc_id, $NormSql AS norm FROM documents
+       |), red AS (
+       |  SELECT doc_id, norm,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(norm, '$EmailPat', '<email>', 'g'),
+       |        '$Ipv4Pat', '<ip>', 'g'),
+       |      '$LongNumPat', '<num>', 'g') AS redacted
+       |  FROM base
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(norm, '$EmailPat', 0)) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(norm, '$Ipv4Pat', 0)) AS BIGINT) AS n_ipv4,
+       |  CAST(len(regexp_extract_all(norm, '$LongNumPat', 0)) AS BIGINT) AS n_longnum,
+       |  CAST(len(regexp_extract_all(norm, '$EmailPat', 0))
+       |    + len(regexp_extract_all(norm, '$Ipv4Pat', 0))
+       |    + len(regexp_extract_all(norm, '$LongNumPat', 0)) AS BIGINT) AS pii_total,
+       |  CAST(length(redacted) AS BIGINT) AS redacted_len,
+       |  md5(redacted) AS redacted_hash
+       |FROM red ORDER BY doc_id""".stripMargin
 
   // ---------------------------------------------------------------- d07
   /** Incoming-batch selector for [[d07IncrementalDedup]]: every

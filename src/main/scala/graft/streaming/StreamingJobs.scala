@@ -870,4 +870,16 @@ object StreamingJobs {
     graft.operators.GopherRules
       .gopherStatsOver(docs, split(col("text"), "\n"))
       .withColumn("gopher_pass", coalesce(col("gopher_pass"), lit(false)))
+
+  // ----------------------------------------------------- PII scrub
+  /** Streaming face of t17's PII redaction: counts + sequential
+    * redaction are one row-local codegen'd projection (no shuffle, no
+    * state — the t15 shape), so the scrub streams as-is over each
+    * micro-batch. A null text coalesces to the empty string BEFORE the
+    * scan (fail-safe: zero counts, the empty redaction hash) rather than
+    * emitting nulls downstream sinks would have to re-police. Bit-parity
+    * with batch `piiRedactOver` is spec-pinned on a MemoryStream. */
+  def piiScrubStream(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.piiRedactOver(
+      docs.withColumn("text", coalesce(col("text"), lit(""))))
 }

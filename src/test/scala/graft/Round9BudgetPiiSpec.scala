@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.TextOps
+
+/** Round-9 additions: c17 epoch upsampling (the exact integer algebra of
+  * whole + fractional epochs, its equivalence to c16's acceptance set, the
+  * multi-epoch driver path) and t17 PII redaction (engineered
+  * emails/IPs/digit-runs through the exact driver function, boundary cases,
+  * the zero-match identity on the digit-free driver corpus, and the
+  * streaming face's batch bit-parity). */
+class Round9BudgetPiiSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // the Over-cores are called directly (no driver entry in front), so the
+  // native fingerprint expression needs its session registration here
+  graft.functions.PolyFingerprint.register(spark)
+
+  private def fourDocs() = Seq(
+    (1L, "a", "w w w w w"), (2L, "a", "v v v v v"),
+    (3L, "b", "x x x x x"), (4L, "b", "y y y y y")
+  ).toDF("doc_id", "source", "text")
+
+  test("c17 algebra: whole epochs are exact — desired div src_tokens " +
+      "copies each, contiguous epoch numbering, zero remainder") {
+    // total=20 tokens, budget=2x=40; t_raw a=3,b=1 (t_tot=4):
+    // desired_a=30 -> full=3 rem=0; desired_b=10 -> full=1 rem=0.
+    val out = TextOps.upsampleEpochsOver(fourDocs(), 2L, 1L,
+        when(col("source") === "a", 3L).otherwise(1L))
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(byDoc(2L).map(_._3).sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(byDoc(3L).map(_._3).sorted.toSeq == Seq(1L))
+    assert(byDoc(4L).map(_._3).sorted.toSeq == Seq(1L))
+    assert(out.forall { case (_, copies, epoch) => epoch >= 1 && epoch <= copies })
+  }
+
+  test("c17 algebra: the fractional epoch is c04's hash-rate decision — " +
+      "copies = full + [fp % 1e6 < rem_ppm], bit-exact per doc") {
+    // budget=3/2x30=30; desired_a=22 -> full=2 rem_ppm=200000;
+    // desired_b=7 -> full=0 rem_ppm=700000 (pure fractional pass).
+    val docsDf = fourDocs()
+    val out = TextOps.upsampleEpochsOver(docsDf, 3L, 2L,
+        when(col("source") === "a", 3L).otherwise(1L))
+      .groupBy("doc_id").agg(max("copies").as("copies"), count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fps = docsDf.select(col("doc_id"),
+        pmod(TextOps.polyFp(TextOps.normText(col("text"))), lit(1000000L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (id <- Seq(1L, 2L)) {
+      val expect = 2L + (if (fps(id) < 200000L) 1L else 0L)
+      assert(out(id) == ((expect, expect)), s"doc $id")
+    }
+    for (id <- Seq(3L, 4L)) {
+      if (fps(id) < 700000L) assert(out(id) == ((1L, 1L)), s"doc $id")
+      else assert(!out.contains(id), s"doc $id should ship zero copies")
+    }
+  }
+
+  test("c17 generalizes c16: the set of shipped docs equals c16's accepted " +
+      "set under the same budget and target, capped sources included") {
+    val documents = spark.read.parquet(s"$sfDir/documents.parquet")
+    val target = (length(col("source")) % 3 + 1).cast("long")
+    for ((num, den) <- Seq((3L, 10L), (2L, 1L))) {
+      val accepted = TextOps.tokenBudgetOver(documents, num, den, target)
+        .filter(col("accepted")).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val shipped = TextOps.upsampleEpochsOver(documents, num, den, target)
+        .select("doc_id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(shipped == accepted, s"budget $num/$den")
+    }
+  }
+
+  test("c17 driver entry: multi-epoch actually fires on the corpus and " +
+      "row count is the sum of per-doc copies") {
+    val rows = TextOps.c17UpsampleEpochs(spark, sfDir).collect()
+    assert(rows.map(_.getLong(3)).max >= 2L,
+      "the 2x budget must drive at least one source past one epoch")
+    val perDoc = rows.groupBy(_.getLong(0))
+    perDoc.foreach { case (id, rs) =>
+      val copies = rs.head.getLong(3)
+      assert(rs.map(_.getLong(4)).sorted.toSeq == (1L to copies),
+        s"doc $id epochs not contiguous")
+    }
+    assert(rows.length == perDoc.map(_._2.head.getLong(3)).sum)
+  }
+
+  private def pii(rows: Seq[(Long, String)]) =
+    TextOps.piiRedactOver(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+  test("t17: engineered emails, IPv4s and digit runs count and redact " +
+      "through the exact driver function") {
+    val out = pii(Seq(
+      (1L, "Contact Bob@Example.com or a.b-c_d@ex-ample.co.uk today"),
+      (2L, "server at 10.0.0.1 and 192.168.1.100 up"),
+      (3L, "acct 12345678 code 123456 pin 12345"),
+      (4L, "mail x@y.io from 8.8.8.8 ref 9876543210"),
+      (5L, "no pii here at all")))
+    assert(out(1L) == ((2L, 0L, 0L, 2L)))
+    assert(out(2L) == ((0L, 2L, 0L, 2L)))
+    assert(out(3L) == ((0L, 0L, 2L, 2L)))  // the 5-digit pin stays
+    assert(out(4L) == ((1L, 1L, 1L, 3L)))
+    assert(out(5L) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("t17: sequential redaction — placeholders never re-match, " +
+      "boundaries behave (five-octet run, trailing dot, short numbers)") {
+    def red(s: String): String =
+      Seq((0L, s)).toDF("doc_id", "text")
+        .select(TextOps.redactPii(TextOps.normText(col("text"))))
+        .head().getString(0)
+    assert(red("mail x@y.io from 8.8.8.8 ref 9876543210")
+      == "mail <email> from <ip> ref <num>")
+    // a five-octet run: the IPv4 rule takes the leftmost four octets
+    assert(red("addr 1.2.3.4.5 end") == "addr <ip>.5 end")
+    // trailing sentence dot is not part of the email
+    assert(red("write bob@ex.com.") == "write <email>.")
+    // five digits survive, six fall
+    assert(red("a 12345 b 123456 c") == "a 12345 b <num> c")
+    // digits inside an already-redacted email never double-count:
+    // 1234567@ex.com is ONE email, zero long-nums after redaction
+    assert(red("id 1234567@ex.com here") == "id <email> here")
+  }
+
+  test("t17 driver entry: the digit-free corpus pins the zero-match " +
+      "identity — all counts zero, redacted hash == md5(norm)") {
+    val rows = TextOps.t17PiiRedact(spark, sfDir)
+    assert(rows.filter(col("pii_total") =!= 0L).count() == 0L)
+    val mismatch = rows.join(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), md5(TextOps.normText(col("text"))).as("h")),
+        "doc_id")
+      .filter(col("redacted_hash") =!= col("h"))
+    assert(mismatch.count() == 0L)
+  }
+
+  test("piiScrubStream: a real stream scrubs bit-identically to batch; " +
+      "null text fails safe to the empty-string row") {
+    val data = Seq(
+      (1L, "mail x@y.io from 8.8.8.8 ref 9876543210"),
+      (2L, "no pii at all"),
+      (3L, null.asInstanceOf[String]))
+    val batch = TextOps.piiRedactOver(
+        data.toDF("doc_id", "text").withColumn("text",
+          coalesce(col("text"), lit(""))))
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs
+      .piiScrubStream(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("pii_r9").outputMode("append")
+      .start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("pii_r9").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(streamed == batch)
+    assert(streamed(3L).head == 0L) // null text: zero counts, not null
+  }
+}
