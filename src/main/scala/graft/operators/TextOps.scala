@@ -562,6 +562,96 @@ object TextOps {
        |FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
        |WHERE d.doc_id % $EvalMod <> 0 ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- c18
+  /** c18: benchmark CONTAMINATION REPORT — c06 in the other direction.
+    * c06 answers "which training docs must I drop"; the leakage audit a
+    * lab actually publishes answers "how compromised is each BENCHMARK
+    * item": per eval doc, its distinct word-4-gram count, how many of
+    * those grams appear anywhere in the training split (`n_leaked`, the
+    * GPT-3-appendix dirtiness measure), the leaked fraction, and how many
+    * DISTINCT training documents share at least one gram with it
+    * (`n_train_docs_hit` — the blast radius c06 would have to drop for
+    * this one item). Grams are the same native xxhash64 longs as c06 —
+    * 8-byte keys shuffle, never gram strings.
+    *
+    * Scale shape: a real benchmark is FIXED SIZE, so the eval gram side
+    * broadcasts and every join against the train grams is map-side; the
+    * (eval, train) pair census is bounded by gram document-frequency ×
+    * |eval grams| — never quadratic in the corpus (the d02 shared-key
+    * argument). The synthetic eval split (every 97th doc) grows with the
+    * corpus, so as in c06 there is deliberately no broadcast hint: AQE
+    * broadcasts while it fits. Eval docs too short to own a 4-gram keep
+    * their row with n_grams=0 and a NULL leak fraction. */
+  def c18ContaminationReport(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    contaminationReportOver(docs(spark, dir), EvalMod)
+  }
+
+  /** [[c18ContaminationReport]]'s core over any (doc_id, text) relation
+    * with an arbitrary eval-split modulus. */
+  private[graft] def contaminationReportOver(documents: DataFrame,
+      evalMod: Int): DataFrame = {
+    val grams = documents
+      .select(col("doc_id"),
+        explode(graft.functions.Ngrams.ngramHashes(tokensOf(col("text")), 4)).as("g"))
+    val evalG = grams.filter(col("doc_id") % evalMod === 0).distinct()
+    val trainG = grams.filter(col("doc_id") % evalMod =!= 0).distinct()
+    val totals = evalG.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val leaked = evalG
+      .join(trainG.select(col("g")).distinct(), Seq("g"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_leaked"))
+    val hits = evalG.join(
+        trainG.withColumnRenamed("doc_id", "train_doc"), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("train_doc")).as("n_train_docs_hit"))
+    documents.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
+      .join(leaked, Seq("doc_id"), "left")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(null))
+          .otherwise(round(coalesce(col("n_leaked"), lit(0L)).cast("double")
+            / col("n_grams"), 6)).as("leak_frac"),
+        coalesce(col("n_train_docs_hit"), lit(0L)).as("n_train_docs_hit"))
+      .orderBy("doc_id")
+  }
+
+  val c18Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $TokensSql AS tk FROM documents
+       |), grams AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
+       |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g
+       |  FROM toks
+       |), eval_g AS (
+       |  SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % $EvalMod = 0
+       |), train_g AS (
+       |  SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % $EvalMod <> 0
+       |), tot AS (
+       |  SELECT doc_id, count(*) AS n_grams FROM eval_g GROUP BY doc_id
+       |), lk AS (
+       |  SELECT doc_id, count(*) AS n_leaked FROM eval_g
+       |  WHERE g IN (SELECT DISTINCT g FROM train_g) GROUP BY doc_id
+       |), hit AS (
+       |  SELECT e.doc_id, count(DISTINCT t.doc_id) AS n_hit
+       |  FROM eval_g e JOIN train_g t ON e.g = t.g GROUP BY e.doc_id
+       |)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+       |  CAST(coalesce(lk.n_leaked, 0) AS BIGINT) AS n_leaked,
+       |  CASE WHEN coalesce(tot.n_grams, 0) = 0 THEN NULL
+       |    ELSE round(coalesce(lk.n_leaked, 0) * 1.0 / tot.n_grams, 6)
+       |  END AS leak_frac,
+       |  CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_train_docs_hit
+       |FROM documents d
+       |LEFT JOIN tot ON d.doc_id = tot.doc_id
+       |LEFT JOIN lk ON d.doc_id = lk.doc_id
+       |LEFT JOIN hit ON d.doc_id = hit.doc_id
+       |WHERE d.doc_id % $EvalMod = 0 ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- c07
   /** c07: domain-mixture reweighting — the per-source sampling weights that
     * rebalance a crawled corpus toward a target mixture (uniform across

@@ -140,6 +140,45 @@ class Round9BudgetPiiSpec extends GraftSpecBase {
     assert(mismatch.count() == 0L)
   }
 
+  test("c18 core: per-eval-item gram totals, leaked grams, leak fraction " +
+      "and distinct-train-doc blast radius are exact") {
+    graft.functions.Ngrams.register(spark)
+    val corpus = Seq(
+      (0L, "a b c d e f"),      // eval: grams {abcd, bcde, cdef}
+      (5L, "m n o p"),          // eval: one gram, unleaked
+      (10L, "x y"),             // eval: too short for a 4-gram
+      (1L, "a b c d x"),        // train: carries "a b c d"
+      (2L, "z q b c d e y"),    // train: carries "b c d e"
+      (3L, "p q r s")           // train: clean
+    ).toDF("doc_id", "text")
+    val out = TextOps.contaminationReportOver(corpus, 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]), r.getLong(4))).toMap
+    assert(out(0L) == ((3L, 2L, Some(0.666667), 2L)))
+    assert(out(5L) == ((1L, 0L, Some(0.0), 0L)))
+    assert(out(10L) == ((0L, 0L, None, 0L)))
+    assert(out.size == 3)
+  }
+
+  test("c18 driver entry: one row per eval doc, counts bounded, and the " +
+      "leak report agrees with c06's training-side contamination") {
+    val rows = TextOps.c18ContaminationReport(spark, sfDir).collect()
+    val nEval = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id") % 97 === 0).count()
+    assert(rows.length == nEval)
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    assert(rows.forall(r => r.isNullAt(3) == (r.getLong(1) == 0L)))
+    // c06 flags train docs; if any are contaminated, the eval-side report
+    // must see leakage, and vice versa
+    val c06Contaminated = TextOps.c06Decontaminate(spark, sfDir)
+      .filter(col("contaminated")).count()
+    val evalLeaked = rows.map(_.getLong(2)).sum
+    assert((c06Contaminated > 0) == (evalLeaked > 0))
+    if (c06Contaminated > 0)
+      assert(rows.map(_.getLong(4)).max >= 1L)
+  }
+
   test("piiScrubStream: a real stream scrubs bit-identically to batch; " +
       "null text fails safe to the empty-string row") {
     val data = Seq(
