@@ -48,9 +48,11 @@ object GopherRules {
     * (doc_id, text) relation and a lines-array column. One projection:
     * every metric is a higher-order-function fold over the token/line
     * arrays — nothing leaves the row until the final orderBy. */
-  def gopherStatsOver(docsDf: DataFrame, linesCol: Column): DataFrame = {
+  def gopherStatsOver(docsDf: DataFrame, linesCol: Column,
+      keep: Seq[String] = Nil): DataFrame = {
     val out = docsDf
-      .select(col("doc_id"), col("text"), linesCol.as("lines"))
+      .select(col("doc_id") +: col("text") +: linesCol.as("lines") +:
+        keep.map(col): _*)
       .withColumn("norm", TextOps.normText(col("text")))
       .withColumn("tk", split(col("norm"), " "))
       .withColumn("n_words", size(col("tk")).cast("long"))
@@ -85,9 +87,9 @@ object GopherRules {
         (col("ellipsis_line_frac") <= MaxEllipsisFrac) &&
         (col("alpha_word_frac") >= MinAlphaFrac) &&
         (col("n_req_stops") >= MinReqStops))
-      .select("doc_id", "n_words", "mean_word_len", "symbol_ratio",
+      .select((Seq("doc_id", "n_words", "mean_word_len", "symbol_ratio",
         "bullet_line_frac", "ellipsis_line_frac", "alpha_word_frac",
-        "n_req_stops", "gopher_pass")
+        "n_req_stops", "gopher_pass") ++ keep).map(col): _*)
   }
 
   /** t15 driver entry: the rules over the corpus, lines = the c14 aligned

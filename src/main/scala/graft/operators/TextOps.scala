@@ -105,25 +105,35 @@ object TextOps {
   // ---------------------------------------------------------------- t02
   /** t02: quality scoring — length, punctuation ratio, stopword ratio,
     * mean token length, and a weighted composite. */
-  def t02QualityScore(spark: SparkSession, dir: String): DataFrame = {
+  /** Adds t02's metric columns (`norm`, `tk`, `n_chars`, `n_tokens`,
+    * `punct_ratio`, `stop_ratio`, `mean_token_len`, `quality_score`) to
+    * any relation with a `text` column — the one definition t02 and the
+    * composed streaming ingest gate share. */
+  private[graft] def qualityCols(df: DataFrame): DataFrame = {
     val allStop = Stopwords.flatMap(_._2).distinct
-    docs(spark, dir)
-      .select(col("doc_id"), normText(col("text")).as("norm"))
+    df
+      .withColumn("norm", normText(col("text")))
       .withColumn("tk", split(col("norm"), " "))
       .withColumn("n_chars", length(col("norm")).cast("long"))
       .withColumn("n_tokens", size(col("tk")).cast("long"))
+      // greatest(·,1) only matters for the streaming face's coalesced
+      // empty text (ANSI divide-by-zero); every real doc has chars
       .withColumn("punct_ratio",
-        round(length(regexp_replace(col("norm"), "[a-z0-9 ]", "")).cast("double") / col("n_chars"), 6))
+        round(length(regexp_replace(col("norm"), "[a-z0-9 ]", "")).cast("double")
+          / greatest(col("n_chars"), lit(1L)), 6))
       .withColumn("stop_ratio", round(stopCount(col("tk"), allStop).cast("double") / col("n_tokens"), 6))
       .withColumn("mean_token_len",
         round(length(regexp_replace(col("norm"), " ", "")).cast("double") / col("n_tokens"), 6))
       .withColumn("quality_score",
         round(lit(0.4) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio"))
           + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100.0), 6))
+  }
+
+  def t02QualityScore(spark: SparkSession, dir: String): DataFrame =
+    qualityCols(docs(spark, dir))
       .select("doc_id", "n_chars", "n_tokens", "punct_ratio", "stop_ratio",
         "mean_token_len", "quality_score")
       .orderBy("doc_id")
-  }
 
   val t02Sql: String = {
     val allStop = Stopwords.flatMap(_._2).distinct
@@ -1247,10 +1257,11 @@ object TextOps {
         Ipv4Pat, "<ip>"),
       LongNumPat, "<num>")
 
-  private[graft] def piiRedactOver(documents: DataFrame): DataFrame = {
+  /** Adds t17's PII columns to any relation carrying a `norm` column —
+    * shared by the driver entry and the composed streaming ingest gate. */
+  private[graft] def piiCols(df: DataFrame): DataFrame = {
     val redacted = redactPii(col("norm"))
-    documents
-      .select(col("doc_id"), normText(col("text")).as("norm"))
+    df
       .withColumn("n_emails",
         size(regexp_extract_all(col("norm"), lit(EmailPat), lit(0))).cast("long"))
       .withColumn("n_ipv4",
@@ -1261,9 +1272,12 @@ object TextOps {
         col("n_emails") + col("n_ipv4") + col("n_longnum"))
       .withColumn("redacted_len", length(redacted).cast("long"))
       .withColumn("redacted_hash", md5(redacted))
+  }
+
+  private[graft] def piiRedactOver(documents: DataFrame): DataFrame =
+    piiCols(documents.select(col("doc_id"), normText(col("text")).as("norm")))
       .select("doc_id", "n_emails", "n_ipv4", "n_longnum", "pii_total",
         "redacted_len", "redacted_hash")
-  }
 
   def t17PiiRedact(spark: SparkSession, dir: String): DataFrame =
     piiRedactOver(docs(spark, dir)).orderBy("doc_id")

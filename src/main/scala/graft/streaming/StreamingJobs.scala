@@ -882,4 +882,52 @@ object StreamingJobs {
   def piiScrubStream(docs: DataFrame): DataFrame =
     graft.operators.TextOps.piiRedactOver(
       docs.withColumn("text", coalesce(col("text"), lit(""))))
+
+  // --------------------------------------------------- composed ingest gate
+  /** The INGEST-TIME slice of p01 as one streaming job — every gate that
+    * is decidable per document, composed: Gopher rule metrics (t15) +
+    * t02 heuristic quality + t17 PII scrub in a single stateless
+    * row-local projection, then the length/quality/(optionally Gopher)
+    * gates with c03's first-failure reason discipline, then exact dedup
+    * within the watermark horizon (the only state, bounded by it).
+    * Accepted docs ship with their scrubbed hash; gate failures land in
+    * the quarantine leg with their reason and full audit metrics (the
+    * corpusIngest contract, widened to the full gate set).
+    *
+    * The corpus-GLOBAL p01 stages deliberately stay out: near-dup,
+    * LM-gate, mix and pack need standing state, and each already has its
+    * own face (neardupProbeStream / semdedupProbeStream over the
+    * standing stores; mix/pack are per-corpus-generation batch jobs).
+    * `requireGopher` defaults off because Gopher's 50-word floor is
+    * policy for crawl text, not for every stream — the metrics ride
+    * along either way, so a sink can re-gate without reprocessing.
+    * Null text coalesces to "" before any metric (the piiScrubStream
+    * fail-safe): it quarantines as too_short, never as a null row. */
+  def curateIngestStream(docs: DataFrame, watermark: String = "1 hour",
+      lenMin: Long = 5L, lenMax: Long = 10000L, qualityMin: Double = 0.35,
+      requireGopher: Boolean = false): DataFrame = {
+    import graft.operators.{GopherRules, TextOps}
+    val gated = TextOps.piiCols(
+        TextOps.qualityCols(
+          GopherRules.gopherStatsOver(
+            docs.withColumn("text", coalesce(col("text"), lit(""))),
+            split(col("text"), "\n"), keep = Seq("text", "ts"))
+            .withColumn("gopher_pass", coalesce(col("gopher_pass"), lit(false)))))
+      .withWatermark("ts", watermark)
+      .withColumn("content_hash", md5(col("norm")))
+      .withColumn("reject_reason",
+        when(!col("n_tokens").between(lenMin, lenMax), "length")
+          .when(col("quality_score") < qualityMin, "low_quality")
+          .when(lit(requireGopher) && !col("gopher_pass"), "gopher_fail"))
+    val out = Seq("doc_id", "ts", "content_hash", "n_tokens",
+      "quality_score", "gopher_pass", "pii_total", "redacted_hash")
+    val accepted = gated.filter(col("reject_reason").isNull)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select(out.map(col) :+ lit("accepted").as("status")
+        :+ lit(null).cast("string").as("reject_reason"): _*)
+    val quarantined = gated.filter(col("reject_reason").isNotNull)
+      .select(out.map(col) :+ lit("quarantined").as("status")
+        :+ col("reject_reason"): _*)
+    accepted.unionByName(quarantined)
+  }
 }

@@ -140,6 +140,83 @@ class Round9BudgetPiiSpec extends GraftSpecBase {
     assert(mismatch.count() == 0L)
   }
 
+  private val OkText = "the cat and the dog have to be with that table now"
+
+  private def runIngest(data: Seq[(Long, String, java.sql.Timestamp)],
+      requireGopher: Boolean, queryName: String) = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.StreamingJobs
+      .curateIngestStream(mem.toDF.toDF("doc_id", "text", "ts"),
+        requireGopher = requireGopher)
+      .writeStream.format("memory").queryName(queryName).outputMode("append")
+      .start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.table(queryName).collect()
+      .map(r => r.getLong(0) -> r).toMap
+  }
+
+  test("curateIngestStream: the composed gate quarantines with first-" +
+      "failure reasons, dedups exact copies, scrubs PII, and every audit " +
+      "metric is bit-identical to its batch face") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val piiText = "contact bob@ex.com about the offer and the terms today now"
+    val data = Seq(
+      (1L, OkText, ts),
+      (2L, OkText, ts),                       // exact dup of 1 -> dropped
+      (3L, "tiny one", ts),                   // too short
+      (4L, "$$$ %%% ^^^ &&& *** ###", ts),    // long enough, junk quality
+      (5L, piiText, ts),
+      (6L, null.asInstanceOf[String], ts))    // null -> "" -> length
+    val out = runIngest(data, requireGopher = false, "curate_r9")
+
+    // doc 1 or 2 accepted (first occurrence within the batch), not both
+    assert(Seq(1L, 2L).count(out.contains) == 1)
+    val okId = Seq(1L, 2L).find(out.contains).get
+    assert(out(okId).getAs[String]("status") == "accepted")
+    assert(out(3L).getAs[String]("reject_reason") == "length")
+    assert(out(4L).getAs[String]("reject_reason") == "low_quality")
+    assert(out(5L).getAs[String]("status") == "accepted")
+    assert(out(6L).getAs[String]("reject_reason") == "length")
+
+    // PII scrubbed: counts flag the email, hash is the REDACTED hash
+    assert(out(5L).getAs[Long]("pii_total") == 1L)
+    assert(out(5L).getAs[String]("redacted_hash") !=
+      out(5L).getAs[String]("content_hash"))
+
+    // audit metrics == the batch faces, bit for bit
+    val statics = Seq((1L, OkText), (4L, "$$$ %%% ^^^ &&& *** ###"),
+      (5L, piiText)).toDF("doc_id", "text")
+    val batchQ = TextOps.qualityCols(statics)
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    for ((bid, sid) <- Seq((1L, okId), (4L, 4L), (5L, 5L))) {
+      assert(out(sid).getAs[Double]("quality_score") == batchQ(bid)._1)
+      assert(out(sid).getAs[Long]("n_tokens") == batchQ(bid)._2)
+    }
+    val batchPii = TextOps.piiRedactOver(statics)
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("redacted_hash")).toMap
+    assert(out(5L).getAs[String]("redacted_hash") == batchPii(5L))
+    val batchGopher = graft.operators.GopherRules
+      .gopherStatsOver(statics, split(col("text"), "\n"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("gopher_pass")).toMap
+    assert(out(okId).getAs[Boolean]("gopher_pass") == batchGopher(1L))
+  }
+
+  test("curateIngestStream: requireGopher turns the audit metric into a " +
+      "gate — the same doc flips from accepted to gopher_fail") {
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val out = runIngest(Seq((1L, OkText, ts)), requireGopher = true,
+      "curate_r9_gopher")
+    // OkText passes length+quality but sits under Gopher's 50-word floor
+    assert(out(1L).getAs[String]("status") == "quarantined")
+    assert(out(1L).getAs[String]("reject_reason") == "gopher_fail")
+    assert(!out(1L).getAs[Boolean]("gopher_pass"))
+  }
+
   test("c18 core: per-eval-item gram totals, leaked grams, leak fraction " +
       "and distinct-train-doc blast radius are exact") {
     graft.functions.Ngrams.register(spark)
