@@ -467,4 +467,89 @@ object GraphOps {
        |  CAST((pr + 500) // 1000 AS DOUBLE) / 1000000000.0 AS pr_score
        |FROM pr$PrIters ORDER BY doc_id""".stripMargin
   }
+
+  // ---------------------------------------------------------------- g08
+  /** Every `LpSeedMod`-th document is a labeled seed; its source plays
+    * the class label. */
+  private[graft] val LpSeedMod = 13
+  private[graft] val LpRounds = 3
+
+  /** g08: semi-supervised LABEL PROPAGATION over the document graph
+    * (Zhu & Ghahramani '02 / Raghavan LPA, made DETERMINISTIC): seeds are
+    * clamped, and each synchronous round every non-seed node takes the
+    * majority label among its LABELED neighbors — ties broken by the
+    * lexicographically smallest label (`min_by` over the (-count, label)
+    * struct, so no RNG and no update-order dependence; the async variant
+    * that makes classic LPA non-deterministic is exactly what this
+    * avoids). A node with no labeled neighbor keeps its current (possibly
+    * null) label — the frontier expands one hop per round. The corpus
+    * analog: spread a handful of human topic/quality labels over the
+    * near-dup/link graph to weak-label the rest.
+    *
+    * Scale shape: per round, one (vertex, label) count aggregate and one
+    * per-vertex argmin — both shuffle 8-byte ids + short labels, never
+    * text; adjacency is read once per round (bucketed by vertex at scale,
+    * the g05/g06 zero-exchange iteration discipline applies verbatim).
+    * Rounds are a fixed small constant (label spread saturates at the
+    * graph diameter of interest), so the unrolled-CTE oracle is exact. */
+  private[graft] def labelPropOver(seedRel: DataFrame, e: DataFrame,
+      rounds: Int): DataFrame = {
+    val adj = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    var labels = seedRel.select(col("v"), col("seed_lab").as("lab"))
+    for (_ <- 1 to rounds) {
+      val cand = adj.join(labels.filter(col("lab").isNotNull), "v")
+        .groupBy(col("u"), col("lab")).agg(count(lit(1)).as("c"))
+      val pick = cand.groupBy(col("u"))
+        .agg(min_by(col("lab"), struct(lit(0L) - col("c"), col("lab")))
+          .as("new_lab"))
+        .select(col("u").as("v"), col("new_lab"))
+      labels = seedRel
+        .join(labels.select(col("v"), col("lab").as("prev_lab")), Seq("v"))
+        .join(pick, Seq("v"), "left")
+        .select(col("v"),
+          coalesce(col("seed_lab"), col("new_lab"), col("prev_lab")).as("lab"))
+    }
+    labels
+  }
+
+  def g08LabelProp(spark: SparkSession, dir: String): DataFrame = {
+    val docsDf = Tables(spark, dir).documents.select(col("doc_id"), col("source"))
+    val seedRel = docsDf.select(col("doc_id").as("v"),
+      when(col("doc_id") % LpSeedMod === 0, col("source")).as("seed_lab"))
+    labelPropOver(seedRel, edges(spark, dir), LpRounds)
+      .select(col("v").as("doc_id"), col("lab").as("label"),
+        (col("v") % LpSeedMod === 0).as("is_seed"))
+      .orderBy("doc_id")
+  }
+
+  val g08Sql: String = {
+    val iters = (0 until LpRounds).map { k =>
+      s"""c${k + 1} AS (
+         |  SELECT adj.u, l.lab, count(*) AS c
+         |  FROM adj JOIN l$k l ON adj.v = l.v WHERE l.lab IS NOT NULL
+         |  GROUP BY adj.u, l.lab
+         |), p${k + 1} AS (
+         |  SELECT u AS v, lab AS new_lab FROM (
+         |    SELECT u, lab,
+         |      row_number() OVER (PARTITION BY u ORDER BY c DESC, lab ASC) AS rn
+         |    FROM c${k + 1}
+         |  ) WHERE rn = 1
+         |), l${k + 1} AS (
+         |  SELECT s.v, coalesce(s.seed_lab, p.new_lab, l.lab) AS lab
+         |  FROM seeds s JOIN l$k l ON s.v = l.v
+         |  LEFT JOIN p${k + 1} p ON s.v = p.v
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $EdgesSql,
+       |adj AS (SELECT a AS u, b AS v FROM edges
+       |        UNION ALL SELECT b AS u, a AS v FROM edges),
+       |seeds AS (SELECT doc_id AS v,
+       |  CASE WHEN doc_id % $LpSeedMod = 0 THEN source END AS seed_lab
+       |  FROM documents),
+       |l0 AS (SELECT v, seed_lab AS lab FROM seeds),
+       |$iters
+       |SELECT v AS doc_id, lab AS label, (v % $LpSeedMod = 0) AS is_seed
+       |FROM l$LpRounds ORDER BY doc_id""".stripMargin
+  }
 }
