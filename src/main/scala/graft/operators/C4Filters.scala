@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** t19: the C4 cleaning heuristics (Raffel et al. JMLR'20 §2.2 — the
+  * line-and-page rules every Common-Crawl-derived corpus since has run a
+  * variant of; FineWeb/Dolma keep the same shape): line-level retention
+  * (terminal punctuation + minimum word count + no "javascript") and
+  * page-level drops (fewer than 3 sentences, "lorem ipsum", a curly
+  * brace). t15 (Gopher) gates on token statistics; THIS gates on line
+  * structure — a production pipeline runs both, which is why they share
+  * the pluggable-lines discipline (real newline lines in the spec, c14
+  * aligned pseudo-lines on the single-line driver corpus).
+  *
+  * Entirely row-local — one codegen'd projection of higher-order-function
+  * folds over the lines array, no shuffle, no state — so the filter
+  * streams as-is ([[graft.streaming.StreamingJobs.c4GateStream]]).
+  * The kept-line fraction rounds to 1e-6 in INTEGER space
+  * ([[TextOps.ratioMicro]], §6(d)).
+  *
+  * Reference analog: `AnalyzeBatch.groovy:88-97` — per-row regex validity
+  * gates before processing; these are that gate's corpus-scale line rules.
+  */
+object C4Filters {
+  /** C4 keeps only lines with ≥5 words. */
+  val MinLineWords = 5
+  /** C4 drops pages with <3 sentences. */
+  val MinSentences = 3L
+  /** A kept line must end in one of these (C4's terminal punctuation). */
+  val TerminalPunct: Seq[String] = Seq(".", "!", "?", "\"")
+
+  /** Per-document C4 metrics + the composite pass flag over any
+    * (doc_id, text) relation and a lines-array column. A line is KEPT iff
+    * it ends in terminal punctuation, has ≥ [[MinLineWords]] words, and
+    * does not mention "javascript" (case-insensitive). The page passes
+    * iff ≥ [[MinSentences]] sentences, ≥1 kept line, no "lorem ipsum",
+    * and no curly brace. */
+  def c4StatsOver(docsDf: DataFrame, linesCol: Column,
+      keep: Seq[String] = Nil): DataFrame = {
+    def lineKept(l: Column): Column = {
+      val t = rtrim(l)
+      TerminalPunct.map(p => t.endsWith(p)).reduce(_ || _) &&
+        (size(split(trim(l), "\\s+")) >= MinLineWords) &&
+        !lower(l).contains("javascript")
+    }
+    docsDf
+      .select(col("doc_id") +: col("text") +: linesCol.as("lines") +:
+        keep.map(col): _*)
+      .withColumn("low", lower(col("text")))
+      .withColumn("n_lines", size(col("lines")).cast("long"))
+      .withColumn("n_kept_lines",
+        size(filter(col("lines"), lineKept(_))).cast("long"))
+      .withColumn("kept_line_frac",
+        TextOps.ratioMicro("n_kept_lines", "greatest(n_lines, 1)")
+          .cast("double") / 1e6)
+      // t06's sentence census: nonempty [.!?]+-delimited segments
+      .withColumn("n_sentences",
+        size(filter(split(col("low"), "[.!?]+"), s => length(trim(s)) > 0))
+          .cast("long"))
+      .withColumn("has_lorem", col("low").contains("lorem ipsum"))
+      .withColumn("has_brace",
+        col("text").contains("{") || col("text").contains("}"))
+      .withColumn("c4_pass",
+        (col("n_sentences") >= MinSentences) && (col("n_kept_lines") >= 1L) &&
+          !col("has_lorem") && !col("has_brace"))
+      .select((Seq("doc_id", "n_lines", "n_kept_lines", "kept_line_frac",
+        "n_sentences", "has_lorem", "has_brace", "c4_pass") ++ keep)
+        .map(col): _*)
+  }
+
+  /** t19 driver entry: the heuristics over the corpus, lines = the c14
+    * aligned pseudo-lines (the synthetic texts are single-line). */
+  def t19C4Filters(spark: SparkSession, dir: String): DataFrame =
+    c4StatsOver(
+      Tables(spark, dir).documents.select(col("doc_id"), col("text")),
+      TextOps.chunkLines(TextOps.tokensOf(col("text")), TextOps.LineTokens))
+      .orderBy("doc_id")
+
+  val t19Sql: String = {
+    import TextOps.{LineTokens, TokensSql}
+    // '"' needs no escape inside a single-quoted SQL literal
+    val terminalSql = TerminalPunct
+      .map(p => s"ends_with(rtrim(l), '$p')").mkString("(", " OR ", ")")
+    s"""WITH base AS (
+       |  SELECT doc_id, text, lower(text) AS low, $TokensSql AS tk
+       |  FROM documents
+       |), lined AS (
+       |  SELECT doc_id, text, low,
+       |    list_transform(range(0, (len(tk) + ${LineTokens - 1}) // $LineTokens),
+       |      i -> array_to_string(tk[(i*$LineTokens+1):(i*$LineTokens+$LineTokens)], ' ')) AS lines
+       |  FROM base
+       |), m AS (
+       |  SELECT doc_id,
+       |    CAST(len(lines) AS BIGINT) AS n_lines,
+       |    CAST(len(list_filter(lines, l -> $terminalSql
+       |      AND len(regexp_split_to_array(trim(l), '\\s+')) >= $MinLineWords
+       |      AND NOT contains(lower(l), 'javascript'))) AS BIGINT) AS n_kept_lines,
+       |    CAST(len(list_filter(regexp_split_to_array(low, '[.!?]+'),
+       |      s -> len(trim(s)) > 0)) AS BIGINT) AS n_sentences,
+       |    contains(low, 'lorem ipsum') AS has_lorem,
+       |    (contains(text, '{') OR contains(text, '}')) AS has_brace
+       |  FROM lined
+       |)
+       |SELECT doc_id, n_lines, n_kept_lines,
+       |  CAST((2 * n_kept_lines * 1000000 + greatest(n_lines, 1))
+       |    // (2 * greatest(n_lines, 1)) AS DOUBLE) / 1000000.0 AS kept_line_frac,
+       |  n_sentences, has_lorem, has_brace,
+       |  (n_sentences >= $MinSentences AND n_kept_lines >= 1
+       |    AND NOT has_lorem AND NOT has_brace) AS c4_pass
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+}

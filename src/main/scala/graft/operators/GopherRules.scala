@@ -92,6 +92,177 @@ object GopherRules {
         "n_req_stops", "gopher_pass") ++ keep).map(col): _*)
   }
 
+  // ---------------------------------------------------------------- t18
+  /** Gopher Table A1 repetition thresholds: a document is dropped when the
+    * most-frequent n-gram covers more than this fraction of its characters
+    * (n = 2/3/4) or when characters inside WITHIN-DOC duplicated n-grams
+    * exceed it (n = 5/10 — the endpoints of the paper's 5..10 band). */
+  val TopNs: Seq[Int] = Seq(2, 3, 4)
+  val DupNs: Seq[Int] = Seq(5, 10)
+  val TopMaxFrac: Map[Int, Double] = Map(2 -> 0.20, 3 -> 0.18, 4 -> 0.16)
+  val DupMaxFrac: Map[Int, Double] = Map(5 -> 0.15, 10 -> 0.10)
+
+  /** t18: WITHIN-document repetition fractions — the other half of the
+    * Gopher filter table (Rae et al. '21 Table A1; t15 carries the
+    * quality rules, t05 the run-length signal, THIS the n-gram repetition
+    * band real pipelines gate on): per document,
+    *
+    *   - `top{2,3,4}_frac` — characters covered by the MOST FREQUENT
+    *     n-gram (count × its non-space char length, overlapping
+    *     occurrences counted — the published definition) over the
+    *     document's non-space characters;
+    *   - `dup{5,10}_frac` — characters at token positions covered by ANY
+    *     n-gram occurring ≥2 times in the SAME document (c09's coverage
+    *     machinery turned within-doc: distinct positions, no
+    *     double-counting of overlaps);
+    *   - `repetition_pass` — all five fractions under their Table A1
+    *     thresholds.
+    *
+    * Every count/char-sum is an exact integer; each fraction rounds to
+    * 1e-6 in INTEGER space ([[TextOps.ratioMicro]] — §6(d): exact decimal
+    * halves round differently across engines as doubles) and the pass
+    * comparisons run on the rounded value, mirrored exactly by the
+    * oracle. Scale shape: gram strings exist only scan-side (md5 in the
+    * same projection); the per-doc censuses shuffle (doc_id, 16-byte gk,
+    * count) rows keyed by doc — fan-out ≈ |tokens| × 5 bounded rows, text
+    * never crosses the wire. All aggregations are doc-keyed (map-side
+    * combined); no windows.
+    *
+    * Reference analog: `AnalyzeBatch.groovy:88-97`'s per-row validity
+    * gates — this is the repetition-rule member of that family. */
+  def t18DupNgrams(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    val base = Tables(spark, dir).documents
+      .select(col("doc_id"), TextOps.tokensOf(col("text")).as("tk"),
+        TextOps.normText(col("text")).as("norm"))
+      .withColumn("n_tokens", size(col("tk")).cast("long"))
+      .withColumn("n_chars",
+        greatest(length(regexp_replace(col("norm"), " ", "")).cast("long"), lit(1L)))
+    // deliberately NOT cached: each census re-reads the 2-column pruned
+    // scan (c09's shape) — at 100 TB re-scanning beats materializing a
+    // corpus-sized token relation in memory
+
+    def grams(n: Int): DataFrame = base
+      .select(col("doc_id"),
+        posexplode(graft.functions.Ngrams.ngramJoin(col("tk"), n))
+          .as(Seq("p", "gram")))
+      .select(col("doc_id"), col("p"), md5(col("gram")).as("gk"),
+        (length(col("gram")) - lit(n - 1)).cast("long").as("gc"))
+
+    // top-n: per-doc census, argmax by (count desc, gk asc), covered
+    // chars = count × gram char length (overlaps counted, per the paper)
+    def topFrac(n: Int): DataFrame = grams(n)
+      .groupBy(col("doc_id"), col("gk"))
+      .agg(count(lit(1)).as("c"), first(col("gc")).as("gc"))
+      .groupBy(col("doc_id"))
+      .agg(min_by(col("c") * col("gc"), struct(lit(0L) - col("c"), col("gk")))
+        .as(s"topcov$n"))
+
+    // dup-n: positions covered by any within-doc duplicated n-gram;
+    // char weight = the token's length at each DISTINCT covered position
+    val tokLens = base
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "w")))
+      .select(col("doc_id"), col("pos"), length(col("w")).cast("long").as("wlen"))
+    def dupChars(n: Int): DataFrame = {
+      val g = grams(n)
+      val dupKeys = g.groupBy(col("doc_id"), col("gk"))
+        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+        .select("doc_id", "gk")
+      g.join(dupKeys, Seq("doc_id", "gk"))
+        .select(col("doc_id"),
+          explode(sequence(col("p"), col("p") + n - 1)).as("pos"))
+        .distinct()
+        .join(tokLens, Seq("doc_id", "pos"))
+        .groupBy(col("doc_id")).agg(sum(col("wlen")).as(s"dupch$n"))
+    }
+
+    val withMetrics =
+      (TopNs.map(topFrac) ++ DupNs.map(dupChars)).foldLeft(
+        base.select(col("doc_id"), col("n_tokens"), col("n_chars"))) {
+        (acc, m) => acc.join(m, Seq("doc_id"), "left")
+      }
+    val fracs = TopNs.map { n =>
+      (TextOps.ratioMicro(s"coalesce(topcov$n, 0)", "n_chars").cast("double")
+        / 1e6).as(s"top${n}_frac")
+    } ++ DupNs.map { n =>
+      (TextOps.ratioMicro(s"coalesce(dupch$n, 0)", "n_chars").cast("double")
+        / 1e6).as(s"dup${n}_frac")
+    }
+    val scored = withMetrics
+      .select(col("doc_id") +: col("n_tokens") +: col("n_chars") +: fracs: _*)
+    scored.withColumn("repetition_pass",
+      TopNs.map(n => col(s"top${n}_frac") <= TopMaxFrac(n))
+        .reduce(_ && _) &&
+        DupNs.map(n => col(s"dup${n}_frac") <= DupMaxFrac(n)).reduce(_ && _))
+      .orderBy("doc_id")
+  }
+
+  val t18Sql: String = {
+    import TextOps.TokensSql
+    def gramCte(n: Int) =
+      s"""g$n AS (
+         |  SELECT doc_id, s.p AS p, s.gk AS gk, s.gc AS gc FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - ${n - 2}),
+         |      i -> struct_pack(p := i - 1,
+         |        gk := md5(array_to_string(tk[i:i+${n - 1}], ' ')),
+         |        gc := CAST(length(array_to_string(tk[i:i+${n - 1}], ' ')) - ${n - 1} AS BIGINT)))) AS s
+         |    FROM toks)
+         |)""".stripMargin
+    def topCte(n: Int) =
+      s"""top$n AS (
+         |  SELECT doc_id, c * gc AS topcov$n FROM (
+         |    SELECT doc_id, gk, count(*) AS c, first(gc) AS gc
+         |    FROM g$n GROUP BY doc_id, gk)
+         |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gk) = 1
+         |)""".stripMargin
+    def dupCte(n: Int) =
+      s"""dup$n AS (
+         |  SELECT p.doc_id, CAST(sum(t.wlen) AS BIGINT) AS dupch$n FROM (
+         |    SELECT DISTINCT doc_id, pos FROM (
+         |      SELECT g.doc_id, unnest(range(g.p, g.p + $n)) AS pos
+         |      FROM g$n g JOIN (
+         |        SELECT doc_id, gk FROM g$n GROUP BY doc_id, gk HAVING count(*) >= 2
+         |      ) d ON g.doc_id = d.doc_id AND g.gk = d.gk)
+         |  ) p JOIN toklens t ON p.doc_id = t.doc_id AND p.pos = t.pos
+         |  GROUP BY p.doc_id
+         |)""".stripMargin
+    def fracSql(a: String) =
+      s"CAST((2 * $a * 1000000 + n_chars) // (2 * n_chars) AS DOUBLE) / 1000000.0"
+    val fracCols = (TopNs.map(n =>
+      s"${fracSql(s"coalesce(topcov$n, 0)")} AS top${n}_frac") ++
+      DupNs.map(n => s"${fracSql(s"coalesce(dupch$n, 0)")} AS dup${n}_frac"))
+      .mkString(",\n       |    ")
+    val joins = (TopNs.map(n => s"LEFT JOIN top$n USING (doc_id)") ++
+      DupNs.map(n => s"LEFT JOIN dup$n USING (doc_id)")).mkString(" ")
+    val passSql = (TopNs.map(n => s"top${n}_frac <= ${TopMaxFrac(n)}") ++
+      DupNs.map(n => s"dup${n}_frac <= ${DupMaxFrac(n)}")).mkString(" AND ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, $TokensSql AS tk,
+       |    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+       |  FROM documents
+       |), base AS (
+       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |    greatest(CAST(length(replace(norm, ' ', '')) AS BIGINT), 1) AS n_chars
+       |  FROM toks
+       |), toklens AS (
+       |  SELECT doc_id, s.pos AS pos, s.wlen AS wlen FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+       |      i -> struct_pack(pos := i - 1,
+       |        wlen := CAST(length(tk[i]) AS BIGINT)))) AS s
+       |    FROM toks)
+       |), ${(TopNs ++ DupNs).map(gramCte).mkString(", ")},
+       |${TopNs.map(topCte).mkString(", ")},
+       |${DupNs.map(dupCte).mkString(", ")},
+       | sel AS (
+       |  SELECT doc_id, n_tokens, n_chars,
+       |    $fracCols
+       |  FROM base $joins
+       |)
+       |SELECT doc_id, n_tokens, n_chars, top2_frac, top3_frac, top4_frac,
+       |  dup5_frac, dup10_frac, ($passSql) AS repetition_pass
+       |FROM sel ORDER BY doc_id""".stripMargin
+  }
+
   /** t15 driver entry: the rules over the corpus, lines = the c14 aligned
     * pseudo-lines (the synthetic texts carry no newlines). */
   def t15GopherRules(spark: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** c19: deterministic SHARD EXPORT — the last step of a curation pipeline
+  * (the one p01 hands off to): assign every kept document to one of
+  * `nShards` training shards by its content fingerprint and give it a
+  * deterministic position inside the shard — the "global shuffle" a
+  * dataloader needs, with NO RNG anywhere (the c04/c16 discipline:
+  * reproducible on any engine, any partitioning, any run).
+  *
+  *   shard_id  = fp mod nShards            (content-keyed, so re-runs and
+  *                                          engine swaps land identically)
+  *   shard_pos = rank of (fp, doc_id) inside the shard — fingerprint
+  *               order IS the pseudo-random order (a hash of the content
+  *               decorrelates neighbors), so reading a shard
+  *               sequentially replays a shuffled corpus.
+  *
+  * Per-shard audit (docs, tokens) joins back so every row carries its
+  * shard's balance — the skew report an export job logs.
+  *
+  * Scale shape: one corpus scan computes (doc_id, fp, n_tokens); the
+  * within-shard rank is a window PARTITIONED BY shard — at production
+  * scale nShards is thousands (shards ARE the write parallelism: one
+  * sorted file per shard, exactly this sort), so each partition's sort is
+  * one writer task's file sort, not a global sort. The audit is an
+  * nShards-row aggregate broadcast back. Text never shuffles — the export
+  * writer would carry it scan-side partitioned by the same key
+  * ([[graft.sources.GraftIO.writePartitioned]]).
+  *
+  * Reference analog: `BatchIgniter.groovy:55-66` orders work
+  * deterministically (inceptionTime asc, top-N) before dispatch; this is
+  * that dispatch order at corpus scale.
+  */
+object ShardExport {
+  /** Driver shard count (production: thousands — the writer parallelism). */
+  val NShards = 16
+
+  def shardAssign(docsDf: DataFrame, nShards: Int): DataFrame = {
+    val base = docsDf
+      .select(col("doc_id"), TextOps.normText(col("text")).as("norm"))
+      .withColumn("fp", TextOps.polyFp(col("norm")))
+      .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
+      .withColumn("shard_id", pmod(col("fp"), lit(nShards.toLong)))
+      .select("doc_id", "fp", "n_tokens", "shard_id")
+    val ranked = base.withColumn("shard_pos",
+      row_number().over(
+        Window.partitionBy(col("shard_id")).orderBy(col("fp"), col("doc_id")))
+        .cast("long"))
+    val audit = base.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("shard_docs"), sum(col("n_tokens")).as("shard_tokens"))
+    ranked.join(audit, Seq("shard_id"))
+      .select(col("doc_id"), col("shard_id"), col("shard_pos"), col("n_tokens"),
+        col("shard_docs"), col("shard_tokens"))
+  }
+
+  /** c19 driver entry. */
+  def c19ShardExport(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    shardAssign(Tables(spark, dir).documents.select(col("doc_id"), col("text")),
+      NShards).orderBy("doc_id")
+  }
+
+  val c19Sql: String = {
+    import TextOps.{polyFpSql, NormSql}
+    s"""WITH base AS (
+       |  SELECT doc_id, ${polyFpSql(NormSql)} AS fp,
+       |    CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), sharded AS (
+       |  SELECT doc_id, fp, n_tokens, fp % $NShards AS shard_id FROM base
+       |), ranked AS (
+       |  SELECT doc_id, shard_id, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY shard_id ORDER BY fp, doc_id)
+       |      AS BIGINT) AS shard_pos
+       |  FROM sharded
+       |), audit AS (
+       |  SELECT shard_id, CAST(count(*) AS BIGINT) AS shard_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+       |  FROM sharded GROUP BY shard_id
+       |)
+       |SELECT doc_id, r.shard_id AS shard_id, shard_pos, n_tokens,
+       |  shard_docs, shard_tokens
+       |FROM ranked r JOIN audit a ON r.shard_id = a.shard_id
+       |ORDER BY doc_id""".stripMargin
+  }
+}

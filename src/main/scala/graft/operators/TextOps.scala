@@ -1366,7 +1366,7 @@ object TextOps {
     * entirely in integer space (both operands non-negative longs) — the
     * engine-safe form of `round(a/n, 6)`, whose exact-decimal-half inputs
     * the two engines round differently. */
-  private def ratioMicro(a: String, n: String): Column =
+  private[operators] def ratioMicro(a: String, n: String): Column =
     expr(s"(2 * $a * 1000000 + $n) div (2 * $n)")
 
   // ---------------------------------------------------------------- c09

@@ -871,6 +871,17 @@ object StreamingJobs {
       .gopherStatsOver(docs, split(col("text"), "\n"))
       .withColumn("gopher_pass", coalesce(col("gopher_pass"), lit(false)))
 
+  /** Streaming face of t19's C4 line heuristics: like the Gopher gate,
+    * one row-local codegen'd projection over real newline lines — no
+    * shuffle, no state, streams as-is. Null text coalesces to the empty
+    * string BEFORE the scan (fail-safe: 0 kept lines, 0 sentences,
+    * `c4_pass` false — the piiScrubStream discipline). Bit-parity with
+    * batch `C4Filters.c4StatsOver` is spec-pinned on a MemoryStream. */
+  def c4GateStream(docs: DataFrame): DataFrame =
+    graft.operators.C4Filters.c4StatsOver(
+      docs.withColumn("text", coalesce(col("text"), lit(""))),
+      split(col("text"), "\n"))
+
   // ----------------------------------------------------- PII scrub
   /** Streaming face of t17's PII redaction: counts + sequential
     * redaction are one row-local codegen'd projection (no shuffle, no

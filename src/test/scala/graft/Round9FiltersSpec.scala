@@ -1,0 +1,171 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{C4Filters, GopherRules, ShardExport}
+
+/** Round-9 filter additions: t18 (Gopher repetition fractions), t19 (C4
+  * line heuristics), c19 (deterministic shard export), and the C4
+  * streaming face. t18/t19 are driven through the EXACT driver functions
+  * on engineered corpora with hand-computed expectations. */
+class Round9FiltersSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // ---- t18 helpers: run the driver entry over an in-memory corpus by
+  // staging it as a parquet dir shaped like the testdata
+  private def t18Over(texts: Seq[(Long, String)]): Map[Long, Map[String, Any]] = {
+    val dir = java.nio.file.Files.createTempDirectory("t18spec").toString
+    texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    GopherRules.t18DupNgrams(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.schema.fieldNames.map(f => f -> r.getAs[Any](f)).toMap)
+      .toMap
+  }
+
+  test("t18: top-n-gram fractions exact on an alternating-pair doc") {
+    val m = t18Over(Seq((1L, "x y x y x y")))
+    val r = m(1L)
+    assert(r("n_tokens") === 6L)
+    assert(r("n_chars") === 6L)
+    // top 2-gram "x y" occurs 3x, 2 chars -> 6/6
+    assert(r("top2_frac") === 1.0)
+    // top 3-gram (either, both c=2 gc=3) -> 6/6
+    assert(r("top3_frac") === 1.0)
+    // top 4-gram "x y x y" c=2 gc=4 -> 8/6 (overlaps counted, per the
+    // published definition: the fraction can exceed 1 on tiny docs)
+    assert(r("top4_frac") === 1.333333)
+    // no 5- or 10-gram repeats within the doc
+    assert(r("dup5_frac") === 0.0)
+    assert(r("dup10_frac") === 0.0)
+    assert(r("repetition_pass") === false) // top2 1.0 > 0.20
+  }
+
+  test("t18: duplicate-n-gram coverage exact on a doubled phrase; distinct" +
+      " positions not double-counted") {
+    val phrase = "a b c d e f g h i j"
+    val m = t18Over(Seq((1L, s"$phrase $phrase")))
+    val r = m(1L)
+    assert(r("n_tokens") === 20L)
+    assert(r("n_chars") === 20L)
+    // every position is covered by a duplicated 5-gram AND 10-gram;
+    // overlapping dup grams must not double-count -> exactly 20/20
+    assert(r("dup5_frac") === 1.0)
+    assert(r("dup10_frac") === 1.0)
+    // top 2-gram: any of the doubled pairs, c=2 gc=2 -> 4/20 = 0.2,
+    // the exact threshold boundary (<= keeps it)
+    assert(r("top2_frac") === 0.2)
+    assert(r("repetition_pass") === false) // dup5 1.0 > 0.15
+  }
+
+  test("t18: a repeat-free doc of uniform tokens passes; a doc shorter " +
+      "than every n yields all-zero fractions and passes") {
+    val distinct30 = (0 until 30)
+      .map(i => s"${('a' + i / 6).toChar}${('a' + i % 6).toChar}")
+    assert(distinct30.distinct.size === 30)
+    val m = t18Over(Seq((1L, distinct30.mkString(" ")), (2L, "solo")))
+    val r = m(1L)
+    // single occurrences only: top-n cov = 1 * (2n + n - 1 - (n-1)) = 2n
+    // chars over 60; dup = 0
+    assert(r("top2_frac") === 0.066667) // 4/60 rounded half-away at 1e-6
+    assert(r("top3_frac") === 0.1)
+    assert(r("top4_frac") === 0.133333)
+    assert(r("dup5_frac") === 0.0)
+    assert(r("dup10_frac") === 0.0)
+    assert(r("repetition_pass") === true)
+    val s = m(2L)
+    Seq("top2_frac", "top3_frac", "top4_frac", "dup5_frac", "dup10_frac")
+      .foreach(f => assert(s(f) === 0.0, f))
+    assert(s("repetition_pass") === true)
+  }
+
+  // ---- t19: the C4 heuristics over REAL newline lines
+  test("t19: line retention, sentence gate, lorem/brace drops") {
+    val docs = Seq(
+      (1L, "This is a good long sentence line. And here! A third one?\n" +
+        "short line\n" +
+        "this line has JavaScript in it and enough words.\n" +
+        "no punctuation line here at all"),
+      (2L, "Lorem ipsum dolor sit amet, consectetur adipiscing elit one. " +
+        "Two more words here! Third sentence closes now."),
+      (3L, "var x = { a: 1 };\nThis page has code but a real sentence. " +
+        "Another one follows! And a third?"),
+      (4L, "One sentence only here.")
+    ).toDF("doc_id", "text")
+    val out = C4Filters.c4StatsOver(docs, split(col("text"), "\n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_lines") === 4L)
+    // only line 1 survives: terminal punct + >=5 words + no javascript
+    assert(r1.getAs[Long]("n_kept_lines") === 1L)
+    assert(r1.getAs[Double]("kept_line_frac") === 0.25)
+    assert(r1.getAs[Long]("n_sentences") === 5L)
+    assert(r1.getAs[Boolean]("c4_pass") === true)
+
+    assert(out(2L).getAs[Boolean]("has_lorem") === true)
+    assert(out(2L).getAs[Boolean]("c4_pass") === false)
+    assert(out(3L).getAs[Boolean]("has_brace") === true)
+    assert(out(3L).getAs[Boolean]("c4_pass") === false)
+    assert(out(4L).getAs[Long]("n_sentences") === 1L)
+    assert(out(4L).getAs[Boolean]("c4_pass") === false)
+  }
+
+  test("c4GateStream: bit-identical to the batch heuristics on a " +
+      "MemoryStream; null text fails closed") {
+    val texts = Seq(
+      (1L, "A first proper sentence with words. A second one too! Third?\n" +
+        "tiny\nAnother retained line with enough words inside."),
+      (2L, "no terminal punctuation anywhere\nnope\nstill none"))
+    val docs = texts.toDF("doc_id", "text")
+    val batch = C4Filters
+      .c4StatsOver(docs.withColumn("text", coalesce(col("text"), lit(""))),
+        split(col("text"), "\n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs
+      .c4GateStream(mem.toDF.toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("c4_r9").outputMode("append")
+      .start()
+    try {
+      mem.addData(texts: _*)
+      mem.addData((99L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("c4_r9").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    texts.foreach { case (id, _) => assert(streamed(id) === batch(id)) }
+    val nullRow = spark.table("c4_r9").filter(col("doc_id") === 99L).head()
+    assert(nullRow.getAs[Boolean]("c4_pass") === false)
+    assert(nullRow.getAs[Long]("n_kept_lines") === 0L)
+    assert(nullRow.getAs[Long]("n_sentences") === 0L)
+  }
+
+  // ---- c19: deterministic shard export
+  test("c19: content-keyed shards, dense within-shard positions, " +
+      "consistent audit, run-to-run determinism") {
+    val out = ShardExport.c19ShardExport(spark, sfDir)
+    val rows = out.collect()
+    val nDocs = Tables(spark, sfDir).documents.count()
+    assert(rows.length.toLong === nDocs)
+    assert(rows.forall { r =>
+      val s = r.getAs[Long]("shard_id"); s >= 0 && s < ShardExport.NShards })
+    // positions are a dense 1..shard_docs permutation inside every shard
+    rows.groupBy(_.getAs[Long]("shard_id")).foreach { case (_, rs) =>
+      val pos = rs.map(_.getAs[Long]("shard_pos")).sorted
+      assert(pos === (1L to rs.length.toLong).toArray)
+      assert(rs.map(_.getAs[Long]("shard_docs")).distinct.toSeq ===
+        Seq(rs.length.toLong))
+      assert(rs.map(_.getAs[Long]("shard_tokens")).distinct.size === 1)
+      assert(rs.head.getAs[Long]("shard_tokens") ===
+        rs.map(_.getAs[Long]("n_tokens")).sum)
+    }
+    // deterministic: a second run is row-identical
+    val again = ShardExport.c19ShardExport(spark, sfDir).collect()
+    assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+}
