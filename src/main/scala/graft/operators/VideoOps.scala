@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.MultimodalOps.MediaRecord
+
+/** §C multimodal: REAL video-container metadata for the structure a bare
+  * JVM can walk without any codec — ISO-BMFF (MP4/MOV/M4A...). Completes
+  * the media triad on the round-8/9 pattern (images `ImageIoDecoder`,
+  * audio `WavDecoder`, THIS for video): sniff magic cheaply, parse for
+  * real when the container is parseable, deterministic stub otherwise,
+  * identical Spark plumbing on both paths. Frame DECODE genuinely needs a
+  * codec library (absent by design — the honest stub boundary the survey
+  * documents); the container STRUCTURE does not: box sizes/types, the
+  * ftyp major brand, mvhd timescale/duration, and the trak census are
+  * plain big-endian reads — exactly the metadata a curation pipeline
+  * filters on (duration caps, track sanity, brand allowlists) before
+  * paying for any decode.
+  *
+  * [[BmffParser]] walks the top-level box list (64-bit largesize and
+  * to-EOF sizes per ISO/IEC 14496-12 §4.2), then moov's children for
+  * mvhd (v0 and v1 layouts) and trak counting. A sniffed-but-corrupt
+  * payload (box overrun, missing moov/mvhd, zero timescale) returns None
+  * and falls through to the stub — never fails the partition.
+  *
+  * Reference analog: `CreateBatch.groovy:63-88` stores upload payloads
+  * unparsed; this is the look-inside-the-blob step for video.
+  */
+object VideoOps {
+
+  /** One container-metadata row per payload. `real` = the payload parsed
+    * as ISO-BMFF; otherwise deterministic stub over `byte_len`. */
+  final case class VideoMeta(doc_id: Long, byte_len: Long, real: Boolean,
+      brand: String, n_boxes: Long, n_tracks: Long, has_mdat: Boolean,
+      timescale: Long, duration_ms: Long)
+
+  /** Magic sniff: a leading box of plausible size whose type is `ftyp`.
+    * ≤ 8 leading bytes, so the parser only runs on candidate rows. */
+  private[graft] def sniffBmff(p: Array[Byte]): Boolean =
+    p.length >= 12 && be32(p, 0) >= 16 && p(4) == 'f' && p(5) == 't' &&
+      p(6) == 'y' && p(7) == 'p'
+
+  private def be32(p: Array[Byte], o: Int): Long =
+    ((p(o) & 0xffL) << 24) | ((p(o + 1) & 0xffL) << 16) |
+      ((p(o + 2) & 0xffL) << 8) | (p(o + 3) & 0xffL)
+  private def be64(p: Array[Byte], o: Int): Long =
+    (be32(p, o) << 32) | be32(p, o + 4)
+
+  object BmffParser {
+    /** (offset, payloadOffset, payloadEnd, type) for each box in
+      * [start, end); malformed sizes abort via require → stub. */
+    private def boxes(p: Array[Byte], start: Int, end: Int): Seq[(Int, Int, Int, String)] = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, String)]
+      var off = start
+      while (off + 8 <= end) {
+        val sz32 = be32(p, off)
+        val typ = new String(p, off + 4, 4, "US-ASCII")
+        val (payOff, boxEnd) =
+          if (sz32 == 1L) {
+            require(off + 16 <= end, "largesize overruns")
+            val sz = be64(p, off + 8)
+            require(sz >= 16 && off + sz <= end, "box overruns payload")
+            (off + 16, off + sz.toInt)
+          } else if (sz32 == 0L) (off + 8, end) // box extends to EOF
+          else {
+            require(sz32 >= 8 && off + sz32 <= end, "box overruns payload")
+            (off + 8, off + sz32.toInt)
+          }
+        buf += ((off, payOff, boxEnd, typ))
+        off = boxEnd
+      }
+      require(off == end, "trailing bytes are not a box")
+      buf.toSeq
+    }
+
+    def parse(r: MediaRecord): Option[VideoMeta] = {
+      val p = r.payload
+      if (!sniffBmff(p)) None
+      else scala.util.Try {
+        val top = boxes(p, 0, p.length)
+        val ftyp = top.find(_._4 == "ftyp").get
+        val brand = new String(p, ftyp._2, 4, "US-ASCII")
+        val moov = top.find(_._4 == "moov")
+        val mdat = top.exists(_._4 == "mdat")
+        moov.map { case (_, mo, me, _) =>
+          val kids = boxes(p, mo, me)
+          val nTracks = kids.count(_._4 == "trak").toLong
+          val (ts, dur) = kids.find(_._4 == "mvhd").map { case (_, o, _, _) =>
+            val version = p(o) & 0xff
+            if (version == 1) (be32(p, o + 20), be64(p, o + 24))
+            else (be32(p, o + 12), be32(p, o + 16))
+          }.getOrElse((0L, 0L))
+          require(ts > 0, "mvhd timescale must be positive")
+          VideoMeta(r.doc_id, p.length.toLong, real = true, brand,
+            top.length.toLong, nTracks, mdat, ts, dur * 1000L / ts)
+        }.get
+      }.toOption
+    }
+  }
+
+  /** STUB container metadata for unparseable payloads — deterministic
+    * arithmetic on the byte length, mirrored by [[m05Sql]] exactly (the
+    * m01/m02/m04 oracle discipline). */
+  object FakeVideo {
+    def extract(r: MediaRecord): VideoMeta = {
+      val len = r.payload.length.toLong
+      val ts = 1000L + (len % 5) * 600L
+      VideoMeta(r.doc_id, len, real = false,
+        brand = "none",
+        n_boxes = len % 7,
+        n_tracks = len % 4,
+        has_mdat = len % 2 == 0,
+        timescale = ts,
+        duration_ms = (len % 10000) * 1000L / ts)
+    }
+  }
+
+  /** Partition-parallel container parse — the decodeAll batch shape:
+    * rows streamed, payloads never shuffled. */
+  def videoMetaAll(media: Dataset[MediaRecord]): Dataset[VideoMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map(r => BmffParser.parse(r).getOrElse(FakeVideo.extract(r)))
+    }
+  }
+
+  /** m05: video-container metadata over the corpus's binary payloads.
+    * The driver corpus's payloads are text-synthesized (no ftyp box), so
+    * the driver entry exercises the stub path end to end with every
+    * column oracle-checked; Round9VideoSpec drives REAL hand-built
+    * ISO-BMFF payloads (v0/v1 mvhd, largesize, multi-trak, corrupt
+    * fallback) through this exact typed pipeline. */
+  def m05VideoMeta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    videoMetaAll(media).toDF()
+      .select(col("doc_id"), col("byte_len"), col("real").as("is_real"),
+        col("brand"), col("n_boxes"), col("n_tracks"), col("has_mdat"),
+        col("timescale"), col("duration_ms"))
+      .orderBy("doc_id")
+  }
+
+  val m05Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len
+      |  FROM documents
+      |)
+      |SELECT doc_id, len AS byte_len, FALSE AS is_real,
+      |  'none' AS brand,
+      |  len % 7 AS n_boxes,
+      |  len % 4 AS n_tracks,
+      |  (len % 2 = 0) AS has_mdat,
+      |  1000 + (len % 5) * 600 AS timescale,
+      |  ((len % 10000) * 1000) // (1000 + (len % 5) * 600) AS duration_ms
+      |FROM base ORDER BY doc_id""".stripMargin
+}

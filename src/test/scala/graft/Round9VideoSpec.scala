@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.ByteBuffer
+import graft.operators.MultimodalOps.MediaRecord
+import graft.operators.VideoOps
+
+/** m05: real ISO-BMFF payloads (v0/v1 mvhd, 64-bit largesize, multi-trak,
+  * corrupt fallbacks) driven through the EXACT typed pipeline the driver
+  * entry runs. */
+class Round9VideoSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def be32(v: Long): Array[Byte] =
+    ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private def be64(v: Long): Array[Byte] =
+    ByteBuffer.allocate(8).putLong(v).array()
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8) ++ typ.getBytes("US-ASCII") ++ payload
+  private def largeBox(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(1) ++ typ.getBytes("US-ASCII") ++ be64(payload.length + 16) ++ payload
+
+  private val ftyp = box("ftyp",
+    "isom".getBytes ++ be32(0) ++ "mp41".getBytes)
+  private def mvhdV0(ts: Long, dur: Long): Array[Byte] =
+    box("mvhd", Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++
+      be32(ts) ++ be32(dur) ++ Array.fill[Byte](80)(0))
+  private def mvhdV1(ts: Long, dur: Long): Array[Byte] =
+    box("mvhd", Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(ts) ++ be64(dur) ++ Array.fill[Byte](80)(0))
+  private val trak = box("trak", Array.empty[Byte])
+  private val mdat = box("mdat", Array.fill[Byte](32)(7))
+
+  private def parseAll(rs: Seq[(Long, Array[Byte])]) =
+    VideoOps.videoMetaAll(
+      rs.map { case (id, p) => MediaRecord(id, p) }.toDS())
+      .collect().map(m => m.doc_id -> m).toMap
+
+  test("m05: v0 mvhd — brand, box census, tracks, duration") {
+    val mp4 = ftyp ++ box("moov", mvhdV0(1000, 5000) ++ trak ++ trak) ++ mdat
+    val m = parseAll(Seq((1L, mp4)))(1L)
+    assert(m.real); assert(m.brand === "isom")
+    assert(m.n_boxes === 3L); assert(m.n_tracks === 2L)
+    assert(m.has_mdat); assert(m.timescale === 1000L)
+    assert(m.duration_ms === 5000L)
+    assert(m.byte_len === mp4.length.toLong)
+  }
+
+  test("m05: v1 mvhd (64-bit duration) and a largesize moov both parse") {
+    val mp4a = ftyp ++ box("moov", mvhdV1(600, 1234) ++ trak)
+    val mp4b = ftyp ++ largeBox("moov", mvhdV0(90000, 90000 * 7) ++ trak) ++ mdat
+    val m = parseAll(Seq((1L, mp4a), (2L, mp4b)))
+    assert(m(1L).real); assert(m(1L).timescale === 600L)
+    assert(m(1L).duration_ms === 1234L * 1000 / 600) // integer ms
+    assert(m(1L).n_tracks === 1L); assert(!m(1L).has_mdat)
+    assert(m(2L).real); assert(m(2L).duration_ms === 7000L)
+    assert(m(2L).n_boxes === 3L)
+  }
+
+  test("m05: corrupt payloads fall to the deterministic stub, never fail") {
+    // box size overruns payload / moov missing mvhd / zero timescale /
+    // plain text (the driver-corpus path)
+    val overrun = ftyp ++ be32(9999) ++ "moov".getBytes
+    val noMvhd = ftyp ++ box("moov", trak)
+    val zeroTs = ftyp ++ box("moov", mvhdV0(0, 100) ++ trak)
+    val text = "just some document text, no container".getBytes
+    val m = parseAll(Seq((1L, overrun), (2L, noMvhd), (3L, zeroTs), (4L, text)))
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(!m(id).real, s"doc $id must stub")
+      val expect = VideoOps.FakeVideo.extract(MediaRecord(id,
+        Seq(overrun, noMvhd, zeroTs, text)(id.toInt - 1)))
+      assert(m(id) === expect)
+    }
+  }
+
+  test("m05 driver entry: stub path over the synthetic corpus, " +
+      "deterministic and complete") {
+    val out = VideoOps.m05VideoMeta(spark, sfDir).collect()
+    assert(out.length.toLong === Tables(spark, sfDir).documents.count())
+    assert(out.forall(!_.getAs[Boolean]("is_real")))
+    assert(out.forall(_.getAs[String]("brand") == "none"))
+  }
+}
