@@ -40,12 +40,7 @@ object ShardExport {
   val NShards = 16
 
   def shardAssign(docsDf: DataFrame, nShards: Int): DataFrame = {
-    val base = docsDf
-      .select(col("doc_id"), TextOps.normText(col("text")).as("norm"))
-      .withColumn("fp", TextOps.polyFp(col("norm")))
-      .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
-      .withColumn("shard_id", pmod(col("fp"), lit(nShards.toLong)))
-      .select("doc_id", "fp", "n_tokens", "shard_id")
+    val base = shardRowLocal(docsDf, nShards)
     val ranked = base.withColumn("shard_pos",
       row_number().over(
         Window.partitionBy(col("shard_id")).orderBy(col("fp"), col("doc_id")))
@@ -56,6 +51,20 @@ object ShardExport {
       .select(col("doc_id"), col("shard_id"), col("shard_pos"), col("n_tokens"),
         col("shard_docs"), col("shard_tokens"))
   }
+
+  /** The ROW-LOCAL half of the assignment — fingerprint, shard, token
+    * count — shared by the batch export and the streaming router
+    * ([[graft.streaming.StreamingJobs.shardRouteStream]]): no shuffle, no
+    * state, so it streams as-is. The within-shard RANK deliberately stays
+    * batch-side (it is corpus-global by definition — the export job owns
+    * it, the probe-stream division-of-labor pattern). */
+  def shardRowLocal(docsDf: DataFrame, nShards: Int): DataFrame =
+    docsDf
+      .select(col("doc_id"), TextOps.normText(col("text")).as("norm"))
+      .withColumn("fp", TextOps.polyFp(col("norm")))
+      .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
+      .withColumn("shard_id", pmod(col("fp"), lit(nShards.toLong)))
+      .select("doc_id", "fp", "n_tokens", "shard_id")
 
   /** c19 driver entry. */
   def c19ShardExport(spark: SparkSession, dir: String): DataFrame = {

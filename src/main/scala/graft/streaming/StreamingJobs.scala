@@ -882,6 +882,20 @@ object StreamingJobs {
       docs.withColumn("text", coalesce(col("text"), lit(""))),
       split(col("text"), "\n"))
 
+  // ----------------------------------------------------- shard router
+  /** Streaming face of c19's shard export: the ROW-LOCAL half —
+    * content fingerprint, shard id, token count — as one stateless
+    * projection, so a continual-ingestion pipeline routes each arriving
+    * document to its shard (e.g. a partitioned sink keyed on shard_id)
+    * with the SAME content-keyed assignment the batch export computes
+    * (spec-pinned bit-identical). The within-shard RANK deliberately
+    * stays batch-side: it is corpus-global by definition and the export
+    * job owns it — the probe-stream division-of-labor pattern
+    * (neardupProbeStream defers borderline pairs the same way). */
+  def shardRouteStream(docs: DataFrame, nShards: Int): DataFrame =
+    graft.operators.ShardExport.shardRowLocal(
+      docs.withColumn("text", coalesce(col("text"), lit(""))), nShards)
+
   // ----------------------------------------------------- PII scrub
   /** Streaming face of t17's PII redaction: counts + sequential
     * redaction are one row-local codegen'd projection (no shuffle, no

@@ -168,4 +168,34 @@ class Round9FiltersSpec extends GraftSpecBase {
     val again = ShardExport.c19ShardExport(spark, sfDir).collect()
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
+
+  test("shardRouteStream: assignment bit-identical to the batch export's " +
+      "row-local half on a MemoryStream; null text routes deterministically") {
+    graft.functions.PolyFingerprint.register(spark)
+    val texts = Seq((1L, "some document text here"),
+      (2L, "a different document"), (3L, "some document text here"))
+    val docs = texts.toDF("doc_id", "text")
+    val batch = ShardExport.shardRowLocal(docs, 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs
+      .shardRouteStream(mem.toDF.toDF("doc_id", "text"), 8)
+      .writeStream.format("memory").queryName("shard_r9").outputMode("append")
+      .start()
+    try {
+      mem.addData(texts: _*)
+      mem.addData((99L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("shard_r9").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.toSeq).toMap
+    texts.foreach { case (id, _) => assert(streamed(id) === batch(id)) }
+    // identical content -> identical shard, on the stream as in batch
+    assert(streamed(1L).drop(1) === streamed(3L).drop(1))
+    // null text routes like the empty string (no nulls escape)
+    val nullRow = spark.table("shard_r9").filter(col("doc_id") === 99L).head()
+    assert(!nullRow.isNullAt(nullRow.fieldIndex("shard_id")))
+  }
 }
