@@ -119,6 +119,97 @@ object DedupOps {
       .orderBy("cluster_id")
   }
 
+  // ---------------------------------------------------------------- c20
+  /** Multiplicative-hash split buckets: canonical id → 0..99, all 64-bit
+    * integer arithmetic (the id is range-reduced BEFORE the Knuth
+    * multiply so the product cannot overflow a long — DuckDB errors on
+    * BIGINT overflow where the JVM wraps, so overflow-free is the only
+    * engine-portable form). */
+  private[operators] def splitBucketSql(id: String): String =
+    s"((($id % 1000003) * 2654435761 + 104729) % 100)"
+  /** train < 90 ≤ val < 95 ≤ test. */
+  private val TrainLt = 90L
+  private val ValLt = 95L
+
+  /** c20: LEAKAGE-FREE train/val/test split — the subtle production
+    * requirement naive hash-splits get wrong: near-duplicate documents
+    * must land in the SAME split (a paraphrased article in train and its
+    * twin in test is evaluation contamination from the inside — the
+    * within-corpus counterpart of c06/c18's external benchmark overlap).
+    * The unit of assignment is therefore the near-dup CLUSTER, not the
+    * document: clusters from the exact-Jaccard pairs (d02, the oracled
+    * audit source; d03/d06's LSH pair source is the drop-in at full
+    * scale, c08's precedent), membership from the distributed
+    * connected-components contraction, canonical = cluster min id
+    * (singletons are their own canonical via the left join). Every
+    * member hashes the CANONICAL id into the 90/5/5 bucket grid — same
+    * cluster, same bucket, by construction; the per-split audit
+    * (docs, tokens) joins back so every row carries the balance report.
+    * NO RNG (the c04/c16/c19 discipline): the split is reproducible on
+    * any engine, any run, any partitioning.
+    *
+    * Scale shape: pairs/membership are (long, long) relations; the
+    * split decision is row-local integer arithmetic on an 8-byte key;
+    * the audit is a 3-row aggregate broadcast back; text is touched
+    * only by the d02 stage and the token count's one scan. */
+  def c20SplitLeakfree(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = d02DedupJaccard(spark, dir).select("doc_a", "doc_b")
+    val members = Components.connectedComponents(pairs, "doc_a", "doc_b")
+    val t = Tables(spark, dir)
+    val base = t.spread(t.documents)
+      .select(col("doc_id"),
+        size(split(TextOps.normText(col("text")), " ")).cast("long")
+          .as("n_tokens"))
+    val assigned = base
+      .join(members, base("doc_id") === members("node"), "left")
+      .withColumn("canonical", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket",
+        expr(s"((canonical % 1000003) * 2654435761 + 104729) % 100"))
+      .withColumn("split",
+        when(col("bucket") < TrainLt, "train")
+          .when(col("bucket") < ValLt, "val").otherwise("test"))
+      .select("doc_id", "canonical", "n_tokens", "split")
+    val audit = assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("split_docs"), sum(col("n_tokens")).as("split_tokens"))
+    assigned.join(audit, Seq("split"))
+      .select(col("doc_id"), col("canonical"), col("split"), col("n_tokens"),
+        col("split_docs"), col("split_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val c20Sql: String =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT doc_a, doc_b FROM ($d02Sql)
+       |), sym AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION SELECT doc_b AS src, doc_a AS dst FROM pairs
+       |), reach AS (
+       |  SELECT src AS node, src AS label FROM sym
+       |  UNION
+       |  SELECT s.src AS node, r.label FROM sym s JOIN reach r ON s.dst = r.node
+       |), comp AS (
+       |  SELECT node, min(label) AS component FROM reach GROUP BY node
+       |), base AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(${TextOps.NormSql}, ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), assigned AS (
+       |  SELECT b.doc_id, coalesce(c.component, b.doc_id) AS canonical,
+       |    b.n_tokens,
+       |    CASE WHEN ${splitBucketSql("coalesce(c.component, b.doc_id)")} < $TrainLt THEN 'train'
+       |         WHEN ${splitBucketSql("coalesce(c.component, b.doc_id)")} < $ValLt THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM base b LEFT JOIN comp c ON c.node = b.doc_id
+       |), audit AS (
+       |  SELECT split, CAST(count(*) AS BIGINT) AS split_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS split_tokens
+       |  FROM assigned GROUP BY split
+       |)
+       |SELECT a.doc_id, a.canonical, a.split, a.n_tokens,
+       |  u.split_docs, u.split_tokens
+       |FROM assigned a JOIN audit u ON a.split = u.split
+       |ORDER BY a.doc_id""".stripMargin
+
   val c08Sql: String =
     s"""WITH RECURSIVE pairs AS (
        |  SELECT doc_a, doc_b FROM ($d02Sql)

@@ -138,49 +138,66 @@ object GopherRules {
       .withColumn("n_tokens", size(col("tk")).cast("long"))
       .withColumn("n_chars",
         greatest(length(regexp_replace(col("norm"), " ", "")).cast("long"), lit(1L)))
-    // deliberately NOT cached: each census re-reads the 2-column pruned
-    // scan (c09's shape) — at 100 TB re-scanning beats materializing a
-    // corpus-sized token relation in memory
 
-    def grams(n: Int): DataFrame = base
-      .select(col("doc_id"),
-        posexplode(graft.functions.Ngrams.ngramJoin(col("tk"), n))
-          .as(Seq("p", "gram")))
-      .select(col("doc_id"), col("p"), md5(col("gram")).as("gk"),
-        (length(col("gram")) - lit(n - 1)).cast("long").as("gc"))
-
-    // top-n: per-doc census, argmax by (count desc, gk asc), covered
-    // chars = count × gram char length (overlaps counted, per the paper)
-    def topFrac(n: Int): DataFrame = grams(n)
-      .groupBy(col("doc_id"), col("gk"))
+    // ALL five gram orders from ONE generator pass: each order's grams are
+    // tagged (n, position) scan-side, md5 + char length computed in the
+    // post-explode codegen projection, and ONE census shuffle keyed
+    // (n, doc_id, gk) serves every metric — vs one scan + one shuffle PER
+    // order (the first-cut shape: 8 scans, ~15 exchanges, and an 8×
+    // sf0.01→sf0.1 bench ratio that motivated this rewrite). Gram strings
+    // die in the same stage they are born; only (doc_id, n, 16-byte gk,
+    // counts) cross the wire.
+    val tagged = (TopNs ++ DupNs).map { n =>
+      transform(graft.functions.Ngrams.ngramJoin(col("tk"), n),
+        (g, i) => struct(lit(n).as("n"), i.as("p"), g.as("gram")))
+    }
+    val grams = base
+      .select(col("doc_id"), explode(concat(tagged: _*)).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.p").as("p"),
+        md5(col("g.gram")).as("gk"),
+        (length(col("g.gram")) - (col("g.n") - lit(1)).cast("int"))
+          .cast("long").as("gc"))
+    val census = grams.groupBy(col("n"), col("doc_id"), col("gk"))
       .agg(count(lit(1)).as("c"), first(col("gc")).as("gc"))
-      .groupBy(col("doc_id"))
+
+    // top-n: per-(n, doc) argmax by (count desc, gk asc), covered chars =
+    // count × gram char length (overlaps counted, per the paper), pivoted
+    // to columns by the schema-bounded n tag
+    val topWide = census.filter(col("n").isin(TopNs: _*))
+      .groupBy(col("n"), col("doc_id"))
       .agg(min_by(col("c") * col("gc"), struct(lit(0L) - col("c"), col("gk")))
-        .as(s"topcov$n"))
+        .as("topcov"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === TopNs.head, col("topcov"))).as(s"topcov${TopNs.head}"),
+        TopNs.tail.map(n =>
+          max(when(col("n") === n, col("topcov"))).as(s"topcov$n")): _*)
 
     // dup-n: positions covered by any within-doc duplicated n-gram;
     // char weight = the token's length at each DISTINCT covered position
     val tokLens = base
       .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "w")))
       .select(col("doc_id"), col("pos"), length(col("w")).cast("long").as("wlen"))
-    def dupChars(n: Int): DataFrame = {
-      val g = grams(n)
-      val dupKeys = g.groupBy(col("doc_id"), col("gk"))
-        .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
-        .select("doc_id", "gk")
-      g.join(dupKeys, Seq("doc_id", "gk"))
-        .select(col("doc_id"),
-          explode(sequence(col("p"), col("p") + n - 1)).as("pos"))
-        .distinct()
-        .join(tokLens, Seq("doc_id", "pos"))
-        .groupBy(col("doc_id")).agg(sum(col("wlen")).as(s"dupch$n"))
-    }
+    val dupKeys = census
+      .filter(col("n").isin(DupNs: _*) && col("c") >= 2)
+      .select("n", "doc_id", "gk")
+    val dupWide = grams.filter(col("n").isin(DupNs: _*))
+      .join(dupKeys, Seq("n", "doc_id", "gk"))
+      .select(col("n"), col("doc_id"),
+        explode(sequence(col("p"), col("p") + col("n") - 1)).as("pos"))
+      .distinct()
+      .join(tokLens, Seq("doc_id", "pos"))
+      .groupBy(col("n"), col("doc_id")).agg(sum(col("wlen")).as("dupch"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(when(col("n") === DupNs.head, col("dupch"))).as(s"dupch${DupNs.head}"),
+        DupNs.tail.map(n =>
+          max(when(col("n") === n, col("dupch"))).as(s"dupch$n")): _*)
 
-    val withMetrics =
-      (TopNs.map(topFrac) ++ DupNs.map(dupChars)).foldLeft(
-        base.select(col("doc_id"), col("n_tokens"), col("n_chars"))) {
-        (acc, m) => acc.join(m, Seq("doc_id"), "left")
-      }
+    val withMetrics = base
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"))
+      .join(topWide, Seq("doc_id"), "left")
+      .join(dupWide, Seq("doc_id"), "left")
     val fracs = TopNs.map { n =>
       (TextOps.ratioMicro(s"coalesce(topcov$n, 0)", "n_chars").cast("double")
         / 1e6).as(s"top${n}_frac")

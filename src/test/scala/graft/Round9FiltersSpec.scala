@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.operators.{C4Filters, GopherRules, ShardExport}
+import graft.operators.{C4Filters, DedupOps, GopherRules, ShardExport}
 
 /** Round-9 filter additions: t18 (Gopher repetition fractions), t19 (C4
   * line heuristics), c19 (deterministic shard export), and the C4
@@ -167,6 +167,34 @@ class Round9FiltersSpec extends GraftSpecBase {
     // deterministic: a second run is row-identical
     val again = ShardExport.c19ShardExport(spark, sfDir).collect()
     assert(rows.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("c20: near-dup clusters land whole in ONE split; buckets follow " +
+      "the canonical-id formula; audit consistent") {
+    val out = DedupOps.c20SplitLeakfree(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.length.toLong === Tables(spark, sfDir).documents.count())
+    // cluster-consistency: every canonical group has exactly one split
+    rows.groupBy(_.getAs[Long]("canonical")).foreach { case (c, rs) =>
+      assert(rs.map(_.getAs[String]("split")).distinct.length === 1,
+        s"canonical $c split across splits")
+    }
+    // at least one REAL multi-doc cluster exercises the guarantee
+    assert(rows.groupBy(_.getAs[Long]("canonical")).exists(_._2.length > 1))
+    // the bucket formula, recomputed driver-side
+    rows.foreach { r =>
+      val b = ((r.getAs[Long]("canonical") % 1000003L) * 2654435761L +
+        104729L) % 100L
+      val expect = if (b < 90) "train" else if (b < 95) "val" else "test"
+      assert(r.getAs[String]("split") === expect)
+    }
+    // audit: per-split docs/tokens equal the recomputed sums
+    rows.groupBy(_.getAs[String]("split")).foreach { case (_, rs) =>
+      assert(rs.head.getAs[Long]("split_docs") === rs.length.toLong)
+      assert(rs.head.getAs[Long]("split_tokens") ===
+        rs.map(_.getAs[Long]("n_tokens")).sum)
+    }
+    assert(rows.count(_.getAs[String]("split") == "train") > rows.length / 2)
   }
 
   test("shardRouteStream: assignment bit-identical to the batch export's " +
