@@ -1061,7 +1061,7 @@ object TextOps {
     * entirely in integer space (num ≥ 0) — the LM-scoring finish shared
     * by t08 and t13, ONE definition per engine so the parity-critical
     * rounding discipline cannot drift between ops. */
-  private[operators] def qMicro(num: String, n: String): Column =
+  private[graft] def qMicro(num: String, n: String): Column =
     expr(s"($num + 5 * $n) div (10 * $n)")
   private[operators] def qMicroSql(num: String, n: String): String =
     s"CAST(($num + 5 * $n) // (10 * $n) AS DOUBLE) / 1000000.0"
@@ -1099,28 +1099,8 @@ object TextOps {
     * order moves the score (unigram scoring is permutation-invariant by
     * construction; this is not). */
   private[graft] def bigramLm(d: DataFrame): DataFrame = {
-    val Q = 1e7
-    val docBi = d
-      .select(col("doc_id"), explode(
-        graft.functions.Ngrams.ngramJoin(tokensOf(col("text")), 2)).as("bg"))
-      .groupBy(col("doc_id"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-    val uni = d.select(explode(tokensOf(col("text"))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
-    val totals = uni.agg(sum(col("cf")).as("n_corpus"),
-      count(lit(1)).as("v"))
-    val model = docBi.groupBy(col("bg")).agg(sum(col("c")).as("c12"))
-      .withColumn("w1", split(col("bg"), " ").getItem(0))
-      .withColumn("w2", split(col("bg"), " ").getItem(1))
-      .join(uni.select(col("tok").as("w1"), col("cf").as("c1")), "w1")
-      .join(uni.select(col("tok").as("w2"), col("cf").as("c2")), "w2")
-      .crossJoin(broadcast(totals))
-      .withColumn("p",
-        lit(T13Lambda) * (col("c12").cast("double") / col("c1").cast("double")) +
-          lit(1.0 - T13Lambda) * ((col("c2").cast("double") + lit(1.0)) /
-            (col("n_corpus").cast("double") + col("v").cast("double"))))
-      .withColumn("q_log", round(log(col("p")) * Q).cast("long"))
-      .select("bg", "q_log")
+    val docBi = docBigrams(d)
+    val model = bigramModel(d, docBi)
     val perDoc = docBi.join(model, "bg")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
@@ -1136,6 +1116,54 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("nll"))
   }
+
+  /** Per-(doc, bigram) counts — t13's scoring input, shared by the model
+    * build and the per-doc aggregation. */
+  private[graft] def docBigrams(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), explode(
+      graft.functions.Ngrams.ngramJoin(tokensOf(col("text")), 2)).as("bg"))
+    .groupBy(col("doc_id"), col("bg"))
+    .agg(count(lit(1)).as("c"))
+
+  /** t13's TRAINED MODEL as a standalone (bg, q_log) relation — the
+    * persistable LM artifact a streaming gate joins stream-static
+    * ([[graft.streaming.StreamingJobs.pplBucketStream]]); `d` is the
+    * training corpus, `docBi` its [[docBigrams]]. */
+  private[graft] def bigramModel(d: DataFrame, docBi: DataFrame): DataFrame = {
+    val Q = 1e7
+    val uni = d.select(explode(tokensOf(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    val totals = uni.agg(sum(col("cf")).as("n_corpus"),
+      count(lit(1)).as("v"))
+    docBi.groupBy(col("bg")).agg(sum(col("c")).as("c12"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("tok").as("w1"), col("cf").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cf").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("p",
+        lit(T13Lambda) * (col("c12").cast("double") / col("c1").cast("double")) +
+          lit(1.0 - T13Lambda) * ((col("c2").cast("double") + lit(1.0)) /
+            (col("n_corpus").cast("double") + col("v").cast("double"))))
+      .withColumn("q_log", round(log(col("p")) * Q).cast("long"))
+      .select("bg", "q_log")
+  }
+
+  /** The model's OUT-OF-VOCABULARY bigram log-probability on the same
+    * 1e-7 grid: an unseen pair backs off to the fully-smoothed floor
+    * p = (1−λ)·1/(N+V) (c12 = 0 and the unseen unigram's Laplace mass) —
+    * the constant the STREAMING gate assigns to bigrams absent from the
+    * trained model (the batch entry scores its own training corpus, where
+    * no bigram is unseen). Quantized by the SAME Spark expression as the
+    * in-model entries so the grids cannot diverge. */
+  private[graft] def bigramOovQLog(d: DataFrame): Long =
+    d.select(explode(tokensOf(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+      .agg(sum(col("cf")).as("n_corpus"), count(lit(1)).as("v"))
+      .select(round(log(lit(1.0 - T13Lambda) /
+        (col("n_corpus") + col("v")).cast("double")) * 1e7).cast("long")
+        .as("q"))
+      .head().getLong(0)
 
   /** t13's model + per-doc scoring as a reusable CTE chain (ends at
     * `scored`: doc_id, n_bigrams, nll) — shared verbatim by [[t13Sql]]

@@ -882,6 +882,49 @@ object StreamingJobs {
       docs.withColumn("text", coalesce(col("text"), lit(""))),
       split(col("text"), "\n"))
 
+  // ----------------------------------------------- perplexity gate
+  /** Streaming face of t13 + t16 — the PERPLEXITY GATE at ingest time,
+    * completing the streaming gate set (heuristic t02 → corpusIngest,
+    * trained classifier → qualityScoreStream, language → langIdStream,
+    * rules → gopherGateStream/c4GateStream, THIS for the LM): each
+    * arriving document is scored under the FROZEN bigram LM and bucketed
+    * by the FROZEN corpus thresholds.
+    *
+    * The split follows the standing-store playbook: the MODEL is a
+    * vocab-sized relation, so it rides a stream-static left join
+    * re-scanned per trigger (a re-trained model lands on the next trigger
+    * without a restart — the bpeCountStream refresh contract); the two
+    * tertile THRESHOLDS and the OOV floor are scalars, so they snapshot
+    * into plan literals (the annProbeStream constants-vs-content split).
+    * Bigrams absent from the model take `qLogOov` —
+    * [[graft.operators.TextOps.bigramOovQLog]]'s fully-smoothed floor
+    * (the batch entry scores its own training corpus, where no bigram is
+    * unseen; agreement wherever the model covers the doc is spec-pinned
+    * bit-identical). Short docs (< 2 tokens) keep a row via
+    * `explode_outer` → n_bigrams 0, nll null, bucket 'unscored' — t13's
+    * every-doc-gets-a-row discipline. State = the watermark-bounded
+    * per-doc aggregation only. */
+  def pplBucketStream(docs: DataFrame, model: DataFrame, qLogOov: Long,
+      t1: Double, t2: Double, watermark: String = "1 hour"): DataFrame = {
+    val scored = docs.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), explode_outer(
+        graft.functions.Ngrams.ngramJoin(
+          graft.operators.TextOps.tokensOf(col("text")), 2)).as("bg"))
+      .join(model, Seq("bg"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(col("bg")).as("n_bigrams"),
+        (-sum(when(col("bg").isNotNull,
+          coalesce(col("q_log"), lit(qLogOov))))).as("num"))
+      .withColumn("nll",
+        graft.operators.TextOps.qMicro("num", "n_bigrams")
+          .cast("double") / 1e6)
+    scored.select(col("doc_id"), col("ts"), col("n_bigrams"), col("nll"),
+      when(col("nll").isNull, lit("unscored"))
+        .when(col("nll") <= t1, lit("head"))
+        .when(col("nll") <= t2, lit("middle"))
+        .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   // ----------------------------------------------------- shard router
   /** Streaming face of c19's shard export: the ROW-LOCAL half —
     * content fingerprint, shard id, token count — as one stateless

@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** pplBucketStream: the streaming perplexity gate (t13 scoring + t16
+  * bucketing under a frozen model/thresholds) — bit-parity with batch
+  * wherever the model covers the document, the documented OOV floor
+  * elsewhere, every-doc-gets-a-row on short docs. */
+class Round9PplStreamSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "the cat sat on the mat"),
+    (2L, "the dog sat on the log"),
+    (3L, "a completely different sentence structure here today"),
+    (4L, "the cat sat on the mat again and again"))
+
+  test("pplBucketStream: nll and bucket bit-identical to batch t13+t16 on " +
+      "in-model docs; OOV floor exact; short doc lands 'unscored'") {
+    graft.functions.Ngrams.register(spark)
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val scored = TextOps.bigramLm(corpusDf)
+    val thrRow = scored.filter(col("nll").isNotNull)
+      .agg(round(expr("percentile(nll, 1.0/3)"), 6).as("t1"),
+        round(expr("percentile(nll, 2.0/3)"), 6).as("t2")).head()
+    val (t1, t2) = (thrRow.getDouble(0), thrRow.getDouble(1))
+    // batch truth: t16's bucketing over t13's scores
+    val batch = scored.collect().map { r =>
+      val nll = Option(r.getAs[java.lang.Double]("nll")).map(_.doubleValue)
+      val bucket = nll match {
+        case None => "unscored"
+        case Some(v) if v <= t1 => "head"
+        case Some(v) if v <= t2 => "middle"
+        case _ => "tail"
+      }
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_bigrams"), nll, bucket)
+    }.toMap
+
+    val model = TextOps.bigramModel(corpusDf, TextOps.docBigrams(corpusDf))
+      .localCheckpoint()
+    val qOov = TextOps.bigramOovQLog(corpusDf)
+    assert(qOov < 0, "the OOV floor is a log-probability")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingJobs
+      .pplBucketStream(mem.toDF.toDF("doc_id", "ts", "text"), model, qOov, t1, t2)
+      .writeStream.format("memory").queryName("ppl_r9").outputMode("append")
+      .start()
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    try {
+      mem.addData(corpus.map { case (id, tx) => (id, t0, tx) }: _*)
+      mem.addData((8L, t0, "zz qq"), (9L, t0, "one"))
+      mem.addData((999L, Timestamp.valueOf("2026-01-01 13:00:00"), "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ppl_r9").collect().map { r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_bigrams"),
+        Option(r.getAs[java.lang.Double]("nll")).map(_.doubleValue),
+        r.getAs[String]("ppl_bucket"))
+    }.toMap
+
+    // in-model docs: bit-identical to the batch score + bucket
+    corpus.foreach { case (id, _) => assert(streamed(id) === batch(id), s"doc $id") }
+    // fully-OOV doc: exactly one bigram at the documented floor,
+    // num = -qOov, nll = integer-rounded micro grid of -qOov/1e7
+    val (nb, nll8, _) = streamed(8L)
+    assert(nb === 1L)
+    assert(nll8.get === ((-qOov + 5L) / 10L).toDouble / 1e6)
+    // a short doc keeps its row, unscored
+    assert(streamed(9L) === ((0L, None, "unscored")))
+  }
+}
