@@ -119,6 +119,87 @@ object DedupOps {
       .orderBy("cluster_id")
   }
 
+  // ---------------------------------------------------------------- d11
+  /** d11: CONTAINMENT near-dup pairs — the asymmetric case symmetric
+    * Jaccard structurally misses (Broder '97 distinguishes resemblance
+    * from containment; Lee et al. '22 §4 finds exactly these in real
+    * corpora): a short document quoted whole inside a long one has
+    * containment |A∩B|/|A| ≈ 1 while Jaccard |A∩B|/|A∪B| ≈ |A|/|B| → 0,
+    * so a d02-style gate never fires. This op emits EVERY pair whose
+    * smaller-gram-set side is ≥ 0.8 contained, with `jaccard_covered`
+    * flagging whether symmetric Jaccard (≥ 0.5, d02's gate) already
+    * catches it — rows with the flag FALSE are the pairs a
+    * Jaccard-only pipeline ships as "unique" (the synthetic driver
+    * corpus has none by construction: its duplicates are whole-document
+    * twins, so every audited pair there is flagged covered; the
+    * quoted-snippet path is spec-driven on an engineered corpus).
+    *
+    * Same machinery and disciplines as d02 verbatim: word-3-gram shingles
+    * as NgramHashes longs (counts identical to the oracle's string
+    * shingles up to xxhash64 collisions — d02's adjudicated argument),
+    * same deterministic 50% audit sample and language blocking, pairs
+    * materialized only on shared shingles. At 100 TB this runs on LSH
+    * candidates exactly as d02 does — and the MinHash estimator for
+    * containment needs the UNION sketch (bottom-k over both docs), which
+    * is why the exact form matters as the verification tool. */
+  def d11Containment(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    val t = Tables(spark, dir)
+    val rows = t.spread(t.documents).filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.Ngrams.ngramHashes(tokensOf(col("text")), 3)).as("sh"))
+      .distinct()
+    val counts = rows.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = rows.as("a").join(rows.as("b"),
+        col("a.lang") === col("b.lang") && col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.lang").as("lang"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      // the contained side = the smaller gram set; ties break to doc_a
+      // (the lower id, since doc_a < doc_b)
+      .withColumn("small_doc",
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")))
+      .withColumn("big_doc",
+        when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a")))
+      .withColumn("n_small", least(col("n_a"), col("n_b")))
+      .withColumn("n_big", greatest(col("n_a"), col("n_b")))
+      .withColumn("containment",
+        round(col("n_inter").cast("double") / col("n_small"), 6))
+      .withColumn("jaccard", round(col("n_inter").cast("double")
+        / (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("containment") >= 0.8)
+      .withColumn("jaccard_covered", col("jaccard") >= 0.5)
+      .select("small_doc", "big_doc", "lang", "n_small", "n_big",
+        "n_inter", "containment", "jaccard", "jaccard_covered")
+      .orderBy("small_doc", "big_doc")
+  }
+
+  val d11Sql: String =
+    s"""$DocsShinglesSql, sampled AS (
+       |  SELECT * FROM docs WHERE doc_id % 2 = 0
+       |), pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang,
+       |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+       |    CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b
+       |  FROM sampled a JOIN sampled b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |), sided AS (
+       |  SELECT CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS small_doc,
+       |    CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END AS big_doc,
+       |    lang, least(n_a, n_b) AS n_small, greatest(n_a, n_b) AS n_big,
+       |    n_inter,
+       |    round(CAST(n_inter AS DOUBLE) / least(n_a, n_b), 6) AS containment,
+       |    round(CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter), 6) AS jaccard
+       |  FROM pairs
+       |)
+       |SELECT small_doc, big_doc, lang, n_small, n_big, n_inter,
+       |  containment, jaccard, (jaccard >= 0.5) AS jaccard_covered
+       |FROM sided WHERE containment >= 0.8
+       |ORDER BY small_doc, big_doc""".stripMargin
+
   // ---------------------------------------------------------------- c20
   /** Multiplicative-hash split buckets: canonical id → 0..99, all 64-bit
     * integer arithmetic (the id is range-reduced BEFORE the Knuth

@@ -81,6 +81,39 @@ class Round9FiltersSpec extends GraftSpecBase {
     assert(s("repetition_pass") === true)
   }
 
+  // ---- d11: containment pairs on an engineered quoted-snippet corpus
+  test("d11: a short doc quoted inside a long one is a containment pair " +
+      "that Jaccard misses; high-Jaccard pairs stay d02's") {
+    val snippet = "alpha beta gamma delta epsilon zeta"
+    val filler = (1 to 40).map(i => s"w$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("d11spec").toString
+    Seq(
+      (2L, s"$filler $snippet"),            // long doc quoting the snippet
+      (4L, snippet),                        // the snippet itself
+      (6L, snippet + " eta"),               // near-identical to 4 -> d02 territory
+      (8L, "totally unrelated content words here entirely"),
+      (9L, snippet)                         // odd id -> outside the 50% sample
+    ).toDF("doc_id", "text")
+      .withColumn("lang", lit("xx")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.operators.DedupOps.d11Containment(spark, dir).collect()
+      .map(r => (r.getAs[Long]("small_doc"), r.getAs[Long]("big_doc")) -> r).toMap
+    // snippet-in-article: containment 1.0, jaccard tiny -> the pair a
+    // Jaccard-only pipeline misses, flagged NOT covered
+    assert(out.contains((4L, 2L)), s"keys=${out.keys}")
+    val r = out((4L, 2L))
+    assert(r.getAs[Double]("containment") === 1.0)
+    assert(r.getAs[Double]("jaccard") < 0.5)
+    assert(r.getAs[Boolean]("jaccard_covered") === false)
+    assert(r.getAs[Long]("n_small") === 4L) // 6 tokens -> 4 3-grams
+    // 4 vs 6 share most grams symmetrically: jaccard >= 0.5 -> audited
+    // but flagged COVERED (d02's row; the flag partitions the space)
+    assert(out((4L, 6L)).getAs[Boolean]("jaccard_covered") === true)
+    // the odd-id twin is outside the deterministic audit sample
+    assert(!out.keys.exists(k => k._1 == 9L || k._2 == 9L))
+  }
+
   // ---- t19: the C4 heuristics over REAL newline lines
   test("t19: line retention, sentence gate, lorem/brace drops") {
     val docs = Seq(
