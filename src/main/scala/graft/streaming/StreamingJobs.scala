@@ -925,6 +925,34 @@ object StreamingJobs {
         .otherwise(lit("tail")).as("ppl_bucket"))
   }
 
+  // ----------------------------------------------------- budget gate
+  /** Streaming face of c16's token-budget sampling: the per-source
+    * acceptance rates are a |sources|-row artifact of the batch budget
+    * run (schema-bounded, so the stream-static join auto-broadcasts),
+    * and the accept decision itself is row-local — fingerprint mod 1e6
+    * under the source's rate, c16's exact integer arithmetic, NO RNG —
+    * so a continual-ingestion pipeline admits each arriving document
+    * with the SAME decision the batch sampler would make (spec-pinned
+    * bit-identical). A source absent from the rates relation fails
+    * CLOSED (rate 0: an unbudgeted source ships nothing); a re-budgeted
+    * rates table lands on the next trigger (the standing-artifact
+    * refresh contract). Corpus-global rate RECOMPUTATION stays
+    * batch-side by design — rates depend on total source token mass,
+    * which a row-local stream cannot know (the shardRouteStream
+    * division-of-labor pattern). */
+  def budgetGateStream(docs: DataFrame, rates: DataFrame): DataFrame = {
+    val t = graft.operators.TextOps
+    docs
+      .withColumn("norm", t.normText(coalesce(col("text"), lit(""))))
+      .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
+      .withColumn("fp", t.polyFp(col("norm")))
+      .join(rates.select(col("source"), col("rate_ppm")), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        coalesce(col("rate_ppm"), lit(0L)).as("rate_ppm"),
+        (pmod(col("fp"), lit(1000000L)) < coalesce(col("rate_ppm"), lit(0L)))
+          .as("accepted"))
+  }
+
   // ----------------------------------------------------- shard router
   /** Streaming face of c19's shard export: the ROW-LOCAL half —
     * content fingerprint, shard id, token count — as one stateless

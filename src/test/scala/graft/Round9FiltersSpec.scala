@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import graft.operators.{C4Filters, DedupOps, GopherRules, ShardExport}
+import graft.operators.{C4Filters, DedupOps, GopherRules, ShardExport, TextOps}
 
 /** Round-9 filter additions: t18 (Gopher repetition fractions), t19 (C4
   * line heuristics), c19 (deterministic shard export), and the C4
@@ -228,6 +228,43 @@ class Round9FiltersSpec extends GraftSpecBase {
         rs.map(_.getAs[Long]("n_tokens")).sum)
     }
     assert(rows.count(_.getAs[String]("split") == "train") > rows.length / 2)
+  }
+
+  test("budgetGateStream: accept decisions bit-identical to the batch " +
+      "token-budget sampler; unknown source fails closed") {
+    graft.functions.PolyFingerprint.register(spark)
+    val corpus = (1L to 40L).map(i =>
+      (i, if (i % 3 == 0) "web" else "books",
+        s"document number $i with some filler words " + ("pad " * (i % 7).toInt)))
+    val corpusDf = corpus.toDF("doc_id", "source", "text")
+    val batch = TextOps.tokenBudgetOver(corpusDf, 3L, 10L,
+      when(col("source") === "web", 2L).otherwise(1L))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("rate_ppm"),
+          r.getAs[Boolean]("accepted"))).toMap
+    val rates = TextOps.tokenBudgetOver(corpusDf, 3L, 10L,
+      when(col("source") === "web", 2L).otherwise(1L))
+      .select("source", "rate_ppm").distinct().localCheckpoint()
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingJobs
+      .budgetGateStream(mem.toDF.toDF("doc_id", "source", "text"), rates)
+      .writeStream.format("memory").queryName("budget_r9").outputMode("append")
+      .start()
+    try {
+      mem.addData(corpus: _*)
+      mem.addData((999L, "mystery", "a doc from an unbudgeted source"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("budget_r9").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("rate_ppm"),
+          r.getAs[Boolean]("accepted"))).toMap
+    corpus.foreach { case (id, _, _) => assert(streamed(id) === batch(id), s"doc $id") }
+    assert(streamed.values.exists(_._3) && streamed.values.exists(!_._3),
+      "the gate must both accept and reject on this corpus")
+    assert(streamed(999L) === ((6L, 0L, false))) // fail closed
   }
 
   test("shardRouteStream: assignment bit-identical to the batch export's " +
