@@ -1056,6 +1056,79 @@ object TextOps {
        |  ${qMicroSql("num", "n_tokens")} AS nll
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- c21
+  /** c21: the per-source CORPUS REPORT — the datasheet a corpus release
+    * ships (Gebru et al. '21 "Datasheets for Datasets"; every Dolma/
+    * RedPajama/FineWeb card publishes exactly these rows): per source its
+    * doc/token/char mass, language spread, EXACT-duplICATE rate (d01's
+    * min-id-canonical convention: a doc is a dup iff an earlier doc has
+    * the same content hash), and the token-length p50/p90 (exact
+    * interpolated percentiles, a03's engine-proven `percentile` ≡
+    * `quantile_cont` mapping, round-6).
+    *
+    * Scale shape: one corpus scan feeds a (source) aggregate and the d01
+    * hash census ((16-byte md5, doc_id) pairs shuffle, never text); the
+    * dup flag joins back on the hash; the report relation is
+    * |sources|-rows. The percentile pair is the one non-mergeable step —
+    * same documented a09-sketch scale path as t16/e13. dup_rate rounds in
+    * INTEGER space (§6(d): dups/docs CAN be an exact decimal half). */
+  def c21CorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"),
+        normText(col("text")).as("norm"))
+      .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
+      .withColumn("n_chars", length(col("norm")).cast("long"))
+      .withColumn("h", md5(col("norm")))
+    val canon = d.groupBy(col("h")).agg(min(col("doc_id")).as("canonical"))
+    val flagged = d.join(canon, "h")
+      .withColumn("is_dup", col("doc_id") =!= col("canonical"))
+    flagged.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("is_dup").cast("long")).as("dup_docs"),
+        round(expr("percentile(n_tokens, 0.5)"), 6).as("p50_tokens"),
+        round(expr("percentile(n_tokens, 0.9)"), 6).as("p90_tokens"))
+      .withColumn("dup_rate",
+        ratioMicro("dup_docs", "n_docs").cast("double") / 1e6)
+      .select("source", "n_docs", "n_tokens", "n_chars", "n_langs",
+        "dup_docs", "dup_rate", "p50_tokens", "p90_tokens")
+      .orderBy("source")
+  }
+
+  val c21Sql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, lang, $NormSql AS norm FROM documents
+       |), m AS (
+       |  SELECT doc_id, source, lang,
+       |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(length(norm) AS BIGINT) AS n_chars,
+       |    md5(norm) AS h
+       |  FROM d
+       |), canon AS (
+       |  SELECT h, min(doc_id) AS canonical FROM m GROUP BY h
+       |), f AS (
+       |  SELECT m.*, (m.doc_id <> c.canonical) AS is_dup
+       |  FROM m JOIN canon c ON m.h = c.h
+       |), agg AS (
+       |  SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(sum(CAST(is_dup AS BIGINT)) AS BIGINT) AS dup_docs,
+       |    round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+       |    round(quantile_cont(n_tokens, 0.9), 6) AS p90_tokens
+       |  FROM f GROUP BY source
+       |)
+       |SELECT source, n_docs, n_tokens, n_chars, n_langs, dup_docs,
+       |  CAST((2 * dup_docs * 1000000 + n_docs) // (2 * n_docs) AS DOUBLE)
+       |    / 1000000.0 AS dup_rate,
+       |  p50_tokens, p90_tokens
+       |FROM agg ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- t13
   /** Half-away rounding of the exact rational num/(n·10⁷) to 1e-6 units,
     * entirely in integer space (num ≥ 0) — the LM-scoring finish shared

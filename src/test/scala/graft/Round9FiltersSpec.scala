@@ -114,6 +114,38 @@ class Round9FiltersSpec extends GraftSpecBase {
     assert(!out.keys.exists(k => k._1 == 9L || k._2 == 9L))
   }
 
+  // ---- c21: the per-source datasheet on an engineered corpus
+  test("c21: dup rate follows d01's min-id convention; exact percentiles; " +
+      "per-source masses") {
+    val dir = java.nio.file.Files.createTempDirectory("c21spec").toString
+    Seq(
+      (1L, "web",   "en", "one two three"),          // 3 tokens, canonical
+      (2L, "web",   "en", "one two three"),          // exact dup of 1
+      (3L, "web",   "de", "one two three four five"),// 5 tokens
+      (4L, "web",   "en", "one two three four five six seven"), // 7
+      (5L, "books", "en", "alpha beta"),             // 2 tokens
+      (6L, "books", "en", "ALPHA   beta")            // normalizes to dup of 5
+    ).toDF("doc_id", "source", "lang", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextOps.c21CorpusReport(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val web = out("web")
+    assert(web.getAs[Long]("n_docs") === 4L)
+    assert(web.getAs[Long]("n_tokens") === 3 + 3 + 5 + 7L)
+    assert(web.getAs[Long]("n_langs") === 2L)
+    assert(web.getAs[Long]("dup_docs") === 1L) // doc 2 only
+    assert(web.getAs[Double]("dup_rate") === 0.25)
+    assert(web.getAs[Double]("p50_tokens") === 4.0)  // interp of 3,3,5,7
+    assert(web.getAs[Double]("p90_tokens") === 6.4)  // 5 + 0.7*(7-5)
+    val books = out("books")
+    assert(books.getAs[Long]("n_docs") === 2L)
+    // normalization (case + whitespace) makes 6 a dup of 5
+    assert(books.getAs[Long]("dup_docs") === 1L)
+    assert(books.getAs[Double]("dup_rate") === 0.5)
+    assert(books.getAs[Double]("p50_tokens") === 2.0)
+  }
+
   // ---- t19: the C4 heuristics over REAL newline lines
   test("t19: line retention, sentence gate, lorem/brace drops") {
     val docs = Seq(
