@@ -513,6 +513,101 @@ object GraphOps {
     labels
   }
 
+  /** g09 driver geometry: k-core order and peel-round budget. The doc
+    * graph's 2-core converges in ONE round (verified at every sf); its
+    * 3-core is empty and only reachable through an O(|V|)-round cascade
+    * (the band graph peels like a fuse — 1,667 rounds at sf0.1), which is
+    * exactly why the op carries a round BUDGET and a `converged` flag
+    * instead of pretending fixpoint: a pathological graph shows up as
+    * converged=false rows, not a silent wrong answer or an unbounded
+    * job chain. */
+  private val KCoreK = 2
+  private val KCoreRounds = 4
+
+  /** Fixed-budget k-core peeling over an (a, b) edge list: each round
+    * removes every still-alive vertex with < k alive neighbors (isolated
+    * survivors count 0 via the left join), until the budget or an early
+    * fixpoint (a no-removal round — identical result to running the
+    * remaining no-op rounds, so the unrolled oracle still matches).
+    * Per round: one degree aggregate + two id-keyed joins, (long) ids
+    * only on the wire; alive set localCheckpoint'ed per generation
+    * (Components' discipline). */
+  private[graft] def kcoreOver(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    val verts = sym.select(col("u").as("v")).distinct().localCheckpoint()
+    var alive = verts
+    var removed = verts.limit(0)
+      .select(col("v"), lit(0).as("removed_round"))
+    var lastRoundRemoved = 0L
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val se = sym
+        .join(alive.select(col("v").as("u")), Seq("u"), "left_semi")
+        .join(alive, Seq("v"), "left_semi")
+      val deg = se.groupBy(col("u")).agg(count(lit(1)).as("d"))
+      val rm = alive
+        .join(deg.select(col("u").as("v"), col("d")), Seq("v"), "left")
+        .filter(coalesce(col("d"), lit(0L)) < k)
+        .select(col("v"), lit(r).as("removed_round"))
+        .localCheckpoint()
+      lastRoundRemoved = rm.count()
+      if (lastRoundRemoved == 0) done = true
+      else {
+        removed = removed.unionAll(rm).localCheckpoint()
+        alive = alive.join(rm.select("v"), Seq("v"), "left_anti")
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    val converged = done || lastRoundRemoved == 0
+    verts.join(removed, Seq("v"), "left")
+      .select(col("v").as("doc_id"), col("removed_round"),
+        col("removed_round").isNull.as("in_kcore"),
+        lit(converged).as("converged"))
+  }
+
+  /** g09: K-CORE membership over the document graph — the link-graph
+    * curation signal complementary to PageRank/HITS (a spam farm or
+    * auto-generated link mesh shows up as a dense core; a page outside
+    * every k-core has no robust link support; Kitsak et al. '10 use core
+    * number as the influence measure). Fixed round budget + `converged`
+    * flag (see [[kcoreOver]]); the unrolled-CTE oracle replays the exact
+    * peel rounds, g03's discipline. */
+  def g09KCore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOver(edges(spark, dir), KCoreK, KCoreRounds).orderBy("doc_id")
+
+  val g09Sql: String = {
+    val rounds = (0 until KCoreRounds).map { i =>
+      s"""d${i + 1} AS (
+         |  SELECT s.u, count(*) AS d FROM sym s
+         |  JOIN a$i x ON s.u = x.v JOIN a$i y ON s.v = y.v
+         |  GROUP BY s.u
+         |), r${i + 1} AS (
+         |  SELECT a$i.v, ${i + 1} AS removed_round
+         |  FROM a$i LEFT JOIN d${i + 1} ON a$i.v = d${i + 1}.u
+         |  WHERE coalesce(d, 0) < $KCoreK
+         |), a${i + 1} AS (
+         |  SELECT v FROM a$i WHERE v NOT IN (SELECT v FROM r${i + 1})
+         |)""".stripMargin
+    }.mkString(", ")
+    val unionRm = (1 to KCoreRounds).map(i => s"SELECT * FROM r$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $EdgesSql,
+       |sym AS (SELECT a AS u, b AS v FROM edges
+       |        UNION ALL SELECT b AS u, a AS v FROM edges),
+       |a0 AS (SELECT DISTINCT u AS v FROM sym),
+       |$rounds,
+       |removed AS ($unionRm),
+       |conv AS (SELECT count(*) = 0 AS converged FROM r$KCoreRounds)
+       |SELECT a0.v AS doc_id, removed.removed_round,
+       |  removed.removed_round IS NULL AS in_kcore, conv.converged
+       |FROM a0 LEFT JOIN removed ON a0.v = removed.v, conv
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def g08LabelProp(spark: SparkSession, dir: String): DataFrame = {
     val docsDf = Tables(spark, dir).documents.select(col("doc_id"), col("source"))
     val seedRel = docsDf.select(col("doc_id").as("v"),

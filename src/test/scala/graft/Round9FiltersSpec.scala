@@ -114,6 +114,36 @@ class Round9FiltersSpec extends GraftSpecBase {
     assert(!out.keys.exists(k => k._1 == 9L || k._2 == 9L))
   }
 
+  // ---- g09: k-core peeling on engineered graphs
+  test("g09 kcoreOver: cascade removal rounds exact on clique+tail; " +
+      "early fixpoint converges; exhausted budget flags converged=false") {
+    import graft.operators.GraphOps
+    val clique = (for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j))
+    val tail = Seq((5L, 6L), (6L, 7L), (7L, 8L))
+    val e1 = (clique ++ tail).toDF("a", "b")
+    val out1 = GraphOps.kcoreOver(e1, k = 2, rounds = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Integer]("removed_round")).map(_.intValue),
+          r.getAs[Boolean]("in_kcore"), r.getAs[Boolean]("converged"))).toMap
+    // the tail peels one vertex per round (the cascade), the clique stays
+    assert(out1(8L) === ((Some(1), false, true)))
+    assert(out1(7L) === ((Some(2), false, true)))
+    assert(out1(6L) === ((Some(3), false, true)))
+    (1L to 5L).foreach(v => assert(out1(v) === ((None, true, true)), s"v$v"))
+
+    // a 10-path under a 3-round budget peels 2 ends per round and runs out
+    val path = (1L to 9L).map(i => (i, i + 1)).toDF("a", "b")
+    val out2 = GraphOps.kcoreOver(path, k = 2, rounds = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (Option(r.getAs[java.lang.Integer]("removed_round")).map(_.intValue),
+          r.getAs[Boolean]("converged"))).toMap
+    assert(out2(1L)._1 === Some(1)); assert(out2(10L)._1 === Some(1))
+    assert(out2(2L)._1 === Some(2)); assert(out2(9L)._1 === Some(2))
+    assert(out2(3L)._1 === Some(3)); assert(out2(8L)._1 === Some(3))
+    assert(out2(5L)._1 === None)
+    assert(out2.values.forall(!_._2), "budget exhausted mid-peel => not converged")
+  }
+
   // ---- c21: the per-source datasheet on an engineered corpus
   test("c21: dup rate follows d01's min-id convention; exact percentiles; " +
       "per-source masses") {
