@@ -216,6 +216,61 @@ object VectorOps {
        |SELECT query_id, rank, vec_id, cos_sim FROM ranked
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- s10
+  /** s10: metadata-FILTERED exact ANN — the label-constrained top-k every
+    * modern vector store serves ("nearest neighbors WHERE label = X", the
+    * collection/tenant/freshness predicate). The filter composes INTO the
+    * candidate scan (pre-filtering: only qualifying vectors are scored),
+    * NOT over an unfiltered result — post-filtering a top-k can return
+    * fewer than k rows and, under an approximate index, arbitrarily bad
+    * recall for selective predicates (the documented pre-vs-post-filter
+    * trade every production ANN service navigates). Driver predicate:
+    * the query's OWN label (the "same-collection" search); a label with
+    * fewer than k members returns fewer rows rather than padding with
+    * out-of-predicate neighbors — spec-pinned.
+    *
+    * Scale shape: s01's exact form with the predicate pruning BEFORE the
+    * pair join, so selectivity divides the scoring work; the top-k is
+    * the bounded TopKByScore aggregate (no windows). On the standing
+    * store the same predicate composes with s09's list pruning — and for
+    * low-selectivity labels the inverted file is additionally
+    * partitionable BY label (GraftIO.writePartitioned), making the
+    * filter a partition prune instead of a scan predicate. */
+  def s10AnnFiltered(spark: SparkSession, dir: String): DataFrame = {
+    FloatVecDot.register(spark)
+    TopKByScore.register(spark)
+    val v = Tables(spark, dir).embeddings
+      .withColumn("nrm", norm(col("embedding")))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = q.join(v,
+        col("label") === col("q_label") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id"),
+        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6)
+          .as("cos_sim"))
+    topKPerGroup(scored, 5, col("cos_sim"), col("vec_id"), lit(0L),
+      col("query_id"))
+      .select(col("query_id"), col("rank"), col("id").as("vec_id"),
+        col("score").as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  val s10Sql: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, v.vec_id,
+       |    round(${cosineSql("q.embedding", "v.embedding")}, 6) AS cos_sim
+       |  FROM embeddings q JOIN embeddings v
+       |    ON v.label = q.label AND v.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 10
+       |), ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cos_sim DESC, vec_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT query_id, rank, vec_id, cos_sim FROM ranked
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ---------------------------------------------------------------- s02
   private val NumPlanes = 6
 

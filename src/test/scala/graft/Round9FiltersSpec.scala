@@ -114,6 +114,41 @@ class Round9FiltersSpec extends GraftSpecBase {
     assert(!out.keys.exists(k => k._1 == 9L || k._2 == 9L))
   }
 
+  // ---- s10: filtered ANN on an engineered two-label corpus
+  test("s10: neighbors stay inside the query's label; an under-k label " +
+      "returns fewer rows instead of padding across the predicate") {
+    val dir = java.nio.file.Files.createTempDirectory("s10spec").toString
+    // label 1: queries 0,1 + one more vector (each query has exactly 2
+    // in-label neighbors); label 2: 8 vectors incl. query 2
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => ((seed * 31 + i * 7) % 13 + 1).toFloat)
+    val rows =
+      Seq((0L, vec(1), 1), (1L, vec(2), 1), (20L, vec(3), 1)) ++
+        (Seq(2L, 30L, 31L, 32L, 33L, 34L, 35L, 36L).zipWithIndex.map {
+          case (id, i) => (id, vec(10 + i), 2) })
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.VectorOps.s10AnnFiltered(spark, dir).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    val labelOf = rows.map(r => r._1 -> r._3).toMap
+    out.foreach { r =>
+      assert(labelOf(r.getAs[Long]("vec_id")) ===
+        labelOf(r.getAs[Long]("query_id")), "neighbor crossed the predicate")
+    }
+    // label-1 queries: only 2 candidates exist -> 2 rows, not 5
+    assert(byQ(0L).length === 2); assert(byQ(1L).length === 2)
+    // label-2 query: full k
+    assert(byQ(2L).length === 5)
+    // ranks are dense from 1 and ordered by descending similarity
+    byQ.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq ===
+        (1L to rs.length).toSeq)
+      val sims = sorted.map(_.getAs[Double]("cos_sim")).toSeq
+      assert(sims === sims.sorted.reverse)
+    }
+  }
+
   // ---- g09: k-core peeling on engineered graphs
   test("g09 kcoreOver: cascade removal rounds exact on clique+tail; " +
       "early fixpoint converges; exhausted budget flags converged=false") {
