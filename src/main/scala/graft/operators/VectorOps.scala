@@ -775,6 +775,86 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Filtered probe of the STANDING index — s10's metadata predicate
+    * composed with s09's list pruning (the production shape of filtered
+    * vector search): candidates are restricted to the query's label
+    * BETWEEN the membership probe and ADC scoring, i.e. BEFORE the
+    * shortlist is cut — post-filtering the shortlist instead would let a
+    * selective predicate starve it down to garbage recall (s10's
+    * documented trade, now at the index). Here the (vec_id, label)
+    * relation stands in for the label column a production inverted file
+    * carries INLINE (one int per code row — the join disappears into the
+    * store schema); the join is vec_id-keyed and candidate-bounded
+    * (post-list-pruning, not corpus-sized). Everything else is
+    * [[annIndexProbe]] verbatim: ADC scoring through the broadcast
+    * codebook, bounded top-k shortlist, exact rerank. Round9FiltersSpec
+    * pins predicate containment, conditional exactness vs the exact
+    * filtered baseline at nprobe=all, and the selective-label case
+    * post-filtering would starve. */
+  def annIndexProbeFiltered(queries0: DataFrame, vectorSource: DataFrame,
+      labels: DataFrame, prefix: String, nProbes: Int = IvfProbes,
+      rerank: Int = PqRerank, k: Int = 3): DataFrame = {
+    val spark = queries0.sparkSession
+    FloatVecDot.register(spark)
+    TopKByScore.register(spark)
+    val centroids = broadcast(spark.table(s"${prefix}_cent"))
+    val codebook = broadcast(spark.table(s"${prefix}_pq"))
+    val queries = queries0.select(col("query_id"), col("q_label"),
+      col("q_emb"), norm(col("q_emb")).as("q_nrm"))
+    val adc = pqAdcTable(
+      queries.select(col("query_id"), col("q_emb"), col("q_nrm")), codebook)
+    val probes = queries
+      .crossJoin(centroids)
+      .withColumn("c_sim",
+        cosineWithNorms(col("q_emb"), col("c_emb"), col("q_nrm"), col("c_nrm")))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(TopKByScore.topK(col("c_sim"), col("list_id"), nProbes).as("probe"))
+      .select(col("query_id"), col("q_label"),
+        explode(col("probe.id")).as("list_id"))
+    val scoredAdc = probes
+      .join(annIndexRows(spark, prefix), "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      // the metadata predicate, applied BEFORE the shortlist is cut
+      .join(labels.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label") === col("q_label"))
+      .join(adc, Seq("query_id", "m", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg((sum(col("part_dot")) / (first(col("q_nrm")) * first(col("nrm"))))
+          .as("adc_sim"),
+        first(col("list_id")).as("list_id"))
+    val shortlist = topKPerGroup(scoredAdc, rerank,
+        col("adc_sim"), col("vec_id"), col("list_id"), col("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"), col("tag").as("list_id"))
+    val reranked = shortlist
+      .join(vectorSource.select(col("vec_id"), col("embedding"),
+        norm(col("embedding")).as("nrm")), "vec_id")
+      .join(queries.select(col("query_id"), col("q_emb"), col("q_nrm")), "query_id")
+      .select(col("query_id"), col("vec_id"), col("list_id"),
+        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6)
+          .as("cos_sim"))
+    topKPerGroup(reranked, k, col("cos_sim"), col("vec_id"),
+        col("list_id"), col("query_id"))
+      .select(col("query_id"), col("rank"), col("id").as("vec_id"),
+        col("tag").as("list_id"), col("score").as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** s11: the filtered probe as a driver entry over the standing s09-style
+    * store (own prefix — bootstraps per standalone run like s09/d10).
+    * *rows-only* (k-means quantizers); the spec carries the exactness
+    * gates. */
+  def s11AnnFilteredStore(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"), col("label"))
+    annIndexBootstrap(emb.select(col("vec_id"), col("embedding")),
+      "graft_s11", dir)
+    annIndexProbeFiltered(
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+          col("embedding").as("q_emb")),
+      emb, emb.select(col("vec_id"), col("label")), "graft_s11")
+  }
+
   /** Fold deltas into the bucketed inverted file (crash-safe, like the
     * dedup stores); quantizer tables never change between bootstraps. */
   def annIndexCompact(spark: SparkSession, prefix: String,

@@ -149,6 +149,52 @@ class Round9FiltersSpec extends GraftSpecBase {
     }
   }
 
+  // ---- s11: filtered probe of the standing ANN store
+  test("s11 annIndexProbeFiltered: predicate containment; probing ALL " +
+      "lists with a covering rerank equals the exact filtered baseline; " +
+      "a selective label post-filtering would starve still answers") {
+    import graft.operators.VectorOps
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(i => ((seed * 37 + i * 11) % 17 + 1).toFloat)
+    // label 1: 12 vectors (incl. query 0); label 3: 3 vectors (incl.
+    // query 1) — the selective predicate
+    val rows = (0L +: (10L to 20L)).map(id => (id, vec(id.toInt), 1)) ++
+      Seq((1L, vec(101), 3), (30L, vec(102), 3), (31L, vec(103), 3))
+    val dir = java.nio.file.Files.createTempDirectory("s11spec").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    VectorOps.annIndexBootstrap(emb.select(col("vec_id"), col("embedding")),
+      "graft_s11spec", dir)
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("embedding").as("q_emb"))
+    val out = VectorOps.annIndexProbeFiltered(queries, emb,
+      emb.select(col("vec_id"), col("label")), "graft_s11spec",
+      nProbes = 16, rerank = 50, k = 3).collect()
+    val labelOf = rows.map(r => r._1 -> r._3).toMap
+    out.foreach(r => assert(labelOf(r.getAs[Long]("vec_id")) ===
+      labelOf(r.getAs[Long]("query_id")), "neighbor crossed the predicate"))
+    // exact filtered baseline (driver-side brute force, same rounding)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val vecOf = rows.map(r => r._1 -> r._2).toMap
+    for ((qid, k3) <- Seq((0L, 3), (1L, 2))) {
+      val expect = rows.filter(r => r._3 == labelOf(qid) && r._1 != qid)
+        .map(r => (r._1, cos(vecOf(qid), r._2)))
+        .sortBy { case (id, s) => (-s, id) }.take(k3).map(_._1)
+      val got = out.filter(_.getAs[Long]("query_id") == qid)
+        .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+      assert(got === expect, s"query $qid")
+    }
+    // the selective label returned BOTH its in-label neighbors
+    assert(out.count(_.getAs[Long]("query_id") == 1L) === 2)
+  }
+
   // ---- g09: k-core peeling on engineered graphs
   test("g09 kcoreOver: cascade removal rounds exact on clique+tail; " +
       "early fixpoint converges; exhausted budget flags converged=false") {
