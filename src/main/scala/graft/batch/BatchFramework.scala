@@ -118,7 +118,7 @@ object BatchFramework {
   private def commaCount(c: Column): Column =
     length(c) - length(regexp_replace(c, ",", ""))
 
-  private def withValidation(df: DataFrame): DataFrame =
+  private[graft] def withValidation(df: DataFrame): DataFrame =
     df.withColumn("comma_count", commaCount(col("task_line")))
       .withColumn("matches_pattern", col("task_line").rlike(TaskPattern))
       .withColumn("is_valid", col("comma_count") <= MaxCommas && col("matches_pattern"))

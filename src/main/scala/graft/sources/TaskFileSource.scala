@@ -44,6 +44,22 @@ object TaskFileSource {
     * packing interleaves files, so a file's global-index range has gaps.
     * And not a per-file window, which would sort every line of one upload
     * in a single task (a 100 GB CSV = one reducer). */
+  /** STREAMING face of the upload loop — the reference's cron'd ingestion
+    * (`CreateBatch.groovy` consumes each upload as it arrives) as a
+    * watched directory: `readStream.text` tracks processed files in the
+    * checkpoint (each new upload lands as a micro-batch, exactly once),
+    * every line carries its source file, and the reference's row-local
+    * AnalyzeBatch validation composes statelessly downstream
+    * ([[graft.streaming.StreamingJobs.taskIngestStream]]). Line NUMBERING
+    * deliberately stays batch-side: the exact two-phase split-offset
+    * scheme below needs the whole file's geometry, and streaming delivery
+    * order is not file order — the division-of-labor every probe stream
+    * follows. */
+  def linesStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.text(path)
+      .withColumn("source_file", input_file_name())
+      .select(col("source_file"), col("value").as("task_line"))
+
   def lines(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val rows = spark.read.textFile(path).toDF("task_line")

@@ -925,6 +925,32 @@ object StreamingJobs {
         .otherwise(lit("tail")).as("ppl_bucket"))
   }
 
+  // ----------------------------------------------------- task uploads
+  /** The reference's upload-ingestion loop as ONE streaming job:
+    * [[graft.sources.TaskFileSource.linesStream]]'s watched-directory
+    * lines through the EXACT AnalyzeBatch validation the batch path runs
+    * (`BatchFramework.withValidation` — comma guard + anchored regex,
+    * row-local, stateless), yielding per-line is_valid/reason with the
+    * source file attached. Spec-pinned: validation flags bit-identical
+    * to the batch reader over the same files, and a file dropped into
+    * the watched directory mid-query lands on the next trigger. */
+  def taskIngestStream(lines: DataFrame): DataFrame =
+    graft.batch.BatchFramework.withValidation(
+      lines.withColumn("task_line", coalesce(col("task_line"), lit(""))))
+      .select("source_file", "task_line", "comma_count", "is_valid", "reason")
+
+  // ----------------------------------------------------- media decode
+  /** Streaming face of the media decode (m01's typed path): the
+    * per-partition decoder ([[graft.operators.MultimodalOps.decodeAll]] —
+    * REAL `javax.imageio` decode, deterministic stub fallback) runs
+    * unchanged on a streaming Dataset (`mapPartitions` is stateless), so
+    * ingest-time pipelines get pixel-verified dimensions/format per
+    * arriving payload. Spec-pinned bit-identical to batch decode on a
+    * MemoryStream carrying real PNG bytes and stub payloads. */
+  def mediaDecodeStream(media: org.apache.spark.sql.Dataset[
+      graft.operators.MultimodalOps.MediaRecord]): DataFrame =
+    graft.operators.MultimodalOps.decodeAll(media).toDF()
+
   // ----------------------------------------------------- budget gate
   /** Streaming face of c16's token-budget sampling: the per-source
     * acceptance rates are a |sources|-row artifact of the batch budget

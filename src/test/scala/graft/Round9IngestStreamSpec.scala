@@ -1,0 +1,110 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+import java.nio.file.{Files, Paths}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.MultimodalOps
+import graft.operators.MultimodalOps.MediaRecord
+import graft.sources.TaskFileSource
+
+/** Round-9 ingest-side streaming faces: the watched-directory task-upload
+  * loop (linesStream → taskIngestStream, the reference's cron'd
+  * CreateBatch/AnalyzeBatch pair as one streaming job) and the typed media
+  * decoder running statelessly on a stream. */
+class Round9IngestStreamSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("taskIngestStream: a watched directory validates uploads with the " +
+      "batch rules; a file dropped mid-query lands on the next trigger") {
+    val dir = Files.createTempDirectory("uploads").toString
+    val file1 = Seq(
+      "Model1,SN-1,Asset-1",           // valid
+      "bad line without the shape",    // E1031_BAD_FORMAT
+      "a,b,c,d,e,f,g")                 // E1031_TOO_MANY_COMMAS
+    Files.write(Paths.get(dir, "upload1.csv"),
+      file1.mkString("\n").getBytes("UTF-8"))
+
+    val q = graft.streaming.StreamingJobs
+      .taskIngestStream(TaskFileSource.linesStream(spark, dir))
+      .writeStream.format("memory").queryName("uploads_r9")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val afterOne = spark.table("uploads_r9").collect()
+      assert(afterOne.length === 3)
+      // the mid-query upload: lands on the next trigger, no restart
+      Files.write(Paths.get(dir, "upload2.csv"),
+        "Model2,SN-2,Asset-2\nX Y Z".getBytes("UTF-8"))
+      q.processAllAvailable()
+      val all = spark.table("uploads_r9").collect()
+      assert(all.length === 5)
+      val byLine = all.map(r => r.getAs[String]("task_line") ->
+        (r.getAs[Boolean]("is_valid"), Option(r.getAs[String]("reason")))).toMap
+      assert(byLine("Model1,SN-1,Asset-1") === ((true, None)))
+      assert(byLine("Model2,SN-2,Asset-2") === ((true, None)))
+      assert(byLine("bad line without the shape") ===
+        ((false, Some("E1031_BAD_FORMAT"))))
+      assert(byLine("a,b,c,d,e,f,g") ===
+        ((false, Some("E1031_TOO_MANY_COMMAS"))))
+      assert(byLine("X Y Z") === ((false, Some("E1031_BAD_FORMAT"))))
+      // both source files represented
+      assert(all.map(_.getAs[String]("source_file"))
+        .map(_.split('/').last).distinct.sorted.toSeq ===
+        Seq("upload1.csv", "upload2.csv"))
+      // flags bit-identical to the batch reader + validator on the same dir
+      val batch = graft.batch.BatchFramework.withValidation(
+          TaskFileSource.lines(spark, dir).select("task_line"))
+        .collect().map(r => r.getAs[String]("task_line") ->
+          (r.getAs[Boolean]("is_valid"), Option(r.getAs[String]("reason")))).toMap
+      assert(byLine === batch)
+    } finally q.stop()
+  }
+
+  private def imageBytes(w: Int, h: Int, rgb: Int, fmt: String): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgb)
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, out), s"no JRE writer for $fmt")
+    out.toByteArray
+  }
+
+  test("mediaDecodeStream: the typed decoder is stateless on a stream — " +
+      "real PNG pixels and stub payloads bit-identical to batch decode") {
+    val records = Seq(
+      MediaRecord(1L, imageBytes(2, 2, 0xff0000, "png")),
+      MediaRecord(2L, imageBytes(3, 1, 0x00ff00, "bmp")),
+      MediaRecord(3L, "not an image at all".getBytes("UTF-8")))
+    val batch = MultimodalOps.decodeAll(records.toDS()).collect()
+      .map(m => m.doc_id -> m).toMap
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = graft.streaming.StreamingJobs
+      .mediaDecodeStream(mem.toDF.toDF("doc_id", "payload").as[MediaRecord])
+      .writeStream.format("memory").queryName("media_r9")
+      .outputMode("append").start()
+    try {
+      mem.addData(records.map(r => (r.doc_id, r.payload)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("media_r9").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(streamed.size === 3)
+    records.foreach { rec =>
+      val b = batch(rec.doc_id); val s = streamed(rec.doc_id)
+      assert(s.getAs[String]("format") === b.format)
+      assert(s.getAs[Int]("width") === b.width)
+      assert(s.getAs[Int]("height") === b.height)
+      assert(s.getAs[Long]("byte_len") === b.byte_len)
+    }
+    // the real decode path fired on the stream: pixel dimensions, not stub
+    assert(streamed(1L).getAs[String]("format") === "png")
+    assert(streamed(1L).getAs[Int]("width") === 2)
+    assert(streamed(2L).getAs[Int]("width") === 3)
+  }
+}
