@@ -224,4 +224,71 @@ object AnalyticOps {
       |FROM orders
       |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
       |ORDER BY o_orderpriority ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- a10
+  /** a10: per-group Pearson CORRELATION in EXACT integer algebra — the
+    * drift-free form of an aggregate whose textbook implementation
+    * (`corr()`) accumulates doubles and is therefore partitioning- and
+    * engine-dependent in the last bits. Both operands quantize to cents
+    * scan-side (quantity and price are 2-decimal money-grid values, so
+    * round(v·100) is lossless); every cross-row sum — Σx, Σy, Σxy, Σx²,
+    * Σy² — is an exact DECIMAL integer (map-side combined, order-free),
+    * and the single float step is the final
+    * (nΣxy−ΣxΣy)/√(nΣx²−Σx²)·√(nΣy²−Σy²) on exact-integer inputs: both
+    * engines convert the SAME integers to the SAME nearest doubles, so
+    * the round-6 result is bit-identical. A zero-variance group yields
+    * NULL (guarded), not NaN. One scan, one aggregate — the q01
+    * decimal-money discipline applied to second-moment statistics. */
+  def a10Corr(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables(spark, dir).lineitem
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").cast("decimal(12,0)").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").cast("decimal(12,0)").as("y"))
+    b.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      .withColumn("nd", col("n_rows").cast("decimal(20,0)"))
+      .withColumn("num",
+        (col("nd") * col("sxy") - col("sx") * col("sy")).cast("decimal(38,0)"))
+      .withColumn("vx",
+        (col("nd") * col("sxx") - col("sx") * col("sx")).cast("decimal(38,0)"))
+      .withColumn("vy",
+        (col("nd") * col("syy") - col("sy") * col("sy")).cast("decimal(38,0)"))
+      .withColumn("corr_qty_price",
+        when(col("vx") > 0 && col("vy") > 0,
+          round(col("num").cast("double") /
+            (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))), 6)))
+      .select("l_returnflag", "n_rows", "corr_qty_price")
+      .orderBy("l_returnflag")
+  }
+
+  val a10Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem
+      |), a AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM b GROUP BY l_returnflag
+      |), f AS (
+      |  SELECT l_returnflag, n_rows,
+      |    n_rows * sxy - sx * sy AS num,
+      |    n_rows * sxx - sx * sx AS vx,
+      |    n_rows * syy - sy * sy AS vy
+      |  FROM a
+      |)
+      |SELECT l_returnflag, n_rows,
+      |  CASE WHEN vx > 0 AND vy > 0
+      |    THEN round(CAST(num AS DOUBLE) /
+      |      (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE))), 6)
+      |  END AS corr_qty_price
+      |FROM f ORDER BY l_returnflag""".stripMargin
 }

@@ -1,0 +1,45 @@
+package graft.operators
+
+import java.math.{BigDecimal => JBD, RoundingMode}
+import org.apache.spark.sql.functions._
+import graft.GraftSpecBase
+
+/** The §6(d) integer-space rounding primitives under every ratio/LM
+  * oracle: ratioMicro(a, n) and qMicro(num, n) must equal the exact
+  * rational rounded HALF-UP to the 1e-6 grid — including on EXACT halves,
+  * the inputs where double round() is engine-divergent and these forms
+  * exist at all. Driven through Spark expressions (the production
+  * evaluation path), compared against BigDecimal exact arithmetic. */
+class RoundingSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def check(pairs: Seq[(Long, Long)]): Unit = {
+    val df = pairs.toDF("a", "n")
+      .withColumn("rm", TextOps.ratioMicro("a", "n"))
+      .withColumn("qm", TextOps.qMicro("a", "n"))
+    df.collect().foreach { r =>
+      val (a, n) = (r.getAs[Long]("a"), r.getAs[Long]("n"))
+      val exactRm = new JBD(a).multiply(new JBD(1000000))
+        .divide(new JBD(n), 0, RoundingMode.HALF_UP).longValueExact()
+      val exactQm = new JBD(a)
+        .divide(new JBD(10L * n), 0, RoundingMode.HALF_UP).longValueExact()
+      assert(r.getAs[Long]("rm") === exactRm, s"ratioMicro($a, $n)")
+      assert(r.getAs[Long]("qm") === exactQm, s"qMicro($a, $n)")
+    }
+  }
+
+  test("ratioMicro/qMicro equal exact HALF_UP rationals, including exact " +
+      "halves and boundary magnitudes") {
+    // exact halves — the engine-divergence cases the §6(d) forms fix
+    val halves = Seq((1L, 2000000L), (3L, 2000000L), (5L, 1L), (15L, 1L),
+      (7L, 2L), (1L, 640L))
+    // deterministic fuzz across magnitudes (fixed seed)
+    val rnd = new scala.util.Random(42)
+    val fuzz = Seq.fill(500) {
+      val n = 1L + rnd.nextInt(1000000)
+      val a = math.abs(rnd.nextLong() % 1000000000L)
+      (a, n)
+    }
+    check(halves ++ fuzz ++ Seq((0L, 1L), (0L, 999999L), (1L, 1L)))
+  }
+}
