@@ -239,7 +239,18 @@ object AnalyticOps {
     * the round-6 result is bit-identical. A zero-variance group yields
     * NULL (guarded), not NaN. One scan, one aggregate — the q01
     * decimal-money discipline applied to second-moment statistics. */
-  def a10Corr(spark: SparkSession, dir: String): DataFrame = {
+  def a10Corr(spark: SparkSession, dir: String): DataFrame =
+    momentSums(spark, dir)
+      .withColumn("corr_qty_price",
+        when(col("vx") > 0 && col("vy") > 0,
+          round(col("num").cast("double") /
+            (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))), 6)))
+      .select("l_returnflag", "n_rows", "corr_qty_price")
+      .orderBy("l_returnflag")
+
+  /** Shared exact moment sums for a10/a11: cents-quantized x/y, five
+    * DECIMAL-integer sums per group (order-free, map-side combined). */
+  private def momentSums(spark: SparkSession, dir: String) = {
     val b = Tables(spark, dir).lineitem
       .select(col("l_returnflag"),
         round(col("l_quantity") * 100).cast("long").cast("decimal(12,0)").as("x"),
@@ -257,13 +268,66 @@ object AnalyticOps {
         (col("nd") * col("sxx") - col("sx") * col("sx")).cast("decimal(38,0)"))
       .withColumn("vy",
         (col("nd") * col("syy") - col("sy") * col("sy")).cast("decimal(38,0)"))
-      .withColumn("corr_qty_price",
-        when(col("vx") > 0 && col("vy") > 0,
-          round(col("num").cast("double") /
-            (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))), 6)))
-      .select("l_returnflag", "n_rows", "corr_qty_price")
-      .orderBy("l_returnflag")
   }
+
+  // ---------------------------------------------------------------- a11
+  /** a11: per-group least-squares REGRESSION LINE (price-per-unit trend:
+    * extendedprice in cents over quantity in cents) under a10's exact
+    * moment algebra — slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²) and intercept =
+    * (ΣyΣx²−ΣxΣxy)/(nΣx²−(Σx)²) are each ONE double division of exact
+    * DECIMAL integers (identical in both engines), round-6; r² = the a10
+    * correlation squared, computed from the same exact radicands. A
+    * zero-x-variance group yields NULLs. Same scan/aggregate as a10 —
+    * the two share the moment sums. */
+  def a11Linreg(spark: SparkSession, dir: String): DataFrame =
+    momentSums(spark, dir)
+      .withColumn("inum",
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("decimal(38,0)"))
+      .withColumn("slope",
+        when(col("vx") > 0,
+          round(col("num").cast("double") / col("vx").cast("double"), 6)))
+      .withColumn("intercept",
+        when(col("vx") > 0,
+          round(col("inum").cast("double") / (col("nd") * col("vx")).cast("double"), 6)))
+      // num² as a double of the exact num (a decimal square would
+      // overflow 38 digits in VALUE; the doubles are identical per engine)
+      .withColumn("r2",
+        when(col("vx") > 0 && col("vy") > 0,
+          round((col("num").cast("double") * col("num").cast("double")) /
+            (col("vx").cast("double") * col("vy").cast("double")), 6)))
+      .select("l_returnflag", "n_rows", "slope", "intercept", "r2")
+      .orderBy("l_returnflag")
+
+  val a11Sql: String =
+    """WITH b AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem
+      |), a AS (
+      |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+      |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+      |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+      |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+      |    sum(CAST(y AS HUGEINT) * y) AS syy
+      |  FROM b GROUP BY l_returnflag
+      |), f AS (
+      |  SELECT l_returnflag, n_rows,
+      |    n_rows * sxy - sx * sy AS num,
+      |    n_rows * sxx - sx * sx AS vx,
+      |    n_rows * syy - sy * sy AS vy,
+      |    sy * sxx - sx * sxy AS inum
+      |  FROM a
+      |)
+      |SELECT l_returnflag, n_rows,
+      |  CASE WHEN vx > 0
+      |    THEN round(CAST(num AS DOUBLE) / CAST(vx AS DOUBLE), 6) END AS slope,
+      |  CASE WHEN vx > 0
+      |    THEN round(CAST(inum AS DOUBLE) / CAST(n_rows * vx AS DOUBLE), 6) END AS intercept,
+      |  CASE WHEN vx > 0 AND vy > 0
+      |    THEN round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+      |      (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) END AS r2
+      |FROM f ORDER BY l_returnflag""".stripMargin
 
   val a10Sql: String =
     """WITH b AS (
