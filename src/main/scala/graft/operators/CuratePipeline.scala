@@ -92,16 +92,21 @@ object CuratePipeline {
 
     // ---- t02 metrics (keeper choice in stage 2 + the stage-3 gate) --
     val allStop = TextOps.Stopwords.flatMap(_._2).distinct
+    // §6(d) integer-space rounding throughout (TextOps.ratioMicro — the
+    // r9 verdict's one noted discipline gap): micro-unit ratios and the
+    // composite all stay 64-bit integer until the final display cast
     val quality = toks
       .withColumn("n_chars", length(col("norm")).cast("long"))
       .withColumn("n_tokens", size(col("tk")).cast("long"))
-      .withColumn("punct_ratio", round(
-        length(regexp_replace(col("norm"), "[a-z0-9 ]", "")).cast("double") / col("n_chars"), 6))
-      .withColumn("stop_ratio", round(
-        TextOps.stopCount(col("tk"), allStop).cast("double") / col("n_tokens"), 6))
-      .withColumn("quality_score", round(
-        lit(0.4) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio"))
-          + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100.0), 6))
+      .withColumn("punct_chars",
+        length(regexp_replace(col("norm"), "[a-z0-9 ]", "")).cast("long"))
+      .withColumn("stop_hits", TextOps.stopCount(col("tk"), allStop).cast("long"))
+      .withColumn("pr_u", TextOps.ratioMicro("punct_chars", "n_chars"))
+      .withColumn("sr_u", TextOps.ratioMicro("stop_hits", "n_tokens"))
+      .withColumn("quality_score",
+        expr("(4 * sr_u + 3 * (1000000 - pr_u)" +
+          " + 3 * least(1000000, n_tokens * 10000) + 5) div 10")
+          .cast("double") / 1e6)
       .select("doc_id", "n_tokens", "quality_score")
 
     // ---- stage 2: near-dup keep-best among stage-1 survivors --------
@@ -234,13 +239,17 @@ object CuratePipeline {
        |), s1 AS (
        |  SELECT doc_id, doc_id = exact_canon AS exact_canonical
        |  FROM hashed JOIN canon USING (ch)
-       |), qual AS (
+       |), qualu AS (
        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-       |    round(0.4 * round(CAST(${stopCountSql(allStop)} AS DOUBLE) / len(tk), 6)
-       |      + 0.3 * (1.0 - round(CAST(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
-       |          / length(norm), 6))
-       |      + 0.3 * least(1.0, CAST(len(tk) AS DOUBLE) / 100.0), 6) AS quality_score
+       |    ${TextOps.ratioMicroSql("length(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))", "length(norm)")} AS pr_u,
+       |    ${TextOps.ratioMicroSql(stopCountSql(allStop), "len(tk)")} AS sr_u
        |  FROM toks
+       |), qual AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST((4 * sr_u + 3 * (1000000 - pr_u)
+       |      + 3 * least(1000000, n_tokens * 10000) + 5) // 10 AS DOUBLE)
+       |      / 1000000.0 AS quality_score
+       |  FROM qualu
        |), surv AS (
        |  SELECT t.* FROM toks t JOIN s1 USING (doc_id) WHERE exact_canonical
        |), shing AS (

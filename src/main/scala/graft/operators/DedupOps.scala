@@ -244,8 +244,7 @@ object DedupOps {
     val assigned = base
       .join(members, base("doc_id") === members("node"), "left")
       .withColumn("canonical", coalesce(col("component"), col("doc_id")))
-      .withColumn("bucket",
-        expr(s"((canonical % 1000003) * 2654435761 + 104729) % 100"))
+      .withColumn("bucket", expr(splitBucketSql("canonical")))
       .withColumn("split",
         when(col("bucket") < TrainLt, "train")
           .when(col("bucket") < ValLt, "val").otherwise("test"))

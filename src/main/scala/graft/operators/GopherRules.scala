@@ -57,25 +57,30 @@ object GopherRules {
       .withColumn("tk", split(col("norm"), " "))
       .withColumn("n_words", size(col("tk")).cast("long"))
       .withColumn("n_lines", size(col("lines")).cast("long"))
-      .withColumn("mean_word_len",
-        round(length(regexp_replace(col("norm"), " ", "")).cast("double")
-          / col("n_words"), 6))
+      // all five ratios round in INTEGER space (TextOps.ratioMicro,
+      // §6(d)) — counts first, one micro-division each, /1e6 display cast
+      .withColumn("nosp_chars",
+        length(regexp_replace(col("norm"), " ", "")).cast("long"))
       .withColumn("n_symbols",
         (length(col("text")) - length(expr("replace(text, '#', '')"))
           + (length(col("text")) - length(expr("replace(text, '...', '')")))
             / lit(3)).cast("long"))
+      .withColumn("n_bullet", size(filter(col("lines"),
+        l => substring(ltrim(l), 1, 1).isin("-", "*"))).cast("long"))
+      .withColumn("n_ell", size(filter(col("lines"),
+        l => rtrim(l).endsWith("..."))).cast("long"))
+      .withColumn("n_alpha",
+        size(filter(col("tk"), w => w.rlike("[a-z]"))).cast("long"))
+      .withColumn("mean_word_len",
+        TextOps.ratioMicro("nosp_chars", "n_words").cast("double") / 1e6)
       .withColumn("symbol_ratio",
-        round(col("n_symbols").cast("double") / col("n_words"), 6))
+        TextOps.ratioMicro("n_symbols", "n_words").cast("double") / 1e6)
       .withColumn("bullet_line_frac",
-        round(size(filter(col("lines"),
-          l => substring(ltrim(l), 1, 1).isin("-", "*"))).cast("double")
-          / col("n_lines"), 6))
+        TextOps.ratioMicro("n_bullet", "n_lines").cast("double") / 1e6)
       .withColumn("ellipsis_line_frac",
-        round(size(filter(col("lines"),
-          l => rtrim(l).endsWith("..."))).cast("double") / col("n_lines"), 6))
+        TextOps.ratioMicro("n_ell", "n_lines").cast("double") / 1e6)
       .withColumn("alpha_word_frac",
-        round(size(filter(col("tk"), w => w.rlike("[a-z]"))).cast("double")
-          / col("n_words"), 6))
+        TextOps.ratioMicro("n_alpha", "n_words").cast("double") / 1e6)
       .withColumn("n_req_stops",
         ReqStops.map(s => array_contains(col("tk"), s).cast("int"))
           .reduce(_ + _).cast("long"))
@@ -305,7 +310,7 @@ object GopherRules {
        |  SELECT doc_id,
        |    CAST(len(tk) AS BIGINT) AS n_words,
        |    CAST(len(lines) AS BIGINT) AS n_lines,
-       |    round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(tk), 6) AS mean_word_len,
+       |    CAST(length(replace(norm, ' ', '')) AS BIGINT) AS nosp_chars,
        |    CAST(length(text) - length(replace(text, '#', ''))
        |      + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS n_symbols,
        |    CAST(len(list_filter(lines, l -> substr(ltrim(l), 1, 1) = '-' OR substr(ltrim(l), 1, 1) = '*')) AS BIGINT) AS n_bullet,
@@ -314,11 +319,12 @@ object GopherRules {
        |    CAST($stops AS BIGINT) AS n_req_stops
        |  FROM lined
        |), r AS (
-       |  SELECT doc_id, n_words, mean_word_len,
-       |    round(CAST(n_symbols AS DOUBLE) / n_words, 6) AS symbol_ratio,
-       |    round(CAST(n_bullet AS DOUBLE) / n_lines, 6) AS bullet_line_frac,
-       |    round(CAST(n_ell AS DOUBLE) / n_lines, 6) AS ellipsis_line_frac,
-       |    round(CAST(n_alpha AS DOUBLE) / n_words, 6) AS alpha_word_frac,
+       |  SELECT doc_id, n_words,
+       |    CAST(${TextOps.ratioMicroSql("nosp_chars", "n_words")} AS DOUBLE) / 1000000.0 AS mean_word_len,
+       |    CAST(${TextOps.ratioMicroSql("n_symbols", "n_words")} AS DOUBLE) / 1000000.0 AS symbol_ratio,
+       |    CAST(${TextOps.ratioMicroSql("n_bullet", "n_lines")} AS DOUBLE) / 1000000.0 AS bullet_line_frac,
+       |    CAST(${TextOps.ratioMicroSql("n_ell", "n_lines")} AS DOUBLE) / 1000000.0 AS ellipsis_line_frac,
+       |    CAST(${TextOps.ratioMicroSql("n_alpha", "n_words")} AS DOUBLE) / 1000000.0 AS alpha_word_frac,
        |    n_req_stops
        |  FROM m
        |)

@@ -534,8 +534,12 @@ object GraphOps {
     * (Components' discipline). */
   private[graft] def kcoreOver(e: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = e.sparkSession
+    // distinct: degree = |alive NEIGHBORS|, not row count — an input with
+    // duplicate or already-bidirectional edges must not inflate degrees
+    // (the oracle's sym CTE dedups identically via UNION)
     val sym = e.select(col("a").as("u"), col("b").as("v"))
       .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      .distinct()
     val verts = sym.select(col("u").as("v")).distinct().localCheckpoint()
     var alive = verts
     var removed = verts.limit(0)
@@ -597,7 +601,7 @@ object GraphOps {
       .mkString(" UNION ALL ")
     s"""WITH $EdgesSql,
        |sym AS (SELECT a AS u, b AS v FROM edges
-       |        UNION ALL SELECT b AS u, a AS v FROM edges),
+       |        UNION SELECT b AS u, a AS v FROM edges),
        |a0 AS (SELECT DISTINCT u AS v FROM sym),
        |$rounds,
        |removed AS ($unionRm),

@@ -116,17 +116,28 @@ object TextOps {
       .withColumn("tk", split(col("norm"), " "))
       .withColumn("n_chars", length(col("norm")).cast("long"))
       .withColumn("n_tokens", size(col("tk")).cast("long"))
+      // every ratio rounds in INTEGER space (§6(d) ratioMicro — an exact
+      // 1e-7 half rounds differently across engines as a double);
       // greatest(·,1) only matters for the streaming face's coalesced
       // empty text (ANSI divide-by-zero); every real doc has chars
-      .withColumn("punct_ratio",
-        round(length(regexp_replace(col("norm"), "[a-z0-9 ]", "")).cast("double")
-          / greatest(col("n_chars"), lit(1L)), 6))
-      .withColumn("stop_ratio", round(stopCount(col("tk"), allStop).cast("double") / col("n_tokens"), 6))
+      .withColumn("punct_chars",
+        length(regexp_replace(col("norm"), "[a-z0-9 ]", "")).cast("long"))
+      .withColumn("stop_hits", stopCount(col("tk"), allStop).cast("long"))
+      .withColumn("nosp_chars",
+        length(regexp_replace(col("norm"), " ", "")).cast("long"))
+      .withColumn("pr_u", ratioMicro("punct_chars", "greatest(n_chars, 1)"))
+      .withColumn("sr_u", ratioMicro("stop_hits", "n_tokens"))
+      .withColumn("punct_ratio", col("pr_u").cast("double") / 1e6)
+      .withColumn("stop_ratio", col("sr_u").cast("double") / 1e6)
       .withColumn("mean_token_len",
-        round(length(regexp_replace(col("norm"), " ", "")).cast("double") / col("n_tokens"), 6))
+        ratioMicro("nosp_chars", "n_tokens").cast("double") / 1e6)
+      // the composite in micro units: 0.4·sr + 0.3·(1−pr) + 0.3·min(1, nt/100)
+      // = (4·sr_u + 3·(1e6−pr_u) + 3·min(1e6, nt·1e4)) / 10, half-up on
+      // the tenth — all 64-bit integer until the final /1e6 display cast
       .withColumn("quality_score",
-        round(lit(0.4) * col("stop_ratio") + lit(0.3) * (lit(1.0) - col("punct_ratio"))
-          + lit(0.3) * least(lit(1.0), col("n_tokens").cast("double") / 100.0), 6))
+        expr("(4 * sr_u + 3 * (1000000 - pr_u)" +
+          " + 3 * least(1000000, n_tokens * 10000) + 5) div 10")
+          .cast("double") / 1e6)
   }
 
   def t02QualityScore(spark: SparkSession, dir: String): DataFrame =
@@ -145,14 +156,18 @@ object TextOps {
        |  FROM norm
        |), m AS (
        |  SELECT doc_id, n_chars, CAST(len(tk) AS BIGINT) AS n_tokens,
-       |    round(CAST(length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS DOUBLE) / n_chars, 6) AS punct_ratio,
-       |    round(CAST(${stopCountSql(allStop)} AS DOUBLE) / len(tk), 6) AS stop_ratio,
-       |    round(CAST(length(replace(norm, ' ', '')) AS DOUBLE) / len(tk), 6) AS mean_token_len
+       |    ${ratioMicroSql("length(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))", "greatest(n_chars, 1)")} AS pr_u,
+       |    ${ratioMicroSql(stopCountSql(allStop), "len(tk)")} AS sr_u,
+       |    ${ratioMicroSql("length(replace(norm, ' ', ''))", "len(tk)")} AS ml_u
        |  FROM base
        |)
-       |SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, mean_token_len,
-       |  round(0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio)
-       |    + 0.3 * least(1.0, CAST(n_tokens AS DOUBLE) / 100.0), 6) AS quality_score
+       |SELECT doc_id, n_chars, n_tokens,
+       |  CAST(pr_u AS DOUBLE) / 1000000.0 AS punct_ratio,
+       |  CAST(sr_u AS DOUBLE) / 1000000.0 AS stop_ratio,
+       |  CAST(ml_u AS DOUBLE) / 1000000.0 AS mean_token_len,
+       |  CAST((4 * sr_u + 3 * (1000000 - pr_u)
+       |    + 3 * least(1000000, n_tokens * 10000) + 5) // 10 AS DOUBLE)
+       |    / 1000000.0 AS quality_score
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
@@ -1469,6 +1484,10 @@ object TextOps {
     * the two engines round differently. */
   private[operators] def ratioMicro(a: String, n: String): Column =
     expr(s"(2 * $a * 1000000 + $n) div (2 * $n)")
+  /** DuckDB mirror of [[ratioMicro]] — ONE definition per engine so the
+    * parity-critical integer rounding cannot drift between call sites. */
+  private[operators] def ratioMicroSql(a: String, n: String): String =
+    s"(2 * ($a) * 1000000 + ($n)) // (2 * ($n))"
 
   // ---------------------------------------------------------------- c09
   /** Duplicated-span window length (tokens) for [[c09DupSpans]]. */
