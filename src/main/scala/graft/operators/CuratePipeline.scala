@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -42,12 +42,15 @@ import graft.operators.TextOps.{normText, qMicroSql}
   *
   * Thresholds are policy, surfaced as parameters (defaults = the driver
   * query); the oracle mirrors the defaults. A production run puts t15's
-  * Gopher rule pass BEFORE stage 3 (rules are the cheap row-local
-  * pre-filter the trained/LM gates assume) — it is not composed here
-  * because the synthetic corpus's ~20-word docs sit below Gopher's
-  * 50-word floor, so the stage would be either dead (thresholds honest)
-  * or unrepresentative (thresholds bent); t15 + gopherGateStream are the
-  * standalone faces. At 100 TB the stage-2 pair
+  * Gopher and t19's C4 rule passes BEFORE stage 3 (rules are the cheap
+  * row-local pre-filter the trained/LM gates assume) — composed via the
+  * `requireGopher`/`requireC4` parameters (curateIngestStream's
+  * contract), default OFF for the driver entry because the synthetic
+  * corpus's ~20-word docs sit below Gopher's 50-word floor, so the
+  * stage would be either dead (thresholds honest) or unrepresentative
+  * (thresholds bent); the composed batch path is spec-driven on an
+  * engineered multi-line corpus where each rule fires
+  * (Round10PipelineSpec). At 100 TB the stage-2 pair
   * source swaps to d03's LSH candidates (identical downstream algebra, then
   * rows-only like d06) — exact shared-shingle emission is the ORACLED form
   * and is itself bounded by shingle document-frequency, not corpus size.
@@ -71,16 +74,42 @@ object CuratePipeline {
     p01Over(spark, t.spread(t.documents))
   }
 
+  /** The pipeline's intermediate relations, shared by p01's driver face
+    * and p02's release tail (`base` is THE one corpus materialization;
+    * `members` the stage-2 near-dup cluster membership; `flags` one row
+    * per input doc with every stage verdict). */
+  private[operators] final case class P01Parts(
+      base: DataFrame, members: DataFrame, flags: DataFrame)
+
   /** The pipeline over any (doc_id, lang, source, text) relation —
     * threshold-parameterized so specs can isolate one gate at a time. */
   private[graft] def p01Over(spark: SparkSession, documents: DataFrame,
-      qualityMin: Double = QualityMin, nllMax: Double = NllMax): DataFrame = {
+      qualityMin: Double = QualityMin, nllMax: Double = NllMax,
+      requireGopher: Boolean = false, requireC4: Boolean = false): DataFrame =
+    p01Finish(p01PartsOf(spark, documents, qualityMin, nllMax,
+      requireGopher, requireC4))
+
+  /** Stages 1-5 and the per-doc flag relation. `requireGopher`/
+    * `requireC4` compose the t15/t19 rule gates as additional stages
+    * BEFORE the quality gate (the production order: rules are the cheap
+    * row-local pre-filter the trained/LM gates assume) — default OFF for
+    * the driver entry because the synthetic corpus's ~20-word docs sit
+    * below Gopher's 50-word floor (the stage would be dead or its
+    * thresholds bent); the composed path is spec-driven on an engineered
+    * multi-line corpus. When a gate is on, the one materialization also
+    * carries the RAW text (the rules read symbols and real newlines that
+    * normalization strips) — still one corpus scan. */
+  private[graft] def p01PartsOf(spark: SparkSession, documents: DataFrame,
+      qualityMin: Double = QualityMin, nllMax: Double = NllMax,
+      requireGopher: Boolean = false, requireC4: Boolean = false): P01Parts = {
     graft.functions.Ngrams.register(spark)
 
     // the ONE corpus materialization every stage reads (see scaladoc)
+    val needText = requireGopher || requireC4
     val base = documents
-      .select(col("doc_id"), col("lang"), col("source"),
-        normText(col("text")).as("norm"))
+      .select(col("doc_id") +: col("lang") +: col("source") +:
+        normText(col("text")).as("norm") +:
+        (if (needText) Seq(col("text")) else Nil): _*)
       .localCheckpoint()
     val toks = base.withColumn("tk", split(col("norm"), " "))
 
@@ -150,13 +179,31 @@ object CuratePipeline {
       .join(evalG, "g").select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
 
+    // ---- rule gates (t15/t19, parameter-enabled — see scaladoc) -----
+    val gateFlags: Seq[DataFrame] =
+      (if (requireGopher)
+        Seq(GopherRules.gopherStatsOver(
+            base.select(col("doc_id"), col("text")), split(col("text"), "\n"))
+          .select(col("doc_id"), col("gopher_pass").as("gopher_ok")))
+      else Nil) ++
+      (if (requireC4)
+        Seq(C4Filters.c4StatsOver(
+            base.select(col("doc_id"), col("text")), split(col("text"), "\n"))
+          .select(col("doc_id"), col("c4_pass").as("c4_ok")))
+      else Nil)
+
     // ---- flags (c03's audit discipline, one row per input doc) ------
-    val flags = base.select(col("doc_id"), col("lang"), col("source"))
-      .join(s1, "doc_id")
-      .join(quality, "doc_id")
-      .join(keeperFlag, Seq("doc_id"), "left")
-      .join(lm, Seq("doc_id"), "left")
-      .join(contam, Seq("doc_id"), "left")
+    val joined = gateFlags.foldLeft(
+      base.select(col("doc_id"), col("lang"), col("source"))
+        .join(s1, "doc_id")
+        .join(quality, "doc_id")
+        .join(keeperFlag, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
+        .join(contam, Seq("doc_id"), "left")) { (df, g) => df.join(g, "doc_id") }
+    val gateOk: Seq[Column] =
+      (if (requireGopher) Seq(col("gopher_ok")) else Nil) ++
+        (if (requireC4) Seq(col("c4_ok")) else Nil)
+    val flags = joined
       .withColumn("is_eval", col("doc_id") % TextOps.EvalMod === 0)
       .withColumn("neardup_kept",
         col("exact_canonical") && coalesce(col("is_keeper"), lit(true)))
@@ -166,8 +213,16 @@ object CuratePipeline {
       .withColumn("decontam_ok",
         !col("is_eval") && !coalesce(col("contaminated"), lit(false)))
       .withColumn("keep",
-        col("exact_canonical") && col("neardup_kept") && col("quality_ok") &&
-          col("lm_ok") && col("decontam_ok"))
+        (Seq(col("exact_canonical"), col("neardup_kept")) ++ gateOk ++
+          Seq(col("quality_ok"), col("lm_ok"), col("decontam_ok")))
+          .reduce(_ && _))
+    P01Parts(base, members, flags)
+  }
+
+  /** Stages 6-7 (domain mix + pack over the kept corpus) and the final
+    * per-doc projection — p01's output shape. */
+  private[graft] def p01Finish(parts: P01Parts): DataFrame = {
+    val flags = parts.flags
 
     // ---- stage 6: c13 domain-mix weights over the KEPT corpus -------
     val kept = flags.filter(col("keep"))
@@ -199,15 +254,18 @@ object CuratePipeline {
       .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
       .select("doc_id", "start_off", "chunk_first", "chunk_last", "n_chunks")
 
+    // gate columns appear only when the corresponding parameter is on —
+    // the driver entry's schema (defaults off) is unchanged
+    val gateCols = Seq("gopher_ok", "c4_ok").filter(flags.columns.contains)
     flags
       .join(weights, Seq("source"), "left")
       .join(packed, Seq("doc_id"), "left")
       .withColumn("mix_weight", when(col("keep"), col("mix_weight")))
-      .select(col("doc_id"), col("lang"), col("source"), col("n_tokens"),
-        col("exact_canonical"), col("neardup_kept"), col("quality_ok"), col("lm_ok"),
-        col("decontam_ok"), col("is_eval"), col("keep"),
-        col("quality_score"), col("nll"), col("mix_weight"),
-        col("start_off"), col("chunk_first"), col("chunk_last"), col("n_chunks"))
+      .select((Seq("doc_id", "lang", "source", "n_tokens",
+        "exact_canonical", "neardup_kept") ++ gateCols ++
+        Seq("quality_ok", "lm_ok", "decontam_ok", "is_eval", "keep",
+          "quality_score", "nll", "mix_weight",
+          "start_off", "chunk_first", "chunk_last", "n_chunks")).map(col): _*)
       .orderBy("doc_id")
   }
 
@@ -226,7 +284,10 @@ object CuratePipeline {
 
   import graft.operators.TextOps.{NormSql, stopCountSql, T13Lambda}
 
-  val p01Sql: String = {
+  /** The stage-1..7 CTE chain — ONE definition `p01Sql` and
+    * [[ReleasePipeline.p02Sql]] both extend, so the pipeline and its
+    * release tail cannot drift (t16's shared-CTE discipline). */
+  private[operators] val p01Ctes: String = {
     val allStop = TextOps.Stopwords.flatMap(_._2).distinct
     s"""WITH RECURSIVE norm AS (
        |  SELECT doc_id, lang, source, $NormSql AS norm FROM documents
@@ -368,7 +429,11 @@ object CuratePipeline {
        |    (end_off - 1) // $PackCap AS chunk_last,
        |    (end_off - 1) // $PackCap - (end_off - n_tok) // $PackCap + 1 AS n_chunks
        |  FROM pk
-       |)
+       |)""".stripMargin
+  }
+
+  val p01Sql: String =
+    s"""$p01Ctes
        |SELECT f.doc_id, f.lang, f.source, f.n_tokens,
        |  f.exact_canonical, f.neardup_kept, f.quality_ok, f.lm_ok,
        |  f.decontam_ok, f.is_eval, f.keep,
@@ -379,5 +444,4 @@ object CuratePipeline {
        |LEFT JOIN weights w ON w.source = f.source
        |LEFT JOIN packed p ON p.doc_id = f.doc_id
        |ORDER BY f.doc_id""".stripMargin
-  }
 }

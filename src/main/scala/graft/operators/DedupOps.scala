@@ -209,8 +209,14 @@ object DedupOps {
   private[operators] def splitBucketSql(id: String): String =
     s"((($id % 1000003) * 2654435761 + 104729) % 100)"
   /** train < 90 ≤ val < 95 ≤ test. */
-  private val TrainLt = 90L
-  private val ValLt = 95L
+  private[operators] val TrainLt = 90L
+  private[operators] val ValLt = 95L
+  /** canonical-id → split name, the ONE 90/5/5 grid definition c20 and
+    * p02 share on both engines (the SQL is valid Spark SQL and DuckDB). */
+  private[operators] def splitCaseSql(id: String): String =
+    s"""CASE WHEN ${splitBucketSql(id)} < $TrainLt THEN 'train'
+       |     WHEN ${splitBucketSql(id)} < $ValLt THEN 'val'
+       |     ELSE 'test' END""".stripMargin
 
   /** c20: LEAKAGE-FREE train/val/test split — the subtle production
     * requirement naive hash-splits get wrong: near-duplicate documents
@@ -244,10 +250,7 @@ object DedupOps {
     val assigned = base
       .join(members, base("doc_id") === members("node"), "left")
       .withColumn("canonical", coalesce(col("component"), col("doc_id")))
-      .withColumn("bucket", expr(splitBucketSql("canonical")))
-      .withColumn("split",
-        when(col("bucket") < TrainLt, "train")
-          .when(col("bucket") < ValLt, "val").otherwise("test"))
+      .withColumn("split", expr(splitCaseSql("canonical")))
       .select("doc_id", "canonical", "n_tokens", "split")
     val audit = assigned.groupBy(col("split"))
       .agg(count(lit(1)).as("split_docs"), sum(col("n_tokens")).as("split_tokens"))
@@ -276,9 +279,7 @@ object DedupOps {
        |), assigned AS (
        |  SELECT b.doc_id, coalesce(c.component, b.doc_id) AS canonical,
        |    b.n_tokens,
-       |    CASE WHEN ${splitBucketSql("coalesce(c.component, b.doc_id)")} < $TrainLt THEN 'train'
-       |         WHEN ${splitBucketSql("coalesce(c.component, b.doc_id)")} < $ValLt THEN 'val'
-       |         ELSE 'test' END AS split
+       |    ${splitCaseSql("coalesce(c.component, b.doc_id)")} AS split
        |  FROM base b LEFT JOIN comp c ON c.node = b.doc_id
        |), audit AS (
        |  SELECT split, CAST(count(*) AS BIGINT) AS split_docs,

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** p02: the RELEASE tail composed onto p01 — what actually ships after
+  * curation: over p01's KEPT corpus, (1) c20's leak-free train/val/test
+  * split — every document assigned by hashing its near-dup CLUSTER
+  * canonical through the shared 90/5/5 grid ([[DedupOps.splitCaseSql]]),
+  * so a kept document and any future near-dup of it land in the SAME
+  * split by construction; (2) c19's deterministic shard export PER
+  * SPLIT — content-fingerprint shard id + within-(split, shard) rank,
+  * fingerprint order = the reproducible pseudo-random read order, no RNG
+  * anywhere; (3) c21's datasheet PER SPLIT × SOURCE — doc/token mass,
+  * language spread, exact interpolated token-length percentiles (a03's
+  * engine-proven percentile ≡ quantile_cont mapping). One row per kept
+  * document carrying its split, shard, rank, and all three audit joins.
+  *
+  * The reference analog is the GetBatches/GetBatch reporting tail after
+  * ProcessBatch→Finalizer (`GetBatches.groovy:146-195` over the
+  * finalizer's terminal states): lifecycle first, then the ordered,
+  * paginated, per-state accounting of what came out.
+  *
+  * Composition discipline: p01's one corpus materialization is reused
+  * ([[CuratePipeline.P01Parts]]) — the release tail reads `flags` (doc
+  * metadata), `members` (cluster membership), and `base.norm` (for the
+  * c19 fingerprint), so the composed plan still contains ZERO parquet
+  * re-scans (spec-pinned, Round10PipelineSpec). Downstream of the
+  * checkpoint only metadata shuffles: (doc_id, long) relations, the
+  * per-split window partitioned by (split, shard) — at production scale
+  * each partition is one writer task's file sort, never global — and
+  * |splits| / |splits×shards| / |splits×sources| audit aggregates
+  * broadcast back. The percentile pair is the one non-mergeable step
+  * (the documented a09-sketch scale path, as in c21).
+  *
+  * The oracle extends [[CuratePipeline.p01Ctes]] — the SAME CTE chain
+  * p01 verifies — so pipeline and release tail cannot drift.
+  */
+object ReleasePipeline {
+  /** Shards per split (production: thousands — writer parallelism). */
+  val NShards = 8
+
+  def p02Release(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    val t = Tables(spark, dir)
+    p02Over(spark, t.spread(t.documents))
+  }
+
+  /** The release tail over any (doc_id, lang, source, text) relation;
+    * thresholds inherited from p01's parameters. */
+  private[graft] def p02Over(spark: SparkSession, documents: DataFrame,
+      qualityMin: Double = CuratePipeline.QualityMin,
+      nllMax: Double = CuratePipeline.NllMax,
+      nShards: Int = NShards): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    val parts = CuratePipeline.p01PartsOf(spark, documents, qualityMin, nllMax)
+    p02Finish(parts, nShards)
+  }
+
+  /** Split + shard + datasheet over an already-curated [[CuratePipeline.P01Parts]]. */
+  private[graft] def p02Finish(parts: CuratePipeline.P01Parts,
+      nShards: Int = NShards): DataFrame = {
+    // ---- stage R1: c20 leak-free split over the KEPT corpus ---------
+    // the unit of assignment is the near-dup CLUSTER canonical (min id,
+    // singletons = self) — same cluster, same split, by construction
+    val kept = parts.flags.filter(col("keep"))
+      .select("doc_id", "lang", "source", "n_tokens")
+    val assigned = kept
+      .join(parts.members.select(col("node"), col("component")),
+        kept("doc_id") === col("node"), "left")
+      .withColumn("canonical", coalesce(col("component"), col("doc_id")))
+      .drop("node", "component")
+      .withColumn("split", expr(DedupOps.splitCaseSql("canonical")))
+
+    // ---- stage R2: c19 shard export per split -----------------------
+    val sharded = assigned
+      .join(parts.base.select(col("doc_id"), col("norm")), "doc_id")
+      .withColumn("fp", TextOps.polyFp(col("norm")))
+      .drop("norm")
+      .withColumn("shard_id", ShardExport.shardId(col("fp"), nShards))
+    val ranked = sharded.withColumn("shard_pos",
+      row_number().over(Window.partitionBy(col("split"), col("shard_id"))
+        .orderBy(col("fp"), col("doc_id"))).cast("long"))
+
+    // ---- stage R3: audits + the per-(split, source) datasheet -------
+    val splitAudit = sharded.groupBy(col("split"))
+      .agg(count(lit(1)).as("split_docs"), sum(col("n_tokens")).as("split_tokens"))
+    val shardAudit = sharded.groupBy(col("split"), col("shard_id"))
+      .agg(count(lit(1)).as("shard_docs"), sum(col("n_tokens")).as("shard_tokens"))
+    val sheet = sharded.groupBy(col("split"), col("source"))
+      .agg(
+        count(lit(1)).as("src_docs"),
+        sum(col("n_tokens")).as("src_tokens"),
+        countDistinct(col("lang")).as("src_langs"),
+        round(expr("percentile(n_tokens, 0.5)"), 6).as("src_p50_tokens"),
+        round(expr("percentile(n_tokens, 0.9)"), 6).as("src_p90_tokens"))
+
+    ranked
+      .join(splitAudit, Seq("split"))
+      .join(shardAudit, Seq("split", "shard_id"))
+      .join(sheet, Seq("split", "source"))
+      .select(col("doc_id"), col("lang"), col("source"), col("canonical"),
+        col("split"), col("shard_id"), col("shard_pos"), col("n_tokens"),
+        col("split_docs"), col("split_tokens"),
+        col("shard_docs"), col("shard_tokens"),
+        col("src_docs"), col("src_tokens"), col("src_langs"),
+        col("src_p50_tokens"), col("src_p90_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val p02Sql: String =
+    s"""${CuratePipeline.p01Ctes}, keptrel AS (
+       |  SELECT f.doc_id, f.lang, f.source, f.n_tokens,
+       |    coalesce(c.component, f.doc_id) AS canonical, n.norm
+       |  FROM flags2 f
+       |  JOIN norm n ON n.doc_id = f.doc_id
+       |  LEFT JOIN comp c ON c.node = f.doc_id
+       |  WHERE f.keep
+       |), splitrel AS (
+       |  SELECT doc_id, lang, source, n_tokens, canonical,
+       |    ${DedupOps.splitCaseSql("canonical")} AS split,
+       |    ${TextOps.polyFpSql("norm")} AS fp
+       |  FROM keptrel
+       |), sharded AS (
+       |  SELECT *, fp % $NShards AS shard_id FROM splitrel
+       |), ranked AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY split, shard_id ORDER BY fp, doc_id) AS BIGINT) AS shard_pos
+       |  FROM sharded
+       |), split_audit AS (
+       |  SELECT split, CAST(count(*) AS BIGINT) AS split_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS split_tokens
+       |  FROM sharded GROUP BY split
+       |), shard_audit AS (
+       |  SELECT split, shard_id, CAST(count(*) AS BIGINT) AS shard_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+       |  FROM sharded GROUP BY split, shard_id
+       |), sheet AS (
+       |  SELECT split, source,
+       |    CAST(count(*) AS BIGINT) AS src_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+       |    CAST(count(DISTINCT lang) AS BIGINT) AS src_langs,
+       |    round(quantile_cont(n_tokens, 0.5), 6) AS src_p50_tokens,
+       |    round(quantile_cont(n_tokens, 0.9), 6) AS src_p90_tokens
+       |  FROM sharded GROUP BY split, source
+       |)
+       |SELECT r.doc_id, r.lang, r.source, r.canonical,
+       |  r.split, r.shard_id, r.shard_pos, r.n_tokens,
+       |  sa.split_docs, sa.split_tokens,
+       |  ha.shard_docs, ha.shard_tokens,
+       |  sh.src_docs, sh.src_tokens, sh.src_langs,
+       |  sh.src_p50_tokens, sh.src_p90_tokens
+       |FROM ranked r
+       |JOIN split_audit sa ON sa.split = r.split
+       |JOIN shard_audit ha ON ha.split = r.split AND ha.shard_id = r.shard_id
+       |JOIN sheet sh ON sh.split = r.split AND sh.source = r.source
+       |ORDER BY r.doc_id""".stripMargin
+}

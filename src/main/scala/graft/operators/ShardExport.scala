@@ -63,8 +63,14 @@ object ShardExport {
       .select(col("doc_id"), TextOps.normText(col("text")).as("norm"))
       .withColumn("fp", TextOps.polyFp(col("norm")))
       .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
-      .withColumn("shard_id", pmod(col("fp"), lit(nShards.toLong)))
+      .withColumn("shard_id", shardId(col("fp"), nShards))
       .select("doc_id", "fp", "n_tokens", "shard_id")
+
+  /** fingerprint → shard id, the ONE mapping c19 and p02 share (fp is
+    * already range-reduced non-negative, so pmod ≡ the oracle's `%`). */
+  private[operators] def shardId(fp: org.apache.spark.sql.Column,
+      nShards: Int): org.apache.spark.sql.Column =
+    pmod(fp, lit(nShards.toLong))
 
   /** c19 driver entry. */
   def c19ShardExport(spark: SparkSession, dir: String): DataFrame = {

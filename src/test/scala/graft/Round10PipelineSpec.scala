@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{C4Filters, CuratePipeline, GopherRules, ReleasePipeline}
+
+/** p02 release-tail specs (split consistency, shard contiguity, read-once
+  * composition) and the p01 rule-gate parameterization (requireGopher /
+  * requireC4 composed on an engineered multi-line corpus). */
+class Round10PipelineSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Near-dup cluster {6, 7} engineered so the KEEPER is not the cluster
+    * canonical AND their split buckets differ: bucket(6) = 95 → test,
+    * bucket(7) = 56 → train. Doc 7 (more stopwords → higher t02 quality)
+    * wins keep-best, so if p02 hashed the keeper's OWN id it would land
+    * in train; hashing the cluster CANONICAL (6) must land it in test.
+    * Docs 1 and 8 are kept singletons (bucket 90 → val, 17 → train). */
+  private def corpus() = Seq(
+    (1L, "en", "alpha", "the cat and the dog of the house is warm"),
+    (6L, "en", "beta",  "red green blue yellow purple orange pink brown gray black white cyan"),
+    (7L, "en", "beta",  "red green blue yellow purple orange pink brown gray black white cyan the and"),
+    (8L, "en", "alpha", "a bird in that hand is for worth two bush")
+  ).toDF("doc_id", "lang", "source", "text")
+
+  test("p02: split derives from the near-dup cluster CANONICAL, not the keeper's id") {
+    val out = ReleasePipeline.p02Over(spark, corpus(), nllMax = 100.0)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) -> r).toMap
+    // keep-best kept doc 7 (not the min-id 6) — precondition of the test
+    assert(out.keySet == Set(1L, 7L, 8L))
+    def split(id: Long) = out(id).getString(out(id).fieldIndex("split"))
+    def canon(id: Long) = out(id).getLong(out(id).fieldIndex("canonical"))
+    // the keeper carries its CLUSTER canonical and ITS split bucket:
+    // bucket(6) = 95 → test, even though bucket(7) = 56 → train
+    assert(canon(7L) == 6L)
+    assert(split(7L) == "test")
+    // singletons hash their own id: bucket(1) = 90 → val, bucket(8) = 17 → train
+    assert(canon(1L) == 1L && split(1L) == "val")
+    assert(canon(8L) == 8L && split(8L) == "train")
+  }
+
+  test("p02: shard positions are contiguous 1..n within every (split, shard)") {
+    val rows = ReleasePipeline.p02Release(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    def l(r: org.apache.spark.sql.Row, n: String) = r.getLong(r.fieldIndex(n))
+    val byShard = rows.groupBy(r => (r.getString(r.fieldIndex("split")), l(r, "shard_id")))
+    for (((split, shard), g) <- byShard) {
+      val pos = g.map(l(_, "shard_pos")).sorted
+      assert(pos.toSeq == (1L to g.length.toLong),
+        s"non-contiguous positions in ($split, $shard)")
+      // the joined-back shard audit matches the actual membership
+      assert(g.forall(l(_, "shard_docs") == g.length))
+      assert(g.forall(r => l(r, "shard_tokens") == g.map(l(_, "n_tokens")).sum))
+    }
+    // split audit = sum of its shards
+    for ((split, g) <- rows.groupBy(r => r.getString(r.fieldIndex("split")))) {
+      assert(g.forall(l(_, "split_docs") == g.length))
+      assert(g.forall(r => l(r, "split_tokens") == g.map(l(_, "n_tokens")).sum))
+    }
+    // every kept doc appears exactly once
+    assert(rows.map(l(_, "doc_id")).distinct.length == rows.length)
+  }
+
+  test("p02: composed plan re-scans NO parquet — p01's one materialization is reused") {
+    val df = ReleasePipeline.p02Release(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), "composed p02 plan re-scans parquet:\n" +
+      plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+  }
+
+  test("p02: agrees with p01 — exactly the kept docs, same token counts") {
+    val p01 = CuratePipeline.p01Curate(spark, sfDir).collect()
+    val p02 = ReleasePipeline.p02Release(spark, sfDir).collect()
+    val keptIds = p01.filter(r => r.getBoolean(r.fieldIndex("keep")))
+      .map(r => r.getLong(r.fieldIndex("doc_id"))).toSet
+    assert(p02.map(r => r.getLong(r.fieldIndex("doc_id"))).toSet == keptIds)
+    val p01Tok = p01.map(r => r.getLong(r.fieldIndex("doc_id")) ->
+      r.getLong(r.fieldIndex("n_tokens"))).toMap
+    assert(p02.forall(r => r.getLong(r.fieldIndex("n_tokens")) ==
+      p01Tok(r.getLong(r.fieldIndex("doc_id")))))
+  }
+
+  // ---------------------------------------------------------------- gates
+
+  /** Multi-line ≥50-word docs (REAL newlines; distinct vocabularies so
+    * stage 2 never clusters them) where each rule fires on exactly one:
+    *  1 passes Gopher AND C4;
+    *  2 fails ONLY Gopher (every line starts with a bullet '-');
+    *  3 fails ONLY C4 (no line ends in terminal punctuation). */
+  private def gateCorpus() = Seq(
+    (1L, "en", "alpha", Seq.fill(5)(
+      "the quick brown fox jumps over that lazy dog and runs off with the bone.")
+      .mkString("\n")),
+    (2L, "en", "beta", Seq.fill(5)(
+      "- a small red bird sits upon the tall green tree and sings of dawn.")
+      .mkString("\n")),
+    (3L, "en", "gamma", Seq.fill(5)(
+      "every cold winter the old gray wolf walks to the frozen river for food")
+      .mkString("\n"))
+  ).toDF("doc_id", "lang", "source", "text")
+
+  test("p01 gates: requireGopher/requireC4 compose t15/t19 as pipeline stages") {
+    val out = CuratePipeline.p01Over(spark, gateCorpus(), nllMax = 100.0,
+      requireGopher = true, requireC4 = true)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) -> r).toMap
+    def b(id: Long, n: String) = out(id).getBoolean(out(id).fieldIndex(n))
+    // doc 1 passes every gate and ships
+    assert(b(1L, "gopher_ok") && b(1L, "c4_ok") && b(1L, "keep"))
+    // doc 2: ONLY the Gopher bullet rule fires
+    assert(!b(2L, "gopher_ok") && b(2L, "c4_ok") && !b(2L, "keep"))
+    assert(b(2L, "exact_canonical") && b(2L, "neardup_kept") &&
+      b(2L, "quality_ok") && b(2L, "lm_ok") && b(2L, "decontam_ok"))
+    // doc 3: ONLY the C4 terminal-punctuation rule fires
+    assert(b(3L, "gopher_ok") && !b(3L, "c4_ok") && !b(3L, "keep"))
+    assert(b(3L, "quality_ok") && b(3L, "lm_ok") && b(3L, "decontam_ok"))
+    // gate verdicts are bit-identical to the standalone t15/t19 operators
+    // over the same real newline lines
+    val t15 = GopherRules.gopherStatsOver(
+        gateCorpus().select(col("doc_id"), col("text")), split(col("text"), "\n"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("gopher_pass"))).toMap
+    val t19 = C4Filters.c4StatsOver(
+        gateCorpus().select(col("doc_id"), col("text")), split(col("text"), "\n"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("c4_pass"))).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(b(id, "gopher_ok") == t15(id), s"gopher doc $id")
+      assert(b(id, "c4_ok") == t19(id), s"c4 doc $id")
+    }
+  }
+
+  test("p01 gates: default entry has no gate columns — driver schema unchanged") {
+    val cols = CuratePipeline.p01Over(spark, gateCorpus(), nllMax = 100.0).columns
+    assert(!cols.contains("gopher_ok") && !cols.contains("c4_ok"))
+  }
+}
