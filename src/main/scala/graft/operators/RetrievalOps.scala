@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** t20: BM25 RANKED RETRIEVAL — the capability class c02's tf-idf stops
+  * one step short of (Robertson & Zaragoza '09, "The Probabilistic
+  * Relevance Framework: BM25 and Beyond"): score a QUERY SET against the
+  * corpus and return the top-k documents per query. This is the retrieval
+  * face retrieval-based decontamination and RAG-style corpus search
+  * actually run — and the driver entry is exactly that framing: the
+  * deterministic eval split (c06's `doc_id % EvalMod`) is the query set,
+  * the non-eval corpus is the searched collection, and the output ranks
+  * the train-side documents most retrievable by each eval document (the
+  * candidates a retrieval decontamination pass would inspect first).
+  *
+  *   score(q, d) = Σ_{t ∈ q}  idf(t) · tf(t,d)·(k1+1)
+  *                            ─────────────────────────────────
+  *                            tf(t,d) + k1·(1 − b + b·|d|·N/T)
+  *
+  * with the Lucene-form idf ln((N − df + 0.5)/(df + 0.5) + 1) (always
+  * positive), k1 = 1.2, b = 0.75, and distinct query terms (the standard
+  * qtf-free simplification).
+  *
+  * Exactness discipline (t08/t13's): idf is quantized to the 1e-7 grid
+  * the moment it is born; each (query, term, doc) contribution is ONE
+  * float expression over identical integers (tf, dl, N, T are all exact
+  * 64-bit counts; k1/b are shared literals; the expression STRING is one
+  * definition spliced into both engines) quantized back to 1e-7 units;
+  * the per-pair score is then an INTEGER sum — no float summation order
+  * anywhere, so the oracle matches hash-exact and ties break on the
+  * integer grid (then doc_id).
+  *
+  * Scale shape: tf/df/dl are one tokenize pass over the corpus (term
+  * strings shuffle doc-keyed exactly like c01/c02's census; the at-scale
+  * variant keys them by 16-byte hash, c14's wire discipline); the totals
+  * are a 2-scalar broadcast; scoring materializes only (query, term) ⋈
+  * (term, doc) matches — bounded by posting-list sizes, the inverted-
+  * index join, never |queries|×|corpus|; top-k per query is the bounded
+  * [[graft.functions.TopKByScore]] aggregate (map-side k-slot buffers,
+  * ≤ k entries per query per partition on the shuffle — NO windows).
+  *
+  * Reference analog: `GetBatches.groovy:146-195` — ordered top-N
+  * accounting over a filtered collection; this is that listing as ranked
+  * retrieval over a scored corpus.
+  */
+object RetrievalOps {
+  val K1 = "1.2"
+  val B = "0.75"
+  val TopK = 5
+
+  /** The one contribution expression both engines run verbatim:
+    * idf_q7 (1e-7-grid integer) × the tf saturation term, re-quantized
+    * to the grid. Valid Spark SQL AND DuckDB SQL. */
+  private def contribSql(idf: String, tf: String, dl: String,
+      n: String, t: String): String =
+    s"CAST(round(CAST($idf AS DOUBLE) * (CAST($tf AS DOUBLE) * ($K1 + 1.0)) / " +
+      s"(CAST($tf AS DOUBLE) + $K1 * (1.0 - $B + $B * CAST($dl AS DOUBLE) * " +
+      s"CAST($n AS DOUBLE) / CAST($t AS DOUBLE)))) AS BIGINT)"
+
+  /** Lucene-form idf on the 1e-7 grid — one definition, both engines. */
+  private def idfSql(df: String, n: String): String =
+    s"CAST(round(ln((CAST($n AS DOUBLE) - CAST($df AS DOUBLE) + 0.5) / " +
+      s"(CAST($df AS DOUBLE) + 0.5) + 1.0) * 10000000.0) AS BIGINT)"
+
+  /** BM25 top-k over any (query_id, text) query relation and
+    * (doc_id, text) corpus relation. */
+  private[graft] def bm25Over(queries: DataFrame, corpus: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.TopKByScore.register(spark)
+    val ctoks = corpus.select(col("doc_id"),
+      explode(TextOps.tokensOf(col("text"))).as("tok"))
+    val tf = ctoks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = ctoks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfRel = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val totals = dl.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("t_corpus"))
+    val idf = dfRel.crossJoin(broadcast(totals))
+      .withColumn("idf_q", expr(idfSql("df", "n_corpus")))
+      .select("tok", "idf_q")
+    val qterms = queries.select(col("query_id"),
+      explode(TextOps.tokensOf(col("text"))).as("tok")).distinct()
+    val scored = qterms
+      .join(tf, "tok")
+      .join(idf, "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(totals))
+      .withColumn("contrib_q",
+        expr(contribSql("idf_q", "tf", "dl", "n_corpus", "t_corpus")))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_q")).as("score_q"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("score_q").cast("double"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("doc_id"),
+        (col("t.score") / 1e7).as("score"))
+  }
+
+  /** t20 driver entry: eval split = queries, non-eval corpus = collection. */
+  def t20Bm25(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val d = t.spread(t.documents)
+    bm25Over(
+      d.filter(col("doc_id") % TextOps.EvalMod === 0)
+        .select(col("doc_id").as("query_id"), col("text")),
+      d.filter(col("doc_id") % TextOps.EvalMod =!= 0)
+        .select(col("doc_id"), col("text")))
+      .orderBy("query_id", "rank")
+  }
+
+  val t20Sql: String = {
+    import TextOps.{EvalMod, TokensSql}
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($TokensSql) AS tok FROM documents
+       |  WHERE doc_id % $EvalMod <> 0
+       |), tf AS (
+       |  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+       |  FROM toks GROUP BY doc_id, tok
+       |), dl AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id
+       |), dfrel AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+       |), totals AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+       |    CAST(sum(dl) AS BIGINT) AS t_corpus
+       |  FROM dl
+       |), idf AS (
+       |  SELECT tok, ${idfSql("df", "n_corpus")} AS idf_q FROM dfrel, totals
+       |), qterms AS (
+       |  SELECT DISTINCT query_id, tok FROM (
+       |    SELECT doc_id AS query_id, unnest($TokensSql) AS tok
+       |    FROM documents WHERE doc_id % $EvalMod = 0)
+       |), scored AS (
+       |  SELECT q.query_id, t.doc_id,
+       |    CAST(sum(${contribSql("i.idf_q", "t.tf", "d.dl", "tt.n_corpus", "tt.t_corpus")}) AS BIGINT) AS score_q
+       |  FROM qterms q
+       |  JOIN tf t ON t.tok = q.tok
+       |  JOIN idf i ON i.tok = q.tok
+       |  JOIN dl d ON d.doc_id = t.doc_id, totals tt
+       |  GROUP BY q.query_id, t.doc_id
+       |), ranked AS (
+       |  SELECT query_id, doc_id, score_q,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_q DESC, doc_id) AS rn
+       |  FROM scored
+       |)
+       |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
+       |  CAST(score_q AS DOUBLE) / 10000000.0 AS score
+       |FROM ranked WHERE rn <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
+}

@@ -533,7 +533,7 @@ object TextOps {
 
   // ---------------------------------------------------------------- c06
   /** Deterministic pseudo-benchmark: every 97th doc id is "eval". */
-  private[operators] val EvalMod = 97
+  private[graft] val EvalMod = 97
 
   /** c06: benchmark decontamination — flag training documents sharing any
     * word-4-gram with the eval set. Grams are native

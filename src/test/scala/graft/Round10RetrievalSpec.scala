@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.RetrievalOps
+
+/** t20 BM25 specs: exact agreement with an independent driver-side
+  * reference implementation on an engineered corpus, hand-derived
+  * ranking facts, deterministic tie-breaks, and rank-shape sanity on the
+  * driver corpus. */
+class Round10RetrievalSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Plain-Scala BM25 mirroring the operator's exact quantization
+    * (idf and per-term contributions on the 1e-7 grid, integer sums,
+    * (score desc, doc_id asc) ranking) — independent of Spark. */
+  private def refBm25(queries: Map[Long, String], corpus: Map[Long, String],
+      k: Int): Seq[(Long, Long, Long, Double)] = {
+    def toks(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq
+    val tf = corpus.map { case (id, t) =>
+      id -> toks(t).groupBy(identity).map { case (w, o) => w -> o.size.toLong } }
+    val dl = corpus.map { case (id, t) => id -> toks(t).size.toLong }
+    val n = corpus.size.toLong
+    val tt = dl.values.sum
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (w, o) => w -> o.size.toLong }
+    def idfQ(w: String): Long =
+      math.round(math.log((n.toDouble - df(w).toDouble + 0.5) /
+        (df(w).toDouble + 0.5) + 1.0) * 10000000.0)
+    queries.toSeq.flatMap { case (qid, qtext) =>
+      val qts = toks(qtext).distinct.filter(df.contains)
+      val scored = corpus.keys.toSeq.flatMap { d =>
+        val contribs = qts.filter(tf(d).contains).map { w =>
+          val f = tf(d)(w).toDouble
+          math.round(idfQ(w).toDouble * (f * (1.2 + 1.0)) /
+            (f + 1.2 * (1.0 - 0.75 + 0.75 * dl(d).toDouble * n.toDouble / tt.toDouble)))
+        }
+        if (contribs.isEmpty) None else Some(d -> contribs.sum)
+      }
+      scored.sortBy { case (d, s) => (-s, d) }.take(k).zipWithIndex.map {
+        case ((d, s), i) => (qid, (i + 1).toLong, d, s.toDouble / 1e7)
+      }
+    }.sortBy(r => (r._1, r._2))
+  }
+
+  private val corpus = Map(
+    1L -> "apple banana apple",
+    2L -> "apple cherry",
+    3L -> "dog cat bird",
+    4L -> "banana cherry dog apple",
+    5L -> "banana cherry dog apple")
+  private val queries = Map(10L -> "apple banana", 11L -> "bird")
+
+  private def run(k: Int = 5) = RetrievalOps.bm25Over(
+    queries.toSeq.map { case (id, t) => (id, t) }.toDF("query_id", "text"),
+    corpus.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text"), k)
+    .orderBy("query_id", "rank")
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    .toSeq
+
+  test("t20: exact agreement with the independent reference implementation") {
+    assert(run() == refBm25(queries, corpus, 5))
+  }
+
+  test("t20: hand-derived ranking facts hold") {
+    val out = run()
+    val q10 = out.filter(_._1 == 10L)
+    // doc 3 shares no term with query 10 → never retrieved for it
+    assert(!q10.exists(_._3 == 3L))
+    // doc 1 (apple×2 + banana in 3 tokens) outranks doc 2 (apple only)
+    val rank = q10.map(r => r._3 -> r._2).toMap
+    assert(rank(1L) < rank(2L))
+    // query 11's only term appears only in doc 3
+    assert(out.filter(_._1 == 11L).map(_._3) == Seq(3L))
+    // rarer term carries more idf: doc 1 (has banana, df=3... ) — direct
+    // idf ordering check: df(apple)=4 > df(banana)=3 → idf(apple) < idf(banana)
+    // is implied by the reference agreement; here pin the top-1 instead:
+    // docs 4/5 carry both query terms but are longer and tie-broken below
+    assert(q10.head._3 == 1L)
+  }
+
+  test("t20: equal-score ties break on doc_id — identical docs rank adjacently") {
+    val q10 = run().filter(_._1 == 10L)
+    val r4 = q10.find(_._3 == 4L).get
+    val r5 = q10.find(_._3 == 5L).get
+    assert(r4._4 == r5._4)      // identical text → identical quantized score
+    assert(r4._2 == r5._2 - 1)  // lower id immediately ahead
+  }
+
+  test("t20: driver-corpus shape — contiguous ranks, non-increasing scores, ≤ k rows") {
+    val rows = RetrievalOps.t20Bm25(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getLong(0))
+    for ((q, g) <- byQ) {
+      val sorted = g.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to g.length.toLong), s"query $q")
+      assert(g.length <= RetrievalOps.TopK)
+      val scores = sorted.map(_.getDouble(3)).toSeq
+      assert(scores == scores.sorted.reverse, s"query $q scores not monotone")
+      // queries are eval docs; retrieved docs are non-eval
+      assert(q % graft.operators.TextOps.EvalMod == 0)
+      assert(sorted.forall(_.getLong(2) % graft.operators.TextOps.EvalMod != 0))
+    }
+  }
+}
