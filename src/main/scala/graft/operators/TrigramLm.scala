@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** t22: interpolated TRIGRAM language-model scoring — t13 upgraded one
+  * backoff level toward the production KenLM-style gate (Jelinek &
+  * Mercer interpolation; CCNet/Gopher gate on a 5-gram KenLM — order 3
+  * adds the first genuinely contextual backoff while keeping every count
+  * exact):
+  *
+  *   p(w₃|w₁w₂) = λ₃·c₁₂₃/c₁₂ + λ₂·c₂₃/c₂ + λ₁·(c₃+1)/(N+V)
+  *
+  * with λ₃ = 0.6, λ₂ = 0.3, λ₁ the remainder — the trigram MLE backed
+  * off through the bigram MLE to t13's Laplace unigram floor. Per-doc
+  * score = mean NLL over its trigrams; a doc with < 3 tokens has no
+  * trigrams and scores NULL (the t13 fail-closed convention).
+  *
+  * Exactness: same integer-grid discipline as t08/t13 — all counts are
+  * exact 64-bit integers, each trigram's log-probability is ONE float
+  * expression over identical integers quantized to the 1e-7 grid
+  * (`q_log`), per-doc sums are integer, and the final NLL is the shared
+  * `qMicro` integer rounding. The oracle EXTENDS [[TextOps.T13CoreCtes]]
+  * verbatim — t22's unigram/bigram statistics are t13's own `uni`/
+  * `totals`/`db` CTEs, so the two model oracles cannot drift (t16's
+  * shared-CTE discipline).
+  *
+  * Scale shape: one tokenize pass feeds the doc-keyed trigram census
+  * (map-side combined); the model build shuffles (gram, count) relations
+  * keyed by gram string (at 100 TB keyed by 16-byte hash, c14's wire
+  * discipline); scoring is one census ⋈ model join + a doc-keyed
+  * aggregate. No windows, no driver-side iteration — the model is
+  * closed-form, not EM.
+  *
+  * Reference analog: `AnalyzeBatch.groovy:88-97`'s validity gating —
+  * this is the statistical-fluency member of that gate family, one
+  * order deeper than t13.
+  */
+object TrigramLm {
+  private val L3 = 0.6
+  private val L2 = 0.3
+  private val L1 = 1.0 - L3 - L2
+
+  def t22TrigramLm(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    val t = Tables(spark, dir)
+    trigramLm(t.spread(t.documents).select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
+  }
+
+  /** The scorer over any (doc_id, text) relation. */
+  private[graft] def trigramLm(d: DataFrame): DataFrame = {
+    graft.functions.Ngrams.register(d.sparkSession)
+    val toksRel = d.select(col("doc_id"), TextOps.tokensOf(col("text")).as("tk"))
+    val dt = toksRel
+      .select(col("doc_id"),
+        explode(graft.functions.Ngrams.ngramJoin(col("tk"), 3)).as("tg"))
+      .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("c"))
+    val uni = toksRel.select(explode(col("tk")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    val totals = uni.agg(sum(col("cf")).as("n_corpus"), count(lit(1)).as("v"))
+    val bi = TextOps.docBigrams(d).groupBy(col("bg")).agg(sum(col("c")).as("cfb"))
+
+    // every observed trigram's prefix/suffix bigram and final unigram are
+    // themselves observed, so the model joins are inner and total
+    val model = dt.groupBy(col("tg")).agg(sum(col("c")).as("c123"))
+      .withColumn("p123", split(col("tg"), " "))
+      .withColumn("w12", concat_ws(" ", col("p123").getItem(0), col("p123").getItem(1)))
+      .withColumn("w23", concat_ws(" ", col("p123").getItem(1), col("p123").getItem(2)))
+      .withColumn("w2", col("p123").getItem(1))
+      .withColumn("w3", col("p123").getItem(2))
+      .join(bi.select(col("bg").as("w12"), col("cfb").as("c12")), "w12")
+      .join(bi.select(col("bg").as("w23"), col("cfb").as("c23")), "w23")
+      .join(uni.select(col("tok").as("w2"), col("cf").as("c2")), "w2")
+      .join(uni.select(col("tok").as("w3"), col("cf").as("c3")), "w3")
+      .crossJoin(broadcast(totals))
+      .withColumn("q_log", round(log(
+        lit(L3) * (col("c123").cast("double") / col("c12").cast("double")) +
+          lit(L2) * (col("c23").cast("double") / col("c2").cast("double")) +
+          lit(L1) * ((col("c3").cast("double") + lit(1.0)) /
+            (col("n_corpus").cast("double") + col("v").cast("double")))
+      ) * 1e7).cast("long"))
+      .select("tg", "q_log")
+
+    val perDoc = dt.join(model, "tg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        (-sum(col("c") * col("q_log"))).as("num"))
+      .withColumn("nll_micro", TextOps.qMicro("num", "n_trigrams"))
+      .select(col("doc_id"), col("n_trigrams"),
+        (col("nll_micro").cast("double") / 1e6).as("nll"))
+    d.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"), col("nll"))
+  }
+
+  /** Oracle: extends t13's CTE chain — `uni`/`totals`/`db` are shared
+    * verbatim, so the two LM oracles derive from one definition. */
+  val t22Sql: String = {
+    import TextOps.qMicroSql
+    s"""WITH ${TextOps.T13CoreCtes}, dt AS (
+       |  SELECT doc_id, tg, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] AS tg
+       |    FROM toks, unnest(range(1, len(tk) - 1)) AS u(i))
+       |  GROUP BY doc_id, tg
+       |), bi AS (
+       |  SELECT bg, CAST(sum(c) AS BIGINT) AS cfb FROM db GROUP BY bg
+       |), model3 AS (
+       |  SELECT tg,
+       |    CAST(round(ln(
+       |      $L3 * (CAST(c123 AS DOUBLE) / CAST(c12 AS DOUBLE)) +
+       |      $L2 * (CAST(c23 AS DOUBLE) / CAST(c2 AS DOUBLE)) +
+       |      $L1 * ((CAST(c3 AS DOUBLE) + 1.0) /
+       |        (CAST(n_corpus AS DOUBLE) + CAST(v AS DOUBLE)))
+       |    ) * 10000000.0) AS BIGINT) AS q_log
+       |  FROM (
+       |    SELECT tg, CAST(sum(c) AS BIGINT) AS c123,
+       |      string_split(tg, ' ')[1] || ' ' || string_split(tg, ' ')[2] AS w12,
+       |      string_split(tg, ' ')[2] || ' ' || string_split(tg, ' ')[3] AS w23,
+       |      string_split(tg, ' ')[2] AS w2,
+       |      string_split(tg, ' ')[3] AS w3
+       |    FROM dt GROUP BY tg
+       |  ) t
+       |  JOIN (SELECT bg AS w12, cfb AS c12 FROM bi) b1 USING (w12)
+       |  JOIN (SELECT bg AS w23, cfb AS c23 FROM bi) b2 USING (w23)
+       |  JOIN (SELECT tok AS w2, cf AS c2 FROM uni) u2 USING (w2)
+       |  JOIN (SELECT tok AS w3, cf AS c3 FROM uni) u3 USING (w3), totals
+       |), agg3 AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+       |    -CAST(sum(c * q_log) AS BIGINT) AS num
+       |  FROM dt JOIN model3 USING (tg) GROUP BY doc_id
+       |), scored3 AS (
+       |  SELECT d.doc_id, COALESCE(n_trigrams, 0) AS n_trigrams,
+       |    ${qMicroSql("num", "n_trigrams")} AS nll
+       |  FROM documents d LEFT JOIN agg3 USING (doc_id)
+       |)
+       |SELECT doc_id, n_trigrams, nll FROM scored3
+       |ORDER BY doc_id""".stripMargin
+  }
+}

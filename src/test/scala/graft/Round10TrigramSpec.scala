@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{TextOps, TrigramLm}
+
+/** t22 trigram-LM specs: the property that separates order 3 from order 2
+  * (two docs with IDENTICAL bigram multisets — Eulerian-path twins — score
+  * identically under t13 but differently under t22), the fail-closed
+  * short-doc convention, and frequency-ordering sanity. */
+class Round10TrigramSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Docs 1 and 2 traverse the SAME bigram edge multiset
+    * {ab, ab, ba, bc, cb} in different Eulerian orders, so their unigram
+    * AND bigram counts are identical while their trigram sets differ
+    * ("c b a" vs "a b a"). */
+  private def twins() = Seq(
+    (1L, "a b c b a b"),
+    (2L, "a b a b c b"),
+    (3L, "x y")
+  ).toDF("doc_id", "text")
+
+  test("t22: separates Eulerian twins that t13 scores identically") {
+    graft.functions.Ngrams.register(spark)
+    val t13 = TextOps.bigramLm(twins()).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val t22 = TrigramLm.trigramLm(twins()).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // same bigram multiset → identical order-2 score
+    assert(t13(1L).isDefined && t13(1L) == t13(2L))
+    // different trigram sets → different order-3 score
+    assert(t22(1L).isDefined && t22(2L).isDefined && t22(1L) != t22(2L))
+  }
+
+  test("t22: a doc with fewer than 3 tokens scores NULL (fail closed), not a dropped row") {
+    val rows = TrigramLm.trigramLm(twins()).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L))
+    assert(rows(3L).getLong(1) == 0L && rows(3L).isNullAt(2))
+  }
+
+  test("t22: corpus-frequent trigrams score lower NLL than rare combinations") {
+    // "the big dog" appears in 4 docs; doc 6 is made entirely of it;
+    // doc 7 is a one-off combination of the same unigrams
+    val corpus = Seq(
+      (1L, "the big dog runs fast"),
+      (2L, "the big dog sleeps now"),
+      (3L, "the big dog eats meat"),
+      (4L, "the big dog barks loud"),
+      (6L, "the big dog the big dog"),
+      (7L, "dog the big fast runs the")
+    ).toDF("doc_id", "text")
+    val nll = TrigramLm.trigramLm(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(6L) < nll(7L))
+  }
+
+  test("t22: every driver doc gets a row; NLL null iff under 3 tokens") {
+    val t = Tables(spark, sfDir)
+    val out = TrigramLm.trigramLm(
+      t.documents.select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))).collect()
+    assert(out.length == 500)
+    for (r <- out)
+      assert(r.isNullAt(2) == (r.getLong(1) == 0L))
+  }
+}
