@@ -200,6 +200,90 @@ object DedupOps {
        |FROM sided WHERE containment >= 0.8
        |ORDER BY small_doc, big_doc""".stripMargin
 
+  // ---------------------------------------------------------------- d12
+  /** Bottom-k sketch size for d12 — 128 exceeds the driver docs' ≤ 97
+    * distinct shingles (sketch ⊇ set → the estimator is EXACT there, the
+    * spec's conditional-exactness gate); production corpora truncate and
+    * estimate, the spec's forced-small-k case. */
+  private[operators] val D12SketchK = 128
+  private[operators] val D12Threshold = 0.8
+
+  /** d12: MinHash CONTAINMENT ESTIMATOR — d11's audit at 100 TB scale,
+    * needing only the standing bottom-k sketches, never the exact gram
+    * sets (the path d11's own scaladoc names): with Sa/Sb the bottom-k
+    * one-permutation sketches of the two docs' shingle hash sets
+    * (Broder '97 §4's union trick),
+    *
+    *   S  = bottom-k(Sa ∪ Sb)            (the mergeable UNION sketch —
+    *                                      a uniform sample of A ∪ B)
+    *   Ĉ  = |S ∩ Sa ∩ Sb| / |S ∩ Sa|     (both counts are union-sample
+    *                                      estimates ÷ same denominator,
+    *                                      so the ratio estimates
+    *                                      |A∩B| / |A| — containment)
+    *
+    * Candidates are sketch-native too: docs sharing ANY sketch value
+    * (≤ k rows per doc on the wire — at full scale d03's LSH bands are
+    * the drop-in, identical downstream algebra). Small side = smaller
+    * exact distinct-shingle count (d11's convention; the count is a
+    * per-doc aggregate, not a pairwise gram materialization). Rows-only
+    * (xxhash64 shingles, like d03): gated by the Round10DedupSpec
+    * equivalences — estimator ≡ exact d11 when sketches subsume the sets,
+    * and decision agreement at the 0.8 threshold under a forced-small k.
+    */
+  def d12ContainmentEst(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    graft.functions.BottomKDistinct.register(spark)
+    val t = Tables(spark, dir)
+    val rows = t.spread(t.documents).filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("lang"),
+        explode(graft.functions.Ngrams.ngramHashes(TextOps.tokensOf(col("text")), 3)).as("sh"))
+      .distinct()
+    containmentEstOver(rows, D12SketchK)
+      .orderBy("small_doc", "big_doc")
+  }
+
+  /** The estimator over any distinct (doc_id, lang, sh) shingle relation
+    * — k-parameterized so the spec can force sketch truncation. */
+  private[graft] def containmentEstOver(rows: DataFrame, k: Int): DataFrame = {
+    val sk = rows.groupBy(col("doc_id"), col("lang"))
+      .agg(graft.functions.BottomKDistinct.bottomKDistinct(col("sh"), k).as("sk"),
+        count(lit(1)).as("n"))
+    // sketch-value candidate emission: ≤ k rows per doc, pairs distinct
+    val vals = sk.select(col("doc_id"), col("lang"), explode(col("sk")).as("v"))
+    val cand = vals.as("a").join(vals.as("b"),
+        col("a.lang") === col("b.lang") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.lang").as("lang"))
+      .distinct()
+    val est = cand
+      .join(sk.select(col("doc_id").as("doc_a"), col("sk").as("sk_a"),
+        col("n").as("n_a")), "doc_a")
+      .join(sk.select(col("doc_id").as("doc_b"), col("sk").as("sk_b"),
+        col("n").as("n_b")), "doc_b")
+      // the merged union sketch, then the two sample counts
+      .withColumn("s_union",
+        slice(array_sort(array_distinct(concat(col("sk_a"), col("sk_b")))), 1, k))
+      .withColumn("small_sk",
+        when(col("n_a") <= col("n_b"), col("sk_a")).otherwise(col("sk_b")))
+      .withColumn("in_small",
+        size(array_intersect(col("s_union"), col("small_sk"))).cast("long"))
+      .withColumn("in_both", size(array_intersect(
+        array_intersect(col("s_union"), col("sk_a")), col("sk_b"))).cast("long"))
+      .withColumn("est_containment",
+        round(col("in_both").cast("double") / col("in_small"), 6))
+    est
+      .withColumn("small_doc",
+        when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b")))
+      .withColumn("big_doc",
+        when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a")))
+      .withColumn("n_small", least(col("n_a"), col("n_b")))
+      .withColumn("n_big", greatest(col("n_a"), col("n_b")))
+      .filter(col("est_containment") >= D12Threshold)
+      .select("small_doc", "big_doc", "lang", "n_small", "n_big",
+        "in_small", "in_both", "est_containment")
+  }
+
   // ---------------------------------------------------------------- c20
   /** Multiplicative-hash split buckets: canonical id → 0..99, all 64-bit
     * integer arithmetic (the id is range-reduced BEFORE the Knuth

@@ -1,0 +1,230 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** t21: UNIGRAM-LM (SentencePiece-style) tokenizer — the other standard
+  * subword trainer beside BPE (Kudo ACL'18, "Subword Regularization"):
+  * where BPE greedily merges, the unigram model keeps a piece VOCABULARY
+  * with log-probabilities and segments each word by VITERBI — the
+  * maximum-likelihood split under the piece distribution.
+  *
+  * Training (deterministic hard-EM, t10's corpus-touched-once shape):
+  *   1. word census — the ONE corpus scan ([[BpeOps.wordDict]], counts
+  *      only on the wire);
+  *   2. seed vocabulary: all word substrings up to [[MaxPieceLen]] chars,
+  *      corpus-frequency-weighted (scan-side generation over the bounded
+  *      dict), top [[SeedSize]] by (freq desc, piece asc) — plus every
+  *      single character, which guarantees full coverage;
+  *   3. EM rounds on the DICT, never the corpus: E-step = Viterbi-segment
+  *      every dict word under the current vocab (the vocab rides as a
+  *      PLAN-LITERAL map — the Codebooks centroids-as-literals
+  *      discipline — so the DP is one scan-side expression over the dict,
+  *      zero shuffles, zero UDFs); usage(piece) = Σ word-count × piece
+  *      occurrences in the best split. M-step = renormalize, Laplace +1
+  *      on single chars (coverage can never starve), prune to
+  *      [[VocabSize]] by (usage desc, piece asc).
+  *
+  * All scores are integer micro-logs (round(ln(p)·1e7), the t13 grid);
+  * DP sums/compares are 64-bit integer; ties break (score max, piece
+  * count min, longest-last-piece first) — bit-deterministic on any
+  * partitioning, any engine. Rows-only (iterative corpus argmax, like
+  * t10): Round10UnigramSpec pins exact segmentation equality against an
+  * independent driver-side reference trainer, determinism, and the
+  * char-fallback bound.
+  *
+  * Artifact contract (the trained-thing lifecycle all stores share):
+  * [[vocabSave]]/[[vocabLoad]]/[[vocabAttach]] — ship the (rank, piece,
+  * q_log) table, segment anywhere.
+  *
+  * Reference analog: `ProcessBatch.groovy:145-156`'s upsert-by-natural-
+  * key dictionary build — this is that dictionary as a trained artifact.
+  */
+object UnigramTok {
+  private[graft] val MaxPieceLen = 6
+  private[graft] val SeedSize = 512
+  private[graft] val VocabSize = 256
+  private[graft] val EmRounds = 2
+  /** Unreachable DP score (adding piece logs can never climb back). */
+  private val NegInf = -(1L << 62)
+
+  /** One trained piece: rank-ordered by (usage desc, piece asc). */
+  final case class UnigramPiece(rank: Int, piece: String, q_log: Long)
+
+  private val trainedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), Seq[UnigramPiece]]
+  private[graft] def clearTrained(): Unit = trainedCache.clear()
+
+  private def st(s: Column, np: Column, bp: Column): Column =
+    struct(s.as("s"), np.as("np"), bp.as("bp"))
+
+  /** Viterbi DP table over one word as a single HOF expression:
+    * dp(i) = best (score, piece-count, back-pointer) split of the first
+    * i chars; the vocab map `vmap` (piece → micro-log) is a plan
+    * literal. Array index i+1 holds dp(i); bp = 1-based start of the
+    * final piece, −1 = unreachable. Tie-break: score max, then piece
+    * count min, then smallest start (longest last piece) — the first
+    * candidate scanned wins, so the result is order-deterministic. */
+  private[graft] def viterbiDp(w: Column, vmap: Column): Column =
+    aggregate(
+      sequence(lit(1), length(w)),
+      array(st(lit(0L), lit(0), lit(0))),
+      (acc, i) => concat(acc, array(
+        aggregate(
+          sequence(greatest(lit(1), i - lit(MaxPieceLen) + lit(1)), i),
+          st(lit(NegInf), lit(0), lit(-1)),
+          (b, j) => {
+            val piece = w.substr(j, i - j + lit(1))
+            val lp = try_element_at(vmap, piece)
+            val prev = element_at(acc, j)
+            val candS = prev.getField("s") + lp
+            val candNp = prev.getField("np") + lit(1)
+            val better = lp.isNotNull &&
+              (candS > b.getField("s") ||
+                (candS === b.getField("s") && candNp < b.getField("np")))
+            when(better, st(candS, candNp, j)).otherwise(b)
+          }))))
+
+  /** Backtrace of [[viterbiDp]] to the piece array (empty when the word
+    * is unreachable under the vocab — the caller's char-fallback case). */
+  private[graft] def viterbiParts(w: Column, dp: Column): Column = {
+    val walked = aggregate(
+      sequence(lit(1), length(w)),
+      struct(length(w).as("pos"),
+        array().cast("array<string>").as("parts")),
+      (stt, _) => {
+        val pos = stt.getField("pos")
+        val bp = element_at(dp, pos + lit(1)).getField("bp")
+        when(pos <= 0, stt).otherwise(
+          struct((bp - lit(1)).as("pos"),
+            concat(array(w.substr(bp, pos - bp + lit(1))),
+              stt.getField("parts")).as("parts")))
+      })
+    when(element_at(dp, length(w) + lit(1)).getField("s") > NegInf,
+      walked.getField("parts"))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Segment a (word, cnt, ...) dict under a vocab: adds `parts`
+    * (empty = unreachable) and `word_ut` (piece count; char-fallback
+    * length+1 when unreachable, [[BpeOps.bpeEncode]]'s OOV convention). */
+  private[graft] def segmentDict(dict: DataFrame,
+      vocab: Seq[UnigramPiece]): DataFrame = {
+    val vmap = typedlit(vocab.map(p => p.piece -> p.q_log).toMap)
+    dict
+      .withColumn("dp", viterbiDp(col("word"), vmap))
+      .withColumn("parts", viterbiParts(col("word"), col("dp")))
+      .withColumn("word_ut",
+        when(size(col("parts")) > 0, size(col("parts")).cast("long"))
+          .otherwise(length(col("word")).cast("long") + lit(1L)))
+      .drop("dp")
+  }
+
+  /** All substrings (overlapping, length ≤ [[MaxPieceLen]]) of the dict
+    * words, corpus-frequency-weighted — the seed candidate census. */
+  private[graft] def seedCounts(dict: DataFrame): DataFrame =
+    dict.select(explode(flatten(transform(
+        sequence(lit(1), length(col("word"))),
+        s => transform(
+          sequence(lit(1), least(lit(MaxPieceLen), length(col("word")) - s + lit(1))),
+          l => col("word").substr(s, l))))).as("piece"),
+      col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+
+  /** (piece, freq) list → rank-ordered vocab with micro-log scores.
+    * Single chars are ALWAYS kept (coverage); multi-char pieces fill the
+    * remaining budget by (freq desc, piece asc). */
+  private def toVocab(freqs: Seq[(String, Long)], keep: Int): Seq[UnigramPiece] = {
+    val sorted = freqs.sortBy { case (p, f) => (-f, p) }
+    val (singles, multis) = sorted.partition(_._1.length == 1)
+    val chosen = (multis.take(math.max(0, keep - singles.size)) ++ singles)
+      .sortBy { case (p, f) => (-f, p) }
+    val total = chosen.map(_._2).sum.toDouble
+    chosen.zipWithIndex.map { case ((p, f), i) =>
+      UnigramPiece(i, p, math.round(math.log(f.toDouble / total) * 1e7))
+    }
+  }
+
+  /** Train the unigram vocab over `docs` (hard-EM, see object doc). */
+  private[graft] def unigramTrain(docs: DataFrame, vocabSize: Int = VocabSize,
+      emRounds: Int = EmRounds): Seq[UnigramPiece] = {
+    val dict = BpeOps.wordDict(docs).select("word", "cnt").localCheckpoint()
+    val seeds = seedCounts(dict)
+    // single chars ride along unconditionally (coverage); the rest by rank
+    val singles = seeds.filter(length(col("piece")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val top = seeds.orderBy(col("freq").desc, col("piece").asc)
+      .limit(SeedSize).collect().map(r => r.getString(0) -> r.getLong(1))
+    var vocab = toVocab((top ++ singles.filterNot(s => top.exists(_._1 == s._1)))
+      .toSeq, SeedSize)
+    for (round <- 1 to emRounds) {
+      val usage = segmentDict(dict, vocab)
+        .select(explode(col("parts")).as("piece"), col("cnt"))
+        .groupBy(col("piece")).agg(sum(col("cnt")).as("freq"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // Laplace +1 on single chars so coverage never starves out
+      val next = vocab.map(p =>
+          p.piece -> (usage.getOrElse(p.piece, 0L) +
+            (if (p.piece.length == 1) 1L else 0L)))
+        .filter(_._2 > 0L)
+      vocab = toVocab(next, vocabSize)
+    }
+    vocab
+  }
+
+  private[graft] def unigramTrainCached(docs: => DataFrame, corpusKey: String,
+      vocabSize: Int, emRounds: Int): Seq[UnigramPiece] =
+    trainedCache.getOrElseUpdate((corpusKey, vocabSize, emRounds),
+      unigramTrain(docs, vocabSize, emRounds))
+
+  // ------------------------------------------- vocab table as artifact
+  def vocabSave(spark: SparkSession, vocab: Seq[UnigramPiece],
+      table: String): Unit = {
+    import spark.implicits._
+    graft.sources.GraftIO.dropManaged(spark, table)
+    vocab.toDF().write.format("parquet").saveAsTable(table)
+  }
+
+  def vocabLoad(spark: SparkSession, table: String): Seq[UnigramPiece] = {
+    import spark.implicits._
+    spark.table(table).as[UnigramPiece].collect().sortBy(_.rank).toSeq
+  }
+
+  def vocabAttach(spark: SparkSession, table: String): Unit =
+    graft.sources.GraftIO.attachPlain(spark, table,
+      "rank INT, piece STRING, q_log BIGINT")
+
+  /** Per-doc encoding stats under a trained vocab — [[BpeOps.bpeEncode]]'s
+    * shape: the corpus' own dict is segmented once, documents join it on
+    * the word key (counts move, text never does). */
+  private[graft] def unigramEncode(docs: DataFrame,
+      vocab: Seq[UnigramPiece]): DataFrame = {
+    val dict = BpeOps.wordDict(docs).select("word", "cnt")
+    val wordSyms = segmentDict(dict, vocab).select(col("word"), col("word_ut"))
+    docs.select(col("doc_id"), explode(TextOps.tokensOf(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("wc"))
+      .join(wordSyms, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wc")).as("n_words"),
+        sum(col("wc") * length(col("word"))).as("n_chars"),
+        sum(col("wc") * coalesce(col("word_ut"),
+          length(col("word")) + lit(1))).as("n_ut_tokens"))
+      .withColumn("compression",
+        when(col("n_ut_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_ut_tokens"), 6)))
+  }
+
+  /** t21: encode the corpus with the unigram vocab trained on it —
+    * per-doc (n_words, n_chars, n_ut_tokens, compression). Rows-only. */
+  def t21UnigramTok(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.spread(t.documents)
+    val vocab = unigramTrainCached(docs,
+      dir + "#" + Tables.corpusFingerprint(t.documents), VocabSize, EmRounds)
+    unigramEncode(docs, vocab).orderBy("doc_id")
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+
+/** d12 containment-estimator specs: exact equivalence to d11 when the
+  * sketches subsume the shingle sets (the driver-corpus regime), and
+  * decision agreement at the 0.8 threshold with a forced-small sketch on
+  * an engineered snippet-in-article corpus. */
+class Round10DedupSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("d12 ≡ exact d11 when sketches subsume the shingle sets (driver corpus)") {
+    val exact = DedupOps.d11Containment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(r.fieldIndex("n_inter")), r.getDouble(r.fieldIndex("containment"))))
+      .toMap
+    val est = DedupOps.d12ContainmentEst(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(r.fieldIndex("in_both")),
+          r.getDouble(r.fieldIndex("est_containment"))))
+      .toMap
+    // driver docs have ≤ 97 distinct shingles < k = 128, so every sketch
+    // IS the full set: same flagged pairs, same containment values
+    assert(est.keySet == exact.keySet)
+    for ((pair, (nInter, c)) <- exact) {
+      assert(est(pair)._2 == c, s"pair $pair containment")
+      assert(est(pair)._1 == nInter, s"pair $pair intersection size")
+    }
+    assert(exact.nonEmpty)
+  }
+
+  /** Article of 60 distinct words; snippet = its first 12 words (fully
+    * contained); unrelated doc shares nothing. */
+  private def corpus() = {
+    val words = (1 to 60).map(i => s"w$i")
+    Seq(
+      (2L, "en", words.mkString(" ")),
+      (4L, "en", words.take(12).mkString(" ")),
+      (6L, "en", (1 to 30).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+  }
+
+  private def shingleRows(df: org.apache.spark.sql.DataFrame) = {
+    graft.functions.Ngrams.register(spark)
+    df.select(col("doc_id"), col("lang"),
+      explode(graft.functions.Ngrams.ngramHashes(
+        graft.operators.TextOps.tokensOf(col("text")), 3)).as("sh"))
+      .distinct()
+  }
+
+  test("d12: forced-small sketch still agrees with the exact decision at 0.8") {
+    // k = 8 truncates the article's 58-shingle set hard — the estimator
+    // must still flag the snippet-in-article pair and nothing else
+    val out = DedupOps.containmentEstOver(shingleRows(corpus()), k = 8)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L) // small=snippet, big=article
+    // a fully-contained snippet estimates containment 1.0: every union
+    // sample drawn from the snippet's sketch is also in the article's
+    assert(r.getDouble(r.fieldIndex("est_containment")) == 1.0)
+  }
+
+  test("d12: estimator emits nothing for disjoint docs at any k") {
+    for (k <- Seq(4, 64)) {
+      val out = DedupOps.containmentEstOver(
+        shingleRows(Seq(
+          (2L, "en", (1 to 30).map(i => s"a$i").mkString(" ")),
+          (4L, "en", (1 to 30).map(i => s"b$i").mkString(" "))
+        ).toDF("doc_id", "lang", "text")), k)
+        .collect()
+      assert(out.isEmpty, s"k=$k")
+    }
+  }
+}

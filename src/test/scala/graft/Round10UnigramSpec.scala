@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.UnigramTok
+import graft.operators.UnigramTok.UnigramPiece
+
+/** t21 unigram-tokenizer specs, the Round8BpeSpec pattern: the Spark
+  * trainer must agree EXACTLY (vocab, scores, and every word's Viterbi
+  * segmentation) with an independent driver-side reference
+  * implementation; plus determinism, char-fallback on unseen words,
+  * multi-char piece emergence, and the artifact round-trip. */
+class Round10UnigramSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // ---- independent reference implementation ------------------------
+  private val L = 6
+  private val Seed = 512
+  private val NegInf = -(1L << 62)
+
+  private def refWords(texts: Seq[String]): Map[String, Long] =
+    texts.flatMap(_.trim.toLowerCase.replaceAll("\\s+", " ").split(" "))
+      .filter(w => w.length >= 1 && w.length <= 64)
+      .groupBy(identity).map { case (w, o) => w -> o.size.toLong }
+
+  private def refToVocab(freqs: Seq[(String, Long)], keep: Int): Seq[UnigramPiece] = {
+    val sorted = freqs.sortBy { case (p, f) => (-f, p) }
+    val (singles, multis) = sorted.partition(_._1.length == 1)
+    val chosen = (multis.take(math.max(0, keep - singles.size)) ++ singles)
+      .sortBy { case (p, f) => (-f, p) }
+    val total = chosen.map(_._2).sum.toDouble
+    chosen.zipWithIndex.map { case ((p, f), i) =>
+      UnigramPiece(i, p, math.round(math.log(f.toDouble / total) * 1e7)) }
+  }
+
+  private def refViterbi(word: String, v: Map[String, Long]): Seq[String] = {
+    val n = word.length
+    // dp(i): (score, pieces, backpointer = 1-based start of last piece)
+    val dp = Array.fill(n + 1)((NegInf, 0, -1))
+    dp(0) = (0L, 0, 0)
+    for (i <- 1 to n; j <- math.max(1, i - L + 1) to i) {
+      val piece = word.substring(j - 1, i)
+      v.get(piece).foreach { lp =>
+        val (ps, pn, _) = dp(j - 1)
+        val cand = (ps + lp, pn + 1, j)
+        val b = dp(i)
+        if (cand._1 > b._1 || (cand._1 == b._1 && cand._2 < b._2)) dp(i) = cand
+      }
+    }
+    if (dp(n)._1 <= NegInf) Seq.empty
+    else {
+      var pos = n
+      var parts = List.empty[String]
+      while (pos > 0) {
+        val j = dp(pos)._3
+        parts = word.substring(j - 1, pos) :: parts
+        pos = j - 1
+      }
+      parts
+    }
+  }
+
+  private def refTrain(texts: Seq[String], vocabSize: Int,
+      emRounds: Int): Seq[UnigramPiece] = {
+    val words = refWords(texts)
+    val seeds = words.toSeq.flatMap { case (w, c) =>
+      for (s <- 0 until w.length; l <- 1 to math.min(L, w.length - s))
+        yield w.substring(s, s + l) -> c
+    }.groupBy(_._1).map { case (p, o) => p -> o.map(_._2).sum }
+    val top = seeds.toSeq.sortBy { case (p, f) => (-f, p) }.take(Seed)
+    val singles = seeds.filter(_._1.length == 1).toSeq
+    var vocab = refToVocab(
+      top ++ singles.filterNot(s => top.exists(_._1 == s._1)), Seed)
+    for (_ <- 1 to emRounds) {
+      val vmap = vocab.map(p => p.piece -> p.q_log).toMap
+      val usage = scala.collection.mutable.Map.empty[String, Long]
+      for ((w, c) <- words; p <- refViterbi(w, vmap))
+        usage(p) = usage.getOrElse(p, 0L) + c
+      val next = vocab.map(p => p.piece -> (usage.getOrElse(p.piece, 0L) +
+          (if (p.piece.length == 1) 1L else 0L)))
+        .filter(_._2 > 0L)
+      vocab = refToVocab(next, vocabSize)
+    }
+    vocab
+  }
+
+  // ---- fixtures ----------------------------------------------------
+  private val texts = Seq(
+    "the running runner runs a long run",
+    "walking walker walks along the long walkway",
+    "the runner and the walker ran and walked",
+    "longing for a long walk along the runway",
+    "run walk run walk running walking")
+  private def corpus() = texts.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("t21: trained vocab is EXACTLY the reference trainer's") {
+    val spark_ = UnigramTok.unigramTrain(corpus(), vocabSize = 64, emRounds = 2)
+    val ref = refTrain(texts, vocabSize = 64, emRounds = 2)
+    assert(spark_ == ref)
+  }
+
+  test("t21: every dict word's Viterbi segmentation matches the reference") {
+    val vocab = UnigramTok.unigramTrain(corpus(), vocabSize = 64, emRounds = 2)
+    val vmap = vocab.map(p => p.piece -> p.q_log).toMap
+    val segs = UnigramTok.segmentDict(
+      graft.operators.BpeOps.wordDict(corpus()).select("word", "cnt"), vocab)
+      .select("word", "parts").collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(segs.nonEmpty)
+    for ((w, parts) <- segs) {
+      assert(parts == refViterbi(w, vmap), s"word '$w'")
+      assert(parts.mkString("") == w, s"word '$w' does not reassemble")
+    }
+  }
+
+  test("t21: multi-char pieces emerge on a repetitive corpus") {
+    val vocab = UnigramTok.unigramTrain(corpus(), vocabSize = 64, emRounds = 2)
+    assert(vocab.exists(_.piece.length > 1))
+  }
+
+  test("t21: unseen-character words take the char-fallback length+1 path") {
+    val vocab = UnigramTok.unigramTrain(corpus(), vocabSize = 64, emRounds = 2)
+    val out = UnigramTok.unigramEncode(
+      Seq((1L, "run xyzzy")).toDF("doc_id", "text"), vocab).collect()
+    // 'x','y','z' never occur in training: "xyzzy" → 5 + 1 = 6; "run" segments
+    val r = out.head
+    val runUt = refViterbi("run", vocab.map(p => p.piece -> p.q_log).toMap).size
+    assert(r.getLong(r.fieldIndex("n_ut_tokens")) == runUt + 6L)
+  }
+
+  test("t21: training is deterministic across runs") {
+    val a = UnigramTok.unigramTrain(corpus(), vocabSize = 64, emRounds = 2)
+    val b = UnigramTok.unigramTrain(corpus(), vocabSize = 64, emRounds = 2)
+    assert(a == b)
+  }
+
+  test("t21: vocab artifact round-trips through the managed table") {
+    val vocab = UnigramTok.unigramTrain(corpus(), vocabSize = 64, emRounds = 2)
+    UnigramTok.vocabSave(spark, vocab, "t21_vocab_spec")
+    try assert(UnigramTok.vocabLoad(spark, "t21_vocab_spec") == vocab)
+    finally graft.sources.GraftIO.dropManaged(spark, "t21_vocab_spec")
+  }
+}
