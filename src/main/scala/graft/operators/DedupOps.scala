@@ -243,24 +243,58 @@ object DedupOps {
   }
 
   /** The estimator over any distinct (doc_id, lang, sh) shingle relation
-    * — k-parameterized so the spec can force sketch truncation. */
+    * — k-parameterized so the spec can force sketch truncation.
+    *
+    * The candidate stage aggregates the value join to per-pair SHARED
+    * counts s = |Sa ∩ Sb| (d11's map-side-combined shape, no distinct
+    * shuffle) and prunes on a sound integer bound BEFORE any sketch
+    * array materializes: with u = |Sa ∪ Sb| and the big side's sketch
+    * size m, every union-sample value outside the small sketch comes
+    * from the big side's m − s exclusive values, so
+    *
+    *   in_small ≥ min(k, u) − (m − s),  in_both ≤ s
+    *   ⇒  Ĉ ≤ s / max(1, min(k, u) − m + s)
+    *
+    * — pairs whose upper bound is already under the threshold (the
+    * overwhelming majority) never pay the per-pair array work. The
+    * bound is an inequality on the EXACT same quantities the full
+    * computation produces, so pruning cannot change the output. */
   private[graft] def containmentEstOver(rows: DataFrame, k: Int): DataFrame = {
+    // materialized once: the sketch relation feeds four branches (value
+    // emission, both slim size joins, both array joins) and is bounded
+    // (one ≤ 8k-byte row per doc)
     val sk = rows.groupBy(col("doc_id"), col("lang"))
       .agg(graft.functions.BottomKDistinct.bottomKDistinct(col("sh"), k).as("sk"),
         count(lit(1)).as("n"))
-    // sketch-value candidate emission: ≤ k rows per doc, pairs distinct
+      .withColumn("nk", size(col("sk")).cast("long"))
+      .localCheckpoint()
+    // sketch-value candidate emission: ≤ k rows per doc; one aggregated
+    // row per pair carrying s = |Sa ∩ Sb|
     val vals = sk.select(col("doc_id"), col("lang"), explode(col("sk")).as("v"))
     val cand = vals.as("a").join(vals.as("b"),
         col("a.lang") === col("b.lang") && col("a.v") === col("b.v") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.lang").as("lang"))
-      .distinct()
+      .agg(count(lit(1)).as("s_ab"))
+    // the pre-filter joins only the SLIM size relation; the 8k-byte
+    // sketch arrays are fetched afterwards, for survivors alone
+    val sizes = sk.select(col("doc_id"), col("n"), col("nk"))
     val est = cand
-      .join(sk.select(col("doc_id").as("doc_a"), col("sk").as("sk_a"),
-        col("n").as("n_a")), "doc_a")
-      .join(sk.select(col("doc_id").as("doc_b"), col("sk").as("sk_b"),
-        col("n").as("n_b")), "doc_b")
+      .join(sizes.select(col("doc_id").as("doc_a"),
+        col("n").as("n_a"), col("nk").as("nk_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"),
+        col("n").as("n_b"), col("nk").as("nk_b")), "doc_b")
+      // the pre-filter: Ĉ ≤ s / max(1, min(k, u) − m + s) must reach 0.8
+      .withColumn("nk_big",
+        when(col("n_a") <= col("n_b"), col("nk_b")).otherwise(col("nk_a")))
+      .withColumn("in_small_lb",
+        least(lit(k.toLong), col("nk_a") + col("nk_b") - col("s_ab"))
+          - col("nk_big") + col("s_ab"))
+      .filter(col("in_small_lb") <= 0L ||
+        col("s_ab") * 5 >= col("in_small_lb") * 4)
+      .join(sk.select(col("doc_id").as("doc_a"), col("sk").as("sk_a")), "doc_a")
+      .join(sk.select(col("doc_id").as("doc_b"), col("sk").as("sk_b")), "doc_b")
       // the merged union sketch, then the two sample counts
       .withColumn("s_union",
         slice(array_sort(array_distinct(concat(col("sk_a"), col("sk_b")))), 1, k))
