@@ -64,33 +64,58 @@ object RetrievalOps {
     s"CAST(round(ln((CAST($n AS DOUBLE) - CAST($df AS DOUBLE) + 0.5) / " +
       s"(CAST($df AS DOUBLE) + 0.5) + 1.0) * 10000000.0) AS BIGINT)"
 
-  /** BM25 top-k over any (query_id, text) query relation and
-    * (doc_id, text) corpus relation. */
-  private[graft] def bm25Over(queries: DataFrame, corpus: DataFrame,
-      k: Int = TopK): DataFrame = {
-    val spark = corpus.sparkSession
-    graft.functions.TopKByScore.register(spark)
+  /** The frozen retrieval index of a corpus: posting-list term
+    * frequencies, doc lengths, quantized idf, and the two corpus scalars
+    * (collected once — the plan-literal constants-vs-content split the
+    * streaming probe face needs; for the batch entry they are the same
+    * two numbers the broadcast totals row carried). */
+  final case class CorpusStats(tf: DataFrame, dl: DataFrame,
+      idf: DataFrame, nCorpus: Long, tCorpus: Long)
+
+  def corpusStats(corpus: DataFrame): CorpusStats = {
     val ctoks = corpus.select(col("doc_id"),
       explode(TextOps.tokensOf(col("text"))).as("tok"))
     val tf = ctoks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val dl = ctoks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val dfRel = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val totals = dl.agg(count(lit(1)).as("n_corpus"), sum(col("dl")).as("t_corpus"))
-    val idf = dfRel.crossJoin(broadcast(totals))
+    val totalsRow = dl.agg(count(lit(1)).as("n_corpus"),
+      sum(col("dl")).as("t_corpus")).head()
+    val (n, t) = (totalsRow.getLong(0), totalsRow.getLong(1))
+    val idf = dfRel
+      .withColumn("n_corpus", lit(n))
       .withColumn("idf_q", expr(idfSql("df", "n_corpus")))
       .select("tok", "idf_q")
-    val qterms = queries.select(col("query_id"),
-      explode(TextOps.tokensOf(col("text"))).as("tok")).distinct()
-    val scored = qterms
-      .join(tf, "tok")
-      .join(idf, "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(totals))
+    CorpusStats(tf, dl, idf, n, t)
+  }
+
+  /** Quantized per-(query-term-row, doc) contributions summed to
+    * per-(query, doc) integer scores — the scoring core the batch entry
+    * and [[graft.streaming.StreamingJobs.bm25ScoreStream]] share.
+    * `qterms` is any (…, tok) relation; `keyCols` the query identity. */
+  private[graft] def scorePairs(qterms: DataFrame, stats: CorpusStats,
+      keyCols: Seq[String]): DataFrame =
+    qterms
+      .join(stats.tf, "tok")
+      .join(stats.idf, "tok")
+      .join(stats.dl, "doc_id")
+      .withColumn("n_corpus", lit(stats.nCorpus))
+      .withColumn("t_corpus", lit(stats.tCorpus))
       .withColumn("contrib_q",
         expr(contribSql("idf_q", "tf", "dl", "n_corpus", "t_corpus")))
-      .groupBy(col("query_id"), col("doc_id"))
+      .groupBy((keyCols :+ "doc_id").map(col): _*)
       .agg(sum(col("contrib_q")).as("score_q"))
+
+  /** BM25 top-k over any (query_id, text) query relation and
+    * (doc_id, text) corpus relation. */
+  private[graft] def bm25Over(queries: DataFrame, corpus: DataFrame,
+      k: Int = TopK): DataFrame = {
+    val spark = corpus.sparkSession
+    graft.functions.TopKByScore.register(spark)
+    val stats = corpusStats(corpus)
+    val qterms = queries.select(col("query_id"),
+      explode(TextOps.tokensOf(col("text"))).as("tok")).distinct()
+    val scored = scorePairs(qterms, stats, Seq("query_id"))
     scored
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKByScore.topK(

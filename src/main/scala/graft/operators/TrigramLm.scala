@@ -49,22 +49,28 @@ object TrigramLm {
       .orderBy("doc_id")
   }
 
-  /** The scorer over any (doc_id, text) relation. */
-  private[graft] def trigramLm(d: DataFrame): DataFrame = {
+  /** Per-(doc, trigram) census — t22's scoring input, shared by the
+    * model build and the per-doc aggregation (t13's docBigrams shape). */
+  private[graft] def docTrigrams(d: DataFrame): DataFrame = {
     graft.functions.Ngrams.register(d.sparkSession)
-    val toksRel = d.select(col("doc_id"), TextOps.tokensOf(col("text")).as("tk"))
-    val dt = toksRel
-      .select(col("doc_id"),
-        explode(graft.functions.Ngrams.ngramJoin(col("tk"), 3)).as("tg"))
+    d.select(col("doc_id"), explode(graft.functions.Ngrams.ngramJoin(
+        TextOps.tokensOf(col("text")), 3)).as("tg"))
       .groupBy(col("doc_id"), col("tg")).agg(count(lit(1)).as("c"))
-    val uni = toksRel.select(explode(col("tk")).as("tok"))
+  }
+
+  /** t22's TRAINED MODEL as a standalone (tg, q_log) relation — the
+    * persistable artifact the streaming gate joins stream-static
+    * ([[graft.streaming.StreamingJobs.trigramPplStream]]); `d` is the
+    * training corpus, `dt` its [[docTrigrams]]. */
+  private[graft] def trigramModel(d: DataFrame, dt: DataFrame): DataFrame = {
+    val uni = d.select(explode(TextOps.tokensOf(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
     val totals = uni.agg(sum(col("cf")).as("n_corpus"), count(lit(1)).as("v"))
     val bi = TextOps.docBigrams(d).groupBy(col("bg")).agg(sum(col("c")).as("cfb"))
 
     // every observed trigram's prefix/suffix bigram and final unigram are
     // themselves observed, so the model joins are inner and total
-    val model = dt.groupBy(col("tg")).agg(sum(col("c")).as("c123"))
+    dt.groupBy(col("tg")).agg(sum(col("c")).as("c123"))
       .withColumn("p123", split(col("tg"), " "))
       .withColumn("w12", concat_ws(" ", col("p123").getItem(0), col("p123").getItem(1)))
       .withColumn("w23", concat_ws(" ", col("p123").getItem(1), col("p123").getItem(2)))
@@ -82,7 +88,28 @@ object TrigramLm {
             (col("n_corpus").cast("double") + col("v").cast("double")))
       ) * 1e7).cast("long"))
       .select("tg", "q_log")
+  }
 
+  /** The model's OUT-OF-VOCABULARY trigram log-probability on the same
+    * 1e-7 grid: an unseen triple backs off to the fully-smoothed floor
+    * p = λ₁·1/(N+V) (zero trigram/bigram evidence, the unseen word's
+    * Laplace mass) — the constant the STREAMING gate assigns to
+    * trigrams absent from the trained model (the batch entry scores its
+    * own training corpus, where none is unseen). Quantized by the SAME
+    * expression as in-model entries so the grids cannot diverge. */
+  private[graft] def trigramOovQLog(d: DataFrame): Long =
+    d.select(explode(TextOps.tokensOf(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+      .agg(sum(col("cf")).as("n_corpus"), count(lit(1)).as("v"))
+      .select(round(log(lit(L1) /
+        (col("n_corpus") + col("v")).cast("double")) * 1e7).cast("long")
+        .as("q"))
+      .head().getLong(0)
+
+  /** The scorer over any (doc_id, text) relation. */
+  private[graft] def trigramLm(d: DataFrame): DataFrame = {
+    val dt = docTrigrams(d)
+    val model = trigramModel(d, dt)
     val perDoc = dt.join(model, "tg")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_trigrams"),

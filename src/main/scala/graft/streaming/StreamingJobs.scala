@@ -1052,4 +1052,90 @@ object StreamingJobs {
         :+ col("reject_reason"): _*)
     accepted.unionByName(quarantined)
   }
+
+  // ----------------------------------------------- trigram perplexity
+  /** Streaming face of t22 — the order-3 LM score at ingest time,
+    * [[pplBucketStream]]'s exact contract one backoff level deeper: the
+    * frozen trigram model is a vocab-sized relation riding a
+    * stream-static left join (re-trained model lands next trigger); the
+    * OOV floor is the scalar
+    * [[graft.operators.TrigramLm.trigramOovQLog]] snapshot into a plan
+    * literal. Trigrams absent from the model take the floor (the batch
+    * entry scores its own training corpus, where none is unseen;
+    * in-model agreement is spec-pinned bit-identical). Docs under 3
+    * tokens keep a row via `explode_outer` → n_trigrams 0, nll null.
+    * State = the watermark-bounded per-doc aggregation only. */
+  def trigramPplStream(docs: DataFrame, model: DataFrame, qLogOov: Long,
+      watermark: String = "1 hour"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), explode_outer(
+        graft.functions.Ngrams.ngramJoin(
+          graft.operators.TextOps.tokensOf(col("text")), 3)).as("tg"))
+      .join(model, Seq("tg"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(col("tg")).as("n_trigrams"),
+        (-sum(when(col("tg").isNotNull,
+          coalesce(col("q_log"), lit(qLogOov))))).as("num"))
+      .withColumn("nll",
+        graft.operators.TextOps.qMicro("num", "n_trigrams")
+          .cast("double") / 1e6)
+      .select("doc_id", "ts", "n_trigrams", "nll")
+
+  // ----------------------------------------------- unigram tokenizer
+  /** Streaming face of t21's encoder: the trained unigram vocab is a
+    * PLAN-LITERAL map (the Codebooks constants discipline), so each
+    * arriving document's words Viterbi-segment in a stateless row-local
+    * expression ([[graft.operators.UnigramTok.segmentDict]] — the same
+    * DP the batch encoder runs, bit-parity spec-pinned); the per-doc
+    * token totals are the one watermark-bounded aggregation. Words with
+    * characters outside the vocab take the batch encoder's char-fallback
+    * (length + 1). A doc with no words (null/empty text) keeps a row
+    * with zero counts — the every-doc-a-row discipline the batch
+    * encoder's inner census join doesn't need (its corpus can't be
+    * empty) but an ingest audit does. */
+  def unigramEncodeStream(docs: DataFrame,
+      vocab: Seq[graft.operators.UnigramTok.UnigramPiece],
+      watermark: String = "1 hour"): DataFrame = {
+    val words = docs.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), explode_outer(
+        filter(graft.operators.TextOps.tokensOf(
+          coalesce(col("text"), lit(""))), w => length(w) >= 1)).as("word"))
+    graft.operators.UnigramTok.segmentDict(words, vocab)
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(col("word")).as("n_words"),
+        coalesce(sum(length(col("word"))), lit(0L)).cast("long").as("n_chars"),
+        coalesce(sum(when(col("word").isNotNull, col("word_ut"))), lit(0L))
+          .as("n_ut_tokens"))
+      .withColumn("compression",
+        when(col("n_ut_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_ut_tokens"), 6)))
+  }
+
+  // ----------------------------------------------- BM25 probe
+  /** Streaming face of t20 — score arriving query documents against the
+    * FROZEN corpus retrieval index ([[graft.operators.RetrievalOps
+    * .corpusStats]]: posting lists + doc lengths + quantized idf as
+    * stream-static relations, the two corpus scalars as plan literals).
+    * Emits per-(query, matched doc) integer-grid scores through the ONE
+    * watermark-bounded aggregation a stream allows; the final top-k cut
+    * is the CONSUMER'S corpus-global step, deferred exactly like
+    * shardRouteStream's rank and neardupProbeStream's borderline pairs
+    * (a streaming query cannot chain the distinct → sum → top-k
+    * aggregations). Because the distinct-terms pass is the batch side's
+    * second aggregation, the stream scores with QUERY-TERM MULTIPLICITY
+    * (the qtf-weighted BM25 variant, Robertson & Zaragoza §3.3 with
+    * k₃ → ∞ over integer qtf) — spec-pinned ≡ the shared scoring core
+    * run in batch over the same multiplicity relation, and ≡ the batch
+    * t20 ranking wherever query terms are distinct. */
+  def bm25ScoreStream(queries: DataFrame,
+      stats: graft.operators.RetrievalOps.CorpusStats,
+      watermark: String = "1 hour"): DataFrame = {
+    val qterms = queries.withWatermark("ts", watermark)
+      .select(col("query_id"), col("ts"), explode(
+        graft.operators.TextOps.tokensOf(col("text"))).as("tok"))
+    graft.operators.RetrievalOps.scorePairs(qterms, stats,
+      Seq("query_id", "ts"))
+      .withColumn("score", col("score_q").cast("double") / 1e7)
+      .select("query_id", "ts", "doc_id", "score_q", "score")
+  }
 }

@@ -1,0 +1,130 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.{RetrievalOps, TrigramLm, UnigramTok}
+
+/** Round-10 streaming faces: trigramPplStream (≡ batch t22 on in-model
+  * docs, documented OOV floor, every-doc-a-row), unigramEncodeStream
+  * (≡ batch t21 encoder incl. char-fallback and null text), and
+  * bm25ScoreStream (≡ the shared scoring core run in batch; batch-t20
+  * rank agreement on distinct-term queries). */
+class Round10StreamSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private val corpus = Seq(
+    (1L, "the cat sat on the mat by the door"),
+    (2L, "the dog sat on the log by the lake"),
+    (3L, "a completely different sentence structure here today again"),
+    (4L, "the cat sat on the mat again and again today"))
+
+  test("trigramPplStream: bit-identical to batch t22 on in-model docs; " +
+      "OOV floor exact; short doc keeps a row unscored") {
+    graft.functions.Ngrams.register(spark)
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val batch = TrigramLm.trigramLm(corpusDf).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1),
+        Option(r.getAs[java.lang.Double]("nll")).map(_.doubleValue))
+    }.toMap
+    val model = TrigramLm.trigramModel(corpusDf, TrigramLm.docTrigrams(corpusDf))
+      .localCheckpoint()
+    val qOov = TrigramLm.trigramOovQLog(corpusDf)
+    assert(qOov < 0)
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingJobs
+      .trigramPplStream(mem.toDF.toDF("doc_id", "ts", "text"), model, qOov)
+      .writeStream.format("memory").queryName("tri_r10").outputMode("append")
+      .start()
+    try {
+      mem.addData(corpus.map { case (id, tx) => (id, t0, tx) }: _*)
+      mem.addData((8L, t0, "zz qq ww"), (9L, t0, "one two"))
+      mem.addData((999L, Timestamp.valueOf("2026-01-01 13:00:00"), "flush flush flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("tri_r10").collect().map { r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_trigrams"),
+        Option(r.getAs[java.lang.Double]("nll")).map(_.doubleValue))
+    }.toMap
+    corpus.foreach { case (id, _) => assert(streamed(id) === batch(id), s"doc $id") }
+    // fully-OOV doc: one trigram at the floor
+    assert(streamed(8L) === ((1L, Some(((-qOov + 5L) / 10L).toDouble / 1e6))))
+    // sub-trigram doc keeps its row
+    assert(streamed(9L) === ((0L, None)))
+  }
+
+  test("unigramEncodeStream: bit-identical to the batch encoder; null text keeps a zero row") {
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val vocab = UnigramTok.unigramTrain(corpusDf, vocabSize = 64, emRounds = 2)
+    val batch = UnigramTok.unigramEncode(corpusDf, vocab).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))
+    }.toMap
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingJobs
+      .unigramEncodeStream(mem.toDF.toDF("doc_id", "ts", "text"), vocab)
+      .writeStream.format("memory").queryName("ut_r10").outputMode("append")
+      .start()
+    try {
+      mem.addData(corpus.map { case (id, tx) => (id, t0, tx) }: _*)
+      mem.addData((8L, t0, "qqqxyz"), (9L, t0, null: String))
+      mem.addData((999L, Timestamp.valueOf("2026-01-01 13:00:00"), "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ut_r10").collect().map { r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_ut_tokens"))
+    }.toMap
+    corpus.foreach { case (id, _) => assert(streamed(id) === batch(id), s"doc $id") }
+    // unseen-char word takes the char-fallback length+1 (6+1)
+    assert(streamed(8L) === ((1L, 6L, 7L)))
+    // null text keeps a zero row (the stream-side every-doc discipline)
+    assert(streamed(9L) === ((0L, 0L, 0L)))
+  }
+
+  test("bm25ScoreStream: scores ≡ the shared core in batch; rank agreement with t20") {
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val stats = RetrievalOps.corpusStats(corpusDf)
+    // distinct-term queries so the stream's qtf weighting coincides
+    val queries = Seq((10L, "cat mat door"), (11L, "different structure"))
+    // batch truth via the SAME shared core over the same multiplicity input
+    val batchPairs = RetrievalOps.scorePairs(
+      queries.toDF("query_id", "text").select(col("query_id"), explode(
+        graft.operators.TextOps.tokensOf(col("text"))).as("tok")),
+      stats, Seq("query_id")).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("score_q")).toMap
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingJobs
+      .bm25ScoreStream(mem.toDF.toDF("query_id", "ts", "text"), stats)
+      .writeStream.format("memory").queryName("bm25_r10").outputMode("append")
+      .start()
+    try {
+      mem.addData(queries.map { case (id, tx) => (id, t0, tx) }: _*)
+      mem.addData((999L, Timestamp.valueOf("2026-01-01 13:00:00"), "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("bm25_r10").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("score_q")).toMap
+    assert(streamed.view.filterKeys(_._1 != 999L).toMap == batchPairs)
+    assert(batchPairs.nonEmpty)
+    // ranking agreement with the batch t20 pipeline on the same inputs
+    val batchTop = RetrievalOps.bm25Over(
+      queries.toDF("query_id", "text"), corpusDf, k = 3).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("doc_id")).toMap
+    for (((qid, _), _) <- batchTop) {
+      val streamRanked = streamed.collect { case ((`qid`, d), s) => (d, s) }
+        .toSeq.sortBy { case (d, s) => (-s, d) }.map(_._1)
+      val batchRanked = batchTop.collect { case ((`qid`, r), d) => (r, d) }
+        .toSeq.sortBy(_._1).map(_._2)
+      assert(streamRanked.take(batchRanked.length) == batchRanked, s"query $qid")
+    }
+  }
+}
