@@ -331,7 +331,7 @@ object DedupOps {
   private[operators] val ValLt = 95L
   /** canonical-id → split name, the ONE 90/5/5 grid definition c20 and
     * p02 share on both engines (the SQL is valid Spark SQL and DuckDB). */
-  private[operators] def splitCaseSql(id: String): String =
+  private[graft] def splitCaseSql(id: String): String =
     s"""CASE WHEN ${splitBucketSql(id)} < $TrainLt THEN 'train'
        |     WHEN ${splitBucketSql(id)} < $ValLt THEN 'val'
        |     ELSE 'test' END""".stripMargin

@@ -1111,6 +1111,32 @@ object StreamingJobs {
           round(col("n_chars").cast("double") / col("n_ut_tokens"), 6)))
   }
 
+  // ----------------------------------------------- release router
+  /** Streaming face of p02's release routing: each arriving kept
+    * document resolves its near-dup cluster CANONICAL from the STANDING
+    * components assignment store (stream-static left join against
+    * [[graft.operators.Components.assignmentCurrent]]'s merge-on-read
+    * view — a `componentsStream` merge lands on the next trigger; an
+    * unknown/singleton doc is its own canonical), then takes the
+    * row-local split decision through the ONE shared 90/5/5 grid
+    * ([[graft.operators.DedupOps.splitCaseSql]] — the p02/c20
+    * definition, so stream and batch can NEVER route the same cluster
+    * to different splits) and c19's row-local shard assignment. The
+    * within-(split, shard) RANK stays batch-side — corpus-global by
+    * definition, p02 owns it (shardRouteStream's division-of-labor
+    * pattern). Spec-pinned: a cluster member whose OWN id hashes to a
+    * different split still routes by its canonical, identical to p02. */
+  def releaseRouteStream(docs: DataFrame, assignments: DataFrame,
+      nShards: Int): DataFrame =
+    graft.operators.ShardExport.shardRowLocal(
+      docs.withColumn("text", coalesce(col("text"), lit(""))), nShards)
+      .join(assignments.select(col("node").as("doc_id"), col("component")),
+        Seq("doc_id"), "left")
+      .withColumn("canonical", coalesce(col("component"), col("doc_id")))
+      .withColumn("split",
+        expr(graft.operators.DedupOps.splitCaseSql("canonical")))
+      .select("doc_id", "canonical", "split", "shard_id", "n_tokens", "fp")
+
   // ----------------------------------------------- BM25 probe
   /** Streaming face of t20 — score arriving query documents against the
     * FROZEN corpus retrieval index ([[graft.operators.RetrievalOps

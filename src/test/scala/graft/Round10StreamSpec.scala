@@ -86,6 +86,45 @@ class Round10StreamSpec extends GraftSpecBase {
     assert(streamed(9L) === ((0L, 0L, 0L)))
   }
 
+  test("releaseRouteStream: routes by the standing-store canonical, identical to p02") {
+    graft.functions.PolyFingerprint.register(spark)
+    // the Round10PipelineSpec fixture: near-dup cluster {6, 7} whose keeper
+    // (7) hashes to train by its own id but to test by its canonical (6)
+    val corpus = Seq(
+      (1L, "en", "alpha", "the cat and the dog of the house is warm"),
+      (6L, "en", "beta",  "red green blue yellow purple orange pink brown gray black white cyan"),
+      (7L, "en", "beta",  "red green blue yellow purple orange pink brown gray black white cyan the and"),
+      (8L, "en", "alpha", "a bird in that hand is for worth two bush")
+    ).toDF("doc_id", "lang", "source", "text")
+    val batch = graft.operators.ReleasePipeline
+      .p02Over(spark, corpus, nllMax = 100.0).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        (r.getLong(r.fieldIndex("canonical")), r.getString(r.fieldIndex("split")),
+          r.getLong(r.fieldIndex("shard_id")))).toMap
+    val assignments = Seq((6L, 6L), (7L, 6L)).toDF("node", "component")
+
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs
+      .releaseRouteStream(mem.toDF.toDF("doc_id", "text"), assignments,
+        graft.operators.ReleasePipeline.NShards)
+      .writeStream.format("memory").queryName("rel_r10").outputMode("append")
+      .start()
+    try {
+      mem.addData(corpus.collect().map(r =>
+        (r.getLong(0), r.getString(3))).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("rel_r10").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("canonical"),
+        r.getAs[String]("split"), r.getAs[Long]("shard_id"))).toMap
+    // kept docs (1, 7, 8): canonical/split/shard identical to p02 —
+    // including doc 7 routing to its CLUSTER's split, not its own id's
+    for ((id, exp) <- batch) assert(streamed(id) === exp, s"doc $id")
+    assert(streamed(7L)._2 == "test")
+    // the dropped near-dup member routes consistently with its cluster too
+    assert(streamed(6L)._1 == 6L && streamed(6L)._2 == "test")
+  }
+
   test("bm25ScoreStream: scores ≡ the shared core in batch; rank agreement with t20") {
     val corpusDf = corpus.toDF("doc_id", "text")
     val stats = RetrievalOps.corpusStats(corpusDf)
