@@ -138,7 +138,9 @@ object RetrievalOps {
       .orderBy("query_id", "rank")
   }
 
-  val t20Sql: String = {
+  /** t20's CTE chain (ends at `ranked`) — ONE definition `t20Sql` and
+    * [[c22Sql]] both extend (the p01/p02 shared-prefix discipline). */
+  private[operators] val t20Ctes: String = {
     import TextOps.{EvalMod, TokensSql}
     s"""WITH toks AS (
        |  SELECT doc_id, unnest($TokensSql) AS tok FROM documents
@@ -173,10 +175,85 @@ object RetrievalOps {
        |    row_number() OVER (PARTITION BY query_id
        |      ORDER BY score_q DESC, doc_id) AS rn
        |  FROM scored
-       |)
+       |)""".stripMargin
+  }
+
+  val t20Sql: String =
+    s"""$t20Ctes
        |SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id,
        |  CAST(score_q AS DOUBLE) / 10000000.0 AS score
        |FROM ranked WHERE rn <= $TopK
        |ORDER BY query_id, rank""".stripMargin
+
+  // ---------------------------------------------------------------- c22
+  /** c22: RETRIEVAL-BASED DECONTAMINATION — the fuzzy-leakage audit the
+    * exact-n-gram pass (c06/c18) structurally misses, and the reason t20
+    * exists in a curation engine (GPT-4/Llama-class reports run exactly
+    * this: rank the training corpus by each benchmark item and inspect
+    * the top hits — a paraphrased eval item shares few exact 4-grams but
+    * still retrieves): for every eval-split item, its top-k BM25 hits in
+    * the train corpus, each annotated with the pair's DISTINCT shared
+    * word-4-gram count and `gram_covered` = whether c06's exact-gram
+    * signal would already have caught it — rows with the flag FALSE are
+    * the candidates a gram-only decontamination pipeline ships as clean
+    * (d11's `jaccard_covered` audit pattern, one level up).
+    *
+    * Scale shape: t20's posting-list machinery verbatim plus one
+    * (eval-gram ⋈ train-gram) pair census — bounded by gram document
+    * frequency (c18's blast-radius argument), 8-byte hashed gram keys on
+    * the wire, and the final join is |queries|·k rows against it.
+    * ORACLED: the oracle extends [[t20Ctes]], so the retrieval and audit
+    * faces cannot drift (hashed-gram counts ≡ string-gram counts up to
+    * xxhash64 collisions — c06/c18's adjudicated argument). */
+  def c22DecontamRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    val t = Tables(spark, dir)
+    val d = t.spread(t.documents)
+    val evalD = d.filter(col("doc_id") % TextOps.EvalMod === 0)
+    val trainD = d.filter(col("doc_id") % TextOps.EvalMod =!= 0)
+    val top = bm25Over(
+      evalD.select(col("doc_id").as("query_id"), col("text")),
+      trainD.select(col("doc_id"), col("text")))
+    val qg = evalD.select(col("doc_id").as("query_id"),
+      explode(graft.functions.Ngrams.ngramHashes(
+        TextOps.tokensOf(col("text")), 4)).as("g")).distinct()
+    val tg = trainD.select(col("doc_id"),
+      explode(graft.functions.Ngrams.ngramHashes(
+        TextOps.tokensOf(col("text")), 4)).as("g")).distinct()
+    val shared = qg.join(tg, "g")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+    top.join(shared, Seq("query_id", "doc_id"), "left")
+      .withColumn("shared_grams", coalesce(col("shared_grams"), lit(0L)))
+      .withColumn("gram_covered", col("shared_grams") > 0)
+      .select("query_id", "rank", "doc_id", "score", "shared_grams",
+        "gram_covered")
+      .orderBy("query_id", "rank")
+  }
+
+  val c22Sql: String = {
+    import TextOps.{EvalMod, TokensSql}
+    def gramSel(pred: String, idAs: String) =
+      s"""SELECT DISTINCT $idAs, g FROM (
+         |    SELECT doc_id AS $idAs, unnest(list_transform(range(1, len(tk) - 2),
+         |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g
+         |    FROM (SELECT doc_id, $TokensSql AS tk FROM documents
+         |          WHERE doc_id % $EvalMod $pred))""".stripMargin
+    s"""$t20Ctes, qg AS (
+       |  ${gramSel("= 0", "query_id")}
+       |), tg AS (
+       |  ${gramSel("<> 0", "doc_id")}
+       |), shared AS (
+       |  SELECT query_id, doc_id, CAST(count(*) AS BIGINT) AS shared_grams
+       |  FROM qg JOIN tg USING (g) GROUP BY query_id, doc_id
+       |)
+       |SELECT r.query_id, CAST(r.rn AS BIGINT) AS rank, r.doc_id,
+       |  CAST(r.score_q AS DOUBLE) / 10000000.0 AS score,
+       |  coalesce(s.shared_grams, 0) AS shared_grams,
+       |  coalesce(s.shared_grams, 0) > 0 AS gram_covered
+       |FROM ranked r
+       |LEFT JOIN shared s ON s.query_id = r.query_id AND s.doc_id = r.doc_id
+       |WHERE r.rn <= $TopK
+       |ORDER BY r.query_id, rank""".stripMargin
   }
 }

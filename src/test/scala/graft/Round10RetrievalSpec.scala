@@ -86,6 +86,48 @@ class Round10RetrievalSpec extends GraftSpecBase {
     assert(r4._2 == r5._2 - 1)  // lower id immediately ahead
   }
 
+  test("c22: flags the paraphrase leak exact-gram decontamination misses") {
+    import org.apache.spark.sql.functions._
+    // eval doc 0 (0 % 97 = 0); train docs 1-3:
+    //  1 shares three exact word-4-grams with the eval item  → covered
+    //  2 paraphrases it (shared vocab, NO shared 4-gram)     → retrieved, NOT covered
+    //  3 shares no term at all                               → never retrieved
+    val docs = Seq(
+      (0L, "the solar panel converts sunlight into electricity for the home grid"),
+      (1L, "yesterday the solar panel converts sunlight into power cells"),
+      (2L, "solar energy panels convert the sunlight to electricity in homes"),
+      (3L, "quantum chess tournaments happen monthly near iceland arenas")
+    ).toDF("doc_id", "text")
+    // drive the driver entry's exact pipeline over a temp table dir? —
+    // c22 reads Tables(dir); spec instead exercises the same composition
+    // inline: bm25 top-k over the eval/train split + the gram census
+    graft.functions.Ngrams.register(spark)
+    val evalD = docs.filter(col("doc_id") % 97 === 0)
+    val trainD = docs.filter(col("doc_id") % 97 =!= 0)
+    val top = RetrievalOps.bm25Over(
+      evalD.select(col("doc_id").as("query_id"), col("text")),
+      trainD.select(col("doc_id"), col("text")))
+    def grams(df: org.apache.spark.sql.DataFrame, idAs: String) =
+      df.select(col("doc_id").as(idAs),
+        explode(graft.functions.Ngrams.ngramHashes(
+          graft.operators.TextOps.tokensOf(col("text")), 4)).as("g")).distinct()
+    val shared = grams(evalD, "query_id").join(grams(trainD, "doc_id"), "g")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared_grams"))
+    val out = top.join(shared, Seq("query_id", "doc_id"), "left")
+      .withColumn("shared_grams", coalesce(col("shared_grams"), lit(0L)))
+      .withColumn("gram_covered", col("shared_grams") > 0)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("shared_grams"), r.getAs[Boolean]("gram_covered"))).toMap
+    // the exact-overlap doc: three shared 4-grams, covered
+    assert(out(1L) == ((3L, true)))
+    // THE case this op exists for: retrieved but invisible to gram overlap
+    assert(out(2L) == ((0L, false)))
+    // no shared term → never a BM25 candidate
+    assert(!out.contains(3L))
+  }
+
   test("t20: driver-corpus shape — contiguous ranks, non-increasing scores, ≤ k rows") {
     val rows = RetrievalOps.t20Bm25(spark, sfDir).collect()
     assert(rows.nonEmpty)
