@@ -49,13 +49,17 @@ object ReleasePipeline {
   }
 
   /** The release tail over any (doc_id, lang, source, text) relation;
-    * thresholds inherited from p01's parameters. */
+    * thresholds AND rule-gate switches inherited from p01's parameters
+    * (a production release runs the gates — the driver entry's defaults
+    * mirror p01's, see its scaladoc). */
   private[graft] def p02Over(spark: SparkSession, documents: DataFrame,
       qualityMin: Double = CuratePipeline.QualityMin,
       nllMax: Double = CuratePipeline.NllMax,
-      nShards: Int = NShards): DataFrame = {
+      nShards: Int = NShards,
+      requireGopher: Boolean = false, requireC4: Boolean = false): DataFrame = {
     graft.functions.PolyFingerprint.register(spark)
-    val parts = CuratePipeline.p01PartsOf(spark, documents, qualityMin, nllMax)
+    val parts = CuratePipeline.p01PartsOf(spark, documents, qualityMin, nllMax,
+      requireGopher, requireC4)
     p02Finish(parts, nShards)
   }
 

@@ -126,6 +126,14 @@ class Round10PipelineSpec extends GraftSpecBase {
     }
   }
 
+  test("p02 gates: the release tail inherits the rule-gate parameters") {
+    val out = ReleasePipeline.p02Over(spark, gateCorpus(), nllMax = 100.0,
+      requireGopher = true, requireC4 = true).collect()
+    // only the doc passing both rules ships; docs 2 (gopher) and 3 (c4)
+    // are gone from the release entirely
+    assert(out.map(_.getLong(0)).toSet == Set(1L))
+  }
+
   test("p01 gates: default entry has no gate columns — driver schema unchanged") {
     val cols = CuratePipeline.p01Over(spark, gateCorpus(), nllMax = 100.0).columns
     assert(!cols.contains("gopher_ok") && !cols.contains("c4_ok"))

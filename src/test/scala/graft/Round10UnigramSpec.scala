@@ -140,4 +140,28 @@ class Round10UnigramSpec extends GraftSpecBase {
     try assert(UnigramTok.vocabLoad(spark, "t21_vocab_spec") == vocab)
     finally graft.sources.GraftIO.dropManaged(spark, "t21_vocab_spec")
   }
+
+  test("t21: catalog death → attach → bit-identical vocab and segmentations") {
+    val table = "t21_vocab_death"
+    val vocab = UnigramTok.unigramTrain(corpus(), vocabSize = 64, emRounds = 2)
+    UnigramTok.vocabSave(spark, vocab, table)
+    try {
+      // process death: warehouse directory survives, catalog entry doesn't
+      CatalogDeath.simulate(spark, Seq(table))
+      assert(!spark.catalog.tableExists(table))
+      UnigramTok.vocabAttach(spark, table)
+      val reloaded = UnigramTok.vocabLoad(spark, table)
+      assert(reloaded == vocab)
+      // the re-mounted artifact segments identically (the encode-anywhere
+      // contract): every dict word's pieces match the pre-death vocab's
+      val dict = graft.operators.BpeOps.wordDict(corpus()).select("word", "cnt")
+      val before = UnigramTok.segmentDict(dict, vocab)
+        .select("word", "word_ut").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val after = UnigramTok.segmentDict(dict, reloaded)
+        .select("word", "word_ut").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(after == before)
+    } finally graft.sources.GraftIO.dropManaged(spark, table)
+  }
 }
