@@ -521,6 +521,20 @@ object DedupOps {
       / greatest(size(unionBot), lit(1)).cast("double"), 6)
   }
 
+  /** Broder union-sketch CONTAINMENT estimate of side `a` in side `b`
+    * from the two bottom-k sketches alone — d12's estimator as a
+    * row-local Column (the streaming probe face): with S the bottom-k of
+    * the union, Ĉ(a ⊆ b) = |S∩Sa∩Sb| / |S∩Sa| — both counts are
+    * union-sample estimates over the same denominator, so the ratio
+    * estimates |A∩B|/|A|. NULL-safe via the greatest(·, 1) guard (an
+    * empty-sample pair estimates 0, never divides by zero). */
+  private[graft] def estContainment(a: Column, b: Column): Column = {
+    val k = NumBands * RowsPerBand
+    val unionBot = slice(array_sort(array_distinct(concat(a, b))), 1, k)
+    round(size(array_intersect(array_intersect(unionBot, a), b)).cast("double")
+      / greatest(size(array_intersect(unionBot, a)), lit(1)).cast("double"), 6)
+  }
+
   /** Exact-Jaccard verify of candidate (doc_a, doc_b) pairs against the
     * distinct (doc_id, h) shingle relation: |A∩B| = count of equal
     * hashes joined through the candidate pair, |A∪B| from per-doc

@@ -491,7 +491,14 @@ object GraphOps {
     * text; adjacency is read once per round (bucketed by vertex at scale,
     * the g05/g06 zero-exchange iteration discipline applies verbatim).
     * Rounds are a fixed small constant (label spread saturates at the
-    * graph diameter of interest), so the unrolled-CTE oracle is exact. */
+    * graph diameter of interest), so the unrolled-CTE oracle is exact.
+    *
+    * Edge-multiplicity contract (the g09/kcoreOver concern, resolved the
+    * OTHER way here): duplicate (a, b) rows WEIGHT the neighbor's vote —
+    * multiplicity-as-tie-strength is standard weighted LPA, so the input
+    * is deliberately NOT deduplicated; pass distinct edges for the
+    * unweighted vote (the g09 driver graph is distinct by construction,
+    * and the oracle's UNION ALL adjacency mirrors the same semantics). */
   private[graft] def labelPropOver(seedRel: DataFrame, e: DataFrame,
       rounds: Int): DataFrame = {
     val adj = e.select(col("a").as("u"), col("b").as("v"))

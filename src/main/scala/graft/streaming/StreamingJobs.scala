@@ -1111,6 +1111,61 @@ object StreamingJobs {
           round(col("n_chars").cast("double") / col("n_ut_tokens"), 6)))
   }
 
+  // ----------------------------------------------- containment probe
+  /** Streaming face of d12 — the ingest-time CONTAINMENT gate against
+    * the standing sketch store ("is this arriving document mostly inside
+    * something we already have?" — the snippet/quote case the Jaccard
+    * probe structurally misses): each arriving doc computes its bottom-k
+    * sketch row-locally, candidates come from sharing ANY sketch VALUE
+    * with a standing doc (the d12 discipline — deliberately NOT the LSH
+    * band keys: banding targets symmetric Jaccard, and a snippet's
+    * bottom-k rarely slices into the same bands as its containing
+    * article's), and each matched row scores the Broder union-sketch
+    * containment estimate of the PROBE side row-locally from the two
+    * sketch arrays. One watermark-bounded aggregation folds the
+    * per-(probe, partner) multiplicity and picks the min-id flagged
+    * partner (neardupProbeStream's exact shape; est_containment
+    * describes contained_in's partner specifically). Within-batch pairs
+    * and the exact audit stay with batch d11/d12 (the probe-stream
+    * division of labor). Docs with empty sketches emit `new` via
+    * explode_outer. */
+  def containmentProbeStream(docs: DataFrame, sketches: DataFrame,
+      threshold: Double = 0.8, watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.DedupOps
+    val probes = docs
+      .withWatermark("ts", watermark)
+      .withColumn("sketch", DedupOps.inlineSketch(col("text")))
+      .select(col("doc_id"), col("ts"), col("sketch"),
+        explode_outer(col("sketch")).as("v"))
+    val partnerVals = sketches.select(col("doc_id").as("partner_id"),
+      col("sketch").as("p_sketch"), explode(col("sketch")).as("v"))
+    val matched = probes
+      .join(partnerVals, Seq("v"), "left_outer")
+      .withColumn("est_c",
+        when(col("partner_id").isNotNull,
+          DedupOps.estContainment(col("sketch"), col("p_sketch"))))
+      .withColumn("hit", col("partner_id").isNotNull && col("est_c") >= threshold)
+    matched
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(min(when(col("hit"), col("partner_id"))).as("contained_in"),
+        min_by(when(col("hit"), col("est_c")),
+          when(col("hit"), col("partner_id"))).as("est_containment"))
+      .select(col("doc_id"), col("ts"),
+        when(col("contained_in").isNotNull, lit("contained_known"))
+          .otherwise(lit("new")).as("status"),
+        col("contained_in"), col("est_containment"))
+  }
+
+  /** [[containmentProbeStream]] wired to the standing band-index store's
+    * sketch tables (merge-on-read current view, re-executed per trigger
+    * — a `neardupIndexAppend` lands on the next trigger, the
+    * neardupProbeStreamFromStore contract). */
+  def containmentProbeStreamFromStore(docs: DataFrame, prefix: String,
+      threshold: Double = 0.8, watermark: String = "1 hour"): DataFrame =
+    containmentProbeStream(docs,
+      graft.operators.DedupOps.neardupIndexSketches(docs.sparkSession, prefix),
+      threshold, watermark)
+
   // ----------------------------------------------- release router
   /** Streaming face of p02's release routing: each arriving kept
     * document resolves its near-dup cluster CANONICAL from the STANDING

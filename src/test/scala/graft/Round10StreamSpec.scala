@@ -86,6 +86,42 @@ class Round10StreamSpec extends GraftSpecBase {
     assert(streamed(9L) === ((0L, 0L, 0L)))
   }
 
+  test("containmentProbeStream: flags an arriving snippet of a standing article") {
+    graft.functions.Ngrams.register(spark)
+    import graft.operators.DedupOps
+    val words = (1 to 40).map(i => s"w$i")
+    val standing = Seq(
+      (100L, words.mkString(" ")),
+      (200L, (1 to 40).map(i => s"q$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val sketches = standing.select(col("doc_id"),
+      DedupOps.inlineSketch(col("text")).as("sketch")).localCheckpoint()
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingJobs
+      .containmentProbeStream(mem.toDF.toDF("doc_id", "ts", "text"), sketches)
+      .writeStream.format("memory").queryName("cont_r10").outputMode("append")
+      .start()
+    try {
+      mem.addData(
+        (5L, t0, words.take(12).mkString(" ")),             // snippet of 100
+        (6L, t0, (1 to 20).map(i => s"z$i").mkString(" ")), // unrelated
+        (7L, t0, "one two"))                                // sub-shingle
+      mem.addData((999L, Timestamp.valueOf("2026-01-01 13:00:00"), "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("cont_r10").collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[String]("status"),
+        Option(r.getAs[java.lang.Long]("contained_in")).map(_.longValue),
+        Option(r.getAs[java.lang.Double]("est_containment")).map(_.doubleValue)))
+      .toMap
+    // the snippet: every union-sample value drawn from its sketch is in
+    // the article's → estimate 1.0, flagged against the article
+    assert(out(5L) === (("contained_known", Some(100L), Some(1.0))))
+    // no shared sketch value → new; no shingles at all → new
+    assert(out(6L)._1 == "new" && out(7L)._1 == "new")
+  }
+
   test("releaseRouteStream: routes by the standing-store canonical, identical to p02") {
     graft.functions.PolyFingerprint.register(spark)
     // the Round10PipelineSpec fixture: near-dup cluster {6, 7} whose keeper
