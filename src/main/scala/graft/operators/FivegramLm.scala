@@ -1,0 +1,191 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** t23: interpolated 5-GRAM language-model scoring — the PRODUCTION gate
+  * order (CCNet/Gopher filter on a 5-gram KenLM; t13/t22 are its order-2/3
+  * forms): the full Jelinek-Mercer backoff chain
+  *
+  *   p(w₅|w₁..w₄) = λ₅·c₁₂₃₄₅/c₁₂₃₄ + λ₄·c₂₃₄₅/c₂₃₄ + λ₃·c₃₄₅/c₃₄
+  *                + λ₂·c₄₅/c₄ + λ₁·(c₅+1)/(N+V)
+  *
+  * — every order's MLE backed off through the next, down to the Laplace
+  * unigram floor. Per-doc score = mean NLL over its 5-grams; docs under
+  * 5 tokens score NULL (the family's fail-closed convention).
+  *
+  * Exactness: the t08/t13/t22 discipline verbatim — all counts exact
+  * 64-bit integers; the interpolation is ONE float expression whose
+  * STRING is a single definition spliced into both engines ([[pSql]]),
+  * quantized to the 1e-7 grid; per-doc sums integer; qMicro finish.
+  *
+  * Scale shape: ALL FIVE gram-order censuses ride ONE tagged generator
+  * pass over the corpus (t18's rewrite discipline — not one scan per
+  * order), localCheckpoint'ed because the model build joins it eight
+  * times; the model is built per DISTINCT 5-gram with its
+  * suffix/context keys derived scan-side (every suffix/context of an
+  * observed 5-gram is itself observed → all joins inner and total);
+  * scoring is one census ⋈ model join + a doc-keyed aggregate. No
+  * windows, no iteration — closed-form like t13/t22, unlike a real
+  * KenLM only in smoothing family (Jelinek-Mercer here vs modified
+  * Kneser-Ney; interpolation weights are policy parameters).
+  *
+  * Reference analog: `AnalyzeBatch.groovy:88-97`'s gate family — the
+  * statistical-fluency member at the order production pipelines run.
+  */
+object FivegramLm {
+  private val L5 = 0.4
+  private val L4 = 0.2
+  private val L3 = 0.15
+  private val L2 = 0.15
+  private val L1 = 1.0 - L5 - L4 - L3 - L2
+
+  /** The ONE interpolation expression both engines run verbatim over
+    * the joined integer counts (valid Spark SQL and DuckDB). */
+  private def pSql: String =
+    s"CAST(round(ln(" +
+      s"$L5 * (CAST(num5 AS DOUBLE) / CAST(den5 AS DOUBLE)) + " +
+      s"$L4 * (CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE)) + " +
+      s"$L3 * (CAST(num3 AS DOUBLE) / CAST(den3 AS DOUBLE)) + " +
+      s"$L2 * (CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE)) + " +
+      s"$L1 * ((CAST(c1u AS DOUBLE) + 1.0) / " +
+      s"(CAST(n_corpus AS DOUBLE) + CAST(v AS DOUBLE)))" +
+      s") * 10000000.0) AS BIGINT)"
+
+  def t23FivegramLm(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    val t = Tables(spark, dir)
+    fivegramLm(t.spread(t.documents).select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
+  }
+
+  /** The scorer over any (doc_id, text) relation. */
+  private[graft] def fivegramLm(d: DataFrame): DataFrame = {
+    graft.functions.Ngrams.register(d.sparkSession)
+    val toks = d.select(col("doc_id"), TextOps.tokensOf(col("text")).as("tk"))
+    // all five order censuses from ONE tagged generator pass; checkpointed
+    // because the model build reads it eight times
+    val tagged = (1 to 5).map { n =>
+      transform(graft.functions.Ngrams.ngramJoin(col("tk"), n),
+        g => struct(lit(n).as("n"), g.as("g")))
+    }
+    val cn = toks.select(explode(concat(tagged: _*)).as("t"))
+      .select(col("t.n").as("n"), col("t.g").as("g"))
+      .groupBy(col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    def cnRel(n: Int, key: String, as: String): DataFrame =
+      cn.filter(col("n") === n).select(col("g").as(key), col("c").as(as))
+    val totals = cn.filter(col("n") === 1)
+      .agg(sum(col("c")).as("n_corpus"), count(lit(1)).as("v"))
+
+    val d5 = toks.select(col("doc_id"),
+        explode(graft.functions.Ngrams.ngramJoin(col("tk"), 5)).as("g5"))
+      .groupBy(col("doc_id"), col("g5")).agg(count(lit(1)).as("c"))
+
+    // suffix/context keys of each distinct 5-gram, derived scan-side
+    val model = d5.groupBy(col("g5")).agg(sum(col("c")).as("num5"))
+      .withColumn("p", split(col("g5"), " "))
+      .withColumn("x5", concat_ws(" ", slice(col("p"), 1, 4)))
+      .withColumn("s4", concat_ws(" ", slice(col("p"), 2, 4)))
+      .withColumn("x4", concat_ws(" ", slice(col("p"), 2, 3)))
+      .withColumn("s3", concat_ws(" ", slice(col("p"), 3, 3)))
+      .withColumn("x3", concat_ws(" ", slice(col("p"), 3, 2)))
+      .withColumn("s2", concat_ws(" ", slice(col("p"), 4, 2)))
+      .withColumn("x2", element_at(col("p"), 4))
+      .withColumn("w5", element_at(col("p"), 5))
+      .join(cnRel(4, "x5", "den5"), "x5")
+      .join(cnRel(4, "s4", "num4"), "s4")
+      .join(cnRel(3, "x4", "den4"), "x4")
+      .join(cnRel(3, "s3", "num3"), "s3")
+      .join(cnRel(2, "x3", "den3"), "x3")
+      .join(cnRel(2, "s2", "num2"), "s2")
+      .join(cnRel(1, "x2", "den2"), "x2")
+      .join(cnRel(1, "w5", "c1u"), "w5")
+      .crossJoin(broadcast(totals))
+      .withColumn("q_log", expr(pSql))
+      .select("g5", "q_log")
+
+    val perDoc = d5.join(model, "g5")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_5grams"),
+        (-sum(col("c") * col("q_log"))).as("num"))
+      .withColumn("nll_micro", TextOps.qMicro("num", "n_5grams"))
+      .select(col("doc_id"), col("n_5grams"),
+        (col("nll_micro").cast("double") / 1e6).as("nll"))
+    d.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_5grams"), lit(0L)).as("n_5grams"), col("nll"))
+  }
+
+  val t23Sql: String = {
+    import TextOps.{qMicroSql, TokensSql}
+    def censusCte(n: Int): String =
+      if (n == 1)
+        s"""c1 AS (
+           |  SELECT tok AS g, CAST(count(*) AS BIGINT) AS c
+           |  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok
+           |)""".stripMargin
+      else {
+        val join = (0 until n).map(i => s"tk[i+$i]").mkString(" || ' ' || ")
+        s"""c$n AS (
+           |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+           |    SELECT $join AS g
+           |    FROM toks, unnest(range(1, len(tk) - ${n - 2})) AS u(i))
+           |  GROUP BY g
+           |)""".stripMargin
+      }
+    s"""WITH toks AS (
+       |  SELECT doc_id, $TokensSql AS tk FROM documents
+       |), ${(1 to 5).map(censusCte).mkString(", ")},
+       |d5 AS (
+       |  SELECT doc_id, g5, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+       |      || ' ' || tk[i+3] || ' ' || tk[i+4] AS g5
+       |    FROM toks, unnest(range(1, len(tk) - 3)) AS u(i))
+       |  GROUP BY doc_id, g5
+       |), keys5g AS (
+       |  SELECT g5, CAST(sum(c) AS BIGINT) AS num5,
+       |    array_to_string(p[1:4], ' ') AS x5,
+       |    array_to_string(p[2:5], ' ') AS s4,
+       |    array_to_string(p[2:4], ' ') AS x4,
+       |    array_to_string(p[3:5], ' ') AS s3,
+       |    array_to_string(p[3:4], ' ') AS x3,
+       |    array_to_string(p[4:5], ' ') AS s2,
+       |    p[4] AS x2, p[5] AS w5
+       |  FROM (SELECT g5, c, string_split(g5, ' ') AS p FROM d5)
+       |  GROUP BY g5, x5, s4, x4, s3, x3, s2, x2, w5
+       |), keys5 AS (
+       |  -- the two corpus scalars ride as scalar subqueries, NOT a
+       |  -- cross-joined CTE: the join reorderer treats a cross join with
+       |  -- an unknown-cardinality relation as free to move and can place
+       |  -- it between two large inputs (measured: a 9 GiB spill here)
+       |  SELECT *,
+       |    (SELECT CAST(sum(c) AS BIGINT) FROM c1) AS n_corpus,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM c1) AS v
+       |  FROM keys5g
+       |), model5 AS (
+       |  SELECT g5, $pSql AS q_log
+       |  FROM keys5
+       |  JOIN (SELECT g AS x5, c AS den5 FROM c4) j1 USING (x5)
+       |  JOIN (SELECT g AS s4, c AS num4 FROM c4) j2 USING (s4)
+       |  JOIN (SELECT g AS x4, c AS den4 FROM c3) j3 USING (x4)
+       |  JOIN (SELECT g AS s3, c AS num3 FROM c3) j4 USING (s3)
+       |  JOIN (SELECT g AS x3, c AS den3 FROM c2) j5 USING (x3)
+       |  JOIN (SELECT g AS s2, c AS num2 FROM c2) j6 USING (s2)
+       |  JOIN (SELECT g AS x2, c AS den2 FROM c1) j7 USING (x2)
+       |  JOIN (SELECT g AS w5, c AS c1u FROM c1) j8 USING (w5)
+       |), agg5 AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_5grams,
+       |    -CAST(sum(c * q_log) AS BIGINT) AS num
+       |  FROM d5 JOIN model5 USING (g5) GROUP BY doc_id
+       |), scored5 AS (
+       |  SELECT d.doc_id, COALESCE(n_5grams, 0) AS n_5grams,
+       |    ${qMicroSql("num", "n_5grams")} AS nll
+       |  FROM documents d LEFT JOIN agg5 USING (doc_id)
+       |)
+       |SELECT doc_id, n_5grams, nll FROM scored5
+       |ORDER BY doc_id""".stripMargin
+  }
+}

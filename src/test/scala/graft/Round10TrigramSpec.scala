@@ -54,6 +54,40 @@ class Round10TrigramSpec extends GraftSpecBase {
     assert(nll(6L) < nll(7L))
   }
 
+  test("t23: hand-computed NLL on the all-distinct corpus; fail-closed under 5 tokens") {
+    import graft.operators.FivegramLm
+    val out = FivegramLm.fivegramLm(Seq(
+      (1L, "a b c d e f g"),
+      (2L, "x y z w")
+    ).toDF("doc_id", "text")).collect().map(r => r.getLong(0) -> r).toMap
+    // corpus: doc 1's 7 distinct tokens + doc 2's 4 (no 5-grams) →
+    // N = 11 tokens, V = 11; every gram of every order occurs once, so
+    // each of doc 1's three 5-grams scores the identical interpolation
+    // p = .4 + .2 + .15 + .15 + λ1·(1+1)/(11+11)
+    val l1 = 1.0 - 0.4 - 0.2 - 0.15 - 0.15
+    val p = 0.4 * (1.0 / 1.0) + 0.2 * (1.0 / 1.0) + 0.15 * (1.0 / 1.0) +
+      0.15 * (1.0 / 1.0) + l1 * ((1.0 + 1.0) / (11.0 + 11.0))
+    val qlog = math.round(math.log(p) * 1e7)
+    val expectedNll = ((-3L * qlog + 5L * 3L) / (10L * 3L)).toDouble / 1e6
+    assert(out(1L).getLong(1) == 3L)
+    assert(out(1L).getDouble(2) == expectedNll)
+    // 4-token doc: no 5-grams, NULL, row kept
+    assert(out(2L).getLong(1) == 0L && out(2L).isNullAt(2))
+  }
+
+  test("t23: corpus-frequent 5-grams score lower NLL than a novel arrangement") {
+    import graft.operators.FivegramLm
+    val line = "the big dog runs very fast today"
+    val corpus = Seq(
+      (1L, line), (2L, line), (3L, line), (4L, line),
+      (6L, line),
+      (7L, "today very the fast runs big dog")
+    ).toDF("doc_id", "text")
+    val nll = FivegramLm.fivegramLm(corpus).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(nll(6L) < nll(7L))
+  }
+
   test("t22: every driver doc gets a row; NLL null iff under 3 tokens") {
     val t = Tables(spark, sfDir)
     val out = TrigramLm.trigramLm(
