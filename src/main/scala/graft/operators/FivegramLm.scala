@@ -60,8 +60,32 @@ object FivegramLm {
       .orderBy("doc_id")
   }
 
-  /** The scorer over any (doc_id, text) relation. */
-  private[graft] def fivegramLm(d: DataFrame): DataFrame = {
+  /** Per-(doc, 5-gram) census — shared by the model build and scoring. */
+  private[graft] def docFivegrams(d: DataFrame): DataFrame = {
+    graft.functions.Ngrams.register(d.sparkSession)
+    d.select(col("doc_id"), explode(graft.functions.Ngrams.ngramJoin(
+        TextOps.tokensOf(col("text")), 5)).as("g5"))
+      .groupBy(col("doc_id"), col("g5")).agg(count(lit(1)).as("c"))
+  }
+
+  /** The model's OOV floor on the 1e-7 grid: an unseen 5-gram backs off
+    * to λ₁·1/(N+V) — the constant the STREAMING gate assigns (the batch
+    * entry scores its own training corpus, where none is unseen).
+    * Quantized by the same expression as in-model entries. */
+  private[graft] def fivegramOovQLog(d: DataFrame): Long =
+    d.select(explode(TextOps.tokensOf(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+      .agg(sum(col("cf")).as("n_corpus"), count(lit(1)).as("v"))
+      .select(round(log(lit(L1) /
+        (col("n_corpus") + col("v")).cast("double")) * 1e7).cast("long")
+        .as("q"))
+      .head().getLong(0)
+
+  /** t23's TRAINED MODEL as a standalone (g5, q_log) relation — the
+    * persistable artifact the streaming gate joins stream-static
+    * ([[graft.streaming.StreamingJobs.fivegramPplStream]]); `d` is the
+    * training corpus, `d5` its [[docFivegrams]]. */
+  private[graft] def fivegramModel(d: DataFrame, d5: DataFrame): DataFrame = {
     graft.functions.Ngrams.register(d.sparkSession)
     val toks = d.select(col("doc_id"), TextOps.tokensOf(col("text")).as("tk"))
     // all five order censuses from ONE tagged generator pass; checkpointed
@@ -79,12 +103,8 @@ object FivegramLm {
     val totals = cn.filter(col("n") === 1)
       .agg(sum(col("c")).as("n_corpus"), count(lit(1)).as("v"))
 
-    val d5 = toks.select(col("doc_id"),
-        explode(graft.functions.Ngrams.ngramJoin(col("tk"), 5)).as("g5"))
-      .groupBy(col("doc_id"), col("g5")).agg(count(lit(1)).as("c"))
-
     // suffix/context keys of each distinct 5-gram, derived scan-side
-    val model = d5.groupBy(col("g5")).agg(sum(col("c")).as("num5"))
+    d5.groupBy(col("g5")).agg(sum(col("c")).as("num5"))
       .withColumn("p", split(col("g5"), " "))
       .withColumn("x5", concat_ws(" ", slice(col("p"), 1, 4)))
       .withColumn("s4", concat_ws(" ", slice(col("p"), 2, 4)))
@@ -105,7 +125,12 @@ object FivegramLm {
       .crossJoin(broadcast(totals))
       .withColumn("q_log", expr(pSql))
       .select("g5", "q_log")
+  }
 
+  /** The scorer over any (doc_id, text) relation. */
+  private[graft] def fivegramLm(d: DataFrame): DataFrame = {
+    val d5 = docFivegrams(d)
+    val model = fivegramModel(d, d5)
     val perDoc = d5.join(model, "g5")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_5grams"),

@@ -1081,6 +1081,28 @@ object StreamingJobs {
           .cast("double") / 1e6)
       .select("doc_id", "ts", "n_trigrams", "nll")
 
+  /** [[trigramPplStream]]'s analog at the PRODUCTION gate order — the
+    * frozen 5-gram model (t23) as the stream-static side, the OOV floor
+    * ([[graft.operators.FivegramLm.fivegramOovQLog]], λ₁/(N+V)) as a
+    * plan literal; docs under 5 tokens keep a row via explode_outer.
+    * This is the shape CCNet-class pipelines actually deploy: the
+    * KenLM-order model scores each arriving document at ingest. */
+  def fivegramPplStream(docs: DataFrame, model: DataFrame, qLogOov: Long,
+      watermark: String = "1 hour"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), explode_outer(
+        graft.functions.Ngrams.ngramJoin(
+          graft.operators.TextOps.tokensOf(col("text")), 5)).as("g5"))
+      .join(model, Seq("g5"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(col("g5")).as("n_5grams"),
+        (-sum(when(col("g5").isNotNull,
+          coalesce(col("q_log"), lit(qLogOov))))).as("num"))
+      .withColumn("nll",
+        graft.operators.TextOps.qMicro("num", "n_5grams")
+          .cast("double") / 1e6)
+      .select("doc_id", "ts", "n_5grams", "nll")
+
   // ----------------------------------------------- unigram tokenizer
   /** Streaming face of t21's encoder: the trained unigram vocab is a
     * PLAN-LITERAL map (the Codebooks constants discipline), so each

@@ -57,6 +57,39 @@ class Round10StreamSpec extends GraftSpecBase {
     assert(streamed(9L) === ((0L, None)))
   }
 
+  test("fivegramPplStream: bit-identical to batch t23 on in-model docs; OOV floor; short doc kept") {
+    graft.functions.Ngrams.register(spark)
+    import graft.operators.FivegramLm
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val batch = FivegramLm.fivegramLm(corpusDf).collect().map { r =>
+      r.getLong(0) -> (r.getLong(1),
+        Option(r.getAs[java.lang.Double]("nll")).map(_.doubleValue))
+    }.toMap
+    val model = FivegramLm.fivegramModel(corpusDf, FivegramLm.docFivegrams(corpusDf))
+      .localCheckpoint()
+    val qOov = FivegramLm.fivegramOovQLog(corpusDf)
+    assert(qOov < 0)
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingJobs
+      .fivegramPplStream(mem.toDF.toDF("doc_id", "ts", "text"), model, qOov)
+      .writeStream.format("memory").queryName("five_r10").outputMode("append")
+      .start()
+    try {
+      mem.addData(corpus.map { case (id, tx) => (id, t0, tx) }: _*)
+      mem.addData((8L, t0, "zz qq ww vv uu"), (9L, t0, "one two three four"))
+      mem.addData((999L, Timestamp.valueOf("2026-01-01 13:00:00"), "f l u s h x"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("five_r10").collect().map { r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_5grams"),
+        Option(r.getAs[java.lang.Double]("nll")).map(_.doubleValue))
+    }.toMap
+    corpus.foreach { case (id, _) => assert(streamed(id) === batch(id), s"doc $id") }
+    assert(streamed(8L) === ((1L, Some(((-qOov + 5L) / 10L).toDouble / 1e6))))
+    assert(streamed(9L) === ((0L, None)))
+  }
+
   test("unigramEncodeStream: bit-identical to the batch encoder; null text keeps a zero row") {
     val corpusDf = corpus.toDF("doc_id", "text")
     val vocab = UnigramTok.unigramTrain(corpusDf, vocabSize = 64, emRounds = 2)
