@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** t24: TOKENIZER COMPARISON — the per-source eval a pipeline runs when
+  * CHOOSING its tokenizer (the fertility/compression tables in every
+  * tokenizer paper; Rust et al. ACL'21 make fertility the cross-lingual
+  * comparison metric): encode the corpus under BOTH trained subword
+  * models (t10/t11's BPE, t21's unigram-LM) and report, per source,
+  *
+  *   - corpus-level compression = Σ chars / Σ tokens (the ratio of sums,
+  *     not the mean of per-doc ratios — token-weighted, the number that
+  *     predicts context-window cost);
+  *   - fertility = Σ subword tokens / Σ words (tokens per word);
+  *
+  * for each tokenizer side by side. Both encoders are the existing
+  * train-once artifacts (session-cached, persistable); this op adds ONE
+  * doc-keyed join of their per-doc outputs + a |sources|-row aggregate —
+  * all counts exact 64-bit integers, ratios on the 1e-6 integer grid
+  * ([[TextOps.ratioMicro]]). Rows-only (both inputs are iteratively
+  * trained, like t10/t21); Round10TokCompareSpec pins the arithmetic
+  * against hand-summed counts and fertility ≥ 1 / compression
+  * consistency invariants.
+  *
+  * Reference analog: `GetBatches.groovy:146-195` — the comparative
+  * accounting face over two processing outcomes.
+  */
+object TokCompare {
+
+  /** The comparison over any (doc_id, source, text) relation given both
+    * trained artifacts. */
+  private[graft] def tokCompareOver(docs: DataFrame,
+      merges: Seq[BpeOps.BpeMerge],
+      vocab: Seq[UnigramTok.UnigramPiece]): DataFrame = {
+    val d = docs.select(col("doc_id"), col("text"))
+    val bpe = BpeOps.bpeEncodeWithMerges(d, merges)
+      .select(col("doc_id"), col("n_words"), col("n_chars"),
+        col("n_bpe_tokens"))
+    val uni = UnigramTok.unigramEncode(d, vocab)
+      .select(col("doc_id"), col("n_ut_tokens"))
+    docs.select(col("doc_id"), col("source"))
+      .join(bpe, "doc_id")
+      .join(uni, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("n_bpe_tokens")).as("bpe_tokens"),
+        sum(col("n_ut_tokens")).as("uni_tokens"))
+      .withColumn("bpe_compression",
+        TextOps.ratioMicro("n_chars", "bpe_tokens").cast("double") / 1e6)
+      .withColumn("uni_compression",
+        TextOps.ratioMicro("n_chars", "uni_tokens").cast("double") / 1e6)
+      .withColumn("bpe_fertility",
+        TextOps.ratioMicro("bpe_tokens", "n_words").cast("double") / 1e6)
+      .withColumn("uni_fertility",
+        TextOps.ratioMicro("uni_tokens", "n_words").cast("double") / 1e6)
+      .select("source", "n_docs", "n_words", "n_chars",
+        "bpe_tokens", "uni_tokens", "bpe_compression", "uni_compression",
+        "bpe_fertility", "uni_fertility")
+  }
+
+  /** t24 driver entry: both tokenizers trained on (and encoding) the
+    * driver corpus through their session caches. */
+  def t24TokCompare(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.spread(t.documents)
+    val corpusKey = dir + "#" + Tables.corpusFingerprint(t.documents)
+    val (merges, _) = BpeOps.bpeTrainCached(docs, corpusKey,
+      BpeOps.BpeMergesDefault, BpeOps.BpeMinCount)
+    val vocab = UnigramTok.unigramTrainCached(docs, corpusKey,
+      UnigramTok.VocabSize, UnigramTok.EmRounds)
+    tokCompareOver(docs.select(col("doc_id"), col("source"), col("text")),
+      merges, vocab)
+      .orderBy("source")
+  }
+}

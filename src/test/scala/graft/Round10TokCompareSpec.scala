@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{BpeOps, TokCompare, UnigramTok}
+
+/** t24 tokenizer-comparison specs: per-source sums reconcile exactly
+  * with the two per-doc encoders, the ratio columns are the integer-grid
+  * ratios of those sums, and fertility/compression invariants hold. */
+class Round10TokCompareSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def corpus() = Seq(
+    (1L, "alpha", "the running runner runs a long run"),
+    (2L, "alpha", "walking walker walks along the long walkway"),
+    (3L, "beta",  "run walk run walk running walking"),
+    (4L, "beta",  "longing for a long walk along the runway")
+  ).toDF("doc_id", "source", "text")
+
+  private def artifacts() = {
+    val d = corpus().select(col("doc_id"), col("text"))
+    val (merges, _) = BpeOps.bpeTrain(d, k = 12, minCount = 2L)
+    val vocab = UnigramTok.unigramTrain(d, vocabSize = 64, emRounds = 2)
+    (merges, vocab)
+  }
+
+  test("t24: per-source sums reconcile with the per-doc encoders; ratios are grid-exact") {
+    val (merges, vocab) = artifacts()
+    val out = TokCompare.tokCompareOver(corpus(), merges, vocab).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("alpha", "beta"))
+    // independent per-doc truth
+    val bpe = BpeOps.bpeEncodeWithMerges(
+        corpus().select(col("doc_id"), col("text")), merges)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        (r.getLong(r.fieldIndex("n_words")), r.getLong(r.fieldIndex("n_chars")),
+          r.getLong(r.fieldIndex("n_bpe_tokens")))).toMap
+    val uni = UnigramTok.unigramEncode(
+        corpus().select(col("doc_id"), col("text")), vocab)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getLong(r.fieldIndex("n_ut_tokens"))).toMap
+    val bySource = Map("alpha" -> Seq(1L, 2L), "beta" -> Seq(3L, 4L))
+    def micro(a: Long, n: Long): Double =
+      ((2 * a * 1000000L + n) / (2 * n)).toDouble / 1e6
+    for ((src, ids) <- bySource) {
+      val r = out(src)
+      def l(n: String) = r.getLong(r.fieldIndex(n))
+      val (w, c, bt) = (ids.map(bpe(_)._1).sum, ids.map(bpe(_)._2).sum,
+        ids.map(bpe(_)._3).sum)
+      val ut = ids.map(uni).sum
+      assert(l("n_docs") == ids.length && l("n_words") == w &&
+        l("n_chars") == c && l("bpe_tokens") == bt && l("uni_tokens") == ut, src)
+      assert(r.getDouble(r.fieldIndex("bpe_compression")) == micro(c, bt), src)
+      assert(r.getDouble(r.fieldIndex("uni_compression")) == micro(c, ut), src)
+      assert(r.getDouble(r.fieldIndex("bpe_fertility")) == micro(bt, w), src)
+      assert(r.getDouble(r.fieldIndex("uni_fertility")) == micro(ut, w), src)
+      // every word maps to ≥ 1 token under both schemes
+      assert(bt >= w && ut >= w, src)
+    }
+  }
+
+  test("t24: deterministic across runs") {
+    val (merges, vocab) = artifacts()
+    val a = TokCompare.tokCompareOver(corpus(), merges, vocab)
+      .orderBy("source").collect().toSeq
+    val b = TokCompare.tokCompareOver(corpus(), merges, vocab)
+      .orderBy("source").collect().toSeq
+    assert(a == b)
+  }
+}
