@@ -79,6 +79,35 @@ class Round10PipelineSpec extends GraftSpecBase {
       p01Tok(r.getLong(r.fieldIndex("doc_id")))))
   }
 
+  test("p02: append-stability — new docs never move an existing doc's split or shard") {
+    // the release assignments are CONTENT-keyed (cluster-canonical hash →
+    // split; fingerprint → shard), so a re-release over a grown corpus
+    // must keep every prior doc's placement; only within-shard positions
+    // may shift (ranks are corpus-global by definition)
+    val grown = corpus().unionByName(Seq(
+      (9L, "en", "alpha", "entirely new words about mountains rivers and forests here"),
+      (10L, "en", "gamma", "another fresh document with its own novel vocabulary set")
+    ).toDF("doc_id", "lang", "source", "text"))
+    def assigns(df: org.apache.spark.sql.DataFrame) =
+      ReleasePipeline.p02Over(spark, df, nllMax = 100.0).collect()
+        .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+          (r.getString(r.fieldIndex("split")), r.getLong(r.fieldIndex("shard_id")),
+            r.getLong(r.fieldIndex("shard_pos")))).toMap
+    val before = assigns(corpus())
+    val after = assigns(grown)
+    for ((id, (split, shard, _)) <- before) {
+      assert(after(id)._1 == split && after(id)._2 == shard, s"doc $id moved")
+    }
+    // within a (split, shard), prior docs keep their RELATIVE order
+    // (fingerprint order is content-keyed; new docs only interleave)
+    for (((s, sh), g) <- before.toSeq.groupBy { case (_, (s, sh, _)) => (s, sh) }) {
+      val oldOrder = g.sortBy(_._2._3).map(_._1)
+      val newOrder = oldOrder.sortBy(id => after(id)._3)
+      assert(newOrder == oldOrder, s"relative order changed in ($s, $sh)")
+    }
+    assert(after.size > before.size)
+  }
+
   // ---------------------------------------------------------------- gates
 
   /** Multi-line ≥50-word docs (REAL newlines; distinct vocabularies so
