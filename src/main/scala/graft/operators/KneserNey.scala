@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** t25: interpolated KNESER-NEY bigram scoring — the SMOOTHING FAMILY a
+  * real KenLM gate uses (Kneser & Ney ICASSP'95; Chen & Goodman '99 show
+  * interpolated KN dominating Jelinek-Mercer), closing the documented
+  * smoothing-family gap t13/t22/t23 carry:
+  *
+  *   p(w₂|w₁) = max(c₁₂ − D, 0)/c₁· + D·N₁₊(w₁·)/c₁· · p_cont(w₂)
+  *   p_cont(w₂) = N₁₊(·w₂) / N₁₊(··)
+  *
+  * — absolute discount D on the bigram MLE, with the stolen mass backed
+  * off to the CONTINUATION probability: how many distinct contexts w₂
+  * follows, not how often it occurs (the "Francisco" insight: a word
+  * frequent only after one context should not be a likely continuation
+  * elsewhere — spec-pinned on exactly that construction). Per-doc mean
+  * NLL over bigrams, NULL under 2 tokens (the family's convention).
+  *
+  * All five statistics are exact integer counts over t13's OWN bigram
+  * census (`docBigrams` / the shared `db` CTE — N₁₊ counts are type
+  * counts, i.e. row counts of the grouped census: the "one more census
+  * pass" KN needs over JM); the probability is ONE shared expression
+  * string on the 1e-7 grid; integer sums; qMicro finish. The batch
+  * entry scores its own training corpus, so every scored bigram is
+  * observed and p > 0 always (D < 1 keeps the discounted term's
+  * denominator mass positive). ORACLED — the oracle extends
+  * [[TextOps.T13CoreCtes]] (toks/db shared verbatim), with the
+  * bigram-type total as a scalar subquery, NOT a cross-joined CTE
+  * (the t23-documented DuckDB reorderer pathology).
+  *
+  * Reference analog: `AnalyzeBatch.groovy:88-97`'s gate family — the
+  * production-smoothing member.
+  */
+object KneserNey {
+  /** Absolute discount (Chen & Goodman's fixed-D variant). */
+  private val D = 0.75
+
+  /** The ONE probability expression both engines run verbatim over the
+    * joined integer counts. */
+  private def knSql: String =
+    s"CAST(round(ln(" +
+      s"greatest(CAST(cbg AS DOUBLE) - $D, 0.0) / CAST(c_w1 AS DOUBLE) + " +
+      s"$D * CAST(n1p_w1 AS DOUBLE) / CAST(c_w1 AS DOUBLE) * " +
+      s"(CAST(n1p_w2 AS DOUBLE) / CAST(n1p_all AS DOUBLE))" +
+      s") * 10000000.0) AS BIGINT)"
+
+  def t25KneserNey(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    val t = Tables(spark, dir)
+    kneserNeyLm(t.spread(t.documents).select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
+  }
+
+  /** t25's TRAINED MODEL as a standalone (bg, q_log) relation; `d` the
+    * training corpus, `docBi` its [[TextOps.docBigrams]]. */
+  private[graft] def knModel(d: DataFrame, docBi: DataFrame): DataFrame = {
+    val cb = docBi.groupBy(col("bg")).agg(sum(col("c")).as("cbg"))
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .localCheckpoint()
+    // the KN statistics are all aggregates of the TYPE census:
+    // c_w1 = context token count, n1p_w1 = distinct continuations of w1,
+    // n1p_w2 = distinct contexts preceding w2
+    val byW1 = cb.groupBy(col("w1"))
+      .agg(sum(col("cbg")).as("c_w1"), count(lit(1)).as("n1p_w1"))
+    val byW2 = cb.groupBy(col("w2")).agg(count(lit(1)).as("n1p_w2"))
+    val totB = cb.agg(count(lit(1)).as("n1p_all"))
+    cb.join(byW1, "w1")
+      .join(byW2, "w2")
+      .crossJoin(broadcast(totB))
+      .withColumn("q_log", expr(knSql))
+      .select("bg", "q_log")
+  }
+
+  /** The scorer over any (doc_id, text) relation. */
+  private[graft] def kneserNeyLm(d: DataFrame): DataFrame = {
+    graft.functions.Ngrams.register(d.sparkSession)
+    val docBi = TextOps.docBigrams(d)
+    val model = knModel(d, docBi)
+    val perDoc = docBi.join(model, "bg")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        (-sum(col("c") * col("q_log"))).as("num"))
+      .withColumn("nll_micro", TextOps.qMicro("num", "n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (col("nll_micro").cast("double") / 1e6).as("nll"))
+    d.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"), col("nll"))
+  }
+
+  /** Oracle: extends t13's CTE chain — `toks`/`db` shared verbatim; the
+    * bigram-type total rides as a scalar subquery (see object doc). */
+  val t25Sql: String = {
+    import TextOps.qMicroSql
+    s"""WITH ${TextOps.T13CoreCtes}, cb AS (
+       |  SELECT bg, CAST(sum(c) AS BIGINT) AS cbg,
+       |    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+       |  FROM db GROUP BY bg
+       |), byw1 AS (
+       |  SELECT w1, CAST(sum(cbg) AS BIGINT) AS c_w1,
+       |    CAST(count(*) AS BIGINT) AS n1p_w1
+       |  FROM cb GROUP BY w1
+       |), byw2 AS (
+       |  SELECT w2, CAST(count(*) AS BIGINT) AS n1p_w2 FROM cb GROUP BY w2
+       |), kn AS (
+       |  SELECT bg, cbg, c_w1, n1p_w1, n1p_w2,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM cb) AS n1p_all
+       |  FROM cb JOIN byw1 USING (w1) JOIN byw2 USING (w2)
+       |), modelkn AS (
+       |  SELECT bg, $knSql AS q_log FROM kn
+       |), aggkn AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |    -CAST(sum(c * q_log) AS BIGINT) AS num
+       |  FROM db JOIN modelkn USING (bg) GROUP BY doc_id
+       |), scoredkn AS (
+       |  SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+       |    ${qMicroSql("num", "n_bigrams")} AS nll
+       |  FROM documents d LEFT JOIN aggkn USING (doc_id)
+       |)
+       |SELECT doc_id, n_bigrams, nll FROM scoredkn
+       |ORDER BY doc_id""".stripMargin
+  }
+}

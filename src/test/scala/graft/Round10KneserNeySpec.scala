@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.KneserNey
+
+/** t25 interpolated Kneser-Ney specs: exact agreement with a plain-Scala
+  * mirror of the formula, the continuation-probability property the
+  * smoothing family exists for (the "Francisco" construction), and the
+  * fail-closed short-doc convention. */
+class Round10KneserNeySpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Plain-Scala interpolated-KN scorer mirroring the operator's exact
+    * quantization (D = 0.75, 1e-7 grid, integer sums, qMicro finish). */
+  private def refKn(texts: Map[Long, String]): Map[Long, (Long, Option[Double])] = {
+    def toks(s: String) = s.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq
+    val docBi = texts.map { case (id, t) =>
+      id -> toks(t).sliding(2).filter(_.size == 2).map(_.mkString(" "))
+        .toSeq.groupBy(identity).map { case (b, o) => b -> o.size.toLong } }
+    val cb = docBi.values.flatten.groupBy(_._1).map { case (b, o) => b -> o.map(_._2).sum }
+    val byW1c = cb.groupBy(_._1.split(" ")(0)).map { case (w, o) => w -> o.values.sum }
+    val byW1n = cb.groupBy(_._1.split(" ")(0)).map { case (w, o) => w -> o.size.toLong }
+    val byW2n = cb.groupBy(_._1.split(" ")(1)).map { case (w, o) => w -> o.size.toLong }
+    val all = cb.size.toLong
+    def qLog(bg: String): Long = {
+      val Array(w1, _w2) = bg.split(" ")
+      val p = math.max(cb(bg).toDouble - 0.75, 0.0) / byW1c(w1).toDouble +
+        0.75 * byW1n(w1).toDouble / byW1c(w1).toDouble *
+          (byW2n(_w2).toDouble / all.toDouble)
+      math.round(math.log(p) * 1e7)
+    }
+    texts.map { case (id, _) =>
+      val bi = docBi(id)
+      if (bi.isEmpty) id -> (0L, None)
+      else {
+        val n = bi.values.sum
+        val num = -bi.map { case (b, c) => c * qLog(b) }.sum
+        id -> (n, Some(((num + 5 * n) / (10 * n)).toDouble / 1e6))
+      }
+    }
+  }
+
+  private val texts = Map(
+    1L -> "new york new york new york new york",
+    2L -> "big city small city old city the city",
+    3L -> "the york",
+    4L -> "the city",
+    5L -> "one")
+
+  private def run() = KneserNey.kneserNeyLm(
+    texts.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text"))
+    .collect().map(r => r.getLong(0) ->
+      (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+  test("t25: exact agreement with the plain-Scala KN mirror on every doc") {
+    assert(run() == refKn(texts))
+  }
+
+  test("t25: the continuation property — 'city' (many contexts) beats 'york' (one burst)") {
+    val out = run()
+    // both probe docs are the single bigram 'the <w>' with identical
+    // count and identical first term; only the CONTINUATION count
+    // differs (york follows {new, the}; city follows {big, small, old,
+    // the}) — KN must prefer the versatile continuation, which is the
+    // entire point of the smoothing family (raw frequency is equal:
+    // york appears 4×, city 4×)
+    assert(out(4L)._2.get < out(3L)._2.get)
+  }
+
+  test("t25: a doc with fewer than 2 tokens scores NULL, row kept") {
+    val out = run()
+    assert(out(5L) == ((0L, None)))
+  }
+}
