@@ -81,23 +81,30 @@ object FivegramLm {
         .as("q"))
       .head().getLong(0)
 
+  /** All five gram-order censuses as ONE tagged (n, g, c) relation from
+    * ONE generator pass over the corpus (t18's discipline),
+    * localCheckpoint'ed — the t23 model build joins it eight times and
+    * t26's modified-KN build additionally derives its continuation-type
+    * relations from it. */
+  private[graft] def orderCensuses(d: DataFrame): DataFrame = {
+    graft.functions.Ngrams.register(d.sparkSession)
+    val toks = d.select(col("doc_id"), TextOps.tokensOf(col("text")).as("tk"))
+    val tagged = (1 to 5).map { n =>
+      transform(graft.functions.Ngrams.ngramJoin(col("tk"), n),
+        g => struct(lit(n).as("n"), g.as("g")))
+    }
+    toks.select(explode(concat(tagged: _*)).as("t"))
+      .select(col("t.n").as("n"), col("t.g").as("g"))
+      .groupBy(col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+  }
+
   /** t23's TRAINED MODEL as a standalone (g5, q_log) relation — the
     * persistable artifact the streaming gate joins stream-static
     * ([[graft.streaming.StreamingJobs.fivegramPplStream]]); `d` is the
     * training corpus, `d5` its [[docFivegrams]]. */
   private[graft] def fivegramModel(d: DataFrame, d5: DataFrame): DataFrame = {
-    graft.functions.Ngrams.register(d.sparkSession)
-    val toks = d.select(col("doc_id"), TextOps.tokensOf(col("text")).as("tk"))
-    // all five order censuses from ONE tagged generator pass; checkpointed
-    // because the model build reads it eight times
-    val tagged = (1 to 5).map { n =>
-      transform(graft.functions.Ngrams.ngramJoin(col("tk"), n),
-        g => struct(lit(n).as("n"), g.as("g")))
-    }
-    val cn = toks.select(explode(concat(tagged: _*)).as("t"))
-      .select(col("t.n").as("n"), col("t.g").as("g"))
-      .groupBy(col("n"), col("g")).agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+    val cn = orderCensuses(d)
     def cnRel(n: Int, key: String, as: String): DataFrame =
       cn.filter(col("n") === n).select(col("g").as(key), col("c").as(as))
     val totals = cn.filter(col("n") === 1)
@@ -144,33 +151,44 @@ object FivegramLm {
         coalesce(col("n_5grams"), lit(0L)).as("n_5grams"), col("nll"))
   }
 
-  val t23Sql: String = {
-    import TextOps.{qMicroSql, TokensSql}
-    def censusCte(n: Int): String =
-      if (n == 1)
-        s"""c1 AS (
-           |  SELECT tok AS g, CAST(count(*) AS BIGINT) AS c
-           |  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok
-           |)""".stripMargin
-      else {
-        val join = (0 until n).map(i => s"tk[i+$i]").mkString(" || ' ' || ")
-        s"""c$n AS (
-           |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
-           |    SELECT $join AS g
-           |    FROM toks, unnest(range(1, len(tk) - ${n - 2})) AS u(i))
-           |  GROUP BY g
-           |)""".stripMargin
-      }
-    s"""WITH toks AS (
-       |  SELECT doc_id, $TokensSql AS tk FROM documents
-       |), ${(1 to 5).map(censusCte).mkString(", ")},
+  /** One gram-order census as a DuckDB CTE over `toks` — the oracle
+    * mirror of [[orderCensuses]]' per-order slice. */
+  private[operators] def censusCteSql(n: Int): String =
+    if (n == 1)
+      s"""c1 AS (
+         |  SELECT tok AS g, CAST(count(*) AS BIGINT) AS c
+         |  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok
+         |)""".stripMargin
+    else {
+      val join = (0 until n).map(i => s"tk[i+$i]").mkString(" || ' ' || ")
+      s"""c$n AS (
+         |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT $join AS g
+         |    FROM toks, unnest(range(1, len(tk) - ${n - 2})) AS u(i))
+         |  GROUP BY g
+         |)""".stripMargin
+    }
+
+  /** The CTE prefix shared VERBATIM by t23Sql and t26Sql (Mkn): corpus
+    * tokens, all five order censuses, and the per-doc 5-gram census —
+    * the two 5-gram LM oracles cannot drift in their statistics. */
+  private[operators] val FivegramCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, ${TextOps.TokensSql} AS tk FROM documents
+       |), ${(1 to 5).map(censusCteSql).mkString(", ")},
        |d5 AS (
        |  SELECT doc_id, g5, CAST(count(*) AS BIGINT) AS c FROM (
-       |    SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-       |      || ' ' || tk[i+3] || ' ' || tk[i+4] AS g5
+       |    -- no line here may START with '|': this fragment is
+       |    -- interpolated into outer stripMargin'd oracle strings
+       |    SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] ||
+       |      ' ' || tk[i+3] || ' ' || tk[i+4] AS g5
        |    FROM toks, unnest(range(1, len(tk) - 3)) AS u(i))
        |  GROUP BY doc_id, g5
-       |), keys5g AS (
+       |)""".stripMargin
+
+  val t23Sql: String = {
+    import TextOps.qMicroSql
+    s"""WITH $FivegramCtes, keys5g AS (
        |  SELECT g5, CAST(sum(c) AS BIGINT) AS num5,
        |    array_to_string(p[1:4], ' ') AS x5,
        |    array_to_string(p[2:5], ' ') AS s4,

@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** t26: interpolated MODIFIED KNESER-NEY 5-gram scoring — the full
+  * production LM: KenLM's order (5) AND its smoothing family (modified
+  * KN, Chen & Goodman '99), closing t23's documented Jelinek-Mercer gap
+  * and lifting t25's order-2 KN to the production order:
+  *
+  *   p₅(w₅|w₁..₄) = (c(w₁..₅) − D₅(c))₊ / Σc(w₁..₄·) + γ₅(w₁..₄)·p₄(w₅|w₂..₄)
+  *   pₖ(w|ctx)    = (ĉ(ctx·w) − Dₖ(ĉ))₊ / Σĉ(ctx·)  + γₖ(ctx)·pₖ₋₁, k<5
+  *   p₀           = 1/V
+  *
+  * where lower orders use CONTINUATION counts ĉ(g) = N₁₊(·g) — t25's
+  * type-census insight at every backoff level — γₖ(ctx) = (D1ₖ·N₁(ctx·)
+  * + D2ₖ·N₂(ctx·) + D3ₖ·N₃₊(ctx·)) / Σ, and each order's THREE discount
+  * tiers are estimated from its counts-of-counts: Y = n₁/(n₁+2n₂),
+  * D1 = 1−2Y·n₂/n₁, D2 = 2−3Y·n₃/n₂, D3 = 3−4Y·n₄/n₃ (tiers clamped to
+  * [0, i] and given fixed fallbacks when a count-of-count is zero — on
+  * degenerate corpora the raw estimators divide by zero or go negative;
+  * a real corpus hits neither; the guarded tier is then multiplied by
+  * an N-tier that is itself zero, so the fallback VALUE never surfaces).
+  * Per-doc mean NLL over 5-grams, NULL under 5 tokens (fail-closed).
+  *
+  * Exactness: every statistic is an exact 64-bit integer — raw counts at
+  * order 5, type counts below, tier censuses, context N-tiers; the whole
+  * recursion is ONE float expression string ([[qLogSql]]) spliced into
+  * both engines verbatim, quantized to the 1e-7 grid; integer sums;
+  * qMicro finish. The oracle shares [[FivegramLm.FivegramCtes]] VERBATIM
+  * (t23's own toks/censuses/d5 — the two 5-gram LMs cannot drift in
+  * their statistics) and rides all 25 corpus scalars as scalar
+  * subqueries (the t23-documented join-reorderer pathology avoided by
+  * construction).
+  *
+  * Scale shape: the same ONE tagged census pass as t23
+  * ([[FivegramLm.orderCensuses]], localCheckpoint'ed); continuation and
+  * context relations are one groupBy each over a census slice; the
+  * model is built per DISTINCT 5-gram with scan-side key derivation —
+  * every suffix/context of an observed 5-gram is itself observed, so
+  * all eight joins are inner and total; scoring is one census ⋈ model
+  * join + a doc-keyed aggregate. Closed-form — no iteration.
+  *
+  * Reference analog: `AnalyzeBatch.groovy:88-97`'s gate family — the
+  * member production pipelines actually deploy (CCNet/Gopher gate on a
+  * 5-gram KenLM with modified-KN smoothing).
+  */
+object Mkn {
+  private def dbl(c: String) = s"CAST($c AS DOUBLE)"
+
+  /** Discount tier i ∈ {1,2,3} for order k, from that order's
+    * counts-of-counts scalars — guarded and clamped (see object doc). */
+  private def dTier(i: Int, k: Int): String = {
+    val n1 = s"nn1_$k"; val n2 = s"nn2_$k"; val n3 = s"nn3_$k"; val n4 = s"nn4_$k"
+    val y = s"(${dbl(n1)} / (${dbl(n1)} + 2.0 * ${dbl(n2)}))"
+    i match {
+      case 1 => s"(CASE WHEN $n1 > 0 THEN least(greatest(" +
+        s"1.0 - 2.0 * $y * ${dbl(n2)} / ${dbl(n1)}, 0.0), 1.0) ELSE 0.5 END)"
+      case 2 => s"(CASE WHEN $n2 > 0 THEN least(greatest(" +
+        s"2.0 - 3.0 * $y * ${dbl(n3)} / ${dbl(n2)}, 0.0), 2.0) ELSE 1.5 END)"
+      case 3 => s"(CASE WHEN $n3 > 0 AND $n1 + 2 * $n2 > 0 THEN least(greatest(" +
+        s"3.0 - 4.0 * $y * ${dbl(n4)} / ${dbl(n3)}, 0.0), 3.0) ELSE 2.5 END)"
+    }
+  }
+
+  /** D(count) — tier selected by the gram's own (adjusted) count. */
+  private def discSql(k: Int, cnt: String): String =
+    s"(CASE WHEN $cnt = 1 THEN ${dTier(1, k)} WHEN $cnt = 2 THEN ${dTier(2, k)} " +
+      s"ELSE ${dTier(3, k)} END)"
+
+  /** γₖ(ctx): the discounted mass handed to the next-lower order. */
+  private def gammaSql(k: Int): String =
+    s"((${dTier(1, k)} * ${dbl(s"m1_$k")} + ${dTier(2, k)} * ${dbl(s"m2_$k")} + " +
+      s"${dTier(3, k)} * ${dbl(s"m3p_$k")}) / ${dbl(s"d$k")})"
+
+  private def pSql(k: Int): String =
+    if (k == 0) s"(1.0 / ${dbl("v")})"
+    else s"(greatest(${dbl(s"a$k")} - ${discSql(k, s"a$k")}, 0.0) / ${dbl(s"d$k")} + " +
+      s"${gammaSql(k)} * ${pSql(k - 1)})"
+
+  /** The ONE recursion expression both engines run verbatim over the
+    * joined integer statistics, quantized on the 1e-7 grid. */
+  private[graft] def qLogSql: String =
+    s"CAST(round(ln(${pSql(5)}) * 10000000.0) AS BIGINT)"
+
+  def t26Mkn5gram(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    val t = Tables(spark, dir)
+    mkn5Lm(t.spread(t.documents).select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
+  }
+
+  /** t26's TRAINED MODEL as a standalone (g5, q_log) relation; `d` the
+    * training corpus, `d5` its [[FivegramLm.docFivegrams]]. */
+  private[graft] def mknModel(d: DataFrame, d5: DataFrame): DataFrame = {
+    val cn = FivegramLm.orderCensuses(d)
+    def lvl(n: Int): DataFrame = cn.filter(col("n") === n)
+    // continuation-count relation for the (upper−1)-gram: ĉ(g) =
+    // N₁₊(·g) = how many DISTINCT upper-grams end in g — a type count
+    // of the upper census, t25's discipline at every level
+    def contRel(upper: Int): DataFrame =
+      lvl(upper)
+        .select(concat_ws(" ", slice(split(col("g"), " "), 2, upper - 1)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("a"))
+    val a4 = contRel(5); val a3 = contRel(4)
+    val a2 = contRel(3); val a1 = contRel(2)
+    // per-context stats for order k: denominator Σ over extensions +
+    // the three N-tier counts, over that order's count variable
+    def ctxStats(rel: DataFrame, cnt: String, k: Int): DataFrame =
+      rel.select(concat_ws(" ", slice(split(col("g"), " "), 1, k - 1)).as("g"),
+          col(cnt))
+        .groupBy("g")
+        .agg(sum(col(cnt)).as(s"d$k"),
+          sum(when(col(cnt) === 1, 1L).otherwise(0L)).as(s"m1_$k"),
+          sum(when(col(cnt) === 2, 1L).otherwise(0L)).as(s"m2_$k"),
+          sum(when(col(cnt) >= 3, 1L).otherwise(0L)).as(s"m3p_$k"))
+    val ctx5 = ctxStats(lvl(5), "c", 5)
+    val ctx4 = ctxStats(a4, "a", 4)
+    val ctx3 = ctxStats(a3, "a", 3)
+    val ctx2 = ctxStats(a2, "a", 2)
+    // the 25 corpus scalars: counts-of-counts per order (D-tier
+    // inputs), the order-1 "empty context" stats, and the vocab size
+    def cof(rel: DataFrame, cnt: String, k: Int): DataFrame =
+      rel.agg(
+        sum(when(col(cnt) === 1, 1L).otherwise(0L)).as(s"nn1_$k"),
+        sum(when(col(cnt) === 2, 1L).otherwise(0L)).as(s"nn2_$k"),
+        sum(when(col(cnt) === 3, 1L).otherwise(0L)).as(s"nn3_$k"),
+        sum(when(col(cnt) === 4, 1L).otherwise(0L)).as(s"nn4_$k"))
+    val scalars = cof(lvl(5), "c", 5)
+      .crossJoin(cof(a4, "a", 4)).crossJoin(cof(a3, "a", 3))
+      .crossJoin(cof(a2, "a", 2)).crossJoin(cof(a1, "a", 1))
+      .crossJoin(a1.agg(sum(col("a")).as("d1"),
+        sum(when(col("a") === 1, 1L).otherwise(0L)).as("m1_1"),
+        sum(when(col("a") === 2, 1L).otherwise(0L)).as("m2_1"),
+        sum(when(col("a") >= 3, 1L).otherwise(0L)).as("m3p_1")))
+      .crossJoin(lvl(1).agg(count(lit(1)).as("v")))
+
+    // t23's scan-side key derivation, verbatim
+    d5.groupBy(col("g5")).agg(sum(col("c")).as("a5"))
+      .withColumn("p", split(col("g5"), " "))
+      .withColumn("x5", concat_ws(" ", slice(col("p"), 1, 4)))
+      .withColumn("s4", concat_ws(" ", slice(col("p"), 2, 4)))
+      .withColumn("x4", concat_ws(" ", slice(col("p"), 2, 3)))
+      .withColumn("s3", concat_ws(" ", slice(col("p"), 3, 3)))
+      .withColumn("x3", concat_ws(" ", slice(col("p"), 3, 2)))
+      .withColumn("s2", concat_ws(" ", slice(col("p"), 4, 2)))
+      .withColumn("x2", element_at(col("p"), 4))
+      .withColumn("w5", element_at(col("p"), 5))
+      .join(ctx5.withColumnRenamed("g", "x5"), "x5")
+      .join(a4.select(col("g").as("s4"), col("a").as("a4")), "s4")
+      .join(ctx4.withColumnRenamed("g", "x4"), "x4")
+      .join(a3.select(col("g").as("s3"), col("a").as("a3")), "s3")
+      .join(ctx3.withColumnRenamed("g", "x3"), "x3")
+      .join(a2.select(col("g").as("s2"), col("a").as("a2")), "s2")
+      .join(ctx2.withColumnRenamed("g", "x2"), "x2")
+      .join(a1.select(col("g").as("w5"), col("a").as("a1")), "w5")
+      .crossJoin(broadcast(scalars))
+      .withColumn("q_log", expr(qLogSql))
+      .select("g5", "q_log")
+  }
+
+  /** The scorer over any (doc_id, text) relation — t23's tail shape. */
+  private[graft] def mkn5Lm(d: DataFrame): DataFrame = {
+    val d5 = FivegramLm.docFivegrams(d)
+    val model = mknModel(d, d5)
+    val perDoc = d5.join(model, "g5")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_5grams"),
+        (-sum(col("c") * col("q_log"))).as("num"))
+      .withColumn("nll_micro", TextOps.qMicro("num", "n_5grams"))
+      .select(col("doc_id"), col("n_5grams"),
+        (col("nll_micro").cast("double") / 1e6).as("nll"))
+    d.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_5grams"), lit(0L)).as("n_5grams"), col("nll"))
+  }
+
+  /** Oracle: t23's CTE prefix verbatim, the KN statistics as CTEs, the
+    * 25 scalars as scalar subqueries, [[qLogSql]] spliced verbatim. */
+  val t26Sql: String = {
+    import TextOps.qMicroSql
+    def contCte(name: String, src: String, hi: Int): String =
+      s"""$name AS (
+         |  SELECT array_to_string(p[2:$hi], ' ') AS g,
+         |    CAST(count(*) AS BIGINT) AS a
+         |  FROM (SELECT string_split(g, ' ') AS p FROM $src) GROUP BY 1
+         |)""".stripMargin
+    def ctxCte(name: String, src: String, cnt: String, k: Int): String =
+      s"""$name AS (
+         |  SELECT array_to_string(p[1:${k - 1}], ' ') AS g,
+         |    CAST(sum($cnt) AS BIGINT) AS d$k,
+         |    CAST(count(*) FILTER (WHERE $cnt = 1) AS BIGINT) AS m1_$k,
+         |    CAST(count(*) FILTER (WHERE $cnt = 2) AS BIGINT) AS m2_$k,
+         |    CAST(count(*) FILTER (WHERE $cnt >= 3) AS BIGINT) AS m3p_$k
+         |  FROM (SELECT string_split(g, ' ') AS p, $cnt FROM $src) GROUP BY 1
+         |)""".stripMargin
+    def cofSel(src: String, cnt: String, k: Int): String =
+      (1 to 4).map(i =>
+        s"(SELECT CAST(count(*) FILTER (WHERE $cnt = $i) AS BIGINT) FROM $src) AS nn${i}_$k"
+      ).mkString(",\n    ")
+    s"""WITH ${FivegramLm.FivegramCtes},
+       |${contCte("a4r", "c5", 5)},
+       |${contCte("a3r", "c4", 4)},
+       |${contCte("a2r", "c3", 3)},
+       |${contCte("a1r", "c2", 2)},
+       |${ctxCte("ctx5", "c5", "c", 5)},
+       |${ctxCte("ctx4", "a4r", "a", 4)},
+       |${ctxCte("ctx3", "a3r", "a", 3)},
+       |${ctxCte("ctx2", "a2r", "a", 2)},
+       |keys26 AS (
+       |  SELECT g5, CAST(sum(c) AS BIGINT) AS a5,
+       |    array_to_string(p[1:4], ' ') AS x5,
+       |    array_to_string(p[2:5], ' ') AS s4,
+       |    array_to_string(p[2:4], ' ') AS x4,
+       |    array_to_string(p[3:5], ' ') AS s3,
+       |    array_to_string(p[3:4], ' ') AS x3,
+       |    array_to_string(p[4:5], ' ') AS s2,
+       |    p[4] AS x2, p[5] AS w5
+       |  FROM (SELECT g5, c, string_split(g5, ' ') AS p FROM d5)
+       |  GROUP BY g5, x5, s4, x4, s3, x3, s2, x2, w5
+       |), keys26s AS (
+       |  -- all corpus scalars as scalar subqueries, NOT cross-joined
+       |  -- CTEs (the t23-documented reorderer pathology)
+       |  SELECT *,
+       |    ${cofSel("c5", "c", 5)},
+       |    ${cofSel("a4r", "a", 4)},
+       |    ${cofSel("a3r", "a", 3)},
+       |    ${cofSel("a2r", "a", 2)},
+       |    ${cofSel("a1r", "a", 1)},
+       |    (SELECT CAST(sum(a) AS BIGINT) FROM a1r) AS d1,
+       |    (SELECT CAST(count(*) FILTER (WHERE a = 1) AS BIGINT) FROM a1r) AS m1_1,
+       |    (SELECT CAST(count(*) FILTER (WHERE a = 2) AS BIGINT) FROM a1r) AS m2_1,
+       |    (SELECT CAST(count(*) FILTER (WHERE a >= 3) AS BIGINT) FROM a1r) AS m3p_1,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM c1) AS v
+       |  FROM keys26
+       |), model26 AS (
+       |  SELECT g5, $qLogSql AS q_log
+       |  FROM keys26s
+       |  JOIN (SELECT g AS x5, d5, m1_5, m2_5, m3p_5 FROM ctx5) j1 USING (x5)
+       |  JOIN (SELECT g AS s4, a AS a4 FROM a4r) j2 USING (s4)
+       |  JOIN (SELECT g AS x4, d4, m1_4, m2_4, m3p_4 FROM ctx4) j3 USING (x4)
+       |  JOIN (SELECT g AS s3, a AS a3 FROM a3r) j4 USING (s3)
+       |  JOIN (SELECT g AS x3, d3, m1_3, m2_3, m3p_3 FROM ctx3) j5 USING (x3)
+       |  JOIN (SELECT g AS s2, a AS a2 FROM a2r) j6 USING (s2)
+       |  JOIN (SELECT g AS x2, d2, m1_2, m2_2, m3p_2 FROM ctx2) j7 USING (x2)
+       |  JOIN (SELECT g AS w5, a AS a1 FROM a1r) j8 USING (w5)
+       |), agg26 AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_5grams,
+       |    -CAST(sum(c * q_log) AS BIGINT) AS num
+       |  FROM d5 JOIN model26 USING (g5) GROUP BY doc_id
+       |), scored26 AS (
+       |  SELECT d.doc_id, COALESCE(n_5grams, 0) AS n_5grams,
+       |    ${qMicroSql("num", "n_5grams")} AS nll
+       |  FROM documents d LEFT JOIN agg26 USING (doc_id)
+       |)
+       |SELECT doc_id, n_5grams, nll FROM scored26
+       |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.Mkn
+
+/** t26 interpolated modified-KN 5-gram specs: exact agreement with a
+  * plain-Scala mirror of the full recursion (continuation counts at
+  * every backoff level, three estimated discount tiers per order) on a
+  * corpus engineered to populate ALL tiers at order 5, tier sanity
+  * (D1 < D2 < D3 and every tier population nonzero — the corpus
+  * actually exercises what modified-KN adds over fixed-D), and the
+  * fail-closed short-doc convention. */
+class Round10MknSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Plain-Scala mirror of the operator's exact arithmetic: integer
+    * statistics, guarded/clamped tiers, the recursion in the same
+    * association order, 1e-7 log grid, integer sums, qMicro finish. */
+  private object Ref {
+    def toks(s: String): Seq[String] =
+      s.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq
+    def grams(tk: Seq[String], n: Int): Seq[String] =
+      tk.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+
+    case class Ctx(d: Long, m1: Long, m2: Long, m3p: Long)
+
+    case class Model(texts: Map[Long, String]) {
+      val docToks: Map[Long, Seq[String]] = texts.map { case (id, t) => id -> toks(t) }
+      val census: Map[Int, Map[String, Long]] = (1 to 5).map { n =>
+        n -> docToks.values.flatMap(grams(_, n)).groupBy(identity)
+          .map { case (g, o) => g -> o.size.toLong }
+      }.toMap
+      // continuation counts for k-grams, k<5: types of the (k+1)-census
+      val cont: Map[Int, Map[String, Long]] = (1 to 4).map { k =>
+        k -> census(k + 1).keys.groupBy(_.split(" ").drop(1).mkString(" "))
+          .map { case (g, o) => g -> o.size.toLong }
+      }.toMap
+      def aOf(k: Int): Map[String, Long] = if (k == 5) census(5) else cont(k)
+      def ctxOf(k: Int): Map[String, Ctx] =
+        aOf(k).groupBy { case (g, _) => g.split(" ").take(k - 1).mkString(" ") }
+          .map { case (c, m) =>
+            val cs = m.values
+            c -> Ctx(cs.sum, cs.count(_ == 1L), cs.count(_ == 2L), cs.count(_ >= 3L))
+          }
+      val ctx: Map[Int, Map[String, Ctx]] = (2 to 5).map(k => k -> ctxOf(k)).toMap
+      val l1: Ctx = {
+        val cs = aOf(1).values
+        Ctx(cs.sum, cs.count(_ == 1L), cs.count(_ == 2L), cs.count(_ >= 3L))
+      }
+      val v: Long = census(1).size.toLong
+      val nns: Map[Int, (Long, Long, Long, Long)] = (1 to 5).map { k =>
+        val cs = aOf(k).values
+        k -> ((cs.count(_ == 1L).toLong, cs.count(_ == 2L).toLong,
+          cs.count(_ == 3L).toLong, cs.count(_ == 4L).toLong))
+      }.toMap
+      def dTier(i: Int, k: Int): Double = {
+        val (n1, n2, n3, n4) = nns(k)
+        val y = n1.toDouble / (n1.toDouble + 2.0 * n2.toDouble)
+        i match {
+          case 1 => if (n1 > 0) math.min(math.max(1.0 - 2.0 * y * n2 / n1, 0.0), 1.0) else 0.5
+          case 2 => if (n2 > 0) math.min(math.max(2.0 - 3.0 * y * n3 / n2, 0.0), 2.0) else 1.5
+          case 3 => if (n3 > 0 && n1 + 2 * n2 > 0)
+            math.min(math.max(3.0 - 4.0 * y * n4 / n3, 0.0), 3.0) else 2.5
+        }
+      }
+      def disc(k: Int, a: Long): Double =
+        if (a == 1) dTier(1, k) else if (a == 2) dTier(2, k) else dTier(3, k)
+      def gamma(k: Int, c: Ctx): Double =
+        (dTier(1, k) * c.m1 + dTier(2, k) * c.m2 + dTier(3, k) * c.m3p) / c.d.toDouble
+      def p(k: Int, w: Seq[String]): Double =
+        if (k == 0) 1.0 / v.toDouble
+        else {
+          val g = w.drop(5 - k).mkString(" ")
+          val c = if (k == 1) l1 else ctx(k)(w.slice(5 - k, 4).mkString(" "))
+          val a = aOf(k)(g)
+          math.max(a.toDouble - disc(k, a), 0.0) / c.d.toDouble + gamma(k, c) * p(k - 1, w)
+        }
+      def qLog(g5: String): Long = math.round(math.log(p(5, g5.split(" ").toSeq)) * 1e7)
+      def score: Map[Long, (Long, Option[Double])] = texts.map { case (id, _) =>
+        val g5s = grams(docToks(id), 5).groupBy(identity)
+          .map { case (g, o) => g -> o.size.toLong }
+        if (g5s.isEmpty) id -> ((0L, None))
+        else {
+          val n = g5s.values.sum
+          val num = -g5s.map { case (g, c) => c * qLog(g) }.sum
+          id -> ((n, Some(((num + 5 * n) / (10 * n)).toDouble / 1e6)))
+        }
+      }
+    }
+  }
+
+  // engineered so order-5 counts-of-counts DECREASE sharply (n1=25,
+  // n2=4, n3=2, n4=1 — the natural-corpus shape the tier estimators
+  // assume; a flat profile clamps D2/D3 to zero): 20 singleton
+  // sentences plus a longer doc contributing five more singleton
+  // 5-grams, 4 doubled sentences, 2 tripled, 1 quadrupled, and a short
+  // doc for the fail-closed path
+  private val texts: Map[Long, String] = {
+    def sentence(tag: String, i: Int): String =
+      Seq("a", "b", "c", "d", "e").map(w => s"$tag$i$w").mkString(" ")
+    val singles = (1 to 20).map(i => sentence("s", i))
+    val doubles = (1 to 4).flatMap(i => Seq.fill(2)(sentence("d", i)))
+    val triples = (1 to 2).flatMap(i => Seq.fill(3)(sentence("t", i)))
+    val quads = Seq.fill(4)(sentence("q", 1))
+    val all = singles ++ doubles ++ triples ++ quads ++
+      Seq("u v w x y z u v w", "tiny doc")
+    all.zipWithIndex.map { case (t, i) => (i + 1).toLong -> t }.toMap
+  }
+  private val shortDocId: Long = texts.size.toLong
+
+  private def run() = Mkn.mkn5Lm(
+    texts.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text"))
+    .collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+
+  test("t26: exact agreement with the plain-Scala modified-KN mirror on every doc") {
+    assert(run() == Ref.Model(texts).score)
+  }
+
+  test("t26: the corpus exercises all three discount tiers, estimated in order") {
+    val m = Ref.Model(texts)
+    val (n1, n2, n3, n4) = m.nns(5)
+    assert(n1 > 0 && n2 > 0 && n3 > 0 && n4 > 0)
+    val (d1, d2, d3) = (m.dTier(1, 5), m.dTier(2, 5), m.dTier(3, 5))
+    assert(d1 > 0.0 && d1 < d2 && d2 < d3)
+  }
+
+  test("t26: a doc with fewer than 5 tokens scores NULL, row kept") {
+    assert(run()(shortDocId) == ((0L, None)))
+  }
+}
