@@ -74,6 +74,23 @@ object CuratePipeline {
     p01Over(spark, t.spread(t.documents))
   }
 
+  /** t26 mean-NLL ceiling for p03's gate (the mkn nll scale: corpus
+    * NLLs span ~1.87-2.88, median ~2.0 — the ceiling sits just above
+    * the median so both branches are exercised at every sf). */
+  private[operators] val MknNllMax = 2.01
+
+  /** p03: p01 with stage 4 upgraded to the PRODUCTION LM — t26's
+    * interpolated modified-KN 5-gram replaces the t13 bigram model
+    * behind the same gate algebra (same flags, same downstream mix/
+    * pack; only the nll column's model and ceiling change). p01 stays
+    * as-is: the order-2 chain remains the stable oracled baseline and
+    * the two entries share every non-LM CTE by construction. */
+  def p03CurateMkn(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    p01Over(spark, t.spread(t.documents),
+      nllMax = MknNllMax, lmScorer = Mkn.mkn5Lm)
+  }
+
   /** The pipeline's intermediate relations, shared by p01's driver face
     * and p02's release tail (`base` is THE one corpus materialization;
     * `members` the stage-2 near-dup cluster membership; `flags` one row
@@ -82,12 +99,17 @@ object CuratePipeline {
       base: DataFrame, members: DataFrame, flags: DataFrame)
 
   /** The pipeline over any (doc_id, lang, source, text) relation —
-    * threshold-parameterized so specs can isolate one gate at a time. */
+    * threshold-parameterized so specs can isolate one gate at a time.
+    * `lmScorer` is stage 4's model: any (doc_id, text) ⇒ (doc_id, …,
+    * nll) relation (t13's bigram model by default; p03 passes the t26
+    * modified-KN 5-gram — the gate algebra is scorer-agnostic, only
+    * the nll scale/ceiling moves). */
   private[graft] def p01Over(spark: SparkSession, documents: DataFrame,
       qualityMin: Double = QualityMin, nllMax: Double = NllMax,
-      requireGopher: Boolean = false, requireC4: Boolean = false): DataFrame =
+      requireGopher: Boolean = false, requireC4: Boolean = false,
+      lmScorer: DataFrame => DataFrame = TextOps.bigramLm): DataFrame =
     p01Finish(p01PartsOf(spark, documents, qualityMin, nllMax,
-      requireGopher, requireC4))
+      requireGopher, requireC4, lmScorer))
 
   /** Stages 1-5 and the per-doc flag relation. `requireGopher`/
     * `requireC4` compose the t15/t19 rule gates as additional stages
@@ -101,7 +123,8 @@ object CuratePipeline {
     * normalization strips) — still one corpus scan. */
   private[graft] def p01PartsOf(spark: SparkSession, documents: DataFrame,
       qualityMin: Double = QualityMin, nllMax: Double = NllMax,
-      requireGopher: Boolean = false, requireC4: Boolean = false): P01Parts = {
+      requireGopher: Boolean = false, requireC4: Boolean = false,
+      lmScorer: DataFrame => DataFrame = TextOps.bigramLm): P01Parts = {
     graft.functions.Ngrams.register(spark)
 
     // the ONE corpus materialization every stage reads (see scaladoc)
@@ -166,8 +189,8 @@ object CuratePipeline {
     val keeperFlag = members.join(keepers, "component")
       .select(col("node").as("doc_id"), (col("node") === col("kept_doc")).as("is_keeper"))
 
-    // ---- stage 4: t13 interpolated-bigram NLL (corpus model) --------
-    val lm = TextOps.bigramLm(base.select(col("doc_id"), col("norm").as("text")))
+    // ---- stage 4: LM NLL gate (corpus model; t13 by default) --------
+    val lm = lmScorer(base.select(col("doc_id"), col("norm").as("text")))
       .select(col("doc_id"), col("nll"))
 
     // ---- stage 5: c06 decontamination vs the eval split -------------
@@ -284,10 +307,9 @@ object CuratePipeline {
 
   import graft.operators.TextOps.{NormSql, stopCountSql, T13Lambda}
 
-  /** The stage-1..7 CTE chain — ONE definition `p01Sql` and
-    * [[ReleasePipeline.p02Sql]] both extend, so the pipeline and its
-    * release tail cannot drift (t16's shared-CTE discipline). */
-  private[operators] val p01Ctes: String = {
+  /** Stages 1-2 + the quality metrics: the chain up through the
+    * near-dup keeper flags — shared by every pipeline variant. */
+  private[operators] val P01CtesPrefix: String = {
     val allStop = TextOps.Stopwords.flatMap(_._2).distinct
     s"""WITH RECURSIVE norm AS (
        |  SELECT doc_id, lang, source, $NormSql AS norm FROM documents
@@ -348,7 +370,15 @@ object CuratePipeline {
        |), kflag AS (
        |  SELECT c.node AS doc_id, c.node = k.kept_doc AS is_keeper
        |  FROM comp c JOIN keepers k USING (component)
-       |), uni AS (
+       |)""".stripMargin
+  }
+
+  /** Stage 4 in its t13 form: the interpolated-bigram model over the
+    * pipeline's own `toks`, ending in `lmnll(doc_id, nll)` — the CTE
+    * contract every LM-block variant satisfies (p03 swaps in the t26
+    * modified-KN chain behind the same name). */
+  private[operators] val T13LmCtes: String =
+    s"""uni AS (
        |  SELECT tok, CAST(count(*) AS BIGINT) AS cf
        |  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok
        |), lmtot AS (
@@ -379,7 +409,12 @@ object CuratePipeline {
        |  FROM db JOIN model USING (bg) GROUP BY doc_id
        |), lmnll AS (
        |  SELECT doc_id, ${qMicroSql("num", "n_bigrams")} AS nll FROM lmagg
-       |), grams AS (
+       |)""".stripMargin
+
+  /** Stages 5-7 + the flag algebra, parameterized by the LM gate's NLL
+    * ceiling (each LM block's nll lives on its own scale). */
+  private[operators] def p01CtesSuffix(nllCeiling: Double): String =
+    s"""grams AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g
        |  FROM toks
@@ -394,7 +429,7 @@ object CuratePipeline {
        |    s1.exact_canonical AND coalesce(kf.is_keeper, TRUE) AS neardup_kept,
        |    (q.n_tokens BETWEEN $LenMin AND $LenMax)
        |      AND q.quality_score >= $QualityMin AS quality_ok,
-       |    lm.nll IS NOT NULL AND lm.nll <= $NllMax AS lm_ok,
+       |    lm.nll IS NOT NULL AND lm.nll <= $nllCeiling AS lm_ok,
        |    (n.doc_id % ${TextOps.EvalMod} <> 0) AND ct.doc_id IS NULL AS decontam_ok,
        |    n.doc_id % ${TextOps.EvalMod} = 0 AS is_eval,
        |    q.quality_score, lm.nll
@@ -430,10 +465,16 @@ object CuratePipeline {
        |    (end_off - 1) // $PackCap - (end_off - n_tok) // $PackCap + 1 AS n_chunks
        |  FROM pk
        |)""".stripMargin
-  }
 
-  val p01Sql: String =
-    s"""$p01Ctes
+  /** The stage-1..7 CTE chain — ONE definition `p01Sql` and
+    * [[ReleasePipeline.p02Sql]] both extend, so the pipeline and its
+    * release tail cannot drift (t16's shared-CTE discipline). */
+  private[operators] val p01Ctes: String =
+    s"$P01CtesPrefix, $T13LmCtes, ${p01CtesSuffix(NllMax)}"
+
+  /** The shared final projection over any assembled CTE chain. */
+  private def pipelineSelect(ctes: String): String =
+    s"""$ctes
        |SELECT f.doc_id, f.lang, f.source, f.n_tokens,
        |  f.exact_canonical, f.neardup_kept, f.quality_ok, f.lm_ok,
        |  f.decontam_ok, f.is_eval, f.keep,
@@ -444,4 +485,18 @@ object CuratePipeline {
        |LEFT JOIN weights w ON w.source = f.source
        |LEFT JOIN packed p ON p.doc_id = f.doc_id
        |ORDER BY f.doc_id""".stripMargin
+
+  val p01Sql: String = pipelineSelect(p01Ctes)
+
+  /** p03's LM block: t26's census/KN chain over the pipeline's own
+    * `toks` ([[FivegramLm.CensusAndD5Ctes]] + [[Mkn.KnCtes]] verbatim),
+    * adapted to the `lmnll(doc_id, nll)` contract the suffix joins. */
+  private[operators] val MknLmCtes: String =
+    s"""${FivegramLm.CensusAndD5Ctes},
+       |${Mkn.KnCtes}, lmnll AS (
+       |  SELECT doc_id, ${qMicroSql("num", "n_5grams")} AS nll FROM agg26
+       |)""".stripMargin
+
+  val p03Sql: String = pipelineSelect(
+    s"$P01CtesPrefix, $MknLmCtes, ${p01CtesSuffix(MknNllMax)}")
 }

@@ -169,13 +169,12 @@ object FivegramLm {
          |)""".stripMargin
     }
 
-  /** The CTE prefix shared VERBATIM by t23Sql and t26Sql (Mkn): corpus
-    * tokens, all five order censuses, and the per-doc 5-gram census —
-    * the two 5-gram LM oracles cannot drift in their statistics. */
-  private[operators] val FivegramCtes: String =
-    s"""toks AS (
-       |  SELECT doc_id, ${TextOps.TokensSql} AS tk FROM documents
-       |), ${(1 to 5).map(censusCteSql).mkString(", ")},
+  /** All five censuses + the per-doc 5-gram census over an IN-SCOPE
+    * `toks(doc_id, tk)` CTE — lets a composed pipeline oracle
+    * (CuratePipeline.p03Sql) splice the 5-gram statistics over its own
+    * normalized-token chain. */
+  private[operators] val CensusAndD5Ctes: String =
+    s"""${(1 to 5).map(censusCteSql).mkString(", ")},
        |d5 AS (
        |  SELECT doc_id, g5, CAST(count(*) AS BIGINT) AS c FROM (
        |    -- no line here may START with '|': this fragment is
@@ -185,6 +184,14 @@ object FivegramLm {
        |    FROM toks, unnest(range(1, len(tk) - 3)) AS u(i))
        |  GROUP BY doc_id, g5
        |)""".stripMargin
+
+  /** The CTE prefix shared VERBATIM by t23Sql and t26Sql (Mkn): corpus
+    * tokens, all five order censuses, and the per-doc 5-gram census —
+    * the two 5-gram LM oracles cannot drift in their statistics. */
+  private[operators] val FivegramCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, ${TextOps.TokensSql} AS tk FROM documents
+       |), $CensusAndD5Ctes""".stripMargin
 
   val t23Sql: String = {
     import TextOps.qMicroSql

@@ -177,31 +177,32 @@ object Mkn {
         coalesce(col("n_5grams"), lit(0L)).as("n_5grams"), col("nll"))
   }
 
-  /** Oracle: t23's CTE prefix verbatim, the KN statistics as CTEs, the
-    * 25 scalars as scalar subqueries, [[qLogSql]] spliced verbatim. */
-  val t26Sql: String = {
-    import TextOps.qMicroSql
-    def contCte(name: String, src: String, hi: Int): String =
-      s"""$name AS (
-         |  SELECT array_to_string(p[2:$hi], ' ') AS g,
-         |    CAST(count(*) AS BIGINT) AS a
-         |  FROM (SELECT string_split(g, ' ') AS p FROM $src) GROUP BY 1
-         |)""".stripMargin
-    def ctxCte(name: String, src: String, cnt: String, k: Int): String =
-      s"""$name AS (
-         |  SELECT array_to_string(p[1:${k - 1}], ' ') AS g,
-         |    CAST(sum($cnt) AS BIGINT) AS d$k,
-         |    CAST(count(*) FILTER (WHERE $cnt = 1) AS BIGINT) AS m1_$k,
-         |    CAST(count(*) FILTER (WHERE $cnt = 2) AS BIGINT) AS m2_$k,
-         |    CAST(count(*) FILTER (WHERE $cnt >= 3) AS BIGINT) AS m3p_$k
-         |  FROM (SELECT string_split(g, ' ') AS p, $cnt FROM $src) GROUP BY 1
-         |)""".stripMargin
-    def cofSel(src: String, cnt: String, k: Int): String =
-      (1 to 4).map(i =>
-        s"(SELECT CAST(count(*) FILTER (WHERE $cnt = $i) AS BIGINT) FROM $src) AS nn${i}_$k"
-      ).mkString(",\n    ")
-    s"""WITH ${FivegramLm.FivegramCtes},
-       |${contCte("a4r", "c5", 5)},
+  private def contCte(name: String, src: String, hi: Int): String =
+    s"""$name AS (
+       |  SELECT array_to_string(p[2:$hi], ' ') AS g,
+       |    CAST(count(*) AS BIGINT) AS a
+       |  FROM (SELECT string_split(g, ' ') AS p FROM $src) GROUP BY 1
+       |)""".stripMargin
+  private def ctxCte(name: String, src: String, cnt: String, k: Int): String =
+    s"""$name AS (
+       |  SELECT array_to_string(p[1:${k - 1}], ' ') AS g,
+       |    CAST(sum($cnt) AS BIGINT) AS d$k,
+       |    CAST(count(*) FILTER (WHERE $cnt = 1) AS BIGINT) AS m1_$k,
+       |    CAST(count(*) FILTER (WHERE $cnt = 2) AS BIGINT) AS m2_$k,
+       |    CAST(count(*) FILTER (WHERE $cnt >= 3) AS BIGINT) AS m3p_$k
+       |  FROM (SELECT string_split(g, ' ') AS p, $cnt FROM $src) GROUP BY 1
+       |)""".stripMargin
+  private def cofSel(src: String, cnt: String, k: Int): String =
+    (1 to 4).map(i =>
+      s"(SELECT CAST(count(*) FILTER (WHERE $cnt = $i) AS BIGINT) FROM $src) AS nn${i}_$k"
+    ).mkString(",\n    ")
+
+  /** The KN statistics → model → per-doc aggregate CTE chain over an
+    * in-scope c1..c5/d5 census prefix ([[FivegramLm.CensusAndD5Ctes]])
+    * — shared VERBATIM by [[t26Sql]] and CuratePipeline.p03Sql, ending
+    * with `agg26(doc_id, n_5grams, num)`. */
+  private[operators] val KnCtes: String =
+    s"""${contCte("a4r", "c5", 5)},
        |${contCte("a3r", "c4", 4)},
        |${contCte("a2r", "c3", 3)},
        |${contCte("a1r", "c2", 2)},
@@ -250,7 +251,14 @@ object Mkn {
        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_5grams,
        |    -CAST(sum(c * q_log) AS BIGINT) AS num
        |  FROM d5 JOIN model26 USING (g5) GROUP BY doc_id
-       |), scored26 AS (
+       |)""".stripMargin
+
+  /** Oracle: t23's CTE prefix verbatim, the KN statistics as CTEs, the
+    * 25 scalars as scalar subqueries, [[qLogSql]] spliced verbatim. */
+  val t26Sql: String = {
+    import TextOps.qMicroSql
+    s"""WITH ${FivegramLm.FivegramCtes},
+       |$KnCtes, scored26 AS (
        |  SELECT d.doc_id, COALESCE(n_5grams, 0) AS n_5grams,
        |    ${qMicroSql("num", "n_5grams")} AS nll
        |  FROM documents d LEFT JOIN agg26 USING (doc_id)

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CuratePipeline, Mkn}
+
+/** p03 (curate with the production modified-KN LM gate) composition
+  * specs: swapping stage 4's scorer changes ONLY the LM column and the
+  * flags derived from it — every other stage verdict is bit-identical
+  * to p01's — and the lm_ok flag equals the independently-run t26
+  * scorer thresholded at the same ceiling. */
+class Round10P03Spec extends GraftSpecBase {
+  import spark.implicits._
+
+  // doc 1 (canonical of the 1-2-3 exact-dup cluster) repeats a
+  // stopword-rich sentence three times corpus-wide (5-gram counts 3);
+  // doc 4 is a unique stopword-rich sentence (all 5-grams singletons).
+  // Both pass every non-LM gate and score DIFFERENT mkn NLLs, so a
+  // ceiling strictly between them deterministically moves exactly the
+  // higher-NLL one
+  private val rep = "the cat sat on the mat with the hat in the sun"
+  private val docs = Seq(
+    (1L, "en", "web", rep),
+    (2L, "en", "web", rep),
+    (3L, "en", "news", rep),
+    (4L, "en", "news", "a dog ran by a tree near a pond under a cloud"),
+    (5L, "en", "blog", "short doc"),
+    (6L, "en", "blog", "some other words with the usual stops in the middle here")
+  ).toDF("doc_id", "lang", "source", "text")
+
+  private lazy val nlls: Map[Long, Option[Double]] =
+    Mkn.mkn5Lm(docs.select($"doc_id", $"text")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+  /** Strictly between the two gate-surviving docs' NLLs (their order
+    * is a model property, not the spec's concern — on a 6-doc corpus
+    * the tier-3 discount makes the REPEATED doc the pricier one). */
+  private lazy val ceiling: Double = {
+    assert(nlls(1L).get != nlls(4L).get)
+    (nlls(1L).get + nlls(4L).get) / 2.0
+  }
+
+  private def collectFlags(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      r.getAs[Long]("doc_id") -> (
+        r.getAs[Boolean]("exact_canonical"), r.getAs[Boolean]("neardup_kept"),
+        r.getAs[Boolean]("quality_ok"), r.getAs[Boolean]("decontam_ok"),
+        r.getAs[Boolean]("is_eval"), r.getAs[Double]("quality_score"),
+        r.getAs[Long]("n_tokens"))
+    }.toMap
+
+  // the t13 baseline runs with a lenient ceiling (its nll scale is
+  // corpus-dependent on a 6-doc corpus) — keep moves are then
+  // attributable to the mkn gate alone
+  private lazy val p13 = CuratePipeline.p01Over(spark, docs, nllMax = 1e9)
+  private lazy val p26 = CuratePipeline.p01Over(spark, docs,
+    nllMax = ceiling, lmScorer = Mkn.mkn5Lm)
+
+  test("p03: every non-LM stage verdict is bit-identical to p01's") {
+    assert(collectFlags(p26) == collectFlags(p13))
+  }
+
+  test("p03: lm_ok equals the independent t26 scorer at the same ceiling") {
+    val got = p26.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("lm_ok")).toMap
+    val want = nlls.map { case (id, n) => id -> n.exists(_ <= ceiling) }
+    assert(got == want)
+  }
+
+  test("p03: the gate swap actually moves keep, and only via lm_ok") {
+    val k13 = p13.collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Boolean]("keep"), r.getAs[Boolean]("lm_ok"))).toMap
+    val k26 = p26.collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Boolean]("keep"), r.getAs[Boolean]("lm_ok"))).toMap
+    val moved = k13.keys.filter(id => k13(id)._1 != k26(id)._1)
+    assert(moved.nonEmpty)
+    // a moved keep always coincides with a moved lm_ok (no other gate
+    // can move — test 1 pins them bit-identical)
+    moved.foreach(id => assert(k13(id)._2 != k26(id)._2))
+  }
+
+  test("p03: a doc dropped by the LM gate loses its mix weight and packing") {
+    val dropped = p26.filter(!col("keep")).filter(col("exact_canonical"))
+    assert(dropped.filter(col("mix_weight").isNotNull).count() == 0)
+    assert(dropped.filter(col("start_off").isNotNull).count() == 0)
+  }
+}
