@@ -50,10 +50,14 @@ import graft.operators.TextOps.{normText, qMicroSql}
   * stage would be either dead (thresholds honest) or unrepresentative
   * (thresholds bent); the composed batch path is spec-driven on an
   * engineered multi-line corpus where each rule fires
-  * (Round10PipelineSpec). At 100 TB the stage-2 pair
-  * source swaps to d03's LSH candidates (identical downstream algebra, then
-  * rows-only like d06) — exact shared-shingle emission is the ORACLED form
-  * and is itself bounded by shingle document-frequency, not corpus size.
+  * (Round10PipelineSpec). The stage-2 pair source is a PARAMETER
+  * (`lshPairs`): exact shared-shingle emission is the default ORACLED
+  * form (itself bounded by shingle document-frequency, not corpus
+  * size); `lshPairs = true` swaps in d03's MinHash-band candidates —
+  * the 100 TB source — feeding the SAME exact-Jaccard confirmation, so
+  * the two agree exactly whenever every true pair shares a band
+  * (Round10LshPairsSpec pins agreement on a band-colliding corpus AND
+  * the honest recall loss on an engineered band-missing pair).
   */
 object CuratePipeline {
 
@@ -107,9 +111,10 @@ object CuratePipeline {
   private[graft] def p01Over(spark: SparkSession, documents: DataFrame,
       qualityMin: Double = QualityMin, nllMax: Double = NllMax,
       requireGopher: Boolean = false, requireC4: Boolean = false,
-      lmScorer: DataFrame => DataFrame = TextOps.bigramLm): DataFrame =
+      lmScorer: DataFrame => DataFrame = TextOps.bigramLm,
+      lshPairs: Boolean = false): DataFrame =
     p01Finish(p01PartsOf(spark, documents, qualityMin, nllMax,
-      requireGopher, requireC4, lmScorer))
+      requireGopher, requireC4, lmScorer, lshPairs))
 
   /** Stages 1-5 and the per-doc flag relation. `requireGopher`/
     * `requireC4` compose the t15/t19 rule gates as additional stages
@@ -124,7 +129,8 @@ object CuratePipeline {
   private[graft] def p01PartsOf(spark: SparkSession, documents: DataFrame,
       qualityMin: Double = QualityMin, nllMax: Double = NllMax,
       requireGopher: Boolean = false, requireC4: Boolean = false,
-      lmScorer: DataFrame => DataFrame = TextOps.bigramLm): P01Parts = {
+      lmScorer: DataFrame => DataFrame = TextOps.bigramLm,
+      lshPairs: Boolean = false): P01Parts = {
     graft.functions.Ngrams.register(spark)
 
     // the ONE corpus materialization every stage reads (see scaladoc)
@@ -168,18 +174,38 @@ object CuratePipeline {
     val sh = surv.select(col("doc_id"), col("lang"),
         explode(graft.functions.Ngrams.ngramHashes(col("tk"), 3)).as("sh"))
       .distinct()
-    val shCounts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.lang") === col("b.lang") && col("a.sh") === col("b.sh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    val pairs = inter
-      .join(shCounts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
-      .join(shCounts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
-      .filter(round(col("n_inter").cast("double") /
-        (col("n_a") + col("n_b") - col("n_inter")), 6) >= JaccardMin)
-      .select("doc_a", "doc_b")
+    // pair source: exact shared-shingle enumeration (the ORACLED form,
+    // bounded by shingle document-frequency) or, with `lshPairs`, d03's
+    // MinHash-band candidates — the 100 TB source. Both feed the SAME
+    // exact-Jaccard ≥ threshold confirmation, so they agree whenever
+    // every true pair shares a band (recall is the only difference —
+    // spec-pinned both ways in Round10LshPairsSpec).
+    val pairs = if (!lshPairs) {
+      val shCounts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = sh.as("a").join(sh.as("b"),
+          col("a.lang") === col("b.lang") && col("a.sh") === col("b.sh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(shCounts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+        .join(shCounts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+        .filter(round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6) >= JaccardMin)
+        .select("doc_a", "doc_b")
+    } else {
+      graft.functions.BottomKDistinct.register(spark)
+      val langOf = surv.select(col("doc_id"), col("lang"))
+      val cand = DedupOps.lshCandidates(
+          sh.select(col("doc_id"), col("sh").as("h")))
+        .join(langOf.select(col("doc_id").as("doc_a"), col("lang").as("la")), "doc_a")
+        .join(langOf.select(col("doc_id").as("doc_b"), col("lang").as("lb")), "doc_b")
+        .filter(col("la") === col("lb"))
+        .select("doc_a", "doc_b")
+      DedupOps.jaccardVerify(cand, sh.select(col("doc_id"), col("sh").as("h")), Nil)
+        .filter(col("jaccard") >= JaccardMin)
+        .select("doc_a", "doc_b")
+    }
     val members = Components.connectedComponents(pairs, "doc_a", "doc_b")
     val keepers = members
       .join(quality.select(col("doc_id"), col("quality_score")),

@@ -558,6 +558,22 @@ object DedupOps {
         (col("n_a") + col("n_b") - col("n_inter")), 6))
   }
 
+  /** LSH candidate (doc_a, doc_b) pairs from a raw (doc_id, h) shingle
+    * relation — d03's sketch → band → capped-bucket self-join, factored
+    * so composed pipelines (p01's stage-2 `lshPairs` source) reuse the
+    * exact candidate algebra d03 runs. Distinct because a pair can
+    * collide in several bands. */
+  private[graft] def lshCandidates(shRaw: DataFrame): DataFrame = {
+    val sigs = bandSigs(shRaw)
+    val capped = capBuckets(sigs, MaxBucket, col("band"), col("key"))
+    capped.as("x")
+      .join(capped.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   /** d03: MinHash+LSH candidate pairs, verified with exact Jaccard.
     *
     * Uses a bottom-k one-permutation sketch over native

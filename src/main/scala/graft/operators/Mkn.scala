@@ -42,6 +42,15 @@ import graft.Tables
   * all eight joins are inner and total; scoring is one census ⋈ model
   * join + a doc-keyed aggregate. Closed-form — no iteration.
   *
+  * No streaming face, deliberately: t23's `fivegramPplStream` assigns
+  * unseen 5-grams its exact context-free floor λ₁/(N+V); modified KN
+  * has NO such constant — an unseen gram's mass is γ₅(ctx)·p₄(·),
+  * context-dependent at every level, so an honest stream gate would
+  * ship the full lower-order artifact chain, not a floor scalar. The
+  * streaming LM gate therefore stays t23 (the documented JM form);
+  * batch entries score their own training corpus where nothing is
+  * unseen.
+  *
   * Reference analog: `AnalyzeBatch.groovy:88-97`'s gate family — the
   * member production pipelines actually deploy (CCNet/Gopher gate on a
   * 5-gram KenLM with modified-KN smoothing).

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CuratePipeline
+
+/** p01's stage-2 pair-source parameter: `lshPairs = true` swaps the
+  * exact shared-shingle enumeration for d03's MinHash-band candidates,
+  * feeding the SAME exact-Jaccard confirmation. The two agree exactly
+  * whenever every true pair collides in at least one band; when a true
+  * pair shares no band, LSH keeps both docs — the honest recall loss
+  * of the 100 TB pair source, pinned here rather than papered over.
+  * Both corpora are FIXED, so the xxhash64-dependent band geometry is
+  * deterministic — each was chosen (not tuned per-run) to land on the
+  * collision side it demonstrates. */
+class Round10LshPairsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def wordsDoc(n: Int, tag: String): String =
+    (1 to n).map(i => s"$tag$i").mkString(" ")
+
+  private def flagsOf(df: org.apache.spark.sql.DataFrame): Map[Long, (Boolean, Boolean)] =
+    df.collect().map(r => r.getAs[Long]("doc_id") ->
+      ((r.getAs[Boolean]("neardup_kept"), r.getAs[Boolean]("keep")))).toMap
+
+  test("p01 lshPairs: identical pipeline output when every true pair shares a band") {
+    // doc 2 = doc 1 plus one appended word — 58 of 61 shingles shared
+    // (J ≈ 0.95), sketches differ by at most the appended word's three
+    // shingle hashes, so low bands collide
+    val base = wordsDoc(60, "w")
+    val docs = Seq(
+      (1L, "en", "web", base),
+      (2L, "en", "web", base + " extraword"),
+      (3L, "en", "news", wordsDoc(40, "x")),
+      (4L, "en", "blog", wordsDoc(40, "y"))
+    ).toDF("doc_id", "lang", "source", "text")
+    val exact = CuratePipeline.p01Over(spark, docs)
+    val lsh = CuratePipeline.p01Over(spark, docs, lshPairs = true)
+    // the near-dup pair is real: exactly one of docs 1/2 survives stage 2
+    val ef = flagsOf(exact)
+    assert(Seq(ef(1L)._1, ef(2L)._1).count(identity) == 1)
+    // and the LSH-sourced pipeline reproduces the exact one bit-for-bit
+    assert(lsh.collect().toSeq == exact.collect().toSeq)
+  }
+
+  test("p01 lshPairs: a band-missing true pair is kept by LSH — the recall loss") {
+    // 12-token docs differing in their last two words: J = 8/12 ≥ 0.5,
+    // but the two changed shingle hashes interleave the 10-element
+    // sketches so no 4-minima band survives intact
+    val docs = Seq(
+      (1L, "en", "web", "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"),
+      (2L, "en", "web", "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 b11 b12"),
+      (3L, "en", "news", wordsDoc(40, "x"))
+    ).toDF("doc_id", "lang", "source", "text")
+    val ef = flagsOf(CuratePipeline.p01Over(spark, docs))
+    val lf = flagsOf(CuratePipeline.p01Over(spark, docs, lshPairs = true))
+    // exact enumeration finds the pair and drops the loser ...
+    assert(Seq(ef(1L)._1, ef(2L)._1).count(identity) == 1)
+    // ... the banded source misses it and keeps both (documented)
+    assert(lf(1L)._1 && lf(2L)._1)
+  }
+}
