@@ -523,6 +523,11 @@ object CuratePipeline {
        |  SELECT doc_id, ${qMicroSql("num", "n_5grams")} AS nll FROM agg26
        |)""".stripMargin
 
-  val p03Sql: String = pipelineSelect(
-    s"$P01CtesPrefix, $MknLmCtes, ${p01CtesSuffix(MknNllMax)}")
+  /** The p03 variant chain — p01's prefix/suffix with the t26 LM block
+    * spliced in; [[ReleasePipeline.p04Sql]] extends it the way p02Sql
+    * extends [[p01Ctes]]. */
+  private[operators] val p03Ctes: String =
+    s"$P01CtesPrefix, $MknLmCtes, ${p01CtesSuffix(MknNllMax)}"
+
+  val p03Sql: String = pipelineSelect(p03Ctes)
 }

@@ -63,6 +63,22 @@ object ReleasePipeline {
     p02Finish(parts, nShards)
   }
 
+  /** p04: the SAME release tail over the p03 curation — the production
+    * chain end to end (modified-KN LM gate, then split/shard/datasheet).
+    * Release placement is gate-agnostic by construction: split and
+    * shard derive from cluster canonical and content fingerprint alone,
+    * so a document kept by both p02 and p04 lands in the same split and
+    * shard under either gate (spec-pinned); only within-shard ranks and
+    * the audits move with the kept set. Oracle = p02's tail CTEs over
+    * [[CuratePipeline.p03Ctes]] — one tail definition, two chains. */
+  def p04ReleaseMkn(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    val t = Tables(spark, dir)
+    val parts = CuratePipeline.p01PartsOf(spark, t.spread(t.documents),
+      nllMax = CuratePipeline.MknNllMax, lmScorer = Mkn.mkn5Lm)
+    p02Finish(parts)
+  }
+
   /** Split + shard + datasheet over an already-curated [[CuratePipeline.P01Parts]]. */
   private[graft] def p02Finish(parts: CuratePipeline.P01Parts,
       nShards: Int = NShards): DataFrame = {
@@ -114,8 +130,10 @@ object ReleasePipeline {
       .orderBy("doc_id")
   }
 
-  val p02Sql: String =
-    s"""${CuratePipeline.p01Ctes}, keptrel AS (
+  /** The release-tail CTEs + projection over any assembled curation
+    * chain — ONE definition p02Sql and p04Sql both instantiate. */
+  private def releaseTail(ctes: String): String =
+    s"""$ctes, keptrel AS (
        |  SELECT f.doc_id, f.lang, f.source, f.n_tokens,
        |    coalesce(c.component, f.doc_id) AS canonical, n.norm
        |  FROM flags2 f
@@ -161,4 +179,8 @@ object ReleasePipeline {
        |JOIN shard_audit ha ON ha.split = r.split AND ha.shard_id = r.shard_id
        |JOIN sheet sh ON sh.split = r.split AND sh.source = r.source
        |ORDER BY r.doc_id""".stripMargin
+
+  val p02Sql: String = releaseTail(CuratePipeline.p01Ctes)
+
+  val p04Sql: String = releaseTail(CuratePipeline.p03Ctes)
 }

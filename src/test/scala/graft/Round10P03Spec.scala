@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{CuratePipeline, Mkn}
+import graft.operators.{CuratePipeline, Mkn, ReleasePipeline}
 
 /** p03 (curate with the production modified-KN LM gate) composition
   * specs: swapping stage 4's scorer changes ONLY the LM column and the
@@ -76,6 +76,28 @@ class Round10P03Spec extends GraftSpecBase {
     // a moved keep always coincides with a moved lm_ok (no other gate
     // can move — test 1 pins them bit-identical)
     moved.foreach(id => assert(k13(id)._2 != k26(id)._2))
+  }
+
+  test("p04: release placement is gate-agnostic — common docs keep split and shard") {
+    graft.functions.PolyFingerprint.register(spark)
+    val parts13 = CuratePipeline.p01PartsOf(spark, docs, nllMax = 1e9)
+    val parts26 = CuratePipeline.p01PartsOf(spark, docs,
+      nllMax = ceiling, lmScorer = Mkn.mkn5Lm)
+    def placements(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("canonical"), r.getAs[String]("split"),
+          r.getAs[Long]("shard_id")))).toMap
+    val r13 = placements(ReleasePipeline.p02Finish(parts13))
+    val r26 = placements(ReleasePipeline.p02Finish(parts26))
+    // the mkn gate shrinks the released set ...
+    assert(r26.keySet.subsetOf(r13.keySet) && r26.size < r13.size)
+    // ... but never moves a surviving document's split or shard: both
+    // derive from cluster canonical + content fingerprint alone
+    r26.keys.foreach(id => assert(r26(id) == r13(id)))
+    // and the released set is exactly p03's kept set
+    val kept26 = p26.filter(col("keep")).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(r26.keySet == kept26)
   }
 
   test("p03: a doc dropped by the LM gate loses its mix weight and packing") {
