@@ -1,0 +1,95 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, Predicate}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, LongType}
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Native Bloom-filter membership probe: `bloom_might_contain(filter,
+  * hash)` over a FOLDABLE serialized [[org.apache.spark.util.sketch
+  * .BloomFilter]] (the public sketch `DataFrame.stat.bloomFilter`
+  * builds) and an xxhash64 LONG probe value.
+  *
+  * Why a native expression: the sketch API exposes `mightContainLong`
+  * only as a JVM call, and the zero-UDF discipline (§F) wants the probe
+  * inside whole-stage codegen — this is the same literal-filter +
+  * reference-object shape Spark's own runtime-filter expression uses,
+  * under graft's control so the build side (`putLong` via
+  * `stat.bloomFilter` on an xxhash64 column) and the probe side
+  * (`mightContainLong`) are guaranteed to speak the same hash family.
+  * The filter deserializes ONCE per task (transient lazy; the codegen
+  * path binds the deserialized object as a plan reference), so the
+  * per-row work is two xxhash64-derived bit probes — no join, no
+  * shuffle.
+  *
+  * Guarantee the d13 operator leans on: NO FALSE NEGATIVES — a key that
+  * was put is always `might contain`. False positives are possible (the
+  * fpp knob) and must be resolved by an exact confirm step.
+  */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression with Predicate {
+
+  override def prettyName: String = "bloom_might_contain"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain expects a BINARY serialized filter, got ${left.dataType}")
+    else if (!left.foldable)
+      TypeCheckResult.TypeCheckFailure(
+        "bloom_might_contain expects a FOLDABLE (literal) filter — broadcast the bytes as a literal")
+    else if (right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain expects a BIGINT probe (xxhash64 of the key), got ${right.dataType}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private lazy val filter: BloomFilter = {
+    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
+    BloomFilter.readFrom(new ByteArrayInputStream(bytes))
+  }
+
+  override def nullSafeEval(bf: Any, v: Any): Any =
+    filter.mightContainLong(v.asInstanceOf[Long])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("graftBloomFilter", filter,
+      classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, (_, v) => s"${ev.value} = $bfRef.mightContainLong($v);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomMightContain {
+  val info = new ExpressionInfo(classOf[BloomMightContain].getName,
+    "bloom_might_contain")
+
+  private[functions] def build(children: Seq[Expression]): Expression = {
+    Ngrams.requireArity(children, 2, "bloom_might_contain")
+    BloomMightContain(children(0), children(1))
+  }
+
+  /** Idempotent per-session registration. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_might_contain", build, "built-in")
+
+  /** `bloom_might_contain(filterBytes, hash)` as a Column (requires
+    * [[register]] on the session). */
+  def mightContain(filterBytes: Column, hash: Column): Column =
+    org.apache.spark.sql.functions.call_function(
+      "bloom_might_contain", filterBytes, hash)
+
+  /** Serialize a sketch filter for embedding as a binary plan literal. */
+  def serialize(bf: BloomFilter): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(baos)
+    baos.toByteArray
+  }
+}

@@ -106,5 +106,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("top_k_by_score"), TopKByScore.info, TopKByScore.build _))
     e.injectFunction((
       FunctionIdentifier("heavy_hitters"), MisraGries.info, MisraGries.build _))
+    e.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      BloomMightContain.info,
+      BloomMightContain.build _))
   }
 }

@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.BloomMightContain
+
+/** d13: BLOOM-PREFILTERED INCREMENTAL EXACT DEDUP — d07's continual-
+  * ingestion path with the join pruned by a membership sketch (Bloom
+  * '70; the shape production crawl pipelines run at corpus scale:
+  * CCNet/Dolma-class dedup keeps a compact filter of every content hash
+  * ever admitted and routes only "maybe seen" documents to the exact
+  * index probe).
+  *
+  * The decision algebra is d07's, verbatim: `known_dup` (hash already
+  * in the standing index), `batch_dup` (first seen earlier in this
+  * batch), `new`. What changes is WHO pays the index join:
+  *
+  *   - bloom-NEGATIVE incoming docs are **definitely not** in the index
+  *     (no false negatives) → classified row-locally against the
+  *     within-batch minimum only; the standing index relation is never
+  *     joined on this leg.
+  *   - bloom-POSITIVE docs (true hits + the fpp-rate false positives)
+  *     take d07's exact left-join confirm, which corrects every false
+  *     positive — so the composed output is EXACTLY d07's and the
+  *     ORACLE IS d07's ([[TextOps.d07Sql]]): the filter is a pure
+  *     performance device that cannot change the answer, and the spec
+  *     pins that with a deliberately tiny, high-fpp filter.
+  *
+  * Scale shape: at 100 TB the standing index is ~10⁹ hashes; the filter
+  * at 3% fpp is ~0.9 GB — built ONCE per corpus generation with the
+  * distributed sketch aggregate and shipped to executors as a plan
+  * literal (the codebooks-as-literals pattern), vs shuffling the full
+  * incoming batch against a 10⁹-row index. Since real crawl batches are
+  * overwhelmingly novel content, the confirm join's input shrinks to
+  * (dup rate + fpp) of the batch — the exact join becomes proportional
+  * to the DUPLICATES, not the batch. The within-batch leg stays a
+  * batch-keyed (≪ index) aggregate. `expectedItems` is a catalog
+  * statistic at scale (the store's row count); the driver entry counts
+  * the index once. Spark's own AQE runtime bloom filters solve the
+  * same problem for single-query joins; this operator persists the
+  * decision ACROSS queries — the standing-store form AQE cannot see.
+  *
+  * Reference analog: `CreateBatch.groovy:71-88` pre-validates incoming
+  * items against existing state before the expensive per-item work —
+  * this is that admission gate with a sketch in front of it.
+  */
+object BloomDedup {
+  private[graft] val Fpp = 0.03
+
+  /** The two legs — (fast-path: bloom-negative, never joins the index;
+    * confirm: bloom-positive, d07's exact left join) — exposed so the
+    * spec can assert the fast path's plan really is index-join-free.
+    * `expectedItems <= 0` means "count the index" (a catalog statistic
+    * at scale). */
+  /** Build the frozen admission filter over a standing index's
+    * content_hash column — the per-corpus-generation artifact both the
+    * batch legs and [[graft.streaming.StreamingJobs.bloomGateStream]]
+    * probe (ONE builder, so build and probe are guaranteed to speak the
+    * same xxhash64-LONG key family). */
+  private[graft] def buildFilter(index: DataFrame, expectedItems: Long = -1L,
+      fpp: Double = Fpp): Array[Byte] = {
+    val n = if (expectedItems > 0) expectedItems
+            else math.max(index.count(), 64L)
+    BloomMightContain.serialize(
+      index.select(xxhash64(col("content_hash")).as("h"))
+        .stat.bloomFilter("h", n, fpp))
+  }
+
+  private[graft] def bloomLegs(incoming: DataFrame, index: DataFrame,
+      expectedItems: Long = -1L, fpp: Double = Fpp): (DataFrame, DataFrame) = {
+    val spark = incoming.sparkSession
+    BloomMightContain.register(spark)
+    val bytes = buildFilter(index, expectedItems, fpp)
+    val batchMin = incoming.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("batch_canon"))
+    val tagged = incoming
+      .join(batchMin, "content_hash")
+      .withColumn("bloom_hit", BloomMightContain.mightContain(
+        lit(bytes), xxhash64(col("content_hash"))))
+    val fast = tagged.filter(!col("bloom_hit"))
+      .select(col("doc_id"),
+        when(col("batch_canon") < col("doc_id"), lit("batch_dup"))
+          .otherwise(lit("new")).as("status"),
+        when(col("batch_canon") < col("doc_id"), col("batch_canon"))
+          .as("dup_of"))
+    val confirm = tagged.filter(col("bloom_hit"))
+      .join(index.select(col("content_hash"), col("index_canon")),
+        Seq("content_hash"), "left")
+      .select(col("doc_id"),
+        when(col("index_canon").isNotNull, lit("known_dup"))
+          .when(col("batch_canon") < col("doc_id"), lit("batch_dup"))
+          .otherwise(lit("new")).as("status"),
+        when(col("index_canon").isNotNull, col("index_canon"))
+          .when(col("batch_canon") < col("doc_id"), col("batch_canon"))
+          .as("dup_of"))
+    (fast, confirm)
+  }
+
+  /** d07's incoming/index split over the documents table (every
+    * `IncomingMod`-th doc plays the newly-crawled batch). */
+  private[graft] def splitDocs(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val t = Tables(spark, dir)
+    val hashed = t.spread(t.documents)
+      .select(col("doc_id"), md5(TextOps.normText(col("text"))).as("content_hash"))
+    val m = TextOps.IncomingMod
+    val incoming = hashed.filter(col("doc_id") % m === m - 1)
+    val index = hashed.filter(col("doc_id") % m =!= m - 1)
+      .groupBy(col("content_hash")).agg(min(col("doc_id")).as("index_canon"))
+    (incoming, index)
+  }
+
+  def d13BloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (incoming, index) = splitDocs(spark, dir)
+    val (fast, confirm) = bloomLegs(incoming, index)
+    fast.unionByName(confirm).orderBy("doc_id")
+  }
+
+  /** The filter cannot change the answer, so the oracle IS d07's. */
+  val d13Sql: String = TextOps.d07Sql
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** t27: PMI COLLOCATION MINING — the corpus-statistics face of t13's
+  * bigram census (Church & Hanks '90, "Word Association Norms, Mutual
+  * Information, and Lexicography"): rank bigrams by pointwise mutual
+  * information
+  *
+  *   pmi(w₁,w₂) = ln( c₁₂ · N / (c₁ · c₂) )
+  *
+  * — how much more often the pair co-occurs than independence predicts.
+  * This is the vocabulary-curation query a training-data pipeline runs
+  * to mine multi-word expressions for tokenizer seeding (t10/t21's
+  * word-boundary assumption is exactly what collocations violate) and
+  * to audit boilerplate phrases that survive t05's repetition gates.
+  * A minimum pair count (`MinCount`) applies first — PMI's known
+  * pathology is that hapax pairs score highest — then the global top
+  * `TopN` by (pmi, w₁, w₂).
+  *
+  * Exactness: counts are exact 64-bit integers (t13's own census); the
+  * log is ONE float expression over identical integers ([[pmiSql]],
+  * spliced verbatim into both engines) quantized to the 1e-7 grid, so
+  * ordering, the LIMIT boundary, and the reported values are all decided
+  * on integers — hash-exact. The oracle EXTENDS [[TextOps.T13CoreCtes]]
+  * so the unigram/bigram statistics are t13's own `uni`/`totals`/`db`
+  * CTEs and the two faces cannot drift (t16/t22's shared-CTE
+  * discipline).
+  *
+  * Scale shape: one tokenize pass feeds the map-side-combined unigram
+  * and bigram censuses; the `c12 >= MinCount` filter prunes the long
+  * tail BEFORE the two unigram joins (at 100 TB that filter removes the
+  * vast majority of distinct pairs — Zipf — so the join input is the
+  * head, not the tail); the corpus total is a broadcast scalar; and the
+  * global top-N is a TakeOrdered (per-partition top-N heads merged on
+  * the driver, never a global sort). No windows.
+  *
+  * Reference analog: `AnalyzeBatch.groovy:88-97` aggregates value
+  * statistics over a batch's items; this is that census shape applied
+  * to adjacent-pair association.
+  */
+object Collocations {
+  private[graft] val MinCount = 3
+  private[graft] val TopN = 50
+
+  /** Quantized log-ratio ln((a·b)/(c·d)) on the 1e-7 grid — ONE
+    * expression string both engines run verbatim (valid Spark SQL and
+    * DuckDB SQL). PMI is lnRatioQSql(c12, N, c1, c2); c23's KL inner
+    * log is lnRatioQSql(c_st, N, n_s, c_t) — the same functional form,
+    * shared so the two operators cannot drift on the grid. */
+  private[operators] def lnRatioQSql(a: String, b: String, c: String, d: String): String =
+    s"CAST(round(ln((CAST($a AS DOUBLE) * CAST($b AS DOUBLE)) / " +
+      s"(CAST($c AS DOUBLE) * CAST($d AS DOUBLE))) * 10000000.0) AS BIGINT)"
+
+  /** The PMI expression: ln(c12·N / (c1·c2)) on the 1e-7 grid. */
+  private def pmiSql(c12: String, c1: String, c2: String, n: String): String =
+    lnRatioQSql(c12, n, c1, c2)
+
+  /** PMI top-N over any (doc_id, text) relation — spec'd for the
+    * property that defines the operator: an always-together pair
+    * outranks a more frequent pair of independent words. */
+  private[graft] def pmiOver(d: DataFrame): DataFrame = {
+    graft.functions.Ngrams.register(d.sparkSession)
+    val uni = d.select(explode(TextOps.tokensOf(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    val totals = uni.agg(sum(col("cf")).as("n_corpus"))
+    TextOps.docBigrams(d)
+      .groupBy(col("bg")).agg(sum(col("c")).as("c12"))
+      .filter(col("c12") >= MinCount)
+      .withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(uni.select(col("tok").as("w1"), col("cf").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("cf").as("c2")), "w2")
+      .crossJoin(broadcast(totals))
+      .withColumn("pmi_q", expr(pmiSql("c12", "c1", "c2", "n_corpus")))
+      .orderBy(col("pmi_q").desc, col("w1"), col("w2"))
+      .limit(TopN)
+      .select(col("w1"), col("w2"), col("c12"),
+        (col("pmi_q").cast("double") / 1e7).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+  }
+
+  def t27PmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    val t = Tables(spark, dir)
+    pmiOver(t.spread(t.documents).select(col("doc_id"), col("text")))
+  }
+
+  val t27Sql: String =
+    s"""WITH ${TextOps.T13CoreCtes}, bgc AS (
+       |  SELECT bg, CAST(sum(c) AS BIGINT) AS c12,
+       |    string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+       |  FROM db GROUP BY bg HAVING CAST(sum(c) AS BIGINT) >= $MinCount
+       |), pm AS (
+       |  SELECT w1, w2, c12,
+       |    ${pmiSql("c12", "c1", "c2", "n_corpus")} AS pmi_q
+       |  FROM bgc
+       |  JOIN (SELECT tok AS w1, cf AS c1 FROM uni) u1 USING (w1)
+       |  JOIN (SELECT tok AS w2, cf AS c2 FROM uni) u2 USING (w2), totals
+       |)
+       |SELECT w1, w2, c12, CAST(pmi_q AS DOUBLE) / 10000000.0 AS pmi
+       |FROM pm ORDER BY pmi_q DESC, w1, w2 LIMIT $TopN""".stripMargin
+}

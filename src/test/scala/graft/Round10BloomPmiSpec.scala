@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{BloomDedup, Collocations, TextOps}
+
+/** Round-10 late additions: d13 Bloom-prefiltered incremental dedup and
+  * t27 PMI collocation mining. */
+class Round10BloomPmiSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- d13
+  test("d13 ≡ d07 exactly on the driver corpus (the filter cannot change the answer)") {
+    val d13 = BloomDedup.d13BloomDedup(spark, sfDir).collect()
+    val d07 = TextOps.d07IncrementalDedup(spark, sfDir).collect()
+    assert(d13.length === d07.length)
+    d13.zip(d07).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("d13 with a deliberately tiny, saturated filter still ≡ d07 (false positives are corrected by the confirm join)") {
+    val (incoming, index) = BloomDedup.splitDocs(spark, sfDir)
+    // expectedItems=1 under-provisions the filter by ~3 orders of
+    // magnitude: nearly every probe is a false POSITIVE, routing nearly
+    // the whole batch down the confirm leg — output must not move.
+    val (fast, confirm) = BloomDedup.bloomLegs(incoming, index,
+      expectedItems = 1L, fpp = 0.5)
+    val got = fast.unionByName(confirm).orderBy("doc_id").collect()
+    val want = TextOps.d07IncrementalDedup(spark, sfDir).collect()
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (a, b) => assert(a === b) }
+  }
+
+  test("d13 no false negatives: every d07 known_dup is bloom-positive (fast path never misroutes a known dup)") {
+    val (incoming, index) = BloomDedup.splitDocs(spark, sfDir)
+    val (fast, _) = BloomDedup.bloomLegs(incoming, index)
+    // The fast (bloom-negative) leg must contain ZERO docs that d07
+    // classifies known_dup — the no-false-negative guarantee that makes
+    // the oracle shareable.
+    val knownDups = TextOps.d07IncrementalDedup(spark, sfDir)
+      .filter(col("status") === "known_dup")
+      .select("doc_id")
+    assert(fast.join(knownDups, "doc_id").count() === 0L)
+  }
+
+  test("d13 fast path never joins the standing index (one join: the within-batch minimum); confirm leg does") {
+    val (incoming, index) = BloomDedup.splitDocs(spark, sfDir)
+    val (fast, confirm) = BloomDedup.bloomLegs(incoming, index)
+    def joins(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.size
+    assert(joins(fast) === 1)    // batchMin only
+    assert(joins(confirm) === 2) // batchMin + the exact index confirm
+  }
+
+  test("bloom_might_contain survives codegen and honors its type contract") {
+    graft.functions.BloomMightContain.register(spark)
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    (1L to 50L).foreach(bf.putLong)
+    val bytes = graft.functions.BloomMightContain.serialize(bf)
+    val got = spark.range(1, 101)
+      .withColumn("hit", graft.functions.BloomMightContain.mightContain(
+        lit(bytes), col("id")))
+      .filter(col("hit")).select("id").as[Long].collect().toSet
+    // no false negatives: all of 1..50 present
+    assert((1L to 50L).toSet.subsetOf(got))
+    // a non-foldable filter argument is rejected at analysis
+    val err = intercept[Exception] {
+      spark.range(1).selectExpr(
+        "bloom_might_contain(CAST(CONCAT('x', CAST(id AS STRING)) AS BINARY), id)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("foldable") ||
+      err.getMessage.toLowerCase.contains("literal"))
+  }
+
+  // ------------------------------------------------------------- t27
+  test("t27 PMI: hand-computed value, MinCount floor, and collocation-beats-frequency ordering") {
+    // Engineered corpus: "gila monster" always co-occurs (4×); "the cat"
+    // co-occurs 4× but both words are frequent elsewhere — independence
+    // predicts "the cat" well, so its PMI must land below the always-
+    // together pair. "rare pair" appears twice: under MinCount=3, must
+    // be absent.
+    val docs = Seq(
+      (1L, "gila monster in the sun and the cat sat"),
+      (2L, "gila monster near the cat and the dog"),
+      (3L, "gila monster and the cat ran to the house"),
+      (4L, "gila monster saw the cat rare pair"),
+      (5L, "the dog and the house rare pair the cat")
+    ).toDF("doc_id", "text")
+    val out = Collocations.pmiOver(docs).collect()
+    val byPair = out.map(r => ((r.getString(0), r.getString(1)),
+      (r.getLong(2), r.getDouble(3)))).toMap
+
+    // exact expectation for "gila monster": c12=4, c1=c("gila")=4,
+    // c2=c("monster")=4, N = total tokens
+    val n = docs.select(explode(TextOps.tokensOf(col("text")))).count()
+    val want = math.rint(math.log(4.0 * n / (4.0 * 4.0)) * 1e7) / 1e7
+    assert(byPair(("gila", "monster"))._1 === 4L)
+    assert(byPair(("gila", "monster"))._2 === want)
+
+    // MinCount: "rare pair" (c12=2) excluded
+    assert(!byPair.contains(("rare", "pair")))
+
+    // the always-together pair outranks the frequent-independent pair
+    assert(byPair(("gila", "monster"))._2 > byPair(("the", "cat"))._2)
+
+    // output is capped at TopN and ordered (pmi desc, w1, w2)
+    assert(out.length <= Collocations.TopN)
+    val keys = out.map(r => (-r.getDouble(3), r.getString(0), r.getString(1)))
+    assert(keys.sameElements(keys.sorted))
+  }
+}
