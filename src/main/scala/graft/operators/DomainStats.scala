@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** c23: PER-SOURCE KL DIVERGENCE — the domain-shift audit behind every
+  * data-mixing decision (Xie et al. '23 DoReMi-class reweighting and
+  * the c21 datasheet's "how different is this source" column): for each
+  * source s, KL(P_s ‖ P_corpus) over the unigram token distributions,
+  *
+  *   KL(s) = Σ_tok (c_st / n_s) · ln( (c_st · N) / (n_s · c_t) )
+  *
+  * — how many extra nats a corpus-trained code pays per token of source
+  * s. Zero iff the source's token distribution IS the corpus's; large
+  * values mark the domains a uniform mix under-serves (the signal
+  * c16/c17's budget weights consume upstream). Only tokens PRESENT in
+  * the source contribute (c_st > 0), and every source token exists in
+  * the corpus census by construction (the corpus is the union of
+  * sources) — no smoothing needed, unlike a cross-source comparison.
+  *
+  * Exactness: censuses are exact 64-bit integers; the inner log is the
+  * SAME quantized log-ratio expression t27 ranks PMI with
+  * ([[Collocations.lnRatioQSql]] — ONE string, two operators, both
+  * engines), so the per-source numerator Σ c_st·lq is an INTEGER sum
+  * and the single final float division divides identical integers.
+  * Headroom: |lq| ≤ ln(N)·1e7 (≈ 3.3e8 at N = 10¹⁴) and the t13
+  * discipline's BIGINT numerator holds to n_s ≈ 2.8e10 tokens per
+  * source; beyond that the numerator column widens to DECIMAL(38,0) on
+  * both engines (documented, not yet needed at any driver scale).
+  *
+  * Scale shape: ONE tokenize pass feeds the (source, tok) census
+  * (map-side combined — the only shuffle proportional to data); the
+  * corpus census and per-source totals are aggregates OF that census,
+  * never of the corpus; the census⋈corpus join is token-keyed on
+  * vocabulary-sized relations (Zipf: vocabulary ≪ corpus); per-source
+  * totals and the corpus total ride as broadcasts. Output is
+  * |sources| rows.
+  *
+  * Reference analog: `AnalyzeBatch.groovy:88-97` computes per-batch
+  * value statistics for the batch report; this is that per-group
+  * census shape lifted to distribution divergence.
+  */
+object DomainStats {
+
+  /** The one final-division expression both engines run verbatim:
+    * kl_num on the 1e-7 grid over n_s tokens → nats/token. */
+  private def klSql(num: String, n: String): String =
+    s"CAST($num AS DOUBLE) / (CAST($n AS DOUBLE) * 10000000.0)"
+
+  /** Per-source KL over any (source, text) relation — exposed for the
+    * spec's engineered-corpus properties. */
+  private[graft] def sourceKlOver(d: DataFrame): DataFrame = {
+    val st = d.select(col("source"),
+        explode(TextOps.tokensOf(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+    val src = st.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_s"), count(lit(1)).as("vocab"))
+    val corp = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val totals = corp.agg(sum(col("c_t")).as("n_corpus"))
+    val num = st
+      .join(corp, "tok")
+      .join(broadcast(src.select(col("source"), col("n_s"))), "source")
+      .crossJoin(broadcast(totals))
+      .withColumn("lq", expr(Collocations.lnRatioQSql("c_st", "n_corpus", "n_s", "c_t")))
+      .groupBy(col("source"))
+      .agg(sum(col("c_st") * col("lq")).as("kl_num"))
+    src.join(num, "source")
+      .select(col("source"), col("n_s").as("n_tokens"), col("vocab"),
+        expr(klSql("kl_num", "n_s")).as("kl_nats"))
+      .orderBy(col("source"))
+  }
+
+  def c23SourceKl(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    sourceKlOver(t.spread(t.documents).select(col("source"), col("text")))
+  }
+
+  val c23Sql: String =
+    s"""WITH toks AS (
+       |  SELECT source, ${TextOps.TokensSql} AS tk FROM documents
+       |), st AS (
+       |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st
+       |  FROM (SELECT source, unnest(tk) AS tok FROM toks) GROUP BY source, tok
+       |), src AS (
+       |  SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s,
+       |    CAST(count(*) AS BIGINT) AS vocab
+       |  FROM st GROUP BY source
+       |), corp AS (
+       |  SELECT tok, CAST(sum(c_st) AS BIGINT) AS c_t FROM st GROUP BY tok
+       |), totals AS (
+       |  SELECT CAST(sum(c_t) AS BIGINT) AS n_corpus FROM corp
+       |), num AS (
+       |  SELECT source, CAST(sum(c_st *
+       |    ${Collocations.lnRatioQSql("c_st", "n_corpus", "n_s", "c_t")}) AS BIGINT) AS kl_num
+       |  FROM st JOIN corp USING (tok) JOIN src USING (source), totals
+       |  GROUP BY source
+       |)
+       |SELECT source, n_s AS n_tokens, vocab,
+       |  ${klSql("kl_num", "n_s")} AS kl_nats
+       |FROM src JOIN num USING (source) ORDER BY source""".stripMargin
+}

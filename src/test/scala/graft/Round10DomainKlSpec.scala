@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.DomainStats
+
+/** Round-10 late addition: c23 per-source unigram KL divergence. */
+class Round10DomainKlSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Plain-Scala mirror of the operator's exact quantized arithmetic:
+    * lq = round(ln((c_st·N)/(n_s·c_t))·1e7) as Long; kl = Σ c_st·lq /
+    * (n_s·1e7). */
+  private def klMirror(docs: Seq[(String, String)]): Map[String, Double] = {
+    val toks = docs.flatMap { case (s, t) => t.split(" ").map(s -> _) }
+    val st = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nS = st.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cT = st.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cT.values.sum
+    nS.map { case (src, ns) =>
+      val num = st.collect { case ((`src`, tok), cst) =>
+        cst * math.rint(math.log(
+          (cst.toDouble * n) / (ns.toDouble * cT(tok))) * 1e7).toLong
+      }.sum
+      src -> num.toDouble / (ns.toDouble * 1e7)
+    }
+  }
+
+  test("c23 single-source corpus diverges by exactly zero (P_s IS P_corpus; the grid cannot move ln(1))") {
+    val docs = Seq((1L, "alpha beta gamma", "web"), (2L, "beta beta alpha", "web"))
+      .toDF("doc_id", "text", "source")
+    val out = DomainStats.sourceKlOver(docs).collect()
+    assert(out.length === 1)
+    assert(out.head.getString(0) === "web")
+    assert(out.head.getLong(1) === 6L)    // n_tokens
+    assert(out.head.getLong(2) === 3L)    // vocab
+    assert(out.head.getDouble(3) === 0.0) // exact zero, not ≈
+  }
+
+  test("c23 matches the plain-Scala quantized mirror exactly and orders the skewed source above the typical one") {
+    // 'books' is corpus-typical (its distribution tracks the mix);
+    // 'code' is one token repeated — maximally skewed.
+    val raw = Seq(
+      ("books", "the cat sat on the mat"),
+      ("books", "the dog ran to the cat"),
+      ("code", "brace brace brace brace brace brace")
+    )
+    val docs = raw.zipWithIndex
+      .map { case ((s, t), i) => (i.toLong, t, s) }.toDF("doc_id", "text", "source")
+    val want = klMirror(raw)
+    val got = DomainStats.sourceKlOver(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(got.keySet === want.keySet)
+    got.foreach { case (s, v) => assert(v === want(s), s"source $s") }
+    assert(got("code") > got("books"))
+    // KL is non-negative up to grid quantization (slop ≤ 1e-7 per term)
+    got.values.foreach(v => assert(v >= -1e-6))
+  }
+
+  test("c23 hand-computed two-source value: (1/3)ln2 and ln(3/2) on the grid") {
+    val docs = Seq((1L, "x x y", "a"), (2L, "y y y", "b"))
+      .toDF("doc_id", "text", "source")
+    val got = DomainStats.sourceKlOver(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    // KL(a) = (2/3)ln((2·6)/(3·2)) + (1/3)ln((1·6)/(3·4)), each log on
+    // the 1e-7 grid before the integer-weighted sum
+    def q(x: Double) = math.rint(math.log(x) * 1e7).toLong
+    val wantA = (2L * q(2.0) + 1L * q(0.5)).toDouble / (3.0 * 1e7)
+    val wantB = (3L * q(1.5)).toDouble / (3.0 * 1e7)
+    assert(got("a") === wantA)
+    assert(got("b") === wantB)
+  }
+}
