@@ -118,4 +118,113 @@ object BloomDedup {
 
   /** The filter cannot change the answer, so the oracle IS d07's. */
   val d13Sql: String = TextOps.d07Sql
+
+  // ------------------------------------------------------- standing store
+  // The ADMISSION INDEX as a real merge-on-read store (the neardup
+  // band-index lifecycle applied to exact dedup — the store d13's
+  // scaladoc assumes a production crawl keeps):
+  //   <prefix>_hash_base   (content_hash, doc_id) bucketed on
+  //                        content_hash — probe joins and the canonical
+  //                        aggregate read it with zero index-side
+  //                        shuffle; rewritten only by compact;
+  //   <prefix>_hash_delta  same columns partitioned by gen — one
+  //                        partition per appended batch.
+  // Unlike the sketch store, the SAME content may recur across gens
+  // (re-crawls): the current canonical is min(doc_id) over base ∪
+  // delta, computed per side (base partition-locally on its bucket key,
+  // delta batch-bounded) and folded with least() — append order can
+  // never displace an earlier canonical, and a replayed gen overwrites
+  // its own partition (idempotent by dynamic partition overwrite).
+  // The bloom filter is a PER-GENERATION artifact OF this store
+  // ([[hashStoreFilter]]): rebuilt at bootstrap/compact cadence, frozen
+  // between — a dup admitted since the last rebuild bloom-misses and
+  // gates `new`, which is the honest contract (within-horizon repeats
+  // are dedupStream/corpusIngest's job; the batch d07/d13 pass remains
+  // the source of truth).
+
+  /** Row-local (doc_id, content_hash) relation of a (doc_id, text)
+    * corpus — the one hash definition every face of the store shares. */
+  private[graft] def hashedDocs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5(TextOps.normText(col("text"))).as("content_hash"))
+
+  /** Seed (or re-seed) the standing admission index from a corpus of
+    * (doc_id, text) rows. One-time per corpus generation. */
+  def hashStoreBootstrap(docs: DataFrame, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    for (t <- Seq("_hash_base_next", "_hash_base_old"))
+      graft.sources.GraftIO.dropManaged(spark, prefix + t)
+    graft.sources.GraftIO.writeBucketed(
+      hashedDocs(docs).groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id")),
+      s"${prefix}_hash_base", "content_hash", nBuckets, Seq("content_hash"))
+    graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_hash_delta",
+      spark.table(s"${prefix}_hash_base"))
+  }
+
+  /** Append one admitted batch — the step that makes the next batch
+    * (and the next filter rebuild) see THIS batch's content. Gen must be
+    * monotone (a streaming caller anchors above the standing max); a
+    * same-gen replay overwrites its own partition. */
+  def hashStoreAppend(batchDocs: DataFrame, prefix: String,
+      gen: Long): Unit = {
+    val spark = batchDocs.sparkSession
+    val deltaT = s"${prefix}_hash_delta"
+    for (mg <- graft.sources.GraftIO.maxGen(spark, deltaT))
+      require(gen >= mg,
+        s"non-monotone store generation $gen < standing max $mg for " +
+          s"'$prefix' — anchor gens above the standing max or compact first")
+    graft.sources.GraftIO.writeDelta(
+      hashedDocs(batchDocs).groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .withColumn("gen", lit(gen))
+        .select("content_hash", "doc_id", "gen"),
+      deltaT)
+  }
+
+  /** The current (content_hash, index_canon) view: min doc_id over
+    * base ∪ delta, aggregated per side so the bucketed base never
+    * shuffles. */
+  def hashStoreCurrent(spark: SparkSession, prefix: String): DataFrame = {
+    val base = graft.sources.GraftIO.baseOrNext(spark, s"${prefix}_hash_base")
+    val mb = base.groupBy(col("content_hash"))
+      .agg(min(col("doc_id")).as("cb"))
+    val deltaT = s"${prefix}_hash_delta"
+    if (!spark.catalog.tableExists(deltaT))
+      mb.select(col("content_hash"), col("cb").as("index_canon"))
+    else {
+      val md = spark.table(deltaT).groupBy(col("content_hash"))
+        .agg(min(col("doc_id")).as("cd"))
+      mb.join(md, Seq("content_hash"), "full_outer")
+        .select(col("content_hash"),
+          least(col("cb"), col("cd")).as("index_canon"))
+    }
+  }
+
+  /** The frozen per-generation admission filter OF the store — built by
+    * the one shared [[buildFilter]] over the current view, so the store,
+    * the batch legs, and the streaming gate all speak the same key
+    * family. Rebuild at bootstrap/compact cadence. */
+  def hashStoreFilter(spark: SparkSession, prefix: String,
+      expectedItems: Long = -1L, fpp: Double = Fpp): Array[Byte] =
+    buildFilter(hashStoreCurrent(spark, prefix), expectedItems, fpp)
+
+  /** Fold accumulated deltas into the bucketed base (one crash-safe
+    * [[graft.sources.GraftIO.compactSwap]]); the canonical fold happens
+    * here ONCE (min per hash), so the compacted base is again one row
+    * per hash. Empty delta recreated so running streams' captured scans
+    * stay valid. SINGLE-WRITER per prefix. */
+  def hashStoreCompact(spark: SparkSession, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    graft.sources.GraftIO.compactSwap(spark, s"${prefix}_hash_base",
+        Seq(s"${prefix}_hash_delta")) { next =>
+      graft.sources.GraftIO.writeBucketed(
+        hashStoreCurrent(spark, prefix)
+          .select(col("content_hash"), col("index_canon").as("doc_id")),
+        next, "content_hash", nBuckets, Seq("content_hash"))
+    }
+    graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_hash_delta",
+      spark.table(s"${prefix}_hash_base"))
+  }
 }

@@ -1424,7 +1424,7 @@ object TextOps {
   // ---------------------------------------------------------------- d07
   /** Incoming-batch selector for [[d07IncrementalDedup]]: every
     * `IncomingMod`-th document plays the newly-crawled batch. */
-  private[operators] val IncomingMod = 5
+  private[graft] val IncomingMod = 5
 
   /** d07: incremental dedup — the continual-ingestion path a standing
     * 100 TB corpus actually runs: a small incoming batch is deduped

@@ -1241,4 +1241,84 @@ object StreamingJobs {
       .withColumn("score", col("score_q").cast("double") / 1e7)
       .select("query_id", "ts", "doc_id", "score_q", "score")
   }
+
+  /** Streaming face of d13: the ingest-time BLOOM ADMISSION GATE — "has
+    * this content hash ever been admitted" answered per arriving doc
+    * against the frozen per-corpus-generation filter, with only the
+    * "maybe" residue paying the stream-static index probe (d13's two-leg
+    * algebra verbatim, minus the within-batch leg — within-horizon
+    * duplicates are [[dedupStream]]/[[corpusIngest]]'s job, exactly as
+    * neardupProbeStream defers to batch d08 for within-batch pairs):
+    *
+    *   - bloom-NEGATIVE docs classify `new` ROW-LOCALLY — the serialized
+    *     filter rides the plan as a literal into the codegen'd
+    *     `bloom_might_contain` probe, so this leg touches NO other
+    *     relation: per-row cost is two bit-probes, state NONE.
+    *   - bloom-POSITIVE docs take a stream-static LEFT join against the
+    *     standing (content_hash, index_canon) relation — `known_dup`
+    *     with the canonical partner, or `new` when the hit was one of
+    *     the fpp false positives (the join corrects every one; the
+    *     static side is re-scanned per micro-batch, so a rebuilt index
+    *     lands without restarting the query).
+    *
+    *   Both legs are stateless (stream-static joins keep no state store;
+    *   no watermark needed) and their union emits each input row exactly
+    *   once. At 100 TB the economics are d13's: the filter is ~0.9 GB at
+    *   3% fpp over 10⁹ admitted hashes, and the probe join's stream side
+    *   shrinks to (dup-rate + fpp) of the crawl. */
+  def bloomGateStream(docs: DataFrame, index: DataFrame,
+      filterBytes: Array[Byte]): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.BloomMightContain.register(spark)
+    val hashed = docs.select(col("doc_id"), col("ts"),
+        md5(graft.operators.TextOps.normText(col("text"))).as("content_hash"))
+      .withColumn("bloom_hit", graft.functions.BloomMightContain.mightContain(
+        lit(filterBytes), xxhash64(col("content_hash"))))
+    val fast = hashed.filter(!col("bloom_hit"))
+      .select(col("doc_id"), col("ts"), lit("new").as("status"),
+        lit(null).cast("long").as("dup_of"))
+    val confirm = hashed.filter(col("bloom_hit"))
+      .join(index.select(col("content_hash"), col("index_canon")),
+        Seq("content_hash"), "left")
+      .select(col("doc_id"), col("ts"),
+        when(col("index_canon").isNotNull, lit("known_dup"))
+          .otherwise(lit("new")).as("status"),
+        col("index_canon").as("dup_of"))
+    fast.unionByName(confirm)
+  }
+
+  /** [[bloomGateStream]] wired to the standing admission store
+    * ([[graft.operators.BloomDedup.hashStoreBootstrap]] lifecycle): the
+    * static side is the store's merge-on-read current view, re-executed
+    * per micro-batch, so a [[graft.operators.BloomDedup.hashStoreAppend]]
+    * lands in the NEXT trigger without restarting the query. The FILTER
+    * stays the frozen per-generation artifact
+    * ([[graft.operators.BloomDedup.hashStoreFilter]]) — a dup admitted
+    * since the last rebuild bloom-misses and gates `new` until the next
+    * rebuild (the honest contract: the filter only ever prunes the
+    * confirm join, the store is the truth it prunes against). */
+  def bloomGateStreamFromStore(docs: DataFrame, prefix: String,
+      filterBytes: Array[Byte]): DataFrame =
+    bloomGateStream(docs,
+      graft.operators.BloomDedup.hashStoreCurrent(docs.sparkSession, prefix),
+      filterBytes)
+
+  /** Streaming INGESTION face of the admission store
+    * ([[neardupIndexIngest]]'s pattern): each micro-batch of (doc_id,
+    * text) rows appends its content hashes, so the store continuously
+    * learns the crawl while [[bloomGateStreamFromStore]] (a second query
+    * over the same store) gates against it. Gens anchor above the
+    * standing max; an at-least-once replay overwrites its own gen
+    * partition — idempotent. */
+  def hashStoreIngest(docs: DataFrame, prefix: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = docs.sparkSession
+    val genBase = graft.sources.GraftIO
+      .maxGen(spark, s"${prefix}_hash_delta").map(_ + 1L).getOrElse(0L)
+    docs.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.BloomDedup.hashStoreAppend(batch, prefix, genBase + id)
+      }
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.operators.BloomDedup
+
+/** Round-10 late addition: bloomGateStream — the ingest-time bloom
+  * admission gate (d13's two-leg algebra as a stateless streaming face). */
+class Round10BloomStreamSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def runGate(filterBytes: Array[Byte],
+      index: org.apache.spark.sql.DataFrame,
+      rows: Seq[(Long, Timestamp, String)], name: String): Map[Long, (String, Option[Long])] = {
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingJobs
+      .bloomGateStream(mem.toDF.toDF("doc_id", "ts", "text"), index, filterBytes)
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .start()
+    try { mem.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    spark.table(name).collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue))
+    }.toMap
+  }
+
+  private val standing = Seq(
+    (10L, "the cat sat on the mat"),
+    (11L, "a completely different document about lakes"))
+
+  /** The standing (content_hash, index_canon) relation the gate joins. */
+  private def standingIndex = standing.toDF("doc_id", "text")
+    .select(md5(graft.operators.TextOps.normText(col("text"))).as("content_hash"),
+      col("doc_id").as("index_canon"))
+    .groupBy("content_hash").agg(min("index_canon").as("index_canon"))
+
+  private val arriving = Seq(
+    (100L, t0, "THE CAT SAT ON THE MAT"),        // dup of 10 (normalization)
+    (101L, t0, "an entirely novel crawl result"),
+    (102L, t0, "a completely different document about lakes")) // dup of 11
+
+  private val want = Map(
+    100L -> (("known_dup", Some(10L))),
+    101L -> (("new", None)),
+    102L -> (("known_dup", Some(11L))))
+
+  test("bloomGateStream classifies arrivals against the standing index: known dups flagged with their canonical, novel docs pass") {
+    val idx = standingIndex.localCheckpoint()
+    val bytes = BloomDedup.buildFilter(idx)
+    assert(runGate(bytes, idx, arriving, "bloomgate_r10") === want)
+  }
+
+  test("bloomGateStream with a deliberately saturated filter (every probe a false positive) emits the same answers — the confirm join corrects them") {
+    val idx = standingIndex.localCheckpoint()
+    val bytes = BloomDedup.buildFilter(idx, expectedItems = 1L, fpp = 0.5)
+    assert(runGate(bytes, idx, arriving, "bloomgate_r10_sat") === want)
+  }
+
+  test("bloomGateStream ≡ the batch index-leg truth on the driver corpus split (every incoming doc, exactly one row each)") {
+    val t = Tables(spark, sfDir)
+    val m = graft.operators.TextOps.IncomingMod
+    val docs = t.documents.select(col("doc_id"), col("text"))
+    val incoming = docs.filter(col("doc_id") % m === m - 1)
+    val index = docs.filter(col("doc_id") % m =!= m - 1)
+      .select(col("doc_id"),
+        md5(graft.operators.TextOps.normText(col("text"))).as("content_hash"))
+      .groupBy("content_hash").agg(min("doc_id").as("index_canon"))
+      .localCheckpoint()
+    // batch truth: status/dup_of vs the standing index only (the
+    // within-batch leg is dedupStream's job — documented contract)
+    val truth = incoming
+      .select(col("doc_id"),
+        md5(graft.operators.TextOps.normText(col("text"))).as("content_hash"))
+      .join(index, Seq("content_hash"), "left")
+      .collect().map { r =>
+        r.getAs[Long]("doc_id") ->
+          (Option(r.getAs[java.lang.Long]("index_canon")).map(_.longValue) match {
+            case Some(c) => ("known_dup", Some(c))
+            case None    => ("new", None)
+          })
+      }.toMap
+    val rows = incoming.collect()
+      .map(r => (r.getLong(0), t0, r.getString(1))).toSeq
+    val got = runGate(BloomDedup.buildFilter(index), index, rows, "bloomgate_r10_sf")
+    assert(got.size === rows.size)
+    assert(got === truth)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.BloomDedup
+
+/** Round-10 late addition: the standing admission store (hash store)
+  * lifecycle behind d13's filter — bootstrap / append / current /
+  * compact / filter, plus the store-wired streaming gate. */
+class Round10HashStoreSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def currentMap(prefix: String): Map[String, Long] =
+    BloomDedup.hashStoreCurrent(spark, prefix).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("hash store lifecycle: bootstrap ≡ from-scratch census, append lands without displacing canonicals, same-gen replay idempotent, lower gen refused, compact preserves the view") {
+    val prefix = "hstore_r10"
+    // doc 12 is doc 10's content re-normalized — one hash, canonical 10
+    val corpus = Seq(
+      (10L, "the cat sat on the mat"),
+      (11L, "a wholly different document"),
+      (12L, "THE CAT SAT ON THE MAT")).toDF("doc_id", "text")
+    BloomDedup.hashStoreBootstrap(corpus, prefix)
+    val truth = BloomDedup.hashedDocs(corpus)
+      .groupBy("content_hash")
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("index_canon"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(currentMap(prefix) === truth)
+    assert(truth.size === 2)
+
+    // append: one novel content + a re-crawl of 11's content under a
+    // HIGHER id — the canonical must stay 11
+    val batch = Seq(
+      (20L, "fresh crawl content never seen"),
+      (21L, "a wholly different document")).toDF("doc_id", "text")
+    BloomDedup.hashStoreAppend(batch, prefix, gen = 0L)
+    val cur1 = currentMap(prefix)
+    assert(cur1.size === 3)
+    val h11 = BloomDedup.hashedDocs(corpus).filter($"doc_id" === 11L)
+      .head.getString(1)
+    assert(cur1(h11) === 11L)
+
+    // same-gen replay overwrites its own partition — view unchanged
+    BloomDedup.hashStoreAppend(batch, prefix, gen = 0L)
+    assert(currentMap(prefix) === cur1)
+
+    // a lower gen is refused (monotone-append guard)
+    val err = intercept[IllegalArgumentException] {
+      BloomDedup.hashStoreAppend(batch, prefix, gen = -1L)
+    }
+    assert(err.getMessage.contains("non-monotone"))
+
+    // compact folds deltas; the view is identical and the delta empty
+    BloomDedup.hashStoreCompact(spark, prefix)
+    assert(currentMap(prefix) === cur1)
+    assert(spark.table(s"${prefix}_hash_delta").count() === 0L)
+    // the per-generation filter built AFTER compact admits every stored
+    // hash (no false negatives over the current view)
+    graft.functions.BloomMightContain.register(spark)
+    val bytes = BloomDedup.hashStoreFilter(spark, prefix)
+    val missed = BloomDedup.hashStoreCurrent(spark, prefix)
+      .withColumn("hit", graft.functions.BloomMightContain.mightContain(
+        org.apache.spark.sql.functions.lit(bytes),
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("content_hash"))))
+      .filter(!org.apache.spark.sql.functions.col("hit")).count()
+    assert(missed === 0L)
+  }
+
+  test("bloomGateStreamFromStore sees a mid-stream hashStoreAppend on the next trigger (filter from the next corpus generation, so the bloom leg cannot mask the probe)") {
+    val prefix = "hstore_r10_stream"
+    val standing = Seq((10L, "the cat sat on the mat")).toDF("doc_id", "text")
+    BloomDedup.hashStoreBootstrap(standing, prefix)
+    // the appended-later content, known to the FILTER up front (a
+    // next-generation filter) but not yet to the store
+    val futureBatch = Seq((30L, "content admitted mid stream")).toDF("doc_id", "text")
+    val bytes = BloomDedup.buildFilter(
+      BloomDedup.hashedDocs(standing.unionByName(futureBatch)))
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingJobs
+      .bloomGateStreamFromStore(mem.toDF.toDF("doc_id", "ts", "text"), prefix, bytes)
+      .writeStream.format("memory").queryName("hstore_gate_r10")
+      .outputMode("append").start()
+    try {
+      mem.addData((100L, t0, "THE CAT SAT ON THE MAT"),
+        (101L, t0, "content admitted mid stream"))
+      q.processAllAvailable()
+      // mid-stream append: the NEXT trigger's static-side re-scan sees it
+      BloomDedup.hashStoreAppend(futureBatch, prefix, gen = 0L)
+      mem.addData((102L, t0, "content admitted mid stream"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("hstore_gate_r10").collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("status"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.longValue))
+    }.toMap
+    assert(got(100L) === (("known_dup", Some(10L)))) // standing content
+    assert(got(101L) === (("new", None)))            // pre-append arrival
+    assert(got(102L) === (("known_dup", Some(30L)))) // post-append arrival
+  }
+}
