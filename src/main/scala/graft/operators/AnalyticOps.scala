@@ -286,9 +286,16 @@ object AnalyticOps {
       .withColumn("slope",
         when(col("vx") > 0,
           round(col("num").cast("double") / col("vx").cast("double"), 6)))
+      // intercept = (ΣyΣx² − ΣxΣxy)/(nΣx² − (Σx)²) = inum/vx — algebra:
+      // a = ȳ − b·x̄ = (Σy·vx − num·Σx)/(n·vx), whose numerator expands
+      // to n·inum, so the n cancels. (Shipped as inum/(n·vx) through
+      // round 9 — wrong by the factor n; the oracle mirrored the same
+      // expression so the parity gate could not see it. Caught by t28's
+      // power-law spec, whose analytic intercept is known; pinned here
+      // by the definitional a11 spec.)
       .withColumn("intercept",
         when(col("vx") > 0,
-          round(col("inum").cast("double") / (col("nd") * col("vx")).cast("double"), 6)))
+          round(col("inum").cast("double") / col("vx").cast("double"), 6)))
       // num² as a double of the exact num (a decimal square would
       // overflow 38 digits in VALUE; the doubles are identical per engine)
       .withColumn("r2",
@@ -323,7 +330,7 @@ object AnalyticOps {
       |  CASE WHEN vx > 0
       |    THEN round(CAST(num AS DOUBLE) / CAST(vx AS DOUBLE), 6) END AS slope,
       |  CASE WHEN vx > 0
-      |    THEN round(CAST(inum AS DOUBLE) / CAST(n_rows * vx AS DOUBLE), 6) END AS intercept,
+      |    THEN round(CAST(inum AS DOUBLE) / CAST(vx AS DOUBLE), 6) END AS intercept,
       |  CASE WHEN vx > 0 AND vy > 0
       |    THEN round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
       |      (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) END AS r2

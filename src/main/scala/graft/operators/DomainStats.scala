@@ -77,6 +77,88 @@ object DomainStats {
     sourceKlOver(t.spread(t.documents).select(col("source"), col("text")))
   }
 
+  // ---------------------------------------------------------------- c24
+  /** c24: SOURCE-PAIR VOCABULARY OVERLAP — the redundancy audit between
+    * domains (the complement of c23's divergence-from-the-mix: c23 asks
+    * "how far is each source from the corpus", this asks "which PAIRS of
+    * sources say the same things"): for every source pair s1 < s2, the
+    * Jaccard overlap |V₁∩V₂| / |V₁∪V₂| of their distinct-token
+    * vocabularies, with the shared count and both vocabulary sizes. A
+    * mixing pipeline reads high-overlap pairs as candidates for merged
+    * budget lines (c16/c17) and near-duplicate FEEDS (two crawls of the
+    * same site registered as different sources — the source-level
+    * analogue of d02's document near-dup).
+    *
+    * Exactness: all counts are exact integers over the distinct
+    * (source, tok) census; |V₁∪V₂| = v₁+v₂−inter is integer identity;
+    * the Jaccard lands on [[TextOps.ratioMicro]]'s half-up micro grid
+    * (the §6(d) primitive under every ratio oracle) and the one double
+    * is that integer over 1e6.
+    *
+    * Scale shape: ONE distinct (source, tok) census (map-side
+    * combined); the pair enumeration self-joins ON TOK over the
+    * vocabulary-sized relation, and per-token fan-out is bounded by
+    * (sources-containing-it choose 2) ≤ (|S| choose 2) — SOURCE count,
+    * not data, bounds the blow-up (|S| ~ tens in any real mix); the
+    * per-source vocab relation broadcasts. Output (|S| choose 2) rows.
+    *
+    * Reference analog: `AnalyzeBatch.groovy:88-97`'s cross-batch value
+    * comparison shape applied source-pairwise.
+    */
+  private[graft] def sourceOverlapOver(d: DataFrame): DataFrame = {
+    val st = d.select(col("source"),
+        explode(TextOps.tokensOf(col("text"))).as("tok"))
+      .distinct()
+    val vs = st.groupBy(col("source")).agg(count(lit(1)).as("v"))
+    val inter = st.select(col("source").as("s1"), col("tok"))
+      .join(st.select(col("source").as("s2"), col("tok")), "tok")
+      .filter(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("inter"))
+    // ALL (|S| choose 2) pairs, zero-overlap included (an audit that
+    // silently omits disjoint pairs reads as coverage it doesn't have):
+    // |S|-row relations, so the non-equi pair join is a broadcast nested
+    // loop over sources, never data.
+    vs.select(col("source").as("s1"), col("v").as("v1"))
+      .join(broadcast(vs.select(col("source").as("s2"), col("v").as("v2"))),
+        col("s1") < col("s2"))
+      .join(inter, Seq("s1", "s2"), "left")
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("uni_v", col("v1") + col("v2") - col("inter"))
+      .withColumn("jaccard_micro", TextOps.ratioMicro("inter", "uni_v"))
+      .select(col("s1"), col("s2"), col("v1"), col("v2"), col("inter"),
+        (col("jaccard_micro").cast("double") / 1e6).as("jaccard"))
+      .orderBy(col("s1"), col("s2"))
+  }
+
+  def c24SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    sourceOverlapOver(t.spread(t.documents).select(col("source"), col("text")))
+  }
+
+  val c24Sql: String =
+    s"""WITH toks AS (
+       |  SELECT source, ${TextOps.TokensSql} AS tk FROM documents
+       |), st AS (
+       |  SELECT DISTINCT source, tok
+       |  FROM (SELECT source, unnest(tk) AS tok FROM toks)
+       |), vs AS (
+       |  SELECT source, CAST(count(*) AS BIGINT) AS v FROM st GROUP BY source
+       |), ic AS (
+       |  SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS inter
+       |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+       |  GROUP BY a.source, b.source
+       |), pairs AS (
+       |  SELECT v1.source AS s1, v2.source AS s2, v1.v AS v1, v2.v AS v2,
+       |    COALESCE(inter, CAST(0 AS BIGINT)) AS inter
+       |  FROM vs v1 JOIN vs v2 ON v1.source < v2.source
+       |  LEFT JOIN ic ON ic.s1 = v1.source AND ic.s2 = v2.source
+       |)
+       |SELECT s1, s2, v1, v2, inter,
+       |  CAST(${TextOps.ratioMicroSql("inter", "v1 + v2 - inter")} AS DOUBLE)
+       |    / 1000000.0 AS jaccard
+       |FROM pairs ORDER BY s1, s2""".stripMargin
+
   val c23Sql: String =
     s"""WITH toks AS (
        |  SELECT source, ${TextOps.TokensSql} AS tk FROM documents

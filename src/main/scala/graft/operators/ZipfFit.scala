@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** t28: ZIPF RANK-FREQUENCY FIT — the corpus-health audit (Zipf '49;
+  * Piantadosi '14 reviews why real corpora track slope ≈ −1): least-
+  * squares of ln(cf) on ln(rank) over the top `TopRanks` unigrams. A
+  * training-data pipeline reads the fit two ways: a slope far from −1
+  * flags a degenerate corpus (boilerplate floods flatten the head;
+  * template spam fattens the tail), and r² drops when the rank curve
+  * has seams (two corpora glued together, dedup gone wrong). This is
+  * the regression face of t13's census exactly as a11 is the regression
+  * face of a10's moments — same exact-integer moment algebra, applied
+  * to the log-log rank curve.
+  *
+  * Exactness: ranks are decided on integers (cf desc, tok asc — total
+  * order, deterministic ties); both regression coordinates quantize to
+  * the 1e-6 grid the moment the log is born (ONE shared expression per
+  * coordinate, both engines); the five moment sums are exact DECIMAL/
+  * HUGEINT integers; slope, intercept, r² are each ONE double division
+  * of identical integers, round-6 (a11's finish, verbatim discipline).
+  *
+  * Scale shape: the census is t13's (one tokenize pass, map-side
+  * combined); ranking runs on the VOCABULARY relation (Zipf's own
+  * guarantee: ≪ corpus), pre-cut to the top `TopRanks` by a TakeOrdered
+  * (never a global sort of the corpus), and the single-partition
+  * row_number window covers ≤ `TopRanks` rows by construction. The
+  * moment aggregate is one row out. Magnitudes: x ≤ ln(TopRanks)·1e6 ≈
+  * 6.9e6, y ≤ ln(cf_max)·1e6 ≈ 3.3e7 at 100 TB — every product is far
+  * inside the DECIMAL(38)/HUGEINT sums.
+  *
+  * Reference analog: `AnalyzeBatch.groovy:88-97` fits summary
+  * statistics over a batch's value distribution for the report; this is
+  * that audit at corpus scale.
+  */
+object ZipfFit {
+  private[graft] val TopRanks = 1000
+
+  /** ln(v)·1e6 on the integer grid — ONE expression string both engines
+    * run verbatim over identical integer inputs. */
+  private def lnQ6Sql(v: String): String =
+    s"CAST(round(ln(CAST($v AS DOUBLE)) * 1000000.0) AS BIGINT)"
+
+  /** The fit over any (doc_id, text) relation — spec'd against a
+    * plain-Scala least-squares mirror and an engineered exact-power-law
+    * corpus (r² = 1 on the grid). */
+  private[graft] def zipfOver(d: DataFrame): DataFrame = {
+    val uni = d.select(explode(TextOps.tokensOf(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    val ranked = uni
+      .orderBy(col("cf").desc, col("tok"))
+      .limit(TopRanks)
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("cf").desc, col("tok"))))
+      .select(expr(lnQ6Sql("r")).as("x"), expr(lnQ6Sql("cf")).as("y"))
+    ranked
+      .agg(count(lit(1)).as("n_ranks"),
+        sum(col("x").cast("decimal(20,0)")).as("sx"),
+        sum(col("y").cast("decimal(20,0)")).as("sy"),
+        sum((col("x").cast("decimal(20,0)") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x").cast("decimal(20,0)") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y").cast("decimal(20,0)") * col("y")).cast("decimal(38,0)")).as("syy"))
+      .withColumn("nd", col("n_ranks").cast("decimal(20,0)"))
+      .withColumn("num",
+        (col("nd") * col("sxy") - col("sx") * col("sy")).cast("decimal(38,0)"))
+      .withColumn("vx",
+        (col("nd") * col("sxx") - col("sx") * col("sx")).cast("decimal(38,0)"))
+      .withColumn("vy",
+        (col("nd") * col("syy") - col("sy") * col("sy")).cast("decimal(38,0)"))
+      .withColumn("inum",
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("decimal(38,0)"))
+      .select(col("n_ranks"),
+        when(col("vx") > 0,
+          round(col("num").cast("double") / col("vx").cast("double"), 6)).as("slope"),
+        when(col("vx") > 0,
+          round(col("inum").cast("double") / col("vx").cast("double"), 6)).as("intercept"),
+        when(col("vx") > 0 && col("vy") > 0,
+          round((col("num").cast("double") * col("num").cast("double")) /
+            (col("vx").cast("double") * col("vy").cast("double")), 6)).as("r2"))
+  }
+
+  def t28ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    zipfOver(t.spread(t.documents).select(col("doc_id"), col("text")))
+  }
+
+  /** The oracle extends t13's own census CTEs (only `uni` is referenced;
+    * DuckDB prunes the rest) so the two faces share the one census. */
+  val t28Sql: String =
+    s"""WITH ${TextOps.T13CoreCtes}, ranked AS (
+       |  SELECT ${lnQ6Sql("r")} AS x, ${lnQ6Sql("cf")} AS y FROM (
+       |    SELECT cf, row_number() OVER (ORDER BY cf DESC, tok) AS r
+       |    FROM uni ORDER BY cf DESC, tok LIMIT $TopRanks)
+       |), a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM ranked
+       |), f AS (
+       |  SELECT n_ranks,
+       |    n_ranks * sxy - sx * sy AS num,
+       |    n_ranks * sxx - sx * sx AS vx,
+       |    n_ranks * syy - sy * sy AS vy,
+       |    sy * sxx - sx * sxy AS inum
+       |  FROM a
+       |)
+       |SELECT n_ranks,
+       |  CASE WHEN vx > 0
+       |    THEN round(CAST(num AS DOUBLE) / CAST(vx AS DOUBLE), 6) END AS slope,
+       |  CASE WHEN vx > 0
+       |    THEN round(CAST(inum AS DOUBLE) / CAST(vx AS DOUBLE), 6)
+       |  END AS intercept,
+       |  CASE WHEN vx > 0 AND vy > 0
+       |    THEN round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+       |      (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) END AS r2
+       |FROM f""".stripMargin
+}

@@ -1,0 +1,116 @@
+package graft
+
+import graft.operators.{DomainStats, ZipfFit}
+
+/** Round-10 late additions: t28 Zipf rank-frequency fit and c24
+  * source-pair vocabulary overlap. */
+class Round10CorpusStatsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Plain-Scala mirror of t28's exact quantized moment algebra. */
+  private def fitMirror(texts: Seq[String]): (Long, Double, Double, Double) = {
+    val cf = texts.flatMap(_.split(" "))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ranked = cf.toSeq.sortBy { case (t, c) => (-c, t) }.take(ZipfFit.TopRanks)
+    val xy = ranked.zipWithIndex.map { case ((_, c), i) =>
+      (BigInt(math.rint(math.log(i + 1.0) * 1e6).toLong),
+        BigInt(math.rint(math.log(c.toDouble) * 1e6).toLong))
+    }
+    val n = BigInt(xy.size)
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val syy = xy.map(p => p._2 * p._2).sum
+    val num = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val inum = sy * sxx - sx * sxy
+    (xy.size.toLong,
+      round6(num.toDouble / vx.toDouble),
+      round6(inum.toDouble / vx.toDouble),
+      round6(num.toDouble * num.toDouble / (vx.toDouble * vy.toDouble)))
+  }
+
+  private def fitOf(texts: Seq[String]) = {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val r = graft.operators.ZipfFit.zipfOver(df).head
+    (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+  }
+
+  test("t28 recovers slope −1 with r² ≈ 1 on an exact power-law census (cf = 12/rank)") {
+    // four tokens at cf 12, 6, 4, 3 — ln cf = ln 12 − ln rank exactly
+    val texts = Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")
+    val (n, slope, intercept, r2) = fitOf(texts.map(t => t))
+    assert(n === 4L)
+    assert(math.abs(slope - (-1.0)) < 1e-5)
+    assert(math.abs(intercept - math.log(12.0) * 1e6) < 20.0) // grid units
+    assert(r2 > 0.999999)
+  }
+
+  test("t28 matches the plain-Scala quantized mirror exactly on an arbitrary corpus (ties ranked by token)") {
+    val texts = Seq(
+      "the cat sat on the mat", "the dog ran to the lake",
+      "a cat and a dog met at the mat", "zz aa zz aa mm")
+    assert(fitOf(texts) === fitMirror(texts))
+  }
+
+  test("t28 caps the fit at TopRanks") {
+    // 1100 distinct singleton tokens + one head token: fit sees 1000
+    val head = Seq.fill(50)("head").mkString(" ")
+    val tail = (0 until 1100).map(i => f"tok$i%04d").mkString(" ")
+    val (n, _, _, _) = fitOf(Seq(head, tail))
+    assert(n === ZipfFit.TopRanks.toLong)
+  }
+
+  test("a11 intercept is definitional (a = ȳ − b·x̄) and slope matches a BigInt mirror — the r10 factor-n regression pin") {
+    // the shipped-through-r9 intercept divided by an extra n; its oracle
+    // mirrored the same expression, so only a definitional pin catches it
+    val got = graft.operators.AnalyticOps.a11Linreg(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val raw = Tables(spark, sfDir).lineitem
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0),
+        BigInt(math.rint(r.getDouble(1) * 100).toLong),
+        BigInt(math.rint(r.getDouble(2) * 100).toLong)))
+    raw.groupBy(_._1).foreach { case (flag, rows) =>
+      val n = BigInt(rows.length)
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxy = rows.map(t => t._2 * t._3).sum
+      val sxx = rows.map(t => t._2 * t._2).sum
+      val num = n * sxy - sx * sy; val vx = n * sxx - sx * sx
+      val slope = num.toDouble / vx.toDouble
+      assert(got(flag)._1 === round6(slope), s"slope $flag")
+      val definitional = sy.toDouble / n.toDouble - slope * (sx.toDouble / n.toDouble)
+      assert(math.abs(got(flag)._2 - definitional) < 1e-3, s"intercept $flag")
+    }
+  }
+
+  test("c24 hand-computed pairwise overlap: shared pair at 0.5, disjoint pairs at 0, all (|S| choose 2) rows") {
+    val docs = Seq(
+      (1L, "xx yy zz", "a"),
+      (2L, "yy zz ww", "b"),
+      (3L, "pp qq rr", "c")).toDF("doc_id", "text", "source")
+    val out = DomainStats.sourceOverlapOver(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(out.size === 3)
+    assert(out(("a", "b")) === ((3L, 3L, 2L, 0.5)))
+    assert(out(("a", "c")) === ((3L, 3L, 0L, 0.0)))
+    assert(out(("b", "c")) === ((3L, 3L, 0L, 0.0)))
+  }
+
+  test("c24 identical vocabularies overlap at exactly 1.0 regardless of token frequency") {
+    val docs = Seq(
+      (1L, "xx yy xx yy xx", "a"),
+      (2L, "yy xx", "b")).toDF("doc_id", "text", "source")
+    val out = DomainStats.sourceOverlapOver(docs).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(4) === 2L)     // inter
+    assert(out.head.getDouble(5) === 1.0)  // jaccard
+  }
+}
