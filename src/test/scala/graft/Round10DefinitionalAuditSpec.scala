@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 definitional audit — the a11 lesson systematized. a11's
+  * intercept was wrong by a factor of n for two rounds because BOTH
+  * engines ran the identical shared expression: hash-exact parity is
+  * structurally blind to a formula that is itself wrong. The defense is
+  * a VALUE-level pin against an independent source (analytic result,
+  * textbook mirror) for every shared parity-critical formula. Most
+  * operators already carry one (t20 BM25, t25/t26 KN/MKN, t27 PMI, c23
+  * KL, t28 Zipf, the Gopher/C4 rule ratios, the rounding primitives);
+  * this spec adds the three that were property-pinned only:
+  *   - a10 Pearson correlation vs the textbook moment formula
+  *   - t13 bigram Jelinek-Mercer nll vs a plain-Scala mirror
+  *   - s01 exact cosine top-k vs a plain-Scala brute force
+  */
+class Round10DefinitionalAuditSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("a10 Pearson correlation is definitional: num/(sqrt(vx)*sqrt(vy)) from textbook BigInt moments") {
+    val got = graft.operators.AnalyticOps.a10Corr(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val raw = Tables(spark, sfDir).lineitem
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getString(0),
+        BigInt(math.rint(r.getDouble(1) * 100).toLong),
+        BigInt(math.rint(r.getDouble(2) * 100).toLong)))
+    raw.groupBy(_._1).foreach { case (flag, rows) =>
+      val n = BigInt(rows.length)
+      val sx = rows.map(_._2).sum; val sy = rows.map(_._3).sum
+      val sxy = rows.map(t => t._2 * t._3).sum
+      val sxx = rows.map(t => t._2 * t._2).sum
+      val syy = rows.map(t => t._3 * t._3).sum
+      val num = n * sxy - sx * sy
+      val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      val want = round6(num.toDouble / (math.sqrt(vx.toDouble) * math.sqrt(vy.toDouble)))
+      assert(got(flag) === want, s"corr $flag")
+    }
+  }
+
+  /** Plain-Scala mirror of t13's exact pipeline: per-bigram q_log =
+    * rint(ln(0.9·c12/c1 + 0.1·(c2+1)/(N+V))·1e7); per-doc nll =
+    * ((−Σ c·q_log) + 5n) div (10n) / 1e6. */
+  private def t13Mirror(docs: Seq[(Long, String)]): Map[Long, (Long, Option[Double])] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+    val cf = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nCorpus = cf.values.sum; val v = cf.size.toLong
+    val docBi = toks.map { case (id, tk) =>
+      id -> tk.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }.toMap
+    val c12 = docBi.values.flatten
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val qLog = c12.map { case (bg, c) =>
+      val Array(w1, w2) = bg.split(" ")
+      val p = 0.9 * (c.toDouble / cf(w1).toDouble) +
+        0.1 * ((cf(w2).toDouble + 1.0) / (nCorpus.toDouble + v.toDouble))
+      bg -> math.rint(math.log(p) * 1e7).toLong
+    }
+    docs.map { case (id, _) =>
+      val bi = docBi(id)
+      val n = bi.values.sum
+      if (n == 0L) id -> ((0L, None))
+      else {
+        val num = -bi.map { case (bg, c) => c * qLog(bg) }.sum
+        id -> ((n, Some(((num + 5 * n) / (10 * n)).toDouble / 1e6)))
+      }
+    }.toMap
+  }
+
+  test("t13 bigram Jelinek-Mercer nll matches a plain-Scala mirror value-for-value (incl. the short-doc null)") {
+    graft.functions.Ngrams.register(spark)
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log by the lake"),
+      (3L, "a very different sentence with its own words"),
+      (4L, "the cat sat on the mat again"),
+      (5L, "single"))
+    val got = graft.operators.TextOps.bigramLm(corpus.toDF("doc_id", "text"))
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      }.toMap
+    assert(got === t13Mirror(corpus))
+  }
+
+  test("s01 exact cosine top-5 matches a plain-Scala brute force on the driver embeddings (ranks and round-6 values)") {
+    graft.functions.FloatVecDot.register(spark)
+    val vecs = Tables(spark, sfDir).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def nrm(a: Array[Float]): Double = math.sqrt(dot(a, a))
+    val want = vecs.keys.filter(_ < 10L).toSeq.sorted.flatMap { qid =>
+      val q = vecs(qid); val qn = nrm(q)
+      vecs.toSeq.filter(_._1 != qid)
+        .map { case (id, e) => (id, round6(dot(q, e) / (qn * nrm(e)))) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, c), i) => (qid, (i + 1).toLong, id, c) }
+    }
+    val got = graft.operators.VectorOps.s01AnnBruteforce(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === want)
+  }
+}
