@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** c25: DSIR DATA SELECTION — importance-weighted selection toward a
+  * target distribution (Xie et al. '23, "Data Selection for Language
+  * Models via Importance Resampling": score every raw document under a
+  * TARGET-domain LM and a RAW-corpus LM; the log importance weight
+  * log p_target(x) − log p_raw(x) says how much more target-like than
+  * corpus-typical the document reads), deterministic variant: rank by
+  * the exact integer log-weight and keep the prefix that fills a token
+  * budget — no RNG (the c04/c16 discipline; sampled-without-replacement
+  * resampling is this ranking with hash-jittered ties, documented).
+  * This is the selection face of the c23 divergence audit: c23 measures
+  * how far each SOURCE sits from the mix; c25 picks the DOCUMENTS that
+  * close the gap toward a chosen target.
+  *
+  * Both LMs are t13's Jelinek-Mercer bigram model VERBATIM
+  * ([[TextOps.bigramModel]] — one trainer, raw + target instances);
+  * bigrams absent from the target model take its exact OOV floor
+  * ([[TextOps.bigramOovQLog]], the pplBucketStream contract — the raw
+  * model scores its own training corpus, so its floor never fires but
+  * rides the same coalesce for symmetry). The weight is an INTEGER on
+  * the 1e-7 grid: logw_q = Σ c·(q_t − q_r) over the doc's bigram
+  * census, so ranking, the budget boundary, and the reported value are
+  * all decided on integers; docs under 2 tokens have no bigrams, score
+  * NULL, and are never selected (t13's fail-closed every-doc-a-row
+  * convention).
+  *
+  * Exactness: the oracle builds BOTH models from ONE parameterized CTE
+  * generator ([[TextOps.jmModelCtes]] — t13's own model half, suffixed,
+  * with the target predicate as its WHERE), shares the t13 constants,
+  * and mirrors the floor from the generator's own `oov` CTE; the
+  * cumulative budget sum runs over the unique (logw_q DESC NULLS LAST,
+  * doc_id) total order with an explicit ROWS frame in both engines.
+  *
+  * Scale shape: the two model builds are t13's census shapes (map-side
+  * combined; the target build scans the predicate-pruned corpus); the
+  * scoring pass is ONE doc-bigram census joined against two
+  * vocabulary-sized model relations; the budget prefix is the one
+  * corpus-global ordered sum (p02's ranking class — at 100 TB the
+  * documented path is a quantile threshold on logw_q from a09's
+  * mergeable sketch: select logw_q above the budget-quantile, identical
+  * shape minus the window).
+  *
+  * Reference analog: `ProcessBatch.groovy:60-88` routes items by a
+  * scored predicate into process/skip outcomes; this is that gate with
+  * a trained importance score.
+  */
+object DsirSelect {
+  /** The target-domain predicate (both engines run this one string). */
+  private[graft] val TargetPredSql =
+    "source IN ('src0', 'src1', 'src2', 'src3')"
+  private[graft] val BudgetNum = 1L
+  private[graft] val BudgetDen = 2L
+
+  /** The selection over any (doc_id, source, text) relation — exposed
+    * for the spec's engineered-corpus properties. */
+  private[graft] def dsirOver(d: DataFrame,
+      targetPredSql: String = TargetPredSql,
+      budgetNum: Long = BudgetNum, budgetDen: Long = BudgetDen): DataFrame = {
+    val spark = d.sparkSession
+    graft.functions.Ngrams.register(spark)
+    val docsAll = d.select(col("doc_id"), col("source"), col("text"))
+    val target = docsAll.filter(expr(targetPredSql))
+    val db = TextOps.docBigrams(docsAll)
+    val modelR = TextOps.bigramModel(docsAll, db)
+      .withColumnRenamed("q_log", "q_r")
+    val modelT = TextOps.bigramModel(target, TextOps.docBigrams(target))
+      .withColumnRenamed("q_log", "q_t")
+    val oovT = TextOps.bigramOovQLog(target)
+    val oovR = TextOps.bigramOovQLog(docsAll)
+    val perDoc = db
+      .join(modelR, Seq("bg"), "left")
+      .join(modelT, Seq("bg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        sum(col("c") * (coalesce(col("q_t"), lit(oovT)) -
+          coalesce(col("q_r"), lit(oovR)))).as("logw_q"))
+    val base = docsAll
+      .withColumn("n_tokens", size(TextOps.tokensOf(col("text"))).cast("long"))
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+    val totals = base.agg(sum(col("n_tokens")).as("total_tokens"))
+    val w = Window.orderBy(col("logw_q").desc_nulls_last, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.crossJoin(broadcast(totals))
+      .withColumn("budget", expr(s"total_tokens * $budgetNum div $budgetDen"))
+      .withColumn("cum",
+        sum(when(col("logw_q").isNotNull, col("n_tokens")).otherwise(lit(0L)))
+          .over(w))
+      .withColumn("selected",
+        col("logw_q").isNotNull && col("cum") <= col("budget"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("n_bigrams"),
+        (col("logw_q").cast("double") / 1e7).as("logw"), col("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  def c25DsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    dsirOver(t.spread(t.documents).select(col("doc_id"), col("source"), col("text")))
+  }
+
+  val c25Sql: String =
+    s"""WITH ${TextOps.jmModelCtes("", "TRUE")},
+       |${TextOps.jmModelCtes("_t", TargetPredSql)},
+       |pd AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+       |    CAST(sum(c * (COALESCE(mt.q_log, (SELECT oov_q FROM oov_t)) -
+       |                  COALESCE(mr.q_log, (SELECT oov_q FROM oov)))) AS BIGINT)
+       |      AS logw_q
+       |  FROM db
+       |  LEFT JOIN model mr USING (bg)
+       |  LEFT JOIN model_t mt USING (bg)
+       |  GROUP BY doc_id
+       |), base AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(len(${TextOps.TokensSql}) AS BIGINT) AS n_tokens,
+       |    COALESCE(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams, logw_q
+       |  FROM documents d LEFT JOIN pd USING (doc_id)
+       |), tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM base
+       |), ranked AS (
+       |  SELECT *, sum(CASE WHEN logw_q IS NOT NULL THEN n_tokens
+       |                     ELSE CAST(0 AS BIGINT) END)
+       |    OVER (ORDER BY logw_q DESC NULLS LAST, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM base
+       |)
+       |SELECT doc_id, source, n_tokens, n_bigrams,
+       |  CAST(logw_q AS DOUBLE) / 10000000.0 AS logw,
+       |  (logw_q IS NOT NULL AND
+       |   cum <= (SELECT total_tokens FROM tot) * $BudgetNum // $BudgetDen)
+       |    AS selected
+       |FROM ranked ORDER BY doc_id""".stripMargin
+}

@@ -1253,24 +1253,29 @@ object TextOps {
         .as("q"))
       .head().getLong(0)
 
-  /** t13's model + per-doc scoring as a reusable CTE chain (ends at
-    * `scored`: doc_id, n_bigrams, nll) — shared verbatim by [[t13Sql]]
-    * and [[t16Sql]] so the two oracles cannot drift. */
-  private[operators] lazy val T13CoreCtes: String =
-    s"""toks AS (
-       |  SELECT doc_id, $TokensSql AS tk FROM documents
-       |), uni AS (
+  /** t13's Jelinek-Mercer MODEL as a parameterized CTE generator: the
+    * SAME census/model chain over `documents WHERE $whereSql`, every CTE
+    * name suffixed `$sfx` so two models can coexist in one oracle (c25
+    * trains a target model beside the raw one). The `oov$sfx` CTE is the
+    * model's out-of-vocabulary floor — the SQL mirror of
+    * [[bigramOovQLog]]'s expression (unused by t13's own oracle; DuckDB
+    * prunes unreferenced CTEs). `jmModelCtes("", "TRUE")` is exactly
+    * [[T13CoreCtes]]'s model half — ONE definition, every consumer. */
+  private[operators] def jmModelCtes(sfx: String, whereSql: String): String =
+    s"""toks$sfx AS (
+       |  SELECT doc_id, $TokensSql AS tk FROM documents WHERE $whereSql
+       |), uni$sfx AS (
        |  SELECT tok, CAST(count(*) AS BIGINT) AS cf
-       |  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok
-       |), totals AS (
+       |  FROM (SELECT unnest(tk) AS tok FROM toks$sfx) GROUP BY tok
+       |), totals$sfx AS (
        |  SELECT CAST(sum(cf) AS BIGINT) AS n_corpus,
-       |    CAST(count(*) AS BIGINT) AS v FROM uni
-       |), db AS (
+       |    CAST(count(*) AS BIGINT) AS v FROM uni$sfx
+       |), db$sfx AS (
        |  SELECT doc_id, bg, CAST(count(*) AS BIGINT) AS c FROM (
        |    SELECT doc_id, tk[i] || ' ' || tk[i+1] AS bg
-       |    FROM toks, unnest(range(1, len(tk))) AS u(i))
+       |    FROM toks$sfx, unnest(range(1, len(tk))) AS u(i))
        |  GROUP BY doc_id, bg
-       |), model AS (
+       |), model$sfx AS (
        |  SELECT bg,
        |    CAST(round(ln(
        |      ${T13Lambda} * (CAST(c12 AS DOUBLE) / CAST(c1 AS DOUBLE)) +
@@ -1280,11 +1285,22 @@ object TextOps {
        |  FROM (
        |    SELECT bg, CAST(sum(c) AS BIGINT) AS c12,
        |      string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
-       |    FROM db GROUP BY bg
+       |    FROM db$sfx GROUP BY bg
        |  ) b
-       |  JOIN (SELECT tok AS w1, cf AS c1 FROM uni) u1 USING (w1)
-       |  JOIN (SELECT tok AS w2, cf AS c2 FROM uni) u2 USING (w2), totals
-       |), agg AS (
+       |  JOIN (SELECT tok AS w1, cf AS c1 FROM uni$sfx) u1 USING (w1)
+       |  JOIN (SELECT tok AS w2, cf AS c2 FROM uni$sfx) u2 USING (w2), totals$sfx
+       |), oov$sfx AS (
+       |  SELECT CAST(round(ln(${1.0 - T13Lambda} /
+       |    (CAST(n_corpus AS DOUBLE) + CAST(v AS DOUBLE))) * 10000000.0)
+       |    AS BIGINT) AS oov_q FROM totals$sfx
+       |)""".stripMargin
+
+  /** t13's model + per-doc scoring as a reusable CTE chain (ends at
+    * `scored`: doc_id, n_bigrams, nll) — shared verbatim by [[t13Sql]]
+    * and [[t16Sql]] so the two oracles cannot drift; the model half is
+    * [[jmModelCtes]] unfiltered. */
+  private[operators] lazy val T13CoreCtes: String =
+    s"""${jmModelCtes("", "TRUE")}, agg AS (
        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
        |    -CAST(sum(c * q_log) AS BIGINT) AS num
        |  FROM db JOIN model USING (bg) GROUP BY doc_id

@@ -925,6 +925,36 @@ object StreamingJobs {
         .otherwise(lit("tail")).as("ppl_bucket"))
   }
 
+  /** Streaming face of c25: arriving docs score their DSIR importance
+    * weight against the two FROZEN LMs (target + raw — both t13 models
+    * as stream-static relations, re-scanned per trigger; the two OOV
+    * floors snapshot as plan literals, pplBucketStream's exact
+    * constants-vs-content split). Emits (doc_id, ts, n_bigrams, logw);
+    * the BUDGET-prefix selection stays batch-side (corpus-global ordered
+    * sum — a stream cannot rank against documents it has not seen; the
+    * consumer gates on a frozen logw threshold instead, the t16
+    * quantile-threshold pattern). Short docs keep a row with null logw.
+    * Bigram multiplicity rides the exploded instances, so the per-doc
+    * sum is exactly batch c25's Σ c·(q_t − q_r). */
+  def dsirScoreStream(docs: DataFrame, modelTarget: DataFrame,
+      modelRaw: DataFrame, oovTarget: Long, oovRaw: Long,
+      watermark: String = "1 hour"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), explode_outer(
+        graft.functions.Ngrams.ngramJoin(
+          graft.operators.TextOps.tokensOf(col("text")), 2)).as("bg"))
+      .join(modelTarget.select(col("bg"), col("q_log").as("q_t")),
+        Seq("bg"), "left")
+      .join(modelRaw.select(col("bg"), col("q_log").as("q_r")),
+        Seq("bg"), "left")
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(col("bg")).as("n_bigrams"),
+        sum(when(col("bg").isNotNull,
+          coalesce(col("q_t"), lit(oovTarget)) -
+            coalesce(col("q_r"), lit(oovRaw)))).as("logw_q"))
+      .select(col("doc_id"), col("ts"), col("n_bigrams"),
+        (col("logw_q").cast("double") / 1e7).as("logw"))
+
   // ----------------------------------------------------- task uploads
   /** The reference's upload-ingestion loop as ONE streaming job:
     * [[graft.sources.TaskFileSource.linesStream]]'s watched-directory

@@ -1,0 +1,114 @@
+package graft
+
+import graft.operators.DsirSelect
+
+/** Round-10 late addition: c25 DSIR importance selection. */
+class Round10DsirSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // target domain speaks vocabulary A; the off-domain docs vocabulary B
+  private val corpus = Seq(
+    (1L, "tgt", "alpha beta gamma delta alpha beta"),
+    (2L, "tgt", "beta gamma alpha beta delta alpha"),
+    (10L, "web", "alpha beta gamma alpha beta"),
+    (11L, "web", "zulu yankee xray whiskey zulu yankee xray"),
+    (12L, "web", "one"))
+
+  private def run(budgetNum: Long = 1L, budgetDen: Long = 2L) =
+    DsirSelect.dsirOver(corpus.toDF("doc_id", "source", "text"),
+      targetPredSql = "source = 'tgt'",
+      budgetNum = budgetNum, budgetDen = budgetDen)
+      .collect().map { r =>
+        r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          r.getBoolean(5)))
+      }.toMap
+
+  test("c25 importance weights separate domains: target-vocabulary doc outranks the off-domain doc (which the target OOV floor drives strongly negative); short doc null and never selected") {
+    val out = run()
+    val lw = out.view.mapValues(_._4).toMap
+    // the off-domain doc's bigrams are OOV under the target model → its
+    // weight is strongly negative; the target-vocabulary doc's bigram
+    // conditionals are comparable under both models → near zero. The
+    // GUARANTEED property is the ordering, not the sign of the
+    // target-like doc (the raw model contains the target mass too).
+    assert(lw(11L).exists(_ < 0.0), "off-domain doc must score negative")
+    assert(lw(10L).get > lw(11L).get,
+      "target-like raw doc must outrank the off-domain doc")
+    // the in-domain docs all outrank the off-domain one
+    Seq(1L, 2L, 10L).foreach(id => assert(lw(id).get > lw(11L).get, s"doc $id"))
+    assert(lw(12L).isEmpty && !out(12L)._5 && out(12L)._3 === 0L,
+      "sub-bigram doc: null weight, unselected, row kept")
+    // every doc keeps a row; the budget bites in favor of the target-like
+    // prefix: someone is selected and the off-domain doc is not
+    assert(out.keySet === corpus.map(_._1).toSet)
+    assert(out.values.exists(_._5) && !out(11L)._5)
+  }
+
+  test("c25 budget prefix is exact: selection = ranked docs while cum tokens fit; flags reproducible from the output itself") {
+    val out = run()
+    val total = out.values.map(_._2).sum
+    val budget = total / 2
+    // recompute the selection from the emitted rows: rank by
+    // (logw desc nulls last, doc_id), accumulate scoreable tokens
+    val ranked = out.toSeq.sortBy { case (id, (_, _, _, lw, _)) =>
+      (lw.isEmpty, lw.map(-_).getOrElse(0.0), id)
+    }
+    var cum = 0L
+    ranked.foreach { case (id, (_, nTok, _, lw, selected)) =>
+      if (lw.isDefined) {
+        cum += nTok
+        assert(selected === (cum <= budget), s"doc $id at cum $cum / $budget")
+      } else assert(!selected, s"unscoreable doc $id must not be selected")
+    }
+    // the budget genuinely bites: something selected, something scoreable dropped
+    assert(out.values.exists(_._5))
+    assert(out.values.exists(v => v._4.isDefined && !v._5))
+  }
+
+  test("dsirScoreStream: streamed logw bit-identical to batch c25 on every doc (incl. the null for the short doc)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.Ngrams.register(spark)
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val docsDf = corpus.toDF("doc_id", "source", "text")
+    val target = docsDf.filter(col("source") === "tgt")
+    val modelT = graft.operators.TextOps
+      .bigramModel(target, graft.operators.TextOps.docBigrams(target))
+      .localCheckpoint()
+    val modelR = graft.operators.TextOps
+      .bigramModel(docsDf, graft.operators.TextOps.docBigrams(docsDf))
+      .localCheckpoint()
+    val oovT = graft.operators.TextOps.bigramOovQLog(target)
+    val oovR = graft.operators.TextOps.bigramOovQLog(docsDf)
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingJobs
+      .dsirScoreStream(mem.toDF.toDF("doc_id", "ts", "text"),
+        modelT, modelR, oovT, oovR)
+      .writeStream.format("memory").queryName("dsir_r10")
+      .outputMode("append").start()
+    try {
+      mem.addData(corpus.map { case (id, _, tx) => (id, t0, tx) }: _*)
+      mem.addData((999L, Timestamp.valueOf("2026-01-01 13:00:00"), "flush flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("dsir_r10").collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Double]("logw")).map(_.doubleValue)
+    }.toMap
+    val batch = run()
+    corpus.foreach { case (id, _, _) =>
+      assert(streamed(id) === batch(id)._4, s"doc $id")
+    }
+  }
+
+  test("c25 a full budget selects every scoreable doc; a zero budget selects none") {
+    val all = run(budgetNum = 1L, budgetDen = 1L)
+    assert(all.values.forall(v => v._5 === v._4.isDefined))
+    val none = run(budgetNum = 0L, budgetDen = 1L)
+    assert(none.values.forall(!_._5))
+  }
+}
