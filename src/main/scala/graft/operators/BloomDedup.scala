@@ -210,6 +210,23 @@ object BloomDedup {
       expectedItems: Long = -1L, fpp: Double = Fpp): Array[Byte] =
     buildFilter(hashStoreCurrent(spark, prefix), expectedItems, fpp)
 
+  /** Re-mount the store's tables from their surviving warehouse
+    * directories after a process restart
+    * ([[DedupOps.neardupIndexAttach]]'s analog for the admission index —
+    * same in-memory-catalog contract, documented at
+    * [[graft.sources.GraftIO.attachBucketed]]). After attach, a rebuilt
+    * [[hashStoreFilter]] restores the frozen probe artifact (the filter
+    * bytes themselves are session state by design — one aggregate over
+    * the re-mounted view). */
+  def hashStoreAttach(spark: SparkSession, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    for (t <- Seq("_hash_base", "_hash_base_next", "_hash_base_old"))
+      graft.sources.GraftIO.attachBucketed(spark, prefix + t,
+        "content_hash STRING, doc_id BIGINT", "content_hash", nBuckets)
+    graft.sources.GraftIO.attachPartitioned(spark, s"${prefix}_hash_delta",
+      "content_hash STRING, doc_id BIGINT, gen BIGINT", "gen")
+  }
+
   /** Fold accumulated deltas into the bucketed base (one crash-safe
     * [[graft.sources.GraftIO.compactSwap]]); the canonical fold happens
     * here ONCE (min per hash), so the compacted base is again one row

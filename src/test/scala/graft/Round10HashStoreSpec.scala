@@ -71,6 +71,51 @@ class Round10HashStoreSpec extends GraftSpecBase {
     assert(missed === 0L)
   }
 
+  test("hash store survives process death: catalog loss + hashStoreAttach re-mounts the same current view, appends continue gen-monotone, the rebuilt filter covers everything") {
+    val prefix = "hstore_r10_cold"
+    val corpus = Seq(
+      (10L, "standing content one"),
+      (11L, "standing content two")).toDF("doc_id", "text")
+    BloomDedup.hashStoreBootstrap(corpus, prefix)
+    BloomDedup.hashStoreAppend(
+      Seq((20L, "appended before death")).toDF("doc_id", "text"), prefix, 0L)
+    val before = currentMap(prefix)
+    assert(before.size === 3)
+
+    // process death: registrations vanish, directories survive
+    CatalogDeath.simulate(spark, Seq(s"${prefix}_hash_base",
+      s"${prefix}_hash_base_next", s"${prefix}_hash_base_old",
+      s"${prefix}_hash_delta"))
+    val spark2 = spark.newSession()
+    BloomDedup.hashStoreAttach(spark2, prefix)
+    val after = BloomDedup.hashStoreCurrent(spark2, prefix).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after === before)
+
+    // appends continue against the re-mounted store, gen-monotone
+    import spark2.implicits._
+    BloomDedup.hashStoreAppend(
+      Seq((30L, "appended after restart")).toDF("doc_id", "text"), prefix, 1L)
+    val cur2 = BloomDedup.hashStoreCurrent(spark2, prefix).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cur2.size === 4)
+    // the pre-death gen ceiling still guards: a replay below it is refused
+    val err = intercept[IllegalArgumentException] {
+      BloomDedup.hashStoreAppend(
+        Seq((31L, "stale gen")).toDF("doc_id", "text"), prefix, 0L)
+    }
+    assert(err.getMessage.contains("non-monotone"))
+    // the rebuilt per-generation filter admits every stored hash
+    graft.functions.BloomMightContain.register(spark2)
+    val bytes = BloomDedup.hashStoreFilter(spark2, prefix)
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val missed = BloomDedup.hashStoreCurrent(spark2, prefix)
+      .withColumn("hit", graft.functions.BloomMightContain.mightContain(
+        lit(bytes), xxhash64(col("content_hash"))))
+      .filter(!col("hit")).count()
+    assert(missed === 0L)
+  }
+
   test("bloomGateStreamFromStore sees a mid-stream hashStoreAppend on the next trigger (filter from the next corpus generation, so the bloom leg cannot mask the probe)") {
     val prefix = "hstore_r10_stream"
     val standing = Seq((10L, "the cat sat on the mat")).toDF("doc_id", "text")
