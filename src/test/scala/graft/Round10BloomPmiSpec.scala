@@ -72,6 +72,36 @@ class Round10BloomPmiSpec extends GraftSpecBase {
       err.getMessage.toLowerCase.contains("literal"))
   }
 
+  test("bloom no-false-negative property: 3 deterministic 10k-key streams, zero misses through BOTH eval paths; false-positive rate near fpp") {
+    graft.functions.BloomMightContain.register(spark)
+    // deterministic LCG streams (no RNG nondeterminism — the repo
+    // discipline); each seed exercises a fresh filter
+    def lcg(seed: Long): Iterator[Long] =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L).drop(1)
+    for (seed <- Seq(1L, 42L, 987654321L)) {
+      val keys = lcg(seed).take(10000).toArray
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(10000, 0.03)
+      keys.foreach(bf.putLong)
+      val bytes = graft.functions.BloomMightContain.serialize(bf)
+      // interpreted path: direct evaluation over every inserted key
+      assert(keys.forall(bf.mightContainLong), s"seed $seed direct")
+      // codegen path: the same probe through the Spark expression
+      val misses = keys.toSeq.toDF("k")
+        .withColumn("hit", graft.functions.BloomMightContain.mightContain(
+          lit(bytes), col("k")))
+        .filter(!col("hit")).count()
+      assert(misses === 0L, s"seed $seed codegen")
+      // false positives exist but stay near the fpp knob (deterministic
+      // probe set disjoint from the keys; loose 4x bound, no flake)
+      val probes = lcg(seed + 7).take(10000).toSet.diff(keys.toSet).toSeq
+      val fp = probes.toDF("k")
+        .withColumn("hit", graft.functions.BloomMightContain.mightContain(
+          lit(bytes), col("k")))
+        .filter(col("hit")).count()
+      assert(fp.toDouble / probes.size < 0.12, s"seed $seed fp rate $fp")
+    }
+  }
+
   // ------------------------------------------------------------- t27
   test("t27 PMI: hand-computed value, MinCount floor, and collocation-beats-frequency ordering") {
     // Engineered corpus: "gila monster" always co-occurs (4×); "the cat"
