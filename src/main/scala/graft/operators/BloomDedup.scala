@@ -48,16 +48,12 @@ import graft.functions.BloomMightContain
 object BloomDedup {
   private[graft] val Fpp = 0.03
 
-  /** The two legs — (fast-path: bloom-negative, never joins the index;
-    * confirm: bloom-positive, d07's exact left join) — exposed so the
-    * spec can assert the fast path's plan really is index-join-free.
-    * `expectedItems <= 0` means "count the index" (a catalog statistic
-    * at scale). */
   /** Build the frozen admission filter over a standing index's
     * content_hash column — the per-corpus-generation artifact both the
     * batch legs and [[graft.streaming.StreamingJobs.bloomGateStream]]
     * probe (ONE builder, so build and probe are guaranteed to speak the
-    * same xxhash64-LONG key family). */
+    * same xxhash64-LONG key family). `expectedItems <= 0` means "count
+    * the index" (a catalog statistic at scale). */
   private[graft] def buildFilter(index: DataFrame, expectedItems: Long = -1L,
       fpp: Double = Fpp): Array[Byte] = {
     val n = if (expectedItems > 0) expectedItems
@@ -67,6 +63,9 @@ object BloomDedup {
         .stat.bloomFilter("h", n, fpp))
   }
 
+  /** The two legs — (fast-path: bloom-negative, never joins the index;
+    * confirm: bloom-positive, d07's exact left join) — exposed so the
+    * spec can assert the fast path's plan really is index-join-free. */
   private[graft] def bloomLegs(incoming: DataFrame, index: DataFrame,
       expectedItems: Long = -1L, fpp: Double = Fpp): (DataFrame, DataFrame) = {
     val spark = incoming.sparkSession

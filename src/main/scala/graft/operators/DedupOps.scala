@@ -206,7 +206,14 @@ object DedupOps {
     * spec's conditional-exactness gate); production corpora truncate and
     * estimate, the spec's forced-small-k case. */
   private[operators] val D12SketchK = 128
-  private[operators] val D12Threshold = 0.8
+  /** d12's decision threshold as ONE rational (num/den): the final
+    * `est_containment >= D12Threshold` filter and the integer pre-filter
+    * (`s_ab * den >= in_small_lb * num`) both derive from it, so the
+    * prune bound cannot silently drift lossy if the threshold moves. */
+  private[operators] val D12ThresholdNum = 4L
+  private[operators] val D12ThresholdDen = 5L
+  private[operators] val D12Threshold: Double =
+    D12ThresholdNum.toDouble / D12ThresholdDen
 
   /** d12: MinHash CONTAINMENT ESTIMATOR — d11's audit at 100 TB scale,
     * needing only the standing bottom-k sketches, never the exact gram
@@ -285,14 +292,15 @@ object DedupOps {
         col("n").as("n_a"), col("nk").as("nk_a")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"),
         col("n").as("n_b"), col("nk").as("nk_b")), "doc_b")
-      // the pre-filter: Ĉ ≤ s / max(1, min(k, u) − m + s) must reach 0.8
+      // the pre-filter: Ĉ ≤ s / max(1, min(k, u) − m + s) must reach the
+      // threshold — expressed on integers via the shared num/den rational
       .withColumn("nk_big",
         when(col("n_a") <= col("n_b"), col("nk_b")).otherwise(col("nk_a")))
       .withColumn("in_small_lb",
         least(lit(k.toLong), col("nk_a") + col("nk_b") - col("s_ab"))
           - col("nk_big") + col("s_ab"))
       .filter(col("in_small_lb") <= 0L ||
-        col("s_ab") * 5 >= col("in_small_lb") * 4)
+        col("s_ab") * D12ThresholdDen >= col("in_small_lb") * D12ThresholdNum)
       .join(sk.select(col("doc_id").as("doc_a"), col("sk").as("sk_a")), "doc_a")
       .join(sk.select(col("doc_id").as("doc_b"), col("sk").as("sk_b")), "doc_b")
       // the merged union sketch, then the two sample counts

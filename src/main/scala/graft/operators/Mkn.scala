@@ -20,8 +20,12 @@ import graft.Tables
   * D1 = 1−2Y·n₂/n₁, D2 = 2−3Y·n₃/n₂, D3 = 3−4Y·n₄/n₃ (tiers clamped to
   * [0, i] and given fixed fallbacks when a count-of-count is zero — on
   * degenerate corpora the raw estimators divide by zero or go negative;
-  * a real corpus hits neither; the guarded tier is then multiplied by
-  * an N-tier that is itself zero, so the fallback VALUE never surfaces).
+  * a real corpus hits neither. For tiers 1/2 the guarded fallback is
+  * multiplied by an N-tier that is itself zero, so its VALUE never
+  * surfaces; tier 3's CAN surface (nn3 = 0 while grams with count ≥ 4
+  * exist makes m3p > 0) — normalization still holds because discSql and
+  * gammaSql share the same tier expression, so whatever D3 value is
+  * used, the mass discounted from counts equals the mass γ hands down).
   * Per-doc mean NLL over 5-grams, NULL under 5 tokens (fail-closed).
   *
   * Exactness: every statistic is an exact 64-bit integer — raw counts at

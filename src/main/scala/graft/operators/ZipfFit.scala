@@ -22,6 +22,10 @@ import graft.Tables
   * coordinate, both engines); the five moment sums are exact DECIMAL/
   * HUGEINT integers; slope, intercept, r² are each ONE double division
   * of identical integers, round-6 (a11's finish, verbatim discipline).
+  * Units: slope and r2 are dimensionless (the 1e-6 grid scale cancels);
+  * the intercept's grid scale does NOT cancel, so it is divided back by
+  * 1e6 before rounding — all three columns are in natural (nat) units
+  * and `intercept` compares directly against ln(cf_max).
   *
   * Scale shape: the census is t13's (one tokenize pass, map-side
   * combined); ranking runs on the VOCABULARY relation (Zipf's own
@@ -76,7 +80,7 @@ object ZipfFit {
         when(col("vx") > 0,
           round(col("num").cast("double") / col("vx").cast("double"), 6)).as("slope"),
         when(col("vx") > 0,
-          round(col("inum").cast("double") / col("vx").cast("double"), 6)).as("intercept"),
+          round(col("inum").cast("double") / col("vx").cast("double") / 1e6, 6)).as("intercept"),
         when(col("vx") > 0 && col("vy") > 0,
           round((col("num").cast("double") * col("num").cast("double")) /
             (col("vx").cast("double") * col("vy").cast("double")), 6)).as("r2"))
@@ -113,7 +117,7 @@ object ZipfFit {
        |  CASE WHEN vx > 0
        |    THEN round(CAST(num AS DOUBLE) / CAST(vx AS DOUBLE), 6) END AS slope,
        |  CASE WHEN vx > 0
-       |    THEN round(CAST(inum AS DOUBLE) / CAST(vx AS DOUBLE), 6)
+       |    THEN round(CAST(inum AS DOUBLE) / CAST(vx AS DOUBLE) / 1000000.0, 6)
        |  END AS intercept,
        |  CASE WHEN vx > 0 AND vy > 0
        |    THEN round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /

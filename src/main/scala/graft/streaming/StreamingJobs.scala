@@ -1339,7 +1339,11 @@ object StreamingJobs {
     * learns the crawl while [[bloomGateStreamFromStore]] (a second query
     * over the same store) gates against it. Gens anchor above the
     * standing max; an at-least-once replay overwrites its own gen
-    * partition — idempotent. */
+    * partition — idempotent WITHIN one query lifetime (genBase is
+    * re-anchored at query (re)start, so a batch replayed after a restart
+    * writes under a new gen; the duplicates are then absorbed by
+    * hashStoreCurrent's min-fold — componentsStream's gen-anchoring
+    * caveat applies here too). */
   def hashStoreIngest(docs: DataFrame, prefix: String)
       : DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = docs.sparkSession

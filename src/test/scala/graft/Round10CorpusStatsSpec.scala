@@ -30,7 +30,7 @@ class Round10CorpusStatsSpec extends GraftSpecBase {
     val inum = sy * sxx - sx * sxy
     (xy.size.toLong,
       round6(num.toDouble / vx.toDouble),
-      round6(inum.toDouble / vx.toDouble),
+      round6(inum.toDouble / vx.toDouble / 1e6),
       round6(num.toDouble * num.toDouble / (vx.toDouble * vy.toDouble)))
   }
 
@@ -48,7 +48,7 @@ class Round10CorpusStatsSpec extends GraftSpecBase {
     val (n, slope, intercept, r2) = fitOf(texts.map(t => t))
     assert(n === 4L)
     assert(math.abs(slope - (-1.0)) < 1e-5)
-    assert(math.abs(intercept - math.log(12.0) * 1e6) < 20.0) // grid units
+    assert(math.abs(intercept - math.log(12.0)) < 2e-5) // nats (r11: unit fix)
     assert(r2 > 0.999999)
   }
 
