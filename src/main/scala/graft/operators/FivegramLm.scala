@@ -151,39 +151,53 @@ object FivegramLm {
         coalesce(col("n_5grams"), lit(0L)).as("n_5grams"), col("nll"))
   }
 
-  /** One gram-order census as a DuckDB CTE over `toks` — the oracle
-    * mirror of [[orderCensuses]]' per-order slice. */
-  private[operators] def censusCteSql(n: Int): String =
+  /** One gram-order census as a DuckDB CTE over a `(doc_id, tk)` token
+    * CTE (`src`, default the chain's own `toks`) — the oracle mirror of
+    * [[orderCensuses]]' per-order slice. */
+  private[operators] def censusCteSql(n: Int, src: String = "toks"): String =
     if (n == 1)
       s"""c1 AS (
          |  SELECT tok AS g, CAST(count(*) AS BIGINT) AS c
-         |  FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY tok
+         |  FROM (SELECT unnest(tk) AS tok FROM $src) GROUP BY tok
          |)""".stripMargin
     else {
       val join = (0 until n).map(i => s"tk[i+$i]").mkString(" || ' ' || ")
       s"""c$n AS (
          |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM (
          |    SELECT $join AS g
-         |    FROM toks, unnest(range(1, len(tk) - ${n - 2})) AS u(i))
+         |    FROM $src, unnest(range(1, len(tk) - ${n - 2})) AS u(i))
          |  GROUP BY g
          |)""".stripMargin
     }
 
-  /** All five censuses + the per-doc 5-gram census over an IN-SCOPE
-    * `toks(doc_id, tk)` CTE — lets a composed pipeline oracle
-    * (CuratePipeline.p03Sql) splice the 5-gram statistics over its own
-    * normalized-token chain. */
-  private[operators] val CensusAndD5Ctes: String =
-    s"""${(1 to 5).map(censusCteSql).mkString(", ")},
-       |d5 AS (
+  /** The per-doc 5-gram census CTE over a `(doc_id, tk)` token CTE —
+    * the SCORED side; held-out instantiations point it at a different
+    * token relation than the censuses (train vs candidate split). */
+  private[operators] def d5CteSql(src: String = "toks"): String =
+    s"""d5 AS (
        |  SELECT doc_id, g5, CAST(count(*) AS BIGINT) AS c FROM (
        |    -- no line here may START with '|': this fragment is
        |    -- interpolated into outer stripMargin'd oracle strings
        |    SELECT doc_id, tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] ||
        |      ' ' || tk[i+3] || ' ' || tk[i+4] AS g5
-       |    FROM toks, unnest(range(1, len(tk) - 3)) AS u(i))
+       |    FROM $src, unnest(range(1, len(tk) - 3)) AS u(i))
        |  GROUP BY doc_id, g5
        |)""".stripMargin
+
+  /** All five censuses (over `censusSrc` — the LM training tokens) +
+    * the per-doc 5-gram census (over `d5Src` — the scored tokens). The
+    * two sources coincide for the self-scored chains (t23/t26/p03); the
+    * held-out chains (t29/p05) split them. */
+  private[operators] def censusAndD5Ctes(censusSrc: String = "toks",
+      d5Src: String = "toks"): String =
+    s"""${(1 to 5).map(censusCteSql(_, censusSrc)).mkString(", ")},
+       |${d5CteSql(d5Src)}""".stripMargin
+
+  /** All five censuses + the per-doc 5-gram census over an IN-SCOPE
+    * `toks(doc_id, tk)` CTE — lets a composed pipeline oracle
+    * (CuratePipeline.p03Sql) splice the 5-gram statistics over its own
+    * normalized-token chain. */
+  private[operators] val CensusAndD5Ctes: String = censusAndD5Ctes()
 
   /** The CTE prefix shared VERBATIM by t23Sql and t26Sql (Mkn): corpus
     * tokens, all five order censuses, and the per-doc 5-gram census —

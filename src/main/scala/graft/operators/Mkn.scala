@@ -51,9 +51,11 @@ import graft.Tables
   * has NO such constant — an unseen gram's mass is γ₅(ctx)·p₄(·),
   * context-dependent at every level, so an honest stream gate would
   * ship the full lower-order artifact chain, not a floor scalar. The
-  * streaming LM gate therefore stays t23 (the documented JM form);
-  * batch entries score their own training corpus where nothing is
-  * unseen.
+  * streaming LM gate therefore stays t23 (the documented JM form). In
+  * BATCH the unseen path DOES execute: t29 ([[t29MknHeldout]]) trains
+  * on one split and scores the disjoint split with
+  * backoff-at-score-time ([[qLogHeldoutSql]]); this entry (t26) remains
+  * the self-scored form where all eight joins are inner and total.
   *
   * Reference analog: `AnalyzeBatch.groovy:88-97`'s gate family — the
   * member production pipelines actually deploy (CCNet/Gopher gate on a
@@ -97,6 +99,43 @@ object Mkn {
   private[graft] def qLogSql: String =
     s"CAST(round(ln(${pSql(5)}) * 10000000.0) AS BIGINT)"
 
+  /** The HELD-OUT recursion (t29/p05): the scored gram's statistics come
+    * from LEFT joins against the trained model's relations, so any level
+    * may be absent — the standard KN back-off-at-score-time semantics:
+    *
+    *   - context UNSEEN (dₖ IS NULL): no mass was reserved at this level
+    *     when the model was trained, so the level contributes nothing —
+    *     pₖ = pₖ₋₁ (addend 0, multiplier 1: `0.0 + 1.0·x ≡ x` exactly
+    *     in IEEE doubles for x > 0);
+    *   - context seen, gram unseen (aₖ NULL → 0): the discounted term is
+    *     exactly 0 ((0−D)₊ = 0) and the γₖ(ctx)·pₖ₋₁ reserved-mass term
+    *     carries the whole probability;
+    *   - all seen: bit-identical to [[qLogSql]] (coalesce/CASE select the
+    *     same double operations in the same order — spec-pinned).
+    *
+    * Written in multiplier/addend form — pₖ = tₖ + gₖ·pₖ₋₁ with each
+    * level's terms CASE-selected ONCE — so the expression is linear in
+    * the order (the naive CASE-around-the-recursion form duplicates the
+    * lower orders per branch: 2⁵ copies, large enough to knock the
+    * scoring projection out of whole-stage codegen).
+    *
+    * Order 1's context is the empty string (d1/m*_1 are corpus scalars,
+    * never NULL) and p₀ = 1/V, so every gram — even one whose five words
+    * are all OOV — scores a finite γ-chain value. */
+  private def pHeldoutSql(k: Int): String =
+    if (k == 0) s"(1.0 / ${dbl("v")})"
+    else {
+      val a = s"coalesce(a$k, 0)"
+      val t = s"(CASE WHEN d$k IS NULL THEN 0.0 ELSE " +
+        s"greatest(${dbl(a)} - ${discSql(k, a)}, 0.0) / ${dbl(s"d$k")} END)"
+      val g = s"(CASE WHEN d$k IS NULL THEN 1.0 ELSE ${gammaSql(k)} END)"
+      s"($t + $g * ${pHeldoutSql(k - 1)})"
+    }
+
+  /** The held-out scoring expression both engines run verbatim. */
+  private[graft] def qLogHeldoutSql: String =
+    s"CAST(round(ln(${pHeldoutSql(5)}) * 10000000.0) AS BIGINT)"
+
   def t26Mkn5gram(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.Ngrams.register(spark)
     val t = Tables(spark, dir)
@@ -104,9 +143,15 @@ object Mkn {
       .orderBy("doc_id")
   }
 
-  /** t26's TRAINED MODEL as a standalone (g5, q_log) relation; `d` the
-    * training corpus, `d5` its [[FivegramLm.docFivegrams]]. */
-  private[graft] def mknModel(d: DataFrame, d5: DataFrame): DataFrame = {
+  /** The trained model's statistics relations — everything the scoring
+    * joins need, shared by the self-scored ([[mknModel]]) and held-out
+    * ([[mknHeldoutModel]]) builders. */
+  private final case class KnStats(
+      lvl5: DataFrame, a4: DataFrame, a3: DataFrame, a2: DataFrame,
+      a1: DataFrame, ctx5: DataFrame, ctx4: DataFrame, ctx3: DataFrame,
+      ctx2: DataFrame, scalars: DataFrame)
+
+  private def knStats(d: DataFrame): KnStats = {
     val cn = FivegramLm.orderCensuses(d)
     def lvl(n: Int): DataFrame = cn.filter(col("n") === n)
     // continuation-count relation for the (upper−1)-gram: ĉ(g) =
@@ -148,9 +193,12 @@ object Mkn {
         sum(when(col("a") === 2, 1L).otherwise(0L)).as("m2_1"),
         sum(when(col("a") >= 3, 1L).otherwise(0L)).as("m3p_1")))
       .crossJoin(lvl(1).agg(count(lit(1)).as("v")))
+    KnStats(lvl(5), a4, a3, a2, a1, ctx5, ctx4, ctx3, ctx2, scalars)
+  }
 
-    // t23's scan-side key derivation, verbatim
-    d5.groupBy(col("g5")).agg(sum(col("c")).as("a5"))
+  /** t23's scan-side key derivation over any (g5, …) relation. */
+  private def withGramKeys(keys: DataFrame): DataFrame =
+    keys
       .withColumn("p", split(col("g5"), " "))
       .withColumn("x5", concat_ws(" ", slice(col("p"), 1, 4)))
       .withColumn("s4", concat_ws(" ", slice(col("p"), 2, 4)))
@@ -160,16 +208,48 @@ object Mkn {
       .withColumn("s2", concat_ws(" ", slice(col("p"), 4, 2)))
       .withColumn("x2", element_at(col("p"), 4))
       .withColumn("w5", element_at(col("p"), 5))
-      .join(ctx5.withColumnRenamed("g", "x5"), "x5")
-      .join(a4.select(col("g").as("s4"), col("a").as("a4")), "s4")
-      .join(ctx4.withColumnRenamed("g", "x4"), "x4")
-      .join(a3.select(col("g").as("s3"), col("a").as("a3")), "s3")
-      .join(ctx3.withColumnRenamed("g", "x3"), "x3")
-      .join(a2.select(col("g").as("s2"), col("a").as("a2")), "s2")
-      .join(ctx2.withColumnRenamed("g", "x2"), "x2")
-      .join(a1.select(col("g").as("w5"), col("a").as("a1")), "w5")
-      .crossJoin(broadcast(scalars))
+
+  /** t26's TRAINED MODEL as a standalone (g5, q_log) relation; `d` the
+    * training corpus, `d5` its [[FivegramLm.docFivegrams]]. */
+  private[graft] def mknModel(d: DataFrame, d5: DataFrame): DataFrame = {
+    val st = knStats(d)
+    // every suffix/context of an observed 5-gram is itself observed →
+    // all eight joins inner and total (self-scored fast path)
+    withGramKeys(d5.groupBy(col("g5")).agg(sum(col("c")).as("a5")))
+      .join(st.ctx5.withColumnRenamed("g", "x5"), "x5")
+      .join(st.a4.select(col("g").as("s4"), col("a").as("a4")), "s4")
+      .join(st.ctx4.withColumnRenamed("g", "x4"), "x4")
+      .join(st.a3.select(col("g").as("s3"), col("a").as("a3")), "s3")
+      .join(st.ctx3.withColumnRenamed("g", "x3"), "x3")
+      .join(st.a2.select(col("g").as("s2"), col("a").as("a2")), "s2")
+      .join(st.ctx2.withColumnRenamed("g", "x2"), "x2")
+      .join(st.a1.select(col("g").as("w5"), col("a").as("a1")), "w5")
+      .crossJoin(broadcast(st.scalars))
       .withColumn("q_log", expr(qLogSql))
+      .select("g5", "q_log")
+  }
+
+  /** The HELD-OUT model over the SCORED corpus's distinct 5-grams:
+    * every statistic LEFT-joined from the train-side relations (any may
+    * be absent — [[qLogHeldoutSql]]'s back-off handles each level), the
+    * gram's own order-5 count from the train census (NOT the scored
+    * census: an unseen gram must read a₅ = 0). Same scale shape as the
+    * self-scored build — nine hash joins on gram keys over metadata
+    * relations, one broadcast scalar row, no iteration. */
+  private def mknHeldoutModel(train: DataFrame, evalD5: DataFrame): DataFrame = {
+    val st = knStats(train)
+    withGramKeys(evalD5.select(col("g5")).distinct())
+      .join(st.lvl5.select(col("g").as("g5"), col("c").as("a5")), Seq("g5"), "left")
+      .join(st.ctx5.withColumnRenamed("g", "x5"), Seq("x5"), "left")
+      .join(st.a4.select(col("g").as("s4"), col("a").as("a4")), Seq("s4"), "left")
+      .join(st.ctx4.withColumnRenamed("g", "x4"), Seq("x4"), "left")
+      .join(st.a3.select(col("g").as("s3"), col("a").as("a3")), Seq("s3"), "left")
+      .join(st.ctx3.withColumnRenamed("g", "x3"), Seq("x3"), "left")
+      .join(st.a2.select(col("g").as("s2"), col("a").as("a2")), Seq("s2"), "left")
+      .join(st.ctx2.withColumnRenamed("g", "x2"), Seq("x2"), "left")
+      .join(st.a1.select(col("g").as("w5"), col("a").as("a1")), Seq("w5"), "left")
+      .crossJoin(broadcast(st.scalars))
+      .withColumn("q_log", expr(qLogHeldoutSql))
       .select("g5", "q_log")
   }
 
@@ -177,6 +257,28 @@ object Mkn {
   private[graft] def mkn5Lm(d: DataFrame): DataFrame = {
     val d5 = FivegramLm.docFivegrams(d)
     val model = mknModel(d, d5)
+    scoreTail(d, d5, model)
+  }
+
+  /** t29: HELD-OUT modified-KN scoring — train on `train`, score `ev`
+    * (disjoint or not), with backoff-at-score-time for unseen grams:
+    * the production CCNet-style gate's ACTUAL code path (the model is
+    * trained on a reference corpus and applied to candidate documents
+    * it has never seen). The scored side's distinct 5-grams LEFT-join
+    * the trained statistics; [[qLogHeldoutSql]] runs the γ-recursion
+    * wherever a count is absent. `heldout(X, X) ≡ mkn5Lm(X)` bit-exact
+    * (spec-pinned): on an all-seen gram the held-out expression selects
+    * the same double operations in the same order. */
+  private[graft] def mknHeldoutScore(train: DataFrame, ev: DataFrame): DataFrame = {
+    val d5e = FivegramLm.docFivegrams(ev)
+    val model = mknHeldoutModel(train, d5e)
+    scoreTail(ev, d5e, model)
+  }
+
+  /** Per-doc mean-NLL aggregate over a (doc_id, g5, c) census and its
+    * (g5, q_log) model — shared by both scorers; the model covers every
+    * scored g5 by construction, so the join is inner and total. */
+  private def scoreTail(docs: DataFrame, d5: DataFrame, model: DataFrame): DataFrame = {
     val perDoc = d5.join(model, "g5")
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_5grams"),
@@ -184,10 +286,27 @@ object Mkn {
       .withColumn("nll_micro", TextOps.qMicro("num", "n_5grams"))
       .select(col("doc_id"), col("n_5grams"),
         (col("nll_micro").cast("double") / 1e6).as("nll"))
-    d.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_5grams"), lit(0L)).as("n_5grams"), col("nll"))
+  }
+
+  /** t29's driver face: train on the non-eval split (doc_id % EvalMod
+    * ≠ 0 — c06's deterministic split discipline), score the DISJOINT
+    * eval split. At every sf the eval docs contain 5/4/3/2-grams absent
+    * from the train split, so the unseen back-off path genuinely
+    * executes (spec-asserted). Reference analog:
+    * `AnalyzeBatch.groovy:88-97` — the validator gates INCOMING lines,
+    * not the set it was defined from. */
+  def t29MknHeldout(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    val t = Tables(spark, dir)
+    val d = t.spread(t.documents).select(col("doc_id"), col("text"))
+    mknHeldoutScore(
+      d.filter(col("doc_id") % TextOps.EvalMod =!= 0),
+      d.filter(col("doc_id") % TextOps.EvalMod === 0))
+      .orderBy("doc_id")
   }
 
   private def contCte(name: String, src: String, hi: Int): String =
@@ -210,11 +329,11 @@ object Mkn {
       s"(SELECT CAST(count(*) FILTER (WHERE $cnt = $i) AS BIGINT) FROM $src) AS nn${i}_$k"
     ).mkString(",\n    ")
 
-  /** The KN statistics → model → per-doc aggregate CTE chain over an
-    * in-scope c1..c5/d5 census prefix ([[FivegramLm.CensusAndD5Ctes]])
-    * — shared VERBATIM by [[t26Sql]] and CuratePipeline.p03Sql, ending
-    * with `agg26(doc_id, n_5grams, num)`. */
-  private[operators] val KnCtes: String =
+  /** The trained-statistics CTEs (continuation + context relations over
+    * an in-scope c1..c5 census prefix) — shared VERBATIM by the
+    * self-scored chain ([[KnCtes]]) and the held-out chain
+    * ([[KnHeldoutCtes]]), so the two cannot drift in their statistics. */
+  private[operators] val KnStatsCtes: String =
     s"""${contCte("a4r", "c5", 5)},
        |${contCte("a3r", "c4", 4)},
        |${contCte("a2r", "c3", 3)},
@@ -222,7 +341,29 @@ object Mkn {
        |${ctxCte("ctx5", "c5", "c", 5)},
        |${ctxCte("ctx4", "a4r", "a", 4)},
        |${ctxCte("ctx3", "a3r", "a", 3)},
-       |${ctxCte("ctx2", "a2r", "a", 2)},
+       |${ctxCte("ctx2", "a2r", "a", 2)}""".stripMargin
+
+  /** The 25 corpus scalars as scalar subqueries appended to a keys
+    * relation (NOT cross-joined CTEs — the t23-documented reorderer
+    * pathology), shared by keys26s and keys29s. */
+  private def scalarSel: String =
+    s"""${cofSel("c5", "c", 5)},
+       |    ${cofSel("a4r", "a", 4)},
+       |    ${cofSel("a3r", "a", 3)},
+       |    ${cofSel("a2r", "a", 2)},
+       |    ${cofSel("a1r", "a", 1)},
+       |    (SELECT CAST(sum(a) AS BIGINT) FROM a1r) AS d1,
+       |    (SELECT CAST(count(*) FILTER (WHERE a = 1) AS BIGINT) FROM a1r) AS m1_1,
+       |    (SELECT CAST(count(*) FILTER (WHERE a = 2) AS BIGINT) FROM a1r) AS m2_1,
+       |    (SELECT CAST(count(*) FILTER (WHERE a >= 3) AS BIGINT) FROM a1r) AS m3p_1,
+       |    (SELECT CAST(count(*) AS BIGINT) FROM c1) AS v""".stripMargin
+
+  /** The KN statistics → model → per-doc aggregate CTE chain over an
+    * in-scope c1..c5/d5 census prefix ([[FivegramLm.CensusAndD5Ctes]])
+    * — shared VERBATIM by [[t26Sql]] and CuratePipeline.p03Sql, ending
+    * with `agg26(doc_id, n_5grams, num)`. */
+  private[operators] val KnCtes: String =
+    s"""$KnStatsCtes,
        |keys26 AS (
        |  SELECT g5, CAST(sum(c) AS BIGINT) AS a5,
        |    array_to_string(p[1:4], ' ') AS x5,
@@ -235,19 +376,8 @@ object Mkn {
        |  FROM (SELECT g5, c, string_split(g5, ' ') AS p FROM d5)
        |  GROUP BY g5, x5, s4, x4, s3, x3, s2, x2, w5
        |), keys26s AS (
-       |  -- all corpus scalars as scalar subqueries, NOT cross-joined
-       |  -- CTEs (the t23-documented reorderer pathology)
        |  SELECT *,
-       |    ${cofSel("c5", "c", 5)},
-       |    ${cofSel("a4r", "a", 4)},
-       |    ${cofSel("a3r", "a", 3)},
-       |    ${cofSel("a2r", "a", 2)},
-       |    ${cofSel("a1r", "a", 1)},
-       |    (SELECT CAST(sum(a) AS BIGINT) FROM a1r) AS d1,
-       |    (SELECT CAST(count(*) FILTER (WHERE a = 1) AS BIGINT) FROM a1r) AS m1_1,
-       |    (SELECT CAST(count(*) FILTER (WHERE a = 2) AS BIGINT) FROM a1r) AS m2_1,
-       |    (SELECT CAST(count(*) FILTER (WHERE a >= 3) AS BIGINT) FROM a1r) AS m3p_1,
-       |    (SELECT CAST(count(*) AS BIGINT) FROM c1) AS v
+       |    $scalarSel
        |  FROM keys26
        |), model26 AS (
        |  SELECT g5, $qLogSql AS q_log
@@ -265,6 +395,69 @@ object Mkn {
        |    -CAST(sum(c * q_log) AS BIGINT) AS num
        |  FROM d5 JOIN model26 USING (g5) GROUP BY doc_id
        |)""".stripMargin
+
+  /** The HELD-OUT chain over an in-scope census prefix where c1..c5 are
+    * the TRAIN split's censuses and `d5` is the SCORED side's per-doc
+    * census: [[KnStatsCtes]] verbatim, then keys over the scored side's
+    * distinct 5-grams, every statistic LEFT-joined, [[qLogHeldoutSql]]
+    * spliced verbatim. Ends with `agg29(doc_id, n_5grams, num)`. Shared
+    * by [[t29Sql]] and CuratePipeline.p05Sql. */
+  private[operators] val KnHeldoutCtes: String =
+    s"""$KnStatsCtes,
+       |keys29 AS (
+       |  SELECT g5,
+       |    array_to_string(p[1:4], ' ') AS x5,
+       |    array_to_string(p[2:5], ' ') AS s4,
+       |    array_to_string(p[2:4], ' ') AS x4,
+       |    array_to_string(p[3:5], ' ') AS s3,
+       |    array_to_string(p[3:4], ' ') AS x3,
+       |    array_to_string(p[4:5], ' ') AS s2,
+       |    p[4] AS x2, p[5] AS w5
+       |  FROM (SELECT g5, string_split(g5, ' ') AS p
+       |        FROM (SELECT DISTINCT g5 FROM d5))
+       |), keys29s AS (
+       |  SELECT *,
+       |    $scalarSel
+       |  FROM keys29
+       |), model29 AS (
+       |  SELECT g5, $qLogHeldoutSql AS q_log
+       |  FROM keys29s
+       |  LEFT JOIN (SELECT g AS g5, c AS a5 FROM c5) j0 USING (g5)
+       |  LEFT JOIN (SELECT g AS x5, d5, m1_5, m2_5, m3p_5 FROM ctx5) j1 USING (x5)
+       |  LEFT JOIN (SELECT g AS s4, a AS a4 FROM a4r) j2 USING (s4)
+       |  LEFT JOIN (SELECT g AS x4, d4, m1_4, m2_4, m3p_4 FROM ctx4) j3 USING (x4)
+       |  LEFT JOIN (SELECT g AS s3, a AS a3 FROM a3r) j4 USING (s3)
+       |  LEFT JOIN (SELECT g AS x3, d3, m1_3, m2_3, m3p_3 FROM ctx3) j5 USING (x3)
+       |  LEFT JOIN (SELECT g AS s2, a AS a2 FROM a2r) j6 USING (s2)
+       |  LEFT JOIN (SELECT g AS x2, d2, m1_2, m2_2, m3p_2 FROM ctx2) j7 USING (x2)
+       |  LEFT JOIN (SELECT g AS w5, a AS a1 FROM a1r) j8 USING (w5)
+       |), agg29 AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_5grams,
+       |    -CAST(sum(c * q_log) AS BIGINT) AS num
+       |  FROM d5 JOIN model29 USING (g5) GROUP BY doc_id
+       |)""".stripMargin
+
+  /** t29's oracle: train-split censuses, eval-split d5, the held-out
+    * chain verbatim, eval docs only. */
+  val t29Sql: String = {
+    import TextOps.qMicroSql
+    s"""WITH ttoks AS (
+       |  SELECT doc_id, ${TextOps.TokensSql} AS tk FROM documents
+       |  WHERE doc_id % ${TextOps.EvalMod} <> 0
+       |), etoks AS (
+       |  SELECT doc_id, ${TextOps.TokensSql} AS tk FROM documents
+       |  WHERE doc_id % ${TextOps.EvalMod} = 0
+       |), ${FivegramLm.censusAndD5Ctes("ttoks", "etoks")},
+       |$KnHeldoutCtes, scored29 AS (
+       |  SELECT d.doc_id, COALESCE(n_5grams, 0) AS n_5grams,
+       |    ${qMicroSql("num", "n_5grams")} AS nll
+       |  FROM (SELECT doc_id FROM documents
+       |        WHERE doc_id % ${TextOps.EvalMod} = 0) d
+       |  LEFT JOIN agg29 USING (doc_id)
+       |)
+       |SELECT doc_id, n_5grams, nll FROM scored29
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Oracle: t23's CTE prefix verbatim, the KN statistics as CTEs, the
     * 25 scalars as scalar subqueries, [[qLogSql]] spliced verbatim. */

@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Mkn
+
+/** t29 held-out modified-KN specs — the production gate's unseen-data
+  * path (train on one corpus, score documents the model never saw):
+  *
+  *   1. self-consistency: heldout(X, X) ≡ the self-scored t26 scorer
+  *      bit-exact (on an all-seen gram the held-out expression selects
+  *      the same double operations in the same order);
+  *   2. value-level definitional pin: exact agreement with a
+  *      plain-Scala mirror of the back-off recursion on corpora
+  *      engineered so the eval side has unseen grams at EVERY order;
+  *   3. the analytic γ-chain: a hand-built all-OOV 5-gram's score
+  *      equals −ln(γ₁·(1/V)) computed directly from the train census —
+  *      independent of the mirror's recursion;
+  *   4. path coverage: the engineered eval corpus really contains
+  *      unseen 5/4/3/2/1-grams (the branch each level takes is real);
+  *   5. fail-closed short docs and the driver split's unseen mass.
+  */
+class Round11HeldoutSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Plain-Scala mirror (Round10MknSpec's Ref.Model statistics, with
+    * the held-out back-off: absent context → full fall-through, absent
+    * count → 0). Kept self-contained so the two suites stay independent
+    * reference implementations. */
+  private object Ref {
+    def toks(s: String): Seq[String] =
+      s.trim.toLowerCase.replaceAll("\\s+", " ").split(" ").toSeq
+    def grams(tk: Seq[String], n: Int): Seq[String] =
+      tk.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+
+    case class Ctx(d: Long, m1: Long, m2: Long, m3p: Long)
+
+    case class Model(texts: Map[Long, String]) {
+      val docToks: Map[Long, Seq[String]] = texts.map { case (id, t) => id -> toks(t) }
+      val census: Map[Int, Map[String, Long]] = (1 to 5).map { n =>
+        n -> docToks.values.flatMap(grams(_, n)).groupBy(identity)
+          .map { case (g, o) => g -> o.size.toLong }
+      }.toMap
+      val cont: Map[Int, Map[String, Long]] = (1 to 4).map { k =>
+        k -> census(k + 1).keys.groupBy(_.split(" ").drop(1).mkString(" "))
+          .map { case (g, o) => g -> o.size.toLong }
+      }.toMap
+      def aOf(k: Int): Map[String, Long] = if (k == 5) census(5) else cont(k)
+      def ctxOf(k: Int): Map[String, Ctx] =
+        aOf(k).groupBy { case (g, _) => g.split(" ").take(k - 1).mkString(" ") }
+          .map { case (c, m) =>
+            val cs = m.values
+            c -> Ctx(cs.sum, cs.count(_ == 1L), cs.count(_ == 2L), cs.count(_ >= 3L))
+          }
+      val ctx: Map[Int, Map[String, Ctx]] = (2 to 5).map(k => k -> ctxOf(k)).toMap
+      val l1: Ctx = {
+        val cs = aOf(1).values
+        Ctx(cs.sum, cs.count(_ == 1L), cs.count(_ == 2L), cs.count(_ >= 3L))
+      }
+      val v: Long = census(1).size.toLong
+      val nns: Map[Int, (Long, Long, Long, Long)] = (1 to 5).map { k =>
+        val cs = aOf(k).values
+        k -> ((cs.count(_ == 1L).toLong, cs.count(_ == 2L).toLong,
+          cs.count(_ == 3L).toLong, cs.count(_ == 4L).toLong))
+      }.toMap
+      def dTier(i: Int, k: Int): Double = {
+        val (n1, n2, n3, n4) = nns(k)
+        val y = n1.toDouble / (n1.toDouble + 2.0 * n2.toDouble)
+        i match {
+          case 1 => if (n1 > 0) math.min(math.max(1.0 - 2.0 * y * n2 / n1, 0.0), 1.0) else 0.5
+          case 2 => if (n2 > 0) math.min(math.max(2.0 - 3.0 * y * n3 / n2, 0.0), 2.0) else 1.5
+          case 3 => if (n3 > 0 && n1 + 2 * n2 > 0)
+            math.min(math.max(3.0 - 4.0 * y * n4 / n3, 0.0), 3.0) else 2.5
+        }
+      }
+      def disc(k: Int, a: Long): Double =
+        if (a == 1) dTier(1, k) else if (a == 2) dTier(2, k) else dTier(3, k)
+      def gamma(k: Int, c: Ctx): Double =
+        (dTier(1, k) * c.m1 + dTier(2, k) * c.m2 + dTier(3, k) * c.m3p) / c.d.toDouble
+
+      /** Held-out back-off: absent context (no mass reserved at this
+        * level in training) falls straight through; absent count reads
+        * 0 so only the γ term survives. Mirrors Mkn.pHeldoutSql's
+        * t + g·p form operation-for-operation. */
+      def pHeldout(k: Int, w: Seq[String]): Double =
+        if (k == 0) 1.0 / v.toDouble
+        else {
+          val cOpt = if (k == 1) Some(l1) else ctx(k).get(w.slice(5 - k, 4).mkString(" "))
+          cOpt match {
+            case None => 0.0 + 1.0 * pHeldout(k - 1, w)
+            case Some(c) =>
+              val a = aOf(k).getOrElse(w.drop(5 - k).mkString(" "), 0L)
+              math.max(a.toDouble - disc(k, a), 0.0) / c.d.toDouble +
+                gamma(k, c) * pHeldout(k - 1, w)
+          }
+        }
+      def qLogHeldout(g5: String): Long =
+        math.round(math.log(pHeldout(5, g5.split(" ").toSeq)) * 1e7)
+
+      def scoreHeldout(evalTexts: Map[Long, String]): Map[Long, (Long, Option[Double])] =
+        evalTexts.map { case (id, t) =>
+          val g5s = grams(toks(t), 5).groupBy(identity)
+            .map { case (g, o) => g -> o.size.toLong }
+          if (g5s.isEmpty) id -> ((0L, None))
+          else {
+            val n = g5s.values.sum
+            val num = -g5s.map { case (g, c) => c * qLogHeldout(g) }.sum
+            id -> ((n, Some(((num + 5 * n) / (10 * n)).toDouble / 1e6)))
+          }
+        }
+    }
+  }
+
+  // ---- train corpus: Round10MknSpec's tier-populating shape ---------
+  private val trainTexts: Map[Long, String] = {
+    def sentence(tag: String, i: Int): String =
+      Seq("a", "b", "c", "d", "e").map(w => s"$tag$i$w").mkString(" ")
+    val singles = (1 to 20).map(i => sentence("s", i))
+    val doubles = (1 to 4).flatMap(i => Seq.fill(2)(sentence("d", i)))
+    val triples = (1 to 2).flatMap(i => Seq.fill(3)(sentence("t", i)))
+    val quads = Seq.fill(4)(sentence("q", 1))
+    val all = singles ++ doubles ++ triples ++ quads ++
+      Seq("u v w x y z u v w")
+    all.zipWithIndex.map { case (t, i) => (i + 1).toLong -> t }.toMap
+  }
+
+  // ---- eval corpus: unseen structure at every order ------------------
+  //  201: a train sentence verbatim        — all grams seen
+  //  202: seen 4-prefix, novel last word   — unseen 5-gram, seen x5
+  //  203: seen words, novel order          — unseen 5/4/3/2-grams, seen unigrams
+  //  204: all-OOV words                    — unseen at EVERY order (γ-chain to 1/V)
+  //  205: short doc                        — fail-closed NULL
+  private val evalTexts: Map[Long, String] = Map(
+    201L -> "s1a s1b s1c s1d s1e",
+    202L -> "s1a s1b s1c s1d zzz",
+    203L -> "s1d s1c s1b s1e s1a",
+    204L -> "oov1 oov2 oov3 oov4 oov5",
+    205L -> "tiny doc")
+
+  private def df(m: Map[Long, String]) =
+    m.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+
+  private def collectScores(r: org.apache.spark.sql.DataFrame) =
+    r.collect().map(x => x.getLong(0) ->
+      ((x.getLong(1), if (x.isNullAt(2)) None else Some(x.getDouble(2))))).toMap
+
+  test("t29: heldout(X, X) is bit-exact equal to the self-scored t26 scorer") {
+    val d = df(trainTexts)
+    val self = collectScores(Mkn.mkn5Lm(d))
+    val held = collectScores(Mkn.mknHeldoutScore(d, d))
+    assert(held == self)
+  }
+
+  test("t29: exact agreement with the plain-Scala held-out mirror, unseen grams at every order") {
+    val got = collectScores(Mkn.mknHeldoutScore(df(trainTexts), df(evalTexts)))
+    val want = Ref.Model(trainTexts).scoreHeldout(evalTexts)
+    assert(got == want)
+  }
+
+  test("t29: the eval corpus genuinely exercises each back-off branch") {
+    val m = Ref.Model(trainTexts)
+    // 201: every gram seen → the all-inner fast path value
+    assert(m.census(5).contains("s1a s1b s1c s1d s1e"))
+    // 202: unseen 5-gram under a SEEN order-5 context (γ₅ path, no fall-through)
+    assert(!m.census(5).contains("s1a s1b s1c s1d zzz"))
+    assert(m.ctx(5).contains("s1a s1b s1c s1d"))
+    // 203: unseen contexts at orders 5..2 but all five words in-vocab
+    // (position 4 is a sentence-FINAL train token, so even the order-2
+    // context is absent from the continuation statistics)
+    val w203 = Seq("s1d", "s1c", "s1b", "s1e", "s1a")
+    assert(!m.ctx(5).contains(w203.take(4).mkString(" ")))
+    assert(!m.ctx(4).contains(w203.slice(1, 4).mkString(" ")))
+    assert(!m.ctx(3).contains(w203.slice(2, 4).mkString(" ")))
+    assert(!m.ctx(2).contains(w203(3)))
+    assert(w203.forall(m.census(1).contains))
+    // 204: OOV everywhere — even the unigram continuation count is absent
+    assert(!m.aOf(1).contains("oov5"))
+  }
+
+  test("t29: a hand-built all-OOV 5-gram scores the analytic γ-chain −ln(γ₁/V) exactly") {
+    val m = Ref.Model(trainTexts)
+    // every context above order 1 is unseen (multiplier 1, addend 0);
+    // at order 1 the empty context is the corpus scalars and a₁ = 0,
+    // so p = γ₁ · (1/V) — computed here directly, not via the mirror
+    val gamma1 = (m.dTier(1, 1) * m.l1.m1 + m.dTier(2, 1) * m.l1.m2 +
+      m.dTier(3, 1) * m.l1.m3p) / m.l1.d.toDouble
+    // the engine's exact shape: the unseen levels contribute 0.0 + 1.0·x
+    // and order 1's discounted term is max(0−D,0)/d₁ = 0.0/d₁
+    val qExpected = math.round(math.log(0.0 + 1.0 * (0.0 / m.l1.d.toDouble +
+      gamma1 * (1.0 / m.v.toDouble))) * 1e7)
+    val nllExpected = ((5 * 1 - (1 * qExpected)) / (10 * 1)).toDouble / 1e6
+    val got = collectScores(Mkn.mknHeldoutScore(df(trainTexts),
+      Seq((204L, "oov1 oov2 oov3 oov4 oov5")).toDF("doc_id", "text")))
+    assert(got(204L)._1 == 1L)
+    assert(got(204L)._2.contains(nllExpected))
+  }
+
+  test("t29: short eval docs fail closed (NULL nll, row kept); driver split has unseen mass") {
+    val got = collectScores(Mkn.mknHeldoutScore(df(trainTexts), df(evalTexts)))
+    assert(got(205L) == ((0L, None)))
+    // driver-corpus sanity at sf0.001: the eval split's 5-grams are not
+    // all in the train split (the unseen path executes in the driver
+    // entry, not only in engineered specs)
+    val d = Tables(spark, sfDir)
+    val docs = d.spread(d.documents).select(col("doc_id"), col("text"))
+    val g5 = graft.operators.FivegramLm.docFivegrams(docs)
+      .withColumn("is_eval", col("doc_id") % graft.operators.TextOps.EvalMod === 0)
+    val trainG = g5.filter(!col("is_eval")).select("g5").distinct()
+    val unseen = g5.filter(col("is_eval")).select("g5").distinct()
+      .join(trainG, Seq("g5"), "left_anti").count()
+    assert(unseen > 0)
+  }
+}
