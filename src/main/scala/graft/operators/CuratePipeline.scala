@@ -95,6 +95,28 @@ object CuratePipeline {
       nllMax = MknNllMax, lmScorer = Mkn.mkn5Lm)
   }
 
+  /** p05's mean-NLL ceiling: the HELD-OUT gate's nll scale is much
+    * higher than p03's self-scored one (the model is trained on the
+    * 1/EvalMod reference split, so most candidate grams back off
+    * through γ-chains toward the 1/V floor); the ceiling sits near the
+    * candidate median so both gate branches are exercised at every sf. */
+  private[graft] val HeldoutNllMax = 3.49
+
+  /** p05: p03 with the LM gate in the PRODUCTION orientation — t26's
+    * modified-KN model trained on the held-out reference split (doc_id
+    * % EvalMod = 0, the split decontamination already bars from
+    * shipping) and applied to EVERY candidate via
+    * [[Mkn.mknHeldoutGate]]'s backoff-at-score-time. This is the CCNet
+    * deployment shape (gate LM fit to a trusted reference corpus,
+    * applied to the crawl) — p03 remains the self-scored audit form.
+    * Same gate algebra, same downstream mix/pack; only the nll column's
+    * model and ceiling change. */
+  def p05CurateHeldout(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    p01Over(spark, t.spread(t.documents),
+      nllMax = HeldoutNllMax, lmScorer = Mkn.mknHeldoutGate)
+  }
+
   /** The pipeline's intermediate relations, shared by p01's driver face
     * and p02's release tail (`base` is THE one corpus materialization;
     * `members` the stage-2 near-dup cluster membership; `flags` one row
@@ -530,4 +552,21 @@ object CuratePipeline {
     s"$P01CtesPrefix, $MknLmCtes, ${p01CtesSuffix(MknNllMax)}"
 
   val p03Sql: String = pipelineSelect(p03Ctes)
+
+  /** p05's LM block: censuses over the held-out REFERENCE split's
+    * tokens (`gtoks`), the per-doc 5-gram census over ALL candidates
+    * (the pipeline's own `toks`), then [[Mkn.KnHeldoutCtes]] verbatim —
+    * the same `lmnll(doc_id, nll)` contract the suffix joins. */
+  private[operators] val MknHeldoutLmCtes: String =
+    s"""gtoks AS (
+       |  SELECT doc_id, tk FROM toks WHERE doc_id % ${TextOps.EvalMod} = 0
+       |), ${FivegramLm.censusAndD5Ctes("gtoks", "toks")},
+       |${Mkn.KnHeldoutCtes}, lmnll AS (
+       |  SELECT doc_id, ${qMicroSql("num", "n_5grams")} AS nll FROM agg29
+       |)""".stripMargin
+
+  private[operators] val p05Ctes: String =
+    s"$P01CtesPrefix, $MknHeldoutLmCtes, ${p01CtesSuffix(HeldoutNllMax)}"
+
+  val p05Sql: String = pipelineSelect(p05Ctes)
 }

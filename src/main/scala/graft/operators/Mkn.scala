@@ -292,6 +292,17 @@ object Mkn {
         coalesce(col("n_5grams"), lit(0L)).as("n_5grams"), col("nll"))
   }
 
+  /** p05's LM gate (CuratePipeline's `lmScorer` contract): the model
+    * trains on the held-out REFERENCE split (doc_id % EvalMod = 0 — the
+    * split that never ships, c06's discipline) and scores EVERY
+    * candidate document — the CCNet deployment shape, where the gate LM
+    * is fit to a trusted reference corpus and applied to the crawl. Most
+    * candidate grams are unseen, so this gate runs the back-off path as
+    * its COMMON case (t29 is the same scorer with train/eval swapped to
+    * the audit orientation). */
+  private[graft] def mknHeldoutGate(d: DataFrame): DataFrame =
+    mknHeldoutScore(d.filter(col("doc_id") % TextOps.EvalMod === 0), d)
+
   /** t29's driver face: train on the non-eval split (doc_id % EvalMod
     * ≠ 0 — c06's deterministic split discipline), score the DISJOINT
     * eval split. At every sf the eval docs contain 5/4/3/2-grams absent

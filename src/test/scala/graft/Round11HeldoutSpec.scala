@@ -194,6 +194,43 @@ class Round11HeldoutSpec extends GraftSpecBase {
     assert(got(204L)._2.contains(nllExpected))
   }
 
+  test("p05: a candidate doc whose grams are ALL unseen gets a finite, mirror-correct NLL through the composed gate") {
+    // reference split = ids % EvalMod == 0 (97, 194); candidates carry
+    // ids off the grid. Candidate 5 is fully OOV w.r.t. the reference
+    // split — the γ-chain must still produce a finite nll, and the
+    // composed pipeline's nll column must equal the standalone held-out
+    // scorer value for every candidate.
+    val em = graft.operators.TextOps.EvalMod.toLong
+    val refTexts = Map(
+      em -> "ra rb rc rd re rf rg",
+      2 * em -> "ra rb rc rx ry rz rw")
+    val candTexts = Map(
+      1L -> "ra rb rc rd re rh",        // partially seen
+      2L -> "c2a c2b c2c c2d c2e c2f",  // all-OOV
+      3L -> "tiny doc")                 // fail-closed
+    val corpus = (refTexts ++ candTexts).toSeq
+      .map { case (id, t) => (id, "en", "srcA", t) }
+      .toDF("doc_id", "lang", "source", "text")
+    val out = graft.operators.CuratePipeline
+      .p01Over(spark, corpus, lmScorer = Mkn.mknHeldoutGate,
+        nllMax = graft.operators.CuratePipeline.HeldoutNllMax)
+      .select(col("doc_id"), col("nll")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    val want = Ref.Model(refTexts).scoreHeldout(refTexts ++ candTexts)
+      .map { case (id, (_, nll)) => id -> nll }
+    assert(out == want)
+    assert(out(2L).nonEmpty && out(2L).get > 0.0 && !out(2L).get.isInfinite)
+    assert(out(3L).isEmpty) // short doc stays fail-closed under the held-out gate
+  }
+
+  test("p05: the composed held-out plan re-scans NO parquet (p01's one materialization holds)") {
+    val plan = graft.operators.CuratePipeline
+      .p05CurateHeldout(spark, sfDir).queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"), "composed p05 plan re-scans parquet:\n" +
+      plan.linesIterator.filter(_.contains("FileScan")).mkString("\n"))
+  }
+
   test("t29: short eval docs fail closed (NULL nll, row kept); driver split has unseen mass") {
     val got = collectScores(Mkn.mknHeldoutScore(df(trainTexts), df(evalTexts)))
     assert(got(205L) == ((0L, None)))
