@@ -79,26 +79,72 @@ object ReleasePipeline {
     p02Finish(parts)
   }
 
+  /** p06's stage table name ([[graft.sources.GraftIO.writeBucketed]]'s
+    * single-writer contract: the driver runs one query at a time). */
+  val StageTable = "p06_stage"
+  private val StageBuckets = 8
+
+  /** p06: p04 in its STAGED-MATERIALIZATION form — the production shape
+    * the p02/p04 scaladocs claim, exercised: the p03 curation's kept
+    * corpus is written ONCE as a bucketed stage table (doc_id-bucketed,
+    * doc_id-sorted — the key downstream consumers join on), and the
+    * release tail runs FROM the stage table, never touching the curation
+    * plan again. Output ≡ p04 bit-exact (split/shard/rank derive only
+    * from staged columns — spec-pinned), so the oracle IS p04's. At
+    * production scale this is the restart point: a failed release re-runs
+    * from the 10⁻³-scale stage table instead of re-curating 100 TB. */
+  def p06ReleaseStaged(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    val t = Tables(spark, dir)
+    val parts = CuratePipeline.p01PartsOf(spark, t.spread(t.documents),
+      nllMax = CuratePipeline.MknNllMax, lmScorer = Mkn.mkn5Lm)
+    graft.sources.GraftIO.writeBucketed(
+      stagedRelation(parts), StageTable, "doc_id", StageBuckets, Seq("doc_id"))
+    p06TailFromStage(spark)
+  }
+
+  /** The release tail over the STANDING stage table — the restartable
+    * second half of p06 (spec-asserted to scan ONLY the stage table). */
+  private[graft] def p06TailFromStage(spark: SparkSession): DataFrame =
+    tailFrom(graft.sources.GraftIO.readBucketed(spark, StageTable))
+
   /** Split + shard + datasheet over an already-curated [[CuratePipeline.P01Parts]]. */
   private[graft] def p02Finish(parts: CuratePipeline.P01Parts,
-      nShards: Int = NShards): DataFrame = {
-    // ---- stage R1: c20 leak-free split over the KEPT corpus ---------
-    // the unit of assignment is the near-dup CLUSTER canonical (min id,
-    // singletons = self) — same cluster, same split, by construction
+      nShards: Int = NShards): DataFrame =
+    tailFrom(stagedRelation(parts), nShards)
+
+  /** Stage R0 — the STAGE TABLE's contents: exactly what the release
+    * tail needs per kept document (doc_id, lang, source, n_tokens,
+    * near-dup cluster canonical, content fingerprint) and nothing else —
+    * the text column never leaves the curation side. p02/p04 pipe this
+    * relation straight into [[tailFrom]]; p06 writes it ONCE as a
+    * bucketed stage table and runs the tail FROM the table — the
+    * production shape the p02 scaladoc claims. */
+  private[graft] def stagedRelation(parts: CuratePipeline.P01Parts): DataFrame = {
+    // the unit of split assignment is the near-dup CLUSTER canonical
+    // (min id, singletons = self) — same cluster, same split
     val kept = parts.flags.filter(col("keep"))
       .select("doc_id", "lang", "source", "n_tokens")
-    val assigned = kept
+    kept
       .join(parts.members.select(col("node"), col("component")),
         kept("doc_id") === col("node"), "left")
       .withColumn("canonical", coalesce(col("component"), col("doc_id")))
       .drop("node", "component")
+      .join(parts.base.select(col("doc_id"), col("norm")), "doc_id")
+      .withColumn("fp", TextOps.polyFp(col("norm")))
+      .drop("norm")
+  }
+
+  /** Stages R1-R3 over a staged relation (from [[stagedRelation]]
+    * directly, or read back from the p06 stage table). */
+  private[graft] def tailFrom(staged: DataFrame,
+      nShards: Int = NShards): DataFrame = {
+    // ---- stage R1: c20 leak-free split over the KEPT corpus ---------
+    val assigned = staged
       .withColumn("split", expr(DedupOps.splitCaseSql("canonical")))
 
     // ---- stage R2: c19 shard export per split -----------------------
     val sharded = assigned
-      .join(parts.base.select(col("doc_id"), col("norm")), "doc_id")
-      .withColumn("fp", TextOps.polyFp(col("norm")))
-      .drop("norm")
       .withColumn("shard_id", ShardExport.shardId(col("fp"), nShards))
     val ranked = sharded.withColumn("shard_pos",
       row_number().over(Window.partitionBy(col("split"), col("shard_id"))
