@@ -1046,6 +1046,56 @@ object VectorOps {
       emb, "graft_s09")
   }
 
+  // ---------------------------------------------------------------- s12
+  /** s12: ANN RECALL AUDIT — measured recall@k of every approximate
+    * ladder rung against s01's exact ground truth, one row per rung,
+    * AS A DRIVER ENTRY so the trade-off table lands in CORRECTNESS/
+    * BENCH every round (the r10 verdict's ask: a user choosing s02 vs
+    * s07 vs s09 at 100 TB needs measured recall, not a toy-corpus
+    * spec). Each rung is scored at ITS OWN k (the approximate rungs
+    * return top-3, the exact/filtered ones top-5): recall@k =
+    * |retrieved ∩ truth-top-k| / (n_queries · k) over the shared query
+    * batch (vec_id < 10); `n_retrieved` exposes rungs that return
+    * fewer than k (bucket misses, filtered predicates). s10 is
+    * exact-but-FILTERED, so its row measures the same-label
+    * predicate's selectivity against unconstrained truth, not index
+    * quality — documented, kept because that number is the pre-filter
+    * trade every production ANN service quotes.
+    *
+    * Shape: each rung's own plan (their documented scale shapes), then
+    * ONE tagged union → one broadcast-able join against the 50-row
+    * truth relation → one 7-group aggregate. Rows-only by necessity
+    * (the rungs are xxhash64/k-means-quantizer-based); gated by
+    * Round11RecallSpec's per-rung floors. */
+  def s12AnnRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val truth = s01AnnBruteforce(spark, dir)
+      .select(col("query_id"), col("vec_id"), col("rank").as("truth_rank"))
+      .localCheckpoint()
+    val rungs: Seq[(String, Int, DataFrame)] = Seq(
+      ("s02_lsh", 3, s02AnnLsh(spark, dir)),
+      ("s03_ivf", 3, s03AnnIvf(spark, dir)),
+      ("s04_pq", 3, s04AnnPq(spark, dir)),
+      ("s07_ivfpq", 3, s07AnnIvfPq(spark, dir)),
+      ("s08_ivfpq_res", 3, s08AnnIvfPqResidual(spark, dir)),
+      ("s09_indexed", 3, s09AnnIndexed(spark, dir)),
+      ("s10_filtered", 5, s10AnnFiltered(spark, dir)))
+    val tagged = rungs.map { case (name, k, df) =>
+        df.select(lit(name).as("rung"), lit(k).as("k"),
+          col("query_id"), col("vec_id"))
+      }.reduce(_ unionByName _)
+    val nQ = broadcast(truth.agg(countDistinct(col("query_id")).as("n_queries")))
+    tagged
+      .join(truth, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("rung"), col("k"))
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(when(col("truth_rank") <= col("k"), 1L).otherwise(0L)).as("n_hits"))
+      .crossJoin(nQ)
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / (col("n_queries") * col("k")), 6))
+      .select("rung", "k", "n_queries", "n_retrieved", "n_hits", "recall")
+      .orderBy("rung")
+  }
+
   // ---------------------------------------------------------------- s06
   /** s06: kNN label prediction — the semi-supervised labeling/curation
     * downstream of the ANN family: each held-out vector (vec_id < 50, the

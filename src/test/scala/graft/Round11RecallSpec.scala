@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.VectorOps
+
+/** s12 ANN recall-audit specs: structural soundness of the audit and
+  * per-rung recall floors on the driver corpus (synthetic near-uniform
+  * embeddings — the HARD case for ANN: no cluster structure to exploit,
+  * so these floors are the honest lower end; PqSpec's engineered
+  * clustered corpus shows the structured-data upper end). */
+class Round11RecallSpec extends GraftSpecBase {
+
+  private lazy val rows = VectorOps.s12AnnRecallAudit(spark, sfDir)
+    .collect().map { r =>
+      r.getString(0) -> ((r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    }.toMap
+
+  test("s12: one row per ladder rung, retrieved counts bounded by n_queries * k") {
+    assert(rows.keySet == Set("s02_lsh", "s03_ivf", "s04_pq", "s07_ivfpq",
+      "s08_ivfpq_res", "s09_indexed", "s10_filtered"))
+    for ((rung, (k, nq, nRetr, nHits, recall)) <- rows) {
+      assert(nRetr <= nq * k, s"$rung over-retrieves")
+      assert(nHits <= nRetr, s"$rung counts impossible hits")
+      assert(recall >= 0.0 && recall <= 1.0, s"$rung recall out of range")
+    }
+  }
+
+  test("s12: per-rung recall floors on the driver corpus hold") {
+    val floors = Map(
+      "s02_lsh" -> 0.05,      // sign-LSH on unstructured vectors: weakest
+      "s03_ivf" -> 0.30,      // coarse-quantizer pruning
+      "s04_pq" -> 0.50,       // full-corpus ADC shortlist + exact rerank
+      "s07_ivfpq" -> 0.30,    // IVF pruning stacked on PQ
+      "s08_ivfpq_res" -> 0.30,
+      "s09_indexed" -> 0.25)  // standing store probe (s03 shape + appends)
+    for ((rung, floor) <- floors)
+      assert(rows(rung)._5 >= floor,
+        s"$rung recall ${rows(rung)._5} under documented floor $floor")
+  }
+
+  test("s12: the exact-filtered rung returns exactly k rows per query (pre-filter, not post)") {
+    val (k, nq, nRetr, _, _) = rows("s10_filtered")
+    // every query's label class has >= k same-label members in the
+    // driver corpus, so PRE-filtering still fills the full top-k
+    assert(nRetr == nq * k)
+  }
+}
