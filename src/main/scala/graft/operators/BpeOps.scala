@@ -127,8 +127,15 @@ object BpeOps {
     * when the dict exceeds `maxDictRows` — train on [[trainSample]]
     * instead (see [[MaxDictRows]]). */
   private[graft] def bpeTrain(docs: DataFrame, k: Int, minCount: Long,
+      maxDictRows: Long = MaxDictRows): (Seq[BpeMerge], DataFrame) =
+    bpeTrainDict(wordDict(docs), k, minCount, maxDictRows)
+
+  /** The merge loop over an already-symbolized dictionary — shared by
+    * the character-level (t10, [[wordDict]]) and byte-level (t30,
+    * [[wordDictBytes]]) trainers; the loop itself is alphabet-agnostic. */
+  private[graft] def bpeTrainDict(dict0: DataFrame, k: Int, minCount: Long,
       maxDictRows: Long = MaxDictRows): (Seq[BpeMerge], DataFrame) = {
-    var dict = wordDict(docs).localCheckpoint()
+    var dict = dict0.localCheckpoint()
     val dictRows = dict.count()
     require(dictRows <= maxDictRows,
       s"BPE training dict has $dictRows distinct words (ceiling $maxDictRows): " +
@@ -250,5 +257,79 @@ object BpeOps {
       dir + "#" + Tables.corpusFingerprint(t.documents),
       BpeMergesDefault, BpeMinCount)
     bpeEncode(docs, dict).orderBy("doc_id")
+  }
+
+  // ------------------------------------------------ t30: byte-level BPE
+  /** BYTE-level word dictionary: the initial symbol per position is ONE
+    * UTF-8 BYTE (rendered as a 2-hex-char token; merged symbols
+    * concatenate, so any symbol is an unambiguous hex string of the
+    * byte run it spans). The modern tokenizer family (GPT-2/tiktoken,
+    * Radford et al. '19 §2.2) starts here instead of characters: the
+    * base alphabet is ≤ 256 symbols, so EVERY word — any script, any
+    * mojibake — decomposes with no OOV path at all, where t10's
+    * character alphabet is unbounded and non-ASCII-fragile. No
+    * end-of-word marker (the byte-level family's convention; merges
+    * stay word-internal because pairs never span the dict's word
+    * boundary by construction). */
+  private[graft] def wordDictBytes(docs: DataFrame): DataFrame =
+    docs.select(explode(TextOps.tokensOf(col("text"))).as("word"))
+      .filter(length(col("word")).between(1, MaxWordLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", concat_ws(" ",
+        expr("regexp_extract_all(lower(hex(encode(word, 'UTF-8'))), '..', 0)")))
+
+  /** Driver-default merge budget / support floor for t30 (the byte
+    * alphabet merges faster on ASCII text — same budget as t10 keeps
+    * the two tokenizers comparable in t24's sense). */
+  private[graft] val ByteBpeMergesDefault = BpeMergesDefault
+  private[graft] val ByteBpeMinCount = BpeMinCount
+
+  private[graft] def byteBpeTrainCached(docs: => DataFrame, corpusKey: String,
+      k: Int, minCount: Long): (Seq[BpeMerge], DataFrame) =
+    trainedCache.getOrElseUpdate(("bytes#" + corpusKey, k, minCount),
+      bpeTrainDict(wordDictBytes(docs), k, minCount))
+
+  /** Per-document byte-BPE encoding stats. The fallback for words over
+    * [[MaxWordLen]] (the only dict misses) is their raw BYTE count —
+    * the unmerged base segmentation, byte-level BPE's honest floor (a
+    * char+1 fallback would under-count non-ASCII words). */
+  private[graft] def byteBpeEncode(docs: DataFrame, dict: DataFrame): DataFrame = {
+    val wordSyms = dict.select(col("word"),
+      size(split(col("syms"), " ")).as("word_syms"))
+    docs.select(col("doc_id"), explode(TextOps.tokensOf(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("wc"))
+      .join(wordSyms, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wc")).as("n_words"),
+        sum(col("wc") * octet_length(col("word"))).as("n_bytes"),
+        sum(col("wc") * coalesce(col("word_syms"),
+          octet_length(col("word")).cast("int"))).as("n_bpe_tokens"))
+      .withColumn("compression",
+        when(col("n_bpe_tokens") > 0,
+          round(col("n_bytes").cast("double") / col("n_bpe_tokens"), 6)))
+  }
+
+  /** Segment ANY corpus' byte dict with a trained merge sequence, then
+    * encode — the artifact path, byte-level ([[bpeEncodeWithMerges]]'s
+    * t30 twin). */
+  private[graft] def byteBpeEncodeWithMerges(docs: DataFrame,
+      merges: Seq[BpeMerge]): DataFrame =
+    byteBpeEncode(docs, applyMerges(wordDictBytes(docs), merges))
+
+  /** t30: encode the corpus with byte-level merges learned on it —
+    * per-doc (n_words, n_bytes, n_bpe_tokens, compression). Rows-only
+    * (iterative corpus argmax, like t10/t11); Round11ByteBpeSpec pins
+    * the merge sequence and encodings against a plain-Scala byte-BPE
+    * reference, the no-OOV property on non-ASCII text, and the
+    * byte-vs-char token-count delta t10's scaladoc can only assert. */
+  def t30ByteBpe(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.spread(t.documents)
+    val (_, dict) = byteBpeTrainCached(docs,
+      dir + "#" + Tables.corpusFingerprint(t.documents),
+      ByteBpeMergesDefault, ByteBpeMinCount)
+    byteBpeEncode(docs, dict).orderBy("doc_id")
   }
 }
