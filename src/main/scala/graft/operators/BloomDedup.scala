@@ -243,4 +243,15 @@ object BloomDedup {
     graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_hash_delta",
       spark.table(s"${prefix}_hash_base"))
   }
+
+  /** Between-compactions retention: squash the delta's accumulated gen
+    * partitions into the newest one and purge the superseded files
+    * ([[graft.sources.GraftIO.vacuumDelta]]) — the current view is
+    * unchanged (min-fold over the same row multiset), old gens become
+    * unreadable. Run at ingest cadence; [[hashStoreCompact]] remains the
+    * fold-into-base step. */
+  def hashStoreVacuum(spark: SparkSession, prefix: String): Int =
+    graft.sources.GraftIO.maxGen(spark, s"${prefix}_hash_delta")
+      .map(g => graft.sources.GraftIO.vacuumDelta(spark, s"${prefix}_hash_delta", g))
+      .getOrElse(0)
 }

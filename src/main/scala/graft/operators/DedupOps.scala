@@ -807,6 +807,18 @@ object DedupOps {
       spark.table(s"${prefix}_sk_base"))
   }
 
+  /** Between-compactions retention for BOTH delta tables
+    * ([[graft.sources.GraftIO.vacuumDelta]]): squash accumulated gen
+    * partitions into the newest, purge the superseded files; membership
+    * semantics make the squash view-invariant. Returns partitions
+    * dropped across the two deltas. */
+  def neardupIndexVacuum(spark: SparkSession, prefix: String): Int =
+    Seq(s"${prefix}_bands_delta", s"${prefix}_sk_delta").map { t =>
+      graft.sources.GraftIO.maxGen(spark, t)
+        .map(g => graft.sources.GraftIO.vacuumDelta(spark, t, g))
+        .getOrElse(0)
+    }.sum
+
   /** Re-mount the store's tables from their surviving warehouse
     * directories after a process restart ([[Components.assignmentAttach]]'s
     * analog for the band index — same in-memory-catalog contract,

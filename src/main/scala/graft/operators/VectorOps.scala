@@ -715,6 +715,15 @@ object VectorOps {
       deltaT)
   }
 
+  /** Between-compactions retention for the inverted file's delta
+    * ([[graft.sources.GraftIO.vacuumDelta]]): squash accumulated gen
+    * partitions into the newest, purge superseded files; the probe
+    * reads base ∪ delta ignoring per-row gen, so the view is unchanged. */
+  def annIndexVacuum(spark: SparkSession, prefix: String): Int =
+    graft.sources.GraftIO.maxGen(spark, s"${prefix}_ivf_delta")
+      .map(g => graft.sources.GraftIO.vacuumDelta(spark, s"${prefix}_ivf_delta", g))
+      .getOrElse(0)
+
   /** The current inverted file: base ∪ delta. */
   def annIndexRows(spark: SparkSession, prefix: String): DataFrame = {
     val base = graft.sources.GraftIO.baseOrNext(spark, s"${prefix}_ivf_base")

@@ -169,6 +169,53 @@ object GraftIO {
     }
   }
 
+  /** RETENTION VACUUM for a gen-partitioned delta table: squash every
+    * partition with gen ≤ `uptoGen` into ONE partition at `uptoGen`,
+    * then drop the superseded partitions — their files become
+    * unreadable; the table's ROW MULTISET (and hence every merge-on-read
+    * current view, which unions delta rows ignoring per-row gen) is
+    * unchanged. This is the between-compactions hygiene op: a streaming
+    * ingest lands one small partition per micro-batch, and a store
+    * that compacts daily would otherwise carry thousands of tiny
+    * superseded gen directories all day.
+    *
+    * Ordering is the crash-safe direction: the squashed image lands
+    * FIRST (dynamic overwrite of the `uptoGen` partition only), THEN
+    * the old partitions drop. A crash in between leaves rows duplicated
+    * across old gens and the squash — harmless to every store here
+    * (min-fold / membership semantics absorb duplicates) and healed by
+    * re-running the vacuum. Max gen never decreases (the squash lands
+    * AT `uptoGen`), so gen-monotone append guards are unaffected.
+    * SINGLE-WRITER per table, like [[writeBucketed]].
+    *
+    * @return number of superseded partitions dropped */
+  def vacuumDelta(spark: SparkSession, table: String, uptoGen: Long): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    if (!spark.catalog.tableExists(table)) return 0
+    val gens = spark.table(table).select("gen").where(col("gen") <= uptoGen)
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (gens.isEmpty || (gens.length == 1 && gens.head == uptoGen)) return 0
+    // materialize the squash BEFORE any partition is touched — the
+    // write below overwrites a partition this read covers
+    val squashed = spark.table(table).where(col("gen") <= uptoGen)
+      .withColumn("gen", lit(uptoGen))
+      .localCheckpoint()
+    writeDelta(squashed, table)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var dropped = 0
+    for (g <- gens if g != uptoGen) {
+      spark.sql(s"ALTER TABLE `$table` DROP IF EXISTS PARTITION (gen=$g)")
+      val dir = new org.apache.hadoop.fs.Path(loc, s"gen=$g")
+      if (fs.exists(dir)) fs.delete(dir, true) // belt-and-braces purge
+      dropped += 1
+    }
+    spark.catalog.refreshTable(table)
+    dropped
+  }
+
   /** Standing max gen of a delta table (None when absent/empty) — the
     * monotone-append guard's reference point. */
   def maxGen(spark: SparkSession, table: String): Option[Long] =

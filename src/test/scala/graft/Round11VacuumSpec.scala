@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{BloomDedup, VectorOps}
+import graft.sources.GraftIO
+
+/** Store retention/vacuum specs (the r10 verdict's ask): between
+  * compactions a streaming ingest leaves one tiny gen partition per
+  * micro-batch; `GraftIO.vacuumDelta` squashes the superseded
+  * generations into the newest one. CatalogDeath-style contract: old
+  * gens unreadable after vacuum (rows gone AND directories purged),
+  * current view byte-identical, monotone-append guard intact,
+  * cold-restart attach sees the squashed layout. */
+class Round11VacuumSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+
+  test("hash store: vacuum drops superseded gens, keeps the view, purges the directories") {
+    val prefix = "graft_vac_hash"
+    BloomDedup.hashStoreBootstrap(docs(1L -> "alpha beta", 2L -> "gamma delta"), prefix)
+    BloomDedup.hashStoreAppend(docs(10L -> "epsilon zeta"), prefix, gen = 0L)
+    BloomDedup.hashStoreAppend(docs(11L -> "alpha beta"), prefix, gen = 1L)
+    BloomDedup.hashStoreAppend(docs(12L -> "eta theta"), prefix, gen = 2L)
+    val deltaT = s"${prefix}_hash_delta"
+    val before = BloomDedup.hashStoreCurrent(spark, prefix)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(spark.table(deltaT).select("gen").distinct().count() == 3)
+
+    val dropped = BloomDedup.hashStoreVacuum(spark, prefix)
+    assert(dropped == 2)
+    // squashed layout: one surviving gen partition, at the old max
+    val gens = spark.table(deltaT).select("gen").distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(gens == Seq(2L))
+    assert(spark.table(deltaT).filter(col("gen") === 0L).count() == 0)
+    // the superseded directories are really gone (unreadable, not just unlisted)
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(deltaT)).location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(loc, "gen=0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(loc, "gen=1")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(loc, "gen=2")))
+    // the current view is unchanged
+    val after = BloomDedup.hashStoreCurrent(spark, prefix)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(after == before)
+    // a second vacuum is a no-op
+    assert(BloomDedup.hashStoreVacuum(spark, prefix) == 0)
+  }
+
+  test("hash store: the monotone-append guard survives a vacuum (max gen never decreases)") {
+    val prefix = "graft_vac_mono"
+    BloomDedup.hashStoreBootstrap(docs(1L -> "aa bb"), prefix)
+    BloomDedup.hashStoreAppend(docs(2L -> "cc dd"), prefix, gen = 0L)
+    BloomDedup.hashStoreAppend(docs(3L -> "ee ff"), prefix, gen = 5L)
+    BloomDedup.hashStoreVacuum(spark, prefix)
+    assert(GraftIO.maxGen(spark, s"${prefix}_hash_delta").contains(5L))
+    // appending above the squash point works; below it still refuses
+    BloomDedup.hashStoreAppend(docs(4L -> "gg hh"), prefix, gen = 6L)
+    val e = intercept[IllegalArgumentException] {
+      BloomDedup.hashStoreAppend(docs(5L -> "ii jj"), prefix, gen = 3L)
+    }
+    assert(e.getMessage.contains("non-monotone"))
+  }
+
+  test("hash store: cold restart after a vacuum re-mounts the squashed layout, view unchanged") {
+    val prefix = "graft_vac_death"
+    BloomDedup.hashStoreBootstrap(docs(1L -> "kk ll", 2L -> "mm nn"), prefix)
+    BloomDedup.hashStoreAppend(docs(7L -> "oo pp"), prefix, gen = 0L)
+    BloomDedup.hashStoreAppend(docs(8L -> "kk ll"), prefix, gen = 1L)
+    BloomDedup.hashStoreVacuum(spark, prefix)
+    val before = BloomDedup.hashStoreCurrent(spark, prefix)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    CatalogDeath.simulate(spark,
+      Seq(s"${prefix}_hash_base", s"${prefix}_hash_delta"))
+    BloomDedup.hashStoreAttach(spark, prefix)
+    val after = BloomDedup.hashStoreCurrent(spark, prefix)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(after == before)
+    assert(spark.table(s"${prefix}_hash_delta").select("gen").distinct()
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("ann store: probe results are identical before and after a vacuum") {
+    val prefix = "graft_vac_ann"
+    val emb = Tables(spark, sfDir).embeddings.select(col("vec_id"), col("embedding"))
+    VectorOps.annIndexBootstrap(emb.filter(col("vec_id") % 5 < 3), prefix, sfDir)
+    VectorOps.annIndexAppend(emb.filter(col("vec_id") % 5 === 3), prefix, 0L)
+    VectorOps.annIndexAppend(emb.filter(col("vec_id") % 5 === 4), prefix, 1L)
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val before = VectorOps.annIndexProbe(q, emb, prefix).collect().toSeq
+    val dropped = VectorOps.annIndexVacuum(spark, prefix)
+    assert(dropped == 1)
+    val after = VectorOps.annIndexProbe(q, emb, prefix).collect().toSeq
+    assert(after == before)
+  }
+}
