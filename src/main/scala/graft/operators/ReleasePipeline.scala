@@ -33,7 +33,11 @@ import graft.Tables
   * each partition is one writer task's file sort, never global — and
   * |splits| / |splits×shards| / |splits×sources| audit aggregates
   * broadcast back. The percentile pair is the one non-mergeable step
-  * (the documented a09-sketch scale path, as in c21).
+  * (the documented a09-sketch scale path, as in c21). The
+  * staged-materialization form of this claim is EXERCISED by
+  * [[p06ReleaseStaged]]: the kept corpus written once as a bucketed
+  * stage table, the identical tail run from the table (output ≡ p04
+  * bit-exact, Round11StagedSpec).
   *
   * The oracle extends [[CuratePipeline.p01Ctes]] — the SAME CTE chain
   * p01 verifies — so pipeline and release tail cannot drift.
