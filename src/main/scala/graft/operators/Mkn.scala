@@ -17,15 +17,17 @@ import graft.Tables
   * type-census insight at every backoff level — γₖ(ctx) = (D1ₖ·N₁(ctx·)
   * + D2ₖ·N₂(ctx·) + D3ₖ·N₃₊(ctx·)) / Σ, and each order's THREE discount
   * tiers are estimated from its counts-of-counts: Y = n₁/(n₁+2n₂),
-  * D1 = 1−2Y·n₂/n₁, D2 = 2−3Y·n₃/n₂, D3 = 3−4Y·n₄/n₃ (tiers clamped to
-  * [0, i] and given fixed fallbacks when a count-of-count is zero — on
-  * degenerate corpora the raw estimators divide by zero or go negative;
-  * a real corpus hits neither. For tiers 1/2 the guarded fallback is
-  * multiplied by an N-tier that is itself zero, so its VALUE never
-  * surfaces; tier 3's CAN surface (nn3 = 0 while grams with count ≥ 4
-  * exist makes m3p > 0) — normalization still holds because discSql and
-  * gammaSql share the same tier expression, so whatever D3 value is
-  * used, the mass discounted from counts equals the mass γ hands down).
+  * D1 = 1−2Y·n₂/n₁, D2 = 2−3Y·n₃/n₂, D3 = 3−4Y·n₄/n₃. An estimate is
+  * accepted only when it lands in (0, i]; otherwise (zero
+  * count-of-count, or a non-decreasing profile driving the estimate
+  * ≤ 0) the tier takes a fixed fallback IN (0, i] — KenLM's
+  * `--discount_fallback` semantics, r11: a zero-clamped tier made
+  * γ(ctx) = 0 for contexts with no lower-tier extensions, which scored
+  * unseen grams at exactly 0 on the held-out path (see [[dTier]]).
+  * Fallback values can surface in scores (any order whose profile is
+  * degenerate) — normalization holds regardless because discSql and
+  * gammaSql share the same tier expression, so the mass discounted
+  * from counts equals the mass γ hands down.
   * Per-doc mean NLL over 5-grams, NULL under 5 tokens (fail-closed).
   *
   * Exactness: every statistic is an exact 64-bit integer — raw counts at
@@ -65,17 +67,36 @@ object Mkn {
   private def dbl(c: String) = s"CAST($c AS DOUBLE)"
 
   /** Discount tier i ∈ {1,2,3} for order k, from that order's
-    * counts-of-counts scalars — guarded and clamped (see object doc). */
+    * counts-of-counts scalars. The raw Chen-Goodman estimate is taken
+    * only when it lands in (0, i] — an estimate ≤ 0 (the profile where
+    * counts-of-counts fail to decrease) takes the SAME fallback as a
+    * zero count-of-count, never a clamp to 0 (KenLM's
+    * `--discount_fallback` semantics). A zero discount is not a benign
+    * degenerate value: it makes γ(ctx) = 0 for contexts with no
+    * lower-tier extensions, and an UNSEEN gram under such a context
+    * would then score probability exactly 0 (ln(0)) on the t29/p05
+    * held-out path — surfaced by the sf0.1 corpus, whose order-3
+    * counts-of-counts INCREASE. With every tier in (0, i], γ > 0 for
+    * any seen context, so held-out probabilities are strictly positive
+    * everywhere. */
   private def dTier(i: Int, k: Int): String = {
     val n1 = s"nn1_$k"; val n2 = s"nn2_$k"; val n3 = s"nn3_$k"; val n4 = s"nn4_$k"
-    val y = s"(${dbl(n1)} / (${dbl(n1)} + 2.0 * ${dbl(n2)}))"
+    // every division is TOTAL: counts are integers, so greatest(n, 1.0)
+    // equals n exactly whenever the guard admits the estimate (n ≥ 1),
+    // and an out-of-guard eager evaluation (codegen subexpression
+    // elimination runs shared subtrees before the CASE dispatch) can
+    // never hit ANSI DIVIDE_BY_ZERO
+    def safe(n: String) = s"greatest(${dbl(n)}, 1.0)"
+    val y = s"(${dbl(n1)} / greatest(${dbl(n1)} + 2.0 * ${dbl(n2)}, 1.0))"
+    def est(expr: String, hi: String, guard: String, fb: String) =
+      s"(CASE WHEN $guard AND $expr > 0.0 THEN least($expr, $hi) ELSE $fb END)"
     i match {
-      case 1 => s"(CASE WHEN $n1 > 0 THEN least(greatest(" +
-        s"1.0 - 2.0 * $y * ${dbl(n2)} / ${dbl(n1)}, 0.0), 1.0) ELSE 0.5 END)"
-      case 2 => s"(CASE WHEN $n2 > 0 THEN least(greatest(" +
-        s"2.0 - 3.0 * $y * ${dbl(n3)} / ${dbl(n2)}, 0.0), 2.0) ELSE 1.5 END)"
-      case 3 => s"(CASE WHEN $n3 > 0 AND $n1 + 2 * $n2 > 0 THEN least(greatest(" +
-        s"3.0 - 4.0 * $y * ${dbl(n4)} / ${dbl(n3)}, 0.0), 3.0) ELSE 2.5 END)"
+      case 1 => est(s"1.0 - 2.0 * $y * ${dbl(n2)} / ${safe(n1)}", "1.0",
+        s"$n1 > 0", "0.5")
+      case 2 => est(s"2.0 - 3.0 * $y * ${dbl(n3)} / ${safe(n2)}", "2.0",
+        s"$n2 > 0 AND $n1 + 2 * $n2 > 0", "1.5")
+      case 3 => est(s"3.0 - 4.0 * $y * ${dbl(n4)} / ${safe(n3)}", "3.0",
+        s"$n3 > 0 AND $n1 + 2 * $n2 > 0", "2.5")
     }
   }
 

@@ -64,12 +64,17 @@ class Round11HeldoutSpec extends GraftSpecBase {
       }.toMap
       def dTier(i: Int, k: Int): Double = {
         val (n1, n2, n3, n4) = nns(k)
-        val y = n1.toDouble / (n1.toDouble + 2.0 * n2.toDouble)
+        // r11: estimates outside (0, i] take the fallback, never a
+        // zero clamp (KenLM --discount_fallback); total divisions via
+        // max(n, 1) mirror Mkn.dTier's greatest(n, 1.0) exactly
+        def safe(n: Long): Double = math.max(n.toDouble, 1.0)
+        val y = n1.toDouble / safe(n1 + 2 * n2)
+        def pick(est: Double, hi: Double, guard: Boolean, fb: Double): Double =
+          if (guard && est > 0.0) math.min(est, hi) else fb
         i match {
-          case 1 => if (n1 > 0) math.min(math.max(1.0 - 2.0 * y * n2 / n1, 0.0), 1.0) else 0.5
-          case 2 => if (n2 > 0) math.min(math.max(2.0 - 3.0 * y * n3 / n2, 0.0), 2.0) else 1.5
-          case 3 => if (n3 > 0 && n1 + 2 * n2 > 0)
-            math.min(math.max(3.0 - 4.0 * y * n4 / n3, 0.0), 3.0) else 2.5
+          case 1 => pick(1.0 - 2.0 * y * n2 / safe(n1), 1.0, n1 > 0, 0.5)
+          case 2 => pick(2.0 - 3.0 * y * n3 / safe(n2), 2.0, n2 > 0 && n1 + 2 * n2 > 0, 1.5)
+          case 3 => pick(3.0 - 4.0 * y * n4 / safe(n3), 3.0, n3 > 0 && n1 + 2 * n2 > 0, 2.5)
         }
       }
       def disc(k: Int, a: Long): Double =
