@@ -48,15 +48,15 @@ import graft.Tables
   * all eight joins are inner and total; scoring is one census ⋈ model
   * join + a doc-keyed aggregate. Closed-form — no iteration.
   *
-  * No streaming face, deliberately: t23's `fivegramPplStream` assigns
-  * unseen 5-grams its exact context-free floor λ₁/(N+V); modified KN
-  * has NO such constant — an unseen gram's mass is γ₅(ctx)·p₄(·),
-  * context-dependent at every level, so an honest stream gate would
-  * ship the full lower-order artifact chain, not a floor scalar. The
-  * streaming LM gate therefore stays t23 (the documented JM form). In
-  * BATCH the unseen path DOES execute: t29 ([[t29MknHeldout]]) trains
-  * on one split and scores the disjoint split with
-  * backoff-at-score-time ([[qLogHeldoutSql]]); this entry (t26) remains
+  * Modified KN has no context-free OOV floor (unlike t23's λ₁/(N+V)):
+  * an unseen gram's mass is γ₅(ctx)·p₄(·), context-dependent at every
+  * level — so the unseen path needs the full lower-order artifact
+  * chain, not a floor scalar. As of r11 both faces exist honestly: in
+  * BATCH, t29 ([[t29MknHeldout]]) trains on one split and scores the
+  * disjoint split with backoff-at-score-time ([[qLogHeldoutSql]]); in
+  * STREAMING, [[mknStatsSave]] persists the chain as bucketed tables
+  * and `StreamingJobs.mknGateStream` joins them stream-static per
+  * arriving gram ([[heldoutScoreStream]]). This entry (t26) remains
   * the self-scored form where all eight joins are inner and total.
   *
   * Reference analog: `AnalyzeBatch.groovy:88-97`'s gate family — the
@@ -167,7 +167,7 @@ object Mkn {
   /** The trained model's statistics relations — everything the scoring
     * joins need, shared by the self-scored ([[mknModel]]) and held-out
     * ([[mknHeldoutModel]]) builders. */
-  private final case class KnStats(
+  private[graft] final case class KnStats(
       lvl5: DataFrame, a4: DataFrame, a3: DataFrame, a2: DataFrame,
       a1: DataFrame, ctx5: DataFrame, ctx4: DataFrame, ctx3: DataFrame,
       ctx2: DataFrame, scalars: DataFrame)
@@ -250,16 +250,11 @@ object Mkn {
       .select("g5", "q_log")
   }
 
-  /** The HELD-OUT model over the SCORED corpus's distinct 5-grams:
-    * every statistic LEFT-joined from the train-side relations (any may
-    * be absent — [[qLogHeldoutSql]]'s back-off handles each level), the
-    * gram's own order-5 count from the train census (NOT the scored
-    * census: an unseen gram must read a₅ = 0). Same scale shape as the
-    * self-scored build — nine hash joins on gram keys over metadata
-    * relations, one broadcast scalar row, no iteration. */
-  private def mknHeldoutModel(train: DataFrame, evalD5: DataFrame): DataFrame = {
-    val st = knStats(train)
-    withGramKeys(evalD5.select(col("g5")).distinct())
+  /** The nine LEFT joins of a (g5, x5..w5)-keyed relation against the
+    * trained statistics — shared by the batch held-out model build and
+    * the streaming gate's per-row scoring. */
+  private def statJoins(keyed: DataFrame, st: KnStats): DataFrame =
+    keyed
       .join(st.lvl5.select(col("g").as("g5"), col("c").as("a5")), Seq("g5"), "left")
       .join(st.ctx5.withColumnRenamed("g", "x5"), Seq("x5"), "left")
       .join(st.a4.select(col("g").as("s4"), col("a").as("a4")), Seq("s4"), "left")
@@ -269,9 +264,120 @@ object Mkn {
       .join(st.a2.select(col("g").as("s2"), col("a").as("a2")), Seq("s2"), "left")
       .join(st.ctx2.withColumnRenamed("g", "x2"), Seq("x2"), "left")
       .join(st.a1.select(col("g").as("w5"), col("a").as("a1")), Seq("w5"), "left")
+
+  /** The HELD-OUT model over the SCORED corpus's distinct 5-grams:
+    * every statistic LEFT-joined from the train-side relations (any may
+    * be absent — [[qLogHeldoutSql]]'s back-off handles each level), the
+    * gram's own order-5 count from the train census (NOT the scored
+    * census: an unseen gram must read a₅ = 0). Same scale shape as the
+    * self-scored build — nine hash joins on gram keys over metadata
+    * relations, one broadcast scalar row, no iteration. */
+  private def mknHeldoutModel(train: DataFrame, evalD5: DataFrame): DataFrame =
+    mknHeldoutModelFrom(knStats(train), evalD5)
+
+  private def mknHeldoutModelFrom(st: KnStats, evalD5: DataFrame): DataFrame =
+    statJoins(withGramKeys(evalD5.select(col("g5")).distinct()), st)
       .crossJoin(broadcast(st.scalars))
       .withColumn("q_log", expr(qLogHeldoutSql))
       .select("g5", "q_log")
+
+  // --------------------------------------- the trained-stats ARTIFACT
+  /** Persist a trained model's statistics as a standing artifact — ten
+    * tables under `prefix`: the order-5 census, the four continuation
+    * relations and four context-stat relations BUCKETED on their gram
+    * key (stream-static probes and batch scoring joins read them with
+    * zero static-side shuffle), plus the one-row scalar table. This is
+    * the "full lower-order artifact chain" an honest streaming MKN gate
+    * must ship (the r10 scaladoc's reason no such face existed);
+    * train-once-frozen like Codebooks/BPE merges — no delta lifecycle. */
+  def mknStatsSave(spark: SparkSession, train: DataFrame, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    val st = knStats(train)
+    def wb(df: DataFrame, name: String): Unit =
+      graft.sources.GraftIO.writeBucketed(df, prefix + name, "g", nBuckets, Seq("g"))
+    wb(st.lvl5.select("g", "c"), "_mkn_a5")
+    wb(st.a4, "_mkn_a4"); wb(st.a3, "_mkn_a3")
+    wb(st.a2, "_mkn_a2"); wb(st.a1, "_mkn_a1")
+    wb(st.ctx5, "_mkn_ctx5"); wb(st.ctx4, "_mkn_ctx4")
+    wb(st.ctx3, "_mkn_ctx3"); wb(st.ctx2, "_mkn_ctx2")
+    graft.sources.GraftIO.dropManaged(spark, s"${prefix}_mkn_scalars")
+    st.scalars.write.format("parquet").saveAsTable(s"${prefix}_mkn_scalars")
+  }
+
+  /** The standing artifact as a [[KnStats]] view. */
+  private[graft] def mknStatsLoad(spark: SparkSession, prefix: String): KnStats =
+    KnStats(
+      lvl5 = spark.table(s"${prefix}_mkn_a5"),
+      a4 = spark.table(s"${prefix}_mkn_a4"),
+      a3 = spark.table(s"${prefix}_mkn_a3"),
+      a2 = spark.table(s"${prefix}_mkn_a2"),
+      a1 = spark.table(s"${prefix}_mkn_a1"),
+      ctx5 = spark.table(s"${prefix}_mkn_ctx5"),
+      ctx4 = spark.table(s"${prefix}_mkn_ctx4"),
+      ctx3 = spark.table(s"${prefix}_mkn_ctx3"),
+      ctx2 = spark.table(s"${prefix}_mkn_ctx2"),
+      scalars = spark.table(s"${prefix}_mkn_scalars"))
+
+  /** Score a (doc_id, text) relation against the STANDING artifact —
+    * the batch consumer of [[mknStatsSave]] (train once, score many
+    * corpora without re-censusing the reference). ≡ mknHeldoutScore
+    * with the same training corpus, spec-pinned. */
+  private[graft] def mknScoreFromStore(spark: SparkSession, prefix: String,
+      ev: DataFrame): DataFrame = {
+    val d5e = FivegramLm.docFivegrams(ev)
+    scoreTail(ev, d5e, mknHeldoutModelFrom(mknStatsLoad(spark, prefix), d5e))
+  }
+
+  /** Re-mount the artifact after process death (the stores' attach
+    * contract — in-memory catalog, surviving warehouse directories). */
+  def mknStatsAttach(spark: SparkSession, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    import graft.sources.GraftIO.{attachBucketed, attachPlain}
+    attachBucketed(spark, s"${prefix}_mkn_a5", "g STRING, c BIGINT", "g", nBuckets)
+    for (k <- 1 to 4)
+      attachBucketed(spark, s"${prefix}_mkn_a$k", "g STRING, a BIGINT", "g", nBuckets)
+    for (k <- 2 to 5)
+      attachBucketed(spark, s"${prefix}_mkn_ctx$k",
+        s"g STRING, d$k BIGINT, m1_$k BIGINT, m2_$k BIGINT, m3p_$k BIGINT",
+        "g", nBuckets)
+    val scalarCols = ((5 to 1 by -1).flatMap(k =>
+      (1 to 4).map(i => s"nn${i}_$k BIGINT")) ++
+      Seq("d1 BIGINT", "m1_1 BIGINT", "m2_1 BIGINT", "m3p_1 BIGINT", "v BIGINT"))
+      .mkString(", ")
+    attachPlain(spark, s"${prefix}_mkn_scalars", scalarCols)
+  }
+
+  /** Core of [[graft.streaming.StreamingJobs.mknGateStream]]: each
+    * arriving doc's 5-grams derive their suffix/context keys ROW-LOCALLY
+    * (narrow expressions), LEFT-join the standing statistics
+    * stream-static (stateless — the bucketed static sides re-scan
+    * without shuffling), the 25 corpus scalars ride as PLAN LITERALS
+    * (the Codebooks-constants discipline — a stream cannot cross-join a
+    * one-row relation per micro-batch), the back-off recursion runs per
+    * row, and the per-doc mean NLL is the one watermark-bounded
+    * aggregation. Unseen grams take their exact γ-chain — no floor
+    * scalar anywhere, the honesty gap that kept t26 batch-only. */
+  private[graft] def heldoutScoreStream(docs: DataFrame, prefix: String,
+      watermark: String): DataFrame = {
+    val spark = docs.sparkSession
+    val st = mknStatsLoad(spark, prefix)
+    val sc = st.scalars.head()
+    val rows = docs.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), explode_outer(
+        graft.functions.Ngrams.ngramJoin(
+          TextOps.tokensOf(col("text")), 5)).as("g5"))
+    val keyed = sc.schema.fieldNames.zipWithIndex
+      .foldLeft(withGramKeys(rows)) { case (df, (f, i)) =>
+        df.withColumn(f, lit(sc.getLong(i)))
+      }
+    statJoins(keyed, st)
+      .withColumn("q_log", expr(qLogHeldoutSql))
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(col("g5")).as("n_5grams"),
+        (-sum(when(col("g5").isNotNull, col("q_log")))).as("num"))
+      .withColumn("nll",
+        TextOps.qMicro("num", "n_5grams").cast("double") / 1e6)
+      .select("doc_id", "ts", "n_5grams", "nll")
   }
 
   /** The scorer over any (doc_id, text) relation — t23's tail shape. */

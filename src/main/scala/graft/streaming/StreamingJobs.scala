@@ -1133,6 +1133,23 @@ object StreamingJobs {
           .cast("double") / 1e6)
       .select("doc_id", "ts", "n_5grams", "nll")
 
+  /** Streaming face of the t29/p05 HELD-OUT modified-KN gate — the face
+    * the r10 Mkn scaladoc said could not exist with a floor scalar:
+    * the FULL lower-order artifact chain ships as the standing stats
+    * store ([[graft.operators.Mkn.mknStatsSave]]'s bucketed tables);
+    * each arriving doc's 5-grams derive their suffix/context keys
+    * row-locally, LEFT-join the statistics stream-static (stateless —
+    * bucketed static sides re-scan without shuffling), and the back-off
+    * recursion runs per row, so an unseen gram takes its exact γ-chain
+    * instead of any floor. Per-doc mean NLL is the one
+    * watermark-bounded aggregation; short docs keep a row via
+    * explode_outer (NULL nll, fail-closed — the batch convention).
+    * Bit-parity with batch mknHeldoutScore spec-pinned
+    * (Round11MknStreamSpec). */
+  def mknGateStream(docs: DataFrame, prefix: String,
+      watermark: String = "1 hour"): DataFrame =
+    graft.operators.Mkn.heldoutScoreStream(docs, prefix, watermark)
+
   // ----------------------------------------------- unigram tokenizer
   /** Streaming face of t21's encoder: the trained unigram vocab is a
     * PLAN-LITERAL map (the Codebooks constants discipline), so each

@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.Mkn
+
+/** The r11 MKN artifact store + streaming gate: mknStatsSave persists
+  * the full lower-order statistics chain; mknScoreFromStore reproduces
+  * the in-session held-out scorer bit-exactly; mknGateStream scores
+  * arriving docs — unseen grams through their exact γ-chain, no floor
+  * scalar (the honesty gap that kept the MKN gate batch-only through
+  * r10); the artifact survives process death via mknStatsAttach. */
+class Round11MknStreamSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  /** Round11HeldoutSpec's train shape: all three discount tiers
+    * populated at order 5. */
+  private val trainTexts: Seq[(Long, String)] = {
+    def sentence(tag: String, i: Int): String =
+      Seq("a", "b", "c", "d", "e").map(w => s"$tag$i$w").mkString(" ")
+    val singles = (1 to 20).map(i => sentence("s", i))
+    val doubles = (1 to 4).flatMap(i => Seq.fill(2)(sentence("d", i)))
+    val triples = (1 to 2).flatMap(i => Seq.fill(3)(sentence("t", i)))
+    val quads = Seq.fill(4)(sentence("q", 1))
+    (singles ++ doubles ++ triples ++ quads ++ Seq("u v w x y z u v w"))
+      .zipWithIndex.map { case (t, i) => ((i + 1).toLong, t) }
+  }
+
+  // seen / unseen-under-seen-context / unseen-order / all-OOV / short
+  private val evalDocs: Seq[(Long, String)] = Seq(
+    201L -> "s1a s1b s1c s1d s1e",
+    202L -> "s1a s1b s1c s1d zzz",
+    203L -> "s1d s1c s1b s1e s1a",
+    204L -> "oov1 oov2 oov3 oov4 oov5",
+    205L -> "tiny doc")
+
+  private def trainDf = trainTexts.toDF("doc_id", "text")
+  private def evalDf = evalDocs.toDF("doc_id", "text")
+
+  private def scoresOf(rows: Array[org.apache.spark.sql.Row],
+      id: Int, n: Int, nll: Int) =
+    rows.map { r =>
+      r.getLong(id) -> ((r.getLong(n),
+        if (r.isNullAt(nll)) None else Some(r.getDouble(nll))))
+    }.toMap
+
+  test("mknScoreFromStore reproduces the in-session held-out scorer bit-exactly") {
+    graft.functions.Ngrams.register(spark)
+    Mkn.mknStatsSave(spark, trainDf, "graft_mkn_t")
+    val direct = scoresOf(Mkn.mknHeldoutScore(trainDf, evalDf).collect(), 0, 1, 2)
+    val stored = scoresOf(
+      Mkn.mknScoreFromStore(spark, "graft_mkn_t", evalDf).collect(), 0, 1, 2)
+    assert(stored == direct)
+  }
+
+  test("mknGateStream: bit-identical to batch held-out scoring, unseen grams through the exact γ-chain, short doc kept") {
+    graft.functions.Ngrams.register(spark)
+    Mkn.mknStatsSave(spark, trainDf, "graft_mkn_s")
+    val batch = scoresOf(Mkn.mknHeldoutScore(trainDf, evalDf).collect(), 0, 1, 2)
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingJobs
+      .mknGateStream(mem.toDF.toDF("doc_id", "ts", "text"), "graft_mkn_s")
+      .writeStream.format("memory").queryName("mkn_r11").outputMode("append")
+      .start()
+    try {
+      mem.addData(evalDocs.map { case (id, tx) => (id, t0, tx) }: _*)
+      mem.addData((999L, Timestamp.valueOf("2026-01-01 13:00:00"), "flush flush flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = scoresOf(spark.table("mkn_r11").collect()
+      .map(r => org.apache.spark.sql.Row(
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_5grams"),
+        r.getAs[Any]("nll"))), 0, 1, 2)
+    evalDocs.foreach { case (id, _) =>
+      assert(streamed(id) == batch(id), s"doc $id")
+    }
+    // the all-OOV doc really went through the γ-chain: finite, scored
+    assert(streamed(204L)._2.exists(v => v > 0.0 && !v.isInfinite))
+    assert(streamed(205L) == ((0L, None)))
+  }
+
+  test("the artifact survives process death: attach in a fresh catalog, identical scores") {
+    graft.functions.Ngrams.register(spark)
+    Mkn.mknStatsSave(spark, trainDf, "graft_mkn_d")
+    val before = scoresOf(
+      Mkn.mknScoreFromStore(spark, "graft_mkn_d", evalDf).collect(), 0, 1, 2)
+    val tables = Seq("_mkn_a5", "_mkn_a4", "_mkn_a3", "_mkn_a2", "_mkn_a1",
+      "_mkn_ctx5", "_mkn_ctx4", "_mkn_ctx3", "_mkn_ctx2", "_mkn_scalars")
+      .map("graft_mkn_d" + _)
+    CatalogDeath.simulate(spark, tables)
+    Mkn.mknStatsAttach(spark, "graft_mkn_d")
+    val after = scoresOf(
+      Mkn.mknScoreFromStore(spark, "graft_mkn_d", evalDf).collect(), 0, 1, 2)
+    assert(after == before)
+  }
+}
