@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.operators.{BpeOps, TokCompare, UnigramTok}
 
 /** t24 tokenizer-comparison specs: per-source sums reconcile exactly
-  * with the two per-doc encoders, the ratio columns are the integer-grid
-  * ratios of those sums, and fertility/compression invariants hold. */
+  * with the three per-doc encoders (char-BPE, unigram-LM, and — r11 —
+  * byte-level BPE), the ratio columns are the integer-grid ratios of
+  * those sums, and fertility/compression invariants hold. */
 class Round10TokCompareSpec extends GraftSpecBase {
   import spark.implicits._
 
@@ -20,12 +21,14 @@ class Round10TokCompareSpec extends GraftSpecBase {
     val d = corpus().select(col("doc_id"), col("text"))
     val (merges, _) = BpeOps.bpeTrain(d, k = 12, minCount = 2L)
     val vocab = UnigramTok.unigramTrain(d, vocabSize = 64, emRounds = 2)
-    (merges, vocab)
+    val (byteMerges, _) = BpeOps.bpeTrainDict(
+      BpeOps.wordDictBytes(d), k = 12, minCount = 2L)
+    (merges, vocab, byteMerges)
   }
 
   test("t24: per-source sums reconcile with the per-doc encoders; ratios are grid-exact") {
-    val (merges, vocab) = artifacts()
-    val out = TokCompare.tokCompareOver(corpus(), merges, vocab).collect()
+    val (merges, vocab, byteMerges) = artifacts()
+    val out = TokCompare.tokCompareOver(corpus(), merges, vocab, byteMerges).collect()
       .map(r => r.getString(0) -> r).toMap
     assert(out.keySet == Set("alpha", "beta"))
     // independent per-doc truth
@@ -38,6 +41,10 @@ class Round10TokCompareSpec extends GraftSpecBase {
         corpus().select(col("doc_id"), col("text")), vocab)
       .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
         r.getLong(r.fieldIndex("n_ut_tokens"))).toMap
+    val bbpe = BpeOps.byteBpeEncodeWithMerges(
+        corpus().select(col("doc_id"), col("text")), byteMerges)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getLong(r.fieldIndex("n_bpe_tokens"))).toMap
     val bySource = Map("alpha" -> Seq(1L, 2L), "beta" -> Seq(3L, 4L))
     def micro(a: Long, n: Long): Double =
       ((2 * a * 1000000L + n) / (2 * n)).toDouble / 1e6
@@ -47,22 +54,26 @@ class Round10TokCompareSpec extends GraftSpecBase {
       val (w, c, bt) = (ids.map(bpe(_)._1).sum, ids.map(bpe(_)._2).sum,
         ids.map(bpe(_)._3).sum)
       val ut = ids.map(uni).sum
+      val bbt = ids.map(bbpe).sum
       assert(l("n_docs") == ids.length && l("n_words") == w &&
-        l("n_chars") == c && l("bpe_tokens") == bt && l("uni_tokens") == ut, src)
+        l("n_chars") == c && l("bpe_tokens") == bt && l("uni_tokens") == ut &&
+        l("bbpe_tokens") == bbt, src)
       assert(r.getDouble(r.fieldIndex("bpe_compression")) == micro(c, bt), src)
       assert(r.getDouble(r.fieldIndex("uni_compression")) == micro(c, ut), src)
+      assert(r.getDouble(r.fieldIndex("bbpe_compression")) == micro(c, bbt), src)
       assert(r.getDouble(r.fieldIndex("bpe_fertility")) == micro(bt, w), src)
       assert(r.getDouble(r.fieldIndex("uni_fertility")) == micro(ut, w), src)
-      // every word maps to ≥ 1 token under both schemes
-      assert(bt >= w && ut >= w, src)
+      assert(r.getDouble(r.fieldIndex("bbpe_fertility")) == micro(bbt, w), src)
+      // every word maps to ≥ 1 token under all three schemes
+      assert(bt >= w && ut >= w && bbt >= w, src)
     }
   }
 
   test("t24: deterministic across runs") {
-    val (merges, vocab) = artifacts()
-    val a = TokCompare.tokCompareOver(corpus(), merges, vocab)
+    val (merges, vocab, byteMerges) = artifacts()
+    val a = TokCompare.tokCompareOver(corpus(), merges, vocab, byteMerges)
       .orderBy("source").collect().toSeq
-    val b = TokCompare.tokCompareOver(corpus(), merges, vocab)
+    val b = TokCompare.tokCompareOver(corpus(), merges, vocab, byteMerges)
       .orderBy("source").collect().toSeq
     assert(a == b)
   }
