@@ -35,8 +35,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// 32g default (r12; was 8g): a local[32] session runs 32 executor threads
+// in THIS heap — 8g left ~4.8g of unified memory for 32-way execution plus
+// every localCheckpoint block a long bench session accumulates, and the
+// resulting eviction/GC churn showed up as multi-second drift on
+// multi-job queries (g07's r11 regression). The harness host has 125 GiB.
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

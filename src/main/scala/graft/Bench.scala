@@ -27,7 +27,13 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
     try SparkEntry.entry(spark).queryExecution.toRdd.count()
     catch { case _: Throwable => () }
-    val results = selected.map { case (name, fn) =>
+    // Per-repeat breakdown to stderr (r12, after g07's unexplained drift):
+    // `[bench-rep] <idx> <elapsed-since-start> <name> t1 t2 t3` separates
+    // "one contended repeat" (min hides it) from "all repeats slow when the
+    // query runs late in the session" (min can't hide it — session aging).
+    val benchStart = System.nanoTime()
+    val results = selected.zipWithIndex.map { case ((name, fn), idx) =>
+      val atStart = (System.nanoTime() - benchStart) / 1e9
       val times = (1 to repeat).map { _ =>
         val t0 = System.nanoTime()
         // toRdd.count() evaluates every output column; a DataFrame count()
@@ -36,8 +42,19 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e"); -1L }
         (System.nanoTime() - t0) / 1e9
       }
+      System.err.println(f"[bench-rep] $idx%3d $atStart%8.1f $name%-24s " +
+        times.map(t => f"$t%.3f").mkString(" "))
+      // Session hygiene (r12, the g07-drift fix): operators localCheckpoint
+      // intermediates and the discarded DataFrames only release those
+      // blocks via ContextCleaner, which is GC-DRIVEN — on a large heap a
+      // 164-query session accumulates them for minutes, squeezing unified
+      // memory (eviction churn that surfaced as multi-second drift on
+      // multi-job queries). One untimed GC per query hands the garbage to
+      // the cleaner; strongly-referenced cross-query caches (Codebooks)
+      // are untouched by construction.
+      System.gc()
       name -> times.min
-    }
+    }.toMap
     // The driver captures only the LAST 2000 chars of stdout and scans them
     // for one parseable JSON line (BENCH_r01/r02 both came back parsed:null
     // because the full-precision 67-query line overflowed that window). So:
