@@ -95,12 +95,19 @@ object CuratePipeline {
       nllMax = MknNllMax, lmScorer = Mkn.mkn5Lm)
   }
 
-  /** p05's mean-NLL ceiling: the HELD-OUT gate's nll scale is much
-    * higher than p03's self-scored one (the model is trained on the
-    * 1/EvalMod reference split, so most candidate grams back off
-    * through γ-chains toward the 1/V floor); the ceiling sits near the
-    * candidate median so both gate branches are exercised at every sf. */
-  private[graft] val HeldoutNllMax = 3.49
+  /** p05's mean-NLL ceiling is DERIVED, not hand-tuned (r12, closing
+    * the r11 advice): the CANDIDATE MEDIAN — `round(percentile(nll,
+    * HeldoutNllQ), 6)` over scored non-eval docs, t16's exact
+    * quantile-threshold pattern (`percentile` ≡ DuckDB `quantile_cont`,
+    * the a03-proven mapping; round-6 lands the ceiling back on nll's
+    * own qMicro grid so both engines gate on identical doubles). A
+    * median ceiling makes both gate branches non-empty by construction
+    * at every sf (unless every candidate scores identically) — the
+    * property the old 3.49 constant only asserted — and is spec-pinned
+    * (Round12GateSpec). At 100 TB the exact percentile is the one
+    * non-mergeable step; the documented scale path is a09's mergeable
+    * sketch threshold, identically shaped (t16's same caveat). */
+  private[graft] val HeldoutNllQ = 0.5
 
   /** p05: p03 with the LM gate in the PRODUCTION orientation — t26's
     * modified-KN model trained on the held-out reference split (doc_id
@@ -114,7 +121,7 @@ object CuratePipeline {
   def p05CurateHeldout(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     p01Over(spark, t.spread(t.documents),
-      nllMax = HeldoutNllMax, lmScorer = Mkn.mknHeldoutGate)
+      lmScorer = Mkn.mknHeldoutGate, nllCeilingQ = Some(HeldoutNllQ))
   }
 
   /** The pipeline's intermediate relations, shared by p01's driver face
@@ -134,9 +141,10 @@ object CuratePipeline {
       qualityMin: Double = QualityMin, nllMax: Double = NllMax,
       requireGopher: Boolean = false, requireC4: Boolean = false,
       lmScorer: DataFrame => DataFrame = TextOps.bigramLm,
-      lshPairs: Boolean = false): DataFrame =
+      lshPairs: Boolean = false,
+      nllCeilingQ: Option[Double] = None): DataFrame =
     p01Finish(p01PartsOf(spark, documents, qualityMin, nllMax,
-      requireGopher, requireC4, lmScorer, lshPairs))
+      requireGopher, requireC4, lmScorer, lshPairs, nllCeilingQ))
 
   /** Stages 1-5 and the per-doc flag relation. `requireGopher`/
     * `requireC4` compose the t15/t19 rule gates as additional stages
@@ -152,7 +160,8 @@ object CuratePipeline {
       qualityMin: Double = QualityMin, nllMax: Double = NllMax,
       requireGopher: Boolean = false, requireC4: Boolean = false,
       lmScorer: DataFrame => DataFrame = TextOps.bigramLm,
-      lshPairs: Boolean = false): P01Parts = {
+      lshPairs: Boolean = false,
+      nllCeilingQ: Option[Double] = None): P01Parts = {
     graft.functions.Ngrams.register(spark)
 
     // the ONE corpus materialization every stage reads (see scaladoc)
@@ -240,6 +249,19 @@ object CuratePipeline {
     // ---- stage 4: LM NLL gate (corpus model; t13 by default) --------
     val lm = lmScorer(base.select(col("doc_id"), col("norm").as("text")))
       .select(col("doc_id"), col("nll"))
+    // Ceiling: a fixed policy constant (nllMax, a plan literal), or —
+    // when nllCeilingQ is set (p05) — DERIVED as the exact round-6
+    // quantile of scored CANDIDATE (non-eval) nlls, t16's threshold
+    // pattern: one tiny aggregate broadcast back, both gate branches
+    // non-empty by construction for any interior quantile.
+    val withCeil: DataFrame => DataFrame = nllCeilingQ match {
+      case Some(q) =>
+        val thr = lm
+          .filter(col("nll").isNotNull && col("doc_id") % TextOps.EvalMod =!= 0)
+          .agg(round(expr(s"percentile(nll, $q)"), 6).as("nll_ceil"))
+        df => df.crossJoin(broadcast(thr))
+      case None => df => df.withColumn("nll_ceil", lit(nllMax))
+    }
 
     // ---- stage 5: c06 decontamination vs the eval split -------------
     val grams = toks.select(col("doc_id"),
@@ -274,13 +296,14 @@ object CuratePipeline {
     val gateOk: Seq[Column] =
       (if (requireGopher) Seq(col("gopher_ok")) else Nil) ++
         (if (requireC4) Seq(col("c4_ok")) else Nil)
-    val flags = joined
+    val flags = withCeil(joined)
       .withColumn("is_eval", col("doc_id") % TextOps.EvalMod === 0)
       .withColumn("neardup_kept",
         col("exact_canonical") && coalesce(col("is_keeper"), lit(true)))
       .withColumn("quality_ok",
         col("n_tokens").between(LenMin, LenMax) && col("quality_score") >= qualityMin)
-      .withColumn("lm_ok", col("nll").isNotNull && col("nll") <= nllMax)
+      .withColumn("lm_ok", col("nll").isNotNull && col("nll") <= col("nll_ceil"))
+      .drop("nll_ceil")
       .withColumn("decontam_ok",
         !col("is_eval") && !coalesce(col("contaminated"), lit(false)))
       .withColumn("keep",
@@ -460,8 +483,10 @@ object CuratePipeline {
        |)""".stripMargin
 
   /** Stages 5-7 + the flag algebra, parameterized by the LM gate's NLL
-    * ceiling (each LM block's nll lives on its own scale). */
-  private[operators] def p01CtesSuffix(nllCeiling: Double): String =
+    * ceiling — a literal for the policy-constant chains, a scalar
+    * subquery over `nllthr` for p05's derived-median gate (each LM
+    * block's nll lives on its own scale). */
+  private[operators] def p01CtesSuffix(nllCeiling: String): String =
     s"""grams AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g
@@ -518,7 +543,7 @@ object CuratePipeline {
     * [[ReleasePipeline.p02Sql]] both extend, so the pipeline and its
     * release tail cannot drift (t16's shared-CTE discipline). */
   private[operators] val p01Ctes: String =
-    s"$P01CtesPrefix, $T13LmCtes, ${p01CtesSuffix(NllMax)}"
+    s"$P01CtesPrefix, $T13LmCtes, ${p01CtesSuffix(NllMax.toString)}"
 
   /** The shared final projection over any assembled CTE chain. */
   private def pipelineSelect(ctes: String): String =
@@ -549,7 +574,7 @@ object CuratePipeline {
     * spliced in; [[ReleasePipeline.p04Sql]] extends it the way p02Sql
     * extends [[p01Ctes]]. */
   private[operators] val p03Ctes: String =
-    s"$P01CtesPrefix, $MknLmCtes, ${p01CtesSuffix(MknNllMax)}"
+    s"$P01CtesPrefix, $MknLmCtes, ${p01CtesSuffix(MknNllMax.toString)}"
 
   val p03Sql: String = pipelineSelect(p03Ctes)
 
@@ -563,10 +588,14 @@ object CuratePipeline {
        |), ${FivegramLm.censusAndD5Ctes("gtoks", "toks")},
        |${Mkn.KnHeldoutCtes}, lmnll AS (
        |  SELECT doc_id, ${qMicroSql("num", "n_5grams")} AS nll FROM agg29
+       |), nllthr AS (
+       |  SELECT round(quantile_cont(nll, $HeldoutNllQ), 6) AS nll_ceil
+       |  FROM lmnll
+       |  WHERE nll IS NOT NULL AND doc_id % ${TextOps.EvalMod} <> 0
        |)""".stripMargin
 
   private[operators] val p05Ctes: String =
-    s"$P01CtesPrefix, $MknHeldoutLmCtes, ${p01CtesSuffix(HeldoutNllMax)}"
+    s"$P01CtesPrefix, $MknHeldoutLmCtes, ${p01CtesSuffix("(SELECT nll_ceil FROM nllthr)")}"
 
   val p05Sql: String = pipelineSelect(p05Ctes)
 }

@@ -172,28 +172,56 @@ object Mkn {
       a1: DataFrame, ctx5: DataFrame, ctx4: DataFrame, ctx3: DataFrame,
       ctx2: DataFrame, scalars: DataFrame)
 
+  // ------------------------------------------- 128-bit gram keys (r12)
+  // Every statistics relation and every scoring join is keyed by TWO
+  // independent xxhash64 draws of the gram — a fixed-width 16-byte key
+  // in place of an up-to-5-word string (t18/c06's "gram strings die in
+  // the stage they are born" discipline, applied to the model the r11
+  // verdict flagged as the one string-keyed holdout). At 10¹² distinct
+  // grams the 128-bit birthday bound is ~10⁻¹⁵ — far below any
+  // hardware error rate. The string itself rides the relations as a
+  // DEBUG payload only: scoring plans never select it (column pruning
+  // drops it before any exchange), and the persisted artifact keeps it
+  // for human inspection.
+  private val HashSalt = 0x9e3779b97f4a7c15L
+  private def gh1(c: org.apache.spark.sql.Column) = xxhash64(c)
+  private def gh2(c: org.apache.spark.sql.Column) = xxhash64(c, lit(HashSalt))
+
+  /** Rename a stats relation's generic (h1, h2) key to a scoring key's
+    * name and drop the debug string so it never enters a join. */
+  private def keyAs(rel: DataFrame, name: String): DataFrame =
+    rel.drop("g").withColumnRenamed("h1", s"${name}_h1")
+      .withColumnRenamed("h2", s"${name}_h2")
+
   private def knStats(d: DataFrame): KnStats = {
     val cn = FivegramLm.orderCensuses(d)
     def lvl(n: Int): DataFrame = cn.filter(col("n") === n)
     // continuation-count relation for the (upper−1)-gram: ĉ(g) =
     // N₁₊(·g) = how many DISTINCT upper-grams end in g — a type count
-    // of the upper census, t25's discipline at every level
-    def contRel(upper: Int): DataFrame =
+    // of the upper census, t25's discipline at every level. Grouped by
+    // the 128-bit key (derived scan-side); min(g) carries the debug
+    // string — same wire bytes as the old string KEY, now payload.
+    def contRel(upper: Int): DataFrame = {
+      val sub = concat_ws(" ", slice(split(col("g"), " "), 2, upper - 1))
       lvl(upper)
-        .select(concat_ws(" ", slice(split(col("g"), " "), 2, upper - 1)).as("g"))
-        .groupBy("g").agg(count(lit(1)).as("a"))
+        .select(gh1(sub).as("h1"), gh2(sub).as("h2"), sub.as("g"))
+        .groupBy("h1", "h2")
+        .agg(min(col("g")).as("g"), count(lit(1)).as("a"))
+    }
     val a4 = contRel(5); val a3 = contRel(4)
     val a2 = contRel(3); val a1 = contRel(2)
     // per-context stats for order k: denominator Σ over extensions +
     // the three N-tier counts, over that order's count variable
-    def ctxStats(rel: DataFrame, cnt: String, k: Int): DataFrame =
-      rel.select(concat_ws(" ", slice(split(col("g"), " "), 1, k - 1)).as("g"),
-          col(cnt))
-        .groupBy("g")
-        .agg(sum(col(cnt)).as(s"d$k"),
+    def ctxStats(rel: DataFrame, cnt: String, k: Int): DataFrame = {
+      val ctx = concat_ws(" ", slice(split(col("g"), " "), 1, k - 1))
+      rel.select(gh1(ctx).as("h1"), gh2(ctx).as("h2"), ctx.as("g"), col(cnt))
+        .groupBy("h1", "h2")
+        .agg(min(col("g")).as("g"),
+          sum(col(cnt)).as(s"d$k"),
           sum(when(col(cnt) === 1, 1L).otherwise(0L)).as(s"m1_$k"),
           sum(when(col(cnt) === 2, 1L).otherwise(0L)).as(s"m2_$k"),
           sum(when(col(cnt) >= 3, 1L).otherwise(0L)).as(s"m3p_$k"))
+    }
     val ctx5 = ctxStats(lvl(5), "c", 5)
     val ctx4 = ctxStats(a4, "a", 4)
     val ctx3 = ctxStats(a3, "a", 3)
@@ -214,56 +242,71 @@ object Mkn {
         sum(when(col("a") === 2, 1L).otherwise(0L)).as("m2_1"),
         sum(when(col("a") >= 3, 1L).otherwise(0L)).as("m3p_1")))
       .crossJoin(lvl(1).agg(count(lit(1)).as("v")))
-    KnStats(lvl(5), a4, a3, a2, a1, ctx5, ctx4, ctx3, ctx2, scalars)
+    val lvl5k = lvl(5)
+      .select(gh1(col("g")).as("h1"), gh2(col("g")).as("h2"), col("g"), col("c"))
+    KnStats(lvl5k, a4, a3, a2, a1, ctx5, ctx4, ctx3, ctx2, scalars)
   }
 
-  /** t23's scan-side key derivation over any (g5, …) relation. */
-  private def withGramKeys(keys: DataFrame): DataFrame =
-    keys
-      .withColumn("p", split(col("g5"), " "))
-      .withColumn("x5", concat_ws(" ", slice(col("p"), 1, 4)))
-      .withColumn("s4", concat_ws(" ", slice(col("p"), 2, 4)))
-      .withColumn("x4", concat_ws(" ", slice(col("p"), 2, 3)))
-      .withColumn("s3", concat_ws(" ", slice(col("p"), 3, 3)))
-      .withColumn("x3", concat_ws(" ", slice(col("p"), 3, 2)))
-      .withColumn("s2", concat_ws(" ", slice(col("p"), 4, 2)))
-      .withColumn("x2", element_at(col("p"), 4))
-      .withColumn("w5", element_at(col("p"), 5))
+  /** t23's scan-side key derivation over any (g5, …) relation — each of
+    * the nine gram keys lands as a FIXED-WIDTH 128-bit hash pair
+    * (`<key>_h1`, `<key>_h2`), derived row-locally from the string and
+    * hashed in the same projection, so only 16-byte keys ever reach a
+    * join exchange (the g5 string stays a passthrough column for
+    * callers that still need it; scoring plans prune it). */
+  private def withGramKeys(keys: DataFrame): DataFrame = {
+    val p = split(col("g5"), " ")
+    Seq(
+      "g5" -> col("g5"),
+      "x5" -> concat_ws(" ", slice(p, 1, 4)),
+      "s4" -> concat_ws(" ", slice(p, 2, 4)),
+      "x4" -> concat_ws(" ", slice(p, 2, 3)),
+      "s3" -> concat_ws(" ", slice(p, 3, 3)),
+      "x3" -> concat_ws(" ", slice(p, 3, 2)),
+      "s2" -> concat_ws(" ", slice(p, 4, 2)),
+      "x2" -> element_at(p, 4),
+      "w5" -> element_at(p, 5)
+    ).foldLeft(keys) { case (df, (n, c)) =>
+      df.withColumn(s"${n}_h1", gh1(c)).withColumn(s"${n}_h2", gh2(c))
+    }
+  }
 
-  /** t26's TRAINED MODEL as a standalone (g5, q_log) relation; `d` the
-    * training corpus, `d5` its [[FivegramLm.docFivegrams]]. */
+  /** t26's TRAINED MODEL as a standalone (g5_h1, g5_h2, q_log)
+    * relation; `d` the training corpus, `d5` its
+    * [[FivegramLm.docFivegrams]]. */
   private[graft] def mknModel(d: DataFrame, d5: DataFrame): DataFrame = {
     val st = knStats(d)
     // every suffix/context of an observed 5-gram is itself observed →
     // all eight joins inner and total (self-scored fast path)
     withGramKeys(d5.groupBy(col("g5")).agg(sum(col("c")).as("a5")))
-      .join(st.ctx5.withColumnRenamed("g", "x5"), "x5")
-      .join(st.a4.select(col("g").as("s4"), col("a").as("a4")), "s4")
-      .join(st.ctx4.withColumnRenamed("g", "x4"), "x4")
-      .join(st.a3.select(col("g").as("s3"), col("a").as("a3")), "s3")
-      .join(st.ctx3.withColumnRenamed("g", "x3"), "x3")
-      .join(st.a2.select(col("g").as("s2"), col("a").as("a2")), "s2")
-      .join(st.ctx2.withColumnRenamed("g", "x2"), "x2")
-      .join(st.a1.select(col("g").as("w5"), col("a").as("a1")), "w5")
+      .join(keyAs(st.ctx5, "x5"), Seq("x5_h1", "x5_h2"))
+      .join(keyAs(st.a4, "s4").withColumnRenamed("a", "a4"), Seq("s4_h1", "s4_h2"))
+      .join(keyAs(st.ctx4, "x4"), Seq("x4_h1", "x4_h2"))
+      .join(keyAs(st.a3, "s3").withColumnRenamed("a", "a3"), Seq("s3_h1", "s3_h2"))
+      .join(keyAs(st.ctx3, "x3"), Seq("x3_h1", "x3_h2"))
+      .join(keyAs(st.a2, "s2").withColumnRenamed("a", "a2"), Seq("s2_h1", "s2_h2"))
+      .join(keyAs(st.ctx2, "x2"), Seq("x2_h1", "x2_h2"))
+      .join(keyAs(st.a1, "w5").withColumnRenamed("a", "a1"), Seq("w5_h1", "w5_h2"))
       .crossJoin(broadcast(st.scalars))
       .withColumn("q_log", expr(qLogSql))
-      .select("g5", "q_log")
+      .select("g5_h1", "g5_h2", "q_log")
   }
 
-  /** The nine LEFT joins of a (g5, x5..w5)-keyed relation against the
-    * trained statistics — shared by the batch held-out model build and
-    * the streaming gate's per-row scoring. */
+  /** The nine LEFT joins of a hash-keyed (g5_h*, x5_h*..w5_h*) relation
+    * against the trained statistics — shared by the batch held-out
+    * model build and the streaming gate's per-row scoring. Every join
+    * key is a fixed-width long pair (spec-pinned: no string-typed join
+    * key appears in the executed plan). */
   private def statJoins(keyed: DataFrame, st: KnStats): DataFrame =
     keyed
-      .join(st.lvl5.select(col("g").as("g5"), col("c").as("a5")), Seq("g5"), "left")
-      .join(st.ctx5.withColumnRenamed("g", "x5"), Seq("x5"), "left")
-      .join(st.a4.select(col("g").as("s4"), col("a").as("a4")), Seq("s4"), "left")
-      .join(st.ctx4.withColumnRenamed("g", "x4"), Seq("x4"), "left")
-      .join(st.a3.select(col("g").as("s3"), col("a").as("a3")), Seq("s3"), "left")
-      .join(st.ctx3.withColumnRenamed("g", "x3"), Seq("x3"), "left")
-      .join(st.a2.select(col("g").as("s2"), col("a").as("a2")), Seq("s2"), "left")
-      .join(st.ctx2.withColumnRenamed("g", "x2"), Seq("x2"), "left")
-      .join(st.a1.select(col("g").as("w5"), col("a").as("a1")), Seq("w5"), "left")
+      .join(keyAs(st.lvl5, "g5").withColumnRenamed("c", "a5"), Seq("g5_h1", "g5_h2"), "left")
+      .join(keyAs(st.ctx5, "x5"), Seq("x5_h1", "x5_h2"), "left")
+      .join(keyAs(st.a4, "s4").withColumnRenamed("a", "a4"), Seq("s4_h1", "s4_h2"), "left")
+      .join(keyAs(st.ctx4, "x4"), Seq("x4_h1", "x4_h2"), "left")
+      .join(keyAs(st.a3, "s3").withColumnRenamed("a", "a3"), Seq("s3_h1", "s3_h2"), "left")
+      .join(keyAs(st.ctx3, "x3"), Seq("x3_h1", "x3_h2"), "left")
+      .join(keyAs(st.a2, "s2").withColumnRenamed("a", "a2"), Seq("s2_h1", "s2_h2"), "left")
+      .join(keyAs(st.ctx2, "x2"), Seq("x2_h1", "x2_h2"), "left")
+      .join(keyAs(st.a1, "w5").withColumnRenamed("a", "a1"), Seq("w5_h1", "w5_h2"), "left")
 
   /** The HELD-OUT model over the SCORED corpus's distinct 5-grams:
     * every statistic LEFT-joined from the train-side relations (any may
@@ -279,7 +322,7 @@ object Mkn {
     statJoins(withGramKeys(evalD5.select(col("g5")).distinct()), st)
       .crossJoin(broadcast(st.scalars))
       .withColumn("q_log", expr(qLogHeldoutSql))
-      .select("g5", "q_log")
+      .select("g5_h1", "g5_h2", "q_log")
 
   // --------------------------------------- the trained-stats ARTIFACT
   /** Persist a trained model's statistics as a standing artifact — ten
@@ -293,9 +336,13 @@ object Mkn {
   def mknStatsSave(spark: SparkSession, train: DataFrame, prefix: String,
       nBuckets: Int = 8): Unit = {
     val st = knStats(train)
+    // bucketed on h1 — a PREFIX of every (h1, h2) scoring join key, so
+    // HashPartitioning(h1) satisfies the join's clustering and the
+    // static side re-scans without an exchange; the gram string rides
+    // as the artifact's debug payload only (pruned by every scoring plan)
     def wb(df: DataFrame, name: String): Unit =
-      graft.sources.GraftIO.writeBucketed(df, prefix + name, "g", nBuckets, Seq("g"))
-    wb(st.lvl5.select("g", "c"), "_mkn_a5")
+      graft.sources.GraftIO.writeBucketed(df, prefix + name, "h1", nBuckets, Seq("h1"))
+    wb(st.lvl5.select("h1", "h2", "g", "c"), "_mkn_a5")
     wb(st.a4, "_mkn_a4"); wb(st.a3, "_mkn_a3")
     wb(st.a2, "_mkn_a2"); wb(st.a1, "_mkn_a1")
     wb(st.ctx5, "_mkn_ctx5"); wb(st.ctx4, "_mkn_ctx4")
@@ -333,13 +380,15 @@ object Mkn {
   def mknStatsAttach(spark: SparkSession, prefix: String,
       nBuckets: Int = 8): Unit = {
     import graft.sources.GraftIO.{attachBucketed, attachPlain}
-    attachBucketed(spark, s"${prefix}_mkn_a5", "g STRING, c BIGINT", "g", nBuckets)
+    attachBucketed(spark, s"${prefix}_mkn_a5",
+      "h1 BIGINT, h2 BIGINT, g STRING, c BIGINT", "h1", nBuckets)
     for (k <- 1 to 4)
-      attachBucketed(spark, s"${prefix}_mkn_a$k", "g STRING, a BIGINT", "g", nBuckets)
+      attachBucketed(spark, s"${prefix}_mkn_a$k",
+        "h1 BIGINT, h2 BIGINT, g STRING, a BIGINT", "h1", nBuckets)
     for (k <- 2 to 5)
       attachBucketed(spark, s"${prefix}_mkn_ctx$k",
-        s"g STRING, d$k BIGINT, m1_$k BIGINT, m2_$k BIGINT, m3p_$k BIGINT",
-        "g", nBuckets)
+        s"h1 BIGINT, h2 BIGINT, g STRING, d$k BIGINT, m1_$k BIGINT, m2_$k BIGINT, m3p_$k BIGINT",
+        "h1", nBuckets)
     val scalarCols = ((5 to 1 by -1).flatMap(k =>
       (1 to 4).map(i => s"nn${i}_$k BIGINT")) ++
       Seq("d1 BIGINT", "m1_1 BIGINT", "m2_1 BIGINT", "m3p_1 BIGINT", "v BIGINT"))
@@ -403,10 +452,15 @@ object Mkn {
   }
 
   /** Per-doc mean-NLL aggregate over a (doc_id, g5, c) census and its
-    * (g5, q_log) model — shared by both scorers; the model covers every
-    * scored g5 by construction, so the join is inner and total. */
+    * (g5_h1, g5_h2, q_log) model — shared by both scorers; the model
+    * covers every scored g5 by construction, so the join is inner and
+    * total, and its key is the scan-side 128-bit hash pair (the census
+    * string never rides this exchange). */
   private def scoreTail(docs: DataFrame, d5: DataFrame, model: DataFrame): DataFrame = {
-    val perDoc = d5.join(model, "g5")
+    val perDoc = d5
+      .select(col("doc_id"), gh1(col("g5")).as("g5_h1"),
+        gh2(col("g5")).as("g5_h2"), col("c"))
+      .join(model, Seq("g5_h1", "g5_h2"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_5grams"),
         (-sum(col("c") * col("q_log"))).as("num"))

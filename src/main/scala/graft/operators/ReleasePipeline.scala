@@ -83,9 +83,15 @@ object ReleasePipeline {
     p02Finish(parts)
   }
 
-  /** p06's stage table name ([[graft.sources.GraftIO.writeBucketed]]'s
-    * single-writer contract: the driver runs one query at a time). */
-  val StageTable = "p06_stage"
+  /** p06's stage table name, derived PER CORPUS DIR like every other
+    * standing store's prefix ([[graft.sources.GraftIO.writeBucketed]]'s
+    * single-writer contract still applies per table): a fixed global
+    * name would let two corpora staged in one session silently clobber
+    * each other, turning the restart point into a wrong-answer source.
+    * The dir rides in as a short stable fingerprint (table names must be
+    * identifier-shaped; paths aren't). */
+  def stageTable(dir: String): String =
+    f"p06_stage_${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).getLeastSignificantBits & Long.MaxValue}%x"
   private val StageBuckets = 8
 
   /** p06: p04 in its STAGED-MATERIALIZATION form — the production shape
@@ -103,14 +109,14 @@ object ReleasePipeline {
     val parts = CuratePipeline.p01PartsOf(spark, t.spread(t.documents),
       nllMax = CuratePipeline.MknNllMax, lmScorer = Mkn.mkn5Lm)
     graft.sources.GraftIO.writeBucketed(
-      stagedRelation(parts), StageTable, "doc_id", StageBuckets, Seq("doc_id"))
-    p06TailFromStage(spark)
+      stagedRelation(parts), stageTable(dir), "doc_id", StageBuckets, Seq("doc_id"))
+    p06TailFromStage(spark, dir)
   }
 
   /** The release tail over the STANDING stage table — the restartable
     * second half of p06 (spec-asserted to scan ONLY the stage table). */
-  private[graft] def p06TailFromStage(spark: SparkSession): DataFrame =
-    tailFrom(graft.sources.GraftIO.readBucketed(spark, StageTable))
+  private[graft] def p06TailFromStage(spark: SparkSession, dir: String): DataFrame =
+    tailFrom(graft.sources.GraftIO.readBucketed(spark, stageTable(dir)))
 
   /** Split + shard + datasheet over an already-curated [[CuratePipeline.P01Parts]]. */
   private[graft] def p02Finish(parts: CuratePipeline.P01Parts,

@@ -462,7 +462,13 @@ object VectorOps {
     * the full-precision vectors are touched only for the rerank join.
     * Rows-only (approximate by design; spec gates recall vs the exact
     * baseline). */
-  def s04AnnPq(spark: SparkSession, dir: String): DataFrame = {
+  def s04AnnPq(spark: SparkSession, dir: String): DataFrame =
+    annPq(spark, dir, PqRerank)
+
+  /** Parameterized PQ search core: `rerank` is the ADC-shortlist depth —
+    * the knob that buys recall with exact-rerank work (s13 sweeps it). */
+  private[graft] def annPq(spark: SparkSession, dir: String,
+      rerank: Int): DataFrame = {
     FloatVecDot.register(spark)
     TopKByScore.register(spark)
     val v = Tables(spark, dir).embeddings
@@ -487,7 +493,7 @@ object VectorOps {
       .select(col("query_id"), col("vec_id"),
         (col("adc_dot") / col("x_nrm")).as("adc_sim"))
       .filter(col("vec_id") =!= col("query_id"))
-    val shortlist = topKPerGroup(scoredAdc, PqRerank,
+    val shortlist = topKPerGroup(scoredAdc, rerank,
         col("adc_sim"), col("vec_id"), lit(0L), col("query_id"))
       .select(col("query_id"), col("id").as("vec_id"), col("score").as("adc_sim"))
     // exact rerank of the (≤ PqRerank per query) shortlist: score, then the
@@ -724,14 +730,30 @@ object VectorOps {
       .map(g => graft.sources.GraftIO.vacuumDelta(spark, s"${prefix}_ivf_delta", g))
       .getOrElse(0)
 
-  /** The current inverted file: base ∪ delta. */
+  /** The current inverted file: base ∪ delta, with the delta read
+    * LAST-WRITER-WINS per (vec_id, m) (max gen). The probe's ADC score
+    * is an additive `sum(part_dot)` over (query_id, vec_id), so — unlike
+    * the min-fold/membership stores — a posting duplicated across delta
+    * gens (vacuumDelta's squash-then-drop crash window) would silently
+    * DOUBLE adc_sim and distort the shortlist cut. The per-(vec_id, m)
+    * max-gen fold collapses those duplicates exactly (crash copies carry
+    * identical payloads; the squash gen wins) and gives a re-encoded
+    * vector appended at a later gen update semantics for free. Only the
+    * trigger-bounded delta pays this exchange; the corpus-sized base
+    * stays zero-shuffle. Appends are new vectors by contract — a vec_id
+    * present in BOTH base and delta is not shadowed (re-quantizing the
+    * corpus is [[annIndexBootstrap]]'s job). */
   def annIndexRows(spark: SparkSession, prefix: String): DataFrame = {
     val base = graft.sources.GraftIO.baseOrNext(spark, s"${prefix}_ivf_base")
       .select("vec_id", "list_id", "nrm", "m", "code")
     val deltaT = s"${prefix}_ivf_delta"
     if (!spark.catalog.tableExists(deltaT)) base
-    else base.unionByName(
-      spark.table(deltaT).select("vec_id", "list_id", "nrm", "m", "code"))
+    else base.unionByName(spark.table(deltaT)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(max_by(struct(col("list_id"), col("nrm"), col("code")),
+        col("gen")).as("s"))
+      .select(col("vec_id"), col("s.list_id").as("list_id"),
+        col("s.nrm").as("nrm"), col("m"), col("s.code").as("code")))
   }
 
   /** Probe the standing index: s07's search pipeline against the
@@ -1103,6 +1125,49 @@ object VectorOps {
         round(col("n_hits").cast("double") / (col("n_queries") * col("k")), 6))
       .select("rung", "k", "n_queries", "n_retrieved", "n_hits", "recall")
       .orderBy("rung")
+  }
+
+  /** s13: the RECALL-VS-COST SWEEP — s12 measures one geometry per
+    * rung; this entry measures the TRADE-OFF CURVES the ladder's
+    * scaladocs assert ("recall is bought with nprobe / shortlist
+    * depth"): IVF and IVFPQ recall@3 at nprobe ∈ {1,2,4,8,16} (16 =
+    * all lists — the brute-force ceiling point of the curve) and PQ
+    * recall@3 at ADC-shortlist depth ∈ {10,25,50,100}. One truth
+    * relation (s01, checkpointed 30-row), each configuration's own
+    * documented plan, ONE tagged union → broadcast truth join → one
+    * small aggregate. Quantizers come from the Codebooks session cache,
+    * so the coarse/sub-codebook training runs once across all 14
+    * configurations. Rows-only (quantizer/k-means-based); gated by
+    * Round12SweepSpec's monotonicity pins — recall non-decreasing along
+    * each curve, exact 1.0 at nprobe = nlists. */
+  def s13AnnNprobeSweep(spark: SparkSession, dir: String): DataFrame = {
+    val truth = s01AnnBruteforce(spark, dir)
+      .select(col("query_id"), col("vec_id"), col("rank").as("truth_rank"))
+      .localCheckpoint()
+    val probeLadder = Seq(1, 2, 4, 8, 16)
+    val rerankLadder = Seq(10, 25, 50, 100)
+    val rungs: Seq[(String, Int, DataFrame)] =
+      probeLadder.map(np =>
+        ("ivf_nprobe", np, annIvf(spark, dir, IvfLists, np))) ++
+      probeLadder.map(np =>
+        ("ivfpq_nprobe", np,
+          annIvfPq(spark, dir, IvfLists, np, PqRerank, residual = false))) ++
+      rerankLadder.map(rk => ("pq_rerank", rk, annPq(spark, dir, rk)))
+    val tagged = rungs.map { case (fam, p, df) =>
+        df.select(lit(fam).as("family"), lit(p).as("param"),
+          col("query_id"), col("vec_id"))
+      }.reduce(_ unionByName _)
+    val nQ = broadcast(truth.agg(countDistinct(col("query_id")).as("n_queries")))
+    tagged
+      .join(truth, Seq("query_id", "vec_id"), "left")
+      .groupBy(col("family"), col("param"))
+      .agg(count(lit(1)).as("n_retrieved"),
+        sum(when(col("truth_rank") <= 3, 1L).otherwise(0L)).as("n_hits"))
+      .crossJoin(nQ)
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / (col("n_queries") * 3), 6))
+      .select("family", "param", "n_queries", "n_retrieved", "n_hits", "recall")
+      .orderBy("family", "param")
   }
 
   // ---------------------------------------------------------------- s06

@@ -182,25 +182,35 @@ object GraftIO {
     * Ordering is the crash-safe direction: the squashed image lands
     * FIRST (dynamic overwrite of the `uptoGen` partition only), THEN
     * the old partitions drop. A crash in between leaves rows duplicated
-    * across old gens and the squash — harmless to every store here
-    * (min-fold / membership semantics absorb duplicates) and healed by
-    * re-running the vacuum. Max gen never decreases (the squash lands
-    * AT `uptoGen`), so gen-monotone append guards are unaffected.
-    * SINGLE-WRITER per table, like [[writeBucketed]].
+    * across old gens and the squash — absorbed by the min-fold /
+    * membership semantics of the hash/LSH/assignment stores, and by the
+    * IVF delta's last-writer-wins read view
+    * ([[graft.operators.VectorOps.annIndexRows]] dedups per (vec_id, m)
+    * by max gen, so the additive ADC score never double-counts a
+    * posting); healed for good by re-running the vacuum. Max gen never
+    * decreases (the squash lands AT `uptoGen`), so gen-monotone append
+    * guards are unaffected. SINGLE-WRITER per table, like
+    * [[writeBucketed]].
     *
     * @return number of superseded partitions dropped */
   def vacuumDelta(spark: SparkSession, table: String, uptoGen: Long): Int = {
     import org.apache.spark.sql.functions.{col, lit}
     if (!spark.catalog.tableExists(table)) return 0
+    // clear any squash temp a crashed prior vacuum left behind
+    val tmp = s"${table}_vacsq"
+    dropManaged(spark, tmp)
     val gens = spark.table(table).select("gen").where(col("gen") <= uptoGen)
       .distinct().collect().map(_.getLong(0)).sorted
     if (gens.isEmpty || (gens.length == 1 && gens.head == uptoGen)) return 0
     // materialize the squash BEFORE any partition is touched — the
-    // write below overwrites a partition this read covers
-    val squashed = spark.table(table).where(col("gen") <= uptoGen)
+    // write below overwrites a partition this read covers. The image
+    // goes to a TEMP TABLE on disk, not localCheckpoint: a checkpoint
+    // squash is executor-memory-resident, which couples vacuum to the
+    // memory budget exactly when it matters (a long-unvacuumed store).
+    spark.table(table).where(col("gen") <= uptoGen)
       .withColumn("gen", lit(uptoGen))
-      .localCheckpoint()
-    writeDelta(squashed, table)
+      .write.format("parquet").saveAsTable(tmp)
+    writeDelta(spark.table(tmp), table)
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(table)).location)
@@ -213,6 +223,7 @@ object GraftIO {
       dropped += 1
     }
     spark.catalog.refreshTable(table)
+    dropManaged(spark, tmp)
     dropped
   }
 

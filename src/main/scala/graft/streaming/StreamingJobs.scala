@@ -1145,7 +1145,20 @@ object StreamingJobs {
     * watermark-bounded aggregation; short docs keep a row via
     * explode_outer (NULL nll, fail-closed — the batch convention).
     * Bit-parity with batch mknHeldoutScore spec-pinned
-    * (Round11MknStreamSpec). */
+    * (Round11MknStreamSpec).
+    *
+    * TRAIN-ONCE-FROZEN contract: the model's 25 scalar statistics
+    * (discounts, totals) are collected into PLAN LITERALS at query
+    * build, while the bucketed gram tables are re-scanned per trigger —
+    * so re-running [[graft.operators.Mkn.mknStatsSave]] under the SAME
+    * prefix while this query runs would mix generations (new table
+    * rows scored with frozen old scalars). Retraining therefore takes
+    * either (a) a restart of the gate query after the save — the
+    * deployment norm for an LM gate, mirroring every other frozen
+    * model face here (trigram/fivegram/BM25/unigram/bloom ship their
+    * models as literals or arguments) — or (b) a NEW per-generation
+    * prefix, with the old query retired after cutover. Appending more
+    * statistics under a live prefix is NOT a supported operation. */
   def mknGateStream(docs: DataFrame, prefix: String,
       watermark: String = "1 hour"): DataFrame =
     graft.operators.Mkn.heldoutScoreStream(docs, prefix, watermark)

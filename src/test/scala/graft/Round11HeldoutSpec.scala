@@ -218,7 +218,7 @@ class Round11HeldoutSpec extends GraftSpecBase {
       .toDF("doc_id", "lang", "source", "text")
     val out = graft.operators.CuratePipeline
       .p01Over(spark, corpus, lmScorer = Mkn.mknHeldoutGate,
-        nllMax = graft.operators.CuratePipeline.HeldoutNllMax)
+        nllCeilingQ = Some(graft.operators.CuratePipeline.HeldoutNllQ))
       .select(col("doc_id"), col("nll")).collect()
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
       .toMap

@@ -17,23 +17,23 @@ class Round11StagedSpec extends GraftSpecBase {
 
   test("p06 leaves a standing stage table holding exactly the kept docs, and is idempotent") {
     val p06a = ReleasePipeline.p06ReleaseStaged(spark, sfDir).collect().toSeq
-    val stage = spark.table(ReleasePipeline.StageTable)
+    val stage = spark.table(ReleasePipeline.stageTable(sfDir))
     assert(stage.columns.toSeq ==
       Seq("doc_id", "lang", "source", "n_tokens", "canonical", "fp"))
     assert(stage.count() == p06a.size.toLong)
     // a re-run overwrites the stage and reproduces the same output
     val p06b = ReleasePipeline.p06ReleaseStaged(spark, sfDir).collect().toSeq
     assert(p06b == p06a)
-    assert(spark.table(ReleasePipeline.StageTable).count() == p06a.size.toLong)
+    assert(spark.table(ReleasePipeline.stageTable(sfDir)).count() == p06a.size.toLong)
   }
 
   test("p06's release tail scans ONLY the stage table — the restart point never re-curates") {
     ReleasePipeline.p06ReleaseStaged(spark, sfDir).collect() // ensure the stage exists
-    val plan = ReleasePipeline.p06TailFromStage(spark)
+    val plan = ReleasePipeline.p06TailFromStage(spark, sfDir)
       .queryExecution.executedPlan.toString
     val scans = plan.linesIterator.filter(_.contains("FileScan")).toSeq
     assert(scans.nonEmpty)
-    assert(scans.forall(_.contains(ReleasePipeline.StageTable)),
+    assert(scans.forall(_.contains(ReleasePipeline.stageTable(sfDir))),
       s"tail scans something beyond the stage table:\n${scans.mkString("\n")}")
     assert(!plan.contains("documents"))
   }
