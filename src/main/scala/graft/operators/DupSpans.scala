@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.TextOps.{normText, tokensOf, SpanN, TokensSql}
+
+/** c27: MAXIMAL duplicated-span dedup — Lee et al. '22's exact-substring
+  * semantics, closing the fixed-window gap c09/c12 document: those
+  * entries report/remove every duplicated [[TextOps.SpanN]]-gram window
+  * independently, while the published dedup removes each *maximal*
+  * cross-document duplicated span, and only when it reaches the
+  * threshold length ([[MinSpanLen]] = 50 tokens — the paper's value; a
+  * short incidental 8-gram match survives, a long verbatim boilerplate
+  * block goes).
+  *
+  * Span recovery: every duplicated-gram START position within a doc
+  * (c09's census — (hash, doc) pairs on the wire, never text), then ONE
+  * position-ordered window pass per doc chains starts into maximal
+  * intervals — starts p₁ < p₂ merge iff p₂ ≤ p₁ + SpanN (their
+  * [p, p+SpanN) covers are contiguous), so `grp = Σ 1{gap > SpanN}` is
+  * the interval id and min/max per (doc, grp) is the interval. The
+  * window partitions by doc over DUPLICATED starts only — rare by
+  * construction, never corpus-length.
+  *
+  * Per doc: interval count, longest interval, total duplicated-span
+  * tokens, tokens removed by the ≥ threshold rule, and the md5 of the
+  * trimmed text (the t17 discipline — rewritten text never crosses the
+  * driver; reassembly runs ONLY for the docs the rule actually trims,
+  * everything else hashes its normalized text directly).
+  *
+  * Reference analog: `AnalyzeBatch.groovy:103-107`'s
+  * threshold-triggered rejection — a rule fires only past a size bound.
+  */
+object DupSpans {
+  /** Lee et al. '22 §4: remove duplicated substrings of ≥ 50 tokens. */
+  val MinSpanLen = 50L
+
+  private def docs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    t.spread(t.documents)
+  }
+
+  def c27DupSpansMaximal(spark: SparkSession, dir: String): DataFrame =
+    c27Over(spark, docs(spark, dir))
+
+  /** The span dedup over any (doc_id, text) relation — spec entry point
+    * for engineered corpora (adjacent/overlapping spans, threshold
+    * boundaries). `minSpan` parameterizes the Lee et al. threshold. */
+  private[graft] def c27Over(spark: SparkSession, d: DataFrame,
+      minSpan: Long = MinSpanLen): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    val grams = d
+      .select(col("doc_id"),
+        posexplode(graft.functions.Ngrams.ngramJoin(tokensOf(col("text")), SpanN))
+          .as(Seq("p", "gram")))
+      .select(col("doc_id"), col("p"), md5(col("gram")).as("gk"))
+    val dupKeys = grams.groupBy(col("gk"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("gk")
+    val starts = grams.join(dupKeys, "gk").select("doc_id", "p").distinct()
+
+    // maximal intervals: one ordered window pass over duplicated starts
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = starts
+      .withColumn("b",
+        when(col("p") - lag(col("p"), 1).over(w) > SpanN, 1L).otherwise(0L))
+      .withColumn("grp", sum(col("b")).over(wRun))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("p")).as("s"), (max(col("p")) + SpanN).as("e"))
+      .withColumn("len", col("e") - col("s"))
+
+    val perDoc = spans.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        max(col("len")).as("max_span_len"),
+        sum(col("len")).as("dup_span_tokens"),
+        sum(when(col("len") >= minSpan, col("len")).otherwise(0L))
+          .as("removed_tokens"))
+
+    // trim ONLY the ≥ threshold intervals, reassembling only those docs
+    val bigSpans = spans.filter(col("len") >= minSpan)
+    val bigCov = bigSpans
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("e") - 1)).as("pos"))
+    val toksRel = d
+      .join(bigSpans.select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), posexplode(tokensOf(col("text"))).as(Seq("pos", "tok")))
+    val trimmedTxt = toksRel.join(bigCov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))),
+        e => e.getField("tok")), " ").as("trimmed"))
+
+    d.select(col("doc_id"), normText(col("text")).as("norm"),
+        size(tokensOf(col("text"))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .join(trimmedTxt, Seq("doc_id"), "left")
+      .withColumn("removed_tokens", coalesce(col("removed_tokens"), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("max_span_len"), lit(0L)).as("max_span_len"),
+        coalesce(col("dup_span_tokens"), lit(0L)).as("dup_span_tokens"),
+        col("removed_tokens"),
+        (col("n_tokens") - col("removed_tokens")).as("kept_tokens"),
+        md5(when(col("removed_tokens") > 0, coalesce(col("trimmed"), lit("")))
+          .otherwise(col("norm"))).as("trimmed_hash"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: c09's gram/dup CTEs, the interval chain as two window CTEs
+    * (DuckDB rejects nested window calls), the same ≥ threshold trim. */
+  val c27Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $TokensSql AS tk FROM documents
+       |), g AS (
+       |  SELECT doc_id, s.p AS p, s.gk AS gk FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk) - ${SpanN - 2}),
+       |      i -> struct_pack(p := i - 1,
+       |        gk := md5(array_to_string(tk[i:i+${SpanN - 1}], ' '))))) AS s
+       |    FROM toks)
+       |), dup AS (
+       |  SELECT gk FROM g GROUP BY gk HAVING count(DISTINCT doc_id) >= 2
+       |), starts AS (
+       |  SELECT DISTINCT doc_id, p FROM g JOIN dup USING (gk)
+       |), brk AS (
+       |  SELECT doc_id, p, CASE WHEN p - lag(p) OVER (
+       |    PARTITION BY doc_id ORDER BY p) > $SpanN THEN 1 ELSE 0 END AS b
+       |  FROM starts
+       |), grpd AS (
+       |  SELECT doc_id, p, sum(b) OVER (
+       |    PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM brk
+       |), spans AS (
+       |  SELECT doc_id, grp, min(p) AS s, max(p) + $SpanN AS e,
+       |    max(p) + $SpanN - min(p) AS len
+       |  FROM grpd GROUP BY doc_id, grp
+       |), per_doc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       |    CAST(max(len) AS BIGINT) AS max_span_len,
+       |    CAST(sum(len) AS BIGINT) AS dup_span_tokens,
+       |    CAST(coalesce(sum(len) FILTER (WHERE len >= $MinSpanLen), 0) AS BIGINT)
+       |      AS removed_tokens
+       |  FROM spans GROUP BY doc_id
+       |), big_cov AS (
+       |  SELECT DISTINCT doc_id, unnest(range(s, e)) AS pos
+       |  FROM spans WHERE len >= $MinSpanLen
+       |), pt AS (
+       |  SELECT doc_id, s.pos AS pos, s.tok AS tok FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+       |      i -> struct_pack(pos := i - 1, tok := tk[CAST(i AS INT)]))) AS s
+       |    FROM toks WHERE doc_id IN (SELECT DISTINCT doc_id FROM big_cov))
+       |), trimmed AS (
+       |  SELECT t.doc_id, string_agg(t.tok, ' ' ORDER BY t.pos) AS trimmed
+       |  FROM pt t LEFT JOIN big_cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+       |  WHERE c.doc_id IS NULL
+       |  GROUP BY t.doc_id
+       |)
+       |SELECT d.doc_id, CAST(len(${TokensSql}) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(p.max_span_len, 0) AS BIGINT) AS max_span_len,
+       |  CAST(coalesce(p.dup_span_tokens, 0) AS BIGINT) AS dup_span_tokens,
+       |  CAST(coalesce(p.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       |  CAST(len(${TokensSql}) - coalesce(p.removed_tokens, 0) AS BIGINT)
+       |    AS kept_tokens,
+       |  md5(CASE WHEN coalesce(p.removed_tokens, 0) > 0
+       |    THEN coalesce(t.trimmed, '')
+       |    ELSE ${TextOps.NormSql} END) AS trimmed_hash
+       |FROM documents d
+       |LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+       |LEFT JOIN trimmed t ON t.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+}

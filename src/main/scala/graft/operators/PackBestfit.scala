@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** c26: BOUNDARY-AWARE sequence packing — first-fit-decreasing of WHOLE
+  * documents into fixed [[PackCap]]-token context windows, the packing
+  * production data loaders actually run (GPT-NeoX / Llama "document
+  * packing"): a document is split across windows ONLY when it is longer
+  * than a window, instead of wherever a global cumsum happens to land
+  * (c05's concat-and-chunk, kept as the streaming-friendly baseline —
+  * this entry closes its documented truncation gap: at ~20-token docs
+  * and 512-token windows, c05 splits roughly one doc in 25; FFD splits
+  * none).
+  *
+  * Algorithm, per (lang, shard) group (shard = doc_id div
+  * [[PackShardSpan]] — c05's partition bound, so no group outgrows one
+  * task regardless of corpus size):
+  *
+  *   - docs with n_tok ≤ cap, in (n_tok DESC, doc_id ASC) order, each
+  *     take the LOWEST-indexed bin with room (bins open in index order,
+  *     so bin ids are deterministic) — textbook FFD, ≤ 11/9·OPT + 1
+  *     bins (Johnson '73);
+  *   - docs with n_tok > cap are emitted `split_doc = true` with the
+  *     ceil(n/cap) windows they occupy alone (bin NULL) — the only
+  *     documents a window boundary ever cuts.
+  *
+  * Scale shape: the one corpus scan computes (doc_id, lang, shard,
+  * n_tok); the FFD itself is genuine per-group imperative logic — the
+  * documented [[org.apache.spark.sql.KeyValueGroupedDataset]] exception
+  * — over the bounded (lang, shard) group, with a leftmost-fit segment
+  * tree (O(n log n) per group; the naive first-fit scan is O(n·bins) —
+  * quadratic on a 100k-doc shard). Only (long, long) pairs enter the
+  * group shuffle; text never leaves the scan. Deterministic: sort key
+  * (n_tok DESC, doc_id ASC), no RNG, no partitioning sensitivity.
+  *
+  * The oracle replays the identical FFD as a DuckDB recursive CTE
+  * carrying the per-group bin-fill LIST through the recursion — slow
+  * but exact, the c05 CTE discipline extended to stateful folds.
+  *
+  * Reference analog: `CreateBatch.groovy`'s task-batching contract —
+  * fixed-capacity batches, whole tasks only.
+  */
+object PackBestfit {
+  private[operators] val PackCap = 512L
+  private val PackShardSpan = 100000L
+
+  /** Leftmost bin with remaining capacity ≥ x, over up to `m` bins all
+    * starting at `cap` (pre-opened bins ≡ classic FFD: used bins always
+    * form a prefix, so the leftmost fitting empty bin IS the next new
+    * bin). Max-segment-tree: query + point-update in O(log m). */
+  private final class FfdBins(m: Int, cap: Long) {
+    private val size = {
+      var s = 1; while (s < m) s <<= 1; s
+    }
+    private val tree = Array.fill(2 * size)(cap)
+
+    /** 0-based index of the leftmost bin with rem ≥ x (exists: x ≤ cap). */
+    def place(x: Long): Int = {
+      var node = 1
+      while (node < size) {
+        node = if (tree(2 * node) >= x) 2 * node else 2 * node + 1
+      }
+      val bin = node - size
+      tree(node) -= x
+      var p = node >> 1
+      while (p >= 1) {
+        tree(p) = math.max(tree(2 * p), tree(2 * p + 1)); p >>= 1
+      }
+      bin
+    }
+  }
+
+  /** FFD bin ids (1-based, opening order) for one group's (doc_id,
+    * n_tok) rows — pure function, spec-testable without Spark. */
+  private[graft] def ffdAssign(rows: Array[(Long, Long)],
+      cap: Long): Array[(Long, Long, Long)] = {
+    val sorted = rows.sortBy { case (id, n) => (-n, id) }
+    val bins = new FfdBins(math.max(sorted.length, 1), cap)
+    sorted.map { case (id, n) => (id, n, bins.place(n).toLong + 1L) }
+  }
+
+  def c26PackBestfit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    c26Over(spark, t.spread(t.documents))
+  }
+
+  /** The packing over any (doc_id, lang, text) relation — spec entry
+    * point for engineered corpora (oversized docs, adversarial fits). */
+  private[graft] def c26Over(spark: SparkSession, documents: DataFrame): DataFrame = {
+    import spark.implicits._
+    val toks = documents
+      .select(col("doc_id"), col("lang"),
+        size(TextOps.tokensOf(col("text"))).cast("long").as("n_tok"),
+        floor(col("doc_id") / PackShardSpan).cast("long").as("shard"))
+    val packed = toks.filter(col("n_tok") <= PackCap)
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_tok"))
+      .as[(String, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, Long),
+          it: Iterator[(String, Long, Long, Long)]) =>
+        ffdAssign(it.map(r => (r._3, r._4)).toArray, PackCap)
+          .iterator.map { case (id, n, bin) => (id, key._1, key._2, n, bin) }
+      }
+      .toDF("doc_id", "lang", "shard", "n_tok", "bin")
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
+        col("bin"), lit(false).as("split_doc"), lit(1L).as("n_windows"))
+    val oversized = toks.filter(col("n_tok") > PackCap)
+      .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
+        lit(null).cast("long").as("bin"), lit(true).as("split_doc"),
+        expr(s"(n_tok + ${PackCap - 1}) div $PackCap").as("n_windows"))
+    packed.unionByName(oversized).orderBy("doc_id")
+  }
+
+  /** The FFD fold as a DuckDB recursive CTE: the per-(lang, shard)
+    * bin-fill vector rides the recursion as a LIST column; leftmost fit
+    * = `nullif(list_position(…), 0)` (DuckDB returns 0, not NULL, on a
+    * miss). Splice-shared with nothing — the Scala side is imperative —
+    * so this oracle is the independent re-derivation, not a mirror. */
+  val c26Sql: String = {
+    import TextOps.TokensSql
+    s"""WITH RECURSIVE toksrel AS (
+       |  SELECT doc_id, lang, CAST(len($TokensSql) AS BIGINT) AS n_tok,
+       |    doc_id // $PackShardSpan AS shard
+       |  FROM documents
+       |), smallrel AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY lang, shard ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rn
+       |  FROM toksrel WHERE n_tok <= $PackCap
+       |), ffd AS (
+       |  SELECT lang, shard, rn, doc_id, n_tok,
+       |    CAST(1 AS BIGINT) AS bin, [n_tok] AS fills
+       |  FROM smallrel WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.lang, s.shard, s.rn, s.doc_id, s.n_tok,
+       |    CAST(coalesce(j.pos, len(f.fills) + 1) AS BIGINT) AS bin,
+       |    CASE WHEN j.pos IS NULL THEN list_append(f.fills, s.n_tok)
+       |         ELSE list_concat(list_concat(
+       |                f.fills[1:j.pos-1],
+       |                [f.fills[j.pos] + s.n_tok]),
+       |                f.fills[j.pos+1:])
+       |    END AS fills
+       |  FROM ffd f
+       |  JOIN smallrel s
+       |    ON s.lang = f.lang AND s.shard = f.shard AND s.rn = f.rn + 1
+       |  CROSS JOIN LATERAL (SELECT nullif(list_position(
+       |    list_transform(f.fills, x -> x + s.n_tok <= $PackCap), true), 0) AS pos) j
+       |)
+       |SELECT doc_id, lang, shard, n_tok, bin,
+       |  false AS split_doc, CAST(1 AS BIGINT) AS n_windows
+       |FROM ffd
+       |UNION ALL
+       |SELECT doc_id, lang, shard, n_tok, CAST(NULL AS BIGINT) AS bin,
+       |  true AS split_doc,
+       |  (n_tok + $PackCap - 1) // $PackCap AS n_windows
+       |FROM toksrel WHERE n_tok > $PackCap
+       |ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1507,7 +1507,7 @@ object TextOps {
 
   // ---------------------------------------------------------------- c09
   /** Duplicated-span window length (tokens) for [[c09DupSpans]]. */
-  private val SpanN = 8
+  private[operators] val SpanN = 8
 
   /** c09: duplicated-span statistics — the exact-substring dedup signal
     * (Lee et al. '22, "Deduplicating Training Data Makes Language Models

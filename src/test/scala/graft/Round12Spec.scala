@@ -1,0 +1,261 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{CuratePipeline, Mkn, ReleasePipeline, VectorOps}
+import graft.sources.GraftIO
+
+/** Round-12 specs: the vacuum crash-window fix for the IVF delta
+  * (last-writer-wins read view — an additive ADC score must not
+  * double-count a posting duplicated across gens), the de-memoried
+  * vacuum squash, p05's DERIVED gate ceiling (both branches fire by
+  * construction), the per-corpus p06 stage table, and the fixed-width
+  * 128-bit gram keys on every MKN scoring join. */
+class Round12Spec extends GraftSpecBase {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- ANN
+  private def annCorpus(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rnd = new java.util.Random(13L)
+    (0 until 400).map { i =>
+      (i.toLong, Array.fill(32)(rnd.nextFloat() * 2f - 1f).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("IVF delta: a vacuum-crash-window duplicate posting does NOT double adc_sim (probe results unchanged)") {
+    val p = "graft_r12_annvac"
+    VectorOps.annIndexDrop(spark, p)
+    val dir = java.nio.file.Files.createTempDirectory("annvac").toString
+    val corpus = annCorpus(spark)
+    VectorOps.annIndexBootstrap(corpus, p, dir)
+    val batch = corpus.filter(col("vec_id") < 20)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding"))
+    VectorOps.annIndexAppend(batch, p, gen = 1L)
+    val source = corpus.unionByName(
+      batch.select(col("vec_id"), col("embedding")))
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    def probeAll() = VectorOps.annIndexProbe(queries, source, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(4))).sorted.toSeq
+    val clean = probeAll()
+
+    // simulate vacuumDelta's crash window: the squashed image landed at
+    // a NEW max gen but the superseded partition was not yet dropped —
+    // every gen-1 posting now exists twice in the delta table
+    val deltaT = s"${p}_ivf_delta"
+    val dup = spark.table(deltaT).where(col("gen") === 1L)
+      .withColumn("gen", lit(2L))
+      .select("vec_id", "list_id", "nrm", "m", "code", "gen")
+    GraftIO.writeDelta(dup, deltaT)
+    val g1 = spark.table(deltaT).where(col("gen") === 1L).count()
+    val g2 = spark.table(deltaT).where(col("gen") === 2L).count()
+    assert(g1 > 0L && g1 === g2, "sanity: both gen copies present")
+
+    // the read view dedups per (vec_id, m): probe output bit-identical
+    assert(probeAll() === clean,
+      "duplicate postings leaked into the ADC sum")
+    // and annIndexRows itself exposes each posting exactly once
+    val rows = VectorOps.annIndexRows(spark, p)
+      .groupBy("vec_id", "m").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head.getLong(0)
+    assert(rows === 1L)
+  }
+
+  test("vacuumDelta squashes via an on-disk temp table and cleans it up") {
+    val p = "graft_r12_vactmp"
+    GraftIO.dropManaged(spark, p)
+    val df0 = Seq((1L, 0L), (2L, 0L)).toDF("k", "gen")
+    df0.write.partitionBy("gen").format("parquet").saveAsTable(p)
+    GraftIO.writeDelta(Seq((3L, 1L)).toDF("k", "gen"), p)
+    GraftIO.writeDelta(Seq((4L, 2L)).toDF("k", "gen"), p)
+    val before = spark.table(p).select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(GraftIO.vacuumDelta(spark, p, 2L) === 2)
+    assert(!spark.catalog.tableExists(s"${p}_vacsq"),
+      "squash temp table must be dropped after a successful vacuum")
+    val after = spark.table(p).select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after === before)
+    assert(spark.table(p).select("gen").distinct()
+      .collect().map(_.getLong(0)).toSeq === Seq(2L))
+  }
+
+  // ---------------------------------------------------------------- p05
+  test("p05's gate ceiling is the derived candidate median: both branches fire, ceiling ≡ exact percentile") {
+    val out = CuratePipeline.p05CurateHeldout(spark, sfDir)
+      .select("doc_id", "nll", "lm_ok", "is_eval").collect()
+    val cand = out.filter(r => !r.getBoolean(3) && !r.isNullAt(1))
+      .map(r => (r.getDouble(1), r.getBoolean(2)))
+    assert(cand.count(_._2) > 0, "no candidate passed the derived gate")
+    assert(cand.count(!_._2) > 0, "no candidate failed the derived gate")
+    // the implied ceiling equals the exact round-6 candidate median
+    val ceil = spark.createDataFrame(
+        spark.sparkContext.parallelize(cand.map(c => org.apache.spark.sql.Row(c._1))),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nll",
+            org.apache.spark.sql.types.DoubleType))))
+      .agg(round(expr(s"percentile(nll, ${CuratePipeline.HeldoutNllQ})"), 6))
+      .head.getDouble(0)
+    assert(cand.forall { case (nll, ok) => ok === (nll <= ceil) },
+      s"lm_ok disagrees with the derived ceiling $ceil")
+  }
+
+  // ---------------------------------------------------------------- p06
+  test("p06's stage table is per-corpus-dir: distinct dirs get distinct tables, same dir is stable") {
+    val a = ReleasePipeline.stageTable("/data/corpusA")
+    val b = ReleasePipeline.stageTable("/data/corpusB")
+    assert(a !== b)
+    assert(a === ReleasePipeline.stageTable("/data/corpusA"))
+    assert(a.matches("[A-Za-z0-9_]+"), s"not identifier-shaped: $a")
+  }
+
+  // ---------------------------------------------------------------- MKN
+  private def joinKeyTypes(df: DataFrame): Seq[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, ShuffledHashJoinExec, SortMergeJoinExec}
+    df.queryExecution.sparkPlan.collect {
+      case j: SortMergeJoinExec => j.leftKeys ++ j.rightKeys
+      case j: ShuffledHashJoinExec => j.leftKeys ++ j.rightKeys
+      case j: BroadcastHashJoinExec => j.leftKeys ++ j.rightKeys
+    }.flatten.map(_.dataType)
+  }
+
+  test("t26/t29: every equi-join key in the MKN plans is fixed-width (no gram string rides a join)") {
+    for (df <- Seq(Mkn.t26Mkn5gram(spark, sfDir), Mkn.t29MknHeldout(spark, sfDir))) {
+      val types = joinKeyTypes(df)
+      assert(types.size >= 16, s"expected the stats joins, saw ${types.size} keys")
+      val strings = types.filter(_ == org.apache.spark.sql.types.StringType)
+      assert(strings.isEmpty,
+        s"${strings.size} string-typed join keys survive in the MKN plan")
+    }
+  }
+
+  // ---------------------------------------------------------------- c26
+  test("c26 FFD: textbook assignment, capacity invariant, determinism") {
+    import graft.operators.PackBestfit
+    // 500,400,120,100,12,10 into cap-512 bins: FFD = 1,2,3,2,1,2
+    val got = PackBestfit.ffdAssign(
+      Array((1L, 500L), (2L, 400L), (3L, 120L), (4L, 100L), (5L, 12L), (6L, 10L)),
+      512L).toSeq
+    assert(got === Seq((1L, 500L, 1L), (2L, 400L, 2L), (3L, 120L, 3L),
+      (4L, 100L, 2L), (5L, 12L, 1L), (6L, 10L, 2L)))
+    // capacity invariant + determinism on a pseudo-random load
+    val rnd = new scala.util.Random(99)
+    val rows = Array.tabulate(3000)(i => (i.toLong, 1L + rnd.nextInt(512)))
+    val a = PackBestfit.ffdAssign(rows, 512L)
+    val b = PackBestfit.ffdAssign(rnd.shuffle(rows.toSeq).toArray, 512L)
+    assert(a.toSeq === b.toSeq, "input order must not matter")
+    val fills = a.groupBy(_._3).map { case (_, xs) => xs.map(_._2).sum }
+    assert(fills.forall(_ <= 512L))
+  }
+
+  test("c26 vs c05: identical token mass, strictly fewer split documents; oversized docs split alone") {
+    import graft.operators.{PackBestfit, TextOps}
+    val c26 = PackBestfit.c26PackBestfit(spark, sfDir).collect()
+    val c05 = TextOps.c05PackSequences(spark, sfDir).collect()
+    assert(c26.map(_.getLong(3)).sum === c05.map(_.getLong(2)).sum,
+      "token mass must be identical")
+    val c05splits = c05.count(_.getLong(6) > 1) // n_chunks > 1
+    val c26splits = c26.count(_.getBoolean(5))  // split_doc
+    assert(c05splits > 0, "corpus sanity: c05 must split some docs")
+    assert(c26splits < c05splits,
+      s"FFD must split strictly fewer docs ($c26splits vs $c05splits)")
+    // every non-split doc fits whole; per-(lang,shard,bin) fill ≤ cap
+    val overfull = PackBestfit.c26PackBestfit(spark, sfDir)
+      .filter(!col("split_doc"))
+      .groupBy("lang", "shard", "bin").agg(sum("n_tok").as("fill"))
+      .filter(col("fill") > 512L).count()
+    assert(overfull === 0L)
+    // engineered oversized doc: split alone with ceil(n/cap) windows
+    val big = (1 to 1100).map(i => s"w$i").mkString(" ")
+    val out = PackBestfit.c26Over(spark,
+        Seq((1L, "en", big), (2L, "en", "a b c")).toDF("doc_id", "lang", "text"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(5), r.getLong(6)))).toMap
+    assert(out(1L) === ((true, 3L)))  // ceil(1100/512) = 3 windows
+    assert(out(2L) === ((false, 1L)))
+  }
+
+  // ---------------------------------------------------------------- c27
+  test("c27: adjacent/overlapping duplicated grams chain into ONE maximal span (Lee et al. semantics)") {
+    import graft.operators.DupSpans
+    // 60-token shared block inside two docs → one maximal span of len 60
+    val block = (1 to 60).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, s"u1 u2 u3 $block v1 v2 v3"),
+      (2L, s"z1 z2 $block z3 z4 z5 z6"),
+      (3L, "plain text with no duplication at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = DupSpans.c27Over(spark, corpus)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // doc 1: one span, len 60, removed (≥ 50), kept = 66 - 60
+    assert(out(1L) === ((1L, 60L, 60L, 60L, 6L)))
+    assert(out(2L) === ((1L, 60L, 60L, 60L, 6L)))
+    assert(out(3L) === ((0L, 0L, 0L, 0L, 8L)))
+    // trimmed text = the non-duplicated remainder, in order
+    val h = DupSpans.c27Over(spark, corpus)
+      .filter(col("doc_id") === 1L).select("trimmed_hash").head.getString(0)
+    val expect = spark.sql(s"SELECT md5('u1 u2 u3 v1 v2 v3')").head.getString(0)
+    assert(h === expect)
+  }
+
+  test("c27: spans under the threshold are REPORTED but survive the trim; threshold parameterized") {
+    import graft.operators.DupSpans
+    val block = (1 to 20).map(i => s"k$i").mkString(" ") // 20 < 50
+    val corpus = Seq(
+      (1L, s"a1 a2 $block b1 b2"),
+      (2L, s"c1 $block c2 c3 c4")).toDF("doc_id", "text")
+    val out = DupSpans.c27Over(spark, corpus)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6), r.getString(7)))).toMap
+    // reported (1 span, len 20) but nothing removed at the 50 threshold
+    assert(out(1L)._1 === 1L && out(1L)._2 === 20L)
+    assert(out(1L)._3 === 0L && out(1L)._4 === 24L)
+    val normHash = spark.sql(
+      s"SELECT md5('a1 a2 ${(1 to 20).map(i => s"k$i").mkString(" ")} b1 b2')")
+      .head.getString(0)
+    assert(out(1L)._5 === normHash, "sub-threshold span must survive")
+    // at minSpan = 10 the same span is trimmed
+    val trimmed = DupSpans.c27Over(spark, corpus, minSpan = 10L)
+      .filter(col("doc_id") === 1L)
+      .select("removed_tokens", "kept_tokens").head
+    assert(trimmed.getLong(0) === 20L && trimmed.getLong(1) === 4L)
+  }
+
+  // ---------------------------------------------------------------- s13
+  test("s13: recall is monotone along every sweep curve; nprobe = nlists reaches exact 1.0") {
+    val rows = VectorOps.s13AnnNprobeSweep(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(5)))
+    for (fam <- rows.map(_._1).distinct) {
+      val curve = rows.filter(_._1 == fam).sortBy(_._2).map(_._3)
+      assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
+        s"$fam recall not monotone: ${curve.mkString(",")}")
+    }
+    val full = rows.filter(r => r._1 == "ivf_nprobe" && r._2 == 16).head._3
+    assert(full === 1.0, s"probing all lists must be exact, got $full")
+  }
+
+  test("mkn stats store: bucketed on h1 with the gram string as debug payload only") {
+    val p = "graft_r12_mknkeys"
+    val train = Seq(
+      (1L, "aa bb cc dd ee ff gg"),
+      (2L, "aa bb cc dd ee hh ii"),
+      (3L, "jj kk ll mm nn oo pp")).toDF("doc_id", "text")
+    Mkn.mknStatsSave(spark, train, p)
+    val a5 = spark.table(s"${p}_mkn_a5")
+    assert(a5.columns.take(3).toSeq === Seq("h1", "h2", "g"))
+    // keys really are the two hash draws of the payload gram
+    val bad = a5.filter(
+      col("h1") =!= xxhash64(col("g")) ||
+        col("h2") =!= xxhash64(col("g"), lit(0x9e3779b97f4a7c15L))).count()
+    assert(bad === 0L)
+    // the persisted statistics and the in-session scorer agree bit-exactly
+    val ev = Seq((10L, "aa bb cc dd ee zz"), (11L, "zz yy")).toDF("doc_id", "text")
+    val fromStore = Mkn.mknScoreFromStore(spark, p, ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sorted.toSeq
+    val inSession = Mkn.mknHeldoutScore(train, ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sorted.toSeq
+    assert(fromStore === inSession)
+  }
+}
