@@ -30,6 +30,33 @@ object TextOps {
 
   private[operators] val TokensSql = s"string_split($NormSql, ' ')"
 
+  // ------------------------------------------- CJK segmentation (r12)
+  /** Codepoint classes with NO in-script whitespace convention: Han,
+    * kana, Hangul. Java regex script classes (Spark side); the oracle
+    * corpus is ASCII so no DuckDB mirror exists — the parity pin is
+    * Round12CjkSpec's plain-Scala `Character.UnicodeScript` mirror. */
+  private[graft] val CjkClassJava =
+    "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}\\p{IsHangul}"
+
+  /** Deterministic codepoint-class segmentation FALLBACK for
+    * non-whitespace scripts: every CJK codepoint becomes its own token
+    * (spaces inserted around each, then [[normText]] collapses runs) —
+    * the mBERT/CCNet SentencePiece pre-tokenization convention. Without
+    * it, every whitespace census in the t-family degenerates on CJK
+    * text to whole-sentence "words": one token per document, zero
+    * bigrams, every LM gate fail-closed (measured: Round12CjkSpec).
+    * Character-level unigrams are the honest deterministic baseline —
+    * proper word segmentation is a learned model (out of scope; t30's
+    * byte-level BPE is the trained path below the word layer). Compose
+    * as a PRE-normalization: `lmScorer(docs.withColumn("text",
+    * cjkSegment(col("text"))))` — row-local regex, stream-safe, no
+    * shuffle. SURVEY §5 records the decision with the measured deltas. */
+  def cjkSegment(c: Column): Column =
+    regexp_replace(c, s"([$CjkClassJava])", " $1 ")
+
+  /** [[tokensOf]] with the CJK fallback applied first. */
+  def tokensOfSegmented(c: Column): Column = tokensOf(cjkSegment(c))
+
   // ---------------------------------------------------------------- d01
   /** Exact dedup: md5 over normalized text; canonical doc = min doc_id.
     * At 100 TB only (hash, doc_id) pairs shuffle — never the text. */
