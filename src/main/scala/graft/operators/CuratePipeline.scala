@@ -247,8 +247,13 @@ object CuratePipeline {
       .select(col("node").as("doc_id"), (col("node") === col("kept_doc")).as("is_keeper"))
 
     // ---- stage 4: LM NLL gate (corpus model; t13 by default) --------
-    val lm = lmScorer(base.select(col("doc_id"), col("norm").as("text")))
+    // With a DERIVED ceiling the (doc_id, nll) relation is consumed
+    // TWICE (threshold aggregate + flag join) — materialize it once so
+    // the LM scoring chain (p05: nine joins over the census) doesn't
+    // execute per consumer; it is doc-count-sized metadata.
+    val lm0 = lmScorer(base.select(col("doc_id"), col("norm").as("text")))
       .select(col("doc_id"), col("nll"))
+    val lm = if (nllCeilingQ.isDefined) lm0.localCheckpoint() else lm0
     // Ceiling: a fixed policy constant (nllMax, a plan literal), or —
     // when nllCeilingQ is set (p05) — DERIVED as the exact round-6
     // quantile of scored CANDIDATE (non-eval) nlls, t16's threshold
