@@ -79,15 +79,21 @@ object ShardExport {
       NShards).orderBy("doc_id")
   }
 
-  val c19Sql: String = {
+  /** c19's base+shard CTEs — ONE definition c19Sql and c28Sql extend
+    * (the shared-CTE discipline, so export and manifest cannot drift). */
+  private val C19Ctes: String = {
     import TextOps.{polyFpSql, NormSql}
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT doc_id, ${polyFpSql(NormSql)} AS fp,
        |    CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS n_tokens
        |  FROM documents
        |), sharded AS (
        |  SELECT doc_id, fp, n_tokens, fp % $NShards AS shard_id FROM base
-       |), ranked AS (
+       |)""".stripMargin
+  }
+
+  val c19Sql: String =
+    s"""WITH $C19Ctes, ranked AS (
        |  SELECT doc_id, shard_id, n_tokens,
        |    CAST(row_number() OVER (PARTITION BY shard_id ORDER BY fp, doc_id)
        |      AS BIGINT) AS shard_pos
@@ -101,5 +107,72 @@ object ShardExport {
        |  shard_docs, shard_tokens
        |FROM ranked r JOIN audit a ON r.shard_id = a.shard_id
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- c28
+  /** Modulus for the second (additive) checksum: keeps a per-shard sum
+    * of reduced fingerprints inside BIGINT under ANSI for any shard
+    * below ~9×10⁹ rows (shards ARE the write parallelism — a 100 TB
+    * release runs thousands of them, each far smaller). */
+  private val ManifestMod = 1000000007L
+
+  /** The per-shard manifest of a (doc_id, fp, n_tokens, shard_id)
+    * assignment: counts, token mass, and TWO order-free content
+    * checksums — `bit_xor(fp)` (any single-row corruption flips it) and
+    * `Σ fp mod p` (catches the duplicated-pair case XOR cancels) — plus
+    * the fp range. Every aggregate is distributive/map-side combined;
+    * the manifest is nShards rows. */
+  private[graft] def manifestOver(rows: DataFrame): DataFrame =
+    rows.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        expr("bit_xor(fp)").as("fp_xor"),
+        sum(pmod(col("fp"), lit(ManifestMod))).as("fp_modsum"),
+        min(col("fp")).as("fp_min"),
+        max(col("fp")).as("fp_max"))
+      .orderBy("shard_id")
+
+  /** c28: the release MANIFEST — the reproducibility artifact a shipped
+    * dataset carries (the missing tail of the c19/p02 release story): per
+    * shard, document/token mass and deterministic content checksums a
+    * CONSUMER can recompute from a delivered shard alone — one
+    * distributive aggregate over the delivery, no re-run of the release
+    * pipeline, no text comparison. [[manifestVerify]] is that consumer
+    * check; Round12ManifestSpec corrupts a delivery each way (dropped
+    * row, duplicated row, flipped content) and pins exactly the damaged
+    * shard flagged. Reference analog: `GetBatches.groovy:146-195`'s
+    * per-batch accounting — counts a consumer reads to trust a batch,
+    * here strengthened to content checksums. */
+  def c28ReleaseManifest(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    manifestOver(shardRowLocal(
+      Tables(spark, dir).documents.select(col("doc_id"), col("text")), NShards))
   }
+
+  /** Consumer-side verification: recompute the manifest from a delivered
+    * (doc_id, fp, n_tokens, shard_id) relation and compare per shard.
+    * Full outer: a shard missing from either side reports too. */
+  private[graft] def manifestVerify(delivered: DataFrame,
+      manifest: DataFrame): DataFrame = {
+    val d = manifestOver(delivered)
+    val cols = Seq("n_docs", "n_tokens", "fp_xor", "fp_modsum", "fp_min", "fp_max")
+    val renamedD = cols.foldLeft(d) { (df, c) => df.withColumnRenamed(c, s"d_$c") }
+    val renamedM = cols.foldLeft(manifest) { (df, c) => df.withColumnRenamed(c, s"m_$c") }
+    renamedD.join(renamedM, Seq("shard_id"), "full_outer")
+      .withColumn("ok", cols.map(c =>
+        col(s"d_$c").isNotNull && col(s"m_$c").isNotNull &&
+          col(s"d_$c") === col(s"m_$c")).reduce(_ && _))
+      .select(col("shard_id"), col("ok"),
+        col("d_n_docs"), col("m_n_docs"), col("d_fp_xor"), col("m_fp_xor"))
+      .orderBy("shard_id")
+  }
+
+  val c28Sql: String =
+    s"""WITH $C19Ctes
+       |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(bit_xor(fp) AS BIGINT) AS fp_xor,
+       |  CAST(sum(fp % $ManifestMod) AS BIGINT) AS fp_modsum,
+       |  CAST(min(fp) AS BIGINT) AS fp_min,
+       |  CAST(max(fp) AS BIGINT) AS fp_max
+       |FROM sharded GROUP BY shard_id ORDER BY shard_id""".stripMargin
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ShardExport
+
+/** c28 release-manifest specs: the consumer-side verification must
+  * catch each corruption class from the delivered shard alone — a
+  * dropped row, a duplicated row (the case a lone XOR checksum
+  * cancels... here it doesn't cancel since dup ≠ pair-removal, so also
+  * test the XOR-blind spot: the SAME row present twice replacing two
+  * distinct rows), and flipped content — flagging exactly the damaged
+  * shard. */
+class Round12ManifestSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def delivery() = {
+    graft.functions.PolyFingerprint.register(spark)
+    val t = Tables(spark, sfDir)
+    ShardExport.shardRowLocal(
+      t.spread(t.documents).select(col("doc_id"), col("text")),
+      ShardExport.NShards).localCheckpoint()
+  }
+
+  test("c28: a clean delivery verifies OK on every shard; the manifest is deterministic") {
+    val rows = delivery()
+    val manifest = ShardExport.c28ReleaseManifest(spark, sfDir)
+    val v = ShardExport.manifestVerify(rows, manifest).collect()
+    assert(v.length === ShardExport.NShards)
+    assert(v.forall(_.getBoolean(1)), "clean delivery must verify everywhere")
+    // deterministic across rebuilds
+    val again = ShardExport.c28ReleaseManifest(spark, sfDir).collect().toSeq
+    assert(again === manifest.collect().toSeq)
+  }
+
+  test("c28: dropped row, duplicated row, and flipped content each flag EXACTLY the damaged shard") {
+    val rows = delivery()
+    val manifest = ShardExport.c28ReleaseManifest(spark, sfDir).localCheckpoint()
+    val victim = rows.orderBy("doc_id").head
+    val vShard = victim.getLong(3)
+
+    def badShards(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      ShardExport.manifestVerify(d, manifest).filter(!col("ok"))
+        .collect().map(_.getLong(0)).toSet
+
+    // dropped row
+    assert(badShards(rows.filter(col("doc_id") =!= victim.getLong(0)))
+      === Set(vShard))
+    // duplicated row (fp_xor cancels the pair — fp_modsum and n_docs catch it)
+    assert(badShards(rows.unionAll(rows.filter(col("doc_id") === victim.getLong(0))))
+      === Set(vShard))
+    // flipped content: same doc_id, different fingerprint (stays in-shard
+    // only if the new fp lands on the same shard — force that by adding
+    // NShards to the fp, which preserves fp % NShards)
+    val flipped = rows.withColumn("fp",
+      when(col("doc_id") === victim.getLong(0),
+        col("fp") + ShardExport.NShards).otherwise(col("fp")))
+    assert(badShards(flipped) === Set(vShard))
+  }
+}
