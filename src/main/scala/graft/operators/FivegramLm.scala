@@ -110,8 +110,11 @@ object FivegramLm {
     val totals = cn.filter(col("n") === 1)
       .agg(sum(col("c")).as("n_corpus"), count(lit(1)).as("v"))
 
-    // suffix/context keys of each distinct 5-gram, derived scan-side
-    d5.groupBy(col("g5")).agg(sum(col("c")).as("num5"))
+    // suffix/context keys of each distinct 5-gram, derived scan-side.
+    // The corpus 5-gram census already exists as cn's order-5 slice
+    // (Σ_doc c ≡ the corpus count) — reuse it instead of re-aggregating
+    // d5 by gram string (r12: one fewer corpus-census shuffle).
+    cnRel(5, "g5", "num5")
       .withColumn("p", split(col("g5"), " "))
       .withColumn("x5", concat_ws(" ", slice(col("p"), 1, 4)))
       .withColumn("s4", concat_ws(" ", slice(col("p"), 2, 4)))

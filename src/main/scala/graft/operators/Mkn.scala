@@ -275,9 +275,13 @@ object Mkn {
     * [[FivegramLm.docFivegrams]]. */
   private[graft] def mknModel(d: DataFrame, d5: DataFrame): DataFrame = {
     val st = knStats(d)
-    // every suffix/context of an observed 5-gram is itself observed →
-    // all eight joins inner and total (self-scored fast path)
-    withGramKeys(d5.groupBy(col("g5")).agg(sum(col("c")).as("a5")))
+    // the corpus 5-gram census already exists as st.lvl5 (orderCensuses'
+    // checkpointed order-5 slice, Σ_doc c ≡ the corpus count) — reuse it
+    // instead of re-aggregating d5 by gram STRING (r12: one fewer
+    // corpus-census shuffle per model build).
+    // Every suffix/context of an observed 5-gram is itself observed →
+    // all eight joins inner and total (self-scored fast path).
+    withGramKeys(st.lvl5.select(col("g").as("g5"), col("c").as("a5")))
       .join(keyAs(st.ctx5, "x5"), Seq("x5_h1", "x5_h2"))
       .join(keyAs(st.a4, "s4").withColumnRenamed("a", "a4"), Seq("s4_h1", "s4_h2"))
       .join(keyAs(st.ctx4, "x4"), Seq("x4_h1", "x4_h2"))
