@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** t31: CALIBRATION AUDIT for the trained quality classifier — the
+  * reliability check a model-gated pipeline runs before trusting a
+  * probability threshold (Guo et al., ICML'17: modern classifiers are
+  * routinely mis-calibrated; a 0.9 score need not mean 90%): per
+  * predicted-probability decile, the mean predicted probability vs the
+  * empirical positive rate, their gap (the ECE integrand — corpus ECE =
+  * Σ n_b/N · gap_b over these rows), and the per-bucket Brier score.
+  *
+  * Exactness discipline (§6(d)): t12's scores are round-6 doubles, so
+  * `score·1e6` casts to an EXACT micro-unit integer; bucket ids derive
+  * from that integer (`su div 100000` — no float×10 boundary jitter),
+  * all bucket sums are 64-bit integers, and each reported ratio is ONE
+  * correctly-rounded integer division. Per-bucket Σ(su−y·10⁶)² stays
+  * under 2⁶³ below ~9×10⁶ rows per bucket — at 100 TB the sum column
+  * widens to DECIMAL, same algebra (the a10 discipline).
+  *
+  * Shape: one pass over the scored relation (the t12 model comes from
+  * the session cache — train-once), ONE 10-group aggregate, zero joins.
+  * Rows-only (scores come from the iteratively-trained LR, like t12) —
+  * value-pinned by Round12CalibrationSpec's independent plain-Scala
+  * mirror plus analytic cases (perfectly-calibrated and anti-calibrated
+  * engineered inputs).
+  *
+  * Reference analog: `BatchFinalizer.groovy:40-77` — the accounting
+  * pass that decides whether a batch's outcomes are trustworthy enough
+  * to finalize.
+  */
+object Calibration {
+
+  /** The audit over any (y ∈ {0,1}, score ∈ [0,1] round-6) relation. */
+  private[graft] def calibrationOver(scored: DataFrame): DataFrame =
+    scored
+      .withColumn("su", round(col("score") * 1e6).cast("long"))
+      .withColumn("bucket", least(expr("su div 100000"), lit(9L)))
+      .withColumn("sq",
+        (col("su") - col("y") * 1000000L) * (col("su") - col("y") * 1000000L))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("su")).as("sum_su"),
+        sum(col("y").cast("long")).as("n_pos"),
+        sum(col("sq")).as("sum_sq"))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        (expr("(2 * sum_su + n) div (2 * n)").cast("double") / 1e6)
+          .as("mean_pred"),
+        (expr("(2 * n_pos * 1000000 + n) div (2 * n)").cast("double") / 1e6)
+          .as("pos_rate"),
+        (abs(expr("(2 * sum_su + n) div (2 * n)") -
+          expr("(2 * n_pos * 1000000 + n) div (2 * n)")).cast("double") / 1e6)
+          .as("gap"),
+        (expr("(2 * sum_sq + n * 1000000) div (2 * n * 1000000)")
+          .cast("double") / 1e6).as("brier"))
+      .orderBy("bucket")
+
+  def t31CalibrationAudit(spark: SparkSession, dir: String): DataFrame =
+    calibrationOver(
+      QualityClassifier.t12QualityClassifier(spark, dir)
+        .select(col("doc_id"), col("label").cast("int").as("y"), col("score")))
+}

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Calibration
+
+/** t31 calibration-audit specs: the integer-grid bucket algebra is
+  * value-pinned against an INDEPENDENT plain-Scala mirror (BigInt
+  * half-up divisions over the collected rows) and against analytic
+  * engineered inputs — a perfectly-calibrated relation audits gap 0 on
+  * every populated bucket; an anti-calibrated one audits gap ≈ 1 with
+  * Brier ≈ 1. */
+class Round12CalibrationSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def overRows(rows: Seq[(Int, Double)]) =
+    Calibration.calibrationOver(
+      rows.toDF("y", "score").select(col("y"), round(col("score"), 6).as("score")))
+
+  /** Independent mirror: BigInt half-up ratio in micro units. */
+  private def halfUp(num: BigInt, den: BigInt): Long =
+    ((2 * num + den) / (2 * den)).toLong
+
+  private def mirror(rows: Seq[(Int, Double)]): Map[Long, (Long, Long, Long, Long, Long, Long)] =
+    rows.map { case (y, s) =>
+      val su = math.round(s * 1e6)
+      (math.min(su / 100000, 9L), y.toLong, su)
+    }.groupBy(_._1).map { case (b, xs) =>
+      val n = xs.size.toLong
+      val sumSu = xs.map(x => BigInt(x._3)).sum
+      val nPos = xs.map(_._2).sum
+      val sumSq = xs.map(x => BigInt(x._3 - x._2 * 1000000L).pow(2)).sum
+      b -> ((n, nPos, halfUp(sumSu, n), halfUp(BigInt(nPos) * 1000000, n),
+        math.abs(halfUp(sumSu, n) - halfUp(BigInt(nPos) * 1000000, n)),
+        halfUp(sumSq, BigInt(n) * 1000000)))
+    }
+
+  private def collectAudit(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), math.round(r.getDouble(3) * 1e6),
+        math.round(r.getDouble(4) * 1e6), math.round(r.getDouble(5) * 1e6),
+        math.round(r.getDouble(6) * 1e6)))).toMap
+
+  test("t31: perfectly-calibrated input audits gap 0; anti-calibrated audits gap/brier ~ 1") {
+    // 10 rows at score 0.3 with exactly 3 positives, 10 at 0.8 with 8
+    val calibrated =
+      (1 to 10).map(i => (if (i <= 3) 1 else 0, 0.3)) ++
+      (1 to 10).map(i => (if (i <= 8) 1 else 0, 0.8))
+    val out = collectAudit(overRows(calibrated))
+    assert(out.keySet === Set(3L, 8L))
+    assert(out(3L)._5 === 0L && out(8L)._5 === 0L, "gap must be exactly 0")
+    // anti-calibrated: confident and always wrong
+    val anti = Seq.fill(5)((0, 0.999999)) ++ Seq.fill(5)((1, 0.000001))
+    val outA = collectAudit(overRows(anti))
+    assert(outA(9L)._5 >= 999990L && outA(0L)._5 >= 999990L)
+    assert(outA(9L)._6 >= 999990L && outA(0L)._6 >= 999990L)
+  }
+
+  test("t31: bucket algebra matches the independent BigInt mirror on a pseudo-random relation") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(400)((rnd.nextInt(2),
+      math.rint(rnd.nextDouble() * 1e6) / 1e6))
+    assert(collectAudit(overRows(rows)) === mirror(rows))
+    // score = 1.0 lands in bucket 9, not a phantom bucket 10
+    val edge = Seq((1, 1.0), (0, 0.0))
+    assert(collectAudit(overRows(edge)).keySet === Set(0L, 9L))
+  }
+
+  test("t31: the driver entry covers every populated decile and conserves the corpus") {
+    val audit = Calibration.t31CalibrationAudit(spark, sfDir).collect()
+    val n = audit.map(_.getLong(1)).sum
+    val docs = Tables(spark, sfDir).documents.count()
+    assert(n === docs)
+    for (r <- audit) {
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
+}
