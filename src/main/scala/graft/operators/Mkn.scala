@@ -319,14 +319,24 @@ object Mkn {
     * census: an unseen gram must read a₅ = 0). Same scale shape as the
     * self-scored build — nine hash joins on gram keys over metadata
     * relations, one broadcast scalar row, no iteration. */
-  private def mknHeldoutModel(train: DataFrame, evalD5: DataFrame): DataFrame =
-    mknHeldoutModelFrom(knStats(train), evalD5)
+  private def mknHeldoutModel(train: DataFrame, evalD5: DataFrame,
+      prune: Long = 0L): DataFrame =
+    mknHeldoutModelFrom(knStats(train), evalD5, prune)
 
-  private def mknHeldoutModelFrom(st: KnStats, evalD5: DataFrame): DataFrame =
-    statJoins(withGramKeys(evalD5.select(col("g5")).distinct()), st)
+  /** `prune ≥ 2` drops order-5 entries with train count < prune from
+    * the MODEL (KenLM `--prune` semantics: the entry is absent, so the
+    * gram scores through its reserved γ-chain exactly like an unseen
+    * one; context totals, discounts, and lower orders stay estimated on
+    * the FULL counts — mass was reserved before pruning). */
+  private def mknHeldoutModelFrom(st: KnStats, evalD5: DataFrame,
+      prune: Long = 0L): DataFrame = {
+    val stP =
+      if (prune >= 2L) st.copy(lvl5 = st.lvl5.filter(col("c") >= prune)) else st
+    statJoins(withGramKeys(evalD5.select(col("g5")).distinct()), stP)
       .crossJoin(broadcast(st.scalars))
       .withColumn("q_log", expr(qLogHeldoutSql))
       .select("g5_h1", "g5_h2", "q_log")
+  }
 
   // --------------------------------------- the trained-stats ARTIFACT
   /** Persist a trained model's statistics as a standing artifact — ten
@@ -449,9 +459,10 @@ object Mkn {
     * wherever a count is absent. `heldout(X, X) ≡ mkn5Lm(X)` bit-exact
     * (spec-pinned): on an all-seen gram the held-out expression selects
     * the same double operations in the same order. */
-  private[graft] def mknHeldoutScore(train: DataFrame, ev: DataFrame): DataFrame = {
+  private[graft] def mknHeldoutScore(train: DataFrame, ev: DataFrame,
+      prune: Long = 0L): DataFrame = {
     val d5e = FivegramLm.docFivegrams(ev)
-    val model = mknHeldoutModel(train, d5e)
+    val model = mknHeldoutModel(train, d5e, prune)
     scoreTail(ev, d5e, model)
   }
 
@@ -502,6 +513,39 @@ object Mkn {
     mknHeldoutScore(
       d.filter(col("doc_id") % TextOps.EvalMod =!= 0),
       d.filter(col("doc_id") % TextOps.EvalMod === 0))
+      .orderBy("doc_id")
+  }
+
+  /** t32's prune threshold — KenLM's standard `--prune 0 0 0 0 1`:
+    * order-5 entries observed once are dropped (the Zipf tail IS the
+    * model's bulk: singletons are the overwhelming share of distinct
+    * 5-grams, so this is the canonical size lever). */
+  val PruneMin = 2L
+
+  /** t32: PRUNED modified-KN held-out scoring — t29 under KenLM's
+    * count-threshold model pruning (Heafield '11 §4; the production
+    * size/perplexity lever): order-5 entries with train count <
+    * [[PruneMin]] are ABSENT from the model, so those grams score
+    * through the γ-chain mass that was already reserved for them —
+    * probabilities stay normalized because discounts, context totals,
+    * and every lower order remain estimated on the FULL counts (prune
+    * after estimate, the KenLM order of operations). Same splits, same
+    * output shape, same back-off expression as t29 — the ONLY change is
+    * the model relation's order-5 membership, so a doc whose grams all
+    * survive the prune scores bit-identical to t29 (spec-pinned) and
+    * pruned grams shift nll finitely upward through back-off. ORACLED:
+    * t29's CTE chain with the order-5 model source filtered
+    * (`c5p AS (SELECT … FROM c5 WHERE c >= 2)`). The measured size
+    * lever at driver scale rides the spec (singleton share of distinct
+    * train 5-grams) and BENCH_NOTES. */
+  def t32MknPruned(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.Ngrams.register(spark)
+    val t = Tables(spark, dir)
+    val d = t.spread(t.documents).select(col("doc_id"), col("text"))
+    mknHeldoutScore(
+      d.filter(col("doc_id") % TextOps.EvalMod =!= 0),
+      d.filter(col("doc_id") % TextOps.EvalMod === 0),
+      prune = PruneMin)
       .orderBy("doc_id")
   }
 
@@ -597,8 +641,11 @@ object Mkn {
     * census: [[KnStatsCtes]] verbatim, then keys over the scored side's
     * distinct 5-grams, every statistic LEFT-joined, [[qLogHeldoutSql]]
     * spliced verbatim. Ends with `agg29(doc_id, n_5grams, num)`. Shared
-    * by [[t29Sql]] and CuratePipeline.p05Sql. */
-  private[operators] val KnHeldoutCtes: String =
+    * by [[t29Sql]], [[t32Sql]] (order-5 model source swapped for the
+    * pruned view — `a5Src`), and CuratePipeline.p05Sql. */
+  private[operators] val KnHeldoutCtes: String = knHeldoutCtes()
+
+  private[operators] def knHeldoutCtes(a5Src: String = "c5"): String =
     s"""$KnStatsCtes,
        |keys29 AS (
        |  SELECT g5,
@@ -618,7 +665,7 @@ object Mkn {
        |), model29 AS (
        |  SELECT g5, $qLogHeldoutSql AS q_log
        |  FROM keys29s
-       |  LEFT JOIN (SELECT g AS g5, c AS a5 FROM c5) j0 USING (g5)
+       |  LEFT JOIN (SELECT g AS g5, c AS a5 FROM $a5Src) j0 USING (g5)
        |  LEFT JOIN (SELECT g AS x5, d5, m1_5, m2_5, m3p_5 FROM ctx5) j1 USING (x5)
        |  LEFT JOIN (SELECT g AS s4, a AS a4 FROM a4r) j2 USING (s4)
        |  LEFT JOIN (SELECT g AS x4, d4, m1_4, m2_4, m3p_4 FROM ctx4) j3 USING (x4)
@@ -633,9 +680,12 @@ object Mkn {
        |  FROM d5 JOIN model29 USING (g5) GROUP BY doc_id
        |)""".stripMargin
 
-  /** t29's oracle: train-split censuses, eval-split d5, the held-out
-    * chain verbatim, eval docs only. */
-  val t29Sql: String = {
+  /** t29/t32's shared oracle frame: train-split censuses, eval-split
+    * d5, the held-out chain, eval docs only. `heldoutChain` is the full
+    * CTE block between the censuses and the scoring tail — t29 passes
+    * [[KnHeldoutCtes]] verbatim; t32 prepends the pruned order-5 view
+    * and points the chain's model source at it. */
+  private def heldoutFrame(heldoutChain: String): String = {
     import TextOps.qMicroSql
     s"""WITH ttoks AS (
        |  SELECT doc_id, ${TextOps.TokensSql} AS tk FROM documents
@@ -644,7 +694,7 @@ object Mkn {
        |  SELECT doc_id, ${TextOps.TokensSql} AS tk FROM documents
        |  WHERE doc_id % ${TextOps.EvalMod} = 0
        |), ${FivegramLm.censusAndD5Ctes("ttoks", "etoks")},
-       |$KnHeldoutCtes, scored29 AS (
+       |$heldoutChain, scored29 AS (
        |  SELECT d.doc_id, COALESCE(n_5grams, 0) AS n_5grams,
        |    ${qMicroSql("num", "n_5grams")} AS nll
        |  FROM (SELECT doc_id FROM documents
@@ -654,6 +704,16 @@ object Mkn {
        |SELECT doc_id, n_5grams, nll FROM scored29
        |ORDER BY doc_id""".stripMargin
   }
+
+  val t29Sql: String = heldoutFrame(KnHeldoutCtes)
+
+  /** t32's oracle: t29's frame with the order-5 model source filtered
+    * to the pruned view — everything else (discounts, context totals,
+    * lower orders) stays on the full counts, the KenLM prune order. */
+  val t32Sql: String = heldoutFrame(
+    s"""c5p AS (
+       |  SELECT g, c FROM c5 WHERE c >= $PruneMin
+       |), ${knHeldoutCtes("c5p")}""".stripMargin)
 
   /** Oracle: t23's CTE prefix verbatim, the KN statistics as CTEs, the
     * 25 scalars as scalar subqueries, [[qLogSql]] spliced verbatim. */

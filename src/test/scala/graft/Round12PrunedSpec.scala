@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{FivegramLm, Mkn, TextOps}
+
+/** t32 pruned-MKN specs: KenLM `--prune` semantics — a pruned order-5
+  * entry scores through its reserved γ-chain exactly like an unseen
+  * gram, everything estimated on full counts. */
+class Round12PrunedSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def score(train: Seq[(Long, String)], ev: Seq[(Long, String)],
+      prune: Long) =
+    Mkn.mknHeldoutScore(
+      train.toDF("doc_id", "text"), ev.toDF("doc_id", "text"), prune)
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+
+  test("t32: docs whose grams all survive the prune score bit-identical to the full model; pruned grams shift nll strictly up, finitely") {
+    // "a b c d e f" appears twice in train (count-2 grams survive);
+    // "p q r s t u" once (its grams prune away)
+    val train = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "p q r s t u"))
+    val ev = Seq(
+      (10L, "a b c d e f"),   // all grams survive
+      (11L, "p q r s t u"))   // all grams pruned
+    val full = score(train, ev, prune = 0L)
+    val pruned = score(train, ev, prune = Mkn.PruneMin)
+    assert(pruned(10L) === full(10L), "surviving-gram doc must be bit-identical")
+    assert(pruned(11L).get > full(11L).get, "pruned-gram doc must score strictly worse")
+    assert(!pruned(11L).get.isInfinite && !pruned(11L).get.isNaN)
+  }
+
+  test("t32: per-doc nll is never below t29's on the driver eval split; at least one doc actually shifts") {
+    val full = Mkn.t29MknHeldout(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val pruned = Mkn.t32MknPruned(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(pruned.keySet === full.keySet)
+    for ((id, p) <- pruned; f = full(id)) (p, f) match {
+      case (Some(pv), Some(fv)) => assert(pv >= fv, s"doc $id: pruned $pv < full $fv")
+      case (a, b) => assert(a === b)
+    }
+    assert(pruned.exists { case (id, p) => p.isDefined && p != full(id) },
+      "the prune must actually bite on the driver corpus")
+  }
+
+  test("t32: singletons are the bulk of distinct train 5-grams (the size lever is real)") {
+    val t = Tables(spark, sfDir)
+    val train = t.spread(t.documents)
+      .filter(col("doc_id") % TextOps.EvalMod =!= 0)
+      .select(col("doc_id"), col("text"))
+    val census = FivegramLm.docFivegrams(train)
+      .groupBy("g5").agg(sum("c").as("c"))
+    val total = census.count()
+    val singletons = census.filter(col("c") === 1L).count()
+    assert(total > 0 && singletons.toDouble / total > 0.5,
+      s"singleton share ${singletons.toDouble / total} — Zipf tail expected")
+  }
+}
