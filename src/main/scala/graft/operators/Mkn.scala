@@ -421,9 +421,14 @@ object Mkn {
     * aggregation. Unseen grams take their exact γ-chain — no floor
     * scalar anywhere, the honesty gap that kept t26 batch-only. */
   private[graft] def heldoutScoreStream(docs: DataFrame, prefix: String,
-      watermark: String): DataFrame = {
+      watermark: String, prune: Long = 0L): DataFrame = {
     val spark = docs.sparkSession
-    val st = mknStatsLoad(spark, prefix)
+    val st0 = mknStatsLoad(spark, prefix)
+    // t32's KenLM prune, stream-side: the order-5 static relation is
+    // filtered; discounts/totals/lower orders stay on the full counts
+    val st =
+      if (prune >= 2L) st0.copy(lvl5 = st0.lvl5.filter(col("c") >= prune))
+      else st0
     val sc = st.scalars.head()
     val rows = docs.withWatermark("ts", watermark)
       .select(col("doc_id"), col("ts"), explode_outer(

@@ -1158,10 +1158,15 @@ object StreamingJobs {
     * model face here (trigram/fivegram/BM25/unigram/bloom ship their
     * models as literals or arguments) — or (b) a NEW per-generation
     * prefix, with the old query retired after cutover. Appending more
-    * statistics under a live prefix is NOT a supported operation. */
+    * statistics under a live prefix is NOT a supported operation.
+    *
+    * `prune` ≥ 2 deploys the t32 KenLM-pruned form of the SAME stored
+    * statistics (order-5 static relation filtered at plan build; no
+    * separate artifact — the prune is a read-time view), bit-parity
+    * with the batch pruned scorer spec-pinned (Round12PrunedSpec). */
   def mknGateStream(docs: DataFrame, prefix: String,
-      watermark: String = "1 hour"): DataFrame =
-    graft.operators.Mkn.heldoutScoreStream(docs, prefix, watermark)
+      watermark: String = "1 hour", prune: Long = 0L): DataFrame =
+    graft.operators.Mkn.heldoutScoreStream(docs, prefix, watermark, prune)
 
   // ----------------------------------------------- unigram tokenizer
   /** Streaming face of t21's encoder: the trained unigram vocab is a

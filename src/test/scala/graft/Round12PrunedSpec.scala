@@ -46,6 +46,36 @@ class Round12PrunedSpec extends GraftSpecBase {
       "the prune must actually bite on the driver corpus")
   }
 
+  test("t32 streaming face: the pruned gate over the STORED statistics is bit-identical to the batch pruned scorer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.Ngrams.register(spark)
+    val train = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d e f"), (3L, "p q r s t u"))
+    val ev = Seq((10L, "a b c d e f"), (11L, "p q r s t u"))
+    Mkn.mknStatsSave(spark, train.toDF("doc_id", "text"), "graft_mkn_pr")
+    val batch = score(train, ev, prune = Mkn.PruneMin)
+
+    val t0 = Timestamp.valueOf("2026-01-01 12:00:00")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingJobs
+      .mknGateStream(mem.toDF.toDF("doc_id", "ts", "text"), "graft_mkn_pr",
+        prune = Mkn.PruneMin)
+      .writeStream.format("memory").queryName("mkn_pruned_r12")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev.map { case (id, tx) => (id, t0, tx) }: _*)
+      mem.addData((999L, Timestamp.valueOf("2026-01-01 14:00:00"), "z z z z z z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("mkn_pruned_r12").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (if (r.isNullAt(r.fieldIndex("nll"))) None
+         else Some(r.getAs[Double]("nll")))).toMap
+    for ((id, _) <- ev) assert(streamed(id) === batch(id), s"doc $id")
+  }
+
   test("t32: singletons are the bulk of distinct train 5-grams (the size lever is real)") {
     val t = Tables(spark, sfDir)
     val train = t.spread(t.documents)
