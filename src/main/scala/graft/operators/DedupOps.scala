@@ -482,12 +482,19 @@ object DedupOps {
     * the band key hashes the band's minima. d03's sketch, reused as
     * d08's standing-index schema. */
   private[graft] def bandSigs(shRaw: DataFrame): DataFrame =
+    bandSigsGeom(shRaw, NumBands, RowsPerBand)
+
+  /** [[bandSigs]] at an explicit (bands × rows-per-band) geometry — the
+    * d14 sweep's knob. The sketch budget is bands·rows bottom hashes;
+    * the standing d03/d08 geometry is the 8×4 default. */
+  private[graft] def bandSigsGeom(shRaw: DataFrame, numBands: Int,
+      rowsPerBand: Int): DataFrame =
     shRaw
       .groupBy(col("doc_id"))
-      .agg(graft.functions.BottomKDistinct.bottomKDistinct(col("h"), NumBands * RowsPerBand).as("bot"))
+      .agg(graft.functions.BottomKDistinct.bottomKDistinct(col("h"), numBands * rowsPerBand).as("bot"))
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(NumBands - 1)),
-          b => slice(col("bot"), b * RowsPerBand + 1, lit(RowsPerBand)))).as(Seq("band", "hs")))
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => slice(col("bot"), b * rowsPerBand + 1, lit(rowsPerBand)))).as(Seq("band", "hs")))
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("band"), xxhash64(col("band"), col("hs")).as("key"))
 
@@ -571,9 +578,16 @@ object DedupOps {
     * so composed pipelines (p01's stage-2 `lshPairs` source) reuse the
     * exact candidate algebra d03 runs. Distinct because a pair can
     * collide in several bands. */
-  private[graft] def lshCandidates(shRaw: DataFrame): DataFrame = {
-    val sigs = bandSigs(shRaw)
-    val capped = capBuckets(sigs, MaxBucket, col("band"), col("key"))
+  private[graft] def lshCandidates(shRaw: DataFrame): DataFrame =
+    lshCandidatesGeom(shRaw, NumBands, RowsPerBand, MaxBucket)
+
+  /** [[lshCandidates]] at an explicit geometry and bucket cap — the d14
+    * sweep's parameterized core (cap = Int.MaxValue disables capping,
+    * the spec's uncapped-refinement form). */
+  private[graft] def lshCandidatesGeom(shRaw: DataFrame, numBands: Int,
+      rowsPerBand: Int, maxBucket: Int): DataFrame = {
+    val sigs = bandSigsGeom(shRaw, numBands, rowsPerBand)
+    val capped = capBuckets(sigs, maxBucket, col("band"), col("key"))
     capped.as("x")
       .join(capped.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -622,6 +636,72 @@ object DedupOps {
     jaccardVerify(candidates, sh, Seq("n_shared_bands"))
       .select("doc_a", "doc_b", "n_shared_bands", "jaccard")
       .orderBy("doc_a", "doc_b")
+  }
+
+  // ---------------------------------------------------------------- d14
+  /** d14: the LSH GEOMETRY SWEEP — d03 measures one (bands × rows)
+    * point; this measures the CURVE the banding theory asserts
+    * (collision probability 1−(1−s^r)^b): candidate recall and
+    * precision against the EXACT Jaccard ≥ 0.5 truth at every geometry
+    * of the same 32-hash sketch budget — (4×8, 8×4, 16×2, 32×1) — plus
+    * the candidate count (the verify-stage cost the geometry buys
+    * recall with) and how many candidates the degenerate-bucket cap
+    * dropped. Fewer rows per band = more forgiving keys = recall up,
+    * precision down, buckets fatter (so the cap bites harder — the
+    * measured production trade; the s13 pattern applied to dedup).
+    *
+    * Truth is exact and bounded: pairs sharing ≥ 1 shingle (the only
+    * pairs with J > 0, enumeration bounded by shingle doc-frequency)
+    * verified by exact Jaccard — computed ONCE, checkpointed,
+    * broadcast-joined by every geometry. Rows-only (xxhash64 sketches);
+    * Round12LshSweepSpec pins the deterministic slice-refinement
+    * property (uncapped, a coarse-band collision IMPLIES the finer
+    * collision, so recall is monotone as rows halve) and structural
+    * soundness of every row. */
+  def d14LshSweep(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BottomKDistinct.register(spark)
+    graft.functions.Ngrams.register(spark)
+    val t = Tables(spark, dir)
+    val shRaw = shingleRows(t.spread(t.documents))
+    val sh = shRaw.distinct()
+    // exact truth: shared-shingle pairs, exact Jaccard ≥ 0.5
+    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val truth = sh.select(col("doc_id").as("doc_a"), col("h"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), "doc_b")
+      .filter(round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")), 6) >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val geoms = Seq((4, 8), (8, 4), (16, 2), (32, 1))
+    val tagged = geoms.map { case (b, r) =>
+        val capped = lshCandidatesGeom(shRaw, b, r, MaxBucket)
+          .select(col("doc_a"), col("doc_b"))
+        val uncapped = lshCandidatesGeom(shRaw, b, r, Int.MaxValue)
+          .select(col("doc_a"), col("doc_b"))
+        capped.withColumn("capped", lit(true))
+          .unionByName(uncapped.withColumn("capped", lit(false)))
+          .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+            col("capped"), col("doc_a"), col("doc_b"))
+      }.reduce(_ unionByName _)
+    val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
+    tagged
+      .join(truth.withColumn("hit", lit(1L)), Seq("doc_a", "doc_b"), "left")
+      .groupBy(col("bands"), col("rows_per_band"), col("capped"))
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .crossJoin(nTrue)
+      .withColumn("recall",
+        round(col("n_hits").cast("double") / greatest(col("n_true"), lit(1L)), 6))
+      .withColumn("precision",
+        round(col("n_hits").cast("double") / greatest(col("n_candidates"), lit(1L)), 6))
+      .select("bands", "rows_per_band", "capped", "n_true", "n_candidates",
+        "n_hits", "recall", "precision")
+      .orderBy("rows_per_band", "bands", "capped")
   }
 
   // ---------------------------------------------------------------- d06

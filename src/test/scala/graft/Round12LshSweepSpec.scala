@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.DedupOps
+
+/** d14 LSH-geometry-sweep specs: structural soundness of every sweep
+  * row, the DETERMINISTIC slice-refinement property (uncapped, a
+  * coarse-band collision implies the finer-geometry collision at the
+  * same sketch positions, so recall is monotone non-decreasing as rows
+  * per band halve), and the capped form never exceeding the uncapped
+  * candidate set. */
+class Round12LshSweepSpec extends GraftSpecBase {
+
+  private lazy val rows = DedupOps.d14LshSweep(spark, sfDir).collect()
+    .map(r => ((r.getInt(0), r.getInt(1), r.getBoolean(2)),
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))))
+    .toMap
+
+  test("d14: every row is structurally sound (hits ≤ candidates, hits ≤ truth, recall/precision ∈ [0,1])") {
+    assert(rows.size === 8) // 4 geometries × {capped, uncapped}
+    for (((b, r, c), (nTrue, nCand, nHits, recall, prec)) <- rows) {
+      assert(nHits <= nCand, s"($b,$r,$c)")
+      assert(nHits <= nTrue, s"($b,$r,$c)")
+      assert(recall >= 0.0 && recall <= 1.0)
+      assert(prec >= 0.0 && prec <= 1.0)
+    }
+    // the truth relation is non-trivial on the driver corpus
+    assert(rows.values.head._1 > 0)
+  }
+
+  test("d14: uncapped recall is monotone as rows-per-band halve (slice refinement), and 32x1 dominates") {
+    val uncapped = Seq((4, 8), (8, 4), (16, 2), (32, 1))
+      .map { case (b, r) => rows((b, r, false))._4 }
+    assert(uncapped.zip(uncapped.tail).forall { case (a, b) => b >= a },
+      s"uncapped recall not monotone: ${uncapped.mkString(",")}")
+    // the standing d03 geometry (8x4) must sit strictly inside the curve's
+    // useful band on this corpus: better recall than the strictest point
+    // or equal, and 32x1 at least matches it
+    assert(rows((32, 1, false))._4 >= rows((8, 4, false))._4)
+  }
+
+  test("d14: the bucket cap only removes candidates, never invents them") {
+    for ((b, r) <- Seq((4, 8), (8, 4), (16, 2), (32, 1))) {
+      assert(rows((b, r, true))._2 <= rows((b, r, false))._2,
+        s"($b,$r): capped candidates exceed uncapped")
+      assert(rows((b, r, true))._3 <= rows((b, r, false))._3)
+    }
+  }
+}

@@ -146,6 +146,17 @@ class Round12Spec extends GraftSpecBase {
     assert(a.toSeq === b.toSeq, "input order must not matter")
     val fills = a.groupBy(_._3).map { case (_, xs) => xs.map(_._2).sum }
     assert(fills.forall(_ <= 512L))
+    // the segment tree IS leftmost-first-fit: bit-identical to the
+    // naive O(n·B) reference on the same sorted load
+    val sorted = rows.sortBy { case (id, n) => (-n, id) }
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ref = sorted.map { case (id, n) =>
+      var j = bins.indexWhere(_ + n <= 512L)
+      if (j < 0) { bins += 0L; j = bins.length - 1 }
+      bins(j) += n
+      (id, n, j.toLong + 1L)
+    }
+    assert(a.toSeq === ref.toSeq, "segment tree diverges from naive first-fit")
   }
 
   test("c26 vs c05: identical token mass, strictly fewer split documents; oversized docs split alone") {
