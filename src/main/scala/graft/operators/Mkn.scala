@@ -365,6 +365,44 @@ object Mkn {
     st.scalars.write.format("parquet").saveAsTable(s"${prefix}_mkn_scalars")
   }
 
+  /** PER-GENERATION training (the mknGateStream retraining mechanism):
+    * each save lands under `<prefix>_g<N>` with N strictly above every
+    * existing generation, so a RUNNING gate query (whose 25 scalars are
+    * frozen plan literals over the OLD generation's tables) keeps
+    * serving one consistent model while the new one trains; cutover =
+    * start a new query on the returned prefix, then retire the old one.
+    * Returns the new generation's prefix. Old generations are the
+    * caller's retention decision ([[mknStatsDrop]]). */
+  def mknStatsSaveVersioned(spark: SparkSession, train: DataFrame,
+      prefix: String, nBuckets: Int = 8): String = {
+    val gen = 1L + mknLatestGen(spark, prefix).getOrElse(-1L)
+    val gp = s"${prefix}_g$gen"
+    mknStatsSave(spark, train, gp, nBuckets)
+    gp
+  }
+
+  /** Highest existing generation under `prefix` (None before the first
+    * [[mknStatsSaveVersioned]]); scans the catalog for the scalar
+    * table each complete generation ends with. */
+  def mknLatestGen(spark: SparkSession, prefix: String): Option[Long] = {
+    val pat = s"${java.util.regex.Pattern.quote(prefix)}_g(\\d+)_mkn_scalars".r
+    val gens = spark.catalog.listTables().collect().map(_.name).collect {
+      case pat(n) => n.toLong
+    }
+    if (gens.isEmpty) None else Some(gens.max)
+  }
+
+  /** The latest generation's prefix — what a (re)starting gate query
+    * should read. */
+  def mknLatestPrefix(spark: SparkSession, prefix: String): Option[String] =
+    mknLatestGen(spark, prefix).map(g => s"${prefix}_g$g")
+
+  /** Drop one generation's ten tables (post-cutover retention). */
+  def mknStatsDrop(spark: SparkSession, genPrefix: String): Unit =
+    for (t <- Seq("_mkn_a5", "_mkn_a4", "_mkn_a3", "_mkn_a2", "_mkn_a1",
+        "_mkn_ctx5", "_mkn_ctx4", "_mkn_ctx3", "_mkn_ctx2", "_mkn_scalars"))
+      graft.sources.GraftIO.dropManaged(spark, genPrefix + t)
+
   /** The standing artifact as a [[KnStats]] view. */
   private[graft] def mknStatsLoad(spark: SparkSession, prefix: String): KnStats =
     KnStats(

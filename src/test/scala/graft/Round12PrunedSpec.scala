@@ -76,6 +76,36 @@ class Round12PrunedSpec extends GraftSpecBase {
     for ((id, _) <- ev) assert(streamed(id) === batch(id), s"doc $id")
   }
 
+  test("versioned MKN generations: monotone prefixes, latest-pointer, old generation keeps serving until dropped") {
+    graft.functions.Ngrams.register(spark)
+    val trainA = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    // different VOCABULARY SIZE, so even the fully-discounted 1/V floor
+    // differs between generations (a two-copy toy corpus discounts all
+    // order-k mass away — both models would otherwise score exactly 1/V)
+    val trainB = Seq((1L, "x y z w v u t s"), (2L, "x y z w v u t s")).toDF("doc_id", "text")
+    val ev = Seq((10L, "a b c d e f")).toDF("doc_id", "text")
+    // clear any generations a previous run left
+    for (g <- 0L to 5L) Mkn.mknStatsDrop(spark, s"graft_mkn_ver_g$g")
+    assert(Mkn.mknLatestGen(spark, "graft_mkn_ver").isEmpty)
+    val g0 = Mkn.mknStatsSaveVersioned(spark, trainA, "graft_mkn_ver")
+    assert(g0 === "graft_mkn_ver_g0")
+    assert(Mkn.mknLatestPrefix(spark, "graft_mkn_ver") === Some(g0))
+    val before = Mkn.mknScoreFromStore(spark, g0, ev).collect().toSeq
+    // retrain lands a NEW generation; the old one is untouched
+    val g1 = Mkn.mknStatsSaveVersioned(spark, trainB, "graft_mkn_ver")
+    assert(g1 === "graft_mkn_ver_g1")
+    assert(Mkn.mknLatestPrefix(spark, "graft_mkn_ver") === Some(g1))
+    assert(Mkn.mknScoreFromStore(spark, g0, ev).collect().toSeq === before,
+      "old generation must keep serving identically during cutover")
+    // the new generation scores the same doc differently (different corpus)
+    val after = Mkn.mknScoreFromStore(spark, g1, ev).collect().toSeq
+    assert(after !== before)
+    // retention: drop g0, g1 stays the latest
+    Mkn.mknStatsDrop(spark, g0)
+    assert(Mkn.mknLatestPrefix(spark, "graft_mkn_ver") === Some(g1))
+    assert(!spark.catalog.tableExists(s"${g0}_mkn_scalars"))
+  }
+
   test("t32: singletons are the bulk of distinct train 5-grams (the size lever is real)") {
     val t = Tables(spark, sfDir)
     val train = t.spread(t.documents)
