@@ -7,9 +7,9 @@ import graft.Tables
 /** t24: TOKENIZER COMPARISON — the per-source eval a pipeline runs when
   * CHOOSING its tokenizer (the fertility/compression tables in every
   * tokenizer paper; Rust et al. ACL'21 make fertility the cross-lingual
-  * comparison metric): encode the corpus under ALL THREE trained
-  * subword models (t10/t11's char-BPE, t21's unigram-LM, and — r11 —
-  * t30's byte-level BPE) and report, per source,
+  * comparison metric): encode the corpus under ALL FOUR trained
+  * subword models (t10/t11's char-BPE, t21's unigram-LM, t30's
+  * byte-level BPE, and — r12 — t33's WordPiece) and report, per source,
   *
   *   - corpus-level compression = Σ chars / Σ tokens (the ratio of sums,
   *     not the mean of per-doc ratios — token-weighted, the number that
@@ -37,7 +37,8 @@ object TokCompare {
   private[graft] def tokCompareOver(docs: DataFrame,
       merges: Seq[BpeOps.BpeMerge],
       vocab: Seq[UnigramTok.UnigramPiece],
-      byteMerges: Seq[BpeOps.BpeMerge]): DataFrame = {
+      byteMerges: Seq[BpeOps.BpeMerge],
+      wpVocab: Seq[String]): DataFrame = {
     val d = docs.select(col("doc_id"), col("text"))
     val bpe = BpeOps.bpeEncodeWithMerges(d, merges)
       .select(col("doc_id"), col("n_words"), col("n_chars"),
@@ -46,10 +47,13 @@ object TokCompare {
       .select(col("doc_id"), col("n_ut_tokens"))
     val bbpe = BpeOps.byteBpeEncodeWithMerges(d, byteMerges)
       .select(col("doc_id"), col("n_bpe_tokens").as("n_bbpe_tokens"))
+    val wp = WordpieceOps.wordpieceEncodeWithVocab(d, wpVocab)
+      .select(col("doc_id"), col("n_wp_tokens"))
     docs.select(col("doc_id"), col("source"))
       .join(bpe, "doc_id")
       .join(uni, "doc_id")
       .join(bbpe, "doc_id")
+      .join(wp, "doc_id")
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -57,26 +61,32 @@ object TokCompare {
         sum(col("n_chars")).as("n_chars"),
         sum(col("n_bpe_tokens")).as("bpe_tokens"),
         sum(col("n_ut_tokens")).as("uni_tokens"),
-        sum(col("n_bbpe_tokens")).as("bbpe_tokens"))
+        sum(col("n_bbpe_tokens")).as("bbpe_tokens"),
+        sum(col("n_wp_tokens")).as("wp_tokens"))
       .withColumn("bpe_compression",
         TextOps.ratioMicro("n_chars", "bpe_tokens").cast("double") / 1e6)
       .withColumn("uni_compression",
         TextOps.ratioMicro("n_chars", "uni_tokens").cast("double") / 1e6)
       .withColumn("bbpe_compression",
         TextOps.ratioMicro("n_chars", "bbpe_tokens").cast("double") / 1e6)
+      .withColumn("wp_compression",
+        TextOps.ratioMicro("n_chars", "wp_tokens").cast("double") / 1e6)
       .withColumn("bpe_fertility",
         TextOps.ratioMicro("bpe_tokens", "n_words").cast("double") / 1e6)
       .withColumn("uni_fertility",
         TextOps.ratioMicro("uni_tokens", "n_words").cast("double") / 1e6)
       .withColumn("bbpe_fertility",
         TextOps.ratioMicro("bbpe_tokens", "n_words").cast("double") / 1e6)
+      .withColumn("wp_fertility",
+        TextOps.ratioMicro("wp_tokens", "n_words").cast("double") / 1e6)
       .select("source", "n_docs", "n_words", "n_chars",
-        "bpe_tokens", "uni_tokens", "bbpe_tokens",
+        "bpe_tokens", "uni_tokens", "bbpe_tokens", "wp_tokens",
         "bpe_compression", "uni_compression", "bbpe_compression",
-        "bpe_fertility", "uni_fertility", "bbpe_fertility")
+        "wp_compression",
+        "bpe_fertility", "uni_fertility", "bbpe_fertility", "wp_fertility")
   }
 
-  /** t24 driver entry: all three tokenizers trained on (and encoding)
+  /** t24 driver entry: all four tokenizers trained on (and encoding)
     * the driver corpus through their session caches. */
   def t24TokCompare(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
@@ -88,8 +98,10 @@ object TokCompare {
       UnigramTok.VocabSize, UnigramTok.EmRounds)
     val (byteMerges, _) = BpeOps.byteBpeTrainCached(docs, corpusKey,
       BpeOps.ByteBpeMergesDefault, BpeOps.ByteBpeMinCount)
+    val wpVocab = WordpieceOps.wpVocabCached(docs, corpusKey,
+      WordpieceOps.WpMergesDefault, WordpieceOps.WpMinCount)
     tokCompareOver(docs.select(col("doc_id"), col("source"), col("text")),
-      merges, vocab, byteMerges)
+      merges, vocab, byteMerges, wpVocab)
       .orderBy("source")
   }
 }

@@ -1,0 +1,300 @@
+package graft.operators
+
+import java.util.regex.{Matcher, Pattern}
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** t33: WORDPIECE tokenizer — the third member of the subword-trainer
+  * canon beside BPE (t10/t30) and unigram-LM (t21): BERT's tokenizer
+  * (Schuster & Nakajima ICASSP'12; Devlin et al. NAACL'19; Wu et al.
+  * '16 §4.1 describe the likelihood criterion). Where BPE merges the
+  * MOST FREQUENT adjacent pair, WordPiece merges the pair that most
+  * increases corpus likelihood under a unigram piece model:
+  *
+  *   score(l, r) = count(l r) / (count(l) · count(r))
+  *
+  * — frequent-together relative to frequent-apart. Continuation pieces
+  * carry the `##` prefix (word-initial pieces are plain), and ENCODING
+  * is greedy longest-match-first over the trained vocabulary with a
+  * whole-word `[UNK]` fallback when any position has no matching piece
+  * (BERT's exact convention — unlike BPE, an un-decomposable word is
+  * ONE unk token, not a char spray).
+  *
+  * Scale shape — t10's corpus-touched-once contract, unchanged: one
+  * word-count aggregation ships (word, count) pairs, never text; every
+  * merge round runs on the bounded distinct-word dictionary (pair
+  * counts + symbol counts are two map-side-combined aggregates + one
+  * TakeOrdered top-1 + one codegen `regexp_replace` rewrite); encoding
+  * segments the TARGET corpus' own dict with the vocabulary as a plan
+  * literal (the Codebooks/t21 discipline — a scan-side expression, zero
+  * shuffles, zero UDFs), then documents join the dict on the word key.
+  *
+  * Scores live on the t13 integer micro-log grid (round(ln·1e7), exact
+  * 64-bit compares; the ratio's argmax is the log-difference's argmax),
+  * ties break (score desc, left asc, right asc) — bit-deterministic on
+  * any partitioning. Rows-only (iterative corpus argmax, like t10/t21);
+  * Round12WordpieceSpec pins exact merge-sequence/segmentation equality
+  * against a driver-side reference trainer, the greedy-longest-match
+  * and UNK conventions, and the artifact (unseen-corpus) path.
+  *
+  * Reference analog: `ProcessBatch.groovy:145-156`'s dictionary upsert
+  * — the trained-dictionary face, likelihood-scored.
+  */
+object WordpieceOps {
+
+  /** Continuation-piece prefix (BERT's `##`). */
+  private[graft] val ContPrefix = "##"
+
+  /** Longest-match bound at encode time, in chars (excludes the `##`):
+    * no trained piece can exceed it because merges only concatenate
+    * pieces of words ≤ [[BpeOps.MaxWordLen]]; the encode loop's inner
+    * scan is bounded by it. */
+  private[graft] val MaxPieceChars = 16
+
+  /** Driver-default merge budget / support floor (t10's, so the t24
+    * comparison holds geometry constant across tokenizer families). */
+  private[graft] val WpMergesDefault = BpeOps.BpeMergesDefault
+  private[graft] val WpMinCount = BpeOps.BpeMinCount
+
+  /** One learned merge: rank-ordered; `merged` = left + right minus the
+    * continuation prefix; `score_log` = the micro-log likelihood score
+    * it won with; `pair_count` its corpus support. */
+  final case class WpMerge(rank: Int, left: String, right: String,
+      merged: String, score_log: Long, pair_count: Long)
+
+  /** Session cache (Codebooks' train-once lifecycle, BpeOps' key shape:
+    * corpus fingerprint + geometry). */
+  private val trainedCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Long), (Seq[WpMerge], DataFrame)]
+
+  private[graft] def clearTrained(): Unit = trainedCache.clear()
+
+  private[graft] def wpTrainCached(docs: => DataFrame, corpusKey: String,
+      k: Int, minCount: Long): (Seq[WpMerge], DataFrame) =
+    trainedCache.getOrElseUpdate((corpusKey, k, minCount),
+      wpTrainDict(wordDictWp(docs), k, minCount))
+
+  /** WordPiece word dictionary: (word, cnt, syms) where syms is the
+    * word's space-joined piece sequence — first char plain, every
+    * later char `##`-prefixed. No end-of-word marker (word-final
+    * position is already encoded by "last piece of the word"). */
+  private[graft] def wordDictWp(docs: DataFrame): DataFrame =
+    docs.select(explode(TextOps.tokensOf(col("text"))).as("word"))
+      .filter(length(col("word")).between(1, BpeOps.MaxWordLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .withColumn("cs", array_remove(split(col("word"), ""), ""))
+      .withColumn("syms", concat_ws(" ", concat(
+        slice(col("cs"), 1, 1),
+        transform(slice(col("cs"), lit(2), size(col("cs")) - 1),
+          c => concat(lit(ContPrefix), c)))))
+      .drop("cs")
+
+  /** round(ln(x)·1e7) — the t13 integer micro-log grid. */
+  private def microLog(c: Column): Column =
+    round(log(c.cast("double")) * 1e7).cast("long")
+
+  /** Corpus-weighted symbol counts of a dictionary: (sym, sc). */
+  private[graft] def symCounts(dict: DataFrame): DataFrame =
+    dict.select(explode(split(col("syms"), " ")).as("sym"), col("cnt"))
+      .groupBy(col("sym")).agg(sum(col("cnt")).as("sc"))
+
+  /** Likelihood-scored pair table: adjacent-pair counts joined with
+    * both symbols' unigram counts, score on the micro-log grid. The
+    * symbol tables are merge-round-bounded (≤ alphabet + rank rows)
+    * and broadcast. */
+  private[graft] def wpScores(dict: DataFrame): DataFrame = {
+    val syms = symCounts(dict)
+    BpeOps.pairCounts(dict)
+      .join(broadcast(syms.select(col("sym").as("l"), col("sc").as("lc"))), "l")
+      .join(broadcast(syms.select(col("sym").as("r"), col("sc").as("rc"))), "r")
+      .withColumn("score_log",
+        microLog(col("c")) - microLog(col("lc")) - microLog(col("rc")))
+  }
+
+  /** The merged symbol of (l, r): continuation prefix of the RIGHT side
+    * is absorbed (`a` + `##b` → `ab`; `##a` + `##b` → `##ab`). */
+  private[graft] def mergedSym(l: String, r: String): String =
+    l + r.stripPrefix(ContPrefix)
+
+  /** One merge applied to the space-joined symbol string —
+    * [[BpeOps.applyMerge]]'s left-to-right greedy rewrite with the
+    * WordPiece merged form. */
+  private[graft] def applyMergeWp(syms: Column, l: String, r: String): Column = {
+    val pat = "(?<=^| )" + Pattern.quote(l) + " " + Pattern.quote(r) + "(?=$| )"
+    regexp_replace(syms, lit(pat), lit(Matcher.quoteReplacement(mergedSym(l, r))))
+  }
+
+  private val CheckpointEvery = 8
+
+  /** Learn up to `k` merges by the likelihood criterion, stopping when
+    * the best-scoring pair's SUPPORT drops below `minCount` (rare pairs
+    * can have huge likelihood ratios — the support floor is what keeps
+    * the criterion honest, exactly the HuggingFace trainer's
+    * min_frequency). Same dict ceiling as BPE ([[BpeOps.MaxDictRows]] —
+    * train on [[BpeOps.trainSample]] above it). */
+  private[graft] def wpTrainDict(dict0: DataFrame, k: Int, minCount: Long,
+      maxDictRows: Long = BpeOps.MaxDictRows): (Seq[WpMerge], DataFrame) = {
+    var dict = dict0.localCheckpoint()
+    val dictRows = dict.count()
+    require(dictRows <= maxDictRows,
+      s"WordPiece training dict has $dictRows distinct words (ceiling $maxDictRows): " +
+        "train on a deterministic sample (BpeOps.trainSample) and encode the " +
+        "full corpus with the learned vocab (wordpieceEncodeWithVocab)")
+    val merges = Seq.newBuilder[WpMerge]
+    var rank = 0
+    var done = false
+    while (rank < k && !done) {
+      val top = wpScores(dict)
+        .filter(col("c") >= minCount)
+        .orderBy(col("score_log").desc, col("l").asc, col("r").asc)
+        .select("l", "r", "c", "score_log")
+        .limit(1).collect()
+      top.headOption match {
+        case Some(row) =>
+          val (l, r) = (row.getString(0), row.getString(1))
+          val (c, s) = (row.getLong(2), row.getLong(3))
+          merges += WpMerge(rank, l, r, mergedSym(l, r), s, c)
+          dict = dict.withColumn("syms", applyMergeWp(col("syms"), l, r))
+          rank += 1
+          if (rank % CheckpointEvery == 0) dict = dict.localCheckpoint()
+        case _ => done = true
+      }
+    }
+    (merges.result(), dict.localCheckpoint())
+  }
+
+  /** The encoding VOCABULARY of a training run: every base symbol of
+    * the training dict plus every merged symbol — BERT keeps base chars
+    * even when merges consumed all their free occurrences, so greedy
+    * matching can always fall back to finer pieces. */
+  private[graft] def wpVocab(trainedDict: DataFrame,
+      merges: Seq[WpMerge]): Seq[String] = {
+    val base = wordDictWpBase(trainedDict)
+    (base ++ merges.map(_.merged)).distinct.sorted
+  }
+
+  /** Base symbols = the single-char pieces of the dict's WORDS (not its
+    * current segmentations — merges may have absorbed some). */
+  private def wordDictWpBase(dict: DataFrame): Seq[String] =
+    dict.select(explode(array_remove(split(col("word"), ""), "")).as("ch"))
+      .distinct()
+      .collect().map(_.getString(0))
+      .flatMap(c => Seq(c, ContPrefix + c)).toSeq
+
+  // ------------------------------------------------------------ encode
+  /** Greedy longest-match-first segmentation of one word as a single
+    * HOF expression (the t21 Viterbi's imperative cousin): walk the
+    * word left to right, at each position take the LONGEST vocab piece
+    * (`##`-prefixed when not word-initial); if no piece matches, the
+    * whole word is `[UNK]` (count 1). State = (pos, n, fail); each step
+    * consumes ≥ 1 char so length(w) iterations suffice. The vocab map
+    * `vmap` is a plan literal — scan-side, zero shuffles, zero UDFs. */
+  private[graft] def wpGreedyCount(w: Column, vmap: Column): Column = {
+    val walked = aggregate(
+      sequence(lit(1), length(w)),
+      struct(lit(1).as("pos"), lit(0).as("n"), lit(false).as("fail")),
+      (st, _) => {
+        val pos = st.getField("pos")
+        val inert = st.getField("fail") || pos > length(w)
+        val maxl = least(lit(MaxPieceChars), length(w) - pos + lit(1))
+        val best = aggregate(
+          sequence(maxl, lit(1), lit(-1)),
+          lit(0),
+          (b, l) => {
+            val piece = concat(
+              when(pos > 1, lit(ContPrefix)).otherwise(lit("")),
+              w.substr(pos, l))
+            when(b === 0 && try_element_at(vmap, piece).isNotNull, l)
+              .otherwise(b)
+          })
+        when(inert, st).otherwise(
+          when(best === 0,
+            struct(pos.as("pos"), st.getField("n").as("n"), lit(true).as("fail")))
+          .otherwise(
+            struct((pos + best).as("pos"), (st.getField("n") + lit(1)).as("n"),
+              lit(false).as("fail"))))
+      })
+    struct(
+      when(walked.getField("fail"), lit(1L))
+        .otherwise(walked.getField("n").cast("long")).as("word_wp"),
+      walked.getField("fail").as("is_unk"))
+  }
+
+  /** Segment a (word, cnt, ...) dict under a trained vocab: adds
+    * `word_wp` (piece count; 1 when `[UNK]`) and `is_unk`. */
+  private[graft] def segmentDictWp(dict: DataFrame,
+      vocab: Seq[String]): DataFrame = {
+    val vmap = typedlit(vocab.map(_ -> 1).toMap)
+    dict.withColumn("g", wpGreedyCount(col("word"), vmap))
+      .withColumn("word_wp", col("g.word_wp"))
+      .withColumn("is_unk", col("g.is_unk"))
+      .drop("g")
+  }
+
+  /** Per-document WordPiece encoding stats under a trained vocab —
+    * [[BpeOps.bpeEncode]]'s shape: the target corpus' OWN dict is
+    * segmented once (unseen words get real greedy segmentations), and
+    * documents join it on the word key; words missing from the dict
+    * (over [[BpeOps.MaxWordLen]] — nothing else can miss) take the
+    * `[UNK]` path (1 token, counted unk). */
+  private[graft] def wordpieceEncodeWithVocab(docs: DataFrame,
+      vocab: Seq[String]): DataFrame = {
+    val dict = wordDictWp(docs).select("word", "cnt")
+    val wordSyms = segmentDictWp(dict, vocab)
+      .select(col("word"), col("word_wp"), col("is_unk"))
+    docs.select(col("doc_id"), explode(TextOps.tokensOf(col("text"))).as("word"))
+      .filter(length(col("word")) >= 1)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("wc"))
+      .join(wordSyms, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("wc")).as("n_words"),
+        sum(col("wc") * length(col("word"))).as("n_chars"),
+        sum(col("wc") * coalesce(col("word_wp"), lit(1L))).as("n_wp_tokens"),
+        sum(when(coalesce(col("is_unk"), lit(true)), col("wc"))
+          .otherwise(lit(0L))).as("n_unk_words"))
+      .withColumn("compression",
+        when(col("n_wp_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_wp_tokens"), 6)))
+  }
+
+  /** Trained vocab for a corpus through the session cache. */
+  private[graft] def wpVocabCached(docs: => DataFrame, corpusKey: String,
+      k: Int, minCount: Long): Seq[String] = {
+    val (merges, dict) = wpTrainCached(docs, corpusKey, k, minCount)
+    wpVocab(dict, merges)
+  }
+
+  // -------------------------------------------- vocab table as artifact
+  /** Persist a trained vocabulary (the shippable tokenizer — BERT's
+    * vocab.txt as a managed table; [[BpeOps.mergesSave]]'s contract). */
+  def vocabSave(spark: SparkSession, vocab: Seq[String], table: String): Unit = {
+    import spark.implicits._
+    graft.sources.GraftIO.dropManaged(spark, table)
+    vocab.zipWithIndex.map { case (p, i) => (i, p) }.toDF("rank", "piece")
+      .write.format("parquet").saveAsTable(table)
+  }
+
+  def vocabLoad(spark: SparkSession, table: String): Seq[String] =
+    spark.table(table).orderBy("rank").collect().map(_.getString(1)).toSeq
+
+  def vocabAttach(spark: SparkSession, table: String): Unit =
+    graft.sources.GraftIO.attachPlain(spark, table, "rank INT, piece STRING")
+
+  /** t33: encode the corpus with the WordPiece vocab trained on it —
+    * per-doc (n_words, n_chars, n_wp_tokens, n_unk_words, compression).
+    * Rows-only (iterative corpus argmax, like t10/t21/t30);
+    * Round12WordpieceSpec pins trainer/encoder equality against a
+    * plain-Scala reference, greedy/UNK conventions, and determinism. */
+  def t33Wordpiece(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.spread(t.documents)
+    val vocab = wpVocabCached(docs,
+      dir + "#" + Tables.corpusFingerprint(t.documents),
+      WpMergesDefault, WpMinCount)
+    wordpieceEncodeWithVocab(docs, vocab).orderBy("doc_id")
+  }
+}

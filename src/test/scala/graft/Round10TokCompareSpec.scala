@@ -1,12 +1,12 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{BpeOps, TokCompare, UnigramTok}
+import graft.operators.{BpeOps, TokCompare, UnigramTok, WordpieceOps}
 
 /** t24 tokenizer-comparison specs: per-source sums reconcile exactly
-  * with the three per-doc encoders (char-BPE, unigram-LM, and — r11 —
-  * byte-level BPE), the ratio columns are the integer-grid ratios of
-  * those sums, and fertility/compression invariants hold. */
+  * with the four per-doc encoders (char-BPE, unigram-LM, byte-level
+  * BPE, and — r12 — WordPiece), the ratio columns are the integer-grid
+  * ratios of those sums, and fertility/compression invariants hold. */
 class Round10TokCompareSpec extends GraftSpecBase {
   import spark.implicits._
 
@@ -23,12 +23,14 @@ class Round10TokCompareSpec extends GraftSpecBase {
     val vocab = UnigramTok.unigramTrain(d, vocabSize = 64, emRounds = 2)
     val (byteMerges, _) = BpeOps.bpeTrainDict(
       BpeOps.wordDictBytes(d), k = 12, minCount = 2L)
-    (merges, vocab, byteMerges)
+    val (wpMerges, wpDict) = WordpieceOps.wpTrainDict(
+      WordpieceOps.wordDictWp(d), k = 12, minCount = 2L)
+    (merges, vocab, byteMerges, WordpieceOps.wpVocab(wpDict, wpMerges))
   }
 
   test("t24: per-source sums reconcile with the per-doc encoders; ratios are grid-exact") {
-    val (merges, vocab, byteMerges) = artifacts()
-    val out = TokCompare.tokCompareOver(corpus(), merges, vocab, byteMerges).collect()
+    val (merges, vocab, byteMerges, wpVocab) = artifacts()
+    val out = TokCompare.tokCompareOver(corpus(), merges, vocab, byteMerges, wpVocab).collect()
       .map(r => r.getString(0) -> r).toMap
     assert(out.keySet == Set("alpha", "beta"))
     // independent per-doc truth
@@ -45,6 +47,10 @@ class Round10TokCompareSpec extends GraftSpecBase {
         corpus().select(col("doc_id"), col("text")), byteMerges)
       .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
         r.getLong(r.fieldIndex("n_bpe_tokens"))).toMap
+    val wp = WordpieceOps.wordpieceEncodeWithVocab(
+        corpus().select(col("doc_id"), col("text")), wpVocab)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getLong(r.fieldIndex("n_wp_tokens"))).toMap
     val bySource = Map("alpha" -> Seq(1L, 2L), "beta" -> Seq(3L, 4L))
     def micro(a: Long, n: Long): Double =
       ((2 * a * 1000000L + n) / (2 * n)).toDouble / 1e6
@@ -55,25 +61,28 @@ class Round10TokCompareSpec extends GraftSpecBase {
         ids.map(bpe(_)._3).sum)
       val ut = ids.map(uni).sum
       val bbt = ids.map(bbpe).sum
+      val wpt = ids.map(wp).sum
       assert(l("n_docs") == ids.length && l("n_words") == w &&
         l("n_chars") == c && l("bpe_tokens") == bt && l("uni_tokens") == ut &&
-        l("bbpe_tokens") == bbt, src)
+        l("bbpe_tokens") == bbt && l("wp_tokens") == wpt, src)
       assert(r.getDouble(r.fieldIndex("bpe_compression")) == micro(c, bt), src)
       assert(r.getDouble(r.fieldIndex("uni_compression")) == micro(c, ut), src)
       assert(r.getDouble(r.fieldIndex("bbpe_compression")) == micro(c, bbt), src)
+      assert(r.getDouble(r.fieldIndex("wp_compression")) == micro(c, wpt), src)
       assert(r.getDouble(r.fieldIndex("bpe_fertility")) == micro(bt, w), src)
       assert(r.getDouble(r.fieldIndex("uni_fertility")) == micro(ut, w), src)
       assert(r.getDouble(r.fieldIndex("bbpe_fertility")) == micro(bbt, w), src)
-      // every word maps to ≥ 1 token under all three schemes
-      assert(bt >= w && ut >= w && bbt >= w, src)
+      assert(r.getDouble(r.fieldIndex("wp_fertility")) == micro(wpt, w), src)
+      // every word maps to ≥ 1 token under all four schemes
+      assert(bt >= w && ut >= w && bbt >= w && wpt >= w, src)
     }
   }
 
   test("t24: deterministic across runs") {
-    val (merges, vocab, byteMerges) = artifacts()
-    val a = TokCompare.tokCompareOver(corpus(), merges, vocab, byteMerges)
+    val (merges, vocab, byteMerges, wpVocab) = artifacts()
+    val a = TokCompare.tokCompareOver(corpus(), merges, vocab, byteMerges, wpVocab)
       .orderBy("source").collect().toSeq
-    val b = TokCompare.tokCompareOver(corpus(), merges, vocab, byteMerges)
+    val b = TokCompare.tokCompareOver(corpus(), merges, vocab, byteMerges, wpVocab)
       .orderBy("source").collect().toSeq
     assert(a == b)
   }

@@ -1,0 +1,180 @@
+package graft
+
+import graft.operators.{BpeOps, WordpieceOps}
+
+/** t33 WordPiece specs: the distributed likelihood-criterion trainer
+  * against a driver-side reference (exact merge-sequence and
+  * segmentation equality on the shared micro-log grid), the
+  * greedy-longest-match-first and whole-word-UNK encode conventions
+  * (BERT's), the criterion-vs-frequency separation (a corpus where
+  * WordPiece's first merge differs from BPE's), the unseen-corpus
+  * artifact path, and determinism. */
+class Round12WordpieceSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // ------------------------------------------------ reference trainer
+  private def initSyms(w: String): Vector[String] = {
+    val cs = w.toCharArray.map(_.toString).toVector
+    // NOTE: split("") on the JVM splits by code unit, matching Spark's
+    // split; surrogate pairs are out of scope for the driver corpus
+    cs.head +: cs.tail.map("##" + _)
+  }
+
+  private def refApply(syms: Vector[String], l: String, r: String,
+      m: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += m; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def uLog(x: Long): Long = math.round(math.log(x.toDouble) * 1e7)
+
+  /** The reference trainer: same micro-log score, same tie-break. */
+  private def refWpTrain(wordCounts: Map[String, Long], k: Int, minCount: Long)
+      : (Seq[(String, String, String, Long, Long)], Map[String, Vector[String]]) = {
+    var dict: Map[String, (Vector[String], Long)] = wordCounts.map {
+      case (w, c) => w -> ((initSyms(w), c))
+    }
+    val merges = Seq.newBuilder[(String, String, String, Long, Long)]
+    var rank = 0
+    var done = false
+    while (rank < k && !done) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      val sc = scala.collection.mutable.Map.empty[String, Long]
+      for ((_, (syms, c)) <- dict) {
+        for (s <- syms) sc(s) = sc.getOrElse(s, 0L) + c
+        for (Seq(a, b) <- syms.sliding(2)) pc((a, b)) = pc.getOrElse((a, b), 0L) + c
+      }
+      val scored = pc.toSeq.collect {
+        case ((l, r), c) if c >= minCount =>
+          (l, r, c, uLog(c) - uLog(sc(l)) - uLog(sc(r)))
+      }
+      val best = scored.sortBy { case (l, r, _, s) => (-s, l, r) }.headOption
+      best match {
+        case Some((l, r, c, s)) =>
+          val m = l + r.stripPrefix("##")
+          merges += ((l, r, m, s, c))
+          dict = dict.map { case (w, (sy, cc)) => w -> (refApply(sy, l, r, m), cc) }
+          rank += 1
+        case _ => done = true
+      }
+    }
+    (merges.result(), dict.map { case (w, (s, _)) => w -> s })
+  }
+
+  /** The reference greedy longest-match encoder (BERT's): piece count
+    * per word, or (1, unk) when any position fails to match. */
+  private def refGreedy(w: String, vocab: Set[String]): (Long, Boolean) = {
+    var pos = 0
+    var n = 0L
+    while (pos < w.length) {
+      var l = math.min(WordpieceOps.MaxPieceChars, w.length - pos)
+      var hit = 0
+      while (l >= 1 && hit == 0) {
+        val piece = (if (pos > 0) "##" else "") + w.substring(pos, pos + l)
+        if (vocab.contains(piece)) hit = l else l -= 1
+      }
+      if (hit == 0) return (1L, true)
+      pos += hit; n += 1
+    }
+    (n, false)
+  }
+
+  private val corpus: Seq[(Long, String)] = Seq(
+    "the lowest lowers lower the low lands",
+    "newer words are the newest words in the lands",
+    "unaffable units joined the newest lower lands",
+    "the lowest newer units lower the lowest words"
+  ).zipWithIndex.map { case (s, i) => (i.toLong, s) }
+
+  private def corpusDf = corpus.toDF("doc_id", "text")
+
+  private def refWordCounts(c: Seq[(Long, String)]): Map[String, Long] =
+    c.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+
+  test("t33: merge sequence, scores, and segmentations equal the reference trainer exactly") {
+    val (got, gotDict) = WordpieceOps.wpTrainDict(
+      WordpieceOps.wordDictWp(corpusDf), k = 20, minCount = 2L)
+    val (want, wantDict) = refWpTrain(refWordCounts(corpus), k = 20, minCount = 2L)
+    assert(got.map(m => (m.left, m.right, m.merged, m.score_log, m.pair_count)) === want)
+    val gotSegs = gotDict.select("word", "syms").collect()
+      .map(r => r.getString(0) -> r.getString(1).split(" ").toVector).toMap
+    assert(gotSegs === wantDict)
+    // the representation really is BERT's: continuation pieces carry ##
+    assert(gotSegs.values.forall(v => !v.head.startsWith("##")))
+  }
+
+  test("t33: the likelihood criterion picks a DIFFERENT first merge than raw frequency") {
+    // 't ##h' has by far the highest COUNT (every t-word), but t and ##h
+    // are each very frequent apart, so count/(count·count) prefers a
+    // rarer-but-exclusive pair — the criterion, not the corpus, decides.
+    val c2 = Seq(
+      (0L, "that this the then than that this the then than"),
+      (1L, "quote quite quart quota quilt tithe hat hot hut heat")
+    ).toDF("doc_id", "text")
+    val (wp, _) = WordpieceOps.wpTrainDict(WordpieceOps.wordDictWp(c2), 1, 2L)
+    val (bpe, _) = BpeOps.bpeTrainDict(BpeOps.wordDict(c2), 1, 2L)
+    // BPE's frequency argmax is (t, h); WordPiece must not mirror it
+    assert((bpe.head.left, bpe.head.right) == ("t", "h"))
+    assert((wp.head.left.stripPrefix("##"), wp.head.right.stripPrefix("##"))
+      != (bpe.head.left, bpe.head.right))
+    // and the WP winner is NOT the most frequent pair — likelihood, not count
+    val maxPairCount = BpeOps.pairCounts(WordpieceOps.wordDictWp(c2))
+      .agg(org.apache.spark.sql.functions.max("c")).collect().head.getLong(0)
+    assert(wp.head.pair_count < maxPairCount)
+  }
+
+  test("t33: encode = greedy longest-match-first with whole-word UNK (reference equality)") {
+    val (merges, dict) = WordpieceOps.wpTrainDict(
+      WordpieceOps.wordDictWp(corpusDf), k = 20, minCount = 2L)
+    val vocab = WordpieceOps.wpVocab(dict, merges)
+    val got = WordpieceOps.wordpieceEncodeWithVocab(corpusDf, vocab)
+      .orderBy("doc_id").collect()
+    val vset = vocab.toSet
+    for (r <- got) {
+      val words = corpus(r.getLong(0).toInt)._2.split(" ").toSeq
+      val refCounts = words.map(w => refGreedy(w, vset))
+      assert(r.getLong(1) == words.size.toLong)
+      assert(r.getLong(3) == refCounts.map(_._1).sum, s"doc ${r.getLong(0)} tokens")
+      assert(r.getLong(4) == refCounts.count(_._2).toLong, s"doc ${r.getLong(0)} unks")
+    }
+  }
+
+  test("t33: a word with an untrained character is ONE unk token, not a char spray") {
+    val (merges, dict) = WordpieceOps.wpTrainDict(
+      WordpieceOps.wordDictWp(corpusDf), k = 20, minCount = 2L)
+    val vocab = WordpieceOps.wpVocab(dict, merges)
+    val fresh = Seq((99L, "the zebra9 lands")).toDF("doc_id", "text")
+    val r = WordpieceOps.wordpieceEncodeWithVocab(fresh, vocab).collect().head
+    // 'zebra9' contains '9', absent from the training alphabet → [UNK]
+    val vset = vocab.toSet
+    assert(refGreedy("zebra9", vset) == (1L, true))
+    assert(r.getLong(4) == 1L)
+    val expected = Seq("the", "zebra9", "lands")
+      .map(w => refGreedy(w, vset)._1).sum
+    assert(r.getLong(3) == expected)
+  }
+
+  test("t33: driver entry is deterministic and bounded (words ≤ tokens ≤ chars per doc)") {
+    WordpieceOps.clearTrained()
+    val a = WordpieceOps.t33Wordpiece(spark, sfDir).collect()
+    WordpieceOps.clearTrained()
+    val b = WordpieceOps.t33Wordpiece(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+    assert(a.nonEmpty)
+    for (r <- a) {
+      val (nWords, nChars, nToks, nUnk) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      // every word is ≥1 piece (unks exactly 1) and ≤ its char count
+      assert(nToks >= nWords)
+      assert(nToks <= nChars)
+      assert(nUnk >= 0 && nUnk <= nWords)
+    }
+  }
+}
