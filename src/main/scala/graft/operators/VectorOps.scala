@@ -1095,7 +1095,7 @@ object VectorOps {
     *
     * Shape: each rung's own plan (their documented scale shapes), then
     * ONE tagged union → one broadcast-able join against the 50-row
-    * truth relation → one 7-group aggregate. Rows-only by necessity
+    * truth relation → one 8-group aggregate. Rows-only by necessity
     * (the rungs are xxhash64/k-means-quantizer-based); gated by
     * Round11RecallSpec's per-rung floors. */
   def s12AnnRecallAudit(spark: SparkSession, dir: String): DataFrame = {
@@ -1109,7 +1109,8 @@ object VectorOps {
       ("s07_ivfpq", 3, s07AnnIvfPq(spark, dir)),
       ("s08_ivfpq_res", 3, s08AnnIvfPqResidual(spark, dir)),
       ("s09_indexed", 3, s09AnnIndexed(spark, dir)),
-      ("s10_filtered", 5, s10AnnFiltered(spark, dir)))
+      ("s10_filtered", 5, s10AnnFiltered(spark, dir)),
+      ("s14_sq8", 3, s14AnnSq8(spark, dir)))
     val tagged = rungs.map { case (name, k, df) =>
         df.select(lit(name).as("rung"), lit(k).as("k"),
           col("query_id"), col("vec_id"))
@@ -1168,6 +1169,135 @@ object VectorOps {
         round(col("n_hits").cast("double") / (col("n_queries") * 3), 6))
       .select("family", "param", "n_queries", "n_retrieved", "n_hits", "recall")
       .orderBy("family", "param")
+  }
+
+  // ---------------------------------------------------------------- s14
+  /** SQ8 geometry: one byte per dimension (the FAISS ScalarQuantizer
+    * QT_8bit rung — the SIMPLEST compressed-domain representation:
+    * 4× smaller than float32, far better fidelity than PQ's 16× at the
+    * cost of less compression). */
+  private val SqLevels = 255
+  private val SqRerank = 50
+
+  /** Session cache of trained per-dimension bounds keyed by corpus dir
+    * (the Codebooks train-once lifecycle — bounds are a per-corpus
+    * artifact shared by every s14 call and the s12 audit). */
+  private val sqBoundsCache =
+    scala.collection.concurrent.TrieMap.empty[String, (Seq[Double], Seq[Double])]
+
+  private[graft] def clearSqBounds(): Unit = sqBoundsCache.clear()
+
+  /** Train SQ8: per-dimension (vmin, vdiff) over the corpus — ONE
+    * map-side-combined (dim) aggregate (64 rows), the whole "training"
+    * FAISS's QT_8bit does. Zero-spread dimensions get vdiff 1 so the
+    * code is a well-defined 0 rather than a division by zero. */
+  private[graft] def sqTrainBounds(v: DataFrame): (Seq[Double], Seq[Double]) = {
+    val rows = v.select(posexplode(col("embedding")).as(Seq("d", "x")))
+      .groupBy(col("d"))
+      .agg(min(col("x").cast("double")).as("vmin"),
+        max(col("x").cast("double")).as("vmax"))
+      .orderBy("d").collect()
+    val vmin = rows.map(_.getDouble(1)).toSeq
+    val vdiff = rows.map { r =>
+      val d = r.getDouble(2) - r.getDouble(1); if (d > 0) d else 1.0
+    }.toSeq
+    (vmin, vdiff)
+  }
+
+  private def sqBoundsCached(v: => DataFrame, dir: String): (Seq[Double], Seq[Double]) =
+    sqBoundsCache.getOrElseUpdate(dir, sqTrainBounds(v))
+
+  /** SQ8 encode: code_i = round((x_i − vmin_i) / vdiff_i · 255), clamped
+    * to [0, 255] — scan-side zip_with over the bounds plan literals. The
+    * reconstruction x̂_i = vmin_i + code_i·vdiff_i/255 exists only inside
+    * the stored norm (one fold at encode time); the codes are what the
+    * index stores. */
+  private[graft] def sqEncode(v: DataFrame,
+      vmin: Seq[Double], vdiff: Seq[Double]): DataFrame = {
+    val mn = typedlit(vmin)
+    val df = typedlit(vdiff)
+    val codes = zip_with(
+      zip_with(col("embedding"), mn, (x, m) => x.cast("double") - m),
+      df,
+      (d, f) => least(lit(SqLevels), greatest(lit(0),
+        round(d / f * SqLevels).cast("int"))))
+    v.withColumn("codes", codes)
+      .withColumn("x_hat",
+        zip_with(
+          zip_with(col("codes"), df, (c, f) => c.cast("double") * f / SqLevels),
+          mn, (t, m) => t + m))
+      .withColumn("nrm_hat", sqrt(seqSum(transform(col("x_hat"), x => x * x))))
+      .select(col("vec_id"), col("codes"),
+        col("codes").cast("array<float>").as("codes_f"), col("nrm_hat"))
+  }
+
+  /** s14: SCALAR-QUANTIZED (SQ8) ANN — the fidelity-end compressed rung
+    * of the ladder (FAISS ScalarQuantizer QT_8bit): each corpus vector
+    * is stored as 64 one-byte codes + a reconstructed norm (4× smaller
+    * than float32), and queries score candidates WITHOUT decoding:
+    *
+    *   q · x̂ = Σᵢ qᵢ·vminᵢ  +  Σᵢ (qᵢ·vdiffᵢ/255) · codeᵢ
+    *
+    * — the first term is one per-query scalar, the second a dot product
+    * of the query's scaled weights against the raw codes (the codegen'd
+    * [[FloatVecDot]]), so scoring never reconstructs a float vector.
+    * The top-[[SqRerank]] shortlist is reranked with the exact cosine,
+    * exactly s04's shape.
+    *
+    * At 100 TB: the corpus is stored once as (vec_id, 64 codes, norm) —
+    * 4× compression with ~8-bit-grid fidelity (vs PQ's 16× at codebook
+    * fidelity) — the query side broadcasts (scalar + 64 floats) per
+    * query, scoring is one scan + a bounded [[TopKByScore]] aggregate,
+    * and full-precision vectors are touched only for the rerank join.
+    * Rows-only (quantized by design); Round12SqSpec pins the code grid
+    * against a plain-Scala mirror and gates recall vs the exact
+    * baseline. */
+  def s14AnnSq8(spark: SparkSession, dir: String): DataFrame =
+    annSq8(spark, dir, SqRerank)
+
+  private[graft] def annSq8(spark: SparkSession, dir: String,
+      rerank: Int): DataFrame = {
+    FloatVecDot.register(spark)
+    TopKByScore.register(spark)
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val (vmin, vdiff) = sqBoundsCached(v, dir)
+    val codes = sqEncode(v, vmin, vdiff)
+    val mn = typedlit(vmin)
+    val df = typedlit(vdiff)
+    // per-query scalars: qv0 = q·vmin (double) and the scaled weight
+    // vector w_i = q_i·vdiff_i/255 (float — the codes' dot side)
+    val queries = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"),
+        seqSum(zip_with(col("embedding"), mn,
+          (q, m) => q.cast("double") * m)).as("qv0"),
+        zip_with(col("embedding"), df,
+          (q, f) => (q.cast("double") * f / SqLevels).cast("float")).as("w"))
+    // compressed-domain scoring: one scan over codes × broadcast queries
+    val scoredAdc = codes
+      .crossJoin(broadcast(queries.select(col("query_id"), col("qv0"),
+        col("w"), col("q_nrm"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        ((col("qv0") + FloatVecDot.vecDot(col("w"), col("codes_f")))
+          / (col("q_nrm") * col("nrm_hat"))).as("sq_sim"))
+    val shortlist = topKPerGroup(scoredAdc, rerank,
+        col("sq_sim"), col("vec_id"), lit(0L), col("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"), col("score").as("sq_sim"))
+    // exact rerank of the ≤ rerank shortlist — s04's tag-slot shape
+    val reranked = shortlist
+      .join(v, "vec_id")
+      .join(queries.select(col("query_id"), col("q_emb"), col("q_nrm")), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(col("sq_sim"), 6).as("sq_sim"),
+        round(cosineWithNorms(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")), 6)
+          .as("cos_sim"))
+    topKPerGroup(reranked, 3, col("cos_sim"), col("vec_id"),
+        round(col("sq_sim") * 1e6).cast("long"), col("query_id"))
+      .select(col("query_id"), col("rank"), col("id").as("vec_id"),
+        (col("tag") / 1e6).as("sq_sim"), col("score").as("cos_sim"))
+      .orderBy("query_id", "rank")
   }
 
   // ---------------------------------------------------------------- s06

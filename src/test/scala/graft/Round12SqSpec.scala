@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+/** s14 SQ8 scalar-quantized ANN specs: the per-dimension training
+  * bounds and code grid pinned against a plain-Scala mirror (including
+  * the zero-spread-dimension fallback and the out-of-range clamp on
+  * unseen vectors), recall@3 vs the exact baseline on the driver
+  * corpus, rerank exactness (returned cos_sim IS the exact cosine),
+  * and shortlist-depth recall monotonicity. */
+class Round12SqSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // engineered corpus: known bounds, a zero-spread dim (idx 2), negatives
+  private val data: Seq[(Long, Seq[Float])] = Seq(
+    (0L, Seq(0.0f, -1.0f, 2.0f, 5.0f)),
+    (1L, Seq(1.0f, 1.0f, 2.0f, -5.0f)),
+    (2L, Seq(0.5f, 3.0f, 2.0f, 0.0f)),
+    (3L, Seq(0.25f, -2.0f, 2.0f, 10.0f)))
+
+  private def df = data.toDF("vec_id", "embedding")
+    .withColumn("embedding", col("embedding").cast("array<float>"))
+
+  private def refBounds(vs: Seq[Seq[Float]]): (Seq[Double], Seq[Double]) = {
+    val dims = vs.head.indices
+    val mn = dims.map(d => vs.map(_(d).toDouble).min)
+    val mx = dims.map(d => vs.map(_(d).toDouble).max)
+    (mn, dims.map(d => if (mx(d) - mn(d) > 0) mx(d) - mn(d) else 1.0))
+  }
+
+  private def refCodes(v: Seq[Float], mn: Seq[Double], df: Seq[Double]): Seq[Int] =
+    v.indices.map { d =>
+      val raw = math.round((v(d).toDouble - mn(d)) / df(d) * 255).toInt
+      math.min(255, math.max(0, raw))
+    }
+
+  test("s14: training bounds and code grid equal the plain-Scala mirror") {
+    val (mn, dfv) = VectorOps.sqTrainBounds(df)
+    val (wmn, wdf) = refBounds(data.map(_._2))
+    assert(mn == wmn && dfv == wdf)
+    // the zero-spread dim took the vdiff=1 fallback
+    assert(dfv(2) == 1.0)
+    val got = VectorOps.sqEncode(df, mn, dfv)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    for ((id, v) <- data) {
+      assert(got(id) == refCodes(v, wmn, wdf), s"vec $id")
+      // zero-spread dim encodes as 0; in-range codes span the byte grid
+      assert(got(id)(2) == 0)
+    }
+    // extremes land exactly on the grid ends
+    assert(got(1L)(3) == 0 && got(3L)(3) == 255)
+  }
+
+  test("s14: out-of-range vectors clamp to the byte grid (unseen-data path)") {
+    val (mn, dfv) = VectorOps.sqTrainBounds(df)
+    val fresh = Seq((99L, Seq(-10.0f, 100.0f, 2.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    val codes = VectorOps.sqEncode(fresh, mn, dfv)
+      .select("codes").collect().head.getSeq[Int](0)
+    assert(codes == refCodes(Seq(-10.0f, 100.0f, 2.0f, 0.0f), mn, dfv))
+    assert(codes(0) == 0 && codes(1) == 255)
+  }
+
+  private def recallAt3(approx: org.apache.spark.sql.DataFrame): Double = {
+    val truth = VectorOps.s01AnnBruteforce(spark, sfDir)
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = approx.select(col("query_id"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    (got & truth).size.toDouble / truth.size
+  }
+
+  test("s14: recall@3 vs the exact baseline clears the 8-bit-grid floor") {
+    val r = recallAt3(VectorOps.s14AnnSq8(spark, sfDir))
+    info(s"s14 recall@3 on the driver corpus: $r")
+    assert(r >= 0.80)
+  }
+
+  test("s14: returned cos_sim is the EXACT cosine (rerank honesty)") {
+    val emb = graft.Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"))
+    val out = VectorOps.s14AnnSq8(spark, sfDir)
+    val joined = out
+      .join(emb.select(col("vec_id").as("query_id"), col("embedding").as("qe")), "query_id")
+      .join(emb.select(col("vec_id"), col("embedding").as("xe")), "vec_id")
+      .withColumn("exact", round(VectorOps.cosine(col("qe"), col("xe")), 6))
+      .select("cos_sim", "exact").collect()
+    assert(joined.nonEmpty)
+    for (r <- joined) assert(r.getDouble(0) == r.getDouble(1))
+  }
+
+  test("s14: recall is non-decreasing in shortlist depth") {
+    val shallow = recallAt3(VectorOps.annSq8(spark, sfDir, 5))
+    val deep = recallAt3(VectorOps.annSq8(spark, sfDir, 50))
+    info(s"recall@3 shortlist 5: $shallow, shortlist 50: $deep")
+    assert(shallow <= deep)
+  }
+
+  test("s14: deterministic across runs") {
+    val a = VectorOps.s14AnnSq8(spark, sfDir).collect().map(_.toSeq).toSeq
+    val b = VectorOps.s14AnnSq8(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
