@@ -804,6 +804,83 @@ object TextOps {
        |  round((t_raw / t_tot) / (CAST(n_docs AS DOUBLE) / total_docs), 6) AS weight
        |FROM by_source, totals ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- c29
+  /** Driver sampling temperature α = 7/10 — the multilingual-LM norm
+    * (Arivazhagan et al. '19 §4.2's T=5 ≈ α=0.2..; XLM-R / mBERT train
+    * with α = 0.7, Conneau et al. ACL'20 §3.1). */
+  private val TempAlpha = 0.7
+
+  /** c29: TEMPERATURE-SCALED domain mixture — the standard multilingual
+    * rebalancing (Conneau et al. ACL'20 §3.1; Arivazhagan et al. '19):
+    * target_frac_i ∝ p_i^α over per-source TOKEN shares p_i, α ∈ [0, 1].
+    * α = 1 reproduces the corpus as-is (every weight 1), α = 0 is c07's
+    * uniform target; in between, low-resource sources are upsampled
+    * sub-proportionally — the knob every multilingual training run
+    * exposes. Where c13 takes an EXTERNAL target vector, c29 DERIVES the
+    * target from the corpus' own shares, so it needs one extra scalar
+    * (total tokens) before the pow.
+    *
+    * Determinism: p_i^α is quantized to a 1e-6 integer grid BEFORE the
+    * cross-row normalizing sum (t_micro BIGINT), so t_tot is an exact
+    * integer — order-immune under any partitioning, same value in the
+    * DuckDB oracle (c13's small-integer argument does not apply to raw
+    * pow outputs). Scale shape unchanged from c07/c13: one map-side-
+    * combined (source) aggregate + one broadcast scalar-totals relation;
+    * text never shuffles.
+    *
+    * weight_i = target_i / actual_i has token-share-weighted mean 1
+    * (Σ p_i · weight_i = Σ p_i^α / Σ p_j^α = 1), so the largest source's
+    * weight ≤ 1 ≤ the smallest's — spec-pinned flattening. */
+  private[graft] def temperatureMixOver(documents: DataFrame,
+      alpha: Double): DataFrame = {
+    val bySource = documents
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokensOf(col("text")))).as("n_tokens"))
+    val totals = bySource.agg(sum(col("n_tokens")).as("total_tokens"))
+    val scored = bySource.crossJoin(broadcast(totals))
+      .withColumn("t_micro",
+        round(pow(col("n_tokens").cast("double") / col("total_tokens"),
+          alpha) * 1e6).cast("long"))
+    val tTot = scored.agg(sum(col("t_micro")).as("t_tot"))
+    scored.crossJoin(broadcast(tTot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6)
+          .as("actual_frac"),
+        round(col("t_micro").cast("double") / col("t_tot"), 6)
+          .as("target_frac"),
+        round((col("t_micro").cast("double") / col("t_tot"))
+          / (col("n_tokens").cast("double") / col("total_tokens")), 6)
+          .as("weight"))
+      .orderBy("source")
+  }
+
+  /** c29 driver entry at the XLM-R α. */
+  def c29TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixOver(docs(spark, dir), TempAlpha)
+
+  val c29Sql: String =
+    s"""WITH by_source AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len($TokensSql)) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY source
+       |), totals AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM by_source
+       |), scored AS (
+       |  SELECT source, n_docs, n_tokens, total_tokens,
+       |    CAST(round(pow(CAST(n_tokens AS DOUBLE) / total_tokens, 0.7)
+       |      * 1000000) AS BIGINT) AS t_micro
+       |  FROM by_source, totals
+       |), t_tot_t AS (
+       |  SELECT CAST(sum(t_micro) AS BIGINT) AS t_tot FROM scored
+       |)
+       |SELECT source, n_docs, n_tokens,
+       |  round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS actual_frac,
+       |  round(CAST(t_micro AS DOUBLE) / t_tot, 6) AS target_frac,
+       |  round((CAST(t_micro AS DOUBLE) / t_tot)
+       |    / (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS weight
+       |FROM scored, t_tot_t ORDER BY source""".stripMargin
+
   // ---------------------------------------------------------------- c16
   /** Budget numerator/denominator: the driver query samples to 30% of the
     * corpus' tokens (a deterministic stand-in for "give me a 2T-token

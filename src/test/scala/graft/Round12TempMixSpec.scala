@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** c29 temperature-mix specs: the α endpoints (α=1 reproduces the
+  * corpus, α=0 is the uniform target), the flattening direction
+  * (largest source's weight ≤ 1 ≤ smallest's, strict when shares
+  * differ), a plain-Scala mirror of the integer-grid algebra, and
+  * determinism under repartitioning (the t_micro grid makes the
+  * normalizing sum order-immune). */
+class Round12TempMixSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // three sources with clearly unequal token mass: 12 / 4 / 2 tokens
+  private def corpus() = Seq(
+    (1L, "big",   "one two three four five six"),
+    (2L, "big",   "seven eight nine ten eleven twelve"),
+    (3L, "mid",   "alpha beta gamma delta"),
+    (4L, "small", "tiny pair")
+  ).toDF("doc_id", "source", "text")
+
+  private def mirror(tokens: Map[String, Long], alpha: Double)
+      : Map[String, (Double, Double, Double)] = {
+    val tot = tokens.values.sum.toDouble
+    val micro = tokens.map { case (s, n) =>
+      s -> math.round(math.pow(n / tot, alpha) * 1e6)
+    }
+    val tTot = micro.values.sum.toDouble
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    tokens.map { case (s, n) =>
+      s -> ((r6(n / tot), r6(micro(s) / tTot), r6((micro(s) / tTot) / (n / tot))))
+    }
+  }
+
+  private val shares = Map("big" -> 12L, "mid" -> 4L, "small" -> 2L)
+
+  test("c29: the integer-grid algebra equals the plain-Scala mirror at α=0.7") {
+    val got = TextOps.temperatureMixOver(corpus(), 0.7).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got == mirror(shares, 0.7))
+  }
+
+  test("c29: α=1 reproduces the corpus (every weight 1 on the grid)") {
+    val got = TextOps.temperatureMixOver(corpus(), 1.0).collect()
+    for (r <- got)
+      assert(math.abs(r.getDouble(5) - 1.0) <= 1e-4, r.getString(0))
+  }
+
+  test("c29: α=0 is the uniform target (c07's endpoint)") {
+    val got = TextOps.temperatureMixOver(corpus(), 0.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    // every source's target is exactly 1/3 on the grid
+    for ((s, t) <- got) assert(math.abs(t - 1.0 / 3) < 1e-5, s)
+  }
+
+  test("c29: flattening — largest source damped below 1, smallest lifted above") {
+    val got = TextOps.temperatureMixOver(corpus(), 0.7).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(got("big") < 1.0)
+    assert(got("small") > 1.0)
+    // weights are monotone decreasing in token share
+    assert(got("small") > got("mid") && got("mid") > got("big"))
+  }
+
+  test("c29: deterministic under repartitioning (order-immune normalizing sum)") {
+    val a = TextOps.temperatureMixOver(corpus(), 0.7).collect().map(_.toSeq).toSeq
+    val b = TextOps.temperatureMixOver(corpus().repartition(7), 0.7)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("c29: driver entry matches the c29 oracle's source set and bounds") {
+    val rows = TextOps.c29TemperatureMix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val wSum = rows.map(r => r.getDouble(3) * r.getDouble(5)).sum
+    // token-share-weighted mean of weights is 1 (to grid tolerance)
+    assert(math.abs(wSum - 1.0) < 1e-3, s"weighted mean $wSum")
+    for (r <- rows) {
+      assert(r.getDouble(4) > 0 && r.getDouble(4) < 1)
+      assert(r.getDouble(5) > 0)
+    }
+  }
+}
