@@ -1198,6 +1198,43 @@ object StreamingJobs {
           round(col("n_chars").cast("double") / col("n_ut_tokens"), 6)))
   }
 
+  // ----------------------------------------------- wordpiece tokenizer
+  /** Streaming face of t33's encoder: the trained WordPiece vocab is a
+    * PLAN-LITERAL map, so each arriving document's words segment in the
+    * stateless row-local greedy-longest-match expression the batch
+    * encoder runs ([[graft.operators.WordpieceOps.segmentDictWp]] —
+    * bit-parity spec-pinned, including the whole-word `[UNK]`
+    * convention). Words over [[graft.operators.BpeOps.MaxWordLen]] take
+    * the batch dict path's LEFT-JOIN fallback explicitly (`[UNK]`,
+    * counted) — the batch dict never contains them, the stream must
+    * reproduce that, not segment them. Null/empty text keeps a zero row
+    * (the every-doc-a-row ingest discipline). */
+  def wordpieceEncodeStream(docs: DataFrame, vocab: Seq[String],
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.{BpeOps, WordpieceOps}
+    val words = docs.withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), explode_outer(
+        filter(graft.operators.TextOps.tokensOf(
+          coalesce(col("text"), lit(""))), w => length(w) >= 1)).as("word"))
+    WordpieceOps.segmentDictWp(words, vocab)
+      .withColumn("eff_wp",
+        when(length(col("word")) > BpeOps.MaxWordLen, lit(1L))
+          .otherwise(col("word_wp")))
+      .withColumn("eff_unk",
+        when(length(col("word")) > BpeOps.MaxWordLen, lit(true))
+          .otherwise(col("is_unk")))
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(count(col("word")).as("n_words"),
+        coalesce(sum(length(col("word"))), lit(0L)).cast("long").as("n_chars"),
+        coalesce(sum(when(col("word").isNotNull, col("eff_wp"))), lit(0L))
+          .as("n_wp_tokens"),
+        coalesce(sum(when(col("word").isNotNull && col("eff_unk"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_unk_words"))
+      .withColumn("compression",
+        when(col("n_wp_tokens") > 0,
+          round(col("n_chars").cast("double") / col("n_wp_tokens"), 6)))
+  }
+
   // ----------------------------------------------- containment probe
   /** Streaming face of d12 — the ingest-time CONTAINMENT gate against
     * the standing sketch store ("is this arriving document mostly inside

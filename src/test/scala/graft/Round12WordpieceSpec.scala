@@ -161,6 +161,58 @@ class Round12WordpieceSpec extends GraftSpecBase {
     assert(r.getLong(3) == expected)
   }
 
+  test("t33: wordpieceEncodeStream is bit-identical to the batch encoder (UNK, long-word fallback, null text)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val (merges, dict) = WordpieceOps.wpTrainDict(
+      WordpieceOps.wordDictWp(corpusDf), k = 20, minCount = 2L)
+    val vocab = WordpieceOps.wpVocab(dict, merges)
+    val longWord = "x" * 70 // over MaxWordLen: the batch dict path's UNK
+    val streamCorpus = corpus ++ Seq(
+      (50L, "the zebra9 lands"), (51L, s"$longWord lands"))
+    val batch = WordpieceOps.wordpieceEncodeWithVocab(
+        streamCorpus.toDF("doc_id", "text"), vocab)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = graft.streaming.StreamingJobs
+      .wordpieceEncodeStream(mem.toDF.toDF("doc_id", "ts", "text"), vocab)
+      .writeStream.format("memory").queryName("wp_r12").outputMode("append")
+      .start()
+    try {
+      mem.addData(streamCorpus.map { case (id, tx) => (id, t0, tx) }: _*)
+      mem.addData((60L, t0, null: String))
+      mem.addData((999L, Timestamp.valueOf("2026-01-01 13:00:00"), "flush"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("wp_r12").collect().map { r =>
+      r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_wp_tokens"),
+        r.getAs[Long]("n_unk_words")))
+    }.toMap
+    for ((id, _) <- streamCorpus)
+      assert(streamed(id) === batch(id), s"doc $id")
+    // null text keeps a zero row
+    assert(streamed(60L) === ((0L, 0L, 0L, 0L)))
+  }
+
+  test("t33: the vocab artifact round-trips through save/load/attach") {
+    val (merges, dict) = WordpieceOps.wpTrainDict(
+      WordpieceOps.wordDictWp(corpusDf), k = 20, minCount = 2L)
+    val vocab = WordpieceOps.wpVocab(dict, merges)
+    val table = "wp_vocab_r12_spec"
+    WordpieceOps.vocabSave(spark, vocab, table)
+    assert(WordpieceOps.vocabLoad(spark, table) == vocab)
+    // catalog death: registrations die, warehouse files survive
+    CatalogDeath.simulate(spark, Seq(table))
+    WordpieceOps.vocabAttach(spark, table)
+    assert(WordpieceOps.vocabLoad(spark, table) == vocab)
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("t33: driver entry is deterministic and bounded (words ≤ tokens ≤ chars per doc)") {
     WordpieceOps.clearTrained()
     val a = WordpieceOps.t33Wordpiece(spark, sfDir).collect()
