@@ -881,6 +881,68 @@ object TextOps {
        |    / (CAST(n_tokens AS DOUBLE) / total_tokens), 6) AS weight
        |FROM scored, t_tot_t ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------- c30
+  /** Grid scale for c30's integer target: pow outputs land on a 1e-3
+    * grid before the normalizing sum (resolution ~6 digits at driver
+    * token masses; at 100 TB src_tokens^0.7 itself is ≥ 1e8, so the
+    * scaled value stays far under 2^63). */
+  private val TempTargetScale = 1000L
+
+  /** c30: the TEMPERATURE-TEMPERED TOKEN BUDGET — c29's derived target
+    * composed into c16's integer budget algebra: sample each source to
+    * its (token share)^α share of the budget (the Dolma/multilingual
+    * "α-sample to N tokens" step, one operator instead of a hand-carried
+    * weight table). The per-source raw target is round(src_tokens^α ·
+    * [[TempTargetScale]]) — the total_tokens^α factor CANCELS in
+    * t_raw / t_tot, so the target needs no second scalar and rides
+    * c16's `targetRaw` hook unchanged; everything downstream (budget,
+    * desired, rate_ppm, the fingerprint acceptance) is c16's exact
+    * 64-bit integer algebra, bit-identical across engines and runs.
+    * Acceptance rates scale as src_tokens^(α−1): smaller sources keep
+    * proportionally more of the budget — the flattening, now realized
+    * as shipped documents rather than reported weights. ORACLED
+    * (c16's CTE frame with the t_raw definition swapped — one shared
+    * structure, the gates cannot drift). Round12TempMixSpec pins the
+    * integer replay, the α=1 uniform-rate endpoint, and rate
+    * monotonicity against source size. */
+  def c30BudgetTempered(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    tokenBudgetOver(docs(spark, dir), BudgetNum, BudgetDen,
+      round(pow(col("src_tokens").cast("double"), TempAlpha)
+        * TempTargetScale)).orderBy("doc_id")
+  }
+
+  // lazy: BudgetNum/BudgetDen are declared below (c16's section) — an
+  // eager val here would interpolate their pre-init 0 (caught by the
+  // round-12 verify: 0 // 0 is NULL in DuckDB and least() ignores NULLs,
+  // silently clamping every rate to 1e6)
+  lazy val c30Sql: String =
+    s"""WITH d2 AS (
+       |  SELECT doc_id, source,
+       |    CAST(len($TokensSql) AS BIGINT) AS n_tokens,
+       |    ${polyFpSql(NormSql)} AS fp
+       |  FROM documents
+       |), src AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
+       |    CAST(round(pow(CAST(sum(n_tokens) AS DOUBLE), 0.7) * 1000)
+       |      AS BIGINT) AS t_raw
+       |  FROM d2 GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM d2
+       |), tt AS (
+       |  SELECT CAST(sum(t_raw) AS BIGINT) AS t_tot FROM src
+       |), rates AS (
+       |  SELECT source, src_tokens,
+       |    CAST(least(1000000,
+       |      ((total_tokens * $BudgetNum // $BudgetDen) * t_raw // t_tot)
+       |        * 1000000 // src_tokens) AS BIGINT) AS rate_ppm
+       |  FROM src, tot, tt
+       |)
+       |SELECT doc_id, source, n_tokens, src_tokens, rate_ppm,
+       |  (fp % 1000000) < rate_ppm AS accepted
+       |FROM d2 JOIN rates USING (source)
+       |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- c16
   /** Budget numerator/denominator: the driver query samples to 30% of the
     * corpus' tokens (a deterministic stand-in for "give me a 2T-token

@@ -3,12 +3,14 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.operators.TextOps
 
-/** c29 temperature-mix specs: the α endpoints (α=1 reproduces the
+/** c29/c30 temperature-mix specs: the α endpoints (α=1 reproduces the
   * corpus, α=0 is the uniform target), the flattening direction
   * (largest source's weight ≤ 1 ≤ smallest's, strict when shares
-  * differ), a plain-Scala mirror of the integer-grid algebra, and
+  * differ), a plain-Scala mirror of the integer-grid algebra,
   * determinism under repartitioning (the t_micro grid makes the
-  * normalizing sum order-immune). */
+  * normalizing sum order-immune), and c30's tempered budget: exact
+  * integer replay of the acceptance rates, rate monotonicity against
+  * source size, and the α=1 uniform-rate endpoint. */
 class Round12TempMixSpec extends GraftSpecBase {
   import spark.implicits._
 
@@ -69,6 +71,59 @@ class Round12TempMixSpec extends GraftSpecBase {
     val b = TextOps.temperatureMixOver(corpus().repartition(7), 0.7)
       .collect().map(_.toSeq).toSeq
     assert(a == b)
+  }
+
+  // ------------------------------------------------------------- c30
+  // token masses big enough that the integer budget algebra's
+  // granularity is visible only at the ppm scale: 1200 / 400 / 200
+  private val c30Shares = Map("big" -> 1200L, "mid" -> 400L, "small" -> 200L)
+  private def c30Corpus() = Seq(
+    (1L, "big", ("w " * 600).trim),
+    (2L, "big", ("x " * 600).trim),
+    (3L, "mid", ("y " * 400).trim),
+    (4L, "small", ("z " * 200).trim)
+  ).toDF("doc_id", "source", "text")
+
+  private def mirrorRates(tokens: Map[String, Long], alpha: Double,
+      budgetNum: Long, budgetDen: Long): Map[String, Long] = {
+    val total = tokens.values.sum
+    val tRaw = tokens.map { case (s, n) =>
+      s -> math.round(math.pow(n.toDouble, alpha) * 1000)
+    }
+    val tTot = tRaw.values.sum
+    val budget = total * budgetNum / budgetDen
+    tokens.map { case (s, n) =>
+      s -> math.min(1000000L, budget * tRaw(s) / tTot * 1000000L / n)
+    }
+  }
+
+  test("c30: acceptance rates replay the plain-Scala integer algebra exactly") {
+    graft.functions.PolyFingerprint.register(spark)
+    val got = TextOps.tokenBudgetOver(c30Corpus(), 3L, 10L,
+        round(pow(col("src_tokens").cast("double"), 0.7) * 1000))
+      .select("source", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == mirrorRates(c30Shares, 0.7, 3L, 10L))
+  }
+
+  test("c30: rates scale as size^(alpha-1) — smaller sources keep more of the budget") {
+    graft.functions.PolyFingerprint.register(spark)
+    val got = TextOps.tokenBudgetOver(c30Corpus(), 3L, 10L,
+        round(pow(col("src_tokens").cast("double"), 0.7) * 1000))
+      .select("source", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("small") > got("mid") && got("mid") > got("big"))
+  }
+
+  test("c30: alpha=1 is the uniform acceptance rate (c16's proportional endpoint)") {
+    graft.functions.PolyFingerprint.register(spark)
+    val got = TextOps.tokenBudgetOver(c30Corpus(), 3L, 10L,
+        round(pow(col("src_tokens").cast("double"), 1.0) * 1000))
+      .select("source", "rate_ppm").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 3/10 of the budget divides these token masses exactly, so every
+    // source's rate is EXACTLY 300000 ppm at alpha=1
+    assert(got.values.toSet == Set(300000L), got.toString)
   }
 
   test("c29: driver entry matches the c29 oracle's source set and bounds") {
