@@ -456,7 +456,7 @@ object DedupOps {
     * pair join shuffles on — no extra join, no array materialization.
     * Oversized buckets are low-information keys and quadratic to expand;
     * at 100 TB you'd recurse into them with more bands instead. */
-  private def capBuckets(df: DataFrame, maxBucket: Int, keys: Column*): DataFrame = {
+  private[graft] def capBuckets(df: DataFrame, maxBucket: Int, keys: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     df.withColumn("_n", count(lit(1)).over(Window.partitionBy(keys: _*)))
       .filter(col("_n") > 1 && col("_n") <= maxBucket)

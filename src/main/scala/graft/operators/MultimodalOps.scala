@@ -373,6 +373,76 @@ object MultimodalOps {
       |  CAST(sum(bytes - canon_len) AS BIGINT) AS reclaimable_bytes
       |FROM fp GROUP BY format ORDER BY format""".stripMargin
 
+  // ---------------------------------------------------------------- m06
+  private val FpSegments = 4
+  private val FpSegLen = 16
+  /** d03's degenerate-bucket cap applied to fingerprint segments. */
+  private val MaxFpBucket = 64
+
+  /** m06: perceptual NEAR-dup pairs over the media fingerprints — m03
+    * collapses exact aHash collisions (re-encodes of the same raster);
+    * this finds the pairs a few luminance cells apart (small crops,
+    * brightness shifts, watermark stamps — the edits a crawled image
+    * corpus is full of): d04's pigeonhole blocking applied to the 64-bit
+    * aHash — 4×16-bit segments, so a Hamming ≤ 3 pair must agree on ≥ 1
+    * segment — with the d03 degenerate-bucket cap ([[DedupOps.capBuckets]]).
+    * Stub-decoded payloads (no JRE codec) carry bijective metadata packs,
+    * not perceptual bits: Hamming between packs is meaningless, so stubs
+    * pair only at hamming 0 (exact pack equality — m03's identity) and
+    * are flagged `real = false`. Payloads never shuffle — only (doc_id,
+    * fp) rows ride the segment join. Rows-only (fingerprints are
+    * decode-derived; no SQL oracle can decode pixels);
+    * Round12MediaNearDupSpec drives REAL pixels through the exact
+    * pipeline: a two-cell-perturbed copy pairs at 0 < hamming ≤ 3, a
+    * re-encode at hamming 0, and an inverted image not at all (no shared
+    * segment → never a candidate). */
+  def mediaNearDupOver(media: Dataset[MediaRecord]): DataFrame = {
+    val fps = fingerprintAll(media).toDF()
+      .select(col("doc_id"), col("real"), col("fp"))
+    // real fps block on the 4 pigeonhole segments; stub packs block on
+    // the FULL fp — their high segments are all zero (the pack is a
+    // small number), so segment blocking would make every stub a
+    // candidate of every other stub, and pack Hamming is meaningless
+    // anyway: equality is the only stub pairing
+    val segRows = fps.select(col("doc_id"), col("real"), col("fp"),
+        explode(when(col("real"),
+          array((0 until FpSegments).map(s =>
+            struct(lit(s).as("seg"),
+              shiftrightunsigned(col("fp"), s * FpSegLen)
+                .bitwiseAND((1L << FpSegLen) - 1).as("seg_val"))): _*))
+          .otherwise(array(struct(lit(-1).as("seg"), col("fp").as("seg_val")))))
+          .as("sv"))
+      .select(col("doc_id"), col("real"), col("fp"),
+        col("sv.seg").as("seg"), col("sv.seg_val").as("seg_val"))
+    val capped = DedupOps.capBuckets(segRows, MaxFpBucket,
+      col("real"), col("seg"), col("seg_val"))
+    val pairs = capped.as("x").join(capped.as("y"),
+        col("x.real") === col("y.real") && col("x.seg") === col("y.seg") &&
+          col("x.seg_val") === col("y.seg_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.real").as("real"), col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+      .distinct()
+    pairs
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .withColumn("is_near_dup",
+        when(col("real"), col("hamming") <= 3).otherwise(col("hamming") === 0))
+      .select("doc_a", "doc_b", "real", "hamming", "is_near_dup")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** m06 driver entry over the synthesized payload column (all stub at
+    * driver scale — the pairs are exact pack collisions; the real-pixel
+    * path is spec-driven with engineered images). */
+  def m06MediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    mediaNearDupOver(media)
+  }
+
   val m02Sql: String =
     """WITH base AS (
       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents

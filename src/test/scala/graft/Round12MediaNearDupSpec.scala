@@ -1,0 +1,95 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import graft.operators.MultimodalOps
+import graft.operators.MultimodalOps.MediaRecord
+
+/** m06 perceptual near-dup specs, driven with REAL pixels through the
+  * exact driver pipeline: a re-encode pairs at hamming 0, a
+  * two-cell-perturbed copy pairs at 0 < hamming ≤ 3 (the near-dup
+  * band), an inverted image shares no fingerprint segment and is never
+  * even a candidate, and stub payloads pair only on exact pack
+  * equality. */
+class Round12MediaNearDupSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def imageBytes(fmt: String, w: Int, h: Int,
+      rgb: Array[Int]): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(y * w + x))
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, out), s"no JRE writer for $fmt")
+    out.toByteArray
+  }
+
+  /** 16×16, left half black / right half white: each aHash cell is a
+    * uniform 2×2 block, far from the global mean. */
+  private val halves: Array[Int] =
+    Array.tabulate(256)(i => if (i % 16 < 8) 0x000000 else 0xffffff)
+  private val invHalves: Array[Int] =
+    Array.tabulate(256)(i => if (i % 16 < 8) 0xffffff else 0x000000)
+  /** halves with TWO aHash cells flipped black→white (the 2×2 blocks at
+    * cell columns 0-1 of cell row 0): a small watermark-style edit. */
+  private val perturbed: Array[Int] = Array.tabulate(256) { i =>
+    val (y, x) = (i / 16, i % 16)
+    if (y < 2 && x < 4) 0xffffff
+    else if (x < 8) 0x000000 else 0xffffff
+  }
+
+  test("m06: re-encode pairs at hamming 0; small edit in (0,3]; inverted image never a candidate") {
+    val media = Seq(
+      MediaRecord(1L, imageBytes("png", 16, 16, halves)),
+      MediaRecord(2L, imageBytes("bmp", 16, 16, halves)),    // re-encode of 1
+      MediaRecord(3L, imageBytes("png", 16, 16, perturbed)), // 2-cell edit of 1
+      MediaRecord(4L, imageBytes("png", 16, 16, invHalves))  // opposite raster
+    ).toDS()
+    val out = MultimodalOps.mediaNearDupOver(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getBoolean(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // the re-encode: identical raster, hamming 0, near-dup
+    assert(out((1L, 2L)) === ((true, 0L, true)))
+    // the two-cell edit: hamming exactly 2, inside the ≤3 band
+    assert(out((1L, 3L)) === ((true, 2L, true)))
+    assert(out((2L, 3L)) === ((true, 2L, true)))
+    // the inverted raster flips every fingerprint bit: no shared
+    // segment, so it is not even a candidate pair
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("m06: stub payloads pair only on exact pack equality") {
+    // same byte length → identical stub pack; different length → not
+    val media = Seq(
+      MediaRecord(10L, "aaaa bbbb cccc".getBytes("UTF-8")),
+      MediaRecord(11L, "dddd eeee ffff".getBytes("UTF-8")),  // same length
+      MediaRecord(12L, "a much longer and different payload".getBytes("UTF-8"))
+    ).toDS()
+    val out = MultimodalOps.mediaNearDupOver(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getBoolean(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out((10L, 11L)) === ((false, 0L, true)))
+    assert(!out.keySet.exists { case (a, b) => a == 12L || b == 12L })
+  }
+
+  test("m06: driver entry returns pair rows and flags only hamming-consistent near-dups") {
+    val rows = MultimodalOps.m06MediaNearDup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (real, hamming, near) = (r.getBoolean(2), r.getLong(3), r.getBoolean(4))
+      if (real) assert(near == (hamming <= 3))
+      else assert(near == (hamming == 0))
+    }
+    // the synthesized driver payloads are all stub-decoded
+    assert(rows.forall(!_.getBoolean(2)))
+    assert(rows.exists(_.getBoolean(4)))
+  }
+
+  test("m06: deterministic across runs") {
+    val a = MultimodalOps.m06MediaNearDup(spark, sfDir).collect().map(_.toSeq).toSeq
+    val b = MultimodalOps.m06MediaNearDup(spark, sfDir).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+}
