@@ -1,0 +1,150 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** t34: HEAPS'-LAW FIT — the vocabulary-GROWTH audit (Heaps '78; the
+  * V(n) = K·n^β companion to t28's rank-frequency fit): least-squares
+  * of ln(cumulative distinct tokens) on ln(cumulative tokens) at 20
+  * doc-id checkpoints. A pipeline reads β two ways: it is the number
+  * that sizes a tokenizer/vocabulary budget ahead of a 100 TB crawl
+  * (natural text tracks β ≈ 0.4–0.6 — extrapolate V at the target token
+  * count before training), and a β near 0 or 1 flags degeneracy (0 =
+  * the corpus stopped saying new things — boilerplate floods; 1 = near
+  * no token reuse — serial-number/hash spam).
+  *
+  * Checkpoints are a VALUE grid over [min(doc_id), max(doc_id)] —
+  * cp_k = mn + (mx−mn)·k div 20 — two scalar aggregates and pure
+  * integer arithmetic, NO global row-number window (an equal-count grid
+  * would need one; the fit only needs points along the growth curve,
+  * not equal spacing, so the value grid is the scale-correct choice).
+  * Cumulative masses come from joining the bounded broadcast checkpoint
+  * relation against two metadata relations: per-doc token counts
+  * (doc_id, n_tokens) and per-token first occurrence (tok, min doc_id)
+  * — each checkpoint's count is a map-side-combined aggregate; text
+  * never rides either join.
+  *
+  * Exactness: t28's discipline verbatim — both log coordinates quantize
+  * to the 1e-6 grid the moment they are born (ONE shared expression
+  * string, both engines), the five moment sums are exact DECIMAL/
+  * HUGEINT, and β / intercept / r² are each ONE double division of
+  * identical integers, round-6. ORACLED hash-exact. Round12HeapsSpec
+  * pins a plain-Scala BigInt mirror, the exact β = 1 case (every doc
+  * all-new tokens), and the saturated β = 0 case (identical docs;
+  * intercept = ln V exactly on the grid). The driver testdata draws
+  * from a tiny fixed token pool (fully seen by the first checkpoint),
+  * so the driver row measures β = 0 / r² NULL — the degeneracy flag
+  * firing on a genuinely degenerate corpus, spec-pinned as such; the
+  * natural-text behavior is pinned by the engineered-corpus specs.
+  *
+  * Reference analog: `AnalyzeBatch.groovy:88-97` — the distribution
+  * audit face, applied to vocabulary growth.
+  */
+object HeapsFit {
+  private[graft] val NumCheckpoints = 20
+
+  /** ln(v)·1e6 on the integer grid — t28's shared-expression form. */
+  private def lnQ6Sql(v: String): String =
+    s"CAST(round(ln(CAST($v AS DOUBLE)) * 1000000.0) AS BIGINT)"
+
+  /** The fit over any (doc_id, text) relation. */
+  private[graft] def heapsOver(d: DataFrame): DataFrame = {
+    val perDoc = d.select(col("doc_id"),
+      size(TextOps.tokensOf(col("text"))).cast("long").as("n_tokens"))
+    val cps = broadcast(perDoc
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .select(explode(sequence(lit(1), lit(NumCheckpoints))).as("k"),
+        col("mn"), col("mx"))
+      .select(expr(s"mn + ((mx - mn) * k) div $NumCheckpoints").as("cp"))
+      .distinct())
+    val cumT = perDoc.join(cps, col("doc_id") <= col("cp"))
+      .groupBy(col("cp")).agg(sum(col("n_tokens")).as("cum_tokens"))
+    val firstOcc = d
+      .select(col("doc_id"), explode(TextOps.tokensOf(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+    val cumV = firstOcc.join(cps, col("fd") <= col("cp"))
+      .groupBy(col("cp")).agg(count(lit(1)).as("cum_vocab"))
+    val pts = cumT.join(cumV, "cp")
+      .select(expr(lnQ6Sql("cum_tokens")).as("x"),
+        expr(lnQ6Sql("cum_vocab")).as("y"))
+    pts
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("x").cast("decimal(20,0)")).as("sx"),
+        sum(col("y").cast("decimal(20,0)")).as("sy"),
+        sum((col("x").cast("decimal(20,0)") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("x").cast("decimal(20,0)") * col("x")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("y").cast("decimal(20,0)") * col("y")).cast("decimal(38,0)")).as("syy"))
+      .withColumn("nd", col("n_points").cast("decimal(20,0)"))
+      .withColumn("num",
+        (col("nd") * col("sxy") - col("sx") * col("sy")).cast("decimal(38,0)"))
+      .withColumn("vx",
+        (col("nd") * col("sxx") - col("sx") * col("sx")).cast("decimal(38,0)"))
+      .withColumn("vy",
+        (col("nd") * col("syy") - col("sy") * col("sy")).cast("decimal(38,0)"))
+      .withColumn("inum",
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).cast("decimal(38,0)"))
+      .select(col("n_points"),
+        when(col("vx") > 0,
+          round(col("num").cast("double") / col("vx").cast("double"), 6)).as("beta"),
+        when(col("vx") > 0,
+          round(col("inum").cast("double") / col("vx").cast("double") / 1e6, 6)).as("intercept"),
+        when(col("vx") > 0 && col("vy") > 0,
+          round((col("num").cast("double") * col("num").cast("double")) /
+            (col("vx").cast("double") * col("vy").cast("double")), 6)).as("r2"))
+  }
+
+  def t34HeapsFit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    heapsOver(t.spread(t.documents).select(col("doc_id"), col("text")))
+  }
+
+  val t34Sql: String =
+    s"""WITH toksh AS (
+       |  SELECT doc_id, ${TextOps.TokensSql} AS tk FROM documents
+       |), per_doc AS (
+       |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM toksh
+       |), bounds AS (
+       |  SELECT CAST(min(doc_id) AS BIGINT) AS mn,
+       |    CAST(max(doc_id) AS BIGINT) AS mx FROM per_doc
+       |), cps AS (
+       |  SELECT DISTINCT mn + ((mx - mn) * k) // $NumCheckpoints AS cp
+       |  FROM bounds, unnest(range(1, ${NumCheckpoints + 1})) AS u(k)
+       |), cum_t AS (
+       |  SELECT cp, CAST(sum(n_tokens) AS BIGINT) AS cum_tokens
+       |  FROM cps JOIN per_doc ON doc_id <= cp GROUP BY cp
+       |), first_occ AS (
+       |  SELECT tok, CAST(min(doc_id) AS BIGINT) AS fd
+       |  FROM (SELECT doc_id, unnest(tk) AS tok FROM toksh) GROUP BY tok
+       |), cum_v AS (
+       |  SELECT cp, CAST(count(*) AS BIGINT) AS cum_vocab
+       |  FROM cps JOIN first_occ ON fd <= cp GROUP BY cp
+       |), pts AS (
+       |  SELECT ${lnQ6Sql("cum_tokens")} AS x, ${lnQ6Sql("cum_vocab")} AS y
+       |  FROM cum_t JOIN cum_v USING (cp)
+       |), a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_points,
+       |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+       |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+       |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+       |    sum(CAST(y AS HUGEINT) * y) AS syy
+       |  FROM pts
+       |), f AS (
+       |  SELECT n_points,
+       |    n_points * sxy - sx * sy AS num,
+       |    n_points * sxx - sx * sx AS vx,
+       |    n_points * syy - sy * sy AS vy,
+       |    sy * sxx - sx * sxy AS inum
+       |  FROM a
+       |)
+       |SELECT n_points,
+       |  CASE WHEN vx > 0
+       |    THEN round(CAST(num AS DOUBLE) / CAST(vx AS DOUBLE), 6) END AS beta,
+       |  CASE WHEN vx > 0
+       |    THEN round(CAST(inum AS DOUBLE) / CAST(vx AS DOUBLE) / 1000000.0, 6)
+       |  END AS intercept,
+       |  CASE WHEN vx > 0 AND vy > 0
+       |    THEN round((CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) /
+       |      (CAST(vx AS DOUBLE) * CAST(vy AS DOUBLE)), 6) END AS r2
+       |FROM f""".stripMargin
+}

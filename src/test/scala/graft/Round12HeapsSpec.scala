@@ -1,0 +1,106 @@
+package graft
+
+import graft.operators.HeapsFit
+
+/** t34 Heaps'-law fit specs: a plain-Scala BigInt mirror of the full
+  * checkpoint + moment algebra, the exact β = 1 endpoint (every doc
+  * introduces only new tokens → V(n) = n, r² = 1, intercept 0 — all
+  * grid-exact), the saturated β = 0 endpoint (identical docs →
+  * intercept = ln V exactly on the grid, r² undefined), and the driver
+  * entry's sanity band. */
+class Round12HeapsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // mirror of tokensOf for single-space lowercase corpora
+  private def toks(t: String): Seq[String] = t.split(" ").toSeq
+
+  private def refHeaps(docs: Seq[(Long, String)])
+      : (Long, Option[Double], Option[Double], Option[Double]) = {
+    val perDoc = docs.map { case (id, t) => id -> toks(t).length.toLong }
+    val ids = docs.map(_._1)
+    val (mn, mx) = (ids.min, ids.max)
+    val cps = (1 to HeapsFit.NumCheckpoints)
+      .map(k => mn + ((mx - mn) * k) / HeapsFit.NumCheckpoints).distinct
+    val firstOcc = docs.flatMap { case (id, t) => toks(t).map(_ -> id) }
+      .groupBy(_._1).map { case (_, xs) => xs.map(_._2).min }.toSeq
+    val pts = cps.map { cp =>
+      val ct = perDoc.filter(_._1 <= cp).map(_._2).sum
+      val cv = firstOcc.count(_ <= cp).toLong
+      (BigInt(math.round(math.log(ct.toDouble) * 1e6)),
+        BigInt(math.round(math.log(cv.toDouble) * 1e6)))
+    }
+    val n = BigInt(pts.length)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    val num = n * sxy - sx * sy
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val inum = sy * sxx - sx * sxy
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    (pts.length.toLong,
+      if (vx > 0) Some(r6(num.toDouble / vx.toDouble)) else None,
+      if (vx > 0) Some(r6(inum.toDouble / vx.toDouble / 1e6)) else None,
+      if (vx > 0 && vy > 0)
+        Some(r6((num.toDouble * num.toDouble) / (vx.toDouble * vy.toDouble)))
+      else None)
+  }
+
+  private def fit(docs: Seq[(Long, String)]) = {
+    val r = HeapsFit.heapsOver(docs.toDF("doc_id", "text")).collect().head
+    (r.getLong(0),
+      Option(r.getAs[java.lang.Double]("beta")).map(_.doubleValue),
+      Option(r.getAs[java.lang.Double]("intercept")).map(_.doubleValue),
+      Option(r.getAs[java.lang.Double]("r2")).map(_.doubleValue))
+  }
+
+  test("t34: the full checkpoint + moment algebra equals the BigInt mirror") {
+    // non-contiguous ids exercise the value grid; mixed reuse/new tokens
+    val docs = Seq(
+      (3L, "alpha beta gamma"), (7L, "alpha beta delta epsilon"),
+      (12L, "beta zeta eta theta iota"), (20L, "alpha kappa"),
+      (33L, "lambda mu nu alpha beta gamma"), (41L, "xi omicron pi rho"))
+    assert(fit(docs) === refHeaps(docs))
+  }
+
+  test("t34: every-token-new corpus fits beta = 1, r2 = 1, intercept 0 exactly") {
+    val docs = (0L until 16L).map(i =>
+      i -> (0 until 5).map(j => s"tok_${i}_$j").mkString(" "))
+    val (n, beta, intercept, r2) = fit(docs)
+    assert(n >= 2)
+    assert(beta === Some(1.0))
+    assert(intercept === Some(0.0))
+    assert(r2 === Some(1.0))
+  }
+
+  test("t34: identical docs saturate — beta 0, intercept = ln V on the grid, r2 undefined") {
+    val docs = (0L until 10L).map(i => i -> "the same five words here")
+    val (_, beta, intercept, r2) = fit(docs)
+    assert(beta === Some(0.0))
+    val lnV = math.round(math.log(5.0) * 1e6).toDouble / 1e6
+    assert(intercept === Some(BigDecimal(lnV).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(r2 === None)
+  }
+
+  test("t34: the driver corpus is CORRECTLY flagged saturated (its synthetic token pool)") {
+    // the testdata documents draw from a tiny fixed token pool that is
+    // fully seen by the first checkpoint — exactly the degeneracy t34
+    // exists to flag: beta = 0, intercept = ln V on the grid, r2
+    // undefined (zero variance in cumulative vocabulary)
+    val r = HeapsFit.t34HeapsFit(spark, sfDir).collect().head
+    assert(r.getLong(0) == HeapsFit.NumCheckpoints.toLong)
+    assert(r.getDouble(1) == 0.0)
+    val v = graft.Tables(spark, sfDir).documents
+      .select(org.apache.spark.sql.functions.explode(
+        graft.operators.TextOps.tokensOf(
+          org.apache.spark.sql.functions.col("text"))).as("tok"))
+      .distinct().count()
+    val lnV = math.round(math.log(v.toDouble) * 1e6).toDouble / 1e6
+    assert(r.getDouble(2) == BigDecimal(lnV).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.isNullAt(3))
+  }
+}
