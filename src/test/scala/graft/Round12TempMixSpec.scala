@@ -126,6 +126,39 @@ class Round12TempMixSpec extends GraftSpecBase {
     assert(got.values.toSet == Set(300000L), got.toString)
   }
 
+  test("c30: the tempered rates drive budgetGateStream bit-identically to the batch gate") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.PolyFingerprint.register(spark)
+    val t0 = Timestamp.valueOf("2026-01-01 10:00:00")
+    val corpusRows = Seq(
+      (1L, "big", ("w " * 600).trim), (2L, "big", ("x " * 600).trim),
+      (3L, "mid", ("y " * 400).trim), (4L, "small", ("z " * 200).trim))
+    val batch = TextOps.tokenBudgetOver(c30Corpus(), 3L, 10L,
+      round(pow(col("src_tokens").cast("double"), 0.7) * 1000))
+    val rates = batch.select("source", "rate_ppm").distinct().localCheckpoint()
+    val want = batch.select("doc_id", "accepted").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+
+    val mem = MemoryStream[(Long, Timestamp, String, String)]
+    val q = graft.streaming.StreamingJobs
+      .budgetGateStream(mem.toDF.toDF("doc_id", "ts", "source", "text"), rates)
+      .writeStream.format("memory").queryName("c30_gate_r12").outputMode("append")
+      .start()
+    try {
+      mem.addData(corpusRows.map { case (id, src, tx) => (id, t0, src, tx) }: _*)
+      // a source the frozen rates table does not know: fail-closed
+      mem.addData((9L, t0, "unseen_source", "some new words"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("c30_gate_r12").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("accepted")).toMap
+    for ((id, _, _) <- corpusRows.map(c => (c._1, c._2, c._3)))
+      assert(streamed(id) == want(id), s"doc $id")
+    assert(!streamed(9L)) // fail-closed on an unknown source
+  }
+
   test("c29: driver entry matches the c29 oracle's source set and bounds") {
     val rows = TextOps.c29TemperatureMix(spark, sfDir).collect()
     assert(rows.nonEmpty)
