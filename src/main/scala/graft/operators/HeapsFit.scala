@@ -56,7 +56,11 @@ object HeapsFit {
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .select(explode(sequence(lit(1), lit(NumCheckpoints))).as("k"),
         col("mn"), col("mx"))
-      .select(expr(s"mn + ((mx - mn) * k) div $NumCheckpoints").as("cp"))
+      // HUGEINT/DECIMAL-widened: hash-assigned signed-64 doc_ids can
+      // make (mx - mn) itself (let alone ·k) overflow a long; the result
+      // is always within [mn, mx], so only the intermediates widen
+      .select(expr("mn + CAST((CAST(mx AS DECIMAL(38,0)) - mn) * k " +
+        s"div $NumCheckpoints AS BIGINT)").as("cp"))
       .distinct())
     val cumT = perDoc.join(cps, col("doc_id") <= col("cp"))
       .groupBy(col("cp")).agg(sum(col("n_tokens")).as("cum_tokens"))
@@ -108,7 +112,8 @@ object HeapsFit {
        |  SELECT CAST(min(doc_id) AS BIGINT) AS mn,
        |    CAST(max(doc_id) AS BIGINT) AS mx FROM per_doc
        |), cps AS (
-       |  SELECT DISTINCT mn + ((mx - mn) * k) // $NumCheckpoints AS cp
+       |  SELECT DISTINCT mn + CAST((CAST(mx AS HUGEINT) - mn) * k
+       |    // $NumCheckpoints AS BIGINT) AS cp
        |  FROM bounds, unnest(range(1, ${NumCheckpoints + 1})) AS u(k)
        |), cum_t AS (
        |  SELECT cp, CAST(sum(n_tokens) AS BIGINT) AS cum_tokens

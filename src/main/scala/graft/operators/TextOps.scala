@@ -824,7 +824,11 @@ object TextOps {
     * cross-row normalizing sum (t_micro BIGINT), so t_tot is an exact
     * integer — order-immune under any partitioning, same value in the
     * DuckDB oracle (c13's small-integer argument does not apply to raw
-    * pow outputs). Scale shape unchanged from c07/c13: one map-side-
+    * pow outputs). The residual exposure is the grid boundary itself:
+    * Math.pow and DuckDB's pow are not guaranteed bit-equal, so a value
+    * within 1 ulp of a .5 grid edge could round apart — the same
+    * measure-zero class as every ln-grid oracle here (t13/t22/t27);
+    * accepted, not defended. Scale shape unchanged from c07/c13: one map-side-
     * combined (source) aggregate + one broadcast scalar-totals relation;
     * text never shuffles.
     *
@@ -868,7 +872,7 @@ object TextOps {
        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM by_source
        |), scored AS (
        |  SELECT source, n_docs, n_tokens, total_tokens,
-       |    CAST(round(pow(CAST(n_tokens AS DOUBLE) / total_tokens, 0.7)
+       |    CAST(round(pow(CAST(n_tokens AS DOUBLE) / total_tokens, $TempAlpha)
        |      * 1000000) AS BIGINT) AS t_micro
        |  FROM by_source, totals
        |), t_tot_t AS (
@@ -924,8 +928,8 @@ object TextOps {
        |  FROM documents
        |), src AS (
        |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens,
-       |    CAST(round(pow(CAST(sum(n_tokens) AS DOUBLE), 0.7) * 1000)
-       |      AS BIGINT) AS t_raw
+       |    CAST(round(pow(CAST(sum(n_tokens) AS DOUBLE), $TempAlpha)
+       |      * $TempTargetScale) AS BIGINT) AS t_raw
        |  FROM d2 GROUP BY source
        |), tot AS (
        |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM d2
@@ -934,8 +938,8 @@ object TextOps {
        |), rates AS (
        |  SELECT source, src_tokens,
        |    CAST(least(1000000,
-       |      ((total_tokens * $BudgetNum // $BudgetDen) * t_raw // t_tot)
-       |        * 1000000 // src_tokens) AS BIGINT) AS rate_ppm
+       |      (CAST(total_tokens * $BudgetNum // $BudgetDen AS HUGEINT)
+       |        * t_raw // t_tot) * 1000000 // src_tokens) AS BIGINT) AS rate_ppm
        |  FROM src, tot, tt
        |)
        |SELECT doc_id, source, n_tokens, src_tokens, rate_ppm,
@@ -967,9 +971,12 @@ object TextOps {
     *
     * Scale shape: one corpus scan; the only aggregates are a per-source
     * token sum (map-side combined, |sources| rows) and two scalar totals;
-    * rates broadcast back — text never shuffles. rate_ppm stays exact
-    * while desired·1e6 < 2^63, i.e. budgets to ~9×10¹² tokens per source;
-    * past that, widen the grid to 1e4 (same algebra). */
+    * rates broadcast back — text never shuffles. The budget·t_raw and
+    * desired·1e6 products run in DECIMAL(38) (HUGEINT in the oracle):
+    * with c30's tempered targets the raw weights reach ~1e10, and a
+    * 64-bit product would wrap silently in Spark while DuckDB errors —
+    * the widening keeps the algebra exact and cross-engine-identical at
+    * any corpus size that fits the token counts themselves. */
   /** [[c16TokenBudget]]'s core over any (doc_id, source, text) relation
     * with an arbitrary budget fraction and per-source raw target. */
   private[graft] def tokenBudgetOver(documents: DataFrame, budgetNum: Long,
@@ -985,9 +992,16 @@ object TextOps {
     val tTot = bySource.agg(sum(col("t_raw")).as("t_tot"))
     val rates = bySource.crossJoin(broadcast(totals)).crossJoin(broadcast(tTot))
       .withColumn("budget", expr(s"total_tokens * $budgetNum div $budgetDen"))
-      .withColumn("desired", expr("budget * t_raw div t_tot"))
+      // both products DECIMAL(38)-widened: with c30's tempered target the
+      // raw weights reach ~1e10, so budget*t_raw (and desired*1e6) would
+      // wrap 64-bit at corpora orders of magnitude below 100 TB — Spark
+      // wraps silently where DuckDB errors, so a long here is a silent
+      // cross-engine divergence, not just a precision bug
+      .withColumn("desired",
+        expr("CAST(budget AS DECIMAL(38,0)) * t_raw div t_tot"))
       .withColumn("rate_ppm",
-        least(lit(1000000L), expr("desired * 1000000 div src_tokens")))
+        least(lit(1000000L),
+          expr("CAST(desired AS DECIMAL(38,0)) * 1000000 div src_tokens")))
       .select("source", "src_tokens", "rate_ppm")
     d.join(broadcast(rates), "source")
       .select(col("doc_id"), col("source"), col("n_tokens"),
@@ -1018,8 +1032,8 @@ object TextOps {
        |), rates AS (
        |  SELECT source, src_tokens,
        |    CAST(least(1000000,
-       |      ((total_tokens * $BudgetNum // $BudgetDen) * t_raw // t_tot)
-       |        * 1000000 // src_tokens) AS BIGINT) AS rate_ppm
+       |      (CAST(total_tokens * $BudgetNum // $BudgetDen AS HUGEINT)
+       |        * t_raw // t_tot) * 1000000 // src_tokens) AS BIGINT) AS rate_ppm
        |  FROM src, tot, tt
        |)
        |SELECT doc_id, source, n_tokens, src_tokens, rate_ppm,
@@ -1068,11 +1082,12 @@ object TextOps {
     val tTot = bySource.agg(sum(col("t_raw")).as("t_tot"))
     val rates = bySource.crossJoin(broadcast(totals)).crossJoin(broadcast(tTot))
       .withColumn("desired",
-        expr(s"(total_tokens * $budgetNum div $budgetDen) * t_raw div t_tot"))
+        expr(s"CAST(total_tokens * $budgetNum div $budgetDen AS DECIMAL(38,0)) " +
+          "* t_raw div t_tot"))
       .withColumn("full_epochs", expr("desired div src_tokens"))
       .withColumn("rem_ppm",
-        expr("(desired - (desired div src_tokens) * src_tokens) " +
-          "* 1000000 div src_tokens"))
+        expr("CAST(desired - (desired div src_tokens) * src_tokens " +
+          "AS DECIMAL(38,0)) * 1000000 div src_tokens"))
       .select("source", "full_epochs", "rem_ppm")
     d.join(broadcast(rates), "source")
       .withColumn("copies",
@@ -1106,11 +1121,12 @@ object TextOps {
        |), rates AS (
        |  SELECT source,
        |    CAST(dsr // src_tokens AS BIGINT) AS full_epochs,
-       |    CAST((dsr - (dsr // src_tokens) * src_tokens) * 1000000 // src_tokens
-       |      AS BIGINT) AS rem_ppm
+       |    CAST(CAST(dsr - (dsr // src_tokens) * src_tokens AS HUGEINT)
+       |      * 1000000 // src_tokens AS BIGINT) AS rem_ppm
        |  FROM (
        |    SELECT source, src_tokens,
-       |      (total_tokens * $UpsampleNum // $UpsampleDen) * t_raw // t_tot AS dsr
+       |      CAST(total_tokens * $UpsampleNum // $UpsampleDen AS HUGEINT)
+       |        * t_raw // t_tot AS dsr
        |    FROM src, tot, tt
        |  )
        |), copies AS (

@@ -1180,8 +1180,10 @@ object VectorOps {
   private val SqRerank = 50
 
   /** Session cache of trained per-dimension bounds keyed by corpus dir
-    * (the Codebooks train-once lifecycle — bounds are a per-corpus
-    * artifact shared by every s14 call and the s12 audit). */
+    * + content fingerprint (the BpeOps cache-key shape: testdata
+    * regenerated in place mid-session retrains instead of serving the
+    * previous generation's bounds — the Codebooks train-once
+    * lifecycle otherwise). */
   private val sqBoundsCache =
     scala.collection.concurrent.TrieMap.empty[String, (Seq[Double], Seq[Double])]
 
@@ -1204,8 +1206,8 @@ object VectorOps {
     (vmin, vdiff)
   }
 
-  private def sqBoundsCached(v: => DataFrame, dir: String): (Seq[Double], Seq[Double]) =
-    sqBoundsCache.getOrElseUpdate(dir, sqTrainBounds(v))
+  private def sqBoundsCached(v: => DataFrame, key: String): (Seq[Double], Seq[Double]) =
+    sqBoundsCache.getOrElseUpdate(key, sqTrainBounds(v))
 
   /** SQ8 encode: code_i = round((x_i − vmin_i) / vdiff_i · 255), clamped
     * to [0, 255] — scan-side zip_with over the bounds plan literals. The
@@ -1259,9 +1261,11 @@ object VectorOps {
       rerank: Int): DataFrame = {
     FloatVecDot.register(spark)
     TopKByScore.register(spark)
-    val v = Tables(spark, dir).embeddings
+    val t = Tables(spark, dir)
+    val v = t.embeddings
       .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val (vmin, vdiff) = sqBoundsCached(v, dir)
+    val (vmin, vdiff) = sqBoundsCached(v,
+      dir + "#" + Tables.corpusFingerprint(t.embeddings))
     val codes = sqEncode(v, vmin, vdiff)
     val mn = typedlit(vmin)
     val df = typedlit(vdiff)

@@ -49,10 +49,12 @@ object WordpieceOps {
   private[graft] val ContPrefix = "##"
 
   /** Longest-match bound at encode time, in chars (excludes the `##`):
-    * no trained piece can exceed it because merges only concatenate
-    * pieces of words ≤ [[BpeOps.MaxWordLen]]; the encode loop's inner
-    * scan is bounded by it. */
-  private[graft] val MaxPieceChars = 16
+    * DERIVED from the trained vocabulary (its longest piece — merges can
+    * chain up to [[BpeOps.MaxWordLen]] chars, so a fixed constant would
+    * silently make longer trained pieces unreachable and break the
+    * greedy-longest-match contract). */
+  private[graft] def maxPieceChars(vocab: Seq[String]): Int =
+    vocab.map(_.stripPrefix(ContPrefix).length).max
 
   /** Driver-default merge budget / support floor (t10's, so the t24
     * comparison holds geometry constant across tokenizer families). */
@@ -192,14 +194,15 @@ object WordpieceOps {
     * whole word is `[UNK]` (count 1). State = (pos, n, fail); each step
     * consumes ≥ 1 char so length(w) iterations suffice. The vocab map
     * `vmap` is a plan literal — scan-side, zero shuffles, zero UDFs. */
-  private[graft] def wpGreedyCount(w: Column, vmap: Column): Column = {
+  private[graft] def wpGreedyCount(w: Column, vmap: Column,
+      maxPiece: Int): Column = {
     val walked = aggregate(
       sequence(lit(1), length(w)),
       struct(lit(1).as("pos"), lit(0).as("n"), lit(false).as("fail")),
       (st, _) => {
         val pos = st.getField("pos")
         val inert = st.getField("fail") || pos > length(w)
-        val maxl = least(lit(MaxPieceChars), length(w) - pos + lit(1))
+        val maxl = least(lit(maxPiece), length(w) - pos + lit(1))
         val best = aggregate(
           sequence(maxl, lit(1), lit(-1)),
           lit(0),
@@ -224,11 +227,19 @@ object WordpieceOps {
   }
 
   /** Segment a (word, cnt, ...) dict under a trained vocab: adds
-    * `word_wp` (piece count; 1 when `[UNK]`) and `is_unk`. */
+    * `word_wp` (piece count; 1 when `[UNK]`) and `is_unk`. Words over
+    * [[BpeOps.MaxWordLen]] take the `[UNK]` path WITHOUT running the
+    * greedy fold (the batch dict never contains them — its word census
+    * filters first — but the streaming face feeds raw words, and a
+    * megabyte token must not walk a megabyte-length interpreted fold on
+    * the ingest hot path). */
   private[graft] def segmentDictWp(dict: DataFrame,
       vocab: Seq[String]): DataFrame = {
     val vmap = typedlit(vocab.map(_ -> 1).toMap)
-    dict.withColumn("g", wpGreedyCount(col("word"), vmap))
+    dict.withColumn("g",
+        when(length(col("word")) <= BpeOps.MaxWordLen,
+          wpGreedyCount(col("word"), vmap, maxPieceChars(vocab)))
+        .otherwise(struct(lit(1L).as("word_wp"), lit(true).as("is_unk"))))
       .withColumn("word_wp", col("g.word_wp"))
       .withColumn("is_unk", col("g.is_unk"))
       .drop("g")

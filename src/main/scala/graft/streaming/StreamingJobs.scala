@@ -1205,30 +1205,27 @@ object StreamingJobs {
     * encoder runs ([[graft.operators.WordpieceOps.segmentDictWp]] —
     * bit-parity spec-pinned, including the whole-word `[UNK]`
     * convention). Words over [[graft.operators.BpeOps.MaxWordLen]] take
-    * the batch dict path's LEFT-JOIN fallback explicitly (`[UNK]`,
-    * counted) — the batch dict never contains them, the stream must
-    * reproduce that, not segment them. Null/empty text keeps a zero row
-    * (the every-doc-a-row ingest discipline). */
+    * the batch dict path's LEFT-JOIN fallback (`[UNK]`, counted) inside
+    * segmentDictWp itself — the batch dict never contains them, and the
+    * stream must neither segment them nor pay their fold. Null/empty
+    * text keeps a zero row (the every-doc-a-row ingest discipline). */
   def wordpieceEncodeStream(docs: DataFrame, vocab: Seq[String],
       watermark: String = "1 hour"): DataFrame = {
-    import graft.operators.{BpeOps, WordpieceOps}
+    import graft.operators.WordpieceOps
     val words = docs.withWatermark("ts", watermark)
       .select(col("doc_id"), col("ts"), explode_outer(
         filter(graft.operators.TextOps.tokensOf(
           coalesce(col("text"), lit(""))), w => length(w) >= 1)).as("word"))
+    // segmentDictWp itself [UNK]s over-MaxWordLen words WITHOUT running
+    // the greedy fold, so a megabyte spam token costs a length check,
+    // not a megabyte-length interpreted walk
     WordpieceOps.segmentDictWp(words, vocab)
-      .withColumn("eff_wp",
-        when(length(col("word")) > BpeOps.MaxWordLen, lit(1L))
-          .otherwise(col("word_wp")))
-      .withColumn("eff_unk",
-        when(length(col("word")) > BpeOps.MaxWordLen, lit(true))
-          .otherwise(col("is_unk")))
       .groupBy(col("doc_id"), col("ts"))
       .agg(count(col("word")).as("n_words"),
         coalesce(sum(length(col("word"))), lit(0L)).cast("long").as("n_chars"),
-        coalesce(sum(when(col("word").isNotNull, col("eff_wp"))), lit(0L))
+        coalesce(sum(when(col("word").isNotNull, col("word_wp"))), lit(0L))
           .as("n_wp_tokens"),
-        coalesce(sum(when(col("word").isNotNull && col("eff_unk"), 1L)
+        coalesce(sum(when(col("word").isNotNull && col("is_unk"), 1L)
           .otherwise(0L)), lit(0L)).as("n_unk_words"))
       .withColumn("compression",
         when(col("n_wp_tokens") > 0,

@@ -68,12 +68,14 @@ class Round12WordpieceSpec extends GraftSpecBase {
   }
 
   /** The reference greedy longest-match encoder (BERT's): piece count
-    * per word, or (1, unk) when any position fails to match. */
+    * per word, or (1, unk) when any position fails to match. The
+    * longest-match bound derives from the vocab, as the engine's does. */
   private def refGreedy(w: String, vocab: Set[String]): (Long, Boolean) = {
+    val maxPiece = vocab.map(_.stripPrefix("##").length).max
     var pos = 0
     var n = 0L
     while (pos < w.length) {
-      var l = math.min(WordpieceOps.MaxPieceChars, w.length - pos)
+      var l = math.min(maxPiece, w.length - pos)
       var hit = 0
       while (l >= 1 && hit == 0) {
         val piece = (if (pos > 0) "##" else "") + w.substring(pos, pos + l)
@@ -211,6 +213,27 @@ class Round12WordpieceSpec extends GraftSpecBase {
     WordpieceOps.vocabAttach(spark, table)
     assert(WordpieceOps.vocabLoad(spark, table) == vocab)
     spark.sql(s"DROP TABLE $table")
+  }
+
+  test("t33: trained pieces LONGER than 16 chars stay reachable (vocab-derived match bound)") {
+    // a 20-char word trained into ONE piece: with a fixed 16-char match
+    // bound the encoder could never take it whole — the bound must come
+    // from the vocabulary itself
+    val long = Seq(
+      (0L, "internationalization internationalization"),
+      (1L, "internationalization lands"),
+      (2L, "internationalization again")).toDF("doc_id", "text")
+    val (merges, dict) = WordpieceOps.wpTrainDict(
+      WordpieceOps.wordDictWp(long), k = 40, minCount = 2L)
+    val vocab = WordpieceOps.wpVocab(dict, merges)
+    assert(vocab.contains("internationalization"),
+      "the 20-char word should train into one piece on this corpus")
+    assert(WordpieceOps.maxPieceChars(vocab) == 20)
+    val enc = WordpieceOps.wordpieceEncodeWithVocab(
+        Seq((9L, "internationalization")).toDF("doc_id", "text"), vocab)
+      .collect().head
+    assert(enc.getLong(3) == 1L, "greedy longest-match must take the whole piece")
+    assert(enc.getLong(4) == 0L)
   }
 
   test("t33: driver entry is deterministic and bounded (words ≤ tokens ≤ chars per doc)") {
