@@ -140,6 +140,111 @@ object AudioOps {
     }
   }
 
+  // ---------------------------------------------------------------- m07
+  /** Envelope fingerprint geometry: 64 bits need 65 energy windows. */
+  private[graft] val FpWindows = 65
+
+  /** 64-bit ENERGY-ENVELOPE fingerprint (Haitsma & Kalker, CBMI'02 —
+    * the Philips audio-fingerprint family, simplified to its time-axis
+    * core): channel-0 samples split into [[FpWindows]] equal windows,
+    * bit w = 1 iff energy(w+1) > energy(w). Sign-of-delta is invariant
+    * to uniform gain (energies scale by g², comparisons unchanged) —
+    * the volume-normalized re-encode case exact-hash dedup misses.
+    * Requires a parseable PCM WAV with ≥ [[FpWindows]] frames; energies
+    * are exact integer sums of squares (bit-stable), the frame tail
+    * past 65·(n div 65) is ignored (window boundaries must not depend
+    * on total length modulo the window count). */
+  private[graft] def wavEnvelopeFp(r: MediaRecord): Option[Long] = {
+    val p = r.payload
+    if (!sniffWav(p)) None
+    else scala.util.Try {
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int, Int)] = None
+      var data: Option[(Int, Int)] = None
+      while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = new String(p, off, 4, "US-ASCII")
+        val sz = le32(p, off + 4)
+        require(sz >= 0 && off + 8 + sz <= p.length, "chunk overruns payload")
+        if (id == "fmt ") {
+          require(sz >= 16, "fmt chunk too short")
+          fmt = Some((le16(p, off + 8), le16(p, off + 10), le32(p, off + 12),
+            le16(p, off + 20), le16(p, off + 22)))
+        } else if (id == "data") data = Some((off + 8, sz))
+        off += 8 + sz + (sz & 1)
+      }
+      for {
+        (audioFormat, ch, rate, blockAlign, bits) <- fmt
+        (doff, dlen) <- data
+        if audioFormat == 1 && (bits == 8 || bits == 16) && ch >= 1 &&
+          rate > 0 && blockAlign == ch * (bits / 8)
+        nFrames = dlen / blockAlign
+        if nFrames >= FpWindows
+      } yield {
+        def sample0(f: Int): Int =
+          if (bits == 16) le16(p, doff + f * blockAlign).toShort.toInt
+          else (p(doff + f * blockAlign) & 0xff) - 128
+        val fpw = nFrames / FpWindows
+        val energies = Array.tabulate(FpWindows) { w =>
+          var e = 0L
+          var f = w * fpw
+          val end = f + fpw
+          while (f < end) { val s = sample0(f); e += s.toLong * s; f += 1 }
+          e
+        }
+        var bitsOut = 0L
+        var w = 0
+        while (w < FpWindows - 1) {
+          if (energies(w + 1) > energies(w)) bitsOut |= (1L << w)
+          w += 1
+        }
+        bitsOut
+      }
+    }.toOption.flatten
+  }
+
+  /** One fingerprint row per payload ([[MultimodalOps.MediaFingerprint]]'s
+    * audio shape): `real` = a PCM WAV long enough to window; otherwise
+    * the pack is the byte length — the only identity m04's stub tuple
+    * carries (it is a function of byte_len alone), so stub equality is
+    * exactly m04-stub equality. */
+  final case class AudioFp(doc_id: Long, real: Boolean, fp: Long)
+
+  def audioFpAll(media: Dataset[MediaRecord]): Dataset[AudioFp] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        wavEnvelopeFp(r) match {
+          case Some(fp) => AudioFp(r.doc_id, real = true, fp)
+          case None => AudioFp(r.doc_id, real = false, r.payload.length.toLong)
+        }
+      }
+    }
+  }
+
+  /** m07: audio perceptual NEAR-dup pairs — m06's pigeonhole pair
+    * engine ([[MultimodalOps.fpNearDupPairs]]) over the energy-envelope
+    * fingerprints, completing the near-dup story across all four
+    * modalities (text d03/d04, embeddings d05/d09, images m06, audio
+    * here): a gain-changed re-encode of the same recording lands at
+    * hamming 0, a locally-edited copy (a splice, an overdub window)
+    * within the ≤ 3 band, unrelated audio shares no segment. Payloads
+    * never shuffle — only (doc_id, fp) rows. Rows-only (fingerprints
+    * are decode-derived); Round12AudioNearDupSpec drives REAL in-memory
+    * PCM: a half-gain copy at hamming 0, a one-window overdub at
+    * hamming exactly 1, stub payloads pairing only on byte-length
+    * (= m04-stub) equality. */
+  def m07AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    audioNearDupOver(media)
+  }
+
+  def audioNearDupOver(media: Dataset[MediaRecord]): DataFrame =
+    MultimodalOps.fpNearDupPairs(audioFpAll(media).toDF()
+      .select(col("doc_id"), col("real"), col("fp")))
+
   /** m04: the audio feature pipeline over the corpus's binary payloads.
     * The driver corpus's payloads are text-synthesized (no RIFF magic), so
     * the driver entry exercises the stub path end to end and the oracle

@@ -396,9 +396,16 @@ object MultimodalOps {
     * pipeline: a two-cell-perturbed copy pairs at 0 < hamming ≤ 3, a
     * re-encode at hamming 0, and an inverted image not at all (no shared
     * segment → never a candidate). */
-  def mediaNearDupOver(media: Dataset[MediaRecord]): DataFrame = {
-    val fps = fingerprintAll(media).toDF()
-      .select(col("doc_id"), col("real"), col("fp"))
+  def mediaNearDupOver(media: Dataset[MediaRecord]): DataFrame =
+    fpNearDupPairs(fingerprintAll(media).toDF()
+      .select(col("doc_id"), col("real"), col("fp")))
+
+  /** The pigeonhole near-dup pair engine over ANY (doc_id, real, fp)
+    * fingerprint relation — shared by m06 (image aHash) and m07 (audio
+    * energy-envelope): real fingerprints are perceptual bit vectors and
+    * pair within Hamming ≤ 3; `real = false` rows are bijective metadata
+    * packs and pair only on exact equality. */
+  private[graft] def fpNearDupPairs(fps: DataFrame): DataFrame = {
     // real fps block on the 4 pigeonhole segments; stub packs block on
     // the FULL fp — their high segments are all zero (the pack is a
     // small number), so segment blocking would make every stub a

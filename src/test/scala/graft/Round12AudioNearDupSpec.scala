@@ -1,0 +1,103 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import graft.operators.AudioOps
+import graft.operators.MultimodalOps.MediaRecord
+
+/** m07 audio perceptual near-dup specs, driven with REAL in-memory PCM
+  * through the exact driver pipeline: a uniform half-gain copy of the
+  * same recording pairs at hamming 0 (sign-of-energy-delta is
+  * gain-invariant), a one-window overdub pairs at hamming exactly 1,
+  * and stub payloads pair only on byte-length equality (m04's stub
+  * identity). Plus the fingerprint's own invariants: tail-frame
+  * independence and the too-short-to-window stub fallback. */
+class Round12AudioNearDupSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** Round9AudioSpec's in-memory PCM WAV builder (mono 16-bit here). */
+  private def wav(samples: Array[Int], rate: Int = 8000): Array[Byte] = {
+    val data = new ByteArrayOutputStream()
+    samples.foreach { s => data.write(s & 0xff); data.write((s >> 8) & 0xff) }
+    val d = data.toByteArray
+    val out = new ByteArrayOutputStream()
+    def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("RIFF".getBytes); w32(4 + 24 + 8 + d.length)
+    out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); w32(16)
+    w16(1); w16(1); w32(rate); w32(rate * 2); w16(2); w16(16)
+    out.write("data".getBytes); w32(d.length); out.write(d)
+    out.toByteArray
+  }
+
+  /** 65 windows × 10 frames; window w holds constant amplitude
+    * a_w = 100 + ((13·w) mod 37)·50 — even, and ADJACENT amplitudes
+    * always differ (13 is coprime to 37), so every energy comparison is
+    * strict and survives exact integer halving. */
+  private def amp(w: Int): Int = 100 + ((13 * w) % 37) * 50
+  private def baseSamples: Array[Int] =
+    Array.tabulate(650)(f => amp(f / 10))
+  private def halfGain: Array[Int] = baseSamples.map(_ / 2)
+  /** Window 30 overdubbed to full scale: at w=29..31 the base
+    * amplitudes are 450 < 1100 < 1750 (both deltas rising), so the edit
+    * flips ONLY bit 30 (E31 > E30 becomes false; E30 > E29 stays true). */
+  private def overdub: Array[Int] =
+    baseSamples.zipWithIndex.map { case (s, f) => if (f / 10 == 30) 20000 else s }
+
+  test("m07: half-gain copy at hamming 0; one-window overdub at hamming exactly 1") {
+    val media = Seq(
+      MediaRecord(1L, wav(baseSamples)),
+      MediaRecord(2L, wav(halfGain)),
+      MediaRecord(3L, wav(overdub))
+    ).toDS()
+    val out = AudioOps.audioNearDupOver(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getBoolean(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out((1L, 2L)) === ((true, 0L, true)))
+    assert(out((1L, 3L)) === ((true, 1L, true)))
+    assert(out((2L, 3L)) === ((true, 1L, true)))
+  }
+
+  test("m07: the fingerprint ignores tail frames past the window grid") {
+    // 650 + 9 extra frames: fpw = 659/65 = 10 unchanged... engineered
+    // instead at the boundary: n=659 keeps fpw=10, so windows cover the
+    // same first 650 frames and the fp is bit-identical
+    val tail = baseSamples ++ Array.fill(9)(12345)
+    val a = AudioOps.wavEnvelopeFp(MediaRecord(1L, wav(baseSamples)))
+    val b = AudioOps.wavEnvelopeFp(MediaRecord(2L, wav(tail)))
+    assert(a.isDefined && a == b)
+  }
+
+  test("m07: a WAV too short to window takes the stub pack, not a garbage fp") {
+    val short = wav(Array.tabulate(64)(_ => 500)) // 64 < FpWindows
+    val fps = AudioOps.audioFpAll(Seq(MediaRecord(5L, short)).toDS()).collect()
+    assert(!fps.head.real)
+    assert(fps.head.fp == short.length.toLong)
+  }
+
+  test("m07: stub payloads pair only on byte-length (m04-stub) equality") {
+    val media = Seq(
+      MediaRecord(10L, "aaaa bbbb cccc".getBytes("UTF-8")),
+      MediaRecord(11L, "dddd eeee ffff".getBytes("UTF-8")),
+      MediaRecord(12L, "a much longer different payload".getBytes("UTF-8"))
+    ).toDS()
+    val out = AudioOps.audioNearDupOver(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getBoolean(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out((10L, 11L)) === ((false, 0L, true)))
+    assert(!out.keySet.exists { case (a, b) => a == 12L || b == 12L })
+  }
+
+  test("m07: driver entry returns pair rows with hamming-consistent flags") {
+    val rows = AudioOps.m07AudioNearDup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (real, hamming, near) = (r.getBoolean(2), r.getLong(3), r.getBoolean(4))
+      if (real) assert(near == (hamming <= 3))
+      else assert(near == (hamming == 0))
+    }
+    assert(rows.forall(!_.getBoolean(2))) // the driver payloads are all stub
+  }
+}
