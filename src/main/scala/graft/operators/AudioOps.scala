@@ -42,70 +42,82 @@ object AudioOps {
     (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
       ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
 
-  /** REAL RIFF/WAVE PCM parse — pure JRE, no codec library. Walks the
-    * chunk list (word-aligned sizes, unknown chunks skipped — a LIST or
-    * fact chunk before fmt/data is legal WAV), accepts PCM (format 1) at
-    * 8 or 16 bits, and measures the signal with exact integer sums so the
-    * stats are bit-stable: RMS = sqrt(Σ s²/N)/full-scale over all channel
-    * samples, zero crossings counted on channel 0 (sign transitions,
-    * zeros transparent), peak = max |s|. A sniffed-but-corrupt payload
-    * (bad chunk size, truncated data, non-PCM format) returns None and
-    * falls through to the stub — never fails the partition. */
+  /** A validated PCM WAV header: the fields BOTH decode faces consume.
+    * `nFrames` is data-chunk frames at `blockAlign`. */
+  private[graft] final case class WavHeader(rate: Int, channels: Int,
+      bits: Int, blockAlign: Int, dataOff: Int, nFrames: Int)
+
+  /** The ONE RIFF chunk walk + fmt/data validation, shared by
+    * [[WavDecoder.decode]] (m04 features) and [[wavEnvelopeFp]] (m07
+    * fingerprints) so a WAV-parsing fix can never diverge the two faces
+    * (r12 ADVICE). Walks word-aligned chunks (unknown chunks skipped — a
+    * LIST or fact chunk before fmt/data is legal WAV), accepts PCM
+    * (format 1) at 8 or 16 bits. A sniffed-but-corrupt payload (bad
+    * chunk size, truncated data, non-PCM format) returns None and the
+    * caller falls through to its stub — never fails the partition. */
+  private[graft] def parseWavHeader(p: Array[Byte]): Option[WavHeader] =
+    if (!sniffWav(p)) None
+    else scala.util.Try {
+      var off = 12
+      var fmt: Option[(Int, Int, Int, Int, Int)] = None
+      var data: Option[(Int, Int)] = None
+      while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+        val id = new String(p, off, 4, "US-ASCII")
+        val sz = le32(p, off + 4)
+        require(sz >= 0 && off + 8 + sz <= p.length, "chunk overruns payload")
+        if (id == "fmt ") {
+          require(sz >= 16, "fmt chunk too short")
+          fmt = Some((le16(p, off + 8), le16(p, off + 10), le32(p, off + 12),
+            le16(p, off + 20), le16(p, off + 22)))
+        } else if (id == "data") data = Some((off + 8, sz))
+        off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
+      }
+      for {
+        (audioFormat, ch, rate, blockAlign, bits) <- fmt
+        (doff, dlen) <- data
+        if audioFormat == 1 && (bits == 8 || bits == 16) && ch >= 1 &&
+          rate > 0 && blockAlign == ch * (bits / 8)
+      } yield WavHeader(rate, ch, bits, blockAlign, doff, dlen / blockAlign)
+    }.toOption.flatten
+
+  /** REAL RIFF/WAVE PCM signal statistics — pure JRE, no codec library.
+    * Header via [[parseWavHeader]]; the signal is measured with exact
+    * integer sums so the stats are bit-stable: RMS = sqrt(Σ s²/N)/
+    * full-scale over all channel samples, zero crossings counted on
+    * channel 0 (sign transitions, zeros transparent), peak = max |s|. */
   object WavDecoder {
     def decode(r: MediaRecord): Option[AudioFeatures] = {
       val p = r.payload
-      if (!sniffWav(p)) None
-      else scala.util.Try {
-        var off = 12
-        var fmt: Option[(Int, Int, Int, Int, Int)] = None
-        var data: Option[(Int, Int)] = None
-        while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
-          val id = new String(p, off, 4, "US-ASCII")
-          val sz = le32(p, off + 4)
-          require(sz >= 0 && off + 8 + sz <= p.length, "chunk overruns payload")
-          if (id == "fmt ") {
-            require(sz >= 16, "fmt chunk too short")
-            fmt = Some((le16(p, off + 8), le16(p, off + 10), le32(p, off + 12),
-              le16(p, off + 20), le16(p, off + 22)))
-          } else if (id == "data") data = Some((off + 8, sz))
-          off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
-        }
-        for {
-          (audioFormat, ch, rate, blockAlign, bits) <- fmt
-          (doff, dlen) <- data
-          if audioFormat == 1 && (bits == 8 || bits == 16) && ch >= 1 &&
-            rate > 0 && blockAlign == ch * (bits / 8)
-        } yield {
-          val nFrames = dlen / blockAlign
-          def sample(f: Int, c: Int): Int =
-            if (bits == 16) le16(p, doff + f * blockAlign + c * 2).toShort.toInt
-            else (p(doff + f * blockAlign + c) & 0xff) - 128
-          var sumSq = 0L; var peak = 0; var zc = 0L; var prevSign = 0
-          var f = 0
-          while (f < nFrames) {
-            var c = 0
-            while (c < ch) {
-              val s = sample(f, c)
-              sumSq += s.toLong * s
-              val a = math.abs(s); if (a > peak) peak = a
-              c += 1
-            }
-            val s0 = sample(f, 0)
-            val sign = if (s0 > 0) 1 else if (s0 < 0) -1 else 0
-            if (sign != 0) {
-              if (prevSign != 0 && sign != prevSign) zc += 1
-              prevSign = sign
-            }
-            f += 1
+      parseWavHeader(p).map { h =>
+        val WavHeader(rate, ch, bits, blockAlign, doff, nFrames) = h
+        def sample(f: Int, c: Int): Int =
+          if (bits == 16) le16(p, doff + f * blockAlign + c * 2).toShort.toInt
+          else (p(doff + f * blockAlign + c) & 0xff) - 128
+        var sumSq = 0L; var peak = 0; var zc = 0L; var prevSign = 0
+        var f = 0
+        while (f < nFrames) {
+          var c = 0
+          while (c < ch) {
+            val s = sample(f, c)
+            sumSq += s.toLong * s
+            val a = math.abs(s); if (a > peak) peak = a
+            c += 1
           }
-          val fullScale = if (bits == 16) 32768.0 else 128.0
-          val rms =
-            if (nFrames == 0) 0.0
-            else math.sqrt(sumSq.toDouble / (nFrames.toLong * ch)) / fullScale
-          AudioFeatures(r.doc_id, p.length.toLong, real = true, rate, ch, bits,
-            nFrames, nFrames * 1000L / rate, rms, zc, peak)
+          val s0 = sample(f, 0)
+          val sign = if (s0 > 0) 1 else if (s0 < 0) -1 else 0
+          if (sign != 0) {
+            if (prevSign != 0 && sign != prevSign) zc += 1
+            prevSign = sign
+          }
+          f += 1
         }
-      }.toOption.flatten
+        val fullScale = if (bits == 16) 32768.0 else 128.0
+        val rms =
+          if (nFrames == 0) 0.0
+          else math.sqrt(sumSq.toDouble / (nFrames.toLong * ch)) / fullScale
+        AudioFeatures(r.doc_id, p.length.toLong, real = true, rate, ch, bits,
+          nFrames, nFrames * 1000L / rate, rms, zc, peak)
+      }
     }
   }
 
@@ -156,58 +168,56 @@ object AudioOps {
     * on total length modulo the window count). */
   private[graft] def wavEnvelopeFp(r: MediaRecord): Option[Long] = {
     val p = r.payload
-    if (!sniffWav(p)) None
-    else scala.util.Try {
-      var off = 12
-      var fmt: Option[(Int, Int, Int, Int, Int)] = None
-      var data: Option[(Int, Int)] = None
-      while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
-        val id = new String(p, off, 4, "US-ASCII")
-        val sz = le32(p, off + 4)
-        require(sz >= 0 && off + 8 + sz <= p.length, "chunk overruns payload")
-        if (id == "fmt ") {
-          require(sz >= 16, "fmt chunk too short")
-          fmt = Some((le16(p, off + 8), le16(p, off + 10), le32(p, off + 12),
-            le16(p, off + 20), le16(p, off + 22)))
-        } else if (id == "data") data = Some((off + 8, sz))
-        off += 8 + sz + (sz & 1)
+    for {
+      h <- parseWavHeader(p) // the ONE shared chunk walk (r12 ADVICE)
+      if h.nFrames >= FpWindows
+    } yield {
+      val WavHeader(_, _, bits, blockAlign, doff, nFrames) = h
+      def sample0(f: Int): Int =
+        if (bits == 16) le16(p, doff + f * blockAlign).toShort.toInt
+        else (p(doff + f * blockAlign) & 0xff) - 128
+      val fpw = nFrames / FpWindows
+      val energies = Array.tabulate(FpWindows) { w =>
+        var e = 0L
+        var f = w * fpw
+        val end = f + fpw
+        while (f < end) { val s = sample0(f); e += s.toLong * s; f += 1 }
+        e
       }
-      for {
-        (audioFormat, ch, rate, blockAlign, bits) <- fmt
-        (doff, dlen) <- data
-        if audioFormat == 1 && (bits == 8 || bits == 16) && ch >= 1 &&
-          rate > 0 && blockAlign == ch * (bits / 8)
-        nFrames = dlen / blockAlign
-        if nFrames >= FpWindows
-      } yield {
-        def sample0(f: Int): Int =
-          if (bits == 16) le16(p, doff + f * blockAlign).toShort.toInt
-          else (p(doff + f * blockAlign) & 0xff) - 128
-        val fpw = nFrames / FpWindows
-        val energies = Array.tabulate(FpWindows) { w =>
-          var e = 0L
-          var f = w * fpw
-          val end = f + fpw
-          while (f < end) { val s = sample0(f); e += s.toLong * s; f += 1 }
-          e
-        }
-        var bitsOut = 0L
-        var w = 0
-        while (w < FpWindows - 1) {
-          if (energies(w + 1) > energies(w)) bitsOut |= (1L << w)
-          w += 1
-        }
-        bitsOut
+      var bitsOut = 0L
+      var w = 0
+      while (w < FpWindows - 1) {
+        if (energies(w + 1) > energies(w)) bitsOut |= (1L << w)
+        w += 1
       }
-    }.toOption.flatten
+      bitsOut
+    }
   }
 
   /** One fingerprint row per payload ([[MultimodalOps.MediaFingerprint]]'s
-    * audio shape): `real` = a PCM WAV long enough to window; otherwise
-    * the pack is the byte length — the only identity m04's stub tuple
-    * carries (it is a function of byte_len alone), so stub equality is
-    * exactly m04-stub equality. */
+    * audio shape). `real` = a PCM WAV long enough to window. Non-real
+    * payloads carry a stub PACK, tiered by how much the payload actually
+    * told us (r12 ADVICE: a parseable-but-short WAV must not collide with
+    * an unrelated text blob of equal byte length):
+    *   - short-but-parseable PCM WAV (< [[FpWindows]] frames): a
+    *     header-derived pack of (rate, channels, frames, byte_len) —
+    *     [[shortWavPack]], the m06 stub-pack discipline — so it pairs
+    *     ONLY with audio of identical header stats and length;
+    *   - everything else: the byte length, m04's stub identity. */
   final case class AudioFp(doc_id: Long, real: Boolean, fp: Long)
+
+  /** Bit-packed (rate, channels, frames, byte_len) under an ALWAYS-SET
+    * tier mark at bit 62: byte_len in bits 0..30 (payload length is an
+    * Int), frames in 31..37 (< [[FpWindows]] = 65, 7 bits exact),
+    * channels (masked to 5 bits) in 38..42, rate (masked to 19 bits) in
+    * 43..61. The mark makes every short-WAV pack > 2^31 — disjoint by
+    * construction from any text stub's byte_len; the channel/rate masks
+    * only fold together short WAVs whose headers agree modulo 2^5 / 2^19
+    * (identical-header audio still always packs equal). */
+  private[graft] def shortWavPack(h: WavHeader, byteLen: Int): Long =
+    (1L << 62) | ((h.rate.toLong & 0x7ffffL) << 43) |
+      ((h.channels.toLong & 0x1fL) << 38) |
+      ((h.nFrames.toLong & 0x7fL) << 31) | byteLen.toLong
 
   def audioFpAll(media: Dataset[MediaRecord]): Dataset[AudioFp] = {
     import media.sparkSession.implicits._
@@ -215,7 +225,12 @@ object AudioOps {
       rows.map { r =>
         wavEnvelopeFp(r) match {
           case Some(fp) => AudioFp(r.doc_id, real = true, fp)
-          case None => AudioFp(r.doc_id, real = false, r.payload.length.toLong)
+          case None =>
+            val pack = parseWavHeader(r.payload) match {
+              case Some(h) => shortWavPack(h, r.payload.length)
+              case None => r.payload.length.toLong
+            }
+            AudioFp(r.doc_id, real = false, pack)
         }
       }
     }
@@ -231,8 +246,9 @@ object AudioOps {
     * never shuffle — only (doc_id, fp) rows. Rows-only (fingerprints
     * are decode-derived); Round12AudioNearDupSpec drives REAL in-memory
     * PCM: a half-gain copy at hamming 0, a one-window overdub at
-    * hamming exactly 1, stub payloads pairing only on byte-length
-    * (= m04-stub) equality. */
+    * hamming exactly 1, non-audio stubs pairing only on byte-length
+    * (= m04-stub) equality, short-but-parseable WAVs only on
+    * identical-header [[shortWavPack]]s (never with a text blob). */
   def m07AudioNearDup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val media = Tables(spark, dir).documents

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** t31: CALIBRATION AUDIT for the trained quality classifier — the
@@ -60,4 +60,98 @@ object Calibration {
     calibrationOver(
       QualityClassifier.t12QualityClassifier(spark, dir)
         .select(col("doc_id"), col("label").cast("int").as("y"), col("score")))
+
+  // ---------------------------------------------------------------- t35
+  // t31 MEASURES mis-calibration; this CORRECTS it (r12 VERDICT #5) —
+  // Guo et al. ICML'17 temperature scaling: one scalar T fitted on the
+  // held-out split, applied as p_T = sigmoid(logit(p)/T), so a 0.9 from
+  // the corrected column means 90% and t12's threshold consumers
+  // (c08/p01) can gate on probabilities that are probabilities.
+
+  /** Candidate temperatures, log-spaced 2^(k/4) for k ∈ −8..16
+    * (0.25 … 16, with 1.0 on the grid so a perfectly-calibrated input
+    * can keep its scores), in micro units. A fixed ladder makes the fit
+    * ONE distributed pass + a 25-row argmin — deterministic on any
+    * partitioning, trivially broadcast — where a gradient fit would be
+    * iterative driver-side optimization for zero practical gain at this
+    * resolution. */
+  private[graft] val TempLadderMicro: Seq[Long] =
+    (-8 to 16).map(k => BigDecimal(math.pow(2.0, k / 4.0) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+
+  /** round(ln(pm/1e6)·1e7) — the t13 micro-log grid over a micro-unit
+    * probability. */
+  private def microLogCol(pm: Column): Column =
+    round(log(pm.cast("double") / 1e6) * 1e7).cast("long")
+
+  /** Logit of a round-6 score, with the score clamped to
+    * [1, 999999] micro first (0/1 scores have infinite logit; one
+    * micro-step in from the boundary is the grid's own resolution). */
+  private def logitCol(score: Column): Column = {
+    val su = least(greatest(round(score * 1e6).cast("long"), lit(1L)),
+      lit(999999L))
+    log(su.cast("double") / (lit(1000000.0) - su.cast("double")))
+  }
+
+  /** Temperature-scaled score in micro units: round(1e6·σ(logit/T)),
+    * clamped to [1, 999999] — every arithmetic step is JVM Math (the
+    * Spark codegen and the plain-Scala spec mirror run the SAME
+    * java.lang.Math, so the rows-only regime is still bit-pinned). */
+  private def scaledMicroCol(lg: Column, tMicro: Long): Column = {
+    val p = lit(1.0) / (lit(1.0) + exp(-lg / lit(tMicro.toDouble / 1e6)))
+    least(greatest(round(p * 1e6).cast("long"), lit(1L)), lit(999999L))
+  }
+
+  /** Fit: argmin over the ladder of the exact-integer held-out NLL
+    * Σ −(y·mlog(p_T) + (1−y)·mlog(1−p_T)), probabilities quantized to
+    * the micro grid per row BEFORE the log (so the sums are order-free
+    * 64-bit integers and the argmin is exact). One corpus pass: the
+    * 25 per-row NLLs ride an array + posexplode (narrow), then one
+    * map-side-combined 25-group aggregate; ties break toward the
+    * SMALLEST temperature (sharpest surviving calibration). */
+  private[graft] def fitTemperatureMicro(heldout: DataFrame): Long = {
+    val base = heldout.select(col("y").cast("long").as("y"),
+      logitCol(col("score")).as("lg"))
+    val nlls = TempLadderMicro.map { tm =>
+      val pm = scaledMicroCol(col("lg"), tm)
+      -(col("y") * microLogCol(pm) +
+        (lit(1L) - col("y")) * microLogCol(lit(1000000L) - pm))
+    }
+    val sums = base
+      .select(posexplode(array(nlls: _*)).as(Seq("ti", "nll")))
+      .groupBy(col("ti")).agg(sum(col("nll")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bestIdx = TempLadderMicro.indices.minBy(i => (sums.getOrElse(i, 0L), i))
+    TempLadderMicro(bestIdx)
+  }
+
+  /** t35: per-decile reliability of the RAW t12 scores next to the
+    * TEMPERATURE-CORRECTED ones — t31's exact integer audit run on both
+    * forms, tagged, with the fitted temperature in-band. The fit uses
+    * ONLY the held-out split (doc_id % EvalMod = 0, the engine's
+    * standing held-out convention); the correction applies to every
+    * row. Rows-only (scores come from the iteratively-trained LR);
+    * Round13CalibrationSpec pins a plain-Scala mirror, T* = 1 on a
+    * calibrated input, and corrected-ECE ≤ raw-ECE on an engineered
+    * over-confident corpus. */
+  def t35CalibrationCorrect(spark: SparkSession, dir: String): DataFrame =
+    calibrationCorrectOver(
+      QualityClassifier.t12QualityClassifier(spark, dir)
+        .select(col("doc_id"), col("label").cast("int").as("y"), col("score")))
+
+  /** The correction over any (doc_id, y, score round-6) relation. */
+  private[graft] def calibrationCorrectOver(scored: DataFrame): DataFrame = {
+    val tMicro = fitTemperatureMicro(
+      scored.filter(col("doc_id") % TextOps.EvalMod === 0))
+    val corrected = scored.select(col("doc_id"), col("y"),
+      (scaledMicroCol(logitCol(col("score")), tMicro).cast("double") / 1e6)
+        .as("score"))
+    calibrationOver(scored).withColumn("form", lit("raw"))
+      .unionByName(calibrationOver(corrected)
+        .withColumn("form", lit("calibrated")))
+      .withColumn("temperature_micro", lit(tMicro))
+      .select("form", "bucket", "n", "n_pos", "mean_pred", "pos_rate",
+        "gap", "brier", "temperature_micro")
+      .orderBy("form", "bucket")
+  }
 }

@@ -446,8 +446,24 @@ object DedupOps {
        |FROM agg a ORDER BY a.cluster_id""".stripMargin
 
   // ---------------------------------------------------------------- d03
-  private val NumBands = 8
-  private val RowsPerBand = 4
+  // d15's constants, declared BEFORE NumBands: the derivation below runs
+  // during object init, and a val declared later would still read 0 here
+  // (the Scala object-init-order trap the c30 oracle caught in r12 —
+  // final literal vals are also constant-folded, belt and braces).
+  private final val GeomGridN = 1000
+  private final val MicroP = 1000000000L // collision probabilities in nano units
+  private[graft] final val LshSketchBudget = 32
+
+  /** The standing d03/d08 banding geometry is DERIVED (r13), not
+    * hand-picked: [[deriveLshGeometry]] minimizes the closed-form
+    * miss+noise area of the collision curve 1−(1−s^r)^b at the engine's
+    * own [[graft.operators]] Jaccard threshold (0.5) and 32-hash sketch
+    * budget — which lands on 8×4, the geometry every standing index has
+    * always used (Round13LshGeomSpec pins both the value and the
+    * agreement with d14's MEASURED F1 argmax on the driver corpus). */
+  private[graft] val DerivedGeometry: (Int, Int) = deriveLshGeometry(32, 0.5)
+  private[graft] val NumBands: Int = DerivedGeometry._1
+  private[graft] val RowsPerBand: Int = DerivedGeometry._2
   /** Skip LSH buckets bigger than this — degenerate keys, quadratic cost. */
   private val MaxBucket = 64
 
@@ -650,24 +666,60 @@ object DedupOps {
     * precision down, buckets fatter (so the cap bites harder — the
     * measured production trade; the s13 pattern applied to dedup).
     *
-    * Truth is exact and bounded: pairs sharing ≥ 1 shingle (the only
-    * pairs with J > 0, enumeration bounded by shingle doc-frequency)
-    * verified by exact Jaccard — computed ONCE, checkpointed,
-    * broadcast-joined by every geometry. Rows-only (xxhash64 sketches);
+    * Truth is exact, SAMPLED, and DF-CAPPED (r12 VERDICT: the earlier
+    * full-corpus uncapped shingle self-join was the skew-quadratic
+    * shape d02's own scaladoc warns about — a stop-shingle shared by k
+    * docs emits k² truth pairs). The sweep now runs entirely on d02's
+    * deterministic 50% audit sample (`doc_id % 2 = 0` — recall/precision
+    * of a hash-based method are unbiased on a uniform sample), and the
+    * truth's pair-GENERATING join reads only postings of shingles with
+    * document frequency ≤ [[TruthDfCap]]; per-doc shingle counts (the
+    * Jaccard denominators) stay over the FULL shingle sets, so dropping
+    * a hub shingle can only shrink n_inter — capped truth ⊆ uncapped
+    * truth by construction (spec-pinned on an engineered hub corpus).
+    * The dropped mass is reported IN-BAND in every row
+    * (`truth_shingles_dropped` / `truth_postings_dropped`, the
+    * embeddingBlockAudit discipline), alongside the sample and cap
+    * themselves (`sample_mod`, `truth_df_cap`). On the driver corpus
+    * max shingle df = 9 < cap, so the audit columns read zero and the
+    * truth is exact. Rows-only (xxhash64 sketches);
     * Round12LshSweepSpec pins the deterministic slice-refinement
     * property (uncapped, a coarse-band collision IMPLIES the finer
-    * collision, so recall is monotone as rows halve) and structural
-    * soundness of every row. */
+    * collision, so recall is monotone as rows halve), structural
+    * soundness of every row, and the hub-cap containment + audit. */
   def d14LshSweep(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.BottomKDistinct.register(spark)
     graft.functions.Ngrams.register(spark)
     val t = Tables(spark, dir)
-    val shRaw = shingleRows(t.spread(t.documents))
+    val sampled = t.spread(t.documents).filter(col("doc_id") % 2 === 0)
+    lshSweepOver(shingleRows(sampled), TruthDfCap, sampleMod = 2)
+  }
+
+  /** Shingle document-frequency cap on d14's exact-truth postings join —
+    * aligned with [[MaxBucket]]: a shingle shared by more docs than an
+    * LSH bucket may hold is a stop-shingle, quadratic to enumerate and
+    * carrying no near-dup signal. */
+  private[graft] val TruthDfCap = 64
+
+  /** [[d14LshSweep]]'s parameterized core over any (doc_id, h) shingle
+    * relation — factored so the spec drives an engineered hub-shingle
+    * corpus through the exact driver algebra. */
+  private[graft] def lshSweepOver(shRaw: DataFrame, dfCap: Int,
+      sampleMod: Int): DataFrame = {
     val sh = shRaw.distinct()
-    // exact truth: shared-shingle pairs, exact Jaccard ≥ 0.5
+    // exact truth: shared-KEPT-shingle pairs, exact Jaccard ≥ 0.5 with
+    // full-set denominators; hub shingles (df > cap) are dropped from
+    // pair generation only, their mass audited in-band
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val truth = sh.select(col("doc_id").as("doc_a"), col("h"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("h")), "h")
+    val dfRel = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val dropAudit = broadcast(dfRel.agg(
+      coalesce(sum(when(col("df") > dfCap, lit(1L))), lit(0L))
+        .as("truth_shingles_dropped"),
+      coalesce(sum(when(col("df") > dfCap, col("df"))), lit(0L))
+        .as("truth_postings_dropped")))
+    val kept = sh.join(dfRel.filter(col("df") <= dfCap).select(col("h")), "h")
+    val truth = kept.select(col("doc_id").as("doc_a"), col("h"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("h")), "h")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
@@ -695,14 +747,168 @@ object DedupOps {
       .agg(count(lit(1)).as("n_candidates"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
       .crossJoin(nTrue)
+      .crossJoin(dropAudit)
       .withColumn("recall",
         round(col("n_hits").cast("double") / greatest(col("n_true"), lit(1L)), 6))
       .withColumn("precision",
         round(col("n_hits").cast("double") / greatest(col("n_candidates"), lit(1L)), 6))
-      .select("bands", "rows_per_band", "capped", "n_true", "n_candidates",
-        "n_hits", "recall", "precision")
+      .select(col("bands"), col("rows_per_band"), col("capped"), col("n_true"),
+        col("n_candidates"), col("n_hits"), col("recall"), col("precision"),
+        lit(sampleMod).as("sample_mod"), lit(dfCap).as("truth_df_cap"),
+        col("truth_shingles_dropped"), col("truth_postings_dropped"))
       .orderBy("rows_per_band", "bands", "capped")
   }
+
+  // ---------------------------------------------------------------- d15
+  // (GeomGridN / MicroP / LshSketchBudget are declared above NumBands —
+  // the derivation runs at object init; see the note there.)
+
+  /** x^e for e a power of two, by repeated squaring — multiplication
+    * only, so the Scala mirror, the Spark plan, and the DuckDB oracle
+    * compute bit-identical doubles (IEEE multiply is exact-deterministic;
+    * libm `pow` is not). */
+  private def sq(x: Column, e: Int): Column =
+    if (e == 1) x else { val h = sq(x, e / 2); h * h }
+  private def sqD(x: Double, e: Int): Double = {
+    var y = x; var k = e
+    while (k > 1) { y = y * y; k /= 2 }
+    y
+  }
+
+  /** Closed-form miss/noise areas of the LSH collision curve
+    * P(s) = 1−(1−s^r)^b at a target threshold t, on the fixed midpoint
+    * grid, in exact integer nano-probability units: fp = Σ_{s<t} P(s),
+    * fn = Σ_{s≥t} (1−P(s)) — the curve mass on the wrong side of the
+    * gate (Leskovec/Rajaraman/Ullman, MMDS §3.4's banding analysis).
+    * Integer sums are order-free, so the Spark aggregate and this
+    * driver-side mirror agree exactly. */
+  private[graft] def lshFpFnMicro(b: Int, r: Int, target: Double): (Long, Long) = {
+    var fp = 0L; var fn = 0L
+    var i = 0
+    while (i < GeomGridN) {
+      val s = (i.toDouble + 0.5) / GeomGridN.toDouble
+      val p = 1.0 - sqD(1.0 - sqD(s, r), b)
+      val pm = BigDecimal(p * MicroP.toDouble)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      if (s < target) fp += pm else fn += MicroP - pm
+      i += 1
+    }
+    (fp, fn)
+  }
+
+  /** The curve's characteristic threshold (1/b)^(1/r) in micro units —
+    * r is a power of two, so the root is a chain of IEEE sqrts
+    * (correctly rounded → engine-identical). */
+  private[graft] def lshThresholdMicro(b: Int, r: Int): Long = {
+    var x = 1.0 / b.toDouble; var k = r
+    while (k > 1) { x = math.sqrt(x); k /= 2 }
+    BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  }
+
+  /** Power-of-two divisor geometries of a sketch budget: (bands, rows). */
+  private def geometriesOf(budget: Int): Seq[(Int, Int)] =
+    Seq(1, 2, 4, 8, 16, 32).filter(_ <= budget).map(r => (budget / r, r))
+
+  /** ARGMIN of fp+fn over the budget's geometries — the closed-form
+    * banding pick (ties break toward fewer rows per band: the cheaper
+    * verify stage). [[NumBands]]/[[RowsPerBand]] are defined as this
+    * derivation's output, so d03/d08 and every standing band index run
+    * the DERIVED geometry (r12 VERDICT ask #6). */
+  private[graft] def deriveLshGeometry(budget: Int, target: Double): (Int, Int) =
+    geometriesOf(budget).minBy { case (b, r) =>
+      val (fp, fn) = lshFpFnMicro(b, r, target); (fp + fn, r)
+    }
+
+  /** d15: the LSH GEOMETRY DERIVATION as a relation — for every
+    * power-of-two divisor geometry of the 32-hash budget, the collision
+    * curve's characteristic threshold and its exact-integer miss/noise
+    * areas at the engine's Jaccard gate (0.5), with `chosen` marking the
+    * argmin d03/d08 actually run. ORACLED: the arithmetic is
+    * multiplication chains + sqrt + integer sums, all bit-identical
+    * across Spark and DuckDB (no libm pow anywhere); d14 is the
+    * MEASURED cross-check (the spec pins chosen = argmax measured F1 on
+    * the driver corpus at the same budget). */
+  def d15LshGeometry(spark: SparkSession, dir: String): DataFrame = {
+    val target = 0.5
+    val perGeom = geometriesOf(LshSketchBudget).map { case (b, r) =>
+      val grid = spark.range(0, GeomGridN)
+        .select(((col("id").cast("double") + lit(0.5)) / lit(GeomGridN.toDouble)).as("s"))
+      val p = lit(1.0) - sq(lit(1.0) - sq(col("s"), r), b)
+      val pm = round(p * lit(MicroP.toDouble)).cast("long")
+      grid.select(col("s"), pm.as("pm"))
+        .agg(
+          coalesce(sum(when(col("s") < target, col("pm"))), lit(0L)).as("fp_micro"),
+          coalesce(sum(when(col("s") >= target, lit(MicroP) - col("pm"))), lit(0L)).as("fn_micro"))
+        .select(lit(LshSketchBudget).as("budget"), lit(b).as("bands"),
+          lit(r).as("rows_per_band"),
+          lit(lshThresholdMicro(b, r)).as("threshold_micro"),
+          col("fp_micro"), col("fn_micro"),
+          (col("fp_micro") + col("fn_micro")).as("total_micro"))
+    }.reduce(_ unionByName _)
+    val best = broadcast(perGeom.agg(min(col("total_micro")).as("mt")))
+    perGeom.crossJoin(best)
+      .withColumn("chosen", col("total_micro") === col("mt"))
+      .drop("mt")
+      .orderBy("rows_per_band")
+  }
+
+  /** The identical arithmetic as a DuckDB query: the repeated-squaring
+    * chains are spelled out as column products (p2=s·s, p4=p2·p2, …), the
+    * threshold as a sqrt chain — every double bit-equal to the Spark
+    * plan's. */
+  val d15Sql: String =
+    s"""WITH grid AS (
+       |  SELECT (CAST(i AS DOUBLE) + 0.5) / ${GeomGridN.toDouble} AS s
+       |  FROM range(0, $GeomGridN) t(i)
+       |), geom AS (
+       |  SELECT * FROM (VALUES (32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+       |    AS g(bands, rows_per_band)
+       |), sp AS (
+       |  SELECT *, p16 * p16 AS p32 FROM (
+       |    SELECT *, p8 * p8 AS p16 FROM (
+       |      SELECT *, p4 * p4 AS p8 FROM (
+       |        SELECT *, p2 * p2 AS p4 FROM (
+       |          SELECT bands, rows_per_band, s, s * s AS p2 FROM geom, grid))))
+       |), srsel AS (
+       |  SELECT bands, rows_per_band, s,
+       |    1.0 - CASE rows_per_band WHEN 1 THEN s WHEN 2 THEN p2 WHEN 4 THEN p4
+       |      WHEN 8 THEN p8 WHEN 16 THEN p16 ELSE p32 END AS q
+       |  FROM sp
+       |), qp AS (
+       |  SELECT *, q16 * q16 AS q32 FROM (
+       |    SELECT *, q8 * q8 AS q16 FROM (
+       |      SELECT *, q4 * q4 AS q8 FROM (
+       |        SELECT *, q2 * q2 AS q4 FROM (
+       |          SELECT bands, rows_per_band, s, q, q * q AS q2 FROM srsel))))
+       |), curve AS (
+       |  SELECT bands, rows_per_band, s,
+       |    CAST(round((1.0 - CASE bands WHEN 1 THEN q WHEN 2 THEN q2 WHEN 4 THEN q4
+       |      WHEN 8 THEN q8 WHEN 16 THEN q16 ELSE q32 END) * ${MicroP.toDouble}, 0) AS BIGINT) AS pm
+       |  FROM qp
+       |), areas AS (
+       |  SELECT bands, rows_per_band,
+       |    CAST(coalesce(sum(CASE WHEN s < 0.5 THEN pm END), 0) AS BIGINT) AS fp_micro,
+       |    CAST(coalesce(sum(CASE WHEN s >= 0.5 THEN $MicroP - pm END), 0) AS BIGINT) AS fn_micro
+       |  FROM curve GROUP BY bands, rows_per_band
+       |), thr AS (
+       |  SELECT bands, rows_per_band,
+       |    CAST(round(CASE rows_per_band
+       |      WHEN 1 THEN 1.0 / bands
+       |      WHEN 2 THEN sqrt(1.0 / bands)
+       |      WHEN 4 THEN sqrt(sqrt(1.0 / bands))
+       |      WHEN 8 THEN sqrt(sqrt(sqrt(1.0 / bands)))
+       |      WHEN 16 THEN sqrt(sqrt(sqrt(sqrt(1.0 / bands))))
+       |      ELSE sqrt(sqrt(sqrt(sqrt(sqrt(1.0 / bands))))) END * 1000000.0, 0) AS BIGINT)
+       |      AS threshold_micro
+       |  FROM geom
+       |)
+       |SELECT $LshSketchBudget AS budget, a.bands, a.rows_per_band,
+       |  t.threshold_micro, a.fp_micro, a.fn_micro,
+       |  a.fp_micro + a.fn_micro AS total_micro,
+       |  a.fp_micro + a.fn_micro = min(a.fp_micro + a.fn_micro) OVER () AS chosen
+       |FROM areas a
+       |JOIN thr t ON t.bands = a.bands AND t.rows_per_band = a.rows_per_band
+       |ORDER BY a.rows_per_band""".stripMargin
 
   // ---------------------------------------------------------------- d06
   /** d06: the dedup pipeline end to end — MinHash/LSH candidates (d03),

@@ -13,10 +13,14 @@ import graft.Tables
   * split by construction; (2) c19's deterministic shard export PER
   * SPLIT — content-fingerprint shard id + within-(split, shard) rank,
   * fingerprint order = the reproducible pseudo-random read order, no RNG
-  * anywhere; (3) c21's datasheet PER SPLIT × SOURCE — doc/token mass,
-  * language spread, exact interpolated token-length percentiles (a03's
-  * engine-proven percentile ≡ quantile_cont mapping). One row per kept
-  * document carrying its split, shard, rank, and all three audit joins.
+  * anywhere; (3) c26's FFD packing WITHIN each released (split, shard)
+  * — whole documents first-fit-decreasing into 512-token windows, so a
+  * shipped shard never splits a document a window could hold (r13; c05's
+  * concat-and-chunk stays as p01's streaming-friendly baseline); (4)
+  * c21's datasheet PER SPLIT × SOURCE — doc/token mass, language spread,
+  * exact interpolated token-length percentiles (a03's engine-proven
+  * percentile ≡ quantile_cont mapping). One row per kept document
+  * carrying its split, shard, rank, pack window, and all audit joins.
   *
   * The reference analog is the GetBatches/GetBatch reporting tail after
   * ProcessBatch→Finalizer (`GetBatches.groovy:146-195` over the
@@ -145,10 +149,11 @@ object ReleasePipeline {
       .drop("norm")
   }
 
-  /** Stages R1-R3 over a staged relation (from [[stagedRelation]]
+  /** Stages R1-R4 over a staged relation (from [[stagedRelation]]
     * directly, or read back from the p06 stage table). */
   private[graft] def tailFrom(staged: DataFrame,
       nShards: Int = NShards): DataFrame = {
+    import staged.sparkSession.implicits._
     // ---- stage R1: c20 leak-free split over the KEPT corpus ---------
     val assigned = staged
       .withColumn("split", expr(DedupOps.splitCaseSql("canonical")))
@@ -159,6 +164,39 @@ object ReleasePipeline {
     val ranked = sharded.withColumn("shard_pos",
       row_number().over(Window.partitionBy(col("split"), col("shard_id"))
         .orderBy(col("fp"), col("doc_id"))).cast("long"))
+
+    // ---- stage R2b: c26 FFD packing within each released shard ------
+    // (r13, closing the r12 gap: the composed release used to inherit
+    // c05's concat-and-chunk, shipping shards with documents split
+    // mid-window that FFD keeps whole.) The packing unit is the
+    // released (split, shard_id) group — the file a training loader
+    // actually reads — so pack ids are stable under re-release of any
+    // other shard. Same algebra as [[PackBestfit.c26Over]]: whole docs
+    // first-fit-decreasing into [[PackBestfit.PackCap]]-token windows;
+    // only docs LONGER than a window are ever split
+    // (`pack_split_doc`), occupying their ceil(n/cap) windows alone.
+    // Only (split, shard_id, doc_id, n_tokens) rows enter the group
+    // shuffle — the groups are shard-sized by construction.
+    val packIn = sharded.select(col("split"), col("shard_id"),
+      col("doc_id"), col("n_tokens"))
+    val packedSmall = packIn
+      .filter(col("n_tokens") <= PackBestfit.PackCap)
+      .as[(String, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (_: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
+        PackBestfit.ffdAssign(it.map(r => (r._3, r._4)).toArray,
+            PackBestfit.PackCap)
+          .iterator.map { case (id, _, bin) => (id, bin) }
+      }
+      .toDF("doc_id", "pack_bin")
+      .select(col("doc_id"), col("pack_bin"),
+        lit(false).as("pack_split_doc"), lit(1L).as("pack_windows"))
+    val packedBig = packIn.filter(col("n_tokens") > PackBestfit.PackCap)
+      .select(col("doc_id"), lit(null).cast("long").as("pack_bin"),
+        lit(true).as("pack_split_doc"),
+        expr(s"(n_tokens + ${PackBestfit.PackCap - 1}) div ${PackBestfit.PackCap}")
+          .as("pack_windows"))
+    val packCols = packedSmall.unionByName(packedBig)
 
     // ---- stage R3: audits + the per-(split, source) datasheet -------
     val splitAudit = sharded.groupBy(col("split"))
@@ -177,8 +215,10 @@ object ReleasePipeline {
       .join(splitAudit, Seq("split"))
       .join(shardAudit, Seq("split", "shard_id"))
       .join(sheet, Seq("split", "source"))
+      .join(packCols, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("canonical"),
         col("split"), col("shard_id"), col("shard_pos"), col("n_tokens"),
+        col("pack_bin"), col("pack_split_doc"), col("pack_windows"),
         col("split_docs"), col("split_tokens"),
         col("shard_docs"), col("shard_tokens"),
         col("src_docs"), col("src_tokens"), col("src_langs"),
@@ -207,6 +247,37 @@ object ReleasePipeline {
        |  SELECT *, CAST(row_number() OVER (
        |    PARTITION BY split, shard_id ORDER BY fp, doc_id) AS BIGINT) AS shard_pos
        |  FROM sharded
+       |), packsmall AS (
+       |  SELECT split, shard_id, doc_id, n_tokens,
+       |    CAST(row_number() OVER (PARTITION BY split, shard_id
+       |      ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS prn
+       |  FROM sharded WHERE n_tokens <= ${PackBestfit.PackCap}
+       |), relffd AS (
+       |  SELECT split, shard_id, prn, doc_id,
+       |    CAST(1 AS BIGINT) AS pack_bin, [n_tokens] AS fills
+       |  FROM packsmall WHERE prn = 1
+       |  UNION ALL
+       |  SELECT s.split, s.shard_id, s.prn, s.doc_id,
+       |    CAST(coalesce(j.pos, len(f.fills) + 1) AS BIGINT) AS pack_bin,
+       |    CASE WHEN j.pos IS NULL THEN list_append(f.fills, s.n_tokens)
+       |         ELSE list_concat(list_concat(
+       |                f.fills[1:j.pos-1],
+       |                [f.fills[j.pos] + s.n_tokens]),
+       |                f.fills[j.pos+1:])
+       |    END AS fills
+       |  FROM relffd f
+       |  JOIN packsmall s
+       |    ON s.split = f.split AND s.shard_id = f.shard_id AND s.prn = f.prn + 1
+       |  CROSS JOIN LATERAL (SELECT nullif(list_position(
+       |    list_transform(f.fills, x -> x + s.n_tokens <= ${PackBestfit.PackCap}), true), 0) AS pos) j
+       |), packrel AS (
+       |  SELECT doc_id, pack_bin, false AS pack_split_doc,
+       |    CAST(1 AS BIGINT) AS pack_windows
+       |  FROM relffd
+       |  UNION ALL
+       |  SELECT doc_id, CAST(NULL AS BIGINT) AS pack_bin, true AS pack_split_doc,
+       |    (n_tokens + ${PackBestfit.PackCap - 1}) // ${PackBestfit.PackCap} AS pack_windows
+       |  FROM sharded WHERE n_tokens > ${PackBestfit.PackCap}
        |), split_audit AS (
        |  SELECT split, CAST(count(*) AS BIGINT) AS split_docs,
        |    CAST(sum(n_tokens) AS BIGINT) AS split_tokens
@@ -226,6 +297,7 @@ object ReleasePipeline {
        |)
        |SELECT r.doc_id, r.lang, r.source, r.canonical,
        |  r.split, r.shard_id, r.shard_pos, r.n_tokens,
+       |  pk.pack_bin, pk.pack_split_doc, pk.pack_windows,
        |  sa.split_docs, sa.split_tokens,
        |  ha.shard_docs, ha.shard_tokens,
        |  sh.src_docs, sh.src_tokens, sh.src_langs,
@@ -234,6 +306,7 @@ object ReleasePipeline {
        |JOIN split_audit sa ON sa.split = r.split
        |JOIN shard_audit ha ON ha.split = r.split AND ha.shard_id = r.shard_id
        |JOIN sheet sh ON sh.split = r.split AND sh.source = r.source
+       |JOIN packrel pk ON pk.doc_id = r.doc_id
        |ORDER BY r.doc_id""".stripMargin
 
   val p02Sql: String = releaseTail(CuratePipeline.p01Ctes)

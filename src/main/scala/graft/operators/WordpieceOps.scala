@@ -52,9 +52,13 @@ object WordpieceOps {
     * DERIVED from the trained vocabulary (its longest piece — merges can
     * chain up to [[BpeOps.MaxWordLen]] chars, so a fixed constant would
     * silently make longer trained pieces unreachable and break the
-    * greedy-longest-match contract). */
+    * greedy-longest-match contract). An EMPTY vocabulary (a corpus where
+    * every word exceeds [[BpeOps.MaxWordLen]], or no corpus at all) is a
+    * legal degenerate input — every word is `[UNK]` — so the bound
+    * short-circuits to 1 instead of throwing `empty.max`. */
   private[graft] def maxPieceChars(vocab: Seq[String]): Int =
-    vocab.map(_.stripPrefix(ContPrefix).length).max
+    if (vocab.isEmpty) 1
+    else vocab.iterator.map(_.stripPrefix(ContPrefix).length).max
 
   /** Driver-default merge budget / support floor (t10's, so the t24
     * comparison holds geometry constant across tokenizer families). */

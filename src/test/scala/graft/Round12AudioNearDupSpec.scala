@@ -70,11 +70,31 @@ class Round12AudioNearDupSpec extends GraftSpecBase {
     assert(a.isDefined && a == b)
   }
 
-  test("m07: a WAV too short to window takes the stub pack, not a garbage fp") {
+  test("m07: a WAV too short to window takes the header-derived pack, not a garbage fp") {
     val short = wav(Array.tabulate(64)(_ => 500)) // 64 < FpWindows
     val fps = AudioOps.audioFpAll(Seq(MediaRecord(5L, short)).toDS()).collect()
     assert(!fps.head.real)
-    assert(fps.head.fp == short.length.toLong)
+    // the pack carries the header tier mark — NEVER a bare byte length, so
+    // it can't collide with an unrelated text stub of equal size (r13 fix)
+    assert(fps.head.fp > Int.MaxValue.toLong)
+    assert((fps.head.fp & 0x7fffffffL) == short.length.toLong)
+    assert(((fps.head.fp >> 31) & 0x7fL) == 64L) // frames field
+  }
+
+  test("m07: a short WAV pairs with its identical-header twin but not a text blob of equal length") {
+    val short = wav(Array.tabulate(64)(_ => 500))
+    val shortTwin = wav(Array.tabulate(64)(_ => -731)) // same header stats, different signal
+    val textBlob = Array.fill[Byte](short.length)('x'.toByte)
+    assert(textBlob.length == short.length)
+    val media = Seq(
+      MediaRecord(20L, short), MediaRecord(21L, shortTwin),
+      MediaRecord(22L, textBlob)).toDS()
+    val out = AudioOps.audioNearDupOver(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getBoolean(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out((20L, 21L)) === ((false, 0L, true)))
+    assert(!out.keySet.exists { case (a, b) => a == 22L || b == 22L },
+      "a text blob of equal byte length must never pair with a parseable WAV")
   }
 
   test("m07: stub payloads pair only on byte-length (m04-stub) equality") {

@@ -7,18 +7,23 @@ import graft.operators.DedupOps
   * row, the DETERMINISTIC slice-refinement property (uncapped, a
   * coarse-band collision implies the finer-geometry collision at the
   * same sketch positions, so recall is monotone non-decreasing as rows
-  * per band halve), and the capped form never exceeding the uncapped
-  * candidate set. */
+  * per band halve), the capped form never exceeding the uncapped
+  * candidate set, and — r13 — the truth path's audit discipline: the
+  * sweep runs on the 50% audit sample with a df cap on the truth's
+  * pair-generating postings (drop audited in-band), and df-capped
+  * truth ⊆ uncapped truth on an engineered hub-shingle corpus. */
 class Round12LshSweepSpec extends GraftSpecBase {
+  import spark.implicits._
 
   private lazy val rows = DedupOps.d14LshSweep(spark, sfDir).collect()
     .map(r => ((r.getInt(0), r.getInt(1), r.getBoolean(2)),
-      (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))))
+      (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getInt(8), r.getInt(9), r.getLong(10), r.getLong(11))))
     .toMap
 
   test("d14: every row is structurally sound (hits ≤ candidates, hits ≤ truth, recall/precision ∈ [0,1])") {
     assert(rows.size === 8) // 4 geometries × {capped, uncapped}
-    for (((b, r, c), (nTrue, nCand, nHits, recall, prec)) <- rows) {
+    for (((b, r, c), (nTrue, nCand, nHits, recall, prec, _, _, _, _)) <- rows) {
       assert(nHits <= nCand, s"($b,$r,$c)")
       assert(nHits <= nTrue, s"($b,$r,$c)")
       assert(recall >= 0.0 && recall <= 1.0)
@@ -26,6 +31,47 @@ class Round12LshSweepSpec extends GraftSpecBase {
     }
     // the truth relation is non-trivial on the driver corpus
     assert(rows.values.head._1 > 0)
+  }
+
+  test("d14: sample/cap are declared in-band and the driver corpus drops nothing") {
+    for ((_, (_, _, _, _, _, sampleMod, dfCap, shDropped, postDropped)) <- rows) {
+      assert(sampleMod === 2) // d02's deterministic 50% audit sample
+      assert(dfCap === 64)
+      // driver-corpus max shingle df = 9 < cap: the audited drop is zero,
+      // i.e. the sampled truth is exact
+      assert(shDropped === 0L)
+      assert(postDropped === 0L)
+    }
+  }
+
+  test("d14: df-capped truth ⊆ uncapped truth on a hub-shingle corpus, with the drop audited") {
+    // 12 docs all sharing one HUB trigram ("hub stop shingle" repeated via
+    // a common prefix) plus per-doc distinct content; docs 0 and 1 are
+    // whole-document twins (a genuine near-dup pair that shares non-hub
+    // shingles too). With dfCap = 4 the hub shingles (df = 12 > 4) leave
+    // the postings join; the twin pair survives on its non-hub shingles.
+    val hub = "alpha beta gamma"
+    def body(i: Int): String =
+      (0 until 8).map(j => s"w${i}_$j").mkString(" ")
+    val docs = (0 until 12).map { i =>
+      val b = if (i == 1) body(0) else body(i) // doc 1 twins doc 0
+      (i.toLong, s"$hub $b")
+    }.toDF("doc_id", "text")
+    val shRaw = DedupOps.shingleRows(docs)
+    val capped = DedupOps.lshSweepOver(shRaw, 4, sampleMod = 1).collect()
+    val uncapped = DedupOps.lshSweepOver(shRaw, Int.MaxValue, sampleMod = 1).collect()
+    def truthOf(rs: Array[org.apache.spark.sql.Row]): Long = rs.head.getLong(3)
+    // hub shingles dropped: every shingle window touching the shared
+    // 3-token prefix has df = 12 > 4 — audited, non-zero
+    assert(capped.head.getLong(10) > 0L, "hub shingles must be audited as dropped")
+    assert(capped.head.getLong(11) >= 12L * capped.head.getLong(10) / 2,
+      "dropped postings must count every hub posting")
+    assert(uncapped.head.getLong(10) === 0L)
+    // containment: dropping hub shingles only shrinks n_inter, so the
+    // capped truth pair count never exceeds the uncapped one — and the
+    // twin pair (J = 1 uncapped, still ≥ 0.5 on non-hub shingles) survives
+    assert(truthOf(capped) <= truthOf(uncapped))
+    assert(truthOf(capped) >= 1L, "the twin pair must survive the df cap")
   }
 
   test("d14: uncapped recall is monotone as rows-per-band halve (slice refinement), and 32x1 dominates") {

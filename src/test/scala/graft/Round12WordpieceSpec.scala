@@ -163,6 +163,15 @@ class Round12WordpieceSpec extends GraftSpecBase {
     assert(r.getLong(3) == expected)
   }
 
+  test("t33: an EMPTY vocabulary degrades to all-UNK instead of throwing (r12 ADVICE)") {
+    // every word unmatched → one [UNK] token per word, no empty.max crash
+    val fresh = Seq((7L, "three plain words")).toDF("doc_id", "text")
+    val r = WordpieceOps.wordpieceEncodeWithVocab(fresh, Seq.empty).collect().head
+    assert(r.getLong(1) == 3L) // n_words
+    assert(r.getLong(3) == 3L) // n_wp_tokens: one UNK each
+    assert(r.getLong(4) == 3L) // n_unk_words
+  }
+
   test("t33: wordpieceEncodeStream is bit-identical to the batch encoder (UNK, long-word fallback, null text)") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.Calibration
+
+/** t35 temperature-scaling specs: the fit/apply/audit chain against an
+  * independent plain-Scala mirror, T* = 1 on an already-calibrated
+  * input (the correction is then the identity on the micro grid), and
+  * corrected ECE strictly below raw ECE on an engineered over-confident
+  * corpus (Guo et al. ICML'17's motivating case). */
+class Round13CalibrationSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // ---- plain-Scala mirror of the fit (same java.lang.Math, same
+  // BigDecimal HALF_UP rounding, same micro grids) --------------------
+  private def rnd(x: Double): Long =
+    BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+  private def logit(s: Double): Double = {
+    val su = math.min(math.max(rnd(s * 1e6), 1L), 999999L)
+    math.log(su.toDouble / (1000000.0 - su.toDouble))
+  }
+  private def scaledMicro(lg: Double, tMicro: Long): Long = {
+    val p = 1.0 / (1.0 + math.exp(-lg / (tMicro.toDouble / 1e6)))
+    math.min(math.max(rnd(p * 1e6), 1L), 999999L)
+  }
+  private def mlog(pm: Long): Long = rnd(math.log(pm.toDouble / 1e6) * 1e7)
+  private def mirrorFit(rows: Seq[(Int, Double)]): Long = {
+    val sums = Calibration.TempLadderMicro.map { tm =>
+      rows.map { case (y, s) =>
+        val pm = scaledMicro(logit(s), tm)
+        -(y.toLong * mlog(pm) + (1L - y.toLong) * mlog(1000000L - pm))
+      }.sum
+    }
+    val best = sums.indices.minBy(i => (sums(i), i))
+    Calibration.TempLadderMicro(best)
+  }
+
+  /** Over-confident corpus: high scores (0.95) are right only 70% of
+    * the time, low scores (0.05) wrong 30% — the textbook case a
+    * temperature > 1 flattens toward honesty. All doc_ids are multiples
+    * of 97 so every row is in the held-out fit split. */
+  private def overconfident: Seq[(Long, Int, Double)] =
+    (0 until 100).map(i => (97L * i, if (i % 10 < 7) 1 else 0, 0.95)) ++
+      (0 until 100).map(i => (97L * (i + 100), if (i % 10 < 3) 1 else 0, 0.05))
+
+  private def ece(audit: Array[Row]): Double = {
+    val n = audit.map(_.getLong(2)).sum
+    audit.map(r => r.getLong(2) * r.getDouble(6)).sum / n
+  }
+
+  test("t35: the Spark fit equals the plain-Scala mirror on the engineered corpus") {
+    val df = overconfident.toDF("doc_id", "y", "score")
+    val sparkT = Calibration.fitTemperatureMicro(df)
+    assert(sparkT === mirrorFit(overconfident.map(r => (r._2, r._3))))
+    assert(sparkT > 1000000L, "an over-confident corpus needs T > 1 to flatten")
+  }
+
+  test("t35: corrected ECE is strictly below raw ECE on the over-confident corpus") {
+    val out = Calibration.calibrationCorrectOver(
+      overconfident.toDF("doc_id", "y", "score")).collect()
+    val byForm = out.groupBy(_.getString(0))
+    val (raw, cal) = (byForm("raw"), byForm("calibrated"))
+    assert(ece(cal) < ece(raw),
+      s"calibrated ECE ${ece(cal)} not below raw ${ece(raw)}")
+    // the fitted temperature rides every row
+    assert(out.map(_.getLong(8)).distinct.length === 1)
+  }
+
+  test("t35: an already-calibrated input fits T* = 1 and keeps its scores") {
+    // per-decile honest scores: score 0.x5 with exactly x5% positives
+    val rows = (0 until 10).flatMap { b =>
+      val s = b / 10.0 + 0.05
+      (0 until 40).map(i =>
+        (97L * (b * 40 + i), if (i < rnd(s * 40)) 1 else 0, s))
+    }
+    val df = rows.toDF("doc_id", "y", "score")
+    assert(Calibration.fitTemperatureMicro(df) === 1000000L)
+    val out = Calibration.calibrationCorrectOver(df).collect()
+    val byForm = out.groupBy(_.getString(0))
+    // identity on the micro grid: the two audit tables agree column-for-column
+    val strip = (r: Row) => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    assert(byForm("calibrated").map(strip).toSeq === byForm("raw").map(strip).toSeq)
+  }
+
+  test("t35: driver entry emits both forms over t12's scores with one temperature") {
+    val out = graft.operators.Calibration.t35CalibrationCorrect(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val forms = out.map(_.getString(0)).distinct.sorted
+    assert(forms === Array("calibrated", "raw"))
+    assert(out.map(_.getLong(8)).distinct.length === 1)
+    assert(out.forall(r => r.getDouble(6) >= 0.0)) // gaps are |·|
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.DedupOps
+
+/** d15 LSH geometry-derivation specs: the closed-form argmin lands on
+  * 8×4 (the geometry d03/d08 and every standing band index have always
+  * run — now DERIVED, not hand-picked), the driver-side Scala mirror is
+  * bit-equal to the Spark relation, and the closed-form pick agrees
+  * with d14's MEASURED F1 argmax on the driver corpus at the same
+  * 32-hash budget. */
+class Round13LshGeomSpec extends GraftSpecBase {
+
+  private lazy val rows = DedupOps.d15LshGeometry(spark, sfDir).collect()
+    .map(r => (r.getInt(1), r.getInt(2)) ->
+      ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getBoolean(7))))
+    .toMap
+
+  test("d15: the derivation lands on 8x4 and NumBands/RowsPerBand ARE the derived pick") {
+    assert(DedupOps.deriveLshGeometry(32, 0.5) === ((8, 4)))
+    val chosen = rows.toSeq.collect { case (g, (_, _, _, _, true)) => g }
+    assert(chosen === Seq((8, 4)))
+  }
+
+  test("d15: the Spark relation equals the plain-Scala mirror exactly (integer algebra)") {
+    assert(rows.size === 6)
+    for (((b, r), (thr, fp, fn, total, _)) <- rows) {
+      val (mfp, mfn) = DedupOps.lshFpFnMicro(b, r, 0.5)
+      assert(fp === mfp, s"fp ($b,$r)")
+      assert(fn === mfn, s"fn ($b,$r)")
+      assert(total === mfp + mfn)
+      assert(thr === DedupOps.lshThresholdMicro(b, r), s"thr ($b,$r)")
+    }
+  }
+
+  test("d15: the characteristic threshold brackets the target best at the chosen geometry") {
+    // |ln(threshold_hat) - ln(0.5)| is minimized by the chosen geometry —
+    // the classic (1/b)^(1/r) ≈ s heuristic agrees with the area argmin
+    val dist = rows.map { case (g, (thr, _, _, _, _)) =>
+      g -> math.abs(math.log(thr.toDouble / 1e6) - math.log(0.5))
+    }
+    assert(dist.minBy(_._2)._1 === ((8, 4)))
+  }
+
+  test("d15: the closed-form pick is the argmax of d14's MEASURED F1 on the driver corpus") {
+    val measured = DedupOps.d14LshSweep(spark, sfDir).collect()
+      .filter(_.getBoolean(2)) // the capped form — what d03/d08 actually run
+      .map { r =>
+        val (hits, cands, nTrue) = (r.getLong(5), r.getLong(4), r.getLong(3))
+        val rec = hits.toDouble / math.max(nTrue, 1L)
+        val prec = hits.toDouble / math.max(cands, 1L)
+        val f1 = if (rec + prec == 0) 0.0 else 2 * rec * prec / (rec + prec)
+        (r.getInt(0), r.getInt(1)) -> f1
+      }.toMap
+    val bestMeasured = measured.maxBy(_._2)
+    assert(measured((8, 4)) === bestMeasured._2,
+      s"measured F1 argmax ${bestMeasured._1} disagrees with the closed-form pick (8,4): $measured")
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{CuratePipeline, ReleasePipeline}
+
+/** r13: the c26 FFD invariants applied to the COMPOSED release path —
+  * p02 now packs each released (split, shard) with whole-document
+  * first-fit-decreasing instead of inheriting c05's concat-and-chunk:
+  * no window ever overfills, a document is split only when longer than
+  * a window, the packing splits strictly fewer documents than c05's
+  * chunking on the same kept corpus, and token mass is untouched. */
+class Round13ReleasePackSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+
+  private lazy val p02 = ReleasePipeline.p02Release(spark, sfDir).collect()
+  private lazy val p01 = CuratePipeline.p01Curate(spark, sfDir).collect()
+
+  test("p02 pack: windows never overfill and non-split docs get exactly one window") {
+    assert(p02.nonEmpty)
+    val nonSplit = p02.filter(!_.getBoolean(p02.head.fieldIndex("pack_split_doc")))
+    assert(nonSplit.nonEmpty)
+    for (r <- nonSplit) {
+      assert(l(r, "pack_bin") >= 1L)
+      assert(l(r, "pack_windows") === 1L)
+      assert(l(r, "n_tokens") <= 512L)
+    }
+    // bin fill: per (split, shard_id, pack_bin), token mass ≤ cap
+    val fills = nonSplit.groupBy(r =>
+      (r.getString(r.fieldIndex("split")), l(r, "shard_id"), l(r, "pack_bin")))
+    for (((s, sh, b), g) <- fills)
+      assert(g.map(l(_, "n_tokens")).sum <= 512L, s"overfull window ($s,$sh,$b)")
+  }
+
+  test("p02 pack: a document is split ONLY when longer than a window") {
+    for (r <- p02 if r.getBoolean(r.fieldIndex("pack_split_doc"))) {
+      assert(l(r, "n_tokens") > 512L)
+      assert(r.isNullAt(r.fieldIndex("pack_bin")))
+      assert(l(r, "pack_windows") === (l(r, "n_tokens") + 511L) / 512L)
+    }
+  }
+
+  test("p02 pack: strictly fewer split docs than c05's chunking, identical token mass") {
+    val keptIdx = p01.head.fieldIndex("keep")
+    val kept = p01.filter(_.getBoolean(keptIdx))
+    val c05Splits = kept.count(r => l(r, "n_chunks") > 1L)
+    val ffdSplits = p02.count(_.getBoolean(p02.head.fieldIndex("pack_split_doc")))
+    assert(ffdSplits <= c05Splits)
+    // the driver corpus has multi-chunk c05 docs but none longer than a
+    // window — exactly the gap c26 closes, now on the composed path
+    if (c05Splits > 0) assert(ffdSplits < c05Splits)
+    assert(p02.map(l(_, "n_tokens")).sum === kept.map(l(_, "n_tokens")).sum)
+  }
+
+  test("p02 pack: an oversized document rides the split path with its exact window count") {
+    // doc 2 is longer than one 512-token window; others are small and kept
+    val big = (1 to 600).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", "alpha", "the cat and the dog of the house is warm"),
+      (2L, "en", "alpha", big),
+      (8L, "en", "alpha", "a bird in that hand is for worth two bush")
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = ReleasePipeline.p02Over(spark, docs, nllMax = 100.0).collect()
+      .map(r => l(r, "doc_id") -> r).toMap
+    assert(out.contains(2L), "the oversized doc must survive the gates")
+    val r2 = out(2L)
+    assert(r2.getBoolean(r2.fieldIndex("pack_split_doc")))
+    assert(l(r2, "pack_windows") === 2L) // ceil(600/512)
+    for ((id, r) <- out if id != 2L) {
+      assert(!r.getBoolean(r.fieldIndex("pack_split_doc")), s"doc $id")
+      assert(l(r, "pack_windows") === 1L)
+    }
+  }
+
+  test("p02 pack: deterministic under re-execution") {
+    val again = ReleasePipeline.p02Release(spark, sfDir).collect()
+    assert(again.toSeq === p02.toSeq)
+  }
+}
