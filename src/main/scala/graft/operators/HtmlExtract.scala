@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** c31: HTML MAIN-CONTENT extraction — the first stage of a real crawl
+  * pipeline, which every downstream text gate (t01/t02/t15/t19…)
+  * silently assumes has already happened: strip script/style/comments,
+  * split the markup into block-level segments, keep the TEXT-DENSE
+  * low-LINK-DENSITY blocks (the boilerpipe/trafilatura family's core
+  * heuristic — Kohlschütter et al., WSDM'10: boilerplate is short and
+  * link-heavy, content is long and text-dense), and reassemble the kept
+  * blocks as the document's main text.
+  *
+  * Block decision, in exact integer arithmetic (§6(d) — no float
+  * thresholds): a block survives iff
+  *   - its tag-stripped, entity-decoded, whitespace-normalized text has
+  *     ≥ [[MinBlockChars]] chars (nav crumbs, button labels, timestamps
+  *     die here);
+  *   - text chars ·10 ≥ raw block chars ·3 (≥ 0.3 text density — markup-
+  *     dominated table/attribute soup dies here);
+  *   - anchor-text chars ·2 < text chars (< 0.5 link density — nav bars,
+  *     footers, related-links boxes die here even when long).
+  *
+  * Everything is built-in string/array expressions over the one scan —
+  * regexp_replace / split / transform / filter / aggregate — no UDF, no
+  * shuffle, no driver round-trip; the DuckDB oracle runs the IDENTICAL
+  * regex/lambda chain (list_transform / list_filter / list_sum), so the
+  * semantics are pinned value-for-value. The regexes avoid
+  * backreferences (RE2-compatible: script and style are stripped by
+  * separate patterns). At 100 TB this is a scan-side map — the cheapest
+  * possible shape.
+  *
+  * The driver corpus has no HTML column, so the driver entry wraps each
+  * document's text in a deterministic page TEMPLATE (title head + a
+  * link-only nav + the text as a content div + a link-heavy footer —
+  * both engines build the identical string from the same columns) and
+  * must recover exactly the content block: the oracle proves the
+  * extractor strips everything it should and nothing it shouldn't, on
+  * every row. Engineered multi-block/nav/script fixtures are spec-driven
+  * (Round13HtmlSpec), including the t19 composition (extraction feeds
+  * the C4 gates).
+  *
+  * Reference analog: `artisan-starter-html/src/main/webapp/index.html`
+  * — the reference SERVES an HTML artifact; this is the ingestion-side
+  * face of the same surface. */
+object HtmlExtract {
+
+  /** Minimum normalized text chars for a block to be content. */
+  private[graft] val MinBlockChars = 25
+
+  /** Block-level boundary tags (opening or closing, with attributes). */
+  private val BlockBoundaryRe =
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|article|main|header|footer|nav|aside|blockquote|pre|form)(?:\\s[^>]*)?>"
+
+  private def entityDecode(c: Column): Column =
+    replace(replace(replace(replace(replace(
+      c, lit("&nbsp;"), lit(" ")), lit("&lt;"), lit("<")),
+      lit("&gt;"), lit(">")), lit("&quot;"), lit("\"")),
+      lit("&amp;"), lit("&"))
+
+  /** Tag-stripped, entity-decoded, whitespace-normalized block text. */
+  private def blockText(b: Column): Column =
+    trim(regexp_replace(entityDecode(
+      regexp_replace(b, "<[^>]*>", " ")), "\\s+", " "))
+
+  /** Total anchor-text chars of a block (the link-density numerator). */
+  private def linkChars(b: Column): Column =
+    aggregate(
+      transform(regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+        x => length(x).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** (main_text, n_blocks, n_kept, link_chars) over an html column —
+    * the whole extractor as one scan-side expression tree. */
+  private[graft] def extractCols(html: Column): Seq[Column] = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = split(noComment, BlockBoundaryRe)
+    val stats = transform(blocks, b => struct(
+      blockText(b).as("txt"),
+      length(b).cast("long").as("raw_len"),
+      linkChars(b).as("lc")))
+    val nonEmpty = filter(stats, s => length(s.getField("txt")) > 0)
+    val kept = filter(nonEmpty, s =>
+      length(s.getField("txt")) >= MinBlockChars &&
+        length(s.getField("txt")) * 10 >= s.getField("raw_len") * 3 &&
+        s.getField("lc") * 2 < length(s.getField("txt")))
+    Seq(
+      array_join(transform(kept, s => s.getField("txt")), " ").as("main_text"),
+      size(nonEmpty).cast("long").as("n_blocks"),
+      size(kept).cast("long").as("n_kept"),
+      coalesce(aggregate(transform(nonEmpty, s => s.getField("lc")),
+        lit(0L), (acc, x) => acc + x), lit(0L)).as("link_chars"))
+  }
+
+  /** The extraction over any (doc_id, html) relation. */
+  private[graft] def extractOver(pages: DataFrame): DataFrame =
+    pages.select(col("doc_id") +: extractCols(col("html")): _*)
+      .withColumn("main_chars", length(col("main_text")).cast("long"))
+      .select("doc_id", "n_blocks", "n_kept", "main_chars", "link_chars",
+        "main_text")
+      .orderBy("doc_id")
+
+  /** The deterministic page template the driver entry wraps each
+    * document in: title head, link-only nav, the text as the content
+    * block, a link-heavy footer. The extractor must recover exactly the
+    * content block. */
+  private def templated(doc: DataFrame): DataFrame =
+    doc.select(col("doc_id"), concat(
+      lit("<html><head><title>"), col("source"),
+      lit("</title><style>p{margin:0}</style></head><body>"),
+      lit("<nav><a href=\"/\">home</a> <a href=\"/l\">"), col("lang"),
+      lit("</a> <a href=\"/s\">"), col("source"), lit("</a></nav>"),
+      lit("<div id=\"main\"><p>"), col("text"), lit("</p></div>"),
+      lit("<footer><a href=\"/a\">about</a> <a href=\"/t\">terms</a> (c)</footer>"),
+      lit("</body></html>")).as("html"))
+
+  def c31HtmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    extractOver(templated(t.spread(t.documents)))
+  }
+
+  /** The identical template + regex/lambda chain in DuckDB. */
+  val c31Sql: String =
+    s"""WITH pages AS (
+       |  SELECT doc_id,
+       |    '<html><head><title>' || source ||
+       |    '</title><style>p{margin:0}</style></head><body>' ||
+       |    '<nav><a href="/">home</a> <a href="/l">' || lang ||
+       |    '</a> <a href="/s">' || source || '</a></nav>' ||
+       |    '<div id="main"><p>' || text || '</p></div>' ||
+       |    '<footer><a href="/a">about</a> <a href="/t">terms</a> (c)</footer>' ||
+       |    '</body></html>' AS html
+       |  FROM documents
+       |), cleaned AS (
+       |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(html,
+       |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+       |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+       |    '(?s)<!--.*?-->', ' ', 'g') AS h
+       |  FROM pages
+       |), blocks AS (
+       |  SELECT doc_id, regexp_split_to_array(h,
+       |    '(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|thead|tbody|tr|td|th|section|article|main|header|footer|nav|aside|blockquote|pre|form)(?:\\s[^>]*)?>') AS bs
+       |  FROM cleaned
+       |), stats AS (
+       |  SELECT doc_id, list_transform(bs, b -> struct_pack(
+       |    txt := trim(regexp_replace(
+       |      replace(replace(replace(replace(replace(
+       |        regexp_replace(b, '<[^>]*>', ' ', 'g'),
+       |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+       |        '&amp;', '&'),
+       |      '\\s+', ' ', 'g')),
+       |    raw_len := CAST(length(b) AS BIGINT),
+       |    lc := CAST(coalesce(list_sum(list_transform(
+       |      regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+       |      x -> length(x))), 0) AS BIGINT))) AS st
+       |  FROM blocks
+       |), sel AS (
+       |  SELECT doc_id,
+       |    list_filter(st, s -> length(s.txt) > 0) AS nonempty,
+       |    list_filter(st, s -> length(s.txt) >= $MinBlockChars
+       |      AND length(s.txt) * 10 >= s.raw_len * 3
+       |      AND s.lc * 2 < length(s.txt)) AS kept
+       |  FROM stats
+       |)
+       |SELECT doc_id,
+       |  CAST(len(nonempty) AS BIGINT) AS n_blocks,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(length(array_to_string(list_transform(kept, s -> s.txt), ' ')) AS BIGINT) AS main_chars,
+       |  CAST(coalesce(list_sum(list_transform(nonempty, s -> s.lc)), 0) AS BIGINT) AS link_chars,
+       |  array_to_string(list_transform(kept, s -> s.txt), ' ') AS main_text
+       |FROM sel ORDER BY doc_id""".stripMargin
+}

@@ -450,6 +450,86 @@ object MultimodalOps {
     mediaNearDupOver(media)
   }
 
+  // ---------------------------------------------------------------- m08
+  /** m08: IMAGE-TEXT ALIGNMENT gate — the multimodal-pair curation step
+    * (LAION-style: Schuhmann et al. '21 keep a crawled (image, alt-text)
+    * pair only when the joint-embedding cosine clears a threshold, and
+    * report retention per source so a crawl operator sees which feeds
+    * ship noise). Per pair: round-6 cosine between the image-side and
+    * text-side embedding (precomputed norms + the codegen
+    * [[graft.functions.FloatVecDot]] — the d05/s01 machinery, nothing
+    * interpreted per pair); gate = cosine ≥ threshold; output = one row
+    * per source with pair/kept counts, exact-grid retention, mean
+    * cosine, and the threshold in-band.
+    *
+    * The threshold is a policy parameter; when absent it is DERIVED as
+    * the exact round-6 candidate median (p05's ceiling pattern — both
+    * branches non-empty by construction at every sf, which matters
+    * because the driver corpus's synthetic embeddings are near-
+    * orthogonal and any fixed CLIP-calibrated constant would dead-gate
+    * the entry). At 100 TB: embeddings ride one scan, the report is one
+    * map-side-combined aggregate, the median is the documented a09
+    * sketch-threshold scale path.
+    *
+    * Rows-only (float-vector fold); Round13AlignmentSpec drives
+    * engineered aligned/misaligned pairs at a FIXED threshold through
+    * [[alignmentReport]] and pins the per-source numbers exactly. */
+  def m08AlignmentGate(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.FloatVecDot.register(spark)
+    val t = Tables(spark, dir)
+    // LAION-pair stand-in on the driver corpus: even vec_ids are the
+    // image side, their odd successor the caption side; the image doc's
+    // source labels the pair (vec_id ≡ doc_id on this corpus).
+    val e = t.embeddings.select(col("vec_id"), col("embedding"),
+      VectorOps.norm(col("embedding")).as("nrm"))
+    val img = e.filter(col("vec_id") % 2 === 0)
+      .select((col("vec_id") / 2).cast("long").as("pair_id"),
+        col("vec_id").as("img_doc"),
+        col("embedding").as("img_emb"), col("nrm").as("img_nrm"))
+    val txt = e.filter(col("vec_id") % 2 === 1)
+      .select(((col("vec_id") - 1) / 2).cast("long").as("pair_id"),
+        col("embedding").as("txt_emb"), col("nrm").as("txt_nrm"))
+    val src = t.documents.select(col("doc_id").as("img_doc"), col("source"))
+    val scored = img.join(txt, "pair_id").join(src, "img_doc")
+      .select(col("pair_id"), col("source"),
+        round(VectorOps.cosineWithNorms(col("img_emb"), col("txt_emb"),
+          col("img_nrm"), col("txt_nrm")), 6).as("cos"))
+    alignmentReport(scored)
+  }
+
+  /** The gate + per-source report over any (pair_id, source, cos round-6)
+    * relation. `thresholdMicro` = the alignment policy in 1e-6 units;
+    * None derives the exact candidate median (see [[m08AlignmentGate]]).
+    * Retention/mean stay on exact integer grids until the final cast. */
+  private[graft] def alignmentReport(scored0: DataFrame,
+      thresholdMicro: Option[Long] = None): DataFrame = {
+    // with a derived threshold the scored relation is consumed twice
+    // (median aggregate + gate) — materialize the doc-count-sized metadata
+    val scored = if (thresholdMicro.isDefined) scored0 else scored0.localCheckpoint()
+    val withThr: DataFrame => DataFrame = thresholdMicro match {
+      case Some(m) => df => df.withColumn("threshold", lit(m.toDouble / 1e6))
+      case None =>
+        val thr = scored.agg(
+          round(expr("percentile(cos, 0.5)"), 6).as("threshold"))
+        df => df.crossJoin(broadcast(thr))
+    }
+    withThr(scored)
+      .withColumn("cu", round(col("cos") * 1e6).cast("long"))
+      .withColumn("aligned", col("cos") >= col("threshold"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("aligned"), lit(1L)).otherwise(lit(0L))).as("n_kept"),
+        sum(col("cu")).as("sum_cu"),
+        first(col("threshold")).as("threshold"))
+      .select(col("source"), col("n_pairs"), col("n_kept"),
+        (expr("(2 * n_kept * 1000000 + n_pairs) div (2 * n_pairs)")
+          .cast("double") / 1e6).as("retention"),
+        round(col("sum_cu").cast("double") / 1e6 / col("n_pairs"), 6)
+          .as("mean_cos"),
+        col("threshold"))
+      .orderBy("source")
+  }
+
   val m02Sql: String =
     """WITH base AS (
       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents

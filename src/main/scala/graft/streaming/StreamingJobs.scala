@@ -871,6 +871,22 @@ object StreamingJobs {
       .gopherStatsOver(docs, split(col("text"), "\n"))
       .withColumn("gopher_pass", coalesce(col("gopher_pass"), lit(false)))
 
+  /** Streaming face of c31's HTML main-content extraction — the FIRST
+    * stage of a streaming crawl ingest (extract, then feed the gates:
+    * this → c4GateStream/gopherGateStream is the production order the
+    * batch t19-composition spec pins). The extractor is one row-local
+    * expression tree (regex + array HOFs — no shuffle, no state), so it
+    * streams as-is; a null html coalesces to the empty string (0 blocks,
+    * empty main text — fail-safe). Bit-parity with batch
+    * `HtmlExtract.extractOver` is spec-pinned on a MemoryStream. */
+  def htmlExtractStream(pages: DataFrame): DataFrame =
+    pages.withColumn("html", coalesce(col("html"), lit("")))
+      .select(col("doc_id") +:
+        graft.operators.HtmlExtract.extractCols(col("html")): _*)
+      .withColumn("main_chars", length(col("main_text")).cast("long"))
+      .select("doc_id", "n_blocks", "n_kept", "main_chars", "link_chars",
+        "main_text")
+
   /** Streaming face of t19's C4 line heuristics: like the Gopher gate,
     * one row-local codegen'd projection over real newline lines — no
     * shuffle, no state, streams as-is. Null text coalesces to the empty

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{MultimodalOps, VectorOps}
+
+/** m08 image-text alignment specs: engineered aligned/misaligned pairs
+  * at a FIXED threshold gate exactly as constructed (a scaled copy of
+  * the same direction keeps cosine 1; an orthogonal caption scores 0; a
+  * negated one −1), the per-source retention/mean numbers are exact,
+  * and the driver entry's derived-median threshold keeps both branches
+  * non-empty. */
+class Round13AlignmentSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def report(rows: Seq[(Long, String, Array[Float], Array[Float])],
+      thrMicro: Option[Long]) = {
+    graft.functions.FloatVecDot.register(spark)
+    val scored = rows.toDF("pair_id", "source", "img_emb", "txt_emb")
+      .select(col("pair_id"), col("source"),
+        round(VectorOps.cosine(col("img_emb"), col("txt_emb")), 6).as("cos"))
+    MultimodalOps.alignmentReport(scored, thrMicro).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+  }
+
+  private val ex = Array(1f, 0f, 0f, 0f)
+  private val ey = Array(0f, 1f, 0f, 0f)
+
+  test("m08: aligned pairs pass, orthogonal and negated captions fail, per source") {
+    val pairs = Seq(
+      // clean feed: a gain-scaled copy of the image direction (cos = 1)
+      (1L, "clean", ex, ex.map(_ * 0.5f)),
+      (2L, "clean", ey, ey.map(_ * 3f)),
+      // noisy feed: one aligned, one orthogonal (cos = 0), one negated (cos = -1)
+      (3L, "noisy", ex, ex),
+      (4L, "noisy", ex, ey),
+      (5L, "noisy", ey, ey.map(_ * -1f)))
+    val out = report(pairs, Some(800000L)) // policy threshold 0.8
+    assert(out("clean") === ((2L, 2L, 1.0, 1.0, 0.8)))
+    val (n, kept, ret, mean, thr) = out("noisy")
+    assert((n, kept, thr) === ((3L, 1L, 0.8)))
+    assert(ret === 0.333333) // exact grid: (2*1e6+3) div 6 / 1e6
+    assert(mean === 0.0)     // (1 + 0 - 1) / 3
+  }
+
+  test("m08: the threshold is a real gate — lowering it flips the orthogonal pair") {
+    val pairs = Seq((1L, "s", ex, ey))
+    assert(report(pairs, Some(100000L))("s")._2 === 0L) // cos 0 < 0.1
+    assert(report(pairs, Some(0L))("s")._2 === 1L)      // cos 0 >= 0.0
+  }
+
+  test("m08: driver entry — derived median keeps both branches non-empty, retention sane") {
+    val out = MultimodalOps.m08AlignmentGate(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val totalPairs = out.map(_.getLong(1)).sum
+    val totalKept = out.map(_.getLong(2)).sum
+    assert(totalKept > 0L && totalKept < totalPairs,
+      s"median gate must split the corpus: kept $totalKept of $totalPairs")
+    assert(out.map(_.getDouble(5)).distinct.length === 1, "one threshold rides all rows")
+    assert(out.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // deterministic under re-execution
+    assert(MultimodalOps.m08AlignmentGate(spark, sfDir).collect().toSeq === out.toSeq)
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{C4Filters, HtmlExtract}
+
+/** c31 HTML main-content extraction specs on engineered pages: script/
+  * style/comment content never leaks, link-dense navs and footers die
+  * by link density, short crumbs die by the length floor, markup soup
+  * dies by text density, real paragraphs survive verbatim (entities
+  * decoded, whitespace normalized) — and the extraction composes into
+  * the t19 C4 gates (the production ingest order). */
+class Round13HtmlSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def extract(pages: Seq[(Long, String)]) =
+    HtmlExtract.extractOver(pages.toDF("doc_id", "html")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5))))
+      .toMap
+
+  private val para =
+    "This is a long and genuinely informative paragraph of real page content " +
+      "that any reasonable extractor must keep intact."
+
+  test("c31: keeps the content paragraph, drops nav/footer/script/style/comments") {
+    val html =
+      s"""<html><head><title>t</title><style>p {color: red}</style>
+         |<script>var hidden = "script text must never leak";</script></head>
+         |<body><!-- tracking comment -->
+         |<nav><a href="/">home</a> <a href="/b">blog</a> <a href="/c">contact</a></nav>
+         |<div class="content"><p>$para</p></div>
+         |<footer><a href="/p">privacy</a> <a href="/t">terms</a> (c) 2026</footer>
+         |</body></html>""".stripMargin
+    val (_, nKept, _, _, main) = extract(Seq((1L, html)))(1L)
+    assert(main === para)
+    assert(nKept === 1L)
+    assert(!main.contains("script"), "script content leaked")
+    assert(!main.contains("color"), "style content leaked")
+    assert(!main.contains("tracking"), "comment content leaked")
+    assert(!main.contains("home"), "nav survived")
+    assert(!main.contains("privacy"), "footer survived")
+  }
+
+  test("c31: a LONG link-farm block still dies by link density") {
+    val farm = (1 to 30)
+      .map(i => s"""<a href="/$i">interesting related article number $i</a>""")
+      .mkString(" ")
+    val html = s"<html><body><div>$farm</div><div><p>$para</p></div></body></html>"
+    val (_, _, _, _, main) = extract(Seq((2L, html)))(2L)
+    assert(main === para, "link farm must not survive on length alone")
+  }
+
+  test("c31: multiple content blocks are kept in document order; crumbs die by length") {
+    val p2 = "A second substantial paragraph follows the first one here and also carries real words."
+    val html = s"<html><body><div>ok</div><p>$para</p><span>by admin</span><p>$p2</p></body></html>"
+    val (_, nKept, _, _, main) = extract(Seq((3L, html)))(3L)
+    assert(nKept === 2L)
+    assert(main === s"$para $p2")
+  }
+
+  test("c31: entities decode and whitespace normalizes in the extracted text") {
+    val html = "<html><body><p>Ben &amp; Jerry said &quot;tags &lt;b&gt; are fine&quot;" +
+      " and&nbsp;this   line\n has messy    spacing all over the place.</p></body></html>"
+    val (_, _, _, _, main) = extract(Seq((4L, html)))(4L)
+    assert(main === "Ben & Jerry said \"tags <b> are fine\" and this line has messy spacing all over the place.")
+  }
+
+  test("c31: driver template recovers exactly the document text, nav/footer audited") {
+    val rows = HtmlExtract.c31HtmlExtract(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"),
+        trim(regexp_replace(col("text"), "\\s+", " ")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (r <- rows) {
+      val (id, main) = (r.getLong(0), r.getString(5))
+      // the template's only content block is the document text itself
+      // (short/garbled docs may fall below the block floor — then empty)
+      assert(main.isEmpty || main === docs(id), s"doc $id")
+      assert(r.getLong(4) > 0L, "nav/footer anchor chars must be audited")
+    }
+    // the corpus is overwhelmingly real text: extraction keeps it
+    assert(rows.count(_.getString(5).nonEmpty) > rows.length / 2)
+  }
+
+  test("c31 htmlExtractStream: bit-identical to batch on a MemoryStream; null html fails safe") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val pages = Seq(
+      (1L, s"<html><body><nav><a href='/'>home</a></nav><p>$para</p></body></html>"),
+      (2L, "<html><body><div>short</div></body></html>"))
+    val batch = HtmlExtract.extractOver(pages.toDF("doc_id", "html"))
+      .collect().map(r => r.getLong(0) -> r.toSeq).toMap
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs
+      .htmlExtractStream(mem.toDF.toDF("doc_id", "html"))
+      .writeStream.format("memory").queryName("html_r13").outputMode("append")
+      .start()
+    try {
+      mem.addData(pages: _*)
+      mem.addData((99L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("html_r13").collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    pages.foreach { case (id, _) => assert(streamed(id) === batch(id)) }
+    val nullRow = streamed(99L)
+    assert(nullRow(1) === 0L) // n_blocks
+    assert(nullRow(5) === "") // main_text
+  }
+
+  test("c31 -> t19: extraction feeds the C4 gates (the production ingest order)") {
+    val good = "This sentence is long enough and ends with terminal punctuation. " +
+      "Here is another full sentence that also terminates properly. " +
+      "And a third complete sentence rounds out the page."
+    val html = s"""<html><body>
+      |<nav><a href="/">home</a> <a href="/x">more</a></nav>
+      |<p>${good}</p>
+      |<footer><a href="/p">privacy</a> <a href="/t">terms</a> js menu</footer>
+      |</body></html>""".stripMargin
+    val extracted = HtmlExtract.extractOver(Seq((7L, html)).toDF("doc_id", "html"))
+      .select(col("doc_id"), col("main_text").as("text"))
+    val c4 = C4Filters.c4StatsOver(extracted, split(col("text"), "\\. "))
+      .collect().head
+    assert(c4.getBoolean(c4.fieldIndex("c4_pass")),
+      "clean extracted content must pass the C4 gates")
+    // the RAW page (nav + footer riding along) fails the same gate the
+    // extraction saves: its last line carries no terminal punctuation
+    val raw = Seq((8L, html.replaceAll("<[^>]*>", " ").replaceAll("\\s+", " ").trim))
+      .toDF("doc_id", "text")
+    val c4raw = C4Filters.c4StatsOver(raw, split(col("text"), "\\. ")).collect().head
+    assert(!c4raw.getBoolean(c4raw.fieldIndex("c4_pass")),
+      "the unextracted page should fail C4 (boilerplate tail)")
+  }
+}
