@@ -87,7 +87,7 @@ object Calibration {
   /** Logit of a round-6 score, with the score clamped to
     * [1, 999999] micro first (0/1 scores have infinite logit; one
     * micro-step in from the boundary is the grid's own resolution). */
-  private def logitCol(score: Column): Column = {
+  private[graft] def logitCol(score: Column): Column = {
     val su = least(greatest(round(score * 1e6).cast("long"), lit(1L)),
       lit(999999L))
     log(su.cast("double") / (lit(1000000.0) - su.cast("double")))
@@ -97,7 +97,7 @@ object Calibration {
     * clamped to [1, 999999] — every arithmetic step is JVM Math (the
     * Spark codegen and the plain-Scala spec mirror run the SAME
     * java.lang.Math, so the rows-only regime is still bit-pinned). */
-  private def scaledMicroCol(lg: Column, tMicro: Long): Column = {
+  private[graft] def scaledMicroCol(lg: Column, tMicro: Long): Column = {
     val p = lit(1.0) / (lit(1.0) + exp(-lg / lit(tMicro.toDouble / 1e6)))
     least(greatest(round(p * 1e6).cast("long"), lit(1L)), lit(999999L))
   }

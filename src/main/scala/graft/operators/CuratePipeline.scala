@@ -142,9 +142,10 @@ object CuratePipeline {
       requireGopher: Boolean = false, requireC4: Boolean = false,
       lmScorer: DataFrame => DataFrame = TextOps.bigramLm,
       lshPairs: Boolean = false,
-      nllCeilingQ: Option[Double] = None): DataFrame =
+      nllCeilingQ: Option[Double] = None,
+      htmlInput: Boolean = false): DataFrame =
     p01Finish(p01PartsOf(spark, documents, qualityMin, nllMax,
-      requireGopher, requireC4, lmScorer, lshPairs, nllCeilingQ))
+      requireGopher, requireC4, lmScorer, lshPairs, nllCeilingQ, htmlInput))
 
   /** Stages 1-5 and the per-doc flag relation. `requireGopher`/
     * `requireC4` compose the t15/t19 rule gates as additional stages
@@ -161,12 +162,29 @@ object CuratePipeline {
       requireGopher: Boolean = false, requireC4: Boolean = false,
       lmScorer: DataFrame => DataFrame = TextOps.bigramLm,
       lshPairs: Boolean = false,
-      nllCeilingQ: Option[Double] = None): P01Parts = {
+      nllCeilingQ: Option[Double] = None,
+      htmlInput: Boolean = false): P01Parts = {
     graft.functions.Ngrams.register(spark)
+
+    // ---- stage 0 (r13, parameter-enabled): HTML main-content
+    // extraction. A crawl pipeline's documents arrive as markup; with
+    // `htmlInput` the relation carries (doc_id, lang, source, html) and
+    // c31's scan-side extractor derives the text every later stage
+    // reads — folded into the SAME one corpus materialization (the
+    // extraction is row-local expressions, so it rides the base
+    // projection; markup never survives past the checkpoint). Default
+    // off: the driver corpus is already plain text. Composition is
+    // spec-pinned: p01 over HTML ≡ p01 over the pre-extracted text
+    // (Round13HtmlSpec).
+    val docsIn =
+      if (htmlInput)
+        documents.select(col("doc_id"), col("lang"), col("source"),
+          HtmlExtract.mainTextCol(col("html")).as("text"))
+      else documents
 
     // the ONE corpus materialization every stage reads (see scaladoc)
     val needText = requireGopher || requireC4
-    val base = documents
+    val base = docsIn
       .select(col("doc_id") +: col("lang") +: col("source") +:
         normText(col("text")).as("norm") +:
         (if (needText) Seq(col("text")) else Nil): _*)

@@ -96,6 +96,11 @@ object HtmlExtract {
         lit(0L), (acc, x) => acc + x), lit(0L)).as("link_chars"))
   }
 
+  /** Just the main text of an html column — the ingest-composition form
+    * ([[CuratePipeline.p01PartsOf]]'s `htmlInput` stage 0). */
+  private[graft] def mainTextCol(html: Column): Column =
+    extractCols(html).head
+
   /** The extraction over any (doc_id, html) relation. */
   private[graft] def extractOver(pages: DataFrame): DataFrame =
     pages.select(col("doc_id") +: extractCols(col("html")): _*)

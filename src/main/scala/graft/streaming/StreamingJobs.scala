@@ -406,6 +406,51 @@ object StreamingJobs {
         (col("z") >= 0).as("predicted"))
   }
 
+  /** Streaming face of t35's calibration CORRECTION composed onto the
+    * quality gate: [[qualityScoreStream]]'s raw round-6 score plus the
+    * temperature-corrected one, so a streaming admission threshold can
+    * gate on a probability that IS a probability (Guo et al. ICML'17).
+    * The temperature is a per-training-run scalar fitted batch-side
+    * ([[graft.operators.Calibration.fitTemperatureMicro]] on the
+    * held-out split), so it snapshots into a plan literal exactly like
+    * the model weights — stateless, row-local, and BIT-IDENTICAL to the
+    * batch apply path by construction (same quantize → logit → scale →
+    * quantize chain; spec-pinned on a MemoryStream). A re-fit
+    * temperature is a query restart, the model-refresh contract. */
+  def calibratedScoreStream(docs: DataFrame,
+      model: graft.operators.QualityClassifier.Model,
+      temperatureMicro: Long): DataFrame = {
+    import graft.operators.Calibration.{logitCol, scaledMicroCol}
+    qualityScoreStream(docs, model)
+      .withColumn("score_cal",
+        scaledMicroCol(logitCol(col("score")), temperatureMicro)
+          .cast("double") / 1e6)
+      .withColumn("temperature_micro", lit(temperatureMicro))
+  }
+
+  // -------------------------------------------------- alignment gate
+  /** Streaming face of m08's image-text alignment gate: a crawled
+    * (image, caption) pair is admitted the moment its joint-embedding
+    * cosine clears the FROZEN policy threshold — one row-local cosine
+    * (precomputed norms are per-row expressions; the codegen FloatVecDot
+    * does the fold), no shuffle, no state. The threshold is a scalar
+    * policy/derived-batch-side constant, so it snapshots into a plan
+    * literal (the pplBucketStream constants-vs-content split — the
+    * batch entry's derived median cannot stream: a stream cannot rank
+    * against unseen pairs; consumers freeze it, the t16 contract).
+    * Per-source retention stays batch-side (m08's report). Input rows
+    * need (pair_id, source, img_emb, txt_emb). */
+  def alignmentGateStream(pairs: DataFrame, thresholdMicro: Long): DataFrame = {
+    val spark = pairs.sparkSession
+    graft.functions.FloatVecDot.register(spark)
+    import graft.operators.VectorOps.{cosineWithNorms, norm}
+    pairs
+      .withColumn("cos", round(cosineWithNorms(col("img_emb"), col("txt_emb"),
+        norm(col("img_emb")), norm(col("txt_emb"))), 6))
+      .withColumn("aligned", col("cos") >= lit(thresholdMicro.toDouble / 1e6))
+      .select("pair_id", "source", "cos", "aligned")
+  }
+
   // ------------------------------------------------- semantic-dup gate
   /** Streaming face of d10's incremental SemDeDup — completing the
     * streaming dedup trilogy (dedupStream exact / neardupProbeStream

@@ -50,6 +50,30 @@ class Round13AlignmentSpec extends GraftSpecBase {
     assert(report(pairs, Some(0L))("s")._2 === 1L)      // cos 0 >= 0.0
   }
 
+  test("m08 alignmentGateStream: per-pair gate on a MemoryStream matches the batch cosine/flag") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Array[Float], Array[Float])]
+    val q = graft.streaming.StreamingJobs
+      .alignmentGateStream(
+        mem.toDF.toDF("pair_id", "source", "img_emb", "txt_emb"),
+        thresholdMicro = 800000L)
+      .writeStream.format("memory").queryName("align_r13").outputMode("append")
+      .start()
+    try {
+      mem.addData(
+        (1L, "clean", ex, ex.map(_ * 0.5f)), // cos 1 -> aligned
+        (2L, "noisy", ex, ey),               // cos 0 -> not
+        (3L, "noisy", ey, ey.map(_ * -1f)))  // cos -1 -> not
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("align_r13").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(2), r.getBoolean(3)))).toMap
+    assert(out(1L) === ((1.0, true)))
+    assert(out(2L) === ((0.0, false)))
+    assert(out(3L) === ((-1.0, false)))
+  }
+
   test("m08: driver entry — derived median keeps both branches non-empty, retention sane") {
     val out = MultimodalOps.m08AlignmentGate(spark, sfDir).collect()
     assert(out.nonEmpty)

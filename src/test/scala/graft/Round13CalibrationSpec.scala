@@ -84,6 +84,49 @@ class Round13CalibrationSpec extends GraftSpecBase {
     assert(byForm("calibrated").map(strip).toSeq === byForm("raw").map(strip).toSeq)
   }
 
+  test("t35 calibratedScoreStream: stream apply is bit-identical to the mirror chain") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // train the t12 model on an engineered corpus (the Round9 classifier
+    // fixture shape: label = contains 'spam')
+    val corpus = Seq(
+      (1L, "spam spam buy now cheap spam offer spam"),
+      (2L, "the quiet afternoon passed with tea and letters"),
+      (3L, "spam deal spam win spam prize now spam"),
+      (4L, "a long walk through the park under old trees"),
+      (5L, "morning coffee and the daily news on the porch"),
+      (6L, "spam free spam cash spam now buy spam")).toDF("doc_id", "text")
+    graft.functions.Ngrams.register(spark)
+    graft.functions.PolyFingerprint.register(spark)
+    val label = array_contains(graft.operators.TextOps.tokensOf(col("text")), "spam")
+    val feats = graft.operators.QualityClassifier.features(corpus, label, orders = Seq(1))
+    val model = graft.operators.QualityClassifier.train(feats, orders = Seq(1))
+    val tMicro = 2000000L // a frozen policy temperature (T = 2)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingJobs
+      .calibratedScoreStream(mem.toDF.toDF("doc_id", "text"), model, tMicro)
+      .writeStream.format("memory").queryName("cal_r13").outputMode("append")
+      .start()
+    try {
+      mem.addData(corpus.collect().map(r => (r.getLong(0), r.getString(1))).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("cal_r13").collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val raw = r.getDouble(r.fieldIndex("score"))
+      val cal = r.getDouble(r.fieldIndex("score_cal"))
+      // the mirror chain: quantize -> logit -> scale -> quantize
+      assert(cal === scaledMicro(logit(raw), tMicro).toDouble / 1e6,
+        s"doc ${r.getLong(0)}")
+      assert(r.getLong(r.fieldIndex("temperature_micro")) === tMicro)
+      // T = 2 flattens toward 0.5: the corrected score is never more
+      // extreme than the raw one (on the clamped grid)
+      assert(math.abs(cal - 0.5) <= math.abs(raw - 0.5) + 1e-6)
+    }
+  }
+
   test("t35: driver entry emits both forms over t12's scores with one temperature") {
     val out = graft.operators.Calibration.t35CalibrationCorrect(spark, sfDir).collect()
     assert(out.nonEmpty)

@@ -109,6 +109,34 @@ class Round13HtmlSpec extends GraftSpecBase {
     assert(nullRow(5) === "") // main_text
   }
 
+  test("c31 -> p01: the pipeline over HTML equals the pipeline over pre-extracted text") {
+    // four docs wrapped in nav/footer boilerplate; doc 2 twins doc 1
+    // (near-dup stage must still fire on the EXTRACTED text)
+    def page(body: String) =
+      s"""<html><head><style>p{x}</style></head><body>
+         |<nav><a href="/">home</a> <a href="/b">blog</a></nav>
+         |<p>$body</p>
+         |<footer><a href="/t">terms</a> (c)</footer></body></html>""".stripMargin
+    val bodies = Seq(
+      (1L, "the cat and the dog of the house is warm and the fire is bright tonight"),
+      (2L, "the cat and the dog of the house is warm and the fire is bright tonight"),
+      (3L, "red green blue yellow purple orange pink brown gray black white cyan colors"),
+      (4L, "a bird in that hand is for worth two in the green bush today"))
+    val htmlDocs = bodies.map { case (id, b) => (id, "en", "alpha", page(b)) }
+      .toDF("doc_id", "lang", "source", "html")
+    val textDocs = bodies.map { case (id, b) => (id, "en", "alpha", b) }
+      .toDF("doc_id", "lang", "source", "text")
+    val viaHtml = graft.operators.CuratePipeline
+      .p01Over(spark, htmlDocs, nllMax = 100.0, htmlInput = true).collect()
+    val viaText = graft.operators.CuratePipeline
+      .p01Over(spark, textDocs, nllMax = 100.0).collect()
+    assert(viaHtml.toSeq === viaText.toSeq)
+    // and the near-dup stage really fired on the extracted text
+    val byId = viaHtml.map(r => r.getLong(0) -> r).toMap
+    assert(!byId(2L).getBoolean(byId(2L).fieldIndex("exact_canonical")),
+      "doc 2 must collapse onto its twin after extraction")
+  }
+
   test("c31 -> t19: extraction feeds the C4 gates (the production ingest order)") {
     val good = "This sentence is long enough and ends with terminal punctuation. " +
       "Here is another full sentence that also terminates properly. " +
