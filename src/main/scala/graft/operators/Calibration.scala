@@ -121,8 +121,13 @@ object Calibration {
       .select(posexplode(array(nlls: _*)).as(Seq("ti", "nll")))
       .groupBy(col("ti")).agg(sum(col("nll")).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val bestIdx = TempLadderMicro.indices.minBy(i => (sums.getOrElse(i, 0L), i))
-    TempLadderMicro(bestIdx)
+    // an EMPTY held-out split gives every rung NLL 0 — no evidence, so
+    // the identity temperature, not the ladder's arbitrary first rung
+    if (sums.isEmpty) 1000000L
+    else {
+      val bestIdx = TempLadderMicro.indices.minBy(i => (sums.getOrElse(i, 0L), i))
+      TempLadderMicro(bestIdx)
+    }
   }
 
   /** t35: per-decile reliability of the RAW t12 scores next to the

@@ -67,6 +67,11 @@ class Round13CalibrationSpec extends GraftSpecBase {
     assert(out.map(_.getLong(8)).distinct.length === 1)
   }
 
+  test("t35: an EMPTY held-out split fits the identity temperature, not the first rung") {
+    val empty = Seq.empty[(Long, Int, Double)].toDF("doc_id", "y", "score")
+    assert(Calibration.fitTemperatureMicro(empty) === 1000000L)
+  }
+
   test("t35: an already-calibrated input fits T* = 1 and keeps its scores") {
     // per-decile honest scores: score 0.x5 with exactly x5% positives
     val rows = (0 until 10).flatMap { b =>
