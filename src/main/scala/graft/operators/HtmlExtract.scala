@@ -11,7 +11,10 @@ import graft.Tables
   * low-LINK-DENSITY blocks (the boilerpipe/trafilatura family's core
   * heuristic — Kohlschütter et al., WSDM'10: boilerplate is short and
   * link-heavy, content is long and text-dense), and reassemble the kept
-  * blocks as the document's main text.
+  * blocks as the document's main text — JOINED WITH NEWLINES, so the
+  * block boundaries survive as the lines the downstream line-based
+  * gates (t15 Gopher / t19 C4) split on (r13: a space join erased the
+  * one structural signal extraction had just recovered).
   *
   * Block decision, in exact integer arithmetic (§6(d) — no float
   * thresholds): a block survives iff
@@ -89,7 +92,7 @@ object HtmlExtract {
         length(s.getField("txt")) * 10 >= s.getField("raw_len") * 3 &&
         s.getField("lc") * 2 < length(s.getField("txt")))
     Seq(
-      array_join(transform(kept, s => s.getField("txt")), " ").as("main_text"),
+      array_join(transform(kept, s => s.getField("txt")), "\n").as("main_text"),
       size(nonEmpty).cast("long").as("n_blocks"),
       size(kept).cast("long").as("n_kept"),
       coalesce(aggregate(transform(nonEmpty, s => s.getField("lc")),
@@ -174,8 +177,8 @@ object HtmlExtract {
        |SELECT doc_id,
        |  CAST(len(nonempty) AS BIGINT) AS n_blocks,
        |  CAST(len(kept) AS BIGINT) AS n_kept,
-       |  CAST(length(array_to_string(list_transform(kept, s -> s.txt), ' ')) AS BIGINT) AS main_chars,
+       |  CAST(length(array_to_string(list_transform(kept, s -> s.txt), chr(10))) AS BIGINT) AS main_chars,
        |  CAST(coalesce(list_sum(list_transform(nonempty, s -> s.lc)), 0) AS BIGINT) AS link_chars,
-       |  array_to_string(list_transform(kept, s -> s.txt), ' ') AS main_text
+       |  array_to_string(list_transform(kept, s -> s.txt), chr(10)) AS main_text
        |FROM sel ORDER BY doc_id""".stripMargin
 }

@@ -72,13 +72,21 @@ object PackBestfit {
     }
   }
 
-  /** FFD bin ids (1-based, opening order) for one group's (doc_id,
+  /** FFD bin ids (1-based, opening order) AND within-bin positions
+    * (1-based placement order — the concatenation order a training
+    * loader lays the window out in, r13) for one group's (doc_id,
     * n_tok) rows — pure function, spec-testable without Spark. */
   private[graft] def ffdAssign(rows: Array[(Long, Long)],
-      cap: Long): Array[(Long, Long, Long)] = {
+      cap: Long): Array[(Long, Long, Long, Long)] = {
     val sorted = rows.sortBy { case (id, n) => (-n, id) }
     val bins = new FfdBins(math.max(sorted.length, 1), cap)
-    sorted.map { case (id, n) => (id, n, bins.place(n).toLong + 1L) }
+    val placed = scala.collection.mutable.HashMap.empty[Long, Long]
+    sorted.map { case (id, n) =>
+      val bin = bins.place(n).toLong + 1L
+      val pos = placed.getOrElse(bin, 0L) + 1L
+      placed(bin) = pos
+      (id, n, bin, pos)
+    }
   }
 
   def c26PackBestfit(spark: SparkSession, dir: String): DataFrame = {
@@ -101,15 +109,18 @@ object PackBestfit {
       .flatMapGroups { (key: (String, Long),
           it: Iterator[(String, Long, Long, Long)]) =>
         ffdAssign(it.map(r => (r._3, r._4)).toArray, PackCap)
-          .iterator.map { case (id, n, bin) => (id, key._1, key._2, n, bin) }
+          .iterator.map { case (id, n, bin, pos) =>
+            (id, key._1, key._2, n, bin, pos) }
       }
-      .toDF("doc_id", "lang", "shard", "n_tok", "bin")
+      .toDF("doc_id", "lang", "shard", "n_tok", "bin", "pos")
       .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
-        col("bin"), lit(false).as("split_doc"), lit(1L).as("n_windows"))
+        col("bin"), lit(false).as("split_doc"), lit(1L).as("n_windows"),
+        col("pos").as("pack_pos"))
     val oversized = toks.filter(col("n_tok") > PackCap)
       .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
         lit(null).cast("long").as("bin"), lit(true).as("split_doc"),
-        expr(s"(n_tok + ${PackCap - 1}) div $PackCap").as("n_windows"))
+        expr(s"(n_tok + ${PackCap - 1}) div $PackCap").as("n_windows"),
+        lit(null).cast("long").as("pack_pos"))
     packed.unionByName(oversized).orderBy("doc_id")
   }
 
@@ -148,12 +159,15 @@ object PackBestfit {
        |    list_transform(f.fills, x -> x + s.n_tok <= $PackCap), true), 0) AS pos) j
        |)
        |SELECT doc_id, lang, shard, n_tok, bin,
-       |  false AS split_doc, CAST(1 AS BIGINT) AS n_windows
+       |  false AS split_doc, CAST(1 AS BIGINT) AS n_windows,
+       |  CAST(row_number() OVER (PARTITION BY lang, shard, bin
+       |    ORDER BY rn) AS BIGINT) AS pack_pos
        |FROM ffd
        |UNION ALL
        |SELECT doc_id, lang, shard, n_tok, CAST(NULL AS BIGINT) AS bin,
        |  true AS split_doc,
-       |  (n_tok + $PackCap - 1) // $PackCap AS n_windows
+       |  (n_tok + $PackCap - 1) // $PackCap AS n_windows,
+       |  CAST(NULL AS BIGINT) AS pack_pos
        |FROM toksrel WHERE n_tok > $PackCap
        |ORDER BY doc_id""".stripMargin
   }

@@ -186,13 +186,14 @@ object ReleasePipeline {
       .flatMapGroups { (_: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
         PackBestfit.ffdAssign(it.map(r => (r._3, r._4)).toArray,
             PackBestfit.PackCap)
-          .iterator.map { case (id, _, bin) => (id, bin) }
+          .iterator.map { case (id, _, bin, pos) => (id, bin, pos) }
       }
-      .toDF("doc_id", "pack_bin")
-      .select(col("doc_id"), col("pack_bin"),
+      .toDF("doc_id", "pack_bin", "pack_pos")
+      .select(col("doc_id"), col("pack_bin"), col("pack_pos"),
         lit(false).as("pack_split_doc"), lit(1L).as("pack_windows"))
     val packedBig = packIn.filter(col("n_tokens") > PackBestfit.PackCap)
       .select(col("doc_id"), lit(null).cast("long").as("pack_bin"),
+        lit(null).cast("long").as("pack_pos"),
         lit(true).as("pack_split_doc"),
         expr(s"(n_tokens + ${PackBestfit.PackCap - 1}) div ${PackBestfit.PackCap}")
           .as("pack_windows"))
@@ -218,7 +219,8 @@ object ReleasePipeline {
       .join(packCols, Seq("doc_id"))
       .select(col("doc_id"), col("lang"), col("source"), col("canonical"),
         col("split"), col("shard_id"), col("shard_pos"), col("n_tokens"),
-        col("pack_bin"), col("pack_split_doc"), col("pack_windows"),
+        col("pack_bin"), col("pack_pos"), col("pack_split_doc"),
+        col("pack_windows"),
         col("split_docs"), col("split_tokens"),
         col("shard_docs"), col("shard_tokens"),
         col("src_docs"), col("src_tokens"), col("src_langs"),
@@ -271,11 +273,15 @@ object ReleasePipeline {
        |  CROSS JOIN LATERAL (SELECT nullif(list_position(
        |    list_transform(f.fills, x -> x + s.n_tokens <= ${PackBestfit.PackCap}), true), 0) AS pos) j
        |), packrel AS (
-       |  SELECT doc_id, pack_bin, false AS pack_split_doc,
+       |  SELECT doc_id, pack_bin,
+       |    CAST(row_number() OVER (PARTITION BY split, shard_id, pack_bin
+       |      ORDER BY prn) AS BIGINT) AS pack_pos,
+       |    false AS pack_split_doc,
        |    CAST(1 AS BIGINT) AS pack_windows
        |  FROM relffd
        |  UNION ALL
-       |  SELECT doc_id, CAST(NULL AS BIGINT) AS pack_bin, true AS pack_split_doc,
+       |  SELECT doc_id, CAST(NULL AS BIGINT) AS pack_bin,
+       |    CAST(NULL AS BIGINT) AS pack_pos, true AS pack_split_doc,
        |    (n_tokens + ${PackBestfit.PackCap - 1}) // ${PackBestfit.PackCap} AS pack_windows
        |  FROM sharded WHERE n_tokens > ${PackBestfit.PackCap}
        |), split_audit AS (
@@ -297,7 +303,7 @@ object ReleasePipeline {
        |)
        |SELECT r.doc_id, r.lang, r.source, r.canonical,
        |  r.split, r.shard_id, r.shard_pos, r.n_tokens,
-       |  pk.pack_bin, pk.pack_split_doc, pk.pack_windows,
+       |  pk.pack_bin, pk.pack_pos, pk.pack_split_doc, pk.pack_windows,
        |  sa.split_docs, sa.split_tokens,
        |  ha.shard_docs, ha.shard_tokens,
        |  sh.src_docs, sh.src_tokens, sh.src_langs,

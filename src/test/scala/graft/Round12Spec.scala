@@ -132,12 +132,14 @@ class Round12Spec extends GraftSpecBase {
   // ---------------------------------------------------------------- c26
   test("c26 FFD: textbook assignment, capacity invariant, determinism") {
     import graft.operators.PackBestfit
-    // 500,400,120,100,12,10 into cap-512 bins: FFD = 1,2,3,2,1,2
+    // 500,400,120,100,12,10 into cap-512 bins: FFD = 1,2,3,2,1,2 with
+    // within-bin positions following placement order (r13: the window
+    // layout a loader concatenates in)
     val got = PackBestfit.ffdAssign(
       Array((1L, 500L), (2L, 400L), (3L, 120L), (4L, 100L), (5L, 12L), (6L, 10L)),
       512L).toSeq
-    assert(got === Seq((1L, 500L, 1L), (2L, 400L, 2L), (3L, 120L, 3L),
-      (4L, 100L, 2L), (5L, 12L, 1L), (6L, 10L, 2L)))
+    assert(got === Seq((1L, 500L, 1L, 1L), (2L, 400L, 2L, 1L), (3L, 120L, 3L, 1L),
+      (4L, 100L, 2L, 2L), (5L, 12L, 1L, 2L), (6L, 10L, 2L, 3L)))
     // capacity invariant + determinism on a pseudo-random load
     val rnd = new scala.util.Random(99)
     val rows = Array.tabulate(3000)(i => (i.toLong, 1L + rnd.nextInt(512)))
@@ -150,11 +152,15 @@ class Round12Spec extends GraftSpecBase {
     // naive O(n·B) reference on the same sorted load
     val sorted = rows.sortBy { case (id, n) => (-n, id) }
     val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val placed = scala.collection.mutable.HashMap.empty[Long, Long]
     val ref = sorted.map { case (id, n) =>
       var j = bins.indexWhere(_ + n <= 512L)
       if (j < 0) { bins += 0L; j = bins.length - 1 }
       bins(j) += n
-      (id, n, j.toLong + 1L)
+      val bin = j.toLong + 1L
+      val pos = placed.getOrElse(bin, 0L) + 1L
+      placed(bin) = pos
+      (id, n, bin, pos)
     }
     assert(a.toSeq === ref.toSeq, "segment tree diverges from naive first-fit")
   }

@@ -55,7 +55,9 @@ class Round13HtmlSpec extends GraftSpecBase {
     val html = s"<html><body><div>ok</div><p>$para</p><span>by admin</span><p>$p2</p></body></html>"
     val (_, nKept, _, _, main) = extract(Seq((3L, html)))(3L)
     assert(nKept === 2L)
-    assert(main === s"$para $p2")
+    // blocks join with NEWLINES: paragraph boundaries survive as the
+    // lines the t15/t19 line-based gates split on
+    assert(main === s"$para\n$p2")
   }
 
   test("c31: entities decode and whitespace normalizes in the extracted text") {
@@ -138,17 +140,20 @@ class Round13HtmlSpec extends GraftSpecBase {
   }
 
   test("c31 -> t19: extraction feeds the C4 gates (the production ingest order)") {
-    val good = "This sentence is long enough and ends with terminal punctuation. " +
-      "Here is another full sentence that also terminates properly. " +
-      "And a third complete sentence rounds out the page."
+    val good1 = "This sentence is long enough and ends with terminal punctuation. " +
+      "Here is another full sentence that also terminates properly."
+    val good2 = "And a third complete sentence in its own paragraph rounds out the page."
     val html = s"""<html><body>
       |<nav><a href="/">home</a> <a href="/x">more</a></nav>
-      |<p>${good}</p>
+      |<p>${good1}</p>
+      |<p>${good2}</p>
       |<footer><a href="/p">privacy</a> <a href="/t">terms</a> js menu</footer>
       |</body></html>""".stripMargin
     val extracted = HtmlExtract.extractOver(Seq((7L, html)).toDF("doc_id", "html"))
       .select(col("doc_id"), col("main_text").as("text"))
-    val c4 = C4Filters.c4StatsOver(extracted, split(col("text"), "\\. "))
+    // the newline block joins ARE the lines the C4 gate splits on — no
+    // re-segmentation needed between the two stages
+    val c4 = C4Filters.c4StatsOver(extracted, split(col("text"), "\n"))
       .collect().head
     assert(c4.getBoolean(c4.fieldIndex("c4_pass")),
       "clean extracted content must pass the C4 gates")

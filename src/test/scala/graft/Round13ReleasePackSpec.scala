@@ -27,11 +27,16 @@ class Round13ReleasePackSpec extends GraftSpecBase {
       assert(l(r, "pack_windows") === 1L)
       assert(l(r, "n_tokens") <= 512L)
     }
-    // bin fill: per (split, shard_id, pack_bin), token mass ≤ cap
+    // bin fill: per (split, shard_id, pack_bin), token mass ≤ cap; and
+    // the window LAYOUT is complete — pack_pos is a contiguous 1..k
+    // within every window (r13: the concatenation order a loader needs)
     val fills = nonSplit.groupBy(r =>
       (r.getString(r.fieldIndex("split")), l(r, "shard_id"), l(r, "pack_bin")))
-    for (((s, sh, b), g) <- fills)
+    for (((s, sh, b), g) <- fills) {
       assert(g.map(l(_, "n_tokens")).sum <= 512L, s"overfull window ($s,$sh,$b)")
+      assert(g.map(l(_, "pack_pos")).sorted.toSeq === (1L to g.length).toSeq,
+        s"pack_pos not contiguous in ($s,$sh,$b)")
+    }
   }
 
   test("p02 pack: a document is split ONLY when longer than a window") {
