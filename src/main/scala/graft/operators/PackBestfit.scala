@@ -128,8 +128,11 @@ object PackBestfit {
     * bin-fill vector rides the recursion as a LIST column; leftmost fit
     * = `nullif(list_position(…), 0)` (DuckDB returns 0, not NULL, on a
     * miss). Splice-shared with nothing — the Scala side is imperative —
-    * so this oracle is the independent re-derivation, not a mirror. */
-  val c26Sql: String = {
+    * so this oracle is the independent re-derivation, not a mirror.
+    * ONE CTE chain ending in `packrows` (the c26 row shape), extended by
+    * both [[c26Sql]] and [[c32Sql]] — the shared-CTE discipline, so the
+    * packing and its audit cannot drift. */
+  private val PackCtes: String = {
     import TextOps.TokensSql
     s"""WITH RECURSIVE toksrel AS (
        |  SELECT doc_id, lang, CAST(len($TokensSql) AS BIGINT) AS n_tok,
@@ -157,18 +160,83 @@ object PackBestfit {
        |    ON s.lang = f.lang AND s.shard = f.shard AND s.rn = f.rn + 1
        |  CROSS JOIN LATERAL (SELECT nullif(list_position(
        |    list_transform(f.fills, x -> x + s.n_tok <= $PackCap), true), 0) AS pos) j
-       |)
-       |SELECT doc_id, lang, shard, n_tok, bin,
-       |  false AS split_doc, CAST(1 AS BIGINT) AS n_windows,
-       |  CAST(row_number() OVER (PARTITION BY lang, shard, bin
-       |    ORDER BY rn) AS BIGINT) AS pack_pos
-       |FROM ffd
-       |UNION ALL
-       |SELECT doc_id, lang, shard, n_tok, CAST(NULL AS BIGINT) AS bin,
-       |  true AS split_doc,
-       |  (n_tok + $PackCap - 1) // $PackCap AS n_windows,
-       |  CAST(NULL AS BIGINT) AS pack_pos
-       |FROM toksrel WHERE n_tok > $PackCap
-       |ORDER BY doc_id""".stripMargin
+       |), packrows AS (
+       |  SELECT doc_id, lang, shard, n_tok, bin,
+       |    false AS split_doc, CAST(1 AS BIGINT) AS n_windows,
+       |    CAST(row_number() OVER (PARTITION BY lang, shard, bin
+       |      ORDER BY rn) AS BIGINT) AS pack_pos
+       |  FROM ffd
+       |  UNION ALL
+       |  SELECT doc_id, lang, shard, n_tok, CAST(NULL AS BIGINT) AS bin,
+       |    true AS split_doc,
+       |    (n_tok + $PackCap - 1) // $PackCap AS n_windows,
+       |    CAST(NULL AS BIGINT) AS pack_pos
+       |  FROM toksrel WHERE n_tok > $PackCap
+       |)""".stripMargin
   }
+
+  val c26Sql: String =
+    s"""$PackCtes
+       |SELECT * FROM packrows ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- c32
+  /** c32: the PACKING AUDIT — window utilization of the c26 layout, the
+    * loader-efficiency datasheet a training run reads before committing
+    * a context-window budget (fill below ~0.9 means the cluster pays
+    * attention-FLOPs for padding): per (lang, shard), packed-side doc/
+    * window/token counts with the exact-grid mean fill and the absolute
+    * padding waste, plus the oversized side (split docs, their dedicated
+    * windows, and the tail waste of each last window). Fill ratios are
+    * ONE half-up integer division each (§6(d)); a group with no packed
+    * docs reports NULL fill rather than inventing a 0/0. ORACLED — the
+    * SQL extends [[PackCtes]]'s own `packrows`, so audit and packing
+    * cannot drift. Scale shape: one map-side-combined aggregate over
+    * c26's output; |langs × shards| rows. */
+  def c32PackAudit(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    c32Over(spark, t.spread(t.documents))
+  }
+
+  private[graft] def c32Over(spark: SparkSession, documents: DataFrame): DataFrame =
+    c26Over(spark, documents)
+      .groupBy(col("lang"), col("shard"))
+      .agg(
+        count(when(!col("split_doc"), lit(1))).as("n_docs_packed"),
+        countDistinct(when(!col("split_doc"), col("bin"))).as("n_windows_packed"),
+        coalesce(sum(when(!col("split_doc"), col("n_tok"))), lit(0L)).as("packed_tokens"),
+        count(when(col("split_doc"), lit(1))).as("n_docs_split"),
+        coalesce(sum(when(col("split_doc"), col("n_windows"))), lit(0L)).as("n_windows_split"),
+        coalesce(sum(when(col("split_doc"), col("n_tok"))), lit(0L)).as("split_tokens"))
+      .withColumn("packed_fill",
+        when(col("n_windows_packed") > 0,
+          expr(s"(2 * packed_tokens * 1000000 + n_windows_packed * $PackCap) " +
+            s"div (2 * n_windows_packed * $PackCap)").cast("double") / 1e6))
+      .withColumn("packed_waste_tokens",
+        col("n_windows_packed") * PackCap - col("packed_tokens"))
+      .withColumn("split_waste_tokens",
+        col("n_windows_split") * PackCap - col("split_tokens"))
+      .select("lang", "shard", "n_docs_packed", "n_windows_packed",
+        "packed_tokens", "packed_fill", "packed_waste_tokens",
+        "n_docs_split", "n_windows_split", "split_tokens", "split_waste_tokens")
+      .orderBy("lang", "shard")
+
+  val c32Sql: String =
+    s"""$PackCtes, agg AS (
+       |  SELECT lang, shard,
+       |    CAST(count(*) FILTER (WHERE NOT split_doc) AS BIGINT) AS n_docs_packed,
+       |    CAST(count(DISTINCT bin) FILTER (WHERE NOT split_doc) AS BIGINT) AS n_windows_packed,
+       |    CAST(coalesce(sum(n_tok) FILTER (WHERE NOT split_doc), 0) AS BIGINT) AS packed_tokens,
+       |    CAST(count(*) FILTER (WHERE split_doc) AS BIGINT) AS n_docs_split,
+       |    CAST(coalesce(sum(n_windows) FILTER (WHERE split_doc), 0) AS BIGINT) AS n_windows_split,
+       |    CAST(coalesce(sum(n_tok) FILTER (WHERE split_doc), 0) AS BIGINT) AS split_tokens
+       |  FROM packrows GROUP BY lang, shard
+       |)
+       |SELECT lang, shard, n_docs_packed, n_windows_packed, packed_tokens,
+       |  CASE WHEN n_windows_packed > 0 THEN
+       |    CAST((2 * packed_tokens * 1000000 + n_windows_packed * $PackCap)
+       |      // (2 * n_windows_packed * $PackCap) AS DOUBLE) / 1000000.0 END AS packed_fill,
+       |  n_windows_packed * $PackCap - packed_tokens AS packed_waste_tokens,
+       |  n_docs_split, n_windows_split, split_tokens,
+       |  n_windows_split * $PackCap - split_tokens AS split_waste_tokens
+       |FROM agg ORDER BY lang, shard""".stripMargin
 }

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.PackBestfit
+
+/** c32 packing-audit specs: hand-computed utilization numbers on the
+  * Round12 textbook FFD load, the exact half-up fill grid, split-side
+  * accounting, and consistency with c26's own rows on the driver
+  * corpus. */
+class Round13PackAuditSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("c32: textbook load — hand-computed windows, fill, and waste") {
+    // the Round12Spec FFD fixture: 500,400,120,100,12,10 → 3 windows,
+    // mass 1142; fill = (2·1142·10⁶ + 3·512) div (2·3·512) / 10⁶
+    val docs = Seq(
+      (1L, "en", (1 to 500).map(i => s"a$i").mkString(" ")),
+      (2L, "en", (1 to 400).map(i => s"b$i").mkString(" ")),
+      (3L, "en", (1 to 120).map(i => s"c$i").mkString(" ")),
+      (4L, "en", (1 to 100).map(i => s"d$i").mkString(" ")),
+      (5L, "en", (1 to 12).map(i => s"e$i").mkString(" ")),
+      (6L, "en", (1 to 10).map(i => s"f$i").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val r = PackBestfit.c32Over(spark, docs).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getLong(row.fieldIndex("n_docs_packed")) === 6L)
+    assert(row.getLong(row.fieldIndex("n_windows_packed")) === 3L)
+    assert(row.getLong(row.fieldIndex("packed_tokens")) === 1142L)
+    val expFill = ((BigInt(2) * 1142 * 1000000 + 3 * 512) /
+      (BigInt(2) * 3 * 512)).toDouble / 1e6
+    assert(row.getDouble(row.fieldIndex("packed_fill")) === expFill)
+    assert(row.getLong(row.fieldIndex("packed_waste_tokens")) === 3L * 512 - 1142)
+    assert(row.getLong(row.fieldIndex("n_docs_split")) === 0L)
+    assert(row.getLong(row.fieldIndex("split_waste_tokens")) === 0L)
+  }
+
+  test("c32: split-side accounting — an oversized doc's windows and tail waste") {
+    // 1100 tokens → 3 dedicated windows, tail waste 3·512−1100 = 436;
+    // no packable docs in the group → packed_fill NULL, not 0/0
+    val docs = Seq(
+      (1L, "en", (1 to 1100).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val row = PackBestfit.c32Over(spark, docs).collect().head
+    assert(row.getLong(row.fieldIndex("n_docs_packed")) === 0L)
+    assert(row.getLong(row.fieldIndex("n_windows_packed")) === 0L)
+    assert(row.isNullAt(row.fieldIndex("packed_fill")))
+    assert(row.getLong(row.fieldIndex("n_docs_split")) === 1L)
+    assert(row.getLong(row.fieldIndex("n_windows_split")) === 3L)
+    assert(row.getLong(row.fieldIndex("split_tokens")) === 1100L)
+    assert(row.getLong(row.fieldIndex("split_waste_tokens")) === 436L)
+  }
+
+  test("c32: consistent with c26's own rows on the driver corpus") {
+    val audit = PackBestfit.c32PackAudit(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    val rows = PackBestfit.c26PackBestfit(spark, sfDir).collect()
+    assert(audit.nonEmpty)
+    for (((lang, shard), g) <- rows.groupBy(r => (r.getString(1), r.getLong(2)))) {
+      val a = audit((lang, shard))
+      val packed = g.filter(!_.getBoolean(5))
+      assert(a.getLong(a.fieldIndex("n_docs_packed")) === packed.length.toLong)
+      assert(a.getLong(a.fieldIndex("n_windows_packed")) ===
+        packed.map(_.getLong(4)).distinct.length.toLong)
+      assert(a.getLong(a.fieldIndex("packed_tokens")) ===
+        packed.map(_.getLong(3)).sum)
+      // waste + mass = windows × cap, always
+      assert(a.getLong(a.fieldIndex("packed_waste_tokens")) +
+        a.getLong(a.fieldIndex("packed_tokens")) ===
+        a.getLong(a.fieldIndex("n_windows_packed")) * 512L)
+    }
+  }
+}
