@@ -64,7 +64,13 @@ object AudioOps {
       while (off + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
         val id = new String(p, off, 4, "US-ASCII")
         val sz = le32(p, off + 4)
-        require(sz >= 0 && off + 8 + sz <= p.length, "chunk overruns payload")
+        // bound check in LONG arithmetic (r13 review fix): a corrupt
+        // size near 2^31 would int-overflow `off + 8 + sz` negative and
+        // slip past an Int compare — and since the r13 header-walk
+        // factoring the sample loops run OUTSIDE any Try, so this check
+        // IS the never-fails-the-partition contract
+        require(sz >= 0 && off.toLong + 8L + sz.toLong <= p.length.toLong,
+          "chunk overruns payload")
         if (id == "fmt ") {
           require(sz >= 16, "fmt chunk too short")
           fmt = Some((le16(p, off + 8), le16(p, off + 10), le32(p, off + 12),
@@ -76,7 +82,10 @@ object AudioOps {
         (audioFormat, ch, rate, blockAlign, bits) <- fmt
         (doff, dlen) <- data
         if audioFormat == 1 && (bits == 8 || bits == 16) && ch >= 1 &&
-          rate > 0 && blockAlign == ch * (bits / 8)
+          rate > 0 && blockAlign == ch * (bits / 8) &&
+          // belt-and-braces: the exact extent the consumers will read,
+          // re-checked in Long
+          doff.toLong + dlen.toLong <= p.length.toLong
       } yield WavHeader(rate, ch, bits, blockAlign, doff, dlen / blockAlign)
     }.toOption.flatten
 
@@ -166,32 +175,35 @@ object AudioOps {
     * are exact integer sums of squares (bit-stable), the frame tail
     * past 65·(n div 65) is ignored (window boundaries must not depend
     * on total length modulo the window count). */
-  private[graft] def wavEnvelopeFp(r: MediaRecord): Option[Long] = {
-    val p = r.payload
-    for {
-      h <- parseWavHeader(p) // the ONE shared chunk walk (r12 ADVICE)
-      if h.nFrames >= FpWindows
-    } yield {
-      val WavHeader(_, _, bits, blockAlign, doff, nFrames) = h
-      def sample0(f: Int): Int =
-        if (bits == 16) le16(p, doff + f * blockAlign).toShort.toInt
-        else (p(doff + f * blockAlign) & 0xff) - 128
-      val fpw = nFrames / FpWindows
-      val energies = Array.tabulate(FpWindows) { w =>
-        var e = 0L
-        var f = w * fpw
-        val end = f + fpw
-        while (f < end) { val s = sample0(f); e += s.toLong * s; f += 1 }
-        e
-      }
-      var bitsOut = 0L
-      var w = 0
-      while (w < FpWindows - 1) {
-        if (energies(w + 1) > energies(w)) bitsOut |= (1L << w)
-        w += 1
-      }
-      bitsOut
+  private[graft] def wavEnvelopeFp(r: MediaRecord): Option[Long] =
+    parseWavHeader(r.payload) // the ONE shared chunk walk (r12 ADVICE)
+      .filter(_.nFrames >= FpWindows)
+      .map(h => envelopeFp(r.payload, h))
+
+  /** The envelope loop over an already-parsed header — factored so
+    * [[audioFpAll]] walks the chunk list exactly once per payload
+    * (r13 review fix: the None branch used to re-parse to pick the
+    * stub tier). */
+  private def envelopeFp(p: Array[Byte], h: WavHeader): Long = {
+    val WavHeader(_, _, bits, blockAlign, doff, nFrames) = h
+    def sample0(f: Int): Int =
+      if (bits == 16) le16(p, doff + f * blockAlign).toShort.toInt
+      else (p(doff + f * blockAlign) & 0xff) - 128
+    val fpw = nFrames / FpWindows
+    val energies = Array.tabulate(FpWindows) { w =>
+      var e = 0L
+      var f = w * fpw
+      val end = f + fpw
+      while (f < end) { val s = sample0(f); e += s.toLong * s; f += 1 }
+      e
     }
+    var bitsOut = 0L
+    var w = 0
+    while (w < FpWindows - 1) {
+      if (energies(w + 1) > energies(w)) bitsOut |= (1L << w)
+      w += 1
+    }
+    bitsOut
   }
 
   /** One fingerprint row per payload ([[MultimodalOps.MediaFingerprint]]'s
@@ -223,14 +235,14 @@ object AudioOps {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
-        wavEnvelopeFp(r) match {
-          case Some(fp) => AudioFp(r.doc_id, real = true, fp)
+        // one chunk walk per payload; the header decides all three tiers
+        parseWavHeader(r.payload) match {
+          case Some(h) if h.nFrames >= FpWindows =>
+            AudioFp(r.doc_id, real = true, envelopeFp(r.payload, h))
+          case Some(h) =>
+            AudioFp(r.doc_id, real = false, shortWavPack(h, r.payload.length))
           case None =>
-            val pack = parseWavHeader(r.payload) match {
-              case Some(h) => shortWavPack(h, r.payload.length)
-              case None => r.payload.length.toLong
-            }
-            AudioFp(r.doc_id, real = false, pack)
+            AudioFp(r.doc_id, real = false, r.payload.length.toLong)
         }
       }
     }

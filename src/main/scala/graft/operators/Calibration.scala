@@ -145,7 +145,12 @@ object Calibration {
         .select(col("doc_id"), col("label").cast("int").as("y"), col("score")))
 
   /** The correction over any (doc_id, y, score round-6) relation. */
-  private[graft] def calibrationCorrectOver(scored: DataFrame): DataFrame = {
+  private[graft] def calibrationCorrectOver(scored0: DataFrame): DataFrame = {
+    // consumed three times (fit collect + raw audit + corrected audit):
+    // materialize the doc-count-sized metadata once so the upstream
+    // featurize/score lineage doesn't re-execute per consumer (the
+    // alignmentReport pattern; r13 review fix)
+    val scored = scored0.localCheckpoint()
     val tMicro = fitTemperatureMicro(
       scored.filter(col("doc_id") % TextOps.EvalMod === 0))
     val corrected = scored.select(col("doc_id"), col("y"),

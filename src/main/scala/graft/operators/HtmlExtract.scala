@@ -71,7 +71,7 @@ object HtmlExtract {
   /** Total anchor-text chars of a block (the link-density numerator). */
   private def linkChars(b: Column): Column =
     aggregate(
-      transform(regexp_extract_all(b, lit("(?is)<a[^>]*>(.*?)</a>"), lit(1)),
+      transform(regexp_extract_all(b, lit("(?is)<a(?:\\s[^>]*)?>(.*?)</a>"), lit(1)),
         x => length(x).cast("long")),
       lit(0L), (acc, x) => acc + x)
 
@@ -163,7 +163,7 @@ object HtmlExtract {
        |      '\\s+', ' ', 'g')),
        |    raw_len := CAST(length(b) AS BIGINT),
        |    lc := CAST(coalesce(list_sum(list_transform(
-       |      regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1),
+       |      regexp_extract_all(b, '(?is)<a(?:\\s[^>]*)?>(.*?)</a>', 1),
        |      x -> length(x))), 0) AS BIGINT))) AS st
        |  FROM blocks
        |), sel AS (

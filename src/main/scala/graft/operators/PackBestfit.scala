@@ -89,6 +89,27 @@ object PackBestfit {
     }
   }
 
+  /** The distributed FFD fold over any (k1: string, k2: long, doc_id,
+    * n) relation — ONE definition of the per-group imperative step,
+    * shared by [[c26Over]] (keys = lang, doc-shard) and the release
+    * tail's per-(split, shard) packing
+    * ([[ReleasePipeline.tailFrom]] stage R2b), so an FFD change can
+    * never drift the released layout from the standalone operator (r13
+    * review fix — the release side used to re-spell this block).
+    * Returns (doc_id, k1, k2, n, bin, pack_pos). */
+  private[graft] def ffdPackGroups(rows: DataFrame, cap: Long): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.as[(String, Long, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (String, Long),
+          it: Iterator[(String, Long, Long, Long)]) =>
+        ffdAssign(it.map(r => (r._3, r._4)).toArray, cap)
+          .iterator.map { case (id, n, bin, pos) =>
+            (id, key._1, key._2, n, bin, pos) }
+      }
+      .toDF("doc_id", "k1", "k2", "n", "bin", "pack_pos")
+  }
+
   def c26PackBestfit(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     c26Over(spark, t.spread(t.documents))
@@ -102,20 +123,13 @@ object PackBestfit {
       .select(col("doc_id"), col("lang"),
         size(TextOps.tokensOf(col("text"))).cast("long").as("n_tok"),
         floor(col("doc_id") / PackShardSpan).cast("long").as("shard"))
-    val packed = toks.filter(col("n_tok") <= PackCap)
-      .select(col("lang"), col("shard"), col("doc_id"), col("n_tok"))
-      .as[(String, Long, Long, Long)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (key: (String, Long),
-          it: Iterator[(String, Long, Long, Long)]) =>
-        ffdAssign(it.map(r => (r._3, r._4)).toArray, PackCap)
-          .iterator.map { case (id, n, bin, pos) =>
-            (id, key._1, key._2, n, bin, pos) }
-      }
-      .toDF("doc_id", "lang", "shard", "n_tok", "bin", "pos")
-      .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
-        col("bin"), lit(false).as("split_doc"), lit(1L).as("n_windows"),
-        col("pos").as("pack_pos"))
+    val packed = ffdPackGroups(
+        toks.filter(col("n_tok") <= PackCap)
+          .select(col("lang"), col("shard"), col("doc_id"), col("n_tok")),
+        PackCap)
+      .select(col("doc_id"), col("k1").as("lang"), col("k2").as("shard"),
+        col("n").as("n_tok"), col("bin"), lit(false).as("split_doc"),
+        lit(1L).as("n_windows"), col("pack_pos"))
     val oversized = toks.filter(col("n_tok") > PackCap)
       .select(col("doc_id"), col("lang"), col("shard"), col("n_tok"),
         lit(null).cast("long").as("bin"), lit(true).as("split_doc"),
@@ -132,35 +146,48 @@ object PackBestfit {
     * ONE CTE chain ending in `packrows` (the c26 row shape), extended by
     * both [[c26Sql]] and [[c32Sql]] — the shared-CTE discipline, so the
     * packing and its audit cannot drift. */
+  /** The recursive FFD fold as CTE text, parameterized on (source CTE,
+    * two group-key columns, the size column, a name prefix) — ONE
+    * definition instantiated by [[PackCtes]] (keys lang/shard) and by
+    * [[ReleasePipeline.releaseTail]]'s per-(split, shard) packing, the
+    * SQL analog of [[ffdPackGroups]] (r13 review fix: the release
+    * oracle used to re-spell this recursion). Produces
+    * `<prefix>small` (rn-ranked packable rows) and `<prefix>ffd`
+    * (doc_id, keys, size, bin, rn) — callers add their own pack_pos
+    * row_number and oversized branch. */
+  private[graft] def ffdCtesSql(srcCte: String, k1: String, k2: String,
+      nCol: String, prefix: String): String =
+    s"""${prefix}small AS (
+       |  SELECT *, CAST(row_number() OVER (
+       |    PARTITION BY $k1, $k2 ORDER BY $nCol DESC, doc_id) AS BIGINT) AS rn
+       |  FROM $srcCte WHERE $nCol <= $PackCap
+       |), ${prefix}ffd AS (
+       |  SELECT $k1, $k2, rn, doc_id, $nCol,
+       |    CAST(1 AS BIGINT) AS bin, [$nCol] AS fills
+       |  FROM ${prefix}small WHERE rn = 1
+       |  UNION ALL
+       |  SELECT s.$k1, s.$k2, s.rn, s.doc_id, s.$nCol,
+       |    CAST(coalesce(j.pos, len(f.fills) + 1) AS BIGINT) AS bin,
+       |    CASE WHEN j.pos IS NULL THEN list_append(f.fills, s.$nCol)
+       |         ELSE list_concat(list_concat(
+       |                f.fills[1:j.pos-1],
+       |                [f.fills[j.pos] + s.$nCol]),
+       |                f.fills[j.pos+1:])
+       |    END AS fills
+       |  FROM ${prefix}ffd f
+       |  JOIN ${prefix}small s
+       |    ON s.$k1 = f.$k1 AND s.$k2 = f.$k2 AND s.rn = f.rn + 1
+       |  CROSS JOIN LATERAL (SELECT nullif(list_position(
+       |    list_transform(f.fills, x -> x + s.$nCol <= $PackCap), true), 0) AS pos) j
+       |)""".stripMargin
+
   private val PackCtes: String = {
     import TextOps.TokensSql
     s"""WITH RECURSIVE toksrel AS (
        |  SELECT doc_id, lang, CAST(len($TokensSql) AS BIGINT) AS n_tok,
        |    doc_id // $PackShardSpan AS shard
        |  FROM documents
-       |), smallrel AS (
-       |  SELECT *, CAST(row_number() OVER (
-       |    PARTITION BY lang, shard ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rn
-       |  FROM toksrel WHERE n_tok <= $PackCap
-       |), ffd AS (
-       |  SELECT lang, shard, rn, doc_id, n_tok,
-       |    CAST(1 AS BIGINT) AS bin, [n_tok] AS fills
-       |  FROM smallrel WHERE rn = 1
-       |  UNION ALL
-       |  SELECT s.lang, s.shard, s.rn, s.doc_id, s.n_tok,
-       |    CAST(coalesce(j.pos, len(f.fills) + 1) AS BIGINT) AS bin,
-       |    CASE WHEN j.pos IS NULL THEN list_append(f.fills, s.n_tok)
-       |         ELSE list_concat(list_concat(
-       |                f.fills[1:j.pos-1],
-       |                [f.fills[j.pos] + s.n_tok]),
-       |                f.fills[j.pos+1:])
-       |    END AS fills
-       |  FROM ffd f
-       |  JOIN smallrel s
-       |    ON s.lang = f.lang AND s.shard = f.shard AND s.rn = f.rn + 1
-       |  CROSS JOIN LATERAL (SELECT nullif(list_position(
-       |    list_transform(f.fills, x -> x + s.n_tok <= $PackCap), true), 0) AS pos) j
-       |), packrows AS (
+       |), ${ffdCtesSql("toksrel", "lang", "shard", "n_tok", "")}, packrows AS (
        |  SELECT doc_id, lang, shard, n_tok, bin,
        |    false AS split_doc, CAST(1 AS BIGINT) AS n_windows,
        |    CAST(row_number() OVER (PARTITION BY lang, shard, bin

@@ -179,17 +179,10 @@ object ReleasePipeline {
     // shuffle — the groups are shard-sized by construction.
     val packIn = sharded.select(col("split"), col("shard_id"),
       col("doc_id"), col("n_tokens"))
-    val packedSmall = packIn
-      .filter(col("n_tokens") <= PackBestfit.PackCap)
-      .as[(String, Long, Long, Long)]
-      .groupByKey(r => (r._1, r._2))
-      .flatMapGroups { (_: (String, Long), it: Iterator[(String, Long, Long, Long)]) =>
-        PackBestfit.ffdAssign(it.map(r => (r._3, r._4)).toArray,
-            PackBestfit.PackCap)
-          .iterator.map { case (id, _, bin, pos) => (id, bin, pos) }
-      }
-      .toDF("doc_id", "pack_bin", "pack_pos")
-      .select(col("doc_id"), col("pack_bin"), col("pack_pos"),
+    val packedSmall = PackBestfit.ffdPackGroups(
+        packIn.filter(col("n_tokens") <= PackBestfit.PackCap),
+        PackBestfit.PackCap)
+      .select(col("doc_id"), col("bin").as("pack_bin"), col("pack_pos"),
         lit(false).as("pack_split_doc"), lit(1L).as("pack_windows"))
     val packedBig = packIn.filter(col("n_tokens") > PackBestfit.PackCap)
       .select(col("doc_id"), lit(null).cast("long").as("pack_bin"),
@@ -249,33 +242,10 @@ object ReleasePipeline {
        |  SELECT *, CAST(row_number() OVER (
        |    PARTITION BY split, shard_id ORDER BY fp, doc_id) AS BIGINT) AS shard_pos
        |  FROM sharded
-       |), packsmall AS (
-       |  SELECT split, shard_id, doc_id, n_tokens,
-       |    CAST(row_number() OVER (PARTITION BY split, shard_id
-       |      ORDER BY n_tokens DESC, doc_id) AS BIGINT) AS prn
-       |  FROM sharded WHERE n_tokens <= ${PackBestfit.PackCap}
-       |), relffd AS (
-       |  SELECT split, shard_id, prn, doc_id,
-       |    CAST(1 AS BIGINT) AS pack_bin, [n_tokens] AS fills
-       |  FROM packsmall WHERE prn = 1
-       |  UNION ALL
-       |  SELECT s.split, s.shard_id, s.prn, s.doc_id,
-       |    CAST(coalesce(j.pos, len(f.fills) + 1) AS BIGINT) AS pack_bin,
-       |    CASE WHEN j.pos IS NULL THEN list_append(f.fills, s.n_tokens)
-       |         ELSE list_concat(list_concat(
-       |                f.fills[1:j.pos-1],
-       |                [f.fills[j.pos] + s.n_tokens]),
-       |                f.fills[j.pos+1:])
-       |    END AS fills
-       |  FROM relffd f
-       |  JOIN packsmall s
-       |    ON s.split = f.split AND s.shard_id = f.shard_id AND s.prn = f.prn + 1
-       |  CROSS JOIN LATERAL (SELECT nullif(list_position(
-       |    list_transform(f.fills, x -> x + s.n_tokens <= ${PackBestfit.PackCap}), true), 0) AS pos) j
-       |), packrel AS (
-       |  SELECT doc_id, pack_bin,
-       |    CAST(row_number() OVER (PARTITION BY split, shard_id, pack_bin
-       |      ORDER BY prn) AS BIGINT) AS pack_pos,
+       |), ${PackBestfit.ffdCtesSql("sharded", "split", "shard_id", "n_tokens", "rel")}, packrel AS (
+       |  SELECT doc_id, bin AS pack_bin,
+       |    CAST(row_number() OVER (PARTITION BY split, shard_id, bin
+       |      ORDER BY rn) AS BIGINT) AS pack_pos,
        |    false AS pack_split_doc,
        |    CAST(1 AS BIGINT) AS pack_windows
        |  FROM relffd

@@ -97,6 +97,28 @@ class Round12AudioNearDupSpec extends GraftSpecBase {
       "a text blob of equal byte length must never pair with a parseable WAV")
   }
 
+  test("m07/m04: a data chunk whose size int-overflows the bound check falls to the stub, not a crash") {
+    // r13 review fix: sz ≈ 2^31 made `off + 8 + sz` overflow negative,
+    // slipping past an Int bound check and handing the (no longer
+    // Try-wrapped) sample loops an extent far past the payload
+    val out = new ByteArrayOutputStream()
+    def w32(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff) }
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("RIFF".getBytes); w32(100); out.write("WAVE".getBytes)
+    out.write("fmt ".getBytes); w32(16)
+    w16(1); w16(1); w32(8000); w32(16000); w16(2); w16(16)
+    out.write("data".getBytes); w32(0x7ffffff0) // corrupt: ~Int.MaxValue
+    out.write(Array.fill[Byte](64)(7))
+    val corrupt = out.toByteArray
+    assert(AudioOps.parseWavHeader(corrupt).isEmpty)
+    val fps = AudioOps.audioFpAll(Seq(MediaRecord(6L, corrupt)).toDS()).collect()
+    assert(!fps.head.real)
+    assert(fps.head.fp === corrupt.length.toLong) // plain byte-length stub
+    val feat = AudioOps.audioFeaturesAll(Seq(MediaRecord(6L, corrupt)).toDS()).collect()
+    assert(!feat.head.real)
+  }
+
   test("m07: stub payloads pair only on byte-length (m04-stub) equality") {
     val media = Seq(
       MediaRecord(10L, "aaaa bbbb cccc".getBytes("UTF-8")),

@@ -60,6 +60,21 @@ class Round13HtmlSpec extends GraftSpecBase {
     assert(main === s"$para\n$p2")
   }
 
+  test("c31: non-anchor tags starting with 'a' (abbr/audio/address) don't count as link text") {
+    // r13 review fix: '<a[^>]*>' also matched '<abbr ...>', lazily
+    // swallowing most of a paragraph as "anchor text" and killing the
+    // content block on link density
+    val body = "The <abbr title=\"HyperText Markup Language\">HTML</abbr> standard " +
+      "is maintained publicly and this paragraph must survive extraction, " +
+      "see <a href=\"/spec\">the spec</a> for details."
+    val html = s"<html><body><p>$body</p></body></html>"
+    val (_, nKept, _, linkChars, main) = extract(Seq((5L, html)))(5L)
+    assert(nKept === 1L, "the abbr paragraph must survive the link-density gate")
+    assert(linkChars === "the spec".length.toLong,
+      "only real anchor text counts toward link density")
+    assert(main.contains("HTML standard is maintained"))
+  }
+
   test("c31: entities decode and whitespace normalizes in the extracted text") {
     val html = "<html><body><p>Ben &amp; Jerry said &quot;tags &lt;b&gt; are fine&quot;" +
       " and&nbsp;this   line\n has messy    spacing all over the place.</p></body></html>"
