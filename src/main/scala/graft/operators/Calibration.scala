@@ -133,26 +133,36 @@ object Calibration {
   /** t35: per-decile reliability of the RAW t12 scores next to the
     * TEMPERATURE-CORRECTED ones — t31's exact integer audit run on both
     * forms, tagged, with the fitted temperature in-band. The fit uses
-    * ONLY the held-out split (doc_id % EvalMod = 0, the engine's
-    * standing held-out convention); the correction applies to every
-    * row. Rows-only (scores come from the iteratively-trained LR);
+    * ONLY t12's OWN held-out split (`split = SplitMod − 1`, the 25% of
+    * docs the classifier never trained on — r13 ADVICE: Guo et al.'s
+    * temperature must be fit on data held out from CLASSIFIER training;
+    * the earlier doc_id % 97 convention overlapped ~75% with the train
+    * split, biasing T toward 1); the correction applies to every row.
+    * Rows-only (scores come from the iteratively-trained LR);
     * Round13CalibrationSpec pins a plain-Scala mirror, T* = 1 on a
-    * calibrated input, and corrected-ECE ≤ raw-ECE on an engineered
-    * over-confident corpus. */
+    * calibrated input, corrected-ECE ≤ raw-ECE on an engineered
+    * over-confident corpus, and that the fit reads ONLY the held-out
+    * predicate's rows. */
   def t35CalibrationCorrect(spark: SparkSession, dir: String): DataFrame =
     calibrationCorrectOver(
       QualityClassifier.t12QualityClassifier(spark, dir)
-        .select(col("doc_id"), col("label").cast("int").as("y"), col("score")))
+        .select(col("doc_id"), col("label").cast("int").as("y"), col("score"),
+          col("split")),
+      heldout = col("split") === QualityClassifier.SplitMod - 1)
 
-  /** The correction over any (doc_id, y, score round-6) relation. */
-  private[graft] def calibrationCorrectOver(scored0: DataFrame): DataFrame = {
+  /** The correction over any (doc_id, y, score round-6) relation.
+    * `heldout` selects the FIT rows — they must be held out from
+    * whatever training produced `score` (the driver entry passes t12's
+    * own split; the engineered-corpus specs pass all-rows predicates
+    * because their scores are analytic, not trained). */
+  private[graft] def calibrationCorrectOver(scored0: DataFrame,
+      heldout: Column = col("doc_id") % TextOps.EvalMod === 0): DataFrame = {
     // consumed three times (fit collect + raw audit + corrected audit):
     // materialize the doc-count-sized metadata once so the upstream
     // featurize/score lineage doesn't re-execute per consumer (the
     // alignmentReport pattern; r13 review fix)
     val scored = scored0.localCheckpoint()
-    val tMicro = fitTemperatureMicro(
-      scored.filter(col("doc_id") % TextOps.EvalMod === 0))
+    val tMicro = fitTemperatureMicro(scored.filter(heldout))
     val corrected = scored.select(col("doc_id"), col("y"),
       (scaledMicroCol(logitCol(col("score")), tMicro).cast("double") / 1e6)
         .as("score"))

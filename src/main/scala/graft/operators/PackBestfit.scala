@@ -44,7 +44,7 @@ import graft.Tables
   */
 object PackBestfit {
   private[operators] val PackCap = 512L
-  private val PackShardSpan = 100000L
+  private[operators] val PackShardSpan = 100000L
 
   /** Leftmost bin with remaining capacity ≥ x, over up to `m` bins all
     * starting at `cap` (pre-opened bins ≡ classic FFD: used bins always

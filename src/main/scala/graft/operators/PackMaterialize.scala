@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** c33: TRAINING-READY PACKED-WINDOW MATERIALIZATION — the last missing
+  * stage between `documents` and a dataloader (r13 VERDICT #1): the
+  * engine already knows a window layout (c26's FFD, pack_pos order) and
+  * can encode text (t11's trained BPE), but nothing composed them; this
+  * emits one row PER CONTEXT WINDOW with the ordered token-id array and
+  * the member index — exactly the .bin (ids) / .idx (members) shape a
+  * training loader memory-maps.
+  *
+  * Design decision the composition forces: the packing SIZE is the
+  * ENCODED length (BPE tokens), not c26's whitespace-token count — a
+  * window holds [[PackBestfit.PackCap]] TOKEN IDS, and packing by word
+  * count would overflow it (BPE emits ≥ 1 id per word). So c33 runs
+  * c26's exact FFD fold ([[PackBestfit.ffdPackGroups]] — one
+  * definition, cannot drift) over n_enc instead of n_tok, same
+  * (lang, doc-shard) span-bounded groups, same whole-documents-first
+  * discipline: a document is split across windows ONLY when its
+  * encoding alone is longer than a window, and then at EXACT window
+  * boundaries (slice w covers ids [w·cap, min((w+1)·cap, n))).
+  *
+  * Token ids: [[PadId]] = 0 pads window tails, [[UnkId]] = 1 covers
+  * symbols outside the trained vocabulary (only reachable on the OOV
+  * char fallback), real symbols get 2.. in sorted-symbol order — a
+  * deterministic function of the trained dict alone, so the same
+  * tokenizer artifact always yields the same ids (the vocab IS part of
+  * the artifact, [[vocabIds]]).
+  *
+  * Scale shape: ONE corpus scan explodes (doc_id, pos, word); word→ids
+  * resolves through the bounded dict join (counts and id arrays move,
+  * text never re-shuffles — the t11 discipline); per-doc assembly is
+  * one sort-under-aggregate; the FFD fold ships only (doc_id, n_enc)
+  * pairs; window assembly shuffles each encoding exactly once, keyed by
+  * its (lang, shard, bin) window. The encoded relation is materialized
+  * once (localCheckpoint — at 100 TB it would be a bucketed stage
+  * table, the p06 pattern) and feeds the length, packed, and split
+  * branches without re-running the encode. Rows-only (the encoder is
+  * the iteratively-trained t10 artifact, like t11);
+  * Round14PackMaterializeSpec pins (a) slicing a window by its member
+  * index reproduces every doc's exact encoding, (b) token mass
+  * conservation vs the per-doc encodings (c32's audit discipline),
+  * (c) oversized docs split at exactly window boundaries, (d) windows
+  * never overfill and member offsets tile each window, and (e) per-doc
+  * encoded length ≡ t11's n_bpe_tokens.
+  *
+  * Reference analog: `CreateBatch.groovy`'s task materialization —
+  * fixed-capacity batches actually FILLED with their member payloads,
+  * not just assigned.
+  */
+object PackMaterialize {
+
+  /** Token-id space: 0 pads, 1 marks out-of-vocab symbols, real
+    * symbols start at 2 in sorted-symbol order. */
+  val PadId = 0
+  val UnkId = 1
+
+  /** Deterministic symbol→id table of a trained dict: every distinct
+    * symbol of the segmented vocabulary, sorted, ids from 2 — a bounded
+    * tokenizer artifact (≤ alphabet + merges symbols ≈ 1e5 at
+    * production vocab sizes), pulled once and broadcast as a map
+    * literal (the Codebooks/merge-table bounded-artifact discipline). */
+  private[graft] def vocabIds(dict: DataFrame): Map[String, Int] =
+    dict.select(explode(split(col("syms"), " ")).as("sym")).distinct()
+      .collect().map(_.getString(0)).sorted.zipWithIndex
+      .map { case (s, i) => s -> (i + 2) }.toMap
+
+  /** Per-document ordered token-id encoding under a trained dict: one
+    * (doc_id, lang, enc: array&lt;int&gt;) row per non-empty document.
+    * Word order rides the posexplode position through the dict join and
+    * is restored by the sort-under-aggregate; words missing from the
+    * dict (only > [[BpeOps.MaxWordLen]] can miss when the dict segments
+    * the corpus' own words) take the chars + end-of-word fallback —
+    * the same initial symbolization [[BpeOps.wordDict]] starts from, so
+    * id counts match t11's accounting exactly (spec-pinned). */
+  private[graft] def encodeDocs(docs: DataFrame, dict: DataFrame,
+      vocab: Map[String, Int]): DataFrame = {
+    val vocabCol: Column = typedLit(vocab)
+    val wordIds = dict.select(col("word"),
+      transform(split(col("syms"), " "),
+        s => coalesce(element_at(vocabCol, s), lit(UnkId))).as("ids"))
+    val oovIds = transform(
+      concat(array_remove(split(col("word"), ""), ""),
+        array(lit(BpeOps.EowSym))),
+      c => coalesce(element_at(vocabCol, c), lit(UnkId)))
+    docs
+      .select(col("doc_id"), col("lang"),
+        posexplode(TextOps.tokensOf(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) >= 1)
+      .join(wordIds, Seq("word"), "left")
+      .withColumn("ids", coalesce(col("ids"), oovIds))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("pos"), col("ids")))),
+        x => x.getField("ids"))).as("enc"))
+  }
+
+  /** The materialization over any (doc_id, lang, text) relation and
+    * trained dict — cap-parameterized so the spec can force splits. */
+  private[graft] def materializeOver(docs: DataFrame, dict: DataFrame,
+      cap: Long): DataFrame = {
+    val vocab = vocabIds(dict)
+    // consumed three times (lengths→FFD, packed assembly, split slices):
+    // materialize the encode once (at 100 TB: a bucketed stage table)
+    val enc = encodeDocs(docs, dict, vocab)
+      .withColumn("n_enc", size(col("enc")).cast("long"))
+      .withColumn("shard", expr(s"doc_id div ${PackBestfit.PackShardSpan}"))
+      .localCheckpoint()
+    val packed = PackBestfit.ffdPackGroups(
+      enc.filter(col("n_enc") <= cap)
+        .select(col("lang"), col("shard"), col("doc_id"), col("n_enc")),
+      cap)
+    val memberSchema =
+      "array<struct<doc_id: bigint, off: bigint, len: bigint>>"
+    val winPacked = packed
+      .join(enc.select(col("doc_id"), col("enc")), "doc_id")
+      .groupBy(col("k1").as("lang"), col("k2").as("shard"), col("bin"))
+      .agg(sort_array(collect_list(struct(col("pack_pos"), col("doc_id"),
+        col("n"), col("enc")))).as("sorted"))
+      .select(col("lang"), col("shard"), lit("packed").as("kind"),
+        col("bin").as("window_id"),
+        lit(null).cast("long").as("split_doc_id"),
+        lit(null).cast("long").as("split_win_idx"),
+        size(col("sorted")).cast("long").as("n_docs"),
+        expr("aggregate(sorted, cast(0 as bigint), (a, x) -> a + x.n)")
+          .as("n_fill"),
+        expr("flatten(transform(sorted, x -> x.enc))").as("ids"),
+        expr(s"""aggregate(sorted,
+          named_struct('off', cast(0 as bigint),
+                       'ms', cast(array() as $memberSchema)),
+          (acc, x) -> named_struct(
+            'off', acc.off + x.n,
+            'ms', array_append(acc.ms, named_struct(
+              'doc_id', x.doc_id, 'off', acc.off, 'len', x.n))),
+          acc -> acc.ms)""").as("members"))
+    val winSplit = enc.filter(col("n_enc") > cap)
+      .select(col("lang"), col("shard"), col("doc_id"), col("n_enc"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast((n_enc - 1) div $cap as int)),
+             |          w -> slice(enc, w * $cap + 1, $cap))""".stripMargin))
+          .as(Seq("win_idx", "ids")))
+      .select(col("lang"), col("shard"), lit("split").as("kind"),
+        lit(null).cast("long").as("window_id"),
+        col("doc_id").as("split_doc_id"),
+        col("win_idx").cast("long").as("split_win_idx"),
+        lit(1L).as("n_docs"),
+        size(col("ids")).cast("long").as("n_fill"),
+        col("ids"),
+        array(struct(col("doc_id").as("doc_id"), lit(0L).as("off"),
+          size(col("ids")).cast("long").as("len"))).as("members"))
+    winPacked.unionByName(winSplit)
+      .withColumn("n_pad", lit(cap) - col("n_fill"))
+      .withColumn("token_ids",
+        concat(col("ids"), array_repeat(lit(PadId),
+          (lit(cap) - col("n_fill")).cast("int"))))
+      .select("lang", "shard", "kind", "window_id", "split_doc_id",
+        "split_win_idx", "n_docs", "n_fill", "n_pad", "token_ids", "members")
+      .orderBy("lang", "shard", "kind", "window_id", "split_doc_id",
+        "split_win_idx")
+  }
+
+  /** c33 driver entry: the corpus' own cached t10 tokenizer (train-once
+    * session lifecycle, shared with t10/t11), c26's window cap. */
+  def c33PackMaterialize(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docsDf = t.spread(t.documents)
+    val (_, dict) = BpeOps.bpeTrainCached(docsDf,
+      dir + "#" + Tables.corpusFingerprint(t.documents),
+      BpeOps.BpeMergesDefault, BpeOps.BpeMinCount)
+    materializeOver(docsDf.select(col("doc_id"), col("lang"), col("text")),
+      dict, PackBestfit.PackCap)
+  }
+}

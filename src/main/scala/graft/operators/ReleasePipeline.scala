@@ -169,20 +169,34 @@ object ReleasePipeline {
     // (r13, closing the r12 gap: the composed release used to inherit
     // c05's concat-and-chunk, shipping shards with documents split
     // mid-window that FFD keeps whole.) The packing unit is the
-    // released (split, shard_id) group — the file a training loader
-    // actually reads — so pack ids are stable under re-release of any
-    // other shard. Same algebra as [[PackBestfit.c26Over]]: whole docs
+    // released (split, shard_id) group SUB-SHARDED by c26's own
+    // doc_id div PackShardSpan bound (r13 ADVICE: a bare (split,
+    // shard_id) group is ~1/(3·nShards) of the kept corpus — unbounded
+    // at 100 TB, so one ffdPackGroups task would OOM/straggle; the
+    // sub-key caps every imperative fold at PackShardSpan (doc_id,
+    // n_tokens) pairs exactly as the standalone c26 does). The two
+    // keys ride ONE encoded long, pack_grp = (doc_id div span) ·
+    // nShards + shard_id — a bijection since shard_id < nShards — and
+    // the emitted pack_bin re-spreads as sub · span + bin, which is
+    // unique within (split, shard_id) because a sub-group of ≤ span
+    // docs can open at most span bins. Pack ids stay stable under
+    // re-release of any other shard (content-keyed shard, id-keyed
+    // sub). Same algebra as [[PackBestfit.c26Over]]: whole docs
     // first-fit-decreasing into [[PackBestfit.PackCap]]-token windows;
     // only docs LONGER than a window are ever split
     // (`pack_split_doc`), occupying their ceil(n/cap) windows alone.
-    // Only (split, shard_id, doc_id, n_tokens) rows enter the group
-    // shuffle — the groups are shard-sized by construction.
-    val packIn = sharded.select(col("split"), col("shard_id"),
+    // Only (split, pack_grp, doc_id, n_tokens) rows enter the group
+    // shuffle — the groups are span-bounded by construction.
+    val span = PackBestfit.PackShardSpan
+    val packIn = sharded.select(col("split"),
+      (expr(s"doc_id div $span") * nShards + col("shard_id")).as("pack_grp"),
       col("doc_id"), col("n_tokens"))
     val packedSmall = PackBestfit.ffdPackGroups(
         packIn.filter(col("n_tokens") <= PackBestfit.PackCap),
         PackBestfit.PackCap)
-      .select(col("doc_id"), col("bin").as("pack_bin"), col("pack_pos"),
+      .select(col("doc_id"),
+        (expr(s"k2 div $nShards") * span + col("bin")).as("pack_bin"),
+        col("pack_pos"),
         lit(false).as("pack_split_doc"), lit(1L).as("pack_windows"))
     val packedBig = packIn.filter(col("n_tokens") > PackBestfit.PackCap)
       .select(col("doc_id"), lit(null).cast("long").as("pack_bin"),
@@ -237,14 +251,18 @@ object ReleasePipeline {
        |    ${TextOps.polyFpSql("norm")} AS fp
        |  FROM keptrel
        |), sharded AS (
-       |  SELECT *, fp % $NShards AS shard_id FROM splitrel
+       |  SELECT *, fp % $NShards AS shard_id,
+       |    (doc_id // ${PackBestfit.PackShardSpan}) * $NShards + fp % $NShards
+       |      AS pack_grp
+       |  FROM splitrel
        |), ranked AS (
        |  SELECT *, CAST(row_number() OVER (
        |    PARTITION BY split, shard_id ORDER BY fp, doc_id) AS BIGINT) AS shard_pos
        |  FROM sharded
-       |), ${PackBestfit.ffdCtesSql("sharded", "split", "shard_id", "n_tokens", "rel")}, packrel AS (
-       |  SELECT doc_id, bin AS pack_bin,
-       |    CAST(row_number() OVER (PARTITION BY split, shard_id, bin
+       |), ${PackBestfit.ffdCtesSql("sharded", "split", "pack_grp", "n_tokens", "rel")}, packrel AS (
+       |  SELECT doc_id,
+       |    (pack_grp // $NShards) * ${PackBestfit.PackShardSpan} + bin AS pack_bin,
+       |    CAST(row_number() OVER (PARTITION BY split, pack_grp, bin
        |      ORDER BY rn) AS BIGINT) AS pack_pos,
        |    false AS pack_split_doc,
        |    CAST(1 AS BIGINT) AS pack_windows

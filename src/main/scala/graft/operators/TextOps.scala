@@ -1104,7 +1104,11 @@ object TextOps {
       nameWeight(col("source"))).orderBy("doc_id", "epoch")
   }
 
-  val c17Sql: String =
+  /** c17's CTE chain through `copies` — ONE definition [[c17Sql]] and
+    * [[c34Sql]] extend (the shared-CTE discipline: the epoch order and
+    * the upsampling it orders cannot drift). `copies` carries the
+    * content fingerprint forward for c34's order key. */
+  private val C17Ctes: String =
     s"""WITH d2 AS (
        |  SELECT doc_id, source,
        |    CAST(len($TokensSql) AS BIGINT) AS n_tokens,
@@ -1130,15 +1134,93 @@ object TextOps {
        |    FROM src, tot, tt
        |  )
        |), copies AS (
-       |  SELECT doc_id, source, n_tokens,
+       |  SELECT doc_id, source, n_tokens, fp,
        |    full_epochs + CASE WHEN (fp % 1000000) < rem_ppm THEN 1 ELSE 0 END
        |      AS copies
        |  FROM d2 JOIN rates USING (source)
-       |)
+       |)""".stripMargin
+
+  val c17Sql: String =
+    s"""$C17Ctes
        |SELECT doc_id, source, n_tokens, copies,
        |  unnest(range(1, copies + 1)) AS epoch
        |FROM copies WHERE copies >= 1
        |ORDER BY doc_id, epoch""".stripMargin
+
+  // ---------------------------------------------------------------- c34
+  /** Shard count for the epoch order (c19's discipline: shards ARE the
+    * writer/loader parallelism; production runs thousands). */
+  private[graft] val EpochOrderShards = 8L
+
+  /** c34: DETERMINISTIC EPOCH-SHUFFLE ORDER — the loader-side shuffle
+    * every production pipeline pins (r13 VERDICT #3): c17 decides HOW
+    * MANY copies of each document ship; this decides the ORDER a
+    * training run reads them in, per epoch, with NO RNG anywhere (the
+    * c04/c16/c19 discipline — reproducible on any engine, any
+    * partitioning, any run):
+    *
+    *   order_key = polyFp(epoch ':' fp)   — re-hashing the CONTENT
+    *     fingerprint under the epoch salt, so (1) within an epoch the
+    *     order is content-decorrelated (a hash of the content is the
+    *     pseudo-random order, c19's argument), and (2) ACROSS epochs
+    *     the orders are pairwise independent permutations (the salt
+    *     changes every key) — each epoch is a fresh shuffle, which is
+    *     what epoch-wise reshuffling buys in SGD;
+    *   shard_id  = fp mod [[EpochOrderShards]]  — c19's content-keyed
+    *     shard, so a document reads from the SAME shard every epoch
+    *     (data locality) while its position within the shard moves;
+    *   ord       = rank of (order_key, doc_id) within (epoch, shard).
+    *
+    * Scale shape: one corpus scan (shared with c17's — the epoch rows
+    * carry metadata only), the within-(epoch, shard) rank is each
+    * writer task's own sort (c19's claim, per epoch), and nothing else
+    * shuffles. ORACLED end to end: the key arithmetic is the
+    * engine-identical polynomial fingerprint, extended from c17's own
+    * CTE chain so order and upsampling cannot drift. */
+  def c34EpochOrder(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    epochOrderOver(docs(spark, dir), UpsampleNum, UpsampleDen,
+      nameWeight(col("source")))
+  }
+
+  /** The order assignment over any (doc_id, source, text) relation —
+    * budget/target-parameterized like [[upsampleEpochsOver]], which it
+    * composes (the epoch multiset is EXACTLY c17's — spec-pinned). */
+  private[graft] def epochOrderOver(documents: DataFrame, budgetNum: Long,
+      budgetDen: Long, targetRaw: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.PolyFingerprint.register(documents.sparkSession)
+    val copies = upsampleEpochsOver(documents, budgetNum, budgetDen, targetRaw)
+    val fps = documents.select(col("doc_id"),
+      polyFp(normText(col("text"))).as("fp"))
+    copies.join(fps, "doc_id")
+      .withColumn("shard_id", pmod(col("fp"), lit(EpochOrderShards)))
+      .withColumn("order_key", polyFp(concat(col("epoch").cast("string"),
+        lit(":"), col("fp").cast("string"))))
+      .withColumn("ord", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard_id"))
+          .orderBy(col("order_key"), col("doc_id"))).cast("long"))
+      .select("doc_id", "source", "epoch", "copies", "shard_id",
+        "order_key", "ord")
+      .orderBy("epoch", "shard_id", "ord")
+  }
+
+  val c34Sql: String =
+    s"""$C17Ctes, epochs AS (
+       |  SELECT doc_id, source, copies, fp,
+       |    unnest(range(1, copies + 1)) AS epoch
+       |  FROM copies WHERE copies >= 1
+       |), keyed AS (
+       |  SELECT doc_id, source, epoch, copies,
+       |    fp % $EpochOrderShards AS shard_id,
+       |    ${polyFpSql("concat(CAST(epoch AS VARCHAR), ':', CAST(fp AS VARCHAR))")} AS order_key
+       |  FROM epochs
+       |)
+       |SELECT doc_id, source, epoch, copies, shard_id, order_key,
+       |  CAST(row_number() OVER (PARTITION BY epoch, shard_id
+       |    ORDER BY order_key, doc_id) AS BIGINT) AS ord
+       |FROM keyed
+       |ORDER BY epoch, shard_id, ord""".stripMargin
 
   // ---------------------------------------------------------------- t06
   /** t06: readability statistics (Flesch reading-ease form) — sentence

@@ -1042,6 +1042,40 @@ object StreamingJobs {
       graft.operators.MultimodalOps.MediaRecord]): DataFrame =
     graft.operators.MultimodalOps.decodeAll(media).toDF()
 
+  /** Streaming face of m09's video fingerprint: the three-tier frame
+    * decode ([[graft.operators.VideoOps.videoFpAll]] — real frame-
+    * sequence fp / short-clip pack / byte-length stub) is partition-
+    * local with no shuffle or state, so it streams as-is; the pair
+    * JOIN stays batch-side (pairing is corpus-global — the
+    * shardRouteStream division-of-labor pattern). Bit-parity with the
+    * batch tiers is spec-pinned (Round14VideoNearDupSpec drives the
+    * same payloads through both). */
+  def videoFpStream(media: org.apache.spark.sql.Dataset[
+      graft.operators.MultimodalOps.MediaRecord]): DataFrame =
+    graft.operators.VideoOps.videoFpAll(media).toDF()
+
+  /** Streaming face of c34's epoch order KEY: for a given epoch, the
+    * (shard_id, order_key) assignment is row-local exact integer
+    * arithmetic over the document's own content fingerprint — no RNG,
+    * no state — so an ingestion pipeline can stamp each arriving
+    * document with the same shard and shuffle key the batch order
+    * assigns it. The within-(epoch, shard) RANK stays batch-side by
+    * design (it is corpus-global by definition), as does the c17
+    * copies decision (corpus token-mass rates — the budgetGateStream
+    * boundary). Bit-parity with the batch keys is spec-pinned. */
+  def epochOrderKeyStream(docs: DataFrame, epoch: Long): DataFrame = {
+    graft.functions.PolyFingerprint.register(docs.sparkSession)
+    import graft.operators.TextOps
+    docs
+      .withColumn("fp", TextOps.polyFp(
+        TextOps.normText(coalesce(col("text"), lit("")))))
+      .withColumn("epoch", lit(epoch))
+      .withColumn("shard_id", pmod(col("fp"), lit(TextOps.EpochOrderShards)))
+      .withColumn("order_key", TextOps.polyFp(concat(
+        col("epoch").cast("string"), lit(":"), col("fp").cast("string"))))
+      .select("doc_id", "epoch", "shard_id", "order_key")
+  }
+
   // ----------------------------------------------------- budget gate
   /** Streaming face of c16's token-budget sampling: the per-source
     * acceptance rates are a |sources|-row artifact of the batch budget

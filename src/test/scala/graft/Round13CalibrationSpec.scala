@@ -67,6 +67,23 @@ class Round13CalibrationSpec extends GraftSpecBase {
     assert(out.map(_.getLong(8)).distinct.length === 1)
   }
 
+  test("t35: the temperature is fitted ONLY on the held-out predicate's rows (r14)") {
+    // held-out rows are the over-confident corpus (T* > 1); the non-held
+    // rows are well-calibrated high-confidence rows that would drag the
+    // fit toward T = 1 if they leaked into it (exactly the r13-ADVICE
+    // bias: fitting on rows the classifier trained on)
+    val held = overconfident.map { case (id, y, s) => (id, y, s, true) }
+    val leak = (0 until 400).map(i =>
+      (97L * i + 1, if (i % 20 < 19) 1 else 0, 0.95, false))
+    val df = (held ++ leak).toDF("doc_id", "y", "score", "held")
+    val tHeld = mirrorFit(overconfident.map(r => (r._2, r._3)))
+    val tAll = mirrorFit((held ++ leak).map(r => (r._2, r._3)))
+    assert(tHeld !== tAll, "fixture must distinguish held-only from leaked fits")
+    val out = Calibration.calibrationCorrectOver(df, heldout = col("held")).collect()
+    assert(out.map(_.getLong(out.head.fieldIndex("temperature_micro")))
+      .distinct.toSeq === Seq(tHeld))
+  }
+
   test("t35: an EMPTY held-out split fits the identity temperature, not the first rung") {
     val empty = Seq.empty[(Long, Int, Double)].toDF("doc_id", "y", "score")
     assert(Calibration.fitTemperatureMicro(empty) === 1000000L)

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, TextOps}
+
+/** d12's at-scale candidate composition (r13 VERDICT #4): candidates
+  * from the STANDING d08 band index, then the identical estimator tail.
+  * Pins: banded results are a SUBSET of the sketch-value results (a
+  * band collision is 4+ shared sketch values, so the band path can only
+  * drop pairs the banding curve says to give up); every surviving pair
+  * carries the BIT-IDENTICAL estimate; and an engineered
+  * high-containment pair — whose docs share their full bottom-k prefix
+  * — is found by BOTH paths with the same decision. */
+class Round14D12BandSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private val Prefix = "r14_d12_bands"
+
+  private def shingleRel(docs: org.apache.spark.sql.DataFrame) =
+    docs.select(col("doc_id"), col("lang"),
+      explode(graft.functions.Ngrams.ngramHashes(
+        TextOps.tokensOf(col("text")), 3)).as("sh"))
+      .distinct()
+
+  private def key(r: Row) = (r.getLong(0), r.getLong(1))
+  private def full(r: Row) = (r.getLong(0), r.getLong(1), r.getString(2),
+    r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7))
+
+  test("d12 banded: subset of the value path with bit-identical estimates (driver corpus)") {
+    graft.functions.Ngrams.register(spark)
+    graft.functions.BottomKDistinct.register(spark)
+    val t = Tables(spark, sfDir)
+    val docs = t.spread(t.documents).filter(col("doc_id") % 2 === 0)
+    val rows = shingleRel(docs).localCheckpoint()
+    val value = DedupOps.containmentEstOver(rows, 128).collect()
+    DedupOps.neardupIndexDrop(spark, Prefix)
+    try {
+      DedupOps.neardupIndexBootstrap(docs.select("doc_id", "text"), Prefix)
+      val banded = DedupOps.containmentEstViaBandIndex(rows, 128, Prefix).collect()
+      val vm = value.map(r => key(r) -> full(r)).toMap
+      assert(banded.nonEmpty, "the driver corpus has band-colliding dup pairs")
+      for (b <- banded) {
+        assert(vm.contains(key(b)), s"banded pair ${key(b)} unknown to the value path")
+        assert(full(b) === vm(key(b)), s"estimator drift on ${key(b)}")
+      }
+      // the banding recall trade is real but small here — report-style pin
+      assert(banded.length * 2 >= value.length,
+        s"band recall collapsed: ${banded.length}/${value.length}")
+    } finally DedupOps.neardupIndexDrop(spark, Prefix)
+  }
+
+  test("d12 banded: an engineered contained pair band-collides and matches the value decision") {
+    graft.functions.Ngrams.register(spark)
+    graft.functions.BottomKDistinct.register(spark)
+    // doc 2's text is a prefix of doc 1's — containment ≈ 1, shared
+    // bottom-k prefix, so band 0 MUST collide
+    val base = (1 to 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val docs = Seq(
+      (1L, "en", base + " extra tail words here"),
+      (2L, "en", base),
+      (3L, "en", (1 to 40).map(i => s"zeta$i eta$i theta$i").mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val rows = shingleRel(docs).localCheckpoint()
+    val value = DedupOps.containmentEstOver(rows, 128).collect()
+    DedupOps.neardupIndexDrop(spark, Prefix)
+    try {
+      DedupOps.neardupIndexBootstrap(docs.select("doc_id", "text"), Prefix)
+      val banded = DedupOps.containmentEstViaBandIndex(rows, 128, Prefix).collect()
+      assert(value.map(key).toSet === Set((2L, 1L))) // (small_doc, big_doc)
+      assert(banded.map(key).toSet === Set((2L, 1L)),
+        "a full-prefix-sharing pair must band-collide")
+      assert(full(banded.head) === full(value.head))
+    } finally DedupOps.neardupIndexDrop(spark, Prefix)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.TextOps
+
+/** c34 deterministic epoch-shuffle order: per (epoch, shard) the ord
+  * column is a contiguous permutation, the epoch multiset is EXACTLY
+  * c17's, epochs produce pairwise different within-shard orders (the
+  * salt re-keys every epoch), a document keeps its shard across epochs,
+  * and the assignment is stable under any input partitioning. */
+class Round14EpochOrderSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+
+  private lazy val docs = (1L to 40L).map(i =>
+    (i, if (i % 3 == 0) "beta" else "alpha",
+      s"doc $i body ${"word " * (i % 7).toInt} tail")).toDF("doc_id", "source", "text")
+
+  private lazy val out = TextOps.epochOrderOver(docs, 3L, 1L,
+    when(col("source") === "beta", lit(6L)).otherwise(lit(1L))).collect()
+
+  test("c34: ord is a contiguous 1..k permutation within every (epoch, shard)") {
+    assert(out.nonEmpty)
+    for (((_, _), g) <- out.groupBy(r => (l(r, "epoch"), l(r, "shard_id"))))
+      assert(g.map(l(_, "ord")).sorted.toSeq === (1L to g.length).toSeq)
+  }
+
+  test("c34: the epoch multiset is exactly c17's upsampling") {
+    val c17 = TextOps.upsampleEpochsOver(docs, 3L, 1L,
+      when(col("source") === "beta", lit(6L)).otherwise(lit(1L))).collect()
+      .map(r => (l(r, "doc_id"), l(r, "epoch"))).sorted.toSeq
+    assert(out.map(r => (l(r, "doc_id"), l(r, "epoch"))).sorted.toSeq === c17)
+  }
+
+  test("c34: epochs are pairwise DIFFERENT within-shard orders, same membership") {
+    val byEpoch = out.groupBy(l(_, "epoch"))
+    val epochs = byEpoch.keys.toSeq.sorted
+    assert(epochs.length >= 2, "fixture needs a multi-epoch source")
+    // docs shipping in both epochs keep their shard but move position
+    val e1 = byEpoch(epochs.head).map(r => l(r, "doc_id") -> (l(r, "shard_id"), l(r, "ord"))).toMap
+    val e2 = byEpoch(epochs(1)).map(r => l(r, "doc_id") -> (l(r, "shard_id"), l(r, "ord"))).toMap
+    val common = e1.keySet intersect e2.keySet
+    assert(common.nonEmpty)
+    for (d <- common)
+      assert(e1(d)._1 === e2(d)._1, s"doc $d changed shard across epochs")
+    assert(common.exists(d => e1(d)._2 != e2(d)._2),
+      "across epochs at least one common doc must change position")
+  }
+
+  test("c34: stable under any input partitioning") {
+    val again = TextOps.epochOrderOver(docs.repartition(7), 3L, 1L,
+      when(col("source") === "beta", lit(6L)).otherwise(lit(1L))).collect()
+    assert(again.map(_.toSeq).sortBy(_.toString) ===
+      out.map(_.toSeq).sortBy(_.toString))
+  }
+
+  test("c34: driver entry is non-empty and ordered deterministically") {
+    val a = TextOps.c34EpochOrder(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    val b = TextOps.c34EpochOrder(spark, sfDir).collect()
+    assert(a.toSeq === b.toSeq)
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{BpeOps, PackBestfit, PackMaterialize}
+
+/** c33 packed-window materialization: the .bin/.idx invariants a
+  * training loader depends on — member-index round-trip (slicing a
+  * window by its member offsets reproduces every doc's exact encoding),
+  * token-mass conservation, exact-boundary splits for oversized docs,
+  * no overfill, tiling offsets — plus the t11 accounting equivalence
+  * (per-doc encoded length ≡ n_bpe_tokens). */
+class Round14PackMaterializeSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+
+  /** Engineered corpus: repetitive small docs (pack together), one doc
+    * long enough that its ENCODING exceeds the spec cap (splits), two
+    * langs (separate groups). */
+  private lazy val corpus = {
+    val small = (1L to 6L).map(i =>
+      (i, "en", s"the cat sat on the mat ${"again and " * i.toInt}end"))
+    val big = Seq((7L, "en", (1 to 90).map(i => s"w$i").mkString(" ")))
+    val de = Seq((8L, "de", "der hund und die katze und der hund"))
+    (small ++ big ++ de).toDF("doc_id", "lang", "text")
+  }
+  private val Cap = 64L
+
+  private lazy val dict = {
+    val (_, d) = BpeOps.bpeTrain(corpus, 12, 2L)
+    d
+  }
+  private lazy val vocab = PackMaterialize.vocabIds(dict)
+  private lazy val enc = PackMaterialize.encodeDocs(corpus, dict, vocab)
+    .collect().map(r => l(r, "doc_id") ->
+      r.getSeq[Int](r.fieldIndex("enc")).toVector).toMap
+  private lazy val out = PackMaterialize.materializeOver(corpus, dict, Cap)
+    .collect()
+
+  test("c33: member-index round-trip reproduces every doc's exact encoding") {
+    // reassemble each doc from its window slices: packed windows via
+    // (off, len); split windows ordered by split_win_idx
+    val rebuilt = scala.collection.mutable.Map.empty[Long, Vector[Int]]
+    val packed = out.filter(_.getString(2) == "packed")
+    for (w <- packed) {
+      val ids = w.getSeq[Int](w.fieldIndex("token_ids"))
+      for (m <- w.getSeq[Row](w.fieldIndex("members"))) {
+        val (doc, off, len) = (m.getLong(0), m.getLong(1), m.getLong(2))
+        assert(!rebuilt.contains(doc), s"doc $doc appears in two windows")
+        rebuilt(doc) = ids.slice(off.toInt, (off + len).toInt).toVector
+      }
+    }
+    val split = out.filter(_.getString(2) == "split")
+      .groupBy(r => l(r, "split_doc_id"))
+    for ((doc, ws) <- split) {
+      val ordered = ws.sortBy(l(_, "split_win_idx"))
+      rebuilt(doc) = ordered.flatMap(w =>
+        w.getSeq[Int](w.fieldIndex("token_ids")).take(l(w, "n_fill").toInt))
+        .toVector
+    }
+    assert(rebuilt.keySet === enc.keySet)
+    for ((doc, e) <- enc)
+      assert(rebuilt(doc) === e, s"doc $doc round-trip mismatch")
+  }
+
+  test("c33: token mass is conserved and padding accounts for the rest") {
+    assert(out.map(l(_, "n_fill")).sum === enc.values.map(_.length.toLong).sum)
+    for (r <- out) {
+      assert(l(r, "n_fill") + l(r, "n_pad") === Cap)
+      assert(r.getSeq[Int](r.fieldIndex("token_ids")).length === Cap)
+      val ids = r.getSeq[Int](r.fieldIndex("token_ids"))
+      assert(ids.drop(l(r, "n_fill").toInt)
+        .forall(_ == PackMaterialize.PadId), "padding must be PadId")
+      assert(ids.take(l(r, "n_fill").toInt)
+        .forall(_ != PackMaterialize.PadId), "ids must never collide with pad")
+    }
+  }
+
+  test("c33: an oversized doc splits at EXACT window boundaries") {
+    val doc7 = enc(7L)
+    assert(doc7.length > Cap, "fixture: doc 7's encoding must exceed the cap")
+    val ws = out.filter(r => r.getString(2) == "split" &&
+      l(r, "split_doc_id") == 7L).sortBy(l(_, "split_win_idx"))
+    assert(ws.length === (doc7.length + Cap - 1) / Cap)
+    for ((w, i) <- ws.zipWithIndex) {
+      val lo = i * Cap.toInt
+      val hi = math.min((i + 1) * Cap.toInt, doc7.length)
+      assert(w.getSeq[Int](w.fieldIndex("token_ids"))
+        .take(hi - lo).toVector === doc7.slice(lo, hi),
+        s"split window $i is not the exact [$lo,$hi) slice")
+      assert(l(w, "n_fill") === (hi - lo).toLong)
+    }
+  }
+
+  test("c33: windows never overfill and member offsets tile each packed window") {
+    for (r <- out) {
+      assert(l(r, "n_fill") <= Cap)
+      val ms = r.getSeq[Row](r.fieldIndex("members"))
+      assert(ms.nonEmpty)
+      assert(l(r, "n_docs") === ms.length.toLong)
+      // offsets are the running prefix sum of the lens, ending at n_fill
+      var off = 0L
+      for (m <- ms) {
+        assert(m.getLong(1) === off, "member offsets must tile the window")
+        off += m.getLong(2)
+      }
+      assert(off === l(r, "n_fill"))
+    }
+  }
+
+  test("c33: langs never share a window") {
+    for (r <- out if r.getString(2) == "packed") {
+      val docs = r.getSeq[Row](r.fieldIndex("members")).map(_.getLong(0))
+      val langs = corpus.collect()
+        .map(c => c.getLong(0) -> c.getString(1)).toMap
+      assert(docs.map(langs).distinct.length === 1)
+    }
+  }
+
+  test("c33: per-doc encoded length equals t11's n_bpe_tokens accounting") {
+    val t11 = BpeOps.bpeEncode(corpus, dict).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getLong(r.fieldIndex("n_bpe_tokens"))).toMap
+    assert(t11.keySet === enc.keySet)
+    for ((doc, e) <- enc)
+      assert(e.length.toLong === t11(doc),
+        s"doc $doc: materialized ${e.length} ids vs t11 ${t11(doc)}")
+  }
+
+  test("c33: driver entry is non-empty, deterministic, and FFD-consistent with c26's fold") {
+    val a = PackMaterialize.c33PackMaterialize(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    val b = PackMaterialize.c33PackMaterialize(spark, sfDir).collect()
+    assert(a.toSeq === b.toSeq)
+    // every packed window id is a bin the shared ffdAssign would open:
+    // ids are dense 1..maxBin within each (lang, shard)
+    val byGroup = a.filter(_.getString(2) == "packed")
+      .groupBy(r => (r.getString(0), l(r, "shard")))
+    for ((g, ws) <- byGroup) {
+      val bins = ws.map(l(_, "window_id")).sorted.toSeq
+      assert(bins === (1L to bins.max).toSeq, s"non-dense bins in $g")
+    }
+  }
+}

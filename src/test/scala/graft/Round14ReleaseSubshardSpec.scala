@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{PackBestfit, ReleasePipeline}
+
+/** r14 (r13 ADVICE): the release tail's FFD groups are bounded by c26's
+  * own PackShardSpan sub-key — a window never mixes documents from
+  * different id spans, the emitted pack_bin encodes the span (unique
+  * within (split, shard)), and the c26 invariants (no overfill,
+  * contiguous pack_pos) hold per sub-group. Exercised with doc ids
+  * straddling the span boundary, which the driver corpus never does. */
+class Round14ReleaseSubshardSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+
+  private lazy val out = {
+    val span = 100000L
+    // ids in span 0 and span 1; per-doc unique vocabularies so the
+    // near-dup stage collapses nothing and both spans survive curation
+    def text(i: Int, tag: String) =
+      (1 to 9).map(j => s"$tag${i}w$j").mkString(" ")
+    val docs = ((1 to 12).map(i => (i.toLong, "en", "alpha", text(i, "a"))) ++
+      (1 to 12).map(i => (span + i, "en", "alpha", text(i, "b"))))
+      .toDF("doc_id", "lang", "source", "text")
+    ReleasePipeline.p02Over(spark, docs,
+      qualityMin = -1.0, nllMax = 1000.0).collect()
+  }
+
+  test("release pack: a window never mixes documents from different id spans") {
+    val span = 100000L
+    val packed = out.filter(!_.getBoolean(out.head.fieldIndex("pack_split_doc")))
+    assert(packed.nonEmpty)
+    assert(packed.exists(r => l(r, "doc_id") > span) &&
+      packed.exists(r => l(r, "doc_id") <= span),
+      "fixture must pack docs in both spans")
+    for ((_, g) <- packed.groupBy(r => (r.getString(r.fieldIndex("split")),
+        l(r, "shard_id"), l(r, "pack_bin"))))
+      assert(g.map(r => l(r, "doc_id") / span).distinct.length === 1,
+        "window members must share one id span")
+  }
+
+  test("release pack: pack_bin encodes the span and stays span-bounded-unique") {
+    val span = 100000L
+    for (r <- out if !r.getBoolean(r.fieldIndex("pack_split_doc"))) {
+      assert(l(r, "pack_bin") / span === l(r, "doc_id") / span,
+        "pack_bin must carry its sub-group's span index")
+      assert(l(r, "pack_bin") % span >= 1L)
+    }
+  }
+
+  test("release pack: c26 invariants hold per sub-group window") {
+    val packed = out.filter(!_.getBoolean(out.head.fieldIndex("pack_split_doc")))
+    for (((s, sh, b), g) <- packed.groupBy(r =>
+        (r.getString(r.fieldIndex("split")), l(r, "shard_id"), l(r, "pack_bin")))) {
+      assert(g.map(l(_, "n_tokens")).sum <= 512L, s"overfull window ($s,$sh,$b)")
+      assert(g.map(l(_, "pack_pos")).sorted.toSeq === (1L to g.length).toSeq,
+        s"pack_pos not contiguous in ($s,$sh,$b)")
+    }
+  }
+}

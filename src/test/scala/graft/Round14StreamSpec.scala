@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.{TextOps, VideoOps}
+import graft.operators.MultimodalOps.MediaRecord
+import graft.streaming.StreamingJobs
+
+/** r14 streaming faces: m09's video fingerprint tiers and c34's epoch
+  * order key are row-local — each is pinned bit-identical to its batch
+  * twin on a MemoryStream. */
+class Round14StreamSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("m09 videoFpStream: stream tiers are bit-identical to the batch decode") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // a short multi-frame TIFF (pack tier) + a text blob (stub tier) —
+    // the real tier is exercised on the same path by the batch spec;
+    // here the pin is stream ≡ batch on identical payloads
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (lv <- Seq(20, 220, 60)) {
+        val img = new java.awt.image.BufferedImage(4, 4,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = img.createGraphics()
+        g.setColor(new java.awt.Color(lv, lv, lv)); g.fillRect(0, 0, 4, 4)
+        g.dispose()
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    val payloads = Seq((1L, bos.toByteArray),
+      (2L, "plain text payload".getBytes("UTF-8")))
+    val batch = VideoOps.videoFpAll(
+      payloads.toDF("doc_id", "payload").as[MediaRecord]).collect()
+      .map(f => f.doc_id -> (f.real, f.fp)).toMap
+    val mem = MemoryStream[(Long, Array[Byte])]
+    val q = StreamingJobs.videoFpStream(
+      mem.toDF.toDF("doc_id", "payload").as[MediaRecord])
+      .writeStream.format("memory").queryName("vfp_r14").outputMode("append")
+      .start()
+    try {
+      mem.addData(payloads: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("vfp_r14").collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2))).toMap
+    assert(out === batch)
+  }
+
+  test("c34 epochOrderKeyStream: stream keys are bit-identical to the batch order's") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = (1L to 20L).map(i =>
+      (i, "alpha", s"stream doc $i with body words w${i}a w${i}b"))
+      .toDF("doc_id", "source", "text")
+    val batch = TextOps.epochOrderOver(docs, 2L, 1L, lit(1L)).collect()
+      .filter(_.getLong(2) == 1L) // epoch 1
+      .map(r => r.getLong(0) -> (r.getLong(4), r.getLong(5))).toMap
+    assert(batch.nonEmpty)
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingJobs.epochOrderKeyStream(
+      mem.toDF.toDF("doc_id", "text"), epoch = 1L)
+      .writeStream.format("memory").queryName("eok_r14").outputMode("append")
+      .start()
+    try {
+      mem.addData(docs.collect().map(r => (r.getLong(0), r.getString(2))).toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("eok_r14").collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // every batch-shipped (doc, epoch 1) carries the same key downstream
+    for ((d, k) <- batch) assert(out(d) === k, s"doc $d key drift")
+  }
+}

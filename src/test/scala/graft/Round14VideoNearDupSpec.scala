@@ -1,0 +1,128 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.{IIOImage, ImageIO}
+
+import org.apache.spark.sql.Row
+import graft.operators.VideoOps
+import graft.operators.MultimodalOps.MediaRecord
+
+/** m09 video near-dup over REAL multi-frame containers built with the
+  * JRE's own ImageIO TIFF writer (lossless grayscale pages — no palette
+  * quantization, so the luminance algebra is exact): a half-brightness
+  * re-grade at hamming 0 (sign-of-delta gain invariance on the frame
+  * axis), a one-window splice within the ≤ 3 band, a tail-trim inside
+  * the ignored remainder at hamming 0, short clips pairing only on
+  * identical metadata packs, text blobs only on byte-length equality —
+  * the m07 tier discipline on the frame axis. */
+class Round14VideoNearDupSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  /** One grayscale frame at the given level. */
+  private def frame(w: Int, h: Int, level: Int): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(level, level, level))
+    g.fillRect(0, 0, w, h)
+    g.dispose()
+    img
+  }
+
+  /** A multi-page TIFF from per-frame gray levels. */
+  private def tiff(levels: Seq[Int], w: Int = 8, h: Int = 8): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (lv <- levels)
+        writer.writeToSequence(new IIOImage(frame(w, h, lv), null, null), null)
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Strongly separated levels so no re-grade can reorder windows:
+    * a zig-zag over 65 windows × 2 frames (the tail pair is ignored). */
+  private val baseLevels: Seq[Int] =
+    (0 until 132).map(i => if ((i / 2) % 2 == 0) 40 else 200)
+
+  private def pairs(media: Seq[(Long, Array[Byte])]): Array[Row] =
+    VideoOps.videoNearDupOver(
+      media.toDF("doc_id", "payload").as[MediaRecord]).collect()
+
+  private def pairMap(rows: Array[Row]): Map[(Long, Long), (Boolean, Long, Boolean)] =
+    rows.map(r => (r.getLong(0), r.getLong(1)) ->
+      (r.getBoolean(2), r.getLong(3), r.getBoolean(4))).toMap
+
+  test("m09: decode tiers — real ≥ 65-frame clips, short-clip packs, byte-length stubs") {
+    val fps = VideoOps.videoFpAll(Seq(
+      (1L, tiff(baseLevels)),                  // real
+      (2L, tiff(Seq(10, 200, 30))),            // short clip (3 frames)
+      (3L, "just some text bytes".getBytes("UTF-8")) // stub
+    ).toDF("doc_id", "payload").as[MediaRecord]).collect()
+      .map(f => f.doc_id -> f).toMap
+    assert(fps(1L).real)
+    assert(!fps(2L).real && (fps(2L).fp & (1L << 62)) != 0L,
+      "short clips must carry the tier mark")
+    assert(!fps(3L).real && fps(3L).fp === "just some text bytes".getBytes("UTF-8").length.toLong)
+  }
+
+  test("m09: a brightness re-grade of the same clip lands at hamming 0") {
+    val a = tiff(baseLevels)
+    val b = tiff(baseLevels.map(_ / 2)) // half-gain re-grade
+    val m = pairMap(pairs(Seq((1L, a), (2L, b))))
+    assert(m.contains((1L, 2L)), "re-graded copy must be a candidate")
+    val (real, ham, near) = m((1L, 2L))
+    assert(real && ham === 0L && near)
+  }
+
+  test("m09: a one-window splice stays within the ≤ 3 near-dup band, not at 0") {
+    // swap one window's levels (frames 60-61: window 30) so exactly the
+    // two adjacent sign-of-delta bits can flip
+    val spliced = baseLevels.updated(60, 200).updated(61, 200)
+    val m = pairMap(pairs(Seq((1L, tiff(baseLevels)), (2L, tiff(spliced)))))
+    assert(m.contains((1L, 2L)), "spliced copy must still share a segment")
+    val (real, ham, near) = m((1L, 2L))
+    assert(real && ham >= 1L && ham <= 3L && near, s"hamming $ham")
+  }
+
+  test("m09: a tail-trim inside the ignored remainder is fingerprint-identical") {
+    val m = pairMap(pairs(Seq(
+      (1L, tiff(baseLevels)),            // 132 frames: fpw = 2, tail = 2
+      (2L, tiff(baseLevels.dropRight(2)))))) // 130 frames: fpw = 2, same windows
+    assert(m.contains((1L, 2L)))
+    assert(m((1L, 2L)) === ((true, 0L, true)))
+  }
+
+  test("m09: unrelated clips share no segment — never candidates") {
+    // complementary zig-zags: every sign-of-delta bit differs
+    val inv = (0 until 132).map(i => if ((i / 2) % 2 == 0) 200 else 40)
+    val out = pairs(Seq((1L, tiff(baseLevels)), (2L, tiff(inv))))
+    assert(out.isEmpty)
+  }
+
+  test("m09: short clips pair only on identical packs; text blobs only on equal length") {
+    val out = pairMap(pairs(Seq(
+      (1L, tiff(Seq(10, 200, 30))),       // short clip
+      (2L, tiff(Seq(10, 200, 30))),       // identical short clip
+      (3L, tiff(Seq(10, 200, 30), w = 9)), // same frames, different geometry
+      (4L, Array.fill[Byte](tiff(Seq(10, 200, 30)).length)('x')), // text blob, same byte length
+      (5L, "abc".getBytes("UTF-8")),
+      (6L, "xyz".getBytes("UTF-8")))))
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) === ((false, 0L, true)))
+    assert(!out.contains((1L, 3L)), "different geometry must not pair")
+    assert(!out.contains((1L, 4L)),
+      "a short clip must never pair with a text blob of equal byte length")
+    assert(out.contains((5L, 6L)) && out((5L, 6L)) === ((false, 0L, true)))
+  }
+
+  test("m09: driver entry is non-empty and all-stub on the text-synthesized corpus") {
+    val out = VideoOps.m09VideoNearDup(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(!_.getBoolean(2)), "driver payloads are not videos")
+  }
+}
