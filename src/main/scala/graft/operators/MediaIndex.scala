@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** m10: INCREMENTAL media near-dup — the standing-store shape for the
+  * perceptual-fingerprint modalities (r14): every other dedup family
+  * already has its continually-ingesting form (d07 exact text, d08 LSH
+  * text, d10 semantic embeddings) but m06/m07/m09 re-fingerprinted the
+  * world per run; this persists the pigeonhole-blocked fingerprint rows
+  * ONCE and probes each arriving media batch against them — the shape a
+  * crawled image/audio/video corpus actually runs.
+  *
+  * The store is MODALITY-AGNOSTIC because all three fingerprint
+  * families share one shape ((doc_id, real, fp) — image aHash m06,
+  * audio energy-envelope m07, video frame-sequence m09) and one
+  * blocking/verdict rule ([[MultimodalOps.fpSegRows]] /
+  * [[MultimodalOps.fpNearDupVerdict]] — the shared definitions, so the
+  * store can never drift from the batch pair engine). Unlike d08, NO
+  * second verify relation exists: the fingerprint IS the verifier
+  * (Hamming on the pair's own fps — row-local bit_count), so the store
+  * is one table, not two.
+  *
+  *   <prefix>_mfp_base   (doc_id, real, fp, seg, seg_val) bucketed +
+  *                       sorted on seg_val — probe joins read it with
+  *                       zero index-side shuffle; rewritten only by
+  *                       [[mediaIndexCompact]];
+  *   <prefix>_mfp_delta  same columns + gen, one partition per appended
+  *                       batch (gen-monotone, same-gen replay
+  *                       idempotent via dynamic partition overwrite —
+  *                       d08's append contract verbatim).
+  *
+  * The degenerate-bucket cap applies over the COMBINED base ∪ delta
+  * view at read time, not at write time (d08's monotonicity argument:
+  * a key over the cap can only stay over under appends, so write-time
+  * capping would diverge from a from-scratch rebuild).
+  *
+  * Scale shape: fingerprints are 8-byte longs — the probe shuffles only
+  * the BATCH side's ≤ 4 (seg, seg_val) rows per doc against the
+  * bucketed store; payloads never shuffle anywhere; the per-doc status
+  * fold is one min_by aggregate. Rows-only (decode-derived fps);
+  * Round14MediaIndexSpec pins probe ∪ statuses ≡ the from-scratch m06
+  * pair engine on the same split, probe-after-append ≡ rebuild over the
+  * union corpus, same-gen replay idempotence, and the real-pixel
+  * perturbed-copy / unrelated-image paths.
+  *
+  * Reference analog: `ProcessBatch.groovy:113-156` — the per-batch
+  * outcome pass against standing state, here the state is the
+  * fingerprint index.
+  */
+object MediaIndex {
+
+  /** Every 5th document plays the newly-crawled batch (d08's selector). */
+  private val IncomingMod = 5
+
+  private def segSchema =
+    "doc_id BIGINT, real BOOLEAN, fp BIGINT, seg INT, seg_val BIGINT"
+
+  /** Seed (or re-seed) the standing fingerprint index from a
+    * (doc_id, real, fp) relation, clearing deltas and any
+    * crashed-compaction intermediates. */
+  def mediaIndexBootstrap(fps: DataFrame, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    val spark = fps.sparkSession
+    for (t <- Seq("_mfp_base_next", "_mfp_base_old"))
+      graft.sources.GraftIO.dropManaged(spark, prefix + t)
+    graft.sources.GraftIO.writeBucketed(MultimodalOps.fpSegRows(fps),
+      s"${prefix}_mfp_base", "seg_val", nBuckets, Seq("seg_val"))
+    graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_mfp_delta",
+      spark.table(s"${prefix}_mfp_base"))
+  }
+
+  /** Append one batch's fingerprint rows — gen-monotone, same-gen
+    * replay overwrites its own partition (idempotent; the d08 append
+    * contract). Doc ids are append-once across gens (a payload's
+    * fingerprint is immutable). */
+  def mediaIndexAppend(fps: DataFrame, prefix: String, gen: Long): Unit = {
+    val spark = fps.sparkSession
+    val delta = s"${prefix}_mfp_delta"
+    for (mg <- graft.sources.GraftIO.maxGen(spark, delta))
+      require(gen >= mg,
+        s"non-monotone index generation $gen < standing max $mg for " +
+          s"'$prefix' — anchor gens above the standing max or compact first")
+    graft.sources.GraftIO.writeDelta(
+      MultimodalOps.fpSegRows(fps).withColumn("gen", lit(gen))
+        .select("doc_id", "real", "fp", "seg", "seg_val", "gen"), delta)
+  }
+
+  /** Fold accumulated deltas into a freshly-bucketed base and reset the
+    * delta (crash-safe via [[graft.sources.GraftIO.compactSwap]]). */
+  def mediaIndexCompact(spark: SparkSession, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    graft.sources.GraftIO.compactSwap(spark, s"${prefix}_mfp_base",
+        Seq(s"${prefix}_mfp_delta")) { next =>
+      val base = graft.sources.GraftIO.baseOrNext(spark, s"${prefix}_mfp_base")
+      val deltaT = s"${prefix}_mfp_delta"
+      val all =
+        if (!spark.catalog.tableExists(deltaT)) base
+        else base.unionByName(spark.table(deltaT)
+          .select("doc_id", "real", "fp", "seg", "seg_val"))
+      graft.sources.GraftIO.writeBucketed(all, next, "seg_val", nBuckets,
+        Seq("seg_val"))
+    }
+    graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_mfp_delta",
+      spark.table(s"${prefix}_mfp_base"))
+  }
+
+  /** Between-compactions delta retention (squash gens into the newest;
+    * membership semantics make the squash view-invariant). */
+  def mediaIndexVacuum(spark: SparkSession, prefix: String): Int =
+    graft.sources.GraftIO.maxGen(spark, s"${prefix}_mfp_delta")
+      .map(g => graft.sources.GraftIO.vacuumDelta(spark,
+        s"${prefix}_mfp_delta", g))
+      .getOrElse(0)
+
+  /** Re-mount the store from its surviving warehouse directories after
+    * a process restart (the standing stores' attach contract). */
+  def mediaIndexAttach(spark: SparkSession, prefix: String,
+      nBuckets: Int = 8): Unit = {
+    for (t <- Seq("_mfp_base", "_mfp_base_next", "_mfp_base_old"))
+      graft.sources.GraftIO.attachBucketed(spark, prefix + t,
+        segSchema, "seg_val", nBuckets)
+    graft.sources.GraftIO.attachPartitioned(spark, s"${prefix}_mfp_delta",
+      segSchema + ", gen BIGINT", "gen")
+  }
+
+  /** Drop every table of a store prefix (specs / teardown). */
+  def mediaIndexDrop(spark: SparkSession, prefix: String): Unit =
+    for (t <- Seq("_mfp_base", "_mfp_delta", "_mfp_base_next",
+        "_mfp_base_old"))
+      graft.sources.GraftIO.dropManaged(spark, prefix + t)
+
+  /** The combined base ∪ delta view with the read-time one-sided
+    * degenerate-key cap (singleton buckets stay — one standing doc is a
+    * valid probe target). */
+  private[graft] def mediaIndexSegs(spark: SparkSession, prefix: String,
+      maxBucket: Int): DataFrame = {
+    val base = graft.sources.GraftIO.baseOrNext(spark, s"${prefix}_mfp_base")
+    val deltaT = s"${prefix}_mfp_delta"
+    val all =
+      if (!spark.catalog.tableExists(deltaT)) base
+      else base.unionByName(spark.table(deltaT)
+        .select("doc_id", "real", "fp", "seg", "seg_val"))
+    all.withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(col("real"), col("seg"), col("seg_val"))))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
+  }
+
+  /** Probe a batch of (doc_id, real, fp) fingerprints against the
+    * standing index: candidates from (a) blocked agreement with the
+    * index and (b) the within-batch self-join; the fingerprints
+    * themselves verify each pair ([[MultimodalOps.fpNearDupVerdict]] —
+    * row-local bit_count, no second relation). Statuses per batch doc:
+    * `known_neardup` (a verified index partner exists; neardup_of = min
+    * such doc), `batch_neardup` (first verified partner earlier in this
+    * batch), `new`. A doc already present in the index never pairs with
+    * itself (the re-probe-after-append case), and the reported hamming
+    * describes the CHOSEN partner (the d08 min_by rule). */
+  def mediaProbe(batchFps: DataFrame, prefix: String,
+      maxBucket: Int = MultimodalOps.MaxFpBucketSize): DataFrame = {
+    val spark = batchFps.sparkSession
+    val segs = MultimodalOps.fpSegRows(batchFps)
+    val batch = segs.withColumn("_n", count(lit(1)).over(
+        Window.partitionBy(col("real"), col("seg"), col("seg_val"))))
+      .filter(col("_n") <= maxBucket)
+      .drop("_n")
+    val index = mediaIndexSegs(spark, prefix, maxBucket)
+    val probePairs = batch.as("x")
+      .join(index.as("y"),
+        col("x.real") === col("y.real") && col("x.seg") === col("y.seg") &&
+          col("x.seg_val") === col("y.seg_val") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.real").as("real"), col("x.fp").as("fp_a"),
+        col("y.fp").as("fp_b"), lit("index").as("src"))
+    val batchPairs = batch.as("x")
+      .join(batch.as("y"),
+        col("x.real") === col("y.real") && col("x.seg") === col("y.seg") &&
+          col("x.seg_val") === col("y.seg_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("y.doc_id").as("doc_a"), col("x.doc_id").as("doc_b"),
+        col("y.real").as("real"), col("y.fp").as("fp_a"),
+        col("x.fp").as("fp_b"), lit("batch").as("src"))
+    val verified = probePairs.unionByName(batchPairs).distinct()
+      .withColumn("hamming",
+        bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(MultimodalOps.fpNearDupVerdict(col("real"), col("hamming")))
+    val best = verified.groupBy(col("doc_a").as("doc_id"))
+      .agg(
+        min(when(col("src") === "index", col("doc_b"))).as("index_partner"),
+        min(when(col("src") === "batch", col("doc_b"))).as("batch_partner"),
+        min_by(col("hamming"),
+          struct(when(col("src") === "index", 0).otherwise(1).as("pri"),
+            col("doc_b").as("d"))).as("neardup_hamming"))
+    batchFps.select(col("doc_id"), col("real"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("real"),
+        when(col("index_partner").isNotNull, lit("known_neardup"))
+          .when(col("batch_partner").isNotNull, lit("batch_neardup"))
+          .otherwise(lit("new")).as("status"),
+        when(col("index_partner").isNotNull, col("index_partner"))
+          .otherwise(col("batch_partner")).as("neardup_of"),
+        col("neardup_hamming"))
+      .orderBy("doc_id")
+  }
+
+  /** m10 driver entry: image fingerprints (m06's family) over the
+    * corpus's synthesized payloads — every 5th doc probes as the
+    * incoming batch against the rest, standing in the persisted index
+    * (rebuilt per run only because driver queries are standalone; a
+    * deployment bootstraps once and appends forever). */
+  def m10MediaIndexProbe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MultimodalOps.MediaRecord]
+    val fps = MultimodalOps.fingerprintAll(media).toDF()
+      .select(col("doc_id"), col("real"), col("fp"))
+      .localCheckpoint()
+    val isIncoming = col("doc_id") % IncomingMod === IncomingMod - 1
+    mediaIndexBootstrap(fps.filter(!isIncoming), "graft_m10")
+    mediaProbe(fps.filter(isIncoming), "graft_m10")
+  }
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -405,22 +405,45 @@ object MultimodalOps {
     * energy-envelope): real fingerprints are perceptual bit vectors and
     * pair within Hamming ≤ 3; `real = false` rows are bijective metadata
     * packs and pair only on exact equality. */
-  private[graft] def fpNearDupPairs(fps: DataFrame): DataFrame = {
-    // real fps block on the 4 pigeonhole segments; stub packs block on
-    // the FULL fp — their high segments are all zero (the pack is a
-    // small number), so segment blocking would make every stub a
-    // candidate of every other stub, and pack Hamming is meaningless
-    // anyway: equality is the only stub pairing
-    val segRows = fps.select(col("doc_id"), col("real"), col("fp"),
-        explode(when(col("real"),
-          array((0 until FpSegments).map(s =>
-            struct(lit(s).as("seg"),
-              shiftrightunsigned(col("fp"), s * FpSegLen)
-                .bitwiseAND((1L << FpSegLen) - 1).as("seg_val"))): _*))
-          .otherwise(array(struct(lit(-1).as("seg"), col("fp").as("seg_val")))))
-          .as("sv"))
+  /** Pigeonhole blocking rows of ANY (doc_id, real, fp) fingerprint
+    * relation — real fps block on the 4 pigeonhole segments; stub packs
+    * block on the FULL fp (their high segments are all zero — the pack
+    * is a small number — so segment blocking would make every stub a
+    * candidate of every other stub, and pack Hamming is meaningless
+    * anyway: equality is the only stub pairing). ONE definition shared
+    * by the pair engine below and the standing media-fingerprint index
+    * ([[MediaIndex]], r14) so the store's blocking can never drift from
+    * the batch engine's. */
+  /** The blocking keys of one fingerprint as a row-local array of
+    * (seg, seg_val) structs — the expression form [[fpSegRows]] and the
+    * streaming probe ([[graft.streaming.StreamingJobs.mediaProbeStream]])
+    * both explode, so batch and stream block identically by
+    * construction. */
+  private[graft] def fpSegArray(real: Column, fp: Column): Column =
+    when(real,
+      array((0 until FpSegments).map(s =>
+        struct(lit(s).as("seg"),
+          shiftrightunsigned(fp, s * FpSegLen)
+            .bitwiseAND((1L << FpSegLen) - 1).as("seg_val"))): _*))
+      .otherwise(array(struct(lit(-1).as("seg"), fp.as("seg_val"))))
+
+  private[graft] def fpSegRows(fps: DataFrame): DataFrame =
+    fps.select(col("doc_id"), col("real"), col("fp"),
+        explode(fpSegArray(col("real"), col("fp"))).as("sv"))
       .select(col("doc_id"), col("real"), col("fp"),
         col("sv.seg").as("seg"), col("sv.seg_val").as("seg_val"))
+
+  /** The near-dup verdict over a blocked pair's Hamming distance — real
+    * pairs within ≤ 3, stub packs only on exact equality (m06's rule,
+    * the ONE definition [[fpNearDupPairs]] and
+    * [[MediaIndex.mediaProbe]] share). */
+  private[graft] def fpNearDupVerdict(real: Column, hamming: Column): Column =
+    when(real, hamming <= 3).otherwise(hamming === 0)
+
+  private[graft] val MaxFpBucketSize: Int = MaxFpBucket
+
+  private[graft] def fpNearDupPairs(fps: DataFrame): DataFrame = {
+    val segRows = fpSegRows(fps)
     val capped = DedupOps.capBuckets(segRows, MaxFpBucket,
       col("real"), col("seg"), col("seg_val"))
     val pairs = capped.as("x").join(capped.as("y"),
@@ -433,8 +456,7 @@ object MultimodalOps {
     pairs
       .withColumn("hamming",
         bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
-      .withColumn("is_near_dup",
-        when(col("real"), col("hamming") <= 3).otherwise(col("hamming") === 0))
+      .withColumn("is_near_dup", fpNearDupVerdict(col("real"), col("hamming")))
       .select("doc_a", "doc_b", "real", "hamming", "is_near_dup")
       .orderBy("doc_a", "doc_b")
   }

@@ -675,6 +675,62 @@ object StreamingJobs {
       threshold, watermark)
   }
 
+  // ------------------------------------------- media fingerprint probe
+  /** Streaming face of m10's media-index probe: a stream of already-
+    * fingerprinted media rows (doc_id, ts, real, fp — decode happens in
+    * the modality's own row-local face: [[mediaDecodeStream]] /
+    * [[videoFpStream]]) probes the standing fingerprint store. The
+    * blocking keys are the SAME row-local [[graft.operators
+    * .MultimodalOps.fpSegArray]] expression the batch engine explodes,
+    * the verdict the same [[graft.operators.MultimodalOps
+    * .fpNearDupVerdict]] on the pair's own fps (no second relation —
+    * the fingerprint IS the verifier), and the per-doc status fold is a
+    * watermark-gated min/min_by over the (seg × partner) match rows
+    * (the neardupProbeStream shape). Within-BATCH pairing stays
+    * batch-side (corpus-global — the division-of-labor pattern):
+    * statuses here are `known_neardup` vs `new` only. */
+  def mediaProbeStream(fps: DataFrame, indexSegs: DataFrame,
+      watermark: String = "1 hour"): DataFrame = {
+    import graft.operators.MultimodalOps
+    val probes = fps
+      .withWatermark("ts", watermark)
+      .select(col("doc_id"), col("ts"), col("real"), col("fp"),
+        explode(MultimodalOps.fpSegArray(col("real"), col("fp"))).as("sv"))
+      .select(col("doc_id"), col("ts"), col("real"), col("fp"),
+        col("sv.seg").as("seg"), col("sv.seg_val").as("seg_val"))
+    val matched = probes
+      .join(indexSegs.select(col("real"), col("seg"), col("seg_val"),
+          col("doc_id").as("partner_id"), col("fp").as("p_fp")),
+        Seq("real", "seg", "seg_val"), "left_outer")
+      .withColumn("hamming",
+        when(col("partner_id").isNotNull,
+          bit_count(col("fp").bitwiseXOR(col("p_fp"))).cast("long")))
+      .withColumn("hit", col("partner_id").isNotNull &&
+        col("partner_id") =!= col("doc_id") &&
+        MultimodalOps.fpNearDupVerdict(col("real"), col("hamming")))
+    matched
+      .groupBy(col("doc_id"), col("ts"))
+      .agg(min(when(col("hit"), col("partner_id"))).as("neardup_of"),
+        min_by(when(col("hit"), col("hamming")),
+          when(col("hit"), col("partner_id"))).as("neardup_hamming"))
+      .select(col("doc_id"), col("ts"),
+        when(col("neardup_of").isNotNull, lit("known_neardup"))
+          .otherwise(lit("new")).as("status"),
+        col("neardup_of"), col("neardup_hamming"))
+  }
+
+  /** [[mediaProbeStream]] wired to the standing store's merge-on-read
+    * current view — a [[graft.operators.MediaIndex.mediaIndexAppend]]
+    * lands in the NEXT trigger without restarting the query (the delta
+    * exists, empty, from bootstrap on — the d08 store contract). */
+  def mediaProbeStreamFromStore(fps: DataFrame, prefix: String,
+      maxBucket: Int = graft.operators.MultimodalOps.MaxFpBucketSize,
+      watermark: String = "1 hour"): DataFrame =
+    mediaProbeStream(fps,
+      graft.operators.MediaIndex.mediaIndexSegs(fps.sparkSession, prefix,
+        maxBucket),
+      watermark)
+
   // ------------------------------------------------------ store ingestion
   /** Streaming INGESTION face of the standing band-index store
     * ([[componentsStream]]'s foreachBatch pattern applied to d08's

@@ -1,0 +1,190 @@
+package graft
+
+import java.awt.image.BufferedImage
+import java.io.ByteArrayOutputStream
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{MediaIndex, MultimodalOps}
+import graft.operators.MultimodalOps.MediaRecord
+
+/** m10 incremental media near-dup: the standing fingerprint store's
+  * probe statuses equal a from-scratch m06 run on the same split,
+  * probe-after-append equals a rebuild over the union corpus, a
+  * same-gen replayed append is idempotent, and the real-pixel paths
+  * (perturbed copy / unrelated image) behave as the pair engine does. */
+class Round14MediaIndexSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private val Prefix = "r14_mfp"
+
+  private def fpsOf(media: Seq[MediaRecord]) =
+    MultimodalOps.fingerprintAll(media.toDS()).toDF()
+      .select(col("doc_id"), col("real"), col("fp"))
+
+  private def statusOf(rows: Array[Row]) =
+    rows.map(r => r.getLong(0) ->
+      (r.getString(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+
+  test("m10: probe statuses equal the from-scratch m06 pair engine on the driver split") {
+    val media = Tables(spark, sfDir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    // expected: derive each incoming doc's status from the FULL-corpus
+    // m06 pair relation (the from-scratch truth)
+    val pairs = MultimodalOps.mediaNearDupOver(media).collect()
+      .filter(_.getBoolean(4))
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val sym = pairs ++ pairs.map(p => (p._2, p._1))
+    val byDoc = sym.groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2).toSet }
+    val incoming = (d: Long) => d % 5 == 4L
+    val out = statusOf(MediaIndex.m10MediaIndexProbe(spark, sfDir).collect())
+    assert(out.nonEmpty)
+    assert(out.exists(_._2._1 == "known_neardup"),
+      "driver corpus must exercise the index-partner path")
+    for ((d, (status, partner)) <- out) {
+      val nbrs = byDoc.getOrElse(d, Set.empty)
+      val idx = nbrs.filter(!incoming(_))
+      val earlier = nbrs.filter(x => incoming(x) && x < d)
+      if (idx.nonEmpty)
+        assert((status, partner) === (("known_neardup", idx.min)), s"doc $d")
+      else if (earlier.nonEmpty)
+        assert((status, partner) === (("batch_neardup", earlier.min)), s"doc $d")
+      else assert((status, partner) === (("new", -1L)), s"doc $d")
+    }
+  }
+
+  // ---- real-pixel fixtures (the Round12 m06 rasters) -----------------
+  private def imageBytes(fmt: String, rgb: Array[Int]): Array[Byte] = {
+    val img = new BufferedImage(16, 16, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16) img.setRGB(x, y, rgb(y * 16 + x))
+    val out = new ByteArrayOutputStream()
+    assert(ImageIO.write(img, fmt, out))
+    out.toByteArray
+  }
+  private val halves = Array.tabulate(256)(i => if (i % 16 < 8) 0 else 0xffffff)
+  private val invHalves = Array.tabulate(256)(i => if (i % 16 < 8) 0xffffff else 0)
+  private val perturbed = Array.tabulate(256) { i =>
+    val (y, x) = (i / 16, i % 16)
+    if (y < 2 && x < 4) 0xffffff else if (x < 8) 0 else 0xffffff
+  }
+
+  test("m10: real pixels — a perturbed copy probes known_neardup, an unrelated image new") {
+    MediaIndex.mediaIndexDrop(spark, Prefix)
+    try {
+      MediaIndex.mediaIndexBootstrap(fpsOf(Seq(
+        MediaRecord(10L, imageBytes("png", halves)))), Prefix)
+      val out = statusOf(MediaIndex.mediaProbe(fpsOf(Seq(
+        MediaRecord(20L, imageBytes("png", perturbed)), // 2-cell edit of 10
+        MediaRecord(21L, imageBytes("png", invHalves))  // unrelated
+      )), Prefix).collect())
+      assert(out(20L) === (("known_neardup", 10L)))
+      assert(out(21L) === (("new", -1L)))
+    } finally MediaIndex.mediaIndexDrop(spark, Prefix)
+  }
+
+  test("m10: probe-after-append equals a from-scratch rebuild over the union corpus") {
+    MediaIndex.mediaIndexDrop(spark, Prefix)
+    MediaIndex.mediaIndexDrop(spark, Prefix + "_rb")
+    try {
+      val corpus = Seq(MediaRecord(1L, imageBytes("png", halves)))
+      val batch1 = Seq(MediaRecord(2L, imageBytes("bmp", halves))) // re-encode of 1
+      val batch2 = Seq(
+        MediaRecord(3L, imageBytes("png", perturbed)), // near-dup of 1 AND 2
+        MediaRecord(4L, imageBytes("png", invHalves)))
+      MediaIndex.mediaIndexBootstrap(fpsOf(corpus), Prefix)
+      MediaIndex.mediaProbe(fpsOf(batch1), Prefix).collect() // probe, then learn:
+      MediaIndex.mediaIndexAppend(fpsOf(batch1), Prefix, gen = 1L)
+      val incr = statusOf(MediaIndex.mediaProbe(fpsOf(batch2), Prefix).collect())
+      // rebuild: bootstrap over corpus ∪ batch1 and probe batch2 fresh
+      MediaIndex.mediaIndexBootstrap(fpsOf(corpus ++ batch1), Prefix + "_rb")
+      val rebuilt = statusOf(MediaIndex.mediaProbe(fpsOf(batch2), Prefix + "_rb").collect())
+      assert(incr === rebuilt)
+      assert(incr(3L) === (("known_neardup", 1L))) // min verified index partner
+      assert(incr(4L) === (("new", -1L)))
+    } finally {
+      MediaIndex.mediaIndexDrop(spark, Prefix)
+      MediaIndex.mediaIndexDrop(spark, Prefix + "_rb")
+    }
+  }
+
+  test("m10: same-gen replayed append is idempotent; compact preserves the view") {
+    MediaIndex.mediaIndexDrop(spark, Prefix)
+    try {
+      val corpus = Seq(MediaRecord(1L, imageBytes("png", halves)))
+      val batch = Seq(MediaRecord(2L, imageBytes("bmp", halves)))
+      MediaIndex.mediaIndexBootstrap(fpsOf(corpus), Prefix)
+      MediaIndex.mediaIndexAppend(fpsOf(batch), Prefix, gen = 1L)
+      MediaIndex.mediaIndexAppend(fpsOf(batch), Prefix, gen = 1L) // replay
+      val probe = Seq(MediaRecord(5L, imageBytes("png", halves)))
+      val before = statusOf(MediaIndex.mediaProbe(fpsOf(probe), Prefix).collect())
+      assert(before(5L) === (("known_neardup", 1L)))
+      // the replayed partition must not duplicate rows
+      assert(spark.table(s"${Prefix}_mfp_delta")
+        .groupBy("doc_id", "seg").count().collect().forall(_.getLong(2) == 1L))
+      MediaIndex.mediaIndexCompact(spark, Prefix)
+      val after = statusOf(MediaIndex.mediaProbe(fpsOf(probe), Prefix).collect())
+      assert(after === before)
+      assert(spark.table(s"${Prefix}_mfp_delta").isEmpty)
+      // gen monotonicity enforced
+      intercept[IllegalArgumentException] {
+        MediaIndex.mediaIndexAppend(fpsOf(batch), Prefix, gen = 5L)
+        MediaIndex.mediaIndexAppend(fpsOf(batch), Prefix, gen = 4L)
+      }
+    } finally MediaIndex.mediaIndexDrop(spark, Prefix)
+  }
+
+  test("m10 mediaProbeStream: stream statuses match the batch probe from the same store") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    MediaIndex.mediaIndexDrop(spark, Prefix + "_st")
+    try {
+      MediaIndex.mediaIndexBootstrap(fpsOf(Seq(
+        MediaRecord(10L, imageBytes("png", halves)))), Prefix + "_st")
+      // probe fingerprints: the perturbed copy (known) and the inverted
+      // raster (new) — fingerprinted by the SAME batch decode face
+      val probeFps = fpsOf(Seq(
+        MediaRecord(20L, imageBytes("png", perturbed)),
+        MediaRecord(21L, imageBytes("png", invHalves)))).collect()
+        .map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      val mem = MemoryStream[(Long, Timestamp, Boolean, Long)]
+      val q = graft.streaming.StreamingJobs.mediaProbeStreamFromStore(
+          mem.toDF.toDF("doc_id", "ts", "real", "fp"), Prefix + "_st",
+          watermark = "1 minute")
+        .writeStream.format("memory").queryName("mfp_r14")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        mem.addData(probeFps.map(p => (p._1, ts(0), p._2, p._3)).toSeq: _*)
+        q.processAllAvailable()
+        mem.addData((999L, ts(120), false, 424242L)) // watermark push
+        q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table("mfp_r14").collect()
+        .map(r => r.getLong(0) -> (r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+      assert(rows(20L) === (("known_neardup", 10L, 2L)))
+      assert(rows(21L) === (("new", -1L, -1L)))
+      // parity with the batch probe over the same store + fingerprints
+      val batchOut = MediaIndex.mediaProbe(fpsOf(Seq(
+        MediaRecord(20L, imageBytes("png", perturbed)),
+        MediaRecord(21L, imageBytes("png", invHalves)))), Prefix + "_st")
+        .collect().map(r => r.getLong(0) -> (r.getString(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      assert(batchOut(20L) === (rows(20L)._1, rows(20L)._2))
+      assert(batchOut(21L) === (rows(21L)._1, rows(21L)._2))
+    } finally MediaIndex.mediaIndexDrop(spark, Prefix + "_st")
+  }
+
+  test("m10: driver entry is non-empty and re-probe after append marks docs known") {
+    val out = MediaIndex.m10MediaIndexProbe(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val statuses = out.map(_.getString(2)).distinct.sorted
+    assert(statuses.contains("new"))
+  }
+}
