@@ -98,29 +98,32 @@ object PackMaterialize {
         x => x.getField("ids"))).as("enc"))
   }
 
-  /** The materialization over any (doc_id, lang, text) relation and
-    * trained dict — cap-parameterized so the spec can force splits. */
-  private[graft] def materializeOver(docs: DataFrame, dict: DataFrame,
-      cap: Long): DataFrame = {
-    val vocab = vocabIds(dict)
+  /** The window assembly over ANY encoded relation (k1: string,
+    * k2: long, doc_id, enc: array&lt;int&gt;) — the ONE FFD-compose +
+    * materialize definition, shared by c33 (keys = lang, doc-shard) and
+    * p07's release composition (keys = split, release pack-group), so
+    * the loader shape cannot drift between the standalone operator and
+    * the shipped release. Returns one row per window: (k1, k2, kind,
+    * window_id, split_doc_id, split_win_idx, n_docs, n_fill, n_pad,
+    * token_ids, members). */
+  private[graft] def windowsOver(enc0: DataFrame, cap: Long): DataFrame = {
     // consumed three times (lengths→FFD, packed assembly, split slices):
     // materialize the encode once (at 100 TB: a bucketed stage table)
-    val enc = encodeDocs(docs, dict, vocab)
+    val enc = enc0
       .withColumn("n_enc", size(col("enc")).cast("long"))
-      .withColumn("shard", expr(s"doc_id div ${PackBestfit.PackShardSpan}"))
       .localCheckpoint()
     val packed = PackBestfit.ffdPackGroups(
       enc.filter(col("n_enc") <= cap)
-        .select(col("lang"), col("shard"), col("doc_id"), col("n_enc")),
+        .select(col("k1"), col("k2"), col("doc_id"), col("n_enc")),
       cap)
     val memberSchema =
       "array<struct<doc_id: bigint, off: bigint, len: bigint>>"
     val winPacked = packed
       .join(enc.select(col("doc_id"), col("enc")), "doc_id")
-      .groupBy(col("k1").as("lang"), col("k2").as("shard"), col("bin"))
+      .groupBy(col("k1"), col("k2"), col("bin"))
       .agg(sort_array(collect_list(struct(col("pack_pos"), col("doc_id"),
         col("n"), col("enc")))).as("sorted"))
-      .select(col("lang"), col("shard"), lit("packed").as("kind"),
+      .select(col("k1"), col("k2"), lit("packed").as("kind"),
         col("bin").as("window_id"),
         lit(null).cast("long").as("split_doc_id"),
         lit(null).cast("long").as("split_win_idx"),
@@ -137,12 +140,12 @@ object PackMaterialize {
               'doc_id', x.doc_id, 'off', acc.off, 'len', x.n))),
           acc -> acc.ms)""").as("members"))
     val winSplit = enc.filter(col("n_enc") > cap)
-      .select(col("lang"), col("shard"), col("doc_id"), col("n_enc"),
+      .select(col("k1"), col("k2"), col("doc_id"), col("n_enc"),
         posexplode(expr(
           s"""transform(sequence(0, cast((n_enc - 1) div $cap as int)),
              |          w -> slice(enc, w * $cap + 1, $cap))""".stripMargin))
           .as(Seq("win_idx", "ids")))
-      .select(col("lang"), col("shard"), lit("split").as("kind"),
+      .select(col("k1"), col("k2"), lit("split").as("kind"),
         lit(null).cast("long").as("window_id"),
         col("doc_id").as("split_doc_id"),
         col("win_idx").cast("long").as("split_win_idx"),
@@ -156,8 +159,22 @@ object PackMaterialize {
       .withColumn("token_ids",
         concat(col("ids"), array_repeat(lit(PadId),
           (lit(cap) - col("n_fill")).cast("int"))))
-      .select("lang", "shard", "kind", "window_id", "split_doc_id",
+      .select("k1", "k2", "kind", "window_id", "split_doc_id",
         "split_win_idx", "n_docs", "n_fill", "n_pad", "token_ids", "members")
+  }
+
+  /** The materialization over any (doc_id, lang, text) relation and
+    * trained dict — cap-parameterized so the spec can force splits. */
+  private[graft] def materializeOver(docs: DataFrame, dict: DataFrame,
+      cap: Long): DataFrame = {
+    val vocab = vocabIds(dict)
+    val enc0 = encodeDocs(docs, dict, vocab)
+      .select(col("lang").as("k1"),
+        expr(s"doc_id div ${PackBestfit.PackShardSpan}").as("k2"),
+        col("doc_id"), col("enc"))
+    windowsOver(enc0, cap)
+      .withColumnRenamed("k1", "lang")
+      .withColumnRenamed("k2", "shard")
       .orderBy("lang", "shard", "kind", "window_id", "split_doc_id",
         "split_win_idx")
   }

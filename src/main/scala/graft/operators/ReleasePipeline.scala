@@ -235,6 +235,76 @@ object ReleasePipeline {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- p07
+  /** p07: the RELEASE WINDOWS — c33's loader materialization composed
+    * onto the release layout (r14): per released (split, shard,
+    * id-span) group, the FFD-packed context windows with ordered
+    * token-id arrays and member indexes — what a training loader
+    * actually memory-maps for each shipped shard, with the LEAK-FREE
+    * guarantee extended to the window level: a window's members all
+    * carry ONE split by construction (the packing key leads with the
+    * c20 cluster-consistent split), so train and test documents can
+    * never share a context window — the window-granularity form of the
+    * contamination guarantee, which matters because attention mixes
+    * everything inside a window.
+    *
+    * Why re-pack here when the release tail already assigned pack_bin:
+    * stage R2b packs by the WHITESPACE token count because the staged
+    * relation deliberately never carries text (its pack_bin is the
+    * text-free layout audit); a materialized window holds TOKEN IDS,
+    * so the loader layout must pack by the ENCODED length (c33's
+    * argument) — same groups, same shared FFD fold, the honest second
+    * packing. Scale shape = c33's (one encode pass, one span-bounded
+    * fold, each encoding shuffles once) downstream of p01's one corpus
+    * materialization. Rows-only (trained encoder);
+    * Round14ReleaseWindowsSpec pins kept-set equality with p02, the
+    * window-level split isolation, mass conservation, and the c33
+    * invariants on the composed path. */
+  def p07ReleaseWindows(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    val t = Tables(spark, dir)
+    val docsDf = t.spread(t.documents)
+    val (_, dict) = BpeOps.bpeTrainCached(docsDf,
+      dir + "#" + Tables.corpusFingerprint(t.documents),
+      BpeOps.BpeMergesDefault, BpeOps.BpeMinCount)
+    releaseWindowsOver(spark, docsDf, dict)
+  }
+
+  /** The windowed release over any (doc_id, lang, source, text)
+    * relation and trained dict — gate/cap-parameterized like
+    * [[p02Over]] so specs can force packing and splits. */
+  private[graft] def releaseWindowsOver(spark: SparkSession,
+      documents: DataFrame, dict: DataFrame,
+      qualityMin: Double = CuratePipeline.QualityMin,
+      nllMax: Double = CuratePipeline.NllMax,
+      nShards: Int = NShards,
+      cap: Long = PackBestfit.PackCap): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    val parts = CuratePipeline.p01PartsOf(spark, documents, qualityMin, nllMax)
+    val assign = stagedRelation(parts).select(col("doc_id"),
+      expr(DedupOps.splitCaseSql("canonical")).as("split"),
+      ShardExport.shardId(col("fp"), nShards).as("shard_id"))
+    val span = PackBestfit.PackShardSpan
+    val enc0 = PackMaterialize.encodeDocs(
+        documents.select(col("doc_id"), col("lang"), col("text")), dict,
+        PackMaterialize.vocabIds(dict))
+      .join(assign, "doc_id") // inner: windows hold KEPT documents only
+      .select(col("split").as("k1"),
+        (expr(s"doc_id div $span") * nShards + col("shard_id")).as("k2"),
+        col("doc_id"), col("enc"))
+    PackMaterialize.windowsOver(enc0, cap)
+      .select(col("k1").as("split"),
+        (col("k2") % nShards).as("shard_id"),
+        col("kind"),
+        // span-encoded window id, unique within (split, shard) — the
+        // R2b pack_bin encoding
+        (expr(s"k2 div $nShards") * span + col("window_id")).as("window_id"),
+        col("split_doc_id"), col("split_win_idx"), col("n_docs"),
+        col("n_fill"), col("n_pad"), col("token_ids"), col("members"))
+      .orderBy("split", "shard_id", "kind", "window_id", "split_doc_id",
+        "split_win_idx")
+  }
+
   /** The release-tail CTEs + projection over any assembled curation
     * chain — ONE definition p02Sql and p04Sql both instantiate. */
   private def releaseTail(ctes: String): String =

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{BpeOps, PackMaterialize, ReleasePipeline}
+
+/** p07 release windows: the c33 materialization composed onto the
+  * release layout — windows hold exactly the kept corpus, never mix
+  * splits (the window-level leak-free guarantee), conserve token mass
+  * against the per-doc encodings, and keep the c33 invariants (no
+  * overfill, tiling member offsets, exact-boundary splits). */
+class Round14ReleaseWindowsSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+
+  /** Unique-vocab docs (near-dup collapse can drop nothing) across two
+    * id spans; doc 9 long enough that its ENCODING exceeds the spec
+    * cap. */
+  private lazy val fixture = {
+    val span = 100000L
+    def text(i: Int, tag: String, words: Int) =
+      (1 to words).map(j => s"$tag${i}w$j").mkString(" ")
+    ((1 to 8).map(i => (i.toLong, "en", "alpha", text(i, "a", 9))) ++
+      Seq((9L, "en", "alpha", text(9, "big", 40))) ++
+      (1 to 8).map(i => (span + i, "en", "alpha", text(i, "b", 9))))
+      .toDF("doc_id", "lang", "source", "text")
+  }
+  private val Cap = 64L
+
+  private lazy val dict = BpeOps.bpeTrain(fixture, 12, 2L)._2
+  private lazy val out = ReleasePipeline.releaseWindowsOver(spark, fixture,
+    dict, qualityMin = -1.0, nllMax = 1000.0, cap = Cap).collect()
+  private lazy val kept = ReleasePipeline.p02Over(spark, fixture,
+    qualityMin = -1.0, nllMax = 1000.0).collect()
+    .map(r => l(r, "doc_id") -> r.getString(r.fieldIndex("split"))).toMap
+  private lazy val enc = PackMaterialize.encodeDocs(fixture, dict,
+    PackMaterialize.vocabIds(dict)).collect()
+    .map(r => l(r, "doc_id") ->
+      r.getSeq[Int](r.fieldIndex("enc")).toVector).toMap
+
+  private def memberDocs(r: Row): Seq[Long] =
+    r.getSeq[Row](r.fieldIndex("members")).map(_.getLong(0))
+
+  test("p07: windows hold exactly the kept corpus, each doc once") {
+    assert(out.nonEmpty)
+    val windowed = out.flatMap(r =>
+      if (r.getString(2) == "packed") memberDocs(r)
+      else Seq(l(r, "split_doc_id"))).toSeq
+    // split-doc windows repeat their doc; collapse to the doc set and
+    // check packed docs appear exactly once
+    assert(windowed.toSet === kept.keySet)
+    val packedDocs = out.filter(_.getString(2) == "packed").flatMap(memberDocs)
+    assert(packedDocs.distinct.length === packedDocs.length)
+  }
+
+  test("p07: a window never mixes splits or id spans (window-level leak-freedom)") {
+    val span = 100000L
+    for (r <- out if r.getString(2) == "packed") {
+      val docs = memberDocs(r)
+      assert(docs.map(kept).distinct.length === 1,
+        s"window ${l(r, "window_id")} mixes splits")
+      assert(docs.map(kept).head === r.getString(r.fieldIndex("split")))
+      assert(docs.map(_ / span).distinct.length === 1,
+        s"window ${l(r, "window_id")} mixes id spans")
+      assert(l(r, "window_id") / span === docs.head / span,
+        "window_id must carry its span index")
+    }
+  }
+
+  test("p07: token mass is conserved and windows never overfill") {
+    assert(out.map(l(_, "n_fill")).sum ===
+      kept.keySet.toSeq.map(d => enc(d).length.toLong).sum)
+    for (r <- out) {
+      assert(l(r, "n_fill") <= Cap && l(r, "n_fill") + l(r, "n_pad") === Cap)
+      assert(r.getSeq[Int](r.fieldIndex("token_ids")).length === Cap)
+    }
+  }
+
+  test("p07: the oversized doc splits at exact boundaries on the composed path") {
+    val doc9 = enc(9L)
+    assert(doc9.length > Cap, "fixture: doc 9's encoding must exceed the cap")
+    assert(kept.contains(9L), "fixture: doc 9 must survive the gates")
+    val ws = out.filter(r => r.getString(2) == "split" &&
+      l(r, "split_doc_id") == 9L).sortBy(l(_, "split_win_idx"))
+    assert(ws.length === (doc9.length + Cap - 1) / Cap)
+    for ((w, i) <- ws.zipWithIndex) {
+      val lo = i * Cap.toInt
+      val hi = math.min((i + 1) * Cap.toInt, doc9.length)
+      assert(w.getSeq[Int](w.fieldIndex("token_ids"))
+        .take(hi - lo).toVector === doc9.slice(lo, hi))
+    }
+  }
+
+  test("p07: member offsets tile every packed window (round-trip slices)") {
+    for (r <- out if r.getString(2) == "packed") {
+      val ids = r.getSeq[Int](r.fieldIndex("token_ids"))
+      var off = 0L
+      for (m <- r.getSeq[Row](r.fieldIndex("members"))) {
+        assert(m.getLong(1) === off)
+        assert(ids.slice(off.toInt, (off + m.getLong(2)).toInt).toVector ===
+          enc(m.getLong(0)), s"doc ${m.getLong(0)} slice mismatch")
+        off += m.getLong(2)
+      }
+      assert(off === l(r, "n_fill"))
+    }
+  }
+
+  test("p07: driver entry is non-empty, deterministic, and covers p02's kept set") {
+    val a = ReleasePipeline.p07ReleaseWindows(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    val b = ReleasePipeline.p07ReleaseWindows(spark, sfDir).collect()
+    assert(a.toSeq === b.toSeq)
+    val p02Docs = ReleasePipeline.p02Release(spark, sfDir).collect()
+      .map(r => l(r, "doc_id")).toSet
+    val windowed = a.flatMap(r =>
+      if (r.getString(2) == "packed") memberDocs(r)
+      else Seq(l(r, "split_doc_id"))).toSet
+    assert(windowed === p02Docs)
+  }
+}
