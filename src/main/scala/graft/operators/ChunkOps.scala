@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** c36: OVERLAPPING-WINDOW CHUNKING — the retrieval/embedding-side
+  * splitter (the fixed-size sliding chunker every RAG / dense-retrieval
+  * pipeline runs before embedding; the convention LangChain/DPR
+  * popularized): each document yields ceil-strided windows of at most
+  * [[ChunkLen]] tokens starting every [[ChunkStride]] tokens, so
+  * consecutive chunks share exactly ChunkLen − ChunkStride tokens of
+  * context and every token lands in at least one chunk. The packing
+  * family (c05/c26/c33) concatenates documents INTO training windows;
+  * this is the inverse direction — one document fanning out ACROSS
+  * query-sized windows — and the chunk rows are exactly what the
+  * vector stage (s01-s14) embeds and indexes per chunk_id.
+  *
+  * Geometry: n ≤ W → one chunk; else n_chunks = ceil((n−W)/S) + 1 —
+  * the last chunk starts in [n−W, n−W+S−1], so it always reaches the
+  * final token and never starts past the text. All exact integer
+  * arithmetic; the chunk text itself ships as an md5 (t17's
+  * no-text-to-driver discipline — the embedding writer would carry the
+  * tokens scan-side).
+  *
+  * Scale shape: ONE corpus scan, a row-local explode (fan-out ≈ n/S
+  * metadata rows; the token slice rides to its md5 and drops) — zero
+  * shuffles, zero joins, stream-safe as-is
+  * ([[graft.streaming.StreamingJobs.chunkStream]] carries it).
+  * Per-doc lengths bound an INT (a single document beyond 2³¹ tokens
+  * does not exist), so the slice index cast is safe at any corpus size.
+  *
+  * Reference analog: `AnalyzeBatch.groovy:74-107` walks a batch in
+  * fixed-size validation windows over the id range — the same bounded-
+  * window scan, here over token positions. ORACLED hash-exact.
+  * Round14ChunkSpec pins full coverage (non-overlap prefixes
+  * reconstruct the doc), the exact overlap between consecutive starts,
+  * the single-chunk and boundary (n = W, n = W+1) cases, and the
+  * last-chunk reach.
+  */
+object ChunkOps {
+  /** Chunk window (tokens) — the embedding-model context budget. */
+  private[graft] val ChunkLen = 64L
+
+  /** Chunk stride (tokens): 48 → 16 tokens of shared context. */
+  private[graft] val ChunkStride = 48L
+
+  /** The chunker over any (doc_id, text) relation — shared by the
+    * driver entry, the spec fixtures, and the streaming face. */
+  private[graft] def chunkOver(documents: DataFrame, win: Long,
+      stride: Long): DataFrame = {
+    val d = documents
+      .select(col("doc_id"), TextOps.tokensOf(col("text")).as("toks"))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        when(col("n_tokens") <= win, 1L)
+          .otherwise(expr(s"(n_tokens - $win + $stride - 1) div $stride + 1")))
+    d.select(col("doc_id"), col("toks"), col("n_tokens"), col("n_chunks"),
+        explode(expr("sequence(0L, n_chunks - 1L)")).as("chunk_id"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("chunk",
+        expr(s"slice(toks, CAST(start_tok + 1 AS INT), $win)"))
+      .withColumn("n_tok", size(col("chunk")).cast("long"))
+      .withColumn("chunk_hash", md5(concat_ws(" ", col("chunk"))))
+      .withColumn("is_last", col("chunk_id") === col("n_chunks") - 1L)
+      .select("doc_id", "chunk_id", "start_tok", "n_tok", "n_tokens",
+        "n_chunks", "chunk_hash", "is_last")
+  }
+
+  /** c36 driver entry. */
+  def c36ChunkOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    chunkOver(t.spread(t.documents), ChunkLen, ChunkStride)
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val c36Sql: String = {
+    import TextOps.TokensSql
+    val (w, s) = (ChunkLen, ChunkStride)
+    s"""WITH d AS (
+       |  SELECT doc_id, $TokensSql AS toks,
+       |    CAST(len($TokensSql) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), k AS (
+       |  SELECT doc_id, toks, n_tokens,
+       |    CASE WHEN n_tokens <= $w THEN 1
+       |      ELSE (n_tokens - $w + $s - 1) // $s + 1 END AS n_chunks
+       |  FROM d
+       |), ex AS (
+       |  SELECT doc_id, toks, n_tokens, n_chunks,
+       |    unnest(range(n_chunks)) AS chunk_id
+       |  FROM k
+       |)
+       |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       |  CAST(chunk_id * $s AS BIGINT) AS start_tok,
+       |  CAST(len(list_slice(toks, chunk_id * $s + 1, chunk_id * $s + $w))
+       |    AS BIGINT) AS n_tok,
+       |  n_tokens, CAST(n_chunks AS BIGINT) AS n_chunks,
+       |  md5(array_to_string(
+       |    list_slice(toks, chunk_id * $s + 1, chunk_id * $s + $w), ' '))
+       |    AS chunk_hash,
+       |  chunk_id = n_chunks - 1 AS is_last
+       |FROM ex ORDER BY doc_id, chunk_id""".stripMargin
+  }
+}

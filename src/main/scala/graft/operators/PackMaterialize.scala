@@ -190,4 +190,54 @@ object PackMaterialize {
     materializeOver(docsDf.select(col("doc_id"), col("lang"), col("text")),
       dict, PackBestfit.PackCap)
   }
+
+  // ---------------------------------------------------------------- d16
+  /** d16: WINDOW-LEVEL exact dedup — the LAST-LINE dedup a training run
+    * applies AFTER packing (sequence-level dedup: document-level passes
+    * d01-d15 run on raw text, but packing can still mint bit-identical
+    * context windows — duplicated shards, re-released spans, or FFD
+    * groups with identical doc multisets — and identical windows are
+    * exactly the repeated gradient steps sequence-dedup exists to
+    * prevent). Keys each window by the md5 of its comma-joined token
+    * ids (content-exact to 128 bits, the d01 discipline — a 64-bit
+    * xxhash would meet birthday collisions near 4×10¹⁰ windows, which
+    * IS the 100 TB window count), groups on the hash, and marks the
+    * deterministic canonical (lexicographic window identity) plus the
+    * group size.
+    *
+    * Scale shape: the hash computes scan-side where the window row
+    * already lives; ONLY (identity columns, 32-char hash) shuffle to
+    * the group — token ids never leave their partition. One window
+    * partitioned by whash (groups are tiny — almost always singletons),
+    * the c19 writer-task argument does not apply because group fan-in
+    * is bounded by the duplication factor itself. Rows-only (windows
+    * are trained-encoder output); Round14WindowDedupSpec pins the
+    * cross-shard duplicate-group path, singleton identity, exactly one
+    * canonical per group, and driver determinism. */
+  private[graft] def windowDedupOver(windows: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = windows.select(col("lang"), col("shard"), col("kind"),
+      col("window_id"), col("split_doc_id"), col("split_win_idx"),
+      col("n_fill"),
+      md5(concat_ws(",", transform(col("token_ids"),
+        i => i.cast("string")))).as("whash"))
+    val grp = Window.partitionBy(col("whash"))
+    val ord = grp.orderBy(col("lang"), col("shard"), col("kind"),
+      col("window_id"), col("split_doc_id"), col("split_win_idx"))
+    keyed
+      .withColumn("dup_group_size", count(lit(1))
+        .over(grp.rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)).cast("long"))
+      .withColumn("is_canonical", row_number().over(ord) === 1)
+      .select("lang", "shard", "kind", "window_id", "split_doc_id",
+        "split_win_idx", "n_fill", "whash", "dup_group_size", "is_canonical")
+  }
+
+  /** d16 driver entry: dedup over c33's own materialized windows (the
+    * tokenizer artifact is session-cached — trained once across
+    * t10/t11/c33/d16). */
+  def d16WindowDedup(spark: SparkSession, dir: String): DataFrame =
+    windowDedupOver(c33PackMaterialize(spark, dir))
+      .orderBy("lang", "shard", "kind", "window_id", "split_doc_id",
+        "split_win_idx")
 }

@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** c37: SECRET / CREDENTIAL SCAN + REDACT — the leaked-credential scrub
+  * a code/web corpus runs before release (the detect-secrets /
+  * truffleHog pass BigCode's pipeline ships; t17 scrubs PII, this
+  * scrubs the OTHER thing a crawl leaks — keys): regex families with
+  * IDENTICAL Java-regex/RE2 semantics (t17's constraint — classes,
+  * bounded quantifiers, `\b`; patterns run over [[TextOps.normText]],
+  * hence lowercase):
+  *
+  *   - PEM private-key headers  (`-----begin …private key-----`)
+  *   - AWS access key ids       (akia + 16 alnum)
+  *   - GitHub tokens            (ghp_ + 36 alnum)
+  *   - Slack tokens             (xox[abprs]- …)
+  *   - long hex runs (≥ 32)     (api secrets / auth digests)
+  *
+  * plus the published ENTROPY detector (Yelp detect-secrets): every
+  * maximal token-ish run of ≥ [[CandMinLen]] chars from the candidate
+  * alphabet gets its Shannon character entropy; runs at or above
+  * [[EntropyBits]] bits flag as high-entropy secrets the regexes can't
+  * name. The histogram is computed WITHOUT leaving the row: for each of
+  * the [[Alphabet]]'s 41 characters, count = len(c) − len(translate(c,
+  * ch, '')), folded into Σ k·log2 k — a pure codegen expression tree
+  * under a higher-order `transform`, so the whole operator is ONE scan
+  * with zero shuffles and zero joins (stream-safe as-is;
+  * [[graft.streaming.StreamingJobs.secretScanStream]] carries it).
+  * Entropy rounds to 6 on the t07 convention; the ≥-threshold compare
+  * runs on the rounded value (the standing measure-zero grid-edge
+  * class — accepted, not defended).
+  *
+  * Redaction is SEQUENTIAL (pem → aws → github → slack → hex) so
+  * placeholders never re-match a later rule, mirrored in the oracle in
+  * the same order; the redacted text ships as an md5 (no text to the
+  * driver). Entropy candidates are DETECTED but not redacted — the
+  * entropy gate is a reviewer signal (its false-positive class is real
+  * words glued together), the regex families are the scrubber.
+  *
+  * The synthetic driver corpus is secret-free, so the driver entry pins
+  * the zero-match identity path (redacted ≡ norm) exactly like t17;
+  * Round14SecretSpec drives engineered keys/tokens/PEM blocks and
+  * entropy boundaries through this exact function. ORACLED hash-exact.
+  *
+  * Reference analog: `ProcessBatch.groovy:113-156` classifies each row
+  * against a fixed rule list and reports per-rule outcome counts — the
+  * same shape, with content-destructive rules applied in a pinned
+  * order.
+  */
+object SecretScan {
+  // -- regex families (lowercase: patterns run over normText) ----------
+  private[graft] val PemPat = "-----begin [a-z ]{0,30}private key-----"
+  private[graft] val AwsPat = "\\bakia[a-z0-9]{16}\\b"
+  private[graft] val GithubPat = "\\bghp_[a-z0-9]{36}\\b"
+  private[graft] val SlackPat = "\\bxox[abprs]-[a-z0-9-]{10,48}\\b"
+  private[graft] val HexPat = "\\b[0-9a-f]{32,}\\b"
+
+  /** Candidate alphabet for the entropy detector (base64/hex/token
+    * charset, lowercased). Order is the term order of the entropy fold
+    * in BOTH engines. */
+  private[graft] val Alphabet: Seq[Char] =
+    ('a' to 'z') ++ ('0' to '9') ++ Seq('+', '/', '=', '-', '_')
+
+  /** Candidate pattern: maximal runs over [[Alphabet]] — regex class
+    * mirrors the alphabet exactly, so the 41-term histogram is
+    * complete. */
+  private[graft] val CandMinLen = 20
+  private[graft] val CandPat = s"[a-z0-9+/=_-]{$CandMinLen,}"
+
+  /** detect-secrets-style flag threshold (bits). Lowercase charset tops
+    * out at log2(41) ≈ 5.36; ordinary glued English words sit below 3. */
+  private[graft] val EntropyBits = 3.5
+
+  /** Shannon character entropy of a candidate column, rounded to 6 —
+    * the 41-term alphabet fold (k = len − len(translate(c, ch, ''))). */
+  private def entropyOf(c: Column): Column = {
+    val n = length(c).cast("double")
+    val sumKLogK = Alphabet.map { ch =>
+      val k = (length(c) - length(translate(c, ch.toString, ""))).cast("double")
+      when(k > 0.0, k * log(2.0, k)).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    round(log(2.0, n) - sumKLogK / n, 6)
+  }
+
+  /** The scan over any (doc_id, text) relation — shared by the driver
+    * entry, the spec fixtures, and the streaming face. */
+  private[graft] def secretScanOver(documents: DataFrame): DataFrame = {
+    val base = documents
+      .select(col("doc_id"), TextOps.normText(col("text")).as("norm"))
+    val redacted = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("norm"), PemPat, "<pem>"),
+            AwsPat, "<awskey>"),
+          GithubPat, "<ghtoken>"),
+        SlackPat, "<slacktoken>"),
+      HexPat, "<hex>")
+    def cnt(pat: String): Column =
+      size(regexp_extract_all(col("norm"), lit(pat), lit(0))).cast("long")
+    val ents = transform(
+      regexp_extract_all(col("norm"), lit(CandPat), lit(0)),
+      c => entropyOf(c))
+    base
+      .withColumn("n_pem", cnt(PemPat))
+      .withColumn("n_aws", cnt(AwsPat))
+      .withColumn("n_github", cnt(GithubPat))
+      .withColumn("n_slack", cnt(SlackPat))
+      .withColumn("n_hex", cnt(HexPat))
+      .withColumn("secrets_total",
+        col("n_pem") + col("n_aws") + col("n_github") + col("n_slack")
+          + col("n_hex"))
+      .withColumn("ents", ents)
+      .withColumn("n_candidates", size(col("ents")).cast("long"))
+      .withColumn("n_flagged",
+        size(filter(col("ents"), e => e >= EntropyBits)).cast("long"))
+      .withColumn("max_entropy", array_max(col("ents")))
+      .withColumn("redacted_len", length(redacted).cast("long"))
+      .withColumn("redacted_hash", md5(redacted))
+      .select("doc_id", "n_pem", "n_aws", "n_github", "n_slack", "n_hex",
+        "secrets_total", "n_candidates", "n_flagged", "max_entropy",
+        "redacted_len", "redacted_hash")
+  }
+
+  /** c37 driver entry. */
+  def c37SecretScan(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    secretScanOver(t.spread(t.documents)).orderBy("doc_id")
+  }
+
+  val c37Sql: String = {
+    import TextOps.NormSql
+    // the same 41-term entropy fold, generated in the same term order
+    val sumKLogK = Alphabet.map { ch =>
+      val lit = ch match { case '\'' => "''" case c => c.toString }
+      val k = s"(length(c) - length(translate(c, '$lit', '')))"
+      s"CASE WHEN $k > 0 THEN $k * log2(CAST($k AS DOUBLE)) ELSE 0 END"
+    }.mkString("\n      + ")
+    val entExpr =
+      s"""round(log2(CAST(length(c) AS DOUBLE)) - ($sumKLogK) / length(c), 6)"""
+    s"""WITH base AS (
+       |  SELECT doc_id, $NormSql AS norm FROM documents
+       |), red AS (
+       |  SELECT doc_id, norm,
+       |    regexp_replace(
+       |      regexp_replace(
+       |        regexp_replace(
+       |          regexp_replace(
+       |            regexp_replace(norm, '$PemPat', '<pem>', 'g'),
+       |            '$AwsPat', '<awskey>', 'g'),
+       |          '$GithubPat', '<ghtoken>', 'g'),
+       |        '$SlackPat', '<slacktoken>', 'g'),
+       |      '$HexPat', '<hex>', 'g') AS redacted,
+       |    list_transform(regexp_extract_all(norm, '$CandPat', 0),
+       |      c -> $entExpr) AS ents
+       |  FROM base
+       |)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(norm, '$PemPat', 0)) AS BIGINT) AS n_pem,
+       |  CAST(len(regexp_extract_all(norm, '$AwsPat', 0)) AS BIGINT) AS n_aws,
+       |  CAST(len(regexp_extract_all(norm, '$GithubPat', 0)) AS BIGINT) AS n_github,
+       |  CAST(len(regexp_extract_all(norm, '$SlackPat', 0)) AS BIGINT) AS n_slack,
+       |  CAST(len(regexp_extract_all(norm, '$HexPat', 0)) AS BIGINT) AS n_hex,
+       |  CAST(len(regexp_extract_all(norm, '$PemPat', 0))
+       |    + len(regexp_extract_all(norm, '$AwsPat', 0))
+       |    + len(regexp_extract_all(norm, '$GithubPat', 0))
+       |    + len(regexp_extract_all(norm, '$SlackPat', 0))
+       |    + len(regexp_extract_all(norm, '$HexPat', 0)) AS BIGINT)
+       |    AS secrets_total,
+       |  CAST(len(ents) AS BIGINT) AS n_candidates,
+       |  CAST(len(list_filter(ents, e -> e >= $EntropyBits)) AS BIGINT)
+       |    AS n_flagged,
+       |  list_max(ents) AS max_entropy,
+       |  CAST(length(redacted) AS BIGINT) AS redacted_len,
+       |  md5(redacted) AS redacted_hash
+       |FROM red ORDER BY doc_id""".stripMargin
+  }
+}

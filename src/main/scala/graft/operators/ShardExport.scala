@@ -175,4 +175,119 @@ object ShardExport {
        |  CAST(min(fp) AS BIGINT) AS fp_min,
        |  CAST(max(fp) AS BIGINT) AS fp_max
        |FROM sharded GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
+  // ---------------------------------------------------------------- p08
+  /** p08's shard count: finer than [[NShards]] so a small revision
+    * leaves most shards UNTOUCHED at driver scale — the property a
+    * delta report exists to show. */
+  private[graft] val DeltaShards = 64
+
+  /** Driver-corpus generation boundary: gen1 is the earlier crawl
+    * (missing every AddMod-th doc), gen2 drops every RemoveMod-th doc
+    * (takedowns) and re-extracts every ReviseMod-th one (text gains a
+    * ' rev2' suffix → new fingerprint, usually a new shard). ~5% of
+    * docs touched — enough to flag a minority of the 64 shards. */
+  private val AddMod = 53L
+  private val RemoveMod = 59L
+  private val ReviseMod = 61L
+
+  /** p08: RELEASE DELTA — the manifest DIFF between two corpus
+    * generations, the dataset-versioning audit a shipped corpus runs on
+    * every revision (the Dolma/RedPajama "vN → vN.1: which shards
+    * changed?" question): c28's per-shard manifests of both generations
+    * full-outer-joined on shard_id; a shard reports `unchanged` only
+    * when EVERY manifest field matches (both checksums included — a
+    * same-count content edit still flags), `changed` otherwise, and
+    * `added`/`removed` when it exists in only one generation. Doc and
+    * token deltas ride per shard; their sums are the corpus-level diff.
+    *
+    * The at-scale shape is the point: c28 manifests are STORED
+    * artifacts, so diffing two 100 TB generations reads 2·nShards rows
+    * and touches NEITHER corpus — this entry recomputes both manifests
+    * from the driver parquet only because the synthetic store has no
+    * standing artifact to read. Content-keyed sharding means a revised
+    * document usually MOVES shards (its fingerprint changes), so a
+    * one-doc edit flags at most two shards — its old and new home —
+    * which is exactly the blast radius the report quantifies.
+    *
+    * All engine-identical integer/checksum arithmetic — ORACLED
+    * hash-exact (the SQL re-derives both generations through c19's own
+    * base/shard CTE text). Round14ReleaseDeltaSpec pins the identity
+    * diff (all unchanged), single-doc add/remove/revise blast radii,
+    * delta-sum conservation, and that the driver corpus leaves a
+    * majority of shards untouched. */
+  private[graft] def deltaOver(gen1: DataFrame, gen2: DataFrame,
+      nShards: Int): DataFrame = {
+    val cols = Seq("n_docs", "n_tokens", "fp_xor", "fp_modsum", "fp_min", "fp_max")
+    val m1 = cols.foldLeft(manifestOver(shardRowLocal(gen1, nShards))) {
+      (df, c) => df.withColumnRenamed(c, s"g1_$c") }
+    val m2 = cols.foldLeft(manifestOver(shardRowLocal(gen2, nShards))) {
+      (df, c) => df.withColumnRenamed(c, s"g2_$c") }
+    m1.join(m2, Seq("shard_id"), "full_outer")
+      .withColumn("status",
+        when(col("g1_n_docs").isNull, lit("added"))
+          .when(col("g2_n_docs").isNull, lit("removed"))
+          .when(cols.map(c => col(s"g1_$c") === col(s"g2_$c")).reduce(_ && _),
+            lit("unchanged"))
+          .otherwise(lit("changed")))
+      .withColumn("d_docs",
+        coalesce(col("g2_n_docs"), lit(0L)) - coalesce(col("g1_n_docs"), lit(0L)))
+      .withColumn("d_tokens",
+        coalesce(col("g2_n_tokens"), lit(0L)) - coalesce(col("g1_n_tokens"), lit(0L)))
+      .select("shard_id", "status", "g1_n_docs", "g2_n_docs", "d_docs",
+        "g1_n_tokens", "g2_n_tokens", "d_tokens", "g1_fp_xor", "g2_fp_xor")
+  }
+
+  /** p08 driver entry. */
+  def p08ReleaseDelta(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    val docsDf = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val gen1 = docsDf.filter(pmod(col("doc_id"), lit(AddMod)) =!= 0L)
+    val gen2 = docsDf.filter(pmod(col("doc_id"), lit(RemoveMod)) =!= 1L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(ReviseMod)) === 2L,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    deltaOver(gen1, gen2, DeltaShards).orderBy("shard_id")
+  }
+
+  val p08Sql: String = {
+    import TextOps.{polyFpSql, NormSql}
+    def manifest(src: String, name: String): String =
+      s"""${name}_base AS (
+         |  SELECT doc_id, ${polyFpSql(NormSql)} AS fp,
+         |    CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS n_tokens
+         |  FROM $src
+         |), ${name}_m AS (
+         |  SELECT fp % $DeltaShards AS shard_id,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(bit_xor(fp) AS BIGINT) AS fp_xor,
+         |    CAST(sum(fp % $ManifestMod) AS BIGINT) AS fp_modsum,
+         |    CAST(min(fp) AS BIGINT) AS fp_min,
+         |    CAST(max(fp) AS BIGINT) AS fp_max
+         |  FROM ${name}_base GROUP BY 1
+         |)""".stripMargin
+    s"""WITH g1 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % $AddMod != 0
+       |), g2 AS (
+       |  SELECT doc_id, CASE WHEN doc_id % $ReviseMod = 2
+       |      THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % $RemoveMod != 1
+       |), ${manifest("g1", "m1")}, ${manifest("g2", "m2")}
+       |SELECT coalesce(m1_m.shard_id, m2_m.shard_id) AS shard_id,
+       |  CASE WHEN m1_m.shard_id IS NULL THEN 'added'
+       |    WHEN m2_m.shard_id IS NULL THEN 'removed'
+       |    WHEN m1_m.n_docs = m2_m.n_docs AND m1_m.n_tokens = m2_m.n_tokens
+       |      AND m1_m.fp_xor = m2_m.fp_xor AND m1_m.fp_modsum = m2_m.fp_modsum
+       |      AND m1_m.fp_min = m2_m.fp_min AND m1_m.fp_max = m2_m.fp_max
+       |      THEN 'unchanged'
+       |    ELSE 'changed' END AS status,
+       |  m1_m.n_docs AS g1_n_docs, m2_m.n_docs AS g2_n_docs,
+       |  coalesce(m2_m.n_docs, 0) - coalesce(m1_m.n_docs, 0) AS d_docs,
+       |  m1_m.n_tokens AS g1_n_tokens, m2_m.n_tokens AS g2_n_tokens,
+       |  coalesce(m2_m.n_tokens, 0) - coalesce(m1_m.n_tokens, 0) AS d_tokens,
+       |  m1_m.fp_xor AS g1_fp_xor, m2_m.fp_xor AS g2_fp_xor
+       |FROM m1_m FULL JOIN m2_m ON m1_m.shard_id = m2_m.shard_id
+       |ORDER BY shard_id""".stripMargin
+  }
 }

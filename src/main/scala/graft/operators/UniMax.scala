@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** c35: UNIMAX budget allocation (Chung et al., "UniMax: Fairer and More
+  * Effective Language Sampling for Large-Scale Multilingual Pretraining",
+  * ICLR 2023, Algorithm 1) — the published successor to temperature
+  * sampling (c29/c30): given a token budget B and a per-source epoch cap
+  * E, spread the budget UNIFORMLY over sources, capping each source at
+  * E epochs of its own mass; the budget a capped source cannot absorb
+  * waterfills into the remaining ones. Unlike temperature mixes this
+  * never oversamples a small source past E epochs (the memorization
+  * guard the paper measures) and never needs an α grid search.
+  *
+  * Closed form instead of the paper's sequential loop: with sources
+  * sorted ascending by mass (ties broken by name), caps g_i = c_i·E and
+  * prefix P_i = Σ_{j≤i} g_j, source i is capped iff
+  *
+  *   g_i·(n−i) + P_i < B
+  *
+  * — the condition is MONOTONE along the sort (allocating a cap below
+  * the uniform share only raises the share of everyone after it, and
+  * the sort guarantees later caps are no smaller), so the capped set is
+  * a prefix and one window pass + one scalar aggregate replace the
+  * loop: K = |capped|, every uncapped source gets u = (B − P_K) div
+  * (n − K). u ≤ g_i for every uncapped i (the first uncapped row's
+  * failed condition rearranges to exactly g ≥ u), so no source ever
+  * exceeds its cap; Σ alloc + leftover = B with leftover < n − K (the
+  * integer-floor remainder, reported in band). The paper's loop is
+  * real-valued; run on integers it would drizzle that remainder over
+  * whichever sources its iteration happens to visit last — this form
+  * instead gives every uncapped source the IDENTICAL floor share and
+  * reports the remainder, so the allocation is order-free (§6's
+  * determinism discipline; the spec pins the sequential replay to
+  * within the sub-token rounding).
+  *
+  * §6 integer discipline: every quantity is exact 64-bit arithmetic
+  * (B = total·num div den, caps/prefixes are products of token counts,
+  * u a single integer div); the one ppm ratio (epochs_ppm = alloc·1e6
+  * div src_tokens) runs DECIMAL(38)-widened like c16's rate products —
+  * alloc reaches corpus scale, so alloc·1e6 would wrap a long at ~9×10¹²
+  * tokens, silently in Spark where DuckDB errors. ORACLED hash-exact
+  * (identical window SQL, ROWS frame pinned on both engines).
+  *
+  * Scale shape: one corpus scan (map-side-combined per-source token
+  * sum); the waterfill window runs over the |sources| relation — tens
+  * to thousands of rows at any corpus size, NOT the corpus — and the
+  * two scalar relations broadcast back. Text never shuffles. The
+  * output composes into c17's epoch machinery unchanged: full epochs =
+  * alloc div src_tokens, fractional remainder via the hash-rate gate
+  * (epochs_ppm is exactly that rate on the 1e6 grid).
+  *
+  * Reference analog: `BatchIgniter.groovy:55-66` caps dispatch at a
+  * fixed top-N per cycle — the same bounded-share-per-cycle discipline,
+  * here applied to a token budget. Round14UniMaxSpec pins equality with
+  * a sequential plain-Scala replay of the paper's Algorithm 1, the
+  * cap/uniform split, budget conservation, the all-capped endpoint, and
+  * that the driver constants fire BOTH branches at every sf.
+  */
+object UniMax {
+  /** Driver budget: 2× the corpus' tokens (a multi-epoch training ask). */
+  private val UniMaxNum = 2L
+  private val UniMaxDen = 1L
+
+  /** Driver epoch cap: 2 — below B/(n·c_min) for the near-uniform driver
+    * sources, so sources below the mean mass cap (≈ half of them) and
+    * the rest waterfill: both branches fire at every sf. */
+  private val EpochCap = 2L
+
+  /** The waterfill over any (source, text) relation — shared by the
+    * driver entry and the spec's engineered corpora. */
+  private[graft] def unimaxOver(documents: DataFrame, budgetNum: Long,
+      budgetDen: Long, epochCap: Long): DataFrame = {
+    val d = documents.select(col("source"),
+      size(TextOps.tokensOf(col("text"))).cast("long").as("n_tokens"))
+    val bySource = d.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("src_tokens"))
+      .withColumn("cap_tokens", col("src_tokens") * epochCap)
+    val totals = d.agg(sum(col("n_tokens")).as("total_tokens"))
+    val nSrc = bySource.agg(count(lit(1)).as("n_src"))
+    // the window ranks the |sources| relation, not the corpus
+    val w = Window.orderBy(col("src_tokens"), col("source"))
+    val ranked = bySource.crossJoin(broadcast(totals)).crossJoin(broadcast(nSrc))
+      .withColumn("budget", expr(s"total_tokens * $budgetNum div $budgetDen"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("prefix_cap", sum(col("cap_tokens"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("capped",
+        col("cap_tokens") * (col("n_src") - col("rk")) + col("prefix_cap")
+          < col("budget"))
+    val sel = ranked.agg(
+      sum(when(col("capped"), 1L).otherwise(0L)).as("n_capped"),
+      coalesce(sum(when(col("capped"), col("cap_tokens"))), lit(0L))
+        .as("capped_mass"))
+    ranked.crossJoin(broadcast(sel))
+      // uncapped rows imply n_capped < n_src, so the div is never 0-guarded
+      .withColumn("alloc_tokens", when(col("capped"), col("cap_tokens"))
+        .otherwise(expr("(budget - capped_mass) div (n_src - n_capped)")))
+      .withColumn("epochs_ppm",
+        expr("CAST(alloc_tokens AS DECIMAL(38,0)) * 1000000 div src_tokens")
+          .cast("long"))
+      .withColumn("leftover_tokens",
+        expr("""budget - capped_mass - CASE WHEN n_capped = n_src THEN 0
+                ELSE ((budget - capped_mass) div (n_src - n_capped))
+                  * (n_src - n_capped) END""").cast("long"))
+      .select("source", "src_tokens", "cap_tokens", "rk", "capped",
+        "alloc_tokens", "epochs_ppm", "budget", "leftover_tokens")
+  }
+
+  /** c35 driver entry. */
+  def c35Unimax(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    unimaxOver(t.spread(t.documents), UniMaxNum, UniMaxDen, EpochCap)
+      .orderBy("source")
+  }
+
+  val c35Sql: String = {
+    import TextOps.TokensSql
+    s"""WITH d AS (
+       |  SELECT source, CAST(len($TokensSql) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), by_source AS (
+       |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+       |  FROM d GROUP BY source
+       |), tot AS (
+       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM d
+       |), nsrc AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_src FROM by_source
+       |), ranked AS (
+       |  SELECT source, src_tokens, src_tokens * $EpochCap AS cap_tokens,
+       |    total_tokens * $UniMaxNum // $UniMaxDen AS budget, n_src,
+       |    CAST(row_number() OVER (ORDER BY src_tokens, source) AS BIGINT) AS rk,
+       |    CAST(sum(src_tokens * $EpochCap) OVER (ORDER BY src_tokens, source
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS prefix_cap
+       |  FROM by_source, tot, nsrc
+       |), flagged AS (
+       |  SELECT *, cap_tokens * (n_src - rk) + prefix_cap < budget AS capped
+       |  FROM ranked
+       |), sel AS (
+       |  SELECT CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_capped,
+       |    CAST(coalesce(sum(CASE WHEN capped THEN cap_tokens END), 0)
+       |      AS BIGINT) AS capped_mass
+       |  FROM flagged
+       |), alloc AS (
+       |  SELECT source, src_tokens, cap_tokens, rk, capped, budget,
+       |    n_src, n_capped, capped_mass,
+       |    CASE WHEN capped THEN cap_tokens
+       |      ELSE (budget - capped_mass) // (n_src - n_capped) END
+       |      AS alloc_tokens
+       |  FROM flagged, sel
+       |)
+       |SELECT source, src_tokens, cap_tokens, rk, capped, alloc_tokens,
+       |  CAST(CAST(alloc_tokens AS HUGEINT) * 1000000 // src_tokens AS BIGINT)
+       |    AS epochs_ppm,
+       |  budget,
+       |  CAST(budget - capped_mass - CASE WHEN n_capped = n_src THEN 0
+       |    ELSE ((budget - capped_mass) // (n_src - n_capped))
+       |      * (n_src - n_capped) END AS BIGINT) AS leftover_tokens
+       |FROM alloc ORDER BY source""".stripMargin
+  }
+}

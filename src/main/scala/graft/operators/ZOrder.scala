@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** c38: Z-ORDER LAYOUT AUDIT — the multi-dimensional clustering planner
+  * (Morton '66 interleaved ordering, the Delta/Iceberg `OPTIMIZE
+  * ZORDER BY` layout): bucket two key dimensions onto a 2^[[ZBits]]
+  * grid, interleave their bits into the Morton code z, split the table
+  * into [[NFiles]] equal-z-range files, and report per file the
+  * BUCKET-SPACE BOUNDING BOX — exactly the min/max statistics a
+  * parquet footer would carry — beside the same boxes under the
+  * single-dimension (time-sorted) layout. Two probe ranges, one per
+  * dimension, mark which files a scan planner could SKIP under each
+  * layout: the time-sorted layout prunes time probes perfectly and
+  * part probes not at all (every time-file spans the full part range);
+  * the z-layout prunes BOTH to ~√-balanced file subsets — the reason a
+  * 100 TB table whose query mix filters on more than one column gets
+  * z-ordered before anything else is tuned.
+  *
+  * This is the PLANNER: it measures, from one scan + a 2·NFiles-row
+  * aggregate, what rewriting the table would buy — you run it before
+  * paying the 100 TB rewrite. The rewrite itself is the z-sorted write
+  * the spec performs physically (repartitionByRange on z +
+  * sortWithinPartitions, [[graft.sources.GraftIO]]'s writer discipline)
+  * and then audits by reading the actual per-file min/max back via
+  * input_file_name — the footer-stats pruning claim, pinned on disk.
+  *
+  * All exact integer arithmetic: bucket = (v − min)·2^bits div
+  * (max − min + 1) (degenerate single-value dims collapse to bucket 0),
+  * z = Σ_i bit_i(xb)·2^{2i} + bit_i(yb)·2^{2i+1} via div/mod — no
+  * engine-specific bit ops, so the oracle replays it verbatim. ORACLED
+  * hash-exact. Scale shape: one scan, one broadcast 4-scalar bounds
+  * relation, one map-side-combined 2·NFiles-row aggregate; nothing
+  * wide ever shuffles. Round14ZOrderSpec pins the Morton curve
+  * (analytic z values), both layouts' pruning counts on a uniform
+  * grid, the degenerate-dimension path, and the physical footer-stats
+  * audit.
+  *
+  * Reference analog: `GetBatches.groovy:146-195` pages batches by the
+  * one inceptionTime dimension — the layout this generalizes when a
+  * second filter column joins the access path.
+  */
+object ZOrder {
+  /** Bits per dimension: 8 → a 256×256 Morton grid, 16-bit z. */
+  private[graft] val ZBits = 8
+
+  /** Files per layout (production: the table's target file count;
+    * the audit's aggregate stays 2·NFiles rows either way). */
+  private[graft] val NFiles = 64L
+
+  /** Probe range in bucket space (one z-file wide per dimension). */
+  private[graft] val ProbeLo = 120L
+  private[graft] val ProbeHi = 127L
+
+  /** (v − min)·2^bits div (max − min + 1) — grid bucket on exact
+    * integers; a single-valued dimension collapses to bucket 0. */
+  private def bucketExpr(v: String, lo: String, hi: String): String =
+    s"(($v - $lo) * ${1L << ZBits}) div ($hi - $lo + 1)"
+
+  /** Morton interleave of two [[ZBits]]-bit buckets via div/mod only —
+    * the identical text runs in the oracle. */
+  private[graft] def zExpr(xb: String, yb: String): String =
+    (0 until ZBits).map { i =>
+      val p = 1L << i
+      s"(($xb div $p) % 2) * ${1L << (2 * i)} + (($yb div $p) % 2) * ${1L << (2 * i + 1)}"
+    }.mkString(" + ")
+
+  /** The audit over any relation carrying integer columns `x` and `y` —
+    * shared by the driver entry and the spec's engineered grids. */
+  private[graft] def zorderAuditOver(rows: DataFrame): DataFrame = {
+    val bounds = rows.agg(min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+      min(col("y")).as("y_lo"), max(col("y")).as("y_hi"))
+    val zSpan = (1L << (2 * ZBits)) / NFiles   // z values per z-file
+    val xSpan = (1L << ZBits) / NFiles max 1L  // buckets per linear file
+    val based = rows.crossJoin(broadcast(bounds))
+      .withColumn("xb", expr(bucketExpr("x", "x_lo", "x_hi")))
+      .withColumn("yb", expr(bucketExpr("y", "y_lo", "y_hi")))
+      .withColumn("z", expr(zExpr("xb", "yb")))
+    val tagged = based
+      .select(lit("zorder").as("layout"), expr(s"z div $zSpan").as("file_id"),
+        col("xb"), col("yb"))
+      .union(based.select(lit("linear").as("layout"),
+        expr(s"xb div $xSpan").as("file_id"), col("xb"), col("yb")))
+    tagged.groupBy(col("layout"), col("file_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("xb")).as("xb_min"), max(col("xb")).as("xb_max"),
+        min(col("yb")).as("yb_min"), max(col("yb")).as("yb_max"))
+      .withColumn("hit_x",
+        col("xb_min") <= ProbeHi && col("xb_max") >= ProbeLo)
+      .withColumn("hit_y",
+        col("yb_min") <= ProbeHi && col("yb_max") >= ProbeLo)
+      .select("layout", "file_id", "n_rows", "xb_min", "xb_max",
+        "yb_min", "yb_max", "hit_x", "hit_y")
+  }
+
+  /** Row-local bucket + Morton code + z-file assignment under FROZEN
+    * dimension bounds — the streaming router's half of the layout
+    * ([[graft.streaming.StreamingJobs.zorderRouteStream]]): batch owns
+    * the bounds (the quantizer-artifact discipline), ingest routes each
+    * row to the z-file a compaction would place it in. Out-of-range
+    * values CLAMP to the edge buckets — drift past the frozen bounds
+    * degrades edge-file locality rather than minting unplanned files
+    * (re-freeze bounds at the next compaction). */
+  private[graft] def zorderRouteCols(rows: DataFrame, xLo: Long, xHi: Long,
+      yLo: Long, yHi: Long): DataFrame = {
+    val zSpan = (1L << (2 * ZBits)) / NFiles
+    val maxB = (1L << ZBits) - 1
+    def clamped(v: String, lo: Long, hi: Long): String =
+      s"greatest(0L, least(${maxB}L, ${bucketExpr(v, lo.toString, hi.toString)}))"
+    rows
+      .withColumn("xb", expr(clamped("x", xLo, xHi)))
+      .withColumn("yb", expr(clamped("y", yLo, yHi)))
+      .withColumn("z", expr(zExpr("xb", "yb")))
+      .withColumn("file_id", expr(s"z div $zSpan"))
+  }
+
+  /** c38 driver entry: lineitem over (ship epoch-day, part key) — the
+    * time×entity pair whose combined access path motivates z-ordering. */
+  def c38ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val li = t.spread(t.lineitem).select(
+      datediff(to_date(col("l_shipdate")), lit("1970-01-01")).cast("long").as("x"),
+      col("l_partkey").cast("long").as("y"))
+    zorderAuditOver(li).orderBy("layout", "file_id")
+  }
+
+  val c38Sql: String = {
+    val zSpan = (1L << (2 * ZBits)) / NFiles
+    val xSpan = math.max((1L << ZBits) / NFiles, 1L)
+    s"""WITH rows0 AS (
+       |  SELECT CAST(date_diff('day', DATE '1970-01-01',
+       |      CAST(l_shipdate AS DATE)) AS BIGINT) AS x,
+       |    CAST(l_partkey AS BIGINT) AS y
+       |  FROM lineitem
+       |), bounds AS (
+       |  SELECT min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi
+       |  FROM rows0
+       |), based AS (
+       |  SELECT ${bucketExpr("x", "x_lo", "x_hi").replace(" div ", " // ")} AS xb,
+       |    ${bucketExpr("y", "y_lo", "y_hi").replace(" div ", " // ")} AS yb
+       |  FROM rows0, bounds
+       |), zed AS (
+       |  SELECT xb, yb, ${zExpr("xb", "yb").replace(" div ", " // ")} AS z
+       |  FROM based
+       |), tagged AS (
+       |  SELECT 'zorder' AS layout, z // $zSpan AS file_id, xb, yb FROM zed
+       |  UNION ALL
+       |  SELECT 'linear' AS layout, xb // $xSpan AS file_id, xb, yb FROM zed
+       |)
+       |SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(min(xb) AS BIGINT) AS xb_min, CAST(max(xb) AS BIGINT) AS xb_max,
+       |  CAST(min(yb) AS BIGINT) AS yb_min, CAST(max(yb) AS BIGINT) AS yb_max,
+       |  min(xb) <= $ProbeHi AND max(xb) >= $ProbeLo AS hit_x,
+       |  min(yb) <= $ProbeHi AND max(yb) >= $ProbeLo AS hit_y
+       |FROM tagged GROUP BY layout, file_id
+       |ORDER BY layout, file_id""".stripMargin
+  }
+}

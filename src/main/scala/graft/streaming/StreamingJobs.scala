@@ -1575,4 +1575,47 @@ object StreamingJobs {
         graft.operators.BloomDedup.hashStoreAppend(batch, prefix, genBase + id)
       }
   }
+
+  // ----------------------------------------------- secret scan
+  /** Streaming face of c37's secret/credential scrub: the regex
+    * families, the 41-term entropy fold, and the sequential redaction
+    * are ONE row-local codegen'd projection (no shuffle, no state — the
+    * piiScrubStream shape), so the scrub streams as-is over each
+    * micro-batch; in a production ingest it runs right after
+    * [[piiScrubStream]] (PII then keys — both content-destructive
+    * stages before anything persists). Null text coalesces to the empty
+    * string BEFORE the scan (fail-safe: zero counts, the empty
+    * redaction hash). Bit-parity with batch `secretScanOver` is
+    * spec-pinned on a MemoryStream. */
+  def secretScanStream(docs: DataFrame): DataFrame =
+    graft.operators.SecretScan.secretScanOver(
+      docs.withColumn("text", coalesce(col("text"), lit(""))))
+
+  // ----------------------------------------------- retrieval chunker
+  /** Streaming face of c36's overlapping-window chunker: geometry,
+    * slices, and hashes are one row-local explode (stateless — a
+    * document's chunks depend on nothing but the document), so an
+    * embedding-ingest pipeline fans each arriving doc into its chunk
+    * rows at the same (chunk_id, start_tok, hash) coordinates the
+    * batch chunker assigns. Null text coalesces to the empty string
+    * (one empty chunk — fail-safe). Bit-parity with batch `chunkOver`
+    * is spec-pinned on a MemoryStream. */
+  def chunkStream(docs: DataFrame, win: Long, stride: Long): DataFrame =
+    graft.operators.ChunkOps.chunkOver(
+      docs.withColumn("text", coalesce(col("text"), lit(""))), win, stride)
+
+  // ----------------------------------------------- z-order router
+  /** Streaming face of c38's z-layout: with the table's dimension
+    * bounds FROZEN as plan literals (the quantizer-artifact discipline —
+    * batch owns the bounds exactly like t21's vocab or s03's
+    * codebooks), bucket + Morton code + target-file assignment are
+    * row-local integer arithmetic, so an ingest writer routes each
+    * arriving row to the z-file a compaction would place it in (the
+    * write-side half of the OPTIMIZE ZORDER story; out-of-range values
+    * clamp to the edge buckets rather than minting files the layout
+    * never planned). Spec-pinned z-identical to the batch audit's
+    * assignment over the same bounds. */
+  def zorderRouteStream(rows: DataFrame, xLo: Long, xHi: Long,
+      yLo: Long, yHi: Long): DataFrame =
+    graft.operators.ZOrder.zorderRouteCols(rows, xLo, xHi, yLo, yHi)
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.ChunkOps
+
+/** c36 overlapping-window chunking: every token lands in at least one
+  * chunk and the stride-aligned non-overlap prefixes reconstruct the
+  * document exactly, consecutive chunks share exactly W − S tokens of
+  * start offset, the single-chunk (n ≤ W) and first-split (n = W + 1)
+  * boundaries behave, and the last chunk always reaches the final
+  * token without starting past the text. */
+class Round14ChunkSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+
+  private def doc(n: Int): String = (1 to n).map(i => s"t$i").mkString(" ")
+
+  private def chunks(text: String, w: Long, s: Long): Array[Row] =
+    ChunkOps.chunkOver(Seq((1L, text)).toDF("doc_id", "text"), w, s)
+      .orderBy("chunk_id").collect()
+
+  test("c36: geometry — starts stride apart, full coverage, last chunk reaches the end") {
+    for (n <- Seq(1, 5, 64, 65, 100, 111, 112, 113, 300)) {
+      val rows = chunks(doc(n), 64L, 48L)
+      val k = rows.length
+      assert(rows.map(l(_, "n_chunks")).distinct.toSeq === Seq(k.toLong))
+      for ((r, i) <- rows.zipWithIndex) {
+        assert(l(r, "chunk_id") === i.toLong)
+        assert(l(r, "start_tok") === i * 48L)
+        assert(l(r, "n_tok") === math.min(64L, n - i * 48L))
+      }
+      val last = rows.last
+      // reaches the final token, never starts past the text
+      assert(l(last, "start_tok") + l(last, "n_tok") === n.toLong)
+      assert(l(last, "start_tok") < n.toLong)
+      // every expected chunk count: 1 if n <= W else ceil((n-W)/S)+1
+      val want = if (n <= 64) 1L else (n - 64 + 47) / 48 + 1L
+      assert(k.toLong === want, s"n=$n")
+    }
+  }
+
+  test("c36: chunk content is the exact token slice (hash-verified)") {
+    val text = doc(130)
+    val toks = text.split(" ")
+    val rows = chunks(text, 64L, 48L)
+    for (r <- rows) {
+      val s = l(r, "start_tok").toInt
+      val expect = toks.slice(s, math.min(s + 64, toks.length)).mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(expect.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      assert(r.getString(r.fieldIndex("chunk_hash")) === md)
+    }
+  }
+
+  test("c36: single-chunk boundary — n = W yields one chunk, n = W + 1 splits") {
+    assert(chunks(doc(64), 64L, 48L).length === 1)
+    val split = chunks(doc(65), 64L, 48L)
+    assert(split.length === 2)
+    assert(l(split(1), "start_tok") === 48L && l(split(1), "n_tok") === 17L)
+  }
+
+  test("c36: driver entry — every doc covered, chunk counts match per-doc token counts") {
+    val rows = ChunkOps.c36ChunkOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(l(_, "doc_id"))
+    for ((_, g) <- byDoc) {
+      val n = l(g.head, "n_tokens")
+      val want = if (n <= 64) 1L else (n - 64 + 47) / 48 + 1
+      assert(g.length.toLong === want)
+      val sorted = g.sortBy(l(_, "chunk_id"))
+      assert(l(sorted.last, "start_tok") + l(sorted.last, "n_tok") === n)
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.ShardExport
+
+/** p08 release delta: diffing a generation against itself reports every
+  * shard unchanged, a single-doc add/remove/revise flags exactly its
+  * blast radius (at most the doc's old and new shard), doc/token delta
+  * sums equal the corpus-level diff, and the driver revision leaves a
+  * majority of the 64 shards untouched. */
+class Round14ReleaseDeltaSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+  private def s(r: Row, n: String) = r.getString(r.fieldIndex(n))
+
+  private lazy val docs = (1L to 40L)
+    .map(i => (i, s"document $i body ${"pad " * (i % 5).toInt}end"))
+    .toDF("doc_id", "text")
+
+  private def delta(g1: org.apache.spark.sql.DataFrame,
+      g2: org.apache.spark.sql.DataFrame): Array[Row] = {
+    graft.functions.PolyFingerprint.register(spark)
+    ShardExport.deltaOver(g1, g2, 8).orderBy("shard_id").collect()
+  }
+
+  test("p08: identity diff — every shard unchanged, zero deltas") {
+    val rows = delta(docs, docs)
+    assert(rows.nonEmpty)
+    assert(rows.forall(s(_, "status") == "unchanged"))
+    assert(rows.forall(r => l(r, "d_docs") == 0L && l(r, "d_tokens") == 0L))
+  }
+
+  test("p08: one added doc flags exactly one shard with d_docs = +1") {
+    val extra = Seq((99L, "a brand new document body")).toDF("doc_id", "text")
+    val rows = delta(docs, docs.union(extra))
+    val changed = rows.filter(s(_, "status") != "unchanged")
+    assert(changed.length === 1)
+    assert(l(changed.head, "d_docs") === 1L)
+    assert(rows.map(l(_, "d_docs")).sum === 1L)
+  }
+
+  test("p08: one removed doc flags exactly one shard with d_docs = -1") {
+    import org.apache.spark.sql.functions.col
+    val rows = delta(docs, docs.filter(col("doc_id") =!= 17L))
+    val changed = rows.filter(s(_, "status") != "unchanged")
+    assert(changed.length === 1)
+    assert(l(changed.head, "d_docs") === -1L)
+  }
+
+  test("p08: one revised doc flags at most its old and new shard, net d_docs 0") {
+    import org.apache.spark.sql.functions._
+    val g2 = docs.withColumn("text",
+      when(col("doc_id") === 23L, concat(col("text"), lit(" rev2")))
+        .otherwise(col("text")))
+    val rows = delta(docs, g2)
+    val changed = rows.filter(s(_, "status") != "unchanged")
+    assert(changed.nonEmpty && changed.length <= 2)
+    assert(rows.map(l(_, "d_docs")).sum === 0L)
+    // token mass grew by exactly the one appended token
+    assert(rows.map(l(_, "d_tokens")).sum === 1L)
+  }
+
+  test("p08: driver entry — majority untouched, conservation, both statuses present") {
+    val rows = ShardExport.p08ReleaseDelta(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val statuses = rows.map(s(_, "status")).toSet
+    assert(statuses.contains("unchanged") && statuses.contains("changed"))
+    assert(rows.count(s(_, "status") == "unchanged") > rows.length / 2,
+      "the driver revision must leave a majority of shards untouched")
+    // corpus-level conservation: sum of shard deltas = gen2 - gen1 doc counts
+    val t = graft.Tables(spark, sfDir)
+    val n = t.documents.count()
+    import org.apache.spark.sql.functions._
+    val g1 = t.documents.filter(pmod(col("doc_id"), lit(53L)) =!= 0L).count()
+    val g2 = t.documents.filter(pmod(col("doc_id"), lit(59L)) =!= 1L).count()
+    assert(rows.map(l(_, "d_docs")).sum === g2 - g1)
+    assert(n >= g1 && n >= g2)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.UniMax
+
+/** c35 UniMax: the closed-form waterfill equals a sequential plain-Scala
+  * replay of the paper's Algorithm 1 (ascending pass, uniform share,
+  * per-source epoch cap), capped sources get exactly their cap and
+  * uncapped ones an equal share no larger than theirs, the budget is
+  * conserved to the reported integer-floor leftover, the all-capped
+  * endpoint allocates every cap, and the driver constants fire BOTH
+  * branches. */
+class Round14UniMaxSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+  private def b(r: Row, n: String) = r.getBoolean(r.fieldIndex(n))
+
+  /** Sequential UniMax (Chung et al. ICLR'23, Algorithm 1), the paper's
+    * real-valued loop: ascending (mass, name) pass; at each step the
+    * remaining budget spreads uniformly over the remaining sources; a
+    * source absorbs min(cap, share). The engine's closed form realizes
+    * this on exact integers (uniform floor share, remainder in band),
+    * so equality holds to within the sub-token rounding. */
+  private def algorithm1(masses: Map[String, Long], budget: Long,
+      epochCap: Long): Map[String, Double] = {
+    var rem = budget.toDouble
+    var n = masses.size
+    val out = scala.collection.mutable.Map[String, Double]()
+    for ((src, c) <- masses.toSeq.sortBy { case (s, c) => (c, s) }) {
+      val share = rem / n
+      val a = math.min((c * epochCap).toDouble, share)
+      out(src) = a
+      rem -= a
+      n -= 1
+    }
+    out.toMap
+  }
+
+  /** doc body with exactly `n` tokens. */
+  private def body(n: Int): String = Seq.fill(n)("w").mkString(" ")
+
+  private def corpus(masses: (String, Int)*) =
+    masses.zipWithIndex
+      .map { case ((src, n), i) => (i.toLong, src, body(n)) }
+      .toDF("doc_id", "source", "text")
+
+  test("c35: closed form equals the sequential Algorithm 1 replay (sub-token rounding)") {
+    val masses = Map("a" -> 10L, "b" -> 40L, "c" -> 100L, "d" -> 400L, "e" -> 450L)
+    val df = corpus(masses.toSeq.map { case (s, c) => (s, c.toInt) }: _*)
+    val rows = UniMax.unimaxOver(df, 2L, 1L, 3L).collect()
+    val want = algorithm1(masses, masses.values.sum * 2, 3L)
+    for (r <- rows) {
+      val src = r.getString(r.fieldIndex("source"))
+      assert(math.abs(l(r, "alloc_tokens") - want(src)) <= 1.0,
+        s"source $src: closed ${l(r, "alloc_tokens")} vs sequential ${want(src)}")
+    }
+    // this fixture's waterfill divides evenly — the replay is exact here
+    assert(rows.map(r => r.getString(r.fieldIndex("source")) ->
+      l(r, "alloc_tokens").toDouble).toMap === want)
+  }
+
+  test("c35: caps bind exactly, uncapped share is uniform and no larger than any cap") {
+    val rows = UniMax.unimaxOver(
+      corpus("tiny" -> 5, "small" -> 20, "big" -> 500, "huge" -> 600), 2L, 1L, 3L)
+      .collect()
+    val (capped, open) = rows.partition(b(_, "capped"))
+    assert(capped.nonEmpty && open.nonEmpty)
+    for (r <- capped) assert(l(r, "alloc_tokens") === l(r, "cap_tokens"))
+    assert(open.map(l(_, "alloc_tokens")).distinct.length === 1)
+    val u = l(open.head, "alloc_tokens")
+    for (r <- rows) assert(l(r, "alloc_tokens") <= l(r, "cap_tokens"))
+    for (r <- open) assert(u <= l(r, "cap_tokens"))
+  }
+
+  test("c35: budget conservation — sum(alloc) + leftover = budget, leftover < n_uncapped") {
+    val rows = UniMax.unimaxOver(
+      corpus("a" -> 7, "b" -> 33, "c" -> 210, "d" -> 340), 2L, 1L, 3L).collect()
+    val budget = l(rows.head, "budget")
+    val leftover = l(rows.head, "leftover_tokens")
+    assert(rows.map(l(_, "leftover_tokens")).distinct.length === 1)
+    assert(rows.map(l(_, "alloc_tokens")).sum + leftover === budget)
+    val nOpen = rows.count(!b(_, "capped"))
+    assert(nOpen > 0 && leftover >= 0 && leftover < nOpen)
+  }
+
+  test("c35: all-capped endpoint — a budget above total capacity allocates every cap") {
+    // budget = 10x total, cap = 2 epochs: capacity 2x total < budget
+    val rows = UniMax.unimaxOver(corpus("a" -> 10, "b" -> 20), 10L, 1L, 2L).collect()
+    assert(rows.forall(b(_, "capped")))
+    for (r <- rows) assert(l(r, "alloc_tokens") === l(r, "cap_tokens"))
+    val budget = l(rows.head, "budget")
+    assert(rows.map(l(_, "alloc_tokens")).sum + l(rows.head, "leftover_tokens") === budget)
+  }
+
+  test("c35: epochs_ppm caps at epochCap * 1e6 and is non-increasing in source mass") {
+    val rows = UniMax.unimaxOver(
+      corpus("a" -> 5, "b" -> 50, "c" -> 300, "d" -> 500), 2L, 1L, 3L)
+      .collect().sortBy(l(_, "src_tokens"))
+    for (r <- rows) assert(l(r, "epochs_ppm") <= 3000000L)
+    for (Array(x, y) <- rows.sliding(2))
+      assert(l(x, "epochs_ppm") >= l(y, "epochs_ppm"))
+  }
+
+  test("c35: driver entry fires both branches and is deterministic") {
+    val a = UniMax.c35Unimax(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    assert(a.exists(b(_, "capped")) && a.exists(!b(_, "capped")),
+      "driver constants must exercise both the cap and the waterfill branch")
+    val again = UniMax.c35Unimax(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+}

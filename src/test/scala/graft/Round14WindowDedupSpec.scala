@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{BpeOps, PackMaterialize}
+
+/** d16 window-level exact dedup: two packing groups holding identical
+  * doc multisets mint bit-identical windows that group together with
+  * the lexicographically-first as canonical, unique windows stay
+  * singletons, every group has exactly one canonical, and the driver
+  * entry is deterministic. */
+class Round14WindowDedupSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+  private def bo(r: Row, n: String) = r.getBoolean(r.fieldIndex(n))
+
+  /** Same five texts in two doc-id spans (= two FFD shards), plus one
+    * unique doc: the shards pack identically, so every shard-0 window
+    * has a shard-1 twin; the unique doc's windows stay singletons. */
+  private def whash(r: Row): String = r.getString(r.fieldIndex("whash"))
+
+  /** Same five texts in two doc-id spans (= two FFD shards; span =
+    * c26's 100k PackShardSpan), plus one unique doc: the shards pack
+    * identically, so every shard-0 window has a shard-1 twin; the
+    * unique doc's windows stay singletons. */
+  private lazy val out: Array[Row] = {
+    val span = 100000L
+    val texts = (1 to 5).map(i => s"alpha beta gamma delta doc body $i")
+    val docs = (
+      texts.zipWithIndex.map { case (t, i) => (i + 1L, "en", t) } ++
+      texts.zipWithIndex.map { case (t, i) => (span + i + 1L, "en", t) } :+
+      (2L * span + 1L, "en", "a wholly unique document body nothing shares")
+    ).toDF("doc_id", "lang", "text")
+    val dict = BpeOps.bpeTrain(docs, 30, 1L)._2
+    PackMaterialize.windowDedupOver(
+      PackMaterialize.materializeOver(docs, dict, 16L)).collect()
+  }
+
+  test("d16: twin shards group, unique windows stay singletons") {
+    assert(out.nonEmpty)
+    val dup = out.filter(l(_, "dup_group_size") >= 2L)
+    assert(dup.nonEmpty, "twin shards must mint duplicate windows")
+    for ((_, g) <- dup.groupBy(whash))
+      assert(g.map(l(_, "shard")).toSet.size >= 2,
+        "every duplicated group must span both twin shards")
+    val uniqueShard = out.filter(l(_, "shard") === 2L)
+    assert(uniqueShard.nonEmpty)
+    assert(uniqueShard.forall(l(_, "dup_group_size") == 1L))
+    assert(uniqueShard.forall(bo(_, "is_canonical")))
+  }
+
+  test("d16: exactly one canonical per hash group, canonical is lexicographically first") {
+    for ((_, g) <- out.groupBy(whash)) {
+      assert(g.count(bo(_, "is_canonical")) === 1)
+      val canon = g.filter(bo(_, "is_canonical")).head
+      assert(l(canon, "shard") === g.map(l(_, "shard")).min)
+    }
+  }
+
+  test("d16: group sizes are consistent within a group") {
+    for ((_, g) <- out.groupBy(whash))
+      assert(g.map(l(_, "dup_group_size")).distinct.toSeq === Seq(g.length.toLong))
+  }
+
+  test("d16: driver entry — one canonical per group, deterministic") {
+    val a = PackMaterialize.d16WindowDedup(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    for ((_, g) <- a.groupBy(whash)) {
+      assert(g.count(bo(_, "is_canonical")) === 1)
+      assert(g.map(l(_, "dup_group_size")).distinct.toSeq === Seq(g.length.toLong))
+    }
+    val b = PackMaterialize.d16WindowDedup(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+}

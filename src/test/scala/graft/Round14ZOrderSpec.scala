@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.ZOrder
+
+/** c38 z-order layout audit: the div/mod interleave IS the Morton code
+  * (plain-Scala bit mirror over the full low grid), on a uniform
+  * 256×256 grid the z layout prunes BOTH probe dimensions to 8/64
+  * files where the linear layout prunes one to 2 and the other not at
+  * all (exact counts pinned), a degenerate constant dimension
+  * collapses to bucket 0, and the claim holds PHYSICALLY: z-sorted
+  * parquet files carry footer-prunable y bounds that the time-sorted
+  * write does not. */
+class Round14ZOrderSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+  private def b(r: Row, n: String) = r.getBoolean(r.fieldIndex(n))
+
+  private def morton(x: Long, y: Long): Long =
+    (0 until 8).map(i =>
+      (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+
+  private lazy val grid =
+    (for (x <- 0L until 256L; y <- 0L until 256L) yield (x, y))
+      .toDF("x", "y")
+
+  test("c38: the div/mod interleave is the Morton code") {
+    val rows = (for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y))
+      .toDF("xb", "yb")
+      .withColumn("z", expr(ZOrder.zExpr("xb", "yb")))
+      .collect()
+    for (r <- rows)
+      assert(l(r, "z") === morton(l(r, "xb"), l(r, "yb")))
+  }
+
+  test("c38: uniform grid — z prunes both dimensions, linear only its own") {
+    val audit = ZOrder.zorderAuditOver(grid).collect()
+    val zf = audit.filter(_.getString(0) == "zorder")
+    val lf = audit.filter(_.getString(0) == "linear")
+    assert(zf.length === 64 && lf.length === 64)
+    // every z file holds exactly 1024 rows on the uniform grid
+    assert(zf.forall(l(_, "n_rows") == 1024L))
+    // z: probe ranges constrain the top 3 bits of each dimension -> 8 files
+    assert(zf.count(b(_, "hit_x")) === 8)
+    assert(zf.count(b(_, "hit_y")) === 8)
+    // linear-by-x: perfect on x (2 of 64), blind on y (all 64)
+    assert(lf.count(b(_, "hit_x")) === 2)
+    assert(lf.count(b(_, "hit_y")) === 64)
+  }
+
+  test("c38: a constant dimension collapses to bucket 0 and still lays out") {
+    val rows = ZOrder.zorderAuditOver(
+      (0L until 256L).map(x => (x, 7L)).toDF("x", "y")).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(l(r, "yb_min") === 0L && l(r, "yb_max") === 0L)
+      assert(!b(r, "hit_y"))
+    }
+  }
+
+  test("c38: physical footer-stats audit — z-sorted files prune the y probe on disk") {
+    val tmp = java.nio.file.Files.createTempDirectory("zorder").toString
+    val based = grid
+      .withColumn("z", expr(ZOrder.zExpr("x", "y")))
+    based.repartitionByRange(8, col("z")).sortWithinPartitions("z")
+      .write.mode("overwrite").parquet(s"$tmp/zsorted")
+    based.repartitionByRange(8, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(s"$tmp/xsorted")
+    def filesHitY(path: String): (Long, Long) = {
+      val stats = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col("y")).as("ylo"), max(col("y")).as("yhi"))
+        .collect()
+      (stats.length.toLong,
+        stats.count(r => l(r, "ylo") <= 127L && l(r, "yhi") >= 120L).toLong)
+    }
+    val (zn, zhit) = filesHitY(s"$tmp/zsorted")
+    val (xn, xhit) = filesHitY(s"$tmp/xsorted")
+    assert(zn === 8L && xn === 8L)
+    // the time-sorted layout is blind to y: every file intersects the probe
+    assert(xhit === 8L)
+    // the z-sorted layout confines the probe to a strict subset of files
+    assert(zhit < xhit && zhit <= 4L)
+  }
+
+  test("c38: driver entry — layouts partition the same rows, deterministic") {
+    val a = ZOrder.c38ZorderLayout(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    val byLayout = a.groupBy(_.getString(0))
+    assert(byLayout.keySet === Set("zorder", "linear"))
+    assert(byLayout("zorder").map(l(_, "n_rows")).sum ===
+      byLayout("linear").map(l(_, "n_rows")).sum)
+    val again = ZOrder.c38ZorderLayout(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+}
