@@ -552,6 +552,63 @@ object MultimodalOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- m11
+  /** m11: MEDIA CANONICALIZE — d06's cluster-and-pick-canonical step for
+    * the PERCEPTUAL modalities (the near-dup matrix's missing last
+    * stage: m06/m07/m09 emit PAIRS, but a release needs one keeper per
+    * duplicate CLUSTER, and a re-encoded clip that matches one copy via
+    * its image hash and another via its audio envelope must land in ONE
+    * cluster): the three modality pair engines run over the SAME media
+    * relation, their confirmed pairs union under a modality tag, and
+    * [[Components.canonicalize]]'s large/small-star contraction (d06's
+    * machinery verbatim) assigns every clustered doc its min-id
+    * canonical. Output is doc-level: (doc_id, canonical, cluster_size,
+    * modalities) — `modalities` the sorted distinct set that connected
+    * THIS doc (the audit column: a cluster merged across modalities
+    * shows different sets on different members).
+    *
+    * Scale shape: fingerprints and pairs are the three engines'
+    * (payloads never shuffle; pigeonhole-blocked, bucket-capped);
+    * the union is pair metadata; contraction is O(log² n) rounds over
+    * (long, long) edges. *rows-only* (decode-derived fps);
+    * Round14MediaCanonSpec pins the cross-modal merge case (two docs
+    * joined only transitively through different modalities cluster
+    * together), per-doc modality sets, canonical = min id, and
+    * cluster-size consistency. */
+  private[graft] def mediaCanonicalizeOver(
+      media: Dataset[MediaRecord]): DataFrame = {
+    val tagged = Seq(
+      ("image", mediaNearDupOver(media)),
+      ("audio", AudioOps.audioNearDupOver(media)),
+      ("video", VideoOps.videoNearDupOver(media)))
+      .map { case (m, df) => df.filter(col("is_near_dup"))
+        .select(col("doc_a"), col("doc_b"), lit(m).as("modality")) }
+      .reduce(_ unionByName _)
+    val edges = tagged.select("doc_a", "doc_b").distinct()
+    val cc = Components.connectedComponents(edges, "doc_a", "doc_b")
+    val clusters = cc.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(col("node")).as("canonical"))
+    val perDoc = tagged
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("node"),
+        col("modality"))
+      .groupBy(col("node"))
+      .agg(concat_ws(",", array_sort(collect_set(col("modality"))))
+        .as("modalities"))
+    cc.join(clusters, "component").join(perDoc, "node")
+      .select(col("node").as("doc_id"), col("canonical"),
+        col("cluster_size"), col("modalities"))
+  }
+
+  /** m11 driver entry (the m06/m07/m09 shared payload convention). */
+  def m11MediaCanonicalize(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val media = Tables(spark, dir).documents
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRecord]
+    mediaCanonicalizeOver(media).orderBy("doc_id")
+  }
+
   val m02Sql: String =
     """WITH base AS (
       |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS len FROM documents

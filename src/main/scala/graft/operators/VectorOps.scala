@@ -1523,4 +1523,125 @@ object VectorOps {
        |  centroid_sim < label_avg_sim - 0.1 AS is_outlier
        |FROM sims JOIN label_avg USING (label)
        |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- s15
+  /** s15 pool: exact top-[[MmrPoolK]] relevance candidates feed the
+    * greedy; production uses an index rung (s03/s07) as the pool
+    * source — the rerank is pool-agnostic. */
+  private[graft] val MmrPoolK = 20
+  private[graft] val MmrK = 5
+
+  /** λ in tenths (0.7): mmr = (7·rel − 3·maxSim)/10, kept in exact
+    * deci-micro integers so the argmax never compares floats. */
+  private[graft] val MmrLambdaTenths = 7L
+
+  /** Pure greedy MMR over one query's candidate pool (Carbonell &
+    * Goldstein SIGIR'98): candidates (vec_id, relMicro, emb) →
+    * (rank, vec_id, relMicro, mmrDeciMicro). Round r picks the
+    * unselected argmax of λ·rel − (1−λ)·max_{s∈selected} cos(·, s)
+    * — the first round has no diversity term (maxSim 0), so it is the
+    * pure relevance argmax. Candidate-candidate cosines quantize to
+    * the 1e-6 grid at birth (the d05 discipline) and the λ mix runs in
+    * tenths, so every comparison is an exact integer on a 1e-7 grid;
+    * ties (score desc, vec_id asc). Pure function — spec-testable
+    * without Spark (the ffdAssign pattern). */
+  private[graft] def mmrSelect(cands: Array[(Long, Long, Array[Float])],
+      k: Int, lambdaTenths: Long): Array[(Long, Long, Long, Long)] = {
+    val n = cands.length
+    val norms = cands.map(c =>
+      math.sqrt(c._3.foldLeft(0.0)((a, x) => a + x.toDouble * x)))
+    def cosMicro(i: Int, j: Int): Long = {
+      val a = cands(i)._3; val b = cands(j)._3
+      var s = 0.0; var d = 0
+      while (d < a.length && d < b.length) { s += a(d).toDouble * b(d); d += 1 }
+      if (norms(i) == 0.0 || norms(j) == 0.0) 0L
+      else math.round(s / (norms(i) * norms(j)) * 1e6)
+    }
+    val picked = Array.fill(n)(false)
+    val maxSim = Array.fill(n)(0L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+    var rank = 1L
+    while (rank <= k && out.length < n) {
+      var best = -1
+      var bestScore = Long.MinValue
+      for (i <- 0 until n if !picked(i)) {
+        val score = lambdaTenths * cands(i)._2 -
+          (10L - lambdaTenths) * maxSim(i)
+        if (score > bestScore ||
+            (score == bestScore && best >= 0 && cands(i)._1 < cands(best)._1)) {
+          best = i; bestScore = score
+        }
+      }
+      picked(best) = true
+      out += ((rank, cands(best)._1, cands(best)._2, bestScore))
+      for (i <- 0 until n if !picked(i))
+        maxSim(i) = math.max(maxSim(i), cosMicro(i, best))
+      rank += 1L
+    }
+    out.toArray
+  }
+
+  /** The distributed rerank over any scored pool (query_id, vec_id,
+    * rel_micro, embedding) — one typed group fold per query (the
+    * ffdPackGroups exception: greedy MMR is genuine per-group
+    * imperative logic, quadratic in the POOL, never the corpus; each
+    * group ships ≤ poolK candidate vectors). */
+  private[graft] def mmrOver(pool: DataFrame, k: Int,
+      lambdaTenths: Long): DataFrame = {
+    import pool.sparkSession.implicits._
+    pool.select(col("query_id"), col("vec_id"), col("rel_micro"),
+        col("embedding"))
+      .as[(Long, Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (q: Long, it: Iterator[(Long, Long, Long, Array[Float])]) =>
+        val cands = it.map(r => (r._2, r._3, r._4)).toArray
+          .sortBy(c => (-c._2, c._1))
+        mmrSelect(cands, k, lambdaTenths).iterator.map {
+          case (rank, id, relMicro, mmrDeciMicro) =>
+            (q, rank, id, relMicro / 1e6, mmrDeciMicro / 1e7)
+        }
+      }
+      .toDF("query_id", "rank", "vec_id", "rel", "mmr_score")
+  }
+
+  /** s15: MMR-DIVERSIFIED top-k (Carbonell & Goldstein SIGIR'98 maximal
+    * marginal relevance) — the rerank a retrieval stack runs when the
+    * raw top-k is redundant (near-duplicate passages crowding out
+    * coverage; the query-side complement of d05/d09's corpus-side
+    * dedup): exact top-[[MmrPoolK]] relevance pool per query (s01's
+    * broadcast-scored, TopKByScore-bounded path), then the greedy
+    * λ-tradeoff selection of [[MmrK]].
+    *
+    * Scale shape: scoring and the pool cut are s01's (bounded map-side
+    * k-slot buffers, no windows); the greedy runs per query over ≤
+    * poolK candidates — the group shuffle ships poolK (id, micro-rel,
+    * vector) rows per query, quadratic ONLY in poolK (400 dot products
+    * a query at 20), never in the corpus. Exact integer scoring grid
+    * end to end (micro cosines, λ in tenths → deci-micro compares).
+    * *rows-only* (float-vector folds, like s01's siblings);
+    * Round14MmrSpec pins the λ=1 pure-relevance endpoint ≡ top-k by
+    * (rel, vec_id), the engineered duplicate-demotion case (top-2-by-
+    * relevance twins → MMR keeps one, promotes the distinct runner-up),
+    * first-pick = relevance argmax, the λ·rel rank-1 identity, and
+    * partitioning invariance. */
+  def s15AnnMmr(spark: SparkSession, dir: String): DataFrame = {
+    FloatVecDot.register(spark)
+    graft.functions.TopKByScore.register(spark)
+    val v = Tables(spark, dir).embeddings
+      .withColumn("nrm", norm(col("embedding")))
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = q.join(v, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round(cosineWithNorms(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")), 6).as("cos_sim"))
+    val pool = topKPerGroup(scored, MmrPoolK, col("cos_sim"), col("vec_id"),
+        lit(0L), col("query_id"))
+      .select(col("query_id"), col("id").as("vec_id"),
+        round(col("score") * 1e6).cast("long").as("rel_micro"))
+      .join(v.select(col("vec_id"), col("embedding")), "vec_id")
+    mmrOver(pool, MmrK, MmrLambdaTenths)
+      .orderBy("query_id", "rank")
+  }
 }

@@ -11,14 +11,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftIO {
 
-  /** Partitioned, sorted, size-controlled parquet write.
+  /** Partitioned, sorted, size-controlled columnar write.
     *
     * @param partitionCols  directory-partition columns (prunable)
-    * @param sortCols       sort within files → parquet zone-map skipping
-    * @param filesPerPartition  target parquet files per partition value
+    * @param sortCols       sort within files → zone-map/stripe skipping
+    * @param filesPerPartition  target files per partition value
+    * @param format  "parquet" (default) or "orc" — the two columnar
+    *   interchange formats Spark ships natively; both carry the
+    *   per-file/stripe min-max statistics the sort exists to sharpen,
+    *   and both push predicates into the scan (`PushedFilters` for
+    *   parquet, `searchArgument` for ORC — SourcesSpec pins ORC
+    *   round-trip equality, partition pruning, and pushdown on the
+    *   same fixture the parquet path uses)
     */
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
-      sortCols: Seq[String] = Nil, filesPerPartition: Int = 1): Unit = {
+      sortCols: Seq[String] = Nil, filesPerPartition: Int = 1,
+      format: String = "parquet"): Unit = {
     import org.apache.spark.sql.functions._
     // Hash-repartitioning on the partition columns alone would put each
     // partition value into ONE task (one file, serial write); a salt column
@@ -36,7 +44,8 @@ object GraftIO {
     sorted.drop("__file_salt").write
       .partitionBy(partitionCols: _*)
       .mode("overwrite")
-      .parquet(path)
+      .format(format)
+      .save(path)
   }
 
   /** Bucketed, sorted managed-table write: the co-located-join layout.

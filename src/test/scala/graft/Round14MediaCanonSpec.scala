@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.MultimodalOps
+import graft.operators.MultimodalOps.MediaRecord
+
+/** m11 media canonicalize: a real-image edge (PNG/BMP re-encode of one
+  * raster) and stub audio/video edges (byte-length twin) merge into ONE
+  * cluster across engines, per-doc modality sets record which engine
+  * connected each member, the canonical is the min id, and unclustered
+  * docs stay out. */
+class Round14MediaCanonSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+  private def s(r: Row, n: String) = r.getString(r.fieldIndex(n))
+
+  /** 8x8 raster, left half dark / right half bright (non-uniform hash). */
+  private def raster(): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(8, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val v = if (x < 4) 30 else 220
+      img.setRGB(x, y, new java.awt.Color(v, v, v).getRGB)
+    }
+    img
+  }
+
+  private def encode(fmt: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(raster(), fmt, bos)
+    bos.toByteArray
+  }
+
+  private lazy val out: Array[Row] = {
+    val png = encode("png")             // A: real image tier
+    val bmp = encode("bmp")             // B: same raster, other container
+    val twin = Array.fill(bmp.length)('x'.toByte)  // C: stub-length twin of B
+    val lone = Array.fill(bmp.length + 7)('y'.toByte) // D: unique length
+    val media = Seq(
+      MediaRecord(1L, png), MediaRecord(2L, bmp),
+      MediaRecord(3L, twin), MediaRecord(4L, lone)).toDS()
+    MultimodalOps.mediaCanonicalizeOver(media).collect()
+  }
+
+  test("m11: the PNG/BMP image edge and the stub-length edges merge into one cluster") {
+    assert(out.map(l(_, "doc_id")).sorted.toSeq === Seq(1L, 2L, 3L))
+    assert(out.forall(l(_, "canonical") == 1L))
+    assert(out.forall(l(_, "cluster_size") == 3L))
+  }
+
+  test("m11: per-doc modality sets record which engine connected each member") {
+    val m = out.map(r => l(r, "doc_id") -> s(r, "modalities")).toMap
+    assert(m(1L) === "image")
+    assert(m(2L) === "audio,image,video")
+    assert(m(3L) === "audio,video")
+  }
+
+  test("m11: an unpaired payload never enters the output") {
+    assert(!out.exists(l(_, "doc_id") == 4L))
+  }
+
+  test("m11: driver entry — clusters only, min-id canonicals, deterministic") {
+    val a = MultimodalOps.m11MediaCanonicalize(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    val byCluster = a.groupBy(l(_, "canonical"))
+    for ((canon, g) <- byCluster) {
+      assert(g.length >= 2, "every emitted cluster has at least two members")
+      assert(g.map(l(_, "doc_id")).min === canon)
+      assert(g.map(l(_, "cluster_size")).distinct.toSeq === Seq(g.length.toLong))
+    }
+    val b = MultimodalOps.m11MediaCanonicalize(spark, sfDir).collect()
+    assert(a.map(_.toSeq).sortBy(_.toString).toSeq ===
+      b.map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+/** s15 MMR rerank: λ=1 collapses to pure relevance top-k, the
+  * engineered twin case demotes the duplicate in favor of the distinct
+  * runner-up, the first pick is always the relevance argmax with
+  * mmr = λ·rel, and the fold is invariant to input partitioning. */
+class Round14MmrSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+  private def d(r: Row, n: String) = r.getDouble(r.fieldIndex(n))
+
+  /** One query pool as the (query_id, vec_id, rel_micro, embedding)
+    * relation mmrOver expects. */
+  private def pool(rows: (Long, Double, Array[Float])*) =
+    rows.map { case (id, rel, emb) =>
+      (1L, id, math.round(rel * 1e6), emb) }
+      .toDF("query_id", "vec_id", "rel_micro", "embedding")
+
+  // q = (1,0,0); A and A2 are identical twins near q; B is equally far
+  // from q on the other side (cos(A,B) ~ 0.62 < the twin's 1.0)
+  private val embA = Array(0.9f, 0.435f, 0f)
+  private val embB = Array(0.9f, -0.435f, 0f)
+  private val relA = 0.9004
+  private lazy val twins = pool(
+    (1L, relA, embA), (2L, relA, embA), (3L, relA, embB))
+
+  test("s15: lambda = 1 is pure relevance top-k in (rel desc, vec_id) order") {
+    val rows = VectorOps.mmrOver(twins, 3, 10L)
+      .orderBy("rank").collect()
+    assert(rows.map(l(_, "vec_id")).toSeq === Seq(1L, 2L, 3L))
+    for (r <- rows) assert(math.abs(d(r, "mmr_score") - d(r, "rel")) < 1e-9)
+  }
+
+  test("s15: the duplicate is demoted — MMR picks the distinct runner-up second") {
+    val rows = VectorOps.mmrOver(twins, 3, 7L)
+      .orderBy("rank").collect()
+    // pure relevance would give 1, 2, 3; MMR gives 1, 3, 2
+    assert(rows.map(l(_, "vec_id")).toSeq === Seq(1L, 3L, 2L))
+    // rank 1 is the relevance argmax with mmr = 0.7 * rel exactly
+    assert(d(rows(0), "rel") === relA)
+    assert(math.abs(d(rows(0), "mmr_score") - 0.7 * relA) < 1e-9)
+    // the demoted twin's score carries the full similarity penalty
+    assert(d(rows(2), "mmr_score") < d(rows(1), "mmr_score"))
+  }
+
+  test("s15: scores never exceed lambda * rel, ranks are 1..k") {
+    val rows = VectorOps.mmrOver(twins, 3, 7L).collect()
+    assert(rows.map(l(_, "rank")).sorted.toSeq === Seq(1L, 2L, 3L))
+    for (r <- rows)
+      assert(d(r, "mmr_score") <= 0.7 * d(r, "rel") + 1e-9)
+  }
+
+  test("s15: invariant under input partitioning") {
+    val a = VectorOps.mmrOver(twins, 3, 7L).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    val b = VectorOps.mmrOver(twins.repartition(5), 3, 7L).collect()
+      .map(_.toSeq).sortBy(_.toString)
+    assert(a.toSeq === b.toSeq)
+  }
+
+  test("s15: driver entry — k per query, rank-1 equals s01's top hit, deterministic") {
+    val a = VectorOps.s15AnnMmr(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    val byQ = a.groupBy(l(_, "query_id"))
+    for ((_, g) <- byQ)
+      assert(g.map(l(_, "rank")).sorted.toSeq === (1L to g.length).toSeq)
+    // the first MMR pick is the pure-relevance argmax = s01's rank 1
+    val s01 = VectorOps.s01AnnBruteforce(spark, sfDir).collect()
+      .filter(l(_, "rank") == 1L)
+      .map(r => l(r, "query_id") -> l(r, "vec_id")).toMap
+    for ((q, g) <- byQ) {
+      val first = g.find(l(_, "rank") == 1L).get
+      assert(l(first, "vec_id") === s01(q), s"query $q")
+    }
+    val b = VectorOps.s15AnnMmr(spark, sfDir).collect()
+    assert(a.map(_.toSeq).sortBy(_.toString).toSeq ===
+      b.map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+}

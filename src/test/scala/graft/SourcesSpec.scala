@@ -145,6 +145,30 @@ class SourcesSpec extends GraftSpecBase {
     assert(new File(out).listFiles().exists(_.getName.startsWith("lang=")))
   }
 
+  test("writePartitioned orc: round-trip equality, pruning, predicate pushdown") {
+    import graft.sources.GraftIO
+    import org.apache.spark.sql.functions.col
+    val out = tmpDir().getAbsolutePath + "/docs_orc"
+    val docs = Tables(spark, sfDir).documents
+    GraftIO.writePartitioned(docs, out, partitionCols = Seq("lang"),
+      sortCols = Seq("doc_id"), format = "orc")
+    val back = spark.read.orc(out)
+    // round-trip equality with the source (same rows, same values)
+    val a = docs.orderBy("doc_id").collect().map(r =>
+      (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("text"))))
+    val b = back.orderBy("doc_id").collect().map(r =>
+      (r.getLong(r.fieldIndex("doc_id")), r.getString(r.fieldIndex("text"))))
+    assert(a.toSeq === b.toSeq)
+    // partition pruning + predicate pushdown visible in the ORC scan
+    val scan = back.filter(col("lang") === "en" && col("doc_id") < 100L)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,100)]")
+      || plan.contains("LessThan(doc_id,100)"))
+    assert(scan.count() > 0)
+    assert(new File(out).listFiles().exists(_.getName.startsWith("lang=")))
+  }
+
   test("multimodal decode plumbing: partition-parallel stub decode") {
     import spark.implicits._
     import graft.operators.MultimodalOps
