@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** c39: QUALITY-CURRICULUM ORDER (Bengio et al. ICML'09 curriculum
+  * learning, realized as the data-ORDER schedule a loader consumes —
+  * the "clean warmup epoch" production pretraining runs): every
+  * document is banded by the corpus' own quality tertiles (t02's exact
+  * micro-integer composite — ONE definition, the difficulty signal
+  * cannot drift from the quality gate), and each of
+  * [[CurriculumEpochs]] passes gets a within-shard order:
+  *
+  *   epoch 1   — banded: cleanest tertile first (band 0 → 1 → 2),
+  *               salt-shuffled WITHIN each band (the curriculum pass);
+  *   epoch ≥ 2 — pure salt shuffle (the i.i.d. passes; the salt
+  *               re-keys per epoch exactly like c34, so epochs are
+  *               pairwise-different permutations).
+  *
+  * One CASE on the epoch switches the sort key, so the schedule is a
+  * single window definition — and the band is IN BAND per row, so a
+  * loader can also implement any finer anneal downstream. Shards are
+  * c34's content-keyed fp mod [[TextOps.EpochOrderShards]] (a doc
+  * reads from the same shard every epoch; its position moves).
+  *
+  * Determinism: the band thresholds are corpus tertiles over the EXACT
+  * micro integers (round-6 interpolated percentile — the t16
+  * discipline, quantile_cont-identical across engines); the salt is
+  * the engine-identical polynomial fingerprint; ord is each writer
+  * task's own sort (c19's scale claim, per epoch). NO RNG anywhere.
+  * ORACLED hash-exact — the SQL extends t02's own metric CTEs
+  * ([[TextOps.T02MCtes]]). Scale shape: one metric scan + a broadcast
+  * 2-scalar threshold relation + the per-(epoch, shard) rank; the
+  * epoch explode emits metadata rows only (c17's argument).
+  *
+  * Round14CurriculumSpec pins epoch-1 band-monotonicity within every
+  * shard, salt-shuffling WITHIN bands (not id order), epoch-2+
+  * band-independence (some inversion exists), stable shards across
+  * epochs, contiguous per-(epoch, shard) permutations, and
+  * partitioning invariance. */
+object Curriculum {
+  /** Driver pass count: one curriculum epoch + two i.i.d. epochs. */
+  private[graft] val CurriculumEpochs = 3L
+
+  /** t02's composite in micro units — the integer the banding sorts
+    * on (the display double divides this by 1e6). */
+  private val QsUExpr =
+    "(4 * sr_u + 3 * (1000000 - pr_u) + 3 * least(1000000, n_tokens * 10000) + 5) div 10"
+
+  /** The schedule over any (doc_id, text) relation — shared by the
+    * driver entry and the spec's engineered corpora. */
+  private[graft] def curriculumOver(documents: DataFrame,
+      epochs: Long): DataFrame = {
+    graft.functions.PolyFingerprint.register(documents.sparkSession)
+    val scored = TextOps.qualityCols(documents)
+      .withColumn("qs_u", expr(QsUExpr))
+      .withColumn("fp", TextOps.polyFp(col("norm")))
+      .select("doc_id", "qs_u", "fp")
+    val thr = scored.agg(
+      round(expr("percentile(qs_u, 1.0/3)"), 6).as("t1"),
+      round(expr("percentile(qs_u, 2.0/3)"), 6).as("t2"))
+    val banded = scored.crossJoin(broadcast(thr))
+      .withColumn("band",
+        when(col("qs_u") > col("t2"), 0L)
+          .when(col("qs_u") > col("t1"), 1L)
+          .otherwise(2L))
+    banded
+      .select(col("doc_id"), col("qs_u"), col("fp"), col("band"),
+        explode(expr(s"sequence(1L, ${epochs}L)")).as("epoch"))
+      .withColumn("shard_id", pmod(col("fp"), lit(TextOps.EpochOrderShards)))
+      .withColumn("salt", TextOps.polyFp(concat(col("epoch").cast("string"),
+        lit(":"), col("fp").cast("string"))))
+      .withColumn("curr_key",
+        when(col("epoch") === 1L, col("band")).otherwise(0L))
+      .withColumn("ord", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard_id"))
+          .orderBy(col("curr_key"), col("salt"), col("doc_id"))).cast("long"))
+      .select("doc_id", "epoch", "band", "qs_u", "shard_id", "ord")
+  }
+
+  /** c39 driver entry. */
+  def c39CurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    curriculumOver(t.spread(t.documents), CurriculumEpochs)
+      .orderBy("epoch", "shard_id", "ord")
+  }
+
+  val c39Sql: String = {
+    import TextOps.{polyFpSql, EpochOrderShards, T02MCtes}
+    val qsU = QsUExpr.replace(" div ", " // ")
+    s"""WITH $T02MCtes, scored AS (
+       |  SELECT m.doc_id, CAST($qsU AS BIGINT) AS qs_u,
+       |    ${polyFpSql("n2.norm")} AS fp
+       |  FROM m JOIN norm n2 USING (doc_id)
+       |), thr AS (
+       |  SELECT round(quantile_cont(qs_u, 1.0/3), 6) AS t1,
+       |    round(quantile_cont(qs_u, 2.0/3), 6) AS t2
+       |  FROM scored
+       |), banded AS (
+       |  SELECT doc_id, qs_u, fp,
+       |    CASE WHEN qs_u > t2 THEN 0 WHEN qs_u > t1 THEN 1 ELSE 2 END AS band
+       |  FROM scored, thr
+       |), epochs AS (
+       |  SELECT doc_id, qs_u, fp, band,
+       |    unnest(range(1, $CurriculumEpochs + 1)) AS epoch
+       |  FROM banded
+       |), keyed AS (
+       |  SELECT doc_id, qs_u, fp, band, epoch,
+       |    fp % $EpochOrderShards AS shard_id,
+       |    ${polyFpSql("concat(CAST(epoch AS VARCHAR), ':', CAST(fp AS VARCHAR))")} AS salt,
+       |    CASE WHEN epoch = 1 THEN band ELSE 0 END AS curr_key
+       |  FROM epochs
+       |)
+       |SELECT doc_id, CAST(epoch AS BIGINT) AS epoch,
+       |  CAST(band AS BIGINT) AS band, qs_u,
+       |  CAST(shard_id AS BIGINT) AS shard_id,
+       |  CAST(row_number() OVER (PARTITION BY epoch, shard_id
+       |    ORDER BY curr_key, salt, doc_id) AS BIGINT) AS ord
+       |FROM keyed ORDER BY epoch, shard_id, ord""".stripMargin
+  }
+}

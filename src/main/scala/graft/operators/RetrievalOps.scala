@@ -256,4 +256,138 @@ object RetrievalOps {
        |WHERE r.rn <= $TopK
        |ORDER BY r.query_id, rank""".stripMargin
   }
+
+  // ---------------------------------------------------------------- s16
+  /** RRF constants: the published k = 60 (Cormack, Clarke & Büttcher
+    * SIGIR'09 — robust across collections, the default every hybrid
+    * store ships), per-leg pool depth 10, contributions on an exact
+    * integer grid (1e9 div (k + rank) — no float reciprocals). */
+  private[graft] val RrfK = 60L
+  private[graft] val RrfPoolK = 10
+  private[graft] val RrfBase = 1000000000L
+
+  /** s16: HYBRID RETRIEVAL — BM25 and vector ranks fused by RECIPROCAL
+    * RANK FUSION (Cormack, Clarke & Büttcher SIGIR'09), the
+    * lexical+dense combination every production retrieval stack now
+    * serves (the "hybrid search" of Elastic/Vespa/pgvector deployments;
+    * RAG pipelines fuse exactly these two legs): the t20 lexical leg
+    * and an s01-shape exact cosine leg each rank their own top-10 per
+    * query, and a document's fused score is Σ legs 1e9 div (60 + rank)
+    * — rank-based, so the two legs' incomparable score scales never
+    * meet, which is WHY RRF beats score interpolation without
+    * per-collection tuning (the paper's point). Documents on one leg
+    * only keep that single term (the union semantics; at driver scale
+    * the corpus tail beyond the embedded id range exercises exactly
+    * this degradation — hybrid falls back to lexical where no
+    * embedding exists, spec-pinned).
+    *
+    * Identity convention: embeddings' vec_id IS the document id (the
+    * d05/m08 testdata convention); the query set is the SAME eval
+    * split both legs use (doc_id ≡ vec_id ≡ 0 mod EvalMod).
+    *
+    * Scale shape: the lexical leg is t20's posting machinery verbatim
+    * (bounded TopKByScore, no windows over the corpus); the vector leg
+    * is s01's broadcast-scored shape (production swaps in an index
+    * rung — the fusion is leg-agnostic); the full-outer fuse and final
+    * window run over ≤ 2·poolK rows per query BY CONSTRUCTION (the
+    * pools bound them), so the one row_number here can never funnel a
+    * corpus. All fused scores are exact integers. ORACLED hash-exact —
+    * the oracle EXTENDS [[t20Ctes]] (the c22 discipline) plus the s01
+    * cosine mirror, so neither leg can drift from its standalone
+    * operator. Round14HybridSpec pins the RRF algebra against a
+    * plain-Scala mirror, the both-legs > single-leg ordering property,
+    * the lexical-only degradation path, and leg-agreement with t20/the
+    * cosine leg on the driver corpus. */
+  def s16AnnHybrid(spark: SparkSession, dir: String): DataFrame = {
+    import TextOps.EvalMod
+    graft.functions.FloatVecDot.register(spark)
+    graft.functions.TopKByScore.register(spark)
+    val t = Tables(spark, dir)
+    val d = t.spread(t.documents)
+    val lex = bm25Over(
+      d.filter(col("doc_id") % EvalMod === 0)
+        .select(col("doc_id").as("query_id"), col("text")),
+      d.filter(col("doc_id") % EvalMod =!= 0).select(col("doc_id"), col("text")),
+      RrfPoolK)
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+    val v = t.embeddings.withColumn("nrm", VectorOps.norm(col("embedding")))
+    val vq = v.filter(col("vec_id") % EvalMod === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val vc = v.filter(col("vec_id") % EvalMod =!= 0)
+      .select(col("vec_id").as("doc_id"), col("embedding"), col("nrm"))
+    val vscored = vq.join(vc, col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        round(VectorOps.cosineWithNorms(col("q_emb"), col("embedding"),
+          col("q_nrm"), col("nrm")), 6).as("cos_sim"))
+    val vec = vscored
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("cos_sim"), col("doc_id"), RrfPoolK).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("vec_rank"),
+        col("t.id").as("doc_id"))
+    rrfFuse(lex, vec, TopK).orderBy("query_id", "rank")
+  }
+
+  /** The fusion itself over any (query_id, doc_id, bm25_rank) and
+    * (query_id, doc_id, vec_rank) leg relations — ONE definition the
+    * driver entry and the spec's hand-built rank fixtures share. */
+  private[graft] def rrfFuse(lex: DataFrame, vec: DataFrame,
+      k: Int): DataFrame = {
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        expr(s"coalesce($RrfBase div ($RrfK + bm25_rank), 0L) " +
+          s"+ coalesce($RrfBase div ($RrfK + vec_rank), 0L)"))
+    // ≤ 2·poolK fused rows per query by construction — this window can
+    // never funnel a corpus (unlike a corpus-ranked window)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rrf").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "doc_id", "rrf", "bm25_rank", "vec_rank")
+  }
+
+  val s16Sql: String = {
+    import TextOps.EvalMod
+    s"""$t20Ctes, vq AS (
+       |  SELECT vec_id AS query_id, embedding FROM embeddings
+       |  WHERE vec_id % $EvalMod = 0
+       |), vc AS (
+       |  SELECT vec_id AS doc_id, embedding FROM embeddings
+       |  WHERE vec_id % $EvalMod <> 0
+       |), vscored AS (
+       |  SELECT q.query_id, c.doc_id,
+       |    round(${VectorOps.cosineSql("q.embedding", "c.embedding")}, 6)
+       |      AS cos_sim
+       |  FROM vq q JOIN vc c ON c.doc_id <> q.query_id
+       |), vranked AS (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, doc_id) AS vrn
+       |  FROM vscored
+       |), lex AS (
+       |  SELECT query_id, doc_id, rn FROM ranked WHERE rn <= $RrfPoolK
+       |), vecl AS (
+       |  SELECT query_id, doc_id, vrn FROM vranked WHERE vrn <= $RrfPoolK
+       |), fused AS (
+       |  SELECT coalesce(l.query_id, v.query_id) AS query_id,
+       |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |    l.rn AS bm25_rank, v.vrn AS vec_rank,
+       |    coalesce($RrfBase // ($RrfK + l.rn), 0)
+       |      + coalesce($RrfBase // ($RrfK + v.vrn), 0) AS rrf
+       |  FROM lex l FULL JOIN vecl v
+       |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id
+       |), final AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf DESC, doc_id) AS frn
+       |  FROM fused
+       |)
+       |SELECT query_id, CAST(frn AS BIGINT) AS rank, doc_id,
+       |  CAST(rrf AS BIGINT) AS rrf,
+       |  CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       |  CAST(vec_rank AS BIGINT) AS vec_rank
+       |FROM final WHERE frn <= $TopK
+       |ORDER BY query_id, rank""".stripMargin
+  }
 }

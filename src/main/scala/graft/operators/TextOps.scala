@@ -173,9 +173,12 @@ object TextOps {
         "mean_token_len", "quality_score")
       .orderBy("doc_id")
 
-  val t02Sql: String = {
+  /** t02's metric CTE chain (norm/base/m) — ONE definition [[t02Sql]]
+    * and c39's curriculum oracle ([[Curriculum.c39Sql]]) extend, so the
+    * difficulty signal can never drift from the quality gate. */
+  private[operators] val T02MCtes: String = {
     val allStop = Stopwords.flatMap(_._2).distinct
-    s"""WITH norm AS (
+    s"""norm AS (
        |  SELECT doc_id, $NormSql AS norm FROM documents
        |), base AS (
        |  SELECT doc_id, norm, string_split(norm, ' ') AS tk,
@@ -187,7 +190,11 @@ object TextOps {
        |    ${ratioMicroSql(stopCountSql(allStop), "len(tk)")} AS sr_u,
        |    ${ratioMicroSql("length(replace(norm, ' ', ''))", "len(tk)")} AS ml_u
        |  FROM base
-       |)
+       |)""".stripMargin
+  }
+
+  val t02Sql: String =
+    s"""WITH $T02MCtes
        |SELECT doc_id, n_chars, n_tokens,
        |  CAST(pr_u AS DOUBLE) / 1000000.0 AS punct_ratio,
        |  CAST(sr_u AS DOUBLE) / 1000000.0 AS stop_ratio,
@@ -196,7 +203,6 @@ object TextOps {
        |    + 3 * least(1000000, n_tokens * 10000) + 5) // 10 AS DOUBLE)
        |    / 1000000.0 AS quality_score
        |FROM m ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- t03
   private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"

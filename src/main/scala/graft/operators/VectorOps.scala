@@ -37,8 +37,9 @@ object VectorOps {
   def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
     FloatVecDot.vecDot(a, b) / (normA * normB)
 
-  /** DuckDB mirror of [[cosine]] for columns `$a` and `$b`. */
-  private def cosineSql(a: String, b: String): String = {
+  /** DuckDB mirror of [[cosine]] for columns `$a` and `$b` (shared with
+    * s16's hybrid-fusion oracle in RetrievalOps). */
+  private[operators] def cosineSql(a: String, b: String): String = {
     def sum(expr: String) =
       s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $expr), (acc, x) -> acc + x)"
     val dot = sum(s"list_transform(range(1, len($a) + 1), i -> CAST($a[CAST(i AS INT)] AS DOUBLE) * CAST($b[CAST(i AS INT)] AS DOUBLE))")

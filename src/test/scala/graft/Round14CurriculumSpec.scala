@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.Curriculum
+
+/** c39 curriculum order: epoch 1 is band-monotone within every shard
+  * but salt-shuffled inside each band, epochs >= 2 ignore the band
+  * (some inversion exists), docs keep their shard across epochs with
+  * different positions, each (epoch, shard) is a contiguous
+  * permutation, and the schedule is partitioning-invariant. */
+class Round14CurriculumSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+
+  /** Three quality tiers: clean prose with stopwords, mid, and
+    * punctuation-heavy junk — enough docs that every shard sees
+    * several bands. */
+  private lazy val docs = (1L to 60L).map { i =>
+    val text = (i % 3) match {
+      case 0 => s"the quick brown fox and the lazy dog of story $i run on"
+      case 1 => s"metrics report row $i values follow here now"
+      case _ => s"@@## $$%% ^^&& !!?? ::;; ||{} $i ~~``"
+    }
+    (i, text)
+  }.toDF("doc_id", "text")
+
+  private lazy val out = Curriculum.curriculumOver(docs, 3L).collect()
+
+  test("c39: epoch 1 is band-monotone within every shard") {
+    val e1 = out.filter(l(_, "epoch") == 1L)
+    assert(e1.nonEmpty)
+    for ((_, g) <- e1.groupBy(l(_, "shard_id"))) {
+      val bands = g.sortBy(l(_, "ord")).map(l(_, "band"))
+      assert(bands.zip(bands.tail).forall { case (a, b) => a <= b },
+        s"bands along ord must be non-decreasing: ${bands.toSeq}")
+    }
+    // all three bands exist in the fixture
+    assert(e1.map(l(_, "band")).toSet === Set(0L, 1L, 2L))
+  }
+
+  test("c39: epoch 1 shuffles WITHIN bands (salt order, not id order)") {
+    val e1 = out.filter(l(_, "epoch") == 1L)
+    val inBand = e1.groupBy(r => (l(r, "shard_id"), l(r, "band")))
+      .values.filter(_.length >= 3)
+    assert(inBand.nonEmpty, "fixture needs a band with >= 3 docs in one shard")
+    assert(inBand.exists { g =>
+      val ids = g.sortBy(l(_, "ord")).map(l(_, "doc_id"))
+      ids.toSeq != ids.sorted.toSeq
+    }, "at least one band must not be in doc_id order")
+  }
+
+  test("c39: epochs >= 2 ignore the band") {
+    val e2 = out.filter(l(_, "epoch") == 2L)
+    assert(e2.nonEmpty)
+    assert(e2.groupBy(l(_, "shard_id")).values.exists { g =>
+      val bands = g.sortBy(l(_, "ord")).map(l(_, "band"))
+      bands.zip(bands.tail).exists { case (a, b) => a > b }
+    }, "epoch 2 must contain at least one band inversion")
+  }
+
+  test("c39: stable shards, moving positions, contiguous permutations") {
+    val byEpoch = out.groupBy(l(_, "epoch"))
+    for ((_, g) <- out.groupBy(r => (l(r, "epoch"), l(r, "shard_id"))))
+      assert(g.map(l(_, "ord")).sorted.toSeq === (1L to g.length).toSeq)
+    val e1 = byEpoch(1L).map(r => l(r, "doc_id") -> (l(r, "shard_id"), l(r, "ord"))).toMap
+    val e2 = byEpoch(2L).map(r => l(r, "doc_id") -> (l(r, "shard_id"), l(r, "ord"))).toMap
+    assert(e1.keySet === e2.keySet)
+    for (d <- e1.keySet) assert(e1(d)._1 === e2(d)._1)
+    assert(e1.keySet.exists(d => e1(d)._2 != e2(d)._2))
+  }
+
+  test("c39: invariant under input partitioning") {
+    val again = Curriculum.curriculumOver(docs.repartition(7), 3L).collect()
+    assert(again.map(_.toSeq).sortBy(_.toString).toSeq ===
+      out.map(_.toSeq).sortBy(_.toString).toSeq)
+  }
+
+  test("c39: driver entry — every doc in every epoch, deterministic") {
+    val a = Curriculum.c39CurriculumOrder(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    val nDocs = graft.Tables(spark, sfDir).documents.count()
+    for (e <- 1L to 3L)
+      assert(a.count(l(_, "epoch") == e) === nDocs)
+    val b = Curriculum.c39CurriculumOrder(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.RetrievalOps
+
+/** s16 hybrid RRF fusion: the fused score is the exact integer
+  * 1e9//(60+rank) sum (hand-computed values pinned), a both-legs doc
+  * outranks equal single-leg docs, a one-leg doc degrades to its single
+  * term with the other rank null, and the driver entry's lexical leg
+  * agrees with t20's own ranking. */
+class Round14HybridSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+  private def nl(r: Row, n: String): Option[Long] =
+    if (r.isNullAt(r.fieldIndex(n))) None else Some(r.getLong(r.fieldIndex(n)))
+
+  private def term(rank: Long): Long = 1000000000L / (60L + rank)
+
+  test("s16: fused scores are the exact integer RRF terms") {
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L))
+      .toDF("query_id", "doc_id", "bm25_rank")
+    val vec = Seq((1L, 10L, 1L), (1L, 13L, 2L))
+      .toDF("query_id", "doc_id", "vec_rank")
+    val out = RetrievalOps.rrfFuse(lex, vec, 5)
+      .orderBy("rank").collect()
+    val byDoc = out.map(r => l(r, "doc_id") -> r).toMap
+    assert(l(byDoc(10L), "rrf") === term(1) + term(1))
+    assert(l(byDoc(11L), "rrf") === term(2))
+    assert(l(byDoc(13L), "rrf") === term(2))
+    assert(l(byDoc(12L), "rrf") === term(3))
+    // both-legs rank-1 doc leads; the two single-leg rank-2 docs tie on
+    // the exact integer and break on doc_id
+    assert(out.map(l(_, "doc_id")).toSeq === Seq(10L, 11L, 13L, 12L))
+    assert(nl(byDoc(11L), "vec_rank") === None)
+    assert(nl(byDoc(13L), "bm25_rank") === None)
+  }
+
+  test("s16: a doc on both legs at rank r outranks any single leg at rank r") {
+    val lex = Seq((1L, 20L, 2L), (1L, 21L, 1L)).toDF("query_id", "doc_id", "bm25_rank")
+    val vec = Seq((1L, 20L, 2L)).toDF("query_id", "doc_id", "vec_rank")
+    val out = RetrievalOps.rrfFuse(lex, vec, 5).orderBy("rank").collect()
+    // 2*term(2) = 32258064 > term(1) = 16393442
+    assert(out.head.getLong(out.head.fieldIndex("doc_id")) === 20L)
+    assert(l(out.head, "rrf") === 2 * term(2))
+  }
+
+  test("s16: driver entry — contiguous ranks, integer algebra, lexical leg = t20") {
+    val a = RetrievalOps.s16AnnHybrid(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    for ((_, g) <- a.groupBy(l(_, "query_id")))
+      assert(g.map(l(_, "rank")).sorted.toSeq === (1L to g.length).toSeq)
+    // every fused score is exactly the sum of its present leg terms
+    for (r <- a) {
+      val want = nl(r, "bm25_rank").map(term).getOrElse(0L) +
+        nl(r, "vec_rank").map(term).getOrElse(0L)
+      assert(l(r, "rrf") === want)
+    }
+    // the lexical leg is t20's own ranking: any fused row with
+    // bm25_rank <= t20's TopK appears in t20 at the same rank
+    val t20 = RetrievalOps.t20Bm25(spark, sfDir).collect()
+      .map(r => (l(r, "query_id"), l(r, "doc_id")) -> l(r, "rank")).toMap
+    val checked = a.flatMap(r => nl(r, "bm25_rank").collect {
+      case br if br <= RetrievalOps.TopK =>
+        ((l(r, "query_id"), l(r, "doc_id")), br)
+    })
+    assert(checked.nonEmpty)
+    for ((k, br) <- checked) assert(t20(k) === br, s"pair $k")
+    val b = RetrievalOps.s16AnnHybrid(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+}
