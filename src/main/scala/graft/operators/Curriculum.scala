@@ -80,6 +80,34 @@ object Curriculum {
       .select("doc_id", "epoch", "band", "qs_u", "shard_id", "ord")
   }
 
+  /** The ROW-LOCAL half of the schedule under FROZEN band thresholds —
+    * quality metrics, band, shard, and the epoch salt for one document
+    * (everything except the within-(epoch, shard) RANK, which is
+    * corpus-global and stays batch-side — the c34/shardRouteStream
+    * division of labor). Batch owns the tertile thresholds exactly like
+    * t16's ppl buckets or c38's bounds (the frozen-artifact
+    * discipline); shared by the streaming face
+    * ([[graft.streaming.StreamingJobs.curriculumKeyStream]]) and
+    * spec-pinned key-identical to [[curriculumOver]] at the same
+    * thresholds. */
+  private[graft] def curriculumKeyCols(documents: DataFrame, epoch: Long,
+      t1: Double, t2: Double): DataFrame = {
+    graft.functions.PolyFingerprint.register(documents.sparkSession)
+    TextOps.qualityCols(documents)
+      .withColumn("qs_u", expr(QsUExpr))
+      .withColumn("fp", TextOps.polyFp(col("norm")))
+      .withColumn("band",
+        when(col("qs_u") > t2, 0L).when(col("qs_u") > t1, 1L).otherwise(2L))
+      .withColumn("epoch", lit(epoch))
+      .withColumn("shard_id", pmod(col("fp"), lit(TextOps.EpochOrderShards)))
+      .withColumn("salt", TextOps.polyFp(concat(col("epoch").cast("string"),
+        lit(":"), col("fp").cast("string"))))
+      .withColumn("curr_key",
+        when(col("epoch") === 1L, col("band")).otherwise(0L))
+      .select("doc_id", "epoch", "band", "qs_u", "shard_id", "salt",
+        "curr_key")
+  }
+
   /** c39 driver entry. */
   def c39CurriculumOrder(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)

@@ -1618,4 +1618,20 @@ object StreamingJobs {
   def zorderRouteStream(rows: DataFrame, xLo: Long, xHi: Long,
       yLo: Long, yHi: Long): DataFrame =
     graft.operators.ZOrder.zorderRouteCols(rows, xLo, xHi, yLo, yHi)
+
+  // ----------------------------------------------- curriculum key
+  /** Streaming face of c39's curriculum schedule: with the corpus'
+    * band thresholds FROZEN as plan literals (batch owns the tertiles —
+    * t16's bucket discipline), quality metrics, band, shard, and the
+    * epoch salt are one row-local codegen'd projection, so an ingest
+    * pipeline stamps each arriving doc with the same (band, shard,
+    * sort key) the batch schedule assigns for the given epoch; the
+    * within-(epoch, shard) RANK stays batch-side (corpus-global — the
+    * epochOrderKeyStream boundary). Null text coalesces to the empty
+    * string. Spec-pinned key-identical to the batch schedule at the
+    * same thresholds. */
+  def curriculumKeyStream(docs: DataFrame, epoch: Long, t1: Double,
+      t2: Double): DataFrame =
+    graft.operators.Curriculum.curriculumKeyCols(
+      docs.withColumn("text", coalesce(col("text"), lit(""))), epoch, t1, t2)
 }

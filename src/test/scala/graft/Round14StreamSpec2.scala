@@ -61,6 +61,43 @@ class Round14StreamSpec2 extends GraftSpecBase {
     assert(out.keys.count(_._1 == 3L) === 1)
   }
 
+  test("c39 curriculumKeyStream: stream keys are identical to the batch schedule's") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Curriculum
+    val docs = (1L to 30L).map { i =>
+      val text = (i % 3) match {
+        case 0 => s"the quick brown fox and the lazy dog of story $i"
+        case 1 => s"metrics report row $i values follow"
+        case _ => s"@@## $$%% ^^&& !!?? $i ::;;"
+      }
+      (i, text)
+    }
+    val batchAll = Curriculum.curriculumOver(docs.toDF("doc_id", "text"), 2L)
+      .collect()
+    // recover the thresholds the batch run used: band boundaries over qs_u
+    val byBand = batchAll.filter(_.getLong(1) == 1L) // epoch 1
+      .map(r => (r.getLong(r.fieldIndex("band")), r.getLong(r.fieldIndex("qs_u"))))
+    val t2 = byBand.filter(_._1 > 0).map(_._2).max.toDouble + 0.5
+    val t1 = byBand.filter(_._1 > 1).map(_._2).max.toDouble + 0.5
+    val batch = batchAll.filter(_.getLong(1) == 1L)
+      .map(r => r.getLong(0) -> (r.getLong(r.fieldIndex("band")),
+        r.getLong(r.fieldIndex("shard_id")))).toMap
+    val mem = MemoryStream[(Long, Option[String])]
+    val q = StreamingJobs.curriculumKeyStream(
+      mem.toDF.toDF("doc_id", "text"), epoch = 1L, t1, t2)
+      .writeStream.format("memory").queryName("cur_r14").outputMode("append")
+      .start()
+    try {
+      mem.addData(docs.map { case (i, t) => (i, Some(t)) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("cur_r14").collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        (r.getLong(r.fieldIndex("band")), r.getLong(r.fieldIndex("shard_id"))))
+      .toMap
+    assert(out === batch)
+  }
+
   test("c38 zorderRouteStream: routed codes match the Morton mirror, out-of-range clamps") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     def morton(x: Long, y: Long): Long =
