@@ -78,11 +78,17 @@ object ZOrder {
       .withColumn("xb", expr(bucketExpr("x", "x_lo", "x_hi")))
       .withColumn("yb", expr(bucketExpr("y", "y_lo", "y_hi")))
       .withColumn("z", expr(zExpr("xb", "yb")))
+    // both layouts from ONE scan: a union of two selections would read
+    // the table twice (the plan audit showed the doubled scan) — the
+    // 2-element explode tags each row for both layouts in place
     val tagged = based
-      .select(lit("zorder").as("layout"), expr(s"z div $zSpan").as("file_id"),
+      .select(col("xb"), col("yb"), explode(array(
+        struct(lit("zorder").as("layout"),
+          expr(s"z div $zSpan").as("file_id")),
+        struct(lit("linear").as("layout"),
+          expr(s"xb div $xSpan").as("file_id")))).as("lf"))
+      .select(col("lf.layout").as("layout"), col("lf.file_id").as("file_id"),
         col("xb"), col("yb"))
-      .union(based.select(lit("linear").as("layout"),
-        expr(s"xb div $xSpan").as("file_id"), col("xb"), col("yb")))
     tagged.groupBy(col("layout"), col("file_id"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("xb")).as("xb_min"), max(col("xb")).as("xb_max"),
