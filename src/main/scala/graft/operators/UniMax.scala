@@ -117,9 +117,12 @@ object UniMax {
       .orderBy("source")
   }
 
-  val c35Sql: String = {
+  /** c35's waterfill CTE chain (through `alloc`) — ONE definition
+    * [[c35Sql]] and [[c40Sql]] extend (the shared-CTE discipline: the
+    * allocation and its epoch realization cannot drift). */
+  private val C35Ctes: String = {
     import TextOps.TokensSql
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT source, CAST(len($TokensSql) AS BIGINT) AS n_tokens
        |  FROM documents
        |), by_source AS (
@@ -153,7 +156,11 @@ object UniMax {
        |      ELSE (budget - capped_mass) // (n_src - n_capped) END
        |      AS alloc_tokens
        |  FROM flagged, sel
-       |)
+       |)""".stripMargin
+  }
+
+  val c35Sql: String =
+    s"""WITH $C35Ctes
        |SELECT source, src_tokens, cap_tokens, rk, capped, alloc_tokens,
        |  CAST(CAST(alloc_tokens AS HUGEINT) * 1000000 // src_tokens AS BIGINT)
        |    AS epochs_ppm,
@@ -162,5 +169,85 @@ object UniMax {
        |    ELSE ((budget - capped_mass) // (n_src - n_capped))
        |      * (n_src - n_capped) END AS BIGINT) AS leftover_tokens
        |FROM alloc ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- c40
+  /** c40: the UniMax allocation REALIZED as shipped epoch copies — c35
+    * reports the waterfill, this SHIPS it (the c29 → c30 pattern: the
+    * derived policy becomes documents), through c17's exact integer
+    * epoch algebra: per source, full = alloc div src_tokens whole
+    * epochs and one more iff the doc's content fingerprint lands under
+    * rem_ppm = (alloc mod src)·1e6 div src — the hash-rate realization
+    * of the fractional epoch, no RNG, resample-stable. The paper's
+    * guarantee falls out EXACTLY: a capped source has alloc = E·src,
+    * so full = E and rem = 0 — every document ships EXACTLY E copies
+    * with zero hash noise (spec-pinned determinism, not an
+    * approximation); uncapped sources realize the uniform share within
+    * per-source hash granularity. Output one row per shipped copy
+    * (doc_id, source, n_tokens, copies, epoch) — c17's shape, so
+    * everything downstream (c34 ordering, c19 sharding) composes
+    * unchanged.
+    *
+    * Scale shape: c35's aggregates + ONE broadcast |sources|-row rates
+    * join back to the corpus scan; the explode emits metadata rows
+    * only (c17's argument). ORACLED hash-exact — the SQL extends
+    * [[C35Ctes]] (allocation and realization cannot drift).
+    * Round14UniMaxSpec pins the capped-source exact-E-copies
+    * determinism, uncapped realized-token tracking within hash
+    * granularity, the c35-composition equality (full/rem re-derived
+    * from c35's own alloc), and the valid epoch multiset. */
+  private[graft] def unimaxEpochsOver(documents: DataFrame, budgetNum: Long,
+      budgetDen: Long, epochCap: Long): DataFrame = {
+    graft.functions.PolyFingerprint.register(documents.sparkSession)
+    val rates = unimaxOver(documents, budgetNum, budgetDen, epochCap)
+      .select(col("source"), col("src_tokens"), col("alloc_tokens"))
+      .withColumn("full_epochs", expr("alloc_tokens div src_tokens"))
+      .withColumn("rem_ppm",
+        expr("""CAST(alloc_tokens - (alloc_tokens div src_tokens) * src_tokens
+                AS DECIMAL(38,0)) * 1000000 div src_tokens""").cast("long"))
+      .select("source", "full_epochs", "rem_ppm")
+    val d = documents
+      .select(col("doc_id"), col("source"),
+        TextOps.normText(col("text")).as("norm"))
+      .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
+      .withColumn("fp", TextOps.polyFp(col("norm")))
+    d.join(broadcast(rates), "source")
+      .withColumn("copies",
+        col("full_epochs") +
+          when(pmod(col("fp"), lit(1000000L)) < col("rem_ppm"), 1L)
+            .otherwise(0L))
+      .filter(col("copies") >= 1L)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("copies"),
+        explode(expr("sequence(1L, copies)")).as("epoch"))
+  }
+
+  /** c40 driver entry (c35's constants — both branches fire). */
+  def c40UnimaxEpochs(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    unimaxEpochsOver(t.spread(t.documents), UniMaxNum, UniMaxDen, EpochCap)
+      .orderBy("doc_id", "epoch")
+  }
+
+  val c40Sql: String = {
+    import TextOps.{polyFpSql, NormSql, TokensSql}
+    s"""WITH $C35Ctes, rates AS (
+       |  SELECT source, alloc_tokens // src_tokens AS full_epochs,
+       |    CAST(CAST(alloc_tokens - (alloc_tokens // src_tokens) * src_tokens
+       |      AS HUGEINT) * 1000000 // src_tokens AS BIGINT) AS rem_ppm
+       |  FROM alloc
+       |), d2 AS (
+       |  SELECT doc_id, source,
+       |    CAST(len($TokensSql) AS BIGINT) AS n_tokens,
+       |    ${polyFpSql(NormSql)} AS fp
+       |  FROM documents
+       |), cop AS (
+       |  SELECT doc_id, d2.source, n_tokens,
+       |    full_epochs + CASE WHEN (fp % 1000000) < rem_ppm THEN 1 ELSE 0 END
+       |      AS copies
+       |  FROM d2 JOIN rates ON d2.source = rates.source
+       |)
+       |SELECT doc_id, source, n_tokens, copies,
+       |  CAST(unnest(range(1, copies + 1)) AS BIGINT) AS epoch
+       |FROM cop WHERE copies >= 1
+       |ORDER BY doc_id, epoch""".stripMargin
   }
 }

@@ -102,6 +102,56 @@ class Round14UniMaxSpec extends GraftSpecBase {
       assert(l(x, "epochs_ppm") >= l(y, "epochs_ppm"))
   }
 
+  test("c40: capped sources ship EXACTLY E copies of every doc — zero hash noise") {
+    val df = corpus("tiny" -> 5, "small" -> 20, "big" -> 500, "huge" -> 600)
+    val rows = UniMax.unimaxEpochsOver(df, 2L, 1L, 3L).collect()
+    val alloc = UniMax.unimaxOver(df, 2L, 1L, 3L).collect()
+      .map(r => r.getString(0) -> (b(r, "capped"), l(r, "alloc_tokens"),
+        l(r, "src_tokens"))).toMap
+    assert(alloc.values.exists(_._1) && alloc.values.exists(!_._1))
+    for ((src, (capped, _, _)) <- alloc if capped) {
+      val copies = rows.filter(_.getString(1) == src).map(l(_, "copies"))
+      assert(copies.nonEmpty && copies.forall(_ == 3L), s"source $src")
+    }
+  }
+
+  test("c40: realized tokens track the allocation within one source pass") {
+    val df = corpus("a" -> 7, "b" -> 33, "c" -> 210, "d" -> 340)
+    val rows = UniMax.unimaxEpochsOver(df, 2L, 1L, 3L).collect()
+    val alloc = UniMax.unimaxOver(df, 2L, 1L, 3L).collect()
+      .map(r => r.getString(0) -> (l(r, "alloc_tokens"), l(r, "src_tokens")))
+      .toMap
+    for ((src, (a, srcTok)) <- alloc) {
+      val full = a / srcTok
+      val realized = rows.filter(_.getString(1) == src)
+        .groupBy(l(_, "doc_id")).map { case (_, g) => l(g.head, "n_tokens") *
+          l(g.head, "copies") }.sum
+      assert(realized >= full * srcTok && realized <= (full + 1) * srcTok,
+        s"source $src realized $realized vs alloc $a")
+    }
+  }
+
+  test("c40: epochs are the contiguous multiset 1..copies per doc") {
+    val rows = UniMax.unimaxEpochsOver(
+      corpus("a" -> 7, "b" -> 33, "c" -> 210, "d" -> 340), 2L, 1L, 3L).collect()
+    for ((_, g) <- rows.groupBy(l(_, "doc_id"))) {
+      val copies = g.map(l(_, "copies")).distinct
+      assert(copies.length === 1)
+      assert(g.map(l(_, "epoch")).sorted.toSeq === (1L to copies.head).toSeq)
+    }
+  }
+
+  test("c40: driver entry — capped sources at exactly E, deterministic") {
+    val a = UniMax.c40UnimaxEpochs(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    val caps = UniMax.c35Unimax(spark, sfDir).collect()
+      .map(r => r.getString(0) -> b(r, "capped")).toMap
+    for ((src, g) <- a.groupBy(_.getString(1)) if caps(src))
+      assert(g.map(l(_, "copies")).forall(_ == 2L), s"capped source $src")
+    val again = UniMax.c40UnimaxEpochs(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("c35: driver entry fires both branches and is deterministic") {
     val a = UniMax.c35Unimax(spark, sfDir).collect()
     assert(a.nonEmpty)
