@@ -66,19 +66,27 @@ object Curriculum {
         when(col("qs_u") > col("t2"), 0L)
           .when(col("qs_u") > col("t1"), 1L)
           .otherwise(2L))
-    banded
+    keyedCols(banded
       .select(col("doc_id"), col("qs_u"), col("fp"), col("band"),
-        explode(expr(s"sequence(1L, ${epochs}L)")).as("epoch"))
-      .withColumn("shard_id", pmod(col("fp"), lit(TextOps.EpochOrderShards)))
-      .withColumn("salt", TextOps.polyFp(concat(col("epoch").cast("string"),
-        lit(":"), col("fp").cast("string"))))
-      .withColumn("curr_key",
-        when(col("epoch") === 1L, col("band")).otherwise(0L))
+        explode(expr(s"sequence(1L, ${epochs}L)")).as("epoch")))
       .withColumn("ord", row_number().over(
         Window.partitionBy(col("epoch"), col("shard_id"))
           .orderBy(col("curr_key"), col("salt"), col("doc_id"))).cast("long"))
       .select("doc_id", "epoch", "band", "qs_u", "shard_id", "ord")
   }
+
+  /** The schedule's key columns over any relation carrying (fp, band,
+    * epoch) — shard, salt, and the epoch-switched sort key. ONE
+    * definition shared by [[curriculumOver]] and the streaming face's
+    * [[curriculumKeyCols]] (the shared-text discipline: a change to
+    * the salt separator or the shard modulus cannot desynchronize the
+    * batch order from the ingest router — review-pass refactor). */
+  private def keyedCols(df: DataFrame): DataFrame =
+    df.withColumn("shard_id", pmod(col("fp"), lit(TextOps.EpochOrderShards)))
+      .withColumn("salt", TextOps.polyFp(concat(col("epoch").cast("string"),
+        lit(":"), col("fp").cast("string"))))
+      .withColumn("curr_key",
+        when(col("epoch") === 1L, col("band")).otherwise(0L))
 
   /** The ROW-LOCAL half of the schedule under FROZEN band thresholds —
     * quality metrics, band, shard, and the epoch salt for one document
@@ -93,17 +101,12 @@ object Curriculum {
   private[graft] def curriculumKeyCols(documents: DataFrame, epoch: Long,
       t1: Double, t2: Double): DataFrame = {
     graft.functions.PolyFingerprint.register(documents.sparkSession)
-    TextOps.qualityCols(documents)
+    keyedCols(TextOps.qualityCols(documents)
       .withColumn("qs_u", expr(QsUExpr))
       .withColumn("fp", TextOps.polyFp(col("norm")))
       .withColumn("band",
         when(col("qs_u") > t2, 0L).when(col("qs_u") > t1, 1L).otherwise(2L))
-      .withColumn("epoch", lit(epoch))
-      .withColumn("shard_id", pmod(col("fp"), lit(TextOps.EpochOrderShards)))
-      .withColumn("salt", TextOps.polyFp(concat(col("epoch").cast("string"),
-        lit(":"), col("fp").cast("string"))))
-      .withColumn("curr_key",
-        when(col("epoch") === 1L, col("band")).otherwise(0L))
+      .withColumn("epoch", lit(epoch)))
       .select("doc_id", "epoch", "band", "qs_u", "shard_id", "salt",
         "curr_key")
   }

@@ -85,30 +85,31 @@ object SecretScan {
   }
 
   /** The scan over any (doc_id, text) relation — shared by the driver
-    * entry, the spec fixtures, and the streaming face. */
+    * entry, the spec fixtures, and the streaming face. Counts are
+    * SEQUENTIAL like the redaction itself: each family is counted on
+    * the text the PREVIOUS families' redactions produced, so
+    * `secrets_total` is exactly the number of placeholders the scrub
+    * inserted — a Slack token whose body is a 32-hex run counts ONCE
+    * (independent counting would report 2 secrets for 1 redaction; the
+    * review-pass fix, spec-pinned on that exact overlap). */
   private[graft] def secretScanOver(documents: DataFrame): DataFrame = {
-    val base = documents
-      .select(col("doc_id"), TextOps.normText(col("text")).as("norm"))
-    val redacted = regexp_replace(
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(col("norm"), PemPat, "<pem>"),
-            AwsPat, "<awskey>"),
-          GithubPat, "<ghtoken>"),
-        SlackPat, "<slacktoken>"),
-      HexPat, "<hex>")
-    def cnt(pat: String): Column =
-      size(regexp_extract_all(col("norm"), lit(pat), lit(0))).cast("long")
+    def cnt(on: Column, pat: String): Column =
+      size(regexp_extract_all(on, lit(pat), lit(0))).cast("long")
     val ents = transform(
       regexp_extract_all(col("norm"), lit(CandPat), lit(0)),
       c => entropyOf(c))
-    base
-      .withColumn("n_pem", cnt(PemPat))
-      .withColumn("n_aws", cnt(AwsPat))
-      .withColumn("n_github", cnt(GithubPat))
-      .withColumn("n_slack", cnt(SlackPat))
-      .withColumn("n_hex", cnt(HexPat))
+    documents
+      .select(col("doc_id"), TextOps.normText(col("text")).as("norm"))
+      .withColumn("n_pem", cnt(col("norm"), PemPat))
+      .withColumn("r1", regexp_replace(col("norm"), PemPat, "<pem>"))
+      .withColumn("n_aws", cnt(col("r1"), AwsPat))
+      .withColumn("r2", regexp_replace(col("r1"), AwsPat, "<awskey>"))
+      .withColumn("n_github", cnt(col("r2"), GithubPat))
+      .withColumn("r3", regexp_replace(col("r2"), GithubPat, "<ghtoken>"))
+      .withColumn("n_slack", cnt(col("r3"), SlackPat))
+      .withColumn("r4", regexp_replace(col("r3"), SlackPat, "<slacktoken>"))
+      .withColumn("n_hex", cnt(col("r4"), HexPat))
+      .withColumn("redacted", regexp_replace(col("r4"), HexPat, "<hex>"))
       .withColumn("secrets_total",
         col("n_pem") + col("n_aws") + col("n_github") + col("n_slack")
           + col("n_hex"))
@@ -117,8 +118,8 @@ object SecretScan {
       .withColumn("n_flagged",
         size(filter(col("ents"), e => e >= EntropyBits)).cast("long"))
       .withColumn("max_entropy", array_max(col("ents")))
-      .withColumn("redacted_len", length(redacted).cast("long"))
-      .withColumn("redacted_hash", md5(redacted))
+      .withColumn("redacted_len", length(col("redacted")).cast("long"))
+      .withColumn("redacted_hash", md5(col("redacted")))
       .select("doc_id", "n_pem", "n_aws", "n_github", "n_slack", "n_hex",
         "secrets_total", "n_candidates", "n_flagged", "max_entropy",
         "redacted_len", "redacted_hash")
@@ -142,32 +143,36 @@ object SecretScan {
       s"""round(log2(CAST(length(c) AS DOUBLE)) - ($sumKLogK) / length(c), 6)"""
     s"""WITH base AS (
        |  SELECT doc_id, $NormSql AS norm FROM documents
-       |), red AS (
+       |), s1 AS (
        |  SELECT doc_id, norm,
-       |    regexp_replace(
-       |      regexp_replace(
-       |        regexp_replace(
-       |          regexp_replace(
-       |            regexp_replace(norm, '$PemPat', '<pem>', 'g'),
-       |            '$AwsPat', '<awskey>', 'g'),
-       |          '$GithubPat', '<ghtoken>', 'g'),
-       |        '$SlackPat', '<slacktoken>', 'g'),
-       |      '$HexPat', '<hex>', 'g') AS redacted,
+       |    CAST(len(regexp_extract_all(norm, '$PemPat', 0)) AS BIGINT) AS n_pem,
+       |    regexp_replace(norm, '$PemPat', '<pem>', 'g') AS r1
+       |  FROM base
+       |), s2 AS (
+       |  SELECT *, CAST(len(regexp_extract_all(r1, '$AwsPat', 0)) AS BIGINT)
+       |      AS n_aws,
+       |    regexp_replace(r1, '$AwsPat', '<awskey>', 'g') AS r2
+       |  FROM s1
+       |), s3 AS (
+       |  SELECT *, CAST(len(regexp_extract_all(r2, '$GithubPat', 0)) AS BIGINT)
+       |      AS n_github,
+       |    regexp_replace(r2, '$GithubPat', '<ghtoken>', 'g') AS r3
+       |  FROM s2
+       |), s4 AS (
+       |  SELECT *, CAST(len(regexp_extract_all(r3, '$SlackPat', 0)) AS BIGINT)
+       |      AS n_slack,
+       |    regexp_replace(r3, '$SlackPat', '<slacktoken>', 'g') AS r4
+       |  FROM s3
+       |), s5 AS (
+       |  SELECT *, CAST(len(regexp_extract_all(r4, '$HexPat', 0)) AS BIGINT)
+       |      AS n_hex,
+       |    regexp_replace(r4, '$HexPat', '<hex>', 'g') AS redacted,
        |    list_transform(regexp_extract_all(norm, '$CandPat', 0),
        |      c -> $entExpr) AS ents
-       |  FROM base
+       |  FROM s4
        |)
-       |SELECT doc_id,
-       |  CAST(len(regexp_extract_all(norm, '$PemPat', 0)) AS BIGINT) AS n_pem,
-       |  CAST(len(regexp_extract_all(norm, '$AwsPat', 0)) AS BIGINT) AS n_aws,
-       |  CAST(len(regexp_extract_all(norm, '$GithubPat', 0)) AS BIGINT) AS n_github,
-       |  CAST(len(regexp_extract_all(norm, '$SlackPat', 0)) AS BIGINT) AS n_slack,
-       |  CAST(len(regexp_extract_all(norm, '$HexPat', 0)) AS BIGINT) AS n_hex,
-       |  CAST(len(regexp_extract_all(norm, '$PemPat', 0))
-       |    + len(regexp_extract_all(norm, '$AwsPat', 0))
-       |    + len(regexp_extract_all(norm, '$GithubPat', 0))
-       |    + len(regexp_extract_all(norm, '$SlackPat', 0))
-       |    + len(regexp_extract_all(norm, '$HexPat', 0)) AS BIGINT)
+       |SELECT doc_id, n_pem, n_aws, n_github, n_slack, n_hex,
+       |  CAST(n_pem + n_aws + n_github + n_slack + n_hex AS BIGINT)
        |    AS secrets_total,
        |  CAST(len(ents) AS BIGINT) AS n_candidates,
        |  CAST(len(list_filter(ents, e -> e >= $EntropyBits)) AS BIGINT)
@@ -175,6 +180,6 @@ object SecretScan {
        |  list_max(ents) AS max_entropy,
        |  CAST(length(redacted) AS BIGINT) AS redacted_len,
        |  md5(redacted) AS redacted_hash
-       |FROM red ORDER BY doc_id""".stripMargin
+       |FROM s5 ORDER BY doc_id""".stripMargin
   }
 }

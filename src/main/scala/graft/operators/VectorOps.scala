@@ -1539,13 +1539,18 @@ object VectorOps {
   /** Pure greedy MMR over one query's candidate pool (Carbonell &
     * Goldstein SIGIR'98): candidates (vec_id, relMicro, emb) →
     * (rank, vec_id, relMicro, mmrDeciMicro). Round r picks the
-    * unselected argmax of λ·rel − (1−λ)·max_{s∈selected} cos(·, s)
-    * — the first round has no diversity term (maxSim 0), so it is the
-    * pure relevance argmax. Candidate-candidate cosines quantize to
-    * the 1e-6 grid at birth (the d05 discipline) and the λ mix runs in
-    * tenths, so every comparison is an exact integer on a 1e-7 grid;
-    * ties (score desc, vec_id asc). Pure function — spec-testable
-    * without Spark (the ffdAssign pattern). */
+    * unselected argmax of λ·rel − (1−λ)·max_{s∈selected} cos(·, s);
+    * the FIRST round has no selected set, so it is the pure relevance
+    * argmax (score = λ·rel). The max-similarity term is the TRUE
+    * signed maximum — an anti-similar candidate (negative cosine to
+    * everything selected) gets a diversity BOOST, exactly as the
+    * paper's formula reads (the first cut clamped the term at 0 and
+    * wrongly demoted anti-similar candidates — caught by this round's
+    * review pass, spec-pinned since). Candidate-candidate cosines
+    * quantize to the 1e-6 grid at birth (the d05 discipline) and the
+    * λ mix runs in tenths, so every comparison is an exact integer on
+    * a 1e-7 grid; ties (score desc, vec_id asc). Pure function —
+    * spec-testable without Spark (the ffdAssign pattern). */
   private[graft] def mmrSelect(cands: Array[(Long, Long, Array[Float])],
       k: Int, lambdaTenths: Long): Array[(Long, Long, Long, Long)] = {
     val n = cands.length
@@ -1559,15 +1564,18 @@ object VectorOps {
       else math.round(s / (norms(i) * norms(j)) * 1e6)
     }
     val picked = Array.fill(n)(false)
-    val maxSim = Array.fill(n)(0L)
+    // sentinel: no selected item seen yet -> no diversity term at all
+    val NoSim = Long.MinValue
+    val maxSim = Array.fill(n)(NoSim)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
     var rank = 1L
     while (rank <= k && out.length < n) {
       var best = -1
       var bestScore = Long.MinValue
       for (i <- 0 until n if !picked(i)) {
-        val score = lambdaTenths * cands(i)._2 -
-          (10L - lambdaTenths) * maxSim(i)
+        val score =
+          if (maxSim(i) == NoSim) lambdaTenths * cands(i)._2
+          else lambdaTenths * cands(i)._2 - (10L - lambdaTenths) * maxSim(i)
         if (score > bestScore ||
             (score == bestScore && best >= 0 && cands(i)._1 < cands(best)._1)) {
           best = i; bestScore = score
@@ -1575,8 +1583,10 @@ object VectorOps {
       }
       picked(best) = true
       out += ((rank, cands(best)._1, cands(best)._2, bestScore))
-      for (i <- 0 until n if !picked(i))
-        maxSim(i) = math.max(maxSim(i), cosMicro(i, best))
+      for (i <- 0 until n if !picked(i)) {
+        val c = cosMicro(i, best)
+        maxSim(i) = if (maxSim(i) == NoSim) c else math.max(maxSim(i), c)
+      }
       rank += 1L
     }
     out.toArray

@@ -48,6 +48,22 @@ class Round14MmrSpec extends GraftSpecBase {
     assert(d(rows(2), "mmr_score") < d(rows(1), "mmr_score"))
   }
 
+  test("s15: an anti-similar candidate gets the diversity BOOST (signed max, no 0 clamp)") {
+    // doc2 is anti-parallel to the rank-1 pick: its diversity term is
+    // NEGATIVE, so MMR must promote it over the more relevant doc3
+    // (review-pass fix: the first cut clamped maxSim at 0 and demoted it)
+    val rows = VectorOps.mmrOver(pool(
+      (1L, 0.90, Array(1f, 0f)),
+      (2L, 0.50, Array(-1f, 0f)),
+      (3L, 0.85, Array(0.6f, 0.8f))), 3, 7L)
+      .orderBy("rank").collect()
+    assert(rows.map(l(_, "vec_id")).toSeq === Seq(1L, 2L, 3L))
+    // doc2's score carries the full negative-similarity boost:
+    // 7*0.5e6 - 3*(-1e6) = 6.5e6 deci-micro
+    assert(l(rows(1), "vec_id") === 2L)
+    assert(math.abs(d(rows(1), "mmr_score") - 0.65) < 1e-9)
+  }
+
   test("s15: scores never exceed lambda * rel, ranks are 1..k") {
     val rows = VectorOps.mmrOver(twins, 3, 7L).collect()
     assert(rows.map(l(_, "rank")).sorted.toSeq === Seq(1L, 2L, 3L))
