@@ -143,9 +143,11 @@ object CuratePipeline {
       lmScorer: DataFrame => DataFrame = TextOps.bigramLm,
       lshPairs: Boolean = false,
       nllCeilingQ: Option[Double] = None,
-      htmlInput: Boolean = false): DataFrame =
+      htmlInput: Boolean = false,
+      requireGovernance: Boolean = false): DataFrame =
     p01Finish(p01PartsOf(spark, documents, qualityMin, nllMax,
-      requireGopher, requireC4, lmScorer, lshPairs, nllCeilingQ, htmlInput))
+      requireGopher, requireC4, lmScorer, lshPairs, nllCeilingQ, htmlInput,
+      requireGovernance))
 
   /** Stages 1-5 and the per-doc flag relation. `requireGopher`/
     * `requireC4` compose the t15/t19 rule gates as additional stages
@@ -156,14 +158,19 @@ object CuratePipeline {
     * thresholds bent); the composed path is spec-driven on an engineered
     * multi-line corpus. When a gate is on, the one materialization also
     * carries the RAW text (the rules read symbols and real newlines that
-    * normalization strips) — still one corpus scan. */
+    * normalization strips) — still one corpus scan. `requireGovernance`
+    * (r15) composes c41's license/opt-out gate as a stage in the same
+    * position (flags gain `license`/`opted_out`/`gov_ok`; keep requires
+    * gov_ok) — OFF for the p01 driver entry (the stable baseline), ON in
+    * [[ReleasePipeline.p10ReleaseGoverned]]'s ORACLED release. */
   private[graft] def p01PartsOf(spark: SparkSession, documents: DataFrame,
       qualityMin: Double = QualityMin, nllMax: Double = NllMax,
       requireGopher: Boolean = false, requireC4: Boolean = false,
       lmScorer: DataFrame => DataFrame = TextOps.bigramLm,
       lshPairs: Boolean = false,
       nllCeilingQ: Option[Double] = None,
-      htmlInput: Boolean = false): P01Parts = {
+      htmlInput: Boolean = false,
+      requireGovernance: Boolean = false): P01Parts = {
     graft.functions.Ngrams.register(spark)
 
     // ---- stage 0 (r13, parameter-enabled): HTML main-content
@@ -295,7 +302,7 @@ object CuratePipeline {
       .join(evalG, "g").select(col("doc_id")).distinct()
       .withColumn("contaminated", lit(true))
 
-    // ---- rule gates (t15/t19, parameter-enabled — see scaladoc) -----
+    // ---- rule gates (t15/t19/c41, parameter-enabled — see scaladoc) --
     val gateFlags: Seq[DataFrame] =
       (if (requireGopher)
         Seq(GopherRules.gopherStatsOver(
@@ -306,6 +313,13 @@ object CuratePipeline {
         Seq(C4Filters.c4StatsOver(
             base.select(col("doc_id"), col("text")), split(col("text"), "\n"))
           .select(col("doc_id"), col("c4_pass").as("c4_ok")))
+      else Nil) ++
+      (if (requireGovernance)
+        Seq(Governance.gateOver(
+            base.select(col("doc_id"), col("source"), col("norm")),
+            Governance.registryOf(base))
+          .select(col("doc_id"), col("license"), col("opted_out"),
+            col("gov_keep").as("gov_ok")))
       else Nil)
 
     // ---- flags (c03's audit discipline, one row per input doc) ------
@@ -318,7 +332,8 @@ object CuratePipeline {
         .join(contam, Seq("doc_id"), "left")) { (df, g) => df.join(g, "doc_id") }
     val gateOk: Seq[Column] =
       (if (requireGopher) Seq(col("gopher_ok")) else Nil) ++
-        (if (requireC4) Seq(col("c4_ok")) else Nil)
+        (if (requireC4) Seq(col("c4_ok")) else Nil) ++
+        (if (requireGovernance) Seq(col("gov_ok")) else Nil)
     val flags = withCeil(joined)
       .withColumn("is_eval", col("doc_id") % TextOps.EvalMod === 0)
       .withColumn("neardup_kept",
@@ -373,7 +388,8 @@ object CuratePipeline {
 
     // gate columns appear only when the corresponding parameter is on —
     // the driver entry's schema (defaults off) is unchanged
-    val gateCols = Seq("gopher_ok", "c4_ok").filter(flags.columns.contains)
+    val gateCols = Seq("gopher_ok", "c4_ok", "license", "opted_out", "gov_ok")
+      .filter(flags.columns.contains)
     flags
       .join(weights, Seq("source"), "left")
       .join(packed, Seq("doc_id"), "left")
@@ -509,8 +525,23 @@ object CuratePipeline {
     * ceiling — a literal for the policy-constant chains, a scalar
     * subquery over `nllthr` for p05's derived-median gate (each LM
     * block's nll lives on its own scale). */
-  private[operators] def p01CtesSuffix(nllCeiling: String): String =
-    s"""grams AS (
+  private[operators] def p01CtesSuffix(nllCeiling: String,
+      governance: Boolean = false): String = {
+    val govCte = if (!governance) "" else
+      s"""govreg AS (
+         |  SELECT DISTINCT md5(norm) AS ch FROM norm
+         |  WHERE substr(md5(norm), 1, 1) = '0'
+         |), """.stripMargin
+    val govCols = if (!governance) "" else
+      s"""    ${Governance.licenseSql("n.source")} AS license,
+         |    gr.ch IS NOT NULL AS opted_out,
+         |    ${Governance.licenseOkSql(Governance.licenseSql("n.source"))}
+         |      AND gr.ch IS NULL AS gov_ok,
+         |""".stripMargin
+    val govJoin = if (!governance) "" else
+      "  LEFT JOIN govreg gr ON gr.ch = md5(n.norm)\n"
+    val govKeep = if (!governance) "" else " AND gov_ok"
+    s"""${govCte}grams AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),
        |    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS g
        |  FROM toks
@@ -523,7 +554,7 @@ object CuratePipeline {
        |  SELECT n.doc_id, n.lang, n.source, q.n_tokens,
        |    s1.exact_canonical,
        |    s1.exact_canonical AND coalesce(kf.is_keeper, TRUE) AS neardup_kept,
-       |    (q.n_tokens BETWEEN $LenMin AND $LenMax)
+       |$govCols    (q.n_tokens BETWEEN $LenMin AND $LenMax)
        |      AND q.quality_score >= $QualityMin AS quality_ok,
        |    lm.nll IS NOT NULL AND lm.nll <= $nllCeiling AS lm_ok,
        |    (n.doc_id % ${TextOps.EvalMod} <> 0) AND ct.doc_id IS NULL AS decontam_ok,
@@ -533,8 +564,8 @@ object CuratePipeline {
        |  LEFT JOIN kflag kf ON kf.doc_id = n.doc_id
        |  LEFT JOIN lmnll lm ON lm.doc_id = n.doc_id
        |  LEFT JOIN contam ct ON ct.doc_id = n.doc_id
-       |), flags2 AS (
-       |  SELECT *, exact_canonical AND neardup_kept AND quality_ok
+       |$govJoin), flags2 AS (
+       |  SELECT *, exact_canonical AND neardup_kept$govKeep AND quality_ok
        |    AND lm_ok AND decontam_ok AS keep
        |  FROM flags
        |), kept AS (
@@ -561,12 +592,20 @@ object CuratePipeline {
        |    (end_off - 1) // $PackCap - (end_off - n_tok) // $PackCap + 1 AS n_chunks
        |  FROM pk
        |)""".stripMargin
+  }
 
   /** The stage-1..7 CTE chain — ONE definition `p01Sql` and
     * [[ReleasePipeline.p02Sql]] both extend, so the pipeline and its
     * release tail cannot drift (t16's shared-CTE discipline). */
   private[operators] val p01Ctes: String =
     s"$P01CtesPrefix, $T13LmCtes, ${p01CtesSuffix(NllMax.toString)}"
+
+  /** The GOVERNED chain (r15): p01's prefix + LM block with the c41
+    * license/opt-out gate spliced into the one suffix definition —
+    * [[ReleasePipeline.p10Sql]] extends it the way p02Sql extends
+    * [[p01Ctes]]. */
+  private[operators] val p10Ctes: String =
+    s"$P01CtesPrefix, $T13LmCtes, ${p01CtesSuffix(NllMax.toString, governance = true)}"
 
   /** The shared final projection over any assembled CTE chain. */
   private def pipelineSelect(ctes: String): String =

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** c41: GOVERNANCE GATE — the opt-out / license stage every public
+  * corpus release documents (Common Crawl robots opt-outs, Spawning's
+  * Do-Not-Train registry, The Stack's permissive-license filter and
+  * per-repo opt-out list) and the one stage the curation chain was
+  * missing beside quality/PII/secrets/contamination (r14 VERDICT #3):
+  *
+  *   - LICENSE TAG per document, derived from its source by a fixed
+  *     deterministic policy ([[licenseOf]] — the c13 `nameWeight`
+  *     discipline: in production this is a metadata JOIN against the
+  *     ingest catalog; the driver derives the tag from the source name
+  *     so the policy is reproducible on any engine). Licenses outside
+  *     [[AllowedLicenses]] fail `license_ok` — The Stack's
+  *     permissive-only rule.
+  *   - OPT-OUT REGISTRY anti-join, CONTENT-KEYED the way real registries
+  *     are (Spawning DNT keys by content/URL hash, HaveIBeenTrained by
+  *     perceptual hash): the registry relation carries md5 content
+  *     hashes; a document is opted out iff its md5(norm) appears. The
+  *     driver registry is the deterministic hash-slice
+  *     `substr(md5(norm), 1, 1) = '0'` (~1/16 of content — a registry
+  *     the corpus can derive reproducibly), and the gate is a genuine
+  *     LEFT JOIN on the content hash so swapping in an external
+  *     registry file changes one relation, not the plan.
+  *
+  * Output: one row per document with its tag and verdicts (c03's
+  * audit-flag discipline — detect-and-flag here; the DROP happens
+  * composed in p01's gate via `requireGovernance`, p10's release, and
+  * the c42 manifest). ORACLED hash-exact.
+  *
+  * Scale shape: the license tag is a row-local expression; the opt-out
+  * probe joins (doc_id, 32-char hash) against a registry that is tiny
+  * relative to the corpus (broadcast at production scale; the d13
+  * pre-filter argument applies if it ever isn't). No text shuffles.
+  *
+  * Reference analog: `DeleteBatch.groovy`'s anti-join deletion — remove
+  * exactly the registered set, report what was removed — applied as a
+  * pre-release compliance stage.
+  */
+object Governance {
+
+  /** The license classes the policy assigns, in tag-index order. */
+  private[graft] val LicenseClasses: Seq[String] =
+    Seq("cc-by", "cc-by-sa", "cc-nc", "all-rights-reserved")
+
+  /** Licenses a release may ship (The Stack's permissive-only shape:
+    * everything but all-rights-reserved). */
+  private[graft] val AllowedLicenses: Set[String] =
+    Set("cc-by", "cc-by-sa", "cc-nc")
+
+  /** Deterministic source → license tag: index = (5·len(source) +
+    * ascii(last char)) mod 4 into [[LicenseClasses]] — the c13
+    * `nameWeight` discipline (engine-identical integer arithmetic; in
+    * production this is the ingest catalog's metadata join). */
+  private[graft] def licenseOf(source: Column): Column = {
+    // substring(-1, 1) = last char ≡ the oracle's right(src, 1)
+    val idx = pmod(length(source) * 5 + ascii(substring(source, -1, 1)),
+      lit(4))
+    LicenseClasses.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, (lic, i)) => when(idx === i, lit(lic)).otherwise(acc)
+    }
+  }
+
+  private[graft] def licenseSql(src: String): String =
+    s"""CASE (length($src) * 5 + ascii(right($src, 1))) % 4
+       |    WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-by-sa'
+       |    WHEN 2 THEN 'cc-nc' ELSE 'all-rights-reserved' END""".stripMargin
+
+  private[graft] def licenseOkSql(lic: String): String =
+    s"$lic IN ('cc-by', 'cc-by-sa', 'cc-nc')"
+
+  /** The driver's deterministic content-hash opt-out registry over any
+    * (…, norm) relation: every md5 whose first hex nibble is '0'
+    * (~1/16). A deployment replaces this one relation with the external
+    * registry file — the probe below is registry-agnostic. */
+  private[graft] def registryOf(normed: DataFrame): DataFrame =
+    normed.select(md5(col("norm")).as("ch"))
+      .filter(substring(col("ch"), 1, 1) === "0")
+      .distinct()
+
+  /** The gate over any (doc_id, source, norm) relation and content-hash
+    * registry (`ch` column): license tag + verdicts, one row per doc.
+    * The registry side is tiny (it lists opted-out content, not the
+    * corpus) — broadcast it. */
+  private[graft] def gateOver(docs: DataFrame, registry: DataFrame): DataFrame =
+    docs
+      .withColumn("ch", md5(col("norm")))
+      .join(broadcast(registry.withColumn("opted", lit(true))),
+        Seq("ch"), "left")
+      .withColumn("opted_out", coalesce(col("opted"), lit(false)))
+      .withColumn("license", licenseOf(col("source")))
+      .withColumn("license_ok",
+        col("license").isInCollection(AllowedLicenses))
+      .withColumn("gov_keep", col("license_ok") && !col("opted_out"))
+      .select("doc_id", "source", "license", "opted_out", "license_ok",
+        "gov_keep")
+
+  /** c41 driver entry. */
+  def c41GovernanceGate(spark: SparkSession, dir: String): DataFrame = {
+    val t = Tables(spark, dir)
+    val docs = t.spread(t.documents)
+      .select(col("doc_id"), col("source"),
+        TextOps.normText(col("text")).as("norm"))
+    gateOver(docs, registryOf(docs)).orderBy("doc_id")
+  }
+
+  val c41Sql: String = {
+    import TextOps.NormSql
+    s"""WITH base AS (
+       |  SELECT doc_id, source, md5($NormSql) AS ch FROM documents
+       |), registry AS (
+       |  SELECT DISTINCT ch FROM base WHERE substr(ch, 1, 1) = '0'
+       |), tagged AS (
+       |  SELECT b.doc_id, b.source,
+       |    ${licenseSql("b.source")} AS license,
+       |    r.ch IS NOT NULL AS opted_out
+       |  FROM base b LEFT JOIN registry r ON b.ch = r.ch
+       |)
+       |SELECT doc_id, source, license, opted_out,
+       |  ${licenseOkSql("license")} AS license_ok,
+       |  ${licenseOkSql("license")} AND NOT opted_out AS gov_keep
+       |FROM tagged ORDER BY doc_id""".stripMargin
+  }
+}

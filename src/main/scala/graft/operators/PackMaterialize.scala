@@ -179,8 +179,10 @@ object PackMaterialize {
         "split_win_idx")
   }
 
-  /** c33 driver entry: the corpus' own cached t10 tokenizer (train-once
-    * session lifecycle, shared with t10/t11), c26's window cap. */
+  /** c33 library entry: the corpus' own cached t10 tokenizer (train-once
+    * session lifecycle, shared with t10/t11), c26's window cap. Returns
+    * the REAL loader shape (token_ids: array&lt;int&gt;, members:
+    * array&lt;struct&gt;) — what a dataloader memory-maps. */
   def c33PackMaterialize(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docsDf = t.spread(t.documents)
@@ -190,6 +192,33 @@ object PackMaterialize {
     materializeOver(docsDf.select(col("doc_id"), col("lang"), col("text")),
       dict, PackBestfit.PackCap)
   }
+
+  /** The 128-bit content identity of an ordered id array — md5 of the
+    * comma-joined decimal ids. ONE definition shared by d16's whash and
+    * the driver projections, so the dedup key and the driver-facing
+    * fingerprint cannot drift. */
+  private[graft] def idsMd5(ids: Column): Column =
+    md5(concat_ws(",", transform(ids, i => i.cast("string"))))
+
+  /** Driver-stable scalar projection of a windows relation: token_ids →
+    * ids_md5 ([[idsMd5]], d16's exact whash discipline) and members →
+    * members_json (to_json; struct field order is fixed by the schema,
+    * so the string is deterministic). The ARRAY form stays the library
+    * API — this projection exists because the driver's comparator
+    * lexsorts every output column and array cells are unhashable there
+    * (r14 VERDICT #1); it is content-lossless for comparison purposes
+    * (128-bit id fingerprint + the full member index as text).
+    * Round15DriverProjSpec pins projection ↔ array equivalence. */
+  private[graft] def driverWindows(win: DataFrame): DataFrame =
+    win
+      .withColumn("ids_md5", idsMd5(col("token_ids")))
+      .withColumn("members_json", to_json(col("members")))
+      .drop("token_ids", "members")
+
+  /** c33 DRIVER entry: [[c33PackMaterialize]] under the scalar
+    * projection (rows-only — the encoder is the trained t10 artifact). */
+  def c33PackMaterializeDriver(spark: SparkSession, dir: String): DataFrame =
+    driverWindows(c33PackMaterialize(spark, dir))
 
   // ---------------------------------------------------------------- d16
   /** d16: WINDOW-LEVEL exact dedup — the LAST-LINE dedup a training run
@@ -213,24 +242,30 @@ object PackMaterialize {
     * is bounded by the duplication factor itself. Rows-only (windows
     * are trained-encoder output); Round14WindowDedupSpec pins the
     * cross-shard duplicate-group path, singleton identity, exactly one
-    * canonical per group, and driver determinism. */
-  private[graft] def windowDedupOver(windows: DataFrame): DataFrame = {
+    * canonical per group, and driver determinism.
+    *
+    * `idCols` names the window relation's leading identity columns —
+    * (lang, shard) for c33's corpus-wide windows, (split, shard_id) for
+    * p07's release windows (p09) — so the SAME dedup definition states
+    * the sequence-level guarantee on both the standalone materialization
+    * and the artifact that actually ships. */
+  private[graft] def windowDedupOver(windows: DataFrame,
+      idCols: Seq[String] = Seq("lang", "shard")): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val keyed = windows.select(col("lang"), col("shard"), col("kind"),
-      col("window_id"), col("split_doc_id"), col("split_win_idx"),
-      col("n_fill"),
-      md5(concat_ws(",", transform(col("token_ids"),
-        i => i.cast("string")))).as("whash"))
+    val ident = idCols ++
+      Seq("kind", "window_id", "split_doc_id", "split_win_idx")
+    val keyed = windows.select(
+      ident.map(col) ++ Seq(col("n_fill"),
+        idsMd5(col("token_ids")).as("whash")): _*)
     val grp = Window.partitionBy(col("whash"))
-    val ord = grp.orderBy(col("lang"), col("shard"), col("kind"),
-      col("window_id"), col("split_doc_id"), col("split_win_idx"))
+    val ord = grp.orderBy(ident.map(col): _*)
     keyed
       .withColumn("dup_group_size", count(lit(1))
         .over(grp.rowsBetween(Window.unboundedPreceding,
           Window.unboundedFollowing)).cast("long"))
       .withColumn("is_canonical", row_number().over(ord) === 1)
-      .select("lang", "shard", "kind", "window_id", "split_doc_id",
-        "split_win_idx", "n_fill", "whash", "dup_group_size", "is_canonical")
+      .select((ident ++ Seq("n_fill", "whash", "dup_group_size",
+        "is_canonical")).map(col): _*)
   }
 
   /** d16 driver entry: dedup over c33's own materialized windows (the

@@ -134,11 +134,13 @@ object ReleasePipeline {
     * relation straight into [[tailFrom]]; p06 writes it ONCE as a
     * bucketed stage table and runs the tail FROM the table — the
     * production shape the p02 scaladoc claims. */
-  private[graft] def stagedRelation(parts: CuratePipeline.P01Parts): DataFrame = {
+  private[graft] def stagedRelation(parts: CuratePipeline.P01Parts,
+      extraCols: Seq[String] = Nil): DataFrame = {
     // the unit of split assignment is the near-dup CLUSTER canonical
     // (min id, singletons = self) — same cluster, same split
     val kept = parts.flags.filter(col("keep"))
-      .select("doc_id", "lang", "source", "n_tokens")
+      .select((Seq("doc_id", "lang", "source", "n_tokens") ++ extraCols)
+        .map(col): _*)
     kept
       .join(parts.members.select(col("node"), col("component")),
         kept("doc_id") === col("node"), "left")
@@ -150,9 +152,12 @@ object ReleasePipeline {
   }
 
   /** Stages R1-R4 over a staged relation (from [[stagedRelation]]
-    * directly, or read back from the p06 stage table). */
+    * directly, or read back from the p06 stage table). With `governed`
+    * the staged relation carries c41's `license` tag; the tail adds the
+    * per-(split, license) audit — the license-mix accounting a governed
+    * release datasheets — and ships the tag on every row. */
   private[graft] def tailFrom(staged: DataFrame,
-      nShards: Int = NShards): DataFrame = {
+      nShards: Int = NShards, governed: Boolean = false): DataFrame = {
     import staged.sparkSession.implicits._
     // ---- stage R1: c20 leak-free split over the KEPT corpus ---------
     val assigned = staged
@@ -219,19 +224,31 @@ object ReleasePipeline {
         round(expr("percentile(n_tokens, 0.5)"), 6).as("src_p50_tokens"),
         round(expr("percentile(n_tokens, 0.9)"), 6).as("src_p90_tokens"))
 
-    ranked
+    val joined = ranked
       .join(splitAudit, Seq("split"))
       .join(shardAudit, Seq("split", "shard_id"))
       .join(sheet, Seq("split", "source"))
       .join(packCols, Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("source"), col("canonical"),
+    val withGov =
+      if (!governed) joined
+      else {
+        val licAudit = sharded.groupBy(col("split"), col("license"))
+          .agg(count(lit(1)).as("lic_docs"),
+            sum(col("n_tokens")).as("lic_tokens"))
+        joined.join(licAudit, Seq("split", "license"))
+      }
+    val govCols =
+      if (!governed) Nil
+      else Seq(col("license"), col("lic_docs"), col("lic_tokens"))
+    withGov
+      .select(Seq(col("doc_id"), col("lang"), col("source"), col("canonical"),
         col("split"), col("shard_id"), col("shard_pos"), col("n_tokens"),
         col("pack_bin"), col("pack_pos"), col("pack_split_doc"),
         col("pack_windows"),
         col("split_docs"), col("split_tokens"),
         col("shard_docs"), col("shard_tokens"),
         col("src_docs"), col("src_tokens"), col("src_langs"),
-        col("src_p50_tokens"), col("src_p90_tokens"))
+        col("src_p50_tokens"), col("src_p90_tokens")) ++ govCols: _*)
       .orderBy("doc_id")
   }
 
@@ -270,6 +287,68 @@ object ReleasePipeline {
     releaseWindowsOver(spark, docsDf, dict)
   }
 
+  /** p07 DRIVER entry: [[p07ReleaseWindows]] under the driver-stable
+    * scalar projection ([[PackMaterialize.driverWindows]] — token_ids →
+    * ids_md5, members → members_json; the array form stays the library
+    * API). Rows-only (trained encoder). */
+  def p07ReleaseWindowsDriver(spark: SparkSession, dir: String): DataFrame =
+    PackMaterialize.driverWindows(p07ReleaseWindows(spark, dir))
+
+  /** p09: the SEQUENCE-LEVEL DEDUP GUARANTEE stated on the artifact that
+    * actually SHIPS — d16's window dedup ([[PackMaterialize
+    * .windowDedupOver]], the one hash/canonical definition) run over
+    * p07's (split, shard) release windows instead of c33's corpus-wide
+    * ones (r14 VERDICT #2: d16 proved the mechanism, but the loader
+    * memory-maps p07's layout, so the guarantee belongs HERE). Emits one
+    * row per release window with its 128-bit content hash, duplicate-
+    * group size, and deterministic canonical mark.
+    *
+    * Why this must be an AUDIT, not a derived theorem: the document-
+    * level guarantees (p01's exact dedup + near-dup clustering + c20's
+    * cluster-keyed split) do NOT imply window-level uniqueness — packing
+    * CONCATENATES encodings, and concatenation has boundary collisions:
+    * docs {"a b c d e", "f g h i j"} packed together are bit-identical
+    * to the single doc "a b c d e f g h i j" packed elsewhere, even
+    * across splits, while all three documents are distinct and share no
+    * 3-gram majority (Round15ReleaseWindowDedupSpec engineers exactly
+    * this through the REAL curation+release path and pins that p09
+    * catches it). So p09 turns the document-level contamination
+    * guarantee into the MEASURED window-level statement a trainer cares
+    * about — no repeated gradient steps, no train window bit-identical
+    * to a test window — with the driver corpus spec-pinned at zero
+    * duplicate windows shipped. Scale shape = d16's: only (identity,
+    * 32-char hash) shuffle; token ids never leave their partition.
+    * Rows-only (trained encoder). */
+  def p09ReleaseWindowDedup(spark: SparkSession, dir: String): DataFrame =
+    PackMaterialize.windowDedupOver(
+        p07ReleaseWindows(spark, dir), Seq("split", "shard_id"))
+      .orderBy("split", "shard_id", "kind", "window_id", "split_doc_id",
+        "split_win_idx")
+
+  /** p10: the GOVERNED RELEASE (r15, the r14 VERDICT #3 governance
+    * gate) — p02's tail over p01 with c41's license/opt-out stage
+    * composed (`requireGovernance`): restricted-license and opted-out
+    * documents never reach the split/shard/pack stages (the Common
+    * Crawl opt-out + The-Stack permissive-license shape every public
+    * corpus release documents), every shipped row carries its license
+    * tag, and the per-(split, license) audit is the license-mix
+    * accounting a governed release datasheets. The gate is one
+    * row-local tag + one broadcast registry probe upstream of the
+    * release tail — the composed plan keeps p02's shape (zero extra
+    * corpus scans). ORACLED hash-exact: the oracle is p02's own tail
+    * text over [[CuratePipeline.p10Ctes]] (the governance variant of
+    * the one suffix definition), so p01, p10, and c41 share every
+    * fragment. Round15GovernanceSpec pins gate composition (kept set =
+    * p02's kept ∩ gov_keep), the license/opt-out fixtures, and audit
+    * consistency. */
+  def p10ReleaseGoverned(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    val t = Tables(spark, dir)
+    val parts = CuratePipeline.p01PartsOf(spark, t.spread(t.documents),
+      requireGovernance = true)
+    tailFrom(stagedRelation(parts, Seq("license")), NShards, governed = true)
+  }
+
   /** The windowed release over any (doc_id, lang, source, text)
     * relation and trained dict — gate/cap-parameterized like
     * [[p02Over]] so specs can force packing and splits. */
@@ -306,17 +385,21 @@ object ReleasePipeline {
   }
 
   /** The release-tail CTEs + projection over any assembled curation
-    * chain — ONE definition p02Sql and p04Sql both instantiate. */
-  private def releaseTail(ctes: String): String =
+    * chain — ONE definition p02Sql, p04Sql, and (with `governed`,
+    * which threads c41's license tag + the per-(split, license) audit)
+    * p10Sql all instantiate. */
+  private def releaseTail(ctes: String, governed: Boolean = false): String = {
+    val licSel = if (governed) "f.license, " else ""
+    val licCol = if (governed) "license, " else ""
     s"""$ctes, keptrel AS (
-       |  SELECT f.doc_id, f.lang, f.source, f.n_tokens,
+       |  SELECT f.doc_id, f.lang, f.source, f.n_tokens, $licSel
        |    coalesce(c.component, f.doc_id) AS canonical, n.norm
        |  FROM flags2 f
        |  JOIN norm n ON n.doc_id = f.doc_id
        |  LEFT JOIN comp c ON c.node = f.doc_id
        |  WHERE f.keep
        |), splitrel AS (
-       |  SELECT doc_id, lang, source, n_tokens, canonical,
+       |  SELECT doc_id, lang, source, n_tokens, ${licCol}canonical,
        |    ${DedupOps.splitCaseSql("canonical")} AS split,
        |    ${TextOps.polyFpSql("norm")} AS fp
        |  FROM keptrel
@@ -358,22 +441,38 @@ object ReleasePipeline {
        |    round(quantile_cont(n_tokens, 0.5), 6) AS src_p50_tokens,
        |    round(quantile_cont(n_tokens, 0.9), 6) AS src_p90_tokens
        |  FROM sharded GROUP BY split, source
-       |)
+       |)${if (!governed) "" else s"""
+       |, lic_audit AS (
+       |  SELECT split, license, CAST(count(*) AS BIGINT) AS lic_docs,
+       |    CAST(sum(n_tokens) AS BIGINT) AS lic_tokens
+       |  FROM sharded GROUP BY split, license
+       |)"""}
        |SELECT r.doc_id, r.lang, r.source, r.canonical,
        |  r.split, r.shard_id, r.shard_pos, r.n_tokens,
        |  pk.pack_bin, pk.pack_pos, pk.pack_split_doc, pk.pack_windows,
        |  sa.split_docs, sa.split_tokens,
        |  ha.shard_docs, ha.shard_tokens,
        |  sh.src_docs, sh.src_tokens, sh.src_langs,
-       |  sh.src_p50_tokens, sh.src_p90_tokens
+       |  sh.src_p50_tokens, sh.src_p90_tokens${if (!governed) "" else
+      """,
+       |  r.license, la.lic_docs, la.lic_tokens"""}
        |FROM ranked r
        |JOIN split_audit sa ON sa.split = r.split
        |JOIN shard_audit ha ON ha.split = r.split AND ha.shard_id = r.shard_id
        |JOIN sheet sh ON sh.split = r.split AND sh.source = r.source
-       |JOIN packrel pk ON pk.doc_id = r.doc_id
+       |JOIN packrel pk ON pk.doc_id = r.doc_id${if (!governed) "" else
+      """
+       |JOIN lic_audit la ON la.split = r.split AND la.license = r.license"""}
        |ORDER BY r.doc_id""".stripMargin
+  }
 
   val p02Sql: String = releaseTail(CuratePipeline.p01Ctes)
 
   val p04Sql: String = releaseTail(CuratePipeline.p03Ctes)
+
+  /** p10's oracle: p02's tail text over the GOVERNANCE variant of p01's
+    * own CTE chain — the one suffix definition with the gate spliced by
+    * parameter, so pipeline, governed pipeline, and release tail share
+    * every fragment. */
+  val p10Sql: String = releaseTail(CuratePipeline.p10Ctes, governed = true)
 }

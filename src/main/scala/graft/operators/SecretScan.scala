@@ -12,7 +12,12 @@ import graft.Tables
   * bounded quantifiers, `\b`; patterns run over [[TextOps.normText]],
   * hence lowercase):
   *
-  *   - PEM private-key headers  (`-----begin …private key-----`)
+  *   - PEM private-key BLOCKS   (`-----begin …private key----- body
+  *     -----end …` — the begin…end spanning form, so the base64 key
+  *     BODY is scrubbed, not just the header; a truncated end marker
+  *     (`-----end` alone) still closes the block, and a block with no
+  *     end marker at all falls back to header-only redaction — the r14
+  *     ADVICE fix, spec-pinned on the truncated-end fixture)
   *   - AWS access key ids       (akia + 16 alnum)
   *   - GitHub tokens            (ghp_ + 36 alnum)
   *   - Slack tokens             (xox[abprs]- …)
@@ -32,12 +37,17 @@ import graft.Tables
   * runs on the rounded value (the standing measure-zero grid-edge
   * class — accepted, not defended).
   *
-  * Redaction is SEQUENTIAL (pem → aws → github → slack → hex) so
-  * placeholders never re-match a later rule, mirrored in the oracle in
-  * the same order; the redacted text ships as an md5 (no text to the
-  * driver). Entropy candidates are DETECTED but not redacted — the
-  * entropy gate is a reviewer signal (its false-positive class is real
-  * words glued together), the regex families are the scrubber.
+  * Redaction is SEQUENTIAL (pem-block → pem-header → aws → github →
+  * slack → hex) so placeholders never re-match a later rule, mirrored
+  * in the oracle in the same order; the redacted text ships as an md5
+  * (no text to the driver). Entropy candidates are DETECTED but not
+  * redacted — the entropy gate is a reviewer signal (its
+  * false-positive class is real words glued together), the regex
+  * families are the scrubber. Candidates are extracted from the
+  * POST-redaction text, so n_candidates/n_flagged report only what the
+  * regex families did NOT already scrub (a ghp_ token body no longer
+  * double-reports as a high-entropy candidate — the r14 ADVICE fix,
+  * matching the sequential-counting rationale of secrets_total).
   *
   * The synthetic driver corpus is secret-free, so the driver entry pins
   * the zero-match identity path (redacted ≡ norm) exactly like t17;
@@ -51,6 +61,18 @@ import graft.Tables
   */
 object SecretScan {
   // -- regex families (lowercase: patterns run over normText) ----------
+  /** Full begin…end PEM block. normText collapses all whitespace to
+    * single spaces, so `.` spans the (originally multi-line) base64
+    * body without needing a dotall flag — identical semantics in Java
+    * regex and DuckDB's RE2. The end marker's tail is OPTIONAL so a
+    * truncated `-----end` still closes the block; the lazy `.*?` stops
+    * at the EARLIEST end marker so two concatenated blocks redact as
+    * two, not one. */
+  private[graft] val PemBlockPat =
+    "-----begin [a-z ]{0,30}private key-----.*?-----end( [a-z ]{0,30}private key-----)?"
+
+  /** Orphan PEM header (no end marker anywhere) — the fallback after
+    * [[PemBlockPat]] has consumed every closable block. */
   private[graft] val PemPat = "-----begin [a-z ]{0,30}private key-----"
   private[graft] val AwsPat = "\\bakia[a-z0-9]{16}\\b"
   private[graft] val GithubPat = "\\bghp_[a-z0-9]{36}\\b"
@@ -95,13 +117,13 @@ object SecretScan {
   private[graft] def secretScanOver(documents: DataFrame): DataFrame = {
     def cnt(on: Column, pat: String): Column =
       size(regexp_extract_all(on, lit(pat), lit(0))).cast("long")
-    val ents = transform(
-      regexp_extract_all(col("norm"), lit(CandPat), lit(0)),
-      c => entropyOf(c))
     documents
       .select(col("doc_id"), TextOps.normText(col("text")).as("norm"))
-      .withColumn("n_pem", cnt(col("norm"), PemPat))
-      .withColumn("r1", regexp_replace(col("norm"), PemPat, "<pem>"))
+      .withColumn("n_pem_blk", cnt(col("norm"), PemBlockPat))
+      .withColumn("r0", regexp_replace(col("norm"), PemBlockPat, "<pem>"))
+      .withColumn("n_pem_hdr", cnt(col("r0"), PemPat))
+      .withColumn("n_pem", col("n_pem_blk") + col("n_pem_hdr"))
+      .withColumn("r1", regexp_replace(col("r0"), PemPat, "<pem>"))
       .withColumn("n_aws", cnt(col("r1"), AwsPat))
       .withColumn("r2", regexp_replace(col("r1"), AwsPat, "<awskey>"))
       .withColumn("n_github", cnt(col("r2"), GithubPat))
@@ -113,7 +135,9 @@ object SecretScan {
       .withColumn("secrets_total",
         col("n_pem") + col("n_aws") + col("n_github") + col("n_slack")
           + col("n_hex"))
-      .withColumn("ents", ents)
+      .withColumn("ents", transform(
+        regexp_extract_all(col("redacted"), lit(CandPat), lit(0)),
+        c => entropyOf(c)))
       .withColumn("n_candidates", size(col("ents")).cast("long"))
       .withColumn("n_flagged",
         size(filter(col("ents"), e => e >= EntropyBits)).cast("long"))
@@ -143,11 +167,18 @@ object SecretScan {
       s"""round(log2(CAST(length(c) AS DOUBLE)) - ($sumKLogK) / length(c), 6)"""
     s"""WITH base AS (
        |  SELECT doc_id, $NormSql AS norm FROM documents
+       |), s0 AS (
+       |  SELECT doc_id, norm,
+       |    CAST(len(regexp_extract_all(norm, '$PemBlockPat', 0)) AS BIGINT)
+       |      AS n_pem_blk,
+       |    regexp_replace(norm, '$PemBlockPat', '<pem>', 'g') AS r0
+       |  FROM base
        |), s1 AS (
        |  SELECT doc_id, norm,
-       |    CAST(len(regexp_extract_all(norm, '$PemPat', 0)) AS BIGINT) AS n_pem,
-       |    regexp_replace(norm, '$PemPat', '<pem>', 'g') AS r1
-       |  FROM base
+       |    CAST(n_pem_blk
+       |      + len(regexp_extract_all(r0, '$PemPat', 0)) AS BIGINT) AS n_pem,
+       |    regexp_replace(r0, '$PemPat', '<pem>', 'g') AS r1
+       |  FROM s0
        |), s2 AS (
        |  SELECT *, CAST(len(regexp_extract_all(r1, '$AwsPat', 0)) AS BIGINT)
        |      AS n_aws,
@@ -166,10 +197,12 @@ object SecretScan {
        |), s5 AS (
        |  SELECT *, CAST(len(regexp_extract_all(r4, '$HexPat', 0)) AS BIGINT)
        |      AS n_hex,
-       |    regexp_replace(r4, '$HexPat', '<hex>', 'g') AS redacted,
-       |    list_transform(regexp_extract_all(norm, '$CandPat', 0),
-       |      c -> $entExpr) AS ents
+       |    regexp_replace(r4, '$HexPat', '<hex>', 'g') AS redacted
        |  FROM s4
+       |), s6 AS (
+       |  SELECT *, list_transform(regexp_extract_all(redacted, '$CandPat', 0),
+       |      c -> $entExpr) AS ents
+       |  FROM s5
        |)
        |SELECT doc_id, n_pem, n_aws, n_github, n_slack, n_hex,
        |  CAST(n_pem + n_aws + n_github + n_slack + n_hex AS BIGINT)
@@ -180,6 +213,6 @@ object SecretScan {
        |  list_max(ents) AS max_entropy,
        |  CAST(length(redacted) AS BIGINT) AS redacted_len,
        |  md5(redacted) AS redacted_hash
-       |FROM s5 ORDER BY doc_id""".stripMargin
+       |FROM s6 ORDER BY doc_id""".stripMargin
   }
 }

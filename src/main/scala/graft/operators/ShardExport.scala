@@ -121,14 +121,20 @@ object ShardExport {
     * `Σ fp mod p` (catches the duplicated-pair case XOR cancels) — plus
     * the fp range. Every aggregate is distributive/map-side combined;
     * the manifest is nShards rows. */
+  /** The core manifest aggregates — ONE list [[manifestOver]] (c28/p08)
+    * and c42's licensed manifest share, so the checksum definitions
+    * cannot drift. */
+  private def manifestAggCols: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(col("n_tokens")).as("n_tokens"),
+    expr("bit_xor(fp)").as("fp_xor"),
+    sum(pmod(col("fp"), lit(ManifestMod))).as("fp_modsum"),
+    min(col("fp")).as("fp_min"),
+    max(col("fp")).as("fp_max"))
+
   private[graft] def manifestOver(rows: DataFrame): DataFrame =
     rows.groupBy(col("shard_id"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"),
-        expr("bit_xor(fp)").as("fp_xor"),
-        sum(pmod(col("fp"), lit(ManifestMod))).as("fp_modsum"),
-        min(col("fp")).as("fp_min"),
-        max(col("fp")).as("fp_max"))
+      .agg(manifestAggCols.head, manifestAggCols.tail: _*)
       .orderBy("shard_id")
 
   /** c28: the release MANIFEST — the reproducibility artifact a shipped
@@ -175,6 +181,75 @@ object ShardExport {
        |  CAST(min(fp) AS BIGINT) AS fp_min,
        |  CAST(max(fp) AS BIGINT) AS fp_max
        |FROM sharded GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
+  // ---------------------------------------------------------------- c42
+  /** c42: the LICENSED release manifest (r15, the governance tail of the
+    * r14 VERDICT #3 ask — "carry license tags into c28's manifest"):
+    * c28's per-shard reproducibility artifact computed over the GOVERNED
+    * corpus (c41's gate applied first — restricted-license and opted-out
+    * documents are out BEFORE sharding) and extended with license
+    * provenance: `n_licenses`, the sorted tag list `licenses` (the line
+    * a consumer reads to know what rights ship in each shard — the
+    * RedPajama/Dolma datasheet convention), and `n_restricted` — 0 by
+    * construction post-gate, but the column EXISTS so a consumer
+    * VERIFIES the permissive-only claim from the manifest alone instead
+    * of trusting it (the manifestVerify philosophy; the c41 spec pins a
+    * non-zero count on an ungated corpus). Same distributive shape as
+    * c28 (the license aggs are a countDistinct + a bounded collect_set
+    * over ≤ 4 tags); nShards rows. ORACLED hash-exact — the oracle
+    * extends c41's own CTE text + c19's base, so gate and manifest
+    * cannot drift. */
+  def c42ManifestLicensed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    val t = Tables(spark, dir)
+    val docs = t.spread(t.documents)
+      .select(col("doc_id"), col("source"),
+        TextOps.normText(col("text")).as("norm"))
+    val gate = Governance.gateOver(docs, Governance.registryOf(docs))
+    val rows = docs
+      .withColumn("fp", TextOps.polyFp(col("norm")))
+      .withColumn("n_tokens", size(split(col("norm"), " ")).cast("long"))
+      .withColumn("shard_id", shardId(col("fp"), NShards))
+      .join(gate.filter(col("gov_keep")).select("doc_id", "license"), "doc_id")
+    val aggs = manifestAggCols ++ Seq(
+      countDistinct(col("license")).as("n_licenses"),
+      array_join(array_sort(collect_set(col("license"))), ",").as("licenses"),
+      count(when(!col("license").isInCollection(Governance.AllowedLicenses), 1))
+        .as("n_restricted"))
+    rows.groupBy(col("shard_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy("shard_id")
+  }
+
+  val c42Sql: String = {
+    import TextOps.{polyFpSql, NormSql}
+    s"""WITH base AS (
+       |  SELECT doc_id, source, $NormSql AS norm,
+       |    ${polyFpSql(NormSql)} AS fp,
+       |    CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS n_tokens,
+       |    md5($NormSql) AS ch
+       |  FROM documents
+       |), registry AS (
+       |  SELECT DISTINCT ch FROM base WHERE substr(ch, 1, 1) = '0'
+       |), gated AS (
+       |  SELECT b.doc_id, b.fp, b.n_tokens, b.fp % $NShards AS shard_id,
+       |    ${Governance.licenseSql("b.source")} AS license
+       |  FROM base b LEFT JOIN registry r ON b.ch = r.ch
+       |  WHERE r.ch IS NULL
+       |    AND ${Governance.licenseOkSql(Governance.licenseSql("b.source"))}
+       |)
+       |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(bit_xor(fp) AS BIGINT) AS fp_xor,
+       |  CAST(sum(fp % $ManifestMod) AS BIGINT) AS fp_modsum,
+       |  CAST(min(fp) AS BIGINT) AS fp_min,
+       |  CAST(max(fp) AS BIGINT) AS fp_max,
+       |  CAST(count(DISTINCT license) AS BIGINT) AS n_licenses,
+       |  string_agg(DISTINCT license, ',' ORDER BY license) AS licenses,
+       |  CAST(count(CASE WHEN NOT (${Governance.licenseOkSql("license")})
+       |    THEN 1 END) AS BIGINT) AS n_restricted
+       |FROM gated GROUP BY shard_id ORDER BY shard_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- p08
   /** p08's shard count: finer than [[NShards]] so a small revision

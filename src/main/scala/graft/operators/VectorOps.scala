@@ -1096,7 +1096,8 @@ object VectorOps {
     *
     * Shape: each rung's own plan (their documented scale shapes), then
     * ONE tagged union → one broadcast-able join against the 50-row
-    * truth relation → one 8-group aggregate. Rows-only by necessity
+    * truth relation → one 9-group aggregate (s17's graph rung joined
+    * the ladder in r15). Rows-only by necessity
     * (the rungs are xxhash64/k-means-quantizer-based); gated by
     * Round11RecallSpec's per-rung floors. */
   def s12AnnRecallAudit(spark: SparkSession, dir: String): DataFrame = {
@@ -1111,7 +1112,8 @@ object VectorOps {
       ("s08_ivfpq_res", 3, s08AnnIvfPqResidual(spark, dir)),
       ("s09_indexed", 3, s09AnnIndexed(spark, dir)),
       ("s10_filtered", 5, s10AnnFiltered(spark, dir)),
-      ("s14_sq8", 3, s14AnnSq8(spark, dir)))
+      ("s14_sq8", 3, s14AnnSq8(spark, dir)),
+      ("s17_graph", 3, s17AnnGraph(spark, dir)))
     val tagged = rungs.map { case (name, k, df) =>
         df.select(lit(name).as("rung"), lit(k).as("k"),
           col("query_id"), col("vec_id"))
@@ -1170,6 +1172,117 @@ object VectorOps {
         round(col("n_hits").cast("double") / (col("n_queries") * 3), 6))
       .select("family", "param", "n_queries", "n_retrieved", "n_hits", "recall")
       .orderBy("family", "param")
+  }
+
+  // ---------------------------------------------------------------- s17
+  /** Graph-rung geometry (DEMO-SCALE like [[IvfLists]]; production
+    * numbers in the s17 scaladoc). Measured recall@3 at sf0.001:
+    * 0.27 at (m 8, beam 8), 0.57 at this geometry, 0.60 at
+    * (m 24, beam 24, hops 5) — the curve saturates because the BUILD
+    * (same-list candidate pairs) bounds reachable recall, not the
+    * search; wider builds (multi-probe assignment, NN-descent rounds)
+    * are the documented path past it, exactly d14's build-recall
+    * caveat. */
+  private val GraphDegree = 16
+  private val GraphEntries = 8
+  private val GraphBeam = 16
+  private val GraphHops = 3
+
+  /** Bounded kNN-graph build: candidate pairs are SAME-IVF-LIST pairs
+    * (the blocked build every graph index uses at scale — NN-descent,
+    * DiskANN's partition-and-merge — reusing the session-cached coarse
+    * quantizer), top-`m` out-edges per node by exact cosine via the
+    * bounded [[TopKByScore]] aggregate. The edge relation is the
+    * STANDING ARTIFACT of a graph index: (src, dst, cos) longs, degree
+    * ≤ m by construction, no vector payloads. Work is Σ per-list², the
+    * IVF-balanced blocked quadratic — never corpus-quadratic. */
+  private[graft] def graphEdges(v: DataFrame, centroids: DataFrame,
+      m: Int): DataFrame = {
+    val assigned = assignToLists(v, centroids)
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.list_id") === col("b.list_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"),
+        round(cosineWithNorms(col("a.embedding"), col("b.embedding"),
+          col("a.nrm"), col("b.nrm")), 6).as("cos_sim"),
+        col("b.vec_id").as("dst"))
+    topKPerGroup(pairs, m, col("cos_sim"), col("dst"), lit(0L), col("src"))
+      .select(col("src"), col("id").as("dst"))
+  }
+
+  /** s17: GRAPH-BASED ANN — the one published index family the
+    * quantization ladder (LSH/IVF/PQ/SQ8) lacked (r14 VERDICT #4): a
+    * bounded best-first BEAM SEARCH over a precomputed bounded-degree
+    * kNN graph. Deliberately SINGLE-LAYER, not HNSW's hierarchy: the
+    * single-layer graph + beam search is exactly DiskANN/Vamana's
+    * design point (Subramanya et al. NeurIPS'19), which dropped the
+    * hierarchy at billion scale — and in a batch engine the hierarchy's
+    * only job (finding an entry point in O(log N) sequential hops) is
+    * better done by fixed entries or a coarse-quantizer seed, because
+    * every hop is a synchronous join round, so FIXED hop count is the
+    * budget that matters. Search: score the [[GraphEntries]] fixed
+    * entry points (lowest vec_ids — deterministic, index-agnostic),
+    * then [[GraphHops]] rounds of expand-beam-neighbors → score → keep
+    * the visited-set top-[[GraphBeam]]; final top-3 over everything
+    * visited. The VISITED set only grows, so result quality is monotone
+    * in hops (spec-pinned).
+    *
+    * Scale shape: per hop, ONE join of the (query, beam-node) frontier
+    * against the degree-bounded edge relation (≤ Q·beam·m rows out),
+    * one join against the vector table to fetch candidate payloads
+    * (shuffles candidates, never the corpus), one broadcast query-side
+    * join, and the bounded TopKByScore cut — zero windows, nothing
+    * corpus-quadratic; hops is a fixed plan constant, not data-driven.
+    * Visited ≤ Q·(entries + hops·beam·m) rows. Production geometry:
+    * m 32-64, beam 64-128, hops ~diameter (DiskANN: 4-6 at 10⁹).
+    * Rows-only (k-means-quantizer-derived graph; Round15GraphAnnSpec
+    * pins exact-equality at the complete-graph endpoint, hop
+    * monotonicity, degree/edge-locality bounds, structure, and
+    * determinism); measured recall lands as s12's `s17_graph` row. */
+  def s17AnnGraph(spark: SparkSession, dir: String): DataFrame =
+    annGraph(spark, dir, IvfLists, GraphDegree, GraphEntries, GraphBeam,
+      GraphHops, 3)
+
+  /** Parameterized graph-search core (geometry surfaced like [[annIvf]]'s). */
+  private[graft] def annGraph(spark: SparkSession, dir: String,
+      nLists: Int, m: Int, nEntries: Int, beam: Int, hops: Int,
+      k: Int): DataFrame = {
+    FloatVecDot.register(spark)
+    TopKByScore.register(spark)
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val centroids = Codebooks.ivfCentroids(v, dir, nLists)
+    // the standing index artifact — built once, consumed every hop
+    val edges = graphEdges(v, centroids, m).localCheckpoint()
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    // score a (query_id, vec_id) candidate set: broadcast the bounded
+    // query side, shuffle only the candidates to their vectors
+    def scored(cands: DataFrame): DataFrame =
+      cands.join(v, "vec_id").join(broadcast(q), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          round(cosineWithNorms(col("q_emb"), col("embedding"),
+            col("q_nrm"), col("nrm")), 6).as("cos_sim"))
+    val entries = v.orderBy("vec_id").limit(nEntries)
+      .select(col("vec_id")).crossJoin(q.select(col("query_id")))
+    var visited = scored(entries).localCheckpoint()
+    for (_ <- 1 to hops) {
+      val frontier = topKPerGroup(visited, beam, col("cos_sim"),
+          col("vec_id"), lit(0L), col("query_id"))
+        .select(col("query_id"), col("id").as("vec_id"))
+      val expand = frontier.join(edges, frontier("vec_id") === edges("src"))
+        .select(col("query_id"), col("dst").as("vec_id")).distinct()
+      // visited only grows; dedup on the exact (query, vec, score) row —
+      // the score is a pure function of the pair
+      visited = visited.unionByName(scored(expand)).distinct()
+        .localCheckpoint()
+    }
+    topKPerGroup(visited.filter(col("vec_id") =!= col("query_id")), k,
+        col("cos_sim"), col("vec_id"), lit(0L), col("query_id"))
+      .select(col("query_id"), col("rank"), col("id").as("vec_id"),
+        col("score").as("cos_sim"))
+      .orderBy("query_id", "rank")
   }
 
   // ---------------------------------------------------------------- s14
@@ -1576,8 +1689,11 @@ object VectorOps {
         val score =
           if (maxSim(i) == NoSim) lambdaTenths * cands(i)._2
           else lambdaTenths * cands(i)._2 - (10L - lambdaTenths) * maxSim(i)
-        if (score > bestScore ||
-            (score == bestScore && best >= 0 && cands(i)._1 < cands(best)._1)) {
+        // `best < 0` seeds with the first unpicked index so the argmax can
+        // never dereference picked(-1) even if every score equals the
+        // Long.MinValue init (r14 ADVICE hardening).
+        if (best < 0 || score > bestScore ||
+            (score == bestScore && cands(i)._1 < cands(best)._1)) {
           best = i; bestScore = score
         }
       }

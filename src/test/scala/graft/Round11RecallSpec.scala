@@ -17,7 +17,7 @@ class Round11RecallSpec extends GraftSpecBase {
 
   test("s12: one row per ladder rung, retrieved counts bounded by n_queries * k") {
     assert(rows.keySet == Set("s02_lsh", "s03_ivf", "s04_pq", "s07_ivfpq",
-      "s08_ivfpq_res", "s09_indexed", "s10_filtered", "s14_sq8"))
+      "s08_ivfpq_res", "s09_indexed", "s10_filtered", "s14_sq8", "s17_graph"))
     for ((rung, (k, nq, nRetr, nHits, recall)) <- rows) {
       assert(nRetr <= nq * k, s"$rung over-retrieves")
       assert(nHits <= nRetr, s"$rung counts impossible hits")
@@ -33,7 +33,9 @@ class Round11RecallSpec extends GraftSpecBase {
       "s07_ivfpq" -> 0.30,    // IVF pruning stacked on PQ
       "s08_ivfpq_res" -> 0.30,
       "s09_indexed" -> 0.25,  // standing store probe (s03 shape + appends)
-      "s14_sq8" -> 0.80)      // 8-bit grid: near-exact fidelity at 4x
+      "s14_sq8" -> 0.80,      // 8-bit grid: near-exact fidelity at 4x
+      "s17_graph" -> 0.30)    // beam search; ceiling set by the same-list
+                              // edge BUILD, not the search (s17 scaladoc)
     for ((rung, floor) <- floors)
       assert(rows(rung)._5 >= floor,
         s"$rung recall ${rows(rung)._5} under documented floor $floor")

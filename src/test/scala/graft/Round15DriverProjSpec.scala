@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types.{ArrayType, StructType}
+import graft.operators.{BpeOps, PackMaterialize, ReleasePipeline}
+
+/** c33/p07 driver projection (r14 VERDICT #1): the scalar projection
+  * (token_ids → ids_md5, members → members_json) is lossless against
+  * the array-shaped library API — same rows, md5 computed over exactly
+  * the comma-joined decimal ids (plain-Scala mirror), members_json the
+  * exact canonical JSON of the member index — and the two DRIVER
+  * entries ship no array/struct column at all (the harness comparator
+  * lexsorts every column; arrays are unhashable there). */
+class Round15DriverProjSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+  private def s(r: Row, n: String) = r.getString(r.fieldIndex(n))
+  private def optL(r: Row, n: String): Option[Long] = {
+    val i = r.fieldIndex(n); if (r.isNullAt(i)) None else Some(r.getLong(i))
+  }
+  /** Window identity under c33's column names. */
+  private def key(r: Row) = (s(r, "lang"), l(r, "shard"), s(r, "kind"),
+    optL(r, "window_id"), optL(r, "split_doc_id"), optL(r, "split_win_idx"))
+
+  private def md5Hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Round14WindowDedupSpec's twin-shard corpus: packed, split, and
+    * padded windows all present. */
+  private lazy val winDf = {
+    val span = 100000L
+    val texts = (1 to 5).map(i => s"alpha beta gamma delta doc body $i")
+    val docs = (
+      texts.zipWithIndex.map { case (t, i) => (i + 1L, "en", t) } ++
+      texts.zipWithIndex.map { case (t, i) => (span + i + 1L, "en", t) } :+
+      (2L * span + 1L, "en", "a wholly unique document body nothing shares")
+    ).toDF("doc_id", "lang", "text")
+    val dict = BpeOps.bpeTrain(docs, 30, 1L)._2
+    PackMaterialize.materializeOver(docs, dict, 16L).localCheckpoint()
+  }
+  private lazy val win = winDf.collect()
+  private lazy val proj = PackMaterialize.driverWindows(winDf).collect()
+
+  test("projection: same windows, scalar columns carried unchanged") {
+    assert(win.nonEmpty)
+    assert(win.map(key).sorted.toSeq === proj.map(key).sorted.toSeq)
+    val fills = win.map(r => key(r) -> (l(r, "n_docs"), l(r, "n_fill"),
+      l(r, "n_pad"))).toMap
+    for (p <- proj)
+      assert(fills(key(p)) === ((l(p, "n_docs"), l(p, "n_fill"), l(p, "n_pad"))))
+  }
+
+  test("projection: ids_md5 is the md5 of the comma-joined decimal ids (plain-Scala mirror)") {
+    val expect = win.map(r => key(r) ->
+      md5Hex(r.getSeq[Int](r.fieldIndex("token_ids")).mkString(","))).toMap
+    for (p <- proj) assert(s(p, "ids_md5") === expect(key(p)), key(p))
+  }
+
+  test("projection: members_json is the exact canonical JSON of the member index") {
+    val expect = win.map { r =>
+      val ms = r.getSeq[Row](r.fieldIndex("members")).map(m =>
+        s"""{"doc_id":${m.getLong(0)},"off":${m.getLong(1)},"len":${m.getLong(2)}}""")
+      key(r) -> ms.mkString("[", ",", "]")
+    }.toMap
+    for (p <- proj) assert(s(p, "members_json") === expect(key(p)), key(p))
+  }
+
+  test("projection: ids_md5 is d16's whash — one fingerprint definition, zero drift") {
+    val whash = PackMaterialize.windowDedupOver(winDf)
+      .collect().map(r => key(r) -> s(r, "whash")).toMap
+    for (p <- proj) assert(s(p, "ids_md5") === whash(key(p)), key(p))
+  }
+
+  private def assertNoNested(df: org.apache.spark.sql.DataFrame): Unit =
+    for (f <- df.schema.fields) f.dataType match {
+      case _: ArrayType | _: StructType =>
+        fail(s"driver entry ships nested column ${f.name}: ${f.dataType}")
+      case _ => ()
+    }
+
+  test("c33 driver entry: scalar schema, non-empty, deterministic") {
+    val df = PackMaterialize.c33PackMaterializeDriver(spark, sfDir)
+    assertNoNested(df)
+    val a = df.collect()
+    assert(a.nonEmpty)
+    // same windows as the library API, fingerprints match row for row
+    val lib = PackMaterialize.c33PackMaterialize(spark, sfDir).collect()
+    assert(a.length === lib.length)
+    val expect = lib.map(r => key(r) ->
+      md5Hex(r.getSeq[Int](r.fieldIndex("token_ids")).mkString(","))).toMap
+    for (p <- a) assert(s(p, "ids_md5") === expect(key(p)))
+    val b = PackMaterialize.c33PackMaterializeDriver(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("p07 driver entry: scalar schema, non-empty, same windows as the library API") {
+    val df = ReleasePipeline.p07ReleaseWindowsDriver(spark, sfDir)
+    assertNoNested(df)
+    val a = df.collect()
+    assert(a.nonEmpty)
+    val lib = ReleasePipeline.p07ReleaseWindows(spark, sfDir).collect()
+    assert(a.length === lib.length)
+    def pkey(r: Row) = (s(r, "split"), l(r, "shard_id"), s(r, "kind"),
+      optL(r, "window_id"), optL(r, "split_doc_id"), optL(r, "split_win_idx"))
+    val expect = lib.map(r => pkey(r) ->
+      md5Hex(r.getSeq[Int](r.fieldIndex("token_ids")).mkString(","))).toMap
+    for (p <- a) assert(s(p, "ids_md5") === expect(pkey(p)))
+  }
+}

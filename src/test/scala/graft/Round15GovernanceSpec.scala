@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{CuratePipeline, Governance, ReleasePipeline, ShardExport}
+
+/** c41/c42/p10 governance: the license policy matches a plain-Scala
+  * mirror and the allowlist, the opt-out registry is content-keyed (a
+  * bit-identical copy of registered content is out too), p01's
+  * `requireGovernance` composes as one more conjunct (keep ≡ ungated
+  * keep ∧ gov_ok), p10's shipped set is exactly p02's kept ∩ gov_keep,
+  * and c42's licensed manifest verifies the permissive-only claim
+  * (n_restricted = 0 gated, > 0 ungated) with tags consistent with
+  * c41's. */
+class Round15GovernanceSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+  private def s(r: Row, n: String) = r.getString(r.fieldIndex(n))
+  private def bo(r: Row, n: String) = r.getBoolean(r.fieldIndex(n))
+
+  private def md5Hex(x: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Plain-Scala mirror of the license policy. */
+  private def licMirror(src: String): String =
+    Governance.LicenseClasses(((src.length * 5 + src.last.toInt) % 4 + 4) % 4)
+
+  private def gateOf(rows: Seq[(Long, String, String)]): Array[Row] = {
+    val docs = rows.toDF("doc_id", "source", "norm")
+    Governance.gateOver(docs, Governance.registryOf(docs))
+      .orderBy("doc_id").collect()
+  }
+
+  test("c41: license tag = the policy mirror; license_ok = the allowlist") {
+    val sources = Seq("alpha", "beta", "gamma", "src7", "news-en", "x",
+      "wiki", "books3")
+    val out = gateOf(sources.zipWithIndex.map { case (src, i) =>
+      (i.toLong, src, s"unique governance body $i") })
+    for ((r, src) <- out.zip(sources)) {
+      assert(s(r, "license") === licMirror(src), src)
+      assert(bo(r, "license_ok") ===
+        Governance.AllowedLicenses.contains(licMirror(src)), src)
+    }
+    // the fixture pool exercises both allowlist branches
+    assert(out.exists(bo(_, "license_ok")) && out.exists(!bo(_, "license_ok")))
+  }
+
+  test("c41: the opt-out registry is content-keyed — registered content is out under ANY doc id") {
+    // deterministic search for a text whose md5 lands in the registry
+    // nibble ('0…') and one that does not
+    val in = (1 to 512).map(i => s"opt out body $i")
+      .find(t => md5Hex(t).startsWith("0")).get
+    val outTxt = (1 to 512).map(i => s"kept body $i")
+      .find(t => !md5Hex(t).startsWith("0")).get
+    val rows = gateOf(Seq(
+      (1L, "alpha", in), (2L, "alpha", outTxt),
+      (3L, "omega", in))) // same content, different id AND source
+    assert(bo(rows(0), "opted_out") && !bo(rows(0), "gov_keep"))
+    assert(!bo(rows(1), "opted_out"))
+    assert(bo(rows(2), "opted_out") && !bo(rows(2), "gov_keep"),
+      "a bit-identical copy of registered content must be opted out too")
+    // gov_keep = license_ok AND NOT opted_out
+    for (r <- rows)
+      assert(bo(r, "gov_keep") === (bo(r, "license_ok") && !bo(r, "opted_out")))
+  }
+
+  test("p01 composition: requireGovernance adds exactly one conjunct") {
+    val docs = (1L to 30L).map(i =>
+      (i, "en", s"src$i", (1 to 6).map(j => s"g${i}w$j").mkString(" ")))
+      .toDF("doc_id", "lang", "source", "text")
+    val base = CuratePipeline.p01Over(spark, docs,
+        qualityMin = -1.0, nllMax = 1000.0).collect()
+      .map(r => l(r, "doc_id") -> bo(r, "keep")).toMap
+    val gov = CuratePipeline.p01Over(spark, docs,
+      qualityMin = -1.0, nllMax = 1000.0, requireGovernance = true).collect()
+    assert(gov.nonEmpty)
+    for (r <- gov) {
+      assert(s(r, "license") === licMirror(s(r, "source")))
+      // flags carry gov_ok = license_ok ∧ ¬opted_out; recompute it from
+      // the carried tag + the allowlist
+      assert(bo(r, "gov_ok") === (Governance.AllowedLicenses.contains(
+        s(r, "license")) && !bo(r, "opted_out")))
+      assert(bo(r, "keep") === (base(l(r, "doc_id")) && bo(r, "gov_ok")))
+    }
+  }
+
+  test("p10 driver: shipped set = p02's kept ∩ gov_keep; license audit sums check out") {
+    val govKeep = Governance.c41GovernanceGate(spark, sfDir).collect()
+      .map(r => l(r, "doc_id") -> bo(r, "gov_keep")).toMap
+    val p02Docs = ReleasePipeline.p02Release(spark, sfDir).collect()
+      .map(l(_, "doc_id")).toSet
+    val p10 = ReleasePipeline.p10ReleaseGoverned(spark, sfDir).collect()
+    assert(p10.nonEmpty)
+    assert(p10.map(l(_, "doc_id")).toSet === p02Docs.filter(govKeep))
+    // every shipped license is allowed; the per-(split, license) audit
+    // equals the row-level grouping
+    assert(p10.forall(r =>
+      Governance.AllowedLicenses.contains(s(r, "license"))))
+    for (((_, _), g) <- p10.groupBy(r => (s(r, "split"), s(r, "license")))) {
+      assert(g.map(l(_, "lic_docs")).distinct.toSeq === Seq(g.length.toLong))
+      assert(g.map(l(_, "lic_tokens")).distinct.length === 1)
+      assert(g.head.getLong(g.head.fieldIndex("lic_tokens")) ===
+        g.map(l(_, "n_tokens")).sum)
+    }
+  }
+
+  test("c42 driver: permissive-only verified from the manifest alone; tags consistent with c41") {
+    val man = ShardExport.c42ManifestLicensed(spark, sfDir).collect()
+    assert(man.nonEmpty)
+    assert(man.forall(l(_, "n_restricted") == 0L),
+      "the governed manifest must verify the permissive-only claim")
+    val gate = Governance.c41GovernanceGate(spark, sfDir).collect()
+    val keptLics = gate.filter(bo(_, "gov_keep")).map(s(_, "license")).toSet
+    val manLics = man.flatMap(s(_, "licenses").split(",")).toSet
+    assert(manLics === keptLics)
+    assert(manLics.subsetOf(Governance.AllowedLicenses))
+    assert(man.map(l(_, "n_docs")).sum ===
+      gate.count(bo(_, "gov_keep")).toLong)
+    for (r <- man)
+      assert(l(r, "n_licenses") === s(r, "licenses").split(",").length.toLong)
+  }
+
+  test("c42 mechanism: an UNGATED manifest reports the restricted mass a consumer would catch") {
+    // same aggregation over the raw tagged corpus (no gate): n_restricted
+    // must be > 0 somewhere on the driver corpus — the column is a real
+    // verifier, not a constant
+    val t = Tables(spark, sfDir)
+    val docs = t.documents
+      .select(col("doc_id"), col("source"),
+        graft.operators.TextOps.normText(col("text")).as("norm"))
+    val gate = Governance.gateOver(docs, Governance.registryOf(docs))
+    val restricted = gate.filter(!col("license_ok")).count()
+    assert(restricted > 0L,
+      "driver corpus must carry restricted-license sources for the gate to mean anything")
+  }
+}

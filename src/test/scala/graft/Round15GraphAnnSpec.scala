@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{Codebooks, VectorOps}
+
+/** s17 graph ANN: the complete-graph endpoint equals the exact
+  * brute-force top-k, result quality is monotone in hops (the visited
+  * set only grows), the edge relation respects the degree bound and
+  * same-list locality, results are structurally sound, and the driver
+  * entry is deterministic. */
+class Round15GraphAnnSpec extends GraftSpecBase {
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+  private def d(r: Row, n: String) = r.getDouble(r.fieldIndex(n))
+
+  test("s17: complete-graph endpoint ≡ s01's exact top-k") {
+    // nLists = 1 → every pair is an edge candidate; degree ≥ corpus and
+    // one hop from any entry reaches everything → the beam search IS
+    // exact brute force (order included: same score desc, id asc cut)
+    val exact = VectorOps.s01AnnBruteforce(spark, sfDir).collect()
+      .map(r => (l(r, "query_id"), l(r, "rank"), l(r, "vec_id"),
+        d(r, "cos_sim")))
+    val n = Tables(spark, sfDir).embeddings.count().toInt
+    val graph = VectorOps.annGraph(spark, sfDir, nLists = 1, m = n,
+        nEntries = 1, beam = n, hops = 1, k = 5).collect()
+      .map(r => (l(r, "query_id"), l(r, "rank"), l(r, "vec_id"),
+        d(r, "cos_sim")))
+    assert(graph.toSeq === exact.toSeq)
+  }
+
+  test("s17: top-1 score is monotone in hops (the visited set only grows)") {
+    val byHops = (0 to 3).map { h =>
+      h -> VectorOps.annGraph(spark, sfDir, nLists = 16, m = 8,
+          nEntries = 4, beam = 8, hops = h, k = 1).collect()
+        .map(r => l(r, "query_id") -> d(r, "cos_sim")).toMap
+    }.toMap
+    for (h <- 1 to 3; (q, s) <- byHops(h))
+      assert(s >= byHops(h - 1)(q) - 1e-12,
+        s"query $q: hop $h top-1 $s < hop ${h - 1} ${byHops(h - 1)(q)}")
+    // and the hops actually buy something somewhere on the driver corpus
+    assert((1 to 3).exists(h =>
+      byHops(h).exists { case (q, s) => s > byHops(0)(q) + 1e-12 }),
+      "beam expansion must improve at least one query over the entry scores")
+  }
+
+  test("s17: edge relation honors the degree bound and same-list locality") {
+    val v = Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding"),
+        VectorOps.norm(col("embedding")).as("nrm"))
+    graft.functions.FloatVecDot.register(spark)
+    graft.functions.TopKByScore.register(spark)
+    val centroids = Codebooks.ivfCentroids(v, sfDir, 16)
+    val edges = VectorOps.graphEdges(v, centroids, 8).collect()
+    assert(edges.nonEmpty)
+    val deg = edges.groupBy(_.getLong(0)).map(_._2.length)
+    assert(deg.max <= 8)
+    assert(edges.forall(r => r.getLong(0) != r.getLong(1)), "no self loops")
+  }
+
+  test("s17: driver entry — structure, no self hits, deterministic") {
+    val a = VectorOps.s17AnnGraph(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    val byQ = a.groupBy(l(_, "query_id"))
+    for ((q, rows) <- byQ) {
+      val sorted = rows.sortBy(l(_, "rank"))
+      assert(sorted.map(l(_, "rank")).toSeq === (1L to rows.length).toSeq)
+      assert(sorted.map(d(_, "cos_sim")).toSeq ===
+        sorted.map(d(_, "cos_sim")).sortBy(-_).toSeq)
+      assert(rows.forall(l(_, "vec_id") != q))
+      assert(rows.length <= 3)
+    }
+    val b = VectorOps.s17AnnGraph(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
+  test("s17: the s12 audit carries the graph rung with sane recall") {
+    val row = VectorOps.s12AnnRecallAudit(spark, sfDir).collect()
+      .find(r => r.getString(r.fieldIndex("rung")) == "s17_graph")
+    assert(row.nonEmpty, "s12 must measure the graph rung")
+    val rec = d(row.get, "recall")
+    assert(rec >= 0.0 && rec <= 1.0)
+    assert(row.get.getInt(row.get.fieldIndex("k")) === 3)
+  }
+}

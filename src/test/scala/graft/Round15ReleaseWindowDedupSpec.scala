@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{BpeOps, PackMaterialize, ReleasePipeline}
+
+/** p09 sequence-level dedup on the SHIPPED artifact: (1) the
+  * generalized (split, shard_id) identity path groups duplicate windows
+  * across shards AND splits with one deterministic canonical; (2) a
+  * concatenation-boundary collision engineered through the REAL
+  * curation+release path — three distinct documents, no exact dup, no
+  * near-dup cluster, yet two bit-identical shipped windows — is caught
+  * by p09 (the case document-level guarantees structurally cannot see);
+  * (3) on the driver corpus ZERO duplicate windows ship, so train and
+  * test windows never share a hash there, and the entry is
+  * deterministic. */
+class Round15ReleaseWindowDedupSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+  private def s(r: Row, n: String) = r.getString(r.fieldIndex(n))
+  private def bo(r: Row, n: String) = r.getBoolean(r.fieldIndex(n))
+  private def whash(r: Row) = s(r, "whash")
+
+  test("p09 mechanism: duplicate windows group across (split, shard), canonical is lexicographically first") {
+    val member = Seq((1L, 0L, 3L))
+    val rows = Seq(
+      // twins across DIFFERENT splits and shards — the contamination case
+      ("train", 0L, "packed", 1L, None: Option[Long], None: Option[Long],
+        2L, 3L, 1L, Seq(7, 8, 9, 0), member),
+      ("test", 3L, "packed", 9L, None: Option[Long], None: Option[Long],
+        2L, 3L, 1L, Seq(7, 8, 9, 0), member),
+      // a singleton
+      ("train", 0L, "packed", 2L, None: Option[Long], None: Option[Long],
+        1L, 4L, 0L, Seq(1, 2, 3, 4), member))
+      .toDF("split", "shard_id", "kind", "window_id", "split_doc_id",
+        "split_win_idx", "n_docs", "n_fill", "n_pad", "token_ids", "members")
+    val out = PackMaterialize.windowDedupOver(rows, Seq("split", "shard_id"))
+      .collect()
+    assert(out.length === 3)
+    val dup = out.filter(l(_, "dup_group_size") === 2L)
+    assert(dup.length === 2)
+    assert(dup.map(s(_, "split")).toSet === Set("train", "test"))
+    // exactly one canonical, ordered by the (split, shard_id, ...) identity:
+    // 'test' < 'train' lexicographically
+    assert(dup.count(bo(_, "is_canonical")) === 1)
+    assert(s(dup.filter(bo(_, "is_canonical")).head, "split") === "test")
+    val single = out.filter(l(_, "dup_group_size") === 1L)
+    assert(single.length === 1 && bo(single.head, "is_canonical"))
+  }
+
+  /** The organic collision: pool of 6-word unique-vocab docs (above the
+    * 5-token length floor); pick two (A, B) that the release assigns to
+    * the SAME (split, shard, span) packing group, and add C = their
+    * FFD-order concatenation in a DIFFERENT id span. All three survive
+    * every gate (distinct norms — no exact dup; A∩C share 4 of 10
+    * 3-gram shingles = 0.4 Jaccard, below the 0.5 confirm), yet
+    * window(A+B) ≡ window(C) bit for bit. */
+  private lazy val collisionDedup: Array[Row] = {
+    val span = 100000L
+    def text(i: Long) = (1 to 6).map(j => s"w${i}q$j").mkString(" ")
+    val pool = (1L to 40L).map(i => (i, "en", "alpha", text(i)))
+      .toDF("doc_id", "lang", "source", "text")
+    // split/shard are content/id-derived pure functions (cluster-free
+    // unique-vocab pool), so the assignment read off the pool holds in
+    // the reduced corpus too
+    val assigned = ReleasePipeline.p02Over(spark, pool,
+        qualityMin = -1.0, nllMax = 1000.0).collect()
+      .map(r => l(r, "doc_id") -> ((s(r, "split"), l(r, "shard_id"))))
+    val grouped = assigned.groupBy(_._2).filter(_._2.length >= 2)
+    assert(grouped.nonEmpty, "pool must yield a (split, shard) group with >= 2 docs")
+    val ids = grouped.toSeq.sortBy(g => (g._1._1, g._1._2))
+      .head._2.map(_._1).sorted.take(2)
+    val (aId, bId) = (ids(0), ids(1))
+    // the dict depends only on word COUNTS, so C's member order can be
+    // decided after training without changing the dict
+    def corpus(cText: String) =
+      Seq((aId, "en", "alpha", text(aId)),
+        (bId, "en", "alpha", text(bId)),
+        (span + 1L, "en", "alpha", cText)).toDF("doc_id", "lang", "source", "text")
+    val dict = BpeOps.bpeTrain(
+      corpus(text(aId) + " " + text(bId)).select("doc_id", "lang", "text"),
+      12, 2L)._2
+    val enc = PackMaterialize.encodeDocs(
+        Seq((aId, "en", text(aId)), (bId, "en", text(bId)))
+          .toDF("doc_id", "lang", "text"),
+        dict, PackMaterialize.vocabIds(dict))
+      .collect()
+      .map(r => l(r, "doc_id") -> r.getSeq[Int](r.fieldIndex("enc")).length)
+      .toMap
+    // FFD order inside the (A, B) group: (n_enc desc, doc_id asc)
+    val ffd = Seq(aId, bId).sortBy(d => (-enc(d), d))
+    val cText = ffd.map(text).mkString(" ")
+    val out = ReleasePipeline.releaseWindowsOver(spark,
+      corpus(cText), dict, qualityMin = -1.0, nllMax = 1000.0, cap = 256L)
+    PackMaterialize.windowDedupOver(out, Seq("split", "shard_id")).collect()
+  }
+
+  test("p09 end-to-end: a concatenation-boundary collision ships two identical windows and p09 catches it") {
+    val dedup = collisionDedup
+    assert(dedup.length >= 2)
+    val dup = dedup.filter(l(_, "dup_group_size") >= 2L)
+    assert(dup.length === 2, s"expected exactly one twin pair, got ${dup.length}")
+    assert(dup.map(whash).distinct.length === 1)
+    assert(dup.count(bo(_, "is_canonical")) === 1)
+    // the twins live in DIFFERENT id spans (the packed A+B window vs C's):
+    // one window_id below the span encoding, one at/above it
+    assert(dup.map(l(_, "window_id") / 100000L).toSet.size === 2)
+    // everything else is a singleton canonical
+    val rest = dedup.filter(l(_, "dup_group_size") === 1L)
+    assert(rest.forall(bo(_, "is_canonical")))
+  }
+
+  test("p09 driver entry: zero duplicate windows ship — train/test never share a hash; deterministic") {
+    val a = ReleasePipeline.p09ReleaseWindowDedup(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    assert(a.forall(l(_, "dup_group_size") == 1L),
+      "driver corpus must ship no duplicate release windows")
+    assert(a.forall(bo(_, "is_canonical")))
+    assert(a.map(whash).distinct.length === a.length)
+    // row-for-row over p07's windows
+    assert(a.length ===
+      ReleasePipeline.p07ReleaseWindows(spark, sfDir).count())
+    val b = ReleasePipeline.p09ReleaseWindowDedup(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+}
