@@ -55,20 +55,26 @@ object Governance {
   /** Deterministic source → license tag: index = (5·len(source) +
     * ascii(last char)) mod 4 into [[LicenseClasses]] — the c13
     * `nameWeight` discipline (engine-identical integer arithmetic; in
-    * production this is the ingest catalog's metadata join). */
+    * production this is the ingest catalog's metadata join). A NULL or
+    * empty source FAILS CLOSED to all-rights-reserved — unknown
+    * provenance must never ship (spec-pinned; matters on the streaming
+    * face, where a malformed record's source can be null). */
   private[graft] def licenseOf(source: Column): Column = {
     // substring(-1, 1) = last char ≡ the oracle's right(src, 1)
     val idx = pmod(length(source) * 5 + ascii(substring(source, -1, 1)),
       lit(4))
-    LicenseClasses.zipWithIndex.foldLeft(lit(null).cast("string")) {
+    val tag = LicenseClasses.zipWithIndex.foldLeft(lit(null).cast("string")) {
       case (acc, (lic, i)) => when(idx === i, lit(lic)).otherwise(acc)
     }
+    when(source.isNull || source === "", lit("all-rights-reserved"))
+      .otherwise(tag)
   }
 
   private[graft] def licenseSql(src: String): String =
-    s"""CASE (length($src) * 5 + ascii(right($src, 1))) % 4
+    s"""CASE WHEN $src IS NULL OR $src = '' THEN 'all-rights-reserved'
+       |  ELSE CASE (length($src) * 5 + ascii(right($src, 1))) % 4
        |    WHEN 0 THEN 'cc-by' WHEN 1 THEN 'cc-by-sa'
-       |    WHEN 2 THEN 'cc-nc' ELSE 'all-rights-reserved' END""".stripMargin
+       |    WHEN 2 THEN 'cc-nc' ELSE 'all-rights-reserved' END END""".stripMargin
 
   private[graft] def licenseOkSql(lic: String): String =
     s"$lic IN ('cc-by', 'cc-by-sa', 'cc-nc')"

@@ -1177,28 +1177,46 @@ object VectorOps {
   // ---------------------------------------------------------------- s17
   /** Graph-rung geometry (DEMO-SCALE like [[IvfLists]]; production
     * numbers in the s17 scaladoc). Measured recall@3 at sf0.001:
-    * 0.27 at (m 8, beam 8), 0.57 at this geometry, 0.60 at
-    * (m 24, beam 24, hops 5) — the curve saturates because the BUILD
-    * (same-list candidate pairs) bounds reachable recall, not the
-    * search; wider builds (multi-probe assignment, NN-descent rounds)
-    * are the documented path past it, exactly d14's build-recall
-    * caveat. */
+    * 0.27 at (m 8, beam 8, single-probe build), 0.57 at this search
+    * geometry under a single-probe build — saturating there because
+    * the BUILD bounds reachable recall, not the search (0.60 even at
+    * m 24, beam 24, hops 5) — and **0.93** at the same search geometry
+    * once the build is multi-probe ([[GraphBuildProbes]] = 2): the
+    * cross-list edges are exactly what the single-list build was
+    * missing, the d14 build-recall caveat made concrete. */
   private val GraphDegree = 16
   private val GraphEntries = 8
   private val GraphBeam = 16
   private val GraphHops = 3
 
-  /** Bounded kNN-graph build: candidate pairs are SAME-IVF-LIST pairs
-    * (the blocked build every graph index uses at scale — NN-descent,
-    * DiskANN's partition-and-merge — reusing the session-cached coarse
-    * quantizer), top-`m` out-edges per node by exact cosine via the
-    * bounded [[TopKByScore]] aggregate. The edge relation is the
-    * STANDING ARTIFACT of a graph index: (src, dst, cos) longs, degree
-    * ≤ m by construction, no vector payloads. Work is Σ per-list², the
-    * IVF-balanced blocked quadratic — never corpus-quadratic. */
+  /** Graph-build probe width: each vector contributes candidate pairs
+    * in its [[GraphBuildProbes]] nearest lists, not just its home list
+    * — the multi-probe build that mints CROSS-LIST edges a single-list
+    * build structurally cannot (the recall ceiling the s17 scaladoc
+    * documents). Work scales by probes², still Σ per-list² blocked. */
+  private val GraphBuildProbes = 2
+
+  /** Bounded kNN-graph build: candidate pairs are SAME-LIST pairs under
+    * a MULTI-PROBE assignment (each vector in its `probes` nearest IVF
+    * lists — the blocked build every graph index uses at scale:
+    * NN-descent, DiskANN's partition-and-merge — reusing the
+    * session-cached coarse quantizer), top-`m` out-edges per node by
+    * exact cosine via the bounded [[TopKByScore]] aggregate. The edge
+    * relation is the STANDING ARTIFACT of a graph index: (src, dst)
+    * longs, degree ≤ m by construction, no vector payloads. Work is
+    * probes²·Σ per-list², the IVF-balanced blocked quadratic — never
+    * corpus-quadratic. */
   private[graft] def graphEdges(v: DataFrame, centroids: DataFrame,
-      m: Int): DataFrame = {
-    val assigned = assignToLists(v, centroids)
+      m: Int, probes: Int = GraphBuildProbes): DataFrame = {
+    // top-`probes` lists per vector (the query-probe aggregate shape)
+    val assigned = v.crossJoin(centroids)
+      .withColumn("c_sim",
+        cosineWithNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
+      .groupBy(col("vec_id"))
+      .agg(TopKByScore.topK(col("c_sim"), col("list_id"), probes).as("probe"),
+        first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        explode(col("probe.id")).as("list_id"))
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.list_id") === col("b.list_id") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -1206,6 +1224,9 @@ object VectorOps {
         round(cosineWithNorms(col("a.embedding"), col("b.embedding"),
           col("a.nrm"), col("b.nrm")), 6).as("cos_sim"),
         col("b.vec_id").as("dst"))
+      // a pair co-resident in two probed lists appears twice — dedup
+      // before the top-m cut or it would occupy two degree slots
+      .distinct()
     topKPerGroup(pairs, m, col("cos_sim"), col("dst"), lit(0L), col("src"))
       .select(col("src"), col("id").as("dst"))
   }

@@ -1591,6 +1591,27 @@ object StreamingJobs {
     graft.operators.SecretScan.secretScanOver(
       docs.withColumn("text", coalesce(col("text"), lit(""))))
 
+  // ----------------------------------------------- governance gate
+  /** Streaming face of c41's license/opt-out governance gate: the
+    * license tag is one row-local expression and the opt-out probe is a
+    * stream-STATIC broadcast join against the registry relation (the
+    * published shape of a Do-Not-Train check at ingest — the registry
+    * is a slowly-changing STATIC artifact the stream probes, exactly
+    * the store/probe division of labor the standing-index faces use),
+    * so the gate streams as-is per micro-batch with no state. Fail-safe
+    * AND fail-CLOSED: null text coalesces to empty (hash of "" — only
+    * opted out if "" itself is registered), and a null/empty source
+    * takes the all-rights-reserved tag ([[graft.operators.Governance
+    * .licenseOf]]'s pinned behavior), so a malformed record can never
+    * ship as permissive. Bit-parity with batch `gateOver` is
+    * spec-pinned on a MemoryStream. */
+  def governanceGateStream(docs: DataFrame, registry: DataFrame): DataFrame =
+    graft.operators.Governance.gateOver(
+      docs.select(col("doc_id"), col("source"),
+        graft.operators.TextOps.normText(
+          coalesce(col("text"), lit(""))).as("norm")),
+      registry)
+
   // ----------------------------------------------- retrieval chunker
   /** Streaming face of c36's overlapping-window chunker: geometry,
     * slices, and hashes are one row-local explode (stateless — a

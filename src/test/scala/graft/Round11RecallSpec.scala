@@ -34,8 +34,9 @@ class Round11RecallSpec extends GraftSpecBase {
       "s08_ivfpq_res" -> 0.30,
       "s09_indexed" -> 0.25,  // standing store probe (s03 shape + appends)
       "s14_sq8" -> 0.80,      // 8-bit grid: near-exact fidelity at 4x
-      "s17_graph" -> 0.30)    // beam search; ceiling set by the same-list
-                              // edge BUILD, not the search (s17 scaladoc)
+      "s17_graph" -> 0.60)    // beam search over the multi-probe build
+                              // (measured 0.93; the single-probe build's
+                              // 0.57 ceiling was the BUILD, not the search)
     for ((rung, floor) <- floors)
       assert(rows(rung)._5 >= floor,
         s"$rung recall ${rows(rung)._5} under documented floor $floor")

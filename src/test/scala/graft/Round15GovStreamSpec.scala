@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.{Governance, TextOps}
+import graft.streaming.StreamingJobs
+
+/** c41's streaming face: the governance gate is row-local + one
+  * stream-static broadcast registry probe, bit-identical to the batch
+  * gate per micro-batch, fail-safe on null text, and fail-CLOSED on
+  * null/empty source (unknown provenance never ships permissive). */
+class Round15GovStreamSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  test("c41 governanceGateStream: bit-identical to batch; null source fails closed") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5Hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // one text the driver registry contains (hash nibble '0'), one not
+    val regText = (1 to 512).map(i => s"registered body $i")
+      .find(t => md5Hex(t).startsWith("0")).get
+    val freeText = (1 to 512).map(i => s"free body $i")
+      .find(t => !md5Hex(t).startsWith("0")).get
+    val docs = Seq((1L, "alpha", regText), (2L, "beta", freeText),
+      (3L, "gamma", "another ordinary body"))
+    val batchDocs = docs.toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"),
+        TextOps.normText(col("text")).as("norm"))
+    val registry = Governance.registryOf(batchDocs)
+    val batch = Governance.gateOver(batchDocs, registry)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+
+    val mem = MemoryStream[(Long, Option[String], Option[String])]
+    val q = StreamingJobs.governanceGateStream(
+        mem.toDF.toDF("doc_id", "source", "text"), registry)
+      .writeStream.format("memory").queryName("gov_r15").outputMode("append")
+      .start()
+    try {
+      mem.addData(docs.map { case (i, s, t) => (i, Some(s), Some(t)) } ++
+        Seq((4L, None: Option[String], Some("null source body")),
+          (5L, Some("alpha"), None: Option[String])): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("gov_r15").collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    for ((id, want) <- batch) assert(out(id) === want, s"doc $id")
+    // null source: fail-CLOSED — all-rights-reserved, never shipped
+    val nullSrc = out(4L)
+    assert(nullSrc(1) === "all-rights-reserved")
+    assert(nullSrc(3) === false && nullSrc(4) === false) // license_ok, gov_keep
+    // null text: fail-safe — gated on the empty string's hash, tag intact
+    assert(out(5L)(1) === Governance.LicenseClasses(
+      (("alpha".length * 5 + 'a'.toInt) % 4 + 4) % 4))
+  }
+
+  test("c41: batch gate also fails closed on an empty source string") {
+    val docs = Seq((1L, "", "somebody wrote this"),
+      (2L, "alpha", "somebody else wrote this"))
+      .toDF("doc_id", "source", "norm")
+    val out = Governance.gateOver(docs, Governance.registryOf(docs))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(out(0).fieldIndex("license")) === "all-rights-reserved")
+    assert(!out(0).getBoolean(out(0).fieldIndex("gov_keep")))
+  }
+}
