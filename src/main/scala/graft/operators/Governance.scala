@@ -91,11 +91,18 @@ object Governance {
   /** The gate over any (doc_id, source, norm) relation and content-hash
     * registry (`ch` column): license tag + verdicts, one row per doc.
     * The registry side is tiny (it lists opted-out content, not the
-    * corpus) — broadcast it. */
+    * corpus) — broadcast it. The registry is DEDUPED here, not trusted:
+    * a real opt-out feed is appended over time and repeats hashes, and
+    * a duplicate ch would turn the left join into a row multiplier —
+    * every downstream consumer (p01's flags, p10's release, c42's
+    * manifest) relies on the one-row-per-doc invariant (r15 review-pass
+    * fix; the oracle's registry CTE is SELECT DISTINCT for the same
+    * reason). */
   private[graft] def gateOver(docs: DataFrame, registry: DataFrame): DataFrame =
     docs
       .withColumn("ch", md5(col("norm")))
-      .join(broadcast(registry.withColumn("opted", lit(true))),
+      .join(broadcast(registry.select(col("ch")).distinct()
+          .withColumn("opted", lit(true))),
         Seq("ch"), "left")
       .withColumn("opted_out", coalesce(col("opted"), lit(false)))
       .withColumn("license", licenseOf(col("source")))
@@ -105,12 +112,17 @@ object Governance {
       .select("doc_id", "source", "license", "opted_out", "license_ok",
         "gov_keep")
 
-  /** c41 driver entry. */
+  /** c41 driver entry. The normalized narrow projection is materialized
+    * ONCE (localCheckpoint — p01's one-corpus-scan discipline): the
+    * registry derivation and the gate probe both read it, so the text
+    * is normalized exactly once (r15 review-pass fix; at scale this is
+    * the stage table both sides read). */
   def c41GovernanceGate(spark: SparkSession, dir: String): DataFrame = {
     val t = Tables(spark, dir)
     val docs = t.spread(t.documents)
       .select(col("doc_id"), col("source"),
         TextOps.normText(col("text")).as("norm"))
+      .localCheckpoint()
     gateOver(docs, registryOf(docs)).orderBy("doc_id")
   }
 

@@ -12,12 +12,13 @@ import graft.Tables
   * bounded quantifiers, `\b`; patterns run over [[TextOps.normText]],
   * hence lowercase):
   *
-  *   - PEM private-key BLOCKS   (`-----begin …private key----- body
-  *     -----end …` — the begin…end spanning form, so the base64 key
-  *     BODY is scrubbed, not just the header; a truncated end marker
-  *     (`-----end` alone) still closes the block, and a block with no
-  *     end marker at all falls back to header-only redaction — the r14
-  *     ADVICE fix, spec-pinned on the truncated-end fixture)
+  *   - PEM private-key BLOCKS   (three sequential tiers: STRICT
+  *     begin…`-----end …private key-----` spanning form first — so a
+  *     foreign `-----end certificate-----` concatenated INSIDE a block
+  *     never closes it early and the base64 BODY is always scrubbed
+  *     (r15 review-pass fix); then a truncated-end tier (`-----end`
+  *     alone still closes — the r14 ADVICE fixture); then the bare
+  *     header fallback when no end fragment exists at all)
   *   - AWS access key ids       (akia + 16 alnum)
   *   - GitHub tokens            (ghp_ + 36 alnum)
   *   - Slack tokens             (xox[abprs]- …)
@@ -37,8 +38,8 @@ import graft.Tables
   * runs on the rounded value (the standing measure-zero grid-edge
   * class — accepted, not defended).
   *
-  * Redaction is SEQUENTIAL (pem-block → pem-header → aws → github →
-  * slack → hex) so placeholders never re-match a later rule, mirrored
+  * Redaction is SEQUENTIAL (pem-block → pem-trunc → pem-header → aws →
+  * github → slack → hex) so placeholders never re-match a later rule, mirrored
   * in the oracle in the same order; the redacted text ships as an md5
   * (no text to the driver). Entropy candidates are DETECTED but not
   * redacted — the entropy gate is a reviewer signal (its
@@ -61,18 +62,34 @@ import graft.Tables
   */
 object SecretScan {
   // -- regex families (lowercase: patterns run over normText) ----------
-  /** Full begin…end PEM block. normText collapses all whitespace to
-    * single spaces, so `.` spans the (originally multi-line) base64
-    * body without needing a dotall flag — identical semantics in Java
-    * regex and DuckDB's RE2. The end marker's tail is OPTIONAL so a
-    * truncated `-----end` still closes the block; the lazy `.*?` stops
-    * at the EARLIEST end marker so two concatenated blocks redact as
-    * two, not one. */
+  /** Full begin…end PEM block, STRICT end marker: the lazy `.*?` stops
+    * only at a PRIVATE-KEY end marker, never at some other material's
+    * `-----end …-----` that got concatenated inside the block — so
+    * mismatched-marker input like `begin-pk AAAA end-certificate BBBB
+    * end-pk` scrubs in FULL, BBBB included (the r15 review-pass fix;
+    * the first cut's optional end tail closed at the earliest bare
+    * `-----end` and leaked everything after it). normText collapses all
+    * whitespace to single spaces, so `.` spans the (originally
+    * multi-line) base64 body without a dotall flag — identical
+    * semantics in Java regex and DuckDB's RE2 (which has no lookaround;
+    * the tier below replaces what a lookahead would do). Two adjacent
+    * proper blocks redact as two (lazy stops at the first strict end);
+    * an orphan block directly followed by a proper one merges into its
+    * strict end — everything is still scrubbed, and n_pem counts
+    * REDACTIONS inserted, not begin markers. */
   private[graft] val PemBlockPat =
-    "-----begin [a-z ]{0,30}private key-----.*?-----end( [a-z ]{0,30}private key-----)?"
+    "-----begin [a-z ]{0,30}private key-----.*?-----end [a-z ]{0,30}private key-----"
 
-  /** Orphan PEM header (no end marker anywhere) — the fallback after
-    * [[PemBlockPat]] has consumed every closable block. */
+  /** Truncated/mismatched-end tier, applied AFTER [[PemBlockPat]]: a
+    * remaining begin header closes at the earliest surviving
+    * `-----end` fragment (the r14 ADVICE truncated-end fixture
+    * `… -----END`). */
+  private[graft] val PemTruncPat =
+    "-----begin [a-z ]{0,30}private key-----.*?-----end"
+
+  /** Orphan PEM header (no end fragment anywhere) — the last fallback;
+    * a surviving ≥20-char body still flags via the entropy reviewer
+    * signal. */
   private[graft] val PemPat = "-----begin [a-z ]{0,30}private key-----"
   private[graft] val AwsPat = "\\bakia[a-z0-9]{16}\\b"
   private[graft] val GithubPat = "\\bghp_[a-z0-9]{36}\\b"
@@ -120,9 +137,12 @@ object SecretScan {
     documents
       .select(col("doc_id"), TextOps.normText(col("text")).as("norm"))
       .withColumn("n_pem_blk", cnt(col("norm"), PemBlockPat))
-      .withColumn("r0", regexp_replace(col("norm"), PemBlockPat, "<pem>"))
+      .withColumn("r0a", regexp_replace(col("norm"), PemBlockPat, "<pem>"))
+      .withColumn("n_pem_trunc", cnt(col("r0a"), PemTruncPat))
+      .withColumn("r0", regexp_replace(col("r0a"), PemTruncPat, "<pem>"))
       .withColumn("n_pem_hdr", cnt(col("r0"), PemPat))
-      .withColumn("n_pem", col("n_pem_blk") + col("n_pem_hdr"))
+      .withColumn("n_pem",
+        col("n_pem_blk") + col("n_pem_trunc") + col("n_pem_hdr"))
       .withColumn("r1", regexp_replace(col("r0"), PemPat, "<pem>"))
       .withColumn("n_aws", cnt(col("r1"), AwsPat))
       .withColumn("r2", regexp_replace(col("r1"), AwsPat, "<awskey>"))
@@ -171,14 +191,20 @@ object SecretScan {
        |  SELECT doc_id, norm,
        |    CAST(len(regexp_extract_all(norm, '$PemBlockPat', 0)) AS BIGINT)
        |      AS n_pem_blk,
-       |    regexp_replace(norm, '$PemBlockPat', '<pem>', 'g') AS r0
+       |    regexp_replace(norm, '$PemBlockPat', '<pem>', 'g') AS r0a
        |  FROM base
+       |), s0b AS (
+       |  SELECT doc_id, norm, n_pem_blk,
+       |    CAST(len(regexp_extract_all(r0a, '$PemTruncPat', 0)) AS BIGINT)
+       |      AS n_pem_trunc,
+       |    regexp_replace(r0a, '$PemTruncPat', '<pem>', 'g') AS r0
+       |  FROM s0
        |), s1 AS (
        |  SELECT doc_id, norm,
-       |    CAST(n_pem_blk
+       |    CAST(n_pem_blk + n_pem_trunc
        |      + len(regexp_extract_all(r0, '$PemPat', 0)) AS BIGINT) AS n_pem,
        |    regexp_replace(r0, '$PemPat', '<pem>', 'g') AS r1
-       |  FROM s0
+       |  FROM s0b
        |), s2 AS (
        |  SELECT *, CAST(len(regexp_extract_all(r1, '$AwsPat', 0)) AS BIGINT)
        |      AS n_aws,

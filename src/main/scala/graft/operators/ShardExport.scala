@@ -115,15 +115,12 @@ object ShardExport {
     * release runs thousands of them, each far smaller). */
   private val ManifestMod = 1000000007L
 
-  /** The per-shard manifest of a (doc_id, fp, n_tokens, shard_id)
-    * assignment: counts, token mass, and TWO order-free content
-    * checksums — `bit_xor(fp)` (any single-row corruption flips it) and
-    * `Σ fp mod p` (catches the duplicated-pair case XOR cancels) — plus
-    * the fp range. Every aggregate is distributive/map-side combined;
-    * the manifest is nShards rows. */
   /** The core manifest aggregates — ONE list [[manifestOver]] (c28/p08)
     * and c42's licensed manifest share, so the checksum definitions
-    * cannot drift. */
+    * cannot drift: counts, token mass, and TWO order-free content
+    * checksums — `bit_xor(fp)` (any single-row corruption flips it) and
+    * `Σ fp mod p` (catches the duplicated-pair case XOR cancels) — plus
+    * the fp range. Every aggregate is distributive/map-side combined. */
   private def manifestAggCols: Seq[org.apache.spark.sql.Column] = Seq(
     count(lit(1)).as("n_docs"),
     sum(col("n_tokens")).as("n_tokens"),
@@ -132,6 +129,9 @@ object ShardExport {
     min(col("fp")).as("fp_min"),
     max(col("fp")).as("fp_max"))
 
+  /** The per-shard manifest of a (doc_id, fp, n_tokens, shard_id)
+    * assignment — [[manifestAggCols]] grouped by shard; the manifest is
+    * nShards rows. */
   private[graft] def manifestOver(rows: DataFrame): DataFrame =
     rows.groupBy(col("shard_id"))
       .agg(manifestAggCols.head, manifestAggCols.tail: _*)
@@ -202,9 +202,14 @@ object ShardExport {
   def c42ManifestLicensed(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.PolyFingerprint.register(spark)
     val t = Tables(spark, dir)
+    // one corpus scan: the normalized narrow projection is checkpointed
+    // and read by the registry, the gate probe, AND the manifest rows
+    // (r15 review-pass fix — the first cut normalized the text three
+    // times; p01's one-materialization discipline applies here too)
     val docs = t.spread(t.documents)
       .select(col("doc_id"), col("source"),
         TextOps.normText(col("text")).as("norm"))
+      .localCheckpoint()
     val gate = Governance.gateOver(docs, Governance.registryOf(docs))
     val rows = docs
       .withColumn("fp", TextOps.polyFp(col("norm")))

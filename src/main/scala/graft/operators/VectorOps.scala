@@ -1113,7 +1113,8 @@ object VectorOps {
       ("s09_indexed", 3, s09AnnIndexed(spark, dir)),
       ("s10_filtered", 5, s10AnnFiltered(spark, dir)),
       ("s14_sq8", 3, s14AnnSq8(spark, dir)),
-      ("s17_graph", 3, s17AnnGraph(spark, dir)))
+      ("s17_graph", 3, s17AnnGraph(spark, dir)),
+      ("s18_graph_store", 3, s18AnnGraphIndexed(spark, dir)))
     val tagged = rungs.map { case (name, k, df) =>
         df.select(lit(name).as("rung"), lit(k).as("k"),
           col("query_id"), col("vec_id"))
@@ -1206,10 +1207,13 @@ object VectorOps {
     * longs, degree ≤ m by construction, no vector payloads. Work is
     * probes²·Σ per-list², the IVF-balanced blocked quadratic — never
     * corpus-quadratic. */
-  private[graft] def graphEdges(v: DataFrame, centroids: DataFrame,
-      m: Int, probes: Int = GraphBuildProbes): DataFrame = {
-    // top-`probes` lists per vector (the query-probe aggregate shape)
-    val assigned = v.crossJoin(centroids)
+  /** Top-`probes` coarse lists per vector, payload riding along — the
+    * ONE multi-probe assignment [[graphEdges]] (build) and the standing
+    * graph store's bootstrap/append share, so build-time and insert-time
+    * candidate generation cannot drift. */
+  private def multiAssign(v: DataFrame, centroids: DataFrame,
+      probes: Int = GraphBuildProbes): DataFrame =
+    v.crossJoin(centroids)
       .withColumn("c_sim",
         cosineWithNorms(col("embedding"), col("c_emb"), col("nrm"), col("c_nrm")))
       .groupBy(col("vec_id"))
@@ -1217,6 +1221,10 @@ object VectorOps {
         first(col("embedding")).as("embedding"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         explode(col("probe.id")).as("list_id"))
+
+  private[graft] def graphEdges(v: DataFrame, centroids: DataFrame,
+      m: Int, probes: Int = GraphBuildProbes): DataFrame = {
+    val assigned = multiAssign(v, centroids, probes)
     val pairs = assigned.as("a").join(assigned.as("b"),
         col("a.list_id") === col("b.list_id") &&
           col("a.vec_id") =!= col("b.vec_id"))
@@ -1264,20 +1272,13 @@ object VectorOps {
     annGraph(spark, dir, IvfLists, GraphDegree, GraphEntries, GraphBeam,
       GraphHops, 3)
 
-  /** Parameterized graph-search core (geometry surfaced like [[annIvf]]'s). */
-  private[graft] def annGraph(spark: SparkSession, dir: String,
-      nLists: Int, m: Int, nEntries: Int, beam: Int, hops: Int,
+  /** The bounded beam search over ANY (src, dst) edge relation — the
+    * ONE search definition s17's in-session form and the standing graph
+    * store's probe share. `entryIds` seeds the walk; payloads come from
+    * `v` (vec_id, embedding, nrm); the bounded query side broadcasts. */
+  private[graft] def beamSearchGraph(edges: DataFrame, v: DataFrame,
+      q: DataFrame, entryIds: DataFrame, beam: Int, hops: Int,
       k: Int): DataFrame = {
-    FloatVecDot.register(spark)
-    TopKByScore.register(spark)
-    val v = Tables(spark, dir).embeddings
-      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-    val centroids = Codebooks.ivfCentroids(v, dir, nLists)
-    // the standing index artifact — built once, consumed every hop
-    val edges = graphEdges(v, centroids, m).localCheckpoint()
-    val q = v.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("nrm").as("q_nrm"))
     // score a (query_id, vec_id) candidate set: broadcast the bounded
     // query side, shuffle only the candidates to their vectors
     def scored(cands: DataFrame): DataFrame =
@@ -1285,8 +1286,8 @@ object VectorOps {
         .select(col("query_id"), col("vec_id"),
           round(cosineWithNorms(col("q_emb"), col("embedding"),
             col("q_nrm"), col("nrm")), 6).as("cos_sim"))
-    val entries = v.orderBy("vec_id").limit(nEntries)
-      .select(col("vec_id")).crossJoin(q.select(col("query_id")))
+    val entries = entryIds.select(col("vec_id"))
+      .crossJoin(q.select(col("query_id")))
     var visited = scored(entries).localCheckpoint()
     for (_ <- 1 to hops) {
       val frontier = topKPerGroup(visited, beam, col("cos_sim"),
@@ -1304,6 +1305,279 @@ object VectorOps {
       .select(col("query_id"), col("rank"), col("id").as("vec_id"),
         col("score").as("cos_sim"))
       .orderBy("query_id", "rank")
+  }
+
+  /** Parameterized graph-search core (geometry surfaced like [[annIvf]]'s). */
+  private[graft] def annGraph(spark: SparkSession, dir: String,
+      nLists: Int, m: Int, nEntries: Int, beam: Int, hops: Int,
+      k: Int): DataFrame = {
+    FloatVecDot.register(spark)
+    TopKByScore.register(spark)
+    val v = Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val centroids = Codebooks.ivfCentroids(v, dir, nLists)
+    // the standing index artifact — built once, consumed every hop
+    val edges = graphEdges(v, centroids, m).localCheckpoint()
+    val q = v.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    beamSearchGraph(edges, v, q, v.orderBy("vec_id").limit(nEntries), beam,
+      hops, k)
+  }
+
+  // ------------------------------------- standing GRAPH index store (r15)
+  // s17's edge relation PERSISTED, with the maintenance lifecycle that
+  // makes graph-ANN incremental batch over batch — the Vamana insert
+  // path (Subramanya et al. NeurIPS'19 §4; FreshDiskANN's streaming
+  // form) expressed through the same merge-on-read store plumbing the
+  // IVF / near-dup / media stores use. Per prefix:
+  //   <p>_gcent         (list_id, c_emb, c_nrm) — the build quantizer,
+  //                     trained once at bootstrap, broadcast on read
+  //   <p>_gassign_base  (vec_id, list_id) bucketed on list_id — each
+  //                     node's GraphBuildProbes probed lists: the
+  //                     candidate-generation relation appends join
+  //                     (2 longs per node per probe — this, not the
+  //                     vectors, is what the store holds)
+  //   <p>_gassign_delta same + gen
+  //   <p>_gedge_base    (src, dst) bucketed on src — bounded-degree
+  //                     out-edges (≤ m per src after bootstrap/compact)
+  //   <p>_gedge_delta   (src, dst, gen) — BIDIRECTIONAL insert links:
+  //                     each appended node's top-m out-edges PLUS the
+  //                     reverse old→new links that make a new node
+  //                     REACHABLE from the fixed entries without a
+  //                     rebuild (Vamana's insert adds both directions);
+  //                     an old node's degree grows past m between
+  //                     compactions, and [[graphIndexCompact]] re-prunes
+  //                     every degree to ≤ m (RobustPrune simplified to
+  //                     keep-best-m — the α-diversity refinement is a
+  //                     documented non-goal at this rung).
+  // Vectors are NOT stored: probes and compaction fetch payloads from
+  // `vectorSource` (at 100 TB, the embeddings table itself, joined by
+  // vec_id for bounded candidate sets) — annIndexProbe's rerank
+  // contract; the store holds only (long, long) relations.
+  private val GraphStoreBuckets = 8
+
+  /** Train the build quantizer, build the multi-probe bounded-degree
+    * edge relation, persist edges + assignments. `corpusKey` keys the
+    * Codebooks training cache (pass the data dir). */
+  def graphIndexBootstrap(v0: DataFrame, prefix: String, corpusKey: String,
+      nLists: Int = IvfLists, m: Int = GraphDegree,
+      nBuckets: Int = GraphStoreBuckets): Unit = {
+    val spark = v0.sparkSession
+    FloatVecDot.register(spark)
+    TopKByScore.register(spark)
+    val v = v0.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val centroids = Codebooks.ivfCentroids(v, s"$corpusKey#$prefix", nLists)
+    for (t <- Seq("_gedge_base_next", "_gedge_base_old",
+        "_gassign_base_next", "_gassign_base_old", "_gcent"))
+      graft.sources.GraftIO.dropManaged(spark, prefix + t)
+    centroids.write.format("parquet").saveAsTable(s"${prefix}_gcent")
+    val cents = broadcast(spark.table(s"${prefix}_gcent"))
+    graft.sources.GraftIO.writeBucketed(
+      multiAssign(v, cents).select("vec_id", "list_id"),
+      s"${prefix}_gassign_base", "list_id", nBuckets, Seq("list_id"))
+    graft.sources.GraftIO.writeBucketed(
+      graphEdges(v, cents, m),
+      s"${prefix}_gedge_base", "src", nBuckets, Seq("src"))
+    graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_gassign_delta",
+      spark.table(s"${prefix}_gassign_base"))
+    graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_gedge_delta",
+      spark.table(s"${prefix}_gedge_base"))
+  }
+
+  /** Current assignments / edges: base ∪ delta (merge-on-read; appends
+    * are new nodes by contract, so no per-row gen fold is needed — the
+    * d13-hash-store membership shape, not the IVF max-gen fold). */
+  private[graft] def graphIndexAssignments(spark: SparkSession,
+      prefix: String): DataFrame = {
+    val base = graft.sources.GraftIO
+      .baseOrNext(spark, s"${prefix}_gassign_base")
+      .select("vec_id", "list_id")
+    val deltaT = s"${prefix}_gassign_delta"
+    if (!spark.catalog.tableExists(deltaT)) base
+    else base.unionByName(spark.table(deltaT).select("vec_id", "list_id"))
+  }
+
+  private[graft] def graphIndexEdges(spark: SparkSession,
+      prefix: String): DataFrame = {
+    val base = graft.sources.GraftIO.baseOrNext(spark, s"${prefix}_gedge_base")
+      .select("src", "dst")
+    val deltaT = s"${prefix}_gedge_delta"
+    if (!spark.catalog.tableExists(deltaT)) base
+    else base.unionByName(spark.table(deltaT).select("src", "dst"))
+  }
+
+  /** Vamana-style INSERT of a batch: assign each new node to its probed
+    * lists against the STANDING quantizer (no retrain — the annIndex
+    * lifecycle contract), generate candidates from the standing
+    * assignment relation plus the batch itself, keep each new node's
+    * top-m out-edges, and append BOTH directions so the new nodes are
+    * reachable. Gen-monotone; same-gen replay overwrites its own
+    * partition. Only (long, long) relations shuffle; candidate payloads
+    * are fetched per candidate from `vectorSource`. */
+  def graphIndexAppend(newV: DataFrame, vectorSource: DataFrame,
+      prefix: String, gen: Long, m: Int = GraphDegree): Unit = {
+    val spark = newV.sparkSession
+    FloatVecDot.register(spark)
+    TopKByScore.register(spark)
+    for (t <- Seq(s"${prefix}_gedge_delta", s"${prefix}_gassign_delta");
+         mg <- graft.sources.GraftIO.maxGen(spark, t))
+      require(gen >= mg,
+        s"non-monotone index generation $gen < standing max $mg for '$prefix'")
+    val v = newV.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val cents = broadcast(spark.table(s"${prefix}_gcent"))
+    val newAssign = multiAssign(v, cents).localCheckpoint()
+    // candidates: standing nodes sharing a probed list + same-list batch
+    // pairs (the batch is not in the standing relation until the write)
+    val standing = graphIndexAssignments(spark, prefix)
+    val vsStanding = newAssign.select(col("vec_id").as("src"), col("list_id"))
+      .join(standing.select(col("vec_id").as("dst"), col("list_id")), "list_id")
+    val vsBatch = newAssign.as("a").join(newAssign.as("b"),
+        col("a.list_id") === col("b.list_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"))
+    val cands = vsStanding.select("src", "dst").unionByName(vsBatch)
+      .filter(col("src") =!= col("dst")).distinct()
+    val srcV = v.select(col("vec_id").as("src"), col("embedding").as("s_emb"),
+      col("nrm").as("s_nrm"))
+    val dstV = vectorSource.select(col("vec_id"), col("embedding"))
+      .unionByName(newV.select(col("vec_id"), col("embedding")))
+      .dropDuplicates("vec_id")
+      .select(col("vec_id").as("dst"), col("embedding").as("d_emb"),
+        norm(col("embedding")).as("d_nrm"))
+    val scored = cands.join(srcV, "src").join(dstV, "dst")
+      .select(col("src"),
+        round(cosineWithNorms(col("s_emb"), col("d_emb"),
+          col("s_nrm"), col("d_nrm")), 6).as("cos_sim"),
+        col("dst"))
+    val out = topKPerGroup(scored, m, col("cos_sim"), col("dst"), lit(0L),
+        col("src"))
+      .select(col("src"), col("id").as("dst"))
+    val both = out.unionByName(
+      out.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    graft.sources.GraftIO.writeDelta(
+      both.withColumn("gen", lit(gen)).select("src", "dst", "gen"),
+      s"${prefix}_gedge_delta")
+    graft.sources.GraftIO.writeDelta(
+      newAssign.select("vec_id", "list_id").withColumn("gen", lit(gen)),
+      s"${prefix}_gassign_delta")
+  }
+
+  /** Beam-search the STANDING graph: [[beamSearchGraph]] (the one
+    * search definition s17 uses) over base ∪ delta edges; entries are
+    * the store's lowest node ids (deterministic, index-agnostic);
+    * candidate payloads come from `vectorSource`. */
+  def graphIndexProbe(queries0: DataFrame, vectorSource: DataFrame,
+      prefix: String, nEntries: Int = GraphEntries, beam: Int = GraphBeam,
+      hops: Int = GraphHops, k: Int = 3): DataFrame = {
+    val spark = queries0.sparkSession
+    FloatVecDot.register(spark)
+    TopKByScore.register(spark)
+    val edges = graphIndexEdges(spark, prefix)
+    val v = vectorSource.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val q = queries0.select(col("query_id"), col("q_emb"),
+      norm(col("q_emb")).as("q_nrm"))
+    val entryIds = graphIndexAssignments(spark, prefix)
+      .select(col("vec_id")).distinct().orderBy("vec_id").limit(nEntries)
+    beamSearchGraph(edges, v, q, entryIds, beam, hops, k)
+  }
+
+  /** Fold deltas into the bucketed base AND re-prune every node's degree
+    * to ≤ m against the vector payloads (Vamana's periodic prune —
+    * append-time reverse links push old nodes past m; this restores the
+    * bound). The re-prune keeps each node's best-m over build ∪ insert
+    * edges, so compaction can REFINE the graph (an insert reverse link
+    * that beats a build candidate is promoted into the pruned edge set)
+    * — deep-rank probe results may legitimately shift across a
+    * compaction while the degree bound, reachability of reciprocal-best
+    * neighbors (a cos-1.0 edge is the maximum and can never be pruned),
+    * and search structure are invariant (spec-pinned). Crash-safe via
+    * compactSwap, like every other store. */
+  def graphIndexCompact(spark: SparkSession, prefix: String,
+      vectorSource: DataFrame, m: Int = GraphDegree,
+      nBuckets: Int = GraphStoreBuckets): Unit = {
+    FloatVecDot.register(spark)
+    TopKByScore.register(spark)
+    val emb = vectorSource.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val scored = graphIndexEdges(spark, prefix).distinct()
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("s_emb"),
+        col("nrm").as("s_nrm")), "src")
+      .join(emb.select(col("vec_id").as("dst"), col("embedding").as("d_emb"),
+        col("nrm").as("d_nrm")), "dst")
+      .select(col("src"),
+        round(cosineWithNorms(col("s_emb"), col("d_emb"),
+          col("s_nrm"), col("d_nrm")), 6).as("cos_sim"),
+        col("dst"))
+    val pruned = topKPerGroup(scored, m, col("cos_sim"), col("dst"), lit(0L),
+        col("src"))
+      .select(col("src"), col("id").as("dst"))
+      .localCheckpoint()
+    graft.sources.GraftIO.compactSwap(spark, s"${prefix}_gedge_base",
+        Seq(s"${prefix}_gedge_delta")) { next =>
+      graft.sources.GraftIO.writeBucketed(pruned, next, "src", nBuckets,
+        Seq("src"))
+    }
+    graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_gedge_delta",
+      spark.table(s"${prefix}_gedge_base"))
+    val assigns = graphIndexAssignments(spark, prefix).distinct()
+      .localCheckpoint()
+    graft.sources.GraftIO.compactSwap(spark, s"${prefix}_gassign_base",
+        Seq(s"${prefix}_gassign_delta")) { next =>
+      graft.sources.GraftIO.writeBucketed(assigns, next, "list_id", nBuckets,
+        Seq("list_id"))
+    }
+    graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_gassign_delta",
+      spark.table(s"${prefix}_gassign_base"))
+  }
+
+  /** Re-mount after a process restart ([[graft.sources.GraftIO
+    * .attachBucketed]]'s contract). */
+  def graphIndexAttach(spark: SparkSession, prefix: String,
+      nBuckets: Int = GraphStoreBuckets): Unit = {
+    graft.sources.GraftIO.attachPlain(spark, s"${prefix}_gcent",
+      "list_id BIGINT, c_emb ARRAY<FLOAT>, c_nrm DOUBLE")
+    for (t <- Seq("_gassign_base", "_gassign_base_next", "_gassign_base_old"))
+      graft.sources.GraftIO.attachBucketed(spark, prefix + t,
+        "vec_id BIGINT, list_id BIGINT", "list_id", nBuckets)
+    for (t <- Seq("_gedge_base", "_gedge_base_next", "_gedge_base_old"))
+      graft.sources.GraftIO.attachBucketed(spark, prefix + t,
+        "src BIGINT, dst BIGINT", "src", nBuckets)
+    graft.sources.GraftIO.attachPartitioned(spark, s"${prefix}_gassign_delta",
+      "vec_id BIGINT, list_id BIGINT, gen BIGINT", "gen")
+    graft.sources.GraftIO.attachPartitioned(spark, s"${prefix}_gedge_delta",
+      "src BIGINT, dst BIGINT, gen BIGINT", "gen")
+  }
+
+  /** Drop every table of a store prefix (specs / teardown). */
+  def graphIndexDrop(spark: SparkSession, prefix: String): Unit =
+    for (t <- Seq("_gcent", "_gassign_base", "_gassign_delta",
+        "_gassign_base_next", "_gassign_base_old",
+        "_gedge_base", "_gedge_delta", "_gedge_base_next", "_gedge_base_old"))
+      graft.sources.GraftIO.dropManaged(spark, prefix + t)
+
+  /** s18: the standing graph index EXERCISED as a driver entry (s09's
+    * shape for the graph family): bootstrap on 4/5 of the corpus,
+    * Vamana-insert the remaining fifth against the standing quantizer,
+    * then beam-probe the shared query batch — appended vectors are
+    * reachable through the bidirectional insert links without any
+    * rebuild. Rows-only (k-means-quantizer-derived);
+    * Round15GraphStoreSpec pins probe≡in-session-search parity on a
+    * no-append store, appended-twin reachability, the compact degree
+    * re-bound, and gen monotonicity; measured recall lands as s12's
+    * s18_graph_store row. */
+  def s18AnnGraphIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val isIncoming = col("vec_id") % 5 === 4
+    graphIndexBootstrap(emb.filter(!isIncoming), "graft_s18", dir)
+    graphIndexAppend(emb.filter(isIncoming), emb, "graft_s18", 0L)
+    graphIndexProbe(
+      emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      emb, "graft_s18")
   }
 
   // ---------------------------------------------------------------- s14

@@ -16,4 +16,16 @@ object SharedSpark {
 abstract class GraftSpecBase extends AnyFunSuite {
   lazy val spark: SparkSession = SharedSpark.spark
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Plain-Scala md5 hex — the ONE spec-side mirror of the engines'
+    * md5() (was copy-pasted per suite; r15 review-pass hoist). */
+  protected def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Plain-Scala mirror of c41's license policy — the ONE definition
+    * the governance suites pin against. */
+  protected def licenseMirror(src: String): String =
+    graft.operators.Governance.LicenseClasses(
+      ((src.length * 5 + src.last.toInt) % 4 + 4) % 4)
 }

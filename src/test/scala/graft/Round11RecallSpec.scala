@@ -17,7 +17,8 @@ class Round11RecallSpec extends GraftSpecBase {
 
   test("s12: one row per ladder rung, retrieved counts bounded by n_queries * k") {
     assert(rows.keySet == Set("s02_lsh", "s03_ivf", "s04_pq", "s07_ivfpq",
-      "s08_ivfpq_res", "s09_indexed", "s10_filtered", "s14_sq8", "s17_graph"))
+      "s08_ivfpq_res", "s09_indexed", "s10_filtered", "s14_sq8", "s17_graph",
+      "s18_graph_store"))
     for ((rung, (k, nq, nRetr, nHits, recall)) <- rows) {
       assert(nRetr <= nq * k, s"$rung over-retrieves")
       assert(nHits <= nRetr, s"$rung counts impossible hits")
@@ -34,9 +35,12 @@ class Round11RecallSpec extends GraftSpecBase {
       "s08_ivfpq_res" -> 0.30,
       "s09_indexed" -> 0.25,  // standing store probe (s03 shape + appends)
       "s14_sq8" -> 0.80,      // 8-bit grid: near-exact fidelity at 4x
-      "s17_graph" -> 0.60)    // beam search over the multi-probe build
+      "s17_graph" -> 0.60,    // beam search over the multi-probe build
                               // (measured 0.93; the single-probe build's
                               // 0.57 ceiling was the BUILD, not the search)
+      "s18_graph_store" -> 0.50) // the same search over the STANDING
+                              // store (bootstrap on 4/5 + the inserted
+                              // fifth reached via bidirectional links)
     for ((rung, floor) <- floors)
       assert(rows(rung)._5 >= floor,
         s"$rung recall ${rows(rung)._5} under documented floor $floor")

@@ -47,9 +47,7 @@ class Round14ChunkSpec extends GraftSpecBase {
     for (r <- rows) {
       val s = l(r, "start_tok").toInt
       val expect = toks.slice(s, math.min(s + 64, toks.length)).mkString(" ")
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(expect.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      assert(r.getString(r.fieldIndex("chunk_hash")) === md)
+      assert(r.getString(r.fieldIndex("chunk_hash")) === md5Hex(expect))
     }
   }
 

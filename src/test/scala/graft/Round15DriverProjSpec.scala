@@ -23,10 +23,6 @@ class Round15DriverProjSpec extends GraftSpecBase {
   private def key(r: Row) = (s(r, "lang"), l(r, "shard"), s(r, "kind"),
     optL(r, "window_id"), optL(r, "split_doc_id"), optL(r, "split_win_idx"))
 
-  private def md5Hex(x: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
   /** Round14WindowDedupSpec's twin-shard corpus: packed, split, and
     * padded windows all present. */
   private lazy val winDf = {

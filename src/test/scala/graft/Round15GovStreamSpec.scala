@@ -15,9 +15,6 @@ class Round15GovStreamSpec extends GraftSpecBase {
 
   test("c41 governanceGateStream: bit-identical to batch; null source fails closed") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def md5Hex(s: String) =
-      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     // one text the driver registry contains (hash nibble '0'), one not
     val regText = (1 to 512).map(i => s"registered body $i")
       .find(t => md5Hex(t).startsWith("0")).get
@@ -51,8 +48,7 @@ class Round15GovStreamSpec extends GraftSpecBase {
     assert(nullSrc(1) === "all-rights-reserved")
     assert(nullSrc(3) === false && nullSrc(4) === false) // license_ok, gov_keep
     // null text: fail-safe — gated on the empty string's hash, tag intact
-    assert(out(5L)(1) === Governance.LicenseClasses(
-      (("alpha".length * 5 + 'a'.toInt) % 4 + 4) % 4))
+    assert(out(5L)(1) === licenseMirror("alpha"))
   }
 
   test("c41: batch gate also fails closed on an empty source string") {

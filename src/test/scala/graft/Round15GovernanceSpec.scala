@@ -19,14 +19,6 @@ class Round15GovernanceSpec extends GraftSpecBase {
   private def s(r: Row, n: String) = r.getString(r.fieldIndex(n))
   private def bo(r: Row, n: String) = r.getBoolean(r.fieldIndex(n))
 
-  private def md5Hex(x: String): String =
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
-
-  /** Plain-Scala mirror of the license policy. */
-  private def licMirror(src: String): String =
-    Governance.LicenseClasses(((src.length * 5 + src.last.toInt) % 4 + 4) % 4)
-
   private def gateOf(rows: Seq[(Long, String, String)]): Array[Row] = {
     val docs = rows.toDF("doc_id", "source", "norm")
     Governance.gateOver(docs, Governance.registryOf(docs))
@@ -39,9 +31,9 @@ class Round15GovernanceSpec extends GraftSpecBase {
     val out = gateOf(sources.zipWithIndex.map { case (src, i) =>
       (i.toLong, src, s"unique governance body $i") })
     for ((r, src) <- out.zip(sources)) {
-      assert(s(r, "license") === licMirror(src), src)
+      assert(s(r, "license") === licenseMirror(src), src)
       assert(bo(r, "license_ok") ===
-        Governance.AllowedLicenses.contains(licMirror(src)), src)
+        Governance.AllowedLicenses.contains(licenseMirror(src)), src)
     }
     // the fixture pool exercises both allowlist branches
     assert(out.exists(bo(_, "license_ok")) && out.exists(!bo(_, "license_ok")))
@@ -77,7 +69,7 @@ class Round15GovernanceSpec extends GraftSpecBase {
       qualityMin = -1.0, nllMax = 1000.0, requireGovernance = true).collect()
     assert(gov.nonEmpty)
     for (r <- gov) {
-      assert(s(r, "license") === licMirror(s(r, "source")))
+      assert(s(r, "license") === licenseMirror(s(r, "source")))
       // flags carry gov_ok = license_ok ∧ ¬opted_out; recompute it from
       // the carried tag + the allowlist
       assert(bo(r, "gov_ok") === (Governance.AllowedLicenses.contains(

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+/** s18 standing graph index: a no-append store's probe is bit-identical
+  * to the in-session s17 search, a Vamana-inserted twin of a query is
+  * reachable (rank-1) through the bidirectional insert links with no
+  * rebuild, compaction restores the degree bound and preserves results,
+  * appends are gen-monotone, and the driver entry is deterministic. */
+class Round15GraphStoreSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+  private def d(r: Row, n: String) = r.getDouble(r.fieldIndex(n))
+  private def row4(r: Row) =
+    (l(r, "query_id"), l(r, "rank"), l(r, "vec_id"), d(r, "cos_sim"))
+
+  private lazy val emb = Tables(spark, sfDir).embeddings
+    .select(col("vec_id"), col("embedding")).localCheckpoint()
+
+  test("s18: a no-append store's probe ≡ the in-session s17 search") {
+    VectorOps.graphIndexDrop(spark, "graft_s18p")
+    VectorOps.graphIndexBootstrap(emb, "graft_s18p", sfDir)
+    val stored = VectorOps.graphIndexProbe(
+        emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        emb, "graft_s18p").collect().map(row4)
+    val inSession = VectorOps.s17AnnGraph(spark, sfDir).collect().map(row4)
+    assert(stored.toSeq === inSession.toSeq)
+    VectorOps.graphIndexDrop(spark, "graft_s18p")
+  }
+
+  test("s18: an inserted twin of the query is reachable at rank 1 — no rebuild") {
+    VectorOps.graphIndexDrop(spark, "graft_s18t")
+    // bootstrap WITHOUT the twin; insert it afterwards
+    VectorOps.graphIndexBootstrap(emb, "graft_s18t", sfDir)
+    val twinId = 900001L
+    val q0 = emb.filter(col("vec_id") === 0L)
+    val twin = q0.select(lit(twinId).as("vec_id"), col("embedding"))
+    VectorOps.graphIndexAppend(twin, emb, "graft_s18t", 0L)
+    val out = VectorOps.graphIndexProbe(
+        q0.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        emb.unionByName(twin), "graft_s18t").collect()
+    val top = out.minBy(l(_, "rank"))
+    assert(l(top, "vec_id") === twinId,
+      s"the inserted twin must surface at rank 1, got ${l(top, "vec_id")}")
+    assert(d(top, "cos_sim") === 1.0)
+    // gen monotonicity: an older gen is refused
+    intercept[IllegalArgumentException] {
+      VectorOps.graphIndexAppend(twin.select(lit(900002L).as("vec_id"),
+        col("embedding")), emb, "graft_s18t", -1L)
+    }
+    VectorOps.graphIndexDrop(spark, "graft_s18t")
+  }
+
+  test("s18: compact restores the degree bound; a reciprocal-best twin stays rank-1 through it") {
+    VectorOps.graphIndexDrop(spark, "graft_s18c")
+    val isIncoming = col("vec_id") % 5 === 4
+    VectorOps.graphIndexBootstrap(emb.filter(!isIncoming), "graft_s18c", sfDir)
+    val twinId = 900001L
+    val q0 = emb.filter(col("vec_id") === 0L)
+    val twin = q0.select(lit(twinId).as("vec_id"), col("embedding"))
+    VectorOps.graphIndexAppend(
+      emb.filter(isIncoming).unionByName(twin), emb.unionByName(twin),
+      "graft_s18c", 0L)
+    val src = emb.unionByName(twin)
+    val q = q0.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    assert(l(VectorOps.graphIndexProbe(q, src, "graft_s18c").collect()
+      .minBy(l(_, "rank")), "vec_id") === twinId)
+    // reverse insert links push old nodes past m before compaction;
+    // compact re-prunes to best-m over build ∪ insert edges (a cos-1.0
+    // twin edge is always kept — the maximum can never be pruned)
+    VectorOps.graphIndexCompact(spark, "graft_s18c", src)
+    val deg = VectorOps.graphIndexEdges(spark, "graft_s18c")
+      .groupBy(col("src")).count().agg(max(col("count"))).collect()(0).getLong(0)
+    assert(deg <= 16L, s"compact must re-prune every degree to <= m, max=$deg")
+    val after = VectorOps.graphIndexProbe(q, src, "graft_s18c").collect()
+    assert(l(after.minBy(l(_, "rank")), "vec_id") === twinId,
+      "the twin must remain rank-1 after compaction")
+    assert(d(after.minBy(l(_, "rank")), "cos_sim") === 1.0)
+    // deep ranks MAY shift across compaction: the re-prune keeps best-m
+    // over build ∪ insert candidates, which can REFINE paths (an insert
+    // reverse link beating a build candidate) — pinned as structure, not
+    // equality
+    for ((qq, rows) <- after.groupBy(l(_, "query_id")))
+      assert(rows.map(l(_, "rank")).sorted.toSeq === (1L to rows.length).toSeq, qq)
+    VectorOps.graphIndexDrop(spark, "graft_s18c")
+  }
+
+  test("s18: driver entry — structure and determinism") {
+    val a = VectorOps.s18AnnGraphIndexed(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    for ((q, rows) <- a.groupBy(l(_, "query_id"))) {
+      assert(rows.map(l(_, "rank")).sorted.toSeq === (1L to rows.length).toSeq)
+      assert(rows.forall(l(_, "vec_id") != q))
+    }
+    val b = VectorOps.s18AnnGraphIndexed(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+}
