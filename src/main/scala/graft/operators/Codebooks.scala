@@ -74,6 +74,24 @@ object Codebooks {
     trained.putIfAbsent(k, memo).getOrElse(memo).get
   }
 
+  /** Session-scoped memo for any bounded/checkpointed DataFrame artifact —
+    * the trained-codebook lifecycle generalized (r16): build at most once
+    * per (session, key), then serve the strongly-referenced cached plan.
+    * Callers must pass a `localCheckpoint`ed (or otherwise bounded) result
+    * so the cache pins materialized blocks, not live lineage. Used by the
+    * graph-ANN edge build (the probes²·Σ per-list² relation s17 and the
+    * s12 audit share), exactly as the IVF/PQ codebooks are shared. */
+  private[operators] def memoDf(df: DataFrame, key: Seq[Any])(build: => DataFrame): DataFrame =
+    once(df, key)(build)
+
+  /** JVM-unique, catalog-name-safe session tag: two concurrent driver JVMs
+    * sharing one warehouse can never mint the same tag (the pid
+    * disambiguates), nor can two sessions inside one JVM (the weak-id
+    * counter). Used to give driver-entry standing stores a prefix no other
+    * run can clobber. */
+  private[operators] def sessionTableTag(s: org.apache.spark.sql.SparkSession): String =
+    s"p${ProcessHandle.current().pid()}${sessionKey(s)}"
+
   /** Element-wise mean of `vecCol` arrays per `keys` group, cast back to
     * float. Explodes one row per (sample row, dimension) — bounded by the
     * sample contract — and reassembles in dimension order.

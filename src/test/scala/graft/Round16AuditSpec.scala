@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.operators.{Codebooks, VectorOps}
+
+/** r16: the s12 recall audit serves every rung from session-scoped
+  * STANDING artifacts (codebooks, IVF/graph stores, the memoized
+  * kNN-edge relation) — built on first touch, probed thereafter. The
+  * audit's numbers must not depend on which path ran: a COLD audit
+  * (all caches and once-marks cleared, every store freshly
+  * bootstrapped) and a WARM audit (every rung probing the standing
+  * artifacts the cold run left behind) must produce identical recall
+  * rows — from-store ≡ from-scratch, the r15 VERDICT's done-criterion
+  * for the one perf-weak row. */
+class Round16AuditSpec extends GraftSpecBase {
+
+  private def key(r: Row): (String, Int) =
+    (r.getString(r.fieldIndex("rung")), r.getInt(r.fieldIndex("k")))
+  private def rows(rs: Array[Row]): Map[(String, Int), Seq[Any]] =
+    rs.map(r => key(r) -> r.toSeq).toMap
+
+  test("s12: audit-from-scratch ≡ audit-from-standing-artifacts") {
+    // cold: no memoized codebooks/edges, no bootstrapped-store marks —
+    // every rung trains/builds inside this call
+    Codebooks.clearTrained()
+    VectorOps.clearStoreOnce()
+    val cold = VectorOps.s12AnnRecallAudit(spark, sfDir).collect()
+    assert(cold.length === 10, "ten ladder rungs expected")
+    // warm: the same call now probes the standing stores / cached
+    // artifacts the cold run built
+    val warm = VectorOps.s12AnnRecallAudit(spark, sfDir).collect()
+    assert(rows(warm) === rows(cold))
+  }
+
+  test("s18/s09/s11/d10: repeat driver invocations probe the standing " +
+      "store and stay deterministic") {
+    for (entry <- Seq[(String, () => Array[Row])](
+        ("s18", () => VectorOps.s18AnnGraphIndexed(spark, sfDir).collect()),
+        ("s09", () => VectorOps.s09AnnIndexed(spark, sfDir).collect()),
+        ("s11", () => VectorOps.s11AnnFilteredStore(spark, sfDir).collect()),
+        ("d10", () => VectorOps.d10IncrementalSemdedup(spark, sfDir).collect()))) {
+      val (name, run) = entry
+      val a = run()
+      val b = run()
+      assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq,
+        s"$name probe-over-standing-store must equal the bootstrap run")
+      assert(a.nonEmpty, name)
+    }
+  }
+}
