@@ -319,7 +319,7 @@ object CuratePipeline {
             base.select(col("doc_id"), col("source"), col("norm")),
             Governance.registryOf(base))
           .select(col("doc_id"), col("license"), col("opted_out"),
-            col("gov_keep").as("gov_ok")))
+            col("opted_out_domain"), col("gov_keep").as("gov_ok")))
       else Nil)
 
     // ---- flags (c03's audit discipline, one row per input doc) ------
@@ -388,7 +388,8 @@ object CuratePipeline {
 
     // gate columns appear only when the corresponding parameter is on —
     // the driver entry's schema (defaults off) is unchanged
-    val gateCols = Seq("gopher_ok", "c4_ok", "license", "opted_out", "gov_ok")
+    val gateCols = Seq("gopher_ok", "c4_ok", "license", "opted_out",
+        "opted_out_domain", "gov_ok")
       .filter(flags.columns.contains)
     flags
       .join(weights, Seq("source"), "left")
@@ -531,15 +532,21 @@ object CuratePipeline {
       s"""govreg AS (
          |  SELECT DISTINCT md5(norm) AS ch FROM norm
          |  WHERE substr(md5(norm), 1, 1) = '0'
-         |), """.stripMargin
+         |), ${Governance.domainRegistrySql("norm")}, """.stripMargin
     val govCols = if (!governance) "" else
       s"""    ${Governance.licenseSql("n.source")} AS license,
          |    gr.ch IS NOT NULL AS opted_out,
+         |    ${Governance.optedOutDomainSql("n.source", "n.doc_id")}
+         |      AS opted_out_domain,
          |    ${Governance.licenseOkSql(Governance.licenseSql("n.source"))}
-         |      AND gr.ch IS NULL AS gov_ok,
+         |      AND gr.ch IS NULL
+         |      AND NOT (${Governance.optedOutDomainSql("n.source", "n.doc_id")})
+         |      AS gov_ok,
          |""".stripMargin
     val govJoin = if (!governance) "" else
-      "  LEFT JOIN govreg gr ON gr.ch = md5(n.norm)\n"
+      "  LEFT JOIN govreg gr ON gr.ch = md5(n.norm)\n" +
+        s"  LEFT JOIN domregg dg ON dg.domain = " +
+        s"${Governance.domainSqlExpr("n.source")}\n"
     val govKeep = if (!governance) "" else " AND gov_ok"
     s"""${govCte}grams AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(tk) - 2),

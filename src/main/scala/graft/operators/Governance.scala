@@ -26,6 +26,14 @@ import graft.Tables
   *     the corpus can derive reproducibly), and the gate is a genuine
   *     LEFT JOIN on the content hash so swapping in an external
   *     registry file changes one relation, not the plan.
+  *   - DOMAIN/URL-PREFIX opt-out tier (r16 — the OTHER real registry
+  *     shape: Common Crawl honors robots/CCBot opt-outs at domain and
+  *     URL-subtree grain): each document's derived URL is checked
+  *     against a (domain, prefix) registry — whole-host entries and
+  *     path-subtree entries — via a broadcast equi-join on the domain
+  *     key plus a row-local prefix test ([[gateOver]]'s three-arg form).
+  *     Verdict `opted_out_domain`, fail-CLOSED on null provenance,
+  *     carried through c42's manifest and p10's release gate.
   *
   * Output: one row per document with its tag and verdicts (c03's
   * audit-flag discipline — detect-and-flag here; the DROP happens
@@ -79,6 +87,40 @@ object Governance {
   private[graft] def licenseOkSql(lic: String): String =
     s"$lic IN ('cc-by', 'cc-by-sa', 'cc-nc')"
 
+  // ---- engine-identical SQL mirrors of the domain tier (r16) ----------
+  private[graft] def urlSqlExpr(src: String, id: String): String =
+    s"'https://' || $src || '.example.com/p' || CAST($id % 10 AS VARCHAR)" +
+      s" || '/' || CAST($id AS VARCHAR)"
+
+  private[graft] def domainSqlExpr(src: String): String =
+    s"$src || '.example.com'"
+
+  /** The driver domain-registry CTE pair over relation `$rel` (must
+    * expose `source`): `domreg` (domain, prefix) then `domregg`
+    * (domain, prefixes) — consumers LEFT JOIN `domregg dg ON dg.domain
+    * = <domainSqlExpr>` and evaluate [[optedOutDomainSql]]. */
+  private[graft] def domainRegistrySql(rel: String): String =
+    s"""domreg AS (
+       |  SELECT ${domainSqlExpr("source")} AS domain,
+       |    CASE WHEN h = 0 THEN 'https://' || ${domainSqlExpr("source")} || '/'
+       |      ELSE 'https://' || ${domainSqlExpr("source")} || '/p3/' END
+       |      AS prefix
+       |  FROM (SELECT DISTINCT source,
+       |      (length(source) * 7 + ascii(right(source, 1))) % 5 AS h
+       |    FROM $rel WHERE source IS NOT NULL AND source <> '') s
+       |  WHERE h <= 1
+       |), domregg AS (
+       |  SELECT domain, list(DISTINCT prefix) AS prefixes
+       |  FROM domreg GROUP BY domain
+       |)""".stripMargin
+
+  /** Per-row domain verdict — requires the `domregg dg` left join. */
+  private[graft] def optedOutDomainSql(src: String, id: String): String =
+    s"""CASE WHEN $src IS NULL OR $src = '' THEN TRUE
+       |    ELSE coalesce(len(list_filter(dg.prefixes,
+       |      p -> starts_with(${urlSqlExpr(src, id)}, p))) > 0, FALSE)
+       |    END""".stripMargin
+
   /** The driver's deterministic content-hash opt-out registry over any
     * (…, norm) relation: every md5 whose first hex nibble is '0'
     * (~1/16). A deployment replaces this one relation with the external
@@ -87,6 +129,44 @@ object Governance {
     normed.select(md5(col("norm")).as("ch"))
       .filter(substring(col("ch"), 1, 1) === "0")
       .distinct()
+
+  // ------------------------------------------- domain opt-out tier (r16)
+  /** Driver URL derivation: the synthetic corpus carries no url column,
+    * so the driver derives a deterministic pseudo-URL from provenance —
+    * `https://<source>.example.com/p<doc_id mod 10>/<doc_id>` — the same
+    * metadata-join stand-in as [[licenseOf]] (production reads the
+    * crawl's real WARC url). The `p<k>` path segment gives PATH-level
+    * registry prefixes a real subtree to opt out, not just whole hosts. */
+  private[graft] def urlOf(source: Column, docId: Column): Column =
+    concat(lit("https://"), source, lit(".example.com/p"),
+      pmod(docId, lit(10)).cast("string"), lit("/"), docId.cast("string"))
+
+  private[graft] def domainOf(source: Column): Column =
+    concat(source, lit(".example.com"))
+
+  /** The driver's deterministic DOMAIN/URL-prefix opt-out registry (the
+    * OTHER real registry shape beside content hashes — Common Crawl
+    * robots/CCBot opt-outs key by domain or URL subtree, r15 VERDICT
+    * #3): a reproducible slice of the corpus's own domains — h =
+    * (7·len(source) + ascii(last char)) mod 5; h = 0 registers the
+    * WHOLE host (`https://<domain>/`), h = 1 registers the `/p3/` path
+    * subtree only. Schema (domain, prefix): the domain column makes the
+    * probe an EQUI-join key; the prefix carries the path granularity.
+    * A deployment swaps this one relation for its robots/opt-out feed. */
+  private[graft] def domainRegistryOf(docs: DataFrame): DataFrame = {
+    val src = docs.select(col("source"))
+      .filter(col("source").isNotNull && col("source") =!= "").distinct()
+      .withColumn("h", pmod(
+        length(col("source")) * 7 + ascii(substring(col("source"), -1, 1)),
+        lit(5)))
+    src.filter(col("h") <= 1)
+      .select(domainOf(col("source")).as("domain"),
+        when(col("h") === 0,
+            concat(lit("https://"), domainOf(col("source")), lit("/")))
+          .otherwise(
+            concat(lit("https://"), domainOf(col("source")), lit("/p3/")))
+          .as("prefix"))
+  }
 
   /** The gate over any (doc_id, source, norm) relation and content-hash
     * registry (`ch` column): license tag + verdicts, one row per doc.
@@ -99,18 +179,47 @@ object Governance {
     * fix; the oracle's registry CTE is SELECT DISTINCT for the same
     * reason). */
   private[graft] def gateOver(docs: DataFrame, registry: DataFrame): DataFrame =
+    gateOver(docs, registry, domainRegistryOf(docs))
+
+  /** The full two-tier gate: content-hash registry + domain/URL-prefix
+    * registry (r16). The domain side is pre-aggregated to ONE row per
+    * domain (`prefixes` list) so the probe is a broadcast EQUI-join with
+    * zero row multiplication — a domain carrying several prefix entries
+    * (host + path subtrees) still yields one row per doc, and the
+    * per-doc check is a row-local `exists(prefixes, startswith(url, _))`
+    * over the joined list. Fail-CLOSED on the domain tier too: a
+    * null/empty source has no provenance to clear against the registry,
+    * so `opted_out_domain` is TRUE (spec-pinned — beside the
+    * all-rights-reserved license fallback, a malformed record is now
+    * doubly unshippable). At 100 TB: both registries broadcast (they
+    * list opted-out material, not the corpus); the corpus never
+    * shuffles. */
+  private[graft] def gateOver(docs: DataFrame, registry: DataFrame,
+      domainRegistry: DataFrame): DataFrame = {
+    val dReg = broadcast(domainRegistry.select("domain", "prefix").distinct()
+      .groupBy(col("domain")).agg(collect_list(col("prefix")).as("prefixes")))
     docs
       .withColumn("ch", md5(col("norm")))
       .join(broadcast(registry.select(col("ch")).distinct()
           .withColumn("opted", lit(true))),
         Seq("ch"), "left")
       .withColumn("opted_out", coalesce(col("opted"), lit(false)))
+      .withColumn("url", urlOf(col("source"), col("doc_id")))
+      .withColumn("domain", domainOf(col("source")))
+      .join(dReg, Seq("domain"), "left")
+      .withColumn("opted_out_domain",
+        when(col("source").isNull || col("source") === "", lit(true))
+          .otherwise(coalesce(
+            exists(col("prefixes"), p => col("url").startsWith(p)),
+            lit(false))))
       .withColumn("license", licenseOf(col("source")))
       .withColumn("license_ok",
         col("license").isInCollection(AllowedLicenses))
-      .withColumn("gov_keep", col("license_ok") && !col("opted_out"))
-      .select("doc_id", "source", "license", "opted_out", "license_ok",
-        "gov_keep")
+      .withColumn("gov_keep",
+        col("license_ok") && !col("opted_out") && !col("opted_out_domain"))
+      .select("doc_id", "source", "license", "opted_out", "opted_out_domain",
+        "license_ok", "gov_keep")
+  }
 
   /** c41 driver entry. The normalized narrow projection is materialized
     * ONCE (localCheckpoint — p01's one-corpus-scan discipline): the
@@ -132,15 +241,18 @@ object Governance {
        |  SELECT doc_id, source, md5($NormSql) AS ch FROM documents
        |), registry AS (
        |  SELECT DISTINCT ch FROM base WHERE substr(ch, 1, 1) = '0'
-       |), tagged AS (
+       |), ${domainRegistrySql("documents")}, tagged AS (
        |  SELECT b.doc_id, b.source,
        |    ${licenseSql("b.source")} AS license,
-       |    r.ch IS NOT NULL AS opted_out
+       |    r.ch IS NOT NULL AS opted_out,
+       |    ${optedOutDomainSql("b.source", "b.doc_id")} AS opted_out_domain
        |  FROM base b LEFT JOIN registry r ON b.ch = r.ch
+       |  LEFT JOIN domregg dg ON dg.domain = ${domainSqlExpr("b.source")}
        |)
-       |SELECT doc_id, source, license, opted_out,
+       |SELECT doc_id, source, license, opted_out, opted_out_domain,
        |  ${licenseOkSql("license")} AS license_ok,
-       |  ${licenseOkSql("license")} AND NOT opted_out AS gov_keep
+       |  ${licenseOkSql("license")} AND NOT opted_out
+       |    AND NOT opted_out_domain AS gov_keep
        |FROM tagged ORDER BY doc_id""".stripMargin
   }
 }

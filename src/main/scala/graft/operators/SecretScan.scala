@@ -83,9 +83,19 @@ object SecretScan {
   /** Truncated/mismatched-end tier, applied AFTER [[PemBlockPat]]: a
     * remaining begin header closes at the earliest surviving
     * `-----end` fragment (the r14 ADVICE truncated-end fixture
-    * `… -----END`). */
+    * `… -----END`) — but ONLY across key-like material: the span is
+    * restricted to the base64/space alphabet a PEM body can contain
+    * and capped at 1000 chars (RE2's repeat ceiling — identical
+    * semantics both engines), so an orphan header can no longer swallow
+    * paragraphs of ordinary prose up to some unrelated certificate's
+    * end marker (the r15 ADVICE over-redaction finding; prose with
+    * punctuation breaks the class immediately, and even unpunctuated
+    * text is bounded at 1 kB). A truncated key whose surviving body
+    * exceeds the cap falls through to the bare-header tier — the header
+    * is still scrubbed and the body still flags via the entropy
+    * reviewer signal (the documented under-close path). */
   private[graft] val PemTruncPat =
-    "-----begin [a-z ]{0,30}private key-----.*?-----end"
+    "-----begin [a-z ]{0,30}private key-----[a-z0-9+/= ]{0,1000}?-----end"
 
   /** Orphan PEM header (no end fragment anywhere) — the last fallback;
     * a surviving ≥20-char body still flags via the entropy reviewer

@@ -236,11 +236,13 @@ object ShardExport {
        |  FROM documents
        |), registry AS (
        |  SELECT DISTINCT ch FROM base WHERE substr(ch, 1, 1) = '0'
-       |), gated AS (
+       |), ${Governance.domainRegistrySql("documents")}, gated AS (
        |  SELECT b.doc_id, b.fp, b.n_tokens, b.fp % $NShards AS shard_id,
        |    ${Governance.licenseSql("b.source")} AS license
        |  FROM base b LEFT JOIN registry r ON b.ch = r.ch
+       |  LEFT JOIN domregg dg ON dg.domain = ${Governance.domainSqlExpr("b.source")}
        |  WHERE r.ch IS NULL
+       |    AND NOT (${Governance.optedOutDomainSql("b.source", "b.doc_id")})
        |    AND ${Governance.licenseOkSql(Governance.licenseSql("b.source"))}
        |)
        |SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,

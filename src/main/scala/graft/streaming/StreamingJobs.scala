@@ -1593,24 +1593,29 @@ object StreamingJobs {
 
   // ----------------------------------------------- governance gate
   /** Streaming face of c41's license/opt-out governance gate: the
-    * license tag is one row-local expression and the opt-out probe is a
-    * stream-STATIC broadcast join against the registry relation (the
-    * published shape of a Do-Not-Train check at ingest — the registry
-    * is a slowly-changing STATIC artifact the stream probes, exactly
-    * the store/probe division of labor the standing-index faces use),
-    * so the gate streams as-is per micro-batch with no state. Fail-safe
-    * AND fail-CLOSED: null text coalesces to empty (hash of "" — only
-    * opted out if "" itself is registered), and a null/empty source
-    * takes the all-rights-reserved tag ([[graft.operators.Governance
-    * .licenseOf]]'s pinned behavior), so a malformed record can never
+    * license tag is one row-local expression and BOTH opt-out probes
+    * (content-hash and the r16 domain/URL-prefix tier) are
+    * stream-STATIC broadcast joins against registry relations (the
+    * published shape of a Do-Not-Train / robots-opt-out check at ingest
+    * — the registries are slowly-changing STATIC artifacts the stream
+    * probes, exactly the store/probe division of labor the
+    * standing-index faces use), so the gate streams as-is per
+    * micro-batch with no state. Both registries are passed explicitly —
+    * a stream cannot derive a registry from itself (the t16
+    * frozen-artifact contract). Fail-safe AND fail-CLOSED: null text
+    * coalesces to empty (hash of "" — only opted out if "" itself is
+    * registered), and a null/empty source takes the all-rights-reserved
+    * tag AND the opted_out_domain=true verdict ([[graft.operators
+    * .Governance]]'s pinned behavior), so a malformed record can never
     * ship as permissive. Bit-parity with batch `gateOver` is
     * spec-pinned on a MemoryStream. */
-  def governanceGateStream(docs: DataFrame, registry: DataFrame): DataFrame =
+  def governanceGateStream(docs: DataFrame, registry: DataFrame,
+      domainRegistry: DataFrame): DataFrame =
     graft.operators.Governance.gateOver(
       docs.select(col("doc_id"), col("source"),
         graft.operators.TextOps.normText(
           coalesce(col("text"), lit(""))).as("norm")),
-      registry)
+      registry, domainRegistry)
 
   // ----------------------------------------------- retrieval chunker
   /** Streaming face of c36's overlapping-window chunker: geometry,

@@ -26,12 +26,13 @@ class Round15GovStreamSpec extends GraftSpecBase {
       .select(col("doc_id"), col("source"),
         TextOps.normText(col("text")).as("norm"))
     val registry = Governance.registryOf(batchDocs)
+    val domReg = Governance.domainRegistryOf(batchDocs)
     val batch = Governance.gateOver(batchDocs, registry)
       .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
 
     val mem = MemoryStream[(Long, Option[String], Option[String])]
     val q = StreamingJobs.governanceGateStream(
-        mem.toDF.toDF("doc_id", "source", "text"), registry)
+        mem.toDF.toDF("doc_id", "source", "text"), registry, domReg)
       .writeStream.format("memory").queryName("gov_r15").outputMode("append")
       .start()
     try {
@@ -43,10 +44,13 @@ class Round15GovStreamSpec extends GraftSpecBase {
     val out = spark.table("gov_r15").collect()
       .map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
     for ((id, want) <- batch) assert(out(id) === want, s"doc $id")
-    // null source: fail-CLOSED — all-rights-reserved, never shipped
+    // null source: fail-CLOSED on BOTH tiers — all-rights-reserved AND
+    // opted_out_domain (unknown provenance can't be cleared against the
+    // domain registry), never shipped
     val nullSrc = out(4L)
     assert(nullSrc(1) === "all-rights-reserved")
-    assert(nullSrc(3) === false && nullSrc(4) === false) // license_ok, gov_keep
+    assert(nullSrc(3) === true)                           // opted_out_domain
+    assert(nullSrc(4) === false && nullSrc(5) === false)  // license_ok, gov_keep
     // null text: fail-safe — gated on the empty string's hash, tag intact
     assert(out(5L)(1) === licenseMirror("alpha"))
   }

@@ -53,9 +53,43 @@ class Round15GovernanceSpec extends GraftSpecBase {
     assert(!bo(rows(1), "opted_out"))
     assert(bo(rows(2), "opted_out") && !bo(rows(2), "gov_keep"),
       "a bit-identical copy of registered content must be opted out too")
-    // gov_keep = license_ok AND NOT opted_out
+    // gov_keep = license_ok AND NOT opted_out AND NOT opted_out_domain
     for (r <- rows)
-      assert(bo(r, "gov_keep") === (bo(r, "license_ok") && !bo(r, "opted_out")))
+      assert(bo(r, "gov_keep") === (bo(r, "license_ok")
+        && !bo(r, "opted_out") && !bo(r, "opted_out_domain")))
+  }
+
+  /** Scala mirror of the driver domain registry + prefix probe: h =
+    * (7·len + ascii(last)) mod 5 — h = 0 opts out the whole host, h = 1
+    * the /p3/ subtree (doc_id mod 10 = 3). */
+  private def domainOptMirror(src: String, id: Long): Boolean = {
+    val h = (src.length * 7 + src.last.toInt) % 5
+    h == 0 || (h == 1 && id % 10 == 3)
+  }
+
+  test("c41 domain tier: host entries opt out the whole source, path " +
+      "entries only their subtree, unregistered domains pass") {
+    // h("ae") = (14+101)%5 = 0 → whole host; h("aa") = (14+97)%5 = 1 →
+    // /p3/ subtree; h("ab") = (14+98)%5 = 2 → not registered
+    val rows = gateOf(Seq(
+      (1L, "ae", "host opted one"), (13L, "ae", "host opted two"),
+      (3L, "aa", "path opted p3"), (4L, "aa", "path kept p4"),
+      (23L, "ab", "free source p3")))
+    val byId = rows.map(r => l(r, "doc_id") -> r).toMap
+    assert(bo(byId(1L), "opted_out_domain") && bo(byId(13L), "opted_out_domain"),
+      "a host-level entry must opt out every doc of the source")
+    assert(bo(byId(3L), "opted_out_domain"),
+      "a path-level entry must opt out its /p3/ subtree")
+    assert(!bo(byId(4L), "opted_out_domain"),
+      "a path-level entry must NOT opt out other subtrees of the host")
+    assert(!bo(byId(23L), "opted_out_domain"),
+      "an unregistered domain must pass even in the p3 bucket")
+    for (r <- rows) {
+      assert(bo(r, "opted_out_domain")
+        === domainOptMirror(s(r, "source"), l(r, "doc_id")))
+      assert(bo(r, "gov_keep") === (bo(r, "license_ok")
+        && !bo(r, "opted_out") && !bo(r, "opted_out_domain")))
+    }
   }
 
   test("p01 composition: requireGovernance adds exactly one conjunct") {
@@ -70,10 +104,13 @@ class Round15GovernanceSpec extends GraftSpecBase {
     assert(gov.nonEmpty)
     for (r <- gov) {
       assert(s(r, "license") === licenseMirror(s(r, "source")))
-      // flags carry gov_ok = license_ok ∧ ¬opted_out; recompute it from
-      // the carried tag + the allowlist
+      // flags carry gov_ok = license_ok ∧ ¬opted_out ∧ ¬opted_out_domain;
+      // recompute it from the carried tag + the allowlist + the mirrors
+      assert(bo(r, "opted_out_domain")
+        === domainOptMirror(s(r, "source"), l(r, "doc_id")))
       assert(bo(r, "gov_ok") === (Governance.AllowedLicenses.contains(
-        s(r, "license")) && !bo(r, "opted_out")))
+        s(r, "license")) && !bo(r, "opted_out")
+        && !bo(r, "opted_out_domain")))
       assert(bo(r, "keep") === (base(l(r, "doc_id")) && bo(r, "gov_ok")))
     }
   }
