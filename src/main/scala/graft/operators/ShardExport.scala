@@ -332,6 +332,98 @@ object ShardExport {
     deltaOver(gen1, gen2, DeltaShards).orderBy("shard_id")
   }
 
+  // ---------------------------------------------------------------- p11
+  /** The doc-grain lineage between two generations' per-doc assignment
+    * relations — [[shardRowLocal]]'s (doc_id, fp, n_tokens, shard_id)
+    * rows full-outer-joined on doc_id, verdicts row-local:
+    * `added`/`removed` (present in one generation), `unchanged`
+    * (fingerprint equal — content-keyed identity, not a trusted flag),
+    * `revised` (content changed, same shard) or `moved` (content
+    * changed AND rehomed — the content-keyed-sharding blast radius p08
+    * quantifies per shard, here made per document). */
+  private[graft] def lineageOver(gen1: DataFrame, gen2: DataFrame,
+      nShards: Int): DataFrame = {
+    val a1 = shardRowLocal(gen1, nShards).select(col("doc_id"),
+      col("fp").as("g1_fp"), col("n_tokens").as("g1_n_tokens"),
+      col("shard_id").as("g1_shard_id"))
+    val a2 = shardRowLocal(gen2, nShards).select(col("doc_id"),
+      col("fp").as("g2_fp"), col("n_tokens").as("g2_n_tokens"),
+      col("shard_id").as("g2_shard_id"))
+    a1.join(a2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("g1_fp").isNull, lit("added"))
+          .when(col("g2_fp").isNull, lit("removed"))
+          .when(col("g1_fp") === col("g2_fp"), lit("unchanged"))
+          .when(col("g1_shard_id") === col("g2_shard_id"), lit("revised"))
+          .otherwise(lit("moved")))
+      .withColumn("d_tokens",
+        coalesce(col("g2_n_tokens"), lit(0L))
+          - coalesce(col("g1_n_tokens"), lit(0L)))
+      .select("doc_id", "status", "g1_shard_id", "g2_shard_id",
+        "g1_fp", "g2_fp", "d_tokens")
+  }
+
+  /** p11: DOC-GRAIN RELEASE LINEAGE (r16, the r15 VERDICT #4 ask) — p08
+    * answers "which shards changed between vN and vN+1?"; this answers
+    * the question an auditor of two shipped releases asks next: what
+    * happened to EACH DOCUMENT — added, removed, revised in place,
+    * moved to a new shard, or untouched. One full-outer join of the two
+    * generations' per-doc assignment relations on doc_id
+    * ([[lineageOver]]); every verdict is a row-local fingerprint/shard
+    * compare; per-doc token deltas sum to p08's corpus-level diff
+    * (spec-pinned conservation).
+    *
+    * At 100 TB the assignment relations are STORED release artifacts
+    * (p02/c19 materialize per-doc rows per release), so the lineage is
+    * a fixed-width (long,long,long,long) equi-join that never touches
+    * text — written bucketed on doc_id both generations, it is
+    * co-located and shuffle-free. The driver entry recomputes both
+    * sides from the synthetic parquet only because the test store has
+    * no standing artifact (p08's documented caveat). ORACLED hash-exact
+    * — the SQL re-derives both generations through p08's own g1/g2 CTE
+    * text, so the two lineage grains cannot drift;
+    * Round16LineageSpec pins every verdict on a constructed
+    * two-release fixture plus the p08 conservation identities. */
+  def p11ReleaseLineage(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.PolyFingerprint.register(spark)
+    val docsDf = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+    val gen1 = docsDf.filter(pmod(col("doc_id"), lit(AddMod)) =!= 0L)
+    val gen2 = docsDf.filter(pmod(col("doc_id"), lit(RemoveMod)) =!= 1L)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(ReviseMod)) === 2L,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+    lineageOver(gen1, gen2, DeltaShards).orderBy("doc_id")
+  }
+
+  val p11Sql: String = {
+    import TextOps.{polyFpSql, NormSql}
+    def side(src: String, name: String): String =
+      s"""$name AS (
+         |  SELECT doc_id, ${polyFpSql(NormSql)} AS fp,
+         |    CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS n_tokens
+         |  FROM $src
+         |)""".stripMargin
+    s"""WITH g1 AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % $AddMod != 0
+       |), g2 AS (
+       |  SELECT doc_id, CASE WHEN doc_id % $ReviseMod = 2
+       |      THEN text || ' rev2' ELSE text END AS text
+       |  FROM documents WHERE doc_id % $RemoveMod != 1
+       |), ${side("g1", "a1")}, ${side("g2", "a2")}
+       |SELECT coalesce(a1.doc_id, a2.doc_id) AS doc_id,
+       |  CASE WHEN a1.fp IS NULL THEN 'added'
+       |    WHEN a2.fp IS NULL THEN 'removed'
+       |    WHEN a1.fp = a2.fp THEN 'unchanged'
+       |    WHEN a1.fp % $DeltaShards = a2.fp % $DeltaShards THEN 'revised'
+       |    ELSE 'moved' END AS status,
+       |  a1.fp % $DeltaShards AS g1_shard_id,
+       |  a2.fp % $DeltaShards AS g2_shard_id,
+       |  a1.fp AS g1_fp, a2.fp AS g2_fp,
+       |  coalesce(a2.n_tokens, 0) - coalesce(a1.n_tokens, 0) AS d_tokens
+       |FROM a1 FULL JOIN a2 ON a1.doc_id = a2.doc_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val p08Sql: String = {
     import TextOps.{polyFpSql, NormSql}
     def manifest(src: String, name: String): String =

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.{ShardExport, TextOps}
+
+/** p11 doc-grain release lineage: every verdict (added / removed /
+  * unchanged / revised / moved) on a constructed two-release fixture,
+  * the revised-vs-moved distinction decided by the shard mapping
+  * itself, and the conservation identities against p08's shard-grain
+  * delta on the driver corpus. */
+class Round16LineageSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+  private def s(r: Row, n: String) = r.getString(r.fieldIndex(n))
+
+  /** Engine fingerprint/shard of a text (evaluated through the same
+    * polyFp expression the operator uses). */
+  private def fpShard(text: String, nShards: Int): (Long, Long) = {
+    graft.functions.PolyFingerprint.register(spark)
+    val r = Seq(text).toDF("text")
+      .select(TextOps.polyFp(TextOps.normText(col("text"))).as("fp"))
+      .collect().head
+    (r.getLong(0), java.lang.Math.floorMod(r.getLong(0), nShards.toLong))
+  }
+
+  test("p11: every verdict fires on a constructed two-release fixture") {
+    val n = 8
+    // search deterministic fixture texts: one edit that lands in the SAME
+    // shard (revised), one that moves shards (moved)
+    val revisedBase = (1 to 200).map(i => s"revise base $i").find { t =>
+      fpShard(t, n)._2 == fpShard(t + " rev", n)._2 &&
+        fpShard(t, n)._1 != fpShard(t + " rev", n)._1
+    }.get
+    val movedBase = (1 to 200).map(i => s"move base $i").find { t =>
+      fpShard(t, n)._2 != fpShard(t + " rev", n)._2
+    }.get
+    val gen1 = Seq(
+      (1L, "stays identical"), (2L, revisedBase), (3L, movedBase),
+      (4L, "taken down")).toDF("doc_id", "text")
+    val gen2 = Seq(
+      (1L, "stays identical"), (2L, revisedBase + " rev"),
+      (3L, movedBase + " rev"), (5L, "newly crawled")).toDF("doc_id", "text")
+    val out = ShardExport.lineageOver(gen1, gen2, n)
+      .orderBy("doc_id").collect()
+    val byId = out.map(r => l(r, "doc_id") -> r).toMap
+    assert(out.length === 5)
+    assert(s(byId(1L), "status") === "unchanged"
+      && l(byId(1L), "d_tokens") === 0L)
+    assert(s(byId(2L), "status") === "revised")
+    assert(l(byId(2L), "g1_shard_id") === l(byId(2L), "g2_shard_id"))
+    assert(l(byId(2L), "g1_fp") !== l(byId(2L), "g2_fp"))
+    assert(s(byId(3L), "status") === "moved")
+    assert(l(byId(3L), "g1_shard_id") !== l(byId(3L), "g2_shard_id"))
+    assert(s(byId(4L), "status") === "removed"
+      && byId(4L).isNullAt(byId(4L).fieldIndex("g2_fp")))
+    assert(s(byId(5L), "status") === "added"
+      && byId(5L).isNullAt(byId(5L).fieldIndex("g1_fp")))
+    // the one-token edits read as +1 token each
+    assert(l(byId(2L), "d_tokens") === 1L && l(byId(3L), "d_tokens") === 1L)
+  }
+
+  test("p11 driver entry: conservation against p08's shard-grain delta") {
+    val lin = ShardExport.p11ReleaseLineage(spark, sfDir).collect()
+    assert(lin.nonEmpty)
+    val delta = ShardExport.p08ReleaseDelta(spark, sfDir).collect()
+    // token conservation: per-doc deltas sum to the shard-grain sum
+    assert(lin.map(l(_, "d_tokens")).sum === delta.map(l(_, "d_tokens")).sum)
+    // doc conservation: added − removed = net shard-grain doc delta
+    val byStatus = lin.groupBy(s(_, "status")).view.mapValues(_.length.toLong)
+    assert(byStatus.getOrElse("added", 0L) - byStatus.getOrElse("removed", 0L)
+      === delta.map(l(_, "d_docs")).sum)
+    // the driver generations exercise the verdict set (revised-vs-moved
+    // is a 1-in-nShards shard coincidence per edited doc, so only their
+    // UNION is guaranteed at every sf; the fixture test above pins both
+    // individually)
+    for (st <- Seq("added", "removed", "unchanged"))
+      assert(byStatus.getOrElse(st, 0L) > 0L, s"driver corpus must show $st")
+    assert(byStatus.getOrElse("revised", 0L)
+      + byStatus.getOrElse("moved", 0L) > 0L)
+    // a moved doc's shards really differ; an unchanged doc's fp really
+    // matches — re-derive the verdicts from the carried columns
+    for (r <- lin if s(r, "status") == "moved")
+      assert(l(r, "g1_shard_id") !== l(r, "g2_shard_id"))
+    for (r <- lin if s(r, "status") == "unchanged")
+      assert(l(r, "g1_fp") === l(r, "g2_fp") && l(r, "d_tokens") === 0L)
+  }
+}
