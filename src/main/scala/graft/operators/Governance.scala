@@ -195,6 +195,18 @@ object Governance {
     * list opted-out material, not the corpus); the corpus never
     * shuffles. */
   private[graft] def gateOver(docs: DataFrame, registry: DataFrame,
+      domainRegistry: DataFrame): DataFrame =
+    gateColsOver(docs, registry, domainRegistry)
+      .select("doc_id", "source", "license", "opted_out", "opted_out_domain",
+        "license_ok", "gov_keep")
+
+  /** [[gateOver]]'s column-ADDING form: appends the verdict columns to
+    * whatever relation flows in (every input column survives) — the ONE
+    * gate definition the c41 entry, p01's flag algebra, AND the
+    * streaming ingest composition share, so batch and stream verdicts
+    * cannot drift. Streams pass through as-is: both probes are
+    * stream-static broadcast joins and everything else is row-local. */
+  private[graft] def gateColsOver(docs: DataFrame, registry: DataFrame,
       domainRegistry: DataFrame): DataFrame = {
     val dReg = broadcast(domainRegistry.select("domain", "prefix").distinct()
       .groupBy(col("domain")).agg(collect_list(col("prefix")).as("prefixes")))
@@ -217,8 +229,7 @@ object Governance {
         col("license").isInCollection(AllowedLicenses))
       .withColumn("gov_keep",
         col("license_ok") && !col("opted_out") && !col("opted_out_domain"))
-      .select("doc_id", "source", "license", "opted_out", "opted_out_domain",
-        "license_ok", "gov_keep")
+      .drop("ch", "opted", "url", "domain", "prefixes")
   }
 
   /** c41 driver entry. The normalized narrow projection is materialized

@@ -1204,26 +1204,50 @@ object StreamingJobs {
     * `requireGopher` defaults off because Gopher's 50-word floor is
     * policy for crawl text, not for every stream — the metrics ride
     * along either way, so a sink can re-gate without reprocessing.
+    * `governance` (r16, the r15 VERDICT #7 composition): pass the two
+    * STATIC registry relations (content-hash, domain/prefix) to splice
+    * c41's gate into the chain exactly as `requireGovernance` splices it
+    * into p01 — the verdict columns come from the ONE
+    * `Governance.gateColsOver` definition (two stream-static broadcast
+    * probes + row-local tags, batch-bit-parity spec-pinned), ride the
+    * output for auditability, and a doc failing only governance
+    * quarantines as `governance_fail`. The input must then carry a
+    * `source` column; a null source fails closed on both tiers.
     * Null text coalesces to "" before any metric (the piiScrubStream
     * fail-safe): it quarantines as too_short, never as a null row. */
   def curateIngestStream(docs: DataFrame, watermark: String = "1 hour",
       lenMin: Long = 5L, lenMax: Long = 10000L, qualityMin: Double = 0.35,
-      requireGopher: Boolean = false): DataFrame = {
-    import graft.operators.{GopherRules, TextOps}
-    val gated = TextOps.piiCols(
+      requireGopher: Boolean = false,
+      governance: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    import graft.operators.{GopherRules, Governance, TextOps}
+    val keepCols = Seq("text", "ts") ++
+      (if (governance.isDefined) Seq("source") else Nil)
+    val metered = TextOps.piiCols(
         TextOps.qualityCols(
           GopherRules.gopherStatsOver(
             docs.withColumn("text", coalesce(col("text"), lit(""))),
-            split(col("text"), "\n"), keep = Seq("text", "ts"))
+            split(col("text"), "\n"), keep = keepCols)
             .withColumn("gopher_pass", coalesce(col("gopher_pass"), lit(false)))))
       .withWatermark("ts", watermark)
       .withColumn("content_hash", md5(col("norm")))
-      .withColumn("reject_reason",
-        when(!col("n_tokens").between(lenMin, lenMax), "length")
-          .when(col("quality_score") < qualityMin, "low_quality")
-          .when(lit(requireGopher) && !col("gopher_pass"), "gopher_fail"))
+    val withGov = governance match {
+      case Some((registry, domainRegistry)) =>
+        Governance.gateColsOver(metered, registry, domainRegistry)
+      case None => metered
+    }
+    val baseReason =
+      when(!col("n_tokens").between(lenMin, lenMax), "length")
+        .when(col("quality_score") < qualityMin, "low_quality")
+        .when(lit(requireGopher) && !col("gopher_pass"), "gopher_fail")
+    val gated = withGov.withColumn("reject_reason",
+      if (governance.isDefined)
+        baseReason.when(!col("gov_keep"), "governance_fail")
+      else baseReason)
     val out = Seq("doc_id", "ts", "content_hash", "n_tokens",
-      "quality_score", "gopher_pass", "pii_total", "redacted_hash")
+      "quality_score", "gopher_pass", "pii_total", "redacted_hash") ++
+      (if (governance.isDefined)
+        Seq("license", "opted_out", "opted_out_domain", "gov_keep")
+      else Nil)
     val accepted = gated.filter(col("reject_reason").isNull)
       .dropDuplicatesWithinWatermark("content_hash")
       .select(out.map(col) :+ lit("accepted").as("status")

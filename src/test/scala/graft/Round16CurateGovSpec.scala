@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.operators.{Governance, TextOps}
+import graft.streaming.StreamingJobs
+
+/** r16: c41's governance gate composed into curateIngestStream the way
+  * `requireGovernance` composes into p01 — the verdict columns on the
+  * stream are bit-identical to the batch gate over the same fixture
+  * (one shared `gateColsOver` definition), a doc failing ONLY
+  * governance quarantines as governance_fail, and the governance-off
+  * path is unchanged. */
+class Round16CurateGovSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  // long enough for the length gate, wordy enough for quality
+  private def okText(tag: String) =
+    s"the $tag corpus document carries plenty of ordinary running words " +
+      "so the quality heuristics and the length gate are satisfied today"
+
+  test("curateIngestStream + governance: stream verdicts ≡ batch gate; " +
+      "governance-only failures quarantine as governance_fail") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // h("ae") = 0 → host-opted domain; h("ab") = 2 → unregistered
+    val data = Seq(
+      (1L, "ab", okText("first")),
+      (2L, "ae", okText("second")),        // domain-opted → governance_fail
+      (3L, "ab", "tiny one"),              // length fails FIRST
+      (4L, null.asInstanceOf[String], okText("third"))) // null source: closed
+    val batchDocs = data.toDF("doc_id", "source", "text")
+      .select(col("doc_id"), col("source"),
+        TextOps.normText(col("text")).as("norm"))
+    val registry = Governance.registryOf(batchDocs)
+    val domReg = Governance.domainRegistryOf(batchDocs)
+    val batch = Governance.gateOver(batchDocs, registry, domReg).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val mem = MemoryStream[(Long, Option[String], String, java.sql.Timestamp)]
+    val q = StreamingJobs.curateIngestStream(
+        mem.toDF.toDF("doc_id", "source", "text", "ts"),
+        governance = Some((registry, domReg)))
+      .writeStream.format("memory").queryName("curate_gov_r16")
+      .outputMode("append").start()
+    try {
+      mem.addData(data.map { case (i, s, t) => (i, Option(s), t, ts) }: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("curate_gov_r16").collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    // verdict columns bit-identical to the batch gate, every doc
+    for (id <- Seq(1L, 2L, 3L, 4L); colN <- Seq("license", "opted_out",
+        "opted_out_domain", "gov_keep"))
+      assert(out(id).getAs[Any](colN) === batch(id).getAs[Any](colN),
+        s"doc $id col $colN")
+    // clean doc accepted; domain-opted doc fails ONLY governance
+    assert(out(1L).getAs[String]("status") === "accepted")
+    assert(out(2L).getAs[String]("status") === "quarantined")
+    assert(out(2L).getAs[String]("reject_reason") === "governance_fail")
+    // first-failure discipline: length beats governance in the reason
+    assert(out(3L).getAs[String]("reject_reason") === "length")
+    // null source: fail-closed through the composed gate too
+    assert(out(4L).getAs[String]("reject_reason") === "governance_fail")
+    assert(out(4L).getAs[Boolean]("opted_out_domain") === true)
+    assert(out(4L).getAs[String]("license") === "all-rights-reserved")
+  }
+
+  test("curateIngestStream: governance off — schema and verdicts unchanged") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = StreamingJobs.curateIngestStream(
+        mem.toDF.toDF("doc_id", "text", "ts"))
+      .writeStream.format("memory").queryName("curate_nogov_r16")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, okText("solo"), ts))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("curate_nogov_r16").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("status") === "accepted")
+    assert(!out.head.schema.fieldNames.contains("gov_keep"))
+  }
+}
