@@ -1327,7 +1327,7 @@ object VectorOps {
     * `v` (vec_id, embedding, nrm); the bounded query side broadcasts. */
   private[graft] def beamSearchGraph(edges: DataFrame, v: DataFrame,
       q: DataFrame, entryIds: DataFrame, beam: Int, hops: Int,
-      k: Int): DataFrame = {
+      k: Int, excludeIds: Option[DataFrame] = None): DataFrame = {
     // score a (query_id, vec_id) candidate set: broadcast the bounded
     // query side, shuffle only the candidates to their vectors
     def scored(cands: DataFrame): DataFrame =
@@ -1349,7 +1349,17 @@ object VectorOps {
       visited = visited.unionByName(scored(expand)).distinct()
         .localCheckpoint()
     }
-    topKPerGroup(visited.filter(col("vec_id") =!= col("query_id")), k,
+    // tombstoned nodes stay TRAVERSABLE (they were scored and routed
+    // through above — FreshDiskANN's deleted-as-routing-node rule) but
+    // are excluded from the RESULT cut
+    val candidates0 = visited.filter(col("vec_id") =!= col("query_id"))
+    val candidates = excludeIds match {
+      case Some(ex) => candidates0.join(
+        broadcast(ex.select(col("vec_id")).distinct()), Seq("vec_id"),
+        "left_anti")
+      case None => candidates0
+    }
+    topKPerGroup(candidates, k,
         col("cos_sim"), col("vec_id"), lit(0L), col("query_id"))
       .select(col("query_id"), col("rank"), col("id").as("vec_id"),
         col("score").as("cos_sim"))
@@ -1440,6 +1450,8 @@ object VectorOps {
       spark.table(s"${prefix}_gassign_base"))
     graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_gedge_delta",
       spark.table(s"${prefix}_gedge_base"))
+    graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_gtomb",
+      spark.table(s"${prefix}_gassign_base").select(col("vec_id")))
   }
 
   /** Current assignments / edges: base ∪ delta (merge-on-read; appends
@@ -1521,10 +1533,71 @@ object VectorOps {
       s"${prefix}_gassign_delta")
   }
 
+  // ------------------------- graph-store DELETE lifecycle (r16)
+  /** DELETE a batch of vectors from the standing graph index — the
+    * FreshDiskANN lifecycle stage the store was missing (Singh et al.
+    * arXiv:2105.09613 — and the one a GOVERNANCE takedown actually
+    * needs: an opt-out registered AFTER indexing must remove vectors
+    * from every standing index, c41's story carried to the ANN store).
+    * Deletes are TOMBSTONES: the node stays in the edge relation as a
+    * routing node — beam search may still traverse it — but is never
+    * returned by a probe; [[graphIndexCompact]] physically removes
+    * tombstoned nodes, patching each one's in-edges through to its
+    * out-neighbors (the one-hop repair) before the top-m re-prune.
+    * Gen-monotone, same-gen replay-idempotent — the append contract. */
+  def graphIndexDelete(ids: DataFrame, prefix: String, gen: Long): Unit = {
+    val spark = ids.sparkSession
+    val t = s"${prefix}_gtomb"
+    for (mg <- graft.sources.GraftIO.maxGen(spark, t))
+      require(gen >= mg,
+        s"non-monotone tombstone generation $gen < standing max $mg for '$prefix'")
+    graft.sources.GraftIO.writeDelta(
+      ids.select(col("vec_id")).distinct().withColumn("gen", lit(gen)), t)
+  }
+
+  /** Current tombstone set (empty relation when the store predates the
+    * delete lifecycle — old stores keep working). */
+  private[graft] def graphIndexTombstones(spark: SparkSession,
+      prefix: String): DataFrame = {
+    val t = s"${prefix}_gtomb"
+    if (spark.catalog.tableExists(t)) spark.table(t).select("vec_id").distinct()
+    else spark.range(0).select(col("id").as("vec_id"))
+  }
+
+  /** One-hop patch-through of a tombstoned node: every (src → dead →
+    * dst) chain contributes the candidate edge (src → dst), surviving
+    * edges pass through, and no dead endpoint remains. A chain of TWO
+    * consecutive deleted hubs is not bridged (FreshDiskANN's repair is
+    * one-hop too — delete batches are compacted before chains form;
+    * spec-pinned as the stated semantics). Pure edge algebra — callers
+    * re-prune degrees afterwards. */
+  private[graft] def patchThroughEdges(edges: DataFrame,
+      tomb: DataFrame): DataFrame = {
+    val dead = tomb.select(col("vec_id")).distinct().localCheckpoint()
+    def deadAs(c: String) = broadcast(dead.withColumnRenamed("vec_id", c))
+    val intoDead = edges.join(deadAs("dst"), Seq("dst"))
+      .select(col("src"), col("dst").as("mid"))
+    val outOfDead = edges.join(deadAs("src"), Seq("src"))
+      .select(col("src").as("mid"), col("dst"))
+    val patched = intoDead.join(outOfDead, "mid").select(col("src"), col("dst"))
+    val alive = edges
+      .join(deadAs("src"), Seq("src"), "left_anti")
+      .join(deadAs("dst"), Seq("dst"), "left_anti")
+      .select("src", "dst")
+    alive.unionByName(
+        patched
+          .join(deadAs("src"), Seq("src"), "left_anti")
+          .join(deadAs("dst"), Seq("dst"), "left_anti")
+          .select("src", "dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
   /** Beam-search the STANDING graph: [[beamSearchGraph]] (the one
     * search definition s17 uses) over base ∪ delta edges; entries are
     * the store's lowest node ids (deterministic, index-agnostic);
-    * candidate payloads come from `vectorSource`. */
+    * candidate payloads come from `vectorSource`. Tombstoned nodes
+    * route but are never returned (the delete contract above). */
   def graphIndexProbe(queries0: DataFrame, vectorSource: DataFrame,
       prefix: String, nEntries: Int = GraphEntries, beam: Int = GraphBeam,
       hops: Int = GraphHops, k: Int = 3): DataFrame = {
@@ -1538,7 +1611,8 @@ object VectorOps {
       norm(col("q_emb")).as("q_nrm"))
     val entryIds = graphIndexAssignments(spark, prefix)
       .select(col("vec_id")).distinct().orderBy("vec_id").limit(nEntries)
-    beamSearchGraph(edges, v, q, entryIds, beam, hops, k)
+    beamSearchGraph(edges, v, q, entryIds, beam, hops, k,
+      excludeIds = Some(graphIndexTombstones(spark, prefix)))
   }
 
   /** Fold deltas into the bucketed base AND re-prune every node's degree
@@ -1559,7 +1633,12 @@ object VectorOps {
     TopKByScore.register(spark)
     val emb = vectorSource.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
-    val scored = graphIndexEdges(spark, prefix).distinct()
+    // physically remove tombstoned nodes: one-hop patch-through first
+    // (the FreshDiskANN repair — a neighbor reachable only via a deleted
+    // hub keeps a path), then the usual best-m re-prune
+    val tomb = graphIndexTombstones(spark, prefix).localCheckpoint()
+    val scored = patchThroughEdges(graphIndexEdges(spark, prefix).distinct(),
+        tomb)
       .join(emb.select(col("vec_id").as("src"), col("embedding").as("s_emb"),
         col("nrm").as("s_nrm")), "src")
       .join(emb.select(col("vec_id").as("dst"), col("embedding").as("d_emb"),
@@ -1579,7 +1658,10 @@ object VectorOps {
     }
     graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_gedge_delta",
       spark.table(s"${prefix}_gedge_base"))
+    // deleted nodes leave the assignment relation too (they must stop
+    // being entry candidates and append-time neighbors)
     val assigns = graphIndexAssignments(spark, prefix).distinct()
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
       .localCheckpoint()
     graft.sources.GraftIO.compactSwap(spark, s"${prefix}_gassign_base",
         Seq(s"${prefix}_gassign_delta")) { next =>
@@ -1588,6 +1670,10 @@ object VectorOps {
     }
     graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_gassign_delta",
       spark.table(s"${prefix}_gassign_base"))
+    // tombstones are now physically applied — reset the set
+    if (spark.catalog.tableExists(s"${prefix}_gtomb"))
+      graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_gtomb",
+        spark.table(s"${prefix}_gassign_base").select(col("vec_id")))
   }
 
   /** Re-mount after a process restart ([[graft.sources.GraftIO
@@ -1606,13 +1692,16 @@ object VectorOps {
       "vec_id BIGINT, list_id BIGINT, gen BIGINT", "gen")
     graft.sources.GraftIO.attachPartitioned(spark, s"${prefix}_gedge_delta",
       "src BIGINT, dst BIGINT, gen BIGINT", "gen")
+    graft.sources.GraftIO.attachPartitioned(spark, s"${prefix}_gtomb",
+      "vec_id BIGINT, gen BIGINT", "gen")
   }
 
   /** Drop every table of a store prefix (specs / teardown). */
   def graphIndexDrop(spark: SparkSession, prefix: String): Unit =
     for (t <- Seq("_gcent", "_gassign_base", "_gassign_delta",
         "_gassign_base_next", "_gassign_base_old",
-        "_gedge_base", "_gedge_delta", "_gedge_base_next", "_gedge_base_old"))
+        "_gedge_base", "_gedge_delta", "_gedge_base_next", "_gedge_base_old",
+        "_gtomb"))
       graft.sources.GraftIO.dropManaged(spark, prefix + t)
 
   /** s18: the standing graph index EXERCISED as a driver entry (s09's
@@ -1640,6 +1729,40 @@ object VectorOps {
       emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
       emb, prefix)
+  }
+
+  /** s19: DELETION from the standing graph index, exercised as a driver
+    * entry with the WORST-CASE takedown — the current rank-1 neighbor of
+    * every query is tombstoned ([[graphIndexDelete]]), then the shared
+    * query batch probes again: every former top answer must be routed
+    * AROUND, never returned (the governance-takedown path c41's opt-out
+    * registries imply, applied to a standing index — FreshDiskANN's
+    * tombstone-then-compact lifecycle). Bootstrap + takedown run once
+    * per session (the [[s09AnnIndexed]] discipline); the probe output
+    * carries a per-row `deleted` audit flag (false everywhere by the
+    * exclusion contract) and the global tombstone count. Rows-only
+    * (k-means-quantizer-derived); Round16DeleteSpec pins
+    * never-returned, the one-hop compaction patch-through on a hand
+    * fixture, physical removal + tombstone reset at compact, and gen
+    * monotonicity. */
+  def s19AnnGraphDelete(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val prefix = auditPrefix(spark, "s19a", dir)
+    oncePerPrefix(prefix) {
+      graphIndexBootstrap(emb, prefix, s"$dir#s19")
+      val top1 = graphIndexProbe(q, emb, prefix)
+        .filter(col("rank") === 1).select(col("vec_id")).distinct()
+      graphIndexDelete(top1, prefix, 0L)
+    }
+    val tomb = graphIndexTombstones(spark, prefix).localCheckpoint()
+    graphIndexProbe(q, emb, prefix)
+      .join(broadcast(tomb.withColumn("_t", lit(true))), Seq("vec_id"), "left")
+      .crossJoin(broadcast(tomb.agg(count(lit(1)).as("n_deleted"))))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"),
+        coalesce(col("_t"), lit(false)).as("deleted"), col("n_deleted"))
+      .orderBy("query_id", "rank")
   }
 
   // ---------------------------------------------------------------- s14

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import graft.operators.VectorOps
+
+/** r16 graph-store DELETE lifecycle (FreshDiskANN tombstone-then-
+  * compact; the governance-takedown path applied to a standing index):
+  * a tombstoned vector routes but is never returned, compaction
+  * physically removes it with the one-hop patch-through repair and
+  * resets the tombstone set, deletion generations are monotone, and
+  * the s19 driver entry's worst-case takedown (every query's rank-1)
+  * is honored exactly. */
+class Round16DeleteSpec extends GraftSpecBase {
+  import spark.implicits._
+
+  private def l(r: Row, n: String) = r.getLong(r.fieldIndex(n))
+
+  private lazy val emb = Tables(spark, sfDir).embeddings
+    .select(col("vec_id"), col("embedding")).localCheckpoint()
+  private lazy val q = emb.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+
+  test("delete: a tombstoned rank-1 answer is never returned; every " +
+      "other query row is unaffected until its own results shift") {
+    VectorOps.graphIndexDrop(spark, "graft_s19t")
+    VectorOps.graphIndexBootstrap(emb, "graft_s19t", sfDir)
+    val pre = VectorOps.graphIndexProbe(q, emb, "graft_s19t").collect()
+    val top1 = pre.filter(l(_, "rank") == 1L).map(l(_, "vec_id")).toSet
+    assert(top1.nonEmpty)
+    VectorOps.graphIndexDelete(top1.toSeq.toDF("vec_id"), "graft_s19t", 0L)
+    val post = VectorOps.graphIndexProbe(q, emb, "graft_s19t").collect()
+    assert(post.nonEmpty)
+    assert(!post.exists(r => top1.contains(l(r, "vec_id"))),
+      "a deleted vector must never be returned")
+    // the former rank-1 is really gone from every query's list, and each
+    // query still gets a full ranked list from the surviving corpus
+    for ((qq, rows) <- post.groupBy(l(_, "query_id")))
+      assert(rows.map(l(_, "rank")).sorted.toSeq === (1L to rows.length).toSeq, qq)
+    // non-monotone delete generation rejected
+    intercept[IllegalArgumentException] {
+      VectorOps.graphIndexDelete(Seq(99999L).toDF("vec_id"), "graft_s19t", -1L)
+    }
+    VectorOps.graphIndexDrop(spark, "graft_s19t")
+  }
+
+  test("patch-through: (src → dead → dst) bridges one hop, dead-dead " +
+      "chains do not, untouched edges pass through") {
+    val edges = Seq((1L, 10L), (10L, 2L), (3L, 4L), (5L, 10L), (10L, 5L),
+      (6L, 20L), (20L, 21L), (21L, 7L)).toDF("src", "dst")
+    val out = VectorOps.patchThroughEdges(edges,
+        Seq(10L, 20L, 21L).toDF("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // 1→10→2 bridges; 5→10→5 collapses to a self-loop and is dropped;
+    // 1→10→5 and 5→10→2 bridge too (10 was a hub); 6→20→21→7 is a
+    // dead-dead chain — NOT bridged (one-hop semantics); 3→4 survives
+    assert(out === Set((1L, 2L), (1L, 5L), (5L, 2L), (3L, 4L)))
+  }
+
+  test("compact: tombstoned nodes physically leave edges AND " +
+      "assignments, the tombstone set resets, probes stay clean") {
+    VectorOps.graphIndexDrop(spark, "graft_s19c")
+    VectorOps.graphIndexBootstrap(emb, "graft_s19c", sfDir)
+    val del = emb.filter(col("vec_id") % 17 === 3).select("vec_id")
+    val delSet = del.collect().map(_.getLong(0)).toSet
+    VectorOps.graphIndexDelete(del, "graft_s19c", 0L)
+    val preCompact = VectorOps.graphIndexProbe(q, emb, "graft_s19c").collect()
+    VectorOps.graphIndexCompact(spark, "graft_s19c", emb)
+    // physical removal
+    val e = VectorOps.graphIndexEdges(spark, "graft_s19c").collect()
+    assert(e.nonEmpty)
+    assert(!e.exists(r => delSet.contains(r.getLong(0))
+      || delSet.contains(r.getLong(1))))
+    val asg = spark.table("graft_s19c_gassign_base").collect()
+    assert(!asg.exists(r => delSet.contains(r.getLong(0))))
+    // degree bound held through the patch-through re-prune
+    val deg = e.groupBy(_.getLong(0)).map(_._2.length)
+    assert(deg.max <= 16)
+    // tombstones applied and reset
+    assert(VectorOps.graphIndexTombstones(spark, "graft_s19c").count() === 0L)
+    // post-compact probe still never returns a deleted vector
+    val post = VectorOps.graphIndexProbe(q, emb, "graft_s19c").collect()
+    assert(post.nonEmpty)
+    assert(!post.exists(r => delSet.contains(l(r, "vec_id"))))
+    assert(!preCompact.exists(r => delSet.contains(l(r, "vec_id"))))
+    VectorOps.graphIndexDrop(spark, "graft_s19c")
+  }
+
+  test("s19 driver entry: worst-case takedown honored — zero deleted " +
+      "rows, the audit columns account for the tombstones, deterministic") {
+    val a = VectorOps.s19AnnGraphDelete(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    assert(a.forall(!_.getBoolean(a.head.fieldIndex("deleted"))),
+      "the deleted audit flag must be false on every returned row")
+    assert(a.forall(l(_, "n_deleted") >= 1L))
+    for ((qq, rows) <- a.groupBy(l(_, "query_id"))) {
+      assert(rows.map(l(_, "rank")).sorted.toSeq === (1L to rows.length).toSeq)
+      assert(rows.forall(l(_, "vec_id") != qq))
+    }
+    val b = VectorOps.s19AnnGraphDelete(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+}
