@@ -696,6 +696,8 @@ object VectorOps {
       s"${prefix}_ivf_base", "list_id", nBuckets, Seq("list_id"))
     graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_ivf_delta",
       spark.table(s"${prefix}_ivf_base"))
+    graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_ivf_tomb",
+      spark.table(s"${prefix}_ivf_base").select(col("vec_id")))
   }
 
   /** (vec_id, list_id, nrm, m, code) rows of `v` under the given
@@ -752,13 +754,23 @@ object VectorOps {
     val base = graft.sources.GraftIO.baseOrNext(spark, s"${prefix}_ivf_base")
       .select("vec_id", "list_id", "nrm", "m", "code")
     val deltaT = s"${prefix}_ivf_delta"
-    if (!spark.catalog.tableExists(deltaT)) base
-    else base.unionByName(spark.table(deltaT)
-      .groupBy(col("vec_id"), col("m"))
-      .agg(max_by(struct(col("list_id"), col("nrm"), col("code")),
-        col("gen")).as("s"))
-      .select(col("vec_id"), col("s.list_id").as("list_id"),
-        col("s.nrm").as("nrm"), col("m"), col("s.code").as("code")))
+    val current =
+      if (!spark.catalog.tableExists(deltaT)) base
+      else base.unionByName(spark.table(deltaT)
+        .groupBy(col("vec_id"), col("m"))
+        .agg(max_by(struct(col("list_id"), col("nrm"), col("code")),
+          col("gen")).as("s"))
+        .select(col("vec_id"), col("s.list_id").as("list_id"),
+          col("s.nrm").as("nrm"), col("m"), col("s.code").as("code")))
+    // r16 delete lifecycle: tombstoned vectors leave the CURRENT view —
+    // an IVF posting has no routing role (unlike a graph node), so full
+    // exclusion HERE is the one definition every consumer (probe,
+    // filtered probe, semdedup gate, the streaming faces) inherits
+    val tombT = s"${prefix}_ivf_tomb"
+    if (!spark.catalog.tableExists(tombT)) current
+    else current.join(
+      broadcast(spark.table(tombT).select("vec_id").distinct()),
+      Seq("vec_id"), "left_anti")
   }
 
   /** Probe the standing index: s07's search pipeline against the
@@ -894,8 +906,27 @@ object VectorOps {
       emb, emb.select(col("vec_id"), col("label")), prefix)
   }
 
+  /** DELETE a batch of vectors from the standing inverted file — the
+    * IVF face of the r16 delete lifecycle ([[graphIndexDelete]]'s
+    * contract: gen-monotone, replay-idempotent tombstones; the
+    * governance-takedown path). Exclusion happens in [[annIndexRows]],
+    * so every consumer — probe, filtered probe, the d10 semantic gate,
+    * the streaming faces — honors the takedown immediately;
+    * [[annIndexCompact]] applies it physically and resets the set. */
+  def annIndexDelete(ids: DataFrame, prefix: String, gen: Long): Unit = {
+    val spark = ids.sparkSession
+    val t = s"${prefix}_ivf_tomb"
+    for (mg <- graft.sources.GraftIO.maxGen(spark, t))
+      require(gen >= mg,
+        s"non-monotone tombstone generation $gen < standing max $mg for '$prefix'")
+    graft.sources.GraftIO.writeDelta(
+      ids.select(col("vec_id")).distinct().withColumn("gen", lit(gen)), t)
+  }
+
   /** Fold deltas into the bucketed inverted file (crash-safe, like the
-    * dedup stores); quantizer tables never change between bootstraps. */
+    * dedup stores); quantizer tables never change between bootstraps.
+    * Tombstoned vectors are physically dropped (annIndexRows already
+    * excludes them) and the tombstone set resets. */
   def annIndexCompact(spark: SparkSession, prefix: String,
       nBuckets: Int = 8): Unit = {
     graft.sources.GraftIO.compactSwap(spark, s"${prefix}_ivf_base",
@@ -905,6 +936,9 @@ object VectorOps {
     }
     graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_ivf_delta",
       spark.table(s"${prefix}_ivf_base"))
+    if (spark.catalog.tableExists(s"${prefix}_ivf_tomb"))
+      graft.sources.GraftIO.createEmptyDelta(spark, s"${prefix}_ivf_tomb",
+        spark.table(s"${prefix}_ivf_base").select(col("vec_id")))
   }
 
   /** Re-mount after a process restart ([[graft.sources.GraftIO
@@ -922,12 +956,14 @@ object VectorOps {
     graft.sources.GraftIO.attachPartitioned(spark, s"${prefix}_ivf_delta",
       "vec_id BIGINT, list_id BIGINT, nrm DOUBLE, m INT, code INT, gen BIGINT",
       "gen")
+    graft.sources.GraftIO.attachPartitioned(spark, s"${prefix}_ivf_tomb",
+      "vec_id BIGINT, gen BIGINT", "gen")
   }
 
   /** Drop every table of a store prefix (specs / teardown). */
   def annIndexDrop(spark: SparkSession, prefix: String): Unit =
     for (t <- Seq("_cent", "_pq", "_ivf_base", "_ivf_delta",
-        "_ivf_base_next", "_ivf_base_old"))
+        "_ivf_base_next", "_ivf_base_old", "_ivf_tomb"))
       graft.sources.GraftIO.dropManaged(spark, prefix + t)
 
   /** The standing store's coarse-probe selection as ONE row-local
@@ -1758,6 +1794,35 @@ object VectorOps {
     }
     val tomb = graphIndexTombstones(spark, prefix).localCheckpoint()
     graphIndexProbe(q, emb, prefix)
+      .join(broadcast(tomb.withColumn("_t", lit(true))), Seq("vec_id"), "left")
+      .crossJoin(broadcast(tomb.agg(count(lit(1)).as("n_deleted"))))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"),
+        coalesce(col("_t"), lit(false)).as("deleted"), col("n_deleted"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** s20: the same worst-case takedown on the INVERTED-FILE store —
+    * [[annIndexDelete]]'s tombstones excluded inside [[annIndexRows]],
+    * so the probe (and every other consumer of the store's current
+    * view) honors the deletion immediately. Output shape = s19's
+    * (rank rows + the `deleted` audit flag + tombstone count).
+    * Rows-only; Round16DeleteSpec pins never-returned across
+    * delete/compact, consumer-wide exclusion via the one rows view,
+    * and gen monotonicity. */
+  def s20AnnIndexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir).embeddings.select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val prefix = auditPrefix(spark, "s20a", dir)
+    oncePerPrefix(prefix) {
+      annIndexBootstrap(emb, prefix, s"$dir#s20")
+      val top1 = annIndexProbe(q, emb, prefix)
+        .filter(col("rank") === 1).select(col("vec_id")).distinct()
+      annIndexDelete(top1, prefix, 0L)
+    }
+    val tomb = spark.table(s"${prefix}_ivf_tomb")
+      .select("vec_id").distinct().localCheckpoint()
+    annIndexProbe(q, emb, prefix)
       .join(broadcast(tomb.withColumn("_t", lit(true))), Seq("vec_id"), "left")
       .crossJoin(broadcast(tomb.agg(count(lit(1)).as("n_deleted"))))
       .select(col("query_id"), col("rank"), col("vec_id"), col("cos_sim"),

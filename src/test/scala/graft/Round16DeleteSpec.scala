@@ -86,6 +86,48 @@ class Round16DeleteSpec extends GraftSpecBase {
     VectorOps.graphIndexDrop(spark, "graft_s19c")
   }
 
+  test("IVF delete: tombstoned vectors vanish from the ONE rows view — " +
+      "probe, compact, and reset all honor it; gens are monotone") {
+    VectorOps.annIndexDrop(spark, "graft_s20t")
+    VectorOps.annIndexBootstrap(emb, "graft_s20t", sfDir)
+    val pre = VectorOps.annIndexProbe(q, emb, "graft_s20t").collect()
+    val top1 = pre.filter(l(_, "rank") == 1L).map(l(_, "vec_id")).toSet
+    assert(top1.nonEmpty)
+    VectorOps.annIndexDelete(top1.toSeq.toDF("vec_id"), "graft_s20t", 0L)
+    // exclusion is in annIndexRows, so the probe is takedown-clean
+    val post = VectorOps.annIndexProbe(q, emb, "graft_s20t").collect()
+    assert(post.nonEmpty)
+    assert(!post.exists(r => top1.contains(l(r, "vec_id"))))
+    assert(!VectorOps.annIndexRows(spark, "graft_s20t").collect()
+      .exists(r => top1.contains(r.getLong(0))))
+    // same-gen replay is idempotent
+    VectorOps.annIndexDelete(top1.toSeq.toDF("vec_id"), "graft_s20t", 0L)
+    assert(VectorOps.annIndexProbe(q, emb, "graft_s20t").collect()
+      .map(_.toSeq).toSeq === post.map(_.toSeq).toSeq)
+    // non-monotone delete generation rejected (while tombstones stand —
+    // a compact RESETS the set and with it the generation floor)
+    intercept[IllegalArgumentException] {
+      VectorOps.annIndexDelete(Seq(1L).toDF("vec_id"), "graft_s20t", -1L)
+    }
+    // compact: physical removal + tombstone reset, probe unchanged
+    VectorOps.annIndexCompact(spark, "graft_s20t")
+    assert(spark.table("graft_s20t_ivf_tomb").count() === 0L)
+    assert(!spark.table("graft_s20t_ivf_base").collect()
+      .exists(r => top1.contains(r.getLong(0))))
+    assert(VectorOps.annIndexProbe(q, emb, "graft_s20t").collect()
+      .map(_.toSeq).toSeq === post.map(_.toSeq).toSeq)
+    VectorOps.annIndexDrop(spark, "graft_s20t")
+  }
+
+  test("s20 driver entry: IVF worst-case takedown honored, deterministic") {
+    val a = VectorOps.s20AnnIndexDelete(spark, sfDir).collect()
+    assert(a.nonEmpty)
+    assert(a.forall(!_.getBoolean(a.head.fieldIndex("deleted"))))
+    assert(a.forall(l(_, "n_deleted") >= 1L))
+    val b = VectorOps.s20AnnIndexDelete(spark, sfDir).collect()
+    assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
+  }
+
   test("s19 driver entry: worst-case takedown honored — zero deleted " +
       "rows, the audit columns account for the tombstones, deterministic") {
     val a = VectorOps.s19AnnGraphDelete(spark, sfDir).collect()
