@@ -774,6 +774,43 @@ object StreamingJobs {
       }
   }
 
+  /** The DELETE half of the ingest faces (r16): a stream of takedown
+    * ids — an opt-out feed (c41's registries) resolved to indexed
+    * vec_ids — tombstones the standing INVERTED FILE per micro-batch
+    * ([[graft.operators.VectorOps.annIndexDelete]]). Every consumer of
+    * the store's current view (the batch probes, [[annProbeStream]]'s
+    * next trigger, the d10 semantic gate) stops returning the vectors
+    * immediately; the next `annIndexCompact` applies them physically.
+    * Same gen anchoring and replay idempotence as the append faces. */
+  def annIndexTakedownIngest(ids: DataFrame, prefix: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = ids.sparkSession
+    val genBase = graft.sources.GraftIO
+      .maxGen(spark, s"${prefix}_ivf_tomb").map(_ + 1L).getOrElse(0L)
+    ids.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.VectorOps.annIndexDelete(batch, prefix, genBase + id)
+      }
+  }
+
+  /** [[annIndexTakedownIngest]]'s analog for the standing GRAPH index:
+    * tombstoned nodes keep ROUTING beam searches but are never returned
+    * ([[graft.operators.VectorOps.graphIndexDelete]]'s FreshDiskANN
+    * contract); `graphIndexCompact` later removes them with the one-hop
+    * patch-through repair. */
+  def graphIndexTakedownIngest(ids: DataFrame, prefix: String)
+      : DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = ids.sparkSession
+    val genBase = graft.sources.GraftIO
+      .maxGen(spark, s"${prefix}_gtomb").map(_ + 1L).getOrElse(0L)
+    ids.writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.operators.VectorOps.graphIndexDelete(batch, prefix, genBase + id)
+      }
+  }
+
   // ------------------------------------------------------------ ANN probe
   /** Streaming face of the standing ANN index (s09's store,
     * [[graft.operators.VectorOps.annIndexBootstrap]] lifecycle): a

@@ -128,6 +128,51 @@ class Round16DeleteSpec extends GraftSpecBase {
     assert(a.map(_.toSeq).toSeq === b.map(_.toSeq).toSeq)
   }
 
+  test("takedown ingest streams: a streamed opt-out id is excluded by " +
+      "the next probe on BOTH stores; a later micro-batch anchors a " +
+      "higher gen") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    for ((p, boot, probe, tombT) <- Seq(
+        ("graft_tdi_ivf",
+          () => VectorOps.annIndexBootstrap(emb, "graft_tdi_ivf", sfDir),
+          () => VectorOps.annIndexProbe(q, emb, "graft_tdi_ivf").collect(),
+          "graft_tdi_ivf_ivf_tomb"),
+        ("graft_tdi_g",
+          () => VectorOps.graphIndexBootstrap(emb, "graft_tdi_g", sfDir),
+          () => VectorOps.graphIndexProbe(q, emb, "graft_tdi_g").collect(),
+          "graft_tdi_g_gtomb"))) {
+      if (p.endsWith("ivf")) VectorOps.annIndexDrop(spark, p)
+      else VectorOps.graphIndexDrop(spark, p)
+      boot()
+      val pre = probe()
+      val top1 = pre.filter(l(_, "rank") == 1L).map(l(_, "vec_id")).toSet
+      val mem = MemoryStream[Long]
+      val ck = java.nio.file.Files.createTempDirectory("tdi").toString
+      val writer =
+        if (p.endsWith("ivf"))
+          graft.streaming.StreamingJobs.annIndexTakedownIngest(
+            mem.toDF.toDF("vec_id"), p)
+        else
+          graft.streaming.StreamingJobs.graphIndexTakedownIngest(
+            mem.toDF.toDF("vec_id"), p)
+      val sq = writer.option("checkpointLocation", ck).start()
+      try {
+        mem.addData(top1.toSeq: _*); sq.processAllAvailable()
+        mem.addData(top1.head); sq.processAllAvailable() // second batch
+      } finally sq.stop()
+      val post = probe()
+      assert(post.nonEmpty, p)
+      assert(!post.exists(r => top1.contains(l(r, "vec_id"))), p)
+      val gens = spark.table(tombT).select("gen").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(gens.size >= 2 && gens.max > gens.min,
+        s"$p: micro-batches must anchor increasing gens, got $gens")
+      if (p.endsWith("ivf")) VectorOps.annIndexDrop(spark, p)
+      else VectorOps.graphIndexDrop(spark, p)
+    }
+  }
+
   test("s19 driver entry: worst-case takedown honored — zero deleted " +
       "rows, the audit columns account for the tombstones, deterministic") {
     val a = VectorOps.s19AnnGraphDelete(spark, sfDir).collect()
