@@ -1,0 +1,37 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: write `.explain("formatted")` for a comma-separated list of
+  * SparkEntry queries to `<outDir>/<name>_<tag>.txt` — the before/after
+  * plan evidence an optimization round commits under `plans/rNN/`.
+  * Usage: sbt "runMain graft.PlanDump <q1,q2,..> <sfDir> <tag> <outDir>" */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val names = args(0).split(",").map(_.trim).filter(_.nonEmpty)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val tag = if (args.length > 2) args(2) else "before"
+    val outDir = if (args.length > 3) args(3) else "plans/r16"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().appName("plan-dump").master(s"local[$cpus]"),
+      shufflePartitions = cpus.toInt
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    for (n <- names) {
+      try {
+        val df = SparkEntry.queries(n)(spark, dir)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        Files.write(Paths.get(s"$outDir/${n}_$tag.txt"), txt.getBytes("UTF-8"))
+        val nEx = "Exchange".r.findAllIn(txt).size
+        println(s"[plandump] $n -> $outDir/${n}_$tag.txt (Exchange-ish nodes: $nEx)")
+      } catch {
+        case e: Throwable => println(s"[plandump] $n FAILED: $e")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -348,7 +348,19 @@ object CuratePipeline {
         (Seq(col("exact_canonical"), col("neardup_kept")) ++ gateOk ++
           Seq(col("quality_ok"), col("lm_ok"), col("decontam_ok")))
           .reduce(_ && _))
-    P01Parts(base, members, flags)
+    // `flags` is consumed 3× by p01Finish (kept→mix weights, pack, final
+    // projection) and again by the release tail's stagedRelation — each
+    // consumer prunes different columns, so the duplicated subtrees are
+    // NOT plan-identical and ReuseExchange cannot collapse them: the
+    // whole gate chain (near-dup pair join + LM census + contamination)
+    // re-executed per consumer (guide §2.4 — remove shuffles outright;
+    // measured r16: p01 294 / p03 584 / p04 720 pre-AQE Exchange nodes).
+    // One localCheckpoint of the doc-count-sized flag relation makes
+    // every stage read the one materialization — the same discipline
+    // `base` already applies to the corpus scan (and p05's lm already
+    // applies to the LM relation). Results unchanged: the relation is
+    // deterministic and the checkpoint only cuts lineage.
+    P01Parts(base, members, flags.localCheckpoint())
   }
 
   /** Stages 6-7 (domain mix + pack over the kept corpus) and the final

@@ -125,7 +125,13 @@ object ReleasePipeline {
   /** Split + shard + datasheet over an already-curated [[CuratePipeline.P01Parts]]. */
   private[graft] def p02Finish(parts: CuratePipeline.P01Parts,
       nShards: Int = NShards): DataFrame =
-    tailFrom(stagedRelation(parts), nShards)
+    // the release tail consumes the staged relation ~5× (rank window,
+    // FFD pack input, three audits) with different pruned columns —
+    // checkpoint the kept-doc-count metadata relation once so the tail
+    // reads one materialization instead of re-deriving the curation
+    // joins per audit (guide §2.4; p06 gets the same effect from its
+    // stage TABLE — this is the in-memory form of that discipline)
+    tailFrom(stagedRelation(parts).localCheckpoint(), nShards)
 
   /** Stage R0 — the STAGE TABLE's contents: exactly what the release
     * tail needs per kept document (doc_id, lang, source, n_tokens,
@@ -346,7 +352,9 @@ object ReleasePipeline {
     val t = Tables(spark, dir)
     val parts = CuratePipeline.p01PartsOf(spark, t.spread(t.documents),
       requireGovernance = true)
-    tailFrom(stagedRelation(parts, Seq("license")), NShards, governed = true)
+    // same staged-relation checkpoint as p02Finish (see there)
+    tailFrom(stagedRelation(parts, Seq("license")).localCheckpoint(),
+      NShards, governed = true)
   }
 
   /** The windowed release over any (doc_id, lang, source, text)
